@@ -1,0 +1,470 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Sem
+import graft.llm.{FakeBehavior, FakeLM}
+import graft.operators.{Dedup, EmbedOps}
+import graft.functions.{MultimodalOps, TextFunctions => TF}
+
+/** The operator inventory as driver-checkable queries.
+  *
+  * Every query here has a deterministic result; most have an ANSI-SQL oracle
+  * in [[Queries.oracleSql]] runnable by DuckDB against the same parquet
+  * tables. Semantic operators run against deterministic [[FakeLM]] behaviors
+  * whose semantics are themselves SQL-expressible — so even the LLM-stage
+  * plumbing (serialization → prompt → batched call → parse → columns) is
+  * hash-verified end to end.
+  *
+  * Numeric convention: money aggregates are summed as integer cents
+  * (`round(x*100)` per row, then BIGINT sum) — per-row IEEE ops are
+  * bit-identical across engines and integer sums are order-independent, so
+  * hashes match without float tolerance.
+  */
+object Queries {
+
+  private def read(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS); Spark only reads it via the
+    // legacy long mapping — queries convert with `timestamp_micros(ts div 1000)`.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- classical relational surface ------------------------
+    "q1_agg" -> ((s, dir) => {
+      read(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_c"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q2_join_agg" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val o = read(s, dir, "orders")
+      val c = read(s, dir, "customer")
+      val n = read(s, dir, "nation")
+      val r = read(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q3_topn" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val o = read(s, dir, "orders")
+      val rev = li.groupBy("l_orderkey")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+      rev.join(o, rev("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q4_window" -> ((s, dir) => {
+      val o = read(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val ws = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("run_c", sum(cents(col("o_totalprice"))).over(ws))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk", "run_c")
+        .orderBy("o_custkey", "rk")
+    }),
+
+    "q5_exists" -> ((s, dir) => {
+      val o = read(s, dir, "orders")
+      val li = read(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val c = read(s, dir, "customer")
+      val oWith = o.join(li.select("l_orderkey").distinct(),
+        o("o_orderkey") === col("l_orderkey"), "left_semi")
+      c.join(oWith.select("o_custkey").distinct(), c("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q6_filter" -> ((s, dir) => {
+      read(s, dir, "lineitem")
+        .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_c"),
+          count(lit(1)).as("n"))
+    }),
+
+    "q7_setops" -> ((s, dir) => {
+      val p = read(s, dir, "part")
+      val big = p.filter(col("p_size") > 40).select("p_brand").distinct()
+      val pricey = p.filter(col("p_retailprice") > 1800).select("p_brand").distinct()
+      val cheapSmall = p.filter(col("p_size") < 3 && col("p_retailprice") < 500)
+        .select("p_brand").distinct()
+      big.union(pricey).distinct().except(cheapSmall).orderBy("p_brand")
+    }),
+
+    "q8_events_window" -> ((s, dir) => {
+      read(s, dir, "events")
+        .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(date_trunc("hour", col("tsm")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+        .orderBy("hour", "event_type")
+    }),
+
+    "q9_events_json" -> ((s, dir) => {
+      read(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // ---------------- semantic operators (deterministic FakeLM) -----------
+    "sem_filter_kw" -> ((s, dir) => {
+      Sem.withLM(FakeLM(FakeBehavior.KeywordFilter("spark"))) {
+        read(s, dir, "documents")
+          .semFilter("the {text} mentions a certain data engine")
+          .orderBy("doc_id")
+      }
+    }),
+
+    "sem_map_first3" -> ((s, dir) => {
+      Sem.withLM(FakeLM(FakeBehavior.FirstWords("Text", 3))) {
+        read(s, dir, "documents")
+          .semMap("give the first three words of {text}")
+          .select(col("doc_id"), col("_map"))
+          .orderBy("doc_id")
+      }
+    }),
+
+    "sem_extract_stats" -> ((s, dir) => {
+      Sem.withLM(FakeLM(FakeBehavior.ExtractStats("Text"))) {
+        read(s, dir, "documents")
+          .semExtract(Seq("text"), Seq("first_word" -> None, "n_words" -> Some("number of words")))
+          .select(col("doc_id"), col("first_word"), col("n_words"))
+          .orderBy("doc_id")
+      }
+    }),
+
+    "sem_join_kw" -> ((s, dir) => {
+      Sem.withLM(FakeLM(FakeBehavior.FieldWordJoin("Text", "Word"))) {
+        val docs = read(s, dir, "documents").filter(col("doc_id") < 40).select("doc_id", "text")
+        val kws = s.createDataFrame(
+          Seq(Tuple1("spark"), Tuple1("join"), Tuple1("filter"), Tuple1("window")))
+          .toDF("word")
+        docs.semJoin(kws, "the {text} mentions the word {word}")
+          .orderBy("doc_id", "word")
+      }
+    }),
+
+    "sem_agg_concat" -> ((s, dir) => {
+      // Small fake context window forces a genuinely hierarchical fold
+      // (multiple rounds); the concat summarizer is associative so the
+      // result equals the flat ordered string_agg the oracle computes.
+      Sem.withLM(FakeLM(FakeBehavior.ConcatDocs("\n"), maxCtxLen = 4000)) {
+        read(s, dir, "documents")
+          .semAgg("summarize the {text}", groupBy = Seq("lang"), orderBy = Seq(col("doc_id")))
+          .orderBy("lang")
+      }
+    }),
+
+    "sem_topk_quick" -> ((s, dir) => {
+      Sem.withLM(FakeLM(FakeBehavior.PreferLonger())) {
+        read(s, dir, "documents")
+          .semTopK("which doc is more substantial given {text} with {n_chars} chars (id {doc_id})",
+            k = 10, method = "quick")
+          .select(col("doc_id"), col("n_chars"), col("rank").cast("long").as("rank"))
+          .orderBy("rank")
+      }
+    }),
+
+    "sem_topk_naive" -> ((s, dir) => {
+      Sem.withLM(FakeLM(FakeBehavior.PreferLonger())) {
+        read(s, dir, "documents").filter(col("doc_id") < 60)
+          .semTopK("which doc is more substantial given {text} with {n_chars} chars (id {doc_id})",
+            k = 5, method = "naive")
+          .select(col("doc_id"), col("n_chars"), col("rank").cast("long").as("rank"))
+          .orderBy("rank")
+      }
+    }),
+
+    // ---------------- embedding / similarity ops --------------------------
+    "sem_search_cos" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.crossJoin(broadcast(q))
+        .withColumn("raw", EmbedOps.cosineSim(col("embedding"), col("qv")))
+        .orderBy(col("raw").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("raw"), 3).as("score"))
+    }),
+
+    "sem_sim_join_cos" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val l = e.filter(col("vec_id") < 20).select(col("vec_id").as("lid"), col("embedding").as("lv"))
+      val r = e.select(col("vec_id").as("rid"), col("embedding").as("rv"))
+      val w = Window.partitionBy("lid").orderBy(col("raw").desc, col("rid"))
+      l.crossJoin(broadcast(r))
+        .withColumn("raw", EmbedOps.cosineSim(col("lv"), col("rv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy(col("lid"), col("raw").desc, col("rid"))
+        .select(col("lid"), col("rid"), round(col("raw"), 3).as("score"))
+    }),
+
+    "neardup_pairs_cos" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+      a.join(broadcast(b), col("id1") < col("id2"))
+        .withColumn("raw", EmbedOps.cosineSim(col("v1"), col("v2")))
+        .filter(col("raw") >= 0.45)
+        .orderBy("id1", "id2")
+        .select(col("id1"), col("id2"), round(col("raw"), 3).as("score"))
+    }),
+
+    "sem_cluster" -> ((s, dir) => {
+      // KMeans assignment is seed-deterministic within Spark but not
+      // SQL-expressible → rows-only check (no oracle entry).
+      val e = read(s, dir, "embeddings")
+      EmbedOps.semClusterBy(
+        e.withColumn("__txt", col("vec_id").cast("string")), "__txt", nClusters = 8)
+        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
+    // ---------------- dedup suite -----------------------------------------
+    "dedup_exact" -> ((s, dir) => {
+      read(s, dir, "documents")
+        .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      val d = read(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5)
+      Dedup.dropDuplicatesByPairs(d, "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      val d = read(s, dir, "documents")
+      val pairs = Dedup.simhashPairs(d, "text", "doc_id", maxDist = 3)
+      Dedup.dropDuplicatesByPairs(d, "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      // Exact all-pairs n-gram Jaccard on a slice (the verification kernel
+      // of the minhash path, run alone): pairs with J ≥ 0.2.
+      val d = read(s, dir, "documents").filter(col("doc_id") < 100)
+      val sh = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      val a = sh.toDF("id1", "sh1")
+      val b = sh.toDF("id2", "sh2")
+      a.join(broadcast(b), col("id1") < col("id2"))
+        .withColumn("j", Dedup.jaccard(col("sh1"), col("sh2")))
+        .filter(col("j") >= 0.2)
+        .select(col("id1"), col("id2"), round(col("j"), 3).as("jac"))
+        .orderBy("id1", "id2")
+    }),
+
+    // ---------------- text analysis ---------------------------------------
+    "text_stats" -> ((s, dir) => {
+      read(s, dir, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TF.bpeTokenEstimate(col("text")).cast("long").as("n_bpe"),
+        round(TF.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TF.stopwordRatio(col("text")), 4).as("stop_ratio"),
+        TF.qualityScore(col("text")).as("quality"),
+        TF.langId(col("text")).as("pred_lang"),
+        TF.fingerprint(col("text")).as("fp")
+      ).orderBy("doc_id")
+    }),
+
+    // ---------------- multimodal plumbing (stub decode) -------------------
+    "multimodal_meta" -> ((s, dir) => {
+      val d = read(s, dir, "documents")
+        .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("img"))
+      MultimodalOps.decodeMeta(d, "img")
+        .select(col("doc_id"), col("media_bytes").cast("long").as("n_bytes"),
+          col("media_width").cast("long").as("width"),
+          col("media_frames").cast("long").as("frames"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** DuckDB-runnable oracles. Keys must match `queries`; column aliases must
+    * match the Spark result exactly (driver hashes sorted-by-name columns).
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q2_join_agg" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q3_topn" ->
+      """SELECT o_orderkey, o_orderpriority, revenue_c FROM (
+        |  SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |  FROM lineitem GROUP BY 1) r
+        |JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY revenue_c DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q4_window" ->
+      """SELECT o_custkey, o_orderkey, rk, run_c FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q5_exists" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'))
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q6_filter" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c, count(*) AS n
+        |FROM lineitem
+        |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q7_setops" ->
+      """SELECT p_brand FROM (
+        |  SELECT p_brand FROM part WHERE p_size > 40
+        |  UNION SELECT p_brand FROM part WHERE p_retailprice > 1800)
+        |EXCEPT SELECT p_brand FROM part WHERE p_size < 3 AND p_retailprice < 500
+        |ORDER BY p_brand""".stripMargin,
+
+    "q8_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q9_events_json" ->
+      """SELECT event_type, CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sem_filter_kw" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY doc_id""".stripMargin,
+
+    "sem_map_first3" ->
+      """SELECT doc_id, array_to_string((string_split(text, ' '))[1:3], ' ') AS _map
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sem_extract_stats" ->
+      """SELECT doc_id, (string_split(text, ' '))[1] AS first_word,
+        |  CAST(len(string_split(text, ' ')) AS VARCHAR) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sem_join_kw" ->
+      """SELECT d.doc_id, d.text, k.word
+        |FROM (SELECT doc_id, text FROM documents WHERE doc_id < 40) d
+        |CROSS JOIN (SELECT * FROM (VALUES ('spark'),('join'),('filter'),('window')) AS t(word)) k
+        |WHERE list_contains(string_split(d.text, ' '), k.word)
+        |ORDER BY d.doc_id, k.word""".stripMargin,
+
+    "sem_agg_concat" ->
+      """SELECT lang, string_agg(text, chr(10) ORDER BY doc_id) AS _output
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "sem_topk_quick" ->
+      """SELECT doc_id, n_chars, rank FROM (
+        |  SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "sem_topk_naive" ->
+      """SELECT doc_id, n_chars, rank FROM (
+        |  SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents WHERE doc_id < 60) t
+        |WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "sem_search_cos" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score
+        |FROM embeddings e, q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+
+    "sem_sim_join_cos" ->
+      """SELECT l.vec_id AS lid, r.vec_id AS rid,
+        |  round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), 3) AS score
+        |FROM (SELECT * FROM embeddings WHERE vec_id < 20) l CROSS JOIN embeddings r
+        |QUALIFY row_number() OVER (PARTITION BY l.vec_id
+        |  ORDER BY list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) DESC, r.vec_id) <= 3
+        |ORDER BY lid, list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) DESC, rid""".stripMargin,
+
+    "neardup_pairs_cos" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS score
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(lower(trim(text)), ' ') AS words,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |    len(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / len(text) AS praw
+        |  FROM documents),
+        |h AS (
+        |  SELECT *,
+        |    len(list_filter(words, w -> w IN ('the','and','of','to','in','is','you','that'))) AS en,
+        |    len(list_filter(words, w -> w IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+        |    len(list_filter(words, w -> w IN ('el','los','de','que','y','en','un','por'))) AS es,
+        |    len(list_filter(words, w -> w IN ('le','les','et','est','une','des','dans','pour'))) AS fr,
+        |    len(list_filter(words, w -> w IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0 / len(words) AS sraw
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_bpe,
+        |  round(praw, 4) AS punct_ratio,
+        |  round(sraw, 4) AS stop_ratio,
+        |  round((least(len(text)*1.0/500, 1.0) + least(sraw*5, 1.0) + greatest(0.0, 1.0 - praw*10)) / 3.0, 4) AS quality,
+        |  CASE WHEN fr > greatest(en, de, es) THEN 'fr'
+        |       WHEN es > greatest(en, de) THEN 'es'
+        |       WHEN de > en THEN 'de' ELSE 'en' END AS pred_lang,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes,
+        |  CAST(len(text) % 640 AS BIGINT) AS width,
+        |  CAST(len(text) % 30 + 1 AS BIGINT) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

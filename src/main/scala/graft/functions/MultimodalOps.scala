@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, decoded/feature-extracted per partition in bounded
+  * batches (the Spark-side shape a real decoder needs: schema, batch size,
+  * partition-local library init). The decode itself is STUBBED with a
+  * deterministic function of the bytes — image/audio libraries are not
+  * available in this environment; swap `decodeOne` for a real codec call.
+  */
+object MultimodalOps {
+
+  final case class MediaMeta(nBytes: Int, width: Int, height: Int, frames: Int)
+
+  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
+    * A real implementation would decode the image/audio header here.
+    */
+  def decodeOne(bytes: Array[Byte]): MediaMeta = {
+    val n = if (bytes == null) 0 else bytes.length
+    MediaMeta(n, n % 640, n % 480, n % 30 + 1)
+  }
+
+  /** Append decoded metadata columns for a binary media column. Batched per
+    * partition (grouped(32)) so a real decoder can amortize library setup /
+    * vectorize, mirroring a Pandas-UDF `mapInPandas` batch shape.
+    */
+  def decodeMeta(df: DataFrame, binaryCol: String, prefix: String = "media_"): DataFrame = {
+    val idx = df.schema.fieldIndex(binaryCol)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField(s"${prefix}bytes", IntegerType),
+      StructField(s"${prefix}width", IntegerType),
+      StructField(s"${prefix}height", IntegerType),
+      StructField(s"${prefix}frames", IntegerType)))
+    df.mapPartitions { iter =>
+      iter.grouped(32).flatMap { batch =>
+        batch.map { r =>
+          val m = decodeOne(r.getAs[Array[Byte]](idx))
+          Row.fromSeq(r.toSeq ++ Seq(m.nBytes, m.width, m.height, m.frames))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

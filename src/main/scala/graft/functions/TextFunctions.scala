@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting. All native
+  * Catalyst expressions (codegen'd, no UDFs) and deliberately portable to
+  * ANSI SQL so results are oracle-checkable.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish subword token estimate: word chunks of ≤4 chars + punctuation
+    * marks each count as one token (a public heuristic approximating BPE
+    * vocabularies' ~4 chars/token average).
+    */
+  def bpeTokenEstimate(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of sentence-punctuation chars to total chars. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[^.,!?;:]", "")).cast("double") / length(c))
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Fraction of whitespace tokens that are (English) stopwords. */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val words = split(lower(trim(c)), "\\s+")
+    when(size(words) === 0, lit(0.0)).otherwise(
+      size(filter(words, w => w.isInCollection(stopwords))).cast("double") / size(words))
+  }
+
+  /** Mean word length (chars per whitespace token). */
+  def meanWordLen(c: Column): Column =
+    when(tokenCount(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "\\s+", "")).cast("double") / tokenCount(c))
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, presence of
+    * stopwords, low punctuation noise. Deterministic and SQL-portable.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 10.0)
+    round((lenScore + stopScore + punctPenalty) / 3.0, 4)
+  }
+
+  private val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "los", "de", "que", "y", "en", "un", "por"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "des", "dans", "pour")
+  )
+
+  /** N-gram/stopword-lexicon language ID heuristic: most stopword hits wins,
+    * ties broken in fixed lexicon order (en, de, es, fr).
+    */
+  def langId(c: Column): Column = {
+    val words = split(lower(trim(c)), "\\s+")
+    val hits = Lexicons.map { case (lang, lex) =>
+      lang -> size(filter(words, w => w.isInCollection(lex)))
+    }
+    // argmax with first-wins tie-break
+    val best = hits.tail.foldLeft((hits.head._2, lit(hits.head._1))) {
+      case ((bestHits, bestLang), (lang, h)) =>
+        (greatest(bestHits, h), when(h > bestHits, lit(lang)).otherwise(bestLang))
+    }
+    best._2
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased text.
+    * (The md5 builtin exists in both Spark and ANSI-ish oracles, so
+    * fingerprints are verifiable end-to-end.)
+    */
+  def fingerprint(c: Column): Column =
+    md5(to_binary(regexp_replace(lower(trim(c)), "\\s+", " "), lit("utf-8")))
+
+  /** Rolling (polynomial) content-defined fingerprints of word windows:
+    * xxhash64 over sliding word n-grams; the minimum is a winnowing-style
+    * document signature.
+    */
+  def winnowFingerprint(c: Column, window: Int = 8): Column = {
+    val words = split(lower(trim(c)), "\\s+")
+    val grams = when(size(words) <= window, array(concat_ws(" ", words)))
+      .otherwise(transform(sequence(lit(0), size(words) - window),
+        i => concat_ws(" ", slice(words, i + 1, lit(window)))))
+    array_min(transform(grams, g => xxhash64(g)))
+  }
+}

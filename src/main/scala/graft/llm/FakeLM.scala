@@ -1,0 +1,133 @@
+package graft.llm
+
+/** Deterministic fake LM for hermetic tests — the reference's own testing
+  * pattern (tests/test_agentic_map_reduce.py: ScriptedCompleter). Each
+  * behavior computes answers from the serialized document fields in the
+  * prompt, so operator results are exactly reproducible (and, for the
+  * DuckDB-oracle gate, SQL-expressible).
+  */
+object DocParse {
+  private val Field = "\\[([^\\]\\n]+)\\]: «([^»]*)»".r
+
+  /** All `[Col]: «val»` fields of a serialized context, in order. */
+  def fieldSeq(context: String): Seq[(String, String)] =
+    Field.findAllMatchIn(context).map(m => (m.group(1), m.group(2))).toVector
+
+  /** First value per (capitalized) field name. */
+  def fields(context: String): Map[String, String] = {
+    val b = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    fieldSeq(context).foreach { case (k, v) => if (!b.contains(k)) b += k -> v }
+    b.toMap
+  }
+
+  /** All «…» values, in order (used by the agg fake across fold levels). */
+  def allValues(context: String): Seq[String] =
+    "«([^»]*)»".r.findAllMatchIn(context).map(_.group(1)).toVector
+}
+
+/** A deterministic answer function over an [[LMRequest]]. */
+sealed trait FakeBehavior extends Serializable {
+  def answer(req: LMRequest): String
+}
+
+object FakeBehavior {
+
+  /** Echo the serialized context back (smoke tests). */
+  case object Echo extends FakeBehavior {
+    def answer(req: LMRequest): String = req.context
+  }
+
+  /** Filter: true iff `keyword` appears in the doc (as a whole word when
+    * `word=true`, else substring), case-insensitive.
+    */
+  final case class KeywordFilter(keyword: String, word: Boolean = true) extends FakeBehavior {
+    def answer(req: LMRequest): String = {
+      val ctx = req.context.toLowerCase
+      val hit =
+        if (word) ctx.split("[^\\p{L}\\p{N}_]+").contains(keyword.toLowerCase)
+        else ctx.contains(keyword.toLowerCase)
+      if (hit) "Answer: True" else "Answer: False"
+    }
+  }
+
+  /** Join predicate: true iff the value of `wordField` appears as a
+    * whitespace-separated token of `textField`.
+    */
+  final case class FieldWordJoin(textField: String, wordField: String) extends FakeBehavior {
+    def answer(req: LMRequest): String = {
+      val f = DocParse.fields(req.context)
+      val ok = (for {
+        t <- f.get(textField)
+        w <- f.get(wordField)
+      } yield t.split("\\s+").contains(w)).getOrElse(false)
+      if (ok) "Answer: True" else "Answer: False"
+    }
+  }
+
+  /** Map: first `n` whitespace tokens of `field`. */
+  final case class FirstWords(field: String, n: Int) extends FakeBehavior {
+    def answer(req: LMRequest): String =
+      DocParse.fields(req.context).get(field)
+        .map(_.split("\\s+").take(n).mkString(" ")).getOrElse("")
+  }
+
+  /** Extract: JSON with `first_word` and `n_words` of `field` (all-string
+    * values, matching the reference's str coercion).
+    */
+  final case class ExtractStats(field: String) extends FakeBehavior {
+    def answer(req: LMRequest): String = {
+      val v = DocParse.fields(req.context).getOrElse(field, "")
+      val toks = v.split("\\s+").filter(_.nonEmpty)
+      val first = if (toks.isEmpty) "" else toks.head
+      s"""{"first_word": "${first.replace("\"", "\\\"")}", "n_words": "${toks.length}"}"""
+    }
+  }
+
+  /** Aggregation summarizer: concatenates all «…» doc values with `sep`.
+    * Associative, so the hierarchical fold equals a flat ordered concat —
+    * which makes sem_agg exactly DuckDB-checkable via string_agg.
+    */
+  final case class ConcatDocs(sep: String = "\n") extends FakeBehavior {
+    def answer(req: LMRequest): String = DocParse.allValues(req.context).mkString(sep)
+  }
+
+  /** Top-k comparator: prefer the document whose `lenField` is larger,
+    * tie-break on smaller `idField` — a total order, so quickselect results
+    * are exact and ORDER-BY-checkable.
+    */
+  final case class PreferLonger(lenField: String = "N_chars", idField: String = "Doc_id")
+      extends FakeBehavior {
+    def answer(req: LMRequest): String = {
+      val docs = DocParse.fieldSeq(req.context)
+      def grab(f: String): Seq[Long] =
+        docs.filter(_._1 == f).map(x => scala.util.Try(x._2.trim.toDouble.toLong).getOrElse(0L))
+      val lens = grab(lenField)
+      val ids = grab(idField)
+      if (lens.length >= 2) {
+        val firstWins =
+          lens(0) > lens(1) || (lens(0) == lens(1) && ids.length >= 2 && ids(0) < ids(1))
+        if (firstWins) "Answer: Document 1" else "Answer: Document 2"
+      } else "Answer: Document 1"
+    }
+  }
+
+  /** Scripted: fixed answers cycled per call order within a batch. */
+  final case class Scripted(answers: Seq[String]) extends FakeBehavior {
+    def answer(req: LMRequest): String = answers.headOption.getOrElse("")
+  }
+}
+
+/** Fake LM: applies one deterministic behavior per request. */
+final case class FakeLM(behavior: FakeBehavior, override val maxBatchSize: Int = 64,
+    override val maxCtxLen: Int = 128000) extends LMClient {
+  override def modelName: String = s"fake/${behavior.getClass.getSimpleName}"
+  override def complete(batch: Seq[LMRequest]): Seq[LMResult] = behavior match {
+    case FakeBehavior.Scripted(answers) =>
+      batch.zipWithIndex.map { case (_, i) => LMResult(answers(i % answers.length)) }
+    case b => batch.map(r => LMResult(b.answer(r)))
+  }
+}
+
+object FakeLM {
+  val echo: FakeLM = FakeLM(FakeBehavior.Echo)
+}

@@ -1,0 +1,152 @@
+package graft.llm
+
+/** Chat message. Text-only content; image parts are carried separately in
+  * [[LMRequest.images]] (name → base64/url ref) so text prompts stay cheap.
+  */
+final case class ChatMessage(role: String, content: String) extends Serializable
+
+/** One LLM call: full message list (system + few-shot + user). */
+final case class LMRequest(
+    messages: Seq[ChatMessage],
+    images: Map[String, String] = Map.empty
+) extends Serializable {
+
+  def lastUser: String = messages.reverse.find(_.role == "user").map(_.content).getOrElse("")
+
+  /** The serialized document section of the last user message — text between
+    * `Context:\n` and the trailing `\n\nClaim:` / `\n\nInstruction:` tag.
+    */
+  def context: String = {
+    val u = lastUser
+    val start = {
+      val i = u.indexOf("Context:\n")
+      if (i < 0) 0 else i + "Context:\n".length
+    }
+    val tail = u.substring(start)
+    val endCandidates = Seq("\n\nClaim:", "\n\nInstruction:").map(tail.indexOf).filter(_ >= 0)
+    if (endCandidates.isEmpty) tail else tail.substring(0, endCandidates.min)
+  }
+}
+
+/** LLM response; `positiveProb` is the normalized probability of the positive
+  * output token when logprobs were requested (cascade scoring).
+  */
+final case class LMResult(output: String, positiveProb: Option[Double] = None) extends Serializable
+
+/** The physical LLM substrate. One instance is shipped (serialized) to
+  * executors; implementations must be Serializable and thread-safe.
+  *
+  * Batching model follows the reference LM runtime (lotus/models/lm.py:261-436):
+  * operators call `complete` with up to [[maxBatchSize]] requests; the
+  * implementation issues them concurrently (HTTP) or in bulk (local).
+  */
+trait LMClient extends Serializable {
+  def complete(batch: Seq[LMRequest]): Seq[LMResult]
+
+  /** Concurrent request budget per call (reference default 64). */
+  def maxBatchSize: Int = 64
+
+  /** Context window (tokens); reference default 128k. */
+  def maxCtxLen: Int = 128000
+
+  /** Per-response token budget; reference default 512. */
+  def maxTokens: Int = 512
+
+  /** Cheap token estimate used for prompt packing (≈4 chars/token). */
+  def countTokens(s: String): Int = math.max(1, s.length / 4)
+
+  def modelName: String = "unknown"
+}
+
+/** OpenAI-compatible chat-completions client over java.net.http.
+  *
+  * Config via constructor (endpoint/model/key resolved on the driver and
+  * broadcast with the closure). Each executor lazily builds its own
+  * HttpClient; requests in a batch are issued concurrently. Zero-egress test
+  * environments use [[FakeLM]] instead — this class is the production path.
+  */
+final case class OpenAICompatLM(
+    endpoint: String,
+    model: String,
+    apiKey: String = "",
+    temperature: Double = 0.0,
+    override val maxBatchSize: Int = 64,
+    override val maxTokens: Int = 512,
+    timeoutSec: Int = 120,
+    maxRetries: Int = 3
+) extends LMClient {
+
+  @transient private lazy val http: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .build()
+
+  @transient private lazy val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m
+  }
+
+  override def modelName: String = model
+
+  private def toJson(req: LMRequest): String = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    root.put("temperature", temperature)
+    root.put("max_tokens", maxTokens)
+    val msgs = root.putArray("messages")
+    req.messages.foreach { m =>
+      val o = msgs.addObject()
+      o.put("role", m.role)
+      o.put("content", m.content)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private def callOne(req: LMRequest): LMResult = {
+    val body = toJson(req)
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < maxRetries) {
+      try {
+        val b = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(endpoint))
+          .timeout(java.time.Duration.ofSeconds(timeoutSec.toLong))
+          .header("Content-Type", "application/json")
+        val withAuth = if (apiKey.nonEmpty) b.header("Authorization", s"Bearer $apiKey") else b
+        val httpReq = withAuth
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build()
+        val resp = http.send(httpReq, java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() / 100 == 2) {
+          val node = mapper.readTree(resp.body())
+          val content = node.path("choices").path(0).path("message").path("content").asText("")
+          return LMResult(content)
+        } else if (resp.statusCode() == 429 || resp.statusCode() / 100 == 5) {
+          Thread.sleep(math.min(30000L, 1000L << attempt))
+        } else {
+          throw new RuntimeException(s"LM HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+        }
+      } catch {
+        case e: InterruptedException => throw e
+        case e: Throwable => lastErr = e; Thread.sleep(math.min(30000L, 1000L << attempt))
+      }
+      attempt += 1
+    }
+    throw new RuntimeException(s"LM call failed after $maxRetries attempts", lastErr)
+  }
+
+  override def complete(batch: Seq[LMRequest]): Seq[LMResult] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = OpenAICompatLM.sharedEc
+    val fut = Future.traverse(batch)(r => Future(callOne(r)))
+    Await.result(fut, (timeoutSec.toLong * maxRetries + 60).seconds)
+  }
+}
+
+object OpenAICompatLM {
+  // Bounded pool shared across tasks in an executor JVM.
+  lazy val sharedEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(64))
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication primitives for large-scale corpus cleaning:
+  *   - exact (hash groupBy)
+  *   - MinHash + LSH banding (shingle → minhash → band-bucket join)
+  *   - SimHash (hamming-bucketed)
+  *   - n-gram Jaccard verification
+  *   - connected components (label propagation) for duplicate clusters
+  *
+  * Everything is native Catalyst expressions (higher-order array functions +
+  * xxhash64), so the hot path is whole-stage-codegen'd and shuffles only on
+  * band buckets — the layout that survives 100 TB (candidate pairs are
+  * bounded by bucket collisions, never the full cross product).
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a text column, as array<string>. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val words = split(trim(c), "\\s+")
+    when(size(words) <= n, array(concat_ws(" ", words)))
+      .otherwise(transform(
+        sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum xxhash64(shingle, seed) over the shingle set.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int = 64): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shinglesCol, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
+    * and hash each band — docs sharing any band key are candidates.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand))).as("key"))
+    }: _*)
+
+  /** Exact Jaccard similarity of two array columns (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /** Candidate near-duplicate pairs via MinHash-LSH, verified with exact
+    * n-gram Jaccard ≥ `threshold`. Returns (id1, id2, jaccard) with id1<id2.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
+      shingleLen: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = df.select(col(idCol).cast("long").as("id"),
+        shingles(col(textCol), shingleLen).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("bk", explode(bandKeys(col("sig"), bands, rowsPerBand)))
+      .select(col("id"), col("sh"), col("bk"))
+    val a = sh.toDF("id1", "sh1", "bk1")
+    val b = sh.toDF("id2", "sh2", "bk2")
+    a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .dropDuplicates("id1", "id2")
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of word tokens, natively: for each bit, sum the ±1
+    * contributions of each token hash and take the sign.
+    */
+  def simhash64(c: Column): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val ones = size(filter(hashes, h => shiftright(h, bit).bitwiseAND(1) === 1))
+      val vote = (ones * 2) > size(hashes)
+      when(vote, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs: bucket by 4 16-bit chunks (any doc
+    * pair within hamming distance 3 shares ≥1 chunk), verify hamming ≤ maxDist.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
+    val h = df.select(col(idCol).cast("long").as("id"), simhash64(col(textCol)).as("h"))
+      .withColumn("chunk", explode(array((0 until 4).map(i =>
+        struct(lit(i).as("i"), shiftright(col("h"), i * 16).bitwiseAND(0xFFFFL).as("v"))): _*)))
+    val a = h.toDF("id1", "h1", "c1")
+    val b = h.toDF("id2", "h2", "c2")
+    a.join(b, col("c1") === col("c2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hamming64(col("h1"), col("h2")).as("dist"))
+      .dropDuplicates("id1", "id2")
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Connected components by iterative min-label propagation (bounded by the
+    * duplicate-graph diameter — near-dup clusters are shallow). Returns the
+    * ids to KEEP (the min id of each component plus all isolated nodes).
+    * Scale note: for adversarial deep graphs swap in large-star/small-star;
+    * dup graphs from LSH are overwhelmingly star-shaped.
+    */
+  def keepAfterConnectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    // localCheckpoint truncates lineage each round — iterative joins over a
+    // huge upstream plan (e.g. the 64-hash minhash tree) would otherwise
+    // re-inline it every iteration and blow up planning.
+    val bidir = edges.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = labels.select("id", "label")
+        .union(bidir.join(labels, bidir("src") === labels("id"))
+          .select(col("dst").as("id"), col("label")))
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    // Keep each component's min id (its label equals itself) and isolated nodes.
+    labels.filter(col("label") === col("id")).select("id")
+  }
+
+  /** Drop near-duplicates: keep the min-id representative per duplicate
+    * cluster discovered by `pairs` (any of the *Pairs methods above).
+    */
+  def dropDuplicatesByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val keep = keepAfterConnectedComponents(
+      df.select(col(idCol).cast("long").as("id")), pairs)
+    df.join(keep.withColumnRenamed("id", "__keep_id"),
+      col(idCol).cast("long") === col("__keep_id"), "left_semi")
+  }
+}

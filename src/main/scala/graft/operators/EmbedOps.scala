@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Sem
+import graft.embed.Embedder
+
+/** Embedding-layer operators (reference lotus/sem_ops/{sem_index, sem_search,
+  * sem_sim_join, sem_cluster_by, sem_dedup, sem_partition_by}.py).
+  *
+  * Design deviation from the reference, on purpose: instead of a side-file
+  * FAISS index pinned to `df.attrs`, the "index" is a *vector column* carried
+  * in the DataFrame itself (`__vec_<col>`), persisted like any other data.
+  * That is the Spark-native layout — vectors shuffle/prune/broadcast with the
+  * rows, `semIndexSave`/`semLoadIndex` writes them as parquet `(id, vector)`
+  * exactly like the reference's pickled matrix, and brute-force inner product
+  * matches FaissVS flat-IP semantics bit-for-bit (faiss_vs.py:13-77).
+  */
+object EmbedOps {
+
+  def vecCol(c: String): String = s"__vec_$c"
+
+  /** Cosine similarity between two array<float/double> columns, natively
+    * (zip_with + aggregate → whole-stage codegen, no UDF).
+    */
+  def cosineSim(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** sem_index: append an embedding column for `c`, batched per partition. */
+  def semIndex(df: DataFrame, c: String, embedder: Embedder = null): DataFrame = {
+    val emb = Option(embedder).getOrElse(Sem.settings.embedder)
+    val out = vecCol(c)
+    if (df.columns.contains(out)) return df
+    val idx = df.schema.fieldIndex(c)
+    val schema = StructType(df.schema.fields :+
+      StructField(out, ArrayType(FloatType, containsNull = false)))
+    df.mapPartitions { iter =>
+      iter.grouped(512).flatMap { rows =>
+        val texts = rows.map(r => Option(r.get(idx)).map(_.toString).getOrElse(""))
+        val vecs = emb.embed(texts)
+        rows.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ v.toIndexedSeq))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Persist the index column as parquet `(id, vector)` — the durable form. */
+  def semIndexSave(df: DataFrame, c: String, idCol: String, path: String): DataFrame = {
+    val indexed = semIndex(df, c)
+    indexed.select(col(idCol), col(vecCol(c))).write.mode("overwrite").parquet(path)
+    indexed
+  }
+
+  /** Attach a saved index by joining the vectors back on `idCol`. */
+  def semLoadIndex(df: DataFrame, c: String, idCol: String, path: String): DataFrame = {
+    val vecs = df.sparkSession.read.parquet(path)
+    df.join(vecs, Seq(idCol), "left")
+  }
+
+  /** sem_search: top-k rows most similar to `query`. Exact brute force —
+    * embed query on the driver, score natively, global top-k via
+    * orderBy+limit (Spark lowers this to TakeOrderedAndProject: per-partition
+    * heaps, no full sort — the scalable exact layout).
+    */
+  def semSearch(df: DataFrame, c: String, query: String, k: Int,
+      scoreCol: String = "vec_scores", tieBreak: Seq[Column] = Nil): DataFrame = {
+    val emb = Sem.settings.embedder
+    val qv = emb.embedOne(query).toIndexedSeq
+    val indexed = semIndex(df, c)
+    val score = cosineSim(col(vecCol(c)), lit(qv))
+    indexed.withColumn(scoreCol, score)
+      .orderBy(col(scoreCol).desc +: tieBreak: _*)
+      .limit(k)
+      .drop(vecCol(c))
+  }
+
+  /** sem_sim_join: for each left row, the k nearest right rows by cosine on
+    * the two columns' embeddings. Broadcast-hash layout: the right vector
+    * table is broadcast (typical dims table), scoring is a nested-loop with
+    * native expressions, per-left top-k via window rank. Large×large falls
+    * back to the same plan without broadcast (AQE may still pick BNLJ) — an
+    * LSH pre-bucketing variant is the planned scale path.
+    */
+  def semSimJoin(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String, k: Int,
+      scoreCol: String = "_scores", broadcastRight: Boolean = true): DataFrame = {
+    val overlap = left.columns.toSet & right.columns.toSet
+    val l2 = overlap.foldLeft(semIndex(left, leftOn))((d, x) => d.withColumnRenamed(x, s"$x:left"))
+    val r2 = overlap.foldLeft(semIndex(right, rightOn))((d, x) => d.withColumnRenamed(x, s"$x:right"))
+    val lv = if (overlap.contains(leftOn)) vecCol(leftOn) else vecCol(leftOn)
+    val lKey = uuidCol()
+    val l3 = l2.withColumn(lKey, monotonically_increasing_id())
+    val rb = if (broadcastRight) broadcast(r2) else r2
+    val joined = l3.crossJoin(rb)
+      .withColumn(scoreCol, cosineSim(col(vecCol(leftOn)), col(vecCol(rightOn))))
+    val w = Window.partitionBy(col(lKey)).orderBy(col(scoreCol).desc)
+    joined.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .drop("__rnk", lKey, vecCol(leftOn), vecCol(rightOn))
+  }
+
+  private def uuidCol(): String = "__simjoin_lid"
+
+  /** sem_cluster_by: KMeans over the column's embeddings (MLlib), appending
+    * `cluster_id` (reference sem_cluster_by.py:57-86 uses faiss.Kmeans).
+    */
+  def semClusterBy(df: DataFrame, c: String, nClusters: Int, seed: Long = 42,
+      clusterCol: String = "cluster_id"): DataFrame = {
+    val indexed = semIndex(df, c).persist()
+    indexed.count()
+    val fc = org.apache.spark.ml.functions.array_to_vector(col(vecCol(c)))
+    val feat = indexed.withColumn("__features", fc)
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nClusters).setSeed(seed).setFeaturesCol("__features").setPredictionCol(clusterCol)
+    val model = km.fit(feat)
+    val res = model.transform(feat).drop("__features", vecCol(c))
+    indexed.unpersist()
+    res
+  }
+
+  /** sem_dedup: semantic near-duplicate removal — self sim-join at
+    * `threshold`, connected components over the duplicate graph, keep the
+    * minimum-id representative per component
+    * (reference sem_dedup.py:32-91).
+    */
+  def semDedup(df: DataFrame, c: String, idCol: String, threshold: Double): DataFrame = {
+    val indexed = semIndex(df, c).persist()
+    indexed.count()
+    val v = vecCol(c)
+    val a = indexed.select(col(idCol).cast(LongType).as("id1"), col(v).as("v1"))
+    val b = indexed.select(col(idCol).cast(LongType).as("id2"), col(v).as("v2"))
+    val edges = a.join(b, col("id1") < col("id2"))
+      .withColumn("__sim", cosineSim(col("v1"), col("v2")))
+      .filter(col("__sim") >= threshold)
+      .select("id1", "id2")
+    val keep = Dedup.keepAfterConnectedComponents(
+      indexed.select(col(idCol).cast(LongType).as("id")), edges)
+    val res = indexed.join(keep.withColumnRenamed("id", "__keep_id"),
+        col(idCol).cast(LongType) === col("__keep_id"), "left_semi")
+      .drop(v)
+    indexed.unpersist()
+    res
+  }
+
+  /** sem_partition_by: writes the `_lotus_partition_id` grouping column used
+    * by sem_agg's fold (reference sem_partition_by.py:60-67). The partition
+    * function here is cluster assignment.
+    */
+  def semPartitionBy(df: DataFrame, c: String, nPartitions: Int): DataFrame =
+    semClusterBy(df, c, nPartitions, clusterCol = "_lotus_partition_id")
+}

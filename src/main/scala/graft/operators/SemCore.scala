@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.core.{Serialize, SerializationFormat}
+
+/** Shared pieces of the semantic operators: row→doc serialization (driver
+  * resolves field indices once; executors run a tight loop) and the
+  * postprocessing layer, expressed as *native Catalyst expressions* so answer
+  * parsing stays inside whole-stage codegen rather than a UDF
+  * (reference postprocessors: lotus/sem_ops/postprocessors.py:12-221).
+  */
+object SemCore {
+
+  /** Serializer closure for the projected columns of a row. */
+  def serializeDoc(schema: StructType, cols: Seq[String], fmt: SerializationFormat): Row => String = {
+    val idx = cols.map(schema.fieldIndex).toArray
+    val colArr = cols.toIndexedSeq
+    row => Serialize.row(fmt, colArr, idx.map(i => row.get(i)).toIndexedSeq)
+  }
+
+  /** Extract the text after the first `Answer:` tag; whole (trimmed) output
+    * when the tag is absent.
+    */
+  def answerExpr(raw: Column): Column = {
+    val pos = locate("Answer:", raw)
+    when(pos > 0, trim(raw.substr(pos + lit(7), lit(Int.MaxValue))))
+      .otherwise(trim(raw))
+  }
+
+  /** Extract the CoT reasoning between `Reasoning:\n` and `Answer:`. */
+  def reasoningExpr(raw: Column): Column = {
+    val rIdx = locate("Reasoning:\n", raw)
+    val start = when(rIdx > 0, rIdx + lit(11)).otherwise(lit(1))
+    val aIdx = locate("Answer:", raw)
+    when(aIdx > 0,
+      regexp_replace(raw.substr(start, aIdx - start), "^\\n+|\\n+$", ""))
+      .otherwise(lit(""))
+  }
+
+  /** Boolean parse with default fallback: positive token contained → true,
+    * negative token contained → false, else `default`.
+    */
+  def boolExpr(answer: Column, default: Boolean,
+      outputTokens: (String, String) = ("True", "False")): Column = {
+    val a = lower(answer)
+    when(a.contains(outputTokens._1.toLowerCase), lit(true))
+      .when(a.contains(outputTokens._2.toLowerCase), lit(false))
+      .otherwise(lit(default))
+  }
+
+  val RawCol = "__graft_raw"
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{NLExpr, Sem}
+import graft.llm.{LMClient, LMRequest, Prompts}
+
+/** LLM-comparator top-k (reference lotus/sem_ops/sem_topk.py).
+  *
+  * Methods:
+  *   - "quick": quickselect + quicksort with batched pairwise LLM
+  *     comparisons, coordinated on the driver (the comparator is an LLM call,
+  *     so there is no Spark primitive for it). Docs are collected — top-k
+  *     inputs are small post-filter, exactly as in the reference, and we
+  *     guard with `localExecutionThreshold`.
+  *   - "naive": all-pairs voting as a distributed job — crossJoin on the
+  *     upper triangle, one batched comparison stage, win-count aggregation.
+  *     This is the scale path for larger candidate sets.
+  *
+  * Output: input rows of the top-k, plus a `rank` column (1-based).
+  */
+object SemTopK {
+
+  /** Parse "Document NUMBER" answers; default: first doc wins. */
+  private def firstWins(answer: String): Boolean =
+    "Document\\s*(\\d)".r.findFirstMatchIn(answer) match {
+      case Some(m) => m.group(1) == "1"
+      case None    => !answer.contains("2")
+    }
+
+  /** Batched compare: does docs(i) beat pivot? One LM round-trip per
+    * maxBatchSize chunk.
+    */
+  private def compareAll(lm: LMClient, docs: Seq[String], pivot: String, instr: String): Seq[Boolean] =
+    docs.grouped(lm.maxBatchSize).flatMap { chunk =>
+      val reqs = chunk.map(d => LMRequest(Prompts.compareFormatter(d, pivot, instr)))
+      lm.complete(reqs).map(r => firstWins(r.output))
+    }.toVector
+
+  /** Quickselect returning the top `k` in rank order. */
+  private def quickTopK(lm: LMClient, items: Vector[(Long, String)], k: Int, instr: String,
+      rng: scala.util.Random): Vector[(Long, String)] = {
+    if (k <= 0 || items.isEmpty) return Vector.empty
+    if (items.length == 1) return items
+    val pi = rng.nextInt(items.length)
+    val pivot = items(pi)
+    val rest = items.patch(pi, Nil, 1)
+    val wins = compareAll(lm, rest.map(_._2), pivot._2, instr)
+    val (better, worse) = rest.zip(wins).partition(_._2)
+    val b = better.map(_._1)
+    val w = worse.map(_._1)
+    if (b.length >= k) quickTopK(lm, b, k, instr, rng)
+    else if (b.length == k - 1) quickTopK(lm, b, b.length, instr, rng) :+ pivot
+    else quickTopK(lm, b, b.length, instr, rng) ++ (pivot +: quickTopK(lm, w, k - b.length - 1, instr, rng))
+  }
+
+  def semTopK(
+      df: DataFrame,
+      instr: String,
+      k: Int,
+      method: String = "quick",
+      groupBy: Seq[String] = Nil,
+      rankCol: String = "rank"
+  ): DataFrame = {
+    val s = Sem.settings
+    val nle = NLExpr.parse(instr)
+    nle.validate(df.columns.toIndexedSeq)
+    val instruction = nle.instruction
+    val lm = s.lm
+
+    val withId = df.withColumn("__tk_id", monotonically_increasing_id()).persist()
+    withId.count()
+    val ser = SemCore.serializeDoc(
+      withId.schema, nle.cols, s.serializationFormat)
+
+    method match {
+      case "quick" | "heap" =>
+        val idIdx = withId.schema.fieldIndex("__tk_id")
+        val collected = withId.collect() // guarded: top-k inputs are small post-filter
+        require(collected.length <= s.localExecutionThreshold,
+          s"semTopK quick method collected ${collected.length} rows > localExecutionThreshold; use method=naive")
+        val spark = df.sparkSession
+        import spark.implicits._
+
+        def rankGroup(rows: Seq[Row]): Seq[(Long, Int)] = {
+          val items = rows.map(r => (r.getLong(idIdx), ser(r))).toVector
+          val top = quickTopK(lm, items, k, instruction, new scala.util.Random(42))
+          top.zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
+        }
+
+        val ranks: Seq[(Long, Int)] =
+          if (groupBy.isEmpty) rankGroup(collected.toIndexedSeq)
+          else {
+            val gIdx = groupBy.map(withId.schema.fieldIndex)
+            collected.groupBy(r => gIdx.map(r.get)).toSeq
+              .sortBy(_._1.mkString("|"))
+              .flatMap { case (_, rows) => rankGroup(rows.toIndexedSeq) }
+          }
+
+        val rankDf = ranks.toDF("__tk_id", rankCol)
+        val res = withId.join(broadcast(rankDf), "__tk_id")
+          .orderBy(groupBy.map(col) :+ col(rankCol): _*)
+          .drop("__tk_id")
+        withId.unpersist()
+        res
+
+      case "naive" =>
+        // Distributed all-pairs voting: i<j pairs → batched compare → wins.
+        require(groupBy.isEmpty, "naive method: groupBy not supported yet")
+        val docs = withId.select(col("__tk_id"),
+          lit(null).cast(StringType).as("__d")) // placeholder to build schema
+        val docDf = {
+          val serLocal = ser
+          val schema = StructType(Seq(StructField("__tk_id", LongType), StructField("__doc", StringType)))
+          withId.mapPartitions { it =>
+            it.map(r => Row(r.getAs[Long]("__tk_id"), serLocal(r)))
+          }(Encoders.row(schema))
+        }
+        val a = docDf.toDF("id1", "doc1")
+        val b = docDf.toDF("id2", "doc2")
+        val pairs = a.join(b, col("id1") < col("id2"))
+        val cmpSchema = StructType(Seq(
+          StructField("id1", LongType), StructField("id2", LongType),
+          StructField("win1", BooleanType)))
+        val lmLocal = lm
+        val instrLocal = instruction
+        val compared = pairs.mapPartitions { it =>
+          it.grouped(lmLocal.maxBatchSize).flatMap { rows =>
+            val reqs = rows.map(r => LMRequest(
+              Prompts.compareFormatter(r.getString(1), r.getString(3), instrLocal)))
+            lmLocal.complete(reqs).lazyZip(rows).map { (res, r) =>
+              Row(r.getLong(0), r.getLong(2), firstWins(res.output))
+            }
+          }
+        }(Encoders.row(cmpSchema))
+        val votes = compared.select(
+            when(col("win1"), col("id1")).otherwise(col("id2")).as("__tk_id"))
+          .groupBy("__tk_id").agg(count(lit(1)).as("__wins"))
+        val ranked = withId.join(votes, Seq("__tk_id"), "left")
+          .na.fill(0L, Seq("__wins"))
+          .orderBy(col("__wins").desc, col("__tk_id"))
+          .limit(k)
+          .withColumn(rankCol, row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("__wins").desc, col("__tk_id"))))
+        ranked.drop("__tk_id", "__wins")
+
+      case other => throw new IllegalArgumentException(s"Unknown semTopK method: $other")
+    }
+  }
+}

@@ -1,0 +1,88 @@
+import org.apache.spark.sql.{Column, DataFrame}
+import graft.core.ReasoningStrategy
+import graft.llm.Prompts.Example
+import graft.operators._
+
+/** User-facing API: the reference registers pandas accessors
+  * (`df.sem_filter(...)`); the Spark-native equivalent is an implicit
+  * enrichment of DataFrame, keeping every operator `DataFrame → DataFrame`
+  * so semantic and classical (Catalyst) operators compose freely.
+  */
+package object graft {
+
+  implicit class SemDataFrame(val df: DataFrame) extends AnyVal {
+
+    // ---- core LLM per-row ops --------------------------------------------
+    def semMap(instr: String, suffix: String = "_map", examples: Seq[Example] = Nil,
+        strategy: ReasoningStrategy = ReasoningStrategy.Default,
+        systemPrompt: Option[String] = None, returnExplanations: Boolean = false,
+        returnRawOutputs: Boolean = false): DataFrame =
+      SemRowOps.semMap(df, instr, suffix, examples, strategy, systemPrompt,
+        returnExplanations, returnRawOutputs)
+
+    def semFilter(instr: String, default: Boolean = true, returnAll: Boolean = false,
+        suffix: String = "_filter", examples: Seq[Example] = Nil,
+        strategy: ReasoningStrategy = ReasoningStrategy.Default,
+        systemPrompt: Option[String] = None,
+        outputTokens: (String, String) = ("True", "False"),
+        returnExplanations: Boolean = false): DataFrame =
+      SemRowOps.semFilter(df, instr, default, returnAll, suffix, examples, strategy,
+        systemPrompt, outputTokens, returnExplanations)
+
+    def semExtract(inputCols: Seq[String], outputCols: Seq[(String, Option[String])],
+        extractQuotes: Boolean = false,
+        strategy: ReasoningStrategy = ReasoningStrategy.Default,
+        returnRawOutputs: Boolean = false): DataFrame =
+      SemRowOps.semExtract(df, inputCols, outputCols, extractQuotes, strategy, returnRawOutputs)
+
+    def semJoin(other: DataFrame, instr: String, how: String = "inner",
+        examples: Seq[Example] = Nil,
+        strategy: ReasoningStrategy = ReasoningStrategy.Default): DataFrame =
+      SemRowOps.semJoin(df, other, instr, how, examples, strategy)
+
+    def semAgg(instr: String, allCols: Boolean = false, groupBy: Seq[String] = Nil,
+        suffix: String = "_output", orderBy: Seq[Column] = Nil): DataFrame =
+      SemAgg.semAgg(df, instr, allCols, groupBy, suffix, orderBy)
+
+    def semTopK(instr: String, k: Int, method: String = "quick",
+        groupBy: Seq[String] = Nil, rankCol: String = "rank"): DataFrame =
+      SemTopK.semTopK(df, instr, k, method, groupBy, rankCol)
+
+    // ---- embedding / retrieval ops ---------------------------------------
+    def semIndex(c: String): DataFrame = EmbedOps.semIndex(df, c)
+
+    def semIndexSave(c: String, idCol: String, path: String): DataFrame =
+      EmbedOps.semIndexSave(df, c, idCol, path)
+
+    def semLoadIndex(c: String, idCol: String, path: String): DataFrame =
+      EmbedOps.semLoadIndex(df, c, idCol, path)
+
+    def semSearch(c: String, query: String, k: Int, scoreCol: String = "vec_scores",
+        tieBreak: Seq[Column] = Nil): DataFrame =
+      EmbedOps.semSearch(df, c, query, k, scoreCol, tieBreak)
+
+    def semSimJoin(other: DataFrame, leftOn: String, rightOn: String, k: Int,
+        scoreCol: String = "_scores", broadcastRight: Boolean = true): DataFrame =
+      EmbedOps.semSimJoin(df, other, leftOn, rightOn, k, scoreCol, broadcastRight)
+
+    def semClusterBy(c: String, nClusters: Int, seed: Long = 42,
+        clusterCol: String = "cluster_id"): DataFrame =
+      EmbedOps.semClusterBy(df, c, nClusters, seed, clusterCol)
+
+    def semDedup(c: String, idCol: String, threshold: Double): DataFrame =
+      EmbedOps.semDedup(df, c, idCol, threshold)
+
+    def semPartitionBy(c: String, nPartitions: Int): DataFrame =
+      EmbedOps.semPartitionBy(df, c, nPartitions)
+
+    // ---- evals -----------------------------------------------------------
+    def llmAsJudge(judgeInstr: String, nTrials: Int = 1,
+        suffix: String = "_judge"): DataFrame =
+      Evals.llmAsJudge(df, judgeInstr, nTrials, suffix)
+
+    def pairwiseJudge(col1: String, col2: String, judgeInstr: String,
+        nTrials: Int = 1, permuteCols: Boolean = false,
+        suffix: String = "_judge"): DataFrame =
+      Evals.pairwiseJudge(df, col1, col2, judgeInstr, nTrials, permuteCols, suffix)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 20 distinct docs + 3 planted near-duplicates (one word changed).
+  private def corpus = {
+    val base = (0 until 20).map(i =>
+      (i.toLong, (0 until 30).map(j => s"w${i}_$j").mkString(" ")))
+    val dups = Seq(
+      (100L, base(3)._2.replaceFirst("w\\d+", "CHANGED")),
+      (101L, base(7)._2),
+      (102L, base(11)._2.replace(" ", " ") + " extra"))
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val pairs = Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 100L)))
+    assert(pairs.contains((7L, 101L)))
+    assert(pairs.contains((11L, 102L)))
+    assert(pairs.size == 3) // no false positives among distinct docs
+  }
+
+  test("dropDuplicatesByPairs keeps the min-id representative") {
+    val deduped = Dedup.dropDuplicatesByPairs(corpus, "doc_id",
+      Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.5))
+    val kept = deduped.select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 20)
+    assert(kept.contains(3L) && !kept.contains(100L))
+    assert(kept.contains(7L) && !kept.contains(101L))
+  }
+
+  test("simhash flags exact and near copies") {
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id", maxDist = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((7L, 101L))) // identical text → distance 0
+  }
+
+  test("jaccard on shingles is exact") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z q r")).toDF("id", "t")
+    val sh = df.select($"id", Dedup.shingles($"t", 3).as("s"))
+    val j = sh.toDF("id1", "s1").join(sh.toDF("id2", "s2"), $"id1" < $"id2")
+      .select($"id1", $"id2", Dedup.jaccard($"s1", $"s2").as("j"))
+      .as[(Long, Long, Double)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("connected components: chain collapses to min id") {
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val keep = Dedup.keepAfterConnectedComponents(nodes, edges)
+      .as[Long].collect().toSet
+    assert(keep == Set(1L, 4L, 6L))
+  }
+}

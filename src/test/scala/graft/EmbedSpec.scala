@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.embed.HashingEmbedder
+import graft.operators.EmbedOps
+
+class EmbedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "machine learning models and neural networks"),
+    (2L, "deep neural networks for machine learning"),
+    (3L, "cooking pasta with tomato sauce"),
+    (4L, "recipe for tomato pasta sauce"),
+    (5L, "quantum chromodynamics lattice gauge theory")
+  ).toDF("id", "text")
+
+  test("semIndex appends a normalized embedding column") {
+    val idx = corpus.semIndex("text")
+    assert(idx.columns.contains("__vec_text"))
+    val v = idx.filter($"id" === 1).select("__vec_text").as[Seq[Float]].head()
+    assert(v.length == 64)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-5)
+  }
+
+  test("semSearch ranks the lexically-closest doc first") {
+    val hit = corpus.semSearch("text", "neural networks for machine learning", k = 2,
+        tieBreak = Seq(col("id")))
+      .select("id").as[Long].collect()
+    assert(hit.toSet.subsetOf(Set(1L, 2L)))
+  }
+
+  test("semSimJoin returns k matches per left row with _scores") {
+    val right = Seq((10L, "neural network learning"), (11L, "pasta sauce recipe"),
+      (12L, "gauge theory")).toDF("rid", "rtext")
+    val out = corpus.semSimJoin(right, "text", "rtext", k = 1)
+    assert(out.count() == 5)
+    assert(out.columns.contains("_scores"))
+    val m = out.select("id", "rid").as[(Long, Long)].collect().toMap
+    assert(m(1L) == 10L && m(2L) == 10L)
+    assert(m(3L) == 11L && m(4L) == 11L)
+    assert(m(5L) == 12L)
+  }
+
+  test("semClusterBy groups similar texts") {
+    val out = corpus.semClusterBy("text", nClusters = 3)
+    val byId = out.select("id", "cluster_id").as[(Long, Int)].collect().toMap
+    assert(byId(1L) == byId(2L))
+    assert(byId(3L) == byId(4L))
+    assert(byId(1L) != byId(3L))
+  }
+
+  test("semDedup drops one of a near-identical pair") {
+    val withDup = corpus.union(Seq((6L, "machine learning models and neural networks"))
+      .toDF("id", "text"))
+    val out = withDup.semDedup("text", "id", threshold = 0.95)
+    val kept = out.select("id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(6L))
+    assert(kept.size == 5)
+  }
+
+  test("semIndexSave / semLoadIndex round-trips vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
+    corpus.semIndexSave("text", "id", s"$dir/idx")
+    val loaded = corpus.semLoadIndex("text", "id", s"$dir/idx")
+    assert(loaded.columns.contains("__vec_text"))
+    assert(loaded.filter($"__vec_text".isNull).count() == 0)
+  }
+
+  test("semPartitionBy writes _lotus_partition_id") {
+    val out = corpus.semPartitionBy("text", 2)
+    assert(out.columns.contains("_lotus_partition_id"))
+    assert(out.select("_lotus_partition_id").distinct().count() == 2)
+  }
+
+  test("HashingEmbedder is deterministic") {
+    val e = HashingEmbedder(32)
+    assert(e.embedOne("hello world").toSeq == e.embedOne("hello world").toSeq)
+  }
+}

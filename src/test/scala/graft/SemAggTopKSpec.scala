@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Sem
+import graft.llm.{FakeBehavior, FakeLM}
+
+class SemAggTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (0 until 50).map(i =>
+    (i.toLong, if (i % 2 == 0) "g0" else "g1", s"doc-$i word" * (i % 5 + 1))
+  ).toDF("id", "grp", "text")
+
+  test("semAgg global fold equals ordered concat (associativity across rounds)") {
+    // Tiny ctx forces ≥2 fold rounds even for 50 docs.
+    val out = Sem.withLM(FakeLM(FakeBehavior.ConcatDocs("\n"), maxCtxLen = 600)) {
+      docs.semAgg("summarize {text}", orderBy = Seq(col("id")))
+    }
+    val expected = docs.orderBy("id").select("text").as[String].collect().mkString("\n")
+    assert(out.select("_output").as[String].head() == expected)
+    assert(out.count() == 1)
+  }
+
+  test("semAgg group_by folds per group") {
+    val out = Sem.withLM(FakeLM(FakeBehavior.ConcatDocs("\n"), maxCtxLen = 600)) {
+      docs.semAgg("summarize {text}", groupBy = Seq("grp"), orderBy = Seq(col("id")))
+    }
+    assert(out.count() == 2)
+    val g0 = out.filter($"grp" === "g0").select("_output").as[String].head()
+    val exp0 = docs.filter($"grp" === "g0").orderBy("id").select("text").as[String]
+      .collect().mkString("\n")
+    assert(g0 == exp0)
+  }
+
+  test("semAgg allCols serializes every non-group column") {
+    val out = Sem.withLM(FakeLM(FakeBehavior.ConcatDocs("|"))) {
+      Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+        .semAgg("summarize {t}", allCols = true, orderBy = Seq(col("id")))
+    }
+    // allCols → both id and t values are serialized docs
+    assert(out.select("_output").as[String].head() == "1|a|2|b")
+  }
+
+  test("semTopK quick returns exact ranks for a total-order comparator") {
+    val df = (0 until 40).map(i => (i.toLong, s"t$i", (i * 7 % 40).toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Sem.withLM(FakeLM(FakeBehavior.PreferLonger())) {
+      df.semTopK("most substantial {text} given {n_chars} and {doc_id}", k = 5)
+    }
+    val got = out.orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    val exp = (0 until 40).map(i => (i.toLong, (i * 7 % 40).toLong))
+      .sortBy { case (id, n) => (-n, id) }.take(5).map(_._1)
+    assert(got == exp)
+  }
+
+  test("semTopK groupBy ranks within each group") {
+    val df = (0 until 20).map(i => (i.toLong, s"g${i % 2}", s"t$i", i.toLong))
+      .toDF("doc_id", "grp", "text", "n_chars")
+    val out = Sem.withLM(FakeLM(FakeBehavior.PreferLonger())) {
+      df.semTopK("most substantial {text} given {n_chars} and {doc_id}", k = 2,
+        groupBy = Seq("grp"))
+    }
+    val got = out.select("grp", "doc_id", "rank").as[(String, Long, Int)].collect().toSet
+    assert(got == Set(("g0", 18L, 1), ("g0", 16L, 2), ("g1", 19L, 1), ("g1", 17L, 2)))
+  }
+
+  test("semTopK naive matches quick on small input") {
+    val df = (0 until 15).map(i => (i.toLong, s"t$i", (i * 3 % 15).toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val (q, n) = Sem.withLM(FakeLM(FakeBehavior.PreferLonger())) {
+      (df.semTopK("{text} {n_chars} {doc_id}", k = 4, method = "quick"),
+       df.semTopK("{text} {n_chars} {doc_id}", k = 4, method = "naive"))
+    }
+    assert(q.orderBy("rank").select("doc_id").as[Long].collect().toSeq ==
+      n.orderBy("rank").select("doc_id").as[Long].collect().toSeq)
+  }
+}
