@@ -198,6 +198,36 @@ object Queries {
       }
     }),
 
+    "sem_filter_cascade" -> ((s, dir) => {
+      // Helper-model cascade. Thresholds are pinned at (0.9, 0.1): the fake
+      // helper's confidence bands are separated, so the accepted band is
+      // pure and the uncertain middle goes to the exact oracle — the result
+      // equals the exact filter (same oracle SQL as sem_filter_kw). The
+      // learned-threshold path (statistical, not exact) is covered by
+      // CascadeSpec.
+      Sem.withLM(FakeLM(FakeBehavior.KeywordFilter("spark"))) {
+        read(s, dir, "documents")
+          .semFilterCascade("the {text} mentions a certain data engine",
+            helperLm = FakeLM(FakeBehavior.KeywordFilterProb("spark")),
+            args = graft.cascade.CascadeArgs(
+              posThreshold = Some(0.9), negThreshold = Some(0.1)))
+          .orderBy("doc_id")
+      }
+    }),
+
+    "sem_join_cascade" -> ((s, dir) => {
+      // Embedding-proxy join cascade (rows-only check: the proxy routing is
+      // not SQL-expressible; exactness is covered by CascadeSpec).
+      Sem.withLM(FakeLM(FakeBehavior.FieldWordJoin("Text", "Word"))) {
+        val docs = read(s, dir, "documents").filter(col("doc_id") < 40).select("doc_id", "text")
+        val kws = s.createDataFrame(
+          Seq(Tuple1("spark"), Tuple1("join"), Tuple1("filter"), Tuple1("window")))
+          .toDF("word")
+        docs.semJoinCascade(kws, "the {text} mentions the word {word}", "text", "word")
+          .orderBy("doc_id", "word")
+      }
+    }),
+
     // ---------------- embedding / similarity ops --------------------------
     "sem_search_cos" -> ((s, dir) => {
       val e = read(s, dir, "embeddings")
@@ -396,6 +426,11 @@ object Queries {
     "sem_agg_concat" ->
       """SELECT lang, string_agg(text, chr(10) ORDER BY doc_id) AS _output
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "sem_filter_cascade" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY doc_id""".stripMargin,
 
     "sem_topk_quick" ->
       """SELECT doc_id, n_chars, rank FROM (

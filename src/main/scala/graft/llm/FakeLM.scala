@@ -115,6 +115,32 @@ object FakeBehavior {
   final case class Scripted(answers: Seq[String]) extends FakeBehavior {
     def answer(req: LMRequest): String = answers.headOption.getOrElse("")
   }
+
+  /** A behavior that also exposes a positive-token probability (the logprob
+    * signal cascades consume).
+    */
+  trait ProbBehavior extends FakeBehavior {
+    def positiveProb(req: LMRequest): Double
+  }
+
+  /** Imperfect helper model for cascade tests: probability is centered at
+    * `hi` when the keyword matches, `lo` otherwise, with deterministic
+    * content-hash jitter — so some items land in the uncertain middle band
+    * and get routed to the oracle.
+    */
+  final case class KeywordFilterProb(keyword: String, hi: Double = 0.9, lo: Double = 0.1,
+      jitter: Double = 0.5) extends ProbBehavior {
+    private def matches(req: LMRequest): Boolean =
+      req.context.toLowerCase.split("[^\\p{L}\\p{N}_]+").contains(keyword.toLowerCase)
+    def answer(req: LMRequest): String =
+      if (matches(req)) "Answer: True" else "Answer: False"
+    def positiveProb(req: LMRequest): Double = {
+      val h = (scala.util.hashing.MurmurHash3.stringHash(req.context) & 0x7fffffff).toDouble /
+        Int.MaxValue.toDouble
+      val center = if (matches(req)) hi else lo
+      math.min(0.99, math.max(0.01, center + (h - 0.5) * jitter))
+    }
+  }
 }
 
 /** Fake LM: applies one deterministic behavior per request. */
@@ -124,6 +150,8 @@ final case class FakeLM(behavior: FakeBehavior, override val maxBatchSize: Int =
   override def complete(batch: Seq[LMRequest]): Seq[LMResult] = behavior match {
     case FakeBehavior.Scripted(answers) =>
       batch.zipWithIndex.map { case (_, i) => LMResult(answers(i % answers.length)) }
+    case p: FakeBehavior.ProbBehavior =>
+      batch.map(r => LMResult(p.answer(r), Some(p.positiveProb(r))))
     case b => batch.map(r => LMResult(b.answer(r)))
   }
 }

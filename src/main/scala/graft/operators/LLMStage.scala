@@ -35,4 +35,29 @@ object LLMStage {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Like [[appendAnswer]] but also appends the positive-token probability
+    * (logprob-derived) column — the helper-model pass of cascades.
+    */
+  def appendAnswerWithProb(
+      df: DataFrame,
+      lm: LMClient,
+      outCol: String,
+      probCol: String,
+      mkReq: Row => LMRequest
+  ): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(outCol, StringType, nullable = true),
+      org.apache.spark.sql.types.StructField(probCol,
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val batch = lm.maxBatchSize
+    df.mapPartitions { iter =>
+      iter.grouped(batch).flatMap { rows =>
+        val results = lm.complete(rows.map(mkReq))
+        rows.lazyZip(results).map { (r, res) =>
+          Row.fromSeq(r.toSeq ++ Seq(res.output, res.positiveProb.orNull))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -64,10 +64,19 @@ object SemAgg {
     while (!done) {
       val gw = if (groupBy.isEmpty) Window.orderBy(col("__ord"))
                else Window.partitionBy(groupCols: _*).orderBy(col("__ord"))
+      // Token-budget packing, with guaranteed fan-in ≥ 2: when documents are
+      // large relative to the budget (partial summaries can approach it),
+      // size-based packing alone would put one doc per pack and the fold
+      // would stop shrinking — the pairwise bound keeps rounds O(log n).
+      // (A real LM shrinks summaries each level; the bound also covers
+      // summarizers that don't compress.)
       val packed = cur
         .withColumn("__t", length(col("__doc")).cast(LongType) + 64L)
         .withColumn("__cum", sum(col("__t")).over(gw))
-        .withColumn("__pack", floor((col("__cum") - 1) / budget))
+        .withColumn("__rn", row_number().over(gw))
+        .withColumn("__pack", least(
+          floor((col("__cum") - 1) / budget),
+          floor((col("__rn") - 1) / 2)))
         .groupBy(groupCols :+ col("__pack"): _*)
         .agg(sort_array(collect_list(struct(col("__ord"), col("__doc")))).as("__docs"))
 

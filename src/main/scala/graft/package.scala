@@ -75,6 +75,23 @@ package object graft {
     def semPartitionBy(c: String, nPartitions: Int): DataFrame =
       EmbedOps.semPartitionBy(df, c, nPartitions)
 
+    // ---- cascades --------------------------------------------------------
+    /** Filter cascade: helper-model confident bands + oracle middle band,
+      * with statistical recall/precision guarantees. Returns kept rows.
+      */
+    def semFilterCascade(instr: String, helperLm: graft.llm.LMClient,
+        args: graft.cascade.CascadeArgs = graft.cascade.CascadeArgs(),
+        default: Boolean = true): DataFrame =
+      graft.cascade.FilterCascade.semFilterCascade(df, instr, helperLm, args, default)._1
+
+    /** Join cascade: embedding-proxy scores route pairs; only the uncertain
+      * band is LLM-verified. Falls back to the naive theta join below
+      * minJoinCascadeSize.
+      */
+    def semJoinCascade(other: DataFrame, instr: String, leftOn: String, rightOn: String,
+        args: graft.cascade.CascadeArgs = graft.cascade.CascadeArgs()): DataFrame =
+      graft.cascade.JoinCascade.semJoinCascade(df, other, instr, leftOn, rightOn, args)._1
+
     // ---- evals -----------------------------------------------------------
     def llmAsJudge(judgeInstr: String, nTrials: Int = 1,
         suffix: String = "_judge"): DataFrame =

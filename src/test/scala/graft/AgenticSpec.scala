@@ -1,0 +1,157 @@
+package graft
+
+import graft.agentic._
+
+/** Deterministic completers, mirroring the reference's ScriptedCompleter
+  * pattern (tests/test_agentic_map_reduce.py:20-35,119-135).
+  */
+object FakeCompleters {
+
+  /** Parses `[unit <id>]\n<content>` blocks from the last user message. */
+  def parseUnits(user: String): Seq[(String, String)] =
+    "\\[unit ([^\\]]+)\\]\\n([^\\n]*)".r.findAllMatchIn(user)
+      .map(m => (m.group(1), m.group(2))).toSeq
+
+  /** Map agent: uppercases each unit's first line; batched shards get the
+    * per-unit JSON array protocol.
+    */
+  case object UppercaseMapper extends Completer {
+    def complete(messages: Seq[(String, String)], toolsEnabled: Boolean): AgentStep = {
+      val user = messages.reverse.find(_._1 == "user").map(_._2).getOrElse("")
+      val units = parseUnits(user)
+      if (units.length <= 1) AgentStep(units.headOption.map(_._2.toUpperCase).getOrElse(""))
+      else AgentStep(units.map { case (id, c) =>
+        s"""{"id": "$id", "output": "${c.toUpperCase}"}"""
+      }.mkString("[", ", ", "]"))
+    }
+  }
+
+  /** Filter agent: KEEP iff the unit mentions `keyword`. */
+  final case class KeywordKeeper(keyword: String) extends Completer {
+    def complete(messages: Seq[(String, String)], toolsEnabled: Boolean): AgentStep = {
+      val user = messages.reverse.find(_._1 == "user").map(_._2).getOrElse("")
+      val units = parseUnits(user)
+      if (units.length <= 1) {
+        val keep = units.headOption.exists(_._2.contains(keyword))
+        AgentStep(if (keep) "VERDICT: KEEP" else "VERDICT: DROP")
+      } else AgentStep(units.map { case (id, c) =>
+        s"""{"id": "$id", "keep": ${c.contains(keyword)}}"""
+      }.mkString("[", ", ", "]"))
+    }
+  }
+
+  /** Reduce agent: concatenates shard findings with '|'. */
+  case object ConcatReducer extends Completer {
+    def complete(messages: Seq[(String, String)], toolsEnabled: Boolean): AgentStep = {
+      val user = messages.reverse.find(_._1 == "user").map(_._2).getOrElse("")
+      val findings = "\\[shard \\d+\\]\\n([^\\n]*)".r.findAllMatchIn(user).map(_.group(1)).toSeq
+      AgentStep(findings.mkString("|"))
+    }
+  }
+
+  /** Tool-using agent: first turn calls the python REPL, second turn answers
+    * with the tool result it saw.
+    */
+  case object ReplUser extends Completer {
+    def complete(messages: Seq[(String, String)], toolsEnabled: Boolean): AgentStep = {
+      val sawTool = messages.exists(_._1 == "tool")
+      if (!sawTool && toolsEnabled)
+        AgentStep("", Seq(ToolCall("1", "python_repl", """{"code": "print(6*7)"}""")))
+      else {
+        val toolOut = messages.filter(_._1 == "tool").map(_._2).lastOption.getOrElse("")
+        AgentStep(s"The result is ${toolOut.replaceAll("[^0-9]", "")}")
+      }
+    }
+  }
+}
+
+class AgenticSpec extends SparkSpec {
+
+  test("Corpus.fromText assigns sequential ids") {
+    val ds = Corpus.fromText(spark, Seq("alpha", "beta"))
+    assert(ds.collect().map(u => (u.id, u.content)).toSeq ==
+      Seq(("0", "alpha"), ("1", "beta")))
+  }
+
+  test("Corpus.fromDataFrame renders col: value lines") {
+    import spark.implicits._
+    val ds = Corpus.fromDataFrame(Seq((1, "x")).toDF("a", "b"), idCol = Some("a"))
+    val u = ds.collect().head
+    assert(u.id == "1")
+    assert(u.content == "a: 1\nb: x")
+  }
+
+  test("agenticMap per-unit transforms every unit") {
+    val ds = Corpus.fromText(spark, Seq("hello", "world"))
+    val out = Pipeline.agenticMap(ds, "uppercase", FakeCompleters.UppercaseMapper)
+    assert(out.collect().map(_.content).toSet == Set("HELLO", "WORLD"))
+  }
+
+  test("agenticMap batched shards use the per-unit JSON protocol") {
+    val ds = Corpus.fromText(spark, (0 until 6).map(i => s"text$i")).repartition(1)
+    val out = Pipeline.agenticMap(ds, "uppercase", FakeCompleters.UppercaseMapper, shardSize = 3)
+    assert(out.collect().map(_.content).toSet == (0 until 6).map(i => s"TEXT$i").toSet)
+  }
+
+  test("agenticFilter keeps matching units, defaults KEEP on garbage") {
+    val ds = Corpus.fromText(spark, Seq("keep me: spark", "drop me", "spark again"))
+    val out = Pipeline.agenticFilter(ds, "mentions spark", FakeCompleters.KeywordKeeper("spark"))
+    assert(out.collect().map(_.content).toSet == Set("keep me: spark", "spark again"))
+    // Garbage verdicts default to KEEP (never silently drop).
+    assert(Pipeline.parseVerdict("no verdict here"))
+    assert(!Pipeline.parseVerdict("VERDICT: DROP"))
+  }
+
+  test("agenticReduce aggregates all findings in one driver call") {
+    val ds = Corpus.fromText(spark, Seq("a", "b", "c"))
+    val out = Pipeline.agenticReduce(ds, "concat", FakeCompleters.ConcatReducer)
+    assert(out == "a|b|c")
+  }
+
+  test("agent loop executes tools and feeds results back") {
+    val res = AgentLoop.run(FakeCompleters.ReplUser, Seq(PythonReplTool()),
+      "system", "compute 6*7")
+    assert(res.output == "The result is 42")
+    assert(res.trace.nonEmpty && res.trace.head._1 == "python_repl")
+    assert(!res.truncated)
+  }
+
+  test("agent loop forces a final answer at max steps") {
+    // A completer that always wants tools: loop must truncate and force text.
+    val loopy = new Completer {
+      def complete(messages: Seq[(String, String)], toolsEnabled: Boolean): AgentStep =
+        if (toolsEnabled) AgentStep("", Seq(ToolCall("1", "python_repl", """{"code":"print(1)"}""")))
+        else AgentStep("forced final")
+    }
+    val res = AgentLoop.run(loopy, Seq(PythonReplTool()), "s", "u", maxSteps = 2)
+    assert(res.output == "forced final")
+    assert(res.truncated)
+  }
+
+  test("ops algebra: reduce must be terminal") {
+    Ops.validate(Seq("map", "filter", "reduce"))
+    assertThrows[IllegalArgumentException](Ops.validate(Seq("reduce", "map")))
+    assertThrows[IllegalArgumentException](Ops.validate(Seq("explode")))
+  }
+
+  test("planner heuristic fallback fills instructions") {
+    val ds = Corpus.fromText(spark, Seq("x"))
+    val plan = Planner.derivePlan("find bugs", ds, Seq("map", "reduce"), completer = None)
+    assert(plan.instructions("map").contains("find bugs"))
+    assert(plan.instructions("reduce").contains("find bugs"))
+  }
+
+  test("full pipeline: map then reduce") {
+    val ds = Corpus.fromText(spark, Seq("aa", "bb"))
+    val res = Planner.runAgentPipeline(ds, "upper-concat", Seq("map", "reduce"),
+      completer = new Completer {
+        def complete(messages: Seq[(String, String)], toolsEnabled: Boolean): AgentStep = {
+          val user = messages.reverse.find(_._1 == "user").map(_._2).getOrElse("")
+          if (user.contains("PER-SHARD FINDINGS"))
+            FakeCompleters.ConcatReducer.complete(messages, toolsEnabled)
+          else FakeCompleters.UppercaseMapper.complete(messages, toolsEnabled)
+        }
+      })
+    assert(res.output.exists(o => o.contains("AA") && o.contains("BB")))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.cascade.{CascadeArgs, CascadeUtils, FilterCascade}
+import graft.core.Sem
+import graft.llm.{FakeBehavior, FakeLM}
+
+class CascadeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("calibration digitizes into [0,1] quantile bins") {
+    val probs = (1 to 100).map(_ / 100.0)
+    val cal = CascadeUtils.calibrateLlmLogprobs(probs, CascadeArgs())
+    assert(cal.forall(p => p >= 0.0 && p <= 1.0))
+    assert(cal.head < cal.last)
+    // monotone non-decreasing over sorted input
+    assert(cal.lazyZip(cal.tail).forall(_ <= _))
+  }
+
+  test("learned thresholds separate a well-separated proxy") {
+    val scores = Seq.tabulate(100)(i => if (i < 50) 0.9 + (i % 10) / 100.0 else 0.05 + (i % 10) / 100.0)
+    val labels = Seq.tabulate(100)(_ < 50)
+    val corrections = Seq.fill(100)(1.0)
+    val ((tauPos, tauNeg), oracleCalls) =
+      CascadeUtils.learnCascadeThresholds(scores, labels, corrections, CascadeArgs())
+    assert(tauPos > tauNeg)
+    assert(tauPos <= 0.99 && tauPos > 0.15)
+    assert(oracleCalls < 100)
+  }
+
+  test("importance sampling returns sample within range and corrections") {
+    val scores = Seq.tabulate(300)(i => (i % 10) / 10.0)
+    val (idx, corr) = CascadeUtils.importanceSampling(scores, CascadeArgs())
+    assert(idx.nonEmpty && idx.forall(i => i >= 0 && i < 200)) // capped window
+    assert(corr.length == 300)
+  }
+
+  test("semFilterCascade matches the exact filter (helper bands are pure)") {
+    val docs = (0 until 200).map(i =>
+      (i.toLong, if (i % 3 == 0) s"item $i has a delay today" else s"item $i is fine")
+    ).toDF("id", "text")
+    val (result, stats) = Sem.withLM(FakeLM(FakeBehavior.KeywordFilter("delay"))) {
+      FilterCascade.semFilterCascade(docs, "the {text} mentions a delay",
+        helperLm = FakeLM(FakeBehavior.KeywordFilterProb("delay")))
+    }
+    val got = result.select("id").as[Long].collect().toSet
+    val exp = (0 until 200).filter(_ % 3 == 0).map(_.toLong).toSet
+    assert(got == exp)
+    // The cascade must actually save oracle calls.
+    assert(stats.oracleCalls < stats.total)
+    assert(stats.helperAccepted > 0)
+  }
+
+  test("fixed thresholds skip learning") {
+    val docs = (0 until 50).map(i => (i.toLong, if (i % 2 == 0) "a delay" else "fine"))
+      .toDF("id", "text")
+    val (result, stats) = Sem.withLM(FakeLM(FakeBehavior.KeywordFilter("delay"))) {
+      FilterCascade.semFilterCascade(docs, "the {text} mentions a delay",
+        helperLm = FakeLM(FakeBehavior.KeywordFilterProb("delay")),
+        args = CascadeArgs(posThreshold = Some(0.99), negThreshold = Some(0.01)))
+    }
+    assert(stats.tauPos == 0.99)
+    assert(result.count() == 25)
+  }
+}

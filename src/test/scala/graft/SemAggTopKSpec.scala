@@ -41,6 +41,17 @@ class SemAggTopKSpec extends SparkSpec {
     assert(out.select("_output").as[String].head() == "1|a|2|b")
   }
 
+  test("semAgg converges when docs exceed the pack budget (fan-in ≥ 2)") {
+    // Each doc is bigger than the per-pack char budget; without the pairwise
+    // fan-in bound the fold would stall with one doc per pack.
+    val big = (0 until 16).map(i => (i.toLong, s"D$i-" + ("x" * 3000))).toDF("id", "text")
+    val out = Sem.withLM(FakeLM(FakeBehavior.ConcatDocs("\n"), maxCtxLen = 600)) {
+      big.semAgg("summarize {text}", orderBy = Seq(col("id")))
+    }
+    val expected = big.orderBy("id").select("text").as[String].collect().mkString("\n")
+    assert(out.select("_output").as[String].head() == expected)
+  }
+
   test("semTopK quick returns exact ranks for a total-order comparator") {
     val df = (0 until 40).map(i => (i.toLong, s"t$i", (i * 7 % 40).toLong))
       .toDF("doc_id", "text", "n_chars")
