@@ -1,0 +1,133 @@
+package graft.connectors
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Data connectors (reference lotus/data_connectors/connectors.py:11-87):
+  * SQL databases via JDBC and object-store/file loads by format. Thin,
+  * typed wrappers over Spark's native readers — credentials and parallelism
+  * (partitionColumn bounds for JDBC) are first-class because at scale a
+  * single-threaded JDBC read is a bottleneck.
+  */
+object DataConnectors {
+
+  /** `load_from_db`: JDBC query → DataFrame. `partitionOn` enables parallel
+    * reads (numPartitions range-partitioned on the column).
+    */
+  def loadFromDb(
+      spark: SparkSession,
+      url: String,
+      query: String,
+      user: String = "",
+      password: String = "",
+      partitionOn: Option[(String, Long, Long, Int)] = None
+  ): DataFrame = {
+    var r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("query", query)
+    if (user.nonEmpty) r = r.option("user", user).option("password", password)
+    partitionOn.foreach { case (colName, lower, upper, n) =>
+      r = r.option("partitionColumn", colName)
+        .option("lowerBound", lower).option("upperBound", upper)
+        .option("numPartitions", n)
+    }
+    r.load()
+  }
+
+  /** `load_from_s3` (and any hadoop-fs path): format-dispatched load.
+    * Credentials go through hadoop configuration, not per-call options, so
+    * they apply cluster-wide.
+    */
+  def loadPath(spark: SparkSession, path: String, format: String = "",
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val fmt = if (format.nonEmpty) format else path.split('.').lastOption.getOrElse("parquet")
+    val reader = spark.read.options(options)
+    fmt match {
+      case "csv"            => reader.option("header", "true").option("inferSchema", "true").csv(path)
+      case "tsv"            => reader.option("header", "true").option("sep", "\t").csv(path)
+      case "json" | "jsonl" => reader.json(path)
+      case "parquet"        => reader.parquet(path)
+      case "orc"            => reader.orc(path)
+      case "txt" | "text"   => reader.text(path)
+      case other            => reader.format(other).load(path)
+    }
+  }
+
+  def configureS3(spark: SparkSession, accessKey: String, secretKey: String,
+      endpoint: String = ""): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.access.key", accessKey)
+    conf.set("fs.s3a.secret.key", secretKey)
+    if (endpoint.nonEmpty) conf.set("fs.s3a.endpoint", endpoint)
+  }
+}
+
+/** Directory reader (reference lotus/file_extractors/directory_reader.py):
+  * files/dirs → DataFrame of extracted pages. Text-bearing formats are
+  * extracted inline; binary document formats (pdf/pptx/docx) go through a
+  * pluggable per-extension extractor so a deployment can drop in pdfbox/poi
+  * on the executor classpath. Extraction runs distributed over
+  * `binaryFile` rows — never on the driver.
+  */
+object DirectoryReaderLite {
+
+  type Extractor = Array[Byte] => Seq[String] // bytes → pages
+
+  private val textExts = Set("txt", "md", "csv", "json", "html", "xml", "log")
+
+  def defaultExtractors: Map[String, Extractor] = Map(
+    // STUB for binary formats: a real deployment registers pdfbox/poi here.
+    "pdf" -> (bytes => Seq(s"[pdf ${bytes.length} bytes: extractor not installed]")),
+    "pptx" -> (bytes => Seq(s"[pptx ${bytes.length} bytes: extractor not installed]"))
+  )
+
+  /** Read a path glob into (path, page_idx, content) rows. */
+  def toDf(spark: SparkSession, pathGlob: String,
+      extractors: Map[String, Extractor] = defaultExtractors): DataFrame = {
+    import spark.implicits._
+    val ex = extractors
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val ext = path.split('.').lastOption.getOrElse("").toLowerCase
+        val pages =
+          if (textExts(ext)) Seq(new String(bytes, "UTF-8"))
+          else ex.get(ext).map(_(bytes)).getOrElse(Seq(new String(bytes, "UTF-8")))
+        pages.zipWithIndex.map { case (p, i) => (path, i, p) }
+      }
+      .toDF("path", "page", "content")
+  }
+}
+
+/** Web search connector surface (reference lotus/web_search.py:603-654):
+  * engine-dispatched search → DataFrame with per-engine default columns.
+  * Engines are driver-side HTTP calls; this environment is zero-egress, so
+  * the only built-in engine is a deterministic local one for tests — the
+  * dispatch and schema contract are the reusable part.
+  */
+object WebSearch {
+
+  trait SearchEngine {
+    def name: String
+    /** Returns (title, url, snippet) triples. */
+    def search(query: String, k: Int): Seq[(String, String, String)]
+  }
+
+  /** Deterministic offline engine over a provided corpus (word-overlap rank). */
+  final case class LocalCorpusEngine(corpus: Seq[(String, String)]) extends SearchEngine {
+    override def name: String = "local"
+    override def search(query: String, k: Int): Seq[(String, String, String)] = {
+      val qw = query.toLowerCase.split("\\s+").toSet
+      corpus.map { case (title, body) =>
+        val overlap = body.toLowerCase.split("\\s+").count(qw.contains)
+        (overlap, title, body)
+      }.sortBy(t => (-t._1, t._2)).take(k)
+        .map { case (_, t, b) => (t, s"local://$t", b.take(200)) }
+    }
+  }
+
+  def search(spark: SparkSession, engine: SearchEngine, query: String, k: Int): DataFrame = {
+    import spark.implicits._
+    engine.search(query, k).toDF("title", "url", "snippet")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Dot product of two numeric arrays as a native Catalyst expression with
+  * whole-stage codegen. The built-in composition
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` allocates an intermediate
+  * array per row and runs the lambda interpreter — on an N²-pair similarity
+  * scan that allocation dominates. This expression is a tight primitive loop
+  * over the ArrayData buffers (the preference order the engine follows:
+  * native Expression > higher-order functions > UDF).
+  */
+case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"array_dot requires numeric arrays, got ${left.dataType} and ${right.dataType}")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def accessorName(t: DataType): String = t match {
+    case FloatType => "getFloat"
+    case DoubleType => "getDouble"
+    case IntegerType => "getInt"
+    case LongType => "getLong"
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val (tx, ty) = (elemType(left), elemType(right))
+    var acc = 0.0
+    var i = 0
+    def get(ad: ArrayData, t: DataType, j: Int): Double = t match {
+      case FloatType => ad.getFloat(j).toDouble
+      case DoubleType => ad.getDouble(j)
+      case IntegerType => ad.getInt(j).toDouble
+      case LongType => ad.getLong(j).toDouble
+      case _ => 0.0
+    }
+    while (i < n) { acc += get(x, tx, i) * get(y, ty, i); i += 1 }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val accA = accessorName(elemType(left))
+    val accB = accessorName(elemType(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double)$a.$accA($i) * (double)$b.$accB($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    nullSafeEval(a, b)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  import org.apache.spark.sql.graft.ColumnBridge
+  /** Column wrapper: dot product of two numeric array columns (codegen'd). */
+  def arrayDot(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -58,16 +58,33 @@ object Dedup {
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
       shingleLen: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = df.select(col(idCol).cast("long").as("id"),
-        shingles(col(textCol), shingleLen).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("bk", explode(bandKeys(col("sig"), bands, rowsPerBand)))
-      .select(col("id"), col("sh"), col("bk"))
-    val a = sh.toDF("id1", "sh1", "bk1")
-    val b = sh.toDF("id2", "sh2", "bk2")
-    a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
+    // Signature via explode + one grouped aggregation pass (64 codegen'd
+    // min() aggregates with map-side partials) instead of 64 array
+    // traversals per document — the layout that scales to wide corpora.
+    val exploded = df.select(col(idCol).cast("long").as("id"),
+        explode(shingles(col(textCol), shingleLen)).as("s"))
+      // Pre-hash each shingle string ONCE; the 64 family members then mix
+      // the 8-byte hash (cheap) instead of re-hashing the string 64×.
+      .withColumn("sh64", xxhash64(col("s")))
+    val minAggs = (0 until numHashes).map(seed =>
+      min(xxhash64(col("sh64"), lit(seed))).as(s"h$seed"))
+    val sig = exploded.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+    val bandKeyCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)).as("key"))
+    }
+    val bucketed = sig.select(col("id"), explode(array(bandKeyCols: _*)).as("bk"))
+    val shingleSets = df.select(col(idCol).cast("long").as("id"),
+      shingles(col(textCol), shingleLen).as("sh")).localCheckpoint()
+    val a = bucketed.toDF("id1", "bk1")
+    val b = bucketed.toDF("id2", "bk2")
+    val candidates = a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    candidates
+      .join(shingleSets.toDF("id1", "sh1"), "id1")
+      .join(shingleSets.toDF("id2", "sh2"), "id2")
       .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
-      .dropDuplicates("id1", "id2")
       .filter(col("jaccard") >= threshold)
   }
 
@@ -91,9 +108,23 @@ object Dedup {
     * pair within hamming distance 3 shares ≥1 chunk), verify hamming ≤ maxDist.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
-    val h = df.select(col(idCol).cast("long").as("id"), simhash64(col(textCol)).as("h"))
+    // SimHash via explode + one grouped pass: per token a single xxhash64,
+    // per bit a codegen'd conditional-sum aggregate; bits are assembled from
+    // the 64 aggregate results. Avoids 64 re-traversals of the token array.
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
+      .withColumn("th", xxhash64(col("t")))
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(0)).as(s"b$b")) :+
+      count(lit(1)).as("n")
+    val agg = toks.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+    val hash = (0 until 64).map { b =>
+      when(col(s"b$b") * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    val h = agg.select(col("id"), hash.as("h"))
       .withColumn("chunk", explode(array((0 until 4).map(i =>
         struct(lit(i).as("i"), shiftright(col("h"), i * 16).bitwiseAND(0xFFFFL).as("v"))): _*)))
+      .localCheckpoint()
     val a = h.toDF("id1", "h1", "c1")
     val b = h.toDF("id2", "h2", "c2")
     a.join(b, col("c1") === col("c2") && col("id1") < col("id2"))

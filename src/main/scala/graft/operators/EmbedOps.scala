@@ -22,21 +22,20 @@ object EmbedOps {
 
   def vecCol(c: String): String = s"__vec_$c"
 
-  /** Cosine similarity between two array<float/double> columns, natively
-    * (zip_with + aggregate → whole-stage codegen, no UDF).
+  /** Cosine similarity between two numeric array columns, via the codegen'd
+    * [[graft.functions.ArrayDotProduct]] primitive — no intermediate arrays,
+    * no lambda interpretation (the higher-order-function composition
+    * allocates per row, which dominates N²-pair similarity scans).
     */
   def cosineSim(a: Column, b: Column): Column = {
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
+    val dot = graft.functions.VectorExprs.arrayDot(a, b)
+    val na = sqrt(graft.functions.VectorExprs.arrayDot(a, a))
+    val nb = sqrt(graft.functions.VectorExprs.arrayDot(b, b))
     dot / (na * nb)
   }
 
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
-      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.arrayDot(a, b)
 
   /** sem_index: append an embedding column for `c`, batched per partition. */
   def semIndex(df: DataFrame, c: String, embedder: Embedder = null): DataFrame = {
@@ -74,15 +73,29 @@ object EmbedOps {
     * heaps, no full sort — the scalable exact layout).
     */
   def semSearch(df: DataFrame, c: String, query: String, k: Int,
-      scoreCol: String = "vec_scores", tieBreak: Seq[Column] = Nil): DataFrame = {
+      scoreCol: String = "vec_scores", tieBreak: Seq[Column] = Nil,
+      nRerank: Int = 0, reranker: graft.embed.Reranker = graft.embed.LexicalReranker()): DataFrame = {
     val emb = Sem.settings.embedder
     val qv = emb.embedOne(query).toIndexedSeq
     val indexed = semIndex(df, c)
     val score = cosineSim(col(vecCol(c)), lit(qv))
-    indexed.withColumn(scoreCol, score)
+    val top = indexed.withColumn(scoreCol, score)
       .orderBy(col(scoreCol).desc +: tieBreak: _*)
       .limit(k)
       .drop(vecCol(c))
+    if (nRerank <= 0) top
+    else {
+      // Cross-encoder rerank of the ≤k retrieved rows (bounded, like the
+      // reference's n_rerank path, sem_search.py:148-155).
+      val spark = df.sparkSession
+      val rows = top.collect()
+      val idx = top.schema.fieldIndex(c)
+      val order = reranker.rerank(query, rows.map(r => String.valueOf(r.get(idx))).toIndexedSeq,
+        math.min(nRerank, rows.length))
+      val picked = order.map(rows(_))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(picked.toSeq), top.schema)
+    }
   }
 
   /** sem_sim_join: for each left row, the k nearest right rows by cosine on
@@ -110,6 +123,53 @@ object EmbedOps {
   }
 
   private def uuidCol(): String = "__simjoin_lid"
+
+  /** Random-hyperplane LSH band keys for a vector column: sign bits of
+    * projections onto seeded pseudo-random planes, packed per band. Two
+    * vectors with high cosine share a band key with high probability — the
+    * candidate-generation kernel of the large×large ANN path.
+    */
+  def lshBandKeys(vec: Column, dim: Int, nBits: Int = 16, bands: Int = 4,
+      seed: Long = 42): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
+    val bits = planes.map { p =>
+      when(dotProduct(vec, lit(p)) > 0, 1L).otherwise(0L)
+    }
+    val perBand = nBits / bands
+    array((0 until bands).map { b =>
+      val key = (0 until perBand).map(i => bits(b * perBand + i) * (1L << i))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }: _*)
+  }
+
+  /** Approximate k-NN join for large×large inputs: LSH band-bucket join
+    * generates candidates (shuffle on band keys — never the cross product),
+    * exact cosine verifies, window rank keeps k per left row. Trade recall
+    * for scale with nBits/bands; the exact [[semSimJoin]] broadcast path
+    * remains the choice when one side is small.
+    */
+  def semSimJoinLSH(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String,
+      k: Int, dim: Int = 64, nBits: Int = 16, bands: Int = 4,
+      scoreCol: String = "_scores"): DataFrame = {
+    val overlap = left.columns.toSet & right.columns.toSet
+    val l2 = overlap.foldLeft(semIndex(left, leftOn))((d, x) => d.withColumnRenamed(x, s"$x:left"))
+    val r2 = overlap.foldLeft(semIndex(right, rightOn))((d, x) => d.withColumnRenamed(x, s"$x:right"))
+    val lKey = uuidCol()
+    val lv = vecCol(leftOn)
+    val rv = vecCol(rightOn)
+    val lb = l2.withColumn(lKey, monotonically_increasing_id())
+      .withColumn("__bk", explode(lshBandKeys(col(lv), dim, nBits, bands)))
+    val rb = r2.withColumn("__bk", explode(lshBandKeys(col(rv), dim, nBits, bands)))
+    val joined = lb.join(rb, "__bk")
+      .dropDuplicates(lKey, r2.columns.filter(c => c != rv && c != "__bk"): _*)
+      .withColumn(scoreCol, cosineSim(col(lv), col(rv)))
+    val w = Window.partitionBy(col(lKey)).orderBy(col(scoreCol).desc)
+    joined.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .drop("__rnk", "__bk", lKey, lv, rv)
+  }
 
   /** sem_cluster_by: KMeans over the column's embeddings (MLlib), appending
     * `cluster_id` (reference sem_cluster_by.py:57-86 uses faiss.Kmeans).
