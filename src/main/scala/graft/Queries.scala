@@ -263,6 +263,19 @@ object Queries {
         .select(col("id1"), col("id2"), round(col("raw"), 3).as("score"))
     }),
 
+    "sem_sim_join_lsh" -> ((s, dir) => {
+      // Approximate k-NN join via random-hyperplane LSH bucketing — the
+      // large×large scale path (rows-only: LSH bucketing is seeded-random,
+      // deterministic in Spark but not SQL-expressible; exactness of the
+      // candidate-verify kernel is covered by PlanConnectorsSpec).
+      val docs = read(s, dir, "documents")
+      val l = docs.filter(col("doc_id") < 50).select(col("doc_id").as("lid"), col("text").as("ltext"))
+      val r = docs.select(col("doc_id").as("rid"), col("text").as("rtext"))
+      EmbedOps.semSimJoinLSH(l, r, "ltext", "rtext", k = 2)
+        .select(col("lid"), col("rid"), round(col("_scores"), 3).as("score"))
+        .orderBy("lid", "rid")
+    }),
+
     "sem_cluster" -> ((s, dir) => {
       // KMeans assignment is seed-deterministic within Spark but not
       // SQL-expressible → rows-only check (no oracle entry).

@@ -24,7 +24,10 @@ final case class SemSettings(
     serializationFormat: SerializationFormat = SerializationFormat.Default,
     /** Below this row count, driver-coordinated algorithms (topk, agg fold)
       * may collect and run locally instead of launching per-round jobs. */
-    localExecutionThreshold: Int = 200000
+    localExecutionThreshold: Int = 200000,
+    /** Oversized-document handling for per-row LLM ops (reference TRUNCATE
+      * default; CHUNK via [[LongContext.chunkColumn]] as a pre-op). */
+    longContextStrategy: LongContextStrategy = LongContextStrategy.Truncate
 ) extends Serializable
 
 object Sem {

@@ -73,8 +73,14 @@ final case class OpenAICompatLM(
     override val maxBatchSize: Int = 64,
     override val maxTokens: Int = 512,
     timeoutSec: Int = 120,
-    maxRetries: Int = 3
+    maxRetries: Int = 3,
+    /** Per-executor rate budget (driver computes global/numExecutors via
+      * [[RateGovernor.perExecutor]]); 0 disables. */
+    rpmLimit: Int = 0,
+    tpmLimit: Int = 0
 ) extends LMClient {
+
+  @transient private lazy val governor = new RateGovernor(rpmLimit, tpmLimit)
 
   @transient private lazy val http: java.net.http.HttpClient =
     java.net.http.HttpClient.newBuilder()
@@ -103,6 +109,7 @@ final case class OpenAICompatLM(
   }
 
   private def callOne(req: LMRequest): LMResult = {
+    governor.acquire(req.messages.map(m => countTokens(m.content)).sum + maxTokens)
     val body = toJson(req)
     var attempt = 0
     var lastErr: Throwable = null

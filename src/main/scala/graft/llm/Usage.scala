@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.LongAccumulator
+
+/** Cluster-wide LLM usage accounting (reference lotus/models/lm.py:497-529
+  * tracks usage in-process; on Spark the counters must be accumulators so
+  * executor-side calls aggregate on the driver).
+  */
+final class UsageStats(
+    val calls: LongAccumulator,
+    val requests: LongAccumulator,
+    val promptChars: LongAccumulator,
+    val outputChars: LongAccumulator) extends Serializable {
+
+  def record(batch: Seq[LMRequest], results: Seq[LMResult]): Unit = {
+    calls.add(1L)
+    requests.add(batch.length.toLong)
+    batch.foreach(r => promptChars.add(r.messages.map(_.content.length.toLong).sum))
+    results.foreach(r => outputChars.add(r.output.length.toLong))
+  }
+
+  /** ≈tokens at 4 chars/token, the engine-wide estimate. */
+  def report: String =
+    s"llm batches=${calls.value} requests=${requests.value} " +
+      s"prompt_tokens≈${promptChars.value / 4} output_tokens≈${outputChars.value / 4}"
+}
+
+object UsageTracker {
+  @volatile private var current: Option[UsageStats] = None
+
+  /** Create (once per session) and return the active stats. */
+  def forSession(spark: SparkSession): UsageStats = synchronized {
+    current.getOrElse {
+      val sc = spark.sparkContext
+      val s = new UsageStats(
+        sc.longAccumulator("graft.llm.batches"),
+        sc.longAccumulator("graft.llm.requests"),
+        sc.longAccumulator("graft.llm.promptChars"),
+        sc.longAccumulator("graft.llm.outputChars"))
+      current = Some(s)
+      s
+    }
+  }
+
+  def get: Option[UsageStats] = current
+  def reset(): Unit = synchronized { current = None }
+}
+
+/** Executor-local rate governor (reference lm.py:304-436 is single-process;
+  * cluster-aware limiting divides the global budget by the number of
+  * concurrently running executors — the driver computes per-executor RPM/TPM
+  * when building the LMClient and each executor JVM enforces its share with
+  * a token bucket).
+  */
+final class RateGovernor(rpm: Int, tpm: Int) extends Serializable {
+  @transient private lazy val lock = new Object
+  @transient private var windowStart = 0L
+  @transient private var reqCount = 0
+  @transient private var tokCount = 0L
+
+  /** Block until a request of `tokens` estimated tokens may proceed. */
+  def acquire(tokens: Int): Unit = {
+    if (rpm <= 0 && tpm <= 0) return
+    lock.synchronized {
+      var done = false
+      while (!done) {
+        val now = System.currentTimeMillis()
+        if (now - windowStart >= 60000L) { windowStart = now; reqCount = 0; tokCount = 0L }
+        val rpmOk = rpm <= 0 || reqCount < rpm
+        // 5% headroom, as the reference's TPM limiter keeps (lm.py:351-436)
+        val tpmOk = tpm <= 0 || tokCount + tokens <= (tpm * 0.95).toLong
+        if (rpmOk && tpmOk) {
+          reqCount += 1; tokCount += tokens; done = true
+        } else {
+          val sleepMs = math.max(50L, 60000L - (now - windowStart))
+          lock.wait(math.min(sleepMs, 1000L))
+        }
+      }
+    }
+  }
+}
+
+object RateGovernor {
+  /** Per-executor share of a global budget. */
+  def perExecutor(globalRpm: Int, globalTpm: Int, numExecutors: Int): RateGovernor =
+    new RateGovernor(
+      if (globalRpm <= 0) 0 else math.max(1, globalRpm / math.max(1, numExecutors)),
+      if (globalTpm <= 0) 0 else math.max(1, globalTpm / math.max(1, numExecutors)))
+}

@@ -28,9 +28,12 @@ object LLMStage {
     val outSchema = StructType(df.schema.fields :+
       org.apache.spark.sql.types.StructField(outCol, StringType, nullable = true))
     val batch = lm.maxBatchSize
+    val stats = graft.llm.UsageTracker.forSession(df.sparkSession)
     df.mapPartitions { iter =>
       iter.grouped(batch).flatMap { rows =>
-        val results = lm.complete(rows.map(mkReq))
+        val reqs = rows.map(mkReq)
+        val results = lm.complete(reqs)
+        stats.record(reqs, results)
         rows.lazyZip(results).map { (r, res) => Row.fromSeq(r.toSeq :+ res.output) }
       }
     }(Encoders.row(outSchema))

@@ -20,6 +20,22 @@ object SemCore {
     row => Serialize.row(fmt, colArr, idx.map(i => row.get(i)).toIndexedSeq)
   }
 
+  /** Serializer with the session's long-context policy applied: docs that
+    * exceed the LM's usable context are truncated (reference TRUNCATE
+    * strategy; CHUNK is a pre-op via [[graft.core.LongContext.chunkColumn]]).
+    */
+  def serializeDocBudgeted(schema: StructType, cols: Seq[String], fmt: SerializationFormat,
+      lm: graft.llm.LMClient,
+      strategy: graft.core.LongContextStrategy): Row => String = {
+    val base = serializeDoc(schema, cols, fmt)
+    strategy match {
+      case graft.core.LongContextStrategy.Truncate =>
+        val budget = math.max(1000, (lm.maxCtxLen - lm.maxTokens) * 4 - 2000)
+        row => graft.core.LongContext.truncate(base(row), budget)
+      case _ => base
+    }
+  }
+
   /** Extract the text after the first `Answer:` tag; whole (trimmed) output
     * when the tag is absent.
     */

@@ -32,7 +32,7 @@ object SemRowOps {
     val s = Sem.settings
     val nle = NLExpr.parse(instr)
     nle.validate(df.columns.toIndexedSeq)
-    val ser = serializeDoc(df.schema, nle.cols, s.serializationFormat)
+    val ser = serializeDocBudgeted(df.schema, nle.cols, s.serializationFormat, s.lm, s.longContextStrategy)
     val instruction = nle.instruction
     val (exs, strat, sys) = (examples, strategy, systemPrompt)
     val out = LLMStage.appendAnswer(df, s.lm, RawCol,
@@ -62,7 +62,7 @@ object SemRowOps {
     val s = Sem.settings
     val nle = NLExpr.parse(instr)
     nle.validate(df.columns.toIndexedSeq)
-    val ser = serializeDoc(df.schema, nle.cols, s.serializationFormat)
+    val ser = serializeDocBudgeted(df.schema, nle.cols, s.serializationFormat, s.lm, s.longContextStrategy)
     val instruction = nle.instruction
     val (exs, strat, sys, toks) = (examples, strategy, systemPrompt, outputTokens)
     val out = LLMStage.appendAnswer(df, s.lm, RawCol,
@@ -85,7 +85,7 @@ object SemRowOps {
   ): DataFrame = {
     val s = Sem.settings
     inputCols.foreach(c => require(df.columns.contains(c), s"Column $c not found"))
-    val ser = serializeDoc(df.schema, inputCols, s.serializationFormat)
+    val ser = serializeDocBudgeted(df.schema, inputCols, s.serializationFormat, s.lm, s.longContextStrategy)
     val (ocs, quotes, strat) = (outputCols, extractQuotes, strategy)
     val out = LLMStage.appendAnswer(df, s.lm, RawCol,
       row => LMRequest(Prompts.extractFormatter(ser(row), ocs, quotes, strat)))

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{LongContext, Sem}
+import graft.llm.{FakeBehavior, FakeLM, UsageTracker}
+
+class LongContextUsageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkColumn splits and restoreChunks reassembles") {
+    val df = Seq((1L, "abcdefghij"), (2L, "xy")).toDF("id", "text")
+    val chunked = LongContext.chunkColumn(df, "text", chunkChars = 4)
+    assert(chunked.filter($"id" === 1).count() == 3)
+    assert(chunked.filter($"id" === 2).count() == 1)
+    val restored = LongContext.restoreChunks(chunked, "text", Seq("id"))
+    val m = restored.as[(Long, String)].collect().toMap
+    assert(m(1L) == "abcdefghij" && m(2L) == "xy")
+  }
+
+  test("oversized docs are truncated for per-row LLM ops") {
+    val long = "x" * 5000
+    val df = Seq((1L, long)).toDF("id", "text")
+    // ctx 600 − maxTokens 512 → floor budget 1000 chars
+    val out = Sem.withLM(FakeLM(FakeBehavior.Echo, maxCtxLen = 600)) {
+      df.semMap("echo {text}")
+    }
+    val echoed = out.select("_map").as[String].head()
+    assert(echoed.length == 1000)
+  }
+
+  test("usage accumulators track batches, requests and sizes") {
+    UsageTracker.reset()
+    val df = (0 until 10).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    Sem.withLM(FakeLM(FakeBehavior.KeywordFilter("doc"), maxBatchSize = 4)) {
+      df.semFilter("the {text} is a doc").count()
+    }
+    val stats = UsageTracker.get.get
+    assert(stats.requests.value == 10)
+    assert(stats.calls.value >= 3) // 10 rows in batches of ≤4
+    assert(stats.promptChars.value > 0 && stats.outputChars.value > 0)
+  }
+}
