@@ -75,7 +75,38 @@ object SemTopK {
       withId.schema, nle.cols, s.serializationFormat)
 
     method match {
-      case "quick" | "heap" =>
+      case "heap" =>
+        // Distributed selection: each partition quickselects its local top-k
+        // with batched comparisons (executor-side LLM calls), then the
+        // driver merges the ≤ partitions×k candidates with one more
+        // quickselect. Scales to inputs the quick method cannot collect;
+        // requires the comparator to be transitive-enough, the same caveat
+        // as the reference's heap method (sem_topk.py:560-621).
+        val idIdx = withId.schema.fieldIndex("__tk_id")
+        val serLocal = ser
+        val lmLocal = lm
+        val instrLocal = instruction
+        val kLocal = k
+        require(groupBy.isEmpty, "heap method: use groupBy with method=quick")
+        val candidates = withId.mapPartitions { it =>
+          val items = it.map(r => (r.getAs[Long]("__tk_id"), serLocal(r))).toVector
+          if (items.isEmpty) Iterator.empty
+          else quickTopK(lmLocal, items, kLocal, instrLocal, new scala.util.Random(42)).iterator
+        }(org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING))
+          .collect().toVector
+        val top = quickTopK(lm, candidates, k, instruction, new scala.util.Random(42))
+        val spark = df.sparkSession
+        import spark.implicits._
+        val rankDf = top.zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
+          .toDF("__tk_id", rankCol)
+        val res = withId.join(broadcast(rankDf), "__tk_id")
+          .orderBy(col(rankCol))
+          .drop("__tk_id")
+        withId.unpersist()
+        res
+
+      case "quick" =>
         val idIdx = withId.schema.fieldIndex("__tk_id")
         val collected = withId.collect() // guarded: top-k inputs are small post-filter
         require(collected.length <= s.localExecutionThreshold,

@@ -75,6 +75,17 @@ class SemAggTopKSpec extends SparkSpec {
     assert(got == Set(("g0", 18L, 1), ("g0", 16L, 2), ("g1", 19L, 1), ("g1", 17L, 2)))
   }
 
+  test("semTopK heap (distributed selection) matches quick") {
+    val df = (0 until 60).map(i => (i.toLong, s"t$i", (i * 13 % 60).toLong))
+      .toDF("doc_id", "text", "n_chars").repartition(4)
+    val (q, h) = Sem.withLM(FakeLM(FakeBehavior.PreferLonger())) {
+      (df.semTopK("{text} {n_chars} {doc_id}", k = 5, method = "quick"),
+       df.semTopK("{text} {n_chars} {doc_id}", k = 5, method = "heap"))
+    }
+    assert(h.orderBy("rank").select("doc_id").as[Long].collect().toSeq ==
+      q.orderBy("rank").select("doc_id").as[Long].collect().toSeq)
+  }
+
   test("semTopK naive matches quick on small input") {
     val df = (0 until 15).map(i => (i.toLong, s"t$i", (i * 3 % 15).toLong))
       .toDF("doc_id", "text", "n_chars")
