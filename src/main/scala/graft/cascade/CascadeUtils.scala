@@ -12,7 +12,12 @@ final case class CascadeArgs(
     cascadeISMaxSampleRange: Int = 200,
     cascadeISRandomSeed: Option[Long] = Some(42L),
     posThreshold: Option[Double] = None,
-    negThreshold: Option[Double] = None) extends Serializable
+    negThreshold: Option[Double] = None,
+    /** Left-side map instruction enabling the map-search-filter join plan
+      * (reference map_instruction in CascadeArgs). */
+    mapInstruction: Option[String] = None,
+    /** Force "search_filter" or "map_search_filter"; None = cost-choose. */
+    joinCascadeStrategy: Option[String] = None) extends Serializable
 
 /** Driver-side cascade math, a faithful port of the reference's
   * statistically-guaranteed threshold learning

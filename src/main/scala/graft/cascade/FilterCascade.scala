@@ -129,6 +129,34 @@ object FilterCascade {
   */
 object JoinCascade {
 
+  /** Build the scored pair frame for one candidate plan. `mapFirst` applies
+    * `args.mapInstruction` to the left column before embedding — the
+    * map-search-filter plan's proxy (reference sem_join.py:424-544).
+    */
+  private def scoredPairs(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String,
+      mapFirst: Option[String]): (DataFrame, String => Boolean) = {
+    import graft.operators.EmbedOps
+    val (lEff, lProxyCol) = mapFirst match {
+      case Some(mi) =>
+        val mapped = graft.operators.SemRowOps.semMap(left, mi, suffix = "__mapped")
+        (mapped, "__mapped")
+      case None => (left, leftOn)
+    }
+    val overlap = lEff.columns.toSet & right.columns.toSet
+    val l2 = overlap.foldLeft(EmbedOps.semIndex(lEff, lProxyCol))((d, c) => d.withColumnRenamed(c, s"$c:left"))
+    val r2 = overlap.foldLeft(EmbedOps.semIndex(right, rightOn))((d, c) => d.withColumnRenamed(c, s"$c:right"))
+    val lv = EmbedOps.vecCol(lProxyCol)
+    val rv = EmbedOps.vecCol(rightOn)
+    val crossed = l2.crossJoin(broadcast(r2))
+      .withColumn("__cid", monotonically_increasing_id())
+      // calibrate_sem_sim_join: clip scores into [0,1]
+      .withColumn("__pc", least(lit(1.0), greatest(lit(0.0),
+        EmbedOps.cosineSim(col(lv), col(rv)))))
+      .drop(lv, rv, "__mapped")
+      .localCheckpoint()
+    (crossed, l2.columns.contains _)
+  }
+
   def semJoinCascade(
       left: DataFrame,
       right: DataFrame,
@@ -142,32 +170,36 @@ object JoinCascade {
     if (pairCount < args.minJoinCascadeSize)
       return (graft.operators.SemRowOps.semJoin(left, right, instr), None)
 
-    import graft.operators.EmbedOps
-    val overlap = left.columns.toSet & right.columns.toSet
-    val l2 = overlap.foldLeft(EmbedOps.semIndex(left, leftOn))((d, c) => d.withColumnRenamed(c, s"$c:left"))
-    val r2 = overlap.foldLeft(EmbedOps.semIndex(right, rightOn))((d, c) => d.withColumnRenamed(c, s"$c:right"))
-    val lv = EmbedOps.vecCol(leftOn)
-    val rv = EmbedOps.vecCol(rightOn)
-    val crossed = l2.crossJoin(broadcast(r2))
-      .withColumn("__cid", monotonically_increasing_id())
-      // calibrate_sem_sim_join: clip scores into [0,1]
-      .withColumn("__pc", least(lit(1.0), greatest(lit(0.0),
-        EmbedOps.cosineSim(col(lv), col(rv)))))
-      .drop(lv, rv)
-      .localCheckpoint()
+    def mkReqFor(crossed: DataFrame, isLeftCol: String => Boolean): Row => LMRequest = {
+      val nle = NLExpr.parse(instr)
+      nle.validate(crossed.columns.toIndexedSeq)
+      val leftCols = nle.cols.filter(isLeftCol)
+      val rightCols = nle.cols.filterNot(isLeftCol)
+      val serL = SemCore.serializeDoc(crossed.schema, leftCols, s.serializationFormat)
+      val serR = SemCore.serializeDoc(crossed.schema, rightCols, s.serializationFormat)
+      val instruction = nle.instruction
+      row => LMRequest(Prompts.filterFormatter(serL(row) + "\n" + serR(row), instruction))
+    }
 
-    val nle = NLExpr.parse(instr)
-    nle.validate(crossed.columns.toIndexedSeq)
-    val leftCols = nle.cols.filter(l2.columns.contains)
-    val rightCols = nle.cols.filter(r2.columns.contains)
-    val serL = SemCore.serializeDoc(crossed.schema, leftCols, s.serializationFormat)
-    val serR = SemCore.serializeDoc(crossed.schema, rightCols, s.serializationFormat)
-    val instruction = nle.instruction
-    val mkReq = (row: Row) =>
-      LMRequest(Prompts.filterFormatter(serL(row) + "\n" + serR(row), instruction))
+    // Plan choice (reference join_optimizer): evaluate candidate proxies and
+    // pick the one routing fewer pairs to the oracle.
+    val candidates: Seq[Option[String]] = args.joinCascadeStrategy match {
+      case Some("map_search_filter") => Seq(args.mapInstruction)
+      case Some(_)                   => Seq(None)
+      case None                      => None +: args.mapInstruction.map(Some(_)).toSeq
+    }
+    val evaluated = candidates.map { mapFirst =>
+      val (crossed, isLeft) = scoredPairs(left, right, leftOn, rightOn, mapFirst)
+      val mkReq = mkReqFor(crossed, isLeft)
+      val (tp, tn) = CascadeCore.learnThresholds(crossed, mkReq, s.lm, args, default = false)
+      val oracleCalls = crossed.filter(col("__pc") < tp && col("__pc") > tn).count()
+      (crossed, mkReq, tp, tn, oracleCalls)
+    }
+    val (crossed, mkReq, tp, tn, _) = evaluated.minBy(_._5)
 
     val keepCols = crossed.columns.filterNot(c => c == "__cid" || c == "__pc").toIndexedSeq
-    val (res, stats) = CascadeCore.route(crossed, mkReq, s.lm, args,
+    val (res, stats) = CascadeCore.route(crossed, mkReq, s.lm,
+      args.copy(posThreshold = Some(tp), negThreshold = Some(tn)),
       default = false, keepCols)
     (res, Some(stats))
   }

@@ -22,6 +22,39 @@ object MultimodalOps {
     MediaMeta(n, n % 640, n % 480, n % 30 + 1)
   }
 
+  /** Resolve an image/media *reference* column into bytes, on executors
+    * (reference fetch_image, lotus/utils.py:75-120): supported refs are
+    * `base64:`/raw base64, `file://` paths, and any hadoop-fs URL
+    * (`s3a://`, `hdfs://`, `http(s)://` via the relevant FS). Never collects
+    * media to the driver.
+    */
+  def resolveMediaRefs(df: DataFrame, refCol: String, outCol: String = "media_bytes_raw"): DataFrame = {
+    val idx = df.schema.fieldIndex(refCol)
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.mapPartitions { iter =>
+      iter.map { r =>
+        val ref = Option(r.get(idx)).map(_.toString).getOrElse("")
+        val bytes: Array[Byte] =
+          try {
+            if (ref.isEmpty) Array.emptyByteArray
+            else if (ref.startsWith("base64:"))
+              java.util.Base64.getDecoder.decode(ref.stripPrefix("base64:"))
+            else if (ref.startsWith("file://"))
+              java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(new java.net.URI(ref)))
+            else if (ref.contains("://")) {
+              val path = new org.apache.hadoop.fs.Path(ref)
+              val fs = path.getFileSystem(hadoopConf.value)
+              val in = fs.open(path)
+              try in.readAllBytes() finally in.close()
+            } else java.util.Base64.getDecoder.decode(ref) // bare base64
+          } catch { case _: Exception => Array.emptyByteArray }
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Append decoded metadata columns for a binary media column. Batched per
     * partition (grouped(32)) so a real decoder can amortize library setup /
     * vectorize, mirroring a Pandas-UDF `mapInPandas` batch shape.

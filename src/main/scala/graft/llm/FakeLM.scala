@@ -111,6 +111,17 @@ object FakeBehavior {
     }
   }
 
+  /** Dispatch by prompt kind: map prompts carry an `Instruction:` tag,
+    * filter/join prompts a `Claim:` tag — lets one fake serve multi-stage
+    * pipelines (e.g. the map-search-filter join plan).
+    */
+  final case class PromptRouter(onInstruction: FakeBehavior, onClaim: FakeBehavior)
+      extends FakeBehavior {
+    def answer(req: LMRequest): String =
+      if (req.lastUser.contains("Instruction:")) onInstruction.answer(req)
+      else onClaim.answer(req)
+  }
+
   /** Scripted: fixed answers cycled per call order within a batch. */
   final case class Scripted(answers: Seq[String]) extends FakeBehavior {
     def answer(req: LMRequest): String = answers.headOption.getOrElse("")
@@ -121,6 +132,24 @@ object FakeBehavior {
     */
   trait ProbBehavior extends FakeBehavior {
     def positiveProb(req: LMRequest): Double
+  }
+
+  /** Comparator with confidence for top-k cascades: answers exactly like
+    * [[PreferLonger]]; confidence is high when the length margin is wide,
+    * ~0.5 (uncertain) when the two docs are within `margin` of each other.
+    */
+  final case class PreferLongerProb(lenField: String = "N_chars", idField: String = "Doc_id",
+      margin: Long = 5) extends ProbBehavior {
+    private val base = PreferLonger(lenField, idField)
+    def answer(req: LMRequest): String = base.answer(req)
+    def positiveProb(req: LMRequest): Double = {
+      val lens = DocParse.fieldSeq(req.lastUser).filter(_._1 == lenField)
+        .map(x => scala.util.Try(x._2.trim.toDouble.toLong).getOrElse(0L))
+      val confident = lens.length >= 2 && math.abs(lens(0) - lens(1)) > margin
+      val firstWins = answer(req).contains("Document 1")
+      if (confident) { if (firstWins) 0.97 else 0.03 }
+      else { if (firstWins) 0.55 else 0.45 }
+    }
   }
 
   /** Imperfect helper model for cascade tests: probability is centered at

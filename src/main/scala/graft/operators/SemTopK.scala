@@ -30,29 +30,51 @@ object SemTopK {
     }
 
   /** Batched compare: does docs(i) beat pivot? One LM round-trip per
-    * maxBatchSize chunk.
+    * maxBatchSize chunk. With a helper (comparison cascade, reference
+    * sem_topk.py:176-273): helper answers whose confidence clears the
+    * threshold are accepted; the uncertain rest are re-asked of the oracle.
     */
-  private def compareAll(lm: LMClient, docs: Seq[String], pivot: String, instr: String): Seq[Boolean] =
-    docs.grouped(lm.maxBatchSize).flatMap { chunk =>
-      val reqs = chunk.map(d => LMRequest(Prompts.compareFormatter(d, pivot, instr)))
-      lm.complete(reqs).map(r => firstWins(r.output))
-    }.toVector
+  private def compareAll(lm: LMClient, docs: Seq[String], pivot: String, instr: String,
+      helper: Option[(LMClient, Double)] = None): Seq[Boolean] = helper match {
+    case None =>
+      docs.grouped(lm.maxBatchSize).flatMap { chunk =>
+        val reqs = chunk.map(d => LMRequest(Prompts.compareFormatter(d, pivot, instr)))
+        lm.complete(reqs).map(r => firstWins(r.output))
+      }.toVector
+    case Some((helperLm, threshold)) =>
+      val reqs = docs.map(d => LMRequest(Prompts.compareFormatter(d, pivot, instr)))
+      val helperRes = reqs.grouped(helperLm.maxBatchSize)
+        .flatMap(helperLm.complete).toVector
+      val results = new Array[Option[Boolean]](docs.length)
+      val uncertain = scala.collection.mutable.ArrayBuffer[Int]()
+      helperRes.zipWithIndex.foreach { case (res, i) =>
+        val conf = res.positiveProb.getOrElse(0.0)
+        if (conf >= threshold || conf <= 1 - threshold) results(i) = Some(firstWins(res.output))
+        else uncertain += i
+      }
+      uncertain.toSeq.grouped(lm.maxBatchSize).foreach { chunk =>
+        val oracleRes = lm.complete(chunk.map(reqs))
+        chunk.lazyZip(oracleRes).foreach { (i, r) => results(i) = Some(firstWins(r.output)) }
+      }
+      results.map(_.get).toVector
+  }
 
   /** Quickselect returning the top `k` in rank order. */
   private def quickTopK(lm: LMClient, items: Vector[(Long, String)], k: Int, instr: String,
-      rng: scala.util.Random): Vector[(Long, String)] = {
+      rng: scala.util.Random, helper: Option[(LMClient, Double)] = None): Vector[(Long, String)] = {
     if (k <= 0 || items.isEmpty) return Vector.empty
     if (items.length == 1) return items
     val pi = rng.nextInt(items.length)
     val pivot = items(pi)
     val rest = items.patch(pi, Nil, 1)
-    val wins = compareAll(lm, rest.map(_._2), pivot._2, instr)
+    val wins = compareAll(lm, rest.map(_._2), pivot._2, instr, helper)
     val (better, worse) = rest.zip(wins).partition(_._2)
     val b = better.map(_._1)
     val w = worse.map(_._1)
-    if (b.length >= k) quickTopK(lm, b, k, instr, rng)
-    else if (b.length == k - 1) quickTopK(lm, b, b.length, instr, rng) :+ pivot
-    else quickTopK(lm, b, b.length, instr, rng) ++ (pivot +: quickTopK(lm, w, k - b.length - 1, instr, rng))
+    if (b.length >= k) quickTopK(lm, b, k, instr, rng, helper)
+    else if (b.length == k - 1) quickTopK(lm, b, b.length, instr, rng, helper) :+ pivot
+    else quickTopK(lm, b, b.length, instr, rng, helper) ++
+      (pivot +: quickTopK(lm, w, k - b.length - 1, instr, rng, helper))
   }
 
   def semTopK(
@@ -61,13 +83,19 @@ object SemTopK {
       k: Int,
       method: String = "quick",
       groupBy: Seq[String] = Nil,
-      rankCol: String = "rank"
+      rankCol: String = "rank",
+      /** Comparison-cascade confidence threshold: helper-LM answers at or
+        * above it are accepted without an oracle call (reference
+        * sem_topk.py:176-273); requires `Sem.settings.helperLm`. */
+      cascadeThreshold: Option[Double] = None
   ): DataFrame = {
     val s = Sem.settings
     val nle = NLExpr.parse(instr)
     nle.validate(df.columns.toIndexedSeq)
     val instruction = nle.instruction
     val lm = s.lm
+    val cascadeHelper: Option[(LMClient, Double)] =
+      cascadeThreshold.flatMap(t => s.helperLm.map(h => (h, t)))
 
     val withId = df.withColumn("__tk_id", monotonically_increasing_id()).persist()
     withId.count()
@@ -91,11 +119,12 @@ object SemTopK {
         val candidates = withId.mapPartitions { it =>
           val items = it.map(r => (r.getAs[Long]("__tk_id"), serLocal(r))).toVector
           if (items.isEmpty) Iterator.empty
-          else quickTopK(lmLocal, items, kLocal, instrLocal, new scala.util.Random(42)).iterator
+          else quickTopK(lmLocal, items, kLocal, instrLocal, new scala.util.Random(42),
+            cascadeHelper).iterator
         }(org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING))
           .collect().toVector
-        val top = quickTopK(lm, candidates, k, instruction, new scala.util.Random(42))
+        val top = quickTopK(lm, candidates, k, instruction, new scala.util.Random(42), cascadeHelper)
         val spark = df.sparkSession
         import spark.implicits._
         val rankDf = top.zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
@@ -116,7 +145,7 @@ object SemTopK {
 
         def rankGroup(rows: Seq[Row]): Seq[(Long, Int)] = {
           val items = rows.map(r => (r.getLong(idIdx), ser(r))).toVector
-          val top = quickTopK(lm, items, k, instruction, new scala.util.Random(42))
+          val top = quickTopK(lm, items, k, instruction, new scala.util.Random(42), cascadeHelper)
           top.zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
         }
 

@@ -45,8 +45,9 @@ package object graft {
       SemAgg.semAgg(df, instr, allCols, groupBy, suffix, orderBy)
 
     def semTopK(instr: String, k: Int, method: String = "quick",
-        groupBy: Seq[String] = Nil, rankCol: String = "rank"): DataFrame =
-      SemTopK.semTopK(df, instr, k, method, groupBy, rankCol)
+        groupBy: Seq[String] = Nil, rankCol: String = "rank",
+        cascadeThreshold: Option[Double] = None): DataFrame =
+      SemTopK.semTopK(df, instr, k, method, groupBy, rankCol, cascadeThreshold)
 
     // ---- embedding / retrieval ops ---------------------------------------
     def semIndex(c: String): DataFrame = EmbedOps.semIndex(df, c)

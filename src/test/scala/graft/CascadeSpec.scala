@@ -50,6 +50,40 @@ class CascadeSpec extends SparkSpec {
     assert(stats.helperAccepted > 0)
   }
 
+  test("join cascade routes pairs and falls back below the size gate") {
+    import graft.cascade.JoinCascade
+    val docs = (0 until 30).map(i => (i.toLong, s"w$i spark data")).toDF("doc_id", "text")
+    val kws = Seq(Tuple1("spark"), Tuple1("mesos")).toDF("word")
+    val (res, stats) = Sem.withLM(FakeLM(FakeBehavior.FieldWordJoin("Text", "Word"))) {
+      JoinCascade.semJoinCascade(docs, kws, "the {text} mentions the word {word}",
+        "text", "word")
+    }
+    // 60 pairs < min_join_cascade_size (100) → exact naive join, no cascade.
+    assert(stats.isEmpty)
+    assert(res.count() == 30) // every doc contains "spark", none contain "mesos"
+  }
+
+  test("join cascade plan chooser evaluates map-search-filter") {
+    import graft.cascade.{CascadeArgs, JoinCascade}
+    // One fake serves both stages: map prompts (Instruction:) get the first
+    // word of Text; pair-filter prompts (Claim:) get the word-membership
+    // verdict.
+    val MapOrJoin = FakeBehavior.PromptRouter(
+      onInstruction = FakeBehavior.FirstWords("Text", 1),
+      onClaim = FakeBehavior.FieldWordJoin("Text", "Word"))
+    val docs = (0 until 60).map(i => (i.toLong, s"spark w$i data")).toDF("doc_id", "text")
+    val kws = Seq(Tuple1("spark"), Tuple1("mesos"), Tuple1("yarn")).toDF("word")
+    val (res, stats) = Sem.withLM(FakeLM(MapOrJoin)) {
+      JoinCascade.semJoinCascade(docs, kws, "the {text} mentions the word {word}",
+        "text", "word", CascadeArgs(mapInstruction = Some("the first word of {text}")))
+    }
+    assert(stats.nonEmpty)
+    // Every doc starts with "spark": the true pairs are exactly (doc, spark).
+    val pairs = res.select("doc_id", "word").as[(Long, String)].collect().toSet
+    assert(pairs.forall(_._2 == "spark"))
+    assert(pairs.size >= 50) // recall target 0.8 of 60 true pairs
+  }
+
   test("fixed thresholds skip learning") {
     val docs = (0 until 50).map(i => (i.toLong, if (i % 2 == 0) "a delay" else "fine"))
       .toDF("id", "text")

@@ -86,6 +86,33 @@ class SemAggTopKSpec extends SparkSpec {
       q.orderBy("rank").select("doc_id").as[Long].collect().toSeq)
   }
 
+  test("semTopK comparison cascade matches plain quick and saves oracle calls") {
+    import graft.llm.{LMClient, LMRequest, LMResult}
+    class CountingLM(inner: LMClient) extends LMClient {
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def complete(batch: Seq[LMRequest]): Seq[LMResult] = {
+        calls.addAndGet(batch.length); inner.complete(batch)
+      }
+    }
+    val df = (0 until 40).map(i => (i.toLong, s"t$i", (i * 17 % 200).toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val plainOracle = new CountingLM(FakeLM(FakeBehavior.PreferLonger()))
+    val plain = Sem.withSettings(Sem.settings.copy(lm = plainOracle)) {
+      df.semTopK("{text} {n_chars} {doc_id}", k = 5)
+    }.orderBy("rank").select("doc_id").as[Long].collect().toSeq
+
+    val cascadeOracle = new CountingLM(FakeLM(FakeBehavior.PreferLonger()))
+    val cascaded = Sem.withSettings(Sem.settings.copy(
+      lm = cascadeOracle,
+      helperLm = Some(FakeLM(FakeBehavior.PreferLongerProb())))) {
+      df.semTopK("{text} {n_chars} {doc_id}", k = 5, cascadeThreshold = Some(0.9))
+    }.orderBy("rank").select("doc_id").as[Long].collect().toSeq
+
+    assert(cascaded == plain)
+    // Helper margins are wide for most pairs → far fewer oracle comparisons.
+    assert(cascadeOracle.calls.get() < plainOracle.calls.get() / 2)
+  }
+
   test("semTopK naive matches quick on small input") {
     val df = (0 until 15).map(i => (i.toLong, s"t$i", (i * 3 % 15).toLong))
       .toDF("doc_id", "text", "n_chars")
