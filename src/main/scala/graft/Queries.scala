@@ -322,6 +322,20 @@ object Queries {
         .orderBy("id1", "id2")
     }),
 
+    "pipeline_compose" -> ((s, dir) => {
+      // Semantic + classical composition through one plan: LLM filter →
+      // native text analysis → aggregate. Mirrors the reference's
+      // filter-then-pandas composition tests (tests/test_filter.py:27-101).
+      Sem.withLM(FakeLM(FakeBehavior.KeywordFilter("spark"))) {
+        read(s, dir, "documents")
+          .semFilter("the {text} mentions a certain data engine")
+          .withColumn("n_tok", TF.tokenCount(col("text")))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("sum_tok"))
+          .orderBy("lang")
+      }
+    }),
+
     // ---------------- text analysis ---------------------------------------
     "text_stats" -> ((s, dir) => {
       read(s, dir, "documents").select(
@@ -444,6 +458,13 @@ object Queries {
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'spark')
         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_compose" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS sum_tok
+        |FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "sem_topk_quick" ->
       """SELECT doc_id, n_chars, rank FROM (

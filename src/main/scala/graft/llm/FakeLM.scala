@@ -111,6 +111,21 @@ object FakeBehavior {
     }
   }
 
+  /** Filter keyed on the *claim* text: the single-quoted word in the
+    * instruction (e.g. "mentions the word 'delay'") must appear as a token
+    * of the doc. Instruction-sensitive, so prompt-optimization loops (GEPA)
+    * have a real signal to climb.
+    */
+  case object ClaimWordFilter extends FakeBehavior {
+    def answer(req: LMRequest): String = {
+      val user = req.lastUser
+      val word = "'([^']+)'".r.findFirstMatchIn(user).map(_.group(1).toLowerCase)
+      val hit = word.exists(w =>
+        req.context.toLowerCase.split("[^\\p{L}\\p{N}_]+").contains(w))
+      if (hit) "Answer: True" else "Answer: False"
+    }
+  }
+
   /** Dispatch by prompt kind: map prompts carry an `Instruction:` tag,
     * filter/join prompts a `Claim:` tag — lets one fake serve multi-stage
     * pipelines (e.g. the map-search-filter join plan).

@@ -77,7 +77,13 @@ final case class OpenAICompatLM(
     /** Per-executor rate budget (driver computes global/numExecutors via
       * [[RateGovernor.perExecutor]]); 0 disables. */
     rpmLimit: Int = 0,
-    tpmLimit: Int = 0
+    tpmLimit: Int = 0,
+    /** Request token logprobs and derive the normalized positive-token
+      * probability for cascade scoring (reference lm.py:570-611). The
+      * positive/negative tokens default to sem_filter's ("True","False"). */
+    withLogprobs: Boolean = false,
+    positiveToken: String = "True",
+    negativeToken: String = "False"
 ) extends LMClient {
 
   @transient private lazy val governor = new RateGovernor(rpmLimit, tpmLimit)
@@ -99,6 +105,10 @@ final case class OpenAICompatLM(
     root.put("model", model)
     root.put("temperature", temperature)
     root.put("max_tokens", maxTokens)
+    if (withLogprobs) {
+      root.put("logprobs", true)
+      root.put("top_logprobs", 20)
+    }
     val msgs = root.putArray("messages")
     req.messages.foreach { m =>
       val o = msgs.addObject()
@@ -106,6 +116,33 @@ final case class OpenAICompatLM(
       o.put("content", m.content)
     }
     mapper.writeValueAsString(root)
+  }
+
+  /** Normalized positive-token probability from the answer token's
+    * top-logprobs: P(pos) / (P(pos) + P(neg)), scanning for the token right
+    * after the `Answer:` tag (or the first content token). Returns None when
+    * logprobs are absent.
+    */
+  private def positiveProbOf(node: com.fasterxml.jackson.databind.JsonNode): Option[Double] = {
+    val contentArr = node.path("choices").path(0).path("logprobs").path("content")
+    if (!contentArr.isArray || contentArr.size() == 0) return None
+    // Find the token position holding the verdict: the first token whose
+    // text contains the positive or negative token prefix; else token 0.
+    val idx = (0 until contentArr.size()).find { i =>
+      val t = contentArr.path(i).path("token").asText("")
+      t.contains(positiveToken.take(2)) || t.contains(negativeToken.take(2))
+    }.getOrElse(0)
+    val top = contentArr.path(idx).path("top_logprobs")
+    if (!top.isArray) return None
+    var pPos = 0.0
+    var pNeg = 0.0
+    (0 until top.size()).foreach { j =>
+      val tok = top.path(j).path("token").asText("").trim.toLowerCase
+      val p = math.exp(top.path(j).path("logprob").asDouble(Double.NegativeInfinity))
+      if (tok == positiveToken.toLowerCase) pPos = math.max(pPos, p)
+      if (tok == negativeToken.toLowerCase) pNeg = math.max(pNeg, p)
+    }
+    if (pPos + pNeg <= 0) None else Some(pPos / (pPos + pNeg))
   }
 
   private def callOne(req: LMRequest): LMResult = {
@@ -127,7 +164,7 @@ final case class OpenAICompatLM(
         if (resp.statusCode() / 100 == 2) {
           val node = mapper.readTree(resp.body())
           val content = node.path("choices").path(0).path("message").path("content").asText("")
-          return LMResult(content)
+          return LMResult(content, if (withLogprobs) positiveProbOf(node) else None)
         } else if (resp.statusCode() == 429 || resp.statusCode() / 100 == 5) {
           Thread.sleep(math.min(30000L, 1000L << attempt))
         } else {

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.core.Sem
+import graft.llm.{FakeBehavior, FakeLM}
+import graft.plan.{GepaLite, SemFilterOp, SemPlan}
+
+class GepaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cost estimator scales with rows and doc size") {
+    import graft.llm.CostEstimator
+    val docs = (0 until 100).map(i => (i.toLong, "word " * 40)).toDF("id", "text")
+    val est = CostEstimator.estimateRowOp(docs, "classify {text}", FakeLM(FakeBehavior.Echo))
+    assert(est.calls == 100)
+    assert(est.promptTokens > 100 * 50) // ≥ doc tokens × rows
+    val joinEst = CostEstimator.estimateJoin(docs, docs.limit(10), "does {text} match {text}",
+      FakeLM(FakeBehavior.Echo))
+    assert(joinEst.calls == 1000)
+  }
+
+  test("GEPA-lite climbs to the instruction that maximizes eval") {
+    val docs = (0 until 50).map(i =>
+      (i.toLong, if (i % 2 == 0) s"row $i has a delay" else s"row $i is fine"))
+      .toDF("id", "text")
+    val expected = (0 until 50).filter(_ % 2 == 0).map(_.toLong).toSet
+
+    def evalFn(out: DataFrame): Double = {
+      val got = out.select("id").as[Long].collect().toSet
+      val tp = (got & expected).size.toDouble
+      val fp = (got -- expected).size.toDouble
+      val fn = (expected -- got).size.toDouble
+      if (tp == 0) 0.0 else 2 * tp / (2 * tp + fp + fn) // F1
+    }
+
+    // The filter fake keys on the quoted word in the claim; the rewriter
+    // proposes a wrong and a right variant — the loop must pick the right one.
+    val rewriter = FakeLM(FakeBehavior.Scripted(Seq(
+      "the {text} mentions the word 'zebra'\nthe {text} mentions the word 'delay'")))
+    val plan = SemPlan(Seq(SemFilterOp("the {text} mentions the word 'banana'")))
+
+    val result = Sem.withLM(FakeLM(FakeBehavior.ClaimWordFilter)) {
+      GepaLite.optimize(plan, docs, evalFn, rewriter, rounds = 1)
+    }
+    assert(result.score == 1.0)
+    assert(result.plan.ops.head.asInstanceOf[SemFilterOp].instr.contains("'delay'"))
+    assert(result.evaluations >= 3)
+  }
+}
