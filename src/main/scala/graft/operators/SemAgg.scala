@@ -98,18 +98,15 @@ object SemAgg {
         }
       }(Encoders.row(outSchema))
 
+      // Eager checkpoint: materializes the round's LLM calls exactly once
+      // AND truncates lineage so O(log n) rounds don't stack plans.
+      val nextCp = next.localCheckpoint()
       // Converged when every group is a single pack.
       val anyMultiPack =
-        if (groupBy.isEmpty) next.limit(2).count() > 1
-        else next.groupBy(groupCols: _*).count().filter(col("count") > 1).limit(1).count() > 0
-      if (!anyMultiPack) {
-        cur = next
-        done = true
-      } else {
-        cur = next.persist()
-        cur.count() // materialize so each LLM round runs exactly once
-        isLeaf = false
-      }
+        if (groupBy.isEmpty) nextCp.limit(2).count() > 1
+        else nextCp.groupBy(groupCols: _*).count().filter(col("count") > 1).limit(1).count() > 0
+      cur = nextCp
+      if (!anyMultiPack) done = true else isLeaf = false
     }
 
     // Unwrap the [Source]: «…» envelope of the final summary.
