@@ -65,6 +65,8 @@ object Dedup {
         explode(shingles(col(textCol), shingleLen)).as("s"))
       // Pre-hash each shingle string ONCE; the 64 family members then mix
       // the 8-byte hash (cheap) instead of re-hashing the string 64×.
+      // (A multiply-shift family would be cheaper still, but ANSI mode —
+      // Spark 4's default — rejects the wrapping long multiply.)
       .withColumn("sh64", xxhash64(col("s")))
     val minAggs = (0 until numHashes).map(seed =>
       min(xxhash64(col("sh64"), lit(seed))).as(s"h$seed"))
