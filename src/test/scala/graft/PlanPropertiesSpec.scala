@@ -1,0 +1,39 @@
+package graft
+
+/** Regression tests for the scale-critical *physical plan* properties — a
+  * query that silently loses its pushdown or broadcast still returns correct
+  * rows at sf0.01 but dies at 100 TB, so the plans themselves are asserted.
+  */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def planOf(name: String): String =
+    Queries.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q6 pushes range predicates into the parquet scan") {
+    val p = planOf("q6_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount)"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"))
+  }
+
+  test("q3 top-n lowers to TakeOrderedAndProject (no global sort)") {
+    assert(planOf("q3_topn").contains("TakeOrderedAndProject"))
+  }
+
+  test("q2 joins dims via broadcast hash join") {
+    val p = planOf("q2_join_agg")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q1 prunes the scan to the referenced columns") {
+    val p = planOf("q1_agg")
+    // unreferenced lineitem columns must not appear anywhere in the plan
+    assert(!p.contains("l_shipdate") && !p.contains("l_partkey") && !p.contains("l_tax"))
+    assert(p.contains("l_quantity"))
+  }
+
+  test("dedup_minhash shuffles on band buckets, not a cross product") {
+    assert(!planOf("dedup_minhash").contains("CartesianProduct"))
+  }
+}

@@ -99,6 +99,31 @@ class SemOpsSpec extends SparkSpec {
     assert(out.select("id:left").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
   }
 
+  test("JSON and XML serialization formats flow through operators") {
+    import graft.core.{SerializationFormat => SF}
+    val df = Seq((7L, "hi")).toDF("id", "text")
+    val json = Sem.withSettings(Sem.settings.copy(
+      lm = FakeLM(FakeBehavior.Echo), serializationFormat = SF.Json)) {
+      df.semMap("echo {text} and {id}")
+    }.select("_map").as[String].head()
+    assert(json == """{"text":"hi","id":7}""")
+    val xml = Sem.withSettings(Sem.settings.copy(
+      lm = FakeLM(FakeBehavior.Echo), serializationFormat = SF.Xml)) {
+      df.semMap("echo {text}")
+    }.select("_map").as[String].head()
+    assert(xml == "<row><text>hi</text></row>")
+  }
+
+  test("semExtract with quotes adds _quote columns") {
+    val df = Seq((1L, "alpha beta")).toDF("id", "text")
+    val out = Sem.withLM(FakeLM(FakeBehavior.Scripted(Seq(
+      """{"first_word": "alpha", "first_word_quote": "alpha beta"}""")))) {
+      df.semExtract(Seq("text"), Seq("first_word" -> None), extractQuotes = true)
+    }
+    val r = out.select("first_word", "first_word_quote").head()
+    assert(r.getString(0) == "alpha" && r.getString(1) == "alpha beta")
+  }
+
   test("llmAsJudge produces one column per trial") {
     val out = Sem.withLM(FakeLM(FakeBehavior.FirstWords("Text", 1))) {
       reviews.llmAsJudge("judge the {text}", nTrials = 2)
