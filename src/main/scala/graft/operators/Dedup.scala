@@ -77,8 +77,12 @@ object Dedup {
           (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)).as("key"))
     }
     val bucketed = sig.select(col("id"), explode(array(bandKeyCols: _*)).as("bk"))
+    // Verification sets hold hashed shingles (longs): array_intersect over
+    // longs beats strings and the checkpoint materializes 8 bytes/shingle;
+    // Jaccard is unchanged up to 2^-64 hash collisions.
     val shingleSets = df.select(col(idCol).cast("long").as("id"),
-      shingles(col(textCol), shingleLen).as("sh")).localCheckpoint()
+      transform(shingles(col(textCol), shingleLen), s => xxhash64(s)).as("sh"))
+      .localCheckpoint()
     val a = bucketed.toDF("id1", "bk1")
     val b = bucketed.toDF("id2", "bk2")
     val candidates = a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
