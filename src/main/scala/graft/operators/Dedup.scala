@@ -54,9 +54,18 @@ object Dedup {
   /** Candidate near-duplicate pairs via MinHash-LSH, verified with exact
     * n-gram Jaccard ≥ `threshold`. Returns (id1, id2, jaccard) with id1<id2.
     */
-  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+  /** Spread a low-partition input (small files) to cluster parallelism
+    * before CPU-heavy per-row stages; large inputs pass through untouched.
+    */
+  private def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def minhashPairs(dfIn: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
       shingleLen: Int = 3): DataFrame = {
+    val df = parallelize(dfIn)
     val rowsPerBand = numHashes / bands
     // Signature via explode + one grouped aggregation pass (64 codegen'd
     // min() aggregates with map-side partials) instead of 64 array
@@ -113,7 +122,8 @@ object Dedup {
   /** SimHash near-dup candidate pairs: bucket by 4 16-bit chunks (any doc
     * pair within hamming distance 3 shares ≥1 chunk), verify hamming ≤ maxDist.
     */
-  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(dfIn: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
+    val df = parallelize(dfIn)
     // SimHash via explode + one grouped pass: per token a single xxhash64,
     // per bit a codegen'd conditional-sum aggregate; bits are assembled from
     // the 64 aggregate results. Avoids 64 re-traversals of the token array.

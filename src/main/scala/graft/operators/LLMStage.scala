@@ -16,15 +16,25 @@ import graft.llm.{LMClient, LMRequest}
   */
 object LLMStage {
 
+  /** LLM-call parallelism = tasks × in-batch concurrency, so a small-file
+    * input (one partition) would serialize every call. Spread low-partition
+    * inputs to cluster parallelism; well-partitioned inputs pass through.
+    */
+  private def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Append `outCol` = LM answer for each row. `mkReq` is resolved against
     * the input schema on the driver and shipped in the task closure.
     */
   def appendAnswer(
-      df: DataFrame,
+      dfIn: DataFrame,
       lm: LMClient,
       outCol: String,
       mkReq: Row => LMRequest
   ): DataFrame = {
+    val df = parallelize(dfIn)
     val outSchema = StructType(df.schema.fields :+
       org.apache.spark.sql.types.StructField(outCol, StringType, nullable = true))
     val batch = lm.maxBatchSize
@@ -43,12 +53,13 @@ object LLMStage {
     * (logprob-derived) column — the helper-model pass of cascades.
     */
   def appendAnswerWithProb(
-      df: DataFrame,
+      dfIn: DataFrame,
       lm: LMClient,
       outCol: String,
       probCol: String,
       mkReq: Row => LMRequest
   ): DataFrame = {
+    val df = parallelize(dfIn)
     val outSchema = StructType(df.schema.fields ++ Seq(
       org.apache.spark.sql.types.StructField(outCol, StringType, nullable = true),
       org.apache.spark.sql.types.StructField(probCol,
