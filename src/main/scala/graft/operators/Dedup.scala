@@ -159,10 +159,12 @@ object Dedup {
       maxIter: Int = 25): DataFrame = {
     // localCheckpoint truncates lineage each round — iterative joins over a
     // huge upstream plan (e.g. the 64-hash minhash tree) would otherwise
-    // re-inline it every iteration and blow up planning.
-    val bidir = edges.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint()
+    // re-inline it every iteration and blow up planning. Edges are
+    // checkpointed FIRST so the expensive candidate-pair computation runs
+    // once, not once per direction of the bidirectional union.
+    val e = edges.localCheckpoint()
+    val bidir = e.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(e.select(col("id2").as("src"), col("id1").as("dst")))
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
     var converged = false
     var iter = 0

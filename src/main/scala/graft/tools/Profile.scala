@@ -31,6 +31,13 @@ object Profile {
       Dedup.dropDuplicatesByPairs(d, "doc_id",
         Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5)).count()
     }
+    time("simhash pairs") {
+      Dedup.simhashPairs(d, "text", "doc_id", maxDist = 3).count()
+    }
+    time("simhash full dedup") {
+      Dedup.dropDuplicatesByPairs(d, "doc_id",
+        Dedup.simhashPairs(d, "text", "doc_id", maxDist = 3)).count()
+    }
     spark.stop()
   }
 }
