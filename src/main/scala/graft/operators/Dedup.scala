@@ -155,14 +155,42 @@ object Dedup {
     * Scale note: for adversarial deep graphs swap in large-star/small-star;
     * dup graphs from LSH are overwhelmingly star-shaped.
     */
+  /** Small edge lists (the overwhelmingly common case — near-dup graphs are
+    * sparse) are solved with a driver-side union-find: one collect, zero
+    * iterative jobs. Edge lists beyond the threshold use distributed label
+    * propagation.
+    */
   def keepAfterConnectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, driverEdgeThreshold: Long = 1000000L): DataFrame = {
     // localCheckpoint truncates lineage each round — iterative joins over a
     // huge upstream plan (e.g. the 64-hash minhash tree) would otherwise
     // re-inline it every iteration and blow up planning. Edges are
     // checkpointed FIRST so the expensive candidate-pair computation runs
     // once, not once per direction of the bidirectional union.
     val e = edges.localCheckpoint()
+
+    if (e.count() <= driverEdgeThreshold) {
+      val pairs = e.select(col("id1").cast("long"), col("id2").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      val removed = (pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .filter(id => find(id) != id)).toSet
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val removedDf = removed.toSeq.toDF("id")
+      return nodes.select(col("id")).join(broadcast(removedDf), Seq("id"), "left_anti")
+    }
     val bidir = e.select(col("id1").as("src"), col("id2").as("dst"))
       .union(e.select(col("id2").as("src"), col("id1").as("dst")))
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()

@@ -51,10 +51,18 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 3L)) == 0.0)
   }
 
-  test("connected components: chain collapses to min id") {
+  test("connected components: chain collapses to min id (union-find path)") {
     val nodes = (1L to 6L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
     val keep = Dedup.keepAfterConnectedComponents(nodes, edges)
+      .as[Long].collect().toSet
+    assert(keep == Set(1L, 4L, 6L))
+  }
+
+  test("connected components: distributed label propagation path agrees") {
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val keep = Dedup.keepAfterConnectedComponents(nodes, edges, driverEdgeThreshold = 0L)
       .as[Long].collect().toSet
     assert(keep == Set(1L, 4L, 6L))
   }
