@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signature of word n-gram shingles as ONE tight per-row loop: for
+  * each sliding window of `shingleLen` words, a 64-bit FNV-1a base hash over
+  * the window's bytes, then `numHashes` avalanche mixes updating running
+  * minima. Replaces the explode → 64 aggregate pipeline: no shingle-string
+  * materialization, no shuffle — the signature is computed where the row
+  * already is. (CodegenFallback: the loop itself is compiled JVM code; only
+  * the expression boundary is interpreted.)
+  */
+case class MinHashSignature(child: Expression, shingleLen: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature requires array<string>, got $other")
+    }
+
+  // Deterministic per-hash mix constants (splitmix64 stream from a fixed seed).
+  private lazy val seeds: Array[Long] = {
+    var x = 0x9E3779B97F4A7C15L
+    Array.fill(numHashes) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val nShingles = math.max(1, n - shingleLen + 1)
+    var i = 0
+    while (i < nShingles) {
+      // FNV-1a over the window's word bytes with a separator byte.
+      var h = 0xCBF29CE484222325L
+      var j = 0
+      val wlen = math.min(shingleLen, n - i)
+      while (j < wlen) {
+        val w = words.getUTF8String(i + j)
+        if (w != null) {
+          val bytes = w.getBytes
+          var b = 0
+          while (b < bytes.length) {
+            h ^= (bytes(b) & 0xFFL); h *= 0x100000001B3L; b += 1
+          }
+        }
+        h ^= 0x20L; h *= 0x100000001B3L // separator
+        j += 1
+      }
+      var k = 0
+      while (k < numHashes) {
+        // xor-mix with the k-th seed + avalanche; cheap and well-spread.
+        var z = h ^ seeds(k)
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 31)
+        if (z < mins(k)) mins(k) = z
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-shingle 64-bit hashes (same FNV-1a kernel as [[MinHashSignature]]),
+  * for exact-Jaccard verification over long arrays without materializing
+  * shingle strings.
+  */
+case class ShingleHashes(child: Expression, shingleLen: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes requires array<string>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val nShingles = math.max(1, n - shingleLen + 1)
+    val out = new Array[Long](nShingles)
+    var i = 0
+    while (i < nShingles) {
+      var h = 0xCBF29CE484222325L
+      var j = 0
+      val wlen = math.min(shingleLen, n - i)
+      while (j < wlen) {
+        val w = words.getUTF8String(i + j)
+        if (w != null) {
+          val bytes = w.getBytes
+          var b = 0
+          while (b < bytes.length) {
+            h ^= (bytes(b) & 0xFFL); h *= 0x100000001B3L; b += 1
+          }
+        }
+        h ^= 0x20L; h *= 0x100000001B3L
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashExpr {
+  import org.apache.spark.sql.graft.ColumnBridge
+  /** Column wrapper: minhash signature (array<long>) of a word-array column. */
+  def minhashSignature(words: Column, shingleLen: Int = 3, numHashes: Int = 64): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(words), shingleLen, numHashes))
+
+  /** Column wrapper: per-shingle hashes (array<long>) of a word-array column. */
+  def shingleHashes(words: Column, shingleLen: Int = 3): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), shingleLen))
+}

@@ -67,30 +67,24 @@ object Dedup {
       shingleLen: Int = 3): DataFrame = {
     val df = parallelize(dfIn)
     val rowsPerBand = numHashes / bands
-    // Signature via explode + one grouped aggregation pass (64 codegen'd
-    // min() aggregates with map-side partials) instead of 64 array
-    // traversals per document — the layout that scales to wide corpora.
-    val exploded = df.select(col(idCol).cast("long").as("id"),
-        explode(shingles(col(textCol), shingleLen)).as("s"))
-      // Pre-hash each shingle string ONCE; the 64 family members then mix
-      // the 8-byte hash (cheap) instead of re-hashing the string 64×.
-      // (A multiply-shift family would be cheaper still, but ANSI mode —
-      // Spark 4's default — rejects the wrapping long multiply.)
-      .withColumn("sh64", xxhash64(col("s")))
-    val minAggs = (0 until numHashes).map(seed =>
-      min(xxhash64(col("sh64"), lit(seed))).as(s"h$seed"))
-    val sig = exploded.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+    // Signature as ONE tight per-row loop (custom expression): no shingle
+    // materialization, no explode, no aggregation shuffle.
+    val sig = df.select(col(idCol).cast("long").as("id"),
+      graft.functions.MinHashExpr.minhashSignature(
+        split(trim(col(textCol)), "\\s+"), shingleLen, numHashes).as("sig"))
     val bandKeyCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(concat_ws(",",
-          (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)).as("key"))
+          (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)).as("key"))
     }
     val bucketed = sig.select(col("id"), explode(array(bandKeyCols: _*)).as("bk"))
-    // Verification sets hold hashed shingles (longs): array_intersect over
-    // longs beats strings and the checkpoint materializes 8 bytes/shingle;
-    // Jaccard is unchanged up to 2^-64 hash collisions.
+    // Verification sets hold hashed shingles (longs), built by the same
+    // tight-loop expression: array_intersect over longs beats strings and
+    // the checkpoint materializes 8 bytes/shingle; Jaccard is unchanged up
+    // to 2^-64 hash collisions.
     val shingleSets = df.select(col(idCol).cast("long").as("id"),
-      transform(shingles(col(textCol), shingleLen), s => xxhash64(s)).as("sh"))
+      array_distinct(graft.functions.MinHashExpr.shingleHashes(
+        split(trim(col(textCol)), "\\s+"), shingleLen)).as("sh"))
       .localCheckpoint()
     val a = bucketed.toDF("id1", "bk1")
     val b = bucketed.toDF("id2", "bk2")
