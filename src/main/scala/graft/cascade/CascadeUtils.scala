@@ -111,8 +111,12 @@ object CascadeUtils {
       (acceptedTrue + oracleMass) / totalCorrect
     }
 
+    // Reference takes max() over all qualifying thresholds
+    // (cascade_utils.py calculate_tau_neg). Recall is monotone decreasing in
+    // tau_neg, so the qualifying set is downward-closed and the max is the
+    // FIRST qualifying score in descending order.
     def tauNegFor(tp: Double, recallTarget: Double): Double =
-      sortedPairs.reverseIterator
+      sortedPairs.iterator
         .filter(x => recall(tp, x._1, sortedPairs) >= recallTarget)
         .map(_._1).nextOption().getOrElse(0.0)
 

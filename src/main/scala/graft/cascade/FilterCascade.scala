@@ -107,7 +107,7 @@ object FilterCascade {
 
     // Helper pass (distributed), then distributed quantile calibration.
     val scored = LLMStage.appendAnswerWithProb(withId, helperLm, "__helper_raw", "__p", mkReq)
-      .localCheckpoint()
+      .transform(graft.core.Persist.stage(_))
     val q = args.cascadeNumCalibrationQuantiles
     val quantiles = scored.stat.approxQuantile("__p",
       (0 to q).map(_.toDouble / q).toArray, 0.0)
@@ -115,7 +115,7 @@ object FilterCascade {
     val bin = aggregate(qArr, lit(0), (acc, x) => acc + when(x <= col("__p"), 1).otherwise(0))
     val calibrated = scored.withColumn("__pc",
       least(lit(1.0), greatest(lit(0.0), (bin - 1).cast("double") / q)))
-      .localCheckpoint()
+      .transform(graft.core.Persist.stage(_))
 
     CascadeCore.route(calibrated, mkReq, s.lm, args, default, df.columns.toIndexedSeq)
   }
@@ -153,7 +153,7 @@ object JoinCascade {
       .withColumn("__pc", least(lit(1.0), greatest(lit(0.0),
         EmbedOps.cosineSim(col(lv), col(rv)))))
       .drop(lv, rv, "__mapped")
-      .localCheckpoint()
+      .transform(graft.core.Persist.stage(_))
     (crossed, l2.columns.contains _)
   }
 

@@ -27,8 +27,28 @@ final case class SemSettings(
     localExecutionThreshold: Int = 200000,
     /** Oversized-document handling for per-row LLM ops (reference TRUNCATE
       * default; CHUNK via [[LongContext.chunkColumn]] as a pre-op). */
-    longContextStrategy: LongContextStrategy = LongContextStrategy.Truncate
-) extends Serializable
+    longContextStrategy: LongContextStrategy = LongContextStrategy.Truncate,
+    /** LM response cache (reference settings.enable_cache, default off,
+      * lotus/settings.py:20): executor-local LRU keyed on (model config,
+      * messages) — task retries replay answers instead of re-asking. */
+    enableCache: Boolean = false,
+    /** Persist every LLM stage's output (lazy checkpoint) so downstream
+      * reuse never re-issues the stage's calls — the Spark-retry
+      * determinism requirement (SURVEY §7.5 risk 1). */
+    persistLlmOutputs: Boolean = true,
+    /** When set, iterative/nondeterministic stage materialization uses
+      * reliable `checkpoint(dir)` instead of `localCheckpoint` — executor
+      * loss on a real cluster destroys localCheckpoint blocks mid-job. */
+    checkpointDir: Option[String] = None,
+    /** Abort the job once estimated usage crosses any limit (reference
+      * LotusUsageLimitException, lm.py:465-473). */
+    usageLimit: Option[graft.llm.UsageLimit] = None
+) extends Serializable {
+
+  /** The operators' physical LM: cache-wrapped when enabled. */
+  def activeLm(stats: graft.llm.UsageStats): graft.llm.LMClient =
+    if (enableCache) graft.llm.CachedLM(lm, stats) else lm
+}
 
 object Sem {
   private val dyn = new scala.util.DynamicVariable[SemSettings](SemSettings())

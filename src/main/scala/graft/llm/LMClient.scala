@@ -145,6 +145,11 @@ final case class OpenAICompatLM(
     if (pPos + pNeg <= 0) None else Some(pPos / (pPos + pNeg))
   }
 
+  /** Non-retryable client error (4xx other than 429): surfaced immediately,
+    * never retried with backoff.
+    */
+  final class NonRetryableException(msg: String) extends RuntimeException(msg)
+
   private def callOne(req: LMRequest): LMResult = {
     governor.acquire(req.messages.map(m => countTokens(m.content)).sum + maxTokens)
     val body = toJson(req)
@@ -166,12 +171,17 @@ final case class OpenAICompatLM(
           val content = node.path("choices").path(0).path("message").path("content").asText("")
           return LMResult(content, if (withLogprobs) positiveProbOf(node) else None)
         } else if (resp.statusCode() == 429 || resp.statusCode() / 100 == 5) {
+          lastErr = new RuntimeException(
+            s"LM HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
           Thread.sleep(math.min(30000L, 1000L << attempt))
         } else {
-          throw new RuntimeException(s"LM HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+          // Bad request / auth / not-found: retrying cannot help.
+          throw new NonRetryableException(
+            s"LM HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
         }
       } catch {
         case e: InterruptedException => throw e
+        case e: NonRetryableException => throw e
         case e: Throwable => lastErr = e; Thread.sleep(math.min(30000L, 1000L << attempt))
       }
       attempt += 1

@@ -11,8 +11,15 @@ final class UsageStats(
     val calls: LongAccumulator,
     val requests: LongAccumulator,
     val promptChars: LongAccumulator,
-    val outputChars: LongAccumulator) extends Serializable {
+    val outputChars: LongAccumulator,
+    /** Requests that actually reached the model (cache misses). */
+    val physicalRequests: LongAccumulator,
+    /** Requests served from the response cache. */
+    val cacheHits: LongAccumulator) extends Serializable {
 
+  /** Virtual accounting: every request an operator issued, cached or not
+    * (reference virtual usage, lm.py:497-529).
+    */
   def record(batch: Seq[LMRequest], results: Seq[LMResult]): Unit = {
     calls.add(1L)
     requests.add(batch.length.toLong)
@@ -20,9 +27,13 @@ final class UsageStats(
     results.foreach(r => outputChars.add(r.output.length.toLong))
   }
 
+  def recordPhysical(n: Long): Unit = physicalRequests.add(n)
+  def recordCacheHits(n: Long): Unit = cacheHits.add(n)
+
   /** ≈tokens at 4 chars/token, the engine-wide estimate. */
   def report: String =
     s"llm batches=${calls.value} requests=${requests.value} " +
+      s"physical=${physicalRequests.value} cache_hits=${cacheHits.value} " +
       s"prompt_tokens≈${promptChars.value / 4} output_tokens≈${outputChars.value / 4}"
 }
 
@@ -37,7 +48,9 @@ object UsageTracker {
         sc.longAccumulator("graft.llm.batches"),
         sc.longAccumulator("graft.llm.requests"),
         sc.longAccumulator("graft.llm.promptChars"),
-        sc.longAccumulator("graft.llm.outputChars"))
+        sc.longAccumulator("graft.llm.outputChars"),
+        sc.longAccumulator("graft.llm.physicalRequests"),
+        sc.longAccumulator("graft.llm.cacheHits"))
       current = Some(s)
       s
     }

@@ -85,7 +85,7 @@ object Dedup {
     val shingleSets = df.select(col(idCol).cast("long").as("id"),
       array_distinct(graft.functions.MinHashExpr.shingleHashes(
         split(trim(col(textCol)), "\\s+"), shingleLen)).as("sh"))
-      .localCheckpoint()
+      .transform(graft.core.Persist.stage(_))
     val a = bucketed.toDF("id1", "bk1")
     val b = bucketed.toDF("id2", "bk2")
     val candidates = a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
@@ -134,7 +134,7 @@ object Dedup {
     val h = agg.select(col("id"), hash.as("h"))
       .withColumn("chunk", explode(array((0 until 4).map(i =>
         struct(lit(i).as("i"), shiftright(col("h"), i * 16).bitwiseAND(0xFFFFL).as("v"))): _*)))
-      .localCheckpoint()
+      .transform(graft.core.Persist.stage(_))
     val a = h.toDF("id1", "h1", "c1")
     val b = h.toDF("id2", "h2", "c2")
     a.join(b, col("c1") === col("c2") && col("id1") < col("id2"))
@@ -161,7 +161,7 @@ object Dedup {
     // re-inline it every iteration and blow up planning. Edges are
     // checkpointed FIRST so the expensive candidate-pair computation runs
     // once, not once per direction of the bidirectional union.
-    val e = edges.localCheckpoint()
+    val e = graft.core.Persist.stage(edges)
 
     if (e.count() <= driverEdgeThreshold) {
       val pairs = e.select(col("id1").cast("long"), col("id2").cast("long"))
@@ -187,7 +187,7 @@ object Dedup {
     }
     val bidir = e.select(col("id1").as("src"), col("id2").as("dst"))
       .union(e.select(col("id2").as("src"), col("id1").as("dst")))
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var labels = graft.core.Persist.stage(nodes.select(col("id"), col("id").as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -195,7 +195,7 @@ object Dedup {
         .union(bidir.join(labels, bidir("src") === labels("id"))
           .select(col("dst").as("id"), col("label")))
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+        .transform(graft.core.Persist.stage(_))
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
       labels = next

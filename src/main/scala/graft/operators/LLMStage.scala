@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.types.{StringType, StructType}
-import graft.llm.{LMClient, LMRequest}
+import graft.core.{Persist, Sem}
+import graft.llm.{CachedLM, LMClient, LMRequest, UsageLimit, UsageTracker}
 
 /** The physical core of every semantic operator: a `mapPartitions` stage that
   * batches rows into LLM requests (reference physical model: batched API
@@ -11,8 +12,12 @@ import graft.llm.{LMClient, LMRequest}
   * is native Catalyst expressions so it stays inside whole-stage codegen.
   *
   * Scale notes: batching is per-partition (parallelism = tasks × in-batch
-  * concurrency); no driver collect; determinism relies on temperature-0
-  * defaults so Spark task retries reproduce answers.
+  * concurrency); no driver collect. Replay determinism has two layers:
+  * the executor-local response cache (retried tasks re-read identical
+  * answers, [[graft.llm.ResponseCache]]) and lazy checkpointing of stage
+  * output (downstream actions never recompute the LLM stage,
+  * [[graft.core.Persist]]). Usage limits are enforced driver-side before
+  * each stage is built.
   */
 object LLMStage {
 
@@ -37,16 +42,21 @@ object LLMStage {
     val df = parallelize(dfIn)
     val outSchema = StructType(df.schema.fields :+
       org.apache.spark.sql.types.StructField(outCol, StringType, nullable = true))
-    val batch = lm.maxBatchSize
-    val stats = graft.llm.UsageTracker.forSession(df.sparkSession)
-    df.mapPartitions { iter =>
+    val stats = UsageTracker.forSession(df.sparkSession)
+    UsageLimit.checkBeforeStage(stats, lm)
+    val lmEff = if (Sem.settings.enableCache) CachedLM(lm, stats) else lm
+    val cached = lmEff.isInstanceOf[CachedLM]
+    val batch = lmEff.maxBatchSize
+    val out = df.mapPartitions { iter =>
       iter.grouped(batch).flatMap { rows =>
         val reqs = rows.map(mkReq)
-        val results = lm.complete(reqs)
+        val results = lmEff.complete(reqs)
         stats.record(reqs, results)
+        if (!cached) stats.recordPhysical(reqs.length.toLong)
         rows.lazyZip(results).map { (r, res) => Row.fromSeq(r.toSeq :+ res.output) }
       }
     }(Encoders.row(outSchema))
+    if (Sem.settings.persistLlmOutputs) Persist.stage(out, eager = false) else out
   }
 
   /** Like [[appendAnswer]] but also appends the positive-token probability
@@ -64,14 +74,22 @@ object LLMStage {
       org.apache.spark.sql.types.StructField(outCol, StringType, nullable = true),
       org.apache.spark.sql.types.StructField(probCol,
         org.apache.spark.sql.types.DoubleType, nullable = true)))
-    val batch = lm.maxBatchSize
-    df.mapPartitions { iter =>
+    val stats = UsageTracker.forSession(df.sparkSession)
+    UsageLimit.checkBeforeStage(stats, lm)
+    val lmEff = if (Sem.settings.enableCache) CachedLM(lm, stats) else lm
+    val cached = lmEff.isInstanceOf[CachedLM]
+    val batch = lmEff.maxBatchSize
+    val out = df.mapPartitions { iter =>
       iter.grouped(batch).flatMap { rows =>
-        val results = lm.complete(rows.map(mkReq))
+        val reqs = rows.map(mkReq)
+        val results = lmEff.complete(reqs)
+        stats.record(reqs, results)
+        if (!cached) stats.recordPhysical(reqs.length.toLong)
         rows.lazyZip(results).map { (r, res) =>
           Row.fromSeq(r.toSeq ++ Seq(res.output, res.positiveProb.orNull))
         }
       }
     }(Encoders.row(outSchema))
+    if (Sem.settings.persistLlmOutputs) Persist.stage(out, eager = false) else out
   }
 }

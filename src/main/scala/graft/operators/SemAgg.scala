@@ -1,24 +1,31 @@
 package graft.operators
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.core.{NLExpr, Sem}
-import graft.llm.{LMRequest, Prompts}
+import graft.core.{NLExpr, Persist, Sem}
+import graft.llm.{CachedLM, LMRequest, Prompts, UsageLimit, UsageTracker}
 
 /** Hierarchical LLM aggregation (reference lotus/sem_ops/sem_agg.py:62-235):
   * pack documents into context-budgeted prompts, summarize each pack, repeat
   * on the partial summaries until one row (per group) remains.
   *
-  * Spark shape: a driver round loop; each round is ONE distributed job —
-  * token-budget packing via a window cumulative sum, `collect_list` per pack
-  * (bounded by the LM context window, so each list is small by construction),
-  * then a batched `mapPartitions` LLM stage. Rounds shrink the data by the
-  * pack fan-in (≥2), so the loop is O(log n) jobs and never collects docs to
-  * the driver — this is the 100 TB-safe layout.
+  * Spark shape: a driver round loop; each round is ONE distributed job.
+  * Packing is PARTITION-LOCAL — rows are range-partitioned by
+  * (groupBy, order) once up front (ascending ranges land in ascending
+  * partition ids, so a per-partition local index yields a total order), and
+  * each round assigns pack ids in a single sorted pass per partition. No
+  * global window, no single-partition exchange at any size: the round's
+  * partition count shrinks with the data (n/4 rows per partition, floor 1),
+  * so cross-partition merging happens exactly when the data is small enough
+  * to warrant it. Rounds shrink row count by the pack fan-in (≥ 2), so the
+  * loop is O(log n) jobs and never collects docs to the driver — the
+  * 100 TB-safe layout.
   */
 object SemAgg {
+
+  private val PidShift = 40 // < 2^40 rows per partition
 
   def semAgg(
       df: DataFrame,
@@ -34,7 +41,9 @@ object SemAgg {
       if (allCols) df.columns.filterNot(groupBy.contains).toIndexedSeq
       else { nle.validate(df.columns.toIndexedSeq); nle.cols }
     val instruction = nle.instruction
-    val lm = s.lm
+    val stats = UsageTracker.forSession(df.sparkSession)
+    val lm = s.activeLm(stats)
+    val cached = lm.isInstanceOf[CachedLM]
 
     // Serialized doc per row, built natively (codegen) for the DEFAULT format.
     val docExpr = concat(docCols.map { c =>
@@ -42,75 +51,125 @@ object SemAgg {
         coalesce(col(c).cast(StringType), lit("None")), lit("»\n"))
     }: _*)
 
-    val ord = if (orderBy.nonEmpty) orderBy else Seq(monotonically_increasing_id())
+    val nGroup = groupBy.length
     val groupCols = groupBy.map(col)
-    val w = if (groupBy.isEmpty) Window.orderBy(ord: _*)
-            else Window.partitionBy(groupCols: _*).orderBy(ord: _*)
+    val P = df.sparkSession.sparkContext.defaultParallelism
 
-    var cur = df
-      .withColumn("__doc", docExpr)
-      .withColumn("__ord", row_number().over(w).cast(LongType))
-      .select(groupBy.map(col) :+ col("__ord") :+ col("__doc"): _*)
+    // ---- initial total order, fully parallel ----
+    // Range-partition by (group, order) + sort within partitions, then
+    // __ord = (partitionId << 40) | localIndex. Consistent with the user's
+    // orderBy because RangePartitioner assigns ascending key ranges to
+    // ascending partition ids.
+    val ordAliases = orderBy.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val base = df.withColumn("__doc", docExpr)
+      .select(groupCols ++ ordAliases :+ col("__doc"): _*)
+    val sortCols = groupCols ++ orderBy.indices.map(i => col(s"__o$i"))
+    val arranged =
+      if (sortCols.nonEmpty)
+        base.repartitionByRange(P, sortCols: _*).sortWithinPartitions(sortCols: _*)
+      else base
+
+    val rowSchema = StructType(
+      groupBy.map(g => df.schema(g)) ++
+        Seq(StructField("__ord", LongType), StructField("__doc", StringType)))
+    val docIdx = arranged.schema.fieldIndex("__doc")
+    var cur = arranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId().toLong
+      it.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq((0 until nGroup).map(r.get) ++
+          Seq((pid << PidShift) | i.toLong, r.getString(docIdx)))
+      }
+    }(Encoders.row(rowSchema))
 
     // Chars-per-pack budget ≈ 4 chars/token on the usable context.
     val budget = math.max(2000L, (lm.maxCtxLen.toLong - lm.maxTokens.toLong) * 4 / 2)
 
-    val outSchema = StructType(
-      groupBy.map(g => df.schema(g)) ++
-        Seq(StructField("__ord", LongType), StructField("__doc", StringType)))
-
     var isLeaf = true
+    var n = -1L // unknown until the first convergence check
     var done = false
     while (!done) {
-      val gw = if (groupBy.isEmpty) Window.orderBy(col("__ord"))
-               else Window.partitionBy(groupCols: _*).orderBy(col("__ord"))
-      // Token-budget packing, with guaranteed fan-in ≥ 2: when documents are
-      // large relative to the budget (partial summaries can approach it),
-      // size-based packing alone would put one doc per pack and the fold
-      // would stop shrinking — the pairwise bound keeps rounds O(log n).
-      // (A real LM shrinks summaries each level; the bound also covers
-      // summarizers that don't compress.)
-      val packed = cur
-        .withColumn("__t", length(col("__doc")).cast(LongType) + 64L)
-        .withColumn("__cum", sum(col("__t")).over(gw))
-        .withColumn("__rn", row_number().over(gw))
-        .withColumn("__pack", least(
-          floor((col("__cum") - 1) / budget),
-          floor((col("__rn") - 1) / 2)))
+      UsageLimit.checkBeforeStage(stats, lm)
+      // Partition count shrinks with the data: ≥4 rows per partition so
+      // local packing (fan-in ≥ 2) keeps making progress; the first round
+      // keeps the arranged partitioning (no extra shuffle).
+      val parts = if (n < 0) -1 else math.max(1, math.min(P, math.ceil(n / 4.0).toInt))
+      val packSort = groupCols :+ col("__ord")
+      val arrangedR =
+        if (parts < 0) cur
+        else cur.repartitionByRange(parts, packSort: _*).sortWithinPartitions(packSort: _*)
+
+      // Partition-local pack assignment, one sorted pass: a new pack starts
+      // at a group boundary or when the char budget is exceeded AND the pack
+      // already holds ≥2 docs (the fan-in guarantee — packs may exceed the
+      // budget rather than stall the fold; a real LM shrinks summaries each
+      // level, and the bound also covers summarizers that don't compress).
+      val packSchema = StructType(rowSchema.fields :+ StructField("__pack", LongType))
+      val budgetL = budget
+      val nGroupL = nGroup
+      val packed0 = arrangedR.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId().toLong
+        var packIdx = 0L
+        var packDocs = 0
+        var packChars = 0L
+        var curKey: Seq[Any] = null
+        it.map { r =>
+          val key = (0 until nGroupL).map(r.get)
+          val t = r.getString(nGroupL + 1).length.toLong + 64L
+          if (curKey == null) { curKey = key }
+          else if (key != curKey) {
+            curKey = key; packIdx += 1; packDocs = 0; packChars = 0L
+          } else if (packChars + t > budgetL && packDocs >= 2) {
+            packIdx += 1; packDocs = 0; packChars = 0L
+          }
+          packDocs += 1
+          packChars += t
+          Row.fromSeq(r.toSeq :+ ((pid << PidShift) | packIdx))
+        }
+      }(Encoders.row(packSchema))
+      val packed = packed0
         .groupBy(groupCols :+ col("__pack"): _*)
         .agg(sort_array(collect_list(struct(col("__ord"), col("__doc")))).as("__docs"))
 
       val leaf = isLeaf
-      val nGroup = groupBy.length
       val batchSize = lm.maxBatchSize
+      val lmL = lm
       val next = packed.mapPartitions { iter =>
         iter.grouped(batchSize).flatMap { rows =>
           val reqs = rows.map { r =>
-            val docs = r.getSeq[Row](nGroup + 1).map(_.getString(1))
+            val docs = r.getSeq[Row](nGroupL + 1).map(_.getString(1))
             LMRequest(Prompts.aggFormatter(docs, instruction, leaf))
           }
-          val res = lm.complete(reqs)
+          val res = lmL.complete(reqs)
+          stats.record(reqs, res)
+          if (!cached) stats.recordPhysical(reqs.length.toLong)
           rows.lazyZip(res).map { (r, out) =>
-            val ordMin = r.getSeq[Row](nGroup + 1).head.getLong(0)
-            Row.fromSeq((0 until nGroup).map(r.get) ++ Seq(ordMin,
+            val ordMin = r.getSeq[Row](nGroupL + 1).head.getLong(0)
+            Row.fromSeq((0 until nGroupL).map(r.get) ++ Seq(ordMin,
               s"[Source]: «${out.output}»\n"))
           }
         }
-      }(Encoders.row(outSchema))
+      }(Encoders.row(rowSchema))
 
       // Eager checkpoint: materializes the round's LLM calls exactly once
       // AND truncates lineage so O(log n) rounds don't stack plans.
-      val nextCp = next.localCheckpoint()
-      // Converged when every group is a single pack.
-      val anyMultiPack =
-        if (groupBy.isEmpty) nextCp.limit(2).count() > 1
-        else nextCp.groupBy(groupCols: _*).count().filter(col("count") > 1).limit(1).count() > 0
+      val nextCp = Persist.stage(next)
+      // Converged when every group is a single pack; one job yields both the
+      // row count (next round's partition sizing) and the per-group max.
+      if (groupBy.isEmpty) {
+        n = nextCp.count()
+        done = n <= 1
+      } else {
+        val agg = nextCp.groupBy(groupCols: _*).count()
+          .agg(sum("count").as("n"), max("count").as("mx")).head()
+        n = agg.getLong(0)
+        done = agg.getLong(1) <= 1
+      }
       cur = nextCp
-      if (!anyMultiPack) done = true else isLeaf = false
+      if (!done) isLeaf = false
     }
 
     // Unwrap the [Source]: «…» envelope of the final summary.
     val unwrap = regexp_extract(col("__doc"), "(?s)\\[Source\\]: «(.*)»\\n", 1)
-    cur.select(groupBy.map(col) :+ unwrap.as(suffix): _*)
+    cur.select(groupCols :+ unwrap.as(suffix): _*)
   }
 }

@@ -34,17 +34,29 @@ object SemTopK {
     * sem_topk.py:176-273): helper answers whose confidence clears the
     * threshold are accepted; the uncertain rest are re-asked of the oracle.
     */
+  /** Batched call with usage accounting (driver-side coordination paths;
+    * the distributed naive path records through its own captured stats).
+    */
+  private def callBatch(lm: LMClient, reqs: Seq[LMRequest]): Seq[graft.llm.LMResult] = {
+    val res = lm.complete(reqs)
+    graft.llm.UsageTracker.get.foreach { st =>
+      st.record(reqs, res)
+      if (!lm.isInstanceOf[graft.llm.CachedLM]) st.recordPhysical(reqs.length.toLong)
+    }
+    res
+  }
+
   private def compareAll(lm: LMClient, docs: Seq[String], pivot: String, instr: String,
       helper: Option[(LMClient, Double)] = None): Seq[Boolean] = helper match {
     case None =>
       docs.grouped(lm.maxBatchSize).flatMap { chunk =>
         val reqs = chunk.map(d => LMRequest(Prompts.compareFormatter(d, pivot, instr)))
-        lm.complete(reqs).map(r => firstWins(r.output))
+        callBatch(lm, reqs).map(r => firstWins(r.output))
       }.toVector
     case Some((helperLm, threshold)) =>
       val reqs = docs.map(d => LMRequest(Prompts.compareFormatter(d, pivot, instr)))
       val helperRes = reqs.grouped(helperLm.maxBatchSize)
-        .flatMap(helperLm.complete).toVector
+        .flatMap(r => callBatch(helperLm, r)).toVector
       val results = new Array[Option[Boolean]](docs.length)
       val uncertain = scala.collection.mutable.ArrayBuffer[Int]()
       helperRes.zipWithIndex.foreach { case (res, i) =>
@@ -93,12 +105,15 @@ object SemTopK {
     val nle = NLExpr.parse(instr)
     nle.validate(df.columns.toIndexedSeq)
     val instruction = nle.instruction
-    val lm = s.lm
+    val stats = graft.llm.UsageTracker.forSession(df.sparkSession)
+    graft.llm.UsageLimit.checkBeforeStage(stats, s.lm)
+    val lm = s.activeLm(stats)
     val cascadeHelper: Option[(LMClient, Double)] =
-      cascadeThreshold.flatMap(t => s.helperLm.map(h => (h, t)))
+      cascadeThreshold.flatMap(t => s.helperLm.map(h =>
+        (if (s.enableCache) graft.llm.CachedLM(h, stats) else h, t)))
 
     val withId = df.withColumn("__tk_id", monotonically_increasing_id()).persist()
-    withId.count()
+    val totalRows = withId.count()
     val ser = SemCore.serializeDoc(
       withId.schema, nle.cols, s.serializationFormat)
 
@@ -129,17 +144,23 @@ object SemTopK {
         import spark.implicits._
         val rankDf = top.zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
           .toDF("__tk_id", rankCol)
+        // Materialize before unpersist: the cached monotonically_increasing_id
+        // values must not be recomputed (repartitioned recompute could assign
+        // different ids than those captured in the collected rank table).
         val res = withId.join(broadcast(rankDf), "__tk_id")
           .orderBy(col(rankCol))
           .drop("__tk_id")
+          .transform(graft.core.Persist.stage(_))
         withId.unpersist()
         res
 
       case "quick" =>
+        // Cheap bound first (count already ran above): never materialize an
+        // oversized input on the driver just to fail the guard.
+        require(totalRows <= s.localExecutionThreshold,
+          s"semTopK quick method: $totalRows rows > localExecutionThreshold; use method=naive or heap")
         val idIdx = withId.schema.fieldIndex("__tk_id")
-        val collected = withId.collect() // guarded: top-k inputs are small post-filter
-        require(collected.length <= s.localExecutionThreshold,
-          s"semTopK quick method collected ${collected.length} rows > localExecutionThreshold; use method=naive")
+        val collected = withId.collect()
         val spark = df.sparkSession
         import spark.implicits._
 
@@ -162,6 +183,7 @@ object SemTopK {
         val res = withId.join(broadcast(rankDf), "__tk_id")
           .orderBy(groupBy.map(col) :+ col(rankCol): _*)
           .drop("__tk_id")
+          .transform(graft.core.Persist.stage(_))
         withId.unpersist()
         res
 
@@ -185,12 +207,17 @@ object SemTopK {
           StructField("win1", BooleanType)))
         val lmLocal = lm
         val instrLocal = instruction
+        val statsL = stats
+        val cachedL = lmLocal.isInstanceOf[graft.llm.CachedLM]
         val compared = pairs.mapPartitions { it =>
           it.grouped(lmLocal.maxBatchSize).flatMap { rows =>
             val reqs = rows.map(r => LMRequest(
               Prompts.compareFormatter(r.getString(1), r.getString(3), instrLocal)))
-            lmLocal.complete(reqs).lazyZip(rows).map { (res, r) =>
-              Row(r.getLong(0), r.getLong(2), firstWins(res.output))
+            val res = lmLocal.complete(reqs)
+            statsL.record(reqs, res)
+            if (!cachedL) statsL.recordPhysical(reqs.length.toLong)
+            res.lazyZip(rows).map { (res1, r) =>
+              Row(r.getLong(0), r.getLong(2), firstWins(res1.output))
             }
           }
         }(Encoders.row(cmpSchema))
