@@ -198,6 +198,30 @@ object Queries {
       }
     }),
 
+    "llm_judge" -> ((s, dir) => {
+      // n-trial judging: one sem_map per trial with the judge system prompt
+      // (reference llm_as_judge.py:81-105); the fake answers from the doc, so
+      // both trial columns are SQL-expressible.
+      Sem.withLM(FakeLM(FakeBehavior.FirstWords("Text", 2))) {
+        read(s, dir, "documents")
+          .llmAsJudge("rate the quality of {text}", nTrials = 2)
+          .select(col("doc_id"), col("_judge0"), col("_judge1"))
+          .orderBy("doc_id")
+      }
+    }),
+
+    "pairwise_judge" -> ((s, dir) => {
+      // A/B compare of two columns through the filter core with ("A","B")
+      // output tokens (reference pairwise_judge.py:204-224).
+      Sem.withLM(FakeLM(FakeBehavior.PreferLongerField())) {
+        read(s, dir, "documents").select("doc_id", "text", "source")
+          .pairwiseJudge("text", "source",
+            "which of {text} and {source} is more substantial")
+          .select(col("doc_id"), col("_judge0"))
+          .orderBy("doc_id")
+      }
+    }),
+
     "sem_filter_cascade" -> ((s, dir) => {
       // Helper-model cascade. Thresholds are pinned at (0.9, 0.1): the fake
       // helper's confidence bands are separated, so the accepted band is
@@ -229,38 +253,71 @@ object Queries {
     }),
 
     // ---------------- embedding / similarity ops --------------------------
+    // These route through the REAL operator APIs (semSearchVec / semSimJoin /
+    // neardupPairs / semDedup) over the stored vectors: renaming `embedding`
+    // to the operator's index-column convention attaches it as a precomputed
+    // index (semIndex is then a no-op), exactly like the reference's
+    // load_sem_index path.
     "sem_search_cos" -> ((s, dir) => {
       val e = read(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      e.crossJoin(broadcast(q))
-        .withColumn("raw", EmbedOps.cosineSim(col("embedding"), col("qv")))
-        .orderBy(col("raw").desc, col("vec_id"))
-        .limit(10)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      EmbedOps.semSearchVec(withVec, "emb", qv, 10,
+          scoreCol = "raw", tieBreak = Seq(col("vec_id")))
         .select(col("vec_id"), round(col("raw"), 3).as("score"))
     }),
 
     "sem_sim_join_cos" -> ((s, dir) => {
       val e = read(s, dir, "embeddings")
-      val l = e.filter(col("vec_id") < 20).select(col("vec_id").as("lid"), col("embedding").as("lv"))
-      val r = e.select(col("vec_id").as("rid"), col("embedding").as("rv"))
-      val w = Window.partitionBy("lid").orderBy(col("raw").desc, col("rid"))
-      l.crossJoin(broadcast(r))
-        .withColumn("raw", EmbedOps.cosineSim(col("lv"), col("rv")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+      val l = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("lid"), col("embedding").as(EmbedOps.vecCol("lemb")))
+      val r = e.select(col("vec_id").as("rid"), col("embedding").as(EmbedOps.vecCol("remb")))
+      EmbedOps.semSimJoin(l, r, "lemb", "remb", k = 3,
+          scoreCol = "raw", tieBreak = Seq(col("rid")))
         .orderBy(col("lid"), col("raw").desc, col("rid"))
         .select(col("lid"), col("rid"), round(col("raw"), 3).as("score"))
     }),
 
     "neardup_pairs_cos" -> ((s, dir) => {
       val e = read(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
-      val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"))
-      a.join(broadcast(b), col("id1") < col("id2"))
-        .withColumn("raw", EmbedOps.cosineSim(col("v1"), col("v2")))
-        .filter(col("raw") >= 0.45)
+        .withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      EmbedOps.neardupPairs(e, "emb", "vec_id", threshold = 0.45)
         .orderBy("id1", "id2")
-        .select(col("id1"), col("id2"), round(col("raw"), 3).as("score"))
+        .select(col("id1"), col("id2"), round(col("score"), 3).as("score"))
+    }),
+
+    "sem_dedup_drop" -> ((s, dir) => {
+      // Full semDedup: pair kernel → connected components → keep min-id
+      // representative. Oracle = recursive-CTE reachability in DuckDB.
+      val e = read(s, dir, "embeddings")
+        .withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      EmbedOps.semDedup(e, "emb", "vec_id", threshold = 0.45)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
+    "sem_index_roundtrip" -> ((s, dir) => {
+      // semIndexSave → parquet (id, vector) → semLoadIndex re-attach; the
+      // round-tripped first component must equal the source table's.
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_verify_index"
+      val e = read(s, dir, "embeddings")
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      EmbedOps.semIndexSave(withVec, "emb", "vec_id", path)
+      val loaded = EmbedOps.semLoadIndex(e.select("vec_id"), "emb", "vec_id", path)
+      loaded.select(col("vec_id"),
+          // `+ 0.0` normalizes IEEE signed zero (-0.0 vs 0.0 across engines)
+          (round(element_at(col(EmbedOps.vecCol("emb")), 1).cast("double"), 3) + lit(0.0)).as("v1"))
+        .orderBy("vec_id")
+    }),
+
+    "sem_partition" -> ((s, dir) => {
+      // sem_partition_by writes the _lotus_partition_id grouping column
+      // (cluster assignment — seed-deterministic, not SQL-expressible →
+      // rows-only check; exactness covered by EmbedSpec).
+      val e = read(s, dir, "embeddings").withColumn("__txt", col("vec_id").cast("string"))
+      EmbedOps.semPartitionBy(e, "__txt", nPartitions = 5)
+        .select(col("vec_id"), col("_lotus_partition_id").cast("long").as("_lotus_partition_id"))
+        .orderBy("vec_id")
     }),
 
     "sem_sim_join_lsh" -> ((s, dir) => {
@@ -310,8 +367,10 @@ object Queries {
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // Exact all-pairs n-gram Jaccard on a slice (the verification kernel
-      // of the minhash path, run alone): pairs with J ≥ 0.2.
-      val d = read(s, dir, "documents").filter(col("doc_id") < 100)
+      // of the minhash path, run alone): pairs with J ≥ 0.2. The slice is
+      // sized so planted near-dups land inside it (>0 result rows), and the
+      // exact-Jaccard oracle hash-checks the kernel in DuckDB.
+      val d = read(s, dir, "documents").filter(col("doc_id") < 300)
       val sh = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
       val a = sh.toDF("id1", "sh1")
       val b = sh.toDF("id2", "sh2")
@@ -503,6 +562,50 @@ object Queries {
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "sem_dedup_drop" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS vec_id FROM reach GROUP BY a HAVING min(b) = a ORDER BY vec_id""".stripMargin,
+
+    "sem_index_roundtrip" ->
+      """SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 3) + 0.0 AS v1
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "llm_judge" ->
+      """SELECT doc_id,
+        |  array_to_string((string_split(text, ' '))[1:2], ' ') AS _judge0,
+        |  array_to_string((string_split(text, ' '))[1:2], ' ') AS _judge1
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pairwise_judge" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(text) >= len(source) THEN 'A' ELSE 'B' END AS _judge0
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w
+        |  FROM documents WHERE doc_id < 300),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh
+        |  FROM t)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |        len(list_distinct(list_concat(a.sh, b.sh))), 3) AS jac
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        |ORDER BY id1, id2""".stripMargin,
 
     "text_stats" ->
       """WITH t AS (

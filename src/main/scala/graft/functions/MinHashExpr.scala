@@ -132,6 +132,64 @@ case class ShingleHashes(child: Expression, shingleLen: Int)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of a token array as ONE tight per-row loop (sibling of
+  * [[MinHashSignature]], replacing the explode → 65-aggregate shuffle): per
+  * token a single FNV-1a hash, ±1 bit votes accumulated in a local array,
+  * sign → bit. The full corpus is never exploded or shuffled — the signature
+  * is computed where the row already is.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<string>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      if (w != null) {
+        var h = 0xCBF29CE484222325L
+        val bytes = w.getBytes
+        var b = 0
+        while (b < bytes.length) {
+          h ^= (bytes(b) & 0xFFL); h *= 0x100000001B3L; b += 1
+        }
+        // avalanche so low bits are well-mixed
+        h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+        h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+        h ^= (h >>> 31)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinHashExpr {
   import org.apache.spark.sql.graft.ColumnBridge
   /** Column wrapper: minhash signature (array<long>) of a word-array column. */
@@ -141,4 +199,8 @@ object MinHashExpr {
   /** Column wrapper: per-shingle hashes (array<long>) of a word-array column. */
   def shingleHashes(words: Column, shingleLen: Int = 3): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), shingleLen))
+
+  /** Column wrapper: 64-bit simhash (long) of a token-array column. */
+  def simhash64(words: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(words)))
 }

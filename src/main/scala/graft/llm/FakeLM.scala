@@ -126,6 +126,19 @@ object FakeBehavior {
     }
   }
 
+  /** Pairwise-judge comparator: answer token `a` when field `a`'s value is
+    * at least as long as field `b`'s, else token `b` — a deterministic,
+    * SQL-expressible A/B verdict for the pairwise_judge gate.
+    */
+  final case class PreferLongerField(a: String = "A", b: String = "B") extends FakeBehavior {
+    def answer(req: LMRequest): String = {
+      val f = DocParse.fields(req.context)
+      val la = f.getOrElse(a, "").length
+      val lb = f.getOrElse(b, "").length
+      if (la >= lb) s"Answer: $a" else s"Answer: $b"
+    }
+  }
+
   /** Dispatch by prompt kind: map prompts carry an `Instruction:` tag,
     * filter/join prompts a `Claim:` tag — lets one fake serve multi-stage
     * pipelines (e.g. the map-search-filter join plan).

@@ -118,20 +118,13 @@ object Dedup {
     */
   def simhashPairs(dfIn: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
     val df = parallelize(dfIn)
-    // SimHash via explode + one grouped pass: per token a single xxhash64,
-    // per bit a codegen'd conditional-sum aggregate; bits are assembled from
-    // the 64 aggregate results. Avoids 64 re-traversals of the token array.
-    val toks = df.select(col(idCol).cast("long").as("id"),
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
-      .withColumn("th", xxhash64(col("t")))
-    val bitAggs = (0 until 64).map(b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(0)).as(s"b$b")) :+
-      count(lit(1)).as("n")
-    val agg = toks.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
-    val hash = (0 until 64).map { b =>
-      when(col(s"b$b") * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    val h = agg.select(col("id"), hash.as("h"))
+    // Signature as ONE tight per-row loop (custom expression, same pattern
+    // as the minhash signature): per token a single FNV-1a hash and 64 ±1
+    // votes, all row-local — no token explode, no full-corpus shuffle into
+    // a 65-way aggregate. The only shuffle left is the chunk-bucket join.
+    val h = df.select(col(idCol).cast("long").as("id"),
+        graft.functions.MinHashExpr.simhash64(
+          split(lower(trim(col(textCol))), "\\s+")).as("h"))
       .withColumn("chunk", explode(array((0 until 4).map(i =>
         struct(lit(i).as("i"), shiftright(col("h"), i * 16).bitwiseAND(0xFFFFL).as("v"))): _*)))
       .transform(graft.core.Persist.stage(_))

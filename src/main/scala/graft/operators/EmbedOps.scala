@@ -76,7 +76,18 @@ object EmbedOps {
       scoreCol: String = "vec_scores", tieBreak: Seq[Column] = Nil,
       nRerank: Int = 0, reranker: graft.embed.Reranker = graft.embed.LexicalReranker()): DataFrame = {
     val emb = Sem.settings.embedder
-    val qv = emb.embedOne(query).toIndexedSeq
+    semSearchVec(df, c, emb.embedOne(query).toIndexedSeq, k, scoreCol, tieBreak,
+      nRerank, reranker, Some(query))
+  }
+
+  /** [[semSearch]] against a precomputed query vector (the operator core —
+    * also the entry point when the column already carries stored vectors,
+    * like the reference's search over an attached index).
+    */
+  def semSearchVec(df: DataFrame, c: String, qv: Seq[Float], k: Int,
+      scoreCol: String = "vec_scores", tieBreak: Seq[Column] = Nil,
+      nRerank: Int = 0, reranker: graft.embed.Reranker = graft.embed.LexicalReranker(),
+      queryText: Option[String] = None): DataFrame = {
     val indexed = semIndex(df, c)
     val score = cosineSim(col(vecCol(c)), lit(qv))
     val top = indexed.withColumn(scoreCol, score)
@@ -87,10 +98,12 @@ object EmbedOps {
     else {
       // Cross-encoder rerank of the ≤k retrieved rows (bounded, like the
       // reference's n_rerank path, sem_search.py:148-155).
+      val q = queryText.getOrElse(
+        throw new IllegalArgumentException("nRerank requires the query text"))
       val spark = df.sparkSession
       val rows = top.collect()
       val idx = top.schema.fieldIndex(c)
-      val order = reranker.rerank(query, rows.map(r => String.valueOf(r.get(idx))).toIndexedSeq,
+      val order = reranker.rerank(q, rows.map(r => String.valueOf(r.get(idx))).toIndexedSeq,
         math.min(nRerank, rows.length))
       val picked = order.map(rows(_))
       spark.createDataFrame(
@@ -106,20 +119,27 @@ object EmbedOps {
     * LSH pre-bucketing variant is the planned scale path.
     */
   def semSimJoin(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String, k: Int,
-      scoreCol: String = "_scores", broadcastRight: Boolean = true): DataFrame = {
-    val overlap = left.columns.toSet & right.columns.toSet
-    val l2 = overlap.foldLeft(semIndex(left, leftOn))((d, x) => d.withColumnRenamed(x, s"$x:left"))
-    val r2 = overlap.foldLeft(semIndex(right, rightOn))((d, x) => d.withColumnRenamed(x, s"$x:right"))
-    val lv = if (overlap.contains(leftOn)) vecCol(leftOn) else vecCol(leftOn)
+      scoreCol: String = "_scores", broadcastRight: Boolean = true,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val li = semIndex(left, leftOn)
+    val ri0 = semIndex(right, rightOn)
+    val lv = vecCol(leftOn)
+    // Same column (self sim-join): keep the two vector columns distinct
+    // before the overlap renames.
+    val rv = if (vecCol(rightOn) == lv) vecCol(rightOn + "__right") else vecCol(rightOn)
+    val ri = if (rv != vecCol(rightOn)) ri0.withColumnRenamed(vecCol(rightOn), rv) else ri0
+    val overlap = (li.columns.toSet & ri.columns.toSet) - lv
+    val l2 = overlap.foldLeft(li)((d, x) => d.withColumnRenamed(x, s"$x:left"))
+    val r2 = overlap.foldLeft(ri)((d, x) => d.withColumnRenamed(x, s"$x:right"))
     val lKey = uuidCol()
     val l3 = l2.withColumn(lKey, monotonically_increasing_id())
     val rb = if (broadcastRight) broadcast(r2) else r2
     val joined = l3.crossJoin(rb)
-      .withColumn(scoreCol, cosineSim(col(vecCol(leftOn)), col(vecCol(rightOn))))
-    val w = Window.partitionBy(col(lKey)).orderBy(col(scoreCol).desc)
+      .withColumn(scoreCol, cosineSim(col(lv), col(rv)))
+    val w = Window.partitionBy(col(lKey)).orderBy(col(scoreCol).desc +: tieBreak: _*)
     joined.withColumn("__rnk", row_number().over(w))
       .filter(col("__rnk") <= k)
-      .drop("__rnk", lKey, vecCol(leftOn), vecCol(rightOn))
+      .drop("__rnk", lKey, lv, rv)
   }
 
   private def uuidCol(): String = "__simjoin_lid"
@@ -152,23 +172,30 @@ object EmbedOps {
     */
   def semSimJoinLSH(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String,
       k: Int, dim: Int = 64, nBits: Int = 16, bands: Int = 4,
-      scoreCol: String = "_scores"): DataFrame = {
-    val overlap = left.columns.toSet & right.columns.toSet
-    val l2 = overlap.foldLeft(semIndex(left, leftOn))((d, x) => d.withColumnRenamed(x, s"$x:left"))
-    val r2 = overlap.foldLeft(semIndex(right, rightOn))((d, x) => d.withColumnRenamed(x, s"$x:right"))
-    val lKey = uuidCol()
+      scoreCol: String = "_scores", tieBreak: Seq[Column] = Nil): DataFrame = {
+    val li = semIndex(left, leftOn)
+    val ri0 = semIndex(right, rightOn)
     val lv = vecCol(leftOn)
-    val rv = vecCol(rightOn)
+    val rv = if (vecCol(rightOn) == lv) vecCol(rightOn + "__right") else vecCol(rightOn)
+    val ri = if (rv != vecCol(rightOn)) ri0.withColumnRenamed(vecCol(rightOn), rv) else ri0
+    val overlap = (li.columns.toSet & ri.columns.toSet) - lv
+    val l2 = overlap.foldLeft(li)((d, x) => d.withColumnRenamed(x, s"$x:left"))
+    val r2 = overlap.foldLeft(ri)((d, x) => d.withColumnRenamed(x, s"$x:right"))
+    val lKey = uuidCol()
+    val rKey = "__simjoin_rid"
     val lb = l2.withColumn(lKey, monotonically_increasing_id())
       .withColumn("__bk", explode(lshBandKeys(col(lv), dim, nBits, bands)))
-    val rb = r2.withColumn("__bk", explode(lshBandKeys(col(rv), dim, nBits, bands)))
+    val rb = r2.withColumn(rKey, monotonically_increasing_id())
+      .withColumn("__bk", explode(lshBandKeys(col(rv), dim, nBits, bands)))
+    // Candidate dedup on the (left id, right id) pair — never on the full
+    // right row (wide-row comparisons shuffle the whole payload).
     val joined = lb.join(rb, "__bk")
-      .dropDuplicates(lKey, r2.columns.filter(c => c != rv && c != "__bk"): _*)
+      .dropDuplicates(lKey, rKey)
       .withColumn(scoreCol, cosineSim(col(lv), col(rv)))
-    val w = Window.partitionBy(col(lKey)).orderBy(col(scoreCol).desc)
+    val w = Window.partitionBy(col(lKey)).orderBy(col(scoreCol).desc +: tieBreak: _*)
     joined.withColumn("__rnk", row_number().over(w))
       .filter(col("__rnk") <= k)
-      .drop("__rnk", "__bk", lKey, lv, rv)
+      .drop("__rnk", "__bk", lKey, rKey, lv, rv)
   }
 
   /** sem_cluster_by: KMeans over the column's embeddings (MLlib), appending
@@ -188,21 +215,54 @@ object EmbedOps {
     res
   }
 
+  /** Embedding near-duplicate pairs at cosine ≥ `threshold` — the pair
+    * kernel of [[semDedup]], public because it is a first-class dedup
+    * primitive. Returns (id1, id2, score) with id1 < id2.
+    *
+    * `useLsh=true` is the 100 TB path: candidates come from an LSH
+    * band-bucket equi-join (shuffle on band keys — never the full cross
+    * product), exact cosine verifies. Approximate: pairs whose vectors share
+    * no band are missed (tune nBits/bands for recall). The brute-force path
+    * is exact and right for small/broadcastable inputs.
+    */
+  def neardupPairs(df: DataFrame, c: String, idCol: String, threshold: Double,
+      useLsh: Boolean = false, dim: Int = 64, nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val indexed = semIndex(df, c)
+    val v = vecCol(c)
+    if (!useLsh) {
+      val a = indexed.select(col(idCol).cast(LongType).as("id1"), col(v).as("v1"))
+      val b = indexed.select(col(idCol).cast(LongType).as("id2"), col(v).as("v2"))
+      a.join(broadcast(b), col("id1") < col("id2"))
+        .withColumn("score", cosineSim(col("v1"), col("v2")))
+        .filter(col("score") >= threshold)
+        .select("id1", "id2", "score")
+    } else {
+      val vecs = indexed.select(col(idCol).cast(LongType).as("id"), col(v).as("vec"))
+        .withColumn("__bk", explode(lshBandKeys(col("vec"), dim, nBits, bands)))
+      val a = vecs.toDF("id1", "v1", "bk1")
+      val b = vecs.toDF("id2", "v2", "bk2")
+      a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
+        .select("id1", "id2", "v1", "v2").dropDuplicates("id1", "id2")
+        .withColumn("score", cosineSim(col("v1"), col("v2")))
+        .filter(col("score") >= threshold)
+        .select("id1", "id2", "score")
+    }
+  }
+
   /** sem_dedup: semantic near-duplicate removal — self sim-join at
     * `threshold`, connected components over the duplicate graph, keep the
-    * minimum-id representative per component
-    * (reference sem_dedup.py:32-91).
+    * minimum-id representative per component (reference sem_dedup.py:32-91).
+    * Above `lshRowThreshold` rows the pair generation switches from exact
+    * all-pairs to the LSH band-bucket path — all-pairs is O(n²) and fatal at
+    * corpus scale.
     */
-  def semDedup(df: DataFrame, c: String, idCol: String, threshold: Double): DataFrame = {
+  def semDedup(df: DataFrame, c: String, idCol: String, threshold: Double,
+      lshRowThreshold: Long = 100000L, dim: Int = 64): DataFrame = {
     val indexed = semIndex(df, c).persist()
-    indexed.count()
+    val n = indexed.count()
     val v = vecCol(c)
-    val a = indexed.select(col(idCol).cast(LongType).as("id1"), col(v).as("v1"))
-    val b = indexed.select(col(idCol).cast(LongType).as("id2"), col(v).as("v2"))
-    val edges = a.join(b, col("id1") < col("id2"))
-      .withColumn("__sim", cosineSim(col("v1"), col("v2")))
-      .filter(col("__sim") >= threshold)
-      .select("id1", "id2")
+    val edges = neardupPairs(indexed, c, idCol, threshold,
+      useLsh = n > lshRowThreshold, dim = dim).select("id1", "id2")
     val keep = Dedup.keepAfterConnectedComponents(
       indexed.select(col(idCol).cast(LongType).as("id")), edges)
     val res = indexed.join(keep.withColumnRenamed("id", "__keep_id"),

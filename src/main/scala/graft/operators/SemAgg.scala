@@ -27,6 +27,51 @@ object SemAgg {
 
   private val PidShift = 40 // < 2^40 rows per partition
 
+  /** One round's pack stage over a fold frame (group cols + __ord + __doc):
+    * optional range re-partition to `parts` (−1 keeps the current layout),
+    * then partition-local pack assignment in a single sorted pass — a new
+    * pack starts at a group boundary or when the char budget is exceeded AND
+    * the pack already holds ≥2 docs (the fan-in guarantee — packs may exceed
+    * the budget rather than stall the fold; a real LM shrinks summaries each
+    * level, and the bound also covers summarizers that don't compress).
+    * No global window, no single-partition exchange (plan-asserted in
+    * PlanPropertiesSpec).
+    */
+  private[graft] def packStage(cur: DataFrame, groupBy: Seq[String], budget: Long,
+      parts: Int): DataFrame = {
+    val groupCols = groupBy.map(col)
+    val nGroupL = groupBy.length
+    val packSort = groupCols :+ col("__ord")
+    val arrangedR =
+      if (parts < 0) cur
+      else cur.repartitionByRange(parts, packSort: _*).sortWithinPartitions(packSort: _*)
+    val packSchema = StructType(arrangedR.schema.fields :+ StructField("__pack", LongType))
+    val budgetL = budget
+    val packed0 = arrangedR.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId().toLong
+      var packIdx = 0L
+      var packDocs = 0
+      var packChars = 0L
+      var curKey: Seq[Any] = null
+      it.map { r =>
+        val key = (0 until nGroupL).map(r.get)
+        val t = r.getString(nGroupL + 1).length.toLong + 64L
+        if (curKey == null) { curKey = key }
+        else if (key != curKey) {
+          curKey = key; packIdx += 1; packDocs = 0; packChars = 0L
+        } else if (packChars + t > budgetL && packDocs >= 2) {
+          packIdx += 1; packDocs = 0; packChars = 0L
+        }
+        packDocs += 1
+        packChars += t
+        Row.fromSeq(r.toSeq :+ ((pid << PidShift) | packIdx))
+      }
+    }(Encoders.row(packSchema))
+    packed0
+      .groupBy(groupCols :+ col("__pack"): _*)
+      .agg(sort_array(collect_list(struct(col("__ord"), col("__doc")))).as("__docs"))
+  }
+
   def semAgg(
       df: DataFrame,
       instr: String,
@@ -93,42 +138,8 @@ object SemAgg {
       // local packing (fan-in ≥ 2) keeps making progress; the first round
       // keeps the arranged partitioning (no extra shuffle).
       val parts = if (n < 0) -1 else math.max(1, math.min(P, math.ceil(n / 4.0).toInt))
-      val packSort = groupCols :+ col("__ord")
-      val arrangedR =
-        if (parts < 0) cur
-        else cur.repartitionByRange(parts, packSort: _*).sortWithinPartitions(packSort: _*)
-
-      // Partition-local pack assignment, one sorted pass: a new pack starts
-      // at a group boundary or when the char budget is exceeded AND the pack
-      // already holds ≥2 docs (the fan-in guarantee — packs may exceed the
-      // budget rather than stall the fold; a real LM shrinks summaries each
-      // level, and the bound also covers summarizers that don't compress).
-      val packSchema = StructType(rowSchema.fields :+ StructField("__pack", LongType))
-      val budgetL = budget
+      val packed = packStage(cur, groupBy, budget, parts)
       val nGroupL = nGroup
-      val packed0 = arrangedR.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId().toLong
-        var packIdx = 0L
-        var packDocs = 0
-        var packChars = 0L
-        var curKey: Seq[Any] = null
-        it.map { r =>
-          val key = (0 until nGroupL).map(r.get)
-          val t = r.getString(nGroupL + 1).length.toLong + 64L
-          if (curKey == null) { curKey = key }
-          else if (key != curKey) {
-            curKey = key; packIdx += 1; packDocs = 0; packChars = 0L
-          } else if (packChars + t > budgetL && packDocs >= 2) {
-            packIdx += 1; packDocs = 0; packChars = 0L
-          }
-          packDocs += 1
-          packChars += t
-          Row.fromSeq(r.toSeq :+ ((pid << PidShift) | packIdx))
-        }
-      }(Encoders.row(packSchema))
-      val packed = packed0
-        .groupBy(groupCols :+ col("__pack"): _*)
-        .agg(sort_array(collect_list(struct(col("__ord"), col("__doc")))).as("__docs"))
 
       val leaf = isLeaf
       val batchSize = lm.maxBatchSize

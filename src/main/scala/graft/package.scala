@@ -62,9 +62,18 @@ package object graft {
         tieBreak: Seq[Column] = Nil): DataFrame =
       EmbedOps.semSearch(df, c, query, k, scoreCol, tieBreak)
 
+    def semSearchVec(c: String, qv: Seq[Float], k: Int, scoreCol: String = "vec_scores",
+        tieBreak: Seq[Column] = Nil): DataFrame =
+      EmbedOps.semSearchVec(df, c, qv, k, scoreCol, tieBreak)
+
     def semSimJoin(other: DataFrame, leftOn: String, rightOn: String, k: Int,
-        scoreCol: String = "_scores", broadcastRight: Boolean = true): DataFrame =
-      EmbedOps.semSimJoin(df, other, leftOn, rightOn, k, scoreCol, broadcastRight)
+        scoreCol: String = "_scores", broadcastRight: Boolean = true,
+        tieBreak: Seq[Column] = Nil): DataFrame =
+      EmbedOps.semSimJoin(df, other, leftOn, rightOn, k, scoreCol, broadcastRight, tieBreak)
+
+    def neardupPairs(c: String, idCol: String, threshold: Double,
+        useLsh: Boolean = false): DataFrame =
+      EmbedOps.neardupPairs(df, c, idCol, threshold, useLsh)
 
     def semClusterBy(c: String, nClusters: Int, seed: Long = 42,
         clusterCol: String = "cluster_id"): DataFrame =

@@ -77,4 +77,36 @@ class EmbedSpec extends SparkSpec {
     val e = HashingEmbedder(32)
     assert(e.embedOne("hello world").toSeq == e.embedOne("hello world").toSeq)
   }
+
+  test("neardupPairs LSH path plans an equi-join on band keys, not all-pairs") {
+    val pairs = EmbedOps.neardupPairs(corpus, "text", "id", threshold = 0.95, useLsh = true)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // The exact-identical pair must share every band and survive verification.
+    val withDup = corpus.union(Seq((6L, "machine learning models and neural networks"))
+      .toDF("id", "text"))
+    val found = EmbedOps.neardupPairs(withDup, "text", "id", threshold = 0.95, useLsh = true)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 6L)))
+  }
+
+  test("semSimJoin handles a self sim-join on the same column name") {
+    val l = corpus.select(col("id").as("lid"), col("text"))
+    val r = corpus.select(col("id").as("rid"), col("text"))
+    val out = EmbedOps.semSimJoin(l, r, "text", "text", k = 1, tieBreak = Seq(col("rid")))
+    // nearest neighbor of each doc is itself (score 1.0)
+    val m = out.select(col("lid"), col("rid")).as[(Long, Long)].collect().toMap
+    assert(m.forall { case (a, b) => a == b })
+  }
+
+  test("semSearchVec over a precomputed index column matches semSearch") {
+    val e = graft.core.Sem.settings.embedder
+    val qv = e.embedOne("neural networks for machine learning").toIndexedSeq
+    val viaVec = corpus.semSearchVec("text", qv, 2, tieBreak = Seq(col("id")))
+      .select("id").as[Long].collect().toSeq
+    val viaText = corpus.semSearch("text", "neural networks for machine learning", 2,
+      tieBreak = Seq(col("id"))).select("id").as[Long].collect().toSeq
+    assert(viaVec == viaText)
+  }
 }

@@ -36,4 +36,21 @@ class PlanPropertiesSpec extends SparkSpec {
   test("dedup_minhash shuffles on band buckets, not a cross product") {
     assert(!planOf("dedup_minhash").contains("CartesianProduct"))
   }
+
+  test("semAgg pack stage has no global window or single-partition exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cur = (0 until 500).map(i => (i.toLong, s"[Text]: «doc $i»\n"))
+      .toDF("__ord", "__doc").repartition(8)
+    val packed = graft.operators.SemAgg.packStage(cur, Nil, budget = 400L, parts = 8)
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(!plan.contains("Window"), plan)
+    // Packing still respects the fan-in ≥ 2 contract (only a trailing pack
+    // per partition may hold a single doc), so every round strictly shrinks.
+    val sizes = packed.select(size(col("__docs")).as("n")).as[Int].collect()
+    assert(sizes.sum == 500)
+    assert(sizes.count(_ == 1) <= 8)
+    assert(sizes.length <= 500 / 2 + 8)
+  }
 }
