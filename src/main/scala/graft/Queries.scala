@@ -222,6 +222,19 @@ object Queries {
       }
     }),
 
+    "sem_topk_quicksem" -> ((s, dir) => {
+      // quick-sem: embedding-presorted pivot selection (reference
+      // sem_topk.py:782-788). The comparator is a total order on the text
+      // column alone, so pivot choice cannot change the result — exact and
+      // ORDER-BY-checkable.
+      Sem.withLM(FakeLM(FakeBehavior.PreferLongerText())) {
+        read(s, dir, "documents")
+          .semTopK("which {text} is more substantial", k = 8, method = "quick-sem")
+          .select(col("doc_id"), col("rank").cast("long").as("rank"))
+          .orderBy("rank")
+      }
+    }),
+
     "sem_filter_cascade" -> ((s, dir) => {
       // Helper-model cascade. Thresholds are pinned at (0.9, 0.1): the fake
       // helper's confidence bands are separated, so the accepted band is
@@ -240,14 +253,21 @@ object Queries {
     }),
 
     "sem_join_cascade" -> ((s, dir) => {
-      // Embedding-proxy join cascade (rows-only check: the proxy routing is
-      // not SQL-expressible; exactness is covered by CascadeSpec).
+      // Embedding-proxy join cascade through the full plumbing (sim-join
+      // candidate generation → threshold routing → oracle pass). Thresholds
+      // are pinned so no pair is proxy-resolved: every candidate reaches the
+      // exact oracle and the result equals the plain semantic join — which
+      // makes the whole path DuckDB-checkable. Learned-threshold routing
+      // (statistical, not exact) is covered by CascadeSpec.
       Sem.withLM(FakeLM(FakeBehavior.FieldWordJoin("Text", "Word"))) {
         val docs = read(s, dir, "documents").filter(col("doc_id") < 40).select("doc_id", "text")
         val kws = s.createDataFrame(
           Seq(Tuple1("spark"), Tuple1("join"), Tuple1("filter"), Tuple1("window")))
           .toDF("word")
-        docs.semJoinCascade(kws, "the {text} mentions the word {word}", "text", "word")
+        docs.semJoinCascade(kws, "the {text} mentions the word {word}", "text", "word",
+            args = graft.cascade.CascadeArgs(
+              posThreshold = Some(1.01), negThreshold = Some(-0.01)))
+          .select("doc_id", "text", "word")
           .orderBy("doc_id", "word")
       }
     }),
@@ -409,6 +429,23 @@ object Queries {
       ).orderBy("doc_id")
     }),
 
+    "multimodal_prompt" -> ((s, dir) => {
+      // Image column → LLM prompt end-to-end: tag the column as an image,
+      // sem_map resolves refs into chat image parts (LMRequest.images); the
+      // fake answers with the data-URI payload length, a pure function of
+      // the source text → DuckDB-checkable.
+      Sem.withLM(FakeLM(FakeBehavior.ImagePayloadLen)) {
+        val d = read(s, dir, "documents")
+          // Spark base64() emits RFC-2045 line breaks — strip to plain b64.
+          .withColumn("img", regexp_replace(
+            base64(to_binary(col("text"), lit("utf-8"))), "[\\r\\n]", ""))
+        MultimodalOps.tagImage(d, "img")
+          .semMap("describe the {img}")
+          .select(col("doc_id"), col("_map").cast("long").as("n_img_chars"))
+          .orderBy("doc_id")
+      }
+    }),
+
     // ---------------- multimodal plumbing (stub decode) -------------------
     "multimodal_meta" -> ((s, dir) => {
       val d = read(s, dir, "documents")
@@ -513,6 +550,13 @@ object Queries {
       """SELECT lang, string_agg(text, chr(10) ORDER BY doc_id) AS _output
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "sem_join_cascade" ->
+      """SELECT d.doc_id, d.text, k.word
+        |FROM (SELECT doc_id, text FROM documents WHERE doc_id < 40) d
+        |CROSS JOIN (SELECT * FROM (VALUES ('spark'),('join'),('filter'),('window')) AS t(word)) k
+        |WHERE list_contains(string_split(d.text, ' '), k.word)
+        |ORDER BY d.doc_id, k.word""".stripMargin,
+
     "sem_filter_cascade" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'spark')
@@ -536,6 +580,12 @@ object Queries {
         |  SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
         |  FROM documents WHERE doc_id < 60) t
         |WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "sem_topk_quicksem" ->
+      """SELECT doc_id, rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY length(text) DESC, text) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 8 ORDER BY rank""".stripMargin,
 
     "sem_search_cos" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -632,6 +682,11 @@ object Queries {
         |       WHEN de > en THEN 'de' ELSE 'en' END AS pred_lang,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "multimodal_prompt" ->
+      """SELECT doc_id,
+        |  CAST(22 + 4 * ceil(strlen(text) / 3.0) AS BIGINT) AS n_img_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes,

@@ -17,7 +17,10 @@ final case class CascadeArgs(
       * (reference map_instruction in CascadeArgs). */
     mapInstruction: Option[String] = None,
     /** Force "search_filter" or "map_search_filter"; None = cost-choose. */
-    joinCascadeStrategy: Option[String] = None) extends Serializable
+    joinCascadeStrategy: Option[String] = None,
+    /** Candidates per left row from LSH retrieval (the 100 TB path); 0 =
+      * reference-parity full proxy scoring (K = |right|). */
+    joinCascadeTopK: Int = 0) extends Serializable
 
 /** Driver-side cascade math, a faithful port of the reference's
   * statistically-guaranteed threshold learning

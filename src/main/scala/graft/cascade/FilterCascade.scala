@@ -126,15 +126,25 @@ object FilterCascade {
   * dropped outright and only the uncertain band is LLM-verified. This is the
   * search-filter plan; activates only when |L|×|R| ≥ minJoinCascadeSize
   * (reference default 100), else falls back to the naive theta join.
+  *
+  * Candidate generation is top-k retrieval, never a materialized cross
+  * product: the reference's run_sem_sim_join with K=|R| maps to
+  * [[graft.operators.EmbedOps.semSimJoin]] (per-left top-K through a window
+  * over a broadcast nested loop — pairs stream through the shuffle, nothing
+  * is checkpointed at |L|×|R|). With `args.joinCascadeTopK` set, candidates
+  * come from the LSH band-bucket join instead — bounded candidates per left
+  * row, no all-pairs enumeration at any stage: the 100 TB path (pairs
+  * outside the retrieved top-k are implicitly rejected, trading bounded
+  * recall for scale exactly like the reference's ANN retrieval).
   */
 object JoinCascade {
 
-  /** Build the scored pair frame for one candidate plan. `mapFirst` applies
+  /** Build the scored candidate frame for one plan. `mapFirst` applies
     * `args.mapInstruction` to the left column before embedding — the
     * map-search-filter plan's proxy (reference sem_join.py:424-544).
     */
   private def scoredPairs(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String,
-      mapFirst: Option[String]): (DataFrame, String => Boolean) = {
+      mapFirst: Option[String], topK: Int): (DataFrame, String => Boolean) = {
     import graft.operators.EmbedOps
     val (lEff, lProxyCol) = mapFirst match {
       case Some(mi) =>
@@ -142,19 +152,25 @@ object JoinCascade {
         (mapped, "__mapped")
       case None => (left, leftOn)
     }
-    val overlap = lEff.columns.toSet & right.columns.toSet
-    val l2 = overlap.foldLeft(EmbedOps.semIndex(lEff, lProxyCol))((d, c) => d.withColumnRenamed(c, s"$c:left"))
-    val r2 = overlap.foldLeft(EmbedOps.semIndex(right, rightOn))((d, c) => d.withColumnRenamed(c, s"$c:right"))
-    val lv = EmbedOps.vecCol(lProxyCol)
-    val rv = EmbedOps.vecCol(rightOn)
-    val crossed = l2.crossJoin(broadcast(r2))
+    val leftCols = lEff.columns.toSet
+    val cand =
+      if (topK > 0)
+        EmbedOps.semSimJoinLSH(lEff, right, lProxyCol, rightOn, topK, scoreCol = "__raw")
+      else {
+        // Reference parity (K = |R|): full proxy scoring, streamed per-left
+        // through the top-K window — no checkpointed cross product.
+        val kAll = math.max(1, right.count()).toInt
+        EmbedOps.semSimJoin(lEff, right, lProxyCol, rightOn, kAll, scoreCol = "__raw")
+      }
+    val crossed = cand
       .withColumn("__cid", monotonically_increasing_id())
       // calibrate_sem_sim_join: clip scores into [0,1]
-      .withColumn("__pc", least(lit(1.0), greatest(lit(0.0),
-        EmbedOps.cosineSim(col(lv), col(rv)))))
-      .drop(lv, rv, "__mapped")
+      .withColumn("__pc", least(lit(1.0), greatest(lit(0.0), col("__raw"))))
+      .drop("__raw", "__mapped")
       .transform(graft.core.Persist.stage(_))
-    (crossed, l2.columns.contains _)
+    val isLeft = (c: String) =>
+      leftCols.contains(c) || (c.endsWith(":left") && leftCols.contains(c.stripSuffix(":left")))
+    (crossed, isLeft)
   }
 
   def semJoinCascade(
@@ -189,7 +205,8 @@ object JoinCascade {
       case None                      => None +: args.mapInstruction.map(Some(_)).toSeq
     }
     val evaluated = candidates.map { mapFirst =>
-      val (crossed, isLeft) = scoredPairs(left, right, leftOn, rightOn, mapFirst)
+      val (crossed, isLeft) = scoredPairs(left, right, leftOn, rightOn, mapFirst,
+        args.joinCascadeTopK)
       val mkReq = mkReqFor(crossed, isLeft)
       val (tp, tn) = CascadeCore.learnThresholds(crossed, mkReq, s.lm, args, default = false)
       val oracleCalls = crossed.filter(col("__pc") < tp && col("__pc") > tn).count()

@@ -12,6 +12,46 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  /** Column-metadata tag marking an image column — the Spark analogue of the
+    * reference's ImageDtype (lotus/dtype_extensions/image.py:12-34). Semantic
+    * operators exclude tagged columns from text serialization and ship them
+    * as chat image parts instead.
+    */
+  val DtypeKey = "graft_dtype"
+
+  def tagImage(df: DataFrame, c: String): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(df.schema(c).metadata).putString(DtypeKey, "image").build()
+    df.withColumn(c, org.apache.spark.sql.functions.col(c).as(c, meta))
+  }
+
+  def isImageCol(schema: StructType, c: String): Boolean = {
+    val f = schema(c)
+    f.metadata.contains(DtypeKey) && f.metadata.getString(DtypeKey) == "image"
+  }
+
+  /** Resolve an image reference into a chat-API url (reference fetch_image
+    * with "base64" output, lotus/utils.py:75-120): pass-through for http(s)
+    * and data: URIs, base64 → data URI, file:// / hadoop-fs paths fetched on
+    * the executor and inlined as data URIs.
+    */
+  def toImageUrl(ref: String, hadoopConf: org.apache.hadoop.conf.Configuration): String = {
+    def dataUri(b64: String) = s"data:image/png;base64,$b64"
+    if (ref == null || ref.isEmpty) dataUri("")
+    else if (ref.startsWith("data:") || ref.startsWith("http://") || ref.startsWith("https://")) ref
+    else if (ref.startsWith("base64:")) dataUri(ref.stripPrefix("base64:"))
+    else if (ref.startsWith("file://"))
+      dataUri(java.util.Base64.getEncoder.encodeToString(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(new java.net.URI(ref)))))
+    else if (ref.contains("://") && hadoopConf != null) {
+      val path = new org.apache.hadoop.fs.Path(ref)
+      val fs = path.getFileSystem(hadoopConf)
+      val in = fs.open(path)
+      val bytes = try in.readAllBytes() finally in.close()
+      dataUri(java.util.Base64.getEncoder.encodeToString(bytes))
+    } else dataUri(ref) // bare base64
+  }
+
   final case class MediaMeta(nBytes: Int, width: Int, height: Int, frames: Int)
 
   /** STUB decoder: deterministic pseudo-metadata from the payload bytes.

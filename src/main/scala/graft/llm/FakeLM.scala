@@ -126,6 +126,30 @@ object FakeBehavior {
     }
   }
 
+  /** Top-k comparator over a single text field: longer text wins, ties
+    * broken lexicographically (smaller string wins) — a total order over
+    * distinct texts, so quick-sem results are exact and ORDER-BY-checkable
+    * without a numeric id field in the prompt.
+    */
+  final case class PreferLongerText(field: String = "Text") extends FakeBehavior {
+    def answer(req: LMRequest): String = {
+      val vals = DocParse.fieldSeq(req.context).filter(_._1 == field).map(_._2)
+      if (vals.length >= 2) {
+        val firstWins = vals(0).length > vals(1).length ||
+          (vals(0).length == vals(1).length && vals(0) <= vals(1))
+        if (firstWins) "Answer: Document 1" else "Answer: Document 2"
+      } else "Answer: Document 1"
+    }
+  }
+
+  /** Multimodal probe: answers with the total character length of the
+    * attached image urls — a deterministic function of the image payload, so
+    * the image plumbing (tag → resolve → LMRequest.images) is oracle-checkable.
+    */
+  case object ImagePayloadLen extends FakeBehavior {
+    def answer(req: LMRequest): String = req.images.values.map(_.length).sum.toString
+  }
+
   /** Pairwise-judge comparator: answer token `a` when field `a`'s value is
     * at least as long as field `b`'s, else token `b` — a deterministic,
     * SQL-expressible A/B verdict for the pairwise_judge gate.

@@ -100,7 +100,7 @@ final case class OpenAICompatLM(
 
   override def modelName: String = model
 
-  private def toJson(req: LMRequest): String = {
+  private[graft] def toJson(req: LMRequest): String = {
     val root = mapper.createObjectNode()
     root.put("model", model)
     root.put("temperature", temperature)
@@ -110,12 +110,42 @@ final case class OpenAICompatLM(
       root.put("top_logprobs", 20)
     }
     val msgs = root.putArray("messages")
-    req.messages.foreach { m =>
+    val lastUserIdx = req.messages.lastIndexWhere(_.role == "user")
+    req.messages.zipWithIndex.foreach { case (m, i) =>
       val o = msgs.addObject()
       o.put("role", m.role)
-      o.put("content", m.content)
+      if (req.images.nonEmpty && i == lastUserIdx) {
+        // Multimodal user message as OpenAI content parts, mirroring the
+        // reference's user_message_formatter (task_instructions.py:69-84):
+        // [text: "Context:\n<docs>"] ++ per image ["[Name]: \n", image_url]
+        // ++ [text: "\n\n<instruction tag>"].
+        val (ctxPart, tagPart) = splitUserContent(m.content)
+        val parts = o.putArray("content")
+        val t0 = parts.addObject(); t0.put("type", "text"); t0.put("text", ctxPart)
+        req.images.foreach { case (name, url) =>
+          val lbl = parts.addObject(); lbl.put("type", "text"); lbl.put("text", s"[$name]: \n")
+          val img = parts.addObject(); img.put("type", "image_url")
+          img.putObject("image_url").put("url", url)
+        }
+        if (tagPart.nonEmpty) {
+          val t1 = parts.addObject(); t1.put("type", "text"); t1.put("text", tagPart)
+        }
+      } else o.put("content", m.content)
     }
     mapper.writeValueAsString(root)
+  }
+
+  /** Split a formatted user message "Context:\n<docs>\n\n<tag>" at the
+    * instruction-tag boundary (the same markers [[LMRequest.context]] uses).
+    */
+  private def splitUserContent(content: String): (String, String) = {
+    val idx = Seq("\n\nClaim:", "\n\nInstruction:", "\n\nnull")
+      .map(content.indexOf).filter(_ >= 0)
+    if (idx.isEmpty) (content, "")
+    else {
+      val i = idx.min
+      (content.substring(0, i), content.substring(i))
+    }
   }
 
   /** Normalized positive-token probability from the answer token's

@@ -36,6 +36,26 @@ object SemCore {
     }
   }
 
+  /** Split referenced columns into (text, image) by the image metadata tag
+    * (reference df2multimodal_info separates ImageDtype columns,
+    * task_instructions.py:372-387).
+    */
+  def splitImageCols(schema: StructType, cols: Seq[String]): (Seq[String], Seq[String]) =
+    cols.partition(c => !graft.functions.MultimodalOps.isImageCol(schema, c))
+
+  /** Resolver closure: row → images map (capitalized name → chat image url),
+    * resolved on executors — refs are fetched where the row already is.
+    */
+  def imageResolver(schema: StructType, imageCols: Seq[String],
+      conf: org.apache.spark.util.SerializableConfiguration): Row => Map[String, String] = {
+    val pairs = imageCols.map(c => (graft.core.NLExpr.cap(c), schema.fieldIndex(c)))
+    row => pairs.map { case (name, i) =>
+      name -> graft.functions.MultimodalOps.toImageUrl(
+        Option(row.get(i)).map(_.toString).getOrElse(""),
+        if (conf == null) null else conf.value)
+    }.toMap
+  }
+
   /** Extract the text after the first `Answer:` tag; whole (trimmed) output
     * when the tag is absent.
     */

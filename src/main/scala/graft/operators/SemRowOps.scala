@@ -19,6 +19,24 @@ object SemRowOps {
 
   import SemCore._
 
+  /** (text serializer, image resolver or null) for the referenced cols. */
+  private def docBuilders(df: DataFrame, cols: Seq[String],
+      s: graft.core.SemSettings): (org.apache.spark.sql.Row => String,
+        org.apache.spark.sql.Row => Map[String, String]) = {
+    val (textCols, imgCols) = splitImageCols(df.schema, cols)
+    val ser = serializeDocBudgeted(df.schema, textCols, s.serializationFormat, s.lm,
+      s.longContextStrategy)
+    val imgRes =
+      if (imgCols.isEmpty) null
+      else imageResolver(df.schema, imgCols, new org.apache.spark.util.SerializableConfiguration(
+        df.sparkSession.sparkContext.hadoopConfiguration))
+    (ser, imgRes)
+  }
+
+  private def imagesOf(imgRes: org.apache.spark.sql.Row => Map[String, String],
+      row: org.apache.spark.sql.Row): Map[String, String] =
+    if (imgRes == null) Map.empty else imgRes(row)
+
   def semMap(
       df: DataFrame,
       instr: String,
@@ -32,11 +50,12 @@ object SemRowOps {
     val s = Sem.settings
     val nle = NLExpr.parse(instr)
     nle.validate(df.columns.toIndexedSeq)
-    val ser = serializeDocBudgeted(df.schema, nle.cols, s.serializationFormat, s.lm, s.longContextStrategy)
+    val (ser, imgRes) = docBuilders(df, nle.cols, s)
     val instruction = nle.instruction
     val (exs, strat, sys) = (examples, strategy, systemPrompt)
     val out = LLMStage.appendAnswer(df, s.lm, RawCol,
-      row => LMRequest(Prompts.mapFormatter(ser(row), instruction, exs, strat, sys)))
+      row => LMRequest(Prompts.mapFormatter(ser(row), instruction, exs, strat, sys),
+        images = imagesOf(imgRes, row)))
     val isCot = strat == ReasoningStrategy.Cot || strat == ReasoningStrategy.ZsCot ||
       exs.exists(_.cot.isDefined)
     var res = out.withColumn(suffix, if (isCot) answerExpr(col(RawCol)) else col(RawCol))
@@ -62,11 +81,12 @@ object SemRowOps {
     val s = Sem.settings
     val nle = NLExpr.parse(instr)
     nle.validate(df.columns.toIndexedSeq)
-    val ser = serializeDocBudgeted(df.schema, nle.cols, s.serializationFormat, s.lm, s.longContextStrategy)
+    val (ser, imgRes) = docBuilders(df, nle.cols, s)
     val instruction = nle.instruction
     val (exs, strat, sys, toks) = (examples, strategy, systemPrompt, outputTokens)
     val out = LLMStage.appendAnswer(df, s.lm, RawCol,
-      row => LMRequest(Prompts.filterFormatter(ser(row), instruction, exs, strat, sys, toks)))
+      row => LMRequest(Prompts.filterFormatter(ser(row), instruction, exs, strat, sys, toks),
+        images = imagesOf(imgRes, row)))
     val ans = answerExpr(col(RawCol))
     val pred = boolExpr(ans, default, outputTokens)
     var res = out.withColumn(suffix, pred)
@@ -85,10 +105,11 @@ object SemRowOps {
   ): DataFrame = {
     val s = Sem.settings
     inputCols.foreach(c => require(df.columns.contains(c), s"Column $c not found"))
-    val ser = serializeDocBudgeted(df.schema, inputCols, s.serializationFormat, s.lm, s.longContextStrategy)
+    val (ser, imgRes) = docBuilders(df, inputCols, s)
     val (ocs, quotes, strat) = (outputCols, extractQuotes, strategy)
     val out = LLMStage.appendAnswer(df, s.lm, RawCol,
-      row => LMRequest(Prompts.extractFormatter(ser(row), ocs, quotes, strat)))
+      row => LMRequest(Prompts.extractFormatter(ser(row), ocs, quotes, strat),
+        images = imagesOf(imgRes, row)))
     val isCot = strat == ReasoningStrategy.Cot || strat == ReasoningStrategy.ZsCot
     val jsonCol = if (isCot) answerExpr(col(RawCol)) else col(RawCol)
     val names = outputCols.map(_._1) ++
@@ -128,14 +149,15 @@ object SemRowOps {
     nle.validate(joined.columns.toIndexedSeq)
     val leftCols = nle.cols.filter(l2.columns.contains)
     val rightCols = nle.cols.filter(r2.columns.contains)
-    val serL = serializeDoc(joined.schema, leftCols, s.serializationFormat)
-    val serR = serializeDoc(joined.schema, rightCols, s.serializationFormat)
+    val (serL, imgResL) = docBuilders(joined, leftCols, s)
+    val (serR, imgResR) = docBuilders(joined, rightCols, s)
     val instruction = nle.instruction
     val (exs, strat) = (examples, strategy)
-    // Pair doc = left block + "\n" + right block (merge_multimodal_info,
-    // task_instructions.py:390-410).
+    // Pair doc = left block + "\n" + right block; image maps of both sides
+    // merge (merge_multimodal_info, task_instructions.py:390-410).
     val out = LLMStage.appendAnswer(joined, s.lm, RawCol,
-      row => LMRequest(Prompts.filterFormatter(serL(row) + "\n" + serR(row), instruction, exs, strat)))
+      row => LMRequest(Prompts.filterFormatter(serL(row) + "\n" + serR(row), instruction, exs, strat),
+        images = imagesOf(imgResL, row) ++ imagesOf(imgResR, row)))
     val pred = boolExpr(answerExpr(col(RawCol)), default)
     out.filter(pred).drop(RawCol)
   }

@@ -71,6 +71,31 @@ object SemTopK {
       results.map(_.get).toVector
   }
 
+  /** Quickselect with embedding-informed pivots (reference "quick-sem",
+    * sem_topk.py:411-417,782-788): items carry a proxy rank (position in the
+    * instruction-similarity presort); the first partition pivots on the
+    * K-th best proxy item (a guess at the top-K boundary), deeper levels on
+    * the proxy median of the range.
+    */
+  private def quickTopKSem(lm: LMClient, items: Vector[(Long, String, Int)], k: Int,
+      instr: String, first: Boolean,
+      helper: Option[(LMClient, Double)] = None): Vector[(Long, String, Int)] = {
+    if (k <= 0 || items.isEmpty) return Vector.empty
+    if (items.length == 1) return items
+    val target = if (first) math.min(k, items.length) else math.max(1, items.length / 2)
+    val pivot = items.sortBy(_._3).apply(target - 1)
+    val pi = items.indexWhere(_._1 == pivot._1)
+    val rest = items.patch(pi, Nil, 1)
+    val wins = compareAll(lm, rest.map(_._2), pivot._2, instr, helper)
+    val (better, worse) = rest.zip(wins).partition(_._2)
+    val b = better.map(_._1)
+    val w = worse.map(_._1)
+    if (b.length >= k) quickTopKSem(lm, b, k, instr, first = false, helper)
+    else if (b.length == k - 1) quickTopKSem(lm, b, b.length, instr, first = false, helper) :+ pivot
+    else quickTopKSem(lm, b, b.length, instr, first = false, helper) ++
+      (pivot +: quickTopKSem(lm, w, k - b.length - 1, instr, first = false, helper))
+  }
+
   /** Quickselect returning the top `k` in rank order. */
   private def quickTopK(lm: LMClient, items: Vector[(Long, String)], k: Int, instr: String,
       rng: scala.util.Random, helper: Option[(LMClient, Double)] = None): Vector[(Long, String)] = {
@@ -125,49 +150,92 @@ object SemTopK {
         // quickselect. Scales to inputs the quick method cannot collect;
         // requires the comparator to be transitive-enough, the same caveat
         // as the reference's heap method (sem_topk.py:560-621).
-        val idIdx = withId.schema.fieldIndex("__tk_id")
+        // With groupBy, groups are co-located by a repartition on the keys,
+        // so each group's local top-k IS its final top-k — ranks are
+        // computed fully distributed, no driver merge.
         val serLocal = ser
         val lmLocal = lm
         val instrLocal = instruction
         val kLocal = k
-        require(groupBy.isEmpty, "heap method: use groupBy with method=quick")
-        val candidates = withId.mapPartitions { it =>
-          val items = it.map(r => (r.getAs[Long]("__tk_id"), serLocal(r))).toVector
-          if (items.isEmpty) Iterator.empty
-          else quickTopK(lmLocal, items, kLocal, instrLocal, new scala.util.Random(42),
-            cascadeHelper).iterator
-        }(org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING))
-          .collect().toVector
-        val top = quickTopK(lm, candidates, k, instruction, new scala.util.Random(42), cascadeHelper)
         val spark = df.sparkSession
         import spark.implicits._
-        val rankDf = top.zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
-          .toDF("__tk_id", rankCol)
+        val rankDf =
+          if (groupBy.isEmpty) {
+            val candidates = withId.mapPartitions { it =>
+              val items = it.map(r => (r.getAs[Long]("__tk_id"), serLocal(r))).toVector
+              if (items.isEmpty) Iterator.empty
+              else quickTopK(lmLocal, items, kLocal, instrLocal, new scala.util.Random(42),
+                cascadeHelper).iterator
+            }(org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING))
+              .collect().toVector
+            val top = quickTopK(lm, candidates, k, instruction, new scala.util.Random(42),
+              cascadeHelper)
+            top.zipWithIndex.map { case ((id, _), i) => (id, i + 1) }.toDF("__tk_id", rankCol)
+          } else {
+            val gIdx = groupBy.map(withId.schema.fieldIndex)
+            val rankSchema = StructType(Seq(
+              StructField("__tk_id", LongType), StructField(rankCol, IntegerType)))
+            withId.repartition(groupBy.map(col): _*).mapPartitions { it =>
+              it.toVector.groupBy(r => gIdx.map(r.get)).iterator.flatMap { case (_, rows) =>
+                val items = rows.map(r => (r.getAs[Long]("__tk_id"), serLocal(r))).toVector
+                quickTopK(lmLocal, items, kLocal, instrLocal, new scala.util.Random(42),
+                  cascadeHelper).zipWithIndex.map { case ((id, _), i) => Row(id, i + 1) }
+              }
+            }(Encoders.row(rankSchema))
+          }
         // Materialize before unpersist: the cached monotonically_increasing_id
         // values must not be recomputed (repartitioned recompute could assign
         // different ids than those captured in the collected rank table).
         val res = withId.join(broadcast(rankDf), "__tk_id")
-          .orderBy(col(rankCol))
+          .orderBy(groupBy.map(col) :+ col(rankCol): _*)
           .drop("__tk_id")
           .transform(graft.core.Persist.stage(_))
         withId.unpersist()
         res
 
-      case "quick" =>
+      case "quick" | "quick-sem" =>
         // Cheap bound first (count already ran above): never materialize an
         // oversized input on the driver just to fail the guard.
         require(totalRows <= s.localExecutionThreshold,
-          s"semTopK quick method: $totalRows rows > localExecutionThreshold; use method=naive or heap")
+          s"semTopK $method method: $totalRows rows > localExecutionThreshold; use method=naive or heap")
         val idIdx = withId.schema.fieldIndex("__tk_id")
         val collected = withId.collect()
         val spark = df.sparkSession
         import spark.implicits._
 
+        // quick-sem: presort by embedding similarity between each doc (its
+        // single referenced column) and the instruction; quickselect then
+        // pivots on the proxy order (reference sem_topk.py:782-788).
+        val useSem = method == "quick-sem"
+        val semRank: Map[Long, Int] =
+          if (!useSem) Map.empty
+          else {
+            require(nle.cols.length == 1,
+              "quick-sem: exactly one column can be used for embedding optimization")
+            val cIdx = withId.schema.fieldIndex(nle.cols.head)
+            val emb = s.embedder
+            val qv = emb.embedOne(instruction)
+            val vecs = emb.embed(collected.toIndexedSeq.map(r => String.valueOf(r.get(cIdx))))
+            def cos(a: Seq[Float], b: Seq[Float]): Double = {
+              var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+              while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+              if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+            }
+            collected.map(_.getLong(idIdx)).zip(vecs.map(v => cos(qv, v)))
+              .sortBy(-_._2).zipWithIndex.map { case ((id, _), i) => id -> i }.toMap
+          }
+
         def rankGroup(rows: Seq[Row]): Seq[(Long, Int)] = {
-          val items = rows.map(r => (r.getLong(idIdx), ser(r))).toVector
-          val top = quickTopK(lm, items, k, instruction, new scala.util.Random(42), cascadeHelper)
-          top.zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
+          val top: Seq[Long] =
+            if (useSem) {
+              val items = rows.map(r => (r.getLong(idIdx), ser(r), semRank(r.getLong(idIdx)))).toVector
+              quickTopKSem(lm, items, k, instruction, first = true, cascadeHelper).map(_._1)
+            } else {
+              val items = rows.map(r => (r.getLong(idIdx), ser(r))).toVector
+              quickTopK(lm, items, k, instruction, new scala.util.Random(42), cascadeHelper).map(_._1)
+            }
+          top.zipWithIndex.map { case (id, i) => (id, i + 1) }
         }
 
         val ranks: Seq[(Long, Int)] =
@@ -188,20 +256,22 @@ object SemTopK {
         res
 
       case "naive" =>
-        // Distributed all-pairs voting: i<j pairs → batched compare → wins.
-        require(groupBy.isEmpty, "naive method: groupBy not supported yet")
-        val docs = withId.select(col("__tk_id"),
-          lit(null).cast(StringType).as("__d")) // placeholder to build schema
+        // Distributed all-pairs voting: i<j pairs (within a group when
+        // groupBy is set) → batched compare → wins → rank per group.
+        val serLocal = ser
         val docDf = {
-          val serLocal = ser
-          val schema = StructType(Seq(StructField("__tk_id", LongType), StructField("__doc", StringType)))
+          val gIdx = groupBy.map(withId.schema.fieldIndex)
+          val schema = StructType(Seq(
+            StructField("__gk", StringType),
+            StructField("__tk_id", LongType), StructField("__doc", StringType)))
           withId.mapPartitions { it =>
-            it.map(r => Row(r.getAs[Long]("__tk_id"), serLocal(r)))
+            it.map(r => Row(gIdx.map(i => String.valueOf(r.get(i))).mkString("\u0001"),
+              r.getAs[Long]("__tk_id"), serLocal(r)))
           }(Encoders.row(schema))
         }
-        val a = docDf.toDF("id1", "doc1")
-        val b = docDf.toDF("id2", "doc2")
-        val pairs = a.join(b, col("id1") < col("id2"))
+        val a = docDf.toDF("gk1", "id1", "doc1")
+        val b = docDf.toDF("gk2", "id2", "doc2")
+        val pairs = a.join(b, col("gk1") === col("gk2") && col("id1") < col("id2"))
         val cmpSchema = StructType(Seq(
           StructField("id1", LongType), StructField("id2", LongType),
           StructField("win1", BooleanType)))
@@ -212,25 +282,37 @@ object SemTopK {
         val compared = pairs.mapPartitions { it =>
           it.grouped(lmLocal.maxBatchSize).flatMap { rows =>
             val reqs = rows.map(r => LMRequest(
-              Prompts.compareFormatter(r.getString(1), r.getString(3), instrLocal)))
+              Prompts.compareFormatter(r.getString(2), r.getString(5), instrLocal)))
             val res = lmLocal.complete(reqs)
             statsL.record(reqs, res)
             if (!cachedL) statsL.recordPhysical(reqs.length.toLong)
             res.lazyZip(rows).map { (res1, r) =>
-              Row(r.getLong(0), r.getLong(2), firstWins(res1.output))
+              Row(r.getLong(1), r.getLong(4), firstWins(res1.output))
             }
           }
         }(Encoders.row(cmpSchema))
         val votes = compared.select(
             when(col("win1"), col("id1")).otherwise(col("id2")).as("__tk_id"))
           .groupBy("__tk_id").agg(count(lit(1)).as("__wins"))
-        val ranked = withId.join(votes, Seq("__tk_id"), "left")
-          .na.fill(0L, Seq("__wins"))
-          .orderBy(col("__wins").desc, col("__tk_id"))
-          .limit(k)
-          .withColumn(rankCol, row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy(col("__wins").desc, col("__tk_id"))))
-        ranked.drop("__tk_id", "__wins")
+        if (groupBy.isEmpty) {
+          // Bounded: orderBy+limit k lowers to TakeOrderedAndProject, the
+          // final rank window only ever sees ≤k rows.
+          val ranked = withId.join(votes, Seq("__tk_id"), "left")
+            .na.fill(0L, Seq("__wins"))
+            .orderBy(col("__wins").desc, col("__tk_id"))
+            .limit(k)
+            .withColumn(rankCol, row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy(col("__wins").desc, col("__tk_id"))))
+          ranked.drop("__tk_id", "__wins")
+        } else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(groupBy.map(col): _*).orderBy(col("__wins").desc, col("__tk_id"))
+          withId.join(votes, Seq("__tk_id"), "left")
+            .na.fill(0L, Seq("__wins"))
+            .withColumn(rankCol, row_number().over(w))
+            .filter(col(rankCol) <= k)
+            .drop("__tk_id", "__wins")
+        }
 
       case other => throw new IllegalArgumentException(s"Unknown semTopK method: $other")
     }

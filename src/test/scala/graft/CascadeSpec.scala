@@ -84,6 +84,23 @@ class CascadeSpec extends SparkSpec {
     assert(pairs.size >= 50) // recall target 0.8 of 60 true pairs
   }
 
+  test("join cascade with topK routes only LSH candidates (no cross product)") {
+    import graft.cascade.{CascadeArgs, JoinCascade}
+    val docs = (0 until 60).map(i => (i.toLong, s"w$i spark data")).toDF("doc_id", "text")
+    val kws = Seq(Tuple1("spark"), Tuple1("mesos"), Tuple1("kafka")).toDF("word")
+    val (res, stats) = Sem.withLM(FakeLM(FakeBehavior.FieldWordJoin("Text", "Word"))) {
+      JoinCascade.semJoinCascade(docs, kws, "the {text} mentions the word {word}",
+        "text", "word", CascadeArgs(posThreshold = Some(1.01), negThreshold = Some(-0.01),
+          joinCascadeTopK = 2))
+    }
+    assert(stats.nonEmpty)
+    // Candidates are bounded: ≤ topK per left row ever reached the oracle.
+    assert(stats.get.total <= 60 * 2)
+    // All emitted pairs are true pairs (the oracle verified every candidate).
+    val pairs = res.select("doc_id", "word").as[(Long, String)].collect()
+    assert(pairs.forall(_._2 == "spark"))
+  }
+
   test("fixed thresholds skip learning") {
     val docs = (0 until 50).map(i => (i.toLong, if (i % 2 == 0) "a delay" else "fine"))
       .toDF("id", "text")

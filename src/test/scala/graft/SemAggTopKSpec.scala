@@ -123,4 +123,32 @@ class SemAggTopKSpec extends SparkSpec {
     assert(q.orderBy("rank").select("doc_id").as[Long].collect().toSeq ==
       n.orderBy("rank").select("doc_id").as[Long].collect().toSeq)
   }
+
+  test("semTopK quick-sem matches quick under a total-order comparator") {
+    val df = (0 until 40).map(i => (i.toLong, "x" * (1 + (i * 7 % 40))))
+      .toDF("doc_id", "text")
+    val (q, qs) = Sem.withLM(FakeLM(FakeBehavior.PreferLongerText())) {
+      (df.semTopK("which {text} is more substantial", k = 6, method = "quick"),
+       df.semTopK("which {text} is more substantial", k = 6, method = "quick-sem"))
+    }
+    assert(qs.orderBy("rank").select("doc_id").as[Long].collect().toSeq ==
+      q.orderBy("rank").select("doc_id").as[Long].collect().toSeq)
+  }
+
+  test("semTopK heap and naive rank within groups") {
+    val df = (0 until 24).map(i => (i.toLong, s"g${i % 3}", s"t$i", (i / 3).toLong))
+      .toDF("doc_id", "grp", "text", "n_chars").repartition(4)
+    val exp = Sem.withLM(FakeLM(FakeBehavior.PreferLonger())) {
+      df.semTopK("most substantial {text} given {n_chars} and {doc_id}", k = 2,
+        groupBy = Seq("grp"))
+    }.select("grp", "doc_id", "rank").as[(String, Long, Int)].collect().toSet
+    val (h, n) = Sem.withLM(FakeLM(FakeBehavior.PreferLonger())) {
+      (df.semTopK("most substantial {text} given {n_chars} and {doc_id}", k = 2,
+         groupBy = Seq("grp"), method = "heap"),
+       df.semTopK("most substantial {text} given {n_chars} and {doc_id}", k = 2,
+         groupBy = Seq("grp"), method = "naive"))
+    }
+    assert(h.select("grp", "doc_id", "rank").as[(String, Long, Int)].collect().toSet == exp)
+    assert(n.select("grp", "doc_id", "rank").as[(String, Long, Int)].collect().toSet == exp)
+  }
 }
