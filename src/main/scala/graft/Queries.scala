@@ -390,8 +390,14 @@ object Queries {
       // of the minhash path, run alone): pairs with J ≥ 0.2. The slice is
       // sized so planted near-dups land inside it (>0 result rows), and the
       // exact-Jaccard oracle hash-checks the kernel in DuckDB.
+      // Hashed shingles (tight-loop expression → array<long>): intersecting
+      // 8-byte hashes beats string shingles on the N² verify; Jaccard is
+      // unchanged up to 2^-64 collisions, so the string-shingle oracle still
+      // hash-matches.
       val d = read(s, dir, "documents").filter(col("doc_id") < 300)
-      val sh = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      val sh = d.select(col("doc_id"),
+        array_distinct(graft.functions.MinHashExpr.shingleHashes(
+          split(trim(col("text")), "\\s+"), 3)).as("sh"))
       val a = sh.toDF("id1", "sh1")
       val b = sh.toDF("id2", "sh2")
       a.join(broadcast(b), col("id1") < col("id2"))

@@ -177,10 +177,75 @@ object SemAgg {
       }
       cur = nextCp
       if (!done) isLeaf = false
+
+      // Small-tail fold on the driver: once the surviving partials are few,
+      // per-round Spark-job overhead dominates the remaining O(log n)
+      // rounds — collect once and finish with batched local LM calls
+      // (SURVEY §7.5 risk 3's local-execution fallback; identical packing
+      // and prompts, so results are unchanged).
+      if (!done && n >= 0 && n <= DriverFoldThreshold) {
+        val rows = cur.collect().sortBy(r =>
+          ((0 until nGroup).map(i => String.valueOf(r.get(i))).mkString(""),
+            r.getLong(nGroup)))
+        val folded = driverFold(rows.toIndexedSeq, nGroup, budget, lm, instruction,
+          isLeaf, stats, cached)
+        val spark = df.sparkSession
+        cur = spark.createDataFrame(
+          spark.sparkContext.parallelize(folded, math.max(1, folded.length)), rowSchema)
+        done = true
+      }
     }
 
     // Unwrap the [Source]: «…» envelope of the final summary.
     val unwrap = regexp_extract(col("__doc"), "(?s)\\[Source\\]: «(.*)»\\n", 1)
     cur.select(groupCols :+ unwrap.as(suffix): _*)
+  }
+
+  private val DriverFoldThreshold = 2048L
+
+  /** Finish the fold locally: same greedy packing and prompts as the
+    * distributed rounds, batched through the LM until one row per group.
+    */
+  private def driverFold(rows0: Seq[Row], nGroup: Int, budget: Long,
+      lm: graft.llm.LMClient, instruction: String, isLeaf0: Boolean,
+      stats: graft.llm.UsageStats, cached: Boolean): Seq[Row] = {
+    var rows = rows0
+    var isLeaf = isLeaf0
+    var done = false
+    while (!done) {
+      // Greedy packs per group (ordered input): (group key, ordMin, docs).
+      val packs = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long, Vector[String])]
+      var curKey: Seq[Any] = null
+      var docs = Vector.empty[String]
+      var chars = 0L
+      var ordMin = 0L
+      def flush(): Unit = if (docs.nonEmpty) { packs += ((curKey, ordMin, docs)); docs = Vector.empty; chars = 0L }
+      rows.foreach { r =>
+        val key = (0 until nGroup).map(r.get)
+        val d = r.getString(nGroup + 1)
+        val t = d.length.toLong + 64L
+        if (curKey == null || key != curKey) { flush(); curKey = key; ordMin = r.getLong(nGroup) }
+        else if (chars + t > budget && docs.length >= 2) { flush(); ordMin = r.getLong(nGroup) }
+        docs :+= d
+        chars += t
+      }
+      flush()
+      val leaf = isLeaf
+      val results = packs.toVector.grouped(lm.maxBatchSize).flatMap { chunk =>
+        val reqs = chunk.map(p => graft.llm.LMRequest(
+          Prompts.aggFormatter(p._3, instruction, leaf)))
+        val res = lm.complete(reqs)
+        stats.record(reqs, res)
+        if (!cached) stats.recordPhysical(reqs.length.toLong)
+        chunk.lazyZip(res).map { (p, out) =>
+          Row.fromSeq(p._1 ++ Seq(p._2, s"[Source]: «${out.output}»\n"))
+        }
+      }.toVector
+      done = results.length == rows.length || // no shrink possible (1 per group)
+        results.groupBy(r => (0 until nGroup).map(r.get)).values.forall(_.length <= 1)
+      rows = results
+      isLeaf = false
+    }
+    rows
   }
 }
