@@ -52,7 +52,7 @@ private[cascade] object CascadeCore {
         val sampleDf = scored.filter(col("__cid").isin(sampledIds: _*))
         val labelled = LLMStage.appendAnswer(sampleDf, oracleLm, "__oracle_raw", mkReq)
           .withColumn("__label",
-            SemCore.boolExpr(SemCore.answerExpr(col("__oracle_raw")), default))
+            SemCore.boolExpr(SemCore.answerExprFor(oracleLm.modelName, col("__oracle_raw")), default))
           .select("__cid", "__label")
           .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
 
@@ -73,7 +73,7 @@ private[cascade] object CascadeCore {
     val rejected = scored.filter(col("__pc") <= tauNeg && col("__pc") < tauPos)
     val middle = scored.filter(col("__pc") < tauPos && col("__pc") > tauNeg)
     val oracleResolved = LLMStage.appendAnswer(middle, oracleLm, "__oracle_raw", mkReq)
-      .filter(SemCore.boolExpr(SemCore.answerExpr(col("__oracle_raw")), default))
+      .filter(SemCore.boolExpr(SemCore.answerExprFor(oracleLm.modelName, col("__oracle_raw")), default))
       .drop("__oracle_raw")
     val cols = keepCols.map(col)
     val result = accepted.select(cols: _*).union(oracleResolved.select(cols: _*))

@@ -75,8 +75,12 @@ object DirectoryReaderLite {
   private val textExts = Set("txt", "md", "csv", "json", "html", "xml", "log")
 
   def defaultExtractors: Map[String, Extractor] = Map(
-    // STUB for binary formats: a real deployment registers pdfbox/poi here.
-    "pdf" -> (bytes => Seq(s"[pdf ${bytes.length} bytes: extractor not installed]")),
+    // Built-in zero-dependency extraction for simple text PDFs; swap in
+    // pdfbox for full coverage. pptx stays a declared stub (needs poi).
+    "pdf" -> (bytes => {
+      val pages = PdfLite.extractText(bytes)
+      if (pages.nonEmpty) pages else Seq(s"[pdf ${bytes.length} bytes: no extractable text]")
+    }),
     "pptx" -> (bytes => Seq(s"[pptx ${bytes.length} bytes: extractor not installed]"))
   )
 

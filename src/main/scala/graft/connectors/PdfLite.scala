@@ -1,0 +1,135 @@
+package graft.connectors
+
+/** Minimal PDF text extraction (public PDF 1.x structure; reference
+  * DirectoryReader delegates to llama-index/pypdf,
+  * lotus/file_extractors/directory_reader.py:141-589). Zero-dependency:
+  * JDK Inflater for /FlateDecode streams and a scanner for the text-showing
+  * operators (Tj, ', ", TJ) inside BT/ET blocks. Covers machine-generated
+  * simple-font PDFs; CID/composite fonts, encryption, and object streams
+  * need a real library and fall back to empty pages.
+  */
+object PdfLite {
+
+  def isPdf(bytes: Array[Byte]): Boolean =
+    bytes.length > 4 && bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F'
+
+  /** Extract text, one entry per content stream that produced any text. */
+  def extractText(bytes: Array[Byte]): Seq[String] = {
+    if (!isPdf(bytes)) return Nil
+    val raw = new String(bytes, "ISO-8859-1") // 1:1 byte↔char
+    val out = Vector.newBuilder[String]
+    var from = 0
+    var continue = true
+    while (continue) {
+      val sIdx = raw.indexOf("stream", from)
+      if (sIdx < 0) continue = false
+      else {
+        val eIdx = raw.indexOf("endstream", sIdx)
+        if (eIdx < 0) continue = false
+        else {
+          // Skip the EOL after the `stream` keyword.
+          var dataStart = sIdx + "stream".length
+          if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
+          if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
+          val dictStart = math.max(raw.lastIndexOf("<<", sIdx), 0)
+          val dict = raw.substring(dictStart, sIdx)
+          val data = raw.substring(dataStart, eIdx).getBytes("ISO-8859-1")
+          val content =
+            if (dict.contains("/FlateDecode")) inflate(data).map(new String(_, "ISO-8859-1"))
+            else Some(new String(data, "ISO-8859-1"))
+          content.foreach { c =>
+            val text = textOps(c)
+            if (text.nonEmpty) out += text
+          }
+          from = eIdx + "endstream".length
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(data)
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(chunk)
+        if (n > 0) buf.write(chunk, 0, n)
+        else if (n == 0 && !inf.finished()) return Some(buf.toByteArray) // stalled
+      }
+      inf.end()
+      Some(buf.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** Collect strings shown by Tj / ' / " / TJ operators. */
+  private def textOps(content: String): String = {
+    val sb = new StringBuilder
+    val pending = new StringBuilder // strings inside a TJ array
+    var i = 0
+    val n = content.length
+    var inArray = false
+    def readString(start: Int): (String, Int) = {
+      val s = new StringBuilder
+      var depth = 1
+      var j = start
+      while (j < n && depth > 0) {
+        val ch = content.charAt(j)
+        if (ch == '\\' && j + 1 < n) {
+          content.charAt(j + 1) match {
+            case 'n' => s += '\n'; j += 2
+            case 'r' => s += '\r'; j += 2
+            case 't' => s += '\t'; j += 2
+            case 'b' => s += '\b'; j += 2
+            case 'f' => s += '\f'; j += 2
+            case '(' => s += '('; j += 2
+            case ')' => s += ')'; j += 2
+            case '\\' => s += '\\'; j += 2
+            case d if d >= '0' && d <= '7' =>
+              var k = j + 1
+              var oct = 0
+              while (k < n && k < j + 4 && content.charAt(k) >= '0' && content.charAt(k) <= '7') {
+                oct = oct * 8 + (content.charAt(k) - '0'); k += 1
+              }
+              s += oct.toChar; j = k
+            case other => s += other; j += 2
+          }
+        } else if (ch == '(') { depth += 1; s += ch; j += 1 }
+        else if (ch == ')') { depth -= 1; if (depth > 0) s += ch; j += 1 }
+        else { s += ch; j += 1 }
+      }
+      (s.toString, j)
+    }
+    def opAt(j0: Int): String = {
+      var j = j0
+      while (j < n && content.charAt(j).isWhitespace) j += 1
+      val st = j
+      while (j < n && !content.charAt(j).isWhitespace &&
+        content.charAt(j) != '(' && content.charAt(j) != '[' && content.charAt(j) != ']') j += 1
+      content.substring(st, j)
+    }
+    while (i < n) {
+      content.charAt(i) match {
+        case '(' =>
+          val (s, j) = readString(i + 1)
+          if (inArray) pending ++= s
+          else {
+            val op = opAt(j)
+            if (op == "Tj" || op == "'" || op == "\"") { sb ++= s; sb += '\n' }
+          }
+          i = j
+        case '[' => inArray = true; pending.clear(); i += 1
+        case ']' =>
+          if (inArray) {
+            val op = opAt(i + 1)
+            if (op == "TJ" && pending.nonEmpty) { sb ++= pending; sb += '\n' }
+          }
+          inArray = false
+          i += 1
+        case _ => i += 1
+      }
+    }
+    sb.toString.trim
+  }
+}

@@ -42,7 +42,11 @@ final case class SemSettings(
     checkpointDir: Option[String] = None,
     /** Abort the job once estimated usage crosses any limit (reference
       * LotusUsageLimitException, lm.py:465-473). */
-    usageLimit: Option[graft.llm.UsageLimit] = None
+    usageLimit: Option[graft.llm.UsageLimit] = None,
+    /** Driver-side thread budget for concurrent sub-jobs (judge trials,
+      * per-group top-k) — reference parallel_groupby_max_threads
+      * (settings.py:15-30). Spark supports concurrent job submission. */
+    parallelGroupbyMaxThreads: Int = 8
 ) extends Serializable {
 
   /** The operators' physical LM: cache-wrapped when enabled. */

@@ -174,9 +174,18 @@ object FakeBehavior {
       else onClaim.answer(req)
   }
 
-  /** Scripted: fixed answers cycled per call order within a batch. */
+  /** Scripted: fixed answers cycled in GLOBAL call order (per JVM) — the
+    * reference's ScriptedCompleter pattern. Test-only: the counter is a
+    * JVM-local static, which is exact in local mode.
+    */
   final case class Scripted(answers: Seq[String]) extends FakeBehavior {
-    def answer(req: LMRequest): String = answers.headOption.getOrElse("")
+    def answer(req: LMRequest): String =
+      if (answers.isEmpty) ""
+      else answers(Scripted.counter.getAndIncrement() % answers.length)
+  }
+  object Scripted {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    def reset(): Unit = counter.set(0)
   }
 
   /** A behavior that also exposes a positive-token probability (the logprob
@@ -229,8 +238,6 @@ final case class FakeLM(behavior: FakeBehavior, override val maxBatchSize: Int =
     override val maxCtxLen: Int = 128000) extends LMClient {
   override def modelName: String = s"fake/${behavior.getClass.getSimpleName}"
   override def complete(batch: Seq[LMRequest]): Seq[LMResult] = behavior match {
-    case FakeBehavior.Scripted(answers) =>
-      batch.zipWithIndex.map { case (_, i) => LMResult(answers(i % answers.length)) }
     case p: FakeBehavior.ProbBehavior =>
       batch.map(r => LMResult(p.answer(r), Some(p.positiveProb(r))))
     case b => batch.map(r => LMResult(b.answer(r)))

@@ -2,23 +2,85 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.core.{NLExpr, ReasoningStrategy}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.core.{NLExpr, ReasoningStrategy, Sem}
 
 /** Evaluation operators, composed from the core ops exactly as the reference
   * composes them (lotus/evals/llm_as_judge.py, pairwise_judge.py).
   */
 object Evals {
 
-  /** n-trial judging: one sem_map per trial with a judge system prompt,
-    * output columns `<suffix>_i` (reference llm_as_judge.py:81-105 runs
-    * trials in a thread pool; here each trial is one distributed LLM stage).
+  /** The reference judge system prompt, verbatim (llm_as_judge.py:71-75 —
+    * including the missing inter-sentence spaces).
+    */
+  val JudgeSystemPrompt: String =
+    "You are an intelligent, rigorous, and fair evaluator." +
+      "The user will provide the judging criteria, the relevant context and the grading scale." +
+      "Your job is to judge the output given the criteria, context and grading scale."
+
+  /** n-trial judging: one sem_map per trial with the judge system prompt,
+    * output columns `<suffix>_i`. Reference behaviors mirrored
+    * (llm_as_judge.py:76-105): response_format is rejected under CoT
+    * strategies; the response cache is disabled during trials so repeated
+    * trials stay independent; trials run concurrently on driver threads
+    * (ThreadPoolExecutor → concurrent Spark job submission).
+    *
+    * `responseFormat`: field names of a required JSON response — each
+    * trial's raw output is validated (parse failure raises, like pydantic's
+    * model_validate_json) and the trial column becomes a struct of the
+    * fields.
     */
   def llmAsJudge(df: DataFrame, judgeInstr: String, nTrials: Int = 1,
-      suffix: String = "_judge"): DataFrame = {
-    val sys = "You are a fair and impartial judge. Evaluate the provided data " +
-      "according to the user's criteria and answer concisely."
-    (0 until nTrials).foldLeft(df) { (d, i) =>
-      SemRowOps.semMap(d, judgeInstr, suffix = s"$suffix$i", systemPrompt = Some(sys))
+      suffix: String = "_judge",
+      responseFormat: Seq[String] = Nil,
+      systemPrompt: Option[String] = None,
+      strategy: ReasoningStrategy = ReasoningStrategy.Default): DataFrame = {
+    require(responseFormat.isEmpty ||
+      (strategy != ReasoningStrategy.Cot && strategy != ReasoningStrategy.ZsCot),
+      "Response format is not supported for COT or ZS_COT strategies. " +
+        "Use a non-COT strategy instead with reasoning field in the response format.")
+    val sys = Some(systemPrompt.getOrElse(JudgeSystemPrompt))
+    val s0 = Sem.settings
+    Sem.withSettings(s0.copy(enableCache = false)) {
+      val trials: Seq[(Int, DataFrame => DataFrame)] = (0 until nTrials).map { i =>
+        i -> ((d: DataFrame) => {
+          val mapped = SemRowOps.semMap(d, judgeInstr, suffix = s"$suffix$i",
+            strategy = strategy, systemPrompt = sys)
+          if (responseFormat.isEmpty) mapped
+          else {
+            val schema = StructType(responseFormat.map(f => StructField(f, StringType)))
+            // FAILFAST: a raw output that does not parse into the format
+            // raises on materialization, matching model_validate_json.
+            val parsed = from_json(col(s"$suffix$i"), schema,
+              Map("mode" -> "FAILFAST"))
+            mapped.withColumn(s"$suffix$i", parsed)
+          }
+        })
+      }
+      if (nTrials <= 1) trials.foldLeft(df)((d, t) => t._2(d))
+      else {
+        // Each trial is an independent LLM stage over the SAME input; run
+        // them concurrently (bounded by parallelGroupbyMaxThreads) and join
+        // the trial columns back on a row id.
+        val keyed = df.withColumn("__judge_rid", monotonically_increasing_id())
+          .transform(graft.core.Persist.stage(_))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(s0.parallelGroupbyMaxThreads, nTrials)))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        try {
+          val futs = trials.map { case (i, t) =>
+            Future {
+              t(keyed).select(col("__judge_rid"), col(s"$suffix$i"))
+                .transform(graft.core.Persist.stage(_))
+            }
+          }
+          val cols = Await.result(Future.sequence(futs), Duration.Inf)
+          cols.foldLeft(keyed)((d, c) => d.join(c, "__judge_rid")).drop("__judge_rid")
+        } finally pool.shutdown()
+      }
     }
   }
 

@@ -75,6 +75,44 @@ object SemCore {
       .otherwise(lit(""))
   }
 
+  /** DeepSeek-style CoT parsing (reference deepseek_cot_postprocessor,
+    * postprocessors.py:46-93): reasoning lives between `<think>` tags; the
+    * answer is the text after `Answer:`, falling back to the text after
+    * `</think>` and then the text before `<think>` when absent/empty. No
+    * think tags → whole trimmed output.
+    */
+  def deepseekAnswerExpr(raw: Column): Column = {
+    val ts = locate("<think>", raw)
+    val te = locate("</think>", raw)
+    val ai = locate("Answer:", raw)
+    val afterAnswer = trim(raw.substr(ai + lit(7), lit(Int.MaxValue)))
+    val afterThink = trim(raw.substr(te + lit(8), lit(Int.MaxValue)))
+    val beforeThink = trim(raw.substr(lit(1), ts - 1))
+    when(ts > 0 && te > 0,
+      when(ai > 0 && length(afterAnswer) > 0, afterAnswer)
+        .when(length(afterThink) > 0, afterThink)
+        .otherwise(beforeThink))
+      .otherwise(trim(raw))
+  }
+
+  /** DeepSeek-style reasoning: the text between `<think>` and `</think>`. */
+  def deepseekReasoningExpr(raw: Column): Column = {
+    val ts = locate("<think>", raw)
+    val te = locate("</think>", raw)
+    when(ts > 0 && te > 0, trim(raw.substr(ts + lit(7), te - ts - 7)))
+      .otherwise(lit(""))
+  }
+
+  /** Model-dispatched CoT postprocessor (reference get_cot_postprocessor,
+    * postprocessors.py:96-120): DeepSeek-R1 models use the `<think>`
+    * variants, everything else the `Reasoning:/Answer:` parser.
+    */
+  def answerExprFor(modelName: String, raw: Column): Column =
+    if (modelName.startsWith("deepseek-r1")) deepseekAnswerExpr(raw) else answerExpr(raw)
+
+  def reasoningExprFor(modelName: String, raw: Column): Column =
+    if (modelName.startsWith("deepseek-r1")) deepseekReasoningExpr(raw) else reasoningExpr(raw)
+
   /** Boolean parse with default fallback: positive token contained → true,
     * negative token contained → false, else `default`.
     */

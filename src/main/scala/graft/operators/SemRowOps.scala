@@ -58,10 +58,10 @@ object SemRowOps {
         images = imagesOf(imgRes, row)))
     val isCot = strat == ReasoningStrategy.Cot || strat == ReasoningStrategy.ZsCot ||
       exs.exists(_.cot.isDefined)
-    var res = out.withColumn(suffix, if (isCot) answerExpr(col(RawCol)) else col(RawCol))
+    var res = out.withColumn(suffix, if (isCot) answerExprFor(s.lm.modelName, col(RawCol)) else col(RawCol))
     if (returnExplanations)
       res = res.withColumn(s"explanation$suffix",
-        if (isCot) reasoningExpr(col(RawCol)) else lit(null).cast(StringType))
+        if (isCot) reasoningExprFor(s.lm.modelName, col(RawCol)) else lit(null).cast(StringType))
     if (returnRawOutputs) res = res.withColumn(s"raw_output$suffix", col(RawCol))
     res.drop(RawCol)
   }
@@ -87,10 +87,10 @@ object SemRowOps {
     val out = LLMStage.appendAnswer(df, s.lm, RawCol,
       row => LMRequest(Prompts.filterFormatter(ser(row), instruction, exs, strat, sys, toks),
         images = imagesOf(imgRes, row)))
-    val ans = answerExpr(col(RawCol))
+    val ans = answerExprFor(s.lm.modelName, col(RawCol))
     val pred = boolExpr(ans, default, outputTokens)
     var res = out.withColumn(suffix, pred)
-    if (returnExplanations) res = res.withColumn(s"explanation$suffix", reasoningExpr(col(RawCol)))
+    if (returnExplanations) res = res.withColumn(s"explanation$suffix", reasoningExprFor(s.lm.modelName, col(RawCol)))
     res = res.drop(RawCol)
     if (returnAll) res else res.filter(col(suffix)).drop(suffix)
   }
@@ -111,7 +111,7 @@ object SemRowOps {
       row => LMRequest(Prompts.extractFormatter(ser(row), ocs, quotes, strat),
         images = imagesOf(imgRes, row)))
     val isCot = strat == ReasoningStrategy.Cot || strat == ReasoningStrategy.ZsCot
-    val jsonCol = if (isCot) answerExpr(col(RawCol)) else col(RawCol)
+    val jsonCol = if (isCot) answerExprFor(s.lm.modelName, col(RawCol)) else col(RawCol)
     val names = outputCols.map(_._1) ++
       (if (extractQuotes) outputCols.map(c => s"${c._1}_quote") else Nil)
     // All-string schema: the reference coerces every extracted value to str.
@@ -158,7 +158,7 @@ object SemRowOps {
     val out = LLMStage.appendAnswer(joined, s.lm, RawCol,
       row => LMRequest(Prompts.filterFormatter(serL(row) + "\n" + serR(row), instruction, exs, strat),
         images = imagesOf(imgResL, row) ++ imagesOf(imgResR, row)))
-    val pred = boolExpr(answerExpr(col(RawCol)), default)
+    val pred = boolExpr(answerExprFor(s.lm.modelName, col(RawCol)), default)
     out.filter(pred).drop(RawCol)
   }
 }

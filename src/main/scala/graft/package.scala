@@ -104,8 +104,9 @@ package object graft {
 
     // ---- evals -----------------------------------------------------------
     def llmAsJudge(judgeInstr: String, nTrials: Int = 1,
-        suffix: String = "_judge"): DataFrame =
-      Evals.llmAsJudge(df, judgeInstr, nTrials, suffix)
+        suffix: String = "_judge", responseFormat: Seq[String] = Nil,
+        systemPrompt: Option[String] = None): DataFrame =
+      Evals.llmAsJudge(df, judgeInstr, nTrials, suffix, responseFormat, systemPrompt)
 
     def pairwiseJudge(col1: String, col2: String, judgeInstr: String,
         nTrials: Int = 1, permuteCols: Boolean = false,

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.connectors.{DirectoryReaderLite, PdfLite}
+import graft.core.Sem
+import graft.llm._
+import graft.operators.SemCore
+
+/** DeepSeek-style fake: answers wrapped in <think> reasoning. */
+final case class ThinkLM(answerOf: String => String) extends LMClient {
+  override def modelName: String = "deepseek-r1-distill-test"
+  override def complete(batch: Seq[LMRequest]): Seq[LMResult] =
+    batch.map { r =>
+      val f = DocParse.fields(r.context)
+      LMResult(s"<think>pondering the doc</think>\nAnswer: ${answerOf(f.getOrElse("Text", ""))}")
+    }
+}
+
+class JudgeCotPdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deepseek postprocessor splits <think> reasoning from the answer") {
+    val df = Seq(
+      ("<think>step by step</think>\nAnswer: yes indeed", "yes indeed", "step by step"),
+      ("<think>hmm</think> trailing conclusion", "trailing conclusion", "hmm"),
+      ("plain output no tags", "plain output no tags", "")
+    ).toDF("raw", "expAns", "expReason")
+    val got = df.select(
+      SemCore.deepseekAnswerExpr(col("raw")).as("a"),
+      SemCore.deepseekReasoningExpr(col("raw")).as("r"),
+      col("expAns"), col("expReason")).collect()
+    got.foreach { r =>
+      assert(r.getString(0) == r.getString(2), r.toString)
+      assert(r.getString(1) == r.getString(3), r.toString)
+    }
+  }
+
+  test("semMap with a deepseek-r1 model uses the <think> parser") {
+    val df = Seq((1L, "alpha beta")).toDF("id", "text")
+    val out = Sem.withLM(ThinkLM(t => t.toUpperCase)) {
+      df.semMap("shout {text}", strategy = graft.core.ReasoningStrategy.ZsCot,
+        returnExplanations = true)
+    }
+    val row = out.select("_map", "explanation_map").as[(String, String)].head()
+    assert(row._1 == "ALPHA BETA")
+    assert(row._2 == "pondering the doc")
+  }
+
+  test("llmAsJudge validates response_format and structures trials") {
+    val df = (0 until 6).map(i => (i.toLong, s"doc number $i")).toDF("id", "text")
+    val out = Sem.withLM(FakeLM(FakeBehavior.ExtractStats("Text"))) {
+      df.llmAsJudge("grade the {text}", nTrials = 2,
+        responseFormat = Seq("first_word", "n_words"))
+    }
+    assert(out.columns.contains("_judge0") && out.columns.contains("_judge1"))
+    val v = out.filter($"id" === 3).select("_judge0.first_word", "_judge1.n_words")
+      .as[(String, String)].head()
+    assert(v == ("doc", "3"))
+    // Invalid (non-JSON) output must raise on materialization.
+    val bad = Sem.withLM(FakeLM(FakeBehavior.Echo)) {
+      df.llmAsJudge("grade the {text}", responseFormat = Seq("score"))
+    }
+    intercept[Exception] { bad.collect() }
+    // CoT + response_format is rejected up front, like the reference.
+    intercept[IllegalArgumentException] {
+      Sem.withLM(FakeLM(FakeBehavior.Echo)) {
+        graft.operators.Evals.llmAsJudge(df, "grade {text}",
+          responseFormat = Seq("score"), strategy = graft.core.ReasoningStrategy.Cot)
+      }
+    }
+  }
+
+  test("PdfLite extracts Tj and TJ text from a generated pdf") {
+    def obj(n: Int, body: String) = s"$n 0 obj $body endobj\n"
+    val content = "BT /F1 12 Tf (Hello Graft) Tj (With \\(escapes\\)) Tj [(Seg)-250(mented)] TJ ET"
+    val pdf = "%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>") +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream endobj\n%%EOF\n"
+    val pages = PdfLite.extractText(pdf.getBytes("ISO-8859-1"))
+    assert(pages.nonEmpty)
+    val text = pages.mkString("\n")
+    assert(text.contains("Hello Graft"))
+    assert(text.contains("With (escapes)"))
+    assert(text.contains("Segmented"))
+  }
+
+  test("PdfLite inflates FlateDecode streams; DirectoryReaderLite extracts distributed") {
+    val content = "BT (Compressed page text) Tj ET"
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(content.getBytes("ISO-8859-1")); deflater.finish()
+    val buf = new Array[Byte](1024)
+    val m = deflater.deflate(buf)
+    val compressed = new String(buf.take(m), "ISO-8859-1")
+    val pdf = "%PDF-1.4\n" +
+      s"4 0 obj << /Length $m /Filter /FlateDecode >>\nstream\n$compressed\nendstream endobj\n%%EOF\n"
+    val dir = java.nio.file.Files.createTempDirectory("graftpdf")
+    java.nio.file.Files.write(dir.resolve("doc.pdf"), pdf.getBytes("ISO-8859-1"))
+    val df = DirectoryReaderLite.toDf(spark, dir.toString + "/*.pdf")
+    val text = df.select("content").as[String].collect().mkString("\n")
+    assert(text.contains("Compressed page text"))
+  }
+}
