@@ -52,10 +52,29 @@ trait LMClient extends Serializable {
   /** Per-response token budget; reference default 512. */
   def maxTokens: Int = 512
 
-  /** Cheap token estimate used for prompt packing (≈4 chars/token). */
-  def countTokens(s: String): Int = math.max(1, s.length / 4)
+  /** Token estimate used for rate limiting and cost pre-estimation. The
+    * reference counts real tokenizer tokens (lm.py:613-640); with no vocab
+    * files in this environment, a BPE-style regex estimate (≤4-char alnum
+    * chunks + per-char punctuation) is the deterministic stand-in — far
+    * closer to cl100k counts than chars/4, especially on punctuated text.
+    */
+  def countTokens(s: String): Int = Tokens.estimate(s)
 
   def modelName: String = "unknown"
+}
+
+/** Deterministic BPE-style token estimator (mirrors
+  * [[graft.functions.TextFunctions.bpeTokenEstimate]] for the Scala side).
+  */
+object Tokens {
+  private val pat = java.util.regex.Pattern.compile("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]")
+  def estimate(s: String): Int = {
+    if (s == null || s.isEmpty) return 1
+    val m = pat.matcher(s)
+    var n = 0
+    while (m.find()) n += 1
+    math.max(1, n)
+  }
 }
 
 /** OpenAI-compatible chat-completions client over java.net.http.
