@@ -1,0 +1,109 @@
+package graft.embed
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector-store abstraction (reference VS, lotus/vector_store/vs.py:10-58:
+  * index / load_index / search / get_vectors_from_index). Two impls:
+  *
+  *   - [[ParquetVS]] — the engine default: vectors as parquet (id, vector),
+  *     exact brute-force inner-product search in Spark. Matches FaissVS
+  *     flat-IP semantics (faiss_vs.py:13-77) and scales horizontally.
+  *   - [[QdrantLikeVS]] — the remote-store shape (reference QdrantVS /
+  *     WeaviateVS): talks the Qdrant REST contract through an injectable
+  *     transport; upserts stream from executors in batches, searches are
+  *     driver-side (results are top-k small).
+  */
+trait VectorStore {
+  def index(df: DataFrame, idCol: String, vecCol: String, collection: String): Unit
+  def load(spark: SparkSession, collection: String): DataFrame
+  def search(spark: SparkSession, collection: String, queryVec: Seq[Float], k: Int): DataFrame
+}
+
+/** Parquet-backed store under `basePath/<collection>`. */
+final case class ParquetVS(basePath: String) extends VectorStore {
+
+  private def path(c: String) = s"$basePath/$c"
+
+  override def index(df: DataFrame, idCol: String, vecCol: String, collection: String): Unit =
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vector"))
+      .write.mode("overwrite").parquet(path(collection))
+
+  override def load(spark: SparkSession, collection: String): DataFrame =
+    spark.read.parquet(path(collection))
+
+  override def search(spark: SparkSession, collection: String, queryVec: Seq[Float],
+      k: Int): DataFrame = {
+    val vecs = load(spark, collection)
+    vecs.withColumn("score",
+        graft.operators.EmbedOps.cosineSim(col("vector"), lit(queryVec)))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select("id", "score")
+  }
+}
+
+/** Remote store speaking the Qdrant REST contract (PUT collection, PUT
+  * points, POST points/search, POST points/scroll). The transport is
+  * injectable for hermetic tests; production passes
+  * [[graft.connectors.WebSearchEngines.defaultFetch]]-style HTTP.
+  */
+final case class QdrantLikeVS(baseUrl: String,
+    fetch: graft.connectors.WebSearchEngines.Fetch,
+    upsertBatch: Int = 256) extends VectorStore {
+
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def index(df: DataFrame, idCol: String, vecCol: String, collection: String): Unit = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    fetch(s"$baseUrl/collections/$collection", Map.empty,
+      Some(s"""{"vectors":{"size":$dim,"distance":"Cosine"}}"""))
+    val url = s"$baseUrl/collections/$collection/points"
+    val fetchL = fetch
+    val batch = upsertBatch
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vector"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        it.grouped(batch).foreach { rows =>
+          val root = m.createObjectNode()
+          val points = root.putArray("points")
+          rows.foreach { r =>
+            val p = points.addObject()
+            p.put("id", r.getLong(0))
+            val v = p.putArray("vector")
+            r.getSeq[Float](1).foreach(x => v.add(x))
+          }
+          fetchL(url, Map.empty, Some(m.writeValueAsString(root)))
+        }
+      }
+  }
+
+  override def load(spark: SparkSession, collection: String): DataFrame = {
+    import spark.implicits._
+    val resp = mapper.readTree(fetch(
+      s"$baseUrl/collections/$collection/points/scroll", Map.empty,
+      Some("""{"limit":1000000,"with_vector":true}""")))
+    val points = resp.path("result").path("points")
+    (0 until points.size()).map { i =>
+      val p = points.path(i)
+      val v = p.path("vector")
+      (p.path("id").asLong(), (0 until v.size()).map(v.path(_).floatValue()))
+    }.toDF("id", "vector")
+  }
+
+  override def search(spark: SparkSession, collection: String, queryVec: Seq[Float],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val body = mapper.createObjectNode()
+    val v = body.putArray("vector")
+    queryVec.foreach(x => v.add(x))
+    body.put("limit", k)
+    val resp = mapper.readTree(fetch(
+      s"$baseUrl/collections/$collection/points/search", Map.empty,
+      Some(mapper.writeValueAsString(body))))
+    val hits = resp.path("result")
+    (0 until hits.size()).map { i =>
+      (hits.path(i).path("id").asLong(), hits.path(i).path("score").asDouble())
+    }.toDF("id", "score")
+  }
+}

@@ -46,4 +46,42 @@ class GepaSpec extends SparkSpec {
     assert(result.plan.ops.head.asInstanceOf[SemFilterOp].instr.contains("'delay'"))
     assert(result.evaluations >= 3)
   }
+
+  test("evolutionary GEPA jointly optimizes multiple instructions") {
+    import graft.plan.Gepa
+    // Docs where the true pipeline needs BOTH filters fixed: keep rows that
+    // mention 'delay' AND 'urgent'.
+    val docs = (0 until 60).map { i =>
+      val words = new StringBuilder(s"row $i")
+      if (i % 2 == 0) words ++= " delay"
+      if (i % 3 == 0) words ++= " urgent"
+      (i.toLong, words.toString)
+    }.toDF("id", "text")
+    val expected = (0 until 60).filter(i => i % 2 == 0 && i % 3 == 0).map(_.toLong).toSet
+
+    def evalFn(out: DataFrame): Double = {
+      val got = out.select("id").as[Long].collect().toSet
+      val tp = (got & expected).size.toDouble
+      val fp = (got -- expected).size.toDouble
+      val fn = (expected -- got).size.toDouble
+      if (tp == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)
+    }
+
+    // Every reflection proposes the two useful rewrites; the evolutionary
+    // loop must route them to the right parameter slots.
+    val rewriter = FakeLM(FakeBehavior.Scripted(Seq(
+      "the {text} mentions the word 'delay'\nthe {text} mentions the word 'urgent'")))
+    val plan = SemPlan(Seq(
+      SemFilterOp("the {text} mentions the word 'banana'"),
+      SemFilterOp("the {text} mentions the word 'zebra'")))
+
+    val result = Sem.withLM(FakeLM(FakeBehavior.ClaimWordFilter)) {
+      Gepa.optimize(plan, docs, evalFn, rewriter,
+        Gepa.Config(populationSize = 4, maxEvals = 20, mutationsPerStep = 2))
+    }
+    assert(result.score == 1.0, result.history.map(_._2).mkString(","))
+    val instrs = result.plan.ops.collect { case SemFilterOp(i, _) => i }
+    assert(instrs.exists(_.contains("'delay'")) && instrs.exists(_.contains("'urgent'")))
+    assert(result.evaluations <= 20)
+  }
 }
