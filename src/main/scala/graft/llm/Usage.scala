@@ -66,28 +66,32 @@ object UsageTracker {
   * when building the LMClient and each executor JVM enforces its share with
   * a token bucket).
   */
-final class RateGovernor(rpm: Int, tpm: Int) extends Serializable {
+final class RateGovernor(rpm: Int, tpm: Int, windowMs: Long = 60000L) extends Serializable {
   @transient private lazy val lock = new Object
-  @transient private var windowStart = 0L
-  @transient private var reqCount = 0
-  @transient private var tokCount = 0L
+  @transient private lazy val events = scala.collection.mutable.ArrayDeque.empty[(Long, Int)]
+  @transient private var tokTotal = 0L
 
-  /** Block until a request of `tokens` estimated tokens may proceed. */
+  /** Block until a request of `tokens` estimated tokens may proceed.
+    * Sliding window over the last `windowMs` (reference TPM limiter keeps a
+    * sliding 60 s token window with 5% headroom, lm.py:351-436) — a fixed
+    * window would admit 2× the budget across a window boundary.
+    */
   def acquire(tokens: Int): Unit = {
     if (rpm <= 0 && tpm <= 0) return
     lock.synchronized {
       var done = false
       while (!done) {
         val now = System.currentTimeMillis()
-        if (now - windowStart >= 60000L) { windowStart = now; reqCount = 0; tokCount = 0L }
-        val rpmOk = rpm <= 0 || reqCount < rpm
-        // 5% headroom, as the reference's TPM limiter keeps (lm.py:351-436)
-        val tpmOk = tpm <= 0 || tokCount + tokens <= (tpm * 0.95).toLong
+        while (events.nonEmpty && now - events.head._1 >= windowMs) {
+          tokTotal -= events.removeHead()._2
+        }
+        val rpmOk = rpm <= 0 || events.length < rpm
+        val tpmOk = tpm <= 0 || tokTotal + tokens <= (tpm * 0.95).toLong
         if (rpmOk && tpmOk) {
-          reqCount += 1; tokCount += tokens; done = true
+          events.append((now, tokens)); tokTotal += tokens; done = true
         } else {
-          val sleepMs = math.max(50L, 60000L - (now - windowStart))
-          lock.wait(math.min(sleepMs, 1000L))
+          val sleepMs = events.headOption.map(h => windowMs - (now - h._1)).getOrElse(100L)
+          lock.wait(math.max(10L, math.min(sleepMs, 1000L)))
         }
       }
     }

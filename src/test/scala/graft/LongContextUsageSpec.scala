@@ -28,6 +28,26 @@ class LongContextUsageSpec extends SparkSpec {
     assert(echoed.length == 1000)
   }
 
+  test("rate governor enforces a sliding RPM window") {
+    val gov = new graft.llm.RateGovernor(rpm = 5, tpm = 0, windowMs = 300L)
+    val t0 = System.nanoTime()
+    (0 until 5).foreach(_ => gov.acquire(10))
+    val afterBurst = (System.nanoTime() - t0) / 1e6
+    assert(afterBurst < 200, s"burst within limit must not block ($afterBurst ms)")
+    gov.acquire(10) // 6th call must wait for the window to slide
+    val afterSixth = (System.nanoTime() - t0) / 1e6
+    assert(afterSixth >= 250, s"6th call must wait for the sliding window ($afterSixth ms)")
+  }
+
+  test("rate governor enforces the TPM budget with 5% headroom") {
+    val gov = new graft.llm.RateGovernor(rpm = 0, tpm = 1000, windowMs = 300L)
+    val t0 = System.nanoTime()
+    gov.acquire(900) // under 950 headroom
+    gov.acquire(100) // would exceed → must wait for the first to expire
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms >= 250, s"TPM overflow must block until the window slides ($ms ms)")
+  }
+
   test("usage accumulators track batches, requests and sizes") {
     UsageTracker.reset()
     val df = (0 until 10).map(i => (i.toLong, s"doc $i")).toDF("id", "text")

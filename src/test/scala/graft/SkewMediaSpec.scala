@@ -35,6 +35,38 @@ class SkewMediaSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // One hot key carrying nearly all the bytes; payload must stay
+      // incompressible or the shuffle bytes drop under the skew threshold.
+      val rng = new scala.util.Random(7)
+      val left = (0 until 40000).map(i =>
+        (if (i % 20 != 0) 1L else i.toLong, rng.alphanumeric.take(120).mkString))
+        .toDF("k", "payload")
+      val right = (0 until 2000).map(i => (i.toLong, s"r$i")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      joined.collect() // execute THIS plan so AQE finalizes it
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected a skew-split join:\n${plan.take(3000)}")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("resolveMediaRefs handles base64 and file refs on executors") {
     val tmp = java.nio.file.Files.createTempFile("graftimg", ".bin")
     java.nio.file.Files.write(tmp, "IMAGEBYTES".getBytes("UTF-8"))
