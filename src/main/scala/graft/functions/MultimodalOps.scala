@@ -6,9 +6,10 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded/feature-extracted per partition in bounded
   * batches (the Spark-side shape a real decoder needs: schema, batch size,
-  * partition-local library init). The decode itself is STUBBED with a
-  * deterministic function of the bytes — image/audio libraries are not
-  * available in this environment; swap `decodeOne` for a real codec call.
+  * partition-local library init). Image decode is REAL for the formats the
+  * JDK ships codecs for (PNG/JPEG/GIF/BMP via javax.imageio); non-image
+  * payloads (audio/video containers, unknown bytes) fall back to
+  * deterministic pseudo-metadata so pipelines stay total.
   */
 object MultimodalOps {
 
@@ -54,12 +55,118 @@ object MultimodalOps {
 
   final case class MediaMeta(nBytes: Int, width: Int, height: Int, frames: Int)
 
-  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
-    * A real implementation would decode the image/audio header here.
+  /** Decode media metadata. Real image decode via ImageIO (JDK codecs:
+    * PNG/JPEG/GIF/BMP/WBMP); anything undecodable falls back to a
+    * deterministic function of the bytes (audio/video containers would slot
+    * in here with their own libraries).
     */
   def decodeOne(bytes: Array[Byte]): MediaMeta = {
     val n = if (bytes == null) 0 else bytes.length
+    if (n > 0) {
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img != null) return MediaMeta(n, img.getWidth, img.getHeight, 1)
+      } catch { case _: Exception => }
+    }
     MediaMeta(n, n % 640, n % 480, n % 30 + 1)
+  }
+
+  /** Real image resize (fit within maxW×maxH, preserving aspect), re-encoded
+    * as PNG; undecodable payloads pass through unchanged.
+    */
+  def resizeOne(bytes: Array[Byte], maxW: Int, maxH: Int): Array[Byte] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return bytes
+      val scale = math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight)
+      if (scale >= 1.0) return bytes
+      val w = math.max(1, (img.getWidth * scale).toInt)
+      val h = math.max(1, (img.getHeight * scale).toInt)
+      val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", buf)
+      buf.toByteArray
+    } catch { case _: Exception => bytes }
+  }
+
+  /** Image feature vector: grid×grid mean-luma patches, L2-normalized — a
+    * real, deterministic image embedding (downsampled luminance), so image
+    * columns plug into the embedding operators (near-dup, clustering, ANN)
+    * with no model download. Undecodable payloads → zero vector.
+    */
+  def lumaFeatures(bytes: Array[Byte], grid: Int = 8): Array[Float] = {
+    val v = new Array[Float](grid * grid)
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return v
+      val cw = math.max(1, img.getWidth / grid)
+      val ch = math.max(1, img.getHeight / grid)
+      var gy = 0
+      while (gy < grid) {
+        var gx = 0
+        while (gx < grid) {
+          var sum = 0.0
+          var n = 0
+          var y = gy * ch
+          val yEnd = math.min(img.getHeight, (gy + 1) * ch)
+          while (y < yEnd) {
+            var x = gx * cw
+            val xEnd = math.min(img.getWidth, (gx + 1) * cw)
+            while (x < xEnd) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          v(gy * grid + gx) = if (n == 0) 0f else (sum / n / 255.0).toFloat
+          gx += 1
+        }
+        gy += 1
+      }
+      var norm = 0.0
+      var i = 0
+      while (i < v.length) { norm += v(i) * v(i); i += 1 }
+      if (norm > 0) {
+        val inv = (1.0 / math.sqrt(norm)).toFloat
+        i = 0
+        while (i < v.length) { v(i) *= inv; i += 1 }
+      }
+      v
+    } catch { case _: Exception => v }
+  }
+
+  /** Append a resized copy of a binary image column (batched per partition). */
+  def resizeColumn(df: DataFrame, binaryCol: String, maxW: Int, maxH: Int,
+      outCol: String = "media_resized"): DataFrame = {
+    val idx = df.schema.fieldIndex(binaryCol)
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    df.mapPartitions { iter =>
+      iter.grouped(32).flatMap(_.map { r =>
+        Row.fromSeq(r.toSeq :+ resizeOne(r.getAs[Array[Byte]](idx), maxW, maxH))
+      })
+    }(Encoders.row(outSchema))
+  }
+
+  /** Append the luma-grid embedding for a binary image column, named with
+    * the engine's index-column convention so the embedding operators
+    * (neardupPairs, semClusterBy, semSimJoin) consume it directly.
+    */
+  def imageEmbedColumn(df: DataFrame, binaryCol: String, grid: Int = 8): DataFrame = {
+    val idx = df.schema.fieldIndex(binaryCol)
+    val out = graft.operators.EmbedOps.vecCol(binaryCol)
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, ArrayType(FloatType, containsNull = false)))
+    df.mapPartitions { iter =>
+      iter.grouped(32).flatMap(_.map { r =>
+        Row.fromSeq(r.toSeq :+ lumaFeatures(r.getAs[Array[Byte]](idx), grid).toIndexedSeq)
+      })
+    }(Encoders.row(outSchema))
   }
 
   /** Resolve an image/media *reference* column into bytes, on executors
