@@ -60,10 +60,21 @@ object MultimodalOps {
     * deterministic function of the bytes (audio/video containers would slot
     * in here with their own libraries).
     */
+  /** Cheap magic-byte sniff so non-image payloads never pay the ImageIO
+    * reader-probe (which builds disk-cached streams per call).
+    */
+  def looksLikeImage(b: Array[Byte]): Boolean =
+    b != null && b.length > 8 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // png
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) || // jpeg
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') || // gif
+      (b(0) == 'B' && b(1) == 'M')) // bmp
+
   def decodeOne(bytes: Array[Byte]): MediaMeta = {
     val n = if (bytes == null) 0 else bytes.length
-    if (n > 0) {
+    if (n > 0 && looksLikeImage(bytes)) {
       try {
+        javax.imageio.ImageIO.setUseCache(false)
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         if (img != null) return MediaMeta(n, img.getWidth, img.getHeight, 1)
       } catch { case _: Exception => }
@@ -75,7 +86,9 @@ object MultimodalOps {
     * as PNG; undecodable payloads pass through unchanged.
     */
   def resizeOne(bytes: Array[Byte], maxW: Int, maxH: Int): Array[Byte] = {
+    if (!looksLikeImage(bytes)) return bytes
     try {
+      javax.imageio.ImageIO.setUseCache(false)
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) return bytes
       val scale = math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight)
@@ -101,7 +114,9 @@ object MultimodalOps {
     */
   def lumaFeatures(bytes: Array[Byte], grid: Int = 8): Array[Float] = {
     val v = new Array[Float](grid * grid)
+    if (!looksLikeImage(bytes)) return v
     try {
+      javax.imageio.ImageIO.setUseCache(false)
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) return v
       val cw = math.max(1, img.getWidth / grid)
