@@ -75,13 +75,21 @@ object DirectoryReaderLite {
   private val textExts = Set("txt", "md", "csv", "json", "html", "xml", "log")
 
   def defaultExtractors: Map[String, Extractor] = Map(
-    // Built-in zero-dependency extraction for simple text PDFs; swap in
-    // pdfbox for full coverage. pptx stays a declared stub (needs poi).
+    // Built-in zero-dependency extraction: PdfLite for simple text PDFs,
+    // OoxmlLite for pptx/docx (ZIP+XML); swap in pdfbox/poi for exotic
+    // encodings.
     "pdf" -> (bytes => {
       val pages = PdfLite.extractText(bytes)
       if (pages.nonEmpty) pages else Seq(s"[pdf ${bytes.length} bytes: no extractable text]")
     }),
-    "pptx" -> (bytes => Seq(s"[pptx ${bytes.length} bytes: extractor not installed]"))
+    "pptx" -> (bytes => {
+      val pages = OoxmlLite.extractPptx(bytes)
+      if (pages.nonEmpty) pages else Seq(s"[pptx ${bytes.length} bytes: no extractable text]")
+    }),
+    "docx" -> (bytes => {
+      val pages = OoxmlLite.extractDocx(bytes)
+      if (pages.nonEmpty) pages else Seq(s"[docx ${bytes.length} bytes: no extractable text]")
+    })
   )
 
   /** Read a path glob into (path, page_idx, content) rows. */

@@ -8,6 +8,54 @@ package graft.connectors
   * simple-font PDFs; CID/composite fonts, encryption, and object streams
   * need a real library and fall back to empty pages.
   */
+/** Office Open XML text extraction (pptx/docx are ZIP containers of XML —
+  * public ECMA-376 format; reference DirectoryReader delegates to python
+  * readers, lotus/file_extractors/pptx.py). Zero-dependency: JDK
+  * ZipInputStream + a text-run regex over the slide/document parts.
+  */
+object OoxmlLite {
+
+  private val TextRun = "(?s)<(?:a|w):t(?:\\s[^>]*)?>(.*?)</(?:a|w):t>".r
+
+  private def unescape(s: String): String = s
+    .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+    .replace("&quot;", "\"").replace("&apos;", "'")
+
+  private def zipEntries(bytes: Array[Byte]): Seq[(String, String)] = {
+    val zis = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = Vector.newBuilder[(String, String)]
+    var e = zis.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory && e.getName.endsWith(".xml")) {
+        out += ((e.getName, new String(zis.readAllBytes(), "UTF-8")))
+      }
+      e = zis.getNextEntry
+    }
+    zis.close()
+    out.result()
+  }
+
+  private def runsOf(xmlBody: String): String =
+    TextRun.findAllMatchIn(xmlBody).map(m => unescape(m.group(1))).mkString(" ").trim
+
+  /** pptx → one text page per slide (ppt/slides/slideN.xml, ordered). */
+  def extractPptx(bytes: Array[Byte]): Seq[String] =
+    try {
+      zipEntries(bytes)
+        .filter(_._1.matches("ppt/slides/slide\\d+\\.xml"))
+        .sortBy(e => "\\d+".r.findFirstIn(e._1).map(_.toInt).getOrElse(0))
+        .map(e => runsOf(e._2))
+        .filter(_.nonEmpty)
+    } catch { case _: Exception => Nil }
+
+  /** docx → one text page (word/document.xml). */
+  def extractDocx(bytes: Array[Byte]): Seq[String] =
+    try {
+      zipEntries(bytes).filter(_._1 == "word/document.xml")
+        .map(e => runsOf(e._2)).filter(_.nonEmpty)
+    } catch { case _: Exception => Nil }
+}
+
 object PdfLite {
 
   def isPdf(bytes: Array[Byte]): Boolean =

@@ -86,6 +86,36 @@ class JudgeCotPdfSpec extends SparkSpec {
     assert(text.contains("Segmented"))
   }
 
+  test("OoxmlLite extracts slide and document text from generated pptx/docx") {
+    def zip(entries: (String, String)*): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(buf)
+      entries.foreach { case (name, content) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(content.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      zos.close()
+      buf.toByteArray
+    }
+    val pptx = zip(
+      "ppt/slides/slide2.xml" ->
+        """<p:sld><p:txBody><a:p><a:r><a:t>Second slide</a:t></a:r></a:p></p:txBody></p:sld>""",
+      "ppt/slides/slide1.xml" ->
+        """<p:sld><p:txBody><a:p><a:r><a:t>Title &amp; intro</a:t></a:r><a:r><a:t>body</a:t></a:r></a:p></p:txBody></p:sld>""",
+      "ppt/presentation.xml" -> "<p:presentation/>")
+    val slides = graft.connectors.OoxmlLite.extractPptx(pptx)
+    assert(slides == Seq("Title & intro body", "Second slide"))
+    val docx = zip("word/document.xml" ->
+      """<w:document><w:body><w:p><w:r><w:t>Hello</w:t></w:r><w:r><w:t>doc</w:t></w:r></w:p></w:body></w:document>""")
+    assert(graft.connectors.OoxmlLite.extractDocx(docx) == Seq("Hello doc"))
+    // Distributed through DirectoryReaderLite: one row per slide.
+    val dir = java.nio.file.Files.createTempDirectory("graftpptx")
+    java.nio.file.Files.write(dir.resolve("deck.pptx"), pptx)
+    val df = graft.connectors.DirectoryReaderLite.toDf(spark, dir.toString + "/*.pptx")
+    assert(df.count() == 2)
+  }
+
   test("PdfLite inflates FlateDecode streams; DirectoryReaderLite extracts distributed") {
     val content = "BT (Compressed page text) Tj ET"
     val deflater = new java.util.zip.Deflater()
