@@ -67,25 +67,25 @@ object Dedup {
       shingleLen: Int = 3): DataFrame = {
     val df = parallelize(dfIn)
     val rowsPerBand = numHashes / bands
-    // Signature as ONE tight per-row loop (custom expression): no shingle
-    // materialization, no explode, no aggregation shuffle.
-    val sig = df.select(col(idCol).cast("long").as("id"),
-      graft.functions.MinHashExpr.minhashSignature(
-        split(trim(col(textCol)), "\\s+"), shingleLen, numHashes).as("sig"))
+    // ONE scan of the corpus computes both per-row artifacts with tight-loop
+    // custom expressions (no shingle-string materialization, no explode, no
+    // aggregation shuffle): the minhash signature AND the hashed-shingle
+    // verification set (longs — array_intersect over 8-byte values beats
+    // strings; Jaccard is unchanged up to 2^-64 hash collisions). The
+    // checkpoint materializes once; the band self-join and both sides of the
+    // verification join all read from it.
+    val words = split(trim(col(textCol)), "\\s+")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        graft.functions.MinHashExpr.minhashSignature(words, shingleLen, numHashes).as("sig"),
+        array_distinct(graft.functions.MinHashExpr.shingleHashes(words, shingleLen)).as("sh"))
+      .transform(graft.core.Persist.stage(_))
     val bandKeyCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(concat_ws(",",
           (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)).as("key"))
     }
-    val bucketed = sig.select(col("id"), explode(array(bandKeyCols: _*)).as("bk"))
-    // Verification sets hold hashed shingles (longs), built by the same
-    // tight-loop expression: array_intersect over longs beats strings and
-    // the checkpoint materializes 8 bytes/shingle; Jaccard is unchanged up
-    // to 2^-64 hash collisions.
-    val shingleSets = df.select(col(idCol).cast("long").as("id"),
-      array_distinct(graft.functions.MinHashExpr.shingleHashes(
-        split(trim(col(textCol)), "\\s+"), shingleLen)).as("sh"))
-      .transform(graft.core.Persist.stage(_))
+    val bucketed = base.select(col("id"), explode(array(bandKeyCols: _*)).as("bk"))
+    val shingleSets = base.select(col("id"), col("sh"))
     val a = bucketed.toDF("id1", "bk1")
     val b = bucketed.toDF("id2", "bk2")
     val candidates = a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
