@@ -24,6 +24,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("semantic filter and map run over a stream") {
+    import graft.core.Sem
+    import graft.llm.{FakeBehavior, FakeLM}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("id", "text")
+    val piped = Sem.withLM(FakeLM(FakeBehavior.KeywordFilter("spark"))) {
+      val kept = StreamingOps.semFilterStream(docs, "the {text} mentions spark")
+      Sem.withLM(FakeLM(FakeBehavior.FirstWords("Text", 2))) {
+        StreamingOps.semMapStream(kept, "lead words of {text}", suffix = "_lead")
+      }
+    }
+    val q = piped.writeStream.outputMode("append").format("memory")
+      .queryName("sem_stream_out").start()
+    input.addData((1L, "spark streaming rocks"), (2L, "flink only here"),
+      (3L, "more spark data"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT id, _lead FROM sem_stream_out")
+      .as[(Long, String)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, "spark streaming"), (3L, "more spark")))
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
