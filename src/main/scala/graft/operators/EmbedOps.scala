@@ -198,6 +198,27 @@ object EmbedOps {
       .drop("__rnk", "__bk", lKey, rKey, lv, rv)
   }
 
+  /** Cost-based sim-join: pick the physical path from the right side's
+    * estimated broadcast size — the exact broadcast top-k plan when the
+    * vector table fits comfortably in an executor, the LSH band-bucket plan
+    * when it doesn't. Mirrors Spark's own broadcast-threshold decision at
+    * the operator level (the reference always brute-forces; at 100 TB the
+    * switch is what keeps the operator usable on both dims tables and
+    * corpus×corpus joins).
+    */
+  def semSimJoinAuto(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String,
+      k: Int, broadcastBytesThreshold: Long = 64L << 20, dim: Int = 64,
+      scoreCol: String = "_scores", tieBreak: Seq[Column] = Nil): DataFrame = {
+    val rightRows = right.count()
+    // vector payload + row overhead; conservative per-row estimate
+    val estBytes = rightRows * (dim.toLong * 4 + 256)
+    if (estBytes <= broadcastBytesThreshold)
+      semSimJoin(left, right, leftOn, rightOn, k, scoreCol, broadcastRight = true, tieBreak)
+    else
+      semSimJoinLSH(left, right, leftOn, rightOn, k, dim, scoreCol = scoreCol,
+        tieBreak = tieBreak)
+  }
+
   /** sem_cluster_by: KMeans over the column's embeddings (MLlib), appending
     * `cluster_id` (reference sem_cluster_by.py:57-86 uses faiss.Kmeans).
     */

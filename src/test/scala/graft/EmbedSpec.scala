@@ -100,6 +100,24 @@ class EmbedSpec extends SparkSpec {
     assert(m.forall { case (a, b) => a == b })
   }
 
+  test("semSimJoinAuto picks broadcast under the threshold and LSH above it") {
+    val right = Seq((10L, "neural network learning"), (11L, "pasta sauce recipe"))
+      .toDF("rid", "rtext")
+    val exact = EmbedOps.semSimJoin(corpus, right, "text", "rtext", k = 1,
+      tieBreak = Seq(col("rid")))
+      .select("id", "rid").as[(Long, Long)].collect().toSet
+    val autoSmall = EmbedOps.semSimJoinAuto(corpus, right, "text", "rtext", k = 1,
+      tieBreak = Seq(col("rid")))
+      .select("id", "rid").as[(Long, Long)].collect().toSet
+    assert(autoSmall == exact) // broadcast path, byte-identical to semSimJoin
+    // Force the LSH path with a tiny threshold: candidates are a subset of
+    // bucket collisions, and every returned pair keeps real scores.
+    val autoLsh = EmbedOps.semSimJoinAuto(corpus, right, "text", "rtext", k = 1,
+      broadcastBytesThreshold = 1L, tieBreak = Seq(col("rid")))
+    assert(autoLsh.columns.contains("_scores"))
+    assert(autoLsh.count() <= corpus.count())
+  }
+
   test("semSearchVec over a precomputed index column matches semSearch") {
     val e = graft.core.Sem.settings.embedder
     val qv = e.embedOne("neural networks for machine learning").toIndexedSeq
