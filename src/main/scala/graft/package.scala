@@ -75,6 +75,24 @@ package object graft {
         useLsh: Boolean = false): DataFrame =
       EmbedOps.neardupPairs(df, c, idCol, threshold, useLsh)
 
+    def semSimJoinAuto(other: DataFrame, leftOn: String, rightOn: String, k: Int,
+        broadcastBytesThreshold: Long = 64L << 20, dim: Int = 64,
+        scoreCol: String = "_scores", tieBreak: Seq[Column] = Nil): DataFrame =
+      EmbedOps.semSimJoinAuto(df, other, leftOn, rightOn, k, broadcastBytesThreshold,
+        dim, scoreCol, tieBreak)
+
+    /** ColBERT-style late-interaction top-k search (per-token MaxSim). */
+    def semSearchLate(c: String, query: String, k: Int,
+        scoreCol: String = "li_scores"): DataFrame =
+      graft.embed.LateInteraction.search(df, c, query, k, scoreCol)
+
+    // ---- streaming variants (Structured Streaming inputs) ----------------
+    def semFilterStream(instr: String, default: Boolean = true): DataFrame =
+      graft.streaming.StreamingOps.semFilterStream(df, instr, default)
+
+    def semMapStream(instr: String, suffix: String = "_map"): DataFrame =
+      graft.streaming.StreamingOps.semMapStream(df, instr, suffix)
+
     def semClusterBy(c: String, nClusters: Int, seed: Long = 42,
         clusterCol: String = "cluster_id"): DataFrame =
       EmbedOps.semClusterBy(df, c, nClusters, seed, clusterCol)
