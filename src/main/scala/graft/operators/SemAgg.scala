@@ -27,6 +27,8 @@ object SemAgg {
 
   private val PidShift = 40 // < 2^40 rows per partition
 
+  val PartitionIdCol = "_lotus_partition_id"
+
   /** One round's pack stage over a fold frame (group cols + __ord + __doc):
     * optional range re-partition to `parts` (−1 keeps the current layout),
     * then partition-local pack assignment in a single sorted pass — a new
@@ -83,9 +85,19 @@ object SemAgg {
     val s = Sem.settings
     val nle = NLExpr.parse(instr)
     val docCols =
-      if (allCols) df.columns.filterNot(groupBy.contains).toIndexedSeq
+      if (allCols) df.columns.filterNot(c => groupBy.contains(c) || c == PartitionIdCol)
+        .toIndexedSeq
       else { nle.validate(df.columns.toIndexedSeq); nle.cols }
     val instruction = nle.instruction
+    // Reference consumes sem_partition_by's magic column by sorting on it
+    // (sem_agg.py:432-436) so the leaf round packs within a partition first;
+    // prepending it to the fold order gives the same leaf locality (packs
+    // may straddle adjacent partition boundaries — the upper rounds combine
+    // across partitions either way).
+    val effOrderBy =
+      if (groupBy.isEmpty && df.columns.contains(PartitionIdCol))
+        col(PartitionIdCol) +: orderBy
+      else orderBy
     val stats = UsageTracker.forSession(df.sparkSession)
     val lm = s.activeLm(stats)
     val cached = lm.isInstanceOf[CachedLM]
@@ -105,10 +117,10 @@ object SemAgg {
     // __ord = (partitionId << 40) | localIndex. Consistent with the user's
     // orderBy because RangePartitioner assigns ascending key ranges to
     // ascending partition ids.
-    val ordAliases = orderBy.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val ordAliases = effOrderBy.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
     val base = df.withColumn("__doc", docExpr)
       .select(groupCols ++ ordAliases :+ col("__doc"): _*)
-    val sortCols = groupCols ++ orderBy.indices.map(i => col(s"__o$i"))
+    val sortCols = groupCols ++ effOrderBy.indices.map(i => col(s"__o$i"))
     val arranged =
       if (sortCols.nonEmpty)
         base.repartitionByRange(P, sortCols: _*).sortWithinPartitions(sortCols: _*)

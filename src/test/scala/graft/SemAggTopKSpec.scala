@@ -52,6 +52,22 @@ class SemAggTopKSpec extends SparkSpec {
     assert(out.select("_output").as[String].head() == expected)
   }
 
+  test("semAgg folds within _lotus_partition_id first (reference magic column)") {
+    val docs = (0 until 12).map(i =>
+      (i.toLong, if (i % 2 == 0) s"alpha topic doc $i" else s"beta subject doc $i"))
+      .toDF("id", "text")
+    val parted = docs.semPartitionBy("text", 2)
+    val out = Sem.withLM(FakeLM(FakeBehavior.ConcatDocs("\n"))) {
+      parted.semAgg("summarize the {text}", orderBy = Seq(col("id")))
+    }
+    val got = out.select("_output").as[String].head()
+    // Associative concat ⇒ the fold equals the flat concat in fold order,
+    // which must be (partition_id, id) — partition-local first.
+    val expected = parted.select("_lotus_partition_id", "id", "text")
+      .as[(Int, Long, String)].collect().sortBy(t => (t._1, t._2)).map(_._3).mkString("\n")
+    assert(got == expected)
+  }
+
   test("semTopK quick returns exact ranks for a total-order comparator") {
     val df = (0 until 40).map(i => (i.toLong, s"t$i", (i * 7 % 40).toLong))
       .toDF("doc_id", "text", "n_chars")
