@@ -21,6 +21,12 @@ final case class SemSettings(
     lm: LMClient = FakeLM.echo,
     helperLm: Option[LMClient] = None,
     embedder: Embedder = HashingEmbedder(64),
+    /** Cross-encoder reranker for semSearch's nRerank path (reference
+      * settings.reranker). */
+    reranker: graft.embed.Reranker = graft.embed.LexicalReranker(),
+    /** Optional vector store backing index save/load (reference settings.vs;
+      * None = the parquet index-column convention). */
+    vs: Option[graft.embed.VectorStore] = None,
     serializationFormat: SerializationFormat = SerializationFormat.Default,
     /** Below this row count, driver-coordinated algorithms (topk, agg fold)
       * may collect and run locally instead of launching per-round jobs. */

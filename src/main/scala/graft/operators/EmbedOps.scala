@@ -74,10 +74,10 @@ object EmbedOps {
     */
   def semSearch(df: DataFrame, c: String, query: String, k: Int,
       scoreCol: String = "vec_scores", tieBreak: Seq[Column] = Nil,
-      nRerank: Int = 0, reranker: graft.embed.Reranker = graft.embed.LexicalReranker()): DataFrame = {
+      nRerank: Int = 0, reranker: graft.embed.Reranker = null): DataFrame = {
     val emb = Sem.settings.embedder
     semSearchVec(df, c, emb.embedOne(query).toIndexedSeq, k, scoreCol, tieBreak,
-      nRerank, reranker, Some(query))
+      nRerank, Option(reranker).getOrElse(Sem.settings.reranker), Some(query))
   }
 
   /** [[semSearch]] against a precomputed query vector (the operator core —

@@ -80,7 +80,11 @@ object SemAgg {
       allCols: Boolean = false,
       groupBy: Seq[String] = Nil,
       suffix: String = "_output",
-      orderBy: Seq[Column] = Nil
+      orderBy: Seq[Column] = Nil,
+      /** Field names of a required JSON final answer (reference
+        * response_format on sem_agg): the output column becomes a validated
+        * struct; non-conforming output raises on materialization. */
+      responseFormat: Seq[String] = Nil
   ): DataFrame = {
     val s = Sem.settings
     val nle = NLExpr.parse(instr)
@@ -210,7 +214,12 @@ object SemAgg {
 
     // Unwrap the [Source]: «…» envelope of the final summary.
     val unwrap = regexp_extract(col("__doc"), "(?s)\\[Source\\]: «(.*)»\\n", 1)
-    cur.select(groupCols :+ unwrap.as(suffix): _*)
+    val outCol =
+      if (responseFormat.isEmpty) unwrap
+      else from_json(unwrap,
+        StructType(responseFormat.map(f => StructField(f, StringType))),
+        Map("mode" -> "FAILFAST"))
+    cur.select(groupCols :+ outCol.as(suffix): _*)
   }
 
   private val DriverFoldThreshold = 2048L

@@ -41,8 +41,9 @@ package object graft {
       SemRowOps.semJoin(df, other, instr, how, examples, strategy)
 
     def semAgg(instr: String, allCols: Boolean = false, groupBy: Seq[String] = Nil,
-        suffix: String = "_output", orderBy: Seq[Column] = Nil): DataFrame =
-      SemAgg.semAgg(df, instr, allCols, groupBy, suffix, orderBy)
+        suffix: String = "_output", orderBy: Seq[Column] = Nil,
+        responseFormat: Seq[String] = Nil): DataFrame =
+      SemAgg.semAgg(df, instr, allCols, groupBy, suffix, orderBy, responseFormat)
 
     def semTopK(instr: String, k: Int, method: String = "quick",
         groupBy: Seq[String] = Nil, rankCol: String = "rank",
