@@ -353,6 +353,17 @@ object Queries {
         .orderBy("lid", "rid")
     }),
 
+    "sem_search_late" -> ((s, dir) => {
+      // ColBERT-style late interaction: per-token embeddings + MaxSim
+      // (rows-only: deterministic via the hashing embedder, but per-token
+      // MaxSim is not reasonably SQL-expressible; kernel exactness is
+      // covered by LateVsSpec).
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 200)
+      graft.embed.LateInteraction.search(docs, "text", "spark data processing", k = 5)
+        .select(col("doc_id"), round(col("li_scores"), 3).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     "sem_cluster" -> ((s, dir) => {
       // KMeans assignment is seed-deterministic within Spark but not
       // SQL-expressible → rows-only check (no oracle entry).
