@@ -432,6 +432,23 @@ object Queries {
       }
     }),
 
+    "corpus_clean_pipeline" -> ((s, dir) => {
+      // The training-data cleaning pipeline as ONE plan: exact dedup (keep
+      // min-id per text) → quality-score filter → per-language doc/token
+      // stats. Every stage is native/codegen and the whole composition is
+      // oracle-checked end to end.
+      val d = read(s, dir, "documents")
+      val keep = d.groupBy("text").agg(min("doc_id").as("doc_id"))
+      val deduped = d.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      deduped
+        .withColumn("quality", TF.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+        .withColumn("n_tok", TF.tokenCount(col("text")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("sum_tok"))
+        .orderBy("lang")
+    }),
+
     // ---------------- text analysis ---------------------------------------
     "text_stats" -> ((s, dir) => {
       read(s, dir, "documents").select(
@@ -673,6 +690,22 @@ object Queries {
         |WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
         |ORDER BY id1, id2""".stripMargin,
+
+    "corpus_clean_pipeline" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |d AS (SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)),
+        |q AS (
+        |  SELECT lang, text,
+        |    len(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / len(text) AS praw,
+        |    len(list_filter(string_split(lower(trim(text)), ' '),
+        |      w -> w IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as')))
+        |      * 1.0 / len(string_split(lower(trim(text)), ' ')) AS sraw,
+        |    len(string_split(trim(text), ' ')) AS ntok
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tok
+        |FROM q
+        |WHERE round((least(len(text)*1.0/500, 1.0) + least(sraw*5, 1.0) + greatest(0.0, 1.0 - praw*10)) / 3.0, 4) >= 0.5
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_stats" ->
       """WITH t AS (
