@@ -188,6 +188,20 @@ object Queries {
       }
     }),
 
+    "sem_topk_heap" -> ((s, dir) => {
+      // Distributed selection: partition-local quickselect + driver merge.
+      // PreferLonger is a strict total order (n_chars desc, doc_id asc), so
+      // every partition's local top-k contains its global-top-k members and
+      // the merged result equals the exact ORDER BY — oracle-checkable.
+      Sem.withLM(FakeLM(FakeBehavior.PreferLonger())) {
+        read(s, dir, "documents")
+          .semTopK("which doc is more substantial given {text} with {n_chars} chars (id {doc_id})",
+            k = 7, method = "heap")
+          .select(col("doc_id"), col("n_chars"), col("rank").cast("long").as("rank"))
+          .orderBy("rank")
+      }
+    }),
+
     "sem_topk_naive" -> ((s, dir) => {
       Sem.withLM(FakeLM(FakeBehavior.PreferLonger())) {
         read(s, dir, "documents").filter(col("doc_id") < 60)
@@ -362,6 +376,22 @@ object Queries {
       graft.embed.LateInteraction.search(docs, "text", "spark data processing", k = 5)
         .select(col("doc_id"), round(col("li_scores"), 3).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    "ann_ivf_search" -> ((s, dir) => {
+      // IVF-Flat ANN through the full index lifecycle: KMeans coarse cells →
+      // cell assignment → probe-and-scan. With nProbe = nCells the probe set
+      // covers the corpus, so the result equals exact cosine top-k and the
+      // whole path (build, assignment, probe filter, scan, top-k) is
+      // oracle-checkable; recall at nProbe < nCells is covered by IvfSpec.
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      val (indexed, model) = graft.embed.IvfIndex.build(withVec, "emb", nCells = 8)
+      graft.embed.IvfIndex.search(indexed, model, "emb", qv, k = 12, nProbe = 8,
+          scoreCol = "raw", tieBreak = Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("raw"), 3).as("score"))
     }),
 
     "sem_cluster" -> ((s, dir) => {
@@ -608,6 +638,20 @@ object Queries {
         |  SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
         |  FROM documents) t
         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "sem_topk_heap" ->
+      """SELECT doc_id, n_chars, rank FROM (
+        |  SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 7 ORDER BY rank""".stripMargin,
+
+    "ann_ivf_search" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score
+        |FROM embeddings e, q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 12""".stripMargin,
 
     "sem_topk_naive" ->
       """SELECT doc_id, n_chars, rank FROM (

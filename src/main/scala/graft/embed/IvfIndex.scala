@@ -1,0 +1,118 @@
+package graft.embed
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.EmbedOps
+
+/** IVF (inverted-file) approximate-nearest-neighbor index — the similarity
+  * -search scale path beside brute force and random-hyperplane LSH.
+  *
+  * Layout (the classic IVF-Flat design from the FAISS line of work, re-expressed
+  * for Spark): KMeans centroids partition the vector space into `nCells`
+  * coarse cells; every vector is assigned to its nearest centroid's cell
+  * (`__ivf_cell` column). A query embeds once on the driver, ranks the tiny
+  * centroid table there, and scans only the `nProbe` nearest cells.
+  *
+  * Why this survives 100 TB: [[save]] writes the index parquet partitioned BY
+  * CELL, so the probe filter (`__ivf_cell IN (...)`) is a partition-pruning
+  * predicate — Spark never opens the other cells' files. Search cost is
+  * nProbe/nCells of the corpus instead of all of it, and the scan that remains
+  * is the same codegen'd cosine + TakeOrderedAndProject top-k as exact search.
+  * Recall is tuned with nProbe exactly as in published IVF practice.
+  */
+object IvfIndex {
+
+  val cellCol = "__ivf_cell"
+
+  /** Centroid table — tiny (nCells × dim), lives on the driver / in closures. */
+  final case class IvfModel(centroids: Array[Array[Float]]) {
+    def nCells: Int = centroids.length
+    /** Cells ranked by cosine similarity to the query vector. */
+    def rankCells(qv: Seq[Float]): Array[Int] = {
+      val q = qv.toArray
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, cosine(q, c)) }
+        .sortBy { case (i, s) => (-s, i) }
+        .map(_._1)
+    }
+  }
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val len = math.min(a.length, b.length)
+    while (i < len) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0) 0.0 else dot / denom
+  }
+
+  /** Build the index: embed `c` (no-op if the vector column is already
+    * attached), fit seeded KMeans on the vectors, append the cell assignment.
+    * Returns the indexed frame and the centroid model.
+    */
+  def build(df: DataFrame, c: String, nCells: Int, seed: Long = 42): (DataFrame, IvfModel) = {
+    val indexed = EmbedOps.semIndex(df, c).persist()
+    indexed.count()
+    val v = EmbedOps.vecCol(c)
+    val feat = indexed.withColumn("__features",
+      org.apache.spark.ml.functions.array_to_vector(col(v)))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("__features").setPredictionCol(cellCol)
+    val model = km.fit(feat)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val out = model.transform(feat).drop("__features")
+    indexed.unpersist()
+    (out, IvfModel(centroids))
+  }
+
+  /** Persist as a cell-partitioned parquet index: `(id, vector)` rows under
+    * `__ivf_cell=<k>/` directories plus the centroid table — the durable form
+    * whose probe reads prune at the file level.
+    */
+  def save(indexed: DataFrame, model: IvfModel, c: String, idCol: String, path: String): Unit = {
+    val v = EmbedOps.vecCol(c)
+    indexed.select(col(idCol), col(v), col(cellCol))
+      .write.mode("overwrite").partitionBy(cellCol).parquet(s"$path/cells")
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    model.centroids.toSeq.zipWithIndex
+      .map { case (cent, i) => (i, cent.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a saved index: the cell-partitioned vector frame + centroids. */
+  def load(spark: SparkSession, path: String): (DataFrame, IvfModel) = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+    (cells, IvfModel(centroids))
+  }
+
+  /** Top-k search over an indexed frame: probe the `nProbe` cells nearest the
+    * query, exact cosine inside them, global top-k. With a [[save]]d index the
+    * cell filter is partition-pruning; in-memory it is still a codegen'd
+    * filter that skips (nCells-nProbe)/nCells of the rows.
+    */
+  def search(indexed: DataFrame, model: IvfModel, c: String, qv: Seq[Float], k: Int,
+      nProbe: Int, scoreCol: String = "vec_scores",
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val probed = model.rankCells(qv).take(math.min(nProbe, model.nCells))
+    val v = EmbedOps.vecCol(c)
+    indexed.filter(col(cellCol).isin(probed.map(Integer.valueOf).toSeq: _*))
+      .withColumn(scoreCol, EmbedOps.cosineSim(col(v), lit(qv.toArray)))
+      .orderBy(col(scoreCol).desc +: tieBreak: _*)
+      .limit(k)
+      .drop(v, cellCol)
+  }
+
+  /** Text-query convenience: embed with the session embedder, then [[search]]. */
+  def searchText(indexed: DataFrame, model: IvfModel, c: String, query: String, k: Int,
+      nProbe: Int, scoreCol: String = "vec_scores",
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val qv = graft.core.Sem.settings.embedder.embedOne(query).toIndexedSeq
+    search(indexed, model, c, qv, k, nProbe, scoreCol, tieBreak)
+  }
+}

@@ -89,7 +89,9 @@ object EmbedOps {
       nRerank: Int = 0, reranker: graft.embed.Reranker = graft.embed.LexicalReranker(),
       queryText: Option[String] = None): DataFrame = {
     val indexed = semIndex(df, c)
-    val score = cosineSim(col(vecCol(c)), lit(qv))
+    // toArray: lit() rejects non-array Seq implementations (e.g. List from a
+    // Dataset[Seq[Float]] decode); a primitive array is always literal-able.
+    val score = cosineSim(col(vecCol(c)), lit(qv.toArray))
     val top = indexed.withColumn(scoreCol, score)
       .orderBy(col(scoreCol).desc +: tieBreak: _*)
       .limit(k)

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.embed.IvfIndex
+import graft.operators.EmbedOps
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 120 synthetic vectors in 8 well-separated directional clusters: cluster g
+  // points mostly along axis g with small deterministic jitter.
+  private def vecs = {
+    val rows = for (i <- 0 until 120) yield {
+      val g = i % 8
+      val v = Array.tabulate(16) { d =>
+        val base = if (d == g) 1.0f else 0.0f
+        base + 0.01f * (((i * 31 + d * 7) % 11) - 5)
+      }
+      (i.toLong, v.toSeq)
+    }
+    rows.toDF("id", EmbedOps.vecCol("emb"))
+  }
+
+  test("build assigns every row a cell in [0, nCells)") {
+    val (indexed, model) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
+    assert(model.nCells == 8)
+    val cells = indexed.select(IvfIndex.cellCol).as[Int].collect()
+    assert(cells.length == 120)
+    assert(cells.forall(c => c >= 0 && c < 8))
+  }
+
+  test("search with nProbe = nCells equals exact brute-force top-k") {
+    val (indexed, model) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
+    val qv = vecs.filter($"id" === 3).select(EmbedOps.vecCol("emb")).as[Seq[Float]].head()
+    val ivf = IvfIndex.search(indexed, model, "emb", qv, k = 10, nProbe = 8,
+      tieBreak = Seq(col("id"))).select("id").as[Long].collect()
+    val exact = EmbedOps.semSearchVec(vecs, "emb", qv, 10, tieBreak = Seq(col("id")))
+      .select("id").as[Long].collect()
+    assert(ivf.toSeq == exact.toSeq)
+  }
+
+  test("search with nProbe = 1 recovers the query's own cluster (high recall)") {
+    val (indexed, model) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
+    val qv = vecs.filter($"id" === 3).select(EmbedOps.vecCol("emb")).as[Seq[Float]].head()
+    val ivf = IvfIndex.search(indexed, model, "emb", qv, k = 10, nProbe = 1,
+      tieBreak = Seq(col("id"))).select("id").as[Long].collect()
+    val exact = EmbedOps.semSearchVec(vecs, "emb", qv, 10, tieBreak = Seq(col("id")))
+      .select("id").as[Long].collect()
+    val recall = ivf.toSet.intersect(exact.toSet).size.toDouble / exact.length
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("save/load round-trips cells and centroids; probe scan prunes partitions") {
+    val (indexed, model) = IvfIndex.build(vecs, "emb", nCells = 4, seed = 7)
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString
+    IvfIndex.save(indexed, model, "emb", "id", path)
+    val (loaded, lModel) = IvfIndex.load(spark, path)
+    assert(lModel.nCells == 4)
+    assert(lModel.centroids.zip(model.centroids).forall { case (a, b) => a.sameElements(b) })
+    assert(loaded.count() == 120)
+
+    val qv = vecs.filter($"id" === 5).select(EmbedOps.vecCol("emb")).as[Seq[Float]].head()
+    val probed = lModel.rankCells(qv).take(1)
+    // Partition pruning: the probe filter over the cell-partitioned parquet
+    // must reach the scan as a partition filter, reading only 1 of 4 dirs.
+    val q = loaded.filter(col(IvfIndex.cellCol)
+        .isin(probed.map(Integer.valueOf).toSeq: _*))
+      .withColumn("s", EmbedOps.cosineSim(col(EmbedOps.vecCol("emb")), lit(qv.toArray)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(IvfIndex.cellCol),
+      s"expected partition filter on ${IvfIndex.cellCol} in:\n$plan")
+    assert(q.count() < 120)
+  }
+
+  test("deterministic across rebuilds with the same seed") {
+    val (i1, m1) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
+    val (i2, m2) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
+    assert(m1.centroids.zip(m2.centroids).forall { case (a, b) => a.sameElements(b) })
+    val a1 = i1.select("id", IvfIndex.cellCol).as[(Long, Int)].collect().sortBy(_._1)
+    val a2 = i2.select("id", IvfIndex.cellCol).as[(Long, Int)].collect().sortBy(_._1)
+    assert(a1.sameElements(a2))
+  }
+}
