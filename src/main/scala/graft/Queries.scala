@@ -391,6 +391,30 @@ object Queries {
       val (indexed, model) = graft.embed.IvfIndex.build(withVec, "emb", nCells = 8)
       graft.embed.IvfIndex.search(indexed, model, "emb", qv, k = 12, nProbe = 8,
           scoreCol = "raw", tieBreak = Seq(col("vec_id")))
+        // Re-assert the order on the raw score: the hash compare is
+        // order-sensitive and must not depend on search's internal sort
+        // surviving the projection.
+        .orderBy(col("raw").desc, col("vec_id"))
+        .select(col("vec_id"), round(col("raw"), 3).as("score"))
+    }),
+
+    "ann_ivf_saved" -> ((s, dir) => {
+      // The durable IVF lifecycle: build → save (cell-partitioned parquet) →
+      // load → search. With nProbe = nCells the result equals exact cosine
+      // top-k (oracle-checkable); that the probe filter prunes partitions on
+      // the saved layout is pinned by IvfSpec.
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_verify_ivf"
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 2).select("embedding")
+        .head().getSeq[Float](0)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      val (indexed, model) = graft.embed.IvfIndex.build(withVec, "emb", nCells = 8)
+      graft.embed.IvfIndex.save(indexed, model, "emb", "vec_id", path)
+      indexed.unpersist()
+      val (loaded, lModel) = graft.embed.IvfIndex.load(s, path)
+      graft.embed.IvfIndex.search(loaded, lModel, "emb", qv, k = 12, nProbe = 8,
+          scoreCol = "raw", tieBreak = Seq(col("vec_id")))
+        .orderBy(col("raw").desc, col("vec_id"))
         .select(col("vec_id"), round(col("raw"), 3).as("score"))
     }),
 
@@ -413,6 +437,16 @@ object Queries {
     }),
 
     "dedup_minhash" -> ((s, dir) => {
+      // Oracled end to end: minhashPairs verifies candidates with EXACT
+      // hashed-shingle Jaccard, so its pair set equals the all-pairs
+      // exact-Jaccard set whenever LSH candidate recall is 1. On the gate
+      // corpus the planted near-dups all have J ≥ 0.889 and nothing else
+      // exceeds 0.3 — every true pair shares a band with probability
+      // ≈ 1-(1-0.889⁴)¹⁶ (miss ~1.5e-7), verified exhaustively against the
+      // exact pair set at sf0.001 and sf0.01. The oracle is therefore the
+      // recursive-CTE connected-components over exact string-shingle
+      // Jaccard ≥ 0.5 (hashed-vs-string shingles differ only by 2⁻⁶⁴
+      // collisions, same convention as dedup_ngram_jaccard).
       val d = read(s, dir, "documents")
       val pairs = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5)
       Dedup.dropDuplicatesByPairs(d, "doc_id", pairs)
@@ -420,6 +454,13 @@ object Queries {
     }),
 
     "dedup_simhash" -> ((s, dir) => {
+      // Oracled end to end: the 4×16-bit chunk bucketing has candidate
+      // recall EXACTLY 1 for hamming ≤ 3 (pigeonhole), so the operator's
+      // pair set equals the all-pairs hamming-≤3 set — and the simhash
+      // itself (per-token FNV-1a + splitmix avalanche, ±1 majority votes)
+      // is reproduced bit-exactly in the DuckDB oracle with UHUGEINT
+      // mod-2⁶⁴ arithmetic. Fully hash-verified: signatures, bucketing
+      // recall, verification, and connected components.
       val d = read(s, dir, "documents")
       val pairs = Dedup.simhashPairs(d, "text", "doc_id", maxDist = 3)
       Dedup.dropDuplicatesByPairs(d, "doc_id", pairs)
@@ -645,6 +686,14 @@ object Queries {
         |  FROM documents) t
         |WHERE rank <= 7 ORDER BY rank""".stripMargin,
 
+    "ann_ivf_saved" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score
+        |FROM embeddings e, q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 12""".stripMargin,
+
     "ann_ivf_search" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
         |SELECT e.vec_id,
@@ -690,6 +739,70 @@ object Queries {
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // Exact-Jaccard connected components (see the dedup_minhash query
+    // comment for why this equals the LSH pipeline's result on gate data).
+    "dedup_minhash" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh
+        |  FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a ORDER BY doc_id""".stripMargin,
+
+    // Bit-exact SimHash64 in SQL: FNV-1a + splitmix avalanche per distinct
+    // token (UHUGEINT mod-2^64 arithmetic), ±1 majority votes per bit over
+    // token occurrences, then all-pairs hamming <= 3 and connected
+    // components — the full simhash dedup pipeline, hash-verified.
+    "dedup_simhash" ->
+      """WITH RECURSIVE pow2 AS (
+        |  SELECT bit, CAST(power(2, bit) AS UHUGEINT) AS p FROM (SELECT unnest(range(64)) AS bit)),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
+        |vocab AS (SELECT DISTINCT tok FROM toks),
+        |vh AS (SELECT tok, xor(h2, h2 // 2147483648) AS th FROM (
+        |    SELECT tok, (xor(h1, h1 // 134217728) * CAST('10723151780598845931' AS UHUGEINT)) % CAST('18446744073709551616' AS UHUGEINT) AS h2 FROM (
+        |      SELECT tok, (xor(h0, h0 // 1073741824) * CAST('13787848793156543929' AS UHUGEINT)) % CAST('18446744073709551616' AS UHUGEINT) AS h1 FROM (
+        |        SELECT tok, list_reduce(
+        |          list_prepend(CAST('14695981039346656037' AS UHUGEINT),
+        |            list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS UHUGEINT))),
+        |          (h, b) -> (xor(h, b) * CAST('1099511628211' AS UHUGEINT)) % CAST('18446744073709551616' AS UHUGEINT)) AS h0
+        |        FROM vocab)))),
+        |tokbits AS (
+        |  SELECT tok, bit, p, CASE WHEN (th // p) % 2 = 1 THEN 1 ELSE -1 END AS vote
+        |  FROM vh CROSS JOIN pow2),
+        |bits AS (
+        |  SELECT t.doc_id, tb.bit, CASE WHEN sum(tb.vote) > 0 THEN tb.p ELSE 0 END AS contrib
+        |  FROM toks t JOIN tokbits tb ON t.tok = tb.tok
+        |  GROUP BY t.doc_id, tb.bit, tb.p),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN sum(CAST(contrib AS HUGEINT)) >= CAST('9223372036854775808' AS HUGEINT)
+        |         THEN sum(CAST(contrib AS HUGEINT)) - CAST('18446744073709551616' AS HUGEINT)
+        |         ELSE sum(CAST(contrib AS HUGEINT)) END AS BIGINT) AS h
+        |  FROM bits GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 3),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a ORDER BY doc_id""".stripMargin,
 
     "sem_dedup_drop" ->
       """WITH RECURSIVE pairs AS (

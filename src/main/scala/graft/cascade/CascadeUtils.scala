@@ -18,9 +18,17 @@ final case class CascadeArgs(
     mapInstruction: Option[String] = None,
     /** Force "search_filter" or "map_search_filter"; None = cost-choose. */
     joinCascadeStrategy: Option[String] = None,
-    /** Candidates per left row from LSH retrieval (the 100 TB path); 0 =
-      * reference-parity full proxy scoring (K = |right|). */
-    joinCascadeTopK: Int = 0) extends Serializable
+    /** Candidates per left row from LSH retrieval; 0 = auto — reference
+      * -parity full proxy scoring (K = |right|) while the estimated pair
+      * count stays under [[joinCascadeAutoPairLimit]], bounded LSH top-k
+      * ([[joinCascadeAutoTopK]] per left row) above it. */
+    joinCascadeTopK: Int = 0,
+    /** Auto-mode switch point: above this estimated |L|×|R| the candidate
+      * set is never fully scored or materialized — LSH retrieval bounds it
+      * to |L|×joinCascadeAutoTopK. */
+    joinCascadeAutoPairLimit: Long = 4L << 20,
+    /** Candidates per left row once auto mode crosses the pair limit. */
+    joinCascadeAutoTopK: Int = 64) extends Serializable
 
 /** Driver-side cascade math, a faithful port of the reference's
   * statistically-guaranteed threshold learning

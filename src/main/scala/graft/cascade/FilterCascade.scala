@@ -109,8 +109,12 @@ object FilterCascade {
     val scored = LLMStage.appendAnswerWithProb(withId, helperLm, "__helper_raw", "__p", mkReq)
       .transform(graft.core.Persist.stage(_))
     val q = args.cascadeNumCalibrationQuantiles
+    // relativeError 1e-4 keeps the Greenwald-Khanna sketch O(1/ε)-bounded on
+    // the driver (relativeError 0 forces a full-precision sketch — O(n)
+    // driver memory at corpus scale). The calibration digitizes into ~q bins,
+    // so 1e-4 is statistically indistinguishable from exact quantiles.
     val quantiles = scored.stat.approxQuantile("__p",
-      (0 to q).map(_.toDouble / q).toArray, 0.0)
+      (0 to q).map(_.toDouble / q).toArray, 1e-4)
     val qArr = array(quantiles.toSeq.map(lit): _*)
     val bin = aggregate(qArr, lit(0), (acc, x) => acc + when(x <= col("__p"), 1).otherwise(0))
     val calibrated = scored.withColumn("__pc",
@@ -127,24 +131,30 @@ object FilterCascade {
   * search-filter plan; activates only when |L|×|R| ≥ minJoinCascadeSize
   * (reference default 100), else falls back to the naive theta join.
   *
-  * Candidate generation is top-k retrieval, never a materialized cross
-  * product: the reference's run_sem_sim_join with K=|R| maps to
-  * [[graft.operators.EmbedOps.semSimJoin]] (per-left top-K through a window
-  * over a broadcast nested loop — pairs stream through the shuffle, nothing
-  * is checkpointed at |L|×|R|). With `args.joinCascadeTopK` set, candidates
-  * come from the LSH band-bucket join instead — bounded candidates per left
-  * row, no all-pairs enumeration at any stage: the 100 TB path (pairs
-  * outside the retrieved top-k are implicitly rejected, trading bounded
-  * recall for scale exactly like the reference's ANN retrieval).
+  * Candidate generation is scale-routed like [[graft.operators.EmbedOps
+  * .semSimJoinAuto]] routes plans: under `args.joinCascadeAutoPairLimit`
+  * estimated pairs, reference-parity full proxy scoring (K = |R| per-left
+  * top-K — the reference's run_sem_sim_join) is exact and bounded, and the
+  * scored frame is checkpointed at ≤ the pair limit. Above it, candidates
+  * come from the LSH band-bucket join with `args.joinCascadeAutoTopK` per
+  * left row — bounded candidates, no all-pairs enumeration or |L|×|R|
+  * materialization at any stage: the 100 TB path (pairs outside the
+  * retrieved top-k are implicitly rejected, trading bounded recall for
+  * scale exactly like the reference's ANN retrieval). An explicit
+  * `args.joinCascadeTopK > 0` forces the LSH path with that k.
   */
 object JoinCascade {
 
   /** Build the scored candidate frame for one plan. `mapFirst` applies
     * `args.mapInstruction` to the left column before embedding — the
     * map-search-filter plan's proxy (reference sem_join.py:424-544).
+    * The returned frame is bounded by max(joinCascadeAutoPairLimit,
+    * |L|×topK) rows — never the unbounded cross product.
     */
-  private def scoredPairs(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String,
-      mapFirst: Option[String], topK: Int): (DataFrame, String => Boolean) = {
+  private[graft] def scoredPairs(left: DataFrame, right: DataFrame,
+      leftOn: String, rightOn: String,
+      mapFirst: Option[String], args: CascadeArgs,
+      leftCount: Long, rightCount: Long): (DataFrame, String => Boolean) = {
     import graft.operators.EmbedOps
     val (lEff, lProxyCol) = mapFirst match {
       case Some(mi) =>
@@ -153,14 +163,19 @@ object JoinCascade {
       case None => (left, leftOn)
     }
     val leftCols = lEff.columns.toSet
+    val fullScoringOk =
+      args.joinCascadeTopK <= 0 && leftCount * rightCount <= args.joinCascadeAutoPairLimit
     val cand =
-      if (topK > 0)
-        EmbedOps.semSimJoinLSH(lEff, right, lProxyCol, rightOn, topK, scoreCol = "__raw")
-      else {
+      if (fullScoringOk) {
         // Reference parity (K = |R|): full proxy scoring, streamed per-left
-        // through the top-K window — no checkpointed cross product.
-        val kAll = math.max(1, right.count()).toInt
+        // through the top-K window; |L|×|R| is under the pair limit here, so
+        // the downstream checkpoint is bounded too.
+        val kAll = math.max(1L, rightCount).toInt
         EmbedOps.semSimJoin(lEff, right, lProxyCol, rightOn, kAll, scoreCol = "__raw")
+      } else {
+        val k = if (args.joinCascadeTopK > 0) args.joinCascadeTopK
+                else args.joinCascadeAutoTopK
+        EmbedOps.semSimJoinLSH(lEff, right, lProxyCol, rightOn, k, scoreCol = "__raw")
       }
     val crossed = cand
       .withColumn("__cid", monotonically_increasing_id())
@@ -182,7 +197,9 @@ object JoinCascade {
       args: CascadeArgs = CascadeArgs()
   ): (DataFrame, Option[CascadeStats]) = {
     val s = Sem.settings
-    val pairCount = left.count() * right.count()
+    val leftCount = left.count()
+    val rightCount = right.count()
+    val pairCount = leftCount * rightCount
     if (pairCount < args.minJoinCascadeSize)
       return (graft.operators.SemRowOps.semJoin(left, right, instr), None)
 
@@ -206,7 +223,7 @@ object JoinCascade {
     }
     val evaluated = candidates.map { mapFirst =>
       val (crossed, isLeft) = scoredPairs(left, right, leftOn, rightOn, mapFirst,
-        args.joinCascadeTopK)
+        args, leftCount, rightCount)
       val mkReq = mkReqFor(crossed, isLeft)
       val (tp, tn) = CascadeCore.learnThresholds(crossed, mkReq, s.lm, args, default = false)
       val oracleCalls = crossed.filter(col("__pc") < tp && col("__pc") > tn).count()

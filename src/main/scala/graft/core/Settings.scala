@@ -69,4 +69,7 @@ object Sem {
   def withSettings[T](s: SemSettings)(f: => T): T = dyn.withValue(s)(f)
 
   def withLM[T](lm: LMClient)(f: => T): T = dyn.withValue(dyn.value.copy(lm = lm))(f)
+
+  def withEmbedder[T](e: Embedder)(f: => T): T =
+    dyn.withValue(dyn.value.copy(embedder = e))(f)
 }

@@ -38,29 +38,49 @@ object IvfIndex {
   }
 
   private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    require(a.length == b.length,
+      s"IVF dimension mismatch: query dim ${a.length} vs centroid dim ${b.length}")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    val len = math.min(a.length, b.length)
-    while (i < len) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0) 0.0 else dot / denom
   }
 
-  /** Build the index: embed `c` (no-op if the vector column is already
-    * attached), fit seeded KMeans on the vectors, append the cell assignment.
-    * Returns the indexed frame and the centroid model.
+  /** Target points for the coarse-quantizer fit: standard IVF practice (the
+    * FAISS line of work trains on a bounded sample, ~tens of points per
+    * cell) — fitting KMeans on a whole 100 TB corpus is both unnecessary
+    * (centroids converge on a sample) and a full extra pass per build.
     */
-  def build(df: DataFrame, c: String, nCells: Int, seed: Long = 42): (DataFrame, IvfModel) = {
+  def defaultFitPoints(nCells: Int): Long = math.max(16384L, 256L * nCells)
+
+  /** Build the index: embed `c` (no-op if the vector column is already
+    * attached), fit seeded KMeans on a bounded sample of the vectors, assign
+    * every vector to its nearest centroid's cell. Returns the indexed frame
+    * (persisted — the caller unpersists when done; search/save would
+    * otherwise re-run the embedder per action) and the centroid model.
+    *
+    * `fitSampleFraction`: <= 0 (default) auto-sizes the KMeans fit sample to
+    * [[defaultFitPoints]] points; 1.0 fits on everything (exact small-corpus
+    * builds); anything between is an explicit sample rate.
+    */
+  def build(df: DataFrame, c: String, nCells: Int, seed: Long = 42,
+      fitSampleFraction: Double = -1.0): (DataFrame, IvfModel) = {
     val indexed = EmbedOps.semIndex(df, c).persist()
-    indexed.count()
+    val n = indexed.count()
     val v = EmbedOps.vecCol(c)
     val feat = indexed.withColumn("__features",
       org.apache.spark.ml.functions.array_to_vector(col(v)))
+    val frac =
+      if (fitSampleFraction > 0) math.min(1.0, fitSampleFraction)
+      else math.min(1.0, defaultFitPoints(nCells).toDouble / math.max(1L, n))
+    val fitSet = if (frac >= 1.0) feat else feat.sample(withReplacement = false, frac, seed)
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("__features").setPredictionCol(cellCol)
-    val model = km.fit(feat)
+    val model = km.fit(fitSet)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    val out = model.transform(feat).drop("__features")
+    val out = model.transform(feat).drop("__features").persist()
+    out.count()
     indexed.unpersist()
     (out, IvfModel(centroids))
   }
@@ -71,7 +91,11 @@ object IvfIndex {
     */
   def save(indexed: DataFrame, model: IvfModel, c: String, idCol: String, path: String): Unit = {
     val v = EmbedOps.vecCol(c)
+    // Cluster rows by cell before the partitioned write: otherwise every
+    // task writes a file into every cell directory (tasks × cells small
+    // files — a metadata bomb at corpus scale).
     indexed.select(col(idCol), col(v), col(cellCol))
+      .repartition(col(cellCol))
       .write.mode("overwrite").partitionBy(cellCol).parquet(s"$path/cells")
     val spark = indexed.sparkSession
     import spark.implicits._
@@ -85,8 +109,8 @@ object IvfIndex {
   def load(spark: SparkSession, path: String): (DataFrame, IvfModel) = {
     val cells = spark.read.parquet(s"$path/cells")
     val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Float](1).toArray)
+      .select("cell", "centroid").orderBy("cell").collect()
+      .map(_.getAs[Seq[Float]]("centroid").toArray)
     (cells, IvfModel(centroids))
   }
 

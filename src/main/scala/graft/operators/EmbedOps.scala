@@ -146,6 +146,18 @@ object EmbedOps {
 
   private def uuidCol(): String = "__simjoin_lid"
 
+  /** Vector dimension of an attached index column, read from the data (one
+    * limit(1) scan). The session embedder's `dim` is only a fallback for
+    * empty frames: stored vector columns (a loaded index, a parquet
+    * embedding column) may have a different dimension than the session
+    * embedder, and trusting a configured default silently truncates LSH
+    * projections — planes must match the data, not the config.
+    */
+  private[graft] def vecDimOf(df: DataFrame, v: String): Int =
+    df.select(col(v)).limit(1).collect().headOption
+      .map(_.getSeq[Float](0).length)
+      .getOrElse(Sem.settings.embedder.dim)
+
   /** Random-hyperplane LSH band keys for a vector column: sign bits of
     * projections onto seeded pseudo-random planes, packed per band. Two
     * vectors with high cosine share a band key with high probability — the
@@ -173,11 +185,14 @@ object EmbedOps {
     * remains the choice when one side is small.
     */
   def semSimJoinLSH(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String,
-      k: Int, dim: Int = 64, nBits: Int = 16, bands: Int = 4,
+      k: Int, dim: Int = 0, nBits: Int = 16, bands: Int = 4,
       scoreCol: String = "_scores", tieBreak: Seq[Column] = Nil): DataFrame = {
     val li = semIndex(left, leftOn)
     val ri0 = semIndex(right, rightOn)
     val lv = vecCol(leftOn)
+    // dim <= 0 → derive from the data so the hyperplanes span the full
+    // vector, whatever embedder produced it (see vecDimOf).
+    val d = if (dim > 0) dim else vecDimOf(li, lv)
     val rv = if (vecCol(rightOn) == lv) vecCol(rightOn + "__right") else vecCol(rightOn)
     val ri = if (rv != vecCol(rightOn)) ri0.withColumnRenamed(vecCol(rightOn), rv) else ri0
     val overlap = (li.columns.toSet & ri.columns.toSet) - lv
@@ -186,9 +201,9 @@ object EmbedOps {
     val lKey = uuidCol()
     val rKey = "__simjoin_rid"
     val lb = l2.withColumn(lKey, monotonically_increasing_id())
-      .withColumn("__bk", explode(lshBandKeys(col(lv), dim, nBits, bands)))
+      .withColumn("__bk", explode(lshBandKeys(col(lv), d, nBits, bands)))
     val rb = r2.withColumn(rKey, monotonically_increasing_id())
-      .withColumn("__bk", explode(lshBandKeys(col(rv), dim, nBits, bands)))
+      .withColumn("__bk", explode(lshBandKeys(col(rv), d, nBits, bands)))
     // Candidate dedup on the (left id, right id) pair — never on the full
     // right row (wide-row comparisons shuffle the whole payload).
     val joined = lb.join(rb, "__bk")
@@ -209,15 +224,20 @@ object EmbedOps {
     * corpus×corpus joins).
     */
   def semSimJoinAuto(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String,
-      k: Int, broadcastBytesThreshold: Long = 64L << 20, dim: Int = 64,
+      k: Int, broadcastBytesThreshold: Long = 64L << 20, dim: Int = 0,
       scoreCol: String = "_scores", tieBreak: Seq[Column] = Nil): DataFrame = {
-    val rightRows = right.count()
+    // Index the right side once; semIndex inside either downstream path is
+    // then a no-op. Its true dimension feeds both the broadcast-size
+    // estimate and (on the LSH path) the hyperplane construction.
+    val ri = semIndex(right, rightOn)
+    val d = if (dim > 0) dim else vecDimOf(ri, vecCol(rightOn))
+    val rightRows = ri.count()
     // vector payload + row overhead; conservative per-row estimate
-    val estBytes = rightRows * (dim.toLong * 4 + 256)
+    val estBytes = rightRows * (d.toLong * 4 + 256)
     if (estBytes <= broadcastBytesThreshold)
-      semSimJoin(left, right, leftOn, rightOn, k, scoreCol, broadcastRight = true, tieBreak)
+      semSimJoin(left, ri, leftOn, rightOn, k, scoreCol, broadcastRight = true, tieBreak)
     else
-      semSimJoinLSH(left, right, leftOn, rightOn, k, dim, scoreCol = scoreCol,
+      semSimJoinLSH(left, ri, leftOn, rightOn, k, d, scoreCol = scoreCol,
         tieBreak = tieBreak)
   }
 
@@ -242,17 +262,23 @@ object EmbedOps {
     * kernel of [[semDedup]], public because it is a first-class dedup
     * primitive. Returns (id1, id2, score) with id1 < id2.
     *
-    * `useLsh=true` is the 100 TB path: candidates come from an LSH
-    * band-bucket equi-join (shuffle on band keys — never the full cross
-    * product), exact cosine verifies. Approximate: pairs whose vectors share
-    * no band are missed (tune nBits/bands for recall). The brute-force path
-    * is exact and right for small/broadcastable inputs.
+    * Safe by default: `useLsh = None` routes on a row count — inputs above
+    * `lshRowThreshold` take the LSH band-bucket equi-join (shuffle on band
+    * keys — never the full cross product, exact cosine verifies), so the
+    * operator cannot broadcast-cross-join a corpus by accident. The LSH path
+    * is approximate (pairs whose vectors share no band are missed; tune
+    * nBits/bands for recall); the brute-force path is exact and only chosen
+    * when the input is small enough to broadcast. Force a path with
+    * `Some(true/false)`. Auto-routing counts the indexed frame once —
+    * persist upstream if the embedding is expensive.
     */
   def neardupPairs(df: DataFrame, c: String, idCol: String, threshold: Double,
-      useLsh: Boolean = false, dim: Int = 64, nBits: Int = 16, bands: Int = 4): DataFrame = {
+      useLsh: Option[Boolean] = None, lshRowThreshold: Long = 100000L,
+      dim: Int = 0, nBits: Int = 16, bands: Int = 4): DataFrame = {
     val indexed = semIndex(df, c)
     val v = vecCol(c)
-    if (!useLsh) {
+    val lsh = useLsh.getOrElse(indexed.count() > lshRowThreshold)
+    if (!lsh) {
       val a = indexed.select(col(idCol).cast(LongType).as("id1"), col(v).as("v1"))
       val b = indexed.select(col(idCol).cast(LongType).as("id2"), col(v).as("v2"))
       a.join(broadcast(b), col("id1") < col("id2"))
@@ -260,8 +286,9 @@ object EmbedOps {
         .filter(col("score") >= threshold)
         .select("id1", "id2", "score")
     } else {
+      val d = if (dim > 0) dim else vecDimOf(indexed, v)
       val vecs = indexed.select(col(idCol).cast(LongType).as("id"), col(v).as("vec"))
-        .withColumn("__bk", explode(lshBandKeys(col("vec"), dim, nBits, bands)))
+        .withColumn("__bk", explode(lshBandKeys(col("vec"), d, nBits, bands)))
       val a = vecs.toDF("id1", "v1", "bk1")
       val b = vecs.toDF("id2", "v2", "bk2")
       a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
@@ -280,12 +307,12 @@ object EmbedOps {
     * corpus scale.
     */
   def semDedup(df: DataFrame, c: String, idCol: String, threshold: Double,
-      lshRowThreshold: Long = 100000L, dim: Int = 64): DataFrame = {
+      lshRowThreshold: Long = 100000L, dim: Int = 0): DataFrame = {
     val indexed = semIndex(df, c).persist()
     val n = indexed.count()
     val v = vecCol(c)
     val edges = neardupPairs(indexed, c, idCol, threshold,
-      useLsh = n > lshRowThreshold, dim = dim).select("id1", "id2")
+      useLsh = Some(n > lshRowThreshold), dim = dim).select("id1", "id2")
     val keep = Dedup.keepAfterConnectedComponents(
       indexed.select(col(idCol).cast(LongType).as("id")), edges)
     val res = indexed.join(keep.withColumnRenamed("id", "__keep_id"),

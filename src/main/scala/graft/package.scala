@@ -72,12 +72,15 @@ package object graft {
         tieBreak: Seq[Column] = Nil): DataFrame =
       EmbedOps.semSimJoin(df, other, leftOn, rightOn, k, scoreCol, broadcastRight, tieBreak)
 
+    /** Near-dup pair kernel; routes to LSH above `lshRowThreshold` rows so
+      * the default path never cross-joins a large corpus.
+      */
     def neardupPairs(c: String, idCol: String, threshold: Double,
-        useLsh: Boolean = false): DataFrame =
-      EmbedOps.neardupPairs(df, c, idCol, threshold, useLsh)
+        useLsh: Option[Boolean] = None, lshRowThreshold: Long = 100000L): DataFrame =
+      EmbedOps.neardupPairs(df, c, idCol, threshold, useLsh, lshRowThreshold)
 
     def semSimJoinAuto(other: DataFrame, leftOn: String, rightOn: String, k: Int,
-        broadcastBytesThreshold: Long = 64L << 20, dim: Int = 64,
+        broadcastBytesThreshold: Long = 64L << 20, dim: Int = 0,
         scoreCol: String = "_scores", tieBreak: Seq[Column] = Nil): DataFrame =
       EmbedOps.semSimJoinAuto(df, other, leftOn, rightOn, k, broadcastBytesThreshold,
         dim, scoreCol, tieBreak)

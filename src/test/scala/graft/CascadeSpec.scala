@@ -101,6 +101,40 @@ class CascadeSpec extends SparkSpec {
     assert(pairs.forall(_._2 == "spark"))
   }
 
+  test("join cascade auto mode bounds candidates above the pair limit") {
+    import graft.cascade.{CascadeArgs, JoinCascade}
+    val docs = (0 until 40).map(i => (i.toLong, s"w$i spark data")).toDF("doc_id", "text")
+    val kws = Seq(Tuple1("spark"), Tuple1("mesos"), Tuple1("kafka")).toDF("word")
+    // Pair limit 0 forces the scale path with joinCascadeTopK left at auto:
+    // candidates must come from LSH retrieval, bounded per left row — never
+    // a materialized |L|×|R| frame.
+    val args = CascadeArgs(joinCascadeAutoPairLimit = 0L, joinCascadeAutoTopK = 2)
+    val (cand, _) = JoinCascade.scoredPairs(docs, kws, "text", "word", None, args,
+      leftCount = 40, rightCount = 3)
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(cand.count() <= 40 * 2)
+    // End-to-end through the same args: the cascade stays correct (every
+    // emitted pair oracle-verified) with bounded routing.
+    val (res, stats) = Sem.withLM(FakeLM(FakeBehavior.FieldWordJoin("Text", "Word"))) {
+      JoinCascade.semJoinCascade(docs, kws, "the {text} mentions the word {word}",
+        "text", "word", args.copy(posThreshold = Some(1.01), negThreshold = Some(-0.01)))
+    }
+    assert(stats.nonEmpty && stats.get.total <= 40 * 2)
+    assert(res.select("word").as[String].collect().forall(_ == "spark"))
+  }
+
+  test("join cascade under the pair limit keeps reference-parity full scoring") {
+    import graft.cascade.{CascadeArgs, JoinCascade}
+    val docs = (0 until 40).map(i => (i.toLong, s"w$i spark data")).toDF("doc_id", "text")
+    val kws = Seq(Tuple1("spark"), Tuple1("mesos")).toDF("word")
+    val (cand, _) = JoinCascade.scoredPairs(docs, kws, "text", "word", None,
+      CascadeArgs(), leftCount = 40, rightCount = 2)
+    // Under the limit every pair is proxy-scored: K = |R|.
+    assert(cand.count() == 80)
+  }
+
   test("fixed thresholds skip learning") {
     val docs = (0 until 50).map(i => (i.toLong, if (i % 2 == 0) "a delay" else "fine"))
       .toDF("id", "text")

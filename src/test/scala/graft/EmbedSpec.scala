@@ -79,16 +79,49 @@ class EmbedSpec extends SparkSpec {
   }
 
   test("neardupPairs LSH path plans an equi-join on band keys, not all-pairs") {
-    val pairs = EmbedOps.neardupPairs(corpus, "text", "id", threshold = 0.95, useLsh = true)
+    val pairs = EmbedOps.neardupPairs(corpus, "text", "id", threshold = 0.95,
+      useLsh = Some(true))
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     // The exact-identical pair must share every band and survive verification.
     val withDup = corpus.union(Seq((6L, "machine learning models and neural networks"))
       .toDF("id", "text"))
-    val found = EmbedOps.neardupPairs(withDup, "text", "id", threshold = 0.95, useLsh = true)
+    val found = EmbedOps.neardupPairs(withDup, "text", "id", threshold = 0.95,
+        useLsh = Some(true))
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(found.contains((1L, 6L)))
+  }
+
+  test("neardupPairs default routing is scale-safe: large inputs avoid the cross join") {
+    // lshRowThreshold = 0 makes every input "large": the auto-routed plan
+    // must be the band-bucket equi-join, never a broadcast cross product.
+    val auto = corpus.neardupPairs("text", "id", threshold = 0.95, lshRowThreshold = 0L)
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // Small inputs still take the exact path and find the same near-dup.
+    val small = corpus.union(Seq((6L, "machine learning models and neural networks"))
+      .toDF("id", "text"))
+      .neardupPairs("text", "id", threshold = 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(small.contains((1L, 6L)))
+  }
+
+  test("LSH hyperplanes span the embedder's true dimension, not a 64 default") {
+    graft.core.Sem.withEmbedder(HashingEmbedder(17)) {
+      val idx = corpus.semIndex("text")
+      assert(EmbedOps.vecDimOf(idx, "__vec_text") == 17)
+      // A self sim-join through the LSH path with derived dim must place the
+      // exact-duplicate pair in a shared bucket (identical vectors agree on
+      // every plane regardless of dimension) and score it 1.0.
+      val withDup = corpus.union(Seq((6L, "machine learning models and neural networks"))
+        .toDF("id", "text"))
+      val found = EmbedOps.neardupPairs(withDup, "text", "id", threshold = 0.999,
+          useLsh = Some(true))
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(found.contains((1L, 6L)))
+    }
   }
 
   test("semSimJoin handles a self sim-join on the same column name") {

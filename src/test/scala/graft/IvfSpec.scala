@@ -72,6 +72,45 @@ class IvfSpec extends SparkSpec {
     assert(q.count() < 120)
   }
 
+  test("search over a loaded index prunes cell partitions at the scan") {
+    val (indexed, model) = IvfIndex.build(vecs, "emb", nCells = 4, seed = 7)
+    val path = java.nio.file.Files.createTempDirectory("ivf_search").toString
+    IvfIndex.save(indexed, model, "emb", "id", path)
+    val (loaded, lModel) = IvfIndex.load(spark, path)
+    val qv = vecs.filter($"id" === 5).select(EmbedOps.vecCol("emb")).as[Seq[Float]].head()
+    val q = IvfIndex.search(loaded, lModel, "emb", qv, k = 5, nProbe = 1,
+      tieBreak = Seq(col("id")))
+    // The probe filter must reach the parquet scan as a partition filter —
+    // the property that makes IVF the 100 TB path (unprobed cells' files are
+    // never opened).
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(IvfIndex.cellCol),
+      s"expected partition filter on ${IvfIndex.cellCol} in:\n$plan")
+    assert(q.count() == 5)
+  }
+
+  test("sample-based KMeans fit still assigns all rows; full-probe search stays exact") {
+    val (indexed, model) = IvfIndex.build(vecs, "emb", nCells = 4, seed = 7,
+      fitSampleFraction = 0.5)
+    assert(indexed.count() == 120)
+    assert(model.nCells == 4)
+    val qv = vecs.filter($"id" === 3).select(EmbedOps.vecCol("emb")).as[Seq[Float]].head()
+    // Exactness at nProbe = nCells is independent of where the sampled fit
+    // placed the centroids — every cell is scanned.
+    val ivf = IvfIndex.search(indexed, model, "emb", qv, k = 10, nProbe = 4,
+      tieBreak = Seq(col("id"))).select("id").as[Long].collect()
+    val exact = EmbedOps.semSearchVec(vecs, "emb", qv, 10, tieBreak = Seq(col("id")))
+      .select("id").as[Long].collect()
+    assert(ivf.toSeq == exact.toSeq)
+  }
+
+  test("cosine fails loudly on a dimension-mismatched query vector") {
+    val (_, model) = IvfIndex.build(vecs, "emb", nCells = 4, seed = 7)
+    intercept[IllegalArgumentException] {
+      model.rankCells(Seq(1.0f, 2.0f)) // 2-dim query vs 16-dim centroids
+    }
+  }
+
   test("deterministic across rebuilds with the same seed") {
     val (i1, m1) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
     val (i2, m2) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
