@@ -63,6 +63,14 @@ object WebSearchEngines {
     val name = "pubmed"
     val defaultCols = Seq("id", "title", "link", "abstract", "published", "authors", "journal", "doi")
   }
+  /** Bing is in the reference's dispatch but discontinued upstream — its
+    * engine raises a deprecation error (web_search.py:464-472,697-698). The
+    * corpus exists here for dispatch parity and fails with the same message.
+    */
+  case object Bing extends Corpus {
+    val name = "bing"
+    val defaultCols = Seq("title", "url", "snippet")
+  }
 
   private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -224,6 +232,8 @@ object WebSearchEngines {
         case You => searchYou(q, k, apiKey, fetch)
         case Google => searchSerpApi(q, k, apiKey, "google", fetch)
         case GoogleScholar => searchSerpApi(q, k, apiKey, "google_scholar", fetch)
+        case Bing => throw new UnsupportedOperationException(
+          "Bing search is discontinued. Please use Google search instead.")
       }
       hits.take(k).map(h => Row.fromSeq(corpus.defaultCols.map(c => h.getOrElse(c, null)) :+ q))
     }

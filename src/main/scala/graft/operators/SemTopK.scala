@@ -176,13 +176,30 @@ object SemTopK {
             val gIdx = groupBy.map(withId.schema.fieldIndex)
             val rankSchema = StructType(Seq(
               StructField("__tk_id", LongType), StructField(rankCol, IntegerType)))
-            withId.repartition(groupBy.map(col): _*).mapPartitions { it =>
-              it.toVector.groupBy(r => gIdx.map(r.get)).iterator.flatMap { case (_, rows) =>
-                val items = rows.map(r => (r.getAs[Long]("__tk_id"), serLocal(r))).toVector
-                quickTopK(lmLocal, items, kLocal, instrLocal, new scala.util.Random(42),
-                  cascadeHelper).zipWithIndex.map { case ((id, _), i) => Row(id, i + 1) }
-              }
-            }(Encoders.row(rankSchema))
+            // Sort within partitions so each group is a consecutive run, then
+            // stream run-by-run: only ONE group's rows are ever buffered, not
+            // the whole partition — a skewed partition cannot OOM the
+            // executor on other groups' rows.
+            withId.repartition(groupBy.map(col): _*)
+              .sortWithinPartitions(groupBy.map(col): _*)
+              .mapPartitions { it =>
+                val in = it.buffered
+                val groups = new Iterator[Vector[Row]] {
+                  override def hasNext: Boolean = in.hasNext
+                  override def next(): Vector[Row] = {
+                    val key = gIdx.map(in.head.get)
+                    val b = Vector.newBuilder[Row]
+                    while (in.hasNext && gIdx.map(in.head.get) == key)
+                      b += in.next()
+                    b.result()
+                  }
+                }
+                groups.flatMap { rows =>
+                  val items = rows.map(r => (r.getAs[Long]("__tk_id"), serLocal(r)))
+                  quickTopK(lmLocal, items, kLocal, instrLocal, new scala.util.Random(42),
+                    cascadeHelper).zipWithIndex.map { case ((id, _), i) => Row(id, i + 1) }
+                }
+              }(Encoders.row(rankSchema))
           }
         // Materialize before unpersist: the cached monotonically_increasing_id
         // values must not be recomputed (repartitioned recompute could assign

@@ -32,12 +32,13 @@ object Gepa {
       background: String = "")
 
   final case class Result(plan: SemPlan, score: Double, evaluations: Int,
-      history: Seq[(Map[Int, String], Double)])
+      history: Seq[(Map[String, String], Double)])
 
   private def instructionOf(op: SemOp): Option[String] = op match {
     case SemFilterOp(i, _)           => Some(i)
     case SemMapOp(i, _)              => Some(i)
     case SemFilterCascadeOp(i, _, _) => Some(i)
+    case SemJoinOp(i, _, _)          => Some(i)
     case _                           => None
   }
 
@@ -45,12 +46,34 @@ object Gepa {
     case o: SemFilterOp        => o.copy(instr = instr)
     case o: SemMapOp           => o.copy(instr = instr)
     case o: SemFilterCascadeOp => o.copy(instr = instr)
+    case o: SemJoinOp          => o.copy(instr = instr)
     case o                     => o
   }
 
-  private def applyCandidate(plan: SemPlan, cand: Map[Int, String]): SemPlan =
+  /** Optimizable parameters addressed by NESTED path — "2" is the third op
+    * of the top-level plan, "2.right.0" the first op of that join's
+    * right-side sub-plan (reference nested-node parameter paths,
+    * lotus/ast/nodes.py:88-292). Returns (path, current instruction).
+    */
+  private[graft] def collectTargets(plan: SemPlan,
+      prefix: String = ""): Seq[(String, String)] =
+    plan.ops.zipWithIndex.flatMap { case (op, i) =>
+      instructionOf(op).map(instr => s"$prefix$i" -> instr).toSeq ++ (op match {
+        case j: SemJoinOp => collectTargets(j.rightPlan, s"$prefix$i.right.")
+        case _            => Nil
+      })
+    }
+
+  private[plan] def applyCandidate(plan: SemPlan, cand: Map[String, String],
+      prefix: String = ""): SemPlan =
     SemPlan(plan.ops.zipWithIndex.map { case (op, i) =>
-      cand.get(i).map(withInstruction(op, _)).getOrElse(op)
+      val path = s"$prefix$i"
+      val reinstructed = cand.get(path).map(withInstruction(op, _)).getOrElse(op)
+      reinstructed match {
+        case j: SemJoinOp =>
+          j.copy(rightPlan = applyCandidate(j.rightPlan, cand, s"$path.right."))
+        case o => o
+      }
     })
 
   private def reflect(rewriter: LMClient, instr: String, n: Int, score: Double,
@@ -77,15 +100,16 @@ object Gepa {
       evalFn: DataFrame => Double,
       rewriter: LMClient,
       config: Config = Config(),
-      valset: Option[DataFrame] = None
+      valset: Option[DataFrame] = None,
+      /** Named right-side frames for join-bearing plans (run(df, frames)). */
+      frames: Map[String, DataFrame] = Map.empty
   ): Result = {
-    val targets: Seq[Int] = plan.ops.zipWithIndex.collect {
-      case (op, i) if instructionOf(op).isDefined => i
-    }
-    if (targets.isEmpty) return Result(plan, evalFn(plan.run(train)), 1, Nil)
+    val targetInstrs: Seq[(String, String)] = collectTargets(plan)
+    val targets: Seq[String] = targetInstrs.map(_._1)
+    if (targets.isEmpty) return Result(plan, evalFn(plan.run(train, frames)), 1, Nil)
 
-    val requiredCols: Map[Int, Set[String]] = targets.map { i =>
-      i -> NLExpr.parse(instructionOf(plan.ops(i)).get).cols.toSet
+    val requiredCols: Map[String, Set[String]] = targetInstrs.map { case (p, instr) =>
+      p -> NLExpr.parse(instr).cols.toSet
     }.toMap
     val objective =
       if (config.objective.nonEmpty) config.objective
@@ -96,18 +120,18 @@ object Gepa {
         s"${targets.length} of them are LLM-instructed semantic operators."
 
     val rng = new scala.util.Random(config.seed)
-    def score(cand: Map[Int, String]): Double =
-      scala.util.Try(evalFn(applyCandidate(plan, cand).run(train)))
+    def score(cand: Map[String, String]): Double =
+      scala.util.Try(evalFn(applyCandidate(plan, cand).run(train, frames)))
         .getOrElse(Double.NegativeInfinity)
 
-    val seedCand: Map[Int, String] = targets.map(i => i -> instructionOf(plan.ops(i)).get).toMap
+    val seedCand: Map[String, String] = targetInstrs.toMap
     var evals = 0
-    val history = scala.collection.mutable.ArrayBuffer.empty[(Map[Int, String], Double)]
-    def evaluate(c: Map[Int, String]): Double = {
+    val history = scala.collection.mutable.ArrayBuffer.empty[(Map[String, String], Double)]
+    def evaluate(c: Map[String, String]): Double = {
       val s = score(c); evals += 1; history += ((c, s)); s
     }
 
-    var pop: Vector[(Map[Int, String], Double)] = Vector((seedCand, evaluate(seedCand)))
+    var pop: Vector[(Map[String, String], Double)] = Vector((seedCand, evaluate(seedCand)))
 
     // Steps are bounded independently of evals: a run of filtered-out or
     // duplicate children must not spin the reflection LLM forever.
@@ -116,13 +140,13 @@ object Gepa {
       steps += 1
       val best = pop.maxBy(_._2)._2
       // Rank-weighted parent selection from the surviving population.
-      def pick(): (Map[Int, String], Double) = {
+      def pick(): (Map[String, String], Double) = {
         val sorted = pop.sortBy(-_._2)
         val idx = math.min(sorted.length - 1,
           (math.pow(rng.nextDouble(), 2) * sorted.length).toInt) // biased to top
         sorted(idx)
       }
-      val children: Seq[Map[Int, String]] =
+      val children: Seq[Map[String, String]] =
         if (targets.length >= 2 && pop.length >= 2 && rng.nextDouble() < config.crossoverProb) {
           // Crossover: each parameter from a random parent of two.
           val a = pick()._1
@@ -143,19 +167,20 @@ object Gepa {
         .foreach { c => pop :+= ((c, evaluate(c))) }
       pop = pop.sortBy(-_._2).take(config.populationSize)
     }
-    finish(plan, pop, valset, evalFn, evals, history.toSeq)
+    finish(plan, pop, valset, evalFn, evals, history.toSeq, frames)
   }
 
   /** Final selection: best on the held-out valset when provided (reference
     * GEPA generalization mode), else best on train.
     */
-  private def finish(plan: SemPlan, pop: Vector[(Map[Int, String], Double)],
+  private def finish(plan: SemPlan, pop: Vector[(Map[String, String], Double)],
       valset: Option[DataFrame], evalFn: DataFrame => Double, evals: Int,
-      history: Seq[(Map[Int, String], Double)]): Result = {
+      history: Seq[(Map[String, String], Double)],
+      frames: Map[String, DataFrame]): Result = {
     val (bestCand, bestScore) = valset match {
       case Some(v) =>
         pop.map { case (c, _) =>
-          c -> scala.util.Try(evalFn(applyCandidate(plan, c).run(v)))
+          c -> scala.util.Try(evalFn(applyCandidate(plan, c).run(v, frames)))
             .getOrElse(Double.NegativeInfinity)
         }.maxBy(_._2)
       case None => pop.maxBy(_._2)

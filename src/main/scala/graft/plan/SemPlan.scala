@@ -24,6 +24,15 @@ final case class SemExtractOp(inputCols: Seq[String], outputCols: Seq[String]) e
 final case class SemFilterCascadeOp(instr: String,
     posThreshold: Option[Double] = None, negThreshold: Option[Double] = None) extends SemOp
 
+/** Semantic join against a named right-side frame, itself prepared by a
+  * NESTED sub-plan — the counterpart of the reference's join nodes holding a
+  * child LazyFrame AST (lotus/ast/nodes.py:88-292). The right frame is bound
+  * at run time via `run(df, frames)`; the sub-plan's own instruction
+  * parameters are optimizable by nested path in [[Gepa]].
+  */
+final case class SemJoinOp(instr: String, rightName: String,
+    rightPlan: SemPlan = SemPlan(Nil)) extends SemOp
+
 final case class SemPlan(ops: Seq[SemOp]) {
 
   /** Columns an op introduces (used by the pushdown safety rule). */
@@ -45,7 +54,10 @@ final case class SemPlan(ops: Seq[SemOp]) {
       changed = false
       for (i <- 1 until arr.length) {
         (arr(i - 1), arr(i)) match {
-          case (prev, cf: ClassicalFilter) if !prev.isInstanceOf[ClassicalFilter] =>
+          // A join introduces the whole right-side schema — a filter above it
+          // may reference right columns, so never push one below a join.
+          case (prev, cf: ClassicalFilter)
+              if !prev.isInstanceOf[ClassicalFilter] && !prev.isInstanceOf[SemJoinOp] =>
             val produced = produces(prev)
             val refs = cf.condition.split("[^A-Za-z0-9_`]+").toSet
             if (!produced.exists(refs.contains)) {
@@ -61,26 +73,35 @@ final case class SemPlan(ops: Seq[SemOp]) {
   }
 
   /** Lower the plan onto a DataFrame (semantic ops use the ambient
-    * `Sem.settings` LM, as operators do).
+    * `Sem.settings` LM, as operators do). `frames` binds the named right
+    * sides of any [[SemJoinOp]]s (and of joins inside nested sub-plans).
     */
-  def run(df: DataFrame): DataFrame = ops.foldLeft(df) { (d, op) =>
-    op match {
-      case ClassicalFilter(c)        => d.filter(c)
-      case SemFilterOp(instr, dflt)  => d.semFilter(instr, default = dflt)
-      case SemMapOp(instr, suffix)   => d.semMap(instr, suffix = suffix)
-      case SemExtractOp(in, out)     => d.semExtract(in, out.map(_ -> None))
-      case SemFilterCascadeOp(instr, tp, tn) =>
-        d.semFilterCascade(instr, graft.core.Sem.settings.helperLm
-          .getOrElse(graft.core.Sem.settings.lm),
-          args = CascadeArgs(posThreshold = tp, negThreshold = tn))
+  def run(df: DataFrame): DataFrame = run(df, Map.empty)
+
+  def run(df: DataFrame, frames: Map[String, DataFrame]): DataFrame =
+    ops.foldLeft(df) { (d, op) =>
+      op match {
+        case ClassicalFilter(c)        => d.filter(c)
+        case SemFilterOp(instr, dflt)  => d.semFilter(instr, default = dflt)
+        case SemMapOp(instr, suffix)   => d.semMap(instr, suffix = suffix)
+        case SemExtractOp(in, out)     => d.semExtract(in, out.map(_ -> None))
+        case SemFilterCascadeOp(instr, tp, tn) =>
+          d.semFilterCascade(instr, graft.core.Sem.settings.helperLm
+            .getOrElse(graft.core.Sem.settings.lm),
+            args = CascadeArgs(posThreshold = tp, negThreshold = tn))
+        case SemJoinOp(instr, rightName, rightPlan) =>
+          val right = frames.getOrElse(rightName, throw new IllegalArgumentException(
+            s"SemJoinOp: no frame named '$rightName' bound in run(df, frames)"))
+          d.semJoin(rightPlan.run(right, frames), instr)
+      }
     }
-  }
 
   /** Pre-warm cascade thresholds on a training frame: run once, store the
     * learned (tauPos, tauNeg) into the plan so production runs skip the
     * sampling phase (reference CascadeOptimizer).
     */
-  def prewarmCascades(train: DataFrame): SemPlan = {
+  def prewarmCascades(train: DataFrame,
+      frames: Map[String, DataFrame] = Map.empty): SemPlan = {
     var cur = train
     val warmed = ops.map {
       case op @ SemFilterCascadeOp(instr, None, None) =>
@@ -89,7 +110,7 @@ final case class SemPlan(ops: Seq[SemOp]) {
         cur = res
         SemFilterCascadeOp(instr, Some(stats.tauPos), Some(stats.tauNeg))
       case op =>
-        cur = SemPlan(Seq(op)).run(cur)
+        cur = SemPlan(Seq(op)).run(cur, frames)
         op
     }
     SemPlan(warmed)
@@ -97,9 +118,16 @@ final case class SemPlan(ops: Seq[SemOp]) {
 
   def toJson: String = {
     val m = new ObjectMapper()
+    m.writerWithDefaultPrettyPrinter().writeValueAsString(SemPlan.toNode(m, this))
+  }
+}
+
+object SemPlan {
+
+  private[plan] def toNode(m: ObjectMapper, plan: SemPlan): ObjectNode = {
     val root = m.createObjectNode()
     val arr = root.putArray("ops")
-    ops.foreach { op =>
+    plan.ops.foreach { op =>
       val o = arr.addObject()
       op match {
         case ClassicalFilter(c) => o.put("type", "classical_filter").put("condition", c)
@@ -112,16 +140,15 @@ final case class SemPlan(ops: Seq[SemOp]) {
         case SemFilterCascadeOp(i, tp, tn) =>
           o.put("type", "sem_filter_cascade").put("instr", i)
           tp.foreach(o.put("tau_pos", _)); tn.foreach(o.put("tau_neg", _))
+        case SemJoinOp(i, rightName, rightPlan) =>
+          o.put("type", "sem_join").put("instr", i).put("right_name", rightName)
+          o.set("right_plan", toNode(m, rightPlan))
       }
     }
-    m.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+    root
   }
-}
 
-object SemPlan {
-  def fromJson(json: String): SemPlan = {
-    val m = new ObjectMapper()
-    val root = m.readTree(json)
+  private def fromNode(root: com.fasterxml.jackson.databind.JsonNode): SemPlan = {
     val arr = root.path("ops")
     val ops = (0 until arr.size()).map { i =>
       val o = arr.get(i)
@@ -137,11 +164,16 @@ object SemPlan {
           SemFilterCascadeOp(o.path("instr").asText(),
             if (o.has("tau_pos")) Some(o.path("tau_pos").asDouble()) else None,
             if (o.has("tau_neg")) Some(o.path("tau_neg").asDouble()) else None)
+        case "sem_join" =>
+          SemJoinOp(o.path("instr").asText(), o.path("right_name").asText(),
+            fromNode(o.path("right_plan")))
         case other => throw new IllegalArgumentException(s"unknown op type: $other")
       }
     }
     SemPlan(ops)
   }
+
+  def fromJson(json: String): SemPlan = fromNode(new ObjectMapper().readTree(json))
 
   /** Save/load (reference LazyFrame.save/load, lazyframe.py:802-834 — JSON
     * instead of pickle).

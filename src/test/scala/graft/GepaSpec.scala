@@ -84,4 +84,53 @@ class GepaSpec extends SparkSpec {
     assert(instrs.exists(_.contains("'delay'")) && instrs.exists(_.contains("'urgent'")))
     assert(result.evaluations <= 20)
   }
+
+  test("GEPA optimizes nested sub-plan parameters of a join-bearing plan") {
+    import graft.plan.{Gepa, SemJoinOp}
+    // The top-level join instruction AND the right side's nested filter both
+    // start wrong; GEPA must address them by nested path ("0" and
+    // "0.right.0") and route the rewriter's proposals to the right slot via
+    // each slot's required column set.
+    val docs = (0 until 20).map(i =>
+      (i.toLong, if (i % 2 == 0) s"row $i urgent" else s"row $i"))
+      .toDF("id", "text")
+    val kws = Seq(Tuple1("delay"), Tuple1("zebra")).toDF("word")
+    val expected = (0 until 20).filter(_ % 2 == 0).map(i => (i.toLong, "delay")).toSet
+
+    def evalFn(out: DataFrame): Double = {
+      val got = out.select("id", "word").as[(Long, String)].collect().toSet
+      val tp = (got & expected).size.toDouble
+      val fp = (got -- expected).size.toDouble
+      val fn = (expected -- got).size.toDouble
+      if (tp == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)
+    }
+
+    // First proposal has cols {text, word} → only fits the join slot;
+    // second has {word} → only fits the nested filter slot.
+    val rewriter = FakeLM(FakeBehavior.Scripted(Seq(
+      "both {text} and {word} relate to 'urgent'\nthe {word} mentions the word 'delay'")))
+    val plan = SemPlan(Seq(SemJoinOp(
+      "both {text} and {word} relate to 'banana'", "kw",
+      rightPlan = SemPlan(Seq(SemFilterOp("the {word} mentions the word 'banana'"))))))
+    assert(Gepa.collectTargets(plan).map(_._1) == Seq("0", "0.right.0"))
+
+    val result = Sem.withLM(FakeLM(FakeBehavior.ClaimWordFilter)) {
+      Gepa.optimize(plan, docs, evalFn, rewriter,
+        Gepa.Config(populationSize = 4, maxEvals = 24, mutationsPerStep = 2),
+        frames = Map("kw" -> kws))
+    }
+    assert(result.score == 1.0, result.history.map(h => (h._1, h._2)).mkString("\n"))
+    val join = result.plan.ops.head.asInstanceOf[SemJoinOp]
+    assert(join.instr.contains("'urgent'"))
+    assert(join.rightPlan.ops.head.asInstanceOf[SemFilterOp].instr.contains("'delay'"))
+  }
+
+  test("join-bearing plans serialize round-trip with nested sub-plans") {
+    import graft.plan.{SemJoinOp, SemMapOp}
+    val plan = SemPlan(Seq(
+      SemMapOp("summarize {text}", "_sum"),
+      SemJoinOp("the {text} matches {word}", "kw",
+        rightPlan = SemPlan(Seq(SemFilterOp("keep useful {word}", default = false))))))
+    assert(SemPlan.fromJson(plan.toJson) == plan)
+  }
 }

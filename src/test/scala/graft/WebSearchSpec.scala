@@ -83,6 +83,16 @@ class WebSearchSpec extends SparkSpec {
     }
   }
 
+  test("bing corpus dispatches to the reference's discontinuation error") {
+    // Parity with the reference: Bing is in the dispatch but its engine
+    // raises "Bing search is discontinued" (web_search.py:464-472).
+    val fetch: Fetch = (_, _, _) => fail("Bing must not fetch")
+    val e = intercept[UnsupportedOperationException] {
+      WebSearchEngines.search(spark, WebSearchEngines.Bing, Seq("q"), 1, fetch = fetch)
+    }
+    assert(e.getMessage.contains("discontinued"))
+  }
+
   test("webExtract strips scripts, tags and entities") {
     val html = """<html><head><style>.x{}</style><script>var a=1;</script></head>
       |<body><h1>Title&nbsp;Here</h1><p>Body &amp; more</p></body></html>""".stripMargin
