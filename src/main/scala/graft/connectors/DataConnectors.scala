@@ -72,12 +72,12 @@ object DirectoryReaderLite {
 
   type Extractor = Array[Byte] => Seq[String] // bytes → pages
 
-  private val textExts = Set("txt", "md", "csv", "json", "html", "xml", "log")
+  private val textExts = Set("txt", "md", "csv", "json", "xml", "log")
 
   def defaultExtractors: Map[String, Extractor] = Map(
     // Built-in zero-dependency extraction: PdfLite for simple text PDFs,
-    // OoxmlLite for pptx/docx (ZIP+XML); swap in pdfbox/poi for exotic
-    // encodings.
+    // OoxmlLite for pptx/docx/xlsx (ZIP+XML) and epub (ZIP+XHTML), tag
+    // stripping for html; swap in pdfbox/poi for exotic encodings.
     "pdf" -> (bytes => {
       val pages = PdfLite.extractText(bytes)
       if (pages.nonEmpty) pages else Seq(s"[pdf ${bytes.length} bytes: no extractable text]")
@@ -89,10 +89,54 @@ object DirectoryReaderLite {
     "docx" -> (bytes => {
       val pages = OoxmlLite.extractDocx(bytes)
       if (pages.nonEmpty) pages else Seq(s"[docx ${bytes.length} bytes: no extractable text]")
-    })
+    }),
+    "xlsx" -> (bytes => {
+      val pages = OoxmlLite.extractXlsx(bytes)
+      if (pages.nonEmpty) pages else Seq(s"[xlsx ${bytes.length} bytes: no extractable text]")
+    }),
+    "epub" -> (bytes => {
+      val pages = OoxmlLite.extractEpub(bytes)
+      if (pages.nonEmpty) pages else Seq(s"[epub ${bytes.length} bytes: no extractable text]")
+    }),
+    "html" -> (bytes => Seq(WebSearchEngines.extractText(new String(bytes, "UTF-8")))),
+    "htm" -> (bytes => Seq(WebSearchEngines.extractText(new String(bytes, "UTF-8"))))
   )
 
-  /** Read a path glob into (path, page_idx, content) rows. */
+  /** Magic-byte content sniffing for extension-less/unknown files — the
+    * zero-dependency analogue of the reference's `magic`-based
+    * `get_extension` (directory_reader.py:43-69). ZIP containers are
+    * disambiguated by their entry layout (word/ → docx, ppt/ → pptx,
+    * xl/ → xlsx, mimetype application/epub+zip → epub).
+    */
+  def sniffExt(bytes: Array[Byte]): String = {
+    def startsWith(sig: Array[Int]): Boolean =
+      bytes.length >= sig.length && sig.indices.forall(i => (bytes(i) & 0xFF) == sig(i))
+    if (startsWith(Array('%', 'P', 'D', 'F'))) "pdf"
+    else if (startsWith(Array('P', 'K', 3, 4))) {
+      val names = try OoxmlLite.zipEntryNames(bytes) catch { case _: Exception => Nil }
+      if (names.exists(_.startsWith("word/"))) "docx"
+      else if (names.exists(_.startsWith("ppt/"))) "pptx"
+      else if (names.exists(_.startsWith("xl/"))) "xlsx"
+      else if (names.contains("mimetype") &&
+        (try OoxmlLite.zipEntriesWhere(bytes, _ == "mimetype")
+          .exists(_._2.contains("application/epub+zip"))
+        catch { case _: Exception => false })) "epub"
+      else "zip"
+    } else {
+      val head = new String(bytes.take(512), "UTF-8").toLowerCase
+      if (head.contains("<html") || head.contains("<!doctype html")) "html"
+      else {
+        val printable = bytes.take(512).count(b => b >= 32 || b == '\n' || b == '\r' || b == '\t')
+        if (bytes.isEmpty || printable.toDouble / math.min(512, bytes.length) > 0.95) "txt"
+        else "bin"
+      }
+    }
+  }
+
+  /** Read a path glob into (path, page_idx, content) rows. Files whose
+    * extension is unknown are content-sniffed ([[sniffExt]]) before
+    * extractor dispatch, like the reference's magic-based routing.
+    */
   def toDf(spark: SparkSession, pathGlob: String,
       extractors: Map[String, Extractor] = defaultExtractors): DataFrame = {
     import spark.implicits._
@@ -101,7 +145,10 @@ object DirectoryReaderLite {
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val ext = path.split('.').lastOption.getOrElse("").toLowerCase
+        val pathExt = path.split('.').lastOption.getOrElse("").toLowerCase
+        val ext =
+          if (textExts(pathExt) || ex.contains(pathExt)) pathExt
+          else sniffExt(bytes)
         val pages =
           if (textExts(ext)) Seq(new String(bytes, "UTF-8"))
           else ex.get(ext).map(_(bytes)).getOrElse(Seq(new String(bytes, "UTF-8")))

@@ -21,16 +21,30 @@ object OoxmlLite {
     .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
     .replace("&quot;", "\"").replace("&apos;", "'")
 
-  private def zipEntries(bytes: Array[Byte]): Seq[(String, String)] = {
+  private def zipEntries(bytes: Array[Byte]): Seq[(String, String)] =
+    zipEntriesWhere(bytes, _.endsWith(".xml"))
+
+  private[connectors] def zipEntriesWhere(bytes: Array[Byte],
+      keep: String => Boolean): Seq[(String, String)] = {
     val zis = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
     val out = Vector.newBuilder[(String, String)]
     var e = zis.getNextEntry
     while (e != null) {
-      if (!e.isDirectory && e.getName.endsWith(".xml")) {
+      if (!e.isDirectory && keep(e.getName)) {
         out += ((e.getName, new String(zis.readAllBytes(), "UTF-8")))
       }
       e = zis.getNextEntry
     }
+    zis.close()
+    out.result()
+  }
+
+  /** Names of all zip entries — cheap container sniffing (no payload read). */
+  private[connectors] def zipEntryNames(bytes: Array[Byte]): Seq[String] = {
+    val zis = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = Vector.newBuilder[String]
+    var e = zis.getNextEntry
+    while (e != null) { out += e.getName; e = zis.getNextEntry }
     zis.close()
     out.result()
   }
@@ -53,6 +67,55 @@ object OoxmlLite {
     try {
       zipEntries(bytes).filter(_._1 == "word/document.xml")
         .map(e => runsOf(e._2)).filter(_.nonEmpty)
+    } catch { case _: Exception => Nil }
+
+  private val SharedString = "(?s)<si(?:\\s[^>]*)?>(.*?)</si>".r
+  private val CellT = "(?s)<t(?:\\s[^>]*)?>(.*?)</t>".r
+  private val RowXml = "(?s)<row(?:\\s[^>]*)?>(.*?)</row>".r
+  private val CellXml = "(?s)<c(\\s[^>]*)?(?:/>|>(.*?)</c>)".r
+  private val CellV = "(?s)<v(?:\\s[^>]*)?>(.*?)</v>".r
+
+  /** xlsx → one text page per sheet (xl/worksheets/sheetN.xml): rows joined
+    * with newlines, cells with ", "; shared-string (`t="s"`) and inline
+    * (`<is><t>`) cells resolved. Public ECMA-376 SpreadsheetML structure.
+    */
+  def extractXlsx(bytes: Array[Byte]): Seq[String] =
+    try {
+      val entries = zipEntries(bytes)
+      val shared: IndexedSeq[String] = entries.find(_._1 == "xl/sharedStrings.xml")
+        .map(e => SharedString.findAllMatchIn(e._2)
+          .map(m => CellT.findAllMatchIn(m.group(1)).map(t => unescape(t.group(1))).mkString)
+          .toIndexedSeq)
+        .getOrElse(IndexedSeq.empty)
+      entries.filter(_._1.matches("xl/worksheets/sheet\\d+\\.xml"))
+        .sortBy(e => "\\d+".r.findFirstIn(e._1).map(_.toInt).getOrElse(0))
+        .map { case (_, xmlBody) =>
+          RowXml.findAllMatchIn(xmlBody).map { row =>
+            CellXml.findAllMatchIn(row.group(1)).flatMap { c =>
+              val attrs = Option(c.group(1)).getOrElse("")
+              val body = Option(c.group(2)).getOrElse("")
+              val isShared = attrs.contains("t=\"s\"")
+              val v = CellV.findFirstMatchIn(body).map(m => unescape(m.group(1)))
+              if (isShared)
+                v.flatMap(idx => shared.lift(idx.trim.toInt))
+              else if (attrs.contains("t=\"inlineStr\""))
+                Some(CellT.findAllMatchIn(body).map(t => unescape(t.group(1))).mkString)
+              else v
+            }.mkString(", ")
+          }.filter(_.nonEmpty).mkString("\n")
+        }
+        .filter(_.nonEmpty)
+    } catch { case _: Exception => Nil }
+
+  /** epub → one text page per content document (XHTML chapters in container
+    * order, tags stripped). Public IDPF/EPUB OCF+XHTML structure.
+    */
+  def extractEpub(bytes: Array[Byte]): Seq[String] =
+    try {
+      zipEntriesWhere(bytes, n =>
+        n.endsWith(".xhtml") || n.endsWith(".html") || n.endsWith(".htm"))
+        .map(e => graft.connectors.WebSearchEngines.extractText(e._2))
+        .filter(_.nonEmpty)
     } catch { case _: Exception => Nil }
 }
 

@@ -43,6 +43,78 @@ final case class ParquetVS(basePath: String) extends VectorStore {
   }
 }
 
+/** Remote store speaking the Weaviate REST/GraphQL contract (reference
+  * WeaviateVS, lotus/vector_store/weaviate_vs.py:19-122): POST /v1/schema to
+  * create the class, batched POST /v1/batch/objects with pre-computed
+  * vectors, GraphQL nearVector search returning distance (similarity =
+  * 1 - distance, the reference's conversion). Transport injectable like
+  * [[QdrantLikeVS]]; upserts stream from executors in batches.
+  */
+final case class WeaviateLikeVS(baseUrl: String,
+    fetch: graft.connectors.WebSearchEngines.Fetch,
+    upsertBatch: Int = 256) extends VectorStore {
+
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def index(df: DataFrame, idCol: String, vecCol: String, collection: String): Unit = {
+    fetch(s"$baseUrl/v1/schema", Map.empty,
+      Some(s"""{"class":"$collection","vectorizer":"none","properties":[
+              |{"name":"doc_id","dataType":["int"]}]}""".stripMargin))
+    val url = s"$baseUrl/v1/batch/objects"
+    val fetchL = fetch
+    val batch = upsertBatch
+    val cls = collection
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vector"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        it.grouped(batch).foreach { rows =>
+          val root = m.createObjectNode()
+          val objects = root.putArray("objects")
+          rows.foreach { r =>
+            val o = objects.addObject()
+            o.put("class", cls)
+            o.putObject("properties").put("doc_id", r.getLong(0))
+            val v = o.putArray("vector")
+            r.getSeq[Float](1).foreach(x => v.add(x))
+          }
+          fetchL(url, Map.empty, Some(m.writeValueAsString(root)))
+        }
+      }
+  }
+
+  override def load(spark: SparkSession, collection: String): DataFrame = {
+    import spark.implicits._
+    val resp = mapper.readTree(fetch(
+      s"$baseUrl/v1/objects?class=$collection&include=vector&limit=1000000",
+      Map.empty, None))
+    val objs = resp.path("objects")
+    (0 until objs.size()).map { i =>
+      val o = objs.path(i)
+      val v = o.path("vector")
+      (o.path("properties").path("doc_id").asLong(),
+        (0 until v.size()).map(v.path(_).floatValue()))
+    }.toDF("id", "vector")
+  }
+
+  override def search(spark: SparkSession, collection: String, queryVec: Seq[Float],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val gql = s"""{ Get { $collection(nearVector: {vector: [${queryVec.mkString(",")}]},
+                 | limit: $k) { doc_id _additional { distance } } } }""".stripMargin
+    val body = mapper.createObjectNode()
+    body.put("query", gql)
+    val resp = mapper.readTree(fetch(s"$baseUrl/v1/graphql", Map.empty,
+      Some(mapper.writeValueAsString(body))))
+    val hits = resp.path("data").path("Get").path(collection)
+    (0 until hits.size()).map { i =>
+      val h = hits.path(i)
+      // Weaviate reports cosine DISTANCE; similarity = 1 - distance
+      // (weaviate_vs.py:108-110).
+      (h.path("doc_id").asLong(), 1.0 - h.path("_additional").path("distance").asDouble())
+    }.toDF("id", "score")
+  }
+}
+
 /** Remote store speaking the Qdrant REST contract (PUT collection, PUT
   * points, POST points/search, POST points/scroll). The transport is
   * injectable for hermetic tests; production passes

@@ -116,6 +116,79 @@ class JudgeCotPdfSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  private def zipBytes(entries: (String, String)*): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(buf)
+    entries.foreach { case (name, content) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    buf.toByteArray
+  }
+
+  test("OoxmlLite extracts xlsx sheets with shared and inline strings") {
+    val xlsx = zipBytes(
+      "xl/sharedStrings.xml" ->
+        """<sst><si><t>Name</t></si><si><r><t>Ada</t></r><r><t> Lovelace</t></r></si></sst>""",
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet><sheetData>
+          |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>42</v></c></row>
+          |<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2" t="inlineStr"><is><t>inline!</t></is></c></row>
+          |</sheetData></worksheet>""".stripMargin,
+      "xl/workbook.xml" -> "<workbook/>")
+    val pages = graft.connectors.OoxmlLite.extractXlsx(xlsx)
+    assert(pages == Seq("Name, 42\nAda Lovelace, inline!"))
+  }
+
+  test("OoxmlLite extracts epub chapters as tag-stripped pages") {
+    val epub = zipBytes(
+      "mimetype" -> "application/epub+zip",
+      "OEBPS/ch1.xhtml" ->
+        "<html><body><h1>Chapter One</h1><p>It &amp; begins.</p></body></html>",
+      "OEBPS/ch2.xhtml" -> "<html><body><p>The end.</p></body></html>")
+    assert(graft.connectors.OoxmlLite.extractEpub(epub) ==
+      Seq("Chapter One It & begins.", "The end."))
+  }
+
+  test("DirectoryReaderLite strips html tags and sniffs extension-less files") {
+    import graft.connectors.DirectoryReaderLite
+    val dir = java.nio.file.Files.createTempDirectory("graftdir")
+    java.nio.file.Files.write(dir.resolve("page.html"),
+      "<html><script>x()</script><body><p>Web body</p></body></html>".getBytes("UTF-8"))
+    // extension-less file with PDF magic must route through the pdf extractor
+    val pdfContent = "BT (Sniffed pdf text) Tj ET"
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(pdfContent.getBytes("ISO-8859-1")); deflater.finish()
+    val dbuf = new Array[Byte](1024)
+    val dn = deflater.deflate(dbuf)
+    val compressed = new String(dbuf.take(dn), "ISO-8859-1")
+    java.nio.file.Files.write(dir.resolve("noext"),
+      ("%PDF-1.4\n" +
+        s"4 0 obj << /Length $dn /Filter /FlateDecode >>\nstream\n$compressed\nendstream endobj\n%%EOF\n")
+        .getBytes("ISO-8859-1"))
+    // extension-less docx container sniffed by zip layout
+    java.nio.file.Files.write(dir.resolve("mystery"), zipBytes("word/document.xml" ->
+      """<w:document><w:body><w:p><w:r><w:t>Zip sniffed</w:t></w:r></w:p></w:body></w:document>"""))
+    val out = DirectoryReaderLite.toDf(spark, dir.toString + "/*")
+      .select("content").as[String].collect().mkString("\n")
+    assert(out.contains("Web body") && !out.contains("<p>") && !out.contains("x()"))
+    assert(out.contains("Sniffed pdf text"))
+    assert(out.contains("Zip sniffed"))
+  }
+
+  test("sniffExt classifies magic bytes and zip layouts") {
+    import graft.connectors.DirectoryReaderLite.sniffExt
+    assert(sniffExt("%PDF-1.7".getBytes) == "pdf")
+    assert(sniffExt(zipBytes("xl/workbook.xml" -> "<w/>")) == "xlsx")
+    assert(sniffExt(zipBytes("ppt/presentation.xml" -> "<p/>")) == "pptx")
+    assert(sniffExt(zipBytes("mimetype" -> "application/epub+zip")) == "epub")
+    assert(sniffExt("<!DOCTYPE html><html></html>".getBytes) == "html")
+    assert(sniffExt("plain words here".getBytes) == "txt")
+    assert(sniffExt(Array[Byte](0, 1, 2, 3, -1, -2)) == "bin")
+  }
+
   test("PdfLite inflates FlateDecode streams; DirectoryReaderLite extracts distributed") {
     val content = "BT (Compressed page text) Tj ET"
     val deflater = new java.util.zip.Deflater()

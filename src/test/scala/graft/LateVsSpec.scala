@@ -65,6 +65,62 @@ object FakeQdrant {
   }
 }
 
+/** In-memory server speaking the Weaviate REST/GraphQL contract. */
+object FakeWeaviate {
+  val classes = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  val objects =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap[Long, Seq[Float]]]()
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def clear(): Unit = { classes.clear(); objects.clear() }
+
+  private def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.lazyZip(b).map((x, y) => x.toDouble * y).sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    if (na == 0 || nb == 0) 0 else dot / (na * nb)
+  }
+
+  val fetch: graft.connectors.WebSearchEngines.Fetch = (url, _, body) => {
+    if (url.endsWith("/v1/schema")) {
+      val cls = mapper.readTree(body.get).path("class").asText()
+      classes.put(cls, 1)
+      objects.putIfAbsent(cls, new java.util.concurrent.ConcurrentHashMap[Long, Seq[Float]]())
+      s"""{"class":"$cls"}"""
+    } else if (url.endsWith("/v1/batch/objects")) {
+      val arr = mapper.readTree(body.get).path("objects")
+      (0 until arr.size()).foreach { i =>
+        val o = arr.path(i)
+        val v = o.path("vector")
+        objects.get(o.path("class").asText())
+          .put(o.path("properties").path("doc_id").asLong(),
+            (0 until v.size()).map(v.path(_).floatValue()))
+      }
+      """[{"result":{"status":"SUCCESS"}}]"""
+    } else if (url.contains("/v1/objects?")) {
+      val cls = "class=([^&]+)".r.findFirstMatchIn(url).get.group(1)
+      import scala.jdk.CollectionConverters._
+      val rows = objects.get(cls).entrySet().asScala.toSeq.sortBy(_.getKey).map { e =>
+        s"""{"class":"$cls","properties":{"doc_id":${e.getKey}},"vector":[${e.getValue.mkString(",")}]}"""
+      }
+      rows.mkString("""{"objects":[""", ",", "]}")
+    } else if (url.endsWith("/v1/graphql")) {
+      val q = mapper.readTree(body.get).path("query").asText()
+      val cls = "Get \\{ (\\w+)\\(".r.findFirstMatchIn(q).get.group(1)
+      val qv = "vector: \\[([^\\]]*)\\]".r.findFirstMatchIn(q).get.group(1)
+        .split(',').map(_.trim.toFloat).toSeq
+      val k = "limit: (\\d+)".r.findFirstMatchIn(q).get.group(1).toInt
+      import scala.jdk.CollectionConverters._
+      val hits = objects.get(cls).entrySet().asScala.toSeq
+        .map(e => (e.getKey, 1.0 - cos(qv, e.getValue))) // Weaviate distance
+        .sortBy { case (id, d) => (d, id) }.take(k)
+      hits.map { case (id, d) =>
+        s"""{"doc_id":$id,"_additional":{"distance":$d}}"""
+      }.mkString(s"""{"data":{"Get":{"$cls":[""", ",", "]}}}")
+    } else throw new IllegalArgumentException(s"unexpected url $url")
+  }
+}
+
 class LateVsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -101,6 +157,20 @@ class LateVsSpec extends SparkSpec {
     val qv = HashingEmbedder(64).embedOne("machine learning neural").toIndexedSeq
     val hits = vs.search(spark, "docs", qv, 2).select("id").as[Long].collect().toSet
     assert(hits.subsetOf(Set(1L, 2L)))
+  }
+
+  test("WeaviateLikeVS speaks the REST/GraphQL contract through the injectable transport") {
+    FakeWeaviate.clear()
+    val vs = graft.embed.WeaviateLikeVS("http://fake", FakeWeaviate.fetch, upsertBatch = 2)
+    val indexed = EmbedOps.semIndex(corpus, "text")
+    vs.index(indexed, "id", EmbedOps.vecCol("text"), "Docs")
+    assert(FakeWeaviate.objects.get("Docs").size() == 5)
+    assert(vs.load(spark, "Docs").count() == 5)
+    val qv = HashingEmbedder(64).embedOne("tomato pasta").toIndexedSeq
+    val hits = vs.search(spark, "Docs", qv, 2)
+    assert(hits.select("id").as[Long].collect().toSet.subsetOf(Set(3L, 4L)))
+    // distance → similarity conversion keeps scores in cosine range
+    assert(hits.select("score").as[Double].collect().forall(s => s >= -1.0 && s <= 1.0))
   }
 
   test("QdrantLikeVS speaks the REST contract through the injectable transport") {
