@@ -116,9 +116,12 @@ object EmbedOps {
   /** sem_sim_join: for each left row, the k nearest right rows by cosine on
     * the two columns' embeddings. Broadcast-hash layout: the right vector
     * table is broadcast (typical dims table), scoring is a nested-loop with
-    * native expressions, per-left top-k via window rank. Large×large falls
-    * back to the same plan without broadcast (AQE may still pick BNLJ) — an
-    * LSH pre-bucketing variant is the planned scale path.
+    * native expressions, per-left top-k via window rank. The rank-filter
+    * shape matters: Spark lowers it to a two-phase WindowGroupLimit with the
+    * partial limit BELOW the exchange, so only ≤ k rows per left key are
+    * shuffled — the |L|×|R| pair stream never crosses the wire
+    * (plan-asserted in PlanPropertiesSpec). Large×large uses
+    * [[semSimJoinLSH]]; [[semSimJoinAuto]] routes between them by size.
     */
   def semSimJoin(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String, k: Int,
       scoreCol: String = "_scores", broadcastRight: Boolean = true,

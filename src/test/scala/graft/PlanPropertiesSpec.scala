@@ -37,6 +37,24 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!planOf("dedup_minhash").contains("CartesianProduct"))
   }
 
+  test("semSimJoin top-k limits map-side before the shuffle (WindowGroupLimit)") {
+    // The per-left top-k must be applied BEFORE the Exchange: Spark lowers
+    // the rank-filter window to a partial WindowGroupLimit below the shuffle,
+    // so only ≤ k rows per left key move — not the |L|×|R| pair stream. If a
+    // plan change (extra window function, different filter shape) drops the
+    // partial limit, the full candidate stream shuffles and dies at scale.
+    val p = planOf("sem_sim_join_cos")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    val firstLimit = p.indexOf("WindowGroupLimit")
+    val lastLimit = p.lastIndexOf("WindowGroupLimit")
+    val exchange = p.indexOf("Exchange", firstLimit)
+    // Two-phase: a partial limit below the exchange (later in the plan
+    // string = upstream) and a final one above it.
+    assert(firstLimit >= 0 && lastLimit > firstLimit, p.take(3000))
+    assert(exchange > firstLimit && exchange < lastLimit,
+      s"expected partial WindowGroupLimit upstream of the Exchange\n${p.take(3000)}")
+  }
+
   test("semAgg pack stage has no global window or single-partition exchange") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
