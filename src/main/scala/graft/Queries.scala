@@ -399,16 +399,19 @@ object Queries {
     }),
 
     "ann_ivf_saved" -> ((s, dir) => {
-      // The durable IVF lifecycle: build → save (cell-partitioned parquet) →
-      // load → search. With nProbe = nCells the result equals exact cosine
-      // top-k (oracle-checkable); that the probe filter prunes partitions on
-      // the saved layout is pinned by IvfSpec.
+      // The durable IVF lifecycle: build (SAMPLED coarse fit — the 100 TB
+      // path) → save (cell-partitioned parquet) → load → search. With
+      // nProbe = nCells the result equals exact cosine top-k regardless of
+      // where the sampled fit placed the centroids, so the sample-fit path
+      // is oracle-checkable; that the probe filter prunes partitions on the
+      // saved layout is pinned by IvfSpec.
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_verify_ivf"
       val e = read(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 2).select("embedding")
         .head().getSeq[Float](0)
       val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
-      val (indexed, model) = graft.embed.IvfIndex.build(withVec, "emb", nCells = 8)
+      val (indexed, model) = graft.embed.IvfIndex.build(withVec, "emb", nCells = 8,
+        fitSampleFraction = 0.5)
       graft.embed.IvfIndex.save(indexed, model, "emb", "vec_id", path)
       indexed.unpersist()
       val (loaded, lModel) = graft.embed.IvfIndex.load(s, path)

@@ -55,34 +55,99 @@ object IvfIndex {
   def defaultFitPoints(nCells: Int): Long = math.max(16384L, 256L * nCells)
 
   /** Build the index: embed `c` (no-op if the vector column is already
-    * attached), fit seeded KMeans on a bounded sample of the vectors, assign
-    * every vector to its nearest centroid's cell. Returns the indexed frame
-    * (persisted — the caller unpersists when done; search/save would
+    * attached), fit the coarse quantizer with seeded Lloyd's k-means on a
+    * bounded DRIVER-SIDE sample, assign every vector to its nearest
+    * centroid's cell with a tight-loop expression. Returns the indexed
+    * frame (persisted — the caller unpersists when done; search/save would
     * otherwise re-run the embedder per action) and the centroid model.
     *
-    * `fitSampleFraction`: <= 0 (default) auto-sizes the KMeans fit sample to
-    * [[defaultFitPoints]] points; 1.0 fits on everything (exact small-corpus
-    * builds); anything between is an explicit sample rate.
+    * Fit layout, deliberately: the quantizer trains on ≤
+    * [[defaultFitPoints]] points no matter the corpus size (FAISS-style
+    * IVF practice), so the fit is a single bounded collect + local Lloyd's
+    * — no per-iteration distributed jobs. Only the cell ASSIGNMENT scans
+    * the corpus, as one narrow map with the (nCells × dim) centroid table
+    * riding in the expression. At 100 TB that is exactly one extra pass.
+    *
+    * `fitSampleFraction`: <= 0 (default) auto-sizes the fit sample to
+    * [[defaultFitPoints]] points; 1.0 fits on everything (exact
+    * small-corpus builds); anything between is an explicit sample rate.
     */
   def build(df: DataFrame, c: String, nCells: Int, seed: Long = 42,
-      fitSampleFraction: Double = -1.0): (DataFrame, IvfModel) = {
+      fitSampleFraction: Double = -1.0, maxIter: Int = 20): (DataFrame, IvfModel) = {
     val indexed = EmbedOps.semIndex(df, c).persist()
     val n = indexed.count()
     val v = EmbedOps.vecCol(c)
-    val feat = indexed.withColumn("__features",
-      org.apache.spark.ml.functions.array_to_vector(col(v)))
     val frac =
       if (fitSampleFraction > 0) math.min(1.0, fitSampleFraction)
       else math.min(1.0, defaultFitPoints(nCells).toDouble / math.max(1L, n))
-    val fitSet = if (frac >= 1.0) feat else feat.sample(withReplacement = false, frac, seed)
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(seed).setFeaturesCol("__features").setPredictionCol(cellCol)
-    val model = km.fit(fitSet)
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    val out = model.transform(feat).drop("__features").persist()
+    val fitDf = if (frac >= 1.0) indexed.select(col(v))
+                else indexed.select(col(v)).sample(withReplacement = false, frac, seed)
+    val sample = fitDf.collect().map(_.getSeq[Float](0).toArray)
+    val centroids = lloyd(sample, nCells, seed, maxIter)
+    val out = indexed.withColumn(cellCol,
+      graft.functions.VectorExprs.nearestCentroid(col(v), centroids)).persist()
     out.count()
     indexed.unpersist()
     (out, IvfModel(centroids))
+  }
+
+  /** Seeded Lloyd's k-means over a driver-local sample: deterministic
+    * shuffled-distinct init, squared-Euclidean assignment (ties → lowest
+    * index, matching [[graft.functions.NearestCentroid]]), mean update,
+    * empty clusters keep their previous centroid.
+    */
+  private[embed] def lloyd(points: Array[Array[Float]], k: Int, seed: Long,
+      maxIter: Int): Array[Array[Float]] = {
+    require(points.nonEmpty, "IVF fit sample is empty")
+    val dim = points.head.length
+    val rng = new scala.util.Random(seed)
+    val distinct = rng.shuffle(points.toVector).distinctBy(_.toSeq).take(k)
+    // Fewer distinct points than cells: pad by repeating (harmless — the
+    // duplicate cells stay empty).
+    val centroids = Array.tabulate(math.max(1, k))(i =>
+      distinct(i % distinct.length).clone())
+    val assign = new Array[Int](points.length)
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      changed = false
+      var p = 0
+      while (p < points.length) {
+        val pt = points(p)
+        var best = 0
+        var bestDist = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          val cent = centroids(c)
+          var dist = 0.0
+          var i = 0
+          while (i < dim) { val d = pt(i).toDouble - cent(i); dist += d * d; i += 1 }
+          if (dist < bestDist) { bestDist = dist; best = c }
+          c += 1
+        }
+        if (assign(p) != best) { assign(p) = best; changed = true }
+        p += 1
+      }
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      var q = 0
+      while (q < points.length) {
+        val a = assign(q); val pt = points(q); counts(a) += 1
+        var i = 0
+        while (i < dim) { sums(a)(i) += pt(i); i += 1 }
+        q += 1
+      }
+      var c = 0
+      while (c < centroids.length) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centroids
   }
 
   /** Persist as a cell-partitioned parquet index: `(id, vector)` rows under

@@ -90,9 +90,60 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryEx
     copy(left = newLeft, right = newRight)
 }
 
+/** Index of the nearest centroid (squared Euclidean, ties → lowest index)
+  * for a float-array column — the IVF cell-assignment kernel. The centroid
+  * table is tiny (nCells × dim) and rides in the expression itself; the
+  * per-row work is one tight O(k·d) primitive loop, no vector-type
+  * conversion column, no MLlib transform job.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid requires array<float>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    var best = 0
+    var bestDist = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var dist = 0.0
+      var i = 0
+      val n = math.min(d, cent.length)
+      while (i < n) {
+        val diff = v.getFloat(i).toDouble - cent(i)
+        dist += diff * diff
+        i += 1
+      }
+      if (dist < bestDist) { bestDist = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.graft.ColumnBridge
   /** Column wrapper: dot product of two numeric array columns (codegen'd). */
   def arrayDot(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper: nearest-centroid index of a float-array column. */
+  def nearestCentroid(v: Column, centroids: Array[Array[Float]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), centroids))
 }
