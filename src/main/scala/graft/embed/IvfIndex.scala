@@ -83,12 +83,42 @@ object IvfIndex {
     val fitDf = if (frac >= 1.0) indexed.select(col(v))
                 else indexed.select(col(v)).sample(withReplacement = false, frac, seed)
     val sample = fitDf.collect().map(_.getSeq[Float](0).toArray)
-    val centroids = lloyd(sample, nCells, seed, maxIter)
+    val centroids = fitCentroids(sample, nCells, seed, maxIter)
     val out = indexed.withColumn(cellCol,
       graft.functions.VectorExprs.nearestCentroid(col(v), centroids)).persist()
     out.count()
     indexed.unpersist()
     (out, IvfModel(centroids))
+  }
+
+  /** Public fit entry for other operators (semClusterBy shares the layout):
+    * `nRestarts` seeded k-means++ runs, keep the lowest-SSE solution —
+    * deterministic, and restarts dodge the single-run local optima that a
+    * lone Lloyd's descent can land in.
+    */
+  def fitCentroids(points: Array[Array[Float]], k: Int, seed: Long,
+      maxIter: Int = 20, nRestarts: Int = 5): Array[Array[Float]] = {
+    def sse(cents: Array[Array[Float]]): Double = {
+      var total = 0.0
+      var p = 0
+      while (p < points.length) {
+        val pt = points(p)
+        var best = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < pt.length) { val x = pt(i).toDouble - cents(c)(i); d += x * x; i += 1 }
+          if (d < best) best = d
+          c += 1
+        }
+        total += best
+        p += 1
+      }
+      total
+    }
+    (0 until math.max(1, nRestarts))
+      .map(r => lloyd(points, k, seed + r, maxIter))
+      .minBy(sse)
   }
 
   /** Seeded Lloyd's k-means over a driver-local sample: deterministic
@@ -101,11 +131,38 @@ object IvfIndex {
     require(points.nonEmpty, "IVF fit sample is empty")
     val dim = points.head.length
     val rng = new scala.util.Random(seed)
-    val distinct = rng.shuffle(points.toVector).distinctBy(_.toSeq).take(k)
-    // Fewer distinct points than cells: pad by repeating (harmless — the
-    // duplicate cells stay empty).
-    val centroids = Array.tabulate(math.max(1, k))(i =>
-      distinct(i % distinct.length).clone())
+
+    // Seeded k-means++ init (Arthur & Vassilvitskii 2007): first centroid
+    // uniform, each next sampled with probability ∝ squared distance to the
+    // nearest chosen centroid — deterministic given the seed, and far
+    // better-conditioned than uniform init on small samples.
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+      s
+    }
+    val init = scala.collection.mutable.ArrayBuffer[Array[Float]](
+      points(rng.nextInt(points.length)).clone())
+    val minD2 = points.map(p => d2(p, init.head))
+    while (init.length < math.max(1, k)) {
+      val total = minD2.sum
+      val pick =
+        if (total <= 0) points(rng.nextInt(points.length)) // all points identical
+        else {
+          var u = rng.nextDouble() * total
+          var i = 0
+          while (i < points.length - 1 && u > minD2(i)) { u -= minD2(i); i += 1 }
+          points(i)
+        }
+      init += pick.clone()
+      var i = 0
+      while (i < points.length) {
+        val d = d2(points(i), pick)
+        if (d < minD2(i)) minD2(i) = d
+        i += 1
+      }
+    }
+    val centroids = init.toArray
     val assign = new Array[Int](points.length)
     var iter = 0
     var changed = true

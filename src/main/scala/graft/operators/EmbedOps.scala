@@ -244,19 +244,34 @@ object EmbedOps {
         tieBreak = tieBreak)
   }
 
-  /** sem_cluster_by: KMeans over the column's embeddings (MLlib), appending
-    * `cluster_id` (reference sem_cluster_by.py:57-86 uses faiss.Kmeans).
+  /** sem_cluster_by: seeded k-means over the column's embeddings, appending
+    * `cluster_id` (reference sem_cluster_by.py:57-86 uses faiss.Kmeans —
+    * which also trains on a bounded sample). Same layout as
+    * [[graft.embed.IvfIndex.build]]: the centroids are fit with driver-side
+    * Lloyd's on a bounded sample (no per-iteration distributed jobs), and
+    * the corpus-wide cluster ASSIGNMENT is one narrow map through the
+    * tight-loop NearestCentroid expression — one extra pass at any scale.
+    *
+    * `fitSampleFraction` <= 0 auto-sizes the fit sample (~256 points per
+    * cluster, min 16k); 1.0 fits on everything.
     */
   def semClusterBy(df: DataFrame, c: String, nClusters: Int, seed: Long = 42,
-      clusterCol: String = "cluster_id"): DataFrame = {
+      clusterCol: String = "cluster_id", fitSampleFraction: Double = -1.0): DataFrame = {
     val indexed = semIndex(df, c).persist()
-    indexed.count()
-    val fc = org.apache.spark.ml.functions.array_to_vector(col(vecCol(c)))
-    val feat = indexed.withColumn("__features", fc)
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nClusters).setSeed(seed).setFeaturesCol("__features").setPredictionCol(clusterCol)
-    val model = km.fit(feat)
-    val res = model.transform(feat).drop("__features", vecCol(c))
+    val n = indexed.count()
+    val v = vecCol(c)
+    val frac =
+      if (fitSampleFraction > 0) math.min(1.0, fitSampleFraction)
+      else math.min(1.0,
+        graft.embed.IvfIndex.defaultFitPoints(nClusters).toDouble / math.max(1L, n))
+    val fitDf = if (frac >= 1.0) indexed.select(col(v))
+                else indexed.select(col(v)).sample(withReplacement = false, frac, seed)
+    val sample = fitDf.collect().map(_.getSeq[Float](0).toArray)
+    val centroids = graft.embed.IvfIndex.fitCentroids(sample, nClusters, seed)
+    val res = indexed.withColumn(clusterCol,
+      graft.functions.VectorExprs.nearestCentroid(col(v), centroids))
+      .drop(v)
+      .transform(graft.core.Persist.stage(_))
     indexed.unpersist()
     res
   }

@@ -66,4 +66,27 @@ class DedupSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(keep == Set(1L, 4L, 6L))
   }
+
+  test("minhash LSH pair set equals exact Jaccard on the gate corpus (oracle premise)") {
+    // The dedup_minhash DuckDB oracle computes EXACT-Jaccard connected
+    // components; it equals the operator's answer iff LSH candidate recall
+    // is 1 on the gate data (planted near-dups at J ≥ 0.889, nothing else
+    // above 0.3 — per-pair miss probability (1-J⁴)¹⁶ ≈ 1.5e-7). This pins
+    // that premise in-repo: if testdata or banding parameters drift, this
+    // fails before the driver gate does.
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = d.select(col("doc_id").cast("long").as("id"),
+      array_distinct(graft.functions.MinHashExpr.shingleHashes(
+        split(trim(col("text")), "\\s+"), 3)).as("sh"))
+    val exact = sh.toDF("id1", "sh1")
+      .join(broadcast(sh.toDF("id2", "sh2")), col("id1") < col("id2"))
+      .withColumn("j", Dedup.jaccard(col("sh1"), col("sh2")))
+      .filter(col("j") >= 0.5).select("id1", "id2")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "gate corpus must contain planted near-dups")
+    assert(lsh == exact, s"missed=${(exact -- lsh).size} spurious=${(lsh -- exact).size}")
+  }
 }
