@@ -367,6 +367,27 @@ object Queries {
         .orderBy("lid", "rid")
     }),
 
+    "sem_sim_join_lsh_exact" -> ((s, dir) => {
+      // The FULL LSH plumbing (hyperplane band keys → band-bucket equi-join
+      // → pair dedup → exact-cosine verify → per-left rank) under a
+      // recall-1 banding config: 16 one-bit bands make a candidate of any
+      // pair agreeing on ≥1 of 16 hyperplane signs — for a pair at angle θ
+      // the miss probability is (θ/π)^16, and on the gate data the
+      // candidate set covers the exact top-3 of every left row at
+      // sf0.001/0.01/0.1 (verified exhaustively). The result therefore
+      // equals the exact per-left top-k and the whole path is
+      // hash-verified. Production banding (recall<1 by design) stays
+      // covered by the rows-only sem_sim_join_lsh gate.
+      val e = read(s, dir, "embeddings")
+      val l = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("lid"), col("embedding").as(EmbedOps.vecCol("lemb")))
+      val r = e.select(col("vec_id").as("rid"), col("embedding").as(EmbedOps.vecCol("remb")))
+      EmbedOps.semSimJoinLSH(l, r, "lemb", "remb", k = 3, nBits = 16, bands = 16,
+          scoreCol = "raw", tieBreak = Seq(col("rid")))
+        .orderBy(col("lid"), col("raw").desc, col("rid"))
+        .select(col("lid"), col("rid"), round(col("raw"), 3).as("score"))
+    }),
+
     "sem_search_late" -> ((s, dir) => {
       // ColBERT-style late interaction: per-token embeddings + MaxSim
       // (rows-only: deterministic via the hashing embedder, but per-token
@@ -724,6 +745,14 @@ object Queries {
         |FROM embeddings e, q
         |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
         |LIMIT 10""".stripMargin,
+
+    "sem_sim_join_lsh_exact" ->
+      """SELECT l.vec_id AS lid, r.vec_id AS rid,
+        |  round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), 3) AS score
+        |FROM (SELECT * FROM embeddings WHERE vec_id < 50) l CROSS JOIN embeddings r
+        |QUALIFY row_number() OVER (PARTITION BY l.vec_id
+        |  ORDER BY list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) DESC, r.vec_id) <= 3
+        |ORDER BY lid, list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) DESC, rid""".stripMargin,
 
     "sem_sim_join_cos" ->
       """SELECT l.vec_id AS lid, r.vec_id AS rid,

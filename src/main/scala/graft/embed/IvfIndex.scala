@@ -219,20 +219,32 @@ object IvfIndex {
     indexed.select(col(idCol), col(v), col(cellCol))
       .repartition(col(cellCol))
       .write.mode("overwrite").partitionBy(cellCol).parquet(s"$path/cells")
-    val spark = indexed.sparkSession
-    import spark.implicits._
-    model.centroids.toSeq.zipWithIndex
-      .map { case (cent, i) => (i, cent.toSeq) }
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // The centroid table is driver-side metadata (nCells × dim floats):
+    // one small JSON file through the Hadoop FS API (works on HDFS/S3),
+    // not a Spark write job.
+    val json = model.centroids.map(_.mkString("[", ",", "]"))
+      .mkString("{\"centroids\":[", ",", "]}")
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+    val fs = p.getFileSystem(indexed.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
   }
 
   /** Load a saved index: the cell-partitioned vector frame + centroids. */
   def load(spark: SparkSession, path: String): (DataFrame, IvfModel) = {
     val cells = spark.read.parquet(s"$path/cells")
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .select("cell", "centroid").orderBy("cell").collect()
-      .map(_.getAs[Seq[Float]]("centroid").toArray)
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.readTree(json).path("centroids")
+    val centroids = (0 until arr.size()).map { i =>
+      val row = arr.path(i)
+      Array.tabulate(row.size())(j => row.path(j).floatValue())
+    }.toArray
     (cells, IvfModel(centroids))
   }
 
