@@ -333,7 +333,9 @@ object Queries {
     "sem_index_roundtrip" -> ((s, dir) => {
       // semIndexSave → parquet (id, vector) → semLoadIndex re-attach; the
       // round-tripped first component must equal the source table's.
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_verify_index"
+      // Unique per run: a fixed shared path races concurrent gate runs on
+      // the same machine (overwrite-while-read).
+      val path = java.nio.file.Files.createTempDirectory("graft_verify_index").toString + "/idx"
       val e = read(s, dir, "embeddings")
       val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
       EmbedOps.semIndexSave(withVec, "emb", "vec_id", path)
@@ -426,7 +428,8 @@ object Queries {
       // where the sampled fit placed the centroids, so the sample-fit path
       // is oracle-checkable; that the probe filter prunes partitions on the
       // saved layout is pinned by IvfSpec.
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_verify_ivf"
+      // Unique per run (see sem_index_roundtrip: shared paths race).
+      val path = java.nio.file.Files.createTempDirectory("graft_verify_ivf").toString + "/idx"
       val e = read(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 2).select("embedding")
         .head().getSeq[Float](0)

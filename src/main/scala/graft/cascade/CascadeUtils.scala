@@ -38,6 +38,13 @@ final case class CascadeArgs(
   */
 object CascadeUtils {
 
+  /** Long multiply saturating at Long.MaxValue — pair-count estimates must
+    * never wrap negative (scale guards compare against them).
+    */
+  def satMul(a: Long, b: Long): Long =
+    try Math.multiplyExact(a, b)
+    catch { case _: ArithmeticException => Long.MaxValue }
+
   /** Importance sampling over proxy scores: mixture of sqrt-score-proportional
     * and uniform weights; returns (sampled indices, per-item correction
     * factors for the whole population).

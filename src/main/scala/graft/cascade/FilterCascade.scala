@@ -164,13 +164,14 @@ object JoinCascade {
     }
     val leftCols = lEff.columns.toSet
     val fullScoringOk =
-      args.joinCascadeTopK <= 0 && leftCount * rightCount <= args.joinCascadeAutoPairLimit
+      args.joinCascadeTopK <= 0 &&
+        CascadeUtils.satMul(leftCount, rightCount) <= args.joinCascadeAutoPairLimit
     val cand =
       if (fullScoringOk) {
         // Reference parity (K = |R|): full proxy scoring, streamed per-left
         // through the top-K window; |L|×|R| is under the pair limit here, so
         // the downstream checkpoint is bounded too.
-        val kAll = math.max(1L, rightCount).toInt
+        val kAll = math.min(math.max(1L, rightCount), Int.MaxValue.toLong).toInt
         EmbedOps.semSimJoin(lEff, right, lProxyCol, rightOn, kAll, scoreCol = "__raw")
       } else {
         val k = if (args.joinCascadeTopK > 0) args.joinCascadeTopK
@@ -199,7 +200,10 @@ object JoinCascade {
     val s = Sem.settings
     val leftCount = left.count()
     val rightCount = right.count()
-    val pairCount = leftCount * rightCount
+    // Saturating multiply: at corpus scale a plain Long product wraps
+    // negative, which would both re-enable K=|R| full scoring AND trip the
+    // < minJoinCascadeSize fallback into a naive full theta join.
+    val pairCount = CascadeUtils.satMul(leftCount, rightCount)
     if (pairCount < args.minJoinCascadeSize)
       return (graft.operators.SemRowOps.semJoin(left, right, instr), None)
 

@@ -126,8 +126,13 @@ object DirectoryReaderLite {
       val head = new String(bytes.take(512), "UTF-8").toLowerCase
       if (head.contains("<html") || head.contains("<!doctype html")) "html"
       else {
-        val printable = bytes.take(512).count(b => b >= 32 || b == '\n' || b == '\r' || b == '\t')
-        if (bytes.isEmpty || printable.toDouble / math.min(512, bytes.length) > 0.95) "txt"
+        // Text detector: count C0 control bytes other than \t\n\r. UTF-8
+        // multibyte sequences live in 0x80–0xFF (negative as signed bytes),
+        // so they must NOT count against textiness — binaries betray
+        // themselves through NUL and low control bytes.
+        val ctl = bytes.take(512).count(b =>
+          b >= 0 && b < 32 && b != '\t' && b != '\n' && b != '\r')
+        if (bytes.isEmpty || ctl.toDouble / math.min(512, bytes.length) < 0.02) "txt"
         else "bin"
       }
     }
@@ -151,7 +156,14 @@ object DirectoryReaderLite {
           else sniffExt(bytes)
         val pages =
           if (textExts(ext)) Seq(new String(bytes, "UTF-8"))
-          else ex.get(ext).map(_(bytes)).getOrElse(Seq(new String(bytes, "UTF-8")))
+          else ex.get(ext) match {
+            case Some(extract) => extract(bytes)
+            // Sniffed binary/unknown containers must NOT decode as UTF-8 —
+            // mojibake rows would poison embeddings and dedup downstream.
+            case None if ext == "bin" || ext == "zip" =>
+              Seq(s"[$ext ${bytes.length} bytes: no extractor]")
+            case None => Seq(new String(bytes, "UTF-8"))
+          }
         pages.zipWithIndex.map { case (p, i) => (path, i, p) }
       }
       .toDF("path", "page", "content")

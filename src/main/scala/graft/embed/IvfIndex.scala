@@ -231,20 +231,30 @@ object IvfIndex {
     out.close()
   }
 
-  /** Load a saved index: the cell-partitioned vector frame + centroids. */
+  /** Load a saved index: the cell-partitioned vector frame + centroids.
+    * Falls back to the legacy `centroids/` parquet directory for indexes
+    * saved before the JSON format.
+    */
   def load(spark: SparkSession, path: String): (DataFrame, IvfModel) = {
     val cells = spark.read.parquet(s"$path/cells")
     val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val json = new String(in.readAllBytes(), "UTF-8")
-    in.close()
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val arr = mapper.readTree(json).path("centroids")
-    val centroids = (0 until arr.size()).map { i =>
-      val row = arr.path(i)
-      Array.tabulate(row.size())(j => row.path(j).floatValue())
-    }.toArray
+    val centroids =
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val json = new String(in.readAllBytes(), "UTF-8")
+        in.close()
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val arr = mapper.readTree(json).path("centroids")
+        (0 until arr.size()).map { i =>
+          val row = arr.path(i)
+          Array.tabulate(row.size())(j => row.path(j).floatValue())
+        }.toArray
+      } else {
+        spark.read.parquet(s"$path/centroids")
+          .select("cell", "centroid").orderBy("cell").collect()
+          .map(_.getAs[Seq[Float]]("centroid").toArray)
+      }
     (cells, IvfModel(centroids))
   }
 

@@ -57,9 +57,17 @@ final case class WeaviateLikeVS(baseUrl: String,
   @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   override def index(df: DataFrame, idCol: String, vecCol: String, collection: String): Unit = {
-    fetch(s"$baseUrl/v1/schema", Map.empty,
+    // Deterministic object UUID from (collection, doc id) — the reference
+    // derives uuid5 from doc_id (weaviate_vs.py) so re-indexing UPSERTS in
+    // place instead of duplicating; name-based UUIDs give the same property.
+    val mkId = (cls: String, id: Long) =>
+      java.util.UUID.nameUUIDFromBytes(s"$cls/$id".getBytes("UTF-8")).toString
+    // Schema create returns 422 when the class already exists — that is the
+    // re-index case, not an error (objects then upsert by deterministic id).
+    try fetch(s"$baseUrl/v1/schema", Map.empty,
       Some(s"""{"class":"$collection","vectorizer":"none","properties":[
               |{"name":"doc_id","dataType":["int"]}]}""".stripMargin))
+    catch { case _: Exception => () }
     val url = s"$baseUrl/v1/batch/objects"
     val fetchL = fetch
     val batch = upsertBatch
@@ -73,6 +81,7 @@ final case class WeaviateLikeVS(baseUrl: String,
           rows.foreach { r =>
             val o = objects.addObject()
             o.put("class", cls)
+            o.put("id", mkId(cls, r.getLong(0)))
             o.putObject("properties").put("doc_id", r.getLong(0))
             val v = o.putArray("vector")
             r.getSeq[Float](1).foreach(x => v.add(x))
@@ -84,10 +93,16 @@ final case class WeaviateLikeVS(baseUrl: String,
 
   override def load(spark: SparkSession, collection: String): DataFrame = {
     import spark.implicits._
+    val limit = 1000000
     val resp = mapper.readTree(fetch(
-      s"$baseUrl/v1/objects?class=$collection&include=vector&limit=1000000",
+      s"$baseUrl/v1/objects?class=$collection&include=vector&limit=$limit",
       Map.empty, None))
     val objs = resp.path("objects")
+    // Fail loudly rather than silently truncate an over-limit collection —
+    // a partial index poisons every downstream join/dedup invisibly.
+    require(objs.size() < limit,
+      s"WeaviateLikeVS.load: collection '$collection' has >= $limit objects; " +
+        "page with offset/cursor instead of a bulk load")
     (0 until objs.size()).map { i =>
       val o = objs.path(i)
       val v = o.path("vector")

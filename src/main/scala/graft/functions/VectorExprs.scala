@@ -119,10 +119,14 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     var c = 0
     while (c < centroids.length) {
       val cent = centroids(c)
+      // Fail loudly on a dimension mismatch: assigning over a truncated
+      // prefix would silently place rows in wrong cells at build time while
+      // search-time rankCells throws on the same mismatch.
+      if (d != cent.length) throw new IllegalArgumentException(
+        s"nearest_centroid dimension mismatch: vector dim $d vs centroid dim ${cent.length}")
       var dist = 0.0
       var i = 0
-      val n = math.min(d, cent.length)
-      while (i < n) {
+      while (i < d) {
         val diff = v.getFloat(i).toDouble - cent(i)
         dist += diff * diff
         i += 1

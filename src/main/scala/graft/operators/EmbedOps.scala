@@ -229,18 +229,19 @@ object EmbedOps {
   def semSimJoinAuto(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String,
       k: Int, broadcastBytesThreshold: Long = 64L << 20, dim: Int = 0,
       scoreCol: String = "_scores", tieBreak: Seq[Column] = Nil): DataFrame = {
-    // Index the right side once; semIndex inside either downstream path is
-    // then a no-op. Its true dimension feeds both the broadcast-size
-    // estimate and (on the LSH path) the hyperplane construction.
-    val ri = semIndex(right, rightOn)
-    val d = if (dim > 0) dim else vecDimOf(ri, vecCol(rightOn))
-    val rightRows = ri.count()
+    // The true vector dimension feeds both the broadcast-size estimate and
+    // (on the LSH path) the hyperplane construction. vecDimOf embeds at
+    // most one batch (limit 1); the row count comes from the RAW right
+    // frame — semIndex is 1:1, and counting through it would run the full
+    // embedder once for the count and again when the join executes.
+    val d = if (dim > 0) dim else vecDimOf(semIndex(right, rightOn), vecCol(rightOn))
+    val rightRows = right.count()
     // vector payload + row overhead; conservative per-row estimate
     val estBytes = rightRows * (d.toLong * 4 + 256)
     if (estBytes <= broadcastBytesThreshold)
-      semSimJoin(left, ri, leftOn, rightOn, k, scoreCol, broadcastRight = true, tieBreak)
+      semSimJoin(left, right, leftOn, rightOn, k, scoreCol, broadcastRight = true, tieBreak)
     else
-      semSimJoinLSH(left, ri, leftOn, rightOn, k, d, scoreCol = scoreCol,
+      semSimJoinLSH(left, right, leftOn, rightOn, k, d, scoreCol = scoreCol,
         tieBreak = tieBreak)
   }
 
@@ -287,15 +288,15 @@ object EmbedOps {
     * is approximate (pairs whose vectors share no band are missed; tune
     * nBits/bands for recall); the brute-force path is exact and only chosen
     * when the input is small enough to broadcast. Force a path with
-    * `Some(true/false)`. Auto-routing counts the indexed frame once —
-    * persist upstream if the embedding is expensive.
+    * `Some(true/false)`. Auto-routing counts the RAW input frame (semIndex
+    * is 1:1, so the count is identical and costs no embedder calls).
     */
   def neardupPairs(df: DataFrame, c: String, idCol: String, threshold: Double,
       useLsh: Option[Boolean] = None, lshRowThreshold: Long = 100000L,
       dim: Int = 0, nBits: Int = 16, bands: Int = 4): DataFrame = {
     val indexed = semIndex(df, c)
     val v = vecCol(c)
-    val lsh = useLsh.getOrElse(indexed.count() > lshRowThreshold)
+    val lsh = useLsh.getOrElse(df.count() > lshRowThreshold)
     if (!lsh) {
       val a = indexed.select(col(idCol).cast(LongType).as("id1"), col(v).as("v1"))
       val b = indexed.select(col(idCol).cast(LongType).as("id2"), col(v).as("v2"))

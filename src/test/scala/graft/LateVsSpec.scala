@@ -171,6 +171,10 @@ class LateVsSpec extends SparkSpec {
     assert(hits.select("id").as[Long].collect().toSet.subsetOf(Set(3L, 4L)))
     // distance → similarity conversion keeps scores in cosine range
     assert(hits.select("score").as[Double].collect().forall(s => s >= -1.0 && s <= 1.0))
+    // Re-index is idempotent: deterministic object ids upsert in place
+    // (the reference's uuid5 semantics), never duplicate.
+    vs.index(indexed, "id", EmbedOps.vecCol("text"), "Docs")
+    assert(vs.load(spark, "Docs").count() == 5)
   }
 
   test("QdrantLikeVS speaks the REST contract through the injectable transport") {
