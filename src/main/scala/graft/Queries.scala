@@ -548,6 +548,43 @@ object Queries {
     }),
 
     // ---------------- text analysis ---------------------------------------
+    "text_repetition" -> ((s, dir) => {
+      // Gopher/C4-family repetition & gibberish signals: word repetition
+      // ratio, top-bigram fraction, duplicate-trigram fraction, symbol-to-
+      // word ratio, alphabetic-word fraction. All per-row HOF compositions —
+      // work bounded by each doc's own length, no explode/shuffle (the shape
+      // that keeps a corpus quality pass one narrow map at 100 TB).
+      read(s, dir, "documents").select(
+        col("doc_id"),
+        round(TF.wordRepetitionRatio(col("text")), 4).as("rep_ratio"),
+        round(TF.topNgramFraction(col("text"), 2), 4).as("top_bigram_frac"),
+        round(TF.dupNgramFraction(col("text"), 3), 4).as("dup_trigram_frac"),
+        round(TF.symbolWordRatio(col("text")), 4).as("symbol_ratio"),
+        round(TF.alphaWordFraction(col("text")), 4).as("alpha_frac")
+      ).orderBy("doc_id")
+    }),
+
+    "ann_sq8_search" -> ((s, dir) => {
+      // Int8 scalar quantization through the durable IVF-SQ8 lifecycle:
+      // build → save codes+scale (~4× smaller index) → load → search with
+      // dequantized cosine. nProbe = nCells makes the probe exhaustive, so
+      // the result is exactly the quantized cosine top-k — which the oracle
+      // reproduces with the same quantization math in DuckDB list SQL.
+      val path = java.nio.file.Files.createTempDirectory("graft_verify_sq8").toString + "/idx"
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 3).select("embedding")
+        .head().getSeq[Float](0)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      val (indexed, model) = graft.embed.IvfIndex.build(withVec, "emb", nCells = 8)
+      graft.embed.IvfIndex.save(indexed, model, "emb", "vec_id", path, sq8 = true)
+      indexed.unpersist()
+      val (loaded, lModel) = graft.embed.IvfIndex.load(s, path)
+      graft.embed.IvfIndex.search(loaded, lModel, "emb", qv, k = 12, nProbe = 8,
+          scoreCol = "raw", tieBreak = Seq(col("vec_id")))
+        .orderBy(col("raw").desc, col("vec_id"))
+        .select(col("vec_id"), round(col("raw"), 3).as("score"))
+    }),
+
     "text_stats" -> ((s, dir) => {
       read(s, dir, "documents").select(
         col("doc_id"),
@@ -898,6 +935,46 @@ object Queries {
         |FROM q
         |WHERE round((least(len(text)*1.0/500, 1.0) + least(sraw*5, 1.0) + greatest(0.0, 1.0 - praw*10)) / 3.0, 4) >= 0.5
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(text)), ' ') AS words,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, words, n, n_sym,
+        |    CASE WHEN n >= 2 THEN list_transform(range(1, n), i -> words[i] || ' ' || words[i+1])
+        |         ELSE [] END AS bi,
+        |    CASE WHEN n >= 3 THEN list_transform(range(1, n-1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |         ELSE [] END AS tri
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE 1.0 - len(list_distinct(words)) * 1.0 / n END, 4) AS rep_ratio,
+        |  round(CASE WHEN len(bi) = 0 THEN 0.0
+        |        ELSE list_max(list_transform(list_distinct(bi), b -> len(list_filter(bi, x -> x = b)))) * 1.0 / len(bi) END, 4) AS top_bigram_frac,
+        |  round(CASE WHEN len(tri) = 0 THEN 0.0
+        |        ELSE len(list_filter(tri, u -> len(list_filter(tri, x -> x = u)) > 1)) * 1.0 / len(tri) END, 4) AS dup_trigram_frac,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE n_sym * 1.0 / n END, 4) AS symbol_ratio,
+        |  round(CASE WHEN n = 0 THEN 0.0
+        |        ELSE len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) * 1.0 / n END, 4) AS alpha_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "ann_sq8_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3),
+        |s AS (
+        |  SELECT vec_id,
+        |    greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0, 1e-30) AS scale,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, list_transform(v, x -> round(x / scale) * scale) AS dv
+        |  FROM s)
+        |SELECT d.vec_id, round(list_cosine_similarity(d.dv, q.qv), 3) AS score
+        |FROM d, q
+        |ORDER BY list_cosine_similarity(d.dv, q.qv) DESC, d.vec_id
+        |LIMIT 12""".stripMargin,
 
     "text_stats" ->
       """WITH t AS (

@@ -211,12 +211,24 @@ object IvfIndex {
     * `__ivf_cell=<k>/` directories plus the centroid table — the durable form
     * whose probe reads prune at the file level.
     */
-  def save(indexed: DataFrame, model: IvfModel, c: String, idCol: String, path: String): Unit = {
+  def save(indexed: DataFrame, model: IvfModel, c: String, idCol: String, path: String,
+      sq8: Boolean = false): Unit = {
     val v = EmbedOps.vecCol(c)
     // Cluster rows by cell before the partitioned write: otherwise every
     // task writes a file into every cell directory (tasks × cells small
     // files — a metadata bomb at corpus scale).
-    indexed.select(col(idCol), col(v), col(cellCol))
+    val payload =
+      if (sq8) {
+        // IVF-SQ8: store int8 codes + a per-vector scale instead of float32
+        // vectors — ~4× smaller index files, dequantized inside the probe
+        // scan (see [[Quantize]]).
+        val scale = Quantize.sq8Scale(col(v))
+        indexed.select(col(idCol),
+          scale.as(Quantize.scaleCol(c)),
+          Quantize.sq8Codes(col(v), scale).as(Quantize.codesCol(c)),
+          col(cellCol))
+      } else indexed.select(col(idCol), col(v), col(cellCol))
+    payload
       .repartition(col(cellCol))
       .write.mode("overwrite").partitionBy(cellCol).parquet(s"$path/cells")
     // The centroid table is driver-side metadata (nCells × dim floats):
@@ -261,7 +273,9 @@ object IvfIndex {
   /** Top-k search over an indexed frame: probe the `nProbe` cells nearest the
     * query, exact cosine inside them, global top-k. With a [[save]]d index the
     * cell filter is partition-pruning; in-memory it is still a codegen'd
-    * filter that skips (nCells-nProbe)/nCells of the rows.
+    * filter that skips (nCells-nProbe)/nCells of the rows. A frame loaded
+    * from an IVF-SQ8 index (codes + scale columns instead of the vector
+    * column) is scored on the dequantized vectors transparently.
     */
   def search(indexed: DataFrame, model: IvfModel, c: String, qv: Seq[Float], k: Int,
       nProbe: Int, scoreCol: String = "vec_scores",
@@ -269,11 +283,19 @@ object IvfIndex {
     require(nProbe >= 1, "nProbe must be >= 1")
     val probed = model.rankCells(qv).take(math.min(nProbe, model.nCells))
     val v = EmbedOps.vecCol(c)
+    val (scoreExpr, payloadCols) =
+      if (indexed.columns.contains(v))
+        (EmbedOps.cosineSim(col(v), lit(qv.toArray)), Seq(v))
+      else if (indexed.columns.contains(Quantize.codesCol(c)))
+        (Quantize.sq8CosineToQuery(col(Quantize.codesCol(c)), col(Quantize.scaleCol(c)), qv),
+          Seq(Quantize.codesCol(c), Quantize.scaleCol(c)))
+      else throw new IllegalArgumentException(
+        s"IVF search: frame has neither $v nor ${Quantize.codesCol(c)}")
     indexed.filter(col(cellCol).isin(probed.map(Integer.valueOf).toSeq: _*))
-      .withColumn(scoreCol, EmbedOps.cosineSim(col(v), lit(qv.toArray)))
+      .withColumn(scoreCol, scoreExpr)
       .orderBy(col(scoreCol).desc +: tieBreak: _*)
       .limit(k)
-      .drop(v, cellCol)
+      .drop(payloadCols :+ cellCol: _*)
   }
 
   /** Text-query convenience: embed with the session embedder, then [[search]]. */

@@ -81,6 +81,69 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(to_binary(regexp_replace(lower(trim(c)), "\\s+", " "), lit("utf-8")))
 
+  // ------------------------------------------------------------------
+  // Repetition / gibberish signals (the Gopher & C4 rule families from
+  // published corpus-cleaning pipelines). All per-row higher-order-function
+  // compositions: work is bounded by the document's own length, no explode,
+  // no shuffle — the property that keeps a quality pass one narrow map at
+  // 100 TB. Deliberately SQL-portable so results are oracle-checkable.
+  // ------------------------------------------------------------------
+
+  private def wordsOf(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** 1 − distinct/total over whitespace tokens: how much of the doc is
+    * repeated vocabulary (boilerplate and keyword-stuffing detector).
+    */
+  def wordRepetitionRatio(c: Column): Column = {
+    val words = wordsOf(c)
+    when(size(words) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(words)).cast("double") / size(words))
+  }
+
+  /** Sliding word n-grams as an array column (n ≥ 1; empty below n words). */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val words = wordsOf(c)
+    when(size(words) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+  }
+
+  /** Fraction of n-gram slots taken by the single most frequent n-gram
+    * (Gopher's "top n-gram fraction"): high ⇒ templated/repetitive text.
+    * Per-doc O(g²) over its own grams — bounded, shuffle-free.
+    */
+  def topNgramFraction(c: Column, n: Int): Column = {
+    val grams = wordNgrams(c, n)
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(grams),
+        g => size(filter(grams, x => x === g)))).cast("double") / size(grams))
+  }
+
+  /** Fraction of n-gram slots whose n-gram occurs more than once (Gopher's
+    * "duplicate n-gram fraction").
+    */
+  def dupNgramFraction(c: Column, n: Int): Column = {
+    val grams = wordNgrams(c, n)
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      size(filter(grams, g => size(filter(grams, x => x === g)) > 1)).cast("double")
+        / size(grams))
+  }
+
+  /** Symbol-to-word ratio (Gopher): '#'/ellipsis marks per whitespace token. */
+  def symbolWordRatio(c: Column): Column =
+    when(tokenCount(c) === 0, lit(0.0))
+      .otherwise(size(regexp_extract_all(c, lit("#|\\.\\.\\."), lit(0))).cast("double")
+        / tokenCount(c))
+
+  /** Fraction of whitespace tokens containing at least one alphabetic char
+    * (Gopher's "80% of words must contain an alphabetic character" rule).
+    */
+  def alphaWordFraction(c: Column): Column = {
+    val words = wordsOf(c)
+    when(size(words) === 0, lit(0.0))
+      .otherwise(size(filter(words, w => w.rlike("[a-z]"))).cast("double") / size(words))
+  }
+
   /** Rolling (polynomial) content-defined fingerprints of word windows:
     * xxhash64 over sliding word n-grams; the minimum is a winnowing-style
     * document signature.

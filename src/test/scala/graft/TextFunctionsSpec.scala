@@ -56,6 +56,51 @@ class TextFunctionsSpec extends SparkSpec {
     assert(f(0) == f(1) && f(0) != f(2))
   }
 
+  test("wordRepetitionRatio: distinct text 0, repeated text high") {
+    val d = Seq((1L, "a b c d"), (2L, "spam spam spam spam"), (3L, "x x y y"))
+      .toDF("id", "text")
+    val m = d.select($"id", TF.wordRepetitionRatio($"text").as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(m(1L) == 0.0)
+    assert(m(2L) == 0.75)
+    assert(m(3L) == 0.5)
+  }
+
+  test("topNgramFraction and dupNgramFraction flag templated text") {
+    val d = Seq(
+      (1L, "buy now buy now buy now"),   // bigrams: "buy now"×3, "now buy"×2 → top 3/5
+      (2L, "one two three four five")    // all bigrams unique
+    ).toDF("id", "text")
+    val top = d.select($"id", TF.topNgramFraction($"text", 2).as("t"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(top(1L) - 0.6) < 1e-9)
+    assert(top(2L) == 0.25) // 4 unique bigrams → max count 1 → 1/4
+    val dup = d.select($"id", TF.dupNgramFraction($"text", 3).as("d"))
+      .as[(Long, Double)].collect().toMap
+    assert(dup(1L) == 1.0) // "buy now buy"×2, "now buy now"×2 → all 4 slots dup
+    assert(dup(2L) == 0.0)
+  }
+
+  test("ngram guards: shorter-than-n docs yield 0.0") {
+    val d = Seq((1L, "solo")).toDF("id", "text")
+    val r = d.select(
+      TF.topNgramFraction($"text", 2).as("t"),
+      TF.dupNgramFraction($"text", 3).as("d")).as[(Double, Double)].head()
+    assert(r == ((0.0, 0.0)))
+  }
+
+  test("symbolWordRatio and alphaWordFraction (Gopher rules)") {
+    val d = Seq((1L, "see more ... at # tag"), (2L, "1 2 3 four"))
+      .toDF("id", "text")
+    val m = d.select($"id", TF.symbolWordRatio($"text").as("s"),
+      TF.alphaWordFraction($"text").as("a"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(math.abs(m(1L)._1 - 2.0 / 6) < 1e-9)
+    assert(math.abs(m(1L)._2 - 4.0 / 6) < 1e-9) // "..." and "#" carry no alphabetic char
+    assert(m(2L)._1 == 0.0)
+    assert(m(2L)._2 == 0.25)
+  }
+
   test("multimodal stub decode keeps batch shape and schema") {
     val bin = df.select($"id", to_binary($"text", lit("utf-8")).as("img"))
     val out = MultimodalOps.decodeMeta(bin, "img")
