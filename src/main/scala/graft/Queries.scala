@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Sem
 import graft.llm.{FakeBehavior, FakeLM}
-import graft.operators.{Dedup, EmbedOps}
+import graft.operators.{CorpusPrep, Dedup, EmbedOps}
 import graft.functions.{MultimodalOps, TextFunctions => TF}
 
 /** The operator inventory as driver-checkable queries.
@@ -412,13 +412,19 @@ object Queries {
         .head().getSeq[Float](0)
       val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
       val (indexed, model) = graft.embed.IvfIndex.build(withVec, "emb", nCells = 8)
-      graft.embed.IvfIndex.search(indexed, model, "emb", qv, k = 12, nProbe = 8,
+      val res = graft.embed.IvfIndex.search(indexed, model, "emb", qv, k = 12, nProbe = 8,
           scoreCol = "raw", tieBreak = Seq(col("vec_id")))
         // Re-assert the order on the raw score: the hash compare is
         // order-sensitive and must not depend on search's internal sort
         // surviving the projection.
         .orderBy(col("raw").desc, col("vec_id"))
         .select(col("vec_id"), round(col("raw"), 3).as("score"))
+        // Materialize the ≤12-row result, then release the built index —
+        // without this the persisted frame outlives the query (every later
+        // bench query pays its storage).
+        .transform(graft.core.Persist.stage(_))
+      indexed.unpersist()
+      res
     }),
 
     "ann_ivf_saved" -> ((s, dir) => {
@@ -548,6 +554,33 @@ object Queries {
     }),
 
     // ---------------- text analysis ---------------------------------------
+    "corpus_sample_det" -> ((s, dir) => {
+      // Deterministic content-hash sampling: membership is a pure function
+      // of (salt, key) — same surviving rows on any cluster/partitioning/
+      // engine. A pure filter: pushes to the scan, no shuffle.
+      CorpusPrep.deterministicSample(read(s, dir, "documents"), "doc_id", 0.25, salt = "s1")
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    }),
+
+    "corpus_quota_lang" -> ((s, dir) => {
+      // Data mixing: cap each language at 50 docs (lowest doc_id first).
+      // One shuffle on lang; the rank filter lowers to WindowGroupLimit so
+      // only ≤ quota rows per group survive the partial stage.
+      CorpusPrep.quotaPerGroup(read(s, dir, "documents"), "lang", "doc_id", 50)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    }),
+
+    "corpus_pack_seq" -> ((s, dir) => {
+      // Training-sequence packing: within each language (doc_id order),
+      // pack_id = floor(exclusive running token total / 512) — consecutive
+      // docs share a pack until the token budget rolls over.
+      val d = read(s, dir, "documents")
+        .withColumn("n_tokens", TF.tokenCount(col("text")).cast("long"))
+      CorpusPrep.packSequences(d, "lang", "doc_id", "n_tokens", maxTokens = 512)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
+        .orderBy("doc_id")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // Gopher/C4-family repetition & gibberish signals: word repetition
       // ratio, top-bigram fraction, duplicate-trigram fraction, symbol-to-
@@ -935,6 +968,26 @@ object Queries {
         |FROM q
         |WHERE round((least(len(text)*1.0/500, 1.0) + least(sraw*5, 1.0) + greatest(0.0, 1.0 - praw*10)) / 3.0, 4) >= 0.5
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "corpus_sample_det" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5('s1' || '|' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_quota_lang" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 50
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_pack_seq" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT) AS pack_id
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines: deterministic
+  * sampling, per-group quotas (data mixing), and sequence packing. All
+  * native Spark expressions/windows — no UDFs, no driver loops — and
+  * deliberately SQL-portable so each is DuckDB-oracle-checkable.
+  *
+  * Scale notes: sampling is a pure filter (pushes to the scan, no shuffle);
+  * quota and packing shuffle once on their group key — the same layout a
+  * 1000-executor mixing job wants. Nothing here collects to the driver.
+  */
+object CorpusPrep {
+
+  /** Deterministic content-hash sampling: keep a row iff the first 4 hex
+    * chars of `md5(salt|key)` fall under `fraction` of the 16-bit space.
+    * Unlike `df.sample`, membership is a pure function of (salt, key): the
+    * same rows survive on any cluster, any partitioning, any engine — the
+    * reproducibility property a training-corpus sample needs. Fraction
+    * resolution is 1/65536.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
+      salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction outside [0,1]")
+    val cut = math.round(fraction * 65536.0).toInt
+    if (cut >= 65536) df
+    else {
+      // Lexicographic compare on the fixed-width lowercase hex prefix ==
+      // numeric compare; both Spark and ANSI oracles render md5 identically.
+      val thresh = f"$cut%04x"
+      df.filter(substring(md5(to_binary(
+        concat_ws("|", lit(salt), col(keyCol).cast("string")), lit("utf-8"))), 1, 4) < thresh)
+    }
+  }
+
+  /** Per-group quota (data mixing): keep at most `quota` rows per value of
+    * `groupCol`, picked in `orderCol` order — the "cap each domain/language
+    * at N documents" step of corpus mixing. One shuffle on the group key;
+    * Spark lowers the rank filter to a two-phase WindowGroupLimit, so only
+    * ≤ quota rows per group survive the partial stage.
+    */
+  def quotaPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+      quota: Int): DataFrame = {
+    require(quota >= 1, s"quota $quota must be >= 1")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.withColumn("__qr", row_number().over(w))
+      .filter(col("__qr") <= quota)
+      .drop("__qr")
+  }
+
+  /** Sequence packing by cumulative token bins: within each `groupCol`
+    * partition (documents ordered by `orderCol`), assign `packIdCol` =
+    * ⌊(exclusive running token total) / maxTokens⌋. Consecutive docs share
+    * a pack until the budget rolls over — the contiguous variant of
+    * training-sequence packing (docs longer than `maxTokens` own their
+    * packs). Deterministic, one shuffle on the group key, and each pack id
+    * is computable without seeing other groups.
+    */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+      tokenCol: String, maxTokens: Int, packIdCol: String = "pack_id"): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens $maxTokens must be >= 1")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(packIdCol,
+      floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / maxTokens).cast("long"))
+  }
+}

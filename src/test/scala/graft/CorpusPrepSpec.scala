@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusPrep
+
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (0 until 400).map { i =>
+    (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr",
+      10L + (i * 7) % 90)
+  }.toDF("id", "lang", "toks")
+
+  test("deterministicSample: pure function of (salt, key), monotone in fraction") {
+    val a = CorpusPrep.deterministicSample(docs, "id", 0.25, "s1")
+      .select("id").as[Long].collect().toSet
+    val b = CorpusPrep.deterministicSample(docs.repartition(7), "id", 0.25, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(a == b) // partitioning-independent membership
+    val half = CorpusPrep.deterministicSample(docs, "id", 0.5, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(a.subsetOf(half)) // growing the fraction only adds rows
+    val otherSalt = CorpusPrep.deterministicSample(docs, "id", 0.25, "s2")
+      .select("id").as[Long].collect().toSet
+    assert(a != otherSalt) // salt rotates the sample
+    // ~25% of a 16-bit-uniform hash; loose bounds for n=400
+    assert(a.size > 60 && a.size < 140, s"got ${a.size}")
+    // boundary fractions
+    assert(CorpusPrep.deterministicSample(docs, "id", 1.0).count() == 400)
+    assert(CorpusPrep.deterministicSample(docs, "id", 0.0).count() == 0)
+  }
+
+  test("quotaPerGroup caps each group at quota, keeping lowest order keys") {
+    val out = CorpusPrep.quotaPerGroup(docs, "lang", "id", 10)
+    val per = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(per.values.forall(_ == 10))
+    // lowest ids win: the English quota is exactly the first 10 multiples of 3
+    val en = out.filter($"lang" === "en").select("id").as[Long].collect().sorted
+    assert(en.toSeq == (0 until 10).map(_ * 3L))
+  }
+
+  test("packSequences: bins are order-contiguous and budget-tight") {
+    val out = CorpusPrep.packSequences(docs, "lang", "id", "toks", maxTokens = 100)
+      .select("lang", "id", "toks", "pack_id")
+      .as[(String, Long, Long, Long)].collect()
+    for ((_, rows) <- out.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._2)
+      // pack ids start at 0 and never decrease along the group order
+      assert(sorted.head._4 == 0L)
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._4 <= b._4; case _ => true })
+      for ((_, pack) <- sorted.groupBy(_._4)) {
+        val toks = pack.sortBy(_._2).map(_._3)
+        // defining property of exclusive-cumsum binning: the pack only
+        // exceeds the budget by (part of) its final document
+        assert(toks.dropRight(1).sum < 100, s"pack ${pack.head._4}: $toks")
+      }
+    }
+  }
+
+  test("packSequences: a document longer than the budget owns its pack boundary") {
+    val d = Seq((1L, "en", 40L), (2L, "en", 500L), (3L, "en", 40L))
+      .toDF("id", "lang", "toks")
+    val out = CorpusPrep.packSequences(d, "lang", "id", "toks", maxTokens = 100)
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 0L)
+    assert(out(2L) == 0L) // starts inside pack 0 (40 < 100)...
+    assert(out(3L) == 5L) // ...and pushes the next doc past its span
+  }
+}
