@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Sem
 import graft.llm.{FakeBehavior, FakeLM}
-import graft.operators.{CorpusPrep, Dedup, EmbedOps}
+import graft.operators.{CorpusPrep, Dedup, EmbedOps, Temporal}
 import graft.functions.{MultimodalOps, TextFunctions => TF}
 
 /** The operator inventory as driver-checkable queries.
@@ -554,6 +554,32 @@ object Queries {
     }),
 
     // ---------------- text analysis ---------------------------------------
+    "events_sessionize" -> ((s, dir) => {
+      // Gap sessionization (30-min gap, ts in nanos): 0-based session ids
+      // per user. One shuffle on user_id; (user_id, ts) is unique in the
+      // data so the ordering is total.
+      Temporal.sessionize(read(s, dir, "events"), "user_id", "ts",
+          maxGap = 30L * 60 * 1000000000L)
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy("event_id")
+    }),
+
+    "events_asof_join" -> ((s, dir) => {
+      // As-of join: each click picks up the most recent prior-or-same-ts
+      // view's (event_id, value) for the same user — the union-window
+      // single-shuffle form, no |L|×|R| range product.
+      val e = read(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts", "value")
+      Temporal.asofJoin(clicks, views, Seq("user_id"), "ts",
+          rightCols = Seq("event_id", "value"), suffix = "_view")
+        .select(col("event_id"), col("user_id"),
+          col("event_id_view"), col("value_view"))
+        .orderBy("event_id")
+    }),
+
     "corpus_sample_det" -> ((s, dir) => {
       // Deterministic content-hash sampling: membership is a pure function
       // of (salt, key) — same surviving rows on any cluster/partitioning/
@@ -968,6 +994,27 @@ object Queries {
         |FROM q
         |WHERE round((least(len(text)*1.0/500, 1.0) + least(sraw*5, 1.0) + greatest(0.0, 1.0 - praw*10)) / 3.0, 4) >= 0.5
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT event_id, user_id,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        |FROM g ORDER BY event_id""".stripMargin,
+
+    "events_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+        |  r.event_id AS event_id_view, r.value AS value_view
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "corpus_sample_det" ->
       """SELECT doc_id, lang FROM documents

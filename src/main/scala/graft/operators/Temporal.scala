@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch temporal operators over event tables: sessionization and as-of
+  * joins. Spark ships neither as a primitive; both are re-expressed here in
+  * the single-shuffle window form that scales (the alternative — a range
+  * theta-join — explodes to |L|×|R| candidate pairs and cannot survive a
+  * 100 TB event log).
+  *
+  * The streaming counterparts (gap sessionization over
+  * `mapGroupsWithState`) live in [[graft.streaming.StreamingOps]]; these are
+  * the batch/backfill versions of the same semantics.
+  */
+object Temporal {
+
+  /** Gap-based sessionization: within each `keyCol` partition ordered by
+    * (`tsCol`, tie-breakers), a new session starts when the gap from the
+    * previous event exceeds `maxGap` (same unit as `tsCol`). Session ids
+    * are 0-based per key. One shuffle on the key; two windows over the same
+    * ordering collapse into a single sort.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, maxGap: Long,
+      tieBreak: Seq[Column] = Nil, sessionCol: String = "session_id"): DataFrame = {
+    val order = col(tsCol) +: tieBreak
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapBreak = when(
+      lag(col(tsCol), 1).over(w).isNull ||
+        col(tsCol) - lag(col(tsCol), 1).over(w) > maxGap, 1L).otherwise(0L)
+    df.withColumn(sessionCol, sum(gapBreak).over(wRun) - 1L)
+  }
+
+  /** As-of join: for every left row, the single most recent right row with
+    * `right.tsCol <= left.tsCol` on the same `keys` (left join: unmatched
+    * lefts keep nulls). Right columns `rightCols` arrive suffixed.
+    *
+    * Physical shape — the union-window trick: tag both inputs, union them,
+    * and per key take the running "last right payload seen" in
+    * (ts, tag) order (right sorts before left on equal ts, so same-instant
+    * rights match, ANSI ASOF semantics). ONE shuffle on the join keys and a
+    * sort — no range cross product, no per-left probe; skew behaves like
+    * any window over the same key.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      rightCols: Seq[String], suffix: String = "_asof"): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one equi-key")
+    val leftCols = left.columns.toSeq
+    val lStruct = struct(leftCols.map(col): _*).as("__l")
+    val rStruct = struct(rightCols.map(col): _*).as("__r")
+    val keyCols = keys.map(col)
+    val nullL = lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.head.dataType)
+    val nullR = lit(null).cast(right.select(struct(rightCols.map(col): _*)).schema.head.dataType)
+
+    val l2 = left.select(keyCols :+ col(tsCol).as("__ts") :+ lit(1).as("__tag") :+
+      lStruct :+ nullR.as("__r"): _*)
+    val r2 = right.select(keyCols :+ col(tsCol).as("__ts") :+ lit(0).as("__tag") :+
+      nullL.as("__l") :+ rStruct: _*)
+    val unioned = l2.unionByName(r2)
+
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__rm", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    val out = leftCols.map(c => col("__l").getField(c).as(c)) ++
+      rightCols.map(c => col("__rm").getField(c).as(c + suffix))
+    matched.select(out: _*)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize: gap breaks open new 0-based sessions per key") {
+    val d = Seq(
+      (1L, "u1", 100L), (2L, "u1", 150L), (3L, "u1", 400L), // gap 250 > 100
+      (4L, "u1", 450L),
+      (5L, "u2", 100L) // other key independent
+    ).toDF("id", "user", "ts")
+    val out = Temporal.sessionize(d, "user", "ts", maxGap = 100L)
+      .select("id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("sessionize: exact-gap events stay in the same session") {
+    val d = Seq((1L, "u", 0L), (2L, "u", 100L)).toDF("id", "user", "ts")
+    val out = Temporal.sessionize(d, "user", "ts", maxGap = 100L)
+      .select("session_id").as[Long].collect().toSet
+    assert(out == Set(0L))
+  }
+
+  test("asofJoin: picks the most recent prior-or-equal right per key") {
+    val clicks = Seq((1L, "u1", 100L), (2L, "u1", 300L), (3L, "u2", 50L))
+      .toDF("id", "user", "ts")
+    val views = Seq((10L, "u1", 90L, 1.5), (11L, "u1", 100L, 2.5),
+      (12L, "u1", 250L, 3.5), (13L, "u2", 60L, 9.9))
+      .toDF("id", "user", "ts", "v")
+    val out = Temporal.asofJoin(clicks, views, Seq("user"), "ts",
+        rightCols = Seq("id", "v"), suffix = "_v")
+      .select("id", "id_v", "v_v").as[(Long, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(11L), Some(2.5)))) // equal-ts right matches
+    assert(out(2L) == ((Some(12L), Some(3.5)))) // latest prior wins
+    assert(out(3L) == ((None, None)))           // no view at/before ts=50
+  }
+
+  test("asofJoin: single shuffle on the key — no cross/range join in the plan") {
+    val clicks = (0 until 200).map(i => (i.toLong, s"u${i % 5}", i.toLong * 10))
+      .toDF("id", "user", "ts")
+    val views = (0 until 200).map(i => (1000L + i, s"u${i % 5}", i.toLong * 7, i * 1.0))
+      .toDF("id", "user", "ts", "v")
+    val out = Temporal.asofJoin(clicks, views, Seq("user"), "ts",
+      rightCols = Seq("id", "v"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not lower to a product join:\n$plan")
+    assert(out.count() == 200)
+  }
+}
