@@ -161,6 +161,16 @@ object EmbedOps {
       .map(_.getSeq[Float](0).length)
       .getOrElse(Sem.settings.embedder.dim)
 
+  /** The seeded pseudo-random hyperplanes behind [[lshBandKeys]] — public so
+    * a gate/oracle can reproduce the banding exactly (the planes are the only
+    * non-SQL ingredient of the LSH pipeline; given them as literals, the
+    * band keys, candidate join and verify are all plain SQL).
+    */
+  def lshPlanes(dim: Int, nBits: Int = 16, seed: Long = 42): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(rng.nextGaussian())
+  }
+
   /** Random-hyperplane LSH band keys for a vector column: sign bits of
     * projections onto seeded pseudo-random planes, packed per band. Two
     * vectors with high cosine share a band key with high probability — the
@@ -168,8 +178,7 @@ object EmbedOps {
     */
   def lshBandKeys(vec: Column, dim: Int, nBits: Int = 16, bands: Int = 4,
       seed: Long = 42): Column = {
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
+    val planes = lshPlanes(dim, nBits, seed)
     val bits = planes.map { p =>
       when(dotProduct(vec, lit(p)) > 0, 1L).otherwise(0L)
     }
@@ -182,10 +191,19 @@ object EmbedOps {
   }
 
   /** Approximate k-NN join for large×large inputs: LSH band-bucket join
-    * generates candidates (shuffle on band keys — never the cross product),
-    * exact cosine verifies, window rank keeps k per left row. Trade recall
-    * for scale with nBits/bands; the exact [[semSimJoin]] broadcast path
-    * remains the choice when one side is small.
+    * generates candidates, exact cosine verifies, window rank keeps k per
+    * left row. Trade recall for scale with nBits/bands; the exact
+    * [[semSimJoin]] broadcast path remains the choice when one side is small.
+    *
+    * Shuffle discipline (the property that makes this the 100 TB path, same
+    * shape as [[Dedup.minhashPairs]]): ONLY `(surrogate id, band key)`
+    * projections cross the band-bucket exchange, and ONLY the narrow id
+    * pairs cross the candidate-dedup exchange — never the vectors, never the
+    * payload. Vectors re-join once for the exact-cosine verify; the payload
+    * re-joins once for the rank output. Without this the band join carries
+    * both float vectors and every payload column ×bands through two
+    * exchanges — a bands× shuffle-byte multiplier on the flagship operator
+    * (plan-asserted in PlanPropertiesSpec).
     */
   def semSimJoinLSH(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String,
       k: Int, dim: Int = 0, nBits: Int = 16, bands: Int = 4,
@@ -203,19 +221,45 @@ object EmbedOps {
     val r2 = overlap.foldLeft(ri)((d, x) => d.withColumnRenamed(x, s"$x:right"))
     val lKey = uuidCol()
     val rKey = "__simjoin_rid"
-    val lb = l2.withColumn(lKey, monotonically_increasing_id())
-      .withColumn("__bk", explode(lshBandKeys(col(lv), d, nBits, bands)))
-    val rb = r2.withColumn(rKey, monotonically_increasing_id())
-      .withColumn("__bk", explode(lshBandKeys(col(rv), d, nBits, bands)))
-    // Candidate dedup on the (left id, right id) pair — never on the full
-    // right row (wide-row comparisons shuffle the whole payload).
-    val joined = lb.join(rb, "__bk")
-      .dropDuplicates(lKey, rKey)
+    // Materialize each side once behind its surrogate id: the band
+    // projection, the vector verify join and the payload re-join all read
+    // the same snapshot (monotonically_increasing_id is only stable within
+    // one materialization, and the embedder must not re-run per branch).
+    val lIdx = graft.core.Persist.stage(l2.withColumn(lKey, monotonically_increasing_id()))
+    val rIdx = graft.core.Persist.stage(r2.withColumn(rKey, monotonically_increasing_id()))
+    // Narrow candidate generation: (id, band key) only.
+    val lb = lIdx.select(col(lKey), explode(lshBandKeys(col(lv), d, nBits, bands)).as("__bk"))
+    val rb = rIdx.select(col(rKey), explode(lshBandKeys(col(rv), d, nBits, bands)).as("__bk"))
+    val cand = lb.join(rb, "__bk").select(col(lKey), col(rKey)).distinct()
+    // Exact-cosine verify on narrow (id, vector) projections: the vectors
+    // shuffle once here — not ×bands through the bucket join.
+    val scored = cand
+      .join(lIdx.select(col(lKey), col(lv)), lKey)
+      .join(rIdx.select(col(rKey), col(rv)), rKey)
       .withColumn(scoreCol, cosineSim(col(lv), col(rv)))
-    val w = Window.partitionBy(col(lKey)).orderBy(col(scoreCol).desc +: tieBreak: _*)
-    joined.withColumn("__rnk", row_number().over(w))
-      .filter(col("__rnk") <= k)
-      .drop("__rnk", "__bk", lKey, rKey, lv, rv)
+      .select(col(lKey), col(rKey), col(scoreCol))
+    if (tieBreak.isEmpty) {
+      // Rank on the narrow (lKey, rKey, score) triple, then re-join payload
+      // for only the ≤ k winners per left row.
+      val w = Window.partitionBy(col(lKey)).orderBy(col(scoreCol).desc)
+      scored.withColumn("__rnk", row_number().over(w))
+        .filter(col("__rnk") <= k)
+        .drop("__rnk")
+        .join(lIdx.drop(lv), lKey)
+        .join(rIdx.drop(rv), rKey)
+        .drop(lKey, rKey)
+    } else {
+      // User tie-break columns reference payload — re-join it (vector-free)
+      // before the rank; the rank exchange carries candidate payload rows
+      // once, still never the vectors.
+      val withPayload = scored
+        .join(lIdx.drop(lv), lKey)
+        .join(rIdx.drop(rv), rKey)
+      val w = Window.partitionBy(col(lKey)).orderBy(col(scoreCol).desc +: tieBreak: _*)
+      withPayload.withColumn("__rnk", row_number().over(w))
+        .filter(col("__rnk") <= k)
+        .drop("__rnk", lKey, rKey)
+    }
   }
 
   /** Cost-based sim-join: pick the physical path from the right side's
@@ -228,14 +272,18 @@ object EmbedOps {
     */
   def semSimJoinAuto(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String,
       k: Int, broadcastBytesThreshold: Long = 64L << 20, dim: Int = 0,
-      scoreCol: String = "_scores", tieBreak: Seq[Column] = Nil): DataFrame = {
+      scoreCol: String = "_scores", tieBreak: Seq[Column] = Nil,
+      knownRightRows: Long = -1L): DataFrame = {
     // The true vector dimension feeds both the broadcast-size estimate and
     // (on the LSH path) the hyperplane construction. vecDimOf embeds at
     // most one batch (limit 1); the row count comes from the RAW right
     // frame — semIndex is 1:1, and counting through it would run the full
     // embedder once for the count and again when the join executes.
+    // Callers that already know the stats pass them (`dim`,
+    // `knownRightRows`) so routing costs zero extra jobs — at corpus scale
+    // a count() of the right side is a full scan.
     val d = if (dim > 0) dim else vecDimOf(semIndex(right, rightOn), vecCol(rightOn))
-    val rightRows = right.count()
+    val rightRows = if (knownRightRows >= 0) knownRightRows else right.count()
     // vector payload + row overhead; conservative per-row estimate
     val estBytes = rightRows * (d.toLong * 4 + 256)
     if (estBytes <= broadcastBytesThreshold)
@@ -293,10 +341,14 @@ object EmbedOps {
     */
   def neardupPairs(df: DataFrame, c: String, idCol: String, threshold: Double,
       useLsh: Option[Boolean] = None, lshRowThreshold: Long = 100000L,
-      dim: Int = 0, nBits: Int = 16, bands: Int = 4): DataFrame = {
+      dim: Int = 0, nBits: Int = 16, bands: Int = 4,
+      knownRows: Long = -1L): DataFrame = {
     val indexed = semIndex(df, c)
     val v = vecCol(c)
-    val lsh = useLsh.getOrElse(df.count() > lshRowThreshold)
+    // Routing stats: an explicit `useLsh` or `knownRows` (e.g. from a caller
+    // like semDedup that already counted) costs zero jobs here.
+    val lsh = useLsh.getOrElse(
+      (if (knownRows >= 0) knownRows else df.count()) > lshRowThreshold)
     if (!lsh) {
       val a = indexed.select(col(idCol).cast(LongType).as("id1"), col(v).as("v1"))
       val b = indexed.select(col(idCol).cast(LongType).as("id2"), col(v).as("v2"))
@@ -305,13 +357,23 @@ object EmbedOps {
         .filter(col("score") >= threshold)
         .select("id1", "id2", "score")
     } else {
+      // Narrow-pair LSH (the Dedup.minhashPairs shape): materialize the
+      // (id, vector) projection once; ONLY (id, band key) crosses the
+      // bucket exchange and ONLY (id1, id2) crosses the pair-dedup
+      // exchange; the vectors re-join once for the exact-cosine verify —
+      // never ×bands through the bucket join.
       val d = if (dim > 0) dim else vecDimOf(indexed, v)
-      val vecs = indexed.select(col(idCol).cast(LongType).as("id"), col(v).as("vec"))
-        .withColumn("__bk", explode(lshBandKeys(col("vec"), d, nBits, bands)))
-      val a = vecs.toDF("id1", "v1", "bk1")
-      val b = vecs.toDF("id2", "v2", "bk2")
-      a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
-        .select("id1", "id2", "v1", "v2").dropDuplicates("id1", "id2")
+      val base = graft.core.Persist.stage(
+        indexed.select(col(idCol).cast(LongType).as("id"), col(v).as("vec")))
+      val keyed = base.select(col("id"),
+        explode(lshBandKeys(col("vec"), d, nBits, bands)).as("bk"))
+      val a = keyed.toDF("id1", "bk1")
+      val b = keyed.toDF("id2", "bk2")
+      val cand = a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      cand
+        .join(base.toDF("id1", "v1"), "id1")
+        .join(base.toDF("id2", "v2"), "id2")
         .withColumn("score", cosineSim(col("v1"), col("v2")))
         .filter(col("score") >= threshold)
         .select("id1", "id2", "score")

@@ -55,6 +55,51 @@ class PlanPropertiesSpec extends SparkSpec {
       s"expected partial WindowGroupLimit upstream of the Exchange\n${p.take(3000)}")
   }
 
+  test("LSH candidate shuffles are narrow: no vector crosses banding or pair dedup") {
+    // The band-bucket exchange and the candidate pair-dedup exchange must
+    // carry only (surrogate id, band key) / (id, id) — the float vectors
+    // re-join once for the verify, never ×bands through the bucket join.
+    // A regression here is a bands× shuffle-byte multiplier on the flagship
+    // dedup/sim-join path at corpus scale.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Test data is tiny — without this every join broadcasts and there is
+    // no exchange to assert on. At corpus scale these joins shuffle.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def shufflesOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+      def assertNarrow(shuffles: Seq[ShuffleExchangeExec], bandNames: Set[String],
+          pairNames: Set[String]): Unit = {
+        val band = shuffles.filter(_.output.exists(a => bandNames.contains(a.name)))
+        assert(band.nonEmpty, "expected a band-bucket exchange in the plan")
+        band.foreach { s =>
+          assert(!s.output.exists(_.dataType.isInstanceOf[ArrayType]),
+            s"vector crossed the band exchange: ${s.output.map(_.name)}")
+        }
+        val pairDedup = shuffles.filter(_.output.map(_.name).toSet == pairNames)
+        pairDedup.foreach { s =>
+          assert(!s.output.exists(_.dataType.isInstanceOf[ArrayType]),
+            s"vector crossed the pair-dedup exchange: ${s.output.map(_.name)}")
+        }
+      }
+      assertNarrow(shufflesOf(Queries.queries("sem_sim_join_lsh")(spark, dir)),
+        Set("__bk"), Set("__simjoin_lid", "__simjoin_rid"))
+      // neardupPairs on its forced-LSH branch, through the operator API.
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumnRenamed("embedding", graft.operators.EmbedOps.vecCol("emb"))
+      assertNarrow(shufflesOf(graft.operators.EmbedOps.neardupPairs(
+        e, "emb", "vec_id", threshold = 0.45, useLsh = Some(true))),
+        Set("bk1", "bk2"), Set("id1", "id2"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("semAgg pack stage has no global window or single-partition exchange") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
