@@ -190,6 +190,78 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     copy(child = newChild)
 }
 
+/** Top-/duplicate-n-gram fractions (the Gopher repetition signals) of a word
+  * array as ONE tight per-row counting pass: each sliding n-gram is counted
+  * in a hash map keyed on the gram's exact text, then
+  *   top_frac = max count / grams,   dup_frac = Σ counts>1 / grams.
+  * Replaces the higher-order-function composition
+  * `array_max(transform(array_distinct(grams), g => size(filter(grams, …))))`
+  * which compares every distinct gram against every gram slot — O(g²) per
+  * row, so one adversarial 100k-word document costs ~10¹⁰ comparisons and
+  * stalls a whole corpus-quality task. This is O(g) per row (the
+  * [[MinHashSignature]] pattern): exact string keys, so results are
+  * bit-identical to the HOF form and the DuckDB oracle.
+  */
+case class NgramRepetition(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "n-gram length must be >= 1")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_frac", DoubleType, nullable = false),
+    StructField("dup_frac", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_repetition requires array<string>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val nWords = words.numElements()
+    if (nWords < n)
+      return org.apache.spark.sql.catalyst.InternalRow(0.0, 0.0)
+    val g = nWords - n + 1
+    // Exact-text keys (single-word grams reuse the word; multi-word grams
+    // join with the same " " separator the HOF/oracle form uses).
+    val counts = new java.util.HashMap[String, Int](g * 2)
+    var i = 0
+    while (i < g) {
+      val key =
+        if (n == 1) String.valueOf(words.getUTF8String(i))
+        else {
+          val sb = new java.lang.StringBuilder()
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(String.valueOf(words.getUTF8String(i + j)))
+            j += 1
+          }
+          sb.toString
+        }
+      counts.merge(key, 1, (a, b) => a + b)
+      i += 1
+    }
+    var top = 0
+    var dupSlots = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > top) top = c
+      if (c > 1) dupSlots += c
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      top.toDouble / g, dupSlots.toDouble / g)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinHashExpr {
   import org.apache.spark.sql.graft.ColumnBridge
   /** Column wrapper: minhash signature (array<long>) of a word-array column. */
@@ -203,4 +275,10 @@ object MinHashExpr {
   /** Column wrapper: 64-bit simhash (long) of a token-array column. */
   def simhash64(words: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(words)))
+
+  /** Column wrapper: struct(top_frac, dup_frac) n-gram repetition stats of a
+    * word-array column, one O(doc length) counting pass.
+    */
+  def ngramRepetition(words: Column, n: Int): Column =
+    ColumnBridge.column(NgramRepetition(ColumnBridge.expression(words), n))
 }

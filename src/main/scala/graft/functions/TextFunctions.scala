@@ -110,24 +110,19 @@ object TextFunctions {
 
   /** Fraction of n-gram slots taken by the single most frequent n-gram
     * (Gopher's "top n-gram fraction"): high ⇒ templated/repetitive text.
-    * Per-doc O(g²) over its own grams — bounded, shuffle-free.
+    * One O(doc length) counting pass via [[MinHashExpr.ngramRepetition]] —
+    * NOT the naive distinct×slots HOF composition, which is O(g²) per row
+    * and lets one adversarial 100k-word document stall a corpus-quality
+    * task. Same exact-string counting math, so results are identical.
     */
-  def topNgramFraction(c: Column, n: Int): Column = {
-    val grams = wordNgrams(c, n)
-    when(size(grams) === 0, lit(0.0)).otherwise(
-      array_max(transform(array_distinct(grams),
-        g => size(filter(grams, x => x === g)))).cast("double") / size(grams))
-  }
+  def topNgramFraction(c: Column, n: Int): Column =
+    MinHashExpr.ngramRepetition(wordsOf(c), n).getField("top_frac")
 
   /** Fraction of n-gram slots whose n-gram occurs more than once (Gopher's
-    * "duplicate n-gram fraction").
+    * "duplicate n-gram fraction"). O(doc length), see [[topNgramFraction]].
     */
-  def dupNgramFraction(c: Column, n: Int): Column = {
-    val grams = wordNgrams(c, n)
-    when(size(grams) === 0, lit(0.0)).otherwise(
-      size(filter(grams, g => size(filter(grams, x => x === g)) > 1)).cast("double")
-        / size(grams))
-  }
+  def dupNgramFraction(c: Column, n: Int): Column =
+    MinHashExpr.ngramRepetition(wordsOf(c), n).getField("dup_frac")
 
   /** Symbol-to-word ratio (Gopher): '#'/ellipsis marks per whitespace token. */
   def symbolWordRatio(c: Column): Column =

@@ -81,6 +81,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(dup(2L) == 0.0)
   }
 
+  test("ngram fractions complete in bounded time on a 100k-word doc") {
+    // The tight-loop counting expression is O(doc length); the naive
+    // distinct×slots HOF form is O(g²) and would need ~10¹⁰ comparisons on
+    // this input (hours). 30 s is generous for one pass over 100k words.
+    val words = Array.tabulate(100000)(i => s"w${i % 5000}") // every gram dup'd
+    val d = Seq((1L, words.mkString(" "))).toDF("id", "text")
+    val t0 = System.nanoTime()
+    val (top, dup) = d.select(
+      TF.topNgramFraction($"text", 2).as("t"),
+      TF.dupNgramFraction($"text", 3).as("d")).as[(Double, Double)].head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, s"n-gram fractions took $secs s on a 100k-word doc")
+    // Vocabulary cycles every 5000 words, so each bigram repeats 20×.
+    assert(math.abs(top - 20.0 / 99999) < 1e-12)
+    assert(dup == 1.0)
+  }
+
   test("ngram guards: shorter-than-n docs yield 0.0") {
     val d = Seq((1L, "solo")).toDF("id", "text")
     val r = d.select(
