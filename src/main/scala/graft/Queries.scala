@@ -22,6 +22,44 @@ import graft.functions.{MultimodalOps, TextFunctions => TF}
   * bit-identical across engines and integer sums are order-independent, so
   * hashes match without float tolerance.
   */
+/** Scripted agentic completer for the `pipeline_agentic` gate:
+  * deterministic, tool-free, and its semantics are SQL-expressible (map =
+  * whitespace-collapsed uppercase of the unit; filter = KEEP iff the unit
+  * content is >= 150 chars), so the agentic pipeline plumbing is
+  * hash-checkable against a DuckDB oracle. Runs inside executor tasks like
+  * any production completer.
+  */
+private[graft] object ScriptedPipelineCompleter extends graft.agentic.Completer {
+  private val FilterMark = "decide KEEP or DROP for EACH unit"
+
+  override def complete(messages: Seq[(String, String)],
+      toolsEnabled: Boolean): graft.agentic.AgentStep = {
+    val user = messages.reverse.collectFirst { case ("user", c) => c }.getOrElse("")
+    val shard = {
+      val i = user.indexOf("SHARD:\n")
+      val body = if (i >= 0) user.substring(i + 7) else user
+      // Strip the batched-op instruction suffix appended after the shard.
+      val j = body.indexOf("\n\nThe shard contains MULTIPLE units")
+      if (j >= 0) body.substring(0, j) else body
+    }
+    val units = shard.split("\n\n").toSeq.flatMap { u =>
+      "^\\[unit ([^\\]]+)\\]\\n([\\s\\S]*)$".r.findFirstMatchIn(u)
+        .map(g => g.group(1) -> g.group(2))
+    }
+    if (user.contains(FilterMark)) {
+      val arr = units.map { case (id, content) =>
+        s"""{"id": "$id", "keep": ${content.length >= 150}}"""
+      }.mkString("[", ", ", "]")
+      graft.agentic.AgentStep(s"Assessed each unit.\n$arr")
+    } else {
+      // Single-unit map: the reply IS the transformed content.
+      val content = units.headOption.map(_._2).getOrElse("")
+      graft.agentic.AgentStep(
+        content.replaceAll("\\s+", " ").toUpperCase(java.util.Locale.ROOT))
+    }
+  }
+}
+
 object Queries {
 
   private def read(s: SparkSession, dir: String, name: String): DataFrame = {
@@ -347,25 +385,33 @@ object Queries {
     }),
 
     "sem_partition" -> ((s, dir) => {
-      // sem_partition_by writes the _lotus_partition_id grouping column
-      // (cluster assignment — seed-deterministic, not SQL-expressible →
-      // rows-only check; exactness covered by EmbedSpec).
-      val e = read(s, dir, "embeddings").withColumn("__txt", col("vec_id").cast("string"))
-      EmbedOps.semPartitionBy(e, "__txt", nPartitions = 5)
+      // sem_partition_by writes the _lotus_partition_id grouping column.
+      // Runs on the stored embedding column; the fit is deterministic
+      // driver-side Lloyd's on the SORTED sample (a pure function of the
+      // vector multiset), so the fitted centroids are pinned as literals in
+      // the oracle and the corpus-wide ASSIGNMENT (nearest-centroid argmin)
+      // is hash-verified in SQL.
+      val e = read(s, dir, "embeddings")
+        .withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      EmbedOps.semPartitionBy(e, "emb", nPartitions = 5)
         .select(col("vec_id"), col("_lotus_partition_id").cast("long").as("_lotus_partition_id"))
         .orderBy("vec_id")
     }),
 
     "sem_sim_join_lsh" -> ((s, dir) => {
-      // Approximate k-NN join via random-hyperplane LSH bucketing — the
-      // large×large scale path (rows-only: LSH bucketing is seeded-random,
-      // deterministic in Spark but not SQL-expressible; exactness of the
-      // candidate-verify kernel is covered by PlanConnectorsSpec).
-      val docs = read(s, dir, "documents")
-      val l = docs.filter(col("doc_id") < 50).select(col("doc_id").as("lid"), col("text").as("ltext"))
-      val r = docs.select(col("doc_id").as("rid"), col("text").as("rtext"))
-      EmbedOps.semSimJoinLSH(l, r, "ltext", "rtext", k = 2)
-        .select(col("lid"), col("rid"), round(col("_scores"), 3).as("score"))
+      // Approximate k-NN join via random-hyperplane LSH bucketing under the
+      // PRODUCTION banding (16 bits × 4 bands) — approximate by design
+      // (recall < 1), yet fully hash-verified: the seeded hyperplanes are a
+      // pure function of (dim, nBits, seed), so the oracle reproduces the
+      // exact banding → candidate join → cosine verify → per-left rank in
+      // DuckDB SQL with the planes as literals (see oracleSql).
+      val e = read(s, dir, "embeddings")
+      val l = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("lid"), col("embedding").as(EmbedOps.vecCol("lemb")))
+      val r = e.select(col("vec_id").as("rid"), col("embedding").as(EmbedOps.vecCol("remb")))
+      EmbedOps.semSimJoinLSH(l, r, "lemb", "remb", k = 2, nBits = 16, bands = 4,
+          scoreCol = "raw", tieBreak = Seq(col("rid")))
+        .select(col("lid"), col("rid"), round(col("raw"), 3).as("score"))
         .orderBy("lid", "rid")
     }),
 
@@ -391,14 +437,23 @@ object Queries {
     }),
 
     "sem_search_late" -> ((s, dir) => {
-      // ColBERT-style late interaction: per-token embeddings + MaxSim
-      // (rows-only: deterministic via the hashing embedder, but per-token
-      // MaxSim is not reasonably SQL-expressible; kernel exactness is
-      // covered by LateVsSpec).
-      val docs = read(s, dir, "documents").filter(col("doc_id") < 200)
-      graft.embed.LateInteraction.search(docs, "text", "spark data processing", k = 5)
-        .select(col("doc_id"), round(col("li_scores"), 3).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
+      // ColBERT-style late interaction over STORED token matrices: each
+      // "document" is a group of stored vectors (its token-embedding
+      // matrix), the query matrix is three stored vectors, and relevance is
+      // MaxSim = Σ_q max_d cos(q, d) — plain max-over-dot-products, so the
+      // whole scoring + top-k path is hash-verified in DuckDB list SQL.
+      // (The text→token-matrix embedder path stays covered by LateVsSpec.)
+      val e = read(s, dir, "embeddings")
+      val qm = e.filter(col("vec_id") < 3).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val docs = e.groupBy((col("vec_id") % 50).as("gid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          t => t.getField("embedding")).as(graft.embed.LateInteraction.mvecCol("x")))
+      graft.embed.LateInteraction.searchVec(docs, "x", qm, k = 5,
+          scoreCol = "raw", tieBreak = Seq(col("gid")))
+        .select(col("gid"), round(col("raw"), 3).as("score"))
+        .orderBy(col("score").desc, col("gid"))
     }),
 
     "ann_ivf_search" -> ((s, dir) => {
@@ -452,11 +507,15 @@ object Queries {
     }),
 
     "sem_cluster" -> ((s, dir) => {
-      // KMeans assignment is seed-deterministic within Spark but not
-      // SQL-expressible → rows-only check (no oracle entry).
+      // sem_cluster_by on the stored embedding column. The centroid fit is
+      // deterministic driver-side Lloyd's on the SORTED sample — a pure
+      // function of the vector multiset — so the fitted centroids are
+      // pinned as literals in the oracle and the distributed ASSIGNMENT
+      // (nearest-centroid argmin, ties → lowest cell) is hash-verified in
+      // SQL. Fit math itself is covered by EmbedSpec/IvfSpec.
       val e = read(s, dir, "embeddings")
-      EmbedOps.semClusterBy(
-        e.withColumn("__txt", col("vec_id").cast("string")), "__txt", nClusters = 8)
+        .withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      EmbedOps.semClusterBy(e, "emb", nClusters = 8)
         .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"))
         .orderBy("vec_id")
     }),
@@ -534,6 +593,25 @@ object Queries {
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("sum_tok"))
           .orderBy("lang")
       }
+    }),
+
+    "pipeline_agentic" -> ((s, dir) => {
+      // The agentic corpus pipeline (map → filter over Dataset[CorpusUnit],
+      // one agent loop per shard inside executor tasks) under a scripted
+      // deterministic completer whose semantics are SQL-expressible — so
+      // the full plumbing (corpus model, shard prompt assembly, agent loop,
+      // batched-verdict JSON parse, KEEP filtering) is hash-verified.
+      import s.implicits._
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id").cast("string").as("id"), col("text"))
+        .as[(String, String)].map { case (i, c) => graft.agentic.CorpusUnit(i, c) }
+      val mapped = graft.agentic.Pipeline.agenticMap(docs,
+        "Rewrite each unit as whitespace-collapsed uppercase.", ScriptedPipelineCompleter)
+      val kept = graft.agentic.Pipeline.agenticFilter(mapped,
+        "Keep only units with at least 150 characters.", ScriptedPipelineCompleter,
+        shardSize = 4)
+      kept.toDF().select(col("id").cast("long").as("doc_id"), col("content"))
+        .orderBy("doc_id")
     }),
 
     "corpus_clean_pipeline" -> ((s, dir) => {
@@ -686,10 +764,84 @@ object Queries {
     })
   )
 
+  /** The seeded LSH hyperplanes as DuckDB VALUES rows — a pure function of
+    * (dim, nBits, seed), identical to the planes the Spark operator builds,
+    * so the oracle reproduces the production banding exactly.
+    */
+  private def lshPlaneValues(dim: Int, nBits: Int = 16, seed: Long = 42): String =
+    EmbedOps.lshPlanes(dim, nBits, seed).zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(",")}]::DOUBLE[])"
+    }.mkString(",")
+
+  /** Fitted centroids at sf0.01 as DuckDB VALUES rows, pinned as constants.
+    * Reproducible: collect the sf0.01 `embeddings.embedding` column and run
+    * [[graft.embed.IvfIndex.fitCentroids]](vectors, k, seed = 42) — the fit
+    * sorts its sample, so these are a pure function of the vector multiset
+    * (regenerate with that one-liner if the testdata ever changes). Each
+    * float centroid component is rendered as its exact double value, which
+    * is what the NearestCentroid expression compares against.
+    */
+  private val ClusterCentroidsK8: String = "(0, [-0.056813620030879974,0.03819161653518677,0.0018416448729112744,-0.052146390080451965,-0.013410937041044235,0.049596548080444336,0.03319627419114113,-0.04184707626700401,0.00750187411904335,-0.05552356690168381,-0.004954146221280098,0.0021967673674225807,-0.008615118451416492,-0.01251065731048584,0.019086863845586777,-0.03851834312081337,0.03262615203857422,1.7872343596536666E-4,0.04760567471385002,0.002729102037847042,0.021401332691311836,0.00868538673967123,-0.010907205753028393,-0.03622452914714813,0.09193336963653564,-0.009189728647470474,0.026300977915525436,-0.04093268886208534,-0.016749782487750053,-0.03807772323489189,-0.02376287803053856,0.03265012800693512,0.052494484931230545,0.006756688468158245,-0.031844474375247955,0.024867704138159752,-0.004709223750978708,-0.011070207692682743,0.03468562290072441,-0.058845873922109604,0.002645657164976001,0.01010737381875515,0.03220216929912567,-0.02386981062591076,0.0010960762156173587,0.026144525036215782,0.03224608302116394,-0.0342516228556633,-0.0036053392104804516,-0.02524886466562748,-0.07074539363384247,0.02158943936228752,-0.014372722245752811,-0.032207686454057693,0.01487947441637516,-0.015826016664505005,0.008706391789019108,-0.0046893698163330555,-0.043178439140319824,-0.05499875918030739,0.0052770571783185005,0.06581710278987885,0.024278700351715088,-0.011678745038807392]::DOUBLE[]),(1, [-0.015486831776797771,-0.0769592896103859,0.012322898022830486,0.021646950393915176,0.029982149600982666,0.010945281013846397,-0.03146031126379967,-0.035984769463539124,0.013492004945874214,0.08354797214269638,0.023011675104498863,-0.006713754031807184,-0.01018979400396347,-0.007596760988235474,0.010721307247877121,-0.03792310878634453,0.08713188767433167,-0.03935479000210762,-0.023093704134225845,0.011835642158985138,0.011727501638233662,-0.025774624198675156,0.0014982126886025071,0.005484049208462238,-0.025258449837565422,0.030784131959080696,-0.005292391404509544,0.039919864386320114,-0.039286866784095764,0.019548611715435982,0.015386599116027355,-0.02278565801680088,0.0014586722245439887,-0.011286529712378979,0.06764265149831772,-0.05322257801890373,-0.007932247593998909,-0.007922199554741383,0.001962555106729269,0.030993420630693436,-0.017888851463794708,0.05295548960566521,0.0025786019396036863,0.02657635323703289,0.008944157510995865,-0.0017589039634913206,-0.00928523950278759,-0.007206357549875975,-0.003091343678534031,-0.024693621322512627,0.02746652439236641,-0.00771917263045907,0.028050953522324562,-1.2724775297101587E-4,-0.0012932001845911145,0.014322592876851559,-0.009869824163615704,0.034092966467142105,0.0707075297832489,-0.010063710622489452,0.018510987982153893,0.011500388383865356,-0.009353416971862316,-0.045505136251449585]::DOUBLE[]),(2, [-0.003860869212076068,0.0383075587451458,0.033509209752082825,0.023584572598338127,0.02142561785876751,0.028039779514074326,-0.020379675552248955,0.018397051841020584,-0.0034681069664657116,0.003790812101215124,-0.040434323251247406,0.07035049051046371,-0.0023300449829548597,0.04415993392467499,0.033771712332963943,0.04692336544394493,0.010976172983646393,0.00376605405472219,-0.010538932867348194,-0.011699586175382137,-0.01650456339120865,-0.04581817612051964,0.0064736949279904366,0.008757178671658039,0.012973284348845482,-0.005474440287798643,-0.026005033403635025,0.001536038238555193,0.009472454898059368,-0.008199669420719147,0.003229680936783552,-0.019380660727620125,-0.03164571896195412,-0.060960616916418076,-0.08560289442539215,-0.0043588969856500626,0.011506181210279465,0.051310569047927856,-0.06996437162160873,0.009373809210956097,0.011210495606064796,-0.023437177762389183,0.015635613352060318,0.02899758704006672,-0.049394551664590836,-0.030867133289575577,0.004708200227469206,-0.004025307483971119,1.2102143227821216E-4,-0.06097322702407837,0.06338287889957428,0.04063243046402931,0.004104710184037685,-0.008123353123664856,0.010447623208165169,0.04751494526863098,0.022362031042575836,0.048291053622961044,-0.01909748464822769,0.022159194573760033,0.05048919469118118,-0.07963576912879944,0.02773025445640087,0.047369182109832764]::DOUBLE[]),(3, [0.018572568893432617,0.0038703689351677895,0.06757928431034088,0.01796780154109001,-0.04564673826098442,-0.031255125999450684,0.004376361146569252,0.07677580416202545,-0.018204692751169205,0.09553656727075577,0.004013504832983017,0.033062927424907684,0.04222937673330307,-1.5756351058371365E-4,-0.011097174137830734,-0.016836926341056824,0.011956008151173592,0.015347383916378021,-0.053003665059804916,0.02258230932056904,-0.06940995156764984,-0.005343738943338394,0.018330788239836693,-0.029935721307992935,-0.024155154824256897,-0.010722784325480461,0.001528887078166008,0.012838516384363174,0.05321429669857025,0.011724274605512619,0.007894910871982574,1.9071267161052674E-4,-0.00489740539342165,-0.02008648030459881,0.013885372318327427,0.04281129315495491,-0.09079709649085999,-0.040762607008218765,0.07216423004865646,0.0027322047390043736,-2.0833764574490488E-4,-0.016087636351585388,-0.016427118331193924,0.003910453990101814,-0.04896293208003044,-0.05147368460893631,-0.04473307356238365,0.086729496717453,-0.04717409238219261,0.009683752432465553,0.011672217398881912,0.01827320270240307,-0.001028559636324644,-0.010934860445559025,0.06132015585899353,0.04104776307940483,-0.04826973378658295,-0.038538239896297455,-0.07948651164770126,-0.04552499204874039,-0.039850860834121704,0.04869589954614639,0.0033845221623778343,-0.017527002841234207]::DOUBLE[]),(4, [0.033983487635850906,-0.009829339571297169,-0.04239910468459129,0.0038325865752995014,-0.02757366932928562,-0.012495165690779686,0.0013518155319616199,0.04940713569521904,-0.05481939762830734,0.017738811671733856,0.0369395837187767,0.038270119577646255,-0.010390523821115494,0.04441721737384796,0.0020139908883720636,0.01825578138232231,-0.04458646476268768,-0.031154317781329155,0.0068979631178081036,-0.03038334660232067,-0.011128688231110573,0.05092620477080345,-0.05763280764222145,0.03580484166741371,0.02012667804956436,0.06097184494137764,-1.769120863173157E-4,0.04326418787240982,-0.001306510646827519,0.07301736623048782,0.03851395100355148,0.03860406577587128,0.03350839763879776,0.031965188682079315,-0.021053535863757133,0.029449064284563065,0.021557027474045753,-0.058766067028045654,0.01917100138962269,-0.052908755838871,-0.004359672777354717,-0.039985477924346924,-0.07181897014379501,7.120428199414164E-5,0.020682143047451973,0.010800772346556187,0.014650014229118824,0.01967839151620865,-0.010916611179709435,-0.037366271018981934,0.06282047927379608,-0.019885394722223282,0.0028837467543780804,0.025179006159305573,-0.048242583870887756,0.007072769105434418,0.013138272799551487,-0.03917429596185684,-0.01497625932097435,0.009067212231457233,0.026015600189566612,-0.007065202109515667,-0.044726207852363586,-0.04685280844569206]::DOUBLE[]),(5, [-0.0025973671581596136,-0.011309086345136166,0.014698675833642483,-0.04065698757767677,-0.008923282846808434,0.03425266966223717,-0.046430204063653946,0.05862041190266609,-0.006369896233081818,-0.04907930642366409,0.05931975692510605,-0.044179175049066544,-4.747985803987831E-4,-0.07722937315702438,-0.026767520233988762,-0.0063268342055380344,-0.04085570573806763,0.06533865630626678,0.03940247371792793,-0.017803436145186424,0.0065997145138680935,-0.030405940487980843,0.009718204848468304,-0.03630140423774719,-0.022338973358273506,0.02852547913789749,0.008263050578534603,0.04899889603257179,-0.030876507982611656,0.04495817422866821,-0.04536544904112816,-0.02680351212620735,0.03770831599831581,0.038031429052352905,0.04170982912182808,-0.013258107006549835,-0.004035215824842453,0.046638425439596176,0.005207214970141649,0.015895625576376915,-0.05637950822710991,-0.08031780272722244,0.02809651382267475,0.04513523727655411,-0.051631927490234375,0.049388252198696136,-0.02399987168610096,-0.0075065819546580315,-0.031182022765278816,0.03006814979016781,0.03725387156009674,0.03380031883716583,-0.038686543703079224,7.758010178804398E-4,0.03906678780913353,-0.029277021065354347,0.02730175293982029,0.009579605422914028,-0.001522089820355177,-0.003559252480044961,0.026268795132637024,-0.011751562356948853,-0.02719302475452423,0.006800349801778793]::DOUBLE[]),(6, [0.04789092764258385,-0.01960819400846958,-0.01808803342282772,7.686030003242195E-4,0.05196663737297058,-0.03453933447599411,-0.026096900925040245,-0.03395134210586548,-0.006728684064000845,-0.05342470109462738,0.006108762696385384,-0.009398645721375942,-0.010754962451756,0.03569396957755089,-0.03259093314409256,0.05890195816755295,-0.041039180010557175,0.07484040409326553,-0.008107241243124008,0.010450116358697414,-0.012521052733063698,0.029765238985419273,0.04056137055158615,-0.034354597330093384,-0.05501296743750572,-0.007465914823114872,-0.006652886513620615,-0.0421343632042408,0.014658008702099323,-0.04451058804988861,0.051871027797460556,-0.016758672893047333,-0.03169437125325203,-0.02464812807738781,0.002954543102532625,-0.001391618512570858,-0.0028455452993512154,-0.030927244573831558,-0.042685333639383316,0.022324632853269577,0.06823846697807312,-0.003791600465774536,0.04533291980624199,-0.011679055169224739,0.016815729439258575,0.03751835599541664,0.04091019183397293,-0.006092383526265621,0.03666903078556061,0.023769322782754898,-0.05665387213230133,0.002504310803487897,0.07145416736602783,0.01574162393808365,-0.010938179679214954,-0.012677619233727455,7.394266431219876E-4,-0.030957689508795738,0.02803611569106579,0.001947181997820735,-0.04897080734372139,0.006318665575236082,-0.0016152148600667715,-0.015877509489655495]::DOUBLE[]),(7, [-0.004175766836851835,0.021626712754368782,-0.0201752707362175,-0.010095085017383099,0.058027829974889755,0.010707372799515724,-0.05547129362821579,0.008602937683463097,0.05331238731741905,-0.029386142268776894,-0.04932280629873276,-0.05053270608186722,-0.006078961305320263,-0.011422612704336643,0.004721880424767733,0.020267771556973457,0.010838395915925503,-0.050180744379758835,-0.019131498411297798,0.03251325711607933,0.022065848112106323,0.03998439386487007,0.03238911181688309,0.02097362093627453,-0.010955958627164364,0.0026849706191569567,-0.011145989410579205,0.020663851872086525,0.027657387778162956,-0.0660700872540474,-0.009494790807366371,-0.031034350395202637,0.007722716778516769,-0.022008035331964493,0.050311051309108734,0.005425630137324333,0.011617397889494896,0.03797408193349838,-0.006437161937355995,0.01915557123720646,-0.020927753299474716,8.00411042291671E-4,-0.04826152324676514,-0.09079447388648987,-0.005541597492992878,-0.03741609305143356,-0.03989358991384506,0.029748912900686264,0.017336376011371613,0.007285870611667633,1.6854610294103622E-4,-0.11123376339673996,-0.0012137828161939979,-0.032229602336883545,-0.010427097789943218,-0.07866741716861725,0.011046605184674263,-0.01069730892777443,-0.018052654340863228,3.2347755040973425E-4,-0.059453025460243225,0.019880367442965508,0.029427003115415573,-0.018065961077809334]::DOUBLE[])"
+  private val PartitionCentroidsK5: String = "(0, [0.03138384222984314,0.010149221867322922,-0.013528099283576012,-0.004126876126974821,-0.02792700193822384,0.0384419709444046,-0.028077924624085426,-0.04755480960011482,-0.002912450348958373,-0.015319614671170712,-0.0276701170951128,0.07840980589389801,0.017655573785305023,0.003989585675299168,-0.027239643037319183,0.020427502691745758,-0.01733313873410225,0.03455064073204994,0.056065741926431656,-0.020129090175032616,-0.03619538992643356,0.05648398399353027,-0.04956260323524475,-0.012366115115582943,0.04225565120577812,0.002169735496863723,0.03034757263958454,-0.013173999264836311,-0.0048497142270207405,0.04147496819496155,0.0021101171150803566,-0.01997285895049572,-0.01609046757221222,-0.0023305644281208515,-0.0210430845618248,0.004126362502574921,-0.019502835348248482,-0.05756991729140282,-0.0077813356183469296,-0.0452754907310009,0.006282101850956678,-0.01639280468225479,0.018035631626844406,-0.03029579296708107,0.012237590737640858,0.02145306020975113,-0.02326335571706295,0.02449991926550865,-0.002840386237949133,-0.024899248033761978,-0.020082686096429825,-0.04699070379137993,-0.0022891066037118435,0.01860298402607441,-0.010833317413926125,0.015654075890779495,0.024251101538538933,0.011700375936925411,0.010983350686728954,0.007175210397690535,-0.0032178775873035192,0.06264819949865341,-0.009565615095198154,-0.032320618629455566]::DOUBLE[]),(1, [-0.04486565664410591,-0.02436930686235428,0.0697861760854721,0.016819434240460396,-0.02052932046353817,-0.04432806000113487,0.030020030215382576,0.031767550855875015,0.006976161617785692,0.07146608829498291,0.0017328565008938313,0.0064125144854187965,0.007378096226602793,-0.02549990639090538,0.026612060144543648,-0.015194211155176163,0.049896687269210815,-0.022024864330887794,-0.001315355533733964,0.025533277541399002,-0.006189839448779821,-0.021248022094368935,0.005697277374565601,-0.002590279094874859,0.009110906161367893,0.017376365140080452,0.002178168622776866,0.027187373489141464,-0.011865070089697838,0.002180744893848896,0.021522503346204758,-0.006008809898048639,0.037094537168741226,-0.01651606895029545,0.005376349203288555,-0.022905662655830383,0.018410898745059967,-0.051397714763879776,-0.04843998700380325,0.014185618609189987,0.05260059982538223,-0.002575513208284974,-0.009652134031057358,0.04257642850279808,-0.038482386618852615,-0.01917203515768051,-0.005185076501220465,0.010879742912948132,-0.08040133863687515,-0.003543413942679763,0.02018367126584053,0.07049098610877991,0.036841847002506256,-0.002617663936689496,0.05004781484603882,0.02585907280445099,0.002723332494497299,0.017360270023345947,-0.024997733533382416,-0.0033161835744976997,-0.0024529555812478065,-0.021767346188426018,-0.013734114356338978,-0.02330300770699978]::DOUBLE[]),(2, [0.07852060347795486,0.005075829569250345,-0.013023880310356617,-0.03676403686404228,0.048007626086473465,0.007669585291296244,-0.05123500898480415,0.019197190180420876,0.037040457129478455,0.00634838966652751,-2.940633276011795E-4,-0.04147154092788696,0.033078402280807495,-0.052650660276412964,0.05226143077015877,0.01284121721982956,-0.036870792508125305,0.0038296987768262625,-0.025871185585856438,0.02260715700685978,0.03061281330883503,-0.025463789701461792,0.0060849557630717754,-0.007140466012060642,-0.0033345152623951435,0.03721974417567253,-0.013460194692015648,0.012725058011710644,-0.03375448286533356,0.01227736659348011,-0.03180263936519623,0.019797969609498978,0.016752395778894424,-0.005737395491451025,0.035175006836652756,-0.0238475538790226,-0.01855553314089775,0.04750145599246025,0.025957372039556503,-0.0385606475174427,-0.03227308765053749,-0.05496785417199135,0.01425125915557146,-0.005747783463448286,-0.0034472953993827105,0.016395611688494682,-0.005579482298344374,-0.020527850836515427,0.04617297649383545,0.01904323883354664,0.01765238121151924,-2.268559910589829E-5,-0.04157624766230583,-0.0028139471542090178,-0.010785152204334736,-3.234456817153841E-4,0.04974057152867317,0.015472479164600372,-0.003564790589734912,-0.049367088824510574,0.03831237927079201,-0.006631575990468264,0.0017955801449716091,-0.05252843722701073]::DOUBLE[]),(3, [-0.016107145696878433,-8.178418502211571E-4,-0.009530381299555302,0.01553407870233059,0.04102048650383949,0.018458275124430656,-0.014620369300246239,0.0644562840461731,-0.027403129264712334,0.006305772811174393,-0.0026909857988357544,0.04196862131357193,-7.074709283187985E-4,0.09053231030702591,-0.02353222854435444,0.033316757529973984,-0.010751434601843357,-0.04744548350572586,-0.034872304648160934,-0.0431419312953949,-0.019470777362585068,-0.0013528106501325965,0.027299195528030396,-0.01919681765139103,-0.03116328828036785,0.036008600145578384,-0.04034966230392456,0.0035826137755066156,0.01894536055624485,-0.06698745489120483,0.048958346247673035,0.00523859029635787,0.005771765485405922,0.015112306922674179,-0.0197500791400671,0.04420191049575806,0.006686989217996597,0.03470776602625847,0.018735099583864212,-0.003098636632785201,-0.023207422345876694,-0.014202657155692577,-0.036333583295345306,0.012810434214770794,-0.03543943911790848,-0.02957467921078205,0.020854445174336433,0.018769804388284683,0.004000836052000523,-0.03187674656510353,0.045041583478450775,-0.009136256761848927,-0.004565099254250526,0.02754623256623745,-0.01135203242301941,-0.049406085163354874,-0.026012539863586426,-0.029895717278122902,-0.010020431131124496,-0.02240266092121601,-0.007378575392067432,-0.0036533649545162916,-0.01431314181536436,0.03564576059579849]::DOUBLE[]),(4, [-0.028910651803016663,-0.011256253346800804,-0.013972694054245949,-0.01689082384109497,0.011655900627374649,0.017998971045017242,-0.029012005776166916,-0.0190084520727396,-0.021012794226408005,-0.0656287670135498,0.05578208714723587,-0.06521373242139816,-0.06227177008986473,-0.009425072930753231,-0.023179752752184868,-0.018906833603978157,0.0262447576969862,0.055846329778432846,0.0019978766795247793,0.021005911752581596,0.012967496179044247,0.0014855930348858237,0.02872813679277897,2.9894415638409555E-4,-0.02400806173682213,-0.023609591647982597,0.011491241864860058,0.021740231662988663,0.021108869463205338,0.01321389153599739,-0.014025532640516758,-0.024435054510831833,-6.169198895804584E-4,-0.022373829036951065,0.02626010775566101,0.002242475748062134,-0.014124447479844093,0.02019619010388851,0.007976255379617214,0.05826297402381897,-0.013433280400931835,0.022391650825738907,0.015217317268252373,-0.021029219031333923,0.006766342557966709,0.028979165479540825,0.008719426579773426,-0.0051076654344797134,0.016500039026141167,-0.008047142997384071,-0.01348423957824707,-0.02038809284567833,0.04320168122649193,-0.05536193400621414,0.0050462898798286915,-0.008751751855015755,-0.020744381472468376,-0.023517822846770287,0.0029373210854828358,0.01874055340886116,-0.021684393286705017,-0.005026637110859156,0.027587126940488815,0.0015134953428059816]::DOUBLE[])"
+
+  /** Nearest-centroid assignment (squared-Euclidean argmin, ties → lowest
+    * cell — list_distance is its monotone sqrt) against pinned centroids.
+    */
+  private def nearestCentroidOracle(centroidValues: String, outCol: String): String =
+    s"""WITH cents(cell, c) AS (VALUES $centroidValues),
+       |d AS (SELECT e.vec_id, cents.cell,
+       |  list_distance(CAST(e.embedding AS DOUBLE[]), cents.c) AS dist
+       |  FROM embeddings e CROSS JOIN cents)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS $outCol FROM d
+       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
+       |ORDER BY vec_id""".stripMargin
+
   /** DuckDB-runnable oracles. Keys must match `queries`; column aliases must
     * match the Spark result exactly (driver hashes sorted-by-name columns).
     */
   val oracleSql: Map[String, String] = Map(
+    "pipeline_agentic" ->
+      """WITH m AS (SELECT doc_id, upper(regexp_replace(text, '\s+', ' ', 'g')) AS content
+        |           FROM documents WHERE doc_id < 40)
+        |SELECT doc_id, content FROM m WHERE length(content) >= 150 ORDER BY doc_id""".stripMargin,
+
+    "sem_cluster" -> nearestCentroidOracle(ClusterCentroidsK8, "cluster_id"),
+
+    "sem_partition" -> nearestCentroidOracle(PartitionCentroidsK5, "_lotus_partition_id"),
+
+    "sem_sim_join_lsh" ->
+      s"""WITH planes(pid, p) AS (VALUES ${lshPlaneValues(64)}),
+         |keys AS (
+         |  SELECT e.vec_id, pid // 4 AS band,
+         |    CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), planes.p) > 0
+         |                  THEN (1 << (pid % 4)) ELSE 0 END) AS BIGINT) AS key
+         |  FROM embeddings e CROSS JOIN planes
+         |  GROUP BY e.vec_id, pid // 4),
+         |cand AS (
+         |  SELECT DISTINCT l.vec_id AS lid, r.vec_id AS rid
+         |  FROM keys l JOIN keys r ON l.band = r.band AND l.key = r.key
+         |  WHERE l.vec_id < 50),
+         |scored AS (
+         |  SELECT c.lid, c.rid,
+         |    list_cosine_similarity(CAST(el.embedding AS DOUBLE[]), CAST(er.embedding AS DOUBLE[])) AS raw
+         |  FROM cand c
+         |  JOIN embeddings el ON el.vec_id = c.lid
+         |  JOIN embeddings er ON er.vec_id = c.rid)
+         |SELECT lid, rid, round(raw, 3) AS score FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY lid ORDER BY raw DESC, rid) <= 2
+         |ORDER BY lid, rid""".stripMargin,
+
+    "sem_search_late" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 3),
+        |d AS (SELECT vec_id % 50 AS gid, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        |m AS (SELECT d.gid, q.qid,
+        |        greatest(0.0, max(list_cosine_similarity(d.dv, q.qv))) AS best
+        |      FROM d CROSS JOIN q GROUP BY d.gid, q.qid),
+        |s AS (SELECT gid, sum(best) AS raw FROM m GROUP BY gid),
+        |t AS (SELECT gid, raw FROM s ORDER BY raw DESC, gid LIMIT 5)
+        |SELECT gid, round(raw, 3) AS score FROM t ORDER BY score DESC, gid""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -92,12 +92,29 @@ object IvfIndex {
   }
 
   /** Public fit entry for other operators (semClusterBy shares the layout):
-    * `nRestarts` seeded k-means++ runs, keep the lowest-SSE solution —
-    * deterministic, and restarts dodge the single-run local optima that a
-    * lone Lloyd's descent can land in.
+    * `nRestarts` seeded k-means++ runs, keep the lowest-SSE solution.
+    * Restarts dodge the single-run local optima a lone Lloyd's descent can
+    * land in, and the sample is SORTED (lexicographic on the vector) before
+    * fitting, so the result is a pure function of the sample MULTISET — the
+    * same corpus fits identical centroids no matter how Spark partitioned
+    * or ordered the collect, which makes index rebuilds reproducible and
+    * the fitted centroids stable enough to pin in an oracle.
     */
-  def fitCentroids(points: Array[Array[Float]], k: Int, seed: Long,
+  def fitCentroids(points0: Array[Array[Float]], k: Int, seed: Long,
       maxIter: Int = 20, nRestarts: Int = 5): Array[Array[Float]] = {
+    val points = points0.clone()
+    java.util.Arrays.sort(points, new java.util.Comparator[Array[Float]] {
+      override def compare(a: Array[Float], b: Array[Float]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val c = java.lang.Float.compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        java.lang.Integer.compare(a.length, b.length)
+      }
+    })
     def sse(cents: Array[Array[Float]]): Double = {
       var total = 0.0
       var p = 0

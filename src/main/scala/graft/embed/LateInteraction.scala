@@ -46,7 +46,8 @@ object LateInteraction {
   }
 
   /** MaxSim over float matrices (query matrix broadcast in the closure). */
-  private[embed] def maxSim(qm: Array[Array[Float]], dm: Seq[Seq[Float]]): Double = {
+  private[embed] def maxSim(qm: Array[Array[Float]],
+      dm: scala.collection.Seq[scala.collection.Seq[Float]]): Double = {
     if (dm.isEmpty) return 0.0
     val docs = dm.map(_.toArray).toArray
     val docNorms = docs.map { d =>
@@ -89,16 +90,28 @@ object LateInteraction {
       maxTokens: Int = 128): DataFrame = {
     val emb = Option(embedder).getOrElse(graft.core.Sem.settings.embedder)
     val qm = emb.embed(tokens(query, maxTokens)).toArray
-    val indexed = indexTokens(df, c, emb, maxTokens)
+    searchVec(indexTokens(df, c, emb, maxTokens), c, qm, k, scoreCol)
+  }
+
+  /** [[search]] against a precomputed query-token matrix (the operator core
+    * — also the entry point when the frame already carries a stored
+    * token-embedding matrix column, mirroring [[graft.operators.EmbedOps
+    * .semSearchVec]]). `tieBreak` makes the top-k deterministic under score
+    * ties.
+    */
+  def searchVec(df: DataFrame, c: String, qm: Array[Array[Float]], k: Int,
+      scoreCol: String = "li_scores",
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val indexed = indexTokens(df, c)
     val mIdx = indexed.schema.fieldIndex(mvecCol(c))
     val schema = StructType(indexed.schema.fields :+ StructField(scoreCol, DoubleType))
     indexed.mapPartitions { iter =>
       iter.map { r =>
-        val dm = r.getSeq[Seq[Float]](mIdx)
+        val dm = r.getSeq[scala.collection.Seq[Float]](mIdx)
         Row.fromSeq(r.toSeq :+ maxSim(qm, dm))
       }
     }(Encoders.row(schema))
-      .orderBy(col(scoreCol).desc)
+      .orderBy(col(scoreCol).desc +: tieBreak: _*)
       .limit(k)
       .drop(mvecCol(c))
   }
