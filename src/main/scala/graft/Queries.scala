@@ -506,6 +506,28 @@ object Queries {
         .select(col("vec_id"), round(col("raw"), 3).as("score"))
     }),
 
+    "ann_ivf_vs" -> ((s, dir) => {
+      // The settings-level ANN tier: with Settings.vs = IvfVS, plain
+      // semIndexSave builds + saves the cell-partitioned IVF index and
+      // semSearchStore probes it — the reference's settings.vs usage shape,
+      // no bespoke IvfIndex calls. nProbe = nCells makes the probe
+      // exhaustive, so the result equals exact cosine top-k and the whole
+      // settings-routed lifecycle is oracle-checkable (probe pruning at
+      // nProbe < nCells is pinned by IvfVsSpec/IvfSpec).
+      val base = java.nio.file.Files.createTempDirectory("graft_verify_ivfvs").toString
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 4).select("embedding")
+        .head().getSeq[Float](0)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      Sem.withSettings(Sem.settings.copy(vs =
+          Some(graft.embed.IvfVS(base, nCells = 8, nProbe = 8)))) {
+        EmbedOps.semIndexSave(withVec, "emb", "vec_id", "emb_idx")
+        EmbedOps.semSearchStoreVec(s, "emb_idx", qv.toIndexedSeq, 12)
+          .select(col("id").as("vec_id"), round(col("score"), 3).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      }
+    }),
+
     "sem_cluster" -> ((s, dir) => {
       // sem_cluster_by on the stored embedding column. The centroid fit is
       // deterministic driver-side Lloyd's on the SORTED sample — a pure
@@ -804,6 +826,14 @@ object Queries {
       """WITH m AS (SELECT doc_id, upper(regexp_replace(text, '\s+', ' ', 'g')) AS content
         |           FROM documents WHERE doc_id < 40)
         |SELECT doc_id, content FROM m WHERE length(content) >= 150 ORDER BY doc_id""".stripMargin,
+
+    "ann_ivf_vs" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 4)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score
+        |FROM embeddings e, q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 12""".stripMargin,
 
     "sem_cluster" -> nearestCentroidOracle(ClusterCentroidsK8, "cluster_id"),
 

@@ -43,6 +43,48 @@ final case class ParquetVS(basePath: String) extends VectorStore {
   }
 }
 
+/** IVF(-SQ8) ANN-backed store — the settings-level way to reach the indexed
+  * ANN tier (the reference routes FAISS indexes through `settings.vs`; this
+  * is the Spark-native counterpart, so `semIndexSave`/`semSearchStore` get
+  * probe-pruned approximate search without bespoke [[IvfIndex]] calls).
+  * `index()` fits the coarse quantizer (bounded driver-side sample) and
+  * saves the cell-partitioned parquet index under `basePath/<collection>`;
+  * `search()` probes only the `nProbe` nearest cells — a partition-pruning
+  * read on the saved layout. `sq8 = true` stores int8 codes + scale (~4×
+  * smaller index; dequant fused into the probe scan).
+  */
+final case class IvfVS(basePath: String, nCells: Int = 256, nProbe: Int = 8,
+    sq8: Boolean = false, seed: Long = 42) extends VectorStore {
+
+  private def path(c: String) = s"$basePath/$c"
+  private val field = "vs"
+
+  override def index(df: DataFrame, idCol: String, vecCol: String, collection: String): Unit = {
+    val framed = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as(graft.operators.EmbedOps.vecCol(field)))
+    val (indexed, model) = IvfIndex.build(framed, field, nCells, seed)
+    IvfIndex.save(indexed, model, field, "id", path(collection), sq8)
+    indexed.unpersist()
+  }
+
+  override def load(spark: SparkSession, collection: String): DataFrame = {
+    val (cells, _) = IvfIndex.load(spark, path(collection))
+    val v = graft.operators.EmbedOps.vecCol(field)
+    if (cells.columns.contains(v)) cells.select(col("id"), col(v).as("vector"))
+    else cells.select(col("id"), // SQ8 layout: reconstruct from codes + scale
+      Quantize.sq8Dequant(col(Quantize.codesCol(field)), col(Quantize.scaleCol(field)))
+        .as("vector"))
+  }
+
+  override def search(spark: SparkSession, collection: String, queryVec: Seq[Float],
+      k: Int): DataFrame = {
+    val (cells, model) = IvfIndex.load(spark, path(collection))
+    IvfIndex.search(cells, model, field, queryVec, k, nProbe,
+        scoreCol = "score", tieBreak = Seq(col("id")))
+      .select("id", "score")
+  }
+}
+
 /** Remote store speaking the Weaviate REST/GraphQL contract (reference
   * WeaviateVS, lotus/vector_store/weaviate_vs.py:19-122): POST /v1/schema to
   * create the class, batched POST /v1/batch/objects with pre-computed

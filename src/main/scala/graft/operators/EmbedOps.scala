@@ -54,17 +54,52 @@ object EmbedOps {
     }(Encoders.row(schema))
   }
 
-  /** Persist the index column as parquet `(id, vector)` — the durable form. */
+  /** Persist the index column durably. With `Settings.vs` configured the
+    * write routes through the store (`path` is the collection name) — e.g.
+    * [[graft.embed.IvfVS]] builds and saves the cell-partitioned ANN index
+    * here, exactly like the reference's settings-level FAISS store;
+    * otherwise the default is parquet `(id, vector)` at `path`.
+    */
   def semIndexSave(df: DataFrame, c: String, idCol: String, path: String): DataFrame = {
     val indexed = semIndex(df, c)
-    indexed.select(col(idCol), col(vecCol(c))).write.mode("overwrite").parquet(path)
+    Sem.settings.vs match {
+      case Some(vs) => vs.index(indexed, idCol, vecCol(c), path)
+      case None =>
+        indexed.select(col(idCol), col(vecCol(c))).write.mode("overwrite").parquet(path)
+    }
     indexed
   }
 
-  /** Attach a saved index by joining the vectors back on `idCol`. */
+  /** Attach a saved index by joining the vectors back on `idCol` (reads
+    * through `Settings.vs` when configured, mirroring [[semIndexSave]]).
+    */
   def semLoadIndex(df: DataFrame, c: String, idCol: String, path: String): DataFrame = {
-    val vecs = df.sparkSession.read.parquet(path)
+    val vecs = Sem.settings.vs match {
+      case Some(vs) =>
+        vs.load(df.sparkSession, path)
+          .select(col("id").as(idCol), col("vector").as(vecCol(c)))
+      case None => df.sparkSession.read.parquet(path)
+    }
     df.join(vecs, Seq(idCol), "left")
+  }
+
+  /** sem_search against a settings-configured [[graft.embed.VectorStore]]
+    * collection: embeds the query on the driver and delegates the top-k to
+    * the store — the probe-pruned ANN tier when the store is
+    * [[graft.embed.IvfVS]], exact parquet/remote search otherwise. Returns
+    * `(id, score)` like the store contract.
+    */
+  def semSearchStore(spark: org.apache.spark.sql.SparkSession, collection: String,
+      query: String, k: Int): DataFrame =
+    semSearchStoreVec(spark, collection,
+      Sem.settings.embedder.embedOne(query).toIndexedSeq, k)
+
+  /** [[semSearchStore]] against a precomputed query vector. */
+  def semSearchStoreVec(spark: org.apache.spark.sql.SparkSession, collection: String,
+      qv: Seq[Float], k: Int): DataFrame = {
+    val vs = Sem.settings.vs.getOrElse(throw new IllegalArgumentException(
+      "semSearchStore requires Settings.vs to be configured"))
+    vs.search(spark, collection, qv, k)
   }
 
   /** sem_search: top-k rows most similar to `query`. Exact brute force —

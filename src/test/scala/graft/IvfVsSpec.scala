@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Sem
+import graft.embed.{IvfVS, Quantize}
+import graft.operators.EmbedOps
+
+/** Settings-level ANN tier: `Settings.vs = IvfVS` must route plain
+  * semIndexSave/semLoadIndex/semSearchStore through the cell-partitioned
+  * IVF index — no bespoke IvfIndex calls in user code.
+  */
+class IvfVsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Same well-separated directional clusters as IvfSpec.
+  private def vecs = {
+    val rows = for (i <- 0 until 120) yield {
+      val g = i % 8
+      val v = Array.tabulate(16) { d =>
+        val base = if (d == g) 1.0f else 0.0f
+        base + 0.01f * (((i * 31 + d * 7) % 11) - 5)
+      }
+      (i.toLong, v.toSeq)
+    }
+    rows.toDF("id", EmbedOps.vecCol("emb"))
+  }
+
+  private def withIvfVs[T](sq8: Boolean = false, nProbe: Int = 8)(f: IvfVS => T): T = {
+    val base = java.nio.file.Files.createTempDirectory("ivfvs").toString
+    val vs = IvfVS(base, nCells = 8, nProbe = nProbe, sq8 = sq8, seed = 7)
+    Sem.withSettings(Sem.settings.copy(vs = Some(vs)))(f(vs))
+  }
+
+  test("semIndexSave routes through IvfVS; semSearchStore equals exact top-k at full probe") {
+    withIvfVs() { _ =>
+      val qv = vecs.filter($"id" === 3).select(EmbedOps.vecCol("emb")).as[Seq[Float]].head()
+      EmbedOps.semIndexSave(vecs, "emb", "id", "coll")
+      val viaStore = EmbedOps.semSearchStoreVec(spark, "coll", qv, 10)
+        .select("id").as[Long].collect()
+      val exact = EmbedOps.semSearchVec(vecs, "emb", qv, 10, tieBreak = Seq(col("id")))
+        .select("id").as[Long].collect()
+      assert(viaStore.toSeq == exact.toSeq)
+    }
+  }
+
+  test("nProbe = 1 probes one cell and still recovers the query's cluster") {
+    withIvfVs(nProbe = 1) { _ =>
+      val qv = vecs.filter($"id" === 3).select(EmbedOps.vecCol("emb")).as[Seq[Float]].head()
+      EmbedOps.semIndexSave(vecs, "emb", "id", "coll")
+      val ivf = EmbedOps.semSearchStoreVec(spark, "coll", qv, 10)
+        .select("id").as[Long].collect()
+      val exact = EmbedOps.semSearchVec(vecs, "emb", qv, 10, tieBreak = Seq(col("id")))
+        .select("id").as[Long].collect()
+      val recall = ivf.toSet.intersect(exact.toSet).size.toDouble / exact.length
+      assert(recall >= 0.9, s"recall $recall")
+    }
+  }
+
+  test("sq8 store keeps the quantized lifecycle: scores match quantized brute force") {
+    withIvfVs(sq8 = true) { _ =>
+      val qv = vecs.filter($"id" === 3).select(EmbedOps.vecCol("emb")).as[Seq[Float]].head()
+      EmbedOps.semIndexSave(vecs, "emb", "id", "coll")
+      val viaStore = EmbedOps.semSearchStoreVec(spark, "coll", qv, 5)
+        .select("id", "score").as[(Long, Double)].collect().toMap
+      val brute = Quantize.searchQuantized(Quantize.quantize(vecs, "emb"), "emb", qv, 5,
+          scoreCol = "score", tieBreak = Seq(col("id")))
+        .select("id", "score").as[(Long, Double)].collect().toMap
+      assert(viaStore.keySet == brute.keySet)
+      viaStore.foreach { case (id, s) => assert(math.abs(s - brute(id)) < 1e-12) }
+    }
+  }
+
+  test("semLoadIndex reads (id, vector) back through the store") {
+    withIvfVs() { _ =>
+      EmbedOps.semIndexSave(vecs, "emb", "id", "coll")
+      val loaded = EmbedOps.semLoadIndex(vecs.select("id"), "emb", "id", "coll")
+      assert(loaded.count() == 120)
+      val v = loaded.filter($"id" === 3).select(EmbedOps.vecCol("emb")).as[Seq[Float]].head()
+      val orig = vecs.filter($"id" === 3).select(EmbedOps.vecCol("emb")).as[Seq[Float]].head()
+      assert(v == orig)
+    }
+  }
+}
