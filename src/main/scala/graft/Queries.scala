@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Sem
 import graft.llm.{FakeBehavior, FakeLM}
-import graft.operators.{CorpusPrep, Dedup, EmbedOps, Temporal}
+import graft.operators.{CorpusPrep, Decontaminate, Dedup, EmbedOps, Lexical, LexIndex, Temporal}
 import graft.functions.{MultimodalOps, TextFunctions => TF}
 
 /** The operator inventory as driver-checkable queries.
@@ -774,6 +774,67 @@ object Queries {
       }
     }),
 
+    "bm25_search" -> ((s, dir) => {
+      // Sparse lexical retrieval beside the dense sem_search tier: ad-hoc
+      // BM25 with per-row tf expressions + one broadcast stats row — no
+      // corpus explode, no posting shuffle, TakeOrderedAndProject top-k.
+      // The oracle reproduces the score double-for-double (same IEEE op
+      // order), rounded to 3.
+      Lexical.bm25Search(read(s, dir, "documents"), "text",
+          "spark join window", k = 10, tieBreak = Seq(col("doc_id")))
+        .select(col("doc_id"), round(col("bm25"), 3).as("score"))
+    }),
+
+    "bm25_saved" -> ((s, dir) => {
+      // The durable inverted-index lifecycle: build → save (term-bucket-
+      // partitioned postings, pruned at query time like IVF cells) → search.
+      // Same result as ad-hoc BM25, so the same oracle covers the index
+      // build, pruning, df computation and score assembly end to end.
+      val path = java.nio.file.Files.createTempDirectory("graft_verify_lex").toString + "/idx"
+      LexIndex.save(read(s, dir, "documents"), "text", "doc_id", path, nBuckets = 16)
+      LexIndex.search(s, path, "spark join window", k = 10)
+        .select(col("id").as("doc_id"), round(col("bm25"), 3).as("score"))
+    }),
+
+    "decontaminate_ngram" -> ((s, dir) => {
+      // Benchmark decontamination: every 20th document plays the eval set;
+      // corpus rows are flagged with their distinct shared-5-gram count.
+      // Hashed grams (tight-loop FNV kernel) vs the oracle's string grams —
+      // identical counts up to 2^-64 collisions, the dedup_ngram_jaccard
+      // convention. Eval docs flag themselves (full overlap), planted
+      // near-dups of eval docs flag too.
+      val d = read(s, dir, "documents")
+      val eval = d.filter(col("doc_id") % 20 === 0)
+      Decontaminate.flagContaminated(d, "doc_id", "text", eval, "text", n = 5)
+        .select(col("doc_id"), col("contam_grams"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    "pii_redact" -> ((s, dir) => {
+      // PII scrub: the corpus text carries no PII, so deterministic
+      // synthetic PII (a function of doc_id) is injected identically in
+      // Spark and the oracle, then counted and redacted. Counts + an md5 of
+      // the redacted text hash-check all four patterns and the replacement
+      // order end to end.
+      val injected = concat(
+        col("text"),
+        lit(" reach me at user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+        lit("-0199 ssn 987-65-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" host 10.2."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".77 done"))
+      read(s, dir, "documents").select(
+        col("doc_id"),
+        TF.piiCount(injected, TF.EmailPattern).cast("long").as("n_email"),
+        TF.piiCount(injected, TF.PhonePattern).cast("long").as("n_phone"),
+        TF.piiCount(injected, TF.SsnPattern).cast("long").as("n_ssn"),
+        TF.piiCount(injected, TF.Ipv4Pattern).cast("long").as("n_ip"),
+        md5(to_binary(TF.redactPii(injected), lit("utf-8"))).as("red_md5")
+      ).orderBy("doc_id")
+    }),
+
     // ---------------- multimodal plumbing (stub decode) -------------------
     "multimodal_meta" -> ((s, dir) => {
       val d = read(s, dir, "documents")
@@ -1293,6 +1354,95 @@ object Queries {
       """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes,
         |  CAST(len(text) % 640 AS BIGINT) AS width,
         |  CAST(len(text) % 30 + 1 AS BIGINT) AS frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // BM25 with the Lucene idf variant, k1=1.2 b=0.75; the + chain and
+    // parenthesization mirror the Spark expressions so IEEE doubles agree.
+    "bm25_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf2
+        |  FROM t),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM d)
+        |SELECT doc_id, round(score, 3) AS score FROM (
+        |  SELECT d.doc_id,
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))) AS score
+        |  FROM d, s) q
+        |WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "bm25_saved" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf2
+        |  FROM t),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM d)
+        |SELECT doc_id, round(score, 3) AS score FROM (
+        |  SELECT d.doc_id,
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))) AS score
+        |  FROM d, s) q
+        |WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // String 5-grams in SQL vs FNV-hashed grams in Spark: identical counts
+    // up to 2^-64 hash collisions (dedup_ngram_jaccard convention).
+    "decontaminate_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 3), i -> array_to_string(list_slice(w, i, i + 4), ' ')) END) AS sh
+        |  FROM t),
+        |ev AS (SELECT list_distinct(flatten(list(sh))) AS egrams FROM g WHERE doc_id % 20 = 0)
+        |SELECT g.doc_id,
+        |  CAST(len(list_intersect(g.sh, ev.egrams)) AS BIGINT) AS contam_grams,
+        |  len(list_intersect(g.sh, ev.egrams)) >= 1 AS contaminated
+        |FROM g, ev ORDER BY g.doc_id""".stripMargin,
+
+    "pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |    || '-0199 ssn 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' host 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.77 done' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\+\d{1,3}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d{1,3}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS red_md5
+        |FROM inj ORDER BY doc_id""".stripMargin
   )
 }

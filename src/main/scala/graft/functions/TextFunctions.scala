@@ -139,6 +139,34 @@ object TextFunctions {
       .otherwise(size(filter(words, w => w.rlike("[a-z]"))).cast("double") / size(words))
   }
 
+  // ------------------------------------------------------------------
+  // PII detection / redaction: the scrubbing pass of a training-data
+  // pipeline. Pure regexp_replace/count chains — codegen'd, per-row, no
+  // shuffle — and every pattern stays inside the regex subset Java and RE2
+  // share (no backrefs, no lookaround), so redaction is oracle-checkable.
+  // ------------------------------------------------------------------
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val SsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhonePattern = "\\+\\d{1,3}-\\d{3}-\\d{3}-\\d{4}"
+
+  /** Occurrences of one PII pattern. */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Redact all four PII classes to typed placeholder tokens. Order matters
+    * and is part of the contract: emails first (their local parts may
+    * contain dots and digits), then phones (the leading `+` keeps them
+    * disjoint from SSNs), then SSNs, then bare IPv4s.
+    */
+  def redactPii(c: Column): Column = {
+    val e = regexp_replace(c, EmailPattern, "<EMAIL>")
+    val p = regexp_replace(e, PhonePattern, "<PHONE>")
+    val s = regexp_replace(p, SsnPattern, "<SSN>")
+    regexp_replace(s, Ipv4Pattern, "<IP>")
+  }
+
   /** Rolling (polynomial) content-defined fingerprints of word windows:
     * xxhash64 over sliding word n-grams; the minimum is a winnowing-style
     * document signature.

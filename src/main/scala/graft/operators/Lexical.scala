@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical (keyword) search — the sparse-retrieval sibling of the dense
+  * `semSearch` tier, the standard first-stage retriever of public hybrid
+  * search pipelines (Robertson & Zaragoza, "The Probabilistic Relevance
+  * Framework: BM25 and Beyond", 2009).
+  *
+  * Two tiers, mirroring the dense-search design (`embed/IvfIndex.scala`):
+  *
+  *   - [[bm25Search]]: ad-hoc scoring over a corpus frame. Because the query
+  *     terms are a small literal set, per-document term frequencies are
+  *     per-row codegen'd expressions — NO corpus-wide explode, no posting
+  *     shuffle. Cost = one tiny stats aggregate + one scoring scan with
+  *     TakeOrderedAndProject top-k. That is the 100 TB shape for a one-off
+  *     query: two passes over the text column and nothing else.
+  *
+  *   - [[LexIndex]]: a durable inverted index (term → postings) saved as
+  *     parquet PARTITIONED BY a term hash bucket, so a query reads only the
+  *     buckets its terms hash to (partition pruning, same trick as the IVF
+  *     cell layout). Amortizes the corpus scan across many queries.
+  *
+  * All math is double-precision and evaluated in a fixed left-to-right term
+  * order so a DuckDB oracle reproduces scores bit-for-bit (modulo libm ulp).
+  */
+object Lexical {
+
+  /** Lowercased whitespace tokens (empty array for blank text) — the same
+    * tokenization convention as `TextFunctions`/`Dedup`, so oracles can use
+    * `string_split(lower(trim(text)), ' ')`.
+    */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(c)), "\\s+"))
+
+  /** Parse a free-text query into distinct lowercase terms (order kept). */
+  def queryTerms(query: String): Seq[String] =
+    query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+
+  /** Robertson idf with the +1 floor (Lucene's variant — always positive):
+    * ln(1 + (N − df + 0.5)/(df + 0.5)).
+    */
+  private def idf(n: Column, df: Column): Column =
+    log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+
+  /** One term's BM25 contribution given tf, doc length and corpus stats. */
+  private def termScore(tf: Column, dl: Column, n: Column, sumDl: Column,
+      df: Column, k1: Double, b: Double): Column = {
+    val avgdl = sumDl / n
+    idf(n, df) * tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0) - b + lit(b) * dl / avgdl))
+  }
+
+  /** Score `df` against `query` and return the top `k` rows (all original
+    * columns + `scoreCol`), ordered score-desc then `tieBreak`.
+    *
+    * Plan shape: tf per query term is `size(filter(tokens, _ == term))` —
+    * codegen'd, per-row; corpus stats (N, Σdl, df per term) are ONE
+    * single-row aggregate broadcast back via cross join; the final top-k is
+    * TakeOrderedAndProject. No explode, no posting-list shuffle, no driver
+    * collect of anything bigger than the one stats row.
+    */
+  def bm25Search(df: DataFrame, textCol: String, query: String, k: Int,
+      scoreCol: String = "bm25", tieBreak: Seq[Column] = Seq.empty,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "bm25Search: query has no terms")
+    val base = df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      d.withColumn(s"__tf$i",
+        size(filter(col("__toks"), w => w === lit(t))).cast("double"))
+    }.drop("__toks")
+    val statCols =
+      Seq(count(lit(1)).cast("double").as("__n"),
+        sum(col("__dl")).cast("double").as("__sumdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1).otherwise(0)).cast("double").as(s"__df$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    // Left-to-right fold fixes IEEE addition order — the oracle writes the
+    // same + chain, so doubles agree bit-for-bit.
+    val score = terms.indices.map { i =>
+      termScore(col(s"__tf$i"), col("__dl"), col("__n"), col("__sumdl"),
+        col(s"__df$i"), k1, b)
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .withColumn(scoreCol, score)
+      .filter(col(scoreCol) > 0)
+      .select((df.columns.map(col) :+ col(scoreCol)): _*)
+      .orderBy(col(scoreCol).desc +: tieBreak: _*)
+      .limit(k)
+  }
+}
+
+/** Durable inverted index for BM25: postings parquet partitioned by a term
+  * hash bucket + a doc-length table + one tiny stats JSON. Search reads only
+  * the partitions the query terms hash to — the same partition-pruning
+  * layout as the saved IVF index (`IvfIndex.save`), applied to sparse
+  * retrieval. At 100 TB a query touches nTerms/nBuckets of the postings,
+  * not the corpus.
+  */
+object LexIndex {
+
+  val bucketCol = "__term_bucket"
+
+  private def bucketOf(term: Column, nBuckets: Int): Column =
+    pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
+
+  /** Build postings `(term, id, tf, bucket)` — one explode + one groupBy
+    * (term, id): the canonical index-build shuffle, paid once per corpus.
+    */
+  def postings(df: DataFrame, textCol: String, idCol: String,
+      nBuckets: Int = 64): DataFrame =
+    df.select(col(idCol).as("id"), explode(Lexical.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("id"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn(bucketCol, bucketOf(col("term"), nBuckets))
+
+  /** Doc-length sidecar `(id, dl)` plus corpus totals for the stats file. */
+  def docLengths(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      size(Lexical.tokens(col(textCol))).cast("double").as("dl"))
+
+  /** Write the index: bucket-partitioned postings, doc lengths, stats JSON
+    * (`{"n":…,"sumdl":…,"nBuckets":…}` — driver-side, tiny).
+    */
+  def save(df: DataFrame, textCol: String, idCol: String, path: String,
+      nBuckets: Int = 64): Unit = {
+    postings(df, textCol, idCol, nBuckets)
+      .repartition(col(bucketCol))
+      .write.mode("overwrite").partitionBy(bucketCol)
+      .parquet(path + "/postings")
+    val dls = docLengths(df, textCol, idCol)
+    dls.write.mode("overwrite").parquet(path + "/doclen")
+    val Array(n, sumdl) = dls.agg(count(lit(1)).cast("double"),
+      sum(col("dl")).cast("double")).head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val json = s"""{"n":$n,"sumdl":$sumdl,"nBuckets":$nBuckets}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "stats.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Search a saved index. Reads: stats.json (driver, bytes), the postings
+    * partitions of the query terms' buckets (pruned scan), and the doc
+    * lengths of hit docs only (join on the narrow hit set). Document
+    * frequencies come from the pruned postings themselves — no extra corpus
+    * pass. Returns `(id, scoreCol)` top-k.
+    */
+  def search(spark: SparkSession, path: String, query: String, k: Int,
+      scoreCol: String = "bm25", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = Lexical.queryTerms(query)
+    require(terms.nonEmpty, "LexIndex.search: query has no terms")
+    val stats = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "stats.json")), java.nio.charset.StandardCharsets.UTF_8)
+    def field(name: String): Double =
+      s""""$name":([-0-9.eE]+)""".r.findFirstMatchIn(stats)
+        .map(_.group(1).toDouble)
+        .getOrElse(sys.error(s"LexIndex stats.json missing $name"))
+    val n = field("n"); val sumdl = field("sumdl"); val nBuckets = field("nBuckets").toInt
+    // Same hash as bucketOf's xxhash64 expression (seed 42), computed on the
+    // driver — no job just to learn which partitions to prune.
+    val bucketLits = terms.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType, 42L)
+      math.floorMod(h, nBuckets.toLong).toInt
+    }.distinct
+    val post = spark.read.parquet(path + "/postings")
+      .filter(col(bucketCol).isin(bucketLits: _*) && col("term").isin(terms: _*))
+    val dfs = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val dl = spark.read.parquet(path + "/doclen")
+    val avgdl = sumdl / n
+    val perPost = post.join(broadcast(dfs), "term")
+      .join(dl, "id")
+      .withColumn("__s",
+        log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / lit(avgdl))))
+    perPost.groupBy("id").agg(sum(col("__s")).as(scoreCol))
+      .orderBy(col(scoreCol).desc, col("id"))
+      .limit(k)
+  }
+}

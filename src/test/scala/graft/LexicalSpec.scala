@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Decontaminate, Lexical, LexIndex}
+import graft.functions.{TextFunctions => TF}
+
+class LexicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "spark join window spark spark table"),
+    (1L, "join window group order sort"),
+    (2L, "table scan filter value batch"),
+    (3L, "spark spark spark spark spark spark spark spark"),
+    (4L, "window"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("bm25 ranks docs containing more query terms higher; zero-hit docs drop") {
+    val res = Lexical.bm25Search(docs, "text", "spark join", k = 10,
+      tieBreak = Seq(col("doc_id")))
+    val ids = res.select("doc_id").as[Long].collect().toSeq
+    assert(!ids.contains(2L) && !ids.contains(4L) && !ids.contains(5L),
+      s"docs without query terms must score 0 and drop: $ids")
+    assert(ids.contains(0L) && ids.contains(1L) && ids.contains(3L))
+    // doc 0 has both terms with good tf and moderate length — must beat the
+    // one-term docs.
+    assert(ids.head == 0L, s"expected doc 0 first, got $ids")
+  }
+
+  test("saturation: tf repetition gains are bounded (doc 3 does not dominate doc 0)") {
+    val scores = Lexical.bm25Search(docs, "text", "spark join", k = 10)
+      .select(col("doc_id"), col("bm25")).as[(Long, Double)].collect().toMap
+    assert(scores(0L) > scores(3L),
+      s"two distinct terms must beat one spammed term: $scores")
+  }
+
+  test("saved inverted index reproduces ad-hoc BM25 scores and prunes term buckets") {
+    val path = java.nio.file.Files.createTempDirectory("lexidx").toString + "/idx"
+    LexIndex.save(docs, "text", "doc_id", path, nBuckets = 8)
+    val saved = LexIndex.search(spark, path, "spark join", k = 10)
+      .select(col("id"), col("bm25")).as[(Long, Double)].collect().toMap
+    val adhoc = Lexical.bm25Search(docs, "text", "spark join", k = 10)
+      .select(col("doc_id"), col("bm25")).as[(Long, Double)].collect().toMap
+    assert(saved.keySet == adhoc.keySet)
+    saved.foreach { case (id, s) =>
+      assert(math.abs(s - adhoc(id)) < 1e-9, s"doc $id: saved $s vs adhoc ${adhoc(id)}")
+    }
+    // The postings scan must prune to the query terms' hash buckets.
+    val post = spark.read.parquet(path + "/postings")
+      .filter(col(LexIndex.bucketCol).isin(0, 1) && col("term").isin("spark"))
+    val plan = post.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(LexIndex.bucketCol),
+      s"bucket filter must reach PartitionFilters:\n$plan")
+  }
+
+  test("driver-side bucket hash matches the xxhash64 bucketing expression") {
+    val terms = Seq("spark", "join", "window", "zebra", "a")
+    val fromExpr = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(8L)).cast("int").as("b"))
+      .as[Int].collect().toSeq
+    val fromDriver = terms.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType, 42L)
+      math.floorMod(h, 8L).toInt
+    }
+    assert(fromExpr == fromDriver,
+      s"LexIndex.search pruning depends on this parity: $fromExpr vs $fromDriver")
+  }
+
+  test("decontamination: exact flags eval members and their near-dups only") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"), // shares 5-grams with 0
+      (2L, "one two three four five six seven eight"),
+      (3L, "unrelated words entirely different from anything else here")
+    ).toDF("doc_id", "text")
+    val eval = corpus.filter(col("doc_id") === 0)
+    val flags = Decontaminate.flagContaminated(corpus, "doc_id", "text", eval, "text", n = 5)
+      .select(col("doc_id"), col("contam_grams"), col("contaminated"))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(flags(0) == ((0L, 4L, true)), s"eval doc fully self-contaminated: ${flags(0)}")
+    assert(flags(1)._3 && flags(1)._2 >= 1L, s"near-dup must flag: ${flags(1)}")
+    assert(!flags(2)._3 && flags(2)._2 == 0L)
+    assert(!flags(3)._3)
+  }
+
+  test("decontamination: bloom counts are a superset bound of exact counts") {
+    val corpus = (0L until 60L).map(i =>
+      (i, if (i % 3 == 0) "shared shingle text common run payload marker extra"
+          else s"unique words $i row ${i * 7} filler ${i * 13} tail ${i * 31}"))
+      .toDF("doc_id", "text")
+    val eval = corpus.filter(col("doc_id") === 0)
+    val exact = Decontaminate.flagContaminated(corpus, "doc_id", "text", eval, "text", n = 5)
+      .select(col("doc_id"), col("contam_grams")).as[(Long, Long)].collect().toMap
+    val bloom = Decontaminate.flagContaminatedBloom(corpus, "doc_id", "text", eval, "text",
+        n = 5, fpp = 1e-6)
+      .select(col("doc_id"), col("contam_grams")).as[(Long, Long)].collect().toMap
+    exact.foreach { case (id, e) =>
+      assert(bloom(id) >= e, s"doc $id: bloom ${bloom(id)} < exact $e — false negative")
+    }
+    // False positives are allowed (that is the Bloom contract) but must be
+    // rare: every truly-contaminated doc matches exactly, and the spurious
+    // extra grams across the whole corpus stay in the single digits.
+    exact.filter(_._2 > 0).foreach { case (id, e) =>
+      assert(bloom(id) == e, s"contaminated doc $id must count exactly: ${bloom(id)} vs $e")
+    }
+    val spurious = exact.keys.map(id => bloom(id) - exact(id)).sum
+    assert(spurious <= 5, s"too many bloom false positives: $spurious")
+  }
+
+  test("pii redaction replaces all four classes in contract order") {
+    val d = Seq((1L,
+      "mail a.user+tag@sub.example.org call +1-555-867-5309 ssn 123-45-6789 ip 192.168.0.1 end"
+    )).toDF("id", "text")
+    val out = d.select(
+      TF.piiCount(col("text"), TF.EmailPattern).as("ne"),
+      TF.piiCount(col("text"), TF.PhonePattern).as("np"),
+      TF.piiCount(col("text"), TF.SsnPattern).as("ns"),
+      TF.piiCount(col("text"), TF.Ipv4Pattern).as("ni"),
+      TF.redactPii(col("text")).as("red")
+    ).head()
+    assert(out.getInt(0) == 1 && out.getInt(1) == 1 && out.getInt(2) == 1 && out.getInt(3) == 1)
+    assert(out.getString(4) ==
+      "mail <EMAIL> call <PHONE> ssn <SSN> ip <IP> end")
+  }
+
+  test("pii redaction leaves clean text untouched") {
+    val d = Seq((1L, "no personal data here just words and numbers 42")).toDF("id", "text")
+    val out = d.select(TF.redactPii(col("text"))).as[String].head()
+    assert(out == "no personal data here just words and numbers 42")
+  }
+}
