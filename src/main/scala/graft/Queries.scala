@@ -796,6 +796,27 @@ object Queries {
         .select(col("id").as("doc_id"), round(col("bm25"), 3).as("score"))
     }),
 
+    "hybrid_search_rrf" -> ((s, dir) => {
+      // Hybrid retrieval: BM25 top-20 and dense-cosine top-20 fused by
+      // reciprocal rank (k=60). Ranks are integers, 1/(60+r) is the same
+      // double in any engine, and a two-element IEEE sum is order-exact —
+      // so the fusion is hash-checkable on top of the two already-oracled
+      // retrieval tiers (embeddings.vec_id aligns 1:1 with doc_id).
+      val docs = read(s, dir, "documents")
+      val lex = Lexical.bm25Search(docs, "text", "spark join window", k = 20,
+          tieBreak = Seq(col("doc_id")))
+        .select(col("doc_id").as("id"), col("bm25").as("score"))
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0)
+      val dense = EmbedOps.semSearchVec(
+          e.withColumnRenamed("embedding", EmbedOps.vecCol("emb")), "emb", qv,
+          k = 20, scoreCol = "score", tieBreak = Seq(col("vec_id")))
+        .select(col("vec_id").as("id"), col("score"))
+      Lexical.rrfFuse(Seq(lex, dense), "id", "score", k = 60, topK = 10)
+        .select(col("id").as("doc_id"), round(col("rrf"), 6).as("score"))
+    }),
+
     "decontaminate_ngram" -> ((s, dir) => {
       // Benchmark decontamination: every 20th document plays the eval set;
       // corpus rows are flagged with their distinct shared-5-gram count.
@@ -1409,6 +1430,43 @@ object Queries {
         |  FROM d, s) q
         |WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "hybrid_search_rrf" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf2
+        |  FROM t),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM d),
+        |lexs AS (
+        |  SELECT d.doc_id,
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))) AS score
+        |  FROM d, s),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        |  FROM lexs WHERE score > 0 QUALIFY r <= 20),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+        |den AS (
+        |  SELECT e.vec_id AS doc_id, row_number() OVER (
+        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id) AS r
+        |  FROM embeddings e, q QUALIFY r <= 20),
+        |u AS (SELECT doc_id, r FROM lex UNION ALL SELECT doc_id, r FROM den)
+        |SELECT doc_id, round(score, 6) AS score FROM (
+        |  SELECT doc_id, sum(1.0 / (60.0 + r)) AS score FROM u GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 10) f
+        |ORDER BY score DESC, doc_id""".stripMargin,
 
     // String 5-grams in SQL vs FNV-hashed grams in Spark: identical counts
     // up to 2^-64 hash collisions (dedup_ngram_jaccard convention).

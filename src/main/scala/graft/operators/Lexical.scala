@@ -92,6 +92,30 @@ object Lexical {
       .orderBy(col(scoreCol).desc +: tieBreak: _*)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of already-ranked
+    * retrieval lists — the standard way to combine this BM25 tier with the
+    * dense `semSearch` tier into hybrid search. Each input frame is
+    * `(idCol, scoreCol)`; fused score = Σ_lists 1/(k + rank).
+    *
+    * Inputs are top-k lists (bounded — a global rank window over ≤ a few
+    * hundred rows, not a corpus-wide sort), so the single-partition window
+    * is safe by construction; the corpus-scale work happened inside the
+    * retrievers.
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
+      k: Int = 60, topK: Int = 10, fusedCol: String = "rrf"): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: no input lists")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = lists.map(df =>
+      df.select(col(idCol), row_number().over(w).as("__r")))
+    ranked.reduce(_ unionAll _)
+      .groupBy(col(idCol))
+      .agg(sum(lit(1.0) / (lit(k.toDouble) + col("__r"))).as(fusedCol))
+      .orderBy(col(fusedCol).desc, col(idCol))
+      .limit(topK)
+  }
 }
 
 /** Durable inverted index for BM25: postings parquet partitioned by a term

@@ -110,6 +110,29 @@ class LexicalSpec extends SparkSpec {
     assert(spurious <= 5, s"too many bloom false positives: $spurious")
   }
 
+  test("bloom contamination scan plan has no shuffle") {
+    val corpus = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
+    val eval = corpus
+    val flagged = Decontaminate.flagContaminatedBloom(corpus, "doc_id", "text",
+      eval, "text", n = 5, expectedEvalGrams = 16)
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bloom decontamination must be a pure per-row scan:\n$plan")
+  }
+
+  test("rrf fusion rewards docs present in both lists") {
+    val lex = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("id", "score")
+    val den = Seq((2L, 0.9), (4L, 0.8), (1L, 0.7)).toDF("id", "score")
+    val fused = Lexical.rrfFuse(Seq(lex, den), "id", "score", k = 60, topK = 4)
+      .select(col("id"), col("rrf")).as[(Long, Double)].collect()
+    val order = fused.map(_._1).toSeq
+    // doc 1: rank 1 + rank 3 → 1/61 + 1/63; doc 2: rank 2 + rank 1 → 1/62 + 1/61.
+    assert(order.take(2) == Seq(2L, 1L), s"both-list docs first: $order")
+    val m = fused.toMap
+    assert(math.abs(m(2L) - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(m(4L) - 1.0 / 62) < 1e-12, "single-list doc keeps single term")
+  }
+
   test("pii redaction replaces all four classes in contract order") {
     val d = Seq((1L,
       "mail a.user+tag@sub.example.org call +1-555-867-5309 ssn 123-45-6789 ip 192.168.0.1 end"
