@@ -831,6 +831,18 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "boilerplate_windows" -> ((s, dir) => {
+      // Repeated-span boilerplate signal: per doc, distinct 8-word windows
+      // shared with other docs + the boilerplate fraction. Hashed windows
+      // in Spark vs string windows in the oracle (dedup_ngram_jaccard
+      // convention). Planted near-dups light up; unique docs stay 0.
+      Dedup.sharedWindowStats(read(s, dir, "documents"), "text", "doc_id",
+          window = 8, minDocs = 2)
+        .select(col("doc_id"), col("total_windows"), col("shared_windows"),
+          col("boiler_frac"))
+        .orderBy("doc_id")
+    }),
+
     "pii_redact" -> ((s, dir) => {
       // PII scrub: the corpus text carries no PII, so deterministic
       // synthetic PII (a function of doc_id) is injected identically in
@@ -1483,6 +1495,23 @@ object Queries {
         |  CAST(len(list_intersect(g.sh, ev.egrams)) AS BIGINT) AS contam_grams,
         |  len(list_intersect(g.sh, ev.egrams)) >= 1 AS contaminated
         |FROM g, ev ORDER BY g.doc_id""".stripMargin,
+
+    "boilerplate_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) <= 8 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 6), i -> array_to_string(list_slice(w, i, i + 7), ' ')) END) AS sh
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS gram FROM g),
+        |shared AS (SELECT gram FROM e GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |perdoc AS (SELECT e.doc_id, count(*) AS sw FROM e JOIN shared USING (gram) GROUP BY e.doc_id)
+        |SELECT g.doc_id, CAST(len(g.sh) AS BIGINT) AS total_windows,
+        |  CAST(coalesce(p.sw, 0) AS BIGINT) AS shared_windows,
+        |  round(coalesce(p.sw, 0) * 1.0 / len(g.sh), 4) AS boiler_frac
+        |FROM g LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY g.doc_id""".stripMargin,
 
     "pii_redact" ->
       """WITH inj AS (

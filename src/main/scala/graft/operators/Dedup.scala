@@ -202,6 +202,40 @@ object Dedup {
   /** Drop near-duplicates: keep the min-id representative per duplicate
     * cluster discovered by `pairs` (any of the *Pairs methods above).
     */
+  /** Repeated-span (boilerplate) statistics — the "remove spans repeated
+    * across documents" signal of published corpus pipelines (C4's
+    * three-sentence spans, CCNet/RefinedWeb paragraph dedup), at w-word
+    * window granularity: for each doc, how many of its distinct w-word
+    * windows also appear in ≥ `minDocs`−1 other docs, and what fraction of
+    * the doc that is. High fraction ⇒ templated/boilerplate text (or a
+    * near-dup the minhash path will also catch).
+    *
+    * Shape at scale: windows are hashed per-row (tight-loop FNV kernel, no
+    * strings), then one groupBy on the 8-byte hash finds cross-doc windows
+    * and one groupBy on the doc id counts them back — the same two-shuffle
+    * budget as the minhash band join, with only (hash, id) pairs ever
+    * shuffled.
+    */
+  def sharedWindowStats(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 8, minDocs: Int = 2): DataFrame = {
+    val hashes = array_distinct(graft.functions.MinHashExpr.shingleHashes(
+      split(lower(trim(col(textCol))), "\\s+"), window))
+    val grams = df.select(col(idCol), explode(hashes).as("__g"))
+    // Grams are distinct within a doc, so count(*) per gram == #docs.
+    val shared = grams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__g"))
+    val perDoc = grams.join(shared, Seq("__g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__shared"))
+    df.select(col(idCol), size(hashes).cast("long").as("total_windows"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("shared_windows", coalesce(col("__shared"), lit(0L)))
+      .withColumn("boiler_frac",
+        round(col("shared_windows").cast("double") / col("total_windows"), 4))
+      .drop("__shared")
+  }
+
   def dropDuplicatesByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val keep = keepAfterConnectedComponents(
       df.select(col(idCol).cast("long").as("id")), pairs)

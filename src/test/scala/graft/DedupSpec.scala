@@ -89,4 +89,24 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty, "gate corpus must contain planted near-dups")
     assert(lsh == exact, s"missed=${(exact -- lsh).size} spurious=${(lsh -- exact).size}")
   }
+
+  test("sharedWindowStats flags cross-doc repeated spans and leaves unique docs at 0") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "one two three four five six seven eight nine ten"),
+      (1L, "zz one two three four five six seven eight nine yy"), // shares 8-word windows with 0
+      (2L, "totally different words in this unique document body text"),
+      (3L, "short doc")
+    ).toDF("doc_id", "text")
+    val stats = Dedup.sharedWindowStats(docs, "text", "doc_id", window = 8)
+      .select(col("doc_id"), col("total_windows"), col("shared_windows"),
+        col("boiler_frac"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // doc 0: 3 windows (10 words), of which [1..8] and [2..9] appear in doc 1.
+    assert(stats(0) == ((0L, 3L, 2L, 0.6667)), s"doc0: ${stats(0)}")
+    // doc 1: 4 windows (11 words), shares the two interior ones.
+    assert(stats(1) == ((1L, 4L, 2L, 0.5)), s"doc1: ${stats(1)}")
+    assert(stats(2)._3 == 0L && stats(2)._4 == 0.0)
+    assert(stats(3) == ((3L, 1L, 0L, 0.0)), s"short doc is one whole-text window: ${stats(3)}")
+  }
 }
