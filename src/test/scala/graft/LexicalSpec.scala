@@ -69,6 +69,34 @@ class LexicalSpec extends SparkSpec {
       s"LexIndex.search pruning depends on this parity: $fromExpr vs $fromDriver")
   }
 
+  test("bm25 matches a naive in-memory reference on seeded random docs") {
+    val vocab = Vector("spark", "join", "window", "table", "scan", "row", "agg", "sort")
+    val rnd = new scala.util.Random(42)
+    val corpus = (0L until 40L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val qTerms = Seq("spark", "join")
+    // Naive reference: same formula, straight Scala doubles.
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    def tf(id: Long, t: String) = toks(id).count(_ == t).toDouble
+    val dfm = qTerms.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+    def score(id: Long) = qTerms.map { t =>
+      val f = tf(id, t); val df = dfm(t)
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * f * 2.2 /
+        (f + 1.2 * (1.0 - 0.75 + 0.75 * toks(id).size / avgdl))
+    }.sum
+    val expected = corpus.map(_._1).map(id => id -> score(id)).filter(_._2 > 0).toMap
+    val got = Lexical.bm25Search(corpus.toDF("doc_id", "text"), "text",
+        qTerms.mkString(" "), k = 40, tieBreak = Seq(col("doc_id")))
+      .select(col("doc_id"), col("bm25")).as[(Long, Double)].collect().toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - expected(id)) < 1e-9, s"doc $id: $s vs ${expected(id)}")
+    }
+  }
+
   test("decontamination: exact flags eval members and their near-dups only") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -100,6 +100,23 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("bm25 ad-hoc search: no explode, broadcast stats, TakeOrderedAndProject top-k") {
+    val p = planOf("bm25_search")
+    assert(!p.contains("Generate"), "bm25Search must not explode the corpus:\n" + p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the one-row stats frame must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("decontamination exact tier broadcasts the eval grams to the corpus scan") {
+    // The gram-membership join must be the explicit broadcast (eval sets are
+    // small by definition); the later corpus⋈hits re-join may legitimately
+    // shuffle — hit counts are unbounded — so only the gram join is pinned.
+    val p = planOf("decontaminate_ngram")
+    assert(p.contains("BroadcastHashJoin"), "eval grams must broadcast:\n" + p.take(2000))
+  }
+
   test("semAgg pack stage has no global window or single-partition exchange") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -47,6 +47,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, "spark streaming"), (3L, "more spark")))
   }
 
+  test("corpus hygiene runs on a stream: PII redaction + bloom decontamination per micro-batch") {
+    // Both ops are stateless per-row expressions (regex chain, bloom probe),
+    // so the same columns drop into a Structured Streaming pipeline
+    // unchanged — streaming ingest can scrub and screen before landing.
+    implicit val sqlCtx = spark.sqlContext
+    val evalSet = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val evalG = evalSet.select(explode(
+      graft.operators.Decontaminate.gramHashes(col("text"), 5)).as("__g")).distinct()
+    val bloom = evalG.stat.bloomFilter("__g", 16L, 1e-4)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("id", "text")
+    val scrubbed = docs
+      .withColumn("red", graft.functions.TextFunctions.redactPii(col("text")))
+      .withColumn("contam", graft.functions.BloomExpr.bloomContainsCount(
+        graft.operators.Decontaminate.gramHashes(col("text"), 5), bloom))
+    val q = scrubbed.writeStream.outputMode("append").format("memory")
+      .queryName("hygiene_out").start()
+    input.addData(
+      (1L, "mail bob@corp.io about alpha beta gamma delta epsilon zeta today"),
+      (2L, "clean text with none of the eval material inside it"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT id, red, contam FROM hygiene_out")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    q.stop()
+    assert(rows(0)._2.startsWith("mail <EMAIL> about"))
+    assert(rows(0)._3 >= 1L, s"streamed doc sharing eval 5-grams must flag: ${rows(0)}")
+    assert(rows(1)._3 == 0L)
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
