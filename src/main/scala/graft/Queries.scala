@@ -744,6 +744,38 @@ object Queries {
         .select(col("vec_id"), round(col("raw"), 3).as("score"))
     }),
 
+    "ann_ivfpq_search" -> ((s, dir) => {
+      // IVF-PQ: coarse cells + per-subspace product codes through the full
+      // durable lifecycle — build IVF → fit/encode PQ (m=8, ksub=16: the
+      // 64-dim float vector becomes 8 small codes, ~16× less index IO) →
+      // save cell-partitioned → load → probe and score on the
+      // reconstruction cosine. With nProbe = nCells the probe is
+      // exhaustive, so the result is exactly the quantized cosine top-k,
+      // which the oracle reproduces from the pinned codebooks in DuckDB
+      // list SQL; nProbe < nCells recall and the O(m) ADC lookup kernel
+      // are covered by PqSpec.
+      val path = java.nio.file.Files.createTempDirectory("graft_verify_pq").toString + "/idx"
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 5).select("embedding")
+        .head().getSeq[Float](0)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      val (indexed, ivf) = graft.embed.IvfIndex.build(withVec, "emb", nCells = 8)
+      // fitSampleFraction = 1.0 pins the codebooks to the full vector
+      // multiset — the same pure-function-of-testdata fit the oracle's
+      // literal codebooks were generated from (OracleConstants).
+      val pq = graft.embed.ProductQuantizer.fit(indexed, "emb", m = 8, ksub = 16,
+        fitSampleFraction = 1.0)
+      val quantized = graft.embed.ProductQuantizer.quantize(indexed, "emb", pq)
+      graft.embed.ProductQuantizer.save(quantized, pq, Some(ivf), "emb", "vec_id", path)
+      indexed.unpersist()
+      val (loaded, lpq, livf) = graft.embed.ProductQuantizer.load(s, path)
+      graft.embed.ProductQuantizer.search(loaded, "emb", lpq, qv, k = 12,
+          ivf = livf, nProbe = 8, adc = false, scoreCol = "raw",
+          tieBreak = Seq(col("vec_id")))
+        .orderBy(col("raw").desc, col("vec_id"))
+        .select(col("vec_id"), round(col("raw"), 3).as("score"))
+    }),
+
     "text_stats" -> ((s, dir) => {
       read(s, dir, "documents").select(
         col("doc_id"),
@@ -899,6 +931,14 @@ object Queries {
     */
   private val ClusterCentroidsK8: String = "(0, [-0.056813620030879974,0.03819161653518677,0.0018416448729112744,-0.052146390080451965,-0.013410937041044235,0.049596548080444336,0.03319627419114113,-0.04184707626700401,0.00750187411904335,-0.05552356690168381,-0.004954146221280098,0.0021967673674225807,-0.008615118451416492,-0.01251065731048584,0.019086863845586777,-0.03851834312081337,0.03262615203857422,1.7872343596536666E-4,0.04760567471385002,0.002729102037847042,0.021401332691311836,0.00868538673967123,-0.010907205753028393,-0.03622452914714813,0.09193336963653564,-0.009189728647470474,0.026300977915525436,-0.04093268886208534,-0.016749782487750053,-0.03807772323489189,-0.02376287803053856,0.03265012800693512,0.052494484931230545,0.006756688468158245,-0.031844474375247955,0.024867704138159752,-0.004709223750978708,-0.011070207692682743,0.03468562290072441,-0.058845873922109604,0.002645657164976001,0.01010737381875515,0.03220216929912567,-0.02386981062591076,0.0010960762156173587,0.026144525036215782,0.03224608302116394,-0.0342516228556633,-0.0036053392104804516,-0.02524886466562748,-0.07074539363384247,0.02158943936228752,-0.014372722245752811,-0.032207686454057693,0.01487947441637516,-0.015826016664505005,0.008706391789019108,-0.0046893698163330555,-0.043178439140319824,-0.05499875918030739,0.0052770571783185005,0.06581710278987885,0.024278700351715088,-0.011678745038807392]::DOUBLE[]),(1, [-0.015486831776797771,-0.0769592896103859,0.012322898022830486,0.021646950393915176,0.029982149600982666,0.010945281013846397,-0.03146031126379967,-0.035984769463539124,0.013492004945874214,0.08354797214269638,0.023011675104498863,-0.006713754031807184,-0.01018979400396347,-0.007596760988235474,0.010721307247877121,-0.03792310878634453,0.08713188767433167,-0.03935479000210762,-0.023093704134225845,0.011835642158985138,0.011727501638233662,-0.025774624198675156,0.0014982126886025071,0.005484049208462238,-0.025258449837565422,0.030784131959080696,-0.005292391404509544,0.039919864386320114,-0.039286866784095764,0.019548611715435982,0.015386599116027355,-0.02278565801680088,0.0014586722245439887,-0.011286529712378979,0.06764265149831772,-0.05322257801890373,-0.007932247593998909,-0.007922199554741383,0.001962555106729269,0.030993420630693436,-0.017888851463794708,0.05295548960566521,0.0025786019396036863,0.02657635323703289,0.008944157510995865,-0.0017589039634913206,-0.00928523950278759,-0.007206357549875975,-0.003091343678534031,-0.024693621322512627,0.02746652439236641,-0.00771917263045907,0.028050953522324562,-1.2724775297101587E-4,-0.0012932001845911145,0.014322592876851559,-0.009869824163615704,0.034092966467142105,0.0707075297832489,-0.010063710622489452,0.018510987982153893,0.011500388383865356,-0.009353416971862316,-0.045505136251449585]::DOUBLE[]),(2, [-0.003860869212076068,0.0383075587451458,0.033509209752082825,0.023584572598338127,0.02142561785876751,0.028039779514074326,-0.020379675552248955,0.018397051841020584,-0.0034681069664657116,0.003790812101215124,-0.040434323251247406,0.07035049051046371,-0.0023300449829548597,0.04415993392467499,0.033771712332963943,0.04692336544394493,0.010976172983646393,0.00376605405472219,-0.010538932867348194,-0.011699586175382137,-0.01650456339120865,-0.04581817612051964,0.0064736949279904366,0.008757178671658039,0.012973284348845482,-0.005474440287798643,-0.026005033403635025,0.001536038238555193,0.009472454898059368,-0.008199669420719147,0.003229680936783552,-0.019380660727620125,-0.03164571896195412,-0.060960616916418076,-0.08560289442539215,-0.0043588969856500626,0.011506181210279465,0.051310569047927856,-0.06996437162160873,0.009373809210956097,0.011210495606064796,-0.023437177762389183,0.015635613352060318,0.02899758704006672,-0.049394551664590836,-0.030867133289575577,0.004708200227469206,-0.004025307483971119,1.2102143227821216E-4,-0.06097322702407837,0.06338287889957428,0.04063243046402931,0.004104710184037685,-0.008123353123664856,0.010447623208165169,0.04751494526863098,0.022362031042575836,0.048291053622961044,-0.01909748464822769,0.022159194573760033,0.05048919469118118,-0.07963576912879944,0.02773025445640087,0.047369182109832764]::DOUBLE[]),(3, [0.018572568893432617,0.0038703689351677895,0.06757928431034088,0.01796780154109001,-0.04564673826098442,-0.031255125999450684,0.004376361146569252,0.07677580416202545,-0.018204692751169205,0.09553656727075577,0.004013504832983017,0.033062927424907684,0.04222937673330307,-1.5756351058371365E-4,-0.011097174137830734,-0.016836926341056824,0.011956008151173592,0.015347383916378021,-0.053003665059804916,0.02258230932056904,-0.06940995156764984,-0.005343738943338394,0.018330788239836693,-0.029935721307992935,-0.024155154824256897,-0.010722784325480461,0.001528887078166008,0.012838516384363174,0.05321429669857025,0.011724274605512619,0.007894910871982574,1.9071267161052674E-4,-0.00489740539342165,-0.02008648030459881,0.013885372318327427,0.04281129315495491,-0.09079709649085999,-0.040762607008218765,0.07216423004865646,0.0027322047390043736,-2.0833764574490488E-4,-0.016087636351585388,-0.016427118331193924,0.003910453990101814,-0.04896293208003044,-0.05147368460893631,-0.04473307356238365,0.086729496717453,-0.04717409238219261,0.009683752432465553,0.011672217398881912,0.01827320270240307,-0.001028559636324644,-0.010934860445559025,0.06132015585899353,0.04104776307940483,-0.04826973378658295,-0.038538239896297455,-0.07948651164770126,-0.04552499204874039,-0.039850860834121704,0.04869589954614639,0.0033845221623778343,-0.017527002841234207]::DOUBLE[]),(4, [0.033983487635850906,-0.009829339571297169,-0.04239910468459129,0.0038325865752995014,-0.02757366932928562,-0.012495165690779686,0.0013518155319616199,0.04940713569521904,-0.05481939762830734,0.017738811671733856,0.0369395837187767,0.038270119577646255,-0.010390523821115494,0.04441721737384796,0.0020139908883720636,0.01825578138232231,-0.04458646476268768,-0.031154317781329155,0.0068979631178081036,-0.03038334660232067,-0.011128688231110573,0.05092620477080345,-0.05763280764222145,0.03580484166741371,0.02012667804956436,0.06097184494137764,-1.769120863173157E-4,0.04326418787240982,-0.001306510646827519,0.07301736623048782,0.03851395100355148,0.03860406577587128,0.03350839763879776,0.031965188682079315,-0.021053535863757133,0.029449064284563065,0.021557027474045753,-0.058766067028045654,0.01917100138962269,-0.052908755838871,-0.004359672777354717,-0.039985477924346924,-0.07181897014379501,7.120428199414164E-5,0.020682143047451973,0.010800772346556187,0.014650014229118824,0.01967839151620865,-0.010916611179709435,-0.037366271018981934,0.06282047927379608,-0.019885394722223282,0.0028837467543780804,0.025179006159305573,-0.048242583870887756,0.007072769105434418,0.013138272799551487,-0.03917429596185684,-0.01497625932097435,0.009067212231457233,0.026015600189566612,-0.007065202109515667,-0.044726207852363586,-0.04685280844569206]::DOUBLE[]),(5, [-0.0025973671581596136,-0.011309086345136166,0.014698675833642483,-0.04065698757767677,-0.008923282846808434,0.03425266966223717,-0.046430204063653946,0.05862041190266609,-0.006369896233081818,-0.04907930642366409,0.05931975692510605,-0.044179175049066544,-4.747985803987831E-4,-0.07722937315702438,-0.026767520233988762,-0.0063268342055380344,-0.04085570573806763,0.06533865630626678,0.03940247371792793,-0.017803436145186424,0.0065997145138680935,-0.030405940487980843,0.009718204848468304,-0.03630140423774719,-0.022338973358273506,0.02852547913789749,0.008263050578534603,0.04899889603257179,-0.030876507982611656,0.04495817422866821,-0.04536544904112816,-0.02680351212620735,0.03770831599831581,0.038031429052352905,0.04170982912182808,-0.013258107006549835,-0.004035215824842453,0.046638425439596176,0.005207214970141649,0.015895625576376915,-0.05637950822710991,-0.08031780272722244,0.02809651382267475,0.04513523727655411,-0.051631927490234375,0.049388252198696136,-0.02399987168610096,-0.0075065819546580315,-0.031182022765278816,0.03006814979016781,0.03725387156009674,0.03380031883716583,-0.038686543703079224,7.758010178804398E-4,0.03906678780913353,-0.029277021065354347,0.02730175293982029,0.009579605422914028,-0.001522089820355177,-0.003559252480044961,0.026268795132637024,-0.011751562356948853,-0.02719302475452423,0.006800349801778793]::DOUBLE[]),(6, [0.04789092764258385,-0.01960819400846958,-0.01808803342282772,7.686030003242195E-4,0.05196663737297058,-0.03453933447599411,-0.026096900925040245,-0.03395134210586548,-0.006728684064000845,-0.05342470109462738,0.006108762696385384,-0.009398645721375942,-0.010754962451756,0.03569396957755089,-0.03259093314409256,0.05890195816755295,-0.041039180010557175,0.07484040409326553,-0.008107241243124008,0.010450116358697414,-0.012521052733063698,0.029765238985419273,0.04056137055158615,-0.034354597330093384,-0.05501296743750572,-0.007465914823114872,-0.006652886513620615,-0.0421343632042408,0.014658008702099323,-0.04451058804988861,0.051871027797460556,-0.016758672893047333,-0.03169437125325203,-0.02464812807738781,0.002954543102532625,-0.001391618512570858,-0.0028455452993512154,-0.030927244573831558,-0.042685333639383316,0.022324632853269577,0.06823846697807312,-0.003791600465774536,0.04533291980624199,-0.011679055169224739,0.016815729439258575,0.03751835599541664,0.04091019183397293,-0.006092383526265621,0.03666903078556061,0.023769322782754898,-0.05665387213230133,0.002504310803487897,0.07145416736602783,0.01574162393808365,-0.010938179679214954,-0.012677619233727455,7.394266431219876E-4,-0.030957689508795738,0.02803611569106579,0.001947181997820735,-0.04897080734372139,0.006318665575236082,-0.0016152148600667715,-0.015877509489655495]::DOUBLE[]),(7, [-0.004175766836851835,0.021626712754368782,-0.0201752707362175,-0.010095085017383099,0.058027829974889755,0.010707372799515724,-0.05547129362821579,0.008602937683463097,0.05331238731741905,-0.029386142268776894,-0.04932280629873276,-0.05053270608186722,-0.006078961305320263,-0.011422612704336643,0.004721880424767733,0.020267771556973457,0.010838395915925503,-0.050180744379758835,-0.019131498411297798,0.03251325711607933,0.022065848112106323,0.03998439386487007,0.03238911181688309,0.02097362093627453,-0.010955958627164364,0.0026849706191569567,-0.011145989410579205,0.020663851872086525,0.027657387778162956,-0.0660700872540474,-0.009494790807366371,-0.031034350395202637,0.007722716778516769,-0.022008035331964493,0.050311051309108734,0.005425630137324333,0.011617397889494896,0.03797408193349838,-0.006437161937355995,0.01915557123720646,-0.020927753299474716,8.00411042291671E-4,-0.04826152324676514,-0.09079447388648987,-0.005541597492992878,-0.03741609305143356,-0.03989358991384506,0.029748912900686264,0.017336376011371613,0.007285870611667633,1.6854610294103622E-4,-0.11123376339673996,-0.0012137828161939979,-0.032229602336883545,-0.010427097789943218,-0.07866741716861725,0.011046605184674263,-0.01069730892777443,-0.018052654340863228,3.2347755040973425E-4,-0.059453025460243225,0.019880367442965508,0.029427003115415573,-0.018065961077809334]::DOUBLE[])"
   private val PartitionCentroidsK5: String = "(0, [0.03138384222984314,0.010149221867322922,-0.013528099283576012,-0.004126876126974821,-0.02792700193822384,0.0384419709444046,-0.028077924624085426,-0.04755480960011482,-0.002912450348958373,-0.015319614671170712,-0.0276701170951128,0.07840980589389801,0.017655573785305023,0.003989585675299168,-0.027239643037319183,0.020427502691745758,-0.01733313873410225,0.03455064073204994,0.056065741926431656,-0.020129090175032616,-0.03619538992643356,0.05648398399353027,-0.04956260323524475,-0.012366115115582943,0.04225565120577812,0.002169735496863723,0.03034757263958454,-0.013173999264836311,-0.0048497142270207405,0.04147496819496155,0.0021101171150803566,-0.01997285895049572,-0.01609046757221222,-0.0023305644281208515,-0.0210430845618248,0.004126362502574921,-0.019502835348248482,-0.05756991729140282,-0.0077813356183469296,-0.0452754907310009,0.006282101850956678,-0.01639280468225479,0.018035631626844406,-0.03029579296708107,0.012237590737640858,0.02145306020975113,-0.02326335571706295,0.02449991926550865,-0.002840386237949133,-0.024899248033761978,-0.020082686096429825,-0.04699070379137993,-0.0022891066037118435,0.01860298402607441,-0.010833317413926125,0.015654075890779495,0.024251101538538933,0.011700375936925411,0.010983350686728954,0.007175210397690535,-0.0032178775873035192,0.06264819949865341,-0.009565615095198154,-0.032320618629455566]::DOUBLE[]),(1, [-0.04486565664410591,-0.02436930686235428,0.0697861760854721,0.016819434240460396,-0.02052932046353817,-0.04432806000113487,0.030020030215382576,0.031767550855875015,0.006976161617785692,0.07146608829498291,0.0017328565008938313,0.0064125144854187965,0.007378096226602793,-0.02549990639090538,0.026612060144543648,-0.015194211155176163,0.049896687269210815,-0.022024864330887794,-0.001315355533733964,0.025533277541399002,-0.006189839448779821,-0.021248022094368935,0.005697277374565601,-0.002590279094874859,0.009110906161367893,0.017376365140080452,0.002178168622776866,0.027187373489141464,-0.011865070089697838,0.002180744893848896,0.021522503346204758,-0.006008809898048639,0.037094537168741226,-0.01651606895029545,0.005376349203288555,-0.022905662655830383,0.018410898745059967,-0.051397714763879776,-0.04843998700380325,0.014185618609189987,0.05260059982538223,-0.002575513208284974,-0.009652134031057358,0.04257642850279808,-0.038482386618852615,-0.01917203515768051,-0.005185076501220465,0.010879742912948132,-0.08040133863687515,-0.003543413942679763,0.02018367126584053,0.07049098610877991,0.036841847002506256,-0.002617663936689496,0.05004781484603882,0.02585907280445099,0.002723332494497299,0.017360270023345947,-0.024997733533382416,-0.0033161835744976997,-0.0024529555812478065,-0.021767346188426018,-0.013734114356338978,-0.02330300770699978]::DOUBLE[]),(2, [0.07852060347795486,0.005075829569250345,-0.013023880310356617,-0.03676403686404228,0.048007626086473465,0.007669585291296244,-0.05123500898480415,0.019197190180420876,0.037040457129478455,0.00634838966652751,-2.940633276011795E-4,-0.04147154092788696,0.033078402280807495,-0.052650660276412964,0.05226143077015877,0.01284121721982956,-0.036870792508125305,0.0038296987768262625,-0.025871185585856438,0.02260715700685978,0.03061281330883503,-0.025463789701461792,0.0060849557630717754,-0.007140466012060642,-0.0033345152623951435,0.03721974417567253,-0.013460194692015648,0.012725058011710644,-0.03375448286533356,0.01227736659348011,-0.03180263936519623,0.019797969609498978,0.016752395778894424,-0.005737395491451025,0.035175006836652756,-0.0238475538790226,-0.01855553314089775,0.04750145599246025,0.025957372039556503,-0.0385606475174427,-0.03227308765053749,-0.05496785417199135,0.01425125915557146,-0.005747783463448286,-0.0034472953993827105,0.016395611688494682,-0.005579482298344374,-0.020527850836515427,0.04617297649383545,0.01904323883354664,0.01765238121151924,-2.268559910589829E-5,-0.04157624766230583,-0.0028139471542090178,-0.010785152204334736,-3.234456817153841E-4,0.04974057152867317,0.015472479164600372,-0.003564790589734912,-0.049367088824510574,0.03831237927079201,-0.006631575990468264,0.0017955801449716091,-0.05252843722701073]::DOUBLE[]),(3, [-0.016107145696878433,-8.178418502211571E-4,-0.009530381299555302,0.01553407870233059,0.04102048650383949,0.018458275124430656,-0.014620369300246239,0.0644562840461731,-0.027403129264712334,0.006305772811174393,-0.0026909857988357544,0.04196862131357193,-7.074709283187985E-4,0.09053231030702591,-0.02353222854435444,0.033316757529973984,-0.010751434601843357,-0.04744548350572586,-0.034872304648160934,-0.0431419312953949,-0.019470777362585068,-0.0013528106501325965,0.027299195528030396,-0.01919681765139103,-0.03116328828036785,0.036008600145578384,-0.04034966230392456,0.0035826137755066156,0.01894536055624485,-0.06698745489120483,0.048958346247673035,0.00523859029635787,0.005771765485405922,0.015112306922674179,-0.0197500791400671,0.04420191049575806,0.006686989217996597,0.03470776602625847,0.018735099583864212,-0.003098636632785201,-0.023207422345876694,-0.014202657155692577,-0.036333583295345306,0.012810434214770794,-0.03543943911790848,-0.02957467921078205,0.020854445174336433,0.018769804388284683,0.004000836052000523,-0.03187674656510353,0.045041583478450775,-0.009136256761848927,-0.004565099254250526,0.02754623256623745,-0.01135203242301941,-0.049406085163354874,-0.026012539863586426,-0.029895717278122902,-0.010020431131124496,-0.02240266092121601,-0.007378575392067432,-0.0036533649545162916,-0.01431314181536436,0.03564576059579849]::DOUBLE[]),(4, [-0.028910651803016663,-0.011256253346800804,-0.013972694054245949,-0.01689082384109497,0.011655900627374649,0.017998971045017242,-0.029012005776166916,-0.0190084520727396,-0.021012794226408005,-0.0656287670135498,0.05578208714723587,-0.06521373242139816,-0.06227177008986473,-0.009425072930753231,-0.023179752752184868,-0.018906833603978157,0.0262447576969862,0.055846329778432846,0.0019978766795247793,0.021005911752581596,0.012967496179044247,0.0014855930348858237,0.02872813679277897,2.9894415638409555E-4,-0.02400806173682213,-0.023609591647982597,0.011491241864860058,0.021740231662988663,0.021108869463205338,0.01321389153599739,-0.014025532640516758,-0.024435054510831833,-6.169198895804584E-4,-0.022373829036951065,0.02626010775566101,0.002242475748062134,-0.014124447479844093,0.02019619010388851,0.007976255379617214,0.05826297402381897,-0.013433280400931835,0.022391650825738907,0.015217317268252373,-0.021029219031333923,0.006766342557966709,0.028979165479540825,0.008719426579773426,-0.0051076654344797134,0.016500039026141167,-0.008047142997384071,-0.01348423957824707,-0.02038809284567833,0.04320168122649193,-0.05536193400621414,0.0050462898798286915,-0.008751751855015755,-0.020744381472468376,-0.023517822846770287,0.0029373210854828358,0.01874055340886116,-0.021684393286705017,-0.005026637110859156,0.027587126940488815,0.0015134953428059816]::DOUBLE[])"
+
+  /** PQ codebooks (m=8 subspaces x ksub=16 codes over dim 64) fitted at
+    * sf0.01 as DuckDB VALUES rows `(sub, code, centroid)` — a pure function
+    * of the embedding multiset (sorted-sample seeded fit, seed 42+sub).
+    * Regenerate with `runMain graft.tools.OracleConstants` if the testdata
+    * ever changes.
+    */
+  private val PqCodebooksM8K16: String = "(0, 0, [-0.1005033329129219,-0.047960925847291946,-0.14786396920681,-0.07483185827732086,-0.005980160087347031,0.10288123041391373,0.04169303923845291,0.07255616784095764]::DOUBLE[]),(0, 1, [-0.13025550544261932,-0.050390876829624176,0.061867982149124146,-0.062135759741067886,0.10304860770702362,-0.03688093647360802,-0.12880611419677734,0.03677062690258026]::DOUBLE[]),(0, 2, [0.04909701645374298,-0.004884135909378529,-0.002476299414411187,-0.14222466945648193,-0.13221336901187897,-0.07743377983570099,-0.022102277725934982,0.06267354637384415]::DOUBLE[]),(0, 3, [0.022518210113048553,-0.05613831430673599,0.008527595549821854,0.085136778652668,0.04780787602066994,0.1392262727022171,-0.20875047147274017,-0.05584999546408653]::DOUBLE[]),(0, 4, [0.10018142312765121,-0.017853092402219772,-0.1396171748638153,0.11173945665359497,0.03085552714765072,0.08947551250457764,0.04099947586655617,-0.1415473371744156]::DOUBLE[]),(0, 5, [0.16239748895168304,-0.06902363896369934,0.03269824758172035,-0.07459326833486557,0.0807109922170639,0.04786352813243866,0.013215635903179646,0.09501957893371582]::DOUBLE[]),(0, 6, [0.0180288664996624,-0.018025096505880356,-0.04145306721329689,0.025234060361981392,0.14573755860328674,-0.16939128935337067,-0.0630209669470787,0.08756524324417114]::DOUBLE[]),(0, 7, [0.06339702755212784,0.1457829624414444,-0.13749535381793976,-0.022033827379345894,0.007296515628695488,0.06912656128406525,-0.04517717286944389,0.13107632100582123]::DOUBLE[]),(0, 8, [0.04354044049978256,-0.06757302582263947,0.013689078390598297,-0.06300946325063705,0.007504337001591921,-0.04149054363369942,-0.020952530205249786,-0.19034487009048462]::DOUBLE[]),(0, 9, [-0.10049081593751907,-0.044033389538526535,0.05246347934007645,0.14935874938964844,-0.03209049254655838,0.05455779656767845,0.07296909391880035,0.03431606665253639]::DOUBLE[]),(0, 10, [-0.032947786152362823,0.08952178061008453,0.1259741187095642,-0.056618813425302505,-0.08999821543693542,0.1300555169582367,-0.016889529302716255,-0.016919491812586784]::DOUBLE[]),(0, 11, [-0.037492215633392334,0.009179123677313328,-0.07415230572223663,0.09436513483524323,-0.19719581305980682,-0.07993236184120178,-0.019595962017774582,-0.03133249282836914]::DOUBLE[]),(0, 12, [0.03201860561966896,0.15753242373466492,0.07508594542741776,0.08439338952302933,0.06703566014766693,-0.030598318204283714,-0.06306187808513641,-0.055714454501867294]::DOUBLE[]),(0, 13, [0.12787844240665436,-0.06349875032901764,0.04210349917411804,0.0716879814863205,-0.03491315618157387,-0.0446140356361866,-0.09850592911243439,0.09631381928920746]::DOUBLE[]),(0, 14, [-0.10698635131120682,-0.013816209509968758,-0.01627844199538231,-0.0818740576505661,0.1558389663696289,0.0775812417268753,0.10947062075138092,-0.09219451993703842]::DOUBLE[]),(0, 15, [-0.04421093687415123,0.012297234497964382,0.11019334942102432,-0.0015756352804601192,-0.031503673642873764,-0.14380232989788055,0.1816059648990631,0.03557669743895531]::DOUBLE[]),(1, 0, [-0.07365026324987411,-0.11392726004123688,-0.019233189523220062,-0.02318180911242962,-0.05965454876422882,0.002907892456278205,-0.06314602494239807,-0.20100969076156616]::DOUBLE[]),(1, 1, [-0.029522081837058067,0.23573431372642517,-0.04933376610279083,-0.05414861813187599,0.03828834369778633,-0.02455854043364525,0.12838424742221832,0.01360784750431776]::DOUBLE[]),(1, 2, [0.00264020380564034,0.15481869876384735,0.03845134377479553,-0.0019532733131200075,-0.19233329594135284,0.007068140432238579,-0.06492442637681961,-0.08178013563156128]::DOUBLE[]),(1, 3, [-0.08994331955909729,0.04172540083527565,0.07020147889852524,-0.06842406839132309,0.06545209884643555,-0.13538357615470886,0.019335003569722176,-0.07789622992277145]::DOUBLE[]),(1, 4, [0.05777014419436455,-0.10230046510696411,0.049950700253248215,-0.1125384047627449,0.03837412968277931,-0.09705688059329987,-0.10852587968111038,0.10637598484754562]::DOUBLE[]),(1, 5, [-2.000688255066052E-4,-0.05516153573989868,0.18268343806266785,-0.050829097628593445,0.048176247626543045,0.02109137922525406,0.033521924167871475,0.1407635658979416]::DOUBLE[]),(1, 6, [0.08576174825429916,0.029149172827601433,-0.15821008384227753,0.132441446185112,-0.06538667529821396,0.06287948042154312,-0.03406504914164543,0.055628299713134766]::DOUBLE[]),(1, 7, [-0.015460646711289883,0.046490106731653214,0.15512718260288239,0.05606800317764282,-0.059739671647548676,0.014597994275391102,0.10722622275352478,-0.073982372879982]::DOUBLE[]),(1, 8, [-0.0980461984872818,-0.13341782987117767,-0.08126004040241241,0.028440916910767555,0.01686406321823597,0.03968147560954094,-0.003307688981294632,0.13458655774593353]::DOUBLE[]),(1, 9, [-0.09350061416625977,-0.04399469122290611,-0.027448931708931923,-0.17798970639705658,-0.1280539631843567,0.0705743208527565,-0.009412059560418129,0.04368814080953598]::DOUBLE[]),(1, 10, [0.09142603725194931,0.11623003333806992,0.006959219463169575,-0.09271799027919769,0.09863430261611938,0.10076628625392914,-0.06861063092947006,0.0434398278594017]::DOUBLE[]),(1, 11, [0.08705265820026398,-0.00830343272536993,-0.026504572480916977,0.06377503275871277,0.07907602936029434,-0.0180865116417408,0.1812593638896942,0.0555240735411644]::DOUBLE[]),(1, 12, [-0.03605068847537041,-0.10305944085121155,-0.026792574673891068,0.050532057881355286,0.06081794947385788,0.22636054456233978,0.03219776228070259,-0.029945136979222298]::DOUBLE[]),(1, 13, [0.1344606578350067,-0.07055740803480148,-0.052155014127492905,-0.024154668673872948,-0.08245457708835602,-0.11529646813869476,0.029403679072856903,-0.06119395047426224]::DOUBLE[]),(1, 14, [3.3388540032319725E-5,-0.013825484551489353,0.07075776159763336,0.1766667515039444,-0.07279747724533081,-0.019654635339975357,-0.1598992496728897,0.04403363913297653]::DOUBLE[]),(1, 15, [-0.09559644758701324,0.1384221762418747,-0.07825207710266113,0.15736247599124908,0.07714413106441498,-0.032919351011514664,-0.026433341205120087,0.016044171527028084]::DOUBLE[]),(2, 0, [-0.1321362555027008,-0.03290247544646263,0.07259528338909149,-0.06324554979801178,0.04163391888141632,0.14197158813476562,0.03944132849574089,-0.040797941386699677]::DOUBLE[]),(2, 1, [0.22979436814785004,-0.20158779621124268,0.17523609101772308,-0.30534887313842773,-0.0044603655114769936,0.1634998470544815,0.010562696494162083,-0.13122759759426117]::DOUBLE[]),(2, 2, [0.027750182896852493,0.01522463746368885,0.0192062146961689,0.013747185468673706,0.15482236444950104,0.04881059005856514,-0.11654512584209442,0.10020167380571365]::DOUBLE[]),(2, 3, [-0.13586542010307312,-0.209495410323143,-0.07571908086538315,-0.05474504083395004,0.022973382845520973,0.00933841336518526,-0.090603768825531,-1.0058504267362878E-4]::DOUBLE[]),(2, 4, [-0.0773301050066948,-0.05132440850138664,-0.03209373354911804,0.11368284374475479,-0.04246342182159424,-0.13978993892669678,0.03677967190742493,-0.008953778073191643]::DOUBLE[]),(2, 5, [0.03598777949810028,-0.053374070674180984,-0.18188491463661194,0.05760521814227104,0.09235253930091858,0.050814349204301834,0.026147589087486267,-0.054133642464876175]::DOUBLE[]),(2, 6, [-0.002329186536371708,-0.1067853718996048,-0.09793830662965775,0.030843930318951607,-0.03984164446592331,0.0378529317677021,0.1152249276638031,0.12592369318008423]::DOUBLE[]),(2, 7, [-0.09035313129425049,0.1596570760011673,0.09522801637649536,0.035651788115501404,-0.1824747622013092,0.04428553953766823,-0.0078002288937568665,-0.1327991783618927]::DOUBLE[]),(2, 8, [-0.0047897715121507645,0.06663745641708374,0.057692255824804306,0.15308618545532227,0.048222050070762634,0.07705434411764145,0.09744526445865631,0.003091377904638648]::DOUBLE[]),(2, 9, [0.19348978996276855,-0.001063444186002016,-1.8303289834875613E-4,-0.05606292560696602,0.025429852306842804,-0.08684131503105164,0.05488435924053192,0.0565917007625103]::DOUBLE[]),(2, 10, [-0.06731036305427551,0.12690769135951996,-0.11082689464092255,0.02831316739320755,-0.04048370569944382,-0.007650670595467091,-0.09598197042942047,-0.038195911794900894]::DOUBLE[]),(2, 11, [-0.043476756662130356,0.20001381635665894,0.0018285377882421017,-0.11463537812232971,0.04142284020781517,-0.06892111152410507,0.057917769998311996,-0.04098409041762352]::DOUBLE[]),(2, 12, [0.0702306255698204,0.05885796993970871,0.05286531150341034,-0.04557620361447334,0.0368698313832283,0.005812949035316706,0.0781140998005867,-0.2321656048297882]::DOUBLE[]),(2, 13, [0.00868282001465559,-0.026736494153738022,0.17268633842468262,0.03570311889052391,0.013708381913602352,-0.06343609094619751,-0.0966276079416275,0.015616865828633308]::DOUBLE[]),(2, 14, [0.05108815059065819,0.07815206795930862,0.043471235781908035,-0.07628672569990158,-0.12626102566719055,0.10483431816101074,0.025319967418909073,0.1454165130853653]::DOUBLE[]),(2, 15, [0.1038091853260994,-0.07867050915956497,-0.047672443091869354,-0.049274660646915436,-0.1294623613357544,-0.01489671878516674,-0.04726390913128853,-0.06884663552045822]::DOUBLE[]),(3, 0, [-0.15383107960224152,-0.007311301305890083,-0.1292523443698883,0.048552002757787704,-0.019345611333847046,0.008936591446399689,-0.1449737250804901,0.1431605964899063]::DOUBLE[]),(3, 1, [0.1345101296901703,0.05894798785448074,-0.050811540335416794,0.06241559237241745,0.11452087759971619,0.0754345953464508,0.034696806222200394,-0.1014779806137085]::DOUBLE[]),(3, 2, [-0.03435348719358444,0.14142653346061707,-0.04364558681845665,0.0070760417729616165,-0.02580379508435726,-0.15076705813407898,0.12880998849868774,-0.0470779612660408]::DOUBLE[]),(3, 3, [-0.15952247381210327,0.07134854793548584,0.08873656392097473,0.09246115386486053,-0.12825530767440796,0.15149037539958954,0.0062082805670797825,-0.06196720898151398]::DOUBLE[]),(3, 4, [-0.05301110818982124,-0.06342020630836487,0.024474509060382843,-0.1301206648349762,-0.12668894231319427,-0.027134308591485023,-0.0811946764588356,0.02699604630470276]::DOUBLE[]),(3, 5, [-0.006082229781895876,-0.06261918693780899,0.14258262515068054,-0.07724839448928833,0.04852697625756264,0.006953603588044643,0.06334320455789566,-0.17246000468730927]::DOUBLE[]),(3, 6, [0.046923279762268066,-0.15935170650482178,0.024083212018013,0.04740364849567413,-0.10173984616994858,-0.07151475548744202,0.11420439928770065,-0.044955845922231674]::DOUBLE[]),(3, 7, [-0.15817375481128693,-0.009023329243063927,-0.06072197109460831,-0.13499309122562408,0.11893759667873383,-0.021083422005176544,-0.03955760598182678,-0.11085465550422668]::DOUBLE[]),(3, 8, [7.369968807324767E-5,-0.04433352127671242,-0.09702625870704651,0.14264823496341705,-0.07709047943353653,-0.049195464700460434,-0.051710888743400574,-0.1348390132188797]::DOUBLE[]),(3, 9, [0.11869567632675171,0.18864819407463074,0.08374837785959244,-0.012383411638438702,-0.06098981201648712,0.023121878504753113,0.03075559064745903,0.042672183364629745]::DOUBLE[]),(3, 10, [-0.11213475465774536,-0.06893890351057053,-0.0038031486328691244,0.05957726016640663,0.09780906140804291,0.05193156376481056,0.12914897501468658,0.011476578190922737]::DOUBLE[]),(3, 11, [0.0020040483213961124,0.0196541715413332,0.0361676849424839,0.0054594106040894985,0.09112943708896637,-0.1844150573015213,-0.08996053040027618,0.0010320412693545222]::DOUBLE[]),(3, 12, [0.10471168160438538,-0.06258412450551987,0.09766290336847305,0.01527285948395729,0.06780166923999786,0.11260416358709335,-0.059133876115083694,0.06649437546730042]::DOUBLE[]),(3, 13, [0.022099683061242104,0.11523527652025223,-0.11950350552797318,-0.03670288622379303,-0.03798636049032211,0.06597957015037537,-0.08888841420412064,0.00430014543235302]::DOUBLE[]),(3, 14, [0.02492341957986355,0.07158888876438141,0.11650779843330383,0.08769774436950684,0.015724513679742813,-0.04110182821750641,-0.06320555508136749,0.17681939899921417]::DOUBLE[]),(3, 15, [0.052310146391391754,-0.04776105284690857,-0.11375465989112854,-0.03282063454389572,-0.031457528471946716,0.05483391508460045,0.11306159943342209,0.0926942229270935]::DOUBLE[]),(4, 0, [0.08295311778783798,-0.018051736056804657,0.0010079010389745235,0.09832373261451721,0.11716759204864502,0.020516028627753258,0.0993461161851883,0.08584104478359222]::DOUBLE[]),(4, 1, [-0.018401363864541054,-0.18069739639759064,-0.0911831185221672,-0.01851881854236126,-0.026559531688690186,-0.0487162247300148,-0.050220977514982224,-0.06820373982191086]::DOUBLE[]),(4, 2, [-0.1584610790014267,-0.04599687084555626,0.013643949292600155,0.04371979832649231,0.0928163155913353,0.06677497178316116,0.078530453145504,-0.022334322333335876]::DOUBLE[]),(4, 3, [-0.024004530161619186,-0.07896766066551208,0.07274076342582703,0.05785728618502617,-0.21595355868339539,-0.005436539184302092,0.08726377785205841,-0.039453595876693726]::DOUBLE[]),(4, 4, [0.09276876598596573,0.06109483912587166,0.0631750300526619,0.04343600571155548,0.01676650159060955,0.059445347636938095,-0.17810605466365814,-0.01554757822304964]::DOUBLE[]),(4, 5, [0.09788820147514343,-0.13847456872463226,0.08799024671316147,-0.06003740429878235,0.004374759271740913,0.04431701451539993,-0.06433197855949402,0.11696863919496536]::DOUBLE[]),(4, 6, [0.038201428949832916,-0.09858083724975586,-0.1486966460943222,0.06757278740406036,0.012472672387957573,0.12476462125778198,-0.04296588525176048,0.09488733857870102]::DOUBLE[]),(4, 7, [-0.031294625252485275,0.1310432106256485,-0.12404076755046844,0.02280474081635475,-0.11290968209505081,0.054517488926649094,-0.043522775173187256,0.021641014143824577]::DOUBLE[]),(4, 8, [0.052677594125270844,-0.046193819493055344,0.07900066673755646,-0.22205011546611786,-0.04893139377236366,-0.11628684401512146,0.05514438450336456,-0.04365023225545883]::DOUBLE[]),(4, 9, [0.09777842462062836,0.08993559330701828,-0.03192216530442238,0.041753944009542465,0.048579972237348557,-0.11202393472194672,0.003970780409872532,-0.1350824385881424]::DOUBLE[]),(4, 10, [-0.005743667017668486,-0.05487674102187157,-0.07278446108102798,-0.115526482462883,0.048743415623903275,-0.14839553833007812,-0.07930450886487961,0.11390851438045502]::DOUBLE[]),(4, 11, [-0.05342531576752663,0.0029866090044379234,-0.002546871779486537,0.1935938149690628,-0.025749091058969498,-0.14029613137245178,-0.0033815691713243723,0.021937573328614235]::DOUBLE[]),(4, 12, [0.10578407347202301,0.016938693821430206,-0.07806963473558426,-0.09703540056943893,-0.05332789570093155,0.07694631814956665,0.18893404304981232,-0.04624081775546074]::DOUBLE[]),(4, 13, [-0.14857962727546692,0.016747677698731422,0.0013024769723415375,-0.1251276582479477,-0.05604676157236099,0.06089925393462181,-0.0934024527668953,-0.07773768156766891]::DOUBLE[]),(4, 14, [-7.198070670710877E-5,0.1554621458053589,0.09057816118001938,-0.03662525862455368,-0.06058917194604874,0.06636985391378403,0.07692578434944153,0.10365232080221176]::DOUBLE[]),(4, 15, [0.022183438763022423,-0.020220929756760597,0.2067440301179886,-0.010853439569473267,0.05381329730153084,0.010531887412071228,0.042136505246162415,-0.07437161356210709]::DOUBLE[]),(5, 0, [0.08237463980913162,0.02832191251218319,-8.779442869126797E-4,0.20485520362854004,-0.04404452443122864,-0.023421261459589005,0.03737429901957512,0.04016609117388725]::DOUBLE[]),(5, 1, [-0.06084742397069931,0.04165928438305855,-0.00447789067402482,-0.009425447322428226,-0.09036879241466522,-0.20921503007411957,-0.010605969466269016,0.05085030570626259]::DOUBLE[]),(5, 2, [-0.011861762031912804,-0.11651205271482468,-0.0603153295814991,0.01306939497590065,0.05633830651640892,-0.07727423310279846,0.08340923488140106,-0.10446163266897202]::DOUBLE[]),(5, 3, [0.17973336577415466,-0.0017642227467149496,-0.0199054516851902,-0.09111612290143967,0.05138512700796127,0.09796939790248871,0.0531025305390358,0.12349318712949753]::DOUBLE[]),(5, 4, [-0.012683400884270668,-0.11914961785078049,0.1708402782678604,-0.04222028702497482,0.03972106799483299,0.0598754808306694,0.0036710472777485847,0.028798507526516914]::DOUBLE[]),(5, 5, [0.06413476169109344,0.026379628106951714,-0.0620582178235054,-0.17431747913360596,0.05473089963197708,-0.09591539204120636,-0.05831519886851311,0.04391245171427727]::DOUBLE[]),(5, 6, [0.0021864022128283978,-0.10240813344717026,-0.07673497498035431,0.0702439472079277,0.0175449401140213,0.15432119369506836,0.06916998326778412,0.06374501436948776]::DOUBLE[]),(5, 7, [-0.075058713555336,0.2107899785041809,0.019344881176948547,-0.021504346281290054,0.10681302100419998,0.01413009688258171,0.05919220298528671,0.10227754712104797]::DOUBLE[]),(5, 8, [-0.04015257582068443,-0.004127933643758297,-0.1740426868200302,0.024970002472400665,0.1412779986858368,0.023306384682655334,-0.08633013069629669,0.06990354508161545]::DOUBLE[]),(5, 9, [-0.14185293018817902,0.001344765885733068,-0.02151726931333542,-0.10207615047693253,-0.10032369196414948,0.03592708706855774,-0.11413873732089996,-0.035767849534749985]::DOUBLE[]),(5, 10, [-0.17390190064907074,-0.05931953713297844,0.04288819059729576,0.07699649780988693,-0.03876848891377449,-0.017312852665781975,0.04384073615074158,0.10451405495405197]::DOUBLE[]),(5, 11, [0.1014273390173912,0.0735435038805008,0.20418083667755127,-0.04358178749680519,-0.040334831923246384,-0.03501499444246292,0.08803943544626236,-0.12007609754800797]::DOUBLE[]),(5, 12, [-0.015043598599731922,0.017258938401937485,5.076478119008243E-4,0.07086668908596039,-0.03653049096465111,0.13457198441028595,0.007892157882452011,-0.188736692070961]::DOUBLE[]),(5, 13, [0.04964686557650566,-0.013288196176290512,0.09434337168931961,0.06600093841552734,0.006614364683628082,0.009627390652894974,-0.16604109108448029,-0.025403592735528946]::DOUBLE[]),(5, 14, [0.10279569029808044,-0.132696270942688,-0.027762606739997864,-0.03755682334303856,-0.15573793649673462,0.03017950989305973,-0.04138866811990738,0.05170871689915657]::DOUBLE[]),(5, 15, [-0.010739394463598728,0.15347975492477417,-0.1114397644996643,-0.009018740616738796,-0.16596505045890808,0.00586307467892766,0.07115156203508377,-0.03914584964513779]::DOUBLE[]),(6, 0, [0.06287072598934174,-0.08066117763519287,0.16792891919612885,0.054967109113931656,0.045108404010534286,-0.0047063520178198814,0.10451909899711609,0.018930384889245033]::DOUBLE[]),(6, 1, [-0.15881207585334778,0.06292740255594254,-0.012593048624694347,0.04245375096797943,0.11217895895242691,0.04413783550262451,-0.10693208873271942,-2.6438672648509964E-5]::DOUBLE[]),(6, 2, [-0.02851538173854351,-0.056863293051719666,0.10976953059434891,0.027758019044995308,-0.012305104173719883,0.09237898141145706,-0.13854755461215973,-0.19290891289710999]::DOUBLE[]),(6, 3, [0.1348028928041458,0.1253252774477005,6.53933035209775E-4,-0.06425415724515915,0.03893708437681198,0.0176698025316,-0.009791559539735317,-0.036513637751340866]::DOUBLE[]),(6, 4, [0.03987409546971321,0.02789546549320221,0.011034011840820312,-0.04772385582327843,-0.160331130027771,-0.023962197825312614,-0.08134651929140091,-0.1312035620212555]::DOUBLE[]),(6, 5, [-0.05947378650307655,0.004513351712375879,-0.06952903419733047,-0.044831886887550354,0.10556140542030334,0.09915755689144135,0.0814451351761818,-0.08927018940448761]::DOUBLE[]),(6, 6, [0.14192882180213928,-0.18609246611595154,0.04515483230352402,-0.10245117545127869,0.02137594483792782,0.04409658536314964,-0.08379673957824707,0.0414247028529644]::DOUBLE[]),(6, 7, [0.02106410078704357,0.007282680366188288,-0.07209755480289459,-0.1837744265794754,-0.059930358082056046,0.02231765352189541,0.11940553039312363,-0.031373221427202225]::DOUBLE[]),(6, 8, [-0.08234603703022003,-0.08957722783088684,0.04808543249964714,0.03938845545053482,-0.056625064462423325,0.1297357827425003,0.050167910754680634,0.07343608886003494]::DOUBLE[]),(6, 9, [-0.0010828068479895592,0.09577532112598419,0.11510928720235825,-0.05742492899298668,0.005300566088408232,-0.024665439501404762,0.07476069778203964,0.18126368522644043]::DOUBLE[]),(6, 10, [-0.053237851709127426,-0.1713552176952362,0.03672114387154579,-6.146616069599986E-4,0.023378346115350723,-0.1424340009689331,0.013344795443117619,-0.10602839291095734]::DOUBLE[]),(6, 11, [0.043087758123874664,0.08136315643787384,0.09087841212749481,-0.04392280429601669,0.08126135170459747,-0.1638364940881729,-0.14364896714687347,-0.004776802379637957]::DOUBLE[]),(6, 12, [-0.12388277798891068,0.03001541830599308,-0.03414151817560196,0.09972864389419556,-0.1909644454717636,0.006233696360141039,0.10285152494907379,-0.05105752870440483]::DOUBLE[]),(6, 13, [-0.048822686076164246,-0.09501512348651886,-0.09641211479902267,-0.025549013167619705,-0.03136557340621948,-0.05347185954451561,-0.1043616458773613,0.0997619479894638]::DOUBLE[]),(6, 14, [0.040824223309755325,-0.05288851261138916,-0.06753057986497879,0.11681922525167465,0.11839400976896286,-0.020928584039211273,0.010070470161736012,0.06799912452697754]::DOUBLE[]),(6, 15, [-0.03384169563651085,0.10076071321964264,-0.029790526255965233,0.12552092969417572,0.02369476668536663,-0.10279162973165512,0.05676811560988426,0.029804935678839684]::DOUBLE[]),(7, 0, [-0.09555590897798538,-0.013360581360757351,-0.13700926303863525,0.05041888728737831,-0.009930172003805637,-0.16633720695972443,-0.05769722908735275,0.008520364761352539]::DOUBLE[]),(7, 1, [-0.025853540748357773,-0.09489723294973373,-0.12892180681228638,-0.07209204882383347,-0.0797095000743866,0.04040627181529999,0.03097323141992092,-0.18065881729125977]::DOUBLE[]),(7, 2, [0.06862916052341461,0.025274867191910744,5.478767343447544E-5,0.16705167293548584,-0.029785247519612312,-0.11282703280448914,0.13996437191963196,-0.0814070925116539]::DOUBLE[]),(7, 3, [-0.06068374589085579,-0.09293719381093979,-0.0072312080301344395,-0.15744102001190186,0.07190261781215668,0.05316340923309326,-0.01573900878429413,0.035856716334819794]::DOUBLE[]),(7, 4, [0.06141861528158188,0.05534761771559715,-0.10639005154371262,-0.016930118203163147,-0.14449211955070496,0.0384562723338604,-0.031520675867795944,0.05193231254816055]::DOUBLE[]),(7, 5, [0.07395470142364502,-0.10059472918510437,0.025215117260813713,0.101736880838871,-0.10150641202926636,-0.019192200154066086,-0.06600569188594818,-0.07930692285299301]::DOUBLE[]),(7, 6, [0.027727074921131134,0.005395242944359779,0.0678335651755333,-0.08647255599498749,0.10083890706300735,-0.05889859423041344,-0.02073422446846962,-0.1953042447566986]::DOUBLE[]),(7, 7, [-0.0736699104309082,0.08354822546243668,0.012914393097162247,0.03132248297333717,-0.033900097012519836,0.10545215755701065,-0.04240552335977554,-0.10851766914129257]::DOUBLE[]),(7, 8, [0.12525829672813416,-0.1350245624780655,-0.07723180204629898,-0.041418708860874176,0.09253095835447311,-0.05428478866815567,0.09327547997236252,0.025365428999066353]::DOUBLE[]),(7, 9, [-0.044765520840883255,0.04543835669755936,0.1272081583738327,-0.0318293422460556,-0.056972529739141464,-0.06436463445425034,0.11725230515003204,0.07517944276332855]::DOUBLE[]),(7, 10, [0.02222060225903988,0.07351347804069519,0.14961867034435272,-0.09120550751686096,-0.08244214951992035,0.04488107189536095,-0.15257978439331055,-0.008381841704249382]::DOUBLE[]),(7, 11, [0.06219214200973511,0.0827416256070137,-0.028780387714505196,0.04010144993662834,0.11669295281171799,-0.025876758620142937,-0.07405770570039749,0.14819122850894928]::DOUBLE[]),(7, 12, [-0.0680442675948143,-0.06409658491611481,-0.08130086213350296,0.07146163284778595,0.010507066734135151,0.0803174152970314,0.12021395564079285,0.016577893868088722]::DOUBLE[]),(7, 13, [0.14556051790714264,-0.0060819415375590324,0.07107691466808319,0.018907111138105392,0.04424886777997017,0.1583082228899002,-0.011141132563352585,-0.008839546702802181]::DOUBLE[]),(7, 14, [-0.07942943274974823,-0.03133227676153183,0.15797899663448334,0.13629482686519623,0.11783745139837265,0.03884759545326233,-0.10642728209495544,-0.005279919598251581]::DOUBLE[]),(7, 15, [0.003325489116832614,0.12197153270244598,-0.15126517415046692,-0.13923127949237823,0.0555468387901783,-0.10769963264465332,0.00796580407768488,-0.014849641360342503]::DOUBLE[])"
 
   /** Nearest-centroid assignment (squared-Euclidean argmin, ties → lowest
     * cell — list_distance is its monotone sqrt) against pinned centroids.
@@ -1350,6 +1390,28 @@ object Queries {
         |SELECT d.vec_id, round(list_cosine_similarity(d.dv, q.qv), 3) AS score
         |FROM d, q
         |ORDER BY list_cosine_similarity(d.dv, q.qv) DESC, d.vec_id
+        |LIMIT 12""".stripMargin,
+
+    // PQ encode (per-subspace squared-distance argmin, ties → lowest code)
+    // → reconstruction → cosine, from the pinned codebooks. list_distance
+    // is the monotone sqrt of the squared distance NearestCentroid
+    // minimizes, so the argmin and its tie-break agree exactly.
+    "ann_ivfpq_search" ->
+      s"""WITH cb(sub, code, c) AS (VALUES $PqCodebooksM8K16),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |enc AS (
+        |  SELECT v.vec_id, cb.sub, cb.code, cb.c,
+        |    list_distance(list_slice(v.v, cb.sub*8 + 1, cb.sub*8 + 8), cb.c) AS dist
+        |  FROM v CROSS JOIN cb),
+        |pick AS (
+        |  SELECT vec_id, sub, c FROM enc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+        |rec AS (
+        |  SELECT vec_id, flatten(list(c ORDER BY sub)) AS r FROM pick GROUP BY vec_id)
+        |SELECT r.vec_id, round(list_cosine_similarity(r.r, q.qv), 3) AS score
+        |FROM rec r, q
+        |ORDER BY list_cosine_similarity(r.r, q.qv) DESC, r.vec_id
         |LIMIT 12""".stripMargin,
 
     "text_stats" ->
