@@ -707,6 +707,17 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "corpus_profile" -> ((s, dir) => {
+      // Per-(lang, source) corpus health profile: docs, exact-dup count via
+      // fingerprints, token totals, mean quality/length. Integer-sum
+      // determinism makes the doubles reproducible across engines.
+      CorpusPrep.corpusProfile(read(s, dir, "documents"), "text",
+          Seq("lang", "source"))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_unique_docs"),
+          col("total_tokens"), col("avg_quality"), col("avg_chars"))
+        .orderBy("lang", "source")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // Gopher/C4-family repetition & gibberish signals: word repetition
       // ratio, top-bigram fraction, duplicate-trigram fraction, symbol-to-
@@ -872,6 +883,18 @@ object Queries {
           window = 8, minDocs = 2)
         .select(col("doc_id"), col("total_windows"), col("shared_windows"),
           col("boiler_frac"))
+        .orderBy("doc_id")
+    }),
+
+    "boilerplate_strip" -> ((s, dir) => {
+      // The cleaning counterpart: remove every word covered by an 8-word
+      // window shared across >= 2 docs, keep the rest verbatim. The full
+      // cleaned text is hash-verified (md5) so the oracle pins the exact
+      // output string, not just counts.
+      Dedup.stripSharedWindows(read(s, dir, "documents"), "text", "doc_id",
+          window = 8, minDocs = 2)
+        .select(col("doc_id"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")
     }),
 
@@ -1352,6 +1375,33 @@ object Queries {
         |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT) AS pack_id
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    // Same per-row stats as text_stats; quality scaled x1e4 to an exact
+    // integer before the sum so the group averages are order-independent,
+    // with the division sequence mirroring the Spark expression.
+    "corpus_profile" ->
+      """WITH t AS (
+        |  SELECT lang, source, text,
+        |    string_split(lower(trim(text)), ' ') AS words,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |    len(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / len(text) AS praw,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |h AS (
+        |  SELECT *,
+        |    len(list_filter(words, w -> w IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0 / len(words) AS sraw
+        |  FROM t),
+        |q AS (
+        |  SELECT lang, source, n_tokens, fp, len(text) AS n_chars,
+        |    CAST(round(round((least(len(text)*1.0/500, 1.0) + least(sraw*5, 1.0) + greatest(0.0, 1.0 - praw*10)) / 3.0, 4) * 10000) AS BIGINT) AS q4
+        |  FROM h)
+        |SELECT lang, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(sum(q4) * 1.0 / 10000.0 / count(*), 4) AS avg_quality,
+        |  round(sum(n_chars) * 1.0 / count(*), 2) AS avg_chars
+        |FROM q GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1574,6 +1624,33 @@ object Queries {
         |  round(coalesce(p.sw, 0) * 1.0 / len(g.sh), 4) AS boiler_frac
         |FROM g LEFT JOIN perdoc p USING (doc_id)
         |ORDER BY g.doc_id""".stripMargin,
+
+    // String windows stand in for the Spark side's FNV window hashes (the
+    // dedup_ngram_jaccard convention); positions are 1-based here vs
+    // 0-based in Spark, but the outputs (count + cleaned text) are
+    // position-free so the two agree exactly.
+    "boilerplate_strip" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w,
+        |    list_transform(string_split(trim(text), ' '), x -> lower(x)) AS k
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, w, k,
+        |    CASE WHEN len(k) <= 8 THEN [array_to_string(k, ' ')]
+        |      ELSE list_transform(range(1, len(k) - 6), i -> array_to_string(list_slice(k, i, i + 7), ' ')) END AS grams
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM gr),
+        |shared AS (SELECT gram FROM e GROUP BY gram HAVING count(*) >= 2),
+        |sh AS (SELECT coalesce(list(gram), CAST([] AS VARCHAR[])) AS sg FROM shared),
+        |c AS (
+        |  SELECT gr.doc_id, gr.w,
+        |    list_distinct(flatten(list_transform(
+        |      list_filter(range(1, len(gr.grams) + 1), i -> list_contains(sh.sg, gr.grams[i])),
+        |      s -> range(s, s + least(8, len(gr.k)))))) AS covered
+        |  FROM gr, sh)
+        |SELECT doc_id, CAST(len(covered) AS BIGINT) AS n_removed,
+        |  md5(coalesce(array_to_string(list_filter(w, (x, i) -> NOT list_contains(covered, i)), ' '), '')) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "pii_redact" ->
       """WITH inj AS (

@@ -67,4 +67,35 @@ object CorpusPrep {
     df.withColumn(packIdCol,
       floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / maxTokens).cast("long"))
   }
+
+  /** One-pass corpus profile: per group, the health numbers a mixing or
+    * monitoring job reads before touching 100 TB — document and exact-dup
+    * counts (whitespace-normalized md5 fingerprints), token totals, mean
+    * quality, mean length. One aggregation shuffle on the group key with
+    * map-side partials; the fingerprint distinct is the only wide state and
+    * it is per-group, not global.
+    *
+    * Averages are computed determinism-first: every per-row stat is integer
+    * (tokens, chars, quality scaled ×10⁴ then rounded), summed exactly as
+    * longs, divided once — so the result is identical on any partitioning
+    * or engine, which keeps the profile oracle-checkable (a naive
+    * `avg(double)` is order-dependent in the last ulp).
+    */
+  def corpusProfile(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "corpusProfile needs at least one group column")
+    val t = col(textCol)
+    val TF = graft.functions.TextFunctions
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(TF.fingerprint(t)).as("n_unique_docs"),
+      sum(TF.tokenCount(t).cast("long")).as("total_tokens"),
+      sum(round(TF.qualityScore(t) * 10000).cast("long")).as("__q4"),
+      sum(length(t).cast("long")).as("__chars")
+    )
+    .withColumn("avg_quality",
+      round(col("__q4").cast("double") / 10000.0 / col("n_docs"), 4))
+    .withColumn("avg_chars",
+      round(col("__chars").cast("double") / col("n_docs"), 2))
+    .drop("__q4", "__chars")
+  }
 }

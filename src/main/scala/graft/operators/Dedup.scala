@@ -236,6 +236,52 @@ object Dedup {
       .drop("__shared")
   }
 
+  /** Remove cross-document repeated spans from the text — the cleaning
+    * counterpart of [[sharedWindowStats]] (C4 drops three-sentence spans
+    * seen before; RefinedWeb/CCNet drop repeated paragraphs; this drops any
+    * word covered by a w-word window that appears in ≥ `minDocs` docs).
+    * Matching is case-insensitive (lowercased window keys); the surviving
+    * words keep their original form and single-space joining.
+    *
+    * Output = input + `n_removed` (count of removed word positions) +
+    * `cleanCol` (the stripped text). Docs of ≤ w words form one whole-doc
+    * window, so a short doc duplicated elsewhere strips to empty — exact
+    * short-dup removal for free.
+    *
+    * Shape at scale, same budget as [[sharedWindowStats]] plus the one
+    * payload re-join any enrich needs: windows hash per-row (tight-loop FNV
+    * kernel), the shared-window groupBy and the per-doc start-collect
+    * shuffle only `(hash)`/`(id, position)` — never text — and the covered
+    * mask + rebuild are a codegen'd per-row map. Start sets are bounded by
+    * doc length, not corpus size.
+    */
+  def stripSharedWindows(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 8, minDocs: Int = 2, cleanCol: String = "clean_text"): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val keys = transform(words, w => lower(w))
+    val hashes = graft.functions.MinHashExpr.shingleHashes(keys, window)
+    val withH = df.withColumn("__w", words).withColumn("__h", hashes)
+    // Narrow (id, start, windowHash) stream; hashes are positional, so a
+    // window repeated WITHIN one doc contributes every start.
+    val grams = withH.select(col(idCol), posexplode(col("__h")).as(Seq("__pos", "__g")))
+    val shared = grams.select(col("__g"), col(idCol)).distinct()
+      .groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__g"))
+    val starts = grams.join(shared, Seq("__g"))
+      .groupBy(col(idCol)).agg(collect_set(col("__pos")).as("__starts"))
+    val winLen = least(lit(window), size(col("__w")))
+    withH.join(starts, Seq(idCol), "left")
+      .withColumn("__covered",
+        when(col("__starts").isNull, array().cast("array<int>"))
+          .otherwise(array_distinct(flatten(transform(col("__starts"),
+            s => sequence(s, s + winLen - 1))))))
+      .withColumn("n_removed", size(col("__covered")).cast("long"))
+      .withColumn(cleanCol, concat_ws(" ",
+        filter(col("__w"), (w, i) => !array_contains(col("__covered"), i))))
+      .drop("__w", "__h", "__starts", "__covered")
+  }
+
   def dropDuplicatesByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val keep = keepAfterConnectedComponents(
       df.select(col(idCol).cast("long").as("id")), pairs)

@@ -66,4 +66,27 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out(2L) == 0L) // starts inside pack 0 (40 < 100)...
     assert(out(3L) == 5L) // ...and pushes the next doc past its span
   }
+
+  test("corpusProfile: exact counts, dup detection via fingerprint, deterministic averages") {
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      (1L, "en", "web", "the cat sat on the mat"),
+      (2L, "en", "web", "THE cat  sat on the mat"), // fingerprint-identical (case/space-normalized)
+      (3L, "en", "book", "a completely different document"),
+      (4L, "de", "web", "der hund läuft schnell")
+    ).toDF("doc_id", "lang", "source", "text")
+    val p = CorpusPrep.corpusProfile(d, "text", Seq("lang", "source"))
+      .select("lang", "source", "n_docs", "n_unique_docs", "total_tokens")
+      .as[(String, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(p.toSeq == Seq(
+      ("de", "web", 1L, 1L, 4L),
+      ("en", "book", 1L, 1L, 4L),
+      ("en", "web", 2L, 1L, 12L)), p.toSeq.toString)
+    // Averages are a pure function of the multiset: repartitioned input agrees.
+    val a = CorpusPrep.corpusProfile(d, "text", Seq("lang"))
+      .select("lang", "avg_quality", "avg_chars").as[(String, Double, Double)].collect().toSet
+    val b = CorpusPrep.corpusProfile(d.repartition(7), "text", Seq("lang"))
+      .select("lang", "avg_quality", "avg_chars").as[(String, Double, Double)].collect().toSet
+    assert(a == b)
+  }
 }

@@ -109,4 +109,39 @@ class DedupSpec extends SparkSpec {
     assert(stats(2)._3 == 0L && stats(2)._4 == 0.0)
     assert(stats(3) == ((3L, 1L, 0L, 0.0)), s"short doc is one whole-text window: ${stats(3)}")
   }
+
+  test("stripSharedWindows removes exactly the cross-doc covered words, case-insensitively") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "One two three four five six seven eight nine ten"),
+      (1L, "zz one two three four five six seven eight nine yy"), // shares [1..8] and [2..9] of doc 0
+      (2L, "totally different words in this unique document body text"),
+      (3L, "short doc"),
+      (4L, "short doc") // whole-doc window duplicated => strips to empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripSharedWindows(docs, "text", "doc_id", window = 8)
+      .select(col("doc_id"), col("n_removed"), col("clean_text"))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // doc 0 (10 words): windows [One..eight] and [two..nine] recur in doc 1
+    // (matched case-insensitively against "one two ..."), covering positions
+    // 0..8 -> only the final word survives.
+    assert(out(0) == ((0L, 9L, "ten")), s"doc0: ${out(0)}")
+    // doc 1 (11 words): shared starts 1 and 2 cover 1..9 -> "zz" and "yy" survive.
+    assert(out(1) == ((1L, 9L, "zz yy")), s"doc1: ${out(1)}")
+    // unique doc untouched
+    assert(out(2)._2 == 0L && out(2)._3 == "totally different words in this unique document body text")
+    // duplicated short docs strip to empty via the whole-doc window
+    assert(out(3) == ((3L, 2L, "")) && out(4) == ((4L, 2L, "")), s"${out(3)} ${out(4)}")
+  }
+
+  test("stripSharedWindows ignores spans repeated only within one doc") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "a b c d e f g h i j a b c d e f g h i j"), // window repeats within doc 0 only
+      (1L, "completely unrelated second document with other words here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripSharedWindows(docs, "text", "doc_id", window = 8)
+      .select(col("doc_id"), col("n_removed")).as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.forall(_._2 == 0L), s"within-doc repeats must not strip: ${out.toSeq}")
+  }
 }
