@@ -718,6 +718,33 @@ object Queries {
         .orderBy("lang", "source")
     }),
 
+    "chunk_docs" -> ((s, dir) => {
+      // Passage chunking for retrieval/training: 128-token windows with
+      // 32-token overlap; trailing starts that add no new words are
+      // skipped. The exact chunk text is pinned via md5.
+      CorpusPrep.chunkDocuments(read(s, dir, "documents"), "text",
+          chunkTokens = 128, overlap = 32)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    "dedup_incremental" -> ((s, dir) => {
+      // Incremental corpus-growth dedup: even doc_ids are the "existing"
+      // corpus whose narrow index (fingerprint + minhash sig + shingle
+      // hashes) is persisted; odd doc_ids are the new crawl, dropped when
+      // they exactly or nearly (J >= 0.5) duplicate an indexed doc. LSH
+      // candidate recall on the gate corpus is 1 (the dedup_minhash
+      // argument), so the exact all-pairs oracle matches.
+      val path = java.nio.file.Files.createTempDirectory("graft_verify_incr")
+        .toString + "/idx"
+      val d = read(s, dir, "documents")
+      Dedup.saveDedupIndex(d.filter(col("doc_id") % 2 === 0), "text", "doc_id", path)
+      Dedup.dropAgainstIndex(d.filter(col("doc_id") % 2 === 1), "text", "doc_id",
+          path, threshold = 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // Gopher/C4-family repetition & gibberish signals: word repetition
       // ratio, top-bigram fraction, duplicate-trigram fraction, symbol-to-
@@ -1401,6 +1428,43 @@ object Queries {
         |  round(sum(q4) * 1.0 / 10000.0 / count(*), 4) AS avg_quality,
         |  round(sum(n_chars) * 1.0 / count(*), 2) AS avg_chars
         |FROM q GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // Zipped unnests over the same start list stay aligned in DuckDB, so
+    // chunk_id / token count / slice all read the same start. 0-based
+    // starts both sides; list_slice is 1-based inclusive like Spark slice.
+    "chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |p AS (
+        |  SELECT doc_id, w,
+        |    list_filter(range(0, len(w), 96), s -> s = 0 OR s < len(w) - 32) AS starts
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(unnest(range(0, len(starts))) AS BIGINT) AS chunk_id,
+        |  CAST(least(128, len(w) - unnest(starts)) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(w, unnest(starts) + 1, unnest(starts) + 128), ' ')) AS chunk_md5
+        |FROM p ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Exact all-pairs new-vs-old match set (fingerprint or string-shingle
+    // Jaccard >= 0.5); hashed-vs-string shingles differ only by 2^-64
+    // collisions, the dedup_minhash convention.
+    "dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM t),
+        |old AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+        |nw AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+        |excl AS (
+        |  SELECT n.doc_id FROM nw n WHERE n.fp IN (SELECT fp FROM old)
+        |  UNION
+        |  SELECT n.doc_id FROM nw n JOIN old o
+        |    ON len(list_distinct(list_intersect(n.sh, o.sh))) * 1.0 /
+        |       len(list_distinct(list_concat(n.sh, o.sh))) >= 0.5)
+        |SELECT doc_id FROM nw WHERE doc_id NOT IN (SELECT doc_id FROM excl)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (

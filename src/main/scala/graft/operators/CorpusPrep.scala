@@ -68,6 +68,36 @@ object CorpusPrep {
       floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / maxTokens).cast("long"))
   }
 
+  /** Split documents into overlapping token-window chunks — the passage
+    * layer under retrieval (BM25/dense over passages, not whole docs) and
+    * fixed-window training examples. Chunk starts advance by
+    * `chunkTokens - overlap`; a start past `len - overlap` adds no new
+    * words, so it is skipped (the previous chunk already reached the end).
+    * Per-row explode only — no shuffle, and each chunk row carries the
+    * parent's columns, so downstream group-bys can re-aggregate per doc.
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, chunkTokens: Int,
+      overlap: Int = 0, chunkIdCol: String = "chunk_id",
+      chunkCol: String = "chunk_text"): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens $chunkTokens must be >= 1")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, chunkTokens)")
+    val step = chunkTokens - overlap
+    val words = split(trim(col(textCol)), "\\s+")
+    val n = size(col("__w"))
+    df.withColumn("__w", words)
+      .withColumn("__starts",
+        filter(sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
+          s => s === 0 || s < n - overlap))
+      .select(col("*"), posexplode(col("__starts")).as(Seq("__cid", "__start")))
+      .withColumn(chunkIdCol, col("__cid").cast("long"))
+      .withColumn(chunkCol,
+        concat_ws(" ", slice(col("__w"), col("__start") + 1, lit(chunkTokens))))
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkTokens), n - col("__start")).cast("long"))
+      .drop("__w", "__starts", "__cid", "__start")
+  }
+
   /** One-pass corpus profile: per group, the health numbers a mixing or
     * monitoring job reads before touching 100 TB — document and exact-dup
     * counts (whitespace-normalized md5 fingerprints), token totals, mean

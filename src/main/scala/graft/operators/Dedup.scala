@@ -236,6 +236,70 @@ object Dedup {
       .drop("__shared")
   }
 
+  /** Persist a dedup index for INCREMENTAL corpus growth: per doc, the
+    * exact-dup fingerprint, the minhash signature, and the hashed-shingle
+    * verification set. A later crawl deduplicates against the existing
+    * corpus via [[dropAgainstIndex]] without re-reading its text — the only
+    * state a 100 TB corpus needs to keep is this narrow
+    * (16 B + numHashes×8 B + shingles×8 B)-per-doc table.
+    */
+  def saveDedupIndex(df: DataFrame, textCol: String, idCol: String, path: String,
+      numHashes: Int = 64, shingleLen: Int = 3): Unit = {
+    val words = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol).cast("long").as("id"),
+        graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
+        graft.functions.MinHashExpr.minhashSignature(words, shingleLen, numHashes).as("sig"),
+        array_distinct(graft.functions.MinHashExpr.shingleHashes(words, shingleLen)).as("sh"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Drop rows of `df` that duplicate the indexed corpus, exactly
+    * (fingerprint anti-join) or nearly (LSH band join against the index
+    * signatures, then exact hashed-shingle Jaccard ≥ `threshold`). Rows
+    * that only duplicate each other WITHIN `df` are kept — the operator's
+    * contract is "new minus existing", composable with [[minhashPairs]] +
+    * [[dropDuplicatesByPairs]] for the intra-batch pass.
+    *
+    * Scale shape: the exact stage shuffles one 16-byte key; the near stage
+    * is the [[minhashPairs]] layout across two tables — band buckets carry
+    * only (id, bandKey), the candidate dedup only narrow id pairs, and the
+    * shingle payloads join once for the verify. Nothing rescans the
+    * existing corpus's text.
+    */
+  def dropAgainstIndex(df: DataFrame, textCol: String, idCol: String, path: String,
+      threshold: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
+      shingleLen: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val rowsPerBand = numHashes / bands
+    val idx = spark.read.parquet(path)
+    val fpClean = df.join(
+      idx.select(col("fp").as("__fp")).distinct(),
+      graft.functions.TextFunctions.fingerprint(col(textCol)) === col("__fp"),
+      "left_anti")
+    val words = split(trim(col(textCol)), "\\s+")
+    val newBase = parallelize(fpClean).select(col(idCol).cast("long").as("id"),
+        graft.functions.MinHashExpr.minhashSignature(words, shingleLen, numHashes).as("sig"),
+        array_distinct(graft.functions.MinHashExpr.shingleHashes(words, shingleLen)).as("sh"))
+      .transform(graft.core.Persist.stage(_))
+    def bucket(base: DataFrame): DataFrame = {
+      val cols = (0 until bands).map { b =>
+        struct(lit(b).as("band"), xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)).as("key"))
+      }
+      base.select(col("id"), explode(array(cols: _*)).as("bk"))
+    }
+    val candidates = bucket(newBase).toDF("nid", "bk1")
+      .join(bucket(idx.select(col("id"), col("sig"))).toDF("oid", "bk2"),
+        col("bk1") === col("bk2"))
+      .select("nid", "oid").distinct()
+    val matched = candidates
+      .join(newBase.select(col("id").as("nid"), col("sh").as("sh1")), "nid")
+      .join(idx.select(col("id").as("oid"), col("sh").as("sh2")), "oid")
+      .filter(jaccard(col("sh1"), col("sh2")) >= threshold)
+      .select(col("nid")).distinct()
+    fpClean.join(matched, col(idCol).cast("long") === col("nid"), "left_anti")
+  }
+
   /** Remove cross-document repeated spans from the text — the cleaning
     * counterpart of [[sharedWindowStats]] (C4 drops three-sentence spans
     * seen before; RefinedWeb/CCNet drop repeated paragraphs; this drops any

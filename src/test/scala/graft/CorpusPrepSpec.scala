@@ -67,6 +67,21 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out(3L) == 5L) // ...and pushes the next doc past its span
   }
 
+  test("chunkDocuments: overlapping windows cover the doc; trailing no-new-word starts skipped") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "short text")
+    ).toDF("doc_id", "text")
+    val out = CorpusPrep.chunkDocuments(d, "text", chunkTokens = 8, overlap = 4)
+      .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // 10 words, step 4: start 8 adds no new words past chunk [4..9] -> skipped.
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq ==
+      Seq("w1 w2 w3 w4 w5 w6 w7 w8", "w5 w6 w7 w8 w9 w10"), out.mkString(";"))
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq == Seq(8L, 6L))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "short text", 2L)))
+  }
+
   test("corpusProfile: exact counts, dup detection via fingerprint, deterministic averages") {
     import org.apache.spark.sql.functions._
     val d = Seq(

@@ -134,6 +134,25 @@ class DedupSpec extends SparkSpec {
     assert(out(3) == ((3L, 2L, "")) && out(4) == ((4L, 2L, "")), s"${out(3)} ${out(4)}")
   }
 
+  test("dropAgainstIndex drops exact and near dups of the indexed corpus, keeps intra-batch dups") {
+    import org.apache.spark.sql.functions._
+    val old = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),             // exact dup of 0
+      (3L, "the quick brown fox jumps over the lazy dog now"), // near dup of 2 (J = 7/9)
+      (5L, "completely novel content that matches nothing else here"),
+      (7L, "completely novel content that matches nothing else here") // intra-batch dup: kept
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("incr").toString + "/idx"
+    Dedup.saveDedupIndex(old, "text", "doc_id", path)
+    val out = Dedup.dropAgainstIndex(fresh, "text", "doc_id", path, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(5L, 7L), out.toSeq.toString)
+  }
+
   test("stripSharedWindows ignores spans repeated only within one doc") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
