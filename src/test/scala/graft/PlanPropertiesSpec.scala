@@ -117,6 +117,76 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "eval grams must broadcast:\n" + p.take(2000))
   }
 
+  test("chunkDocuments is a pure per-row explode: zero exchanges, zero windows") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.CorpusPrep
+      .chunkDocuments(docs, "text", chunkTokens = 64, overlap = 16)
+      .queryExecution.executedPlan
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, s"chunking must not shuffle: ${plan.toString.take(1500)}")
+    assert(!plan.toString.contains("Window"), plan.toString.take(1500))
+  }
+
+  test("stripSharedWindows gram shuffles carry hashes and ids only — never text") {
+    // The shared-window groupBy and the per-doc start-collect move
+    // (hash, id, position) tuples; the text/word arrays re-join exactly once
+    // for the rebuild. A regression here shuffles the corpus text ×windows.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val plan = graft.operators.Dedup
+        .stripSharedWindows(docs, "text", "doc_id", window = 8)
+        .queryExecution.executedPlan
+      val gramShuffles = plan.collect { case s: ShuffleExchangeExec
+        if s.output.exists(_.name == "__g") => s }
+      assert(gramShuffles.nonEmpty, "expected gram-keyed exchanges")
+      gramShuffles.foreach { s =>
+        assert(!s.output.exists(a => a.dataType.isInstanceOf[ArrayType] ||
+            a.dataType == StringType),
+          s"text crossed a gram exchange: ${s.output.map(a => s"${a.name}:${a.dataType}")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("dropAgainstIndex band and candidate shuffles are narrow") {
+    // Cross-table LSH: the band-bucket join and the (nid, oid) candidate
+    // dedup must not carry signatures or shingle sets — those re-join once
+    // for the Jaccard verify.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val path = java.nio.file.Files.createTempDirectory("plan_incr").toString + "/idx"
+      graft.operators.Dedup.saveDedupIndex(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+        "text", "doc_id", path)
+      val plan = graft.operators.Dedup.dropAgainstIndex(
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+          "text", "doc_id", path, threshold = 0.5)
+        .queryExecution.executedPlan
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      val bandOrPair = shuffles.filter(s => s.output.exists(a =>
+        a.name == "bk1" || a.name == "bk2") ||
+        s.output.map(_.name).toSet == Set("nid", "oid"))
+      assert(bandOrPair.nonEmpty, "expected band/candidate exchanges")
+      bandOrPair.foreach { s =>
+        assert(!s.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"wide column crossed a narrow exchange: ${s.output.map(_.name)}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("semAgg pack stage has no global window or single-partition exchange") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -90,6 +90,13 @@ class PqSpec extends SparkSpec {
       ivf = lIvf, nProbe = 4, tieBreak = Seq(col("id")))
       .select("id").as[Long].collect()
     assert(full.length == 10)
+    // The probe filter must reach the parquet scan as a partition filter —
+    // unprobed cells' code files are never opened (the IVF-PQ 100 TB path).
+    val plan = PQ.search(loaded, "emb", lModel, qv, k = 10,
+      ivf = lIvf, nProbe = 1, tieBreak = Seq(col("id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(IvfIndex.cellCol),
+      s"expected partition filter on ${IvfIndex.cellCol} in:\n$plan")
   }
 
   test("dimension mismatch fails loudly in ADC") {
