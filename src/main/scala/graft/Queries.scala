@@ -718,6 +718,20 @@ object Queries {
         .orderBy("lang", "source")
     }),
 
+    "corpus_mix_weighted" -> ((s, dir) => {
+      // Weighted mixture assembly: keep all English, half German, a quarter
+      // Spanish, drop the rest — membership a pure function of
+      // (salt, doc_id), so the same mixture materializes on any engine.
+      CorpusPrep.mixByFractions(read(s, dir, "documents"), "lang",
+          Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.25), "doc_id", salt = "mix1")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    "vocab_topk" -> ((s, dir) => {
+      CorpusPrep.vocabTopK(read(s, dir, "documents"), "text", k = 50)
+        .orderBy(col("n").desc, col("word"))
+    }),
+
     "chunk_docs" -> ((s, dir) => {
       // Passage chunking for retrieval/training: 128-token windows with
       // 32-token overlap; trailing starts that add no new words are
@@ -1428,6 +1442,20 @@ object Queries {
         |  round(sum(q4) * 1.0 / 10000.0 / count(*), 4) AS avg_quality,
         |  round(sum(n_chars) * 1.0 / count(*), 2) AS avg_chars
         |FROM q GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // 5-hex-digit thresholds so fraction 1.0 ("10000") clears every 4-digit
+    // hash prefix; the '0' prefix keeps the compare fixed-width.
+    "corpus_mix_weighted" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE '0' || substring(md5('mix1' || '|' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '10000' WHEN 'de' THEN '08000'
+        |    WHEN 'es' THEN '04000' ELSE '00000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "vocab_topk" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
 
     // Zipped unnests over the same start list stay aligned in DuckDB, so
     // chunk_id / token count / slice all read the same start. 0-based

@@ -36,6 +36,29 @@ object CorpusPrep {
     }
   }
 
+  /** Weighted corpus mixing: per-group deterministic sampling rates — the
+    * "downsample web to 30%, keep books at 100%" step of assembling a
+    * training mixture. Same pure-function-of-(salt, key) membership as
+    * [[deterministicSample]] (reproducible on any cluster/engine), with
+    * the cut chosen per group; groups absent from `fractions` keep
+    * `defaultFraction`. A pure filter — no shuffle, and the hex-prefix
+    * compare pushes to the scan.
+    */
+  def mixByFractions(df: DataFrame, groupCol: String, fractions: Map[String, Double],
+      keyCol: String, salt: String = "", defaultFraction: Double = 0.0): DataFrame = {
+    (fractions.values ++ Seq(defaultFraction)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction $f outside [0,1]"))
+    def hex(f: Double): String = f"${math.round(f * 65536.0).toInt}%05x"
+    val hash = substring(md5(to_binary(
+      concat_ws("|", lit(salt), col(keyCol).cast("string")), lit("utf-8"))), 1, 4)
+    // 5-hex-digit threshold so fraction 1.0 ("10000") exceeds every 4-digit
+    // hash; lexicographic compare on fixed-width prefixes == numeric.
+    val cut = fractions.foldLeft(lit(hex(defaultFraction))) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, lit(hex(f))).otherwise(acc)
+    }
+    df.filter(concat(lit("0"), hash) < cut)
+  }
+
   /** Per-group quota (data mixing): keep at most `quota` rows per value of
     * `groupCol`, picked in `orderCol` order — the "cap each domain/language
     * at N documents" step of corpus mixing. One shuffle on the group key;
@@ -66,6 +89,20 @@ object CorpusPrep {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(packIdCol,
       floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / maxTokens).cast("long"))
+  }
+
+  /** Global top-k vocabulary: (word, count) over the whitespace-lowercased
+    * token stream. The classic corpus-analysis job: explode + map-side
+    * partial count per word, one aggregation shuffle on the word, and the
+    * top-k lowers to TakeOrderedAndProject (no global sort). Ties break on
+    * the word so the result is total-order deterministic.
+    */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
   }
 
   /** Split documents into overlapping token-window chunks — the passage

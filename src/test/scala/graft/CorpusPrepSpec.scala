@@ -67,6 +67,28 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out(3L) == 5L) // ...and pushes the next doc past its span
   }
 
+  test("mixByFractions: full groups kept, absent groups dropped, membership partitioning-independent") {
+    val d = (0 until 400).map(i =>
+      (i.toLong, Seq("en", "de", "xx")(i % 3))).toDF("id", "lang")
+    val fr = Map("en" -> 1.0, "de" -> 0.5)
+    val out = CorpusPrep.mixByFractions(d, "lang", fr, "id", salt = "s")
+      .select("id", "lang").as[(Long, String)].collect()
+    assert(out.count(_._2 == "en") == 134, "fraction 1.0 keeps every row")
+    assert(out.count(_._2 == "xx") == 0, "default fraction 0 drops absent groups")
+    val de = out.count(_._2 == "de")
+    assert(de > 33 && de < 100, s"fraction 0.5 keeps ~half, got $de of 133")
+    val out2 = CorpusPrep.mixByFractions(d.repartition(7), "lang", fr, "id", salt = "s")
+      .select("id", "lang").as[(Long, String)].collect()
+    assert(out.toSet == out2.toSet, "membership is a pure function of (salt, key)")
+  }
+
+  test("vocabTopK: counts and deterministic tie-break") {
+    val d = Seq((1L, "b a a c"), (2L, "A b  c d")).toDF("id", "text")
+    val out = CorpusPrep.vocabTopK(d, "text", k = 3)
+      .as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 2L)), out.mkString(";"))
+  }
+
   test("chunkDocuments: overlapping windows cover the doc; trailing no-new-word starts skipped") {
     val d = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
