@@ -1455,14 +1455,15 @@ object Queries {
     "vocab_topk" ->
       """SELECT word, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)
-        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+        |WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
 
     // Zipped unnests over the same start list stay aligned in DuckDB, so
     // chunk_id / token count / slice all read the same start. 0-based
     // starts both sides; list_slice is 1-based inclusive like Spark slice.
     "chunk_docs" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |  WHERE len(trim(text)) > 0),
         |p AS (
         |  SELECT doc_id, w,
         |    list_filter(range(0, len(w), 96), s -> s = 0 OR s < len(w) - 32) AS starts

@@ -80,8 +80,14 @@ object IvfIndex {
     val frac =
       if (fitSampleFraction > 0) math.min(1.0, fitSampleFraction)
       else math.min(1.0, defaultFitPoints(nCells).toDouble / math.max(1L, n))
+    // Content-hash sampling (not df.sample, whose Bernoulli draw seeds per
+    // partition): membership is a pure function of (vector, seed), so the
+    // same corpus yields the same fit sample — and hence identical
+    // centroids — no matter how it is partitioned. Reproducible rebuilds.
     val fitDf = if (frac >= 1.0) indexed.select(col(v))
-                else indexed.select(col(v)).sample(withReplacement = false, frac, seed)
+                else indexed.select(col(v)).filter(
+                  pmod(xxhash64(col(v), lit(seed)), lit(1000000L)) <
+                    math.round(frac * 1000000.0))
     val sample = fitDf.collect().map(_.getSeq[Float](0).toArray)
     val centroids = fitCentroids(sample, nCells, seed, maxIter)
     val out = indexed.withColumn(cellCol,
@@ -249,15 +255,9 @@ object IvfIndex {
       .repartition(col(cellCol))
       .write.mode("overwrite").partitionBy(cellCol).parquet(s"$path/cells")
     // The centroid table is driver-side metadata (nCells × dim floats):
-    // one small JSON file through the Hadoop FS API (works on HDFS/S3),
-    // not a Spark write job.
-    val json = model.centroids.map(_.mkString("[", ",", "]"))
-      .mkString("{\"centroids\":[", ",", "]}")
-    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
-    val fs = p.getFileSystem(indexed.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    out.write(json.getBytes("UTF-8"))
-    out.close()
+    // one small JSON sidecar, not a Spark write job.
+    graft.core.MetaIo.write(indexed.sparkSession, s"$path/centroids.json",
+      "{\"centroids\":" + graft.core.MetaIo.floatMatrixJson(model.centroids) + "}")
   }
 
   /** Load a saved index: the cell-partitioned vector frame + centroids.
@@ -266,19 +266,11 @@ object IvfIndex {
     */
   def load(spark: SparkSession, path: String): (DataFrame, IvfModel) = {
     val cells = spark.read.parquet(s"$path/cells")
-    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = s"$path/centroids.json"
     val centroids =
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        val json = new String(in.readAllBytes(), "UTF-8")
-        in.close()
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val arr = mapper.readTree(json).path("centroids")
-        (0 until arr.size()).map { i =>
-          val row = arr.path(i)
-          Array.tabulate(row.size())(j => row.path(j).floatValue())
-        }.toArray
+      if (graft.core.MetaIo.exists(spark, metaPath)) {
+        graft.core.MetaIo.floatMatrix(
+          graft.core.MetaIo.parse(graft.core.MetaIo.read(spark, metaPath)).path("centroids"))
       } else {
         spark.read.parquet(s"$path/centroids")
           .select("cell", "centroid").orderBy("cell").collect()

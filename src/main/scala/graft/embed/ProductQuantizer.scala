@@ -68,8 +68,13 @@ object ProductQuantizer {
         val n = indexed.count()
         math.min(1.0, IvfIndex.defaultFitPoints(ksub).toDouble / math.max(1L, n))
       }
+    // Content-hash sampling (the IvfIndex.build convention): membership is
+    // a pure function of (vector, seed), so the codebooks really are a pure
+    // function of the vector multiset even on the sampled path.
     val fitDf = if (frac >= 1.0) indexed.select(col(v))
-                else indexed.select(col(v)).sample(withReplacement = false, frac, seed)
+                else indexed.select(col(v)).filter(
+                  pmod(xxhash64(col(v), lit(seed)), lit(1000000L)) <
+                    math.round(frac * 1000000.0))
     val sample = fitDf.collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "PQ fit sample is empty")
     val dim = sample.head.length
@@ -109,8 +114,11 @@ object ProductQuantizer {
     * oracle-reproducible scoring kernel (sequential dot, same association
     * order as DuckDB's list_cosine_similarity).
     */
-  def reconstructCosineToQuery(codes: Column, model: PqModel, qv: Seq[Float]): Column =
+  def reconstructCosineToQuery(codes: Column, model: PqModel, qv: Seq[Float]): Column = {
+    require(qv.length == model.dim,
+      s"PQ dimension mismatch: query dim ${qv.length} vs codebook dim ${model.dim}")
     EmbedOps.cosineSim(reconstructExpr(codes, model), lit(qv.map(_.toDouble).toArray))
+  }
 
   /** ADC scoring: per query, precompute on the driver the partial-dot table
     * `dot(q_s, centroid)` and the centroid square-norm table, then score a
@@ -215,50 +223,26 @@ object ProductQuantizer {
         .write.mode("overwrite").partitionBy(IvfIndex.cellCol)
       else payload.write.mode("overwrite")
     writer.parquet(s"$path/cells")
-    val cbJson = model.codebooks.map(_.map(_.mkString("[", ",", "]"))
-      .mkString("[", ",", "]")).mkString("{\"codebooks\":[", ",", "]")
+    val cbJson = "{\"codebooks\":[" +
+      model.codebooks.map(graft.core.MetaIo.floatMatrixJson).mkString(",") + "]"
     val ivfJson = ivf match {
       case Some(coarse) =>
-        coarse.centroids.map(_.mkString("[", ",", "]"))
-          .mkString(",\"centroids\":[", ",", "]}")
+        ",\"centroids\":" + graft.core.MetaIo.floatMatrixJson(coarse.centroids) + "}"
       case None => "}"
     }
-    writeMeta(quantized.sparkSession, s"$path/pq.json", cbJson + ivfJson)
+    graft.core.MetaIo.write(quantized.sparkSession, s"$path/pq.json", cbJson + ivfJson)
   }
 
   /** Load a saved PQ index: the (cell-partitioned) codes frame + models. */
   def load(spark: SparkSession, path: String): (DataFrame, PqModel, Option[IvfIndex.IvfModel]) = {
     val cells = spark.read.parquet(s"$path/cells")
-    val json = readMeta(spark, s"$path/pq.json")
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(json)
-    def floatMatrix(node: com.fasterxml.jackson.databind.JsonNode): Array[Array[Float]] =
-      (0 until node.size()).map { i =>
-        val row = node.path(i)
-        Array.tabulate(row.size())(j => row.path(j).floatValue())
-      }.toArray
+    val root = graft.core.MetaIo.parse(graft.core.MetaIo.read(spark, s"$path/pq.json"))
     val cbNode = root.path("codebooks")
-    val codebooks = (0 until cbNode.size()).map(i => floatMatrix(cbNode.path(i))).toArray
+    val codebooks = (0 until cbNode.size())
+      .map(i => graft.core.MetaIo.floatMatrix(cbNode.path(i))).toArray
     val ivfNode = root.path("centroids")
     val ivf = if (ivfNode.isMissingNode || ivfNode.size() == 0) None
-              else Some(IvfIndex.IvfModel(floatMatrix(ivfNode)))
+              else Some(IvfIndex.IvfModel(graft.core.MetaIo.floatMatrix(ivfNode)))
     (cells, PqModel(codebooks), ivf)
-  }
-
-  private def writeMeta(spark: SparkSession, path: String, json: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    out.write(json.getBytes("UTF-8"))
-    out.close()
-  }
-
-  private def readMeta(spark: SparkSession, path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val json = new String(in.readAllBytes(), "UTF-8")
-    in.close()
-    json
   }
 }

@@ -22,18 +22,25 @@ object CorpusPrep {
     * reproducibility property a training-corpus sample needs. Fraction
     * resolution is 1/65536.
     */
+  /** The shared membership hash of [[deterministicSample]] and
+    * [[mixByFractions]]: a '0'-prefixed 16-bit lowercase-hex md5 prefix of
+    * `salt|key`, compared lexicographically against [[cutHex]] thresholds
+    * (fixed-width lowercase hex ⇒ lexicographic == numeric; the extra '0'
+    * digit lets fraction 1.0 render as "10000" and clear every hash).
+    * Rendered identically by Spark and ANSI oracles.
+    */
+  private def hashPrefix(keyCol: Column, salt: String): Column =
+    concat(lit("0"), substring(md5(to_binary(
+      concat_ws("|", lit(salt), keyCol.cast("string")), lit("utf-8"))), 1, 4))
+
+  private def cutHex(fraction: Double): String =
+    f"${math.round(fraction * 65536.0).toInt}%05x"
+
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
       salt: String = ""): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction outside [0,1]")
-    val cut = math.round(fraction * 65536.0).toInt
-    if (cut >= 65536) df
-    else {
-      // Lexicographic compare on the fixed-width lowercase hex prefix ==
-      // numeric compare; both Spark and ANSI oracles render md5 identically.
-      val thresh = f"$cut%04x"
-      df.filter(substring(md5(to_binary(
-        concat_ws("|", lit(salt), col(keyCol).cast("string")), lit("utf-8"))), 1, 4) < thresh)
-    }
+    if (fraction >= 1.0) df
+    else df.filter(hashPrefix(col(keyCol), salt) < cutHex(fraction))
   }
 
   /** Weighted corpus mixing: per-group deterministic sampling rates — the
@@ -48,15 +55,10 @@ object CorpusPrep {
       keyCol: String, salt: String = "", defaultFraction: Double = 0.0): DataFrame = {
     (fractions.values ++ Seq(defaultFraction)).foreach(f =>
       require(f >= 0.0 && f <= 1.0, s"fraction $f outside [0,1]"))
-    def hex(f: Double): String = f"${math.round(f * 65536.0).toInt}%05x"
-    val hash = substring(md5(to_binary(
-      concat_ws("|", lit(salt), col(keyCol).cast("string")), lit("utf-8"))), 1, 4)
-    // 5-hex-digit threshold so fraction 1.0 ("10000") exceeds every 4-digit
-    // hash; lexicographic compare on fixed-width prefixes == numeric.
-    val cut = fractions.foldLeft(lit(hex(defaultFraction))) { case (acc, (g, f)) =>
-      when(col(groupCol) === g, lit(hex(f))).otherwise(acc)
+    val cut = fractions.foldLeft(lit(cutHex(defaultFraction))) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, lit(cutHex(f))).otherwise(acc)
     }
-    df.filter(concat(lit("0"), hash) < cut)
+    df.filter(hashPrefix(col(keyCol), salt) < cut)
   }
 
   /** Per-group quota (data mixing): keep at most `quota` rows per value of
@@ -100,6 +102,8 @@ object CorpusPrep {
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
     df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      // split of an empty doc yields [""] — not a word.
+      .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word"))
       .limit(k)
@@ -120,12 +124,17 @@ object CorpusPrep {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap $overlap must be in [0, chunkTokens)")
     val step = chunkTokens - overlap
-    val words = split(trim(col(textCol)), "\\s+")
+    // Empty/whitespace-only docs have zero tokens (split would yield [""]),
+    // so they produce zero chunks — consistent with tokenCount's zero.
+    val words = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
     val n = size(col("__w"))
     df.withColumn("__w", words)
       .withColumn("__starts",
-        filter(sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
-          s => s === 0 || s < n - overlap))
+        when(n === 0, array().cast("array<int>")).otherwise(
+          filter(sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
+            s => s === 0 || s < n - overlap)))
       .select(col("*"), posexplode(col("__starts")).as(Seq("__cid", "__start")))
       .withColumn(chunkIdCol, col("__cid").cast("long"))
       .withColumn(chunkCol,

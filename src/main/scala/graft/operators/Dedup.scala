@@ -250,7 +250,13 @@ object Dedup {
         graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
         graft.functions.MinHashExpr.minhashSignature(words, shingleLen, numHashes).as("sig"),
         array_distinct(graft.functions.MinHashExpr.shingleHashes(words, shingleLen)).as("sh"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(s"$path/docs")
+    // The signature/shingle parameters are part of the index format: a
+    // reader recomputing them with different values would silently kill
+    // recall (stale signature slots, incomparable shingle sets), so they
+    // ride a sidecar and the reader derives them from it.
+    graft.core.MetaIo.write(df.sparkSession, s"$path/meta.json",
+      s"""{"numHashes":$numHashes,"shingleLen":$shingleLen}""")
   }
 
   /** Drop rows of `df` that duplicate the indexed corpus, exactly
@@ -267,20 +273,29 @@ object Dedup {
     * existing corpus's text.
     */
   def dropAgainstIndex(df: DataFrame, textCol: String, idCol: String, path: String,
-      threshold: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
-      shingleLen: Int = 3): DataFrame = {
+      threshold: Double = 0.5, bands: Int = 16): DataFrame = {
     val spark = df.sparkSession
+    // Signature/shingle parameters come from the index sidecar — recomputing
+    // with different values than the writer's would silently zero recall.
+    val meta = graft.core.MetaIo.parse(graft.core.MetaIo.read(spark, s"$path/meta.json"))
+    val numHashes = meta.path("numHashes").intValue()
+    val shingleLen = meta.path("shingleLen").intValue()
+    require(numHashes > 0 && shingleLen > 0, s"corrupt dedup index meta at $path")
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
     val rowsPerBand = numHashes / bands
-    val idx = spark.read.parquet(path)
-    val fpClean = df.join(
-      idx.select(col("fp").as("__fp")).distinct(),
-      graft.functions.TextFunctions.fingerprint(col(textCol)) === col("__fp"),
-      "left_anti")
+    val idx = spark.read.parquet(s"$path/docs")
+    // ONE scan of the new batch computes all three narrow artifacts; every
+    // downstream stage (exact match, banding, verify) reads the staged
+    // frame, and only the final anti-join touches the payload again.
     val words = split(trim(col(textCol)), "\\s+")
-    val newBase = parallelize(fpClean).select(col(idCol).cast("long").as("id"),
+    val newBase = parallelize(df).select(col(idCol).cast("long").as("id"),
+        graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
         graft.functions.MinHashExpr.minhashSignature(words, shingleLen, numHashes).as("sig"),
         array_distinct(graft.functions.MinHashExpr.shingleHashes(words, shingleLen)).as("sh"))
       .transform(graft.core.Persist.stage(_))
+    val exactIds = newBase.select(col("id"), col("fp"))
+      .join(idx.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+      .select(col("id").as("nid"))
     def bucket(base: DataFrame): DataFrame = {
       val cols = (0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(concat_ws(",",
@@ -292,12 +307,13 @@ object Dedup {
       .join(bucket(idx.select(col("id"), col("sig"))).toDF("oid", "bk2"),
         col("bk1") === col("bk2"))
       .select("nid", "oid").distinct()
-    val matched = candidates
+    val nearIds = candidates
       .join(newBase.select(col("id").as("nid"), col("sh").as("sh1")), "nid")
       .join(idx.select(col("id").as("oid"), col("sh").as("sh2")), "oid")
       .filter(jaccard(col("sh1"), col("sh2")) >= threshold)
-      .select(col("nid")).distinct()
-    fpClean.join(matched, col(idCol).cast("long") === col("nid"), "left_anti")
+      .select(col("nid"))
+    val dropIds = exactIds.union(nearIds).distinct()
+    df.join(dropIds, col(idCol).cast("long") === col("nid"), "left_anti")
   }
 
   /** Remove cross-document repeated spans from the text — the cleaning

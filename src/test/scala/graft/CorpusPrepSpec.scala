@@ -82,11 +82,18 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out.toSet == out2.toSet, "membership is a pure function of (salt, key)")
   }
 
-  test("vocabTopK: counts and deterministic tie-break") {
-    val d = Seq((1L, "b a a c"), (2L, "A b  c d")).toDF("id", "text")
+  test("vocabTopK: counts and deterministic tie-break; empty docs contribute no word") {
+    val d = Seq((1L, "b a a c"), (2L, "A b  c d"), (3L, "   "), (4L, "")).toDF("id", "text")
     val out = CorpusPrep.vocabTopK(d, "text", k = 3)
       .as[(String, Long)].collect()
     assert(out.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 2L)), out.mkString(";"))
+  }
+
+  test("chunkDocuments: empty and whitespace-only docs produce zero chunks") {
+    val d = Seq((1L, ""), (2L, "   "), (3L, "one token")).toDF("doc_id", "text")
+    val out = CorpusPrep.chunkDocuments(d, "text", chunkTokens = 8, overlap = 2)
+      .select("doc_id").as[Long].collect()
+    assert(out.toSeq == Seq(3L), out.mkString(","))
   }
 
   test("chunkDocuments: overlapping windows cover the doc; trailing no-new-word starts skipped") {

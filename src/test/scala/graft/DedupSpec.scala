@@ -151,6 +151,12 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.dropAgainstIndex(fresh, "text", "doc_id", path, threshold = 0.5)
       .select("doc_id").as[Long].collect().sorted
     assert(out.toSeq == Seq(5L, 7L), out.toSeq.toString)
+    // Signature params ride the index sidecar; a bands value that does not
+    // divide the saved numHashes fails loudly instead of degrading recall.
+    intercept[IllegalArgumentException] {
+      Dedup.dropAgainstIndex(fresh, "text", "doc_id", path, threshold = 0.5, bands = 7)
+        .count()
+    }
   }
 
   test("stripSharedWindows ignores spans repeated only within one doc") {
