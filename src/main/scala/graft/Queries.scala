@@ -528,6 +528,28 @@ object Queries {
       }
     }),
 
+    "ann_pq_vs" -> ((s, dir) => {
+      // The PQ codec through the settings-level store: Settings.vs =
+      // IvfVS(pq = true) routes semIndexSave/semSearchStore onto the
+      // product-quantized cell-partitioned index. pqAdc = false selects the
+      // bit-reproducible reconstruction kernel so the lifecycle is
+      // oracle-checkable (ADC parity to 1e-9 is pinned by PqSpec); the fit
+      // parameters match ann_ivfpq_search, so the pinned codebooks apply.
+      val base = java.nio.file.Files.createTempDirectory("graft_verify_pqvs").toString
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 4).select("embedding")
+        .head().getSeq[Float](0)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      Sem.withSettings(Sem.settings.copy(vs =
+          Some(graft.embed.IvfVS(base, nCells = 8, nProbe = 8,
+            pq = true, pqAdc = false)))) {
+        EmbedOps.semIndexSave(withVec, "emb", "vec_id", "emb_idx")
+        EmbedOps.semSearchStoreVec(s, "emb_idx", qv.toIndexedSeq, 12)
+          .select(col("id").as("vec_id"), round(col("score"), 3).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      }
+    }),
+
     "sem_cluster" -> ((s, dir) => {
       // sem_cluster_by on the stored embedding column. The centroid fit is
       // deterministic driver-side Lloyd's on the SORTED sample — a pure
@@ -1533,6 +1555,26 @@ object Queries {
         |SELECT d.vec_id, round(list_cosine_similarity(d.dv, q.qv), 3) AS score
         |FROM d, q
         |ORDER BY list_cosine_similarity(d.dv, q.qv) DESC, d.vec_id
+        |LIMIT 12""".stripMargin,
+
+    // Settings-routed PQ store: same pinned-codebook encode → reconstruct →
+    // cosine as ann_ivfpq_search, query vector 4.
+    "ann_pq_vs" ->
+      s"""WITH cb(sub, code, c) AS (VALUES $PqCodebooksM8K16),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 4),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |enc AS (
+        |  SELECT v.vec_id, cb.sub, cb.code, cb.c,
+        |    list_distance(list_slice(v.v, cb.sub*8 + 1, cb.sub*8 + 8), cb.c) AS dist
+        |  FROM v CROSS JOIN cb),
+        |pick AS (
+        |  SELECT vec_id, sub, c FROM enc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+        |rec AS (
+        |  SELECT vec_id, flatten(list(c ORDER BY sub)) AS r FROM pick GROUP BY vec_id)
+        |SELECT r.vec_id, round(list_cosine_similarity(r.r, q.qv), 3) AS score
+        |FROM rec r, q
+        |ORDER BY list_cosine_similarity(r.r, q.qv) DESC, r.vec_id
         |LIMIT 12""".stripMargin,
 
     // PQ encode (per-subspace squared-distance argmin, ties → lowest code)

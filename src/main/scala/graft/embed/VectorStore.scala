@@ -43,18 +43,24 @@ final case class ParquetVS(basePath: String) extends VectorStore {
   }
 }
 
-/** IVF(-SQ8) ANN-backed store — the settings-level way to reach the indexed
-  * ANN tier (the reference routes FAISS indexes through `settings.vs`; this
-  * is the Spark-native counterpart, so `semIndexSave`/`semSearchStore` get
-  * probe-pruned approximate search without bespoke [[IvfIndex]] calls).
-  * `index()` fits the coarse quantizer (bounded driver-side sample) and
-  * saves the cell-partitioned parquet index under `basePath/<collection>`;
-  * `search()` probes only the `nProbe` nearest cells — a partition-pruning
-  * read on the saved layout. `sq8 = true` stores int8 codes + scale (~4×
-  * smaller index; dequant fused into the probe scan).
+/** IVF(-SQ8/-PQ) ANN-backed store — the settings-level way to reach the
+  * indexed ANN tier (the reference routes FAISS indexes through
+  * `settings.vs`; this is the Spark-native counterpart, so
+  * `semIndexSave`/`semSearchStore` get probe-pruned approximate search
+  * without bespoke [[IvfIndex]] calls). `index()` fits the coarse quantizer
+  * (bounded driver-side sample) and saves the cell-partitioned parquet
+  * index under `basePath/<collection>`; `search()` probes only the `nProbe`
+  * nearest cells — a partition-pruning read on the saved layout. Codecs:
+  * `sq8 = true` stores int8 codes + scale (~4× smaller; dequant fused into
+  * the probe scan); `pq = true` stores product-quantized codes (m smallint
+  * codes per vector, [[ProductQuantizer]]) scored with the O(m) ADC lookup
+  * kernel — or the bit-reproducible reconstruction cosine when
+  * `pqAdc = false` (the two agree to 1e-9; see PqSpec).
   */
 final case class IvfVS(basePath: String, nCells: Int = 256, nProbe: Int = 8,
-    sq8: Boolean = false, seed: Long = 42) extends VectorStore {
+    sq8: Boolean = false, pq: Boolean = false, pqM: Int = 8, pqKsub: Int = 16,
+    pqAdc: Boolean = true, seed: Long = 42) extends VectorStore {
+  require(!(sq8 && pq), "IvfVS: sq8 and pq are alternative codecs — pick one")
 
   private def path(c: String) = s"$basePath/$c"
   private val field = "vs"
@@ -63,11 +69,24 @@ final case class IvfVS(basePath: String, nCells: Int = 256, nProbe: Int = 8,
     val framed = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as(graft.operators.EmbedOps.vecCol(field)))
     val (indexed, model) = IvfIndex.build(framed, field, nCells, seed)
-    IvfIndex.save(indexed, model, field, "id", path(collection), sq8)
+    if (pq) {
+      val pqModel = ProductQuantizer.fit(indexed, field, pqM, pqKsub, seed)
+      ProductQuantizer.save(ProductQuantizer.quantize(indexed, field, pqModel),
+        pqModel, Some(model), field, "id", path(collection))
+    } else IvfIndex.save(indexed, model, field, "id", path(collection), sq8)
     indexed.unpersist()
   }
 
+  private def isPq(spark: SparkSession, collection: String): Boolean =
+    graft.core.MetaIo.exists(spark, s"${path(collection)}/pq.json")
+
   override def load(spark: SparkSession, collection: String): DataFrame = {
+    if (isPq(spark, collection)) {
+      val (cells, pqModel, _) = ProductQuantizer.load(spark, path(collection))
+      return cells.select(col("id"),
+        ProductQuantizer.reconstructExpr(
+          col(ProductQuantizer.codesCol(field)), pqModel).as("vector"))
+    }
     val (cells, _) = IvfIndex.load(spark, path(collection))
     val v = graft.operators.EmbedOps.vecCol(field)
     if (cells.columns.contains(v)) cells.select(col("id"), col(v).as("vector"))
@@ -78,6 +97,13 @@ final case class IvfVS(basePath: String, nCells: Int = 256, nProbe: Int = 8,
 
   override def search(spark: SparkSession, collection: String, queryVec: Seq[Float],
       k: Int): DataFrame = {
+    if (isPq(spark, collection)) {
+      val (cells, pqModel, ivf) = ProductQuantizer.load(spark, path(collection))
+      return ProductQuantizer.search(cells, field, pqModel, queryVec, k,
+          ivf = ivf, nProbe = nProbe, adc = pqAdc, scoreCol = "score",
+          tieBreak = Seq(col("id")))
+        .select("id", "score")
+    }
     val (cells, model) = IvfIndex.load(spark, path(collection))
     IvfIndex.search(cells, model, field, queryVec, k, nProbe,
         scoreCol = "score", tieBreak = Seq(col("id")))

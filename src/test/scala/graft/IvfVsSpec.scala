@@ -70,6 +70,43 @@ class IvfVsSpec extends SparkSpec {
     }
   }
 
+  test("pq store routes the product-quantized lifecycle; full probe recalls exact top-k") {
+    val base = java.nio.file.Files.createTempDirectory("pqvs").toString
+    val vs = IvfVS(base, nCells = 8, nProbe = 8, pq = true, pqM = 4, pqKsub = 8, seed = 7)
+    Sem.withSettings(Sem.settings.copy(vs = Some(vs))) {
+      val qv = vecs.filter($"id" === 3).select(EmbedOps.vecCol("emb")).as[Seq[Float]].head()
+      EmbedOps.semIndexSave(vecs, "emb", "id", "coll")
+      val viaStore = EmbedOps.semSearchStoreVec(spark, "coll", qv, 10)
+        .select("id").as[Long].collect()
+      val exact = EmbedOps.semSearchVec(vecs, "emb", qv, 10, tieBreak = Seq(col("id")))
+        .select("id").as[Long].collect()
+      val recall = viaStore.toSet.intersect(exact.toSet).size.toDouble / exact.length
+      assert(recall >= 0.8, s"recall $recall")
+    }
+  }
+
+  test("pq store: ADC and reconstruction kernels agree per id to 1e-9") {
+    val base = java.nio.file.Files.createTempDirectory("pqvs2").toString
+    def mk(adc: Boolean) = IvfVS(base, nCells = 8, nProbe = 8, pq = true,
+      pqM = 4, pqKsub = 8, pqAdc = adc, seed = 7)
+    val qv = vecs.filter($"id" === 3).select(EmbedOps.vecCol("emb")).as[Seq[Float]].head()
+    val a = Sem.withSettings(Sem.settings.copy(vs = Some(mk(adc = true)))) {
+      EmbedOps.semIndexSave(vecs, "emb", "id", "coll")
+      EmbedOps.semSearchStoreVec(spark, "coll", qv, 10)
+        .select("id", "score").as[(Long, Double)].collect().toMap
+    }
+    val b = Sem.withSettings(Sem.settings.copy(vs = Some(mk(adc = false)))) {
+      EmbedOps.semSearchStoreVec(spark, "coll", qv, 10)
+        .select("id", "score").as[(Long, Double)].collect().toMap
+    }
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, s) => assert(math.abs(s - b(id)) < 1e-9, s"id $id: $s vs ${b(id)}") }
+  }
+
+  test("sq8 and pq codecs are mutually exclusive") {
+    intercept[IllegalArgumentException] { IvfVS("x", sq8 = true, pq = true) }
+  }
+
   test("semLoadIndex reads (id, vector) back through the store") {
     withIvfVs() { _ =>
       EmbedOps.semIndexSave(vecs, "emb", "id", "coll")
