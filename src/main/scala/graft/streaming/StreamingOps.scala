@@ -95,6 +95,44 @@ object StreamingOps {
       .drop("__graft_raw")
   }
 
+  /** Streaming incremental dedup against a [[graft.operators.Dedup.saveDedupIndex]]
+    * index: exact duplicates of the existing corpus drop via a stream-static
+    * fingerprint anti-join (stateless — the static side broadcasts or
+    * re-reads per micro-batch); near-dup CANDIDATES are flagged
+    * (`maybe_near_dup`) via a driver-built Bloom filter over the index's
+    * LSH band keys riding the stream as a pure per-row expression. The
+    * stream stays shuffle-free and low-latency; flagged rows route to the
+    * batch [[graft.operators.Dedup.dropAgainstIndex]] verify (a Bloom hit
+    * is an upper bound — no false negatives up to fpp band collisions).
+    */
+  def streamDropAgainstIndex(stream: DataFrame, textCol: String, path: String,
+      bands: Int = 16, fpp: Double = 1e-6): DataFrame = {
+    val spark = stream.sparkSession
+    val meta = graft.core.MetaIo.parse(graft.core.MetaIo.read(spark, s"$path/meta.json"))
+    val numHashes = meta.path("numHashes").intValue()
+    val shingleLen = meta.path("shingleLen").intValue()
+    require(numHashes > 0 && shingleLen > 0, s"corrupt dedup index meta at $path")
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val rowsPerBand = numHashes / bands
+    val idx = spark.read.parquet(s"$path/docs")
+    def bandKeysOf(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column = array((0 until bands).map { b =>
+      xxhash64(concat_ws(",", lit(b) +:
+        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
+    }: _*)
+    val idxBands = idx.select(explode(bandKeysOf(col("sig"))).as("__bk"))
+    val bloom = idxBands.stat.bloomFilter("__bk", math.max(idxBands.count(), 1L), fpp)
+    val fpStatic = idx.select(col("fp").as("__fp")).distinct()
+    val words = split(trim(col(textCol)), "\\s+")
+    stream
+      .withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .join(fpStatic, Seq("__fp"), "left_anti")
+      .drop("__fp")
+      .withColumn("maybe_near_dup",
+        graft.functions.BloomExpr.bloomContainsCount(
+          bandKeysOf(graft.functions.MinHashExpr.minhashSignature(
+            words, shingleLen, numHashes)), bloom) > 0)
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)
 

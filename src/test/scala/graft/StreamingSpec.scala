@@ -76,6 +76,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1)._3 == 0L)
   }
 
+  test("stream dedups against a saved corpus index: exact drops, near-dups flagged") {
+    implicit val sqlCtx = spark.sqlContext
+    val old = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("stream_incr").toString + "/idx"
+    graft.operators.Dedup.saveDedupIndex(old, "text", "doc_id", path)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("id", "text")
+    val out = StreamingOps.streamDropAgainstIndex(docs, "text", path)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("incr_out").start()
+    input.addData(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),   // exact dup -> dropped
+      (3L, "the quick brown fox jumps over the lazy dog now"), // near dup -> flagged
+      (5L, "entirely novel streaming document content here"))  // clean
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT id, maybe_near_dup FROM incr_out")
+      .as[(Long, Boolean)].collect().sortBy(_._1)
+    q.stop()
+    assert(rows.map(_._1).toSeq == Seq(3L, 5L), s"exact dup must drop: ${rows.toSeq}")
+    assert(rows(0)._2, "near dup of an indexed doc must flag for batch verify")
+    assert(!rows(1)._2, "novel doc must not flag")
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
