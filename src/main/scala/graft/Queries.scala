@@ -523,8 +523,10 @@ object Queries {
           Some(graft.embed.IvfVS(base, nCells = 8, nProbe = 8)))) {
         EmbedOps.semIndexSave(withVec, "emb", "vec_id", "emb_idx")
         EmbedOps.semSearchStoreVec(s, "emb_idx", qv.toIndexedSeq, 12)
+          // Order on the RAW score (the oracle's ORDER BY is unrounded);
+          // rounding only in the projection.
+          .orderBy(col("score").desc, col("id"))
           .select(col("id").as("vec_id"), round(col("score"), 3).as("score"))
-          .orderBy(col("score").desc, col("vec_id"))
       }
     }),
 
@@ -545,8 +547,10 @@ object Queries {
             pq = true, pqAdc = false)))) {
         EmbedOps.semIndexSave(withVec, "emb", "vec_id", "emb_idx")
         EmbedOps.semSearchStoreVec(s, "emb_idx", qv.toIndexedSeq, 12)
+          // Order on the RAW score (the oracle's ORDER BY is unrounded);
+          // rounding only in the projection.
+          .orderBy(col("score").desc, col("id"))
           .select(col("id").as("vec_id"), round(col("score"), 3).as("score"))
-          .orderBy(col("score").desc, col("vec_id"))
       }
     }),
 

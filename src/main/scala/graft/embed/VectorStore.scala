@@ -69,11 +69,18 @@ final case class IvfVS(basePath: String, nCells: Int = 256, nProbe: Int = 8,
     val framed = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as(graft.operators.EmbedOps.vecCol(field)))
     val (indexed, model) = IvfIndex.build(framed, field, nCells, seed)
+    // Re-indexing under a different codec must remove the other codec's
+    // sidecar — a stale pq.json would mis-route every later search/load of
+    // this collection to the PQ reader (and vice versa).
     if (pq) {
       val pqModel = ProductQuantizer.fit(indexed, field, pqM, pqKsub, seed)
       ProductQuantizer.save(ProductQuantizer.quantize(indexed, field, pqModel),
         pqModel, Some(model), field, "id", path(collection))
-    } else IvfIndex.save(indexed, model, field, "id", path(collection), sq8)
+      graft.core.MetaIo.delete(indexed.sparkSession, s"${path(collection)}/centroids.json")
+    } else {
+      IvfIndex.save(indexed, model, field, "id", path(collection), sq8)
+      graft.core.MetaIo.delete(indexed.sparkSession, s"${path(collection)}/pq.json")
+    }
     indexed.unpersist()
   }
 

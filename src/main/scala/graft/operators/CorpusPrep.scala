@@ -15,13 +15,6 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPrep {
 
-  /** Deterministic content-hash sampling: keep a row iff the first 4 hex
-    * chars of `md5(salt|key)` fall under `fraction` of the 16-bit space.
-    * Unlike `df.sample`, membership is a pure function of (salt, key): the
-    * same rows survive on any cluster, any partitioning, any engine — the
-    * reproducibility property a training-corpus sample needs. Fraction
-    * resolution is 1/65536.
-    */
   /** The shared membership hash of [[deterministicSample]] and
     * [[mixByFractions]]: a '0'-prefixed 16-bit lowercase-hex md5 prefix of
     * `salt|key`, compared lexicographically against [[cutHex]] thresholds
@@ -36,6 +29,13 @@ object CorpusPrep {
   private def cutHex(fraction: Double): String =
     f"${math.round(fraction * 65536.0).toInt}%05x"
 
+  /** Deterministic content-hash sampling: keep a row iff the first 4 hex
+    * chars of `md5(salt|key)` fall under `fraction` of the 16-bit space.
+    * Unlike `df.sample`, membership is a pure function of (salt, key): the
+    * same rows survive on any cluster, any partitioning, any engine — the
+    * reproducibility property a training-corpus sample needs. Fraction
+    * resolution is 1/65536.
+    */
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
       salt: String = ""): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction outside [0,1]")

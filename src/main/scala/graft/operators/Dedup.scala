@@ -272,17 +272,43 @@ object Dedup {
     * shingle payloads join once for the verify. Nothing rescans the
     * existing corpus's text.
     */
-  def dropAgainstIndex(df: DataFrame, textCol: String, idCol: String, path: String,
-      threshold: Double = 0.5, bands: Int = 16): DataFrame = {
-    val spark = df.sparkSession
-    // Signature/shingle parameters come from the index sidecar — recomputing
-    // with different values than the writer's would silently zero recall.
+  /** LSH band keys of a minhash signature as array<long>: one xxhash64 per
+    * band with the band index mixed into the hash, so all bands share one
+    * key space (cross-band collisions are 2⁻⁶⁴, the repo-wide convention).
+    * The SINGLE source of band-key truth for the saved dedup index — the
+    * batch reader ([[dropAgainstIndex]]) and the streaming Bloom prefilter
+    * ([[graft.streaming.StreamingOps.streamDropAgainstIndex]]) must hash
+    * identically or a filter built by one is unprobeable by the other.
+    */
+  private[graft] def indexBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(concat_ws(",", lit(b) +:
+        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
+    }: _*)
+
+  /** Read the dedup-index signature parameters persisted by
+    * [[saveDedupIndex]]; fails with a layout explanation rather than a raw
+    * missing-file error.
+    */
+  private[graft] def indexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, bands: Int): (Int, Int, Int) = {
+    require(graft.core.MetaIo.exists(spark, s"$path/meta.json"),
+      s"no dedup index at $path — expected the saveDedupIndex layout " +
+        s"($path/docs parquet + $path/meta.json with the signature parameters)")
     val meta = graft.core.MetaIo.parse(graft.core.MetaIo.read(spark, s"$path/meta.json"))
     val numHashes = meta.path("numHashes").intValue()
     val shingleLen = meta.path("shingleLen").intValue()
     require(numHashes > 0 && shingleLen > 0, s"corrupt dedup index meta at $path")
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
-    val rowsPerBand = numHashes / bands
+    (numHashes, shingleLen, numHashes / bands)
+  }
+
+  def dropAgainstIndex(df: DataFrame, textCol: String, idCol: String, path: String,
+      threshold: Double = 0.5, bands: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    // Signature/shingle parameters come from the index sidecar — recomputing
+    // with different values than the writer's would silently zero recall.
+    val (numHashes, shingleLen, rowsPerBand) = indexParams(spark, path, bands)
     val idx = spark.read.parquet(s"$path/docs")
     // ONE scan of the new batch computes all three narrow artifacts; every
     // downstream stage (exact match, banding, verify) reads the staged
@@ -296,13 +322,9 @@ object Dedup {
     val exactIds = newBase.select(col("id"), col("fp"))
       .join(idx.select(col("fp")).distinct(), Seq("fp"), "left_semi")
       .select(col("id").as("nid"))
-    def bucket(base: DataFrame): DataFrame = {
-      val cols = (0 until bands).map { b =>
-        struct(lit(b).as("band"), xxhash64(concat_ws(",",
-          (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)).as("key"))
-      }
-      base.select(col("id"), explode(array(cols: _*)).as("bk"))
-    }
+    def bucket(base: DataFrame): DataFrame =
+      base.select(col("id"),
+        explode(indexBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
     val candidates = bucket(newBase).toDF("nid", "bk1")
       .join(bucket(idx.select(col("id"), col("sig"))).toDF("oid", "bk2"),
         col("bk1") === col("bk2"))

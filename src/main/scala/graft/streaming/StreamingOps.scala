@@ -108,19 +108,19 @@ object StreamingOps {
   def streamDropAgainstIndex(stream: DataFrame, textCol: String, path: String,
       bands: Int = 16, fpp: Double = 1e-6): DataFrame = {
     val spark = stream.sparkSession
-    val meta = graft.core.MetaIo.parse(graft.core.MetaIo.read(spark, s"$path/meta.json"))
-    val numHashes = meta.path("numHashes").intValue()
-    val shingleLen = meta.path("shingleLen").intValue()
-    require(numHashes > 0 && shingleLen > 0, s"corrupt dedup index meta at $path")
-    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
-    val rowsPerBand = numHashes / bands
+    val (numHashes, shingleLen, rowsPerBand) =
+      graft.operators.Dedup.indexParams(spark, path, bands)
     val idx = spark.read.parquet(s"$path/docs")
-    def bandKeysOf(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column = array((0 until bands).map { b =>
-      xxhash64(concat_ws(",", lit(b) +:
-        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
-    }: _*)
-    val idxBands = idx.select(explode(bandKeysOf(col("sig"))).as("__bk"))
-    val bloom = idxBands.stat.bloomFilter("__bk", math.max(idxBands.count(), 1L), fpp)
+    // Band-key construction MUST match the batch reader's
+    // (Dedup.indexBandKeys is the single source of truth) — a filter built
+    // with a different hash would be unprobeable. Sizing: exactly
+    // `bands` keys per doc, so the cheap parquet-metadata count of the
+    // un-exploded frame sizes the filter without a second full scan.
+    def bandKeysOf(sig: org.apache.spark.sql.Column) =
+      graft.operators.Dedup.indexBandKeys(sig, bands, rowsPerBand)
+    val expected = math.max(idx.count() * bands, 1L)
+    val bloom = idx.select(explode(bandKeysOf(col("sig"))).as("__bk"))
+      .stat.bloomFilter("__bk", expected, fpp)
     val fpStatic = idx.select(col("fp").as("__fp")).distinct()
     val words = split(trim(col(textCol)), "\\s+")
     stream

@@ -107,6 +107,23 @@ class IvfVsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { IvfVS("x", sq8 = true, pq = true) }
   }
 
+  test("re-indexing a collection under a different codec clears the stale sidecar") {
+    val base = java.nio.file.Files.createTempDirectory("pqvs3").toString
+    val qv = vecs.filter($"id" === 3).select(EmbedOps.vecCol("emb")).as[Seq[Float]].head()
+    Sem.withSettings(Sem.settings.copy(vs = Some(
+        IvfVS(base, nCells = 8, nProbe = 8, pq = true, pqM = 4, pqKsub = 8, seed = 7)))) {
+      EmbedOps.semIndexSave(vecs, "emb", "id", "coll")
+    }
+    Sem.withSettings(Sem.settings.copy(vs = Some(IvfVS(base, nCells = 8, nProbe = 8, seed = 7)))) {
+      EmbedOps.semIndexSave(vecs, "emb", "id", "coll") // back to flat IVF
+      // Without sidecar cleanup the stale pq.json mis-routes this to the PQ
+      // reader, which fails on the missing codes column.
+      val out = EmbedOps.semSearchStoreVec(spark, "coll", qv, 5)
+        .select("id").as[Long].collect()
+      assert(out.length == 5)
+    }
+  }
+
   test("semLoadIndex reads (id, vector) back through the store") {
     withIvfVs() { _ =>
       EmbedOps.semIndexSave(vecs, "emb", "id", "coll")
