@@ -40,6 +40,56 @@ final case class PythonReplTool(timeoutSec: Int = 30) extends AgentTool {
   }
 }
 
+/** Docker-sandboxed Python REPL — the reference's production default
+  * (lotus/tools/repl.py:82-145): each call runs `python3 -c <code>` in a
+  * fresh `docker run --rm` container with the network disabled and a memory
+  * cap, so agent-written code can touch neither the executor's filesystem
+  * nor the cluster network. The process runner is injectable ([[PythonReplTool]]
+  * stays the no-daemon fallback; this environment ships a docker client but
+  * no daemon, so the default runner surfaces the daemon's error text the
+  * same way any docker failure would).
+  */
+final case class DockerReplTool(image: String = "python:3.11-slim",
+    timeoutSec: Int = 30, memoryLimit: String = "512m",
+    runner: Seq[String] => (Int, String) = DockerReplTool.processRunner(30))
+    extends AgentTool {
+  override def name: String = "python_repl"
+  override def description: String =
+    "Execute a Python code snippet in an isolated container and return its stdout."
+  override def parametersSchema: String =
+    """{"type":"object","properties":{"code":{"type":"string"}},"required":["code"]}"""
+
+  /** The docker argv for a snippet — visible for tests and audits: no
+    * network, bounded memory/cpu, ephemeral container, code via argv (never
+    * a shell).
+    */
+  def command(code: String): Seq[String] = Seq(
+    "docker", "run", "--rm", "-i", "--network=none",
+    s"--memory=$memoryLimit", "--cpus=1", image, "python3", "-c", code)
+
+  override def run(argumentsJson: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val code = mapper.readTree(argumentsJson).path("code").asText("")
+    if (code.isEmpty) return "ERROR: missing 'code' argument"
+    val (exit, out) = runner(command(code))
+    if (exit != 0 && out.isEmpty) s"ERROR: docker exited $exit"
+    else out.take(10000)
+  }
+}
+
+object DockerReplTool {
+  /** Default runner: spawn the argv, merge stderr, enforce the timeout. */
+  def processRunner(timeoutSec: Int): Seq[String] => (Int, String) = argv => {
+    val pb = new ProcessBuilder(argv: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val done = proc.waitFor(timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) { proc.destroyForcibly(); (124, s"ERROR: timeout after ${timeoutSec}s") }
+    else (proc.exitValue(), out)
+  }
+}
+
 final case class ToolCall(id: String, name: String, argumentsJson: String)
 
 /** One model turn: final content, or tool calls to execute. */

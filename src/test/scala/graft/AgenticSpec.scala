@@ -116,6 +116,30 @@ class AgenticSpec extends SparkSpec {
     assert(!res.truncated)
   }
 
+  test("docker repl builds a sandboxed argv and runs through the agent loop") {
+    // Hermetic: the runner is injected (no daemon in this env) — the spec
+    // pins the sandbox argv contract and the loop integration.
+    var seen: Seq[String] = Nil
+    val tool = DockerReplTool(runner = argv => {
+      seen = argv
+      (0, "42\n")
+    })
+    val cmd = tool.command("print(6*7)")
+    assert(cmd.take(5) == Seq("docker", "run", "--rm", "-i", "--network=none"), cmd)
+    assert(cmd.contains("--memory=512m") && cmd.contains("--cpus=1"))
+    assert(cmd.takeRight(3) == Seq("python3", "-c", "print(6*7)"), "code via argv, never a shell")
+    val res = AgentLoop.run(FakeCompleters.ReplUser, Seq(tool), "system", "compute 6*7")
+    assert(res.output == "The result is 42")
+    assert(seen.nonEmpty && seen.head == "docker", "loop must execute through the runner")
+  }
+
+  test("docker repl surfaces runner failures instead of fabricating output") {
+    val tool = DockerReplTool(runner = _ => (125, ""))
+    assert(tool.run("""{"code":"print(1)"}""") == "ERROR: docker exited 125")
+    val errTool = DockerReplTool(runner = _ => (1, "Cannot connect to the Docker daemon"))
+    assert(errTool.run("""{"code":"print(1)"}""").contains("Cannot connect"))
+  }
+
   test("agent loop forces a final answer at max steps") {
     // A completer that always wants tools: loop must truncate and force text.
     val loopy = new Completer {
