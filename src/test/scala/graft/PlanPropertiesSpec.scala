@@ -187,6 +187,20 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("weighted mixing is a pure scan filter; vocab top-k avoids a global sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val mixPlan = graft.operators.CorpusPrep.mixByFractions(
+        docs, "lang", Map("en" -> 1.0, "de" -> 0.5), "doc_id", salt = "s")
+      .queryExecution.executedPlan
+    assert(mixPlan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"mixing must not shuffle: ${mixPlan.toString.take(1200)}")
+    val vocabPlan = planOf("vocab_topk")
+    assert(vocabPlan.contains("TakeOrderedAndProject"), vocabPlan.take(1500))
+    assert(vocabPlan.contains("partial_count"),
+      "word counts must combine map-side before the shuffle:\n" + vocabPlan.take(1500))
+  }
+
   test("semAgg pack stage has no global window or single-partition exchange") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
