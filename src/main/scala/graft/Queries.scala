@@ -744,6 +744,16 @@ object Queries {
         .orderBy("lang", "source")
     }),
 
+    "corpus_quota_tokens" -> ((s, dir) => {
+      // Token-budget mixing cap: each language keeps docs (doc_id order)
+      // until 20k tokens; the budget-crossing doc is kept, the rest drop.
+      val d = read(s, dir, "documents")
+        .withColumn("n_tokens", TF.tokenCount(col("text")).cast("long"))
+      CorpusPrep.quotaPerGroupTokens(d, "lang", "doc_id", "n_tokens", maxTokens = 20000)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "corpus_mix_weighted" -> ((s, dir) => {
       // Weighted mixture assembly: keep all English, half German, a quarter
       // Spanish, drop the rest — membership a pure function of
@@ -1468,6 +1478,17 @@ object Queries {
         |  round(sum(q4) * 1.0 / 10000.0 / count(*), 4) AS avg_quality,
         |  round(sum(n_chars) * 1.0 / count(*), 2) AS avg_chars
         |FROM q GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "corpus_quota_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens FROM (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS run
+        |  FROM t)
+        |WHERE run < 20000 ORDER BY doc_id""".stripMargin,
 
     // 5-hex-digit thresholds so fraction 1.0 ("10000") clears every 4-digit
     // hash prefix; the '0' prefix keeps the compare fixed-width.

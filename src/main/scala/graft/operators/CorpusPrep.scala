@@ -76,6 +76,24 @@ object CorpusPrep {
       .drop("__qr")
   }
 
+  /** Per-group TOKEN-budget quota — the mixing cap as a real corpus
+    * recipe states it ("at most N tokens of web per epoch"), not a doc
+    * count: keep a document iff its exclusive running token total (in
+    * `orderCol` order within the group) is still under `maxTokens`, so the
+    * group's kept set always includes the document that crosses the budget
+    * and nothing after it. One shuffle on the group key; the running sum is
+    * the same windowed cumsum as [[packSequences]].
+    */
+  def quotaPerGroupTokens(df: DataFrame, groupCol: String, orderCol: String,
+      tokenCol: String, maxTokens: Long): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens $maxTokens must be >= 1")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__run", sum(col(tokenCol)).over(w) - col(tokenCol))
+      .filter(col("__run") < maxTokens)
+      .drop("__run")
+  }
+
   /** Sequence packing by cumulative token bins: within each `groupCol`
     * partition (documents ordered by `orderCol`), assign `packIdCol` =
     * ⌊(exclusive running token total) / maxTokens⌋. Consecutive docs share

@@ -67,6 +67,17 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out(3L) == 5L) // ...and pushes the next doc past its span
   }
 
+  test("quotaPerGroupTokens: the budget-crossing doc is kept, later docs drop, groups independent") {
+    val d = Seq(
+      (1L, "en", 60L), (2L, "en", 60L), // en: exclusive runs 0, 60 — doc 2 crosses the budget, kept
+      (3L, "en", 60L), (4L, "en", 60L), // runs 120, 180 >= 100 -> dropped
+      (5L, "de", 500L), (6L, "de", 1L)  // de: oversize first doc kept, next dropped
+    ).toDF("id", "lang", "toks")
+    val out = CorpusPrep.quotaPerGroupTokens(d, "lang", "id", "toks", maxTokens = 100)
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 5L), out.mkString(","))
+  }
+
   test("mixByFractions: full groups kept, absent groups dropped, membership partitioning-independent") {
     val d = (0 until 400).map(i =>
       (i.toLong, Seq("en", "de", "xx")(i % 3))).toDF("id", "lang")
