@@ -30,13 +30,9 @@ final case class PythonReplTool(timeoutSec: Int = 30) extends AgentTool {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val code = mapper.readTree(argumentsJson).path("code").asText("")
     if (code.isEmpty) return "ERROR: missing 'code' argument"
-    val pb = new ProcessBuilder("python3", "-c", code)
-    pb.redirectErrorStream(true)
-    val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    val done = proc.waitFor(timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
-    if (!done) { proc.destroyForcibly(); s"ERROR: timeout after ${timeoutSec}s" }
-    else out.take(10000)
+    // Same spawn/merge-stderr/timeout core as the Docker variant — one
+    // place carries the stream-handling fix.
+    DockerReplTool.processRunner(timeoutSec)(Seq("python3", "-c", code))._2.take(10000)
   }
 }
 
@@ -50,8 +46,8 @@ final case class PythonReplTool(timeoutSec: Int = 30) extends AgentTool {
   * same way any docker failure would).
   */
 final case class DockerReplTool(image: String = "python:3.11-slim",
-    timeoutSec: Int = 30, memoryLimit: String = "512m",
-    runner: Seq[String] => (Int, String) = DockerReplTool.processRunner(30))
+    timeoutSec: Int = 30, memoryLimit: String = "512m")(
+    val runner: Seq[String] => (Int, String) = DockerReplTool.processRunner(timeoutSec))
     extends AgentTool {
   override def name: String = "python_repl"
   override def description: String =
@@ -59,34 +55,58 @@ final case class DockerReplTool(image: String = "python:3.11-slim",
   override def parametersSchema: String =
     """{"type":"object","properties":{"code":{"type":"string"}},"required":["code"]}"""
 
+  private def activeRunner: Seq[String] => (Int, String) = runner
+
   /** The docker argv for a snippet — visible for tests and audits: no
-    * network, bounded memory/cpu, ephemeral container, code via argv (never
-    * a shell).
+    * network, bounded memory/cpu, a name for kill-on-timeout cleanup,
+    * ephemeral container, code via argv (never a shell).
     */
-  def command(code: String): Seq[String] = Seq(
-    "docker", "run", "--rm", "-i", "--network=none",
+  def command(code: String, containerName: String = "graft-repl"): Seq[String] = Seq(
+    "docker", "run", "--rm", "-i", "--network=none", s"--name=$containerName",
     s"--memory=$memoryLimit", "--cpus=1", image, "python3", "-c", code)
 
   override def run(argumentsJson: String): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val code = mapper.readTree(argumentsJson).path("code").asText("")
     if (code.isEmpty) return "ERROR: missing 'code' argument"
-    val (exit, out) = runner(command(code))
+    val name = "graft-repl-" + java.util.UUID.randomUUID().toString.take(12)
+    val (exit, out) = activeRunner(command(code, name))
+    // destroyForcibly kills only the docker CLIENT; on timeout the container
+    // itself must be killed or it keeps running (and holding its memory
+    // reservation) — --rm then reaps it on exit. Best-effort.
+    if (exit == 124) {
+      try activeRunner(Seq("docker", "kill", name)) catch { case _: Exception => () }
+    }
     if (exit != 0 && out.isEmpty) s"ERROR: docker exited $exit"
     else out.take(10000)
   }
 }
 
 object DockerReplTool {
-  /** Default runner: spawn the argv, merge stderr, enforce the timeout. */
+  /** Default runner: spawn the argv, merge stderr, enforce the timeout.
+    * Stdout drains on a daemon thread so a child that never closes its
+    * stream (`while True: pass`) still hits the waitFor timeout instead of
+    * blocking the read forever.
+    */
   def processRunner(timeoutSec: Int): Seq[String] => (Int, String) = argv => {
     val pb = new ProcessBuilder(argv: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val buf = new java.io.ByteArrayOutputStream()
+    val reader = new Thread(() => {
+      try proc.getInputStream.transferTo(buf)
+      catch { case _: java.io.IOException => () } // stream closes on kill
+    })
+    reader.setDaemon(true)
+    reader.start()
     val done = proc.waitFor(timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
-    if (!done) { proc.destroyForcibly(); (124, s"ERROR: timeout after ${timeoutSec}s") }
-    else (proc.exitValue(), out)
+    if (!done) {
+      proc.destroyForcibly()
+      (124, s"ERROR: timeout after ${timeoutSec}s")
+    } else {
+      reader.join(2000)
+      (proc.exitValue(), buf.toString("UTF-8"))
+    }
   }
 }
 

@@ -9,19 +9,18 @@ import org.apache.spark.sql.SparkSession
   */
 object MetaIo {
 
-  /** Write-to-temp + rename so a failed write can never leave a truncated
-    * sidecar behind (a half-written JSON would otherwise parse to an empty
-    * model instead of erroring).
+  /** Overwrite in place (single create, stream closed on error). A crash
+    * mid-write can leave a truncated-but-PRESENT file — which [[parse]]
+    * rejects loudly — never an ABSENT one: presence is what codec routing
+    * keys on (e.g. `IvfVS.isPq`), so a delete-then-rename scheme would turn
+    * a crash window into silent wrong-codec routing, strictly worse than a
+    * loud parse error.
     */
   def write(spark: SparkSession, path: String, json: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(tmp, true)
+    val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"MetaIo: rename $tmp -> $p failed")
   }
 
   def read(spark: SparkSession, path: String): String = {
@@ -45,8 +44,16 @@ object MetaIo {
     if (fs.exists(p)) fs.delete(p, false)
   }
 
-  def parse(json: String): com.fasterxml.jackson.databind.JsonNode =
-    new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+  /** Parse a sidecar, failing loudly on blank/truncated content (Jackson
+    * would otherwise map an empty file to a missing node, which callers
+    * could misread as an empty model).
+    */
+  def parse(json: String): com.fasterxml.jackson.databind.JsonNode = {
+    require(json != null && json.trim.nonEmpty, "MetaIo: empty metadata sidecar")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    require(node != null && !node.isMissingNode, "MetaIo: unparseable metadata sidecar")
+    node
+  }
 
   /** Render a float matrix as a JSON array-of-arrays (exact shortest
     * round-trip decimal per component).

@@ -83,11 +83,16 @@ object CorpusPrep {
     * group's kept set always includes the document that crosses the budget
     * and nothing after it. One shuffle on the group key; the running sum is
     * the same windowed cumsum as [[packSequences]].
+    *
+    * `tieBreak`: appended to the window ordering. If `orderCol` can repeat
+    * within a group, pass a unique column here — otherwise which tied doc
+    * crosses the budget is partition-order-dependent, breaking the
+    * any-cluster reproducibility the sibling mixing operators guarantee.
     */
   def quotaPerGroupTokens(df: DataFrame, groupCol: String, orderCol: String,
-      tokenCol: String, maxTokens: Long): DataFrame = {
+      tokenCol: String, maxTokens: Long, tieBreak: Seq[Column] = Nil): DataFrame = {
     require(maxTokens >= 1, s"maxTokens $maxTokens must be >= 1")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol) +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__run", sum(col(tokenCol)).over(w) - col(tokenCol))
       .filter(col("__run") < maxTokens)

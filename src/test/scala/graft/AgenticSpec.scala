@@ -120,13 +120,14 @@ class AgenticSpec extends SparkSpec {
     // Hermetic: the runner is injected (no daemon in this env) — the spec
     // pins the sandbox argv contract and the loop integration.
     var seen: Seq[String] = Nil
-    val tool = DockerReplTool(runner = argv => {
+    val tool = DockerReplTool()(runner = argv => {
       seen = argv
       (0, "42\n")
     })
     val cmd = tool.command("print(6*7)")
     assert(cmd.take(5) == Seq("docker", "run", "--rm", "-i", "--network=none"), cmd)
     assert(cmd.contains("--memory=512m") && cmd.contains("--cpus=1"))
+    assert(cmd.exists(_.startsWith("--name=")), "container must be named for kill-on-timeout")
     assert(cmd.takeRight(3) == Seq("python3", "-c", "print(6*7)"), "code via argv, never a shell")
     val res = AgentLoop.run(FakeCompleters.ReplUser, Seq(tool), "system", "compute 6*7")
     assert(res.output == "The result is 42")
@@ -134,10 +135,29 @@ class AgenticSpec extends SparkSpec {
   }
 
   test("docker repl surfaces runner failures instead of fabricating output") {
-    val tool = DockerReplTool(runner = _ => (125, ""))
+    val tool = DockerReplTool()(runner = _ => (125, ""))
     assert(tool.run("""{"code":"print(1)"}""") == "ERROR: docker exited 125")
-    val errTool = DockerReplTool(runner = _ => (1, "Cannot connect to the Docker daemon"))
+    val errTool = DockerReplTool()(runner = _ => (1, "Cannot connect to the Docker daemon"))
     assert(errTool.run("""{"code":"print(1)"}""").contains("Cannot connect"))
+  }
+
+  test("docker repl kills the named container when the runner times out") {
+    var killed: Seq[String] = Nil
+    val tool = DockerReplTool()(runner = argv =>
+      if (argv.take(2) == Seq("docker", "kill")) { killed = argv; (0, "") }
+      else (124, "ERROR: timeout after 30s"))
+    val out = tool.run("""{"code":"while True: pass"}""")
+    assert(out.startsWith("ERROR: timeout"), out)
+    assert(killed.size == 3 && killed(2).startsWith("graft-repl-"),
+      s"timeout must docker-kill the named container: $killed")
+  }
+
+  test("subprocess runner times out on a child that never closes stdout") {
+    // The exact sandbox-escape-by-hanging case: an infinite loop with the
+    // pipe held open must return the timeout error, not block forever.
+    val (exit, out) = DockerReplTool.processRunner(2)(
+      Seq("python3", "-c", "import time\nwhile True: time.sleep(1)"))
+    assert(exit == 124 && out.contains("timeout"), s"$exit $out")
   }
 
   test("agent loop forces a final answer at max steps") {
