@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BENCH_PASSES times (default 3) and reports the PER-QUERY
   * MEDIAN, and the machine's /proc/loadavg is recorded before and after so
   * a contended run is self-evident in the output.
+  *
+  * The JSON is also written to `BENCH_LAST.json` in the working directory
+  * (timings rounded to ms, so the line is compact) — a tail-truncated stdout
+  * capture can no longer lose the record. `SPARK_GRAFT_BENCH_ONLY=a,b`
+  * restricts to named queries for dev iteration.
   */
 object Bench {
 
@@ -43,7 +48,9 @@ object Bench {
     // Passes alternate over the whole query set (A B C, A B C) rather than
     // repeating each query back-to-back, so a transient machine spike
     // inflates at most one pass of each query — which the median discards.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val timings = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to passes; (name, fn) <- names) {
@@ -52,11 +59,17 @@ object Bench {
       timings(name) = timings(name) :+ (System.nanoTime() - t0) / 1e9
     }
     val loadAfter = loadAvg()
-    val results = names.map { case (name, _) => name -> median(timings(name)) }
+    def ms(v: Double): Double = math.round(v * 1000).toDouble / 1000
+    val results = names.map { case (name, _) => name -> ms(median(timings(name))) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}""")
+    val total = ms(if (results.nonEmpty) results.map(_._2).sum else 0.0)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}"""
+    println(json)
+    // Self-contained record regardless of the caller's capture window.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Exception => () }
     spark.stop()
   }
 }

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -262,6 +263,93 @@ case class NgramRepetition(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Rebuild a document with every word covered by a shared window removed, as
+  * ONE tight per-row pass: the covered mask comes from a difference array over
+  * the start positions (+1 at each start, −1 past its window end, prefix-sum →
+  * coverage), so the cost is O(words + starts) regardless of how much of the
+  * doc is boilerplate. Replaces the
+  * `filter(words, (w, i) => !array_contains(covered, i))` HOF whose per-word
+  * linear scan of the covered array is O(words × covered) — a fully-covered
+  * 100k-word document costs ~10¹⁰ comparisons in one task (the same
+  * adversarial class [[NgramRepetition]] closed for the Gopher stats).
+  *
+  * Semantics match the HOF form exactly: window length is min(window, #words)
+  * (short docs form one whole-doc window), survivors keep original form and
+  * single-space joining, `n_removed` counts distinct covered positions, and a
+  * null start set (no shared windows) removes nothing.
+  */
+case class StripCoveredWords(words: Expression, starts: Expression, window: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  require(window >= 1, "window must be >= 1")
+
+  override def left: Expression = words
+  override def right: Expression = starts
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean", StringType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+
+  override def nullable: Boolean = words.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (words.dataType, starts.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"strip_covered_words requires (array<string>, array<int>), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val w = words.eval(input)
+    if (w == null) return null
+    val wa = w.asInstanceOf[ArrayData]
+    val n = wa.numElements()
+    val winLen = math.min(window, n)
+    // Difference array: coverage(p) > 0 iff some start s has s <= p < s+winLen.
+    val diff = new Array[Int](n + 1)
+    val s = starts.eval(input)
+    if (s != null) {
+      val sa = s.asInstanceOf[ArrayData]
+      var i = 0
+      while (i < sa.numElements()) {
+        if (!sa.isNullAt(i)) {
+          val st = sa.getInt(i)
+          if (st >= 0 && st < n) {
+            diff(st) += 1
+            diff(math.min(st + winLen, n)) -= 1
+          }
+        }
+        i += 1
+      }
+    }
+    var removed = 0L
+    val sb = new java.lang.StringBuilder()
+    var sep = false
+    var cover = 0
+    var p = 0
+    while (p < n) {
+      cover += diff(p)
+      if (cover > 0) removed += 1
+      else {
+        val word = wa.getUTF8String(p)
+        if (word != null) { // concat_ws skips nulls without a separator
+          if (sep) sb.append(' ')
+          sb.append(word.toString)
+          sep = true
+        }
+      }
+      p += 1
+    }
+    InternalRow(UTF8String.fromString(sb.toString), removed)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(words = newLeft, starts = newRight)
+}
+
 object MinHashExpr {
   import org.apache.spark.sql.graft.ColumnBridge
   /** Column wrapper: minhash signature (array<long>) of a word-array column. */
@@ -281,4 +369,11 @@ object MinHashExpr {
     */
   def ngramRepetition(words: Column, n: Int): Column =
     ColumnBridge.column(NgramRepetition(ColumnBridge.expression(words), n))
+
+  /** Column wrapper: struct(clean, n_removed) — document rebuilt without the
+    * words covered by shared-window starts, one O(words + starts) pass.
+    */
+  def stripCoveredWords(words: Column, starts: Column, window: Int): Column =
+    ColumnBridge.column(StripCoveredWords(
+      ColumnBridge.expression(words), ColumnBridge.expression(starts), window))
 }

@@ -66,11 +66,17 @@ object CorpusPrep {
     * at N documents" step of corpus mixing. One shuffle on the group key;
     * Spark lowers the rank filter to a two-phase WindowGroupLimit, so only
     * ≤ quota rows per group survive the partial stage.
+    *
+    * `tieBreak`: appended to the window ordering, same contract as
+    * [[quotaPerGroupTokens]]. If `orderCol` can repeat within a group, pass
+    * a unique column here — otherwise which tied rows survive the cap is
+    * partition-order-dependent, breaking the any-cluster reproducibility
+    * the rest of the mixing family guarantees.
     */
   def quotaPerGroup(df: DataFrame, groupCol: String, orderCol: String,
-      quota: Int): DataFrame = {
+      quota: Int, tieBreak: Seq[Column] = Nil): DataFrame = {
     require(quota >= 1, s"quota $quota must be >= 1")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol) +: tieBreak: _*)
     df.withColumn("__qr", row_number().over(w))
       .filter(col("__qr") <= quota)
       .drop("__qr")

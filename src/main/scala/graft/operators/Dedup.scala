@@ -354,8 +354,9 @@ object Dedup {
     * payload re-join any enrich needs: windows hash per-row (tight-loop FNV
     * kernel), the shared-window groupBy and the per-doc start-collect
     * shuffle only `(hash)`/`(id, position)` — never text — and the covered
-    * mask + rebuild are a codegen'd per-row map. Start sets are bounded by
-    * doc length, not corpus size.
+    * mask + rebuild are one O(words + starts) tight-loop expression
+    * ([[graft.functions.StripCoveredWords]]). Start sets are bounded by doc
+    * length, not corpus size.
     */
   def stripSharedWindows(df: DataFrame, textCol: String, idCol: String,
       window: Int = 8, minDocs: Int = 2, cleanCol: String = "clean_text"): DataFrame = {
@@ -372,16 +373,14 @@ object Dedup {
       .select(col("__g"))
     val starts = grams.join(shared, Seq("__g"))
       .groupBy(col(idCol)).agg(collect_set(col("__pos")).as("__starts"))
-    val winLen = least(lit(window), size(col("__w")))
+    // Mask + rebuild in one O(words + starts) pass (difference-array coverage)
+    // — never O(words × covered); a fully-boilerplate 100k-word doc is linear.
     withH.join(starts, Seq(idCol), "left")
-      .withColumn("__covered",
-        when(col("__starts").isNull, array().cast("array<int>"))
-          .otherwise(array_distinct(flatten(transform(col("__starts"),
-            s => sequence(s, s + winLen - 1))))))
-      .withColumn("n_removed", size(col("__covered")).cast("long"))
-      .withColumn(cleanCol, concat_ws(" ",
-        filter(col("__w"), (w, i) => !array_contains(col("__covered"), i))))
-      .drop("__w", "__h", "__starts", "__covered")
+      .withColumn("__sc", graft.functions.MinHashExpr.stripCoveredWords(
+        col("__w"), col("__starts"), window))
+      .withColumn("n_removed", col("__sc").getField("n_removed"))
+      .withColumn(cleanCol, col("__sc").getField("clean"))
+      .drop("__w", "__h", "__starts", "__sc")
   }
 
   def dropDuplicatesByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {

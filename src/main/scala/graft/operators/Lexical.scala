@@ -132,23 +132,33 @@ object LexIndex {
   private def bucketOf(term: Column, nBuckets: Int): Column =
     pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
 
-  /** Build postings `(term, id, tf, bucket)` — one explode + one groupBy
+  /** Build postings `(term, id, tf, dl, bucket)` — one explode + one groupBy
     * (term, id): the canonical index-build shuffle, paid once per corpus.
+    * The doc length is DENORMALIZED into every posting row (the standard
+    * inverted-index layout): +8 bytes per posting buys searches that never
+    * touch a corpus-sized doc-length table — a pruned-bucket read is the
+    * whole query-time IO.
     */
   def postings(df: DataFrame, textCol: String, idCol: String,
       nBuckets: Int = 64): DataFrame =
-    df.select(col(idCol).as("id"), explode(Lexical.tokens(col(textCol))).as("term"))
-      .groupBy(col("term"), col("id"))
+    df.select(col(idCol).as("id"), Lexical.tokens(col(textCol)).as("__toks"))
+      // Tokenize once: size and explode both read the projected array — a
+      // second split() of every document doubles the build's scan cost.
+      .select(col("id"), size(col("__toks")).cast("double").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn(bucketCol, bucketOf(col("term"), nBuckets))
 
-  /** Doc-length sidecar `(id, dl)` plus corpus totals for the stats file. */
+  /** Doc lengths `(id, dl)` — build-time stats input (n, Σdl cover docs with
+    * zero tokens too, which have no posting rows).
+    */
   def docLengths(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("id"),
       size(Lexical.tokens(col(textCol))).cast("double").as("dl"))
 
-  /** Write the index: bucket-partitioned postings, doc lengths, stats JSON
-    * (`{"n":…,"sumdl":…,"nBuckets":…}` — driver-side, tiny).
+  /** Write the index: bucket-partitioned postings (doc length denormalized
+    * in), stats JSON (`{"n":…,"sumdl":…,"nBuckets":…}` — driver-side, tiny).
     */
   def save(df: DataFrame, textCol: String, idCol: String, path: String,
       nBuckets: Int = 64): Unit = {
@@ -156,20 +166,19 @@ object LexIndex {
       .repartition(col(bucketCol))
       .write.mode("overwrite").partitionBy(bucketCol)
       .parquet(path + "/postings")
-    val dls = docLengths(df, textCol, idCol)
-    dls.write.mode("overwrite").parquet(path + "/doclen")
-    val Array(n, sumdl) = dls.agg(count(lit(1)).cast("double"),
-      sum(col("dl")).cast("double")).head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val Array(n, sumdl) = docLengths(df, textCol, idCol)
+      .agg(count(lit(1)).cast("double"),
+        sum(col("dl")).cast("double")).head().toSeq.map(_.asInstanceOf[Double]).toArray
     val json = s"""{"n":$n,"sumdl":$sumdl,"nBuckets":$nBuckets}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(path, "stats.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** Search a saved index. Reads: stats.json (driver, bytes), the postings
-    * partitions of the query terms' buckets (pruned scan), and the doc
-    * lengths of hit docs only (join on the narrow hit set). Document
-    * frequencies come from the pruned postings themselves — no extra corpus
-    * pass. Returns `(id, scoreCol)` top-k.
+  /** Search a saved index. Reads: stats.json (driver, bytes) and the
+    * postings partitions of the query terms' buckets (pruned scan) — nothing
+    * else; doc lengths ride inside the posting rows and document frequencies
+    * come from the pruned postings themselves, so query cost is independent
+    * of corpus size. Returns `(id, scoreCol)` top-k.
     */
   def search(spark: SparkSession, path: String, query: String, k: Int,
       scoreCol: String = "bm25", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -193,10 +202,8 @@ object LexIndex {
     val post = spark.read.parquet(path + "/postings")
       .filter(col(bucketCol).isin(bucketLits: _*) && col("term").isin(terms: _*))
     val dfs = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val dl = spark.read.parquet(path + "/doclen")
     val avgdl = sumdl / n
     val perPost = post.join(broadcast(dfs), "term")
-      .join(dl, "id")
       .withColumn("__s",
         log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           col("tf") * lit(k1 + 1.0) /

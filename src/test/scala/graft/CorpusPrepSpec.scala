@@ -67,6 +67,22 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out(3L) == 5L) // ...and pushes the next doc past its span
   }
 
+  test("quotaPerGroup with tieBreak is partitioning-independent under duplicate order keys") {
+    import org.apache.spark.sql.functions.col
+    // Every row shares one order key, so WITHOUT a tie-break which rows
+    // survive the cap is partition-order luck; with a unique tieBreak the
+    // kept set is a pure function of the data on any layout.
+    val rows = (0 until 200).map(i => (i.toLong, if (i % 2 == 0) "en" else "de", 7L))
+    def kept(parts: Int): Seq[Long] =
+      CorpusPrep.quotaPerGroup(
+          rows.toDF("id", "lang", "ord").repartition(parts), "lang", "ord",
+          quota = 5, tieBreak = Seq(col("id")))
+        .select("id").as[Long].collect().sorted.toSeq
+    val one = kept(1)
+    assert(one == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L), one.mkString(","))
+    assert(kept(7) == one && kept(32) == one)
+  }
+
   test("quotaPerGroupTokens: the budget-crossing doc is kept, later docs drop, groups independent") {
     val d = Seq(
       (1L, "en", 60L), (2L, "en", 60L), // en: exclusive runs 0, 60 — doc 2 crosses the budget, kept

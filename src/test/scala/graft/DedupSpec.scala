@@ -159,6 +159,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("stripSharedWindows completes in bounded time on a fully-covered 100k-word doc") {
+    import org.apache.spark.sql.functions._
+    // Two identical 100k-word docs with all-distinct words: every one of the
+    // ~100k windows is shared, so every position is covered. The old
+    // `filter(words, (w, i) => !array_contains(covered, i))` rebuild is
+    // O(words × covered) ≈ 10¹⁰ comparisons here (hours in one task); the
+    // difference-array expression is O(words + starts). 60 s is generous.
+    val text = Array.tabulate(100000)(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = Dedup.stripSharedWindows(docs, "text", "doc_id", window = 8)
+      .select(col("doc_id"), col("n_removed"), length(col("clean_text")).as("len"))
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, s"stripSharedWindows took $secs s on a fully-covered 100k-word doc")
+    assert(out.toSeq == Seq((0L, 100000L, 0), (1L, 100000L, 0)), out.toSeq.toString)
+  }
+
   test("stripSharedWindows ignores spans repeated only within one doc") {
     import org.apache.spark.sql.functions._
     val docs = Seq(

@@ -109,6 +109,31 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("LexIndex.search reads only pruned postings buckets — no corpus-sized side table") {
+    // Doc lengths are denormalized into the posting rows at build time, so a
+    // query's entire IO is the partition-pruned postings scan. A regression
+    // (e.g. re-introducing a doclen join) makes every query pay a
+    // corpus-sized read regardless of bucket pruning.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val path = java.nio.file.Files.createTempDirectory("lexplan").toString + "/lex"
+      graft.operators.LexIndex.save(docs, "text", "doc_id", path, nBuckets = 8)
+      val plan = graft.operators.LexIndex.search(spark, path, "spark join", k = 10)
+        .queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      scans.foreach { s =>
+        val loc = s.relation.location.rootPaths.mkString(",")
+        assert(loc.contains("postings"), s"unexpected scan of $loc")
+        assert(s.partitionFilters.nonEmpty,
+          s"postings scan must prune on ${graft.operators.LexIndex.bucketCol}: $s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("decontamination exact tier broadcasts the eval grams to the corpus scan") {
     // The gram-membership join must be the explicit broadcast (eval sets are
     // small by definition); the later corpus⋈hits re-join may legitimately
