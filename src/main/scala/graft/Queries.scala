@@ -22,19 +22,31 @@ import graft.functions.{MultimodalOps, TextFunctions => TF}
   * bit-identical across engines and integer sums are order-independent, so
   * hashes match without float tolerance.
   */
-/** Scripted agentic completer for the `pipeline_agentic` gate:
+/** Scripted agentic completer for the `pipeline_agentic` gates:
   * deterministic, tool-free, and its semantics are SQL-expressible (map =
   * whitespace-collapsed uppercase of the unit; filter = KEEP iff the unit
-  * content is >= 150 chars), so the agentic pipeline plumbing is
+  * content is >= 150 chars; reduce = "UNITS=<n> CHARS=<Σ finding lengths>"
+  * over the per-shard findings), so the agentic pipeline plumbing is
   * hash-checkable against a DuckDB oracle. Runs inside executor tasks like
   * any production completer.
   */
 private[graft] object ScriptedPipelineCompleter extends graft.agentic.Completer {
   private val FilterMark = "decide KEEP or DROP for EACH unit"
+  private val ReduceMark = "PER-SHARD FINDINGS:\n"
 
   override def complete(messages: Seq[(String, String)],
       toolsEnabled: Boolean): graft.agentic.AgentStep = {
     val user = messages.reverse.collectFirst { case ("user", c) => c }.getOrElse("")
+    val reduceAt = user.indexOf(ReduceMark)
+    if (reduceAt >= 0) {
+      // Mapped findings are single-line (whitespace-collapsed), so each
+      // "[shard i]" label is followed by exactly one finding line.
+      val findings = "\\[shard \\d+\\]\\n([^\\n]*)".r
+        .findAllMatchIn(user.substring(reduceAt + ReduceMark.length))
+        .map(_.group(1)).toSeq
+      return graft.agentic.AgentStep(
+        s"UNITS=${findings.length} CHARS=${findings.map(_.length).sum}")
+    }
     val shard = {
       val i = user.indexOf("SHARD:\n")
       val body = if (i >= 0) user.substring(i + 7) else user
@@ -535,8 +547,11 @@ object Queries {
       // IvfVS(pq = true) routes semIndexSave/semSearchStore onto the
       // product-quantized cell-partitioned index. pqAdc = false selects the
       // bit-reproducible reconstruction kernel so the lifecycle is
-      // oracle-checkable (ADC parity to 1e-9 is pinned by PqSpec); the fit
-      // parameters match ann_ivfpq_search, so the pinned codebooks apply.
+      // oracle-checkable (ADC parity to 1e-9 is pinned by PqSpec);
+      // pqFitSampleFraction = 1.0 pins the fit to the full vector multiset
+      // exactly like ann_ivfpq_search, so the oracle's literal codebooks
+      // apply at ANY corpus size (the default budget-derived fraction would
+      // silently switch to a hash sample past defaultFitPoints vectors).
       val base = java.nio.file.Files.createTempDirectory("graft_verify_pqvs").toString
       val e = read(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 4).select("embedding")
@@ -544,7 +559,7 @@ object Queries {
       val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
       Sem.withSettings(Sem.settings.copy(vs =
           Some(graft.embed.IvfVS(base, nCells = 8, nProbe = 8,
-            pq = true, pqAdc = false)))) {
+            pq = true, pqAdc = false, pqFitSampleFraction = 1.0)))) {
         EmbedOps.semIndexSave(withVec, "emb", "vec_id", "emb_idx")
         EmbedOps.semSearchStoreVec(s, "emb_idx", qv.toIndexedSeq, 12)
           // Order on the RAW score (the oracle's ORDER BY is unrounded);
@@ -660,6 +675,27 @@ object Queries {
         shardSize = 4)
       kept.toDF().select(col("id").cast("long").as("doc_id"), col("content"))
         .orderBy("doc_id")
+    }),
+
+    "pipeline_agentic_reduce" -> ((s, dir) => {
+      // The terminal agentic reduce over the same map → filter output: the
+      // scripted reducer emits "UNITS=<n> CHARS=<Σ finding lengths>" — a
+      // pure function of the surviving unit multiset (findings join in
+      // unit-id order), so the FULL map → filter → reduce chain, including
+      // the driver-side reduce prompt assembly and agent call, is
+      // hash-verified against SQL.
+      import s.implicits._
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id").cast("string").as("id"), col("text"))
+        .as[(String, String)].map { case (i, c) => graft.agentic.CorpusUnit(i, c) }
+      val mapped = graft.agentic.Pipeline.agenticMap(docs,
+        "Rewrite each unit as whitespace-collapsed uppercase.", ScriptedPipelineCompleter)
+      val kept = graft.agentic.Pipeline.agenticFilter(mapped,
+        "Keep only units with at least 150 characters.", ScriptedPipelineCompleter,
+        shardSize = 4)
+      val out = graft.agentic.Pipeline.agenticReduce(kept,
+        "Summarize the findings.", ScriptedPipelineCompleter)
+      Seq(out).toDF("final")
     }),
 
     "corpus_clean_pipeline" -> ((s, dir) => {
@@ -937,6 +973,33 @@ object Queries {
         .select(col("id").as("doc_id"), round(col("rrf"), 6).as("score"))
     }),
 
+    "hybrid_search_saved" -> ((s, dir) => {
+      // Hybrid retrieval over the DURABLE tiers — the layout a 100 TB
+      // deployment actually runs: BM25 from the term-bucket-pruned LexIndex
+      // and dense cosine from the settings-routed IvfVS (nProbe = nCells →
+      // exact), fused by reciprocal rank. Each tier's lifecycle is
+      // individually oracled (bm25_saved, ann_ivf_vs); ranks are integers,
+      // so the fusion is hash-exact on top — same truth as the ad-hoc
+      // hybrid gate, reached through the saved indexes.
+      val base = java.nio.file.Files.createTempDirectory("graft_verify_hyb").toString
+      val docs = read(s, dir, "documents")
+      LexIndex.save(docs, "text", "doc_id", base + "/lex", nBuckets = 16)
+      val lex = LexIndex.search(s, base + "/lex", "spark join window", k = 20)
+        .select(col("id"), col("bm25").as("score"))
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      val dense = Sem.withSettings(Sem.settings.copy(vs =
+          Some(graft.embed.IvfVS(base + "/vs", nCells = 8, nProbe = 8)))) {
+        EmbedOps.semIndexSave(withVec, "emb", "vec_id", "emb_idx")
+        EmbedOps.semSearchStoreVec(s, "emb_idx", qv.toIndexedSeq, 20)
+          .select(col("id"), col("score"))
+      }
+      Lexical.rrfFuse(Seq(lex, dense), "id", "score", k = 60, topK = 10)
+        .select(col("id").as("doc_id"), round(col("rrf"), 6).as("score"))
+    }),
+
     "decontaminate_ngram" -> ((s, dir) => {
       // Benchmark decontamination: every 20th document plays the eval set;
       // corpus rows are flagged with their distinct shared-5-gram count.
@@ -1052,6 +1115,47 @@ object Queries {
        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
        |ORDER BY vec_id""".stripMargin
 
+  /** Shared truth for the ad-hoc and saved hybrid gates: BM25 top-20 and
+    * exact dense-cosine top-20 (query = vec_id 1) fused by reciprocal rank
+    * (k = 60, top 10).
+    */
+  private val HybridRrfOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+      |    ELSE string_split(lower(trim(text)), ' ') END AS w
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+      |    CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
+      |    CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf1,
+      |    CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf2
+      |  FROM t),
+      |s AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+      |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+      |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+      |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      |  FROM d),
+      |lexs AS (
+      |  SELECT d.doc_id,
+      |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+      |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+      |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))) AS score
+      |  FROM d, s),
+      |lex AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      |  FROM lexs WHERE score > 0 QUALIFY r <= 20),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+      |den AS (
+      |  SELECT e.vec_id AS doc_id, row_number() OVER (
+      |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id) AS r
+      |  FROM embeddings e, q QUALIFY r <= 20),
+      |u AS (SELECT doc_id, r FROM lex UNION ALL SELECT doc_id, r FROM den)
+      |SELECT doc_id, round(score, 6) AS score FROM (
+      |  SELECT doc_id, sum(1.0 / (60.0 + r)) AS score FROM u GROUP BY doc_id
+      |  ORDER BY score DESC, doc_id LIMIT 10) f
+      |ORDER BY score DESC, doc_id""".stripMargin
+
   /** DuckDB-runnable oracles. Keys must match `queries`; column aliases must
     * match the Spark result exactly (driver hashes sorted-by-name columns).
     */
@@ -1060,6 +1164,14 @@ object Queries {
       """WITH m AS (SELECT doc_id, upper(regexp_replace(text, '\s+', ' ', 'g')) AS content
         |           FROM documents WHERE doc_id < 40)
         |SELECT doc_id, content FROM m WHERE length(content) >= 150 ORDER BY doc_id""".stripMargin,
+
+    "pipeline_agentic_reduce" ->
+      """WITH m AS (SELECT doc_id, upper(regexp_replace(text, '\s+', ' ', 'g')) AS content
+        |           FROM documents WHERE doc_id < 40),
+        |k AS (SELECT content FROM m WHERE length(content) >= 150)
+        |SELECT 'UNITS=' || CAST(count(*) AS BIGINT)
+        |    || ' CHARS=' || CAST(sum(length(content)) AS BIGINT) AS final
+        |FROM k""".stripMargin,
 
     "ann_ivf_vs" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 4)
@@ -1715,42 +1827,11 @@ object Queries {
         |WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
-    "hybrid_search_rrf" ->
-      """WITH t AS (
-        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
-        |    ELSE string_split(lower(trim(text)), ' ') END AS w
-        |  FROM documents),
-        |d AS (
-        |  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
-        |    CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
-        |    CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf1,
-        |    CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf2
-        |  FROM t),
-        |s AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
-        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-        |  FROM d),
-        |lexs AS (
-        |  SELECT d.doc_id,
-        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
-        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
-        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))) AS score
-        |  FROM d, s),
-        |lex AS (
-        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
-        |  FROM lexs WHERE score > 0 QUALIFY r <= 20),
-        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
-        |den AS (
-        |  SELECT e.vec_id AS doc_id, row_number() OVER (
-        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id) AS r
-        |  FROM embeddings e, q QUALIFY r <= 20),
-        |u AS (SELECT doc_id, r FROM lex UNION ALL SELECT doc_id, r FROM den)
-        |SELECT doc_id, round(score, 6) AS score FROM (
-        |  SELECT doc_id, sum(1.0 / (60.0 + r)) AS score FROM u GROUP BY doc_id
-        |  ORDER BY score DESC, doc_id LIMIT 10) f
-        |ORDER BY score DESC, doc_id""".stripMargin,
+    "hybrid_search_rrf" -> HybridRrfOracle,
+
+    // Saved tiers compute the same truth (bm25_saved ≡ ad-hoc BM25;
+    // nProbe = nCells IVF ≡ exact cosine), so the oracle is shared.
+    "hybrid_search_saved" -> HybridRrfOracle,
 
     // String 5-grams in SQL vs FNV-hashed grams in Spark: identical counts
     // up to 2^-64 hash collisions (dedup_ngram_jaccard convention).

@@ -73,8 +73,10 @@ final case class DockerReplTool(image: String = "python:3.11-slim",
     val (exit, out) = activeRunner(command(code, name))
     // destroyForcibly kills only the docker CLIENT; on timeout the container
     // itself must be killed or it keeps running (and holding its memory
-    // reservation) — --rm then reaps it on exit. Best-effort.
-    if (exit == 124) {
+    // reservation) — --rm then reaps it on exit. Best-effort. The sentinel
+    // cannot collide with a real container exit status (those are >= 0;
+    // a Python process exiting 124 is NOT a timeout).
+    if (exit == DockerReplTool.TimeoutExit) {
       try activeRunner(Seq("docker", "kill", name)) catch { case _: Exception => () }
     }
     if (exit != 0 && out.isEmpty) s"ERROR: docker exited $exit"
@@ -83,10 +85,16 @@ final case class DockerReplTool(image: String = "python:3.11-slim",
 }
 
 object DockerReplTool {
+  /** Runner timeout sentinel: process exit statuses are non-negative, so a
+    * negative value is unambiguous — unlike 124 (`timeout(1)`'s convention),
+    * which a container's own code can legitimately exit with.
+    */
+  val TimeoutExit: Int = Int.MinValue
+
   /** Default runner: spawn the argv, merge stderr, enforce the timeout.
     * Stdout drains on a daemon thread so a child that never closes its
     * stream (`while True: pass`) still hits the waitFor timeout instead of
-    * blocking the read forever.
+    * blocking the read forever. Timeout returns ([[TimeoutExit]], error).
     */
   def processRunner(timeoutSec: Int): Seq[String] => (Int, String) = argv => {
     val pb = new ProcessBuilder(argv: _*)
@@ -102,7 +110,7 @@ object DockerReplTool {
     val done = proc.waitFor(timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
     if (!done) {
       proc.destroyForcibly()
-      (124, s"ERROR: timeout after ${timeoutSec}s")
+      (TimeoutExit, s"ERROR: timeout after ${timeoutSec}s")
     } else {
       reader.join(2000)
       (proc.exitValue(), buf.toString("UTF-8"))

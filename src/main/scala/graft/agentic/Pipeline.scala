@@ -128,10 +128,13 @@ object Pipeline {
   /** agentic reduce (terminal): one agent over all current units' findings.
     * Findings are short per-shard texts — bounded driver state. For corpora
     * whose findings exceed driver memory, pre-fold with semAgg first.
+    * Findings are joined in unit-id order, so the reduce prompt is a pure
+    * function of the unit multiset — independent of partition layout (the
+    * reference's sequential shard order, reconstructed deterministically).
     */
   def agenticReduce(ds: Dataset[CorpusUnit], instruction: String, completer: Completer,
       tools: Seq[AgentTool] = Nil, maxSteps: Int = 6): String = {
-    val units = ds.collect()
+    val units = ds.collect().sortBy(_.id)
     val joined = units.zipWithIndex
       .map { case (u, i) => s"[shard $i]\n${u.content}" }.mkString("\n\n")
     AgentLoop.run(completer, tools, ReduceSystem,

@@ -60,31 +60,39 @@ object ProductQuantizer {
     */
   def fit(df: DataFrame, c: String, m: Int, ksub: Int = 16, seed: Long = 42,
       fitSampleFraction: Double = -1.0, maxIter: Int = 20): PqModel = {
-    val indexed = EmbedOps.semIndex(df, c)
     val v = EmbedOps.vecCol(c)
-    val frac =
-      if (fitSampleFraction > 0) math.min(1.0, fitSampleFraction)
-      else {
-        val n = indexed.count()
-        math.min(1.0, IvfIndex.defaultFitPoints(ksub).toDouble / math.max(1L, n))
+    // When the vector column is not already attached, fit's two actions
+    // (count + collect) would run the embedding map over the corpus twice —
+    // persist for the fit's lifetime (IvfIndex.build does the same; callers
+    // that pass an already-vectorized frame pay nothing).
+    val needPersist = !df.columns.contains(v)
+    val indexed = EmbedOps.semIndex(df, c)
+    if (needPersist) indexed.persist()
+    try {
+      val frac =
+        if (fitSampleFraction > 0) math.min(1.0, fitSampleFraction)
+        else {
+          val n = indexed.count()
+          math.min(1.0, IvfIndex.defaultFitPoints(ksub).toDouble / math.max(1L, n))
+        }
+      // Content-hash sampling (the IvfIndex.build convention): membership is
+      // a pure function of (vector, seed), so the codebooks really are a pure
+      // function of the vector multiset even on the sampled path.
+      val fitDf = if (frac >= 1.0) indexed.select(col(v))
+                  else indexed.select(col(v)).filter(
+                    pmod(xxhash64(col(v), lit(seed)), lit(1000000L)) <
+                      math.round(frac * 1000000.0))
+      val sample = fitDf.collect().map(_.getSeq[Float](0).toArray)
+      require(sample.nonEmpty, "PQ fit sample is empty")
+      val dim = sample.head.length
+      require(dim % m == 0, s"PQ subspace count $m must divide dim $dim")
+      val dsub = dim / m
+      val codebooks = Array.tabulate(m) { s =>
+        val slices = sample.map(p => java.util.Arrays.copyOfRange(p, s * dsub, (s + 1) * dsub))
+        IvfIndex.fitCentroids(slices, ksub, seed + s, maxIter)
       }
-    // Content-hash sampling (the IvfIndex.build convention): membership is
-    // a pure function of (vector, seed), so the codebooks really are a pure
-    // function of the vector multiset even on the sampled path.
-    val fitDf = if (frac >= 1.0) indexed.select(col(v))
-                else indexed.select(col(v)).filter(
-                  pmod(xxhash64(col(v), lit(seed)), lit(1000000L)) <
-                    math.round(frac * 1000000.0))
-    val sample = fitDf.collect().map(_.getSeq[Float](0).toArray)
-    require(sample.nonEmpty, "PQ fit sample is empty")
-    val dim = sample.head.length
-    require(dim % m == 0, s"PQ subspace count $m must divide dim $dim")
-    val dsub = dim / m
-    val codebooks = Array.tabulate(m) { s =>
-      val slices = sample.map(p => java.util.Arrays.copyOfRange(p, s * dsub, (s + 1) * dsub))
-      IvfIndex.fitCentroids(slices, ksub, seed + s, maxIter)
-    }
-    PqModel(codebooks)
+      PqModel(codebooks)
+    } finally { if (needPersist) indexed.unpersist() }
   }
 
   /** Encode a float-vector column as `m` smallint codes: per subspace, the

@@ -59,7 +59,8 @@ final case class ParquetVS(basePath: String) extends VectorStore {
   */
 final case class IvfVS(basePath: String, nCells: Int = 256, nProbe: Int = 8,
     sq8: Boolean = false, pq: Boolean = false, pqM: Int = 8, pqKsub: Int = 16,
-    pqAdc: Boolean = true, seed: Long = 42) extends VectorStore {
+    pqAdc: Boolean = true, seed: Long = 42,
+    pqFitSampleFraction: Double = -1.0) extends VectorStore {
   require(!(sq8 && pq), "IvfVS: sq8 and pq are alternative codecs — pick one")
 
   private def path(c: String) = s"$basePath/$c"
@@ -70,16 +71,20 @@ final case class IvfVS(basePath: String, nCells: Int = 256, nProbe: Int = 8,
       col(vecCol).as(graft.operators.EmbedOps.vecCol(field)))
     val (indexed, model) = IvfIndex.build(framed, field, nCells, seed)
     // Re-indexing under a different codec must remove the other codec's
-    // sidecar — a stale pq.json would mis-route every later search/load of
-    // this collection to the PQ reader (and vice versa).
+    // routing sidecar BEFORE the new cells are written: a crash (or a
+    // concurrent reader) mid-write then sees a missing-sidecar state that
+    // fails loudly via MetaIo/IvfIndex — never a stale pq.json over non-PQ
+    // cells that silently mis-routes every later load/search (and vice
+    // versa).
     if (pq) {
-      val pqModel = ProductQuantizer.fit(indexed, field, pqM, pqKsub, seed)
+      graft.core.MetaIo.delete(indexed.sparkSession, s"${path(collection)}/centroids.json")
+      val pqModel = ProductQuantizer.fit(indexed, field, pqM, pqKsub, seed,
+        fitSampleFraction = pqFitSampleFraction)
       ProductQuantizer.save(ProductQuantizer.quantize(indexed, field, pqModel),
         pqModel, Some(model), field, "id", path(collection))
-      graft.core.MetaIo.delete(indexed.sparkSession, s"${path(collection)}/centroids.json")
     } else {
-      IvfIndex.save(indexed, model, field, "id", path(collection), sq8)
       graft.core.MetaIo.delete(indexed.sparkSession, s"${path(collection)}/pq.json")
+      IvfIndex.save(indexed, model, field, "id", path(collection), sq8)
     }
     indexed.unpersist()
   }

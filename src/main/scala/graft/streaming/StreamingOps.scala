@@ -95,6 +95,26 @@ object StreamingOps {
       .drop("__graft_raw")
   }
 
+  /** Approximate Bloom size (bytes) for `n` insertions at `fpp` — the
+    * standard m = -n ln(p) / ln²2 bit sizing Spark's builder uses.
+    */
+  private[graft] def bloomBytes(n: Long, fpp: Double): Long =
+    math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2)) / 8.0).toLong
+
+  /** Largest band count whose Bloom fits `budgetBytes` (≥ 1), given
+    * `docs` indexed documents. The prefilter degrades by probing FEWER
+    * bands rather than blowing driver/executor memory: recall of the
+    * flag drops from 1-(1-s^r)^bands toward 1-(1-s^r)^kept — missed
+    * near-dup candidates pass unflagged (they are caught by the batch
+    * verify pass over unflagged rows if one is scheduled), while flagged
+    * rows remain false-positive-only.
+    */
+  private[graft] def bandsWithinBudget(docs: Long, bands: Int, fpp: Double,
+      budgetBytes: Long): Int = {
+    val fit = (1 to bands).takeWhile(b => bloomBytes(math.max(docs * b, 1L), fpp) <= budgetBytes)
+    fit.lastOption.getOrElse(1)
+  }
+
   /** Streaming incremental dedup against a [[graft.operators.Dedup.saveDedupIndex]]
     * index: exact duplicates of the existing corpus drop via a stream-static
     * fingerprint anti-join (stateless — the static side broadcasts or
@@ -104,9 +124,16 @@ object StreamingOps {
     * stream stays shuffle-free and low-latency; flagged rows route to the
     * batch [[graft.operators.Dedup.dropAgainstIndex]] verify (a Bloom hit
     * is an upper bound — no false negatives up to fpp band collisions).
+    *
+    * The filter's memory grows with index_docs × bands, so it is guarded by
+    * `maxBloomBytes`: past the budget the prefilter auto-degrades to the
+    * largest band subset that fits (logged — the tradeoff is candidate
+    * RECALL of the flag, never precision), or throws if `degradeBands` is
+    * false and the full filter cannot fit.
     */
   def streamDropAgainstIndex(stream: DataFrame, textCol: String, path: String,
-      bands: Int = 16, fpp: Double = 1e-6): DataFrame = {
+      bands: Int = 16, fpp: Double = 1e-6,
+      maxBloomBytes: Long = 256L << 20, degradeBands: Boolean = true): DataFrame = {
     val spark = stream.sparkSession
     val (numHashes, shingleLen, rowsPerBand) =
       graft.operators.Dedup.indexParams(spark, path, bands)
@@ -116,9 +143,30 @@ object StreamingOps {
     // with a different hash would be unprobeable. Sizing: exactly
     // `bands` keys per doc, so the cheap parquet-metadata count of the
     // un-exploded frame sizes the filter without a second full scan.
-    def bandKeysOf(sig: org.apache.spark.sql.Column) =
-      graft.operators.Dedup.indexBandKeys(sig, bands, rowsPerBand)
-    val expected = math.max(idx.count() * bands, 1L)
+    val docs = idx.count()
+    val keptBands = {
+      val full = bloomBytes(math.max(docs * bands, 1L), fpp)
+      if (full <= maxBloomBytes) bands
+      else {
+        require(degradeBands, s"streamDropAgainstIndex: Bloom over ${docs} docs × " +
+          s"$bands bands needs ~$full bytes > budget $maxBloomBytes; raise " +
+          "maxBloomBytes or allow degradeBands")
+        val kept = bandsWithinBudget(docs, bands, fpp, maxBloomBytes)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"streamDropAgainstIndex: Bloom over $docs docs × $bands bands " +
+            s"(~$full bytes) exceeds budget $maxBloomBytes; degrading to $kept " +
+            "bands — near-dup flag recall drops (batch verify still exact), " +
+            "precision unchanged")
+        kept
+      }
+    }
+    // Probing a PREFIX of the band keys keeps index and stream sides
+    // consistent: both slice the same indexBandKeys layout.
+    def bandKeysOf(sig: org.apache.spark.sql.Column) = {
+      val keys = graft.operators.Dedup.indexBandKeys(sig, bands, rowsPerBand)
+      if (keptBands == bands) keys else slice(keys, 1, keptBands)
+    }
+    val expected = math.max(docs * keptBands, 1L)
     val bloom = idx.select(explode(bandKeysOf(col("sig"))).as("__bk"))
       .stat.bloomFilter("__bk", expected, fpp)
     val fpStatic = idx.select(col("fp").as("__fp")).distinct()

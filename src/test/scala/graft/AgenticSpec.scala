@@ -145,11 +145,22 @@ class AgenticSpec extends SparkSpec {
     var killed: Seq[String] = Nil
     val tool = DockerReplTool()(runner = argv =>
       if (argv.take(2) == Seq("docker", "kill")) { killed = argv; (0, "") }
-      else (124, "ERROR: timeout after 30s"))
+      else (DockerReplTool.TimeoutExit, "ERROR: timeout after 30s"))
     val out = tool.run("""{"code":"while True: pass"}""")
     assert(out.startsWith("ERROR: timeout"), out)
     assert(killed.size == 3 && killed(2).startsWith("graft-repl-"),
       s"timeout must docker-kill the named container: $killed")
+  }
+
+  test("a container exiting 124 is not mistaken for a timeout") {
+    // docker run propagates the container's exit status; 124 from the
+    // agent's own code must surface as an exit, not trigger a spurious kill.
+    var killed = false
+    val tool = DockerReplTool()(runner = argv =>
+      if (argv.take(2) == Seq("docker", "kill")) { killed = true; (0, "") }
+      else (124, ""))
+    assert(tool.run("""{"code":"import sys; sys.exit(124)"}""") == "ERROR: docker exited 124")
+    assert(!killed, "a real 124 exit must not be treated as a timeout")
   }
 
   test("subprocess runner times out on a child that never closes stdout") {
@@ -157,7 +168,7 @@ class AgenticSpec extends SparkSpec {
     // pipe held open must return the timeout error, not block forever.
     val (exit, out) = DockerReplTool.processRunner(2)(
       Seq("python3", "-c", "import time\nwhile True: time.sleep(1)"))
-    assert(exit == 124 && out.contains("timeout"), s"$exit $out")
+    assert(exit == DockerReplTool.TimeoutExit && out.contains("timeout"), s"$exit $out")
   }
 
   test("agent loop forces a final answer at max steps") {

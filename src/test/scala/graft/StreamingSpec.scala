@@ -102,6 +102,47 @@ class StreamingSpec extends SparkSpec {
     assert(!rows(1)._2, "novel doc must not flag")
   }
 
+  test("stream dedup Bloom degrades bands under a memory budget; near-dups still flag") {
+    implicit val sqlCtx = spark.sqlContext
+    // Budget sized to fit ~4 of the 16 bands: the prefilter must shrink the
+    // probed band set rather than build an over-budget filter. The near-dup
+    // is periodic text two words longer than its indexed twin: its DISTINCT
+    // shingle set is identical (J = 1 → equal minhash signature), so it
+    // flags through ANY band subset — deterministic under degradation.
+    val old = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "rep one rep one rep one rep one")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("stream_incr_budget").toString + "/idx"
+    graft.operators.Dedup.saveDedupIndex(old, "text", "doc_id", path)
+    val budget = StreamingOps.bloomBytes(2L * 4, 1e-6)
+    assert(StreamingOps.bandsWithinBudget(2L, 16, 1e-6, budget) == 4)
+    // Guard path: degradeBands=false refuses loudly instead of degrading.
+    val err = intercept[IllegalArgumentException] {
+      StreamingOps.streamDropAgainstIndex(
+        spark.readStream.format("rate").load().selectExpr("cast(value as string) as text"),
+        "text", path, maxBloomBytes = budget, degradeBands = false)
+    }
+    assert(err.getMessage.contains("raise"), err.getMessage)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("id", "text")
+    val out = StreamingOps.streamDropAgainstIndex(docs, "text", path,
+      maxBloomBytes = budget)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("incr_budget_out").start()
+    input.addData(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup -> dropped
+      (3L, "rep one rep one rep one rep one rep one"),       // shingle-set dup -> flagged
+      (5L, "entirely novel streaming document content here")) // clean
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT id, maybe_near_dup FROM incr_budget_out")
+      .as[(Long, Boolean)].collect().sortBy(_._1)
+    q.stop()
+    assert(rows.map(_._1).toSeq == Seq(3L, 5L), s"exact dup must drop: ${rows.toSeq}")
+    assert(rows(0)._2, "near dup must flag through the degraded band subset")
+    assert(!rows(1)._2, "novel doc must not flag")
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
