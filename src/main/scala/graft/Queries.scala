@@ -698,6 +698,23 @@ object Queries {
       Seq(out).toDF("final")
     }),
 
+    "join_salted" -> ((s, dir) => {
+      // The explicit skew lever, oracled for SEMANTICS: an 8-way salted
+      // inner equi-join must equal the plain join — the salt only reroutes
+      // rows across reducers (lineitem plays the skewed side, orders the
+      // replicated dim). SkewMediaSpec pins the distribution behavior; this
+      // gate pins that salting never changes the result.
+      val li = read(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val o = read(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      graft.operators.Skew.saltedEquiJoin(li, o, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+        .orderBy("o_orderpriority")
+    }),
+
     "corpus_clean_pipeline" -> ((s, dir) => {
       // The training-data cleaning pipeline as ONE plan: exact dedup (keep
       // min-id per text) → quality-score filter → per-language doc/token
@@ -802,6 +819,20 @@ object Queries {
     "vocab_topk" -> ((s, dir) => {
       CorpusPrep.vocabTopK(read(s, dir, "documents"), "text", k = 50)
         .orderBy(col("n").desc, col("word"))
+    }),
+
+    "unigram_surprisal" -> ((s, dir) => {
+      // CCNet-style LM quality filtering with a unigram reference model:
+      // the vocabulary fits on even doc_ids (the "reference corpus"), every
+      // doc scores its mean -ln p(word). Vocab counts are integers
+      // (engine-independent); the per-word ln terms fold left-to-right in
+      // both engines, so round-4 scores hash-match (the bm25 convention).
+      val d = read(s, dir, "documents")
+      val counts = CorpusPrep.vocabCounts(d.filter(col("doc_id") % 2 === 0), "text")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      CorpusPrep.unigramSurprisal(d, "text", counts, counts.values.sum)
+        .select(col("doc_id"), round(col("surprisal"), 4).as("surprisal"))
+        .orderBy("doc_id")
     }),
 
     "chunk_docs" -> ((s, dir) => {
@@ -1226,6 +1257,12 @@ object Queries {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
+    "join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q2_join_agg" ->
       """SELECT r_name, n_name,
         |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
@@ -1615,6 +1652,27 @@ object Queries {
       """SELECT word, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)
         |WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+
+    // Integer vocab counts + left-to-right ln fold in both engines
+    // (list_reduce is a sequential left fold, like Spark's aggregate HOF).
+    "unigram_surprisal" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM documents),
+        |v AS (
+        |  SELECT word, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(w) AS word FROM t WHERE doc_id % 2 = 0)
+        |  GROUP BY word),
+        |m AS (SELECT map(list(word ORDER BY word), list(c ORDER BY word)) AS mp,
+        |             CAST(sum(c) AS DOUBLE) AS total FROM v)
+        |SELECT doc_id,
+        |  CASE WHEN len(w) = 0 THEN NULL ELSE
+        |    round(list_reduce(list_transform(w,
+        |        x -> -ln(coalesce(mp[x][1], 1.0) / total)),
+        |      (a, b) -> a + b) / len(w), 4)
+        |  END AS surprisal
+        |FROM t, m ORDER BY doc_id""".stripMargin,
 
     // Zipped unnests over the same start list stay aligned in DuckDB, so
     // chunk_id / token count / slice all read the same start. 0-based

@@ -122,20 +122,59 @@ object CorpusPrep {
       floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / maxTokens).cast("long"))
   }
 
-  /** Global top-k vocabulary: (word, count) over the whitespace-lowercased
-    * token stream. The classic corpus-analysis job: explode + map-side
-    * partial count per word, one aggregation shuffle on the word, and the
-    * top-k lowers to TakeOrderedAndProject (no global sort). Ties break on
-    * the word so the result is total-order deterministic.
+  /** Word counts `(word, n)` of the lowercased whitespace token stream —
+    * the vocabulary-build pass shared by [[vocabTopK]] and
+    * [[unigramSurprisal]]: explode + map-side partial count, one
+    * aggregation shuffle on the word.
     */
-  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    require(k >= 1, s"k $k must be >= 1")
+  def vocabCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       // split of an empty doc yields [""] — not a word.
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Global top-k vocabulary: (word, count). The top-k lowers to
+    * TakeOrderedAndProject (no global sort); ties break on the word so the
+    * result is total-order deterministic.
+    */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    vocabCounts(df, textCol)
       .orderBy(col("n").desc, col("word"))
       .limit(k)
+  }
+
+  /** Unigram surprisal — the LM-perplexity quality signal of published
+    * corpus pipelines (CCNet, arXiv 1911.00359, there with a 5-gram KenLM;
+    * here the unigram reference model that needs no model artifact): per
+    * doc, the mean -ln p(word) against a reference vocabulary of
+    * `(word -> count)` totalling `totalTokens`. In-distribution text scores
+    * low, OOV-heavy gibberish scores high, repetitive boilerplate scores
+    * anomalously low — filter both tails. OOV words count as `oovCount`
+    * occurrences (add-one floor).
+    *
+    * Scale shape: the vocabulary is a bounded driver-side map riding the
+    * plan as a literal (build it with [[vocabTopK]] — a capped vocab IS the
+    * model), and scoring is one per-row left-to-right fold — deterministic
+    * IEEE order, so a SQL oracle reproduces scores exactly; no shuffle, no
+    * UDF. Empty docs yield NULL.
+    */
+  def unigramSurprisal(df: DataFrame, textCol: String, vocab: Map[String, Long],
+      totalTokens: Long, outCol: String = "surprisal",
+      oovCount: Long = 1L): DataFrame = {
+    require(vocab.nonEmpty, "unigramSurprisal: empty vocabulary")
+    require(totalTokens > 0, s"totalTokens $totalTokens must be positive")
+    require(oovCount >= 1, s"oovCount $oovCount must be >= 1")
+    val lut = typedLit(vocab.map { case (w, c) => w -> c.toDouble })
+    val total = lit(totalTokens.toDouble)
+    val words = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    df.withColumn(outCol,
+      when(size(words) === 0, lit(null).cast("double"))
+        .otherwise(aggregate(words, lit(0.0), (acc, w) =>
+          acc - log(coalesce(element_at(lut, w), lit(oovCount.toDouble)) / total))
+          / size(words)))
   }
 
   /** Split documents into overlapping token-window chunks — the passage

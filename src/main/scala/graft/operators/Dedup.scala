@@ -139,13 +139,13 @@ object Dedup {
   /** Connected components by iterative min-label propagation (bounded by the
     * duplicate-graph diameter — near-dup clusters are shallow). Returns the
     * ids to KEEP (the min id of each component plus all isolated nodes).
-    * Scale note: for adversarial deep graphs swap in large-star/small-star;
-    * dup graphs from LSH are overwhelmingly star-shaped.
     */
   /** Small edge lists (the overwhelmingly common case — near-dup graphs are
     * sparse) are solved with a driver-side union-find: one collect, zero
-    * iterative jobs. Edge lists beyond the threshold use distributed label
-    * propagation.
+    * iterative jobs. Edge lists beyond the threshold use distributed
+    * large-star/small-star contraction ([[starEdges]]) — O(log n) rounds
+    * regardless of graph shape, so adversarial chain-shaped dup graphs
+    * cannot force diameter-many jobs.
     */
   def keepAfterConnectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 25, driverEdgeThreshold: Long = 1000000L): DataFrame = {
@@ -178,25 +178,52 @@ object Dedup {
       val removedDf = removed.toSeq.toDF("id")
       return nodes.select(col("id")).join(broadcast(removedDf), Seq("id"), "left_anti")
     }
-    val bidir = e.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(e.select(col("id2").as("src"), col("id1").as("dst")))
-    var labels = graft.core.Persist.stage(nodes.select(col("id"), col("id").as("label")))
-    var converged = false
+    // At convergence the edge set is a union of per-component stars pointing
+    // at the component min, so the keep set is "never a star leaf".
+    val stars = starEdges(e, maxIter)
+    nodes.select(col("id")).join(stars.select(col("u").as("id")), Seq("id"), "left_anti")
+  }
+
+  /** Distributed connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", ACM SoCC 2014): each round is two narrow (long, long)-only
+    * shuffles (a groupBy-min and a join back — no neighbor lists are ever
+    * collected), and the edge set contracts to per-component stars in
+    * O(log n) rounds regardless of shape. Label propagation, by contrast,
+    * needs DIAMETER-many rounds — linear on a chain-shaped dup graph.
+    * Returns the converged star edges `(u, v)` with `v` = component min of
+    * every non-min member `u`.
+    */
+  private[graft] def starEdges(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+    var cur = graft.core.Persist.stage(canon(
+      edges.select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))))
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val next = labels.select("id", "label")
-        .union(bidir.join(labels, bidir("src") === labels("id"))
-          .select(col("dst").as("id"), col("label")))
-        .groupBy("id").agg(min("label").as("label"))
-        .transform(graft.core.Persist.stage(_))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+    var done = cur.isEmpty
+    while (!done && iter < maxIter) {
+      // Large-star: every neighbor LARGER than u re-links to u's local min
+      // (min over u's neighbors and u itself).
+      val bidir = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val lmins = bidir.groupBy("u").agg(min(col("v")).as("m"))
+      val large = bidir.join(lmins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("m"), col("u")).as("v"))
+      // Small-star: on larger→smaller edges, u and all its smaller
+      // neighbors re-link to the smallest of them.
+      val lc = canon(large)
+      val smins = lc.groupBy("u").agg(min(col("v")).as("m"))
+      val next = graft.core.Persist.stage(canon(
+        lc.join(smins, "u").select(col("v").as("u"), col("m").as("v"))
+          .union(smins.select(col("u"), col("m").as("v")))))
+      // Fixed point ⇔ disjoint stars (SoCC'14, Thm 1) ⇔ converged.
+      done = next.exceptAll(cur).limit(1).isEmpty &&
+        cur.exceptAll(next).limit(1).isEmpty
+      cur = next
       iter += 1
     }
-    // Keep each component's min id (its label equals itself) and isolated nodes.
-    labels.filter(col("label") === col("id")).select("id")
+    cur
   }
 
   /** Drop near-duplicates: keep the min-id representative per duplicate

@@ -138,6 +138,27 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "short text", 2L)))
   }
 
+  test("unigramSurprisal: hand-computed scores, OOV floor, empty doc is NULL") {
+    import org.apache.spark.sql.functions.col
+    // Vocab: a=3, b=1 (total 4). p(a)=0.75, p(b)=0.25, OOV floor p=0.25.
+    val vocab = Map("a" -> 3L, "b" -> 1L)
+    val d = Seq(
+      (1L, "a a b"),   // (-ln .75 ×2 + -ln .25)/3
+      (2L, "zzz"),     // pure OOV -> -ln(1/4)
+      (3L, "  ")       // empty -> NULL
+    ).toDF("id", "text")
+    val out = CorpusPrep.unigramSurprisal(d, "text", vocab, totalTokens = 4L)
+      .select(col("id"), col("surprisal")).as[(Long, Option[Double])]
+      .collect().sortBy(_._1)
+    val expected1 = (2 * -math.log(0.75) - math.log(0.25)) / 3
+    assert(math.abs(out(0)._2.get - expected1) < 1e-12, out(0).toString)
+    assert(math.abs(out(1)._2.get - (-math.log(0.25))) < 1e-12, out(1).toString)
+    assert(out(2)._2.isEmpty, "empty doc must score NULL")
+    // Repetitive boilerplate scores anomalously LOW, gibberish HIGH — the
+    // two-tail filter contract.
+    assert(out(1)._2.get > out(0)._2.get)
+  }
+
   test("corpusProfile: exact counts, dup detection via fingerprint, deterministic averages") {
     import org.apache.spark.sql.functions._
     val d = Seq(

@@ -59,7 +59,7 @@ class DedupSpec extends SparkSpec {
     assert(keep == Set(1L, 4L, 6L))
   }
 
-  test("connected components: distributed label propagation path agrees") {
+  test("connected components: distributed star-contraction path agrees") {
     val nodes = (1L to 6L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
     val keep = Dedup.keepAfterConnectedComponents(nodes, edges, driverEdgeThreshold = 0L)
@@ -157,6 +157,38 @@ class DedupSpec extends SparkSpec {
       Dedup.dropAgainstIndex(fresh, "text", "doc_id", path, threshold = 0.5, bands = 7)
         .count()
     }
+  }
+
+  test("star-contraction CC matches driver union-find on seeded random graphs") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val nodes = (0L until 300L).toDF("id")
+    // Mixed shape: random unions + a few planted cliques and chains.
+    val edges = (
+      Seq.fill(250)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong)) ++
+      (0 until 10).map(i => (i.toLong, (i + 1).toLong)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    ).toDF("id1", "id2")
+    val viaDriver = Dedup.keepAfterConnectedComponents(nodes, edges)
+      .as[Long].collect().sorted.toSeq
+    val viaStars = Dedup.keepAfterConnectedComponents(nodes, edges,
+        driverEdgeThreshold = 0L)
+      .as[Long].collect().sorted.toSeq
+    assert(viaStars == viaDriver,
+      s"distributed CC diverged: ${viaStars.take(20)} vs ${viaDriver.take(20)}")
+  }
+
+  test("star-contraction CC converges in O(log n) rounds on a chain graph") {
+    import org.apache.spark.sql.functions._
+    // A 1000-node chain is the adversarial case for label propagation
+    // (diameter rounds); star contraction must finish inside the default
+    // 25-round budget and keep exactly the chain head.
+    val nodes = (0L until 1000L).toDF("id")
+    val edges = (0L until 999L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val keep = Dedup.keepAfterConnectedComponents(nodes, edges,
+        driverEdgeThreshold = 0L)
+      .as[Long].collect().sorted.toSeq
+    assert(keep == Seq(0L), s"chain must contract to its min id: ${keep.take(10)}")
   }
 
   test("stripSharedWindows completes in bounded time on a fully-covered 100k-word doc") {
