@@ -698,6 +698,50 @@ object Queries {
       Seq(out).toDF("final")
     }),
 
+    "q10_rollup" -> ((s, dir) => {
+      // OLAP subtotal surface: ROLLUP over region → nation. Subtotal rows'
+      // null group keys are coalesced to a sentinel BOTH engines render
+      // identically (a raw NULL stringifies differently in the compare).
+      val li = read(s, dir, "lineitem")
+      val o = read(s, dir, "orders")
+      val c = read(s, dir, "customer")
+      val n = read(s, dir, "nation")
+      val r = read(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("r_name"), col("n_name"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("__cents"))
+        // Rollup via SQL: Dataset.rollup over join-tagged columns trips the
+        // DetectAmbiguousSelfJoin false positive (the dataset-id tags ride
+        // the attribute metadata into rollup's Expand); the SQL path
+        // resolves by name and lowers to the identical Expand + Aggregate.
+        .createOrReplaceTempView("q10_rollup_src")
+      s.sql(
+        """SELECT coalesce(r_name, '(all)') AS r_name,
+          |  coalesce(n_name, '(all)') AS n_name,
+          |  sum(__cents) AS revenue_c, count(*) AS n_rows
+          |FROM q10_rollup_src
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY r_name, n_name""".stripMargin)
+    }),
+
+    "q11_percentiles" -> ((s, dir) => {
+      // EXACT interpolated percentiles on integer cents: Spark's
+      // percentile() and DuckDB's quantile_cont share the linear-
+      // interpolation definition, and interpolating between integers is
+      // IEEE-exact — so the hash matches at round-2. Scale note: exact
+      // percentile sorts per group; at 100 TB reach for approx_percentile
+      // (t-digest) instead — this gate pins the exact tier's semantics.
+      read(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.5)"), 2).as("p50_c"),
+          round(expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.95)"), 2).as("p95_c"))
+        .orderBy("o_orderpriority")
+    }),
+
     "join_salted" -> ((s, dir) => {
       // The explicit skew lever, oracled for SEMANTICS: an 8-way salted
       // inner equi-join must equal the plain join — the salt only reroutes
@@ -1256,6 +1300,25 @@ object Queries {
         |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT coalesce(r_name, '(all)') AS r_name,
+        |  coalesce(n_name, '(all)') AS n_name,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q11_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5), 2) AS p50_c,
+        |  round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.95), 2) AS p95_c
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_salted" ->
       """SELECT o_orderpriority, count(*) AS n,
