@@ -622,6 +622,31 @@ object Queries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    "dedup_clusters" -> ((s, dir) => {
+      // The audit/enrich form of dedup: every doc tagged with its
+      // duplicate-cluster representative (component min over the
+      // exact-Jaccard pair graph; singletons map to themselves). Cluster
+      // sizes, canonical picks, and the keep set all derive from this
+      // mapping. Same pair math as dedup_minhash, so the same
+      // recursive-CTE oracle verifies pairs → components → representative.
+      val d = read(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5)
+      Dedup.componentIds(d.select(col("doc_id").cast("long").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("rep_id"))
+        .orderBy("doc_id")
+    }),
+
+    "tfidf_topterms" -> ((s, dir) => {
+      // Corpus keyword extraction: top-3 TF-IDF terms per doc. Each score
+      // is one product of exact per-term values (no accumulation order);
+      // rank ties break on the term, so the result is total-order
+      // deterministic and bit-reproducible in SQL.
+      Lexical.tfidfTopTerms(read(s, dir, "documents"), "text", "doc_id", k = 3)
+        .select(col("id").as("doc_id"), col("term"),
+          round(col("tfidf"), 4).as("tfidf"))
+        .orderBy("doc_id", "term")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // Exact all-pairs n-gram Jaccard on a slice (the verification kernel
       // of the minhash path, run alone): pairs with J ≥ 0.2. The slice is
@@ -1520,6 +1545,44 @@ object Queries {
         |  UNION
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
         |SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a ORDER BY doc_id""".stripMargin,
+
+    // Same reachability CTE as dedup_minhash, but emitting every node's
+    // component-min representative instead of just the keep set.
+    "dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh
+        |  FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "tfidf_topterms" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        |post AS (
+        |  SELECT doc_id, word AS term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS word FROM t) GROUP BY doc_id, word),
+        |dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM post GROUP BY term)
+        |SELECT doc_id, term, round(tf * ln(nd / dfc), 4) AS tfidf
+        |FROM post JOIN dfs USING (term), n
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf * ln(nd / dfc) DESC, term) <= 3
+        |ORDER BY doc_id, term""".stripMargin,
 
     // Bit-exact SimHash64 in SQL: FNV-1a + splitmix avalanche per distinct
     // token (UHUGEINT mod-2^64 arithmetic), ±1 majority votes per bit over

@@ -157,31 +157,61 @@ object Dedup {
     val e = graft.core.Persist.stage(edges)
 
     if (e.count() <= driverEdgeThreshold) {
-      val pairs = e.select(col("id1").cast("long"), col("id2").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      pairs.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
-      }
-      val removed = (pairs.flatMap(p => Seq(p._1, p._2)).distinct
-        .filter(id => find(id) != id)).toSet
+      val reps = unionFind(e.select(col("id1").cast("long"), col("id2").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+      val removed = reps.collect { case (id, r) if id != r => id }.toSeq
       val spark = nodes.sparkSession
       import spark.implicits._
-      val removedDf = removed.toSeq.toDF("id")
+      val removedDf = removed.toDF("id")
       return nodes.select(col("id")).join(broadcast(removedDf), Seq("id"), "left_anti")
     }
     // At convergence the edge set is a union of per-component stars pointing
     // at the component min, so the keep set is "never a star leaf".
     val stars = starEdges(e, maxIter)
     nodes.select(col("id")).join(stars.select(col("u").as("id")), Seq("id"), "left_anti")
+  }
+
+  /** Map every node to its duplicate-cluster REPRESENTATIVE (the component
+    * min id; singletons map to themselves) — the audit/enrich form of
+    * dedup: join it back to tag docs with their cluster, count cluster
+    * sizes, or pick canonical members. Same routing as
+    * [[keepAfterConnectedComponents]]: driver union-find under the edge
+    * threshold, distributed [[starEdges]] above it.
+    */
+  def componentIds(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25,
+      driverEdgeThreshold: Long = 1000000L, repCol: String = "rep_id"): DataFrame = {
+    val e = graft.core.Persist.stage(edges)
+    val mapped: DataFrame =
+      if (e.count() <= driverEdgeThreshold) {
+        val reps = unionFind(e.select(col("id1").cast("long"), col("id2").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+        val spark = nodes.sparkSession
+        import spark.implicits._
+        broadcast(reps.toSeq.toDF("id", repCol))
+      } else starEdges(e, maxIter).select(col("u").as("id"), col("v").as(repCol))
+    nodes.select(col("id"))
+      .join(mapped, Seq("id"), "left")
+      .select(col("id"), coalesce(col(repCol), col("id")).as(repCol))
+  }
+
+  /** Driver union-find: (node → component-min representative) for every
+    * node appearing in an edge. Path-compressed; min id always wins a union.
+    */
+  private def unionFind(pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
+      .map(id => id -> find(id)).toMap
   }
 
   /** Distributed connected components by alternating large-star/small-star

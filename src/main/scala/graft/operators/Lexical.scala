@@ -103,6 +103,31 @@ object Lexical {
     * is safe by construction; the corpus-scale work happened inside the
     * retrievers.
     */
+  /** Top-k TF-IDF terms per document — corpus keyword/feature extraction
+    * (tf × ln(N/df), the classic weighting of Salton & Buckley 1988). Plan:
+    * the same explode + (id, term) groupBy as the index build, a term-keyed
+    * df aggregate joined back, and a per-doc rank that lowers to two-phase
+    * WindowGroupLimit (≤ k rows per doc cross the final exchange). `nDocs`
+    * avoids a count job when the caller already knows it. Every score is a
+    * single product of exact per-term values — no accumulation order, so a
+    * SQL oracle reproduces it bit-for-bit.
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int,
+      scoreCol: String = "tfidf", nDocs: Long = -1L): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val n = (if (nDocs > 0) nDocs else df.count()).toDouble
+    val post = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col(scoreCol).desc, col("term"))
+    post.join(dfs, "term")
+      .withColumn(scoreCol, col("tf") * log(lit(n) / col("df")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k).drop("__r", "tf", "df")
+      .select(col("id"), col("term"), col(scoreCol))
+  }
+
   def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
       k: Int = 60, topK: Int = 10, fusedCol: String = "rrf"): DataFrame = {
     require(lists.nonEmpty, "rrfFuse: no input lists")

@@ -159,6 +159,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("componentIds maps every node to its component min, singletons to themselves") {
+    import org.apache.spark.sql.functions.col
+    val nodes = (0L until 8L).toDF("id")
+    val edges = Seq((1L, 3L), (3L, 5L), (6L, 7L)).toDF("id1", "id2")
+    def run(threshold: Long): Seq[(Long, Long)] =
+      Dedup.componentIds(nodes, edges, driverEdgeThreshold = threshold)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val expected = Seq(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L,
+      5L -> 1L, 6L -> 6L, 7L -> 6L)
+    assert(run(1000000L) == expected, "driver union-find branch")
+    assert(run(0L) == expected, "distributed star-contraction branch")
+  }
+
   test("star-contraction CC matches driver union-find on seeded random graphs") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(7)

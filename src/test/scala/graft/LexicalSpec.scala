@@ -148,6 +148,21 @@ class LexicalSpec extends SparkSpec {
       s"bloom decontamination must be a pure per-row scan:\n$plan")
   }
 
+  test("tfidf top terms: discriminative terms win, ubiquitous terms score zero") {
+    val docs = Seq(
+      (1L, "spark spark unique common"),
+      (2L, "flink common other"),
+      (3L, "common words here")
+    ).toDF("doc_id", "text")
+    val out = Lexical.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .as[(Long, String, Double)].collect().sortBy(r => (r._1, -r._3, r._2))
+    val d1 = out.filter(_._1 == 1L)
+    // tf=2 × ln(3/1) beats tf=1 terms; 'common' (df=3) has idf 0 and never ranks.
+    assert(d1.head._2 == "spark" && math.abs(d1.head._3 - 2 * math.log(3.0)) < 1e-12, d1.toSeq.toString)
+    assert(!out.exists(_._2 == "common"), out.toSeq.toString)
+    assert(out.count(_._1 == 1L) == 2)
+  }
+
   test("rrf fusion rewards docs present in both lists") {
     val lex = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("id", "score")
     val den = Seq((2L, 0.9), (4L, 0.8), (1L, 0.7)).toDF("id", "score")
