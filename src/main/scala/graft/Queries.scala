@@ -569,6 +569,24 @@ object Queries {
       }
     }),
 
+    "embed_random_project" -> ((s, dir) => {
+      // JL random projection 64-d → 16-d with the seeded Gaussian kernel
+      // shared with LSH (planes reproduced as oracle literals; the 1/√16
+      // scale is exactly 0.25, a power of two, so scaling is IEEE-exact).
+      // Components exploded to rows and checked at round-3 — the cosine
+      // gates' accumulation-order convention.
+      val e = read(s, dir, "embeddings")
+        .withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      EmbedOps.randomProject(e, "emb", outDim = 16)
+        .select(col("vec_id"),
+          posexplode(col(EmbedOps.vecCol("emb_rp"))).as(Seq("pos", "val")))
+        // + 0.0 normalizes IEEE negative zero (round of a tiny negative
+        // projection yields -0.0 in one engine, 0.0 in the other).
+        .select(col("vec_id"), col("pos"),
+          (round(col("val").cast("double"), 3) + lit(0.0)).as("val"))
+        .orderBy("vec_id", "pos")
+    }),
+
     "sem_cluster" -> ((s, dir) => {
       // sem_cluster_by on the stored embedding column. The centroid fit is
       // deterministic driver-side Lloyd's on the SORTED sample — a pure
@@ -1280,6 +1298,14 @@ object Queries {
         |FROM embeddings e, q
         |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
         |LIMIT 12""".stripMargin,
+
+    "embed_random_project" ->
+      s"""WITH planes(pid, p) AS (VALUES ${lshPlaneValues(64, 16)})
+         |SELECT e.vec_id, pid AS pos,
+         |  round(CAST(CAST(list_inner_product(CAST(e.embedding AS DOUBLE[]), planes.p) * 0.25
+         |    AS FLOAT) AS DOUBLE), 3) + 0.0 AS val
+         |FROM embeddings e CROSS JOIN planes
+         |ORDER BY vec_id, pos""".stripMargin,
 
     "sem_cluster" -> nearestCentroidOracle(ClusterCentroidsK8, "cluster_id"),
 

@@ -206,6 +206,32 @@ object EmbedOps {
     Array.fill(nBits, dim)(rng.nextGaussian())
   }
 
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    * project the vector column onto `outDim` seeded Gaussian directions
+    * (the [[lshPlanes]] kernel), scaled by 1/√outDim so expected squared
+    * norms are preserved. The storage/IO lever BEFORE indexing at corpus
+    * scale: 64-d → 16-d costs 4× less to store, shuffle and scan while JL
+    * keeps pairwise geometry within ε — project first, then hand the small
+    * vectors to the IVF/PQ tiers. Deterministic (seeded planes are plan
+    * literals), per-row codegen'd dot products, no shuffle; the projected
+    * column keeps the engine's float-vector convention so every downstream
+    * operator (semIndexSave, neardupPairs, semClusterBy) composes directly.
+    * Output column: the vector column of `outName` (default `c` + "_rp").
+    */
+  def randomProject(df: DataFrame, c: String, outDim: Int, seed: Long = 42,
+      outName: String = null): DataFrame = {
+    require(outDim >= 1, s"outDim $outDim must be >= 1")
+    val v = vecCol(c)
+    require(df.columns.contains(v), s"randomProject: no vector column for '$c' — semIndex first")
+    val dim = vecDimOf(df, v)
+    require(outDim <= dim, s"outDim $outDim exceeds input dim $dim")
+    val planes = lshPlanes(dim, outDim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val out = vecCol(Option(outName).getOrElse(s"${c}_rp"))
+    df.withColumn(out, array(planes.map(p =>
+      (dotProduct(col(v), lit(p)) * scale).cast("float")): _*))
+  }
+
   /** Random-hyperplane LSH band keys for a vector column: sign bits of
     * projections onto seeded pseudo-random planes, packed per band. Two
     * vectors with high cosine share a band key with high probability — the

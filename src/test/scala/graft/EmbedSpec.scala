@@ -151,6 +151,35 @@ class EmbedSpec extends SparkSpec {
     assert(autoLsh.count() <= corpus.count())
   }
 
+  test("randomProject: JL projection preserves near-dup geometry and composes downstream") {
+    import graft.operators.EmbedOps
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+    val projected = EmbedOps.randomProject(e, "emb", outDim = 16)
+    val row = projected.select(org.apache.spark.sql.functions.size(
+      col(EmbedOps.vecCol("emb_rp")))).as[Int].head()
+    assert(row == 16)
+    // Deterministic: same seed → identical output.
+    val again = EmbedOps.randomProject(e, "emb", outDim = 16)
+      .select(col("vec_id"), col(EmbedOps.vecCol("emb_rp")))
+    val once = projected.select(col("vec_id"), col(EmbedOps.vecCol("emb_rp")))
+    assert(once.exceptAll(again).isEmpty)
+    // Composes with the standard operators: near-dup pairs on the PROJECTED
+    // vectors still recover the strongest planted pairs found on the
+    // originals (JL keeps high cosines high; threshold relaxed for the
+    // 16-d distortion).
+    val origPairs = EmbedOps.neardupPairs(e, "emb", "vec_id", threshold = 0.45)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val projPairs = EmbedOps.neardupPairs(
+        projected.drop(EmbedOps.vecCol("emb"))
+          .withColumnRenamed(EmbedOps.vecCol("emb_rp"), EmbedOps.vecCol("emb")),
+        "emb", "vec_id", threshold = 0.25)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(origPairs.nonEmpty, "gate data must contain strong near-dups")
+    val recovered = origPairs.intersect(projPairs).size.toDouble / origPairs.size
+    assert(recovered >= 0.8, s"projection lost too many near-dups: $recovered")
+  }
+
   test("semSearchVec over a precomputed index column matches semSearch") {
     val e = graft.core.Sem.settings.embedder
     val qv = e.embedOne("neural networks for machine learning").toIndexedSeq

@@ -134,6 +134,23 @@ class PlanPropertiesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("tfidf rank limits map-side; unigram surprisal scoring is a pure scan") {
+    // tfidf: the per-doc top-k must lower to two-phase WindowGroupLimit so
+    // only ≤ k rows per doc cross the final exchange (the semSimJoin pin).
+    val p = planOf("tfidf_topterms")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    // surprisal: the vocabulary rides the plan as a literal map — scoring
+    // must add NO exchange beyond the parquet scan (vocab build is a
+    // separate, earlier pass).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.CorpusPrep
+      .unigramSurprisal(docs, "text", Map("a" -> 3L, "b" -> 1L), 4L)
+      .queryExecution.executedPlan
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"surprisal scoring must not shuffle: ${plan.toString.take(1200)}")
+  }
+
   test("decontamination exact tier broadcasts the eval grams to the corpus scan") {
     // The gram-membership join must be the explicit broadcast (eval sets are
     // small by definition); the later corpus⋈hits re-join may legitimately
