@@ -32,6 +32,7 @@ import graft.functions.{MultimodalOps, TextFunctions => TF}
   */
 private[graft] object ScriptedPipelineCompleter extends graft.agentic.Completer {
   private val FilterMark = "decide KEEP or DROP for EACH unit"
+  private val SingleFilterMark = "End your reply with a line 'VERDICT:"
   private val ReduceMark = "PER-SHARD FINDINGS:\n"
 
   override def complete(messages: Seq[(String, String)],
@@ -50,9 +51,11 @@ private[graft] object ScriptedPipelineCompleter extends graft.agentic.Completer 
     val shard = {
       val i = user.indexOf("SHARD:\n")
       val body = if (i >= 0) user.substring(i + 7) else user
-      // Strip the batched-op instruction suffix appended after the shard.
-      val j = body.indexOf("\n\nThe shard contains MULTIPLE units")
-      if (j >= 0) body.substring(0, j) else body
+      // Strip the op instruction suffixes appended after the shard
+      // (batched JSON protocol / single-unit verdict line).
+      val j = Seq(body.indexOf("\n\nThe shard contains MULTIPLE units"),
+        body.indexOf("\n\nEnd your reply with a line 'VERDICT:")).filter(_ >= 0)
+      j.sorted.headOption.map(body.substring(0, _)).getOrElse(body)
     }
     val units = shard.split("\n\n").toSeq.flatMap { u =>
       "^\\[unit ([^\\]]+)\\]\\n([\\s\\S]*)$".r.findFirstMatchIn(u)
@@ -63,6 +66,10 @@ private[graft] object ScriptedPipelineCompleter extends graft.agentic.Completer 
         s"""{"id": "$id", "keep": ${content.length >= 150}}"""
       }.mkString("[", ", ", "]")
       graft.agentic.AgentStep(s"Assessed each unit.\n$arr")
+    } else if (user.contains(SingleFilterMark)) {
+      // Single-unit filter: one verdict line for the one unit.
+      val keep = units.headOption.exists(_._2.length >= 150)
+      graft.agentic.AgentStep(s"VERDICT: ${if (keep) "KEEP" else "DROP"}")
     } else {
       // Single-unit map: the reply IS the transformed content.
       val content = units.headOption.map(_._2).getOrElse("")
@@ -701,6 +708,52 @@ object Queries {
       }
     }),
 
+    "pipeline_agent_entry" -> ((s, dir) => {
+      // The reference's flagship agentic entry (Corpus.agent: derive plan →
+      // fold ops) END TO END: a scripted PLANNER answers the planning call
+      // with the JSON plan draft (exercising the sample/stats prompt and
+      // plan parse), the scripted op completer executes the planned
+      // map → filter → reduce, and the reduce summary is SQL-expressible —
+      // one gate hash-verifies planning + plan parse + the whole fold.
+      import s.implicits._
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id").cast("string").as("id"), col("text"))
+        .as[(String, String)].map { case (i, c) => graft.agentic.CorpusUnit(i, c) }
+      val planner = new graft.agentic.Completer {
+        override def complete(messages: Seq[(String, String)],
+            toolsEnabled: Boolean): graft.agentic.AgentStep =
+          graft.agentic.AgentStep(
+            """{"map_instruction": "Rewrite each unit as whitespace-collapsed uppercase.",
+              | "filter_instruction": "Keep only units with at least 150 characters.",
+              | "reduce_instruction": "Summarize the findings.",
+              | "shard_size": 1, "parallelism": 4}""".stripMargin)
+      }
+      val res = graft.agentic.Planner.runAgentPipeline(docs, "normalize the corpus",
+        Seq("map", "filter", "reduce"), ScriptedPipelineCompleter,
+        planner = Some(planner))
+      Seq(res.output.get).toDF("final")
+    }),
+
+    "pipeline_saved" -> ((s, dir) => {
+      // Pipeline save → load → run: the JSON-serialized SemPlan (semantic
+      // filter + trailing classical filter) round-trips through disk, the
+      // pushdown optimizer reorders the LOADED copy (classical predicate
+      // below the LLM stage), and the result still hash-matches SQL — the
+      // save/load surface graduates from spec-only to the oracle gate.
+      Sem.withLM(FakeLM(FakeBehavior.KeywordFilter("spark"))) {
+        val plan = graft.plan.SemPlan(Seq(
+          graft.plan.SemFilterOp("the {text} mentions a certain data engine"),
+          graft.plan.ClassicalFilter("lang IN ('en', 'de')")))
+        val path = java.nio.file.Files.createTempDirectory("graft_verify_plan")
+          .resolve("plan.json").toString
+        graft.plan.SemPlan.save(plan, path)
+        val loaded = graft.plan.SemPlan.load(path).optimized
+        loaded.run(read(s, dir, "documents"))
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang")
+      }
+    }),
+
     "pipeline_agentic" -> ((s, dir) => {
       // The agentic corpus pipeline (map → filter over Dataset[CorpusUnit],
       // one agent loop per shard inside executor tasks) under a scripted
@@ -1274,22 +1327,38 @@ object Queries {
       |  ORDER BY score DESC, doc_id LIMIT 10) f
       |ORDER BY score DESC, doc_id""".stripMargin
 
+  /** Shared truth for the agentic reduce gates: uppercase-collapsed docs
+    * < 40, filtered at ≥ 150 chars, summarized as "UNITS=n CHARS=Σ".
+    */
+  private val AgenticReduceOracle: String =
+    """WITH m AS (SELECT doc_id, upper(regexp_replace(text, '\s+', ' ', 'g')) AS content
+      |           FROM documents WHERE doc_id < 40),
+      |k AS (SELECT content FROM m WHERE length(content) >= 150)
+      |SELECT 'UNITS=' || CAST(count(*) AS BIGINT)
+      |    || ' CHARS=' || CAST(sum(length(content)) AS BIGINT) AS final
+      |FROM k""".stripMargin
+
   /** DuckDB-runnable oracles. Keys must match `queries`; column aliases must
     * match the Spark result exactly (driver hashes sorted-by-name columns).
     */
   val oracleSql: Map[String, String] = Map(
+    "pipeline_saved" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |  AND lang IN ('en', 'de')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "pipeline_agentic" ->
       """WITH m AS (SELECT doc_id, upper(regexp_replace(text, '\s+', ' ', 'g')) AS content
         |           FROM documents WHERE doc_id < 40)
         |SELECT doc_id, content FROM m WHERE length(content) >= 150 ORDER BY doc_id""".stripMargin,
 
-    "pipeline_agentic_reduce" ->
-      """WITH m AS (SELECT doc_id, upper(regexp_replace(text, '\s+', ' ', 'g')) AS content
-        |           FROM documents WHERE doc_id < 40),
-        |k AS (SELECT content FROM m WHERE length(content) >= 150)
-        |SELECT 'UNITS=' || CAST(count(*) AS BIGINT)
-        |    || ' CHARS=' || CAST(sum(length(content)) AS BIGINT) AS final
-        |FROM k""".stripMargin,
+    "pipeline_agentic_reduce" -> AgenticReduceOracle,
+
+    // The planned entry executes the same map → filter → reduce semantics,
+    // so the same SQL is the truth for the full Corpus.agent path.
+    "pipeline_agent_entry" -> AgenticReduceOracle,
 
     "ann_ivf_vs" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 4)
