@@ -708,6 +708,31 @@ object Queries {
       }
     }),
 
+    "gepa_optimized" -> ((s, dir) => {
+      // The GEPA-role optimizer loop END TO END: the plan starts with a
+      // deliberately wrong claim ('flink'), the scripted rewriter proposes
+      // the right one ('spark'), the instruction-sensitive fake executor
+      // (ClaimWordFilter pulls the quoted word from the INSTRUCTION) makes
+      // the candidate genuinely score higher on the eval function, and
+      // GepaLite adopts it. The gate result is the OPTIMIZED plan's output
+      // — a wrong optimizer loop (not proposing, not re-scoring, not
+      // adopting) hash-mismatches because the flink plan's rows differ.
+      Sem.withLM(FakeLM(FakeBehavior.ClaimWordFilter)) {
+        val plan = graft.plan.SemPlan(Seq(
+          graft.plan.SemFilterOp("the {text} mentions 'flink'")))
+        val hasSpark = array_contains(split(lower(col("text")), " "), "spark")
+        val evalFn: DataFrame => Double = df =>
+          df.select(coalesce(sum(when(hasSpark, 1L).otherwise(-1L)), lit(0L)))
+            .head().getLong(0).toDouble
+        val rewriter = FakeLM(FakeBehavior.Scripted(
+          Seq("the {text} mentions 'spark'")))
+        val docs = read(s, dir, "documents")
+        val best = graft.plan.GepaLite.optimize(plan, docs, evalFn, rewriter,
+          rounds = 1, candidatesPerRound = 1)
+        best.plan.run(docs).select(col("doc_id"), col("lang")).orderBy("doc_id")
+      }
+    }),
+
     "pipeline_agent_entry" -> ((s, dir) => {
       // The reference's flagship agentic entry (Corpus.agent: derive plan →
       // fold ops) END TO END: a scripted PLANNER answers the planning call
@@ -1342,6 +1367,12 @@ object Queries {
     * match the Spark result exactly (driver hashes sorted-by-name columns).
     */
   val oracleSql: Map[String, String] = Map(
+    // The truth of the OPTIMIZED plan: the adopted 'spark' claim's rows.
+    "gepa_optimized" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY doc_id""".stripMargin,
+
     "pipeline_saved" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents
