@@ -525,6 +525,30 @@ object Queries {
         .select(col("vec_id"), round(col("raw"), 3).as("score"))
     }),
 
+    "ann_ivf_append" -> ((s, dir) => {
+      // Incremental index growth: build + save on even vec_ids, APPEND the
+      // odd ones (fixed quantizer, one assignment scan, cell dirs extended
+      // in place), then search the grown index. nProbe = nCells makes the
+      // probe exhaustive, so the result equals exact cosine top-k over ALL
+      // vectors — appended rows hash-verify alongside the originals.
+      val path = java.nio.file.Files.createTempDirectory("graft_verify_ivfapp").toString + "/idx"
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 3).select("embedding")
+        .head().getSeq[Float](0)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      val (indexed, model) = graft.embed.IvfIndex.build(
+        withVec.filter(col("vec_id") % 2 === 0), "emb", nCells = 8)
+      graft.embed.IvfIndex.save(indexed, model, "emb", "vec_id", path)
+      indexed.unpersist()
+      graft.embed.IvfIndex.append(
+        withVec.filter(col("vec_id") % 2 === 1), "emb", "vec_id", path)
+      val (loaded, lModel) = graft.embed.IvfIndex.load(s, path)
+      graft.embed.IvfIndex.search(loaded, lModel, "emb", qv, k = 12, nProbe = 8,
+          scoreCol = "raw", tieBreak = Seq(col("vec_id")))
+        .orderBy(col("raw").desc, col("vec_id"))
+        .select(col("vec_id"), round(col("raw"), 3).as("score"))
+    }),
+
     "ann_ivf_vs" -> ((s, dir) => {
       // The settings-level ANN tier: with Settings.vs = IvfVS, plain
       // semIndexSave builds + saves the cell-partitioned IVF index and
@@ -1587,6 +1611,14 @@ object Queries {
         |  SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
         |  FROM documents) t
         |WHERE rank <= 7 ORDER BY rank""".stripMargin,
+
+    "ann_ivf_append" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score
+        |FROM embeddings e, q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 12""".stripMargin,
 
     "ann_ivf_saved" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2)

@@ -27,6 +27,7 @@ object IvfIndex {
   /** Centroid table — tiny (nCells × dim), lives on the driver / in closures. */
   final case class IvfModel(centroids: Array[Array[Float]]) {
     def nCells: Int = centroids.length
+    def dim: Int = if (centroids.isEmpty) 0 else centroids.head.length
     /** Cells ranked by cosine similarity to the query vector. */
     def rankCells(qv: Seq[Float]): Array[Int] = {
       val q = qv.toArray
@@ -258,6 +259,51 @@ object IvfIndex {
     // one small JSON sidecar, not a Spark write job.
     graft.core.MetaIo.write(indexed.sparkSession, s"$path/centroids.json",
       "{\"centroids\":" + graft.core.MetaIo.floatMatrixJson(model.centroids) + "}")
+  }
+
+  /** Append new vectors to a SAVED index without a rebuild — the growth
+    * path of a living corpus. The existing centroids stay the quantizer
+    * (the FAISS add-after-train contract: cells only drift if the data
+    * distribution does — re-fit when probe recall degrades), new rows are
+    * assigned with the same tight-loop expression, and the cell-partitioned
+    * layout extends in place via dynamic-partition append, so only the
+    * touched cell directories gain files. Cost: ONE assignment scan of the
+    * new batch — the existing index is never read (centroids sidecar +
+    * parquet footers only) and never rewritten. Float and SQ8 layouts;
+    * PQ collections need the codebook encode, re-index those via IvfVS.
+    */
+  def append(df: DataFrame, c: String, idCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val metaPath = s"$path/centroids.json"
+    require(graft.core.MetaIo.exists(spark, metaPath),
+      s"IvfIndex.append: no index at $path (missing centroids.json)")
+    require(!graft.core.MetaIo.exists(spark, s"$path/pq.json"),
+      s"IvfIndex.append: $path is a PQ collection — append via a PQ re-encode, not the raw-vector path")
+    val centroids = graft.core.MetaIo.floatMatrix(
+      graft.core.MetaIo.parse(graft.core.MetaIo.read(spark, metaPath)).path("centroids"))
+    val model = IvfModel(centroids)
+    val indexed = EmbedOps.semIndex(df, c)
+    val v = EmbedOps.vecCol(c)
+    val dim = EmbedOps.vecDimOf(indexed, v)
+    require(dim == model.dim,
+      s"IvfIndex.append: batch dim $dim != index dim ${model.dim}")
+    val assigned = indexed.withColumn(cellCol,
+      graft.functions.VectorExprs.nearestCentroid(col(v), centroids))
+    val existing = spark.read.parquet(s"$path/cells").schema.fieldNames.toSet
+    val payload =
+      if (existing.contains(Quantize.codesCol(c))) {
+        val scale = Quantize.sq8Scale(col(v))
+        assigned.select(col(idCol),
+          scale.as(Quantize.scaleCol(c)),
+          Quantize.sq8Codes(col(v), scale).as(Quantize.codesCol(c)),
+          col(cellCol))
+      } else assigned.select(col(idCol), col(v), col(cellCol))
+    require(payload.schema.fieldNames.toSet == existing,
+      s"IvfIndex.append: batch columns ${payload.schema.fieldNames.toSet} " +
+        s"do not match the saved layout $existing (same idCol and vector column required)")
+    payload
+      .repartition(col(cellCol))
+      .write.mode("append").partitionBy(cellCol).parquet(s"$path/cells")
   }
 
   /** Load a saved index: the cell-partitioned vector frame + centroids.

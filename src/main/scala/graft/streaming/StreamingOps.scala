@@ -181,6 +181,21 @@ object StreamingOps {
             words, shingleLen, numHashes)), bloom) > 0)
   }
 
+  /** Continuous ANN-index ingestion: append each micro-batch of an
+    * embedding stream to a saved IVF index ([[graft.embed.IvfIndex.append]]
+    * via foreachBatch — the standard stream-to-batch-sink bridge). The
+    * quantizer (saved centroids) is fixed; each batch pays one assignment
+    * scan and extends only the touched cell directories, so a 100 TB index
+    * grows continuously without rebuilds. Searches between batches see
+    * every COMPLETED append. Caller `.start()`s the returned writer.
+    */
+  def streamAppendToIndex(stream: DataFrame, c: String, idCol: String,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.embed.IvfIndex.append(batch, c, idCol, path)
+    }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)
 

@@ -104,6 +104,37 @@ class IvfSpec extends SparkSpec {
     assert(ivf.toSeq == exact.toSeq)
   }
 
+  test("append grows a saved index in place: search sees new vectors, pruning retained") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_append").toString + "/idx"
+    val base = vecs.filter($"id" < 60)
+    val extra = vecs.filter($"id" >= 60)
+    val (indexed, model) = IvfIndex.build(base, "emb", nCells = 8, seed = 7)
+    IvfIndex.save(indexed, model, "emb", "id", path)
+    indexed.unpersist()
+    IvfIndex.append(extra, "emb", "id", path)
+    val (loaded, lModel) = IvfIndex.load(spark, path)
+    assert(loaded.count() == 120)
+    // Full-probe search over the grown index equals brute force over ALL rows.
+    val qv = vecs.filter($"id" === 100).select(EmbedOps.vecCol("emb"))
+      .as[Seq[Float]].head()
+    val got = IvfIndex.search(loaded, lModel, "emb", qv, k = 5, nProbe = 8,
+      tieBreak = Seq(col("id"))).select("id").as[Long].collect().toSeq
+    val exact = EmbedOps.semSearchVec(vecs, "emb", qv, 5, tieBreak = Seq(col("id")))
+      .select("id").as[Long].collect().toSeq
+    assert(got == exact, s"$got vs $exact")
+    assert(got.contains(100L), "an appended vector must be findable")
+    // The appended layout is still cell-partitioned (pruned probes).
+    val dirs = new java.io.File(path + "/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith(IvfIndex.cellCol + "=")))
+    // Guards: wrong dimension and missing index fail loudly.
+    val bad = Seq((999L, Seq.fill(8)(0.1f))).toDF("id", EmbedOps.vecCol("emb"))
+    intercept[IllegalArgumentException] { IvfIndex.append(bad, "emb", "id", path) }
+    intercept[IllegalArgumentException] {
+      IvfIndex.append(extra, "emb", "id", path + "_nowhere")
+    }
+  }
+
   test("cosine fails loudly on a dimension-mismatched query vector") {
     val (_, model) = IvfIndex.build(vecs, "emb", nCells = 4, seed = 7)
     intercept[IllegalArgumentException] {

@@ -143,6 +143,33 @@ class StreamingSpec extends SparkSpec {
     assert(!rows(1)._2, "novel doc must not flag")
   }
 
+  test("stream of embeddings grows a saved IVF index across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.embed.IvfIndex
+    import graft.operators.EmbedOps
+    def vec(seedAxis: Int): Seq[Float] =
+      Seq.tabulate(8)(d => if (d == seedAxis) 1.0f else 0.05f)
+    val base = Seq((0L, vec(0)), (1L, vec(1)), (2L, vec(2)))
+      .toDF("id", EmbedOps.vecCol("emb"))
+    val path = java.nio.file.Files.createTempDirectory("stream_ivf").toString + "/idx"
+    val (indexed, model) = IvfIndex.build(base, "emb", nCells = 2, seed = 7)
+    IvfIndex.save(indexed, model, "emb", "id", path)
+    indexed.unpersist()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF().toDF("id", EmbedOps.vecCol("emb"))
+    val q = StreamingOps.streamAppendToIndex(stream, "emb", "id", path).start()
+    input.addData((10L, vec(3)), (11L, vec(4)))
+    q.processAllAvailable()
+    input.addData((12L, vec(5)))
+    q.processAllAvailable()
+    q.stop()
+    val (loaded, lModel) = IvfIndex.load(spark, path)
+    assert(loaded.count() == 6, "both micro-batches must be appended")
+    val hit = IvfIndex.search(loaded, lModel, "emb", vec(5), k = 1, nProbe = 2)
+      .select("id").as[Long].head()
+    assert(hit == 12L, "a vector ingested by the stream must be findable")
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
