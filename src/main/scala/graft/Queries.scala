@@ -1172,6 +1172,21 @@ object Queries {
         .select(col("id").as("doc_id"), round(col("bm25"), 3).as("score"))
     }),
 
+    "bm25_append" -> ((s, dir) => {
+      // Incremental sparse index growth: save on even doc_ids, APPEND the
+      // odd ones (same hash buckets via the stats sidecar, dynamic-
+      // partition postings append, n/Σdl updated), search the grown index.
+      // Integer-valued stats make the updated totals exactly the fresh
+      // build's, so the same full-corpus oracle hash-verifies the append.
+      val path = java.nio.file.Files.createTempDirectory("graft_verify_lexapp").toString + "/idx"
+      val d = read(s, dir, "documents")
+      LexIndex.save(d.filter(col("doc_id") % 2 === 0), "text", "doc_id", path,
+        nBuckets = 16)
+      LexIndex.append(d.filter(col("doc_id") % 2 === 1), "text", "doc_id", path)
+      LexIndex.search(s, path, "spark join window", k = 10)
+        .select(col("id").as("doc_id"), round(col("bm25"), 3).as("score"))
+    }),
+
     "hybrid_search_rrf" -> ((s, dir) => {
       // Hybrid retrieval: BM25 top-20 and dense-cosine top-20 fused by
       // reciprocal rank (k=60). Ranks are integers, 1/(60+r) is the same
@@ -1334,6 +1349,35 @@ object Queries {
        |SELECT vec_id, CAST(cell AS BIGINT) AS $outCol FROM d
        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
        |ORDER BY vec_id""".stripMargin
+
+  /** Shared truth for the saved/appended BM25 gates: the full-corpus BM25
+    * top-10 for "spark join window" (same IEEE op order as the engine).
+    */
+  private val Bm25SavedOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+      |    ELSE string_split(lower(trim(text)), ' ') END AS w
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+      |    CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
+      |    CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf1,
+      |    CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf2
+      |  FROM t),
+      |s AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+      |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+      |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+      |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      |  FROM d)
+      |SELECT doc_id, round(score, 3) AS score FROM (
+      |  SELECT d.doc_id,
+      |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+      |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+      |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))) AS score
+      |  FROM d, s) q
+      |WHERE score > 0
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   /** Shared truth for the ad-hoc and saved hybrid gates: BM25 top-20 and
     * exact dense-cosine top-20 (query = vec_id 1) fused by reciprocal rank
@@ -2143,31 +2187,11 @@ object Queries {
         |WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
-    "bm25_saved" ->
-      """WITH t AS (
-        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
-        |    ELSE string_split(lower(trim(text)), ' ') END AS w
-        |  FROM documents),
-        |d AS (
-        |  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
-        |    CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
-        |    CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf1,
-        |    CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf2
-        |  FROM t),
-        |s AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
-        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-        |  FROM d)
-        |SELECT doc_id, round(score, 3) AS score FROM (
-        |  SELECT d.doc_id,
-        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
-        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
-        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))) AS score
-        |  FROM d, s) q
-        |WHERE score > 0
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "bm25_saved" -> Bm25SavedOracle,
+
+    // The appended index computes the same stats totals and posting rows as
+    // a fresh full-corpus build, so the same oracle is the truth.
+    "bm25_append" -> Bm25SavedOracle,
 
     "hybrid_search_rrf" -> HybridRrfOracle,
 

@@ -199,6 +199,38 @@ object LexIndex {
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** Append new documents to a saved index without a rebuild — the sparse
+    * sibling of `IvfIndex.append`: postings for the new batch land in the
+    * SAME term hash buckets (nBuckets from the stats sidecar) via
+    * dynamic-partition append, and the corpus stats (n, Σdl) update in the
+    * sidecar so BM25's idf/avgdl reflect the grown corpus. Cost: one
+    * tokenize + postings shuffle over the NEW batch; the existing postings
+    * are never read. Caller contract: ids must be new (append does not
+    * dedup — run the dedup index first on a growing crawl).
+    */
+  def append(df: DataFrame, textCol: String, idCol: String, path: String): Unit = {
+    val statsPath = java.nio.file.Paths.get(path, "stats.json")
+    require(java.nio.file.Files.exists(statsPath),
+      s"LexIndex.append: no index at $path (missing stats.json)")
+    val stats = new String(java.nio.file.Files.readAllBytes(statsPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def field(name: String): Double =
+      s""""$name":([-0-9.eE]+)""".r.findFirstMatchIn(stats)
+        .map(_.group(1).toDouble)
+        .getOrElse(sys.error(s"LexIndex stats.json missing $name"))
+    val nBuckets = field("nBuckets").toInt
+    postings(df, textCol, idCol, nBuckets)
+      .repartition(col(bucketCol))
+      .write.mode("append").partitionBy(bucketCol)
+      .parquet(path + "/postings")
+    val Array(dn, dsum) = docLengths(df, textCol, idCol)
+      .agg(count(lit(1)).cast("double"),
+        sum(col("dl")).cast("double")).head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val json = s"""{"n":${field("n") + dn},"sumdl":${field("sumdl") + dsum},"nBuckets":$nBuckets}"""
+    java.nio.file.Files.write(statsPath,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Search a saved index. Reads: stats.json (driver, bytes) and the
     * postings partitions of the query terms' buckets (pruned scan) — nothing
     * else; doc lengths ride inside the posting rows and document frequencies

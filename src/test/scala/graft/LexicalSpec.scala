@@ -148,6 +148,28 @@ class LexicalSpec extends SparkSpec {
       s"bloom decontamination must be a pure per-row scan:\n$plan")
   }
 
+  test("LexIndex.append grows the index to exactly the fresh full build") {
+    val docs = Seq(
+      (1L, "spark join window functions"),
+      (2L, "spark streaming watermark state"),
+      (3L, "window aggregation over events"),
+      (4L, "join strategies broadcast shuffle")
+    ).toDF("doc_id", "text")
+    val freshPath = java.nio.file.Files.createTempDirectory("lex_fresh").toString + "/idx"
+    val grownPath = java.nio.file.Files.createTempDirectory("lex_grown").toString + "/idx"
+    LexIndex.save(docs, "text", "doc_id", freshPath, nBuckets = 8)
+    LexIndex.save(docs.filter($"doc_id" <= 2), "text", "doc_id", grownPath, nBuckets = 8)
+    LexIndex.append(docs.filter($"doc_id" > 2), "text", "doc_id", grownPath)
+    val fresh = LexIndex.search(spark, freshPath, "spark window", k = 10)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val grown = LexIndex.search(spark, grownPath, "spark window", k = 10)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(grown == fresh, s"$grown vs $fresh")
+    intercept[RuntimeException] {
+      LexIndex.append(docs, "text", "doc_id", grownPath + "_nowhere")
+    }
+  }
+
   test("tfidf top terms: discriminative terms win, ubiquitous terms score zero") {
     val docs = Seq(
       (1L, "spark spark unique common"),
