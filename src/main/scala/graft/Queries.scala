@@ -1051,6 +1051,26 @@ object Queries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    "dedup_incremental_grow" -> ((s, dir) => {
+      // The FULL incremental-crawl loop, two rounds deep: the corpus
+      // (doc_id%4 ∈ {0,2}) is indexed; crawl B (%4=1) cleans against it and
+      // its SURVIVORS append to the index (appendToDedupIndex — the write
+      // half of the loop); crawl C (%4=3) then cleans against
+      // corpus ∪ B-survivors. The exact all-pairs oracle replays both
+      // rounds; LSH candidate recall is 1 on the gate corpus (the
+      // dedup_minhash argument).
+      val path = java.nio.file.Files.createTempDirectory("graft_verify_incrg")
+        .toString + "/idx"
+      val d = read(s, dir, "documents")
+      Dedup.saveDedupIndex(d.filter(col("doc_id") % 2 === 0), "text", "doc_id", path)
+      val bSurvivors = Dedup.dropAgainstIndex(d.filter(col("doc_id") % 4 === 1),
+        "text", "doc_id", path, threshold = 0.5)
+      Dedup.appendToDedupIndex(bSurvivors, "text", "doc_id", path)
+      Dedup.dropAgainstIndex(d.filter(col("doc_id") % 4 === 3), "text", "doc_id",
+          path, threshold = 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // Gopher/C4-family repetition & gibberish signals: word repetition
       // ratio, top-bigram fraction, duplicate-trigram fraction, symbol-to-
@@ -2038,6 +2058,33 @@ object Queries {
         |    ON len(list_distinct(list_intersect(n.sh, o.sh))) * 1.0 /
         |       len(list_distinct(list_concat(n.sh, o.sh))) >= 0.5)
         |SELECT doc_id FROM nw WHERE doc_id NOT IN (SELECT doc_id FROM excl)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental_grow" ->
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM t),
+        |old AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+        |b AS (SELECT * FROM s WHERE doc_id % 4 = 1),
+        |bexcl AS (
+        |  SELECT n.doc_id FROM b n WHERE n.fp IN (SELECT fp FROM old)
+        |  UNION
+        |  SELECT n.doc_id FROM b n JOIN old o
+        |    ON len(list_distinct(list_intersect(n.sh, o.sh))) * 1.0 /
+        |       len(list_distinct(list_concat(n.sh, o.sh))) >= 0.5),
+        |base2 AS (SELECT * FROM old UNION ALL
+        |  SELECT * FROM b WHERE doc_id NOT IN (SELECT doc_id FROM bexcl)),
+        |c AS (SELECT * FROM s WHERE doc_id % 4 = 3),
+        |cexcl AS (
+        |  SELECT n.doc_id FROM c n WHERE n.fp IN (SELECT fp FROM base2)
+        |  UNION
+        |  SELECT n.doc_id FROM c n JOIN base2 o
+        |    ON len(list_distinct(list_intersect(n.sh, o.sh))) * 1.0 /
+        |       len(list_distinct(list_concat(n.sh, o.sh))) >= 0.5)
+        |SELECT doc_id FROM c WHERE doc_id NOT IN (SELECT doc_id FROM cexcl)
         |ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->

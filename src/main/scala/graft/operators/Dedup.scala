@@ -316,6 +316,26 @@ object Dedup {
       s"""{"numHashes":$numHashes,"shingleLen":$shingleLen}""")
   }
 
+  /** Append a cleaned batch's dedup state to a saved index — the write half
+    * of the incremental-crawl loop: [[dropAgainstIndex]] cleans the new
+    * batch against the corpus, then its SURVIVORS extend the index here so
+    * the next crawl deduplicates against corpus ∪ batch. Signature
+    * parameters come from the sidecar (computing with any others would
+    * poison recall); cost is one signature scan of the batch, the existing
+    * state is never read. Caller contract: append survivors only, ids new.
+    */
+  def appendToDedupIndex(df: DataFrame, textCol: String, idCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val (numHashes, shingleLen, _) = indexParams(spark, path, bands = 1)
+    val words = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol).cast("long").as("id"),
+        graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
+        graft.functions.MinHashExpr.minhashSignature(words, shingleLen, numHashes).as("sig"),
+        array_distinct(graft.functions.MinHashExpr.shingleHashes(words, shingleLen)).as("sh"))
+      .write.mode("append").parquet(s"$path/docs")
+  }
+
   /** Drop rows of `df` that duplicate the indexed corpus, exactly
     * (fingerprint anti-join) or nearly (LSH band join against the index
     * signatures, then exact hashed-shingle Jaccard ≥ `threshold`). Rows
