@@ -48,7 +48,8 @@ object Bench {
     // Passes alternate over the whole query set (A B C, A B C) rather than
     // repeating each query back-to-back, so a transient machine spike
     // inflates at most one pass of each query — which the median discards.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val timings = scala.collection.mutable.Map[String, Vector[Double]]()

@@ -61,11 +61,12 @@ object ProductQuantizer {
   def fit(df: DataFrame, c: String, m: Int, ksub: Int = 16, seed: Long = 42,
       fitSampleFraction: Double = -1.0, maxIter: Int = 20): PqModel = {
     val v = EmbedOps.vecCol(c)
-    // When the vector column is not already attached, fit's two actions
-    // (count + collect) would run the embedding map over the corpus twice —
-    // persist for the fit's lifetime (IvfIndex.build does the same; callers
-    // that pass an already-vectorized frame pay nothing).
-    val needPersist = !df.columns.contains(v)
+    // When the vector column is not already attached AND the auto-sizing
+    // path runs (two actions: count + collect), the embedding map would run
+    // over the corpus twice — persist for the fit's lifetime (IvfIndex.build
+    // does the same). An explicit fitSampleFraction runs only the one
+    // collect, where caching the whole corpus's vectors buys nothing.
+    val needPersist = !df.columns.contains(v) && fitSampleFraction <= 0
     val indexed = EmbedOps.semIndex(df, c)
     if (needPersist) indexed.persist()
     try {

@@ -75,13 +75,15 @@ final case class IvfVS(basePath: String, nCells: Int = 256, nProbe: Int = 8,
     // concurrent reader) mid-write then sees a missing-sidecar state that
     // fails loudly via MetaIo/IvfIndex — never a stale pq.json over non-PQ
     // cells that silently mis-routes every later load/search (and vice
-    // versa).
+    // versa). But only AFTER every fallible driver-side step (the PQ fit's
+    // collect can OOM/throw) — deleting first would turn a recoverable fit
+    // failure into loss of a previously valid index.
     if (pq) {
-      graft.core.MetaIo.delete(indexed.sparkSession, s"${path(collection)}/centroids.json")
       val pqModel = ProductQuantizer.fit(indexed, field, pqM, pqKsub, seed,
         fitSampleFraction = pqFitSampleFraction)
-      ProductQuantizer.save(ProductQuantizer.quantize(indexed, field, pqModel),
-        pqModel, Some(model), field, "id", path(collection))
+      val quantized = ProductQuantizer.quantize(indexed, field, pqModel)
+      graft.core.MetaIo.delete(indexed.sparkSession, s"${path(collection)}/centroids.json")
+      ProductQuantizer.save(quantized, pqModel, Some(model), field, "id", path(collection))
     } else {
       graft.core.MetaIo.delete(indexed.sparkSession, s"${path(collection)}/pq.json")
       IvfIndex.save(indexed, model, field, "id", path(collection), sq8)

@@ -253,6 +253,11 @@ object Dedup {
       cur = next
       iter += 1
     }
+    // An unconverged edge set is NOT a union of stars: componentIds would
+    // emit non-min representatives and the keep set would retain
+    // duplicates — silently wrong results, so refuse instead.
+    require(done, s"star-contraction did not converge in $maxIter rounds " +
+      "(O(log n) expected — raise maxIter)")
     cur
   }
 

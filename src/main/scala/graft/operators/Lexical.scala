@@ -212,6 +212,12 @@ object LexIndex {
     val statsPath = java.nio.file.Paths.get(path, "stats.json")
     require(java.nio.file.Files.exists(statsPath),
       s"LexIndex.append: no index at $path (missing stats.json)")
+    // Refuse the pre-denormalization layout loudly: appending dl-bearing
+    // posting files next to dl-less ones would surface null doc lengths and
+    // silently zero old docs' score contributions.
+    val existing = df.sparkSession.read.parquet(path + "/postings").schema.fieldNames.toSet
+    require(existing.contains("dl"),
+      s"LexIndex.append: $path uses the legacy postings layout (no dl column) — rebuild with save()")
     val stats = new String(java.nio.file.Files.readAllBytes(statsPath),
       java.nio.charset.StandardCharsets.UTF_8)
     def field(name: String): Double =
@@ -219,16 +225,24 @@ object LexIndex {
         .map(_.group(1).toDouble)
         .getOrElse(sys.error(s"LexIndex stats.json missing $name"))
     val nBuckets = field("nBuckets").toInt
+    // Stats must be computed BEFORE the postings commit (a re-run after a
+    // mid-append crash would double the batch), and the sidecar rewrite is
+    // atomic (temp + move). A crash between the postings commit and the
+    // move leaves stats stale by exactly this batch — re-running append is
+    // NOT safe; rebuild with save() after a suspected partial append.
+    val Array(dn, dsum) = docLengths(df, textCol, idCol)
+      .agg(count(lit(1)).cast("double"),
+        sum(col("dl")).cast("double")).head().toSeq.map(_.asInstanceOf[Double]).toArray
     postings(df, textCol, idCol, nBuckets)
       .repartition(col(bucketCol))
       .write.mode("append").partitionBy(bucketCol)
       .parquet(path + "/postings")
-    val Array(dn, dsum) = docLengths(df, textCol, idCol)
-      .agg(count(lit(1)).cast("double"),
-        sum(col("dl")).cast("double")).head().toSeq.map(_.asInstanceOf[Double]).toArray
     val json = s"""{"n":${field("n") + dn},"sumdl":${field("sumdl") + dsum},"nBuckets":$nBuckets}"""
-    java.nio.file.Files.write(statsPath,
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val tmp = statsPath.resolveSibling("stats.json.tmp")
+    java.nio.file.Files.write(tmp, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, statsPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Search a saved index. Reads: stats.json (driver, bytes) and the
@@ -258,6 +272,8 @@ object LexIndex {
     }.distinct
     val post = spark.read.parquet(path + "/postings")
       .filter(col(bucketCol).isin(bucketLits: _*) && col("term").isin(terms: _*))
+    require(post.columns.contains("dl"),
+      s"LexIndex.search: $path uses the legacy postings layout (no dl column) — rebuild with save()")
     val dfs = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val avgdl = sumdl / n
     val perPost = post.join(broadcast(dfs), "term")

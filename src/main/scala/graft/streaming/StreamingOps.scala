@@ -101,19 +101,20 @@ object StreamingOps {
   private[graft] def bloomBytes(n: Long, fpp: Double): Long =
     math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2)) / 8.0).toLong
 
-  /** Largest band count whose Bloom fits `budgetBytes` (≥ 1), given
-    * `docs` indexed documents. The prefilter degrades by probing FEWER
-    * bands rather than blowing driver/executor memory: recall of the
-    * flag drops from 1-(1-s^r)^bands toward 1-(1-s^r)^kept — missed
-    * near-dup candidates pass unflagged (they are caught by the batch
-    * verify pass over unflagged rows if one is scheduled), while flagged
-    * rows remain false-positive-only.
+  /** Largest band count whose Bloom fits `budgetBytes`, given `docs`
+    * indexed documents — None when even a single band exceeds the budget
+    * (the guard must not "degrade" into the very blow-up it exists to
+    * prevent). The prefilter degrades by probing FEWER bands rather than
+    * blowing driver/executor memory: recall of the flag drops from
+    * 1-(1-s^r)^bands toward 1-(1-s^r)^kept — missed near-dup candidates
+    * pass unflagged (they are caught by the batch verify pass over
+    * unflagged rows if one is scheduled), while flagged rows remain
+    * false-positive-only.
     */
   private[graft] def bandsWithinBudget(docs: Long, bands: Int, fpp: Double,
-      budgetBytes: Long): Int = {
-    val fit = (1 to bands).takeWhile(b => bloomBytes(math.max(docs * b, 1L), fpp) <= budgetBytes)
-    fit.lastOption.getOrElse(1)
-  }
+      budgetBytes: Long): Option[Int] =
+    (1 to bands).takeWhile(b => bloomBytes(math.max(docs * b, 1L), fpp) <= budgetBytes)
+      .lastOption
 
   /** Streaming incremental dedup against a [[graft.operators.Dedup.saveDedupIndex]]
     * index: exact duplicates of the existing corpus drop via a stream-static
@@ -151,7 +152,11 @@ object StreamingOps {
         require(degradeBands, s"streamDropAgainstIndex: Bloom over ${docs} docs × " +
           s"$bands bands needs ~$full bytes > budget $maxBloomBytes; raise " +
           "maxBloomBytes or allow degradeBands")
-        val kept = bandsWithinBudget(docs, bands, fpp, maxBloomBytes)
+        val kept = bandsWithinBudget(docs, bands, fpp, maxBloomBytes).getOrElse(
+          throw new IllegalArgumentException(
+            s"streamDropAgainstIndex: even ONE band's Bloom over $docs docs " +
+              s"(~${bloomBytes(math.max(docs, 1L), fpp)} bytes) exceeds budget " +
+              s"$maxBloomBytes — raise maxBloomBytes; band degradation cannot help"))
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"streamDropAgainstIndex: Bloom over $docs docs × $bands bands " +
             s"(~$full bytes) exceeds budget $maxBloomBytes; degrading to $kept " +
@@ -188,13 +193,34 @@ object StreamingOps {
     * scan and extends only the touched cell directories, so a 100 TB index
     * grows continuously without rebuilds. Searches between batches see
     * every COMPLETED append. Caller `.start()`s the returned writer.
+    *
+    * foreachBatch is at-least-once: after a crash between the parquet
+    * commit and the stream checkpoint, the batch is REDELIVERED. A batch-id
+    * high-water mark beside the index makes the append idempotent (replays
+    * of already-appended batch ids are skipped); the mark is advanced with
+    * an atomic rename after the append commits.
     */
   def streamAppendToIndex(stream: DataFrame, c: String, idCol: String,
-      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) graft.embed.IvfIndex.append(batch, c, idCol, path)
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val appendBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val mark = java.nio.file.Paths.get(path, "stream_batch_id")
+      val last =
+        if (java.nio.file.Files.exists(mark))
+          new String(java.nio.file.Files.readAllBytes(mark),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        else -1L
+      if (batchId > last && !batch.isEmpty) {
+        graft.embed.IvfIndex.append(batch, c, idCol, path)
+        val tmp = mark.resolveSibling("stream_batch_id.tmp")
+        java.nio.file.Files.write(tmp,
+          batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, mark,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
     }
+    stream.writeStream.foreachBatch(appendBatch)
+  }
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)

@@ -116,7 +116,15 @@ class StreamingSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("stream_incr_budget").toString + "/idx"
     graft.operators.Dedup.saveDedupIndex(old, "text", "doc_id", path)
     val budget = StreamingOps.bloomBytes(2L * 4, 1e-6)
-    assert(StreamingOps.bandsWithinBudget(2L, 16, 1e-6, budget) == 4)
+    assert(StreamingOps.bandsWithinBudget(2L, 16, 1e-6, budget).contains(4))
+    // A budget below even ONE band must refuse, not "degrade" into the
+    // blow-up the guard exists to prevent.
+    assert(StreamingOps.bandsWithinBudget(1000000L, 16, 1e-6, 8).isEmpty)
+    intercept[IllegalArgumentException] {
+      StreamingOps.streamDropAgainstIndex(
+        spark.readStream.format("rate").load().selectExpr("cast(value as string) as text"),
+        "text", path, maxBloomBytes = 1)
+    }
     // Guard path: degradeBands=false refuses loudly instead of degrading.
     val err = intercept[IllegalArgumentException] {
       StreamingOps.streamDropAgainstIndex(
