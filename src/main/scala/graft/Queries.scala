@@ -1051,6 +1051,19 @@ object Queries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    "strip_repeated_windows" -> ((s, dir) => {
+      // WITHIN-document repeated-span removal (Gopher's duplicated-content
+      // cleaning): words covered by a 3-word window that already occurred
+      // earlier in the same doc are dropped, first occurrence kept. Pure
+      // per-row map (positional hashes → first-seen dup starts → the
+      // difference-array rebuild); exact cleaned text pinned by md5.
+      // 27 gate docs have internal repeats at w=3, so removal is exercised.
+      Dedup.stripRepeatedWindows(read(s, dir, "documents"), "text", window = 3)
+        .select(col("doc_id"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_incremental_grow" -> ((s, dir) => {
       // The FULL incremental-crawl loop, two rounds deep: the corpus
       // (doc_id%4 ∈ {0,2}) is indexed; crawl B (%4=1) cleans against it and
@@ -2059,6 +2072,28 @@ object Queries {
         |       len(list_distinct(list_concat(n.sh, o.sh))) >= 0.5)
         |SELECT doc_id FROM nw WHERE doc_id NOT IN (SELECT doc_id FROM excl)
         |ORDER BY doc_id""".stripMargin,
+
+    // Hash-text window equivalence up to 2^-64 collisions (the repo-wide
+    // convention); covered-position check is O(len²) list filtering — fine
+    // for an offline oracle.
+    "strip_repeated_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |k AS (SELECT doc_id, w, list_transform(w, x -> lower(x)) AS kw,
+        |    least(3, len(w)) AS wl FROM t),
+        |win AS (SELECT doc_id, w, wl,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(kw, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(list_slice(kw, i, i + 2), ' ')) END AS wins
+        |  FROM k),
+        |d AS (SELECT doc_id, w, wl,
+        |    list_filter(range(1, len(wins) + 1), i -> list_position(wins, wins[i]) < i) AS dups
+        |  FROM win),
+        |r AS (SELECT doc_id, w,
+        |    list_filter(range(1, len(w) + 1),
+        |      j -> len(list_filter(dups, s -> s <= j AND j < s + wl)) = 0) AS keep
+        |  FROM d)
+        |SELECT doc_id, CAST(len(w) - len(keep) AS BIGINT) AS n_removed,
+        |  md5(array_to_string(list_transform(keep, j -> w[j]), ' ')) AS clean_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "dedup_incremental_grow" ->
       """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents),

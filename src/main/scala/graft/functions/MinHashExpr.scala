@@ -263,6 +263,44 @@ case class NgramRepetition(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Start positions whose window hash already appeared EARLIER in the same
+  * array — the within-document repetition mask feeding
+  * [[StripCoveredWords]]: one hash-set pass, O(starts). The HOF equivalent
+  * (`filter(positions, i => array_position(hashes, hashes[i]) <= i)`) pays
+  * a linear scan per element — O(len²) per row, the adversarial class
+  * [[NgramRepetition]]/[[StripCoveredWords]] exist to avoid.
+  */
+case class FirstSeenDupStarts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"first_seen_dup_starts requires array<long>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hashes = input.asInstanceOf[ArrayData]
+    val n = hashes.numElements()
+    val seen = new java.util.HashSet[Long](n * 2)
+    val dups = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < n) {
+      if (!seen.add(hashes.getLong(i))) dups += i
+      i += 1
+    }
+    new GenericArrayData(dups.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Rebuild a document with every word covered by a shared window removed, as
   * ONE tight per-row pass: the covered mask comes from a difference array over
   * the start positions (+1 at each start, −1 past its window end, prefix-sum →
@@ -376,4 +414,10 @@ object MinHashExpr {
   def stripCoveredWords(words: Column, starts: Column, window: Int): Column =
     ColumnBridge.column(StripCoveredWords(
       ColumnBridge.expression(words), ColumnBridge.expression(starts), window))
+
+  /** Column wrapper: array<int> of start positions whose hash appeared
+    * earlier in the array — one O(length) hash-set pass.
+    */
+  def firstSeenDupStarts(hashes: Column): Column =
+    ColumnBridge.column(FirstSeenDupStarts(ColumnBridge.expression(hashes)))
 }

@@ -465,6 +465,31 @@ object Dedup {
       .drop("__w", "__h", "__starts", "__sc")
   }
 
+  /** Remove WITHIN-document repeated spans: every word covered by a w-word
+    * window whose (lowercased) text already occurred earlier in the SAME
+    * document is dropped, keeping the first occurrence — the intra-doc
+    * counterpart of [[stripSharedWindows]] (Gopher's duplicated-content
+    * cleaning, arXiv 2112.11446 §A1.1, at window granularity; the
+    * repetition SIGNALS live in `TextFunctions.ngramRepetition`).
+    *
+    * Pure per-row map, zero shuffles: positional window hashes (tight-loop
+    * FNV kernel) → first-seen duplicate starts (one hash-set pass) → the
+    * same O(words + starts) difference-array rebuild as the cross-doc
+    * strip. Output = input + `n_removed` + `cleanCol`.
+    */
+  def stripRepeatedWindows(df: DataFrame, textCol: String,
+      window: Int = 8, cleanCol: String = "clean_text"): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val keys = transform(words, w => lower(w))
+    val dupStarts = graft.functions.MinHashExpr.firstSeenDupStarts(
+      graft.functions.MinHashExpr.shingleHashes(keys, window))
+    df.withColumn("__sc", graft.functions.MinHashExpr.stripCoveredWords(
+        words, dupStarts, window))
+      .withColumn("n_removed", col("__sc").getField("n_removed"))
+      .withColumn(cleanCol, col("__sc").getField("clean"))
+      .drop("__sc")
+  }
+
   def dropDuplicatesByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val keep = keepAfterConnectedComponents(
       df.select(col(idCol).cast("long").as("id")), pairs)

@@ -222,6 +222,31 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 100000L, 0), (1L, 100000L, 0)), out.toSeq.toString)
   }
 
+  test("stripRepeatedWindows drops later within-doc repeats, keeps first occurrence") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // windows of 3: "a b c" recurs at positions 0 and 5 -> positions 5..7 covered
+      (0L, "a b c x y a b c z"),
+      (1L, "all distinct words here today"),
+      // case-insensitive window keys; original case survives in the rebuild
+      (2L, "One Two Three pad one two three")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedWindows(docs, "text", window = 3)
+      .select(col("doc_id"), col("n_removed"), col("clean_text"))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 3L, "a b c x y z")), out(0).toString)
+    assert(out(1) == ((1L, 0L, "all distinct words here today")), out(1).toString)
+    assert(out(2) == ((2L, 3L, "One Two Three pad")), out(2).toString)
+    // Bounded on the adversarial fully-repetitive long doc (one per-row pass).
+    val big = Seq((9L, Array.fill(100000)("w").mkString(" "))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val r = Dedup.stripRepeatedWindows(big, "text", window = 3)
+      .select(col("n_removed")).as[Long].head()
+    assert((System.nanoTime() - t0) / 1e9 < 60.0)
+    // Dup starts 1..99997 cover positions 1..99999; only word 0 survives.
+    assert(r == 99999L, s"all but the first word drop: $r")
+  }
+
   test("stripSharedWindows ignores spans repeated only within one doc") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
