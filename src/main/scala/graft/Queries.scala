@@ -783,6 +783,28 @@ object Queries {
       Seq(res.output.get).toDF("final")
     }),
 
+    "source_dir_html" -> ((s, dir) => {
+      // The DirectoryReader surface on its html path, end to end and
+      // DISTRIBUTED: docs are materialized as .html files, read back via
+      // the binaryFile source + extractor dispatch on executors, and the
+      // tag-strip + whitespace-collapse must reproduce the original text
+      // (md5-pinned; the synthetic corpus has no markup metacharacters, so
+      // the wrap → extract round-trip is exact).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_verify_dir")
+      read(s, dir, "documents").filter(col("doc_id") < 50)
+        .select("doc_id", "text").collect().foreach { r =>
+          java.nio.file.Files.write(
+            tmp.resolve(s"${r.getLong(0)}.html"),
+            s"<html><body><p>${r.getString(1)}</p></body></html>"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      graft.connectors.DirectoryReaderLite.toDf(s, tmp.toString + "/*.html")
+        .select(regexp_extract(col("path"), "(\\d+)\\.html$", 1)
+            .cast("long").as("doc_id"),
+          col("page"), md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     "pipeline_saved" -> ((s, dir) => {
       // Pipeline save → load → run: the JSON-serialized SemPlan (semantic
       // filter + trailing classical filter) round-trips through disk, the
@@ -1468,6 +1490,11 @@ object Queries {
     * match the Spark result exactly (driver hashes sorted-by-name columns).
     */
   val oracleSql: Map[String, String] = Map(
+    "source_dir_html" ->
+      """SELECT doc_id, 0 AS page,
+        |  md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_md5
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
     // The truth of the OPTIMIZED plan: the adopted 'spark' claim's rows.
     "gepa_optimized" ->
       """SELECT doc_id, lang FROM documents
