@@ -783,6 +783,26 @@ object Queries {
       Seq(res.output.get).toDF("final")
     }),
 
+    "serialize_formats" -> ((s, dir) => {
+      // The JSON and XML row renderers through the full LLM stage: the Echo
+      // fake returns the serialized doc verbatim, so the oracle reproduces
+      // the exact rendering in SQL (plain-word corpus → escaping is
+      // identity; DEFAULT is already transited by every semantic gate).
+      import graft.core.{SerializationFormat => SF}
+      val d = read(s, dir, "documents")
+      val js = Sem.withSettings(Sem.settings.copy(
+          lm = FakeLM(FakeBehavior.Echo), serializationFormat = SF.Json)) {
+        d.semMap("describe {text}")
+          .select(col("doc_id"), col("_map").as("json_doc"))
+      }
+      val xml = Sem.withSettings(Sem.settings.copy(
+          lm = FakeLM(FakeBehavior.Echo), serializationFormat = SF.Xml)) {
+        d.semMap("describe {text}")
+          .select(col("doc_id"), col("_map").as("xml_doc"))
+      }
+      js.join(xml, "doc_id").orderBy("doc_id")
+    }),
+
     "source_dir_html" -> ((s, dir) => {
       // The DirectoryReader surface on its html path, end to end and
       // DISTRIBUTED: docs are materialized as .html files, read back via
@@ -1490,6 +1510,12 @@ object Queries {
     * match the Spark result exactly (driver hashes sorted-by-name columns).
     */
   val oracleSql: Map[String, String] = Map(
+    "serialize_formats" ->
+      """SELECT doc_id,
+        |  '{"text":"' || text || '"}' AS json_doc,
+        |  '<row><text>' || text || '</text></row>' AS xml_doc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "source_dir_html" ->
       """SELECT doc_id, 0 AS page,
         |  md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_md5
