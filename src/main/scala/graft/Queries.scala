@@ -549,6 +549,29 @@ object Queries {
         .select(col("vec_id"), round(col("raw"), 3).as("score"))
     }),
 
+    "ann_ivf_filtered" -> ((s, dir) => {
+      // Filtered ANN: top-k among the rows satisfying a metadata predicate
+      // (the reference's id-subset search, lotus/vector_store/faiss_vs.py:57-72,
+      // as a composable filter instead of a temp index). The predicate
+      // composes with the probe's cell filter on the loaded frame — pruning
+      // retained, exactness at nProbe = nCells — and the oracle applies the
+      // same WHERE.
+      val path = java.nio.file.Files.createTempDirectory("graft_verify_ivff").toString + "/idx"
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 6).select("embedding")
+        .head().getSeq[Float](0)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      val (indexed, model) = graft.embed.IvfIndex.build(withVec, "emb", nCells = 8)
+      graft.embed.IvfIndex.save(indexed, model, "emb", "vec_id", path)
+      indexed.unpersist()
+      val (loaded, lModel) = graft.embed.IvfIndex.load(s, path)
+      graft.embed.IvfIndex.search(loaded.filter(col("vec_id") % 3 === 0),
+          lModel, "emb", qv, k = 12, nProbe = 8,
+          scoreCol = "raw", tieBreak = Seq(col("vec_id")))
+        .orderBy(col("raw").desc, col("vec_id"))
+        .select(col("vec_id"), round(col("raw"), 3).as("score"))
+    }),
+
     "ann_ivf_vs" -> ((s, dir) => {
       // The settings-level ANN tier: with Settings.vs = IvfVS, plain
       // semIndexSave builds + saves the cell-partitioned IVF index and
@@ -1741,6 +1764,15 @@ object Queries {
         |  SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
         |  FROM documents) t
         |WHERE rank <= 7 ORDER BY rank""".stripMargin,
+
+    "ann_ivf_filtered" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 6)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score
+        |FROM embeddings e, q
+        |WHERE e.vec_id % 3 = 0
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 12""".stripMargin,
 
     "ann_ivf_append" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3)
