@@ -479,15 +479,18 @@ object Dedup {
     */
   def stripRepeatedWindows(df: DataFrame, textCol: String,
       window: Int = 8, cleanCol: String = "clean_text"): DataFrame = {
-    val words = split(trim(col(textCol)), "\\s+")
-    val keys = transform(words, w => lower(w))
+    // Tokenize ONCE into a column: StripCoveredWords is interpreted
+    // (CodegenFallback), so a repeated split(trim(..)) subtree would really
+    // run twice per row (the stripSharedWindows convention).
     val dupStarts = graft.functions.MinHashExpr.firstSeenDupStarts(
-      graft.functions.MinHashExpr.shingleHashes(keys, window))
-    df.withColumn("__sc", graft.functions.MinHashExpr.stripCoveredWords(
-        words, dupStarts, window))
+      graft.functions.MinHashExpr.shingleHashes(
+        transform(col("__w"), w => lower(w)), window))
+    df.withColumn("__w", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__sc", graft.functions.MinHashExpr.stripCoveredWords(
+        col("__w"), dupStarts, window))
       .withColumn("n_removed", col("__sc").getField("n_removed"))
       .withColumn(cleanCol, col("__sc").getField("clean"))
-      .drop("__sc")
+      .drop("__w", "__sc")
   }
 
   def dropDuplicatesByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
