@@ -146,7 +146,20 @@ object DirectoryReaderLite {
       extractors: Map[String, Extractor] = defaultExtractors): DataFrame = {
     import spark.implicits._
     val ex = extractors
-    spark.read.format("binaryFile").load(pathGlob)
+    // A wildcard in the final segment goes through pathGlobFilter, not the
+    // load path: FileStreamSink probes the literal load string for a
+    // streaming-metadata dir, and a glob-in-path makes every query log a
+    // spurious FileNotFoundException stack trace.
+    val (loadPath, globFilter) = {
+      val slash = pathGlob.lastIndexOf('/')
+      val base = pathGlob.substring(slash + 1)
+      if (slash > 0 && (base.contains('*') || base.contains('?')))
+        (pathGlob.substring(0, slash), Some(base))
+      else (pathGlob, None)
+    }
+    val reader = spark.read.format("binaryFile")
+    globFilter.foreach(g => reader.option("pathGlobFilter", g))
+    reader.load(loadPath)
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
