@@ -146,20 +146,16 @@ object DirectoryReaderLite {
       extractors: Map[String, Extractor] = defaultExtractors): DataFrame = {
     import spark.implicits._
     val ex = extractors
-    // A wildcard in the final segment goes through pathGlobFilter, not the
-    // load path: FileStreamSink probes the literal load string for a
-    // streaming-metadata dir, and a glob-in-path makes every query log a
-    // spurious FileNotFoundException stack trace.
-    val (loadPath, globFilter) = {
-      val slash = pathGlob.lastIndexOf('/')
-      val base = pathGlob.substring(slash + 1)
-      if (slash > 0 && (base.contains('*') || base.contains('?')))
-        (pathGlob.substring(0, slash), Some(base))
-      else (pathGlob, None)
-    }
-    val reader = spark.read.format("binaryFile")
-    globFilter.foreach(g => reader.option("pathGlobFilter", g))
-    reader.load(loadPath)
+    // Keep the glob IN the load path (top-level matches only — rewriting it
+    // as pathGlobFilter over the parent dir would silently pull in nested
+    // files and mis-split scheme-rooted globs like hdfs:///x*). FileStreamSink
+    // probes the literal glob string for a streaming-metadata dir and logs a
+    // spurious FileNotFoundException stack trace per query; demote that
+    // known-noisy logger instead.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
+    spark.read.format("binaryFile").load(pathGlob)
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>

@@ -231,28 +231,33 @@ object IvfIndex {
     centroids
   }
 
+  /** The cells payload for a codec — IVF-SQ8 (int8 codes + per-vector
+    * scale: ~4× smaller files, dequantized inside the probe scan, see
+    * [[Quantize]]) or raw float vectors. Shared by [[save]] and [[append]]
+    * so the two writers cannot drift apart on the saved layout.
+    */
+  private def codecPayload(df: DataFrame, c: String, idCol: String,
+      sq8: Boolean): DataFrame = {
+    val v = EmbedOps.vecCol(c)
+    if (sq8) {
+      val scale = Quantize.sq8Scale(col(v))
+      df.select(col(idCol),
+        scale.as(Quantize.scaleCol(c)),
+        Quantize.sq8Codes(col(v), scale).as(Quantize.codesCol(c)),
+        col(cellCol))
+    } else df.select(col(idCol), col(v), col(cellCol))
+  }
+
   /** Persist as a cell-partitioned parquet index: `(id, vector)` rows under
     * `__ivf_cell=<k>/` directories plus the centroid table — the durable form
     * whose probe reads prune at the file level.
     */
   def save(indexed: DataFrame, model: IvfModel, c: String, idCol: String, path: String,
       sq8: Boolean = false): Unit = {
-    val v = EmbedOps.vecCol(c)
     // Cluster rows by cell before the partitioned write: otherwise every
     // task writes a file into every cell directory (tasks × cells small
     // files — a metadata bomb at corpus scale).
-    val payload =
-      if (sq8) {
-        // IVF-SQ8: store int8 codes + a per-vector scale instead of float32
-        // vectors — ~4× smaller index files, dequantized inside the probe
-        // scan (see [[Quantize]]).
-        val scale = Quantize.sq8Scale(col(v))
-        indexed.select(col(idCol),
-          scale.as(Quantize.scaleCol(c)),
-          Quantize.sq8Codes(col(v), scale).as(Quantize.codesCol(c)),
-          col(cellCol))
-      } else indexed.select(col(idCol), col(v), col(cellCol))
-    payload
+    codecPayload(indexed, c, idCol, sq8)
       .repartition(col(cellCol))
       .write.mode("overwrite").partitionBy(cellCol).parquet(s"$path/cells")
     // The centroid table is driver-side metadata (nCells × dim floats):
@@ -282,6 +287,9 @@ object IvfIndex {
     val centroids = graft.core.MetaIo.floatMatrix(
       graft.core.MetaIo.parse(graft.core.MetaIo.read(spark, metaPath)).path("centroids"))
     val model = IvfModel(centroids)
+    // An empty batch is a no-op, not an error: vecDimOf would fall back to
+    // the session embedder's dim and raise a spurious dim-mismatch.
+    if (df.isEmpty) return
     val indexed = EmbedOps.semIndex(df, c)
     val v = EmbedOps.vecCol(c)
     val dim = EmbedOps.vecDimOf(indexed, v)
@@ -290,14 +298,8 @@ object IvfIndex {
     val assigned = indexed.withColumn(cellCol,
       graft.functions.VectorExprs.nearestCentroid(col(v), centroids))
     val existing = spark.read.parquet(s"$path/cells").schema.fieldNames.toSet
-    val payload =
-      if (existing.contains(Quantize.codesCol(c))) {
-        val scale = Quantize.sq8Scale(col(v))
-        assigned.select(col(idCol),
-          scale.as(Quantize.scaleCol(c)),
-          Quantize.sq8Codes(col(v), scale).as(Quantize.codesCol(c)),
-          col(cellCol))
-      } else assigned.select(col(idCol), col(v), col(cellCol))
+    val payload = codecPayload(assigned, c, idCol,
+      sq8 = existing.contains(Quantize.codesCol(c)))
     require(payload.schema.fieldNames.toSet == existing,
       s"IvfIndex.append: batch columns ${payload.schema.fieldNames.toSet} " +
         s"do not match the saved layout $existing (same idCol and vector column required)")

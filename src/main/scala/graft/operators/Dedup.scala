@@ -74,10 +74,7 @@ object Dedup {
     // strings; Jaccard is unchanged up to 2^-64 hash collisions). The
     // checkpoint materializes once; the band self-join and both sides of the
     // verification join all read from it.
-    val words = split(trim(col(textCol)), "\\s+")
-    val base = df.select(col(idCol).cast("long").as("id"),
-        graft.functions.MinHashExpr.minhashSignature(words, shingleLen, numHashes).as("sig"),
-        array_distinct(graft.functions.MinHashExpr.shingleHashes(words, shingleLen)).as("sh"))
+    val base = dedupState(df, textCol, idCol, numHashes, shingleLen, withFp = false)
       .transform(graft.core.Persist.stage(_))
     val bandKeyCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -225,10 +222,23 @@ object Dedup {
     * every non-min member `u`.
     */
   private[graft] def starEdges(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    // Stage + record which persistent-RDD ids the checkpoint created, so the
+    // PREVIOUS round's blocks can be freed once the next round materializes —
+    // otherwise k contraction rounds pin k full edge-set copies in executor
+    // storage for the application's lifetime. (With a reliable checkpointDir
+    // configured no new persistent RDDs appear and this is a no-op; a
+    // concurrent persist landing inside the snapshot window could at worst be
+    // unpersisted early, which recomputes but stays correct.)
+    def stageTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val staged = graft.core.Persist.stage(df)
+      (staged, sc.getPersistentRDDs.keySet.diff(before).toSet)
+    }
     def canon(e: DataFrame): DataFrame = e.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-    var cur = graft.core.Persist.stage(canon(
+    var (cur, curIds) = stageTracked(canon(
       edges.select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))))
     var iter = 0
     var done = cur.isEmpty
@@ -244,13 +254,16 @@ object Dedup {
       // neighbors re-link to the smallest of them.
       val lc = canon(large)
       val smins = lc.groupBy("u").agg(min(col("v")).as("m"))
-      val next = graft.core.Persist.stage(canon(
+      val (next, nextIds) = stageTracked(canon(
         lc.join(smins, "u").select(col("v").as("u"), col("m").as("v"))
           .union(smins.select(col("u"), col("m").as("v")))))
-      // Fixed point ⇔ disjoint stars (SoCC'14, Thm 1) ⇔ converged.
-      done = next.exceptAll(cur).limit(1).isEmpty &&
-        cur.exceptAll(next).limit(1).isEmpty
+      // Fixed point ⇔ disjoint stars (SoCC'14, Thm 1) ⇔ converged. One
+      // symmetric-difference job, not two except probes.
+      done = next.exceptAll(cur).union(cur.exceptAll(next)).limit(1).isEmpty
+      curIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       cur = next
+      curIds = nextIds
       iter += 1
     }
     // An unconverged edge set is NOT a union of stars: componentIds would
@@ -298,6 +311,24 @@ object Dedup {
       .drop("__shared")
   }
 
+  /** The narrow per-doc dedup state — `(id, [fp,] sig, sh)` — that every
+    * index writer and reader must compute IDENTICALLY: computing any part
+    * with different expressions or parameters silently desynchronizes
+    * writers from readers (stale signature slots, incomparable shingle
+    * sets) and poisons recall, so the projection lives here once and the
+    * four call sites share it.
+    */
+  private def dedupState(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleLen: Int, withFp: Boolean = true): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val fp =
+      if (withFp) Seq(graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+      else Nil
+    df.select((col(idCol).cast("long").as("id") +: fp) ++ Seq(
+      graft.functions.MinHashExpr.minhashSignature(words, shingleLen, numHashes).as("sig"),
+      array_distinct(graft.functions.MinHashExpr.shingleHashes(words, shingleLen)).as("sh")): _*)
+  }
+
   /** Persist a dedup index for INCREMENTAL corpus growth: per doc, the
     * exact-dup fingerprint, the minhash signature, and the hashed-shingle
     * verification set. A later crawl deduplicates against the existing
@@ -307,11 +338,7 @@ object Dedup {
     */
   def saveDedupIndex(df: DataFrame, textCol: String, idCol: String, path: String,
       numHashes: Int = 64, shingleLen: Int = 3): Unit = {
-    val words = split(trim(col(textCol)), "\\s+")
-    df.select(col(idCol).cast("long").as("id"),
-        graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
-        graft.functions.MinHashExpr.minhashSignature(words, shingleLen, numHashes).as("sig"),
-        array_distinct(graft.functions.MinHashExpr.shingleHashes(words, shingleLen)).as("sh"))
+    dedupState(df, textCol, idCol, numHashes, shingleLen)
       .write.mode("overwrite").parquet(s"$path/docs")
     // The signature/shingle parameters are part of the index format: a
     // reader recomputing them with different values would silently kill
@@ -333,11 +360,7 @@ object Dedup {
       path: String): Unit = {
     val spark = df.sparkSession
     val (numHashes, shingleLen, _) = indexParams(spark, path, bands = 1)
-    val words = split(trim(col(textCol)), "\\s+")
-    df.select(col(idCol).cast("long").as("id"),
-        graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
-        graft.functions.MinHashExpr.minhashSignature(words, shingleLen, numHashes).as("sig"),
-        array_distinct(graft.functions.MinHashExpr.shingleHashes(words, shingleLen)).as("sh"))
+    dedupState(df, textCol, idCol, numHashes, shingleLen)
       .write.mode("append").parquet(s"$path/docs")
   }
 
@@ -395,11 +418,7 @@ object Dedup {
     // ONE scan of the new batch computes all three narrow artifacts; every
     // downstream stage (exact match, banding, verify) reads the staged
     // frame, and only the final anti-join touches the payload again.
-    val words = split(trim(col(textCol)), "\\s+")
-    val newBase = parallelize(df).select(col(idCol).cast("long").as("id"),
-        graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
-        graft.functions.MinHashExpr.minhashSignature(words, shingleLen, numHashes).as("sig"),
-        array_distinct(graft.functions.MinHashExpr.shingleHashes(words, shingleLen)).as("sh"))
+    val newBase = dedupState(parallelize(df), textCol, idCol, numHashes, shingleLen)
       .transform(graft.core.Persist.stage(_))
     val exactIds = newBase.select(col("id"), col("fp"))
       .join(idx.select(col("fp")).distinct(), Seq("fp"), "left_semi")

@@ -182,6 +182,43 @@ object LexIndex {
     df.select(col(idCol).as("id"),
       size(Lexical.tokens(col(textCol))).cast("double").as("dl"))
 
+  /** Parse the stats sidecar: `(n, sumdl, nBuckets)`. One parser — what
+    * [[append]] updates is exactly what [[search]] reads; a format change
+    * that misses a site fails here loudly, not as drifted scores.
+    */
+  private def readStats(path: String): (Double, Double, Int) = {
+    val stats = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "stats.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def field(name: String): Double =
+      s""""$name":([-0-9.eE]+)""".r.findFirstMatchIn(stats)
+        .map(_.group(1).toDouble)
+        .getOrElse(sys.error(s"LexIndex stats.json missing $name"))
+    (field("n"), field("sumdl"), field("nBuckets").toInt)
+  }
+
+  /** Corpus totals for the sidecar: `(docCount, Σ dl)` in one tiny agg. */
+  private def docStats(df: DataFrame, textCol: String, idCol: String): (Double, Double) = {
+    val Array(n, sumdl) = docLengths(df, textCol, idCol)
+      .agg(count(lit(1)).cast("double"),
+        sum(col("dl")).cast("double")).head().toSeq.map(_.asInstanceOf[Double]).toArray
+    (n, sumdl)
+  }
+
+  /** Atomically (re)write the stats sidecar (temp + rename — a reader never
+    * sees a torn file).
+    */
+  private def writeStats(path: String, n: Double, sumdl: Double, nBuckets: Int): Unit = {
+    val statsPath = java.nio.file.Paths.get(path, "stats.json")
+    val tmp = statsPath.resolveSibling("stats.json.tmp")
+    java.nio.file.Files.write(tmp,
+      s"""{"n":$n,"sumdl":$sumdl,"nBuckets":$nBuckets}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, statsPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Write the index: bucket-partitioned postings (doc length denormalized
     * in), stats JSON (`{"n":…,"sumdl":…,"nBuckets":…}` — driver-side, tiny).
     */
@@ -191,12 +228,8 @@ object LexIndex {
       .repartition(col(bucketCol))
       .write.mode("overwrite").partitionBy(bucketCol)
       .parquet(path + "/postings")
-    val Array(n, sumdl) = docLengths(df, textCol, idCol)
-      .agg(count(lit(1)).cast("double"),
-        sum(col("dl")).cast("double")).head().toSeq.map(_.asInstanceOf[Double]).toArray
-    val json = s"""{"n":$n,"sumdl":$sumdl,"nBuckets":$nBuckets}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, "stats.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (n, sumdl) = docStats(df, textCol, idCol)
+    writeStats(path, n, sumdl, nBuckets)
   }
 
   /** Append new documents to a saved index without a rebuild — the sparse
@@ -218,31 +251,18 @@ object LexIndex {
     val existing = df.sparkSession.read.parquet(path + "/postings").schema.fieldNames.toSet
     require(existing.contains("dl"),
       s"LexIndex.append: $path uses the legacy postings layout (no dl column) — rebuild with save()")
-    val stats = new String(java.nio.file.Files.readAllBytes(statsPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    def field(name: String): Double =
-      s""""$name":([-0-9.eE]+)""".r.findFirstMatchIn(stats)
-        .map(_.group(1).toDouble)
-        .getOrElse(sys.error(s"LexIndex stats.json missing $name"))
-    val nBuckets = field("nBuckets").toInt
+    val (n0, sumdl0, nBuckets) = readStats(path)
     // Stats must be computed BEFORE the postings commit (a re-run after a
     // mid-append crash would double the batch), and the sidecar rewrite is
     // atomic (temp + move). A crash between the postings commit and the
     // move leaves stats stale by exactly this batch — re-running append is
     // NOT safe; rebuild with save() after a suspected partial append.
-    val Array(dn, dsum) = docLengths(df, textCol, idCol)
-      .agg(count(lit(1)).cast("double"),
-        sum(col("dl")).cast("double")).head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val (dn, dsum) = docStats(df, textCol, idCol)
     postings(df, textCol, idCol, nBuckets)
       .repartition(col(bucketCol))
       .write.mode("append").partitionBy(bucketCol)
       .parquet(path + "/postings")
-    val json = s"""{"n":${field("n") + dn},"sumdl":${field("sumdl") + dsum},"nBuckets":$nBuckets}"""
-    val tmp = statsPath.resolveSibling("stats.json.tmp")
-    java.nio.file.Files.write(tmp, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, statsPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeStats(path, n0 + dn, sumdl0 + dsum, nBuckets)
   }
 
   /** Search a saved index. Reads: stats.json (driver, bytes) and the
@@ -255,13 +275,7 @@ object LexIndex {
       scoreCol: String = "bm25", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = Lexical.queryTerms(query)
     require(terms.nonEmpty, "LexIndex.search: query has no terms")
-    val stats = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "stats.json")), java.nio.charset.StandardCharsets.UTF_8)
-    def field(name: String): Double =
-      s""""$name":([-0-9.eE]+)""".r.findFirstMatchIn(stats)
-        .map(_.group(1).toDouble)
-        .getOrElse(sys.error(s"LexIndex stats.json missing $name"))
-    val n = field("n"); val sumdl = field("sumdl"); val nBuckets = field("nBuckets").toInt
+    val (n, sumdl, nBuckets) = readStats(path)
     // Same hash as bucketOf's xxhash64 expression (seed 42), computed on the
     // driver — no job just to learn which partitions to prune.
     val bucketLits = terms.map { t =>

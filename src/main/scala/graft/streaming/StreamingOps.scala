@@ -195,28 +195,63 @@ object StreamingOps {
     * every COMPLETED append. Caller `.start()`s the returned writer.
     *
     * foreachBatch is at-least-once: after a crash between the parquet
-    * commit and the stream checkpoint, the batch is REDELIVERED. A batch-id
-    * high-water mark beside the index makes the append idempotent (replays
-    * of already-appended batch ids are skipped); the mark is advanced with
-    * an atomic rename after the append commits.
+    * commit and the stream checkpoint, the batch is REDELIVERED. A
+    * two-phase mark beside the index (`<batchId>:begin` written before the
+    * append, `<batchId>:done` after, both via atomic rename) makes replays
+    * exactly-once: a `done` replay is skipped outright, and a `begin`
+    * replay — the crash window where some of the batch may already be in
+    * the index — anti-joins the batch against the index's id column (a
+    * column-pruned scan, paid only on that rare recovery batch; `idCol` is
+    * the index key, unique by contract) before re-appending. A batch id
+    * BELOW the mark means a different checkpoint lineage is writing to
+    * this index — skipping would silently drop its early batches, so that
+    * raises instead of guessing.
     */
   def streamAppendToIndex(stream: DataFrame, c: String, idCol: String,
       path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val appendBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
       val mark = java.nio.file.Paths.get(path, "stream_batch_id")
-      val last =
-        if (java.nio.file.Files.exists(mark))
-          new String(java.nio.file.Files.readAllBytes(mark),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        else -1L
-      if (batchId > last && !batch.isEmpty) {
-        graft.embed.IvfIndex.append(batch, c, idCol, path)
+      // Mark format "<batchId>:<phase>"; a bare number (the pre-two-phase
+      // layout) reads as done.
+      val (last, lastDone) =
+        if (java.nio.file.Files.exists(mark)) {
+          val parts = new String(java.nio.file.Files.readAllBytes(mark),
+            java.nio.charset.StandardCharsets.UTF_8).trim.split(':')
+          (parts(0).toLong, parts.length < 2 || parts(1) == "done")
+        } else (-1L, true)
+      def writeMark(phase: String): Unit = {
         val tmp = mark.resolveSibling("stream_batch_id.tmp")
         java.nio.file.Files.write(tmp,
-          batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          s"$batchId:$phase".getBytes(java.nio.charset.StandardCharsets.UTF_8))
         java.nio.file.Files.move(tmp, mark,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      if (batchId < last)
+        // Structured Streaming never re-delivers below the committed offset,
+        // so a lower id means a NEW query (fresh checkpoint) is growing an
+        // index an older lineage built — its first `last` batches would all
+        // be swallowed by the high-water check. Data loss, not a replay.
+        throw new IllegalStateException(
+          s"streamAppendToIndex: index at $path was grown to batch $last by a " +
+            s"different stream lineage (this query delivered batch $batchId). " +
+            s"Restart the query from its original checkpoint, or delete " +
+            s"$path/stream_batch_id to adopt this lineage (appended rows are " +
+            "kept; the new stream must not re-deliver them).")
+      else if (batchId == last && lastDone) {
+        // at-least-once replay of a fully committed batch — skip.
+      } else if (!batch.isEmpty) {
+        val toAppend =
+          if (batchId == last && !lastDone) {
+            // Crashed between the cells commit and the done-mark: drop ids
+            // already present, append only the remainder.
+            val present = batch.sparkSession.read.parquet(s"$path/cells")
+              .select(org.apache.spark.sql.functions.col(idCol))
+            batch.join(present, Seq(idCol), "left_anti")
+          } else batch
+        writeMark("begin")
+        graft.embed.IvfIndex.append(toAppend, c, idCol, path)
+        writeMark("done")
       }
     }
     stream.writeStream.foreachBatch(appendBatch)

@@ -204,6 +204,21 @@ class DedupSpec extends SparkSpec {
     assert(keep == Seq(0L), s"chain must contract to its min id: ${keep.take(10)}")
   }
 
+  test("star contraction frees prior rounds' checkpoint blocks") {
+    import org.apache.spark.sql.functions._
+    // A 200-node chain needs several contraction rounds; each round's staged
+    // edge set must be unpersisted once the next materializes, or k rounds
+    // pin k full edge-set copies for the application's lifetime.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val nodes = (0L until 200L).toDF("id")
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("id1", "id2")
+    Dedup.keepAfterConnectedComponents(nodes, edges, driverEdgeThreshold = 0L)
+      .collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"only the final round may stay persisted: $before -> $after")
+  }
+
   test("stripSharedWindows completes in bounded time on a fully-covered 100k-word doc") {
     import org.apache.spark.sql.functions._
     // Two identical 100k-word docs with all-distinct words: every one of the

@@ -133,6 +133,10 @@ class IvfSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IvfIndex.append(extra, "emb", "id", path + "_nowhere")
     }
+    // An empty batch is a no-op, not a spurious dim-mismatch (vecDimOf
+    // would otherwise fall back to the session embedder's dim).
+    IvfIndex.append(vecs.filter($"id" < 0), "emb", "id", path)
+    assert(IvfIndex.load(spark, path)._1.count() == 120)
   }
 
   test("cosine fails loudly on a dimension-mismatched query vector") {

@@ -178,6 +178,69 @@ class StreamingSpec extends SparkSpec {
     assert(hit == 12L, "a vector ingested by the stream must be findable")
   }
 
+  test("streamAppendToIndex refuses a batch id below the mark (foreign lineage)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.embed.IvfIndex
+    import graft.operators.EmbedOps
+    def vec(a: Int): Seq[Float] = Seq.tabulate(8)(d => if (d == a) 1.0f else 0.05f)
+    val base = Seq((0L, vec(0)), (1L, vec(1))).toDF("id", EmbedOps.vecCol("emb"))
+    val path = java.nio.file.Files.createTempDirectory("stream_ivf_lineage").toString + "/idx"
+    val (indexed, model) = IvfIndex.build(base, "emb", nCells = 2, seed = 7)
+    IvfIndex.save(indexed, model, "emb", "id", path)
+    indexed.unpersist()
+    // An older lineage grew this index to batch 5; a FRESH checkpoint
+    // restarts at batch 0 — skipping it would silently swallow data.
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "stream_batch_id"),
+      "5:done".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF().toDF("id", EmbedOps.vecCol("emb"))
+    val q = StreamingOps.streamAppendToIndex(stream, "emb", "id", path).start()
+    input.addData((20L, vec(3)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("different stream lineage")),
+      s"expected the lineage refusal, got: ${chain(e)}")
+  }
+
+  test("streamAppendToIndex begin-mark replay recovers without duplicate vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.embed.IvfIndex
+    import graft.operators.EmbedOps
+    def vec(a: Int): Seq[Float] = Seq.tabulate(8)(d => if (d == a) 1.0f else 0.05f)
+    val base = Seq((0L, vec(0)), (1L, vec(1)), (2L, vec(2)))
+      .toDF("id", EmbedOps.vecCol("emb"))
+    val path = java.nio.file.Files.createTempDirectory("stream_ivf_replay").toString + "/idx"
+    val (indexed, model) = IvfIndex.build(base, "emb", nCells = 2, seed = 7)
+    IvfIndex.save(indexed, model, "emb", "id", path)
+    indexed.unpersist()
+    // Simulate a crash of batch 0 between the cells commit and the
+    // done-mark: rows 10 and 11 already landed, the mark still says begin.
+    IvfIndex.append(Seq((10L, vec(3)), (11L, vec(4))).toDF("id", EmbedOps.vecCol("emb")),
+      "emb", "id", path)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "stream_batch_id"),
+      "0:begin".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF().toDF("id", EmbedOps.vecCol("emb"))
+    val q = StreamingOps.streamAppendToIndex(stream, "emb", "id", path).start()
+    // The redelivered batch: the two already-present ids plus one new one.
+    input.addData((10L, vec(3)), (11L, vec(4)), (12L, vec(5)))
+    q.processAllAvailable()
+    q.stop()
+    val (loaded, _) = IvfIndex.load(spark, path)
+    assert(loaded.count() == 6,
+      "replayed rows must be dropped by the recovery anti-join, new rows appended")
+    assert(loaded.select("id").as[Long].collect().count(_ == 10L) == 1,
+      "an already-present id must appear exactly once")
+    val mark = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "stream_batch_id")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(mark == "0:done", s"mark must advance to done, got $mark")
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
