@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Sem
 import graft.llm.{FakeBehavior, FakeLM}
+import graft.connectors.DataConnectors
 import graft.operators.{CorpusPrep, Decontaminate, Dedup, EmbedOps, Lexical, LexIndex, Temporal}
 import graft.functions.{MultimodalOps, TextFunctions => TF}
 
@@ -848,6 +849,41 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "source_jdbc" -> ((s, dir) => {
+      // The JDBC connector end to end through a REAL embedded database
+      // (Derby ships with Spark): nation round-trips driver → Derby →
+      // PARTITIONED JDBC read (4 range partitions on n_nationkey — the
+      // parallel path; Spark refuses `query`+partitionColumn, which is
+      // exactly the dbtable-subquery rewrite this gate protects). The
+      // in-memory DB is one-JVM-visible — fine under local[n]; against a
+      // remote server the same code parallelizes across executors.
+      System.setProperty("derby.system.home", "/tmp")
+      val url = "jdbc:derby:memory:graftjdbc;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.execute("DROP TABLE nation") catch { case _: java.sql.SQLException => () }
+        st.execute("CREATE TABLE nation (n_nationkey BIGINT PRIMARY KEY, " +
+          "n_name VARCHAR(64), n_regionkey BIGINT)")
+        val ps = conn.prepareStatement("INSERT INTO nation VALUES (?, ?, ?)")
+        read(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+          .collect().foreach { r =>
+            ps.setLong(1, r.getInt(0).toLong)
+            ps.setString(2, r.getString(1))
+            ps.setLong(3, r.getInt(2).toLong)
+            ps.addBatch()
+          }
+        ps.executeBatch()
+      } finally conn.close()
+      DataConnectors.loadFromDb(s, url,
+          "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+          partitionOn = Some(("n_nationkey", 0L, 32L, 4)))
+        // Derby reports uppercase identifiers; realign with the oracle.
+        .select(col("N_NATIONKEY").as("n_nationkey"),
+          col("N_NAME").as("n_name"),
+          col("N_REGIONKEY").as("n_regionkey"))
+    }),
+
     "pipeline_saved" -> ((s, dir) => {
       // Pipeline save → load → run: the JSON-serialized SemPlan (semantic
       // filter + trailing classical filter) round-trips through disk, the
@@ -1543,6 +1579,12 @@ object Queries {
       """SELECT doc_id, 0 AS page,
         |  md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_md5
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    // What went into Derby must come back out of the partitioned read.
+    "source_jdbc" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin,
 
     // The truth of the OPTIMIZED plan: the adopted 'spark' claim's rows.
     "gepa_optimized" ->

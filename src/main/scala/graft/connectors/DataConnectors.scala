@@ -21,14 +21,19 @@ object DataConnectors {
       password: String = "",
       partitionOn: Option[(String, Long, Long, Int)] = None
   ): DataFrame = {
-    var r = spark.read.format("jdbc")
-      .option("url", url)
-      .option("query", query)
+    var r = spark.read.format("jdbc").option("url", url)
     if (user.nonEmpty) r = r.option("user", user).option("password", password)
-    partitionOn.foreach { case (colName, lower, upper, n) =>
-      r = r.option("partitionColumn", colName)
-        .option("lowerBound", lower).option("upperBound", upper)
-        .option("numPartitions", n)
+    partitionOn match {
+      case Some((colName, lower, upper, n)) =>
+        // Spark's JDBC source refuses `query` together with partitionColumn;
+        // a partitioned read must go through dbtable, so wrap the query as a
+        // derived table (the partition column must be in its select list).
+        r = r.option("dbtable", s"($query) graft_sub")
+          .option("partitionColumn", colName)
+          .option("lowerBound", lower).option("upperBound", upper)
+          .option("numPartitions", n)
+      case None =>
+        r = r.option("query", query)
     }
     r.load()
   }
