@@ -849,6 +849,69 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "web_search_arxiv" -> ((s, dir) => {
+      // The web-search surface through the injectable transport: an arXiv
+      // Atom feed BUILT FROM the documents table round-trips through the
+      // real parser into the engine's column contract — entry extraction,
+      // author concatenation, category terms, and id-from-link derivation
+      // all oracle-verified relationally. Zero egress: the transport is
+      // the replay convention, not a live endpoint.
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 10)
+        .select("doc_id", "text", "lang").orderBy("doc_id").collect()
+      val entries = docs.map { r =>
+        val words = r.getString(1).split(" ")
+        s"""  <entry>
+           |    <id>http://arxiv.org/abs/${r.getLong(0)}</id>
+           |    <title>${words.take(4).mkString(" ")}</title>
+           |    <summary>${words.take(12).mkString(" ")}</summary>
+           |    <published>2024-01-01T00:00:00Z</published>
+           |    <author><name>author_${r.getString(2)}</name></author>
+           |    <category term="${r.getString(2)}"/>
+           |  </entry>""".stripMargin
+      }.mkString("\n")
+      val feed = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        s"<feed xmlns=\"http://www.w3.org/2005/Atom\">\n$entries\n</feed>"
+      val fetch: graft.connectors.WebSearchEngines.Fetch = (_, _, _) => feed
+      graft.connectors.WebSearchEngines.search(s,
+          graft.connectors.WebSearchEngines.Arxiv,
+          Seq("corpus engineering"), k = 10, fetch = fetch)
+        .select(col("id").cast("long").as("doc_id"), col("title"),
+          col("abstract"), col("authors"), col("categories"), col("query"))
+    }),
+
+    "ann_qdrant_vs" -> ((s, dir) => {
+      // The REMOTE vector-store surface, driver-verified: QdrantLikeVS
+      // speaks the Qdrant REST contract (PUT collection, executor-side
+      // batched upserts, POST points/search) against the in-process replay
+      // server — the same request-build/response-parse code a live
+      // endpoint exercises, zero egress. Exhaustive search, so the truth
+      // is plain cosine top-k like every ANN gate.
+      graft.embed.FakeQdrant.clear()
+      val vs = graft.embed.QdrantLikeVS("http://fake", graft.embed.FakeQdrant.fetch)
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 4).select("embedding")
+        .head().getSeq[Float](0)
+      vs.index(e, "vec_id", "embedding", "gate_q")
+      vs.search(s, "gate_q", qv, 12)
+        .orderBy(col("score").desc, col("id"))
+        .select(col("id").as("vec_id"), round(col("score"), 3).as("score"))
+    }),
+
+    "ann_weaviate_vs" -> ((s, dir) => {
+      // The Weaviate-contract sibling: schema create, deterministic-UUID
+      // batch upserts, GraphQL nearVector search, and the distance →
+      // similarity conversion — all through the replay transport.
+      graft.embed.FakeWeaviate.clear()
+      val vs = graft.embed.WeaviateLikeVS("http://fake", graft.embed.FakeWeaviate.fetch)
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 4).select("embedding")
+        .head().getSeq[Float](0)
+      vs.index(e, "vec_id", "embedding", "GateW")
+      vs.search(s, "GateW", qv, 12)
+        .orderBy(col("score").desc, col("id"))
+        .select(col("id").as("vec_id"), round(col("score"), 3).as("score"))
+    }),
+
     "source_jdbc" -> ((s, dir) => {
       // The JDBC connector end to end through a REAL embedded database
       // (Derby ships with Spark): nation round-trips driver → Derby →
@@ -1579,6 +1642,34 @@ object Queries {
       """SELECT doc_id, 0 AS page,
         |  md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_md5
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    // What the gate fed into the Atom feed must come back out of the parse.
+    "web_search_arxiv" ->
+      """SELECT doc_id,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS title,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS abstract,
+        |  'author_' || lang AS authors,
+        |  lang AS categories,
+        |  'corpus engineering' AS query
+        |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
+
+    // Exhaustive remote-contract search ≡ exact cosine top-k (the
+    // ann_ivf_vs truth). 1-(1-cos) re-rounds identically at 3 dp.
+    "ann_qdrant_vs" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 4)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score
+        |FROM embeddings e, q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 12""".stripMargin,
+
+    "ann_weaviate_vs" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 4)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score
+        |FROM embeddings e, q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 12""".stripMargin,
 
     // What went into Derby must come back out of the partitioned read.
     "source_jdbc" ->
