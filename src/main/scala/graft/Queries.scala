@@ -849,6 +849,69 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "sem_search_rerank" -> ((s, dir) => {
+      // The n_rerank tail of sem_search: top-20 cosine candidates
+      // re-ordered by the deterministic LexicalReranker (the in-env
+      // cross-encoder stand-in; overlap/√len is exactly reproducible in
+      // SQL), keep 5. The rank column pins the ORDER the reranker chose,
+      // not just the surviving set.
+      val docs = read(s, dir, "documents")
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      // The text rides in column "emb" (the rerank path reads the doc text
+      // from c itself); its precomputed vector in vecCol("emb").
+      val joined = docs.join(e, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text").as("emb"),
+          col("embedding").as(EmbedOps.vecCol("emb")))
+      val out = EmbedOps.semSearchVec(joined, "emb", qv, 20, scoreCol = "raw",
+          tieBreak = Seq(col("doc_id")), nRerank = 5,
+          queryText = Some("spark data pipeline"))
+        .select("doc_id")
+      // ≤5 driver-materialized rows: rank = reranked position.
+      s.createDataFrame(
+        out.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getLong(0), i) },
+        org.apache.spark.sql.types.StructType(out.schema.fields :+
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.LongType)))
+    }),
+
+    "web_extract" -> ((s, dir) => {
+      // webExtract end to end through the replay transport: pages built
+      // around document text (tags, a style block, entities) must strip
+      // back to exactly the whitespace-collapsed text.
+      val ids = read(s, dir, "documents").filter(col("doc_id") < 30)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+      val pages = ids.map(r => s"http://docs/${r.getLong(0)}" ->
+        (s"<html><head><style>body{margin:0}</style></head><body>" +
+          s"<h1>Title</h1><p>${r.getString(1)}</p>&nbsp;</body></html>")).toMap
+      val fetch: graft.connectors.WebSearchEngines.Fetch =
+        (url, _, _) => pages(url)
+      graft.connectors.WebSearchEngines.webExtract(
+          s, ids.map(r => s"http://docs/${r.getLong(0)}").toSeq, fetch)
+        .select(regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("doc_id"),
+          col("text"))
+    }),
+
+    "source_path_formats" -> ((s, dir) => {
+      // The format-dispatched path loader (the reference's load_from_s3
+      // shape on any hadoop fs): the same 50 docs round-trip through CSV
+      // (header + schema inference) and JSON lines, unioned with a format
+      // tag — both branches must reproduce the table exactly.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_verify_paths").toString
+      val d = read(s, dir, "documents").filter(col("doc_id") < 50)
+        .select("doc_id", "lang", "text")
+      d.coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$tmp/c")
+      d.coalesce(1).write.mode("overwrite").json(s"$tmp/j")
+      val csv = DataConnectors.loadPath(s, s"$tmp/c", "csv")
+      val js = DataConnectors.loadPath(s, s"$tmp/j", "json")
+      csv.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("text"), lit("csv").as("fmt"))
+        .unionByName(js.select(col("doc_id").cast("long").as("doc_id"),
+          col("lang"), col("text"), lit("json").as("fmt")))
+    }),
+
     "web_search_arxiv" -> ((s, dir) => {
       // The web-search surface through the injectable transport: an arXiv
       // Atom feed BUILT FROM the documents table round-trips through the
@@ -1642,6 +1705,46 @@ object Queries {
       """SELECT doc_id, 0 AS page,
         |  md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_md5
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    // Retrieval top-20 by cosine (the sem_search truth), reranked by
+    // overlap(query terms)/sqrt(doc tokens) with candidate-order
+    // tie-break — LexicalReranker's exact math, rank pinned.
+    "sem_search_rerank" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT d.doc_id, d.text,
+        |    row_number() OVER (ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC,
+        |      d.doc_id) - 1 AS ri
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id, q
+        |  ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, d.doc_id
+        |  LIMIT 20),
+        |tok AS (
+        |  SELECT doc_id, ri,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
+        |      x -> x <> '')) AS w
+        |  FROM cand),
+        |sc AS (
+        |  SELECT doc_id, ri,
+        |    count(*) FILTER (WHERE w IN ('spark', 'data', 'pipeline')) AS ov,
+        |    count(*) AS n
+        |  FROM tok GROUP BY doc_id, ri)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY ov / sqrt(n) DESC, ri) - 1 AS rank
+        |FROM sc ORDER BY ov / sqrt(n) DESC, ri LIMIT 5""".stripMargin,
+
+    // Strip the wrapper markup back to the collapsed document text.
+    "web_extract" ->
+      """SELECT doc_id,
+        |  'Title ' || trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+        |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin,
+
+    "source_path_formats" ->
+      """SELECT doc_id, lang, text, 'csv' AS fmt
+        |FROM documents WHERE doc_id < 50
+        |UNION ALL
+        |SELECT doc_id, lang, text, 'json' AS fmt
+        |FROM documents WHERE doc_id < 50""".stripMargin,
 
     // What the gate fed into the Atom feed must come back out of the parse.
     "web_search_arxiv" ->

@@ -208,12 +208,11 @@ class DedupSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     // A 200-node chain needs several contraction rounds; each round's staged
     // edge set must be unpersisted once the next materializes, or k rounds
-    // pin k full edge-set copies for the application's lifetime.
+    // pin k full edge-set copies for the application's lifetime. Measure
+    // starEdges itself: only its FINAL round may stay persisted.
     val before = spark.sparkContext.getPersistentRDDs.size
-    val nodes = (0L until 200L).toDF("id")
     val edges = (0L until 199L).map(i => (i, i + 1)).toDF("id1", "id2")
-    Dedup.keepAfterConnectedComponents(nodes, edges, driverEdgeThreshold = 0L)
-      .collect()
+    Dedup.starEdges(edges).collect()
     val after = spark.sparkContext.getPersistentRDDs.size
     assert(after <= before + 1,
       s"only the final round may stay persisted: $before -> $after")
