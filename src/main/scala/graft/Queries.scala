@@ -912,6 +912,29 @@ object Queries {
           col("lang"), col("text"), lit("json").as("fmt")))
     }),
 
+    "web_search_google" -> ((s, dir) => {
+      // The SerpApi JSON branch (arxiv covers the XML branch): canned
+      // organic_results built from the documents table through the real
+      // parser — position/title/link/snippet recovery plus null-field
+      // handling (no date/author in the payload) oracle-verified.
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 10)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+      val results = docs.zipWithIndex.map { case (r, i) =>
+        val words = r.getString(1).split(" ")
+        s"""{"position":${i + 1},"title":"${words.take(4).mkString(" ")}",
+           |"link":"http://docs/${r.getLong(0)}",
+           |"displayed_link":"docs/${r.getLong(0)}",
+           |"snippet":"${words.take(12).mkString(" ")}"}""".stripMargin
+      }.mkString("""{"organic_results":[""", ",", "]}")
+      val fetch: graft.connectors.WebSearchEngines.Fetch = (_, _, _) => results
+      graft.connectors.WebSearchEngines.search(s,
+          graft.connectors.WebSearchEngines.Google,
+          Seq("corpus engineering"), k = 10, apiKey = "replay", fetch = fetch)
+        .select(col("position"), col("title"), col("link"),
+          col("displayed_link"), col("date"), col("author"),
+          col("snippet"), col("query"))
+    }),
+
     "web_search_arxiv" -> ((s, dir) => {
       // The web-search surface through the injectable transport: an arXiv
       // Atom feed BUILT FROM the documents table round-trips through the
@@ -1745,6 +1768,18 @@ object Queries {
         |UNION ALL
         |SELECT doc_id, lang, text, 'json' AS fmt
         |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "web_search_google" ->
+      """SELECT
+        |  CAST(row_number() OVER (ORDER BY doc_id) AS VARCHAR) AS position,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS title,
+        |  'http://docs/' || doc_id AS link,
+        |  'docs/' || doc_id AS displayed_link,
+        |  CAST(NULL AS VARCHAR) AS date,
+        |  CAST(NULL AS VARCHAR) AS author,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS snippet,
+        |  'corpus engineering' AS query
+        |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
 
     // What the gate fed into the Atom feed must come back out of the parse.
     "web_search_arxiv" ->
