@@ -91,6 +91,15 @@ object Queries {
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
+  // Escapes for the replay payload builders: the parsers unescape, so the
+  // round-trip stays exact and the gates stay corpus-independent (the
+  // pinned fixtures contain none of these characters, but a gate must not
+  // break if the test data ever does).
+  private def jsonEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def xmlEsc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- classical relational surface ------------------------
     "q1_agg" -> ((s, dir) => {
@@ -885,7 +894,7 @@ object Queries {
         .select("doc_id", "text").orderBy("doc_id").collect()
       val pages = ids.map(r => s"http://docs/${r.getLong(0)}" ->
         (s"<html><head><style>body{margin:0}</style></head><body>" +
-          s"<h1>Title</h1><p>${r.getString(1)}</p>&nbsp;</body></html>")).toMap
+          s"<h1>Title</h1><p>${xmlEsc(r.getString(1))}</p>&nbsp;</body></html>")).toMap
       val fetch: graft.connectors.WebSearchEngines.Fetch =
         (url, _, _) => pages(url)
       graft.connectors.WebSearchEngines.webExtract(
@@ -921,10 +930,10 @@ object Queries {
         .select("doc_id", "text").orderBy("doc_id").collect()
       val results = docs.zipWithIndex.map { case (r, i) =>
         val words = r.getString(1).split(" ")
-        s"""{"position":${i + 1},"title":"${words.take(4).mkString(" ")}",
+        s"""{"position":${i + 1},"title":"${jsonEsc(words.take(4).mkString(" "))}",
            |"link":"http://docs/${r.getLong(0)}",
            |"displayed_link":"docs/${r.getLong(0)}",
-           |"snippet":"${words.take(12).mkString(" ")}"}""".stripMargin
+           |"snippet":"${jsonEsc(words.take(12).mkString(" "))}"}""".stripMargin
       }.mkString("""{"organic_results":[""", ",", "]}")
       val fetch: graft.connectors.WebSearchEngines.Fetch = (_, _, _) => results
       graft.connectors.WebSearchEngines.search(s,
@@ -948,8 +957,8 @@ object Queries {
         val words = r.getString(1).split(" ")
         s"""  <entry>
            |    <id>http://arxiv.org/abs/${r.getLong(0)}</id>
-           |    <title>${words.take(4).mkString(" ")}</title>
-           |    <summary>${words.take(12).mkString(" ")}</summary>
+           |    <title>${xmlEsc(words.take(4).mkString(" "))}</title>
+           |    <summary>${xmlEsc(words.take(12).mkString(" "))}</summary>
            |    <published>2024-01-01T00:00:00Z</published>
            |    <author><name>author_${r.getString(2)}</name></author>
            |    <category term="${r.getString(2)}"/>

@@ -22,4 +22,31 @@ object Persist {
       case None =>
         df.localCheckpoint(eager = eager)
     }
+
+  /** [[stage]] + the persistent-RDD ids the checkpoint created, so the
+    * caller can free the blocks with [[unstage]] once downstream no longer
+    * reads them — `Dataset.unpersist` is a no-op for localCheckpoint
+    * storage, and without an explicit release every iterative operator
+    * pins its staged frames for the application's lifetime. A concurrent
+    * persist landing inside the snapshot window could at worst be
+    * unpersisted early, which recomputes but stays correct. (With a
+    * reliable checkpointDir configured no persistent RDDs appear and
+    * unstage is a no-op; checkpoint FILES are cleaned by Spark's
+    * ContextCleaner on GC.)
+    */
+  def stageTracked(df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val staged = stage(df, eager)
+    (staged, sc.getPersistentRDDs.keySet.diff(before).toSet)
+  }
+
+  /** Free blocks recorded by [[stageTracked]]. Only safe once no
+    * still-to-be-materialized plan reads the staged frame: localCheckpoint
+    * truncates lineage, so dropped blocks cannot be recomputed.
+    */
+  def unstage(spark: org.apache.spark.sql.SparkSession, ids: Set[Int]): Unit = {
+    val sc = spark.sparkContext
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
 }

@@ -151,21 +151,29 @@ object Dedup {
     // re-inline it every iteration and blow up planning. Edges are
     // checkpointed FIRST so the expensive candidate-pair computation runs
     // once, not once per direction of the bidirectional union.
-    val e = graft.core.Persist.stage(edges)
-
-    if (e.count() <= driverEdgeThreshold) {
-      val reps = unionFind(e.select(col("id1").cast("long"), col("id2").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))))
-      val removed = reps.collect { case (id, r) if id != r => id }.toSeq
-      val spark = nodes.sparkSession
-      import spark.implicits._
-      val removedDf = removed.toDF("id")
-      return nodes.select(col("id")).join(broadcast(removedDf), Seq("id"), "left_anti")
-    }
-    // At convergence the edge set is a union of per-component stars pointing
-    // at the component min, so the keep set is "never a star leaf".
-    val stars = starEdges(e, maxIter)
-    nodes.select(col("id")).join(stars.select(col("u").as("id")), Seq("id"), "left_anti")
+    val spark = nodes.sparkSession
+    val (e, eIds) = graft.core.Persist.stageTracked(edges)
+    val result =
+      if (e.count() <= driverEdgeThreshold) {
+        val reps = unionFind(e.select(col("id1").cast("long"), col("id2").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+        val removed = reps.collect { case (id, r) if id != r => id }.toSeq
+        import spark.implicits._
+        val removedDf = removed.toDF("id")
+        nodes.select(col("id")).join(broadcast(removedDf), Seq("id"), "left_anti")
+      } else {
+        // At convergence the edge set is a union of per-component stars
+        // pointing at the component min, so the keep set is "never a star
+        // leaf".
+        val stars = starEdges(e, maxIter)
+        nodes.select(col("id")).join(stars.select(col("u").as("id")), Seq("id"), "left_anti")
+      }
+    // The staged edges are fully consumed here — collected to the driver or
+    // contracted into starEdges' own checkpointed rounds (eager) — so the
+    // returned plan never reads them; free the blocks now rather than
+    // pinning one edge-set copy per call for the application's lifetime.
+    graft.core.Persist.unstage(spark, eIds)
+    result
   }
 
   /** Map every node to its duplicate-cluster REPRESENTATIVE (the component
@@ -177,15 +185,18 @@ object Dedup {
     */
   def componentIds(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25,
       driverEdgeThreshold: Long = 1000000L, repCol: String = "rep_id"): DataFrame = {
-    val e = graft.core.Persist.stage(edges)
+    val spark = nodes.sparkSession
+    val (e, eIds) = graft.core.Persist.stageTracked(edges)
     val mapped: DataFrame =
       if (e.count() <= driverEdgeThreshold) {
         val reps = unionFind(e.select(col("id1").cast("long"), col("id2").cast("long"))
           .collect().map(r => (r.getLong(0), r.getLong(1))))
-        val spark = nodes.sparkSession
         import spark.implicits._
         broadcast(reps.toSeq.toDF("id", repCol))
       } else starEdges(e, maxIter).select(col("u").as("id"), col("v").as(repCol))
+    // Consumed (collected or contracted into starEdges' eager rounds):
+    // free the staged edges, keepAfterConnectedComponents-style.
+    graft.core.Persist.unstage(spark, eIds)
     nodes.select(col("id"))
       .join(mapped, Seq("id"), "left")
       .select(col("id"), coalesce(col(repCol), col("id")).as(repCol))
@@ -222,19 +233,14 @@ object Dedup {
     * every non-min member `u`.
     */
   private[graft] def starEdges(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
-    // Stage + record which persistent-RDD ids the checkpoint created, so the
-    // PREVIOUS round's blocks can be freed once the next round materializes —
-    // otherwise k contraction rounds pin k full edge-set copies in executor
-    // storage for the application's lifetime. (With a reliable checkpointDir
-    // configured no new persistent RDDs appear and this is a no-op; a
-    // concurrent persist landing inside the snapshot window could at worst be
-    // unpersisted early, which recomputes but stays correct.)
-    def stageTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val staged = graft.core.Persist.stage(df)
-      (staged, sc.getPersistentRDDs.keySet.diff(before).toSet)
-    }
+    val spark = edges.sparkSession
+    // Track each round's checkpoint blocks so the PREVIOUS round can be
+    // freed once the next materializes — otherwise k contraction rounds pin
+    // k full edge-set copies in executor storage for the application's
+    // lifetime. Only the final round stays persisted (the returned plan
+    // reads its blocks; lineage is truncated, so they must survive until
+    // the caller materializes).
+    import graft.core.Persist.{stageTracked, unstage}
     def canon(e: DataFrame): DataFrame = e.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
@@ -260,8 +266,7 @@ object Dedup {
       // Fixed point ⇔ disjoint stars (SoCC'14, Thm 1) ⇔ converged. One
       // symmetric-difference job, not two except probes.
       done = next.exceptAll(cur).union(cur.exceptAll(next)).limit(1).isEmpty
-      curIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      unstage(spark, curIds)
       cur = next
       curIds = nextIds
       iter += 1

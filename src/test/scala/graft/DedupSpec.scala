@@ -204,18 +204,29 @@ class DedupSpec extends SparkSpec {
     assert(keep == Seq(0L), s"chain must contract to its min id: ${keep.take(10)}")
   }
 
-  test("star contraction frees prior rounds' checkpoint blocks") {
+  test("connected components free their staged frames (public-API bound)") {
     import org.apache.spark.sql.functions._
-    // A 200-node chain needs several contraction rounds; each round's staged
-    // edge set must be unpersisted once the next materializes, or k rounds
-    // pin k full edge-set copies for the application's lifetime. Measure
-    // starEdges itself: only its FINAL round may stay persisted.
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // Each call stages the edge frame and (distributed path) one checkpoint
+    // per contraction round; without explicit release every dedup call pins
+    // edge-set copies in executor storage for the application's lifetime.
+    val nodes = (0L until 200L).toDF("id")
     val edges = (0L until 199L).map(i => (i, i + 1)).toDF("id1", "id2")
-    Dedup.starEdges(edges).collect()
-    val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after <= before + 1,
-      s"only the final round may stay persisted: $before -> $after")
+    // Driver union-find path: everything is consumed at collect time — no
+    // persistent RDDs may survive the call.
+    val b1 = spark.sparkContext.getPersistentRDDs.size
+    Dedup.keepAfterConnectedComponents(nodes, edges).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size <= b1,
+      s"driver path must release its staged edges: $b1 -> " +
+        s"${spark.sparkContext.getPersistentRDDs.size}")
+    // Distributed star-contraction path (a chain needs several rounds):
+    // only the FINAL round's checkpoint may remain — the returned plan
+    // reads its blocks; every earlier round and the staged input must go.
+    val b2 = spark.sparkContext.getPersistentRDDs.size
+    Dedup.keepAfterConnectedComponents(nodes, edges, driverEdgeThreshold = 0L)
+      .collect()
+    assert(spark.sparkContext.getPersistentRDDs.size <= b2 + 1,
+      s"distributed path may keep only the final round: $b2 -> " +
+        s"${spark.sparkContext.getPersistentRDDs.size}")
   }
 
   test("stripSharedWindows completes in bounded time on a fully-covered 100k-word doc") {
