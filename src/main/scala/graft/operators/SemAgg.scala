@@ -148,6 +148,11 @@ object SemAgg {
     var isLeaf = true
     var n = -1L // unknown until the first convergence check
     var done = false
+    // Persistent-RDD ids backing cur's checkpoint (empty while cur is the
+    // unstaged round-0 plan): each round frees the previous round's blocks
+    // once the next materializes, so O(log n) rounds don't pin O(log n)
+    // shrinking copies (the starEdges convention).
+    var curIds = Set.empty[Int]
     while (!done) {
       UsageLimit.checkBeforeStage(stats, lm)
       // Partition count shrinks with the data: ≥4 rows per partition so
@@ -179,7 +184,7 @@ object SemAgg {
 
       // Eager checkpoint: materializes the round's LLM calls exactly once
       // AND truncates lineage so O(log n) rounds don't stack plans.
-      val nextCp = Persist.stage(next)
+      val (nextCp, nextIds) = Persist.stageTracked(next)
       // Converged when every group is a single pack; one job yields both the
       // row count (next round's partition sizing) and the per-group max.
       if (groupBy.isEmpty) {
@@ -191,7 +196,9 @@ object SemAgg {
         n = agg.getLong(0)
         done = agg.getLong(1) <= 1
       }
+      Persist.unstage(df.sparkSession, curIds)
       cur = nextCp
+      curIds = nextIds
       if (!done) isLeaf = false
 
       // Small-tail fold on the driver: once the surviving partials are few,
@@ -206,6 +213,10 @@ object SemAgg {
         val folded = driverFold(rows.toIndexedSeq, nGroup, budget, lm, instruction,
           isLeaf, stats, cached)
         val spark = df.sparkSession
+        // The collected round's blocks are consumed — the returned plan is
+        // built from the driver-folded rows, not the staged frame.
+        Persist.unstage(spark, curIds)
+        curIds = Set.empty
         cur = spark.createDataFrame(
           spark.sparkContext.parallelize(folded, math.max(1, folded.length)), rowSchema)
         done = true

@@ -21,6 +21,20 @@ class SemAggTopKSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("semAgg frees each fold round's checkpoint blocks") {
+    // Multi-round fold (tiny ctx): every round but the one backing the
+    // returned plan must release its staged blocks — O(log n) rounds must
+    // not pin O(log n) frame copies.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Sem.withLM(FakeLM(FakeBehavior.ConcatDocs("\n"), maxCtxLen = 600)) {
+      docs.semAgg("summarize {text}", orderBy = Seq(col("id")))
+    }
+    out.collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"at most the final round may stay persisted: $before -> $after")
+  }
+
   test("semAgg group_by folds per group") {
     val out = Sem.withLM(FakeLM(FakeBehavior.ConcatDocs("\n"), maxCtxLen = 600)) {
       docs.semAgg("summarize {text}", groupBy = Seq("grp"), orderBy = Seq(col("id")))
