@@ -921,6 +921,40 @@ object Queries {
           col("lang"), col("text"), lit("json").as("fmt")))
     }),
 
+    "web_search_pubmed" -> ((s, dir) => {
+      // The TWO-call engine chain (esearch JSON ids → efetch article XML)
+      // through one dispatching replay transport; PMID/title/abstract/
+      // authors/journal/doi recovery oracle-verified from the documents
+      // table like the other engine gates.
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 8)
+        .select("doc_id", "text", "lang").orderBy("doc_id").collect()
+      val idList = docs.map(r => "\"" + r.getLong(0) + "\"").mkString(",")
+      val articles = docs.map { r =>
+        val words = r.getString(1).split(" ")
+        s"""  <PubmedArticle>
+           |    <PMID>${r.getLong(0)}</PMID>
+           |    <ArticleTitle>${xmlEsc(words.take(4).mkString(" "))}</ArticleTitle>
+           |    <AbstractText>${xmlEsc(words.take(12).mkString(" "))}</AbstractText>
+           |    <PubDate>2024</PubDate>
+           |    <Author><ForeName>A</ForeName><LastName>${r.getString(2)}</LastName></Author>
+           |    <Title>Journal of ${r.getString(2)}</Title>
+           |    <ArticleId IdType="doi">10.1000/${r.getLong(0)}</ArticleId>
+           |  </PubmedArticle>""".stripMargin
+      }.mkString("\n")
+      val fetch: graft.connectors.WebSearchEngines.Fetch = (url, _, _) =>
+        if (url.contains("esearch.fcgi"))
+          s"""{"esearchresult":{"idlist":[$idList]}}"""
+        else
+          "<?xml version=\"1.0\"?>\n<PubmedArticleSet>\n" + articles +
+            "\n</PubmedArticleSet>"
+      graft.connectors.WebSearchEngines.search(s,
+          graft.connectors.WebSearchEngines.PubMed,
+          Seq("corpus engineering"), k = 8, fetch = fetch)
+        .select(col("id").cast("long").as("doc_id"), col("title"),
+          col("abstract"), col("published"), col("authors"),
+          col("journal"), col("doi"), col("query"))
+    }),
+
     "web_search_google" -> ((s, dir) => {
       // The SerpApi JSON branch (arxiv covers the XML branch): canned
       // organic_results built from the documents table through the real
@@ -1777,6 +1811,17 @@ object Queries {
         |UNION ALL
         |SELECT doc_id, lang, text, 'json' AS fmt
         |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "web_search_pubmed" ->
+      """SELECT doc_id,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS title,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS abstract,
+        |  '2024' AS published,
+        |  'A ' || lang AS authors,
+        |  'Journal of ' || lang AS journal,
+        |  '10.1000/' || doc_id AS doi,
+        |  'corpus engineering' AS query
+        |FROM documents WHERE doc_id < 8 ORDER BY doc_id""".stripMargin,
 
     "web_search_google" ->
       """SELECT
