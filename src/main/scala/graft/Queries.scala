@@ -95,10 +95,26 @@ object Queries {
   // round-trip stays exact and the gates stay corpus-independent (the
   // pinned fixtures contain none of these characters, but a gate must not
   // break if the test data ever does).
-  private def jsonEsc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def jsonEsc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
   private def xmlEsc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  // Text normalization shared (semantically) with the replay-gate oracles:
+  // XML 1.0 cannot carry most control chars at all, the DOM parser
+  // normalizes line endings, and childText trims ends — so the payload
+  // builders and the DuckDB oracles both collapse [\x00-\x20] runs to one
+  // space and trim ends BEFORE splitting, making every parser-side
+  // normalization a no-op. Oracle mirror:
+  // trim(regexp_replace(text, '[\x00-\x20]+', ' ', 'g')).
+  private def wsNorm(s: String): String =
+    s.replaceAll("[\\x00-\\x20]+", " ").trim
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- classical relational surface ------------------------
@@ -930,7 +946,7 @@ object Queries {
         .select("doc_id", "text", "lang").orderBy("doc_id").collect()
       val idList = docs.map(r => "\"" + r.getLong(0) + "\"").mkString(",")
       val articles = docs.map { r =>
-        val words = r.getString(1).split(" ")
+        val words = wsNorm(r.getString(1)).split(" ")
         s"""  <PubmedArticle>
            |    <PMID>${r.getLong(0)}</PMID>
            |    <ArticleTitle>${xmlEsc(words.take(4).mkString(" "))}</ArticleTitle>
@@ -963,7 +979,7 @@ object Queries {
       val docs = read(s, dir, "documents").filter(col("doc_id") < 10)
         .select("doc_id", "text").orderBy("doc_id").collect()
       val results = docs.zipWithIndex.map { case (r, i) =>
-        val words = r.getString(1).split(" ")
+        val words = wsNorm(r.getString(1)).split(" ")
         s"""{"position":${i + 1},"title":"${jsonEsc(words.take(4).mkString(" "))}",
            |"link":"http://docs/${r.getLong(0)}",
            |"displayed_link":"docs/${r.getLong(0)}",
@@ -988,7 +1004,7 @@ object Queries {
       val docs = read(s, dir, "documents").filter(col("doc_id") < 10)
         .select("doc_id", "text", "lang").orderBy("doc_id").collect()
       val entries = docs.map { r =>
-        val words = r.getString(1).split(" ")
+        val words = wsNorm(r.getString(1)).split(" ")
         s"""  <entry>
            |    <id>http://arxiv.org/abs/${r.getLong(0)}</id>
            |    <title>${xmlEsc(words.take(4).mkString(" "))}</title>
@@ -1814,8 +1830,8 @@ object Queries {
 
     "web_search_pubmed" ->
       """SELECT doc_id,
-        |  array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS title,
-        |  array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS abstract,
+        |  array_to_string(list_slice(string_split(trim(regexp_replace(text, '[\x00-\x20]+', ' ', 'g')), ' '), 1, 4), ' ') AS title,
+        |  array_to_string(list_slice(string_split(trim(regexp_replace(text, '[\x00-\x20]+', ' ', 'g')), ' '), 1, 12), ' ') AS abstract,
         |  '2024' AS published,
         |  'A ' || lang AS authors,
         |  'Journal of ' || lang AS journal,
@@ -1826,20 +1842,20 @@ object Queries {
     "web_search_google" ->
       """SELECT
         |  CAST(row_number() OVER (ORDER BY doc_id) AS VARCHAR) AS position,
-        |  array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS title,
+        |  array_to_string(list_slice(string_split(trim(regexp_replace(text, '[\x00-\x20]+', ' ', 'g')), ' '), 1, 4), ' ') AS title,
         |  'http://docs/' || doc_id AS link,
         |  'docs/' || doc_id AS displayed_link,
         |  CAST(NULL AS VARCHAR) AS date,
         |  CAST(NULL AS VARCHAR) AS author,
-        |  array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS snippet,
+        |  array_to_string(list_slice(string_split(trim(regexp_replace(text, '[\x00-\x20]+', ' ', 'g')), ' '), 1, 12), ' ') AS snippet,
         |  'corpus engineering' AS query
         |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
 
     // What the gate fed into the Atom feed must come back out of the parse.
     "web_search_arxiv" ->
       """SELECT doc_id,
-        |  array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS title,
-        |  array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS abstract,
+        |  array_to_string(list_slice(string_split(trim(regexp_replace(text, '[\x00-\x20]+', ' ', 'g')), ' '), 1, 4), ' ') AS title,
+        |  array_to_string(list_slice(string_split(trim(regexp_replace(text, '[\x00-\x20]+', ' ', 'g')), ' '), 1, 12), ' ') AS abstract,
         |  'author_' || lang AS authors,
         |  lang AS categories,
         |  'corpus engineering' AS query

@@ -158,7 +158,7 @@ object DirectoryReaderLite {
     // spurious FileNotFoundException stack trace per query; demote that
     // known-noisy logger instead.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.streaming.FileStreamSink",
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
       org.apache.logging.log4j.Level.ERROR)
     spark.read.format("binaryFile").load(pathGlob)
       .select("path", "content")

@@ -23,22 +23,37 @@ object Persist {
         df.localCheckpoint(eager = eager)
     }
 
-  /** [[stage]] + the persistent-RDD ids the checkpoint created, so the
+  /** [[stage]] + the persistent-RDD ids backing the staged frame, so the
     * caller can free the blocks with [[unstage]] once downstream no longer
     * reads them — `Dataset.unpersist` is a no-op for localCheckpoint
     * storage, and without an explicit release every iterative operator
-    * pins its staged frames for the application's lifetime. A concurrent
-    * persist landing inside the snapshot window could at worst be
-    * unpersisted early, which recomputes but stays correct. (With a
-    * reliable checkpointDir configured no persistent RDDs appear and
-    * unstage is a no-op; checkpoint FILES are cleaned by Spark's
-    * ContextCleaner on GC.)
+    * pins its staged frames for the application's lifetime. The ids are
+    * found by walking the staged plan's OWN RDD ancestry for persisted
+    * nodes (race-free — a global before/after snapshot diff could capture
+    * a concurrent thread's checkpoint, whose blocks are unrecoverable once
+    * dropped: localCheckpoint truncates lineage). With a reliable
+    * checkpointDir configured no ancestor is persisted and unstage is a
+    * no-op (checkpoint FILES are cleaned by Spark's ContextCleaner on GC).
     */
   def stageTracked(df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val staged = stage(df, eager)
-    (staged, sc.getPersistentRDDs.keySet.diff(before).toSet)
+    (staged, persistedAncestors(staged.queryExecution.toRdd))
+  }
+
+  /** Ids of persisted RDDs in `rdd`'s dependency closure (including
+    * itself). A localCheckpointed Dataset's plan is a scan over the
+    * checkpoint RDD, so this finds exactly the blocks [[stage]] pinned.
+    */
+  private def persistedAncestors(rdd: org.apache.spark.rdd.RDD[_]): Set[Int] = {
+    val seen = scala.collection.mutable.Set.empty[Int]
+    val out = scala.collection.mutable.Set.empty[Int]
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (seen.add(r.id)) {
+        if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) out += r.id
+        r.dependencies.foreach(d => walk(d.rdd))
+      }
+    walk(rdd)
+    out.toSet
   }
 
   /** Free blocks recorded by [[stageTracked]]. Only safe once no

@@ -153,27 +153,31 @@ object Dedup {
     // once, not once per direction of the bidirectional union.
     val spark = nodes.sparkSession
     val (e, eIds) = graft.core.Persist.stageTracked(edges)
-    val result =
-      if (e.count() <= driverEdgeThreshold) {
-        val reps = unionFind(e.select(col("id1").cast("long"), col("id2").cast("long"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))))
-        val removed = reps.collect { case (id, r) if id != r => id }.toSeq
-        import spark.implicits._
-        val removedDf = removed.toDF("id")
-        nodes.select(col("id")).join(broadcast(removedDf), Seq("id"), "left_anti")
-      } else {
-        // At convergence the edge set is a union of per-component stars
-        // pointing at the component min, so the keep set is "never a star
-        // leaf".
-        val stars = starEdges(e, maxIter)
-        nodes.select(col("id")).join(stars.select(col("u").as("id")), Seq("id"), "left_anti")
-      }
-    // The staged edges are fully consumed here — collected to the driver or
-    // contracted into starEdges' own checkpointed rounds (eager) — so the
-    // returned plan never reads them; free the blocks now rather than
-    // pinning one edge-set copy per call for the application's lifetime.
-    graft.core.Persist.unstage(spark, eIds)
-    result
+    try {
+      val result =
+        if (e.count() <= driverEdgeThreshold) {
+          val reps = unionFind(e.select(col("id1").cast("long"), col("id2").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))))
+          val removed = reps.collect { case (id, r) if id != r => id }.toSeq
+          import spark.implicits._
+          val removedDf = removed.toDF("id")
+          nodes.select(col("id")).join(broadcast(removedDf), Seq("id"), "left_anti")
+        } else {
+          // At convergence the edge set is a union of per-component stars
+          // pointing at the component min, so the keep set is "never a star
+          // leaf".
+          val stars = starEdges(e, maxIter)
+          nodes.select(col("id")).join(stars.select(col("u").as("id")), Seq("id"), "left_anti")
+        }
+      // The staged edges are fully consumed here — collected to the driver
+      // or contracted into starEdges' own checkpointed rounds (eager) — so
+      // the returned plan never reads them; free the blocks now rather than
+      // pinning one edge-set copy per call for the application's lifetime.
+      graft.core.Persist.unstage(spark, eIds)
+      result
+    } catch { case t: Throwable =>
+      graft.core.Persist.unstage(spark, eIds); throw t
+    }
   }
 
   /** Map every node to its duplicate-cluster REPRESENTATIVE (the component
@@ -187,19 +191,23 @@ object Dedup {
       driverEdgeThreshold: Long = 1000000L, repCol: String = "rep_id"): DataFrame = {
     val spark = nodes.sparkSession
     val (e, eIds) = graft.core.Persist.stageTracked(edges)
-    val mapped: DataFrame =
-      if (e.count() <= driverEdgeThreshold) {
-        val reps = unionFind(e.select(col("id1").cast("long"), col("id2").cast("long"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))))
-        import spark.implicits._
-        broadcast(reps.toSeq.toDF("id", repCol))
-      } else starEdges(e, maxIter).select(col("u").as("id"), col("v").as(repCol))
-    // Consumed (collected or contracted into starEdges' eager rounds):
-    // free the staged edges, keepAfterConnectedComponents-style.
-    graft.core.Persist.unstage(spark, eIds)
-    nodes.select(col("id"))
-      .join(mapped, Seq("id"), "left")
-      .select(col("id"), coalesce(col(repCol), col("id")).as(repCol))
+    try {
+      val mapped: DataFrame =
+        if (e.count() <= driverEdgeThreshold) {
+          val reps = unionFind(e.select(col("id1").cast("long"), col("id2").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))))
+          import spark.implicits._
+          broadcast(reps.toSeq.toDF("id", repCol))
+        } else starEdges(e, maxIter).select(col("u").as("id"), col("v").as(repCol))
+      // Consumed (collected or contracted into starEdges' eager rounds):
+      // free the staged edges, keepAfterConnectedComponents-style.
+      graft.core.Persist.unstage(spark, eIds)
+      nodes.select(col("id"))
+        .join(mapped, Seq("id"), "left")
+        .select(col("id"), coalesce(col(repCol), col("id")).as(repCol))
+    } catch { case t: Throwable =>
+      graft.core.Persist.unstage(spark, eIds); throw t
+    }
   }
 
   /** Driver union-find: (node → component-min representative) for every
@@ -248,6 +256,7 @@ object Dedup {
       edges.select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))))
     var iter = 0
     var done = cur.isEmpty
+    try {
     while (!done && iter < maxIter) {
       // Large-star: every neighbor LARGER than u re-links to u's local min
       // (min over u's neighbors and u itself).
@@ -276,6 +285,13 @@ object Dedup {
     // duplicates — silently wrong results, so refuse instead.
     require(done, s"star-contraction did not converge in $maxIter rounds " +
       "(O(log n) expected — raise maxIter)")
+    } catch { case t: Throwable =>
+      // Non-convergence or a failed round must not pin the current round's
+      // blocks for the application's lifetime (best effort: a failure
+      // INSIDE a stage call can still leak its partially-pinned round).
+      unstage(spark, curIds)
+      throw t
+    }
     cur
   }
 

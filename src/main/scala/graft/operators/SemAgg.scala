@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{NLExpr, Persist, Sem}
@@ -153,6 +153,7 @@ object SemAgg {
     // once the next materializes, so O(log n) rounds don't pin O(log n)
     // shrinking copies (the starEdges convention).
     var curIds = Set.empty[Int]
+    try {
     while (!done) {
       UsageLimit.checkBeforeStage(stats, lm)
       // Partition count shrinks with the data: ≥4 rows per partition so
@@ -206,7 +207,7 @@ object SemAgg {
       // rounds — collect once and finish with batched local LM calls
       // (SURVEY §7.5 risk 3's local-execution fallback; identical packing
       // and prompts, so results are unchanged).
-      if (!done && n >= 0 && n <= DriverFoldThreshold) {
+      if (!done && n >= 0 && n <= driverFoldThreshold(df.sparkSession)) {
         val rows = cur.collect().sortBy(r =>
           ((0 until nGroup).map(i => String.valueOf(r.get(i))).mkString(""),
             r.getLong(nGroup)))
@@ -222,6 +223,12 @@ object SemAgg {
         done = true
       }
     }
+    } catch { case t: Throwable =>
+      // A failed round (LM error, usage-limit stop) must not pin the last
+      // materialized round's blocks for the application's lifetime.
+      Persist.unstage(df.sparkSession, curIds)
+      throw t
+    }
 
     // Unwrap the [Source]: «…» envelope of the final summary.
     val unwrap = regexp_extract(col("__doc"), "(?s)\\[Source\\]: «(.*)»\\n", 1)
@@ -233,7 +240,15 @@ object SemAgg {
     cur.select(groupCols :+ outCol.as(suffix): _*)
   }
 
-  private val DriverFoldThreshold = 2048L
+  /** Survivor count at or below which the fold finishes on the driver
+    * (per-round Spark-job overhead dominates the remaining O(log n)
+    * rounds there). Tunable via `graft.semAgg.driverFoldThreshold` — 0
+    * forces every round through the distributed path (also what the spec
+    * uses to exercise the multi-round per-round block free without a
+    * 2048-group corpus).
+    */
+  private def driverFoldThreshold(spark: SparkSession): Long =
+    spark.conf.get("graft.semAgg.driverFoldThreshold", "2048").toLong
 
   /** Finish the fold locally: same greedy packing and prompts as the
     * distributed rounds, batched through the LM until one row per group.

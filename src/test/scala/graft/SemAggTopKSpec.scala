@@ -24,12 +24,20 @@ class SemAggTopKSpec extends SparkSpec {
   test("semAgg frees each fold round's checkpoint blocks") {
     // Multi-round fold (tiny ctx): every round but the one backing the
     // returned plan must release its staged blocks — O(log n) rounds must
-    // not pin O(log n) frame copies.
+    // not pin O(log n) frame copies. driverFoldThreshold=0 disables the
+    // small-tail driver fold so every round takes the DISTRIBUTED path
+    // and the in-loop per-round unstage is what's under test (with the
+    // default threshold a 50-doc fold finishes on the driver and the
+    // in-loop free only ever sees an empty id set).
     val before = spark.sparkContext.getPersistentRDDs.size
-    val out = Sem.withLM(FakeLM(FakeBehavior.ConcatDocs("\n"), maxCtxLen = 600)) {
-      docs.semAgg("summarize {text}", orderBy = Seq(col("id")))
-    }
-    out.collect()
+    spark.conf.set("graft.semAgg.driverFoldThreshold", "0")
+    val out =
+      try Sem.withLM(FakeLM(FakeBehavior.ConcatDocs("\n"), maxCtxLen = 600)) {
+        docs.semAgg("summarize {text}", orderBy = Seq(col("id")))
+      }
+      finally spark.conf.unset("graft.semAgg.driverFoldThreshold")
+    val expected = docs.orderBy("id").select("text").as[String].collect().mkString("\n")
+    assert(out.select("_output").as[String].head() == expected)
     val after = spark.sparkContext.getPersistentRDDs.size
     assert(after <= before + 1,
       s"at most the final round may stay persisted: $before -> $after")
