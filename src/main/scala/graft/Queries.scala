@@ -116,6 +116,22 @@ object Queries {
   private def wsNorm(s: String): String =
     s.replaceAll("[\\x00-\\x20]+", " ").trim
 
+  /** A directory the FILE STREAM source accepts for `table`: the table's
+    * own path when it already is a directory, else a temp dir holding a
+    * symlink (fallback: copy) to the single parquet file.
+    */
+  private def streamDir(dir: String, table: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
+    if (java.nio.file.Files.isDirectory(src)) src.toString
+    else {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_stream_$table")
+      val link = d.resolve(s"$table.parquet")
+      try java.nio.file.Files.createSymbolicLink(link, src)
+      catch { case _: Exception => java.nio.file.Files.copy(src, link) }
+      d.toString
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- classical relational surface ------------------------
     "q1_agg" -> ((s, dir) => {
@@ -935,6 +951,89 @@ object Queries {
           col("text"), lit("csv").as("fmt"))
         .unionByName(js.select(col("doc_id").cast("long").as("doc_id"),
           col("lang"), col("text"), lit("json").as("fmt")))
+    }),
+
+    // ------------- Structured Streaming surface as oracle gates ----------
+    // (The FILE STREAM source requires a DIRECTORY; the test tables are
+    // single parquet files, so streamDir symlinks one into a temp dir.)
+    // The same parquet the batch gates read, replayed through a FILE
+    // STREAM source into the real streaming operators and a memory sink:
+    // one micro-batch delivers everything, so complete-mode aggregation
+    // emits every window exactly once and the result is a plain frame the
+    // oracle can hash — the streaming plan (watermark, stateful dedup,
+    // foreachBatch sink) is what executed, not a batch stand-in.
+
+    "stream_windowed_counts" -> ((s, dir) => {
+      // windowedEventCounts over a streamed events table. value is
+      // cents-scaled BEFORE the agg so the windowed sum is integral
+      // (partition-order-independent); window start compares as epoch
+      // seconds (pure epoch arithmetic on both engines, tz-free).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(streamDir(dir, "events"))
+        .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("value", cents(col("value")))
+      val agg = graft.streaming.StreamingOps.windowedEventCounts(
+        stream, tsCol = "tsm", window_ = "1 hour", watermark = "10 minutes")
+      val sink = "stream_win_sink"
+      s.catalog.dropTempView(sink)
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(sink).start()
+      q.processAllAvailable(); q.stop()
+      s.table(sink)
+        .select(col("window.start").cast("long").as("w_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    "stream_dedup_keys" -> ((s, dir) => {
+      // streamingDedup (dropDuplicatesWithinWatermark state) over the
+      // streamed events table. Which ROW survives per key is arrival-order
+      // dependent, so the gate projects the key columns — the surviving
+      // KEY SET is exact and equals DISTINCT.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(streamDir(dir, "events"))
+        .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+      val deduped = graft.streaming.StreamingOps.streamingDedup(
+        stream, Seq("user_id", "event_type"), tsCol = "tsm")
+      val sink = "stream_dedup_sink"
+      s.catalog.dropTempView(sink)
+      val q = deduped.writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      q.processAllAvailable(); q.stop()
+      s.table(sink).select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    }),
+
+    "ann_ivf_stream_ingest" -> ((s, dir) => {
+      // Streaming ingestion growing a SAVED ANN index (the foreachBatch
+      // sink with two-phase batch marks), then an exhaustive-probe search
+      // over the grown index: base index on even vec_ids, odd vec_ids
+      // STREAMED in — the result equals exact cosine top-k over ALL
+      // vectors, so the streamed rows hash-verify alongside the originals.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_verify_ivfstream").toString
+      val path = s"$tmp/idx"
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 5).select("embedding")
+        .head().getSeq[Float](0)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      val (indexed, model) = graft.embed.IvfIndex.build(
+        withVec.filter(col("vec_id") % 2 === 0), "emb", nCells = 8)
+      graft.embed.IvfIndex.save(indexed, model, "emb", "vec_id", path)
+      indexed.unpersist()
+      withVec.filter(col("vec_id") % 2 === 1).write.parquet(s"$tmp/staging")
+      val schema = s.read.parquet(s"$tmp/staging").schema
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/staging")
+      val q = graft.streaming.StreamingOps
+        .streamAppendToIndex(stream, "emb", "vec_id", path)
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      q.processAllAvailable(); q.stop()
+      val (loaded, lModel) = graft.embed.IvfIndex.load(s, path)
+      graft.embed.IvfIndex.search(loaded, lModel, "emb", qv, k = 12, nProbe = 8,
+          scoreCol = "raw", tieBreak = Seq(col("vec_id")))
+        .orderBy(col("raw").desc, col("vec_id"))
+        .select(col("vec_id"), round(col("raw"), 3).as("score"))
     }),
 
     "web_search_pubmed" -> ((s, dir) => {
@@ -1827,6 +1926,26 @@ object Queries {
         |UNION ALL
         |SELECT doc_id, lang, text, 'json' AS fmt
         |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    // Streaming gates: the stream saw the whole table in one micro-batch,
+    // so the emitted state equals the batch aggregate / distinct / top-k.
+    "stream_windowed_counts" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "stream_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY 1,2""".stripMargin,
+
+    "ann_ivf_stream_ingest" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score
+        |FROM embeddings e, q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 12""".stripMargin,
 
     "web_search_pubmed" ->
       """SELECT doc_id,
