@@ -1,0 +1,212 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Exactly-once commit protocol for BATCH appends to saved indexes (BM25
+  * postings, IVF cells, dedup state) — the batch sibling of the streaming
+  * two-phase mark in `StreamingOps.streamAppendToIndex`. Without it, a crash
+  * between an append's data commit and its sidecar/stats update leaves the
+  * index silently inconsistent, and re-running the append double-inserts the
+  * batch.
+  *
+  * Protocol (all driver-side metadata ops, Hadoop FS so the same code runs
+  * on local disk or HDFS; on S3 the renames become copies — swap in a
+  * manifest commit there):
+  *
+  *   1. The batch gets a content-derived TOKEN (row count + order-independent
+  *      id hash), so a replay of the same batch is recognizable.
+  *   2. `append_mark.json` records `{token, phase, payload}`; `payload`
+  *      carries the PRE-append sidecar state (e.g. BM25's n/Σdl), so a
+  *      recovery never re-reads a sidecar the crashed attempt may already
+  *      have advanced.
+  *   3. Data files are written to a staging dir, then adopted into the live
+  *      tree via per-file rename under a `b<token>-` name prefix — every
+  *      live file of a batch is identifiable, so recovery can DELETE a
+  *      partial adoption and redo it idempotently.
+  *   4. `done` mark last. Crash anywhere → re-running the SAME batch
+  *      converges to the clean result; a DIFFERENT batch (or a reader) over
+  *      a dangling `begin` refuses loudly with recovery instructions.
+  *
+  * Concurrency: the mark also serializes writers — a second concurrent
+  * append sees the first's `begin` and refuses. This is crash detection,
+  * not a lock: two appends racing the first mark write can interleave;
+  * growing one index from multiple uncoordinated writers is unsupported
+  * (same as the streaming path's single-lineage rule).
+  */
+object BatchCommit {
+
+  val markFile = "append_mark.json"
+
+  /** One append attempt's durable record: `done=false` is a dangling begin —
+    * the crash window where live data may hold any prefix of the batch.
+    */
+  final case class Mark(token: String, done: Boolean, payload: Map[String, Double])
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Filesystem-safe token from a batch's row count and id-hash sum. */
+  def tokenOf(count: Long, idHash: Long): String =
+    java.lang.Long.toHexString(idHash) + "n" + count
+
+  /** Content-derived batch token in ONE narrow aggregate over the batch:
+    * (row count, XOR of xxhash64(id)) — order- and partitioning-independent
+    * and overflow-free under ANSI mode, so the same batch yields the same
+    * token on every replay attempt. The hash must be over the RAW caller
+    * batch (not an index-dependent filter of it), or recovery replays would
+    * mis-token.
+    */
+  def batchToken(df: DataFrame, idCol: String): String = {
+    val r = df.select(xxhash64(col(idCol).cast("string")).as("__h"))
+      .agg(count(lit(1)), expr("bit_xor(__h)")).head()
+    tokenOf(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  def readMark(spark: SparkSession, root: String): Option[Mark] = {
+    val p = new Path(root, markFile)
+    if (!fsOf(spark, p).exists(p)) None
+    else {
+      val node = MetaIo.parse(MetaIo.read(spark, p.toString))
+      val payload = scala.collection.mutable.Map.empty[String, Double]
+      val fields = node.path("payload").fields()
+      while (fields.hasNext) {
+        val e = fields.next()
+        payload += e.getKey -> e.getValue.doubleValue()
+      }
+      Some(Mark(node.path("token").asText(),
+        node.path("phase").asText() == "done", payload.toMap))
+    }
+  }
+
+  /** Atomic mark transition: temp + rename (LocalFileSystem/HDFS renames
+    * replace atomically; a reader never sees a torn mark).
+    */
+  private[graft] def writeMark(spark: SparkSession, root: String, token: String,
+      done: Boolean, payload: Map[String, Double]): Unit = {
+    val phase = if (done) "done" else "begin"
+    val body = payload.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val mark = new Path(root, markFile)
+    val tmp = new Path(root, markFile + ".tmp")
+    MetaIo.write(spark, tmp.toString,
+      s"""{"token":"$token","phase":"$phase","payload":$body}""")
+    val f = fsOf(spark, mark)
+    if (!f.rename(tmp, mark)) {
+      // RawLocalFileSystem renames over an existing file; FSes that refuse
+      // need the delete first (non-atomic window: mark briefly absent, which
+      // reads as "clean" — the data files are still consistent then).
+      f.delete(mark, false)
+      require(f.rename(tmp, mark), s"BatchCommit: cannot move $tmp to $mark")
+    }
+  }
+
+  /** Rebuild entry points call this: a full overwrite supersedes any
+    * interrupted append, so the dangling state must not outlive it.
+    */
+  def clearMark(spark: SparkSession, root: String): Unit =
+    MetaIo.delete(spark, new Path(root, markFile).toString)
+
+  /** Readers refuse an index with a dangling begin — BM25 stats could be
+    * stale by the interrupted batch, cells/docs could hold a partial batch.
+    */
+  def requireClean(spark: SparkSession, root: String, what: String): Unit =
+    readMark(spark, root).filter(!_.done).foreach { m =>
+      throw new IllegalStateException(
+        s"$what at $root has an interrupted append (batch ${m.token}): " +
+          "re-run the same append batch to recover exactly-once, or rebuild " +
+          "the index with save()")
+    }
+
+  /** Delete live files left by an earlier partial adoption of this batch. */
+  private def deletePrefixed(spark: SparkSession, live: Path, prefix: String): Unit = {
+    val f = fsOf(spark, live)
+    if (f.exists(live)) {
+      val it = f.listFiles(live, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.startsWith(prefix))
+          f.delete(st.getPath, false)
+      }
+    }
+  }
+
+  /** Move staged data files into the live tree, preserving partition
+    * subdirectories (`bucket=3/part-x.parquet` stays under `bucket=3/`),
+    * under the batch's name prefix. Underscore/dot files (_SUCCESS, .crc)
+    * stay behind and are deleted with the staging dir.
+    */
+  private def adoptStaged(spark: SparkSession, staging: Path, live: Path,
+      prefix: String): Unit = {
+    val f = fsOf(spark, staging)
+    if (!f.exists(staging)) return
+    val stagingRoot = staging.toUri.getPath.stripSuffix("/")
+    val it = f.listFiles(staging, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val rel = st.getPath.toUri.getPath.stripPrefix(stagingRoot).stripPrefix("/")
+        val relDir = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case i  => rel.substring(0, i)
+        }
+        val destDir = if (relDir.isEmpty) live else new Path(live, relDir)
+        f.mkdirs(destDir)
+        val dest = new Path(destDir, prefix + name)
+        require(f.rename(st.getPath, dest),
+          s"BatchCommit: cannot adopt staged file ${st.getPath} as $dest")
+      }
+    }
+  }
+
+  /** Run one exactly-once append. Returns false when the mark shows this
+    * exact batch already committed (idempotent replay — nothing to do).
+    *
+    *   - `sidecarState`: pre-append sidecar values to pin in the begin mark
+    *     (evaluated only on a FRESH attempt; recovery reuses the mark's).
+    *   - `writeStaged(dir)`: write the batch's data files under `dir` with
+    *     mode("overwrite"). Any index reads inside it (e.g. an id anti-join)
+    *     must build their plan INSIDE the closure — it runs after recovery
+    *     cleanup, so it sees the index without the partial batch.
+    *   - `updateSidecar(payload)`: atomically move the sidecar to
+    *     payload + this batch, AFTER the data adoption.
+    */
+  def appendExactlyOnce(spark: SparkSession, root: String, liveSubdir: String,
+      token: String, sidecarState: => Map[String, Double],
+      writeStaged: String => Unit,
+      updateSidecar: Map[String, Double] => Unit): Boolean = {
+    val prior = readMark(spark, root)
+    prior match {
+      case Some(m) if m.done && m.token == token =>
+        false // this batch is fully committed — at-least-once replay, skip
+      case Some(m) if !m.done && m.token != token =>
+        throw new IllegalStateException(
+          s"append to $root: interrupted append of batch ${m.token} detected " +
+            s"while committing batch $token — re-run the interrupted batch " +
+            "first (its replay recovers exactly-once), or rebuild with save()")
+      case _ =>
+        val resuming = prior.exists(m => !m.done && m.token == token)
+        val payload =
+          if (resuming) prior.get.payload
+          else {
+            val p = sidecarState
+            writeMark(spark, root, token, done = false, p)
+            p
+          }
+        val live = new Path(root, liveSubdir)
+        val prefix = s"b$token-"
+        deletePrefixed(spark, live, prefix)
+        val staging = new Path(root, s"staging_$token")
+        val f = fsOf(spark, staging)
+        if (f.exists(staging)) f.delete(staging, true)
+        writeStaged(staging.toString)
+        adoptStaged(spark, staging, live, prefix)
+        f.delete(staging, true)
+        updateSidecar(payload)
+        writeMark(spark, root, token, done = true, payload)
+        true
+    }
+  }
+}

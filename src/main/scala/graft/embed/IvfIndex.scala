@@ -264,6 +264,8 @@ object IvfIndex {
     // one small JSON sidecar, not a Spark write job.
     graft.core.MetaIo.write(indexed.sparkSession, s"$path/centroids.json",
       "{\"centroids\":" + graft.core.MetaIo.floatMatrixJson(model.centroids) + "}")
+    // A rebuild supersedes any interrupted append — clear its dangling mark.
+    graft.core.BatchCommit.clearMark(indexed.sparkSession, path)
   }
 
   /** Append new vectors to a SAVED index without a rebuild — the growth
@@ -276,8 +278,16 @@ object IvfIndex {
     * new batch — the existing index is never read (centroids sidecar +
     * parquet footers only) and never rewritten. Float and SQ8 layouts;
     * PQ collections need the codebook encode, re-index those via IvfVS.
+    *
+    * Crash-safe via the [[graft.core.BatchCommit]] two-phase mark: a crash
+    * mid-append is recovered by re-running the same batch (exactly-once —
+    * the partial adoption is cleaned up first), and a replay of a committed
+    * batch is a no-op. `token` defaults to the batch's content hash;
+    * streaming callers pass their batch id so a recovery replay (whose
+    * redelivered frame is the same micro-batch) keeps the original token.
     */
-  def append(df: DataFrame, c: String, idCol: String, path: String): Unit = {
+  def append(df: DataFrame, c: String, idCol: String, path: String,
+      token: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val metaPath = s"$path/centroids.json"
     require(graft.core.MetaIo.exists(spark, metaPath),
@@ -303,9 +313,14 @@ object IvfIndex {
     require(payload.schema.fieldNames.toSet == existing,
       s"IvfIndex.append: batch columns ${payload.schema.fieldNames.toSet} " +
         s"do not match the saved layout $existing (same idCol and vector column required)")
-    payload
-      .repartition(col(cellCol))
-      .write.mode("append").partitionBy(cellCol).parquet(s"$path/cells")
+    val tok = token.getOrElse(graft.core.BatchCommit.batchToken(df, idCol))
+    graft.core.BatchCommit.appendExactlyOnce(spark, path, "cells", tok,
+      sidecarState = Map.empty,
+      writeStaged = staging =>
+        payload
+          .repartition(col(cellCol))
+          .write.mode("overwrite").partitionBy(cellCol).parquet(staging),
+      updateSidecar = _ => ())
   }
 
   /** Load a saved index: the cell-partitioned vector frame + centroids.
@@ -313,6 +328,8 @@ object IvfIndex {
     * saved before the JSON format.
     */
   def load(spark: SparkSession, path: String): (DataFrame, IvfModel) = {
+    // A dangling append mark means the cells may hold a partial batch.
+    graft.core.BatchCommit.requireClean(spark, path, "IvfIndex")
     val cells = spark.read.parquet(s"$path/cells")
     val metaPath = s"$path/centroids.json"
     val centroids =

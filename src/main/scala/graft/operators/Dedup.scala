@@ -367,6 +367,8 @@ object Dedup {
     // ride a sidecar and the reader derives them from it.
     graft.core.MetaIo.write(df.sparkSession, s"$path/meta.json",
       s"""{"numHashes":$numHashes,"shingleLen":$shingleLen}""")
+    // A rebuild supersedes any interrupted append — clear its dangling mark.
+    graft.core.BatchCommit.clearMark(df.sparkSession, path)
   }
 
   /** Append a cleaned batch's dedup state to a saved index — the write half
@@ -374,15 +376,61 @@ object Dedup {
     * batch against the corpus, then its SURVIVORS extend the index here so
     * the next crawl deduplicates against corpus ∪ batch. Signature
     * parameters come from the sidecar (computing with any others would
-    * poison recall); cost is one signature scan of the batch, the existing
-    * state is never read. Caller contract: append survivors only, ids new.
+    * poison recall); cost is one signature scan of the batch plus a
+    * column-pruned scan of the index's id column for the newness guard —
+    * the existing text/signature state is never read.
+    *
+    * Id-newness is ENFORCED, not a docstring contract: a batch overlapping
+    * the index's ids either fails loudly (`onExistingIds = "error"`, the
+    * default — overlap means the caller skipped [[dropAgainstIndex]] or is
+    * re-feeding old docs) or is anti-joined down to the genuinely new rows
+    * (`"drop"`, for messy sources). Replays of the SAME batch after a crash
+    * need no mode at all: the [[graft.core.BatchCommit]] two-phase mark
+    * recovers them exactly-once (partial adoption cleaned up, committed
+    * batch skipped), so retried crawl batches never double-insert state.
     */
   def appendToDedupIndex(df: DataFrame, textCol: String, idCol: String,
-      path: String): Unit = {
+      path: String, onExistingIds: String = "error"): Unit = {
+    require(Set("error", "drop").contains(onExistingIds),
+      s"appendToDedupIndex: onExistingIds must be error|drop, got $onExistingIds")
     val spark = df.sparkSession
     val (numHashes, shingleLen, _) = indexParams(spark, path, bands = 1)
-    dedupState(df, textCol, idCol, numHashes, shingleLen)
-      .write.mode("append").parquet(s"$path/docs")
+    if (df.isEmpty) return
+    // Token over the RAW batch ids — an index-dependent filter would
+    // re-token a recovery replay and defeat the crash recovery.
+    val token = graft.core.BatchCommit.batchToken(df, idCol)
+    val mark = graft.core.BatchCommit.readMark(spark, path)
+    // An exact replay of a COMMITTED batch must short-circuit before the
+    // preflight: its ids are in the index precisely because it committed.
+    if (mark.exists(m => m.done && m.token == token)) return
+    val resuming = mark.exists(m => !m.done && m.token == token)
+    if (!resuming && onExistingIds == "error") {
+      // Preflight BEFORE the begin mark so a misuse fails without mutating
+      // anything. Skipped when resuming an interrupted append: the index
+      // may legitimately hold a partial prefix of this very batch then.
+      val overlap = df.select(col(idCol).cast("long").as("__bid"))
+        .join(spark.read.parquet(s"$path/docs").select(col("id").as("__bid")),
+          Seq("__bid"), "left_semi")
+        .limit(1).count()
+      require(overlap == 0L,
+        s"appendToDedupIndex: batch contains ids already in the index at " +
+          s"$path — append only dropAgainstIndex survivors with new ids, or " +
+          "pass onExistingIds=\"drop\" to anti-join them away")
+    }
+    graft.core.BatchCommit.appendExactlyOnce(spark, path, "docs", token,
+      sidecarState = Map.empty,
+      writeStaged = staging => {
+        // Plan built inside the closure: the anti-join must list the index
+        // AFTER recovery cleanup removed any partial adoption of this batch.
+        val batch =
+          if (onExistingIds == "drop")
+            df.join(spark.read.parquet(s"$path/docs").select(col("id").as("__eid")),
+              col(idCol).cast("long") === col("__eid"), "left_anti")
+          else df
+        dedupState(batch, textCol, idCol, numHashes, shingleLen)
+          .write.mode("overwrite").parquet(staging)
+      },
+      updateSidecar = _ => ())
   }
 
   /** Drop rows of `df` that duplicate the indexed corpus, exactly
@@ -432,6 +480,9 @@ object Dedup {
   def dropAgainstIndex(df: DataFrame, textCol: String, idCol: String, path: String,
       threshold: Double = 0.5, bands: Int = 16): DataFrame = {
     val spark = df.sparkSession
+    // A dangling append mark means docs/ may hold a partial batch — dedup
+    // against it would be nondeterministically incomplete.
+    graft.core.BatchCommit.requireClean(spark, path, "dedup index")
     // Signature/shingle parameters come from the index sidecar — recomputing
     // with different values than the writer's would silently zero recall.
     val (numHashes, shingleLen, rowsPerBand) = indexParams(spark, path, bands)

@@ -230,6 +230,8 @@ object LexIndex {
       .parquet(path + "/postings")
     val (n, sumdl) = docStats(df, textCol, idCol)
     writeStats(path, n, sumdl, nBuckets)
+    // A rebuild supersedes any interrupted append — clear its dangling mark.
+    graft.core.BatchCommit.clearMark(df.sparkSession, path)
   }
 
   /** Append new documents to a saved index without a rebuild — the sparse
@@ -240,29 +242,49 @@ object LexIndex {
     * tokenize + postings shuffle over the NEW batch; the existing postings
     * are never read. Caller contract: ids must be new (append does not
     * dedup — run the dedup index first on a growing crawl).
+    *
+    * Crash-safe: the whole append runs under the
+    * [[graft.core.BatchCommit]] two-phase mark — a crash anywhere (during
+    * the postings commit, or between it and the stats move) is recovered by
+    * RE-RUNNING THE SAME BATCH, which converges exactly-once on the clean
+    * result; a replay of a fully committed batch is a no-op. The begin mark
+    * pins the pre-append (n, Σdl), so a crash after the stats move cannot
+    * double-count the batch on recovery.
     */
   def append(df: DataFrame, textCol: String, idCol: String, path: String): Unit = {
+    val spark = df.sparkSession
     val statsPath = java.nio.file.Paths.get(path, "stats.json")
     require(java.nio.file.Files.exists(statsPath),
       s"LexIndex.append: no index at $path (missing stats.json)")
     // Refuse the pre-denormalization layout loudly: appending dl-bearing
     // posting files next to dl-less ones would surface null doc lengths and
     // silently zero old docs' score contributions.
-    val existing = df.sparkSession.read.parquet(path + "/postings").schema.fieldNames.toSet
+    val existing = spark.read.parquet(path + "/postings").schema.fieldNames.toSet
     require(existing.contains("dl"),
       s"LexIndex.append: $path uses the legacy postings layout (no dl column) — rebuild with save()")
-    val (n0, sumdl0, nBuckets) = readStats(path)
-    // Stats must be computed BEFORE the postings commit (a re-run after a
-    // mid-append crash would double the batch), and the sidecar rewrite is
-    // atomic (temp + move). A crash between the postings commit and the
-    // move leaves stats stale by exactly this batch — re-running append is
-    // NOT safe; rebuild with save() after a suspected partial append.
-    val (dn, dsum) = docStats(df, textCol, idCol)
-    postings(df, textCol, idCol, nBuckets)
-      .repartition(col(bucketCol))
-      .write.mode("append").partitionBy(bucketCol)
-      .parquet(path + "/postings")
-    writeStats(path, n0 + dn, sumdl0 + dsum, nBuckets)
+    if (df.isEmpty) return
+    val (_, _, nBuckets) = readStats(path)
+    // One narrow aggregate computes the batch's stats delta AND its content
+    // token (count + order-independent XOR id hash, so every replay of this
+    // batch re-derives the same token).
+    val r = docLengths(df, textCol, idCol)
+      .select(col("dl"), xxhash64(col("id").cast("string")).as("__h"))
+      .agg(count(lit(1)).cast("double"), sum(col("dl")).cast("double"),
+        expr("bit_xor(__h)")).head()
+    val (dn, dsum) = (r.getDouble(0), r.getDouble(1))
+    val token = graft.core.BatchCommit.tokenOf(dn.toLong, r.getLong(2))
+    graft.core.BatchCommit.appendExactlyOnce(spark, path, "postings", token,
+      sidecarState = {
+        val (n0, sumdl0, _) = readStats(path)
+        Map("n0" -> n0, "sumdl0" -> sumdl0)
+      },
+      writeStaged = staging =>
+        postings(df, textCol, idCol, nBuckets)
+          .repartition(col(bucketCol))
+          .write.mode("overwrite").partitionBy(bucketCol)
+          .parquet(staging),
+      updateSidecar = p =>
+        writeStats(path, p("n0") + dn, p("sumdl0") + dsum, nBuckets))
   }
 
   /** Search a saved index. Reads: stats.json (driver, bytes) and the
@@ -275,6 +297,9 @@ object LexIndex {
       scoreCol: String = "bm25", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = Lexical.queryTerms(query)
     require(terms.nonEmpty, "LexIndex.search: query has no terms")
+    // An interrupted append means the stats may be stale by its batch and
+    // the postings may hold a partial batch — scores would silently drift.
+    graft.core.BatchCommit.requireClean(spark, path, "LexIndex")
     val (n, sumdl, nBuckets) = readStats(path)
     // Same hash as bucketOf's xxhash64 expression (seed 42), computed on the
     // driver — no job just to learn which partitions to prune.

@@ -136,6 +136,7 @@ object StreamingOps {
       bands: Int = 16, fpp: Double = 1e-6,
       maxBloomBytes: Long = 256L << 20, degradeBands: Boolean = true): DataFrame = {
     val spark = stream.sparkSession
+    graft.core.BatchCommit.requireClean(spark, path, "dedup index")
     val (numHashes, shingleLen, rowsPerBand) =
       graft.operators.Dedup.indexParams(spark, path, bands)
     val idx = spark.read.parquet(s"$path/docs")
@@ -200,12 +201,13 @@ object StreamingOps {
     * append, `<batchId>:done` after, both via atomic rename) makes replays
     * exactly-once: a `done` replay is skipped outright, and a `begin`
     * replay — the crash window where some of the batch may already be in
-    * the index — anti-joins the batch against the index's id column (a
-    * column-pruned scan, paid only on that rare recovery batch; `idCol` is
-    * the index key, unique by contract) before re-appending. A batch id
-    * BELOW the mark means a different checkpoint lineage is writing to
-    * this index — skipping would silently drop its early batches, so that
-    * raises instead of guessing.
+    * the index — re-runs [[graft.embed.IvfIndex.append]] under the SAME
+    * batch-id-derived commit token, whose [[graft.core.BatchCommit]] mark
+    * cleans up the partial adoption and redoes the batch exactly-once (the
+    * batch-level anti-join this path used to carry is subsumed by that
+    * file-level recovery). A batch id BELOW the mark means a different
+    * checkpoint lineage is writing to this index — skipping would silently
+    * drop its early batches, so that raises instead of guessing.
     */
   def streamAppendToIndex(stream: DataFrame, c: String, idCol: String,
       path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
@@ -241,16 +243,12 @@ object StreamingOps {
       else if (batchId == last && lastDone) {
         // at-least-once replay of a fully committed batch — skip.
       } else if (!batch.isEmpty) {
-        val toAppend =
-          if (batchId == last && !lastDone) {
-            // Crashed between the cells commit and the done-mark: drop ids
-            // already present, append only the remainder.
-            val present = batch.sparkSession.read.parquet(s"$path/cells")
-              .select(org.apache.spark.sql.functions.col(idCol))
-            batch.join(present, Seq(idCol), "left_anti")
-          } else batch
         writeMark("begin")
-        graft.embed.IvfIndex.append(toAppend, c, idCol, path)
+        // The commit token is the batch id, not the content hash: a begin
+        // replay re-delivers the same micro-batch and must resolve to the
+        // SAME append commit so its partial adoption is cleaned and redone.
+        graft.embed.IvfIndex.append(batch, c, idCol, path,
+          token = Some(s"stream$batchId"))
         writeMark("done")
       }
     }

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.BatchCommit
+import graft.operators.{Dedup, LexIndex}
+
+/** Crash-recovery contract of the exactly-once batch-append protocol
+  * (`core/BatchCommit.scala`): every crash window of an append — mid data
+  * commit, between data and sidecar, between sidecar and done-mark — must be
+  * recovered by RE-RUNNING THE SAME BATCH, converging on exactly the clean
+  * result; committed batches replay as no-ops; readers and other batches
+  * refuse a dangling begin.
+  */
+class BatchCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpusA = Seq(
+    (1L, "spark join window functions"),
+    (2L, "spark streaming watermark state")
+  ).toDF("doc_id", "text")
+
+  private def batchB = Seq(
+    (3L, "window aggregation over events"),
+    (4L, "join strategies broadcast shuffle")
+  ).toDF("doc_id", "text")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
+
+  private def searchRows(path: String): Seq[(Long, Double)] =
+    LexIndex.search(spark, path, "spark window join", k = 10)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+
+  private def controlRows: Seq[(Long, Double)] = {
+    val p = tmp("lex_control")
+    LexIndex.save(corpusA, "text", "doc_id", p, nBuckets = 8)
+    LexIndex.append(batchB, "text", "doc_id", p)
+    searchRows(p)
+  }
+
+  test("LexIndex: replay of a fully committed append is a no-op (same token skips)") {
+    val p = tmp("lex_replay")
+    LexIndex.save(corpusA, "text", "doc_id", p, nBuckets = 8)
+    LexIndex.append(batchB, "text", "doc_id", p)
+    LexIndex.append(batchB, "text", "doc_id", p) // at-least-once redelivery
+    assert(searchRows(p) == controlRows,
+      "a committed batch replay must not double postings or stats")
+  }
+
+  test("LexIndex: crash after adoption+stats but before done-mark recovers without double-count") {
+    val p = tmp("lex_crash_stats")
+    LexIndex.save(corpusA, "text", "doc_id", p, nBuckets = 8)
+    LexIndex.append(batchB, "text", "doc_id", p)
+    // Rewind the done-mark to begin (same token + payload): the exact state
+    // after a crash that committed BOTH the postings and the stats move but
+    // died before the final mark transition.
+    val m = BatchCommit.readMark(spark, p).get
+    assert(m.done)
+    BatchCommit.writeMark(spark, p, m.token, done = false, m.payload)
+    intercept[IllegalStateException] { searchRows(p) } // readers refuse
+    LexIndex.append(batchB, "text", "doc_id", p) // the recovery replay
+    // Stats must come from the mark's pinned (n0, sumdl0) — re-reading the
+    // already-advanced sidecar would double-add the batch.
+    assert(searchRows(p) == controlRows,
+      "recovery must converge on the clean result, not double-count stats")
+  }
+
+  test("LexIndex: crash mid-adoption (partial batch files) recovers to the clean result") {
+    val p = tmp("lex_crash_partial")
+    LexIndex.save(corpusA, "text", "doc_id", p, nBuckets = 8)
+    LexIndex.append(batchB, "text", "doc_id", p)
+    val m = BatchCommit.readMark(spark, p).get
+    // Rebuild the crash state: mark back to begin, stats back to pre-append
+    // (from the mark payload), and DELETE one of the batch's adopted files —
+    // a partial prefix of the batch is in the live tree.
+    BatchCommit.writeMark(spark, p, m.token, done = false, m.payload)
+    val postingsDir = java.nio.file.Paths.get(p, "postings")
+    val adopted = java.nio.file.Files.walk(postingsDir).iterator().asScala
+      .filter(f => f.getFileName.toString.startsWith(s"b${m.token}-")).toSeq
+    assert(adopted.nonEmpty, "the batch's files must be token-prefixed")
+    java.nio.file.Files.delete(adopted.head)
+    graft.core.MetaIo.write(spark, p + "/stats.json",
+      s"""{"n":${m.payload("n0")},"sumdl":${m.payload("sumdl0")},"nBuckets":8}""")
+    LexIndex.append(batchB, "text", "doc_id", p)
+    assert(searchRows(p) == controlRows,
+      "partial adoption must be cleaned up and the batch redone exactly-once")
+  }
+
+  test("LexIndex: a DIFFERENT batch refuses over a dangling begin") {
+    val p = tmp("lex_foreign")
+    LexIndex.save(corpusA, "text", "doc_id", p, nBuckets = 8)
+    LexIndex.append(batchB, "text", "doc_id", p)
+    val m = BatchCommit.readMark(spark, p).get
+    BatchCommit.writeMark(spark, p, m.token, done = false, m.payload)
+    val other = Seq((9L, "some other batch")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      LexIndex.append(other, "text", "doc_id", p)
+    }
+    assert(e.getMessage.contains("interrupted append"), e.getMessage)
+    // A rebuild clears the dangling state.
+    LexIndex.save(corpusA, "text", "doc_id", p, nBuckets = 8)
+    LexIndex.append(batchB, "text", "doc_id", p)
+    assert(searchRows(p) == controlRows)
+  }
+
+  test("dedup index: overlapping ids fail loudly by default, drop mode anti-joins them") {
+    val p = tmp("dedup_guard")
+    Dedup.saveDedupIndex(corpusA, "text", "doc_id", p, numHashes = 16, shingleLen = 2)
+    val overlapping = Seq(
+      (2L, "spark streaming watermark state"), // id already indexed
+      (5L, "an entirely new document here")
+    ).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendToDedupIndex(overlapping, "text", "doc_id", p)
+    }
+    assert(e.getMessage.contains("already in the index"), e.getMessage)
+    assert(spark.read.parquet(s"$p/docs").count() == 2,
+      "a refused append must not mutate the index")
+    Dedup.appendToDedupIndex(overlapping, "text", "doc_id", p, onExistingIds = "drop")
+    val ids = spark.read.parquet(s"$p/docs").select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 5L), s"drop mode must add only the new id: $ids")
+  }
+
+  test("dedup index: committed-batch replay skips; interrupted append recovers; readers refuse dangling") {
+    val p = tmp("dedup_replay")
+    Dedup.saveDedupIndex(corpusA, "text", "doc_id", p, numHashes = 16, shingleLen = 2)
+    val batch = Seq((5L, "fresh crawl document one"), (6L, "fresh crawl document two"))
+      .toDF("doc_id", "text")
+    Dedup.appendToDedupIndex(batch, "text", "doc_id", p)
+    // Exact replay of the committed batch: token matches the done mark → no-op
+    // (this is why a retried crawl batch cannot double-insert state).
+    Dedup.appendToDedupIndex(batch, "text", "doc_id", p)
+    assert(spark.read.parquet(s"$p/docs").count() == 4)
+    // Interrupted append: mark back to begin — readers refuse, the same
+    // batch recovers, and the result matches the clean state.
+    val m = BatchCommit.readMark(spark, p).get
+    BatchCommit.writeMark(spark, p, m.token, done = false, m.payload)
+    intercept[IllegalStateException] {
+      Dedup.dropAgainstIndex(batch, "text", "doc_id", p).collect()
+    }
+    Dedup.appendToDedupIndex(batch, "text", "doc_id", p)
+    val ids = spark.read.parquet(s"$p/docs").select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 5L, 6L), s"recovery must converge exactly-once: $ids")
+  }
+
+  test("IvfIndex: committed-batch replay is a no-op") {
+    import graft.embed.IvfIndex
+    import graft.operators.EmbedOps
+    def vec(a: Int): Seq[Float] = Seq.tabulate(8)(d => if (d == a) 1.0f else 0.05f)
+    val base = Seq((0L, vec(0)), (1L, vec(1))).toDF("id", EmbedOps.vecCol("emb"))
+    val p = tmp("ivf_replay")
+    val (indexed, model) = IvfIndex.build(base, "emb", nCells = 2, seed = 7)
+    IvfIndex.save(indexed, model, "emb", "id", p)
+    indexed.unpersist()
+    val extra = Seq((10L, vec(3)), (11L, vec(4))).toDF("id", EmbedOps.vecCol("emb"))
+    IvfIndex.append(extra, "emb", "id", p)
+    IvfIndex.append(extra, "emb", "id", p) // redelivered batch
+    val (loaded, _) = IvfIndex.load(spark, p)
+    assert(loaded.count() == 4, "a committed batch replay must not duplicate vectors")
+  }
+
+  private implicit class IterOps[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+}

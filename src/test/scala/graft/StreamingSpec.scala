@@ -217,10 +217,12 @@ class StreamingSpec extends SparkSpec {
     val (indexed, model) = IvfIndex.build(base, "emb", nCells = 2, seed = 7)
     IvfIndex.save(indexed, model, "emb", "id", path)
     indexed.unpersist()
-    // Simulate a crash of batch 0 between the cells commit and the
-    // done-mark: rows 10 and 11 already landed, the mark still says begin.
+    // Simulate a crash of batch 0 mid-append: a PREFIX of the batch (rows
+    // 10 and 11) landed under the stream0 commit token, both the append
+    // mark and the stream mark still say begin.
     IvfIndex.append(Seq((10L, vec(3)), (11L, vec(4))).toDF("id", EmbedOps.vecCol("emb")),
-      "emb", "id", path)
+      "emb", "id", path, token = Some("stream0"))
+    graft.core.BatchCommit.writeMark(spark, path, "stream0", done = false, Map.empty)
     java.nio.file.Files.write(java.nio.file.Paths.get(path, "stream_batch_id"),
       "0:begin".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val input = MemoryStream[(Long, Seq[Float])]
@@ -232,7 +234,7 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     val (loaded, _) = IvfIndex.load(spark, path)
     assert(loaded.count() == 6,
-      "replayed rows must be dropped by the recovery anti-join, new rows appended")
+      "the partial adoption must be cleaned up and the batch redone exactly-once")
     assert(loaded.select("id").as[Long].collect().count(_ == 10L) == 1,
       "an already-present id must appear exactly once")
     val mark = new String(java.nio.file.Files.readAllBytes(
