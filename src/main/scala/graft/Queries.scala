@@ -116,6 +116,18 @@ object Queries {
   private def wsNorm(s: String): String =
     s.replaceAll("[\\x00-\\x20]+", " ").trim
 
+  /** The usage_ledger gate's instruction, and the per-request prompt
+    * scaffold it implies — computed from the REAL formatter on an empty doc
+    * (prompt chars per row = this constant + the serialized doc's length,
+    * since the doc appears exactly once in the user message) and baked into
+    * the oracle SQL, so a template drift breaks the hash instead of
+    * silently re-baselining.
+    */
+  private val usageLedgerInstr = "echo the {text}"
+  private lazy val usagePromptConst: Int =
+    graft.llm.Prompts.mapFormatter("",
+      graft.core.NLExpr.parse(usageLedgerInstr).instruction).map(_.content.length).sum
+
   /** A directory the FILE STREAM source accepts for `table`: the table's
     * own path when it already is a directory, else a temp dir holding a
     * symlink (fallback: copy) to the single parquet file.
@@ -819,6 +831,92 @@ object Queries {
         val best = graft.plan.GepaLite.optimize(plan, docs, evalFn, rewriter,
           rounds = 1, candidatesPerRound = 1)
         best.plan.run(docs).select(col("doc_id"), col("lang")).orderBy("doc_id")
+      }
+    }),
+
+    "gepa_population" -> ((s, dir) => {
+      // The population-based evolutionary GEPA loop (reference
+      // gepa_optimizer.py:249 — rank-weighted parent selection, crossover,
+      // reflective mutation under a seeded rng) END TO END, the sibling of
+      // gepa_optimized's hill-climb: BOTH instruction slots start wrong
+      // ('banana', 'zebra'), every reflection proposes the two right claims,
+      // and the search must route them into both slots — only the
+      // fully-corrected plan maximizes the eval, and the gate hashes that
+      // plan's rows ('spark' AND 'data' docs, 321 at sf0.01). A loop that
+      // fails to select, cross over, or adopt lands on a lesser candidate
+      // and hash-mismatches.
+      Sem.withLM(FakeLM(FakeBehavior.ClaimWordFilter)) {
+        val docs = read(s, dir, "documents")
+        val plan = graft.plan.SemPlan(Seq(
+          graft.plan.SemFilterOp("the {text} mentions 'banana'"),
+          graft.plan.SemFilterOp("the {text} mentions 'zebra'")))
+        def has(w: String) = array_contains(split(lower(col("text")), " "), w)
+        val wanted = has("spark") && has("data")
+        val evalFn: DataFrame => Double = df =>
+          df.select(coalesce(sum(when(wanted, 1L).otherwise(-1L)), lit(0L)))
+            .head().getLong(0).toDouble
+        val rewriter = FakeLM(FakeBehavior.Scripted(Seq(
+          "the {text} mentions 'spark'\nthe {text} mentions 'data'")))
+        val best = graft.plan.Gepa.optimize(plan, docs, evalFn, rewriter,
+          graft.plan.Gepa.Config(populationSize = 4, maxEvals = 16,
+            mutationsPerStep = 2))
+        best.plan.run(docs).select(col("doc_id"), col("lang")).orderBy("doc_id")
+      }
+    }),
+
+    "lm_cache_replay" -> ((s, dir) => {
+      // The response-cache determinism contract (reference virtual-vs-
+      // physical usage accounting, lotus/models/lm.py:497-529) as a HARD
+      // gate: the same sem_map stage runs twice under CachedLM; the second
+      // pass must be served entirely from the response cache. Its physical
+      // call count (≡ 0) and virtual request count (≡ corpus rows) ride the
+      // result as gated columns — a cache that misses, double-counts, or
+      // stops recording hash-mismatches.
+      graft.llm.ResponseCache.clear()
+      Sem.withSettings(Sem.settings.copy(
+          lm = FakeLM(FakeBehavior.FirstWords("Text", 3)), enableCache = true)) {
+        val stats = graft.llm.UsageTracker.forSession(s)
+        val docs = read(s, dir, "documents")
+        def pass() = docs.semMap("give the first three words of {text}")
+          .select(col("doc_id"), col("_map"))
+        pass().count() // first pass fills the cache (all physical misses)
+        val phys0 = stats.physicalRequests.value
+        val req0 = stats.requests.value
+        val second = pass()
+        second.count() // second pass: accumulators settle before the reads
+        second
+          .withColumn("physical_second", lit(stats.physicalRequests.value - phys0))
+          .withColumn("virtual_second", lit(stats.requests.value - req0))
+          .orderBy("doc_id")
+      }
+    }),
+
+    "usage_ledger" -> ((s, dir) => {
+      // Usage + pricing accounting (reference lotus/models/lm.py:497-529,
+      // lotus/pricing.py:10-34) as a HARD gate: an Echo sem_map under the
+      // Json serializer makes every byte of the ledger SQL-derivable —
+      // prompt chars = per-doc json rendering + a constant per-request
+      // prompt scaffold (computed from the real formatter and baked into
+      // the oracle SQL), output chars = the echoed rendering, tokens =
+      // chars/4, cost = the static price table's default rate. Any drift in
+      // recording, token estimation, or pricing hash-mismatches.
+      import graft.core.{SerializationFormat => SF}
+      import s.implicits._
+      Sem.withSettings(Sem.settings.copy(
+          lm = FakeLM(FakeBehavior.Echo), serializationFormat = SF.Json)) {
+        val stats = graft.llm.UsageTracker.forSession(s)
+        val (req0, p0, o0) =
+          (stats.requests.value, stats.promptChars.value, stats.outputChars.value)
+        read(s, dir, "documents").semMap(usageLedgerInstr).count()
+        val requests = stats.requests.value - req0
+        val promptChars = stats.promptChars.value - p0
+        val outputChars = stats.outputChars.value - o0
+        val (pt, ot) = (promptChars / 4, outputChars / 4)
+        val cost = graft.llm.Pricing.costUsd(
+          FakeLM(FakeBehavior.Echo).modelName, pt, ot)
+        Seq((requests, promptChars, outputChars, pt, ot, cost))
+          .toDF("requests", "prompt_chars", "output_chars",
+            "prompt_tokens", "output_tokens", "cost_usd")
       }
     }),
 
@@ -2009,6 +2107,40 @@ object Queries {
       """SELECT doc_id, lang FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'spark')
         |ORDER BY doc_id""".stripMargin,
+
+    // The truth of the population-loop's fully-corrected plan: both
+    // proposed claims routed into both filter slots.
+    "gepa_population" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |  AND list_contains(string_split(lower(text), ' '), 'data')
+        |ORDER BY doc_id""".stripMargin,
+
+    // Second pass of an identical stage under the response cache: the map
+    // result unchanged, zero physical calls, full virtual accounting.
+    "lm_cache_replay" ->
+      """SELECT doc_id,
+        |  array_to_string((string_split(text, ' '))[1:3], ' ') AS _map,
+        |  CAST(0 AS BIGINT) AS physical_second,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS virtual_second
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The usage ledger from first principles: prompt chars = json rendering
+    // + the formatter's per-request scaffold; output chars = the Echo'd
+    // rendering; tokens = chars/4 (the engine-wide 4-chars/token estimate);
+    // cost = default price table rate ($1/M in, $3/M out) with the exact
+    // double arithmetic of Pricing.costUsd.
+    "usage_ledger" ->
+      s"""WITH d AS (SELECT length('{"text":"' || text || '"}') AS dl FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS requests,
+        |  CAST(sum(dl) + count(*) * $usagePromptConst AS BIGINT) AS prompt_chars,
+        |  CAST(sum(dl) AS BIGINT) AS output_chars FROM d)
+        |SELECT requests, prompt_chars, output_chars,
+        |  prompt_chars // 4 AS prompt_tokens,
+        |  output_chars // 4 AS output_tokens,
+        |  CAST(prompt_chars // 4 AS DOUBLE) / 1000000.0 * 1.0 +
+        |    CAST(output_chars // 4 AS DOUBLE) / 1000000.0 * 3.0 AS cost_usd
+        |FROM t""".stripMargin,
 
     "pipeline_saved" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
