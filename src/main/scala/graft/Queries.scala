@@ -1393,6 +1393,45 @@ object Queries {
         .orderBy("o_orderpriority")
     }),
 
+    "q11_approx_percentiles" -> ((s, dir) => {
+      // The SCALE tier of q11: approx_percentile (Greenwald-Khanna summary
+      // — one pass, bounded memory, no per-group sort) with its rank
+      // guarantee ENCODED as gated booleans. No SQL engine pins the
+      // sketch's raw value, so the gate verifies the guarantee instead: the
+      // returned value's exact rank interval (computed by a second narrow
+      // pass over the same scan) must overlap the target rank ±(n/accuracy
+      // + 1). Deterministically true for a correct sketch, false for a
+      // broken one — hash-stable either way. At 100 TB this is the
+      // percentile tier you run; q11_percentiles pins the exact tier.
+      val acc = 10000
+      val o = read(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          expr("CAST(round(o_totalprice*100) AS BIGINT)").as("c"))
+      val ap = o.groupBy("o_orderpriority").agg(
+        expr(s"approx_percentile(c, 0.5, $acc)").as("a50"),
+        expr(s"approx_percentile(c, 0.95, $acc)").as("a95"),
+        count(lit(1)).as("n"))
+      val ranks = o.join(broadcast(ap), "o_orderpriority")
+        .groupBy(col("o_orderpriority"), col("n"), col("a50"), col("a95"))
+        .agg(
+          sum(when(col("c") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("c") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("c") < col("a95"), 1L).otherwise(0L)).as("lt95"),
+          sum(when(col("c") <= col("a95"), 1L).otherwise(0L)).as("le95"))
+      def within(p: Double, lt: org.apache.spark.sql.Column,
+          le: org.apache.spark.sql.Column) = {
+        val tol = col("n").cast("double") / acc + 1.0
+        val target = col("n").cast("double") * p
+        // value's rank interval is [lt+1, le]; require overlap with
+        // [target - tol, target + tol]
+        !(le < target - tol || (lt + lit(1L)) > target + tol)
+      }
+      ranks.select(col("o_orderpriority"), col("n"),
+        within(0.5, col("lt50"), col("le50")).as("p50_within_tol"),
+        within(0.95, col("lt95"), col("le95")).as("p95_within_tol"))
+        .orderBy("o_orderpriority")
+    }),
+
     "join_salted" -> ((s, dir) => {
       // The explicit skew lever, oracled for SEMANTICS: an 8-way salted
       // inner equi-join must equal the plain join — the salt only reroutes
@@ -2238,6 +2277,14 @@ object Queries {
       """SELECT o_orderpriority,
         |  round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5), 2) AS p50_c,
         |  round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.95), 2) AS p95_c
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The sketch tier's truth is its GUARANTEE: per group, both tolerance
+    // booleans must come out true (plus the group size, so an empty or
+    // mis-grouped sketch pass cannot vacuously match).
+    "q11_approx_percentiles" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  true AS p50_within_tol, true AS p95_within_tol
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_salted" ->

@@ -155,11 +155,9 @@ object DirectoryReaderLite {
     // as pathGlobFilter over the parent dir would silently pull in nested
     // files and mis-split scheme-rooted globs like hdfs:///x*). FileStreamSink
     // probes the literal glob string for a streaming-metadata dir and logs a
-    // spurious FileNotFoundException stack trace per query; demote that
-    // known-noisy logger instead.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
-      org.apache.logging.log4j.Level.ERROR)
+    // spurious FileNotFoundException stack trace per query; that known-noisy
+    // logger is demoted once (and only if the user left it unconfigured).
+    graft.core.LogLevels.quietFileStreamSinkProbe
     spark.read.format("binaryFile").load(pathGlob)
       .select("path", "content")
       .as[(String, Array[Byte])]

@@ -61,6 +61,7 @@ object Persist {
     * truncates lineage, so dropped blocks cannot be recomputed.
     */
   def unstage(spark: org.apache.spark.sql.SparkSession, ids: Set[Int]): Unit = {
+    LogLevels.quietLocalCheckpointUnpersist
     val sc = spark.sparkContext
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
   }

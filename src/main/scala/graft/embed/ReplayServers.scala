@@ -3,12 +3,14 @@ package graft.embed
 /** In-memory servers speaking the REMOTE vector-store REST contracts —
   * the replay transports behind the `ann_qdrant_vs`/`ann_weaviate_vs`
   * oracle gates and the hermetic specs (this zero-egress environment has
-  * no live endpoints; the [[graft.llm.FakeLM]] convention for transports).
+  * no live endpoints; the [[graft.llm.FakeLM]] convention for transports). `private[graft]`:
+  * these are gate/test doubles living in main only so the oracle gates can
+  * reach them — they are NOT public API of the published artifact.
   * State is JVM-global and concurrent: upsert batches arrive from executor
   * threads in local mode exactly as production batches would arrive at a
   * server. `clear()` between runs keeps gates idempotent.
   */
-object FakeQdrant {
+private[graft] object FakeQdrant {
   val collections = new java.util.concurrent.ConcurrentHashMap[String, Int]()
   val points =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap[Long, Seq[Float]]]()
@@ -69,7 +71,7 @@ object FakeQdrant {
 }
 
 /** In-memory server speaking the Weaviate REST/GraphQL contract. */
-object FakeWeaviate {
+private[graft] object FakeWeaviate {
   val classes = new java.util.concurrent.ConcurrentHashMap[String, Int]()
   val objects =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap[Long, Seq[Float]]]()

@@ -158,11 +158,21 @@ object CorpusPrep {
     * model), and scoring is one per-row left-to-right fold — deterministic
     * IEEE order, so a SQL oracle reproduces scores exactly; no shuffle, no
     * UDF. Empty docs yield NULL.
+    *
+    * The literal is BOUNDED (`maxVocabEntries`): an unbounded vocab would
+    * ride every task binary and bloat plan serialization corpus-wide. A
+    * caller who genuinely wants a bigger unigram model raises the bound
+    * deliberately — the failure is loud, never a silent multi-GB closure.
     */
   def unigramSurprisal(df: DataFrame, textCol: String, vocab: Map[String, Long],
       totalTokens: Long, outCol: String = "surprisal",
-      oovCount: Long = 1L): DataFrame = {
+      oovCount: Long = 1L, maxVocabEntries: Int = 1 << 18): DataFrame = {
     require(vocab.nonEmpty, "unigramSurprisal: empty vocabulary")
+    require(vocab.size <= maxVocabEntries,
+      s"unigramSurprisal: vocab has ${vocab.size} entries > bound " +
+        s"$maxVocabEntries — the vocab rides every task binary as a plan " +
+        "literal; cap it with vocabTopK (a capped vocab IS the unigram " +
+        "model) or raise maxVocabEntries deliberately")
     require(totalTokens > 0, s"totalTokens $totalTokens must be positive")
     require(oovCount >= 1, s"oovCount $oovCount must be >= 1")
     val lut = typedLit(vocab.map { case (w, c) => w -> c.toDouble })

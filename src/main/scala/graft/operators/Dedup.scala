@@ -145,7 +145,20 @@ object Dedup {
     * cannot force diameter-many jobs.
     */
   def keepAfterConnectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25, driverEdgeThreshold: Long = 1000000L): DataFrame = {
+      maxIter: Int = 25, driverEdgeThreshold: Long = 1000000L): DataFrame =
+    keepAfterConnectedComponentsTracked(nodes, edges, maxIter, driverEdgeThreshold)._1
+
+  /** [[keepAfterConnectedComponents]] + the release handle for its residual
+    * pin: on the distributed path the RETURNED PLAN reads the final
+    * star-contraction round's localCheckpoint blocks (every earlier round
+    * and the staged edges are freed internally), so that one edge-set copy
+    * stays pinned until the caller materializes the result and passes the
+    * handle to [[graft.core.Persist.unstage]]. A long-lived application
+    * running dedup per crawl round uses this variant; one-shot jobs can
+    * ignore the pin (driver-path handles are empty — nothing survives).
+    */
+  def keepAfterConnectedComponentsTracked(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25, driverEdgeThreshold: Long = 1000000L): (DataFrame, Set[Int]) = {
     // localCheckpoint truncates lineage each round — iterative joins over a
     // huge upstream plan (e.g. the 64-hash minhash tree) would otherwise
     // re-inline it every iteration and blow up planning. Edges are
@@ -154,27 +167,29 @@ object Dedup {
     val spark = nodes.sparkSession
     val (e, eIds) = graft.core.Persist.stageTracked(edges)
     try {
-      val result =
+      val (result, pinned) =
         if (e.count() <= driverEdgeThreshold) {
           val reps = unionFind(e.select(col("id1").cast("long"), col("id2").cast("long"))
             .collect().map(r => (r.getLong(0), r.getLong(1))))
           val removed = reps.collect { case (id, r) if id != r => id }.toSeq
           import spark.implicits._
           val removedDf = removed.toDF("id")
-          nodes.select(col("id")).join(broadcast(removedDf), Seq("id"), "left_anti")
+          (nodes.select(col("id")).join(broadcast(removedDf), Seq("id"), "left_anti"),
+            Set.empty[Int])
         } else {
           // At convergence the edge set is a union of per-component stars
           // pointing at the component min, so the keep set is "never a star
           // leaf".
-          val stars = starEdges(e, maxIter)
-          nodes.select(col("id")).join(stars.select(col("u").as("id")), Seq("id"), "left_anti")
+          val (stars, starIds) = starEdges(e, maxIter)
+          (nodes.select(col("id"))
+            .join(stars.select(col("u").as("id")), Seq("id"), "left_anti"), starIds)
         }
       // The staged edges are fully consumed here — collected to the driver
       // or contracted into starEdges' own checkpointed rounds (eager) — so
       // the returned plan never reads them; free the blocks now rather than
       // pinning one edge-set copy per call for the application's lifetime.
       graft.core.Persist.unstage(spark, eIds)
-      result
+      (result, pinned)
     } catch { case t: Throwable =>
       graft.core.Persist.unstage(spark, eIds); throw t
     }
@@ -188,23 +203,35 @@ object Dedup {
     * threshold, distributed [[starEdges]] above it.
     */
   def componentIds(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25,
-      driverEdgeThreshold: Long = 1000000L, repCol: String = "rep_id"): DataFrame = {
+      driverEdgeThreshold: Long = 1000000L, repCol: String = "rep_id"): DataFrame =
+    componentIdsTracked(nodes, edges, maxIter, driverEdgeThreshold, repCol)._1
+
+  /** [[componentIds]] + the release handle for the final star round's
+    * checkpoint blocks — see [[keepAfterConnectedComponentsTracked]] for
+    * the residual-pin contract.
+    */
+  def componentIdsTracked(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25,
+      driverEdgeThreshold: Long = 1000000L,
+      repCol: String = "rep_id"): (DataFrame, Set[Int]) = {
     val spark = nodes.sparkSession
     val (e, eIds) = graft.core.Persist.stageTracked(edges)
     try {
-      val mapped: DataFrame =
+      val (mapped, pinned) =
         if (e.count() <= driverEdgeThreshold) {
           val reps = unionFind(e.select(col("id1").cast("long"), col("id2").cast("long"))
             .collect().map(r => (r.getLong(0), r.getLong(1))))
           import spark.implicits._
-          broadcast(reps.toSeq.toDF("id", repCol))
-        } else starEdges(e, maxIter).select(col("u").as("id"), col("v").as(repCol))
+          (broadcast(reps.toSeq.toDF("id", repCol)), Set.empty[Int])
+        } else {
+          val (stars, starIds) = starEdges(e, maxIter)
+          (stars.select(col("u").as("id"), col("v").as(repCol)), starIds)
+        }
       // Consumed (collected or contracted into starEdges' eager rounds):
       // free the staged edges, keepAfterConnectedComponents-style.
       graft.core.Persist.unstage(spark, eIds)
-      nodes.select(col("id"))
+      (nodes.select(col("id"))
         .join(mapped, Seq("id"), "left")
-        .select(col("id"), coalesce(col(repCol), col("id")).as(repCol))
+        .select(col("id"), coalesce(col(repCol), col("id")).as(repCol)), pinned)
     } catch { case t: Throwable =>
       graft.core.Persist.unstage(spark, eIds); throw t
     }
@@ -238,9 +265,11 @@ object Dedup {
     * O(log n) rounds regardless of shape. Label propagation, by contrast,
     * needs DIAMETER-many rounds — linear on a chain-shaped dup graph.
     * Returns the converged star edges `(u, v)` with `v` = component min of
-    * every non-min member `u`.
+    * every non-min member `u`, plus the final round's checkpoint-block ids
+    * (the returned plan reads those blocks — the caller owns their release).
     */
-  private[graft] def starEdges(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  private[graft] def starEdges(edges: DataFrame,
+      maxIter: Int = 25): (DataFrame, Set[Int]) = {
     val spark = edges.sparkSession
     // Track each round's checkpoint blocks so the PREVIOUS round can be
     // freed once the next materializes — otherwise k contraction rounds pin
@@ -292,7 +321,7 @@ object Dedup {
       unstage(spark, curIds)
       throw t
     }
-    cur
+    (cur, curIds)
   }
 
   /** Drop near-duplicates: keep the min-id representative per duplicate

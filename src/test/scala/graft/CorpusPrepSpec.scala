@@ -159,6 +159,19 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out(1)._2.get > out(0)._2.get)
   }
 
+  test("unigramSurprisal refuses an over-bound vocab literal (plan-bloat guard)") {
+    val d = Seq((1L, "a b")).toDF("id", "text")
+    val big = (0 until 10).map(i => s"w$i" -> 1L).toMap
+    val e = intercept[IllegalArgumentException] {
+      CorpusPrep.unigramSurprisal(d, "text", big, totalTokens = 10L,
+        maxVocabEntries = 4)
+    }
+    assert(e.getMessage.contains("vocabTopK"), e.getMessage)
+    // Raising the bound deliberately admits the same vocab.
+    CorpusPrep.unigramSurprisal(d, "text", big, totalTokens = 10L,
+      maxVocabEntries = 16).collect()
+  }
+
   test("corpusProfile: exact counts, dup detection via fingerprint, deterministic averages") {
     import org.apache.spark.sql.functions._
     val d = Seq(

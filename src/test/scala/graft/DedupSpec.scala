@@ -227,6 +227,20 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size <= b2 + 1,
       s"distributed path may keep only the final round: $b2 -> " +
         s"${spark.sparkContext.getPersistentRDDs.size}")
+    // The Tracked variant hands that final round back as a release handle:
+    // after materializing and unstaging, NOTHING from the call survives —
+    // the long-lived-application contract.
+    val b3 = spark.sparkContext.getPersistentRDDs.size
+    val (keep, pin) = Dedup.keepAfterConnectedComponentsTracked(nodes, edges,
+      driverEdgeThreshold = 0L)
+    assert(pin.nonEmpty, "distributed path must expose its residual pin")
+    keep.collect()
+    graft.core.Persist.unstage(spark, pin)
+    assert(spark.sparkContext.getPersistentRDDs.size <= b3,
+      s"released handle must free the final round: $b3 -> " +
+        s"${spark.sparkContext.getPersistentRDDs.size}")
+    // Driver-path handle is empty: nothing survives to release.
+    assert(Dedup.componentIdsTracked(nodes, edges)._2.isEmpty)
   }
 
   test("stripSharedWindows completes in bounded time on a fully-covered 100k-word doc") {
