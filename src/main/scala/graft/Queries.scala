@@ -1432,6 +1432,25 @@ object Queries {
         .orderBy("o_orderpriority")
     }),
 
+    "q12_approx_distinct" -> ((s, dir) => {
+      // The distinct-count SCALE tier: approx_count_distinct (HLL++, one
+      // pass, fixed sketch memory per group — exact countDistinct keeps
+      // every key as aggregation state) with its error guarantee encoded
+      // as a gated boolean against the exact pass, which itself pins
+      // exact-distinct semantics vs DuckDB. HLL++ is hash-based and
+      // rng-free, so the boolean is deterministic for a given corpus;
+      // tolerance 4×rsd + 1 sits far beyond the 1σ relative error.
+      val rsd = 0.02
+      read(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          approx_count_distinct(col("o_custkey"), rsd).as("__approx"))
+        .select(col("o_orderpriority"), col("n_cust"),
+          (abs(col("__approx") - col("n_cust")).cast("double") <=
+            col("n_cust").cast("double") * (4 * rsd) + 1.0).as("approx_within_tol"))
+        .orderBy("o_orderpriority")
+    }),
+
     "join_salted" -> ((s, dir) => {
       // The explicit skew lever, oracled for SEMANTICS: an 8-way salted
       // inner equi-join must equal the plain join — the salt only reroutes
@@ -2285,6 +2304,14 @@ object Queries {
     "q11_approx_percentiles" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  true AS p50_within_tol, true AS p95_within_tol
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Exact distinct counts pin the exact tier; the sketch tier's truth is
+    // its guarantee boolean.
+    "q12_approx_distinct" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  true AS approx_within_tol
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_salted" ->

@@ -119,17 +119,26 @@ object BatchCommit {
           "the index with save()")
     }
 
+  /** Recursive file listing, MATERIALIZED before the caller mutates the
+    * tree — renaming/deleting under a live RemoteIterator is undefined on
+    * some Hadoop filesystems.
+    */
+  private def listAll(f: FileSystem, dir: Path): Seq[Path] = {
+    val out = Seq.newBuilder[Path]
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) out += st.getPath
+    }
+    out.result()
+  }
+
   /** Delete live files left by an earlier partial adoption of this batch. */
   private def deletePrefixed(spark: SparkSession, live: Path, prefix: String): Unit = {
     val f = fsOf(spark, live)
-    if (f.exists(live)) {
-      val it = f.listFiles(live, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.startsWith(prefix))
-          f.delete(st.getPath, false)
-      }
-    }
+    if (f.exists(live))
+      listAll(f, live).filter(_.getName.startsWith(prefix))
+        .foreach(p => f.delete(p, false))
   }
 
   /** Move staged data files into the live tree, preserving partition
@@ -142,12 +151,10 @@ object BatchCommit {
     val f = fsOf(spark, staging)
     if (!f.exists(staging)) return
     val stagingRoot = staging.toUri.getPath.stripSuffix("/")
-    val it = f.listFiles(staging, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-        val rel = st.getPath.toUri.getPath.stripPrefix(stagingRoot).stripPrefix("/")
+    listAll(f, staging).foreach { p =>
+      val name = p.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val rel = p.toUri.getPath.stripPrefix(stagingRoot).stripPrefix("/")
         val relDir = rel.lastIndexOf('/') match {
           case -1 => ""
           case i  => rel.substring(0, i)
@@ -155,8 +162,8 @@ object BatchCommit {
         val destDir = if (relDir.isEmpty) live else new Path(live, relDir)
         f.mkdirs(destDir)
         val dest = new Path(destDir, prefix + name)
-        require(f.rename(st.getPath, dest),
-          s"BatchCommit: cannot adopt staged file ${st.getPath} as $dest")
+        require(f.rename(p, dest),
+          s"BatchCommit: cannot adopt staged file $p as $dest")
       }
     }
   }
