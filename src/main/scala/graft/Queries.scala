@@ -920,6 +920,28 @@ object Queries {
       }
     }),
 
+    "rate_limit_schedule" -> ((s, dir) => {
+      // The RPM/TPM sliding-window rate limiter (#39, reference
+      // lm.py:304-436 — the last spec-only runtime surface) as pure math:
+      // RateGovernor.schedule computes the exact grant times acquire()
+      // enforces (spec-matched under a VirtualClock in
+      // LongContextUsageSpec), with per-request token costs derived from
+      // document lengths; the oracle reproduces the same recurrence with a
+      // recursive CTE. rpm=7 and a 400-token headroom cap both bind on
+      // this corpus, so RPM-release, TPM-release, and the no-wait branch
+      // are all on the verified path. Driver-side by nature — the governor
+      // is an executor-local runtime object, not a distributed operator.
+      import s.implicits._
+      val toks = read(s, dir, "documents").orderBy("doc_id").limit(40)
+        .select(greatest(lit(1L), expr("CAST(length(text) AS BIGINT) div 4")))
+        .as[Long].collect().map(_.toInt).toSeq
+      val grants = graft.llm.RateGovernor.schedule(
+        toks, rpm = 7, tpm = 422, windowMs = 60000L)
+      toks.zip(grants).zipWithIndex
+        .map { case ((t, g), i) => (i.toLong, t.toLong, g) }
+        .toDF("req_idx", "tokens", "granted_ms")
+    }),
+
     "pipeline_agent_entry" -> ((s, dir) => {
       // The reference's flagship agentic entry (Corpus.agent: derive plan →
       // fold ops) END TO END: a scripted PLANNER answers the planning call
@@ -2199,6 +2221,50 @@ object Queries {
         |  CAST(prompt_chars // 4 AS DOUBLE) / 1000000.0 * 1.0 +
         |    CAST(output_chars // 4 AS DOUBLE) / 1000000.0 * 3.0 AS cost_usd
         |FROM t""".stripMargin,
+
+    // The governor's grant recurrence re-derived in SQL: g(0)=0,
+    // g(i) = max(g(i-1), g(i-rpm)+window, g(k-1)+window) with k the
+    // minimal number of oldest events whose expiry fits the trailing
+    // window's token sum under the headroom cap. kk precomputes k-1 per
+    // request (prefix sums are monotone, so it's a plain non-equi join);
+    // the recursive CTE carries the grant list. Cap 400 = (422*0.95).toLong
+    // baked as a literal, mirroring RateGovernor's exact arithmetic.
+    "rate_limit_schedule" ->
+      """WITH RECURSIVE
+        |docs AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS i,
+        |         CAST(greatest(1, length(text)//4) AS BIGINT) AS tok
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 40)
+        |),
+        |p AS (SELECT i, tok, sum(tok) OVER (ORDER BY i) AS ps FROM docs),
+        |kk AS (
+        |  SELECT a.i, min(b.i) AS kref
+        |  FROM p a JOIN p b ON b.ps >= a.ps - 400 AND b.i < a.i
+        |  GROUP BY a.i
+        |),
+        |sched AS (
+        |  SELECT 0 AS i, CAST(0 AS BIGINT) AS g, [CAST(0 AS BIGINT)] AS glist
+        |  UNION ALL
+        |  SELECT q.i,
+        |    greatest(sched.g,
+        |      CASE WHEN q.i >= 7 THEN sched.glist[q.i - 6] + 60000
+        |           ELSE CAST(0 AS BIGINT) END,
+        |      CASE WHEN q.ps <= 400 THEN CAST(0 AS BIGINT)
+        |           ELSE sched.glist[k.kref + 1] + 60000 END),
+        |    list_append(sched.glist,
+        |      greatest(sched.g,
+        |        CASE WHEN q.i >= 7 THEN sched.glist[q.i - 6] + 60000
+        |             ELSE CAST(0 AS BIGINT) END,
+        |        CASE WHEN q.ps <= 400 THEN CAST(0 AS BIGINT)
+        |             ELSE sched.glist[k.kref + 1] + 60000 END))
+        |  FROM sched
+        |  JOIN p q ON q.i = sched.i + 1
+        |  LEFT JOIN kk k ON k.i = q.i
+        |  WHERE sched.i + 1 < 40
+        |)
+        |SELECT CAST(d.i AS BIGINT) AS req_idx, d.tok AS tokens,
+        |       s.g AS granted_ms
+        |FROM sched s JOIN docs d ON d.i = s.i ORDER BY req_idx""".stripMargin,
 
     "pipeline_saved" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs

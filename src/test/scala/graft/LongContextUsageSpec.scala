@@ -48,6 +48,26 @@ class LongContextUsageSpec extends SparkSpec {
     assert(ms >= 250, s"TPM overflow must block until the window slides ($ms ms)")
   }
 
+  test("acquire under a virtual clock matches the pure schedule") {
+    // The gate-verified recurrence (RateGovernor.schedule) must be the
+    // EXACT behavior acquire() enforces: run the same request sequence
+    // through a governor on a virtual clock and compare grant times.
+    val toks = Seq(300, 200, 150, 100, 390, 10, 250, 50, 400, 120, 380, 20)
+    val (rpm, tpm, win) = (3, 422, 60000L)
+    val clock = new graft.llm.VirtualClock()
+    val gov = new graft.llm.RateGovernor(rpm, tpm, win, clock)
+    val grants = toks.map(gov.acquire)
+    assert(grants == graft.llm.RateGovernor.schedule(toks, rpm, tpm, win))
+    assert(grants.last > 0L, "constraints must actually bind in this fixture")
+  }
+
+  test("schedule: disabled governor grants immediately; oversized request refused") {
+    assert(graft.llm.RateGovernor.schedule(Seq(5, 5), rpm = 0, tpm = 0) == Seq(0L, 0L))
+    intercept[IllegalArgumentException] {
+      graft.llm.RateGovernor.schedule(Seq(401), rpm = 0, tpm = 422)
+    }
+  }
+
   test("usage accumulators track batches, requests and sizes") {
     UsageTracker.reset()
     val df = (0 until 10).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
