@@ -1243,6 +1243,65 @@ object Queries {
           col("abstract"), col("authors"), col("categories"), col("query"))
     }),
 
+    "web_search_tavily" -> ((s, dir) => {
+      // The JSON POST branch of the engine family (arxiv = XML GET,
+      // google = JSON GET): the Tavily parser through the replay
+      // transport, which REFUSES a GET — the gate hash-verifies that the
+      // engine actually posts a body carrying the query. One result omits
+      // its content field, pinning the missing→null contract.
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 10)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+      val results = docs.map { r =>
+        val words = wsNorm(r.getString(1)).split(" ")
+        val content =
+          if (r.getLong(0) == 3L) ""
+          else s""","content":"${jsonEsc(words.take(12).mkString(" "))}""""
+        s"""{"title":"${jsonEsc(words.take(4).mkString(" "))}",
+           |"url":"http://docs/${r.getLong(0)}"$content}""".stripMargin
+      }.mkString("""{"results":[""", ",", "]}")
+      val fetch: graft.connectors.WebSearchEngines.Fetch = (_, _, body) => {
+        val b = body.getOrElse(throw new IllegalStateException(
+          "Tavily engine must POST a JSON body"))
+        require(b.contains("\"corpus engineering\""),
+          "POST body must carry the query")
+        results
+      }
+      graft.connectors.WebSearchEngines.search(s,
+          graft.connectors.WebSearchEngines.Tavily,
+          Seq("corpus engineering"), k = 10, apiKey = "replay", fetch = fetch)
+        .select(col("title"), col("url"), col("content"), col("query"))
+    }),
+
+    "web_search_you" -> ((s, dir) => {
+      // The You.com engine: TWO result buckets (web + news) flattened in
+      // bucket order, snippet ARRAYS newline-joined, and the news bucket
+      // omitting description (missing→null) — all through the real parser
+      // against the replay transport, oracle-rebuilt relationally.
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 10)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+      def entry(r: org.apache.spark.sql.Row, withDesc: Boolean): String = {
+        val words = wsNorm(r.getString(1)).split(" ")
+        val snips = Seq(words.take(4).mkString(" "),
+          words.slice(4, 8).mkString(" "))
+        val desc =
+          if (withDesc) s""","description":"${jsonEsc(words.take(6).mkString(" "))}""""
+          else ""
+        s"""{"title":"${jsonEsc(words.take(4).mkString(" "))}",
+           |"url":"http://docs/${r.getLong(0)}",
+           |"snippets":[${snips.map(x => "\"" + jsonEsc(x) + "\"").mkString(",")}]$desc}""".stripMargin
+      }
+      val (webDocs, newsDocs) = docs.partition(_.getLong(0) < 5)
+      val feed =
+        s"""{"results":{"web":[${webDocs.map(entry(_, withDesc = true)).mkString(",")}],
+           |"news":[${newsDocs.map(entry(_, withDesc = false)).mkString(",")}]}}""".stripMargin
+      val fetch: graft.connectors.WebSearchEngines.Fetch = (_, _, _) => feed
+      graft.connectors.WebSearchEngines.search(s,
+          graft.connectors.WebSearchEngines.You,
+          Seq("corpus engineering"), k = 10, apiKey = "replay", fetch = fetch)
+        .select(col("url"), col("title"), col("snippets"),
+          col("description"), col("query"))
+    }),
+
     "ann_qdrant_vs" -> ((s, dir) => {
       // The REMOTE vector-store surface, driver-verified: QdrantLikeVS
       // speaks the Qdrant REST contract (PUT collection, executor-side
@@ -2157,6 +2216,33 @@ object Queries {
         |  lang AS categories,
         |  'corpus engineering' AS query
         |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
+
+    "web_search_tavily" ->
+      """SELECT
+        |  array_to_string(list_slice(string_split(trim(regexp_replace(text, '[\x00-\x20]+', ' ', 'g')), ' '), 1, 4), ' ') AS title,
+        |  'http://docs/' || doc_id AS url,
+        |  CASE WHEN doc_id = 3 THEN CAST(NULL AS VARCHAR)
+        |       ELSE array_to_string(list_slice(string_split(trim(regexp_replace(text, '[\x00-\x20]+', ' ', 'g')), ' '), 1, 12), ' ') END AS content,
+        |  'corpus engineering' AS query
+        |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
+
+    // Bucket order (web then news), newline-joined snippet arrays, and
+    // the news bucket's missing description → NULL.
+    "web_search_you" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '[\x00-\x20]+', ' ', 'g')), ' ') AS words
+        |  FROM documents WHERE doc_id < 10)
+        |SELECT
+        |  'http://docs/' || doc_id AS url,
+        |  array_to_string(list_slice(words, 1, 4), ' ') AS title,
+        |  array_to_string(list_slice(words, 1, 4), ' ') || chr(10) ||
+        |    array_to_string(list_slice(words, 5, 8), ' ') AS snippets,
+        |  CASE WHEN doc_id < 5
+        |       THEN array_to_string(list_slice(words, 1, 6), ' ')
+        |       ELSE CAST(NULL AS VARCHAR) END AS description,
+        |  'corpus engineering' AS query
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     // Exhaustive remote-contract search ≡ exact cosine top-k (the
     // ann_ivf_vs truth). 1-(1-cos) re-rounds identically at 3 dp.

@@ -56,10 +56,18 @@ object Dedup {
     */
   /** Spread a low-partition input (small files) to cluster parallelism
     * before CPU-heavy per-row stages; large inputs pass through untouched.
+    * Decided from logical-plan size stats, not `df.rdd.getNumPartitions` —
+    * instantiating the RDD lineage would physically plan the query a
+    * second time outside AQE. A scan gets ~sizeInBytes/maxPartitionBytes
+    * partitions, so below one maxPartitionBytes per core the input cannot
+    * fill the cluster and is worth an (O(small) bytes) spread shuffle.
     */
   private def parallelize(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size < BigInt(maxPartitionBytes) * target) df.repartition(target) else df
   }
 
   def minhashPairs(dfIn: DataFrame, textCol: String, idCol: String,
