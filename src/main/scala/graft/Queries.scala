@@ -1243,6 +1243,36 @@ object Queries {
           col("abstract"), col("authors"), col("categories"), col("query"))
     }),
 
+    "web_search_scholar" -> ((s, dir) => {
+      // GoogleScholar shares the SerpApi parser with Google, so what this
+      // gate pins is the DISPATCH — the transport refuses any request not
+      // carrying engine=google_scholar — plus the date/author fields the
+      // google gate leaves null. Distinct fixture slice (doc_id 10..19) so
+      // the two gates can't mask each other.
+      val docs = read(s, dir, "documents")
+        .filter(col("doc_id") >= 10 && col("doc_id") < 20)
+        .select("doc_id", "text", "lang").orderBy("doc_id").collect()
+      val results = docs.zipWithIndex.map { case (r, i) =>
+        val words = wsNorm(r.getString(1)).split(" ")
+        s"""{"position":${i + 1},"title":"${jsonEsc(words.take(4).mkString(" "))}",
+           |"link":"http://docs/${r.getLong(0)}",
+           |"displayed_link":"docs/${r.getLong(0)}",
+           |"date":"2024","author":"A ${r.getString(2)}",
+           |"snippet":"${jsonEsc(words.take(12).mkString(" "))}"}""".stripMargin
+      }.mkString("""{"organic_results":[""", ",", "]}")
+      val fetch: graft.connectors.WebSearchEngines.Fetch = (url, _, _) => {
+        require(url.contains("engine=google_scholar"),
+          s"scholar dispatch must request engine=google_scholar: $url")
+        results
+      }
+      graft.connectors.WebSearchEngines.search(s,
+          graft.connectors.WebSearchEngines.GoogleScholar,
+          Seq("corpus engineering"), k = 10, apiKey = "replay", fetch = fetch)
+        .select(col("position"), col("title"), col("link"),
+          col("displayed_link"), col("date"), col("author"),
+          col("snippet"), col("query"))
+    }),
+
     "web_search_tavily" -> ((s, dir) => {
       // The JSON POST branch of the engine family (arxiv = XML GET,
       // google = JSON GET): the Tavily parser through the replay
@@ -1653,6 +1683,22 @@ object Queries {
     "vocab_topk" -> ((s, dir) => {
       CorpusPrep.vocabTopK(read(s, dir, "documents"), "text", k = 50)
         .orderBy(col("n").desc, col("word"))
+    }),
+
+    "vocab_freq_items" -> ((s, dir) => {
+      // The heavy-hitters scale tier next to vocab_topk's exact one:
+      // frequentWords (single-pass fixed-memory Misra-Gries) may return
+      // false positives but never misses a word above the support
+      // threshold — so for the EXACTLY-counted frequent set (pinned vs
+      // DuckDB) the sketch-containment boolean is deterministically true.
+      val d = read(s, dir, "documents")
+      val sketch = CorpusPrep.frequentWords(d, "text", support = 0.02)
+      val counts = CorpusPrep.vocabCounts(d, "text")
+      val total = counts.agg(sum(col("n"))).head().getLong(0)
+      counts.filter(col("n") > lit(0.02) * lit(total))
+        .withColumn("in_sketch", col("word").isInCollection(sketch))
+        .select(col("word"), col("n"), col("in_sketch"))
+        .orderBy("word")
     }),
 
     "unigram_surprisal" -> ((s, dir) => {
@@ -2216,6 +2262,27 @@ object Queries {
         |  lang AS categories,
         |  'corpus engineering' AS query
         |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
+
+    "web_search_scholar" ->
+      """SELECT
+        |  CAST(row_number() OVER (ORDER BY doc_id) AS VARCHAR) AS position,
+        |  array_to_string(list_slice(string_split(trim(regexp_replace(text, '[\x00-\x20]+', ' ', 'g')), ' '), 1, 4), ' ') AS title,
+        |  'http://docs/' || doc_id AS link,
+        |  'docs/' || doc_id AS displayed_link,
+        |  '2024' AS date,
+        |  'A ' || lang AS author,
+        |  array_to_string(list_slice(string_split(trim(regexp_replace(text, '[\x00-\x20]+', ' ', 'g')), ' '), 1, 12), ' ') AS snippet,
+        |  'corpus engineering' AS query
+        |FROM documents WHERE doc_id >= 10 AND doc_id < 20 ORDER BY doc_id""".stripMargin,
+
+    // The exactly-frequent set is pinned; the sketch-containment boolean
+    // is TRUE by the Misra-Gries no-false-negative guarantee.
+    "vocab_freq_items" ->
+      """WITH w AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents),
+        |f AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w WHERE word <> '' GROUP BY word),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM f)
+        |SELECT word, n, TRUE AS in_sketch
+        |FROM f, t WHERE n > 0.02 * total ORDER BY word""".stripMargin,
 
     "web_search_tavily" ->
       """SELECT

@@ -144,6 +144,26 @@ object CorpusPrep {
       .limit(k)
   }
 
+  /** Heavy-hitters scale tier of the vocabulary pass: the single-pass,
+    * fixed-memory candidate set of words with frequency above
+    * `support`·total (Spark `freqItems` — the Karp/Misra-Gries one-pass
+    * counter scheme, ~1/support counters per partition, merged once). May
+    * contain false positives, never false negatives: every word with
+    * frequency strictly above the support threshold is present. At 100 TB
+    * this replaces the full vocabulary shuffle when only the head of the
+    * distribution matters (stopword discovery, boilerplate tokens); gate
+    * `vocab_freq_items` encodes the containment guarantee as verified
+    * booleans against the exactly-counted frequent set, the
+    * q11/q12-approx-tier convention.
+    */
+  def frequentWords(df: DataFrame, textCol: String, support: Double): Set[String] = {
+    require(support > 0 && support < 1, s"support $support must be in (0, 1)")
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .stat.freqItems(Seq("word"), support)
+      .head().getSeq[String](0).toSet
+  }
+
   /** Unigram surprisal — the LM-perplexity quality signal of published
     * corpus pipelines (CCNet, arXiv 1911.00359, there with a 5-gram KenLM;
     * here the unigram reference model that needs no model artifact): per

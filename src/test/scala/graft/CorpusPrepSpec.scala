@@ -194,4 +194,17 @@ class CorpusPrepSpec extends SparkSpec {
       .select("lang", "avg_quality", "avg_chars").as[(String, Double, Double)].collect().toSet
     assert(a == b)
   }
+
+  test("frequentWords never misses a word above the support threshold") {
+    val rows = (Seq.fill(50)("the quick") ++ Seq.fill(5)("rare word")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("id", "text")
+    // "the"/"quick" are 50 of 110 tokens ≈ 0.45 each — must be present
+    // even on a spread input (sketches merge across partitions).
+    val s = CorpusPrep.frequentWords(df.repartition(8), "text", support = 0.3)
+    assert(s.contains("the") && s.contains("quick"), s.toString)
+    intercept[IllegalArgumentException] {
+      CorpusPrep.frequentWords(df, "text", support = 1.5)
+    }
+  }
 }
