@@ -257,6 +257,8 @@ object StreamingOps {
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)
+  final case class Session(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, total_value: Double)
 
   /** Stateful per-user session fold: counts and sums per user with a
     * processing-time timeout — the mapGroupsWithState pattern custom
@@ -279,6 +281,61 @@ object StreamingOps {
             state.update((n, v))
             state.setTimeoutDuration(timeout)
             Iterator.empty
+          }
+      }
+  }
+
+  /** Event-time gap sessionization with custom state — the scale-correct
+    * sibling of [[sessionize]]: a processing-time timeout is a function of
+    * the WALL clock, so a 100 TB backfill replaying months of events in
+    * minutes would close sessions mid-burst (or never), while event-time
+    * sessions are a pure function of the data and the watermark —
+    * identical results live and on replay. The batch twin is
+    * `Temporal.sessionize` (gate `events_sessionize`); this is the
+    * `flatMapGroupsWithState` + `EventTimeTimeout` form of the same
+    * semantics for unbounded streams.
+    *
+    * Caller must set `withWatermark` on the event-time column BEFORE the
+    * keyed fold (enforced by Spark for EventTimeTimeout). A session closes
+    * when the watermark passes its last event + `gapMs`; in-batch gaps
+    * larger than `gapMs` already split eagerly, so per-key state is one
+    * open session regardless of batch size.
+    */
+  def sessionizeEventTime(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    require(gapMs > 0, s"session gap $gapMs ms must be positive")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Double), Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[(Long, Long, Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (start, end, n, v) = state.get
+            state.remove()
+            Iterator.single(Session(userId, start, end, n, v))
+          } else {
+            // A batch delivers a key's events unordered; sessions are
+            // defined over event time, so order within the batch first
+            // (bounded by the micro-batch, not the stream).
+            val evs = rows.toArray.sortBy(_.ts.getTime)
+            val closed = List.newBuilder[Session]
+            var open = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some((s0, e0, n0, v0)) if t - e0 <= gapMs =>
+                  open = Some((s0, math.max(t, e0), n0 + 1, v0 + e.value))
+                case Some((s0, e0, n0, v0)) =>
+                  closed += Session(userId, s0, e0, n0, v0)
+                  open = Some((t, t, 1L, e.value))
+                case None =>
+                  open = Some((t, t, 1L, e.value))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp(o._2 + gapMs)
+            }
+            closed.result().iterator
           }
       }
   }

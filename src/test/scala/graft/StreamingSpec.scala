@@ -256,4 +256,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(n == 2)
   }
+
+  test("event-time sessionize: in-batch gap splits, watermark closes, open sessions hold") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "0 seconds").as[StreamingOps.Event]
+    val sessions = StreamingOps.sessionizeEventTime(events, gapMs = 5000L)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    // Batch 1: user 1 has two events 1s apart then one 8s later (in-batch
+    // split → first session closes WITHOUT any watermark help); user 2 one
+    // event (stays open).
+    input.addData(
+      (t(1000), 1L, "c", 1.0), (t(2000), 1L, "c", 2.0), (t(10000), 1L, "c", 3.0),
+      (t(1500), 2L, "c", 5.0))
+    q.processAllAvailable()
+    // Batch 2: a far-future event advances the watermark past every open
+    // timeout except its own — the engine's follow-up no-data batch fires
+    // the event-time timeouts.
+    input.addData((t(50000), 3L, "c", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT user_id, session_start, session_end, n_events, total_value FROM sess_out")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (1L, 1000L, 2000L, 2L, 3.0),   // split inside batch 1
+      (1L, 10000L, 10000L, 1L, 3.0), // closed by the watermark
+      (2L, 1500L, 1500L, 1L, 5.0)),  // closed by the watermark
+      s"user 3's session must stay open: $got")
+  }
 }
