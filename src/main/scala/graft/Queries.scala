@@ -1065,12 +1065,16 @@ object Queries {
         .select("doc_id", "lang", "text")
       d.coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$tmp/c")
       d.coalesce(1).write.mode("overwrite").json(s"$tmp/j")
+      d.coalesce(1).write.mode("overwrite").orc(s"$tmp/o")
       val csv = DataConnectors.loadPath(s, s"$tmp/c", "csv")
       val js = DataConnectors.loadPath(s, s"$tmp/j", "json")
+      val orc = DataConnectors.loadPath(s, s"$tmp/o", "orc")
       csv.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
           col("text"), lit("csv").as("fmt"))
         .unionByName(js.select(col("doc_id").cast("long").as("doc_id"),
           col("lang"), col("text"), lit("json").as("fmt")))
+        .unionByName(orc.select(col("doc_id").cast("long").as("doc_id"),
+          col("lang"), col("text"), lit("orc").as("fmt")))
     }),
 
     // ------------- Structured Streaming surface as oracle gates ----------
@@ -2208,6 +2212,9 @@ object Queries {
         |FROM documents WHERE doc_id < 50
         |UNION ALL
         |SELECT doc_id, lang, text, 'json' AS fmt
+        |FROM documents WHERE doc_id < 50
+        |UNION ALL
+        |SELECT doc_id, lang, text, 'orc' AS fmt
         |FROM documents WHERE doc_id < 50""".stripMargin,
 
     // Streaming gates: the stream saw the whole table in one micro-batch,
