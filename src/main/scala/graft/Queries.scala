@@ -1627,6 +1627,27 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    "events_range_join" -> ((s, dir) => {
+      // Pure range join (NO equality key — the shape that lowers to a
+      // nested-loop product in naive Spark): every event against the
+      // sliding 1-hour windows (every 30 min) covering the event span,
+      // through the bucketized equi-join form; the oracle is the plain
+      // non-equi containment join. Window len = 2×step, so interior
+      // events land in exactly two windows.
+      import s.implicits._
+      val e = read(s, dir, "events").select(col("ts").as("pt"))
+      val hr = 3600L * 1000000000L
+      val step = hr / 2
+      val r = e.agg(min("pt"), max("pt")).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val w0 = Math.floorDiv(lo, step) * step
+      val windows = Iterator.iterate(w0)(_ + step).takeWhile(_ <= hi)
+        .map(t => (t, t + hr - 1)).toSeq.toDF("w_start", "w_end")
+      Temporal.rangeJoin(e, "pt", windows, "w_start", "w_end", bucketWidth = hr)
+        .groupBy("w_start").agg(count(lit(1)).as("n_events"))
+        .orderBy("w_start")
+    }),
+
     "corpus_sample_det" -> ((s, dir) => {
       // Deterministic content-hash sampling: membership is a pure function
       // of (salt, key) — same surviving rows on any cluster/partitioning/
@@ -2910,6 +2931,17 @@ object Queries {
         |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
         |    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
         |FROM g ORDER BY event_id""".stripMargin,
+
+    // The same sliding windows and containment predicate, as the naive
+    // non-equi join DuckDB can afford at oracle scale.
+    "events_range_join" ->
+      """WITH b AS (SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi FROM events),
+        |s AS (SELECT unnest(range((lo // 1800000000000) * 1800000000000,
+        |                          hi + 1, 1800000000000)) AS w_start FROM b),
+        |w AS (SELECT w_start, w_start + 3599999999999 AS w_end FROM s)
+        |SELECT w.w_start, CAST(count(*) AS BIGINT) AS n_events
+        |FROM w JOIN events e ON epoch_ns(e.ts) BETWEEN w.w_start AND w.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_asof_join" ->
       """SELECT l.event_id, l.user_id,

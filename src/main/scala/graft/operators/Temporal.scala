@@ -33,6 +33,48 @@ object Temporal {
     df.withColumn(sessionCol, sum(gapBreak).over(wRun) - 1L)
   }
 
+  /** Floor division as a column (Spark's `div` truncates toward zero, which
+    * mis-buckets negative domains; this matches Math.floorDiv).
+    */
+  private def floorDiv(a: Column, b: Long): Column = {
+    val q = a.divide(lit(b)).cast("long") // truncated quotient
+    when(a % b =!= 0 && a < 0, q - 1L).otherwise(q)
+  }
+
+  /** Pure range (interval-containment) join — points × the intervals that
+    * contain them, with NO equality key (or an optional one via `keys`).
+    * The naive theta join is a nested-loop cross product — |L|×|R| pair
+    * candidates cannot survive a 100 TB event log — so this bucketizes the
+    * domain by `bucketWidth`: each point lands in exactly one bucket, each
+    * interval explodes to the buckets it touches, the join becomes a plain
+    * equi-join shuffle on (keys…, bucket), and exact containment filters
+    * after. Pick `bucketWidth` on the order of the typical interval length
+    * (≈1–2 buckets per interval); an interval wider than
+    * `maxBucketsPerInterval` buckets raises instead of silently exploding.
+    * Bounds are inclusive on both ends; each qualifying pair emerges
+    * exactly once (one bucket per point). Point/interval column names must
+    * not collide (except `keys`, which join).
+    */
+  def rangeJoin(points: DataFrame, ptCol: String, intervals: DataFrame,
+      startCol: String, endCol: String, bucketWidth: Long,
+      keys: Seq[String] = Nil, maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth $bucketWidth must be positive")
+    val pb = points.withColumn("__bucket", floorDiv(col(ptCol), bucketWidth))
+    val b0 = floorDiv(col(startCol), bucketWidth)
+    val b1 = floorDiv(col(endCol), bucketWidth)
+    val guarded = when(b1 - b0 >= maxBucketsPerInterval,
+      raise_error(concat(
+        lit(s"rangeJoin: interval spans more than $maxBucketsPerInterval " +
+          s"buckets of width $bucketWidth ([" ), col(startCol).cast("string"),
+        lit(", "), col(endCol).cast("string"),
+        lit("]) — widen bucketWidth or split the interval"))))
+      .otherwise(sequence(b0, b1))
+    val ib = intervals.withColumn("__bucket", explode(guarded))
+    pb.join(ib, keys :+ "__bucket")
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
   /** As-of join: for every left row, the single most recent right row with
     * `right.tsCol <= left.tsCol` on the same `keys` (left join: unmatched
     * lefts keep nulls). Right columns `rightCols` arrive suffixed.

@@ -51,4 +51,38 @@ class TemporalSpec extends SparkSpec {
       s"as-of must not lower to a product join:\n$plan")
     assert(out.count() == 200)
   }
+
+  test("rangeJoin: inclusive containment, overlap multiplicity, negative domain") {
+    val pts = Seq((1L, -25L), (2L, 0L), (3L, 10L), (4L, 99L), (5L, 250L))
+      .toDF("pid", "pt")
+    val ivs = Seq((10L, -30L, 0L), (11L, 0L, 99L), (12L, 50L, 150L))
+      .toDF("iid", "lo", "hi")
+    val out = Temporal.rangeJoin(pts, "pt", ivs, "lo", "hi", bucketWidth = 40L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 10L),            // negative bucket: floor, not truncate
+      (2L, 10L), (2L, 11L), // inclusive on both ends, 2 overlapping hits
+      (3L, 11L),
+      (4L, 11L), (4L, 12L)  // pt 250 matches nothing
+    ), out.toString)
+  }
+
+  test("rangeJoin: equi-join plan (no product join) and oversize-interval refusal") {
+    val pts = (0 until 500).map(i => (i.toLong, i.toLong * 3)).toDF("pid", "pt")
+    val ivs = (0 until 50).map(i => (i.toLong, i * 30L, i * 30L + 29L))
+      .toDF("iid", "lo", "hi")
+    val out = Temporal.rangeJoin(pts, "pt", ivs, "lo", "hi", bucketWidth = 30L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must bucketize to an equi-join:\n$plan")
+    // every point pt in [lo, hi] of its tiling interval exactly once
+    assert(out.count() == pts.as[(Long, Long)].collect()
+      .count { case (_, p) => p / 30 < 50 })
+    val wide = Seq((0L, 0L, 10000000L)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      Temporal.rangeJoin(pts, "pt", wide, "lo", "hi", bucketWidth = 10L,
+        maxBucketsPerInterval = 16).count()
+    }
+    assert(e.getMessage.contains("rangeJoin") || e.getCause != null, e.toString)
+  }
 }
