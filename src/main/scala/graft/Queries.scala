@@ -1130,6 +1130,45 @@ object Queries {
         .orderBy("user_id", "event_type")
     }),
 
+    "stream_sessionize" -> ((s, dir) => {
+      // Event-time gap sessionization (flatMapGroupsWithState under
+      // EventTimeTimeout — the custom-state streaming API) through a REAL
+      // two-batch stream: batch 1 delivers every event of the gate's
+      // users, batch 2 a far-future sentinel whose watermark closes all
+      // open sessions, so the emitted sessions equal the batch gap
+      // sessionization the oracle computes. Deterministic: MemoryStream
+      // batch boundaries are explicit, and value is cents-scaled BEFORE
+      // the fold so per-session sums are integral (equal-ts reordering
+      // cannot change them).
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = read(s, dir, "events").filter(col("user_id") < 50)
+        .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("user_id"), col("event_type"),
+          cents(col("value")).cast("double").as("value"))
+        .as[(java.sql.Timestamp, Long, String, Double)].collect()
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+      val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+        .withWatermark("ts", "0 seconds")
+        .as[graft.streaming.StreamingOps.Event]
+      val gapMs = 3600L * 1000
+      val sessions = graft.streaming.StreamingOps.sessionizeEventTime(events, gapMs)
+      val sink = "stream_sess_sink"
+      val q = sessions.writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val maxTs = rows.iterator.map(_._1.getTime).max
+      input.addData(Seq((new java.sql.Timestamp(maxTs + 10L * gapMs), -1L, "flush", 0.0)))
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("total_value").cast("long").as("total_cents"))
+        .orderBy("user_id", "session_start")
+    }),
+
     "ann_ivf_stream_ingest" -> ((s, dir) => {
       // Streaming ingestion growing a SAVED ANN index (the foreachBatch
       // sink with two-phase batch marks), then an exhaustive-probe search
@@ -2249,6 +2288,29 @@ object Queries {
     "stream_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY 1,2""".stripMargin,
+
+    // The sentinel watermark closed every session, so the stream's output
+    // equals batch gap sessionization aggregated to session rows.
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS tms,
+        |         CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 50
+        |), o AS (
+        |  SELECT *, CASE WHEN lag(tms) OVER w IS NULL
+        |                   OR tms - lag(tms) OVER w > 3600000
+        |            THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)
+        |), ss AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, min(tms) AS session_start, max(tms) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM ss GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "ann_ivf_stream_ingest" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5)
