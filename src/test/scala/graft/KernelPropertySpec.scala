@@ -58,6 +58,30 @@ class KernelPropertySpec extends AnyFunSuite {
     }, tests = 40)
   }
 
+  test("rate schedule: sliding-window invariants on random request streams") {
+    // At every grant instant, the live window (grants newer than now−W,
+    // inclusive of the new one) must respect BOTH limits, and grants must
+    // be monotone — the invariant acquire() enforces, checked on the pure
+    // recurrence the rate_limit_schedule gate verifies.
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      toks <- Gen.listOfN(n, Gen.choose(1, 10))
+      rpm <- Gen.choose(1, 6)
+      tpm <- Gen.choose(20, 60)
+    } yield (toks, rpm, tpm)
+    check(Prop.forAll(gen) { case (toks, rpm, tpm) =>
+      val w = 1000L
+      val cap = (tpm * 0.95).toLong
+      val g = graft.llm.RateGovernor.schedule(toks, rpm, tpm, w)
+      val mono = g.lazyZip(g.drop(1)).forall(_ <= _)
+      val windows = g.indices.forall { i =>
+        val live = (0 to i).filter(j => g(j) > g(i) - w)
+        live.length <= rpm && live.map(toks(_).toLong).sum <= cap
+      }
+      mono && windows
+    })
+  }
+
   test("simhash: identical token lists collide, disjoint ones differ") {
     check(Prop.forAll(Gen.choose(10, 60)) { n =>
       val a = (0 until n).map(i => s"tok$i")

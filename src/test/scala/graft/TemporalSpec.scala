@@ -85,4 +85,21 @@ class TemporalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("rangeJoin") || e.getCause != null, e.toString)
   }
+
+  test("rangeJoin equals the naive containment join on seeded random inputs") {
+    val rnd = new scala.util.Random(7)
+    for (width <- Seq(7L, 40L, 137L)) {
+      val pts = (0 until 80).map(i => (i.toLong, rnd.between(-200L, 200L)))
+        .toDF("pid", "pt")
+      val ivs = (0 until 30).map { i =>
+        val a = rnd.between(-220L, 180L)
+        (i.toLong, a, a + rnd.between(0L, 60L))
+      }.toDF("iid", "lo", "hi")
+      val got = Temporal.rangeJoin(pts, "pt", ivs, "lo", "hi", width)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val want = pts.crossJoin(ivs).filter($"pt" >= $"lo" && $"pt" <= $"hi")
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got == want, s"width $width: ${got.diff(want)} / ${want.diff(got)}")
+    }
+  }
 }
