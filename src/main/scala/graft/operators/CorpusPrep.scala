@@ -272,4 +272,69 @@ object CorpusPrep {
       round(col("__chars").cast("double") / col("n_docs"), 2))
     .drop("__q4", "__chars")
   }
+
+  /** The layout decision [[writeCorpus]] made, for observability/logging. */
+  final case class WriteLayout(avgRowBytes: Double, maxRecordsPerFile: Long,
+      shardsPerPartition: Int)
+
+  /** Write a corpus with the file layout a large-scale consumer needs,
+    * solving the two classic output problems at once:
+    *
+    *  - SMALL FILES: a plain `partitionBy` write emits up to
+    *    tasks × partition-values files. Repartitioning on the partition
+    *    columns first gives each hive partition ONE writing task — plus
+    *    `shardsPerPartition` content-hash shards when a single partition
+    *    value is itself too large for one task.
+    *  - GIANT FILES: `maxRecordsPerFile` caps rows per file so downstream
+    *    scan parallelism survives even through a single-task partition —
+    *    derived from `targetFileMb` and a sampled average serialized row
+    *    size unless `maxRecordsOverride` pins it.
+    *
+    * `sortBy` sorts within each writing task, clustering the sort key so
+    * parquet row-group min/max stats prune range predicates on it (the
+    * poor man's z-order for one dimension). Returns the layout decision.
+    *
+    * Note: shards are an UPPER spread — AQE's partition coalescing may
+    * merge shards whose data is below the advisory partition size, which
+    * is exactly right (tiny shards are the small-files problem this
+    * writer exists to avoid); at scale each shard exceeds the advisory
+    * size and writes its own file.
+    */
+  def writeCorpus(df: DataFrame, path: String, partitionCols: Seq[String],
+      targetFileMb: Int = 256, shardsPerPartition: Int = 1,
+      sortBy: Seq[String] = Nil, sampleRows: Int = 1000,
+      maxRecordsOverride: Option[Long] = None): WriteLayout = {
+    require(targetFileMb > 0, s"targetFileMb $targetFileMb must be positive")
+    require(shardsPerPartition > 0,
+      s"shardsPerPartition $shardsPerPartition must be positive")
+    val allCols = df.columns.map(col).toSeq
+    val avg = maxRecordsOverride match {
+      case Some(_) => -1.0
+      case None =>
+        val r = df.limit(sampleRows)
+          .agg(sum(length(to_json(struct(allCols: _*)))).cast("double"),
+            count(lit(1)))
+          .head()
+        if (r.isNullAt(0) || r.getLong(1) == 0L) 1024.0
+        else r.getDouble(0) / r.getLong(1)
+    }
+    val maxRecords = maxRecordsOverride.getOrElse(
+      math.max(10L, (targetFileMb.toLong * 1024L * 1024L / avg).toLong))
+    val shardCol = pmod(xxhash64(struct(allCols: _*)), lit(shardsPerPartition))
+    val parted =
+      if (partitionCols.isEmpty)
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      else if (shardsPerPartition == 1)
+        df.repartition(partitionCols.map(col): _*)
+      else
+        df.repartition(partitionCols.map(col) :+ shardCol: _*)
+    val sorted =
+      if (sortBy.isEmpty) parted
+      else parted.sortWithinPartitions(sortBy.map(col): _*)
+    val writer = sorted.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecords)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(path)
+    WriteLayout(avg, maxRecords, shardsPerPartition)
+  }
 }

@@ -195,6 +195,49 @@ class CorpusPrepSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("writeCorpus: record cap splits files, shards spread partitions, data round-trips") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_writecorpus").toString
+    val d = (0 until 300).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", s"text body $i"))
+      .toDF("doc_id", "lang", "text")
+    val layout = CorpusPrep.writeCorpus(d, s"$tmp/c", Seq("lang"),
+      sortBy = Seq("doc_id"), maxRecordsOverride = Some(40L))
+    assert(layout.maxRecordsPerFile == 40L)
+    val back = spark.read.parquet(s"$tmp/c")
+    assert(back.select("doc_id").as[Long].collect().toSet == (0L until 300L).toSet)
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    for (lang <- Seq("en", "de")) {
+      val files = parts(s"$tmp/c/lang=$lang")
+      assert(files.length >= 4, s"$lang: 150 rows / cap 40 => >=4 files, got ${files.length}")
+      files.foreach { f =>
+        val n = spark.read.parquet(f.getPath).count()
+        assert(n <= 40, s"$f holds $n > 40 rows")
+      }
+    }
+    // Content-hash shards split a huge partition across writing tasks
+    // even without a row cap. AQE would rightly coalesce shards this tiny
+    // (they'd be the small-files problem), so pin the un-coalesced shape.
+    val conf = spark.conf
+    val (aqe0, sp0) = (conf.get("spark.sql.adaptive.enabled"),
+      conf.get("spark.sql.shuffle.partitions"))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", "32")
+      CorpusPrep.writeCorpus(d, s"$tmp/s", Seq("lang"), shardsPerPartition = 4,
+        maxRecordsOverride = Some(1000000L))
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe0)
+      conf.set("spark.sql.shuffle.partitions", sp0)
+    }
+    val shardFiles = Seq("en", "de").map(l => parts(s"$tmp/s/lang=$l").length).sum
+    assert(shardFiles >= 3, s"4 shards x 2 langs must spread, got $shardFiles files")
+    // Derived row-size path produces sane bounds.
+    val l2 = CorpusPrep.writeCorpus(d, s"$tmp/d", Nil, targetFileMb = 1)
+    assert(l2.avgRowBytes > 0 && l2.maxRecordsPerFile >= 10)
+    assert(spark.read.parquet(s"$tmp/d").count() == 300)
+  }
+
   test("frequentWords never misses a word above the support threshold") {
     val rows = (Seq.fill(50)("the quick") ++ Seq.fill(5)("rare word")).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
