@@ -82,12 +82,8 @@ private[graft] object ScriptedPipelineCompleter extends graft.agentic.Completer 
 
 object Queries {
 
-  private def read(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS); Spark only reads it via the
-    // legacy long mapping — queries convert with `timestamp_micros(ts div 1000)`.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def read(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
-  }
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
@@ -225,11 +221,15 @@ object Queries {
     }),
 
     "q8_events_window" -> ((s, dir) => {
+      // events.ts is a TIMESTAMP_NTZ (micros) — truncate and compare hours
+      // as epoch micros under a pinned UTC session so the hash matches
+      // DuckDB's naive-as-UTC epoch_us regardless of the caller's tz.
+      s.conf.set("spark.sql.session.timeZone", "UTC")
       read(s, dir, "events")
-        .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
-        .groupBy(date_trunc("hour", col("tsm")).as("hour"), col("event_type"))
+        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+          col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
-        .orderBy("hour", "event_type")
+        .orderBy("hour_us", "event_type")
     }),
 
     "q9_events_json" -> ((s, dir) => {
@@ -1092,13 +1092,15 @@ object Queries {
       // cents-scaled BEFORE the agg so the windowed sum is integral
       // (partition-order-independent); window start compares as epoch
       // seconds (pure epoch arithmetic on both engines, tz-free).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is TIMESTAMP_NTZ; watermarks need LTZ, so cast under a
+      // pinned UTC session (matches DuckDB's naive-as-UTC epoch()).
+      s.conf.set("spark.sql.session.timeZone", "UTC")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema).parquet(streamDir(dir, "events"))
-        .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", col("ts").cast("timestamp"))
         .withColumn("value", cents(col("value")))
       val agg = graft.streaming.StreamingOps.windowedEventCounts(
-        stream, tsCol = "tsm", window_ = "1 hour", watermark = "10 minutes")
+        stream, tsCol = "ts", window_ = "1 hour", watermark = "10 minutes")
       val sink = "stream_win_sink"
       s.catalog.dropTempView(sink)
       val q = agg.writeStream.outputMode("complete").format("memory")
@@ -1114,13 +1116,14 @@ object Queries {
       // streamingDedup (dropDuplicatesWithinWatermark state) over the
       // streamed events table. Which ROW survives per key is arrival-order
       // dependent, so the gate projects the key columns — the surviving
-      // KEY SET is exact and equals DISTINCT.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // KEY SET is exact and equals DISTINCT. events.ts is TIMESTAMP_NTZ;
+      // watermarks need LTZ, so cast under a pinned UTC session.
+      s.conf.set("spark.sql.session.timeZone", "UTC")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema).parquet(streamDir(dir, "events"))
-        .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", col("ts").cast("timestamp"))
       val deduped = graft.streaming.StreamingOps.streamingDedup(
-        stream, Seq("user_id", "event_type"), tsCol = "tsm")
+        stream, Seq("user_id", "event_type"), tsCol = "ts")
       val sink = "stream_dedup_sink"
       s.catalog.dropTempView(sink)
       val q = deduped.writeStream.outputMode("append").format("memory")
@@ -1142,10 +1145,13 @@ object Queries {
       // cannot change them).
       implicit val sqlCtx = s.sqlContext
       import s.implicits._
+      // events.ts is TIMESTAMP_NTZ; the Event model and the event-time
+      // watermark need LTZ, so cast under a pinned UTC session (session
+      // bounds then compare as DuckDB epoch_ms on the naive ts).
+      s.conf.set("spark.sql.session.timeZone", "UTC")
       val rows = read(s, dir, "events").filter(col("user_id") < 50)
-        .select(expr("timestamp_micros(ts div 1000)").as("ts"),
-          col("user_id"), col("event_type"),
-          cents(col("value")).cast("double").as("value"))
+        .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+          col("event_type"), cents(col("value")).cast("double").as("value"))
         .as[(java.sql.Timestamp, Long, String, Double)].collect()
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, String, Double)]
@@ -1641,11 +1647,16 @@ object Queries {
 
     // ---------------- text analysis ---------------------------------------
     "events_sessionize" -> ((s, dir) => {
-      // Gap sessionization (30-min gap, ts in nanos): 0-based session ids
-      // per user. One shuffle on user_id; (user_id, ts) is unique in the
-      // data so the ordering is total.
-      Temporal.sessionize(read(s, dir, "events"), "user_id", "ts",
-          maxGap = 30L * 60 * 1000000000L)
+      // Gap sessionization (30-min gap; events.ts is TIMESTAMP_NTZ, so the
+      // gate derives epoch micros via an LTZ cast under a pinned UTC
+      // session — Temporal.sessionize is numeric-generic): 0-based session
+      // ids per user. One shuffle on user_id; (user_id, ts) is unique in
+      // the data so the ordering is total.
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      Temporal.sessionize(
+          read(s, dir, "events")
+            .withColumn("ts_us", unix_micros(col("ts").cast("timestamp"))),
+          "user_id", "ts_us", maxGap = 30L * 60 * 1000000L)
         .select(col("event_id"), col("user_id"), col("session_id"))
         .orderBy("event_id")
     }),
@@ -1674,8 +1685,10 @@ object Queries {
       // non-equi containment join. Window len = 2×step, so interior
       // events land in exactly two windows.
       import s.implicits._
-      val e = read(s, dir, "events").select(col("ts").as("pt"))
-      val hr = 3600L * 1000000000L
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      val e = read(s, dir, "events")
+        .select(unix_micros(col("ts").cast("timestamp")).as("pt"))
+      val hr = 3600L * 1000000L
       val step = hr / 2
       val r = e.agg(min("pt"), max("pt")).head()
       val (lo, hi) = (r.getLong(0), r.getLong(1))
@@ -2675,7 +2688,8 @@ object Queries {
         |ORDER BY p_brand""".stripMargin,
 
     "q8_events_window" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        |  count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
@@ -2985,7 +2999,7 @@ object Queries {
       """WITH g AS (
         |  SELECT event_id, user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000 THEN 1
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
         |         ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
@@ -2997,12 +3011,12 @@ object Queries {
     // The same sliding windows and containment predicate, as the naive
     // non-equi join DuckDB can afford at oracle scale.
     "events_range_join" ->
-      """WITH b AS (SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi FROM events),
-        |s AS (SELECT unnest(range((lo // 1800000000000) * 1800000000000,
-        |                          hi + 1, 1800000000000)) AS w_start FROM b),
-        |w AS (SELECT w_start, w_start + 3599999999999 AS w_end FROM s)
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+        |s AS (SELECT unnest(range((lo // 1800000000) * 1800000000,
+        |                          hi + 1, 1800000000)) AS w_start FROM b),
+        |w AS (SELECT w_start, w_start + 3599999999 AS w_end FROM s)
         |SELECT w.w_start, CAST(count(*) AS BIGINT) AS n_events
-        |FROM w JOIN events e ON epoch_ns(e.ts) BETWEEN w.w_start AND w.w_end
+        |FROM w JOIN events e ON epoch_us(e.ts) BETWEEN w.w_start AND w.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_asof_join" ->
