@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: every SparkEntry query timed on SPARK_GRAFT_SF_DIR, one
   * JSON line on stdout. Contention defense (a recorded round-4 run was 2-3×
@@ -8,10 +8,14 @@ import org.apache.spark.sql.SparkSession
   * MEDIAN, and the machine's /proc/loadavg is recorded before and after so
   * a contended run is self-evident in the output.
   *
-  * The JSON is also written to `BENCH_LAST.json` in the working directory
-  * (timings rounded to ms, so the line is compact) — a tail-truncated stdout
-  * capture can no longer lose the record. `SPARK_GRAFT_BENCH_ONLY=a,b`
-  * restricts to named queries for dev iteration.
+  * A THROWING query records timing -1 and its message under `"errors"` —
+  * never a fail-fast elapsed time. (Round 7 shipped six crashing queries
+  * that read as 19× speedups because the catch recorded time-to-throw.)
+  *
+  * The JSON is also written to `BENCH_LAST.json` (latest run) and appended
+  * to `BENCH_HISTORY.jsonl` (every run, so cross-round comparisons stay
+  * reproducible after BENCH_LAST is overwritten). `SPARK_GRAFT_BENCH_ONLY=
+  * a,b` restricts to named queries for dev iteration.
   */
 object Bench {
 
@@ -21,12 +25,62 @@ object Bench {
       try src.mkString.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Exception => -1.0 }
 
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
     if (n == 0) -1.0
     else if (n % 2 == 1) s(n / 2)
     else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  private[graft] final case class Outcome(
+      timings: Seq[(String, Double)], errors: Seq[(String, String)])
+
+  /** Time every query over `passes` alternating passes (A B C, A B C rather
+    * than AAA BBB, so a transient machine spike inflates at most one pass of
+    * each query — which the median discards). A query that throws in ANY
+    * pass reports -1 and its first error message; a partial success must not
+    * masquerade as a clean median.
+    */
+  private[graft] def timeAll(spark: SparkSession, sfDir: String,
+      names: Seq[(String, (SparkSession, String) => DataFrame)],
+      passes: Int): Outcome = {
+    val timings = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    for (_ <- 1 to passes; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        timings(name) = timings(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          if (!errors.contains(name))
+            errors(name) = Option(e.getMessage).getOrElse(e.toString)
+              .linesIterator.take(3).mkString(" ").take(500)
+      }
+    }
+    def ms(v: Double): Double = math.round(v * 1000).toDouble / 1000
+    val results = names.map { case (name, _) =>
+      name -> (if (errors.contains(name)) -1.0 else ms(median(timings(name))))
+    }
+    Outcome(results, errors.toSeq)
+  }
+
+  /** One-line JSON record. `value` sums only non-erroring queries (an error
+    * contributes no fake time); `n_errors` makes a red run visible to a
+    * consumer that reads nothing else.
+    */
+  private[graft] def renderJson(o: Outcome, sfDir: String, passes: Int,
+      loadBefore: Double, loadAfter: Double): String = {
+    val qs = o.timings.map { case (k, v) => graft.core.Jsons.str(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val errs = o.errors.map { case (k, v) =>
+      graft.core.Jsons.str(k) + ":" + graft.core.Jsons.str(v)
+    }.mkString("{", ",", "}")
+    val good = o.timings.collect { case (_, v) if v >= 0 => v }
+    val total = math.round(good.sum * 1000).toDouble / 1000
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${o.errors.size},"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -37,6 +91,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -45,32 +100,23 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val loadBefore = loadAvg()
-    // Passes alternate over the whole query set (A B C, A B C) rather than
-    // repeating each query back-to-back, so a transient machine spike
-    // inflates at most one pass of each query — which the median discards.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val timings = scala.collection.mutable.Map[String, Vector[Double]]()
-      .withDefaultValue(Vector.empty)
-    for (_ <- 1 to passes; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      timings(name) = timings(name) :+ (System.nanoTime() - t0) / 1e9
-    }
-    val loadAfter = loadAvg()
-    def ms(v: Double): Double = math.round(v * 1000).toDouble / 1000
-    val results = names.map { case (name, _) => name -> ms(median(timings(name))) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = ms(if (results.nonEmpty) results.map(_._2).sum else 0.0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}"""
+    val outcome = timeAll(spark, sfDir, names, passes)
+    val json = renderJson(outcome, sfDir, passes, loadBefore, loadAvg())
     println(json)
-    // Self-contained record regardless of the caller's capture window.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Exception => () }
+    // Self-contained record regardless of the caller's capture window, plus
+    // an append-only history so per-round records survive the next run.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Exception => () }
     spark.stop()
   }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.core.GateTables
+
+/** The round-7 postmortem gates: a throwing query must be LOUD in the bench
+  * record (not a fail-fast timing), and a gate-table schema drift must fail
+  * once with a named cause (not as N scattered runtime errors).
+  */
+class BenchVerifySpec extends SparkSpec {
+
+  test("Bench records a throwing query as -1 + an error, never a timing") {
+    val queries: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "good" -> ((s, _) => s.range(10).toDF("id")),
+      "bad" -> ((_, _) => throw new RuntimeException("boom\nline2 detail")))
+    val o = Bench.timeAll(spark, "/nonexistent", queries, passes = 2)
+    val t = o.timings.toMap
+    assert(t("good") >= 0.0, "a passing query keeps its median timing")
+    assert(t("bad") == -1.0, "a throwing query must NOT record elapsed time")
+    val errs = o.errors.toMap
+    assert(errs.keySet == Set("bad"))
+    assert(errs("bad").startsWith("boom"), "message captured")
+    assert(!errs("bad").contains("\n"), "message flattened to one JSON-safe line")
+    val json = Bench.renderJson(o, "sf", 2, 1.0, 1.0)
+    assert(json.contains("\"errors\":{\"bad\":\"boom"), json)
+    assert(json.contains("\"n_errors\":1"), json)
+    assert(json.contains("\"bad\":-1.0"), json)
+    // The total sums only non-erroring queries — no fake speedup from a crash.
+    assert(!json.contains("\"value\":-"), json)
+  }
+
+  test("Bench errors on a partial failure too (throws in one pass only)") {
+    var calls = 0
+    val flaky: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame = (s, _) => {
+      calls += 1
+      if (calls == 2) throw new RuntimeException("flaky pass")
+      s.range(3).toDF("id")
+    }
+    val o = Bench.timeAll(spark, "x", Seq("flaky" -> flaky), passes = 3)
+    assert(o.timings.toMap.apply("flaky") == -1.0,
+      "one bad pass disqualifies the median — a flaky query is not a clean result")
+    assert(o.errors.toMap.apply("flaky").contains("flaky pass"))
+  }
+
+  test("GateTables pins all 10 gate tables and matches the shipped testdata") {
+    assert(GateTables.expected.keySet == Set("region", "nation", "customer",
+      "supplier", "part", "orders", "lineitem", "events", "documents",
+      "embeddings"))
+    val drift = GateTables.drift(spark, "/root/testdata/sf0.001")
+    assert(drift.isEmpty, s"schema drift against shipped testdata:\n${drift.mkString("\n")}")
+  }
+
+  test("GateTables names a type change, a missing and an unexpected column") {
+    val actual = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // drifted back to epoch ints
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("extra", StringType))) // props dropped, extra added
+    val d = GateTables.diffSchema("events", GateTables.expected("events"), actual)
+    assert(d.contains("events.ts: expected timestamp_ntz, got bigint"), d)
+    assert(d.exists(_.startsWith("events.props: expected string, MISSING")), d)
+    assert(d.exists(_.startsWith("events.extra: UNEXPECTED column")), d)
+  }
+}

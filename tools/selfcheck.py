@@ -17,6 +17,13 @@ for t in ("region nation customer supplier part orders lineitem events "
 
 oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 ok = fail = skip = 0
+# Verify-side runtime errors (crashing queries write no parquet dir; this is
+# the loud record of why a query is absent below).
+err_path = os.path.join(out_dir, "errors.json")
+if os.path.exists(err_path):
+    for name, msg in json.load(open(err_path)).items():
+        print(f"ERR {name}: {msg}")
+        fail += 1
 for name in sorted(os.listdir(out_dir)):
     path = os.path.join(out_dir, name)
     if not os.path.isdir(path):
