@@ -1628,6 +1628,34 @@ object Queries {
         .orderBy("o_orderpriority")
     }),
 
+    "corpus_write_roundtrip" -> ((s, dir) => {
+      // The layout-aware corpus writer end to end: write documents hive-
+      // partitioned by lang with 2 content-hash shards per partition and
+      // doc_id sorted within tasks, ASSERT the written file layout (≤1 file
+      // per partition×shard — AQE may coalesce under-advisory shards, never
+      // multiply them), then read the corpus back for the oracle hash. The
+      // hash proves the write is lossless AND deterministic; the layout
+      // check proves one writing task per partition×shard (the 100 TB
+      // small-files answer).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_write").toString
+      val path = s"$tmp/corpus"
+      val shards = 2
+      CorpusPrep.writeCorpus(read(s, dir, "documents"), path, Seq("lang"),
+        shardsPerPartition = shards, sortBy = Seq("doc_id"),
+        maxRecordsOverride = Some(1000000L))
+      val langDirs = new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+      require(langDirs.nonEmpty, s"writeCorpus produced no lang= partitions under $path")
+      langDirs.foreach { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        require(files.nonEmpty && files.length <= shards,
+          s"${d.getName}: ${files.length} files for $shards shards — " +
+            "layout-aware write must emit at most one file per partition×shard")
+      }
+      s.read.parquet(path).select("doc_id", "lang", "source", "n_chars", "text")
+        .orderBy("doc_id")
+    }),
+
     "corpus_clean_pipeline" -> ((s, dir) => {
       // The training-data cleaning pipeline as ONE plan: exact dedup (keep
       // min-id per text) → quality-score filter → per-language doc/token
@@ -2978,6 +3006,12 @@ object Queries {
         |WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
         |ORDER BY id1, id2""".stripMargin,
+
+    // The written corpus equals the source table (hive partitioning moves
+    // `lang` into the directory key; the read-back restores it).
+    "corpus_write_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "corpus_clean_pipeline" ->
       """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
