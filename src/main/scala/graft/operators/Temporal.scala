@@ -75,6 +75,73 @@ object Temporal {
       .drop("__bucket")
   }
 
+  /** Observed bucket-occupancy of a prospective [[rangeJoin]] configuration.
+    * `candidatePairs` is the exact number of (point, interval) pairs the
+    * bucketized equi-join materializes BEFORE the containment filter — the
+    * operator's true cost. A too-SMALL `bucketWidth` trips the loud
+    * `maxBucketsPerInterval` guard; a too-LARGE one fails nothing but
+    * silently degrades toward a within-bucket cross join, which is exactly
+    * what these numbers surface: `candidatePairs` approaching
+    * points × intervals (with everything in one bucket) means the width is
+    * orders of magnitude too wide.
+    */
+  final case class RangeJoinStats(points: Long, intervals: Long,
+      pointBuckets: Long, intervalBuckets: Long,
+      maxPointsPerBucket: Long, maxIntervalsPerBucket: Long,
+      candidatePairs: Long) {
+    /** Fraction of the all-pairs cross join the bucketing actually avoids —
+      * 0.0 is a perfect prune, 1.0 is a degenerate width doing |L|×|R| work.
+      */
+    def crossJoinFraction: Double =
+      if (points == 0 || intervals == 0) 0.0
+      else candidatePairs.toDouble / (points.toDouble * intervals.toDouble)
+    def describe: String =
+      f"rangeJoin occupancy: $points points over $pointBuckets buckets " +
+        f"(max $maxPointsPerBucket/bucket), $intervals intervals over " +
+        f"$intervalBuckets buckets (max $maxIntervalsPerBucket/bucket); " +
+        f"$candidatePairs candidate pairs = ${crossJoinFraction * 100}%.2f%% " +
+        "of the cross join" +
+        (if (crossJoinFraction > 0.5)
+          " — bucketWidth is far wider than the data spread; shrink it toward the typical interval length"
+        else "")
+  }
+
+  /** One-pass occupancy report for a [[rangeJoin]] configuration (two
+    * narrow histogram aggregates + a bucket-keyed join of the two
+    * histograms — never the candidate pairs themselves, so it is safe to
+    * run at full scale BEFORE committing to a width). Same bucket mapping
+    * and interval guard as the join it diagnoses.
+    */
+  def rangeJoinDiagnostics(points: DataFrame, ptCol: String, intervals: DataFrame,
+      startCol: String, endCol: String, bucketWidth: Long,
+      maxBucketsPerInterval: Int = 4096): RangeJoinStats = {
+    require(bucketWidth > 0, s"bucketWidth $bucketWidth must be positive")
+    val ph = points.groupBy(floorDiv(col(ptCol), bucketWidth).as("__bucket"))
+      .agg(count(lit(1)).as("__np"))
+    val b0 = floorDiv(col(startCol), bucketWidth)
+    val b1 = floorDiv(col(endCol), bucketWidth)
+    val guarded = when(b1 - b0 >= maxBucketsPerInterval,
+      raise_error(lit(s"rangeJoinDiagnostics: interval spans more than " +
+        s"$maxBucketsPerInterval buckets of width $bucketWidth")))
+      .otherwise(sequence(b0, b1))
+    val ih = intervals.withColumn("__bucket", explode(guarded))
+      .groupBy("__bucket").agg(count(lit(1)).as("__ni"))
+    val joined = ph.join(ih, Seq("__bucket"), "full_outer")
+      .agg(
+        sum(coalesce(col("__np"), lit(0L)) * coalesce(col("__ni"), lit(0L))).as("pairs"),
+        count(when(col("__np").isNotNull, 1)).as("pb"),
+        count(when(col("__ni").isNotNull, 1)).as("ib"),
+        max(coalesce(col("__np"), lit(0L))).as("mp"),
+        max(coalesce(col("__ni"), lit(0L))).as("mi"))
+      .head()
+    RangeJoinStats(
+      points = points.count(), intervals = intervals.count(),
+      pointBuckets = joined.getLong(1), intervalBuckets = joined.getLong(2),
+      maxPointsPerBucket = joined.getLong(3),
+      maxIntervalsPerBucket = joined.getLong(4),
+      candidatePairs = if (joined.isNullAt(0)) 0L else joined.getLong(0))
+  }
+
   /** As-of join: for every left row, the single most recent right row with
     * `right.tsCol <= left.tsCol` on the same `keys` (left join: unmatched
     * lefts keep nulls). Right columns `rightCols` arrive suffixed.

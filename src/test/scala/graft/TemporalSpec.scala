@@ -86,6 +86,33 @@ class TemporalSpec extends SparkSpec {
     assert(e.getMessage.contains("rangeJoin") || e.getCause != null, e.toString)
   }
 
+  test("rangeJoinDiagnostics surfaces a degenerate (too-wide) bucketWidth") {
+    // 1000 points over [0, 1000), 20 unit-length intervals. A sane width
+    // (≈ interval length) prunes nearly all pairs; a width swallowing the
+    // whole domain produces exactly points × intervals candidates — the
+    // silent near-cross-join the diagnostic exists to expose.
+    val pts = (0L until 1000L).map(t => Tuple1(t)).toDF("pt")
+    val ivs = (0 until 20).map { i => (i * 50L, i * 50L + 1L) }.toDF("lo", "hi")
+    val sane = Temporal.rangeJoinDiagnostics(pts, "pt", ivs, "lo", "hi", bucketWidth = 10L)
+    assert(sane.candidatePairs < 1000L, s"sane width prunes: $sane")
+    assert(sane.crossJoinFraction < 0.05, sane.describe)
+    assert(!sane.describe.contains("far wider"), sane.describe)
+
+    val degenerate = Temporal.rangeJoinDiagnostics(pts, "pt", ivs, "lo", "hi",
+      bucketWidth = 1000000L)
+    assert(degenerate.pointBuckets == 1L && degenerate.intervalBuckets == 1L)
+    assert(degenerate.candidatePairs == 1000L * 20L,
+      s"one bucket holds everything: $degenerate")
+    assert(degenerate.crossJoinFraction == 1.0)
+    assert(degenerate.describe.contains("far wider"), degenerate.describe)
+    // The diagnostic and the join share the interval guard.
+    val e = intercept[Exception] {
+      Temporal.rangeJoinDiagnostics(pts, "pt", ivs, "lo", "hi", bucketWidth = 1L,
+        maxBucketsPerInterval = 1).candidatePairs
+    }
+    assert(e.getMessage.contains("rangeJoinDiagnostics") || e.getCause != null)
+  }
+
   test("rangeJoin equals the naive containment join on seeded random inputs") {
     val rnd = new scala.util.Random(7)
     for (width <- Seq(7L, 40L, 137L)) {
