@@ -12,8 +12,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * batch.
   *
   * Protocol (all driver-side metadata ops, Hadoop FS so the same code runs
-  * on local disk or HDFS; on S3 the renames become copies — swap in a
-  * manifest commit there):
+  * on local disk, HDFS, or an object store — the adoption strategy is chosen
+  * by the root's FS scheme, see [[renameCapable]]):
   *
   *   1. The batch gets a content-derived TOKEN (row count + order-independent
   *      id hash), so a replay of the same batch is recognizable.
@@ -21,10 +21,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *      carries the PRE-append sidecar state (e.g. BM25's n/Σdl), so a
   *      recovery never re-reads a sidecar the crashed attempt may already
   *      have advanced.
-  *   3. Data files are written to a staging dir, then adopted into the live
-  *      tree via per-file rename under a `b<token>-` name prefix — every
-  *      live file of a batch is identifiable, so recovery can DELETE a
-  *      partial adoption and redo it idempotently.
+  *   3. Adoption, by scheme:
+  *      - RENAME-CAPABLE FS (local, HDFS): data files are written to a
+  *        staging dir, then adopted into the live tree via per-file rename
+  *        under a `b<token>-` name prefix — every live file of a batch is
+  *        identifiable, so recovery can DELETE a partial adoption and redo
+  *        it idempotently. Readers keep reading ONE directory.
+  *      - OBJECT STORE (s3a/gs/abfs/…, where "rename" is a byte copy and
+  *        not atomic): MANIFEST COMMIT. The batch writes ONCE to its
+  *        permanent home `<liveSubdir>_batches/<token>/` — no data file is
+  *        ever renamed or copied — then a `manifest_<token>.json` listing
+  *        the batch's files is PUT for audit/GC, and the `done` mark is the
+  *        atomic commit point (single-object PUT). Recovery deletes the
+  *        batch dir and redoes it. Readers resolve live + committed batch
+  *        dirs via [[dataPaths]]/[[readData]].
   *   4. `done` mark last. Crash anywhere → re-running the SAME batch
   *      converges to the clean result; a DIFFERENT batch (or a reader) over
   *      a dangling `begin` refuses loudly with recovery instructions.
@@ -46,6 +56,56 @@ object BatchCommit {
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Object-store schemes where a "rename" is a server-side byte copy +
+    * delete (O(data), not atomic) — adoption there must never move a data
+    * file. `mockfs` is the test scheme for the rename-less contract.
+    */
+  private val objectStoreSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss",
+    "cos", "cosn", "swift", "mockfs")
+
+  private[graft] def renameCapable(scheme: String): Boolean =
+    scheme == null || !objectStoreSchemes.contains(scheme.toLowerCase(java.util.Locale.ROOT))
+
+  private def renameCapable(spark: SparkSession, root: String): Boolean =
+    renameCapable(fsOf(spark, new Path(root)).getUri.getScheme)
+
+  private def batchesDir(root: String, liveSubdir: String): Path =
+    new Path(root, s"${liveSubdir}_batches")
+
+  /** Every directory a reader must scan for `liveSubdir`'s data: the live
+    * tree plus (manifest-commit mode) each committed batch dir. A dangling
+    * `begin` batch dir is excluded — its data is uncommitted (readers are
+    * expected to [[requireClean]] first; the append path itself reads the
+    * index mid-recovery, when the dangling dir may hold a partial batch).
+    * On a rename-capable FS this is always just the live dir — identical
+    * plans to the pre-manifest layout.
+    */
+  def dataPaths(spark: SparkSession, root: String, liveSubdir: String): Seq[String] = {
+    val live = new Path(root, liveSubdir)
+    val bd = batchesDir(root, liveSubdir)
+    val f = fsOf(spark, live)
+    val dangling = readMark(spark, root).filter(!_.done).map(_.token)
+    val batchDirs =
+      if (!f.exists(bd)) Seq.empty
+      else f.listStatus(bd).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filterNot(p => dangling.contains(p.getName))
+        .sortBy(_.getName)
+    (Seq(live).filter(f.exists) ++ batchDirs).map(_.toString)
+  }
+
+  /** The index's data as one DataFrame — a single-directory read on a
+    * rename-capable FS, a unionByName over live + committed batch dirs in
+    * manifest mode (partition-column discovery and pruning apply per
+    * sub-path; schemas are append-compatible by protocol).
+    */
+  def readData(spark: SparkSession, root: String, liveSubdir: String): DataFrame = {
+    val paths = dataPaths(spark, root, liveSubdir)
+    require(paths.nonEmpty,
+      s"BatchCommit.readData: no data at $root/$liveSubdir")
+    paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
 
   /** Filesystem-safe token from a batch's row count and id-hash sum. */
   def tokenOf(count: Long, idHash: Long): String =
@@ -80,18 +140,25 @@ object BatchCommit {
     }
   }
 
-  /** Atomic mark transition: temp + rename (LocalFileSystem/HDFS renames
-    * replace atomically; a reader never sees a torn mark).
+  /** Atomic mark transition. Rename-capable FS: temp + rename
+    * (LocalFileSystem/HDFS renames replace atomically; a reader never sees
+    * a torn mark). Object store: a direct single-object PUT — itself atomic
+    * there (readers see the old object or the new one, never bytes of
+    * both), and the tmp+rename dance would be the non-atomic copy.
     */
   private[graft] def writeMark(spark: SparkSession, root: String, token: String,
       done: Boolean, payload: Map[String, Double]): Unit = {
     val phase = if (done) "done" else "begin"
     val body = payload.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val json = s"""{"token":"$token","phase":"$phase","payload":$body}"""
     val mark = new Path(root, markFile)
+    if (!renameCapable(spark, root)) {
+      MetaIo.write(spark, mark.toString, json)
+      return
+    }
     val tmp = new Path(root, markFile + ".tmp")
-    MetaIo.write(spark, tmp.toString,
-      s"""{"token":"$token","phase":"$phase","payload":$body}""")
+    MetaIo.write(spark, tmp.toString, json)
     val f = fsOf(spark, mark)
     if (!f.rename(tmp, mark)) {
       // RawLocalFileSystem renames over an existing file; FSes that refuse
@@ -103,10 +170,23 @@ object BatchCommit {
   }
 
   /** Rebuild entry points call this: a full overwrite supersedes any
-    * interrupted append, so the dangling state must not outlive it.
+    * interrupted append, so the dangling state must not outlive it — nor
+    * may manifest-mode batch dirs, which live BESIDE the live tree and
+    * would otherwise survive the overwrite and re-union stale data.
     */
-  def clearMark(spark: SparkSession, root: String): Unit =
+  def clearMark(spark: SparkSession, root: String): Unit = {
     MetaIo.delete(spark, new Path(root, markFile).toString)
+    val rootPath = new Path(root)
+    val f = fsOf(spark, rootPath)
+    if (f.exists(rootPath))
+      f.listStatus(rootPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.endsWith("_batches"))
+        .foreach(st => f.delete(st.getPath, true))
+    f.globStatus(new Path(rootPath, "manifest_*.json")) match {
+      case null => ()
+      case ms => ms.foreach(m => f.delete(m.getPath, false))
+    }
+  }
 
   /** Readers refuse an index with a dangling begin — BM25 stats could be
     * stale by the interrupted batch, cells/docs could hold a partial batch.
@@ -202,15 +282,38 @@ object BatchCommit {
             writeMark(spark, root, token, done = false, p)
             p
           }
-        val live = new Path(root, liveSubdir)
-        val prefix = s"b$token-"
-        deletePrefixed(spark, live, prefix)
-        val staging = new Path(root, s"staging_$token")
-        val f = fsOf(spark, staging)
-        if (f.exists(staging)) f.delete(staging, true)
-        writeStaged(staging.toString)
-        adoptStaged(spark, staging, live, prefix)
-        f.delete(staging, true)
+        if (renameCapable(spark, root)) {
+          // Rename adoption: stage, then per-file rename into the live tree.
+          val live = new Path(root, liveSubdir)
+          val prefix = s"b$token-"
+          deletePrefixed(spark, live, prefix)
+          val staging = new Path(root, s"staging_$token")
+          val f = fsOf(spark, staging)
+          if (f.exists(staging)) f.delete(staging, true)
+          writeStaged(staging.toString)
+          adoptStaged(spark, staging, live, prefix)
+          f.delete(staging, true)
+        } else {
+          // Manifest commit: the batch dir IS the permanent home — written
+          // once, never renamed (an object-store rename is a byte copy).
+          // Recovery from a partial attempt is a recursive delete of the
+          // batch dir; the manifest records the committed file set for
+          // audit and orphan GC; the done mark below is the commit point.
+          val batchDir = new Path(batchesDir(root, liveSubdir), token)
+          val f = fsOf(spark, batchDir)
+          if (f.exists(batchDir)) f.delete(batchDir, true)
+          writeStaged(batchDir.toString)
+          val files =
+            if (f.exists(batchDir))
+              listAll(f, batchDir).map(_.getName)
+                .filterNot(n => n.startsWith("_") || n.startsWith("."))
+                .sorted
+            else Seq.empty
+          MetaIo.write(spark, new Path(root, s"manifest_$token.json").toString,
+            files.map(Jsons.str).mkString(
+              s"""{"token":"${token}","dir":"${liveSubdir}_batches/$token","files":[""",
+              ",", "]}"))
+        }
         updateSidecar(payload)
         writeMark(spark, root, token, done = true, payload)
         true

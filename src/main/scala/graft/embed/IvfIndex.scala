@@ -307,7 +307,8 @@ object IvfIndex {
       s"IvfIndex.append: batch dim $dim != index dim ${model.dim}")
     val assigned = indexed.withColumn(cellCol,
       graft.functions.VectorExprs.nearestCentroid(col(v), centroids))
-    val existing = spark.read.parquet(s"$path/cells").schema.fieldNames.toSet
+    val existing = graft.core.BatchCommit.readData(spark, path, "cells")
+      .schema.fieldNames.toSet
     val payload = codecPayload(assigned, c, idCol,
       sq8 = existing.contains(Quantize.codesCol(c)))
     require(payload.schema.fieldNames.toSet == existing,
@@ -330,7 +331,7 @@ object IvfIndex {
   def load(spark: SparkSession, path: String): (DataFrame, IvfModel) = {
     // A dangling append mark means the cells may hold a partial batch.
     graft.core.BatchCommit.requireClean(spark, path, "IvfIndex")
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = graft.core.BatchCommit.readData(spark, path, "cells")
     val metaPath = s"$path/centroids.json"
     val centroids =
       if (graft.core.MetaIo.exists(spark, metaPath)) {

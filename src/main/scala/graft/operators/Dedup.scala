@@ -446,7 +446,8 @@ object Dedup {
       // anything. Skipped when resuming an interrupted append: the index
       // may legitimately hold a partial prefix of this very batch then.
       val overlap = df.select(col(idCol).cast("long").as("__bid"))
-        .join(spark.read.parquet(s"$path/docs").select(col("id").as("__bid")),
+        .join(graft.core.BatchCommit.readData(spark, path, "docs")
+          .select(col("id").as("__bid")),
           Seq("__bid"), "left_semi")
         .limit(1).count()
       require(overlap == 0L,
@@ -461,7 +462,8 @@ object Dedup {
         // AFTER recovery cleanup removed any partial adoption of this batch.
         val batch =
           if (onExistingIds == "drop")
-            df.join(spark.read.parquet(s"$path/docs").select(col("id").as("__eid")),
+            df.join(graft.core.BatchCommit.readData(spark, path, "docs")
+              .select(col("id").as("__eid")),
               col(idCol).cast("long") === col("__eid"), "left_anti")
           else df
         dedupState(batch, textCol, idCol, numHashes, shingleLen)
@@ -523,7 +525,7 @@ object Dedup {
     // Signature/shingle parameters come from the index sidecar — recomputing
     // with different values than the writer's would silently zero recall.
     val (numHashes, shingleLen, rowsPerBand) = indexParams(spark, path, bands)
-    val idx = spark.read.parquet(s"$path/docs")
+    val idx = graft.core.BatchCommit.readData(spark, path, "docs")
     // ONE scan of the new batch computes all three narrow artifacts; every
     // downstream stage (exact match, banding, verify) reads the staged
     // frame, and only the final anti-join touches the payload again.

@@ -259,7 +259,8 @@ object LexIndex {
     // Refuse the pre-denormalization layout loudly: appending dl-bearing
     // posting files next to dl-less ones would surface null doc lengths and
     // silently zero old docs' score contributions.
-    val existing = spark.read.parquet(path + "/postings").schema.fieldNames.toSet
+    val existing = graft.core.BatchCommit.readData(spark, path, "postings")
+      .schema.fieldNames.toSet
     require(existing.contains("dl"),
       s"LexIndex.append: $path uses the legacy postings layout (no dl column) — rebuild with save()")
     if (df.isEmpty) return
@@ -309,7 +310,7 @@ object LexIndex {
         org.apache.spark.sql.types.StringType, 42L)
       math.floorMod(h, nBuckets.toLong).toInt
     }.distinct
-    val post = spark.read.parquet(path + "/postings")
+    val post = graft.core.BatchCommit.readData(spark, path, "postings")
       .filter(col(bucketCol).isin(bucketLits: _*) && col("term").isin(terms: _*))
     require(post.columns.contains("dl"),
       s"LexIndex.search: $path uses the legacy postings layout (no dl column) — rebuild with save()")

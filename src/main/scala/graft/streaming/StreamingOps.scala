@@ -139,7 +139,7 @@ object StreamingOps {
     graft.core.BatchCommit.requireClean(spark, path, "dedup index")
     val (numHashes, shingleLen, rowsPerBand) =
       graft.operators.Dedup.indexParams(spark, path, bands)
-    val idx = spark.read.parquet(s"$path/docs")
+    val idx = graft.core.BatchCommit.readData(spark, path, "docs")
     // Band-key construction MUST match the batch reader's
     // (Dedup.indexBandKeys is the single source of truth) — a filter built
     // with a different hash would be unprobeable. Sizing: exactly
