@@ -788,10 +788,14 @@ object Queries {
           split(trim(col("text")), "\\s+"), 3)).as("sh"))
       val a = sh.toDF("id1", "sh1")
       val b = sh.toDF("id2", "sh2")
-      a.join(broadcast(b), col("id1") < col("id2"))
-        .withColumn("j", Dedup.jaccard(col("sh1"), col("sh2")))
-        .filter(col("j") >= 0.2)
-        .select(col("id1"), col("id2"), round(col("j"), 3).as("jac"))
+      // Both predicates in the JOIN condition, cheap conjunct first:
+      // Catalyst pushes the jaccard filter into the nested-loop condition
+      // anyway, but written this way `id1 < id2` short-circuits the set
+      // ops for half the ordered pairs (plan-audited r8).
+      a.join(broadcast(b),
+          col("id1") < col("id2") && Dedup.jaccard(col("sh1"), col("sh2")) >= 0.2)
+        .select(col("id1"), col("id2"),
+          round(Dedup.jaccard(col("sh1"), col("sh2")), 3).as("jac"))
         .orderBy("id1", "id2")
     }),
 
