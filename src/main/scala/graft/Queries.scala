@@ -1632,6 +1632,22 @@ object Queries {
         .orderBy("o_orderpriority")
     }),
 
+    "zorder_value" -> ((s, dir) => {
+      // The Morton clustering key over (ts, user_id): linear min/max
+      // quantization to 8 bits per dimension + bit interleave — every step
+      // exact double/integer arithmetic, so DuckDB reproduces the key
+      // bit-for-bit. This is the sort key writeCorpus(zOrderBy=...) lays
+      // files out by; hashing it end to end pins quantization bounds,
+      // clamping, and the interleave pattern.
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      val e = read(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      graft.functions.ZOrder.withZValue(e, Seq("ts_us", "user_id"),
+          bits = 8, outCol = "zval")
+        .select(col("event_id"), col("zval"))
+        .orderBy("event_id")
+    }),
+
     "corpus_write_roundtrip" -> ((s, dir) => {
       // The layout-aware corpus writer end to end: write documents hive-
       // partitioned by lang with 2 content-hash shards per partition and
@@ -3010,6 +3026,28 @@ object Queries {
         |WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
         |ORDER BY id1, id2""".stripMargin,
+
+    // Same linear quantization (double arithmetic in the same association
+    // order) and the same bit-interleave pattern, term by term.
+    "zorder_value" -> {
+      val terms = (0 until 8).flatMap { b =>
+        Seq(s"(((qt >> $b) & 1) * ${1L << (2 * b)})",
+          s"(((qu >> $b) & 1) * ${1L << (2 * b + 1)})")
+      }.mkString(" + ")
+      s"""WITH s AS (
+         |  SELECT CAST(min(epoch_us(ts)) AS DOUBLE) AS tmn,
+         |         CAST(max(epoch_us(ts)) AS DOUBLE) AS tmx,
+         |         CAST(min(user_id) AS DOUBLE) AS umn,
+         |         CAST(max(user_id) AS DOUBLE) AS umx
+         |  FROM events),
+         |q AS (
+         |  SELECT event_id,
+         |    LEAST(255, GREATEST(0, CAST(floor((CAST(epoch_us(ts) AS DOUBLE) - tmn) / (tmx - tmn) * 255) AS BIGINT))) AS qt,
+         |    LEAST(255, GREATEST(0, CAST(floor((CAST(user_id AS DOUBLE) - umn) / (umx - umn) * 255) AS BIGINT))) AS qu
+         |  FROM events, s)
+         |SELECT event_id, CAST($terms AS BIGINT) AS zval
+         |FROM q ORDER BY event_id""".stripMargin
+    },
 
     // The written corpus equals the source table (hive partitioning moves
     // `lang` into the directory key; the read-back restores it).

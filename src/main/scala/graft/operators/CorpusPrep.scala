@@ -292,7 +292,13 @@ object CorpusPrep {
     *
     * `sortBy` sorts within each writing task, clustering the sort key so
     * parquet row-group min/max stats prune range predicates on it (the
-    * poor man's z-order for one dimension). Returns the layout decision.
+    * poor man's z-order for one dimension); `zOrderBy` generalizes to
+    * SEVERAL numeric dimensions via a Morton key
+    * ([[graft.functions.ZOrder]]) — consecutive rows become small
+    * hyper-rectangles of the value space, so every listed column keeps
+    * tight per-file/row-group stats and multi-dimensional range predicates
+    * prune. The key is computed, sorted on, and dropped — it never lands
+    * in the written schema. Returns the layout decision.
     *
     * Note: shards are an UPPER spread — AQE's partition coalescing may
     * merge shards whose data is below the advisory partition size, which
@@ -303,10 +309,13 @@ object CorpusPrep {
   def writeCorpus(df: DataFrame, path: String, partitionCols: Seq[String],
       targetFileMb: Int = 256, shardsPerPartition: Int = 1,
       sortBy: Seq[String] = Nil, sampleRows: Int = 1000,
-      maxRecordsOverride: Option[Long] = None): WriteLayout = {
+      maxRecordsOverride: Option[Long] = None,
+      zOrderBy: Seq[String] = Nil, zBits: Int = 12): WriteLayout = {
     require(targetFileMb > 0, s"targetFileMb $targetFileMb must be positive")
     require(shardsPerPartition > 0,
       s"shardsPerPartition $shardsPerPartition must be positive")
+    require(sortBy.isEmpty || zOrderBy.isEmpty,
+      "writeCorpus: sortBy and zOrderBy are alternative layouts — pass one")
     val allCols = df.columns.map(col).toSeq
     val avg = maxRecordsOverride match {
       case Some(_) => -1.0
@@ -321,15 +330,28 @@ object CorpusPrep {
     val maxRecords = maxRecordsOverride.getOrElse(
       math.max(10L, (targetFileMb.toLong * 1024L * 1024L / avg).toLong))
     val shardCol = pmod(xxhash64(struct(allCols: _*)), lit(shardsPerPartition))
+    // The z-key rides along from BEFORE the repartition (its min/max
+    // aggregate is one narrow pass over the input) and is dropped after the
+    // in-task sort — project-after-sort preserves intra-partition order.
+    val zCol = "__graft_z"
+    val keyed =
+      if (zOrderBy.isEmpty) df
+      else graft.functions.ZOrder.withZValue(df, zOrderBy, zBits, zCol)
     val parted =
-      if (partitionCols.isEmpty)
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      if (partitionCols.isEmpty && zOrderBy.nonEmpty)
+        // Range-partition on the z-key: files cover globally DISJOINT
+        // z-ranges, not just locally-sorted overlapping ones.
+        keyed.repartitionByRange(
+          df.sparkSession.sparkContext.defaultParallelism, col(zCol))
+      else if (partitionCols.isEmpty)
+        keyed.repartition(df.sparkSession.sparkContext.defaultParallelism)
       else if (shardsPerPartition == 1)
-        df.repartition(partitionCols.map(col): _*)
+        keyed.repartition(partitionCols.map(col): _*)
       else
-        df.repartition(partitionCols.map(col) :+ shardCol: _*)
+        keyed.repartition(partitionCols.map(col) :+ shardCol: _*)
     val sorted =
-      if (sortBy.isEmpty) parted
+      if (zOrderBy.nonEmpty) parted.sortWithinPartitions(col(zCol)).drop(zCol)
+      else if (sortBy.isEmpty) parted
       else parted.sortWithinPartitions(sortBy.map(col): _*)
     val writer = sorted.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecords)
