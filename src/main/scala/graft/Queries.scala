@@ -1179,6 +1179,33 @@ object Queries {
         .orderBy("user_id", "session_start")
     }),
 
+    "stream_interval_join" -> ((s, dir) => {
+      // Watermarked stream-stream interval join (clicks ⋈ views within the
+      // preceding hour per user) through TWO file-stream sources and the
+      // symmetric hash join — the bounded-state attribution join. One
+      // micro-batch delivers both sides, inner pairs emit on match, and the
+      // pair set equals the batch interval join the oracle runs.
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = s.readStream.schema(schema).parquet(streamDir(dir, "events"))
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      val views = src.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+          col("ts").as("vts"))
+      val joined = graft.streaming.StreamingOps.streamIntervalJoin(
+        clicks, views, Seq("user_id"), Seq("v_user_id"), "cts", "vts",
+        before = "1 hour", after = "0 seconds", watermark = "1 hour")
+      val sink = "stream_ij_sink"
+      s.catalog.dropTempView(sink)
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      q.processAllAvailable(); q.stop()
+      s.table(sink).select("click_id", "view_id")
+        .orderBy("click_id", "view_id")
+    }),
+
     "ann_ivf_stream_ingest" -> ((s, dir) => {
       // Streaming ingestion growing a SAVED ANN index (the foreachBatch
       // sink with two-phase batch marks), then an exhaustive-probe search
@@ -2349,6 +2376,16 @@ object Queries {
     "stream_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY 1,2""".stripMargin,
+
+    // The stream saw both sides in one micro-batch, so the emitted pairs
+    // equal the batch interval join.
+    "stream_interval_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
+        |ORDER BY 1, 2""".stripMargin,
 
     // The sentinel watermark closed every session, so the stream's output
     // equals batch gap sessionization aggregated to session rows.

@@ -22,6 +22,38 @@ object StreamingOps {
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Watermarked stream-stream inner join on equi-keys plus an event-time
+    * interval: emits (l, r) pairs with matching keys and
+    * `r.ts ∈ [l.ts - before, l.ts + after]`. The canonical clicks⋈views
+    * attribution join, in the form whose STATE IS BOUNDED: both sides carry
+    * a watermark and the join condition ranges the two event-time columns
+    * against each other, so Spark's symmetric hash join can evict any row
+    * older than watermark + interval — without the range condition the
+    * state grows with the full history and a 100 TB stream OOMs its
+    * executors. Inner pairs emit as soon as both sides arrive (the
+    * watermark only gates eviction, not emission).
+    *
+    * `before`/`after` are SQL interval strings ("1 hour"); keys pair
+    * left-to-right so the two sides may use different column names (the
+    * output carries both).
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTs: String, rightTs: String,
+      before: String = "1 hour", after: String = "0 seconds",
+      watermark: String = "1 hour"): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"streamIntervalJoin: key lists must pair up ($leftKeys vs $rightKeys)")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyCond = leftKeys.zip(rightKeys)
+      .map { case (a, b) => l(a) === r(b) }.reduce(_ && _)
+    val timeCond =
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after")
+    l.join(r, keyCond && timeCond, "inner")
+  }
+
   /** Streaming exact dedup on a key with bounded state: watermark lets
     * Spark expire seen-keys state (dropDuplicatesWithinWatermark semantics).
     */

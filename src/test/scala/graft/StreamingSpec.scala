@@ -24,6 +24,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("stream-stream interval join holds state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamingOps.streamIntervalJoin(
+      clicks.toDF().toDF("click_id", "user_id", "cts"),
+      views.toDF().toDF("view_id", "v_user_id", "vts"),
+      Seq("user_id"), Seq("v_user_id"), "cts", "vts",
+      before = "30 minutes", after = "0 seconds", watermark = "1 hour")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ij_out").start()
+    // Batch 1: a click with no view yet, and a view with no click yet.
+    clicks.addData((100L, 1L, ts(40)))
+    views.addData((200L, 2L, ts(10)))
+    q.processAllAvailable()
+    // Batch 2: the late counterparts — a view inside click 100's window
+    // (state held across the batch boundary, both directions), a click
+    // whose window covers view 200, and an out-of-window view for user 1.
+    views.addData((201L, 1L, ts(20)), (202L, 1L, ts(5)))
+    clicks.addData((101L, 2L, ts(15)))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT click_id, view_id FROM ij_out")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got == Set((100L, 201L), (101L, 200L)),
+      s"state must survive the batch boundary in both directions; got $got")
+  }
+
   test("semantic filter and map run over a stream") {
     import graft.core.Sem
     import graft.llm.{FakeBehavior, FakeLM}
