@@ -1675,6 +1675,25 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    "corpus_compact" -> ((s, dir) => {
+      // The small-files answer for INGESTED data: fragment documents into
+      // 32 shuffle-sized files (what a streaming sink or over-parallel
+      // writer leaves), compact into the layout-aware form, assert the
+      // file-count collapse, and hash-verify the compacted corpus —
+      // compaction must be byte-lossless.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      val frag = s"$tmp/frag"
+      val dest = s"$tmp/compacted"
+      read(s, dir, "documents").repartition(32).write.parquet(frag)
+      val (before, after, _) = CorpusPrep.compact(s, frag, dest,
+        Seq("lang"), 256, 1, Seq("doc_id"))
+      require(before >= 32, s"fragmentation setup wrote only $before files")
+      require(after < before && after <= 8,
+        s"compaction must collapse $before files to ≤1 per lang partition, got $after")
+      s.read.parquet(dest).select("doc_id", "lang", "source", "n_chars", "text")
+        .orderBy("doc_id")
+    }),
+
     "corpus_write_roundtrip" -> ((s, dir) => {
       // The layout-aware corpus writer end to end: write documents hive-
       // partitioned by lang with 2 content-hash shards per partition and
@@ -3085,6 +3104,11 @@ object Queries {
          |SELECT event_id, CAST($terms AS BIGINT) AS zval
          |FROM q ORDER BY event_id""".stripMargin
     },
+
+    // Compaction is lossless: the compacted corpus equals the source table.
+    "corpus_compact" ->
+      """SELECT doc_id, lang, source, n_chars, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // The written corpus equals the source table (hive partitioning moves
     // `lang` into the directory key; the read-back restores it).

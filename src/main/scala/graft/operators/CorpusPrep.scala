@@ -359,4 +359,53 @@ object CorpusPrep {
       .parquet(path)
     WriteLayout(avg, maxRecords, shardsPerPartition)
   }
+
+  /** Parquet data files under `dir`, recursively (excluding _SUCCESS/.crc
+    * bookkeeping) — the small-files metric compaction reports on.
+    */
+  def dataFileCount(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    var n = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
+  /** Compact a fragmented parquet directory — the small files that
+    * streaming ingest, frequent appends, or an over-parallel writer leave
+    * behind — into the layout-aware [[writeCorpus]] form at `dest`.
+    * Returns (filesBefore, filesAfter, layout).
+    *
+    * Deliberately NOT in place: compaction writes a fresh directory and the
+    * caller swaps (or repoints readers) — an in-place rewrite would window-
+    * delete live data mid-job on any filesystem, and is unrecoverable on an
+    * object store. Restartable: a crashed compaction leaves `src` untouched
+    * and `dest` overwritable.
+    */
+  def compact(df: DataFrame, src: String, dest: String,
+      partitionCols: Seq[String] = Nil, targetFileMb: Int = 256,
+      shardsPerPartition: Int = 1, sortBy: Seq[String] = Nil,
+      zOrderBy: Seq[String] = Nil, zBits: Int = 12,
+      maxRecordsOverride: Option[Long] = None): (Long, Long, WriteLayout) = {
+    require(src != dest, "compact: dest must differ from src (no in-place rewrite)")
+    val spark = df.sparkSession
+    val before = dataFileCount(spark, src)
+    val layout = writeCorpus(df, dest, partitionCols, targetFileMb,
+      shardsPerPartition, sortBy, maxRecordsOverride = maxRecordsOverride,
+      zOrderBy = zOrderBy, zBits = zBits)
+    (before, dataFileCount(spark, dest), layout)
+  }
+
+  /** [[compact]] reading `src` itself (the common call). */
+  def compact(spark: org.apache.spark.sql.SparkSession, src: String, dest: String,
+      partitionCols: Seq[String], targetFileMb: Int,
+      shardsPerPartition: Int, sortBy: Seq[String]): (Long, Long, WriteLayout) =
+    compact(spark.read.parquet(src), src, dest, partitionCols, targetFileMb,
+      shardsPerPartition, sortBy)
 }

@@ -238,6 +238,26 @@ class CorpusPrepSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/d").count() == 300)
   }
 
+  test("compact collapses a fragmented directory losslessly, never in place") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compactspec").toString
+    val d = (0 until 200).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", s"text body $i"))
+      .toDF("doc_id", "lang", "text")
+    d.repartition(25).write.parquet(s"$tmp/frag")
+    val (before, after, _) = CorpusPrep.compact(spark, s"$tmp/frag", s"$tmp/c",
+      Seq("lang"), 256, 1, Seq("doc_id"))
+    assert(before >= 25, s"setup wrote $before files")
+    assert(after <= 2, s"one writing task per lang partition, got $after")
+    val back = spark.read.parquet(s"$tmp/c")
+    assert(back.count() == 200 &&
+      back.select("doc_id").as[Long].collect().toSet == (0L until 200L).toSet)
+    // Source untouched (compaction is restartable, never a window-delete).
+    assert(CorpusPrep.dataFileCount(spark, s"$tmp/frag") == before)
+    intercept[IllegalArgumentException] {
+      CorpusPrep.compact(spark, s"$tmp/frag", s"$tmp/frag", Nil, 256, 1, Nil)
+    }
+  }
+
   test("frequentWords never misses a word above the support threshold") {
     val rows = (Seq.fill(50)("the quick") ++ Seq.fill(5)("rare word")).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
