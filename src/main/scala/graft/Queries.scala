@@ -946,6 +946,37 @@ object Queries {
         .toDF("req_idx", "tokens", "granted_ms")
     }),
 
+    "agent_python_repl" -> ((s, dir) => {
+      // The Python REPL tool (#26's in-env surface) through the REAL
+      // AgentLoop: the scripted agent ships the corpus numbers to a
+      // python3 SUBPROCESS and answers with its stdout — the aggregate
+      // must round-trip driver → tool-call JSON → python → tool message →
+      // final answer, so a broken argv, JSON parse, stream drain, or
+      // trace step hash-mismatches. Driver-side by nature (an agent
+      // runtime, not a data operator — same status as rate_limit_schedule).
+      import s.implicits._
+      val nums = read(s, dir, "documents").filter(col("doc_id") < 40)
+        .orderBy("doc_id").select(col("n_chars")).as[Long].collect()
+      val completer = new graft.agentic.Completer {
+        override def complete(messages: Seq[(String, String)],
+            toolsEnabled: Boolean): graft.agentic.AgentStep =
+          messages.reverse.collectFirst { case ("tool", m) => m } match {
+            case Some(m) => // answer with the subprocess's stdout, verbatim
+              graft.agentic.AgentStep(m.stripPrefix("[python_repl]").trim)
+            case None =>
+              val code = s"print(sum([${nums.mkString(",")}]))"
+              graft.agentic.AgentStep("", Seq(graft.agentic.ToolCall("1",
+                "python_repl", s"""{"code": "${jsonEsc(code)}"}""")))
+          }
+      }
+      val res = graft.agentic.AgentLoop.run(completer,
+        Seq(graft.agentic.PythonReplTool()),
+        "You are a calculator.", s"Sum these numbers: ${nums.mkString(",")}")
+      require(res.steps == 2 && res.trace.map(_._1) == Seq("python_repl"),
+        s"expected one python_repl round trip, got steps=${res.steps} trace=${res.trace}")
+      Seq(res.output.trim.toLong).toDF("sum_nchars")
+    }),
+
     "pipeline_agent_entry" -> ((s, dir) => {
       // The reference's flagship agentic entry (Corpus.agent: derive plan →
       // fold ops) END TO END: a scripted PLANNER answers the planning call
@@ -2642,6 +2673,12 @@ object Queries {
 
     // The planned entry executes the same map → filter → reduce semantics,
     // so the same SQL is the truth for the full Corpus.agent path.
+    // The sum flowed through the python3 subprocess; the oracle computes it
+    // directly.
+    "agent_python_repl" ->
+      """SELECT CAST(sum(n_chars) AS BIGINT) AS sum_nchars FROM documents
+        |WHERE doc_id < 40""".stripMargin,
+
     "pipeline_agent_entry" -> AgenticReduceOracle,
 
     "ann_ivf_vs" ->
