@@ -140,6 +140,22 @@ object Queries {
     }
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` lowered to `n`,
+    * restoring the session value after. Streaming STATE STORE count is
+    * fixed at query start from this conf (a stream-stream join keeps 4
+    * stores per partition), and each store pays per-batch checkpoint file
+    * IO — so partitions must be sized to the stream's volume exactly like
+    * a batch shuffle: the gate corpora are a few 100k rows, where 32
+    * partitions is 128 store commits per batch of pure overhead. At
+    * 100 TB the same knob goes UP, not down.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, saved)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- classical relational surface ------------------------
     "q1_agg" -> ((s, dir) => {
@@ -1122,7 +1138,7 @@ object Queries {
     // oracle can hash — the streaming plan (watermark, stateful dedup,
     // foreachBatch sink) is what executed, not a batch stand-in.
 
-    "stream_windowed_counts" -> ((s, dir) => {
+    "stream_windowed_counts" -> ((s, dir) => withShufflePartitions(s, 8) {
       // windowedEventCounts over a streamed events table. value is
       // cents-scaled BEFORE the agg so the windowed sum is integral
       // (partition-order-independent); window start compares as epoch
@@ -1147,7 +1163,7 @@ object Queries {
         .orderBy("w_start", "event_type")
     }),
 
-    "stream_dedup_keys" -> ((s, dir) => {
+    "stream_dedup_keys" -> ((s, dir) => withShufflePartitions(s, 8) {
       // streamingDedup (dropDuplicatesWithinWatermark state) over the
       // streamed events table. Which ROW survives per key is arrival-order
       // dependent, so the gate projects the key columns — the surviving
@@ -1168,7 +1184,7 @@ object Queries {
         .orderBy("user_id", "event_type")
     }),
 
-    "stream_sessionize" -> ((s, dir) => {
+    "stream_sessionize" -> ((s, dir) => withShufflePartitions(s, 8) {
       // Event-time gap sessionization (flatMapGroupsWithState under
       // EventTimeTimeout — the custom-state streaming API) through a REAL
       // two-batch stream: batch 1 delivers every event of the gate's
@@ -1210,7 +1226,7 @@ object Queries {
         .orderBy("user_id", "session_start")
     }),
 
-    "stream_interval_join" -> ((s, dir) => {
+    "stream_interval_join" -> ((s, dir) => withShufflePartitions(s, 8) {
       // Watermarked stream-stream interval join (clicks ⋈ views within the
       // preceding hour per user) through TWO file-stream sources and the
       // symmetric hash join — the bounded-state attribution join. One
@@ -1690,6 +1706,22 @@ object Queries {
         .orderBy("o_orderpriority")
     }),
 
+    "agg_skew_distinct" -> ((s, dir) => {
+      // Skew-safe COUNT(DISTINCT): the two-shuffle rewrite (distinct on
+      // (key, value), then a partial-aggregated count on the key) must
+      // equal the naive countDistinct — the rewrite only reroutes shuffle
+      // traffic away from the hot key's reducer. The gate computes BOTH
+      // routes and requires set equality before emitting the skew-safe one.
+      val e = read(s, dir, "events")
+      val safe = graft.operators.Skew.skewSafeDistinctCount(
+        e, Seq("event_type"), "user_id", alias = "n_users")
+      val naive = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      require(safe.except(naive).isEmpty && naive.except(safe).isEmpty,
+        "skewSafeDistinctCount diverged from countDistinct")
+      safe.orderBy("event_type")
+    }),
+
     "zorder_value" -> ((s, dir) => {
       // The Morton clustering key over (ts, user_id): linear min/max
       // quantization to 8 bits per dimension + bit interleave — every step
@@ -1723,6 +1755,62 @@ object Queries {
         s"compaction must collapse $before files to ≤1 per lang partition, got $after")
       s.read.parquet(dest).select("doc_id", "lang", "source", "n_chars", "text")
         .orderBy("doc_id")
+    }),
+
+    "corpus_merge_evolve" -> ((s, dir) => {
+      // Schema-evolution read: snapshot 0 carries an early three-column
+      // crawl schema, snapshot 1 the full later schema — written as two
+      // REAL parquet directories with different footers, then merged by
+      // column name with the missing columns null-filled
+      // (CorpusPrep.mergeSnapshots). The oracle reconstructs the null-fill
+      // from the id parity that routed rows to snapshots.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+      val d = read(s, dir, "documents")
+      d.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "text").write.parquet(s"$tmp/snap0")
+      d.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "source", "n_chars", "text")
+        .write.parquet(s"$tmp/snap1")
+      CorpusPrep.mergeSnapshots(s, Seq(s"$tmp/snap0", s"$tmp/snap1"))
+        .select("doc_id", "lang", "source", "n_chars", "text")
+        .orderBy("doc_id")
+    }),
+
+    "sample_reservoir_key" -> ((s, dir) => {
+      // Deterministic per-key reservoir: 5 docs per language, ranked by
+      // md5("r8|" || doc_id) — membership is a pure function of (salt, id),
+      // so DuckDB reproduces the exact sample; WindowGroupLimit bounds the
+      // shuffle at k rows per key per map task.
+      CorpusPrep.reservoirByKey(read(s, dir, "documents"), "lang", "doc_id",
+          k = 5, salt = "r8")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    "corpus_diff_snapshots" -> ((s, dir) => {
+      // Snapshot diff by content fingerprint: old drops every 10th id and
+      // mutates every 7th's text; new drops every 9th. The full-outer
+      // fingerprint join must classify each id added / removed / changed /
+      // unchanged exactly as the constructing arithmetic predicts.
+      val d = read(s, dir, "documents")
+      val old = d.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val neu = d.filter(col("doc_id") % 9 =!= 0)
+      CorpusPrep.diffSnapshots(old, neu, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "dedup_minhash_keepbest" -> ((s, dir) => {
+      // Quality keep policy over the same minhash pair graph as
+      // dedup_minhash: per duplicate cluster keep the LONGEST member
+      // (ties → min doc_id) — the published-pipeline policy — instead of
+      // the arbitrary min id. Same recursive-CTE component oracle, with
+      // the argmax pick reproduced via QUALIFY row_number.
+      val d = read(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5)
+      Dedup.dropDuplicatesByPairsKeepBest(d, "doc_id", pairs, col("n_chars"))
+        .select("doc_id").orderBy("doc_id")
     }),
 
     "corpus_write_roundtrip" -> ((s, dir) => {
@@ -3145,6 +3233,71 @@ object Queries {
     // Compaction is lossless: the compacted corpus equals the source table.
     "corpus_compact" ->
       """SELECT doc_id, lang, source, n_chars, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // The naive distinct-count, which the skew-safe rewrite must equal
+    // (the adapter also requires equality against Spark's own countDistinct
+    // before emitting).
+    "agg_skew_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The merged evolved corpus: snapshot 0 (even ids) predates
+    // source/n_chars, so those columns null-fill; snapshot 1 (odd ids)
+    // carries the full schema.
+    "corpus_merge_evolve" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars,
+        |  text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The exact deterministic per-language reservoir: same md5 ranking
+    // function, same tie-break.
+    "sample_reservoir_key" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5('r8|' || CAST(doc_id AS VARCHAR)), doc_id) <= 5
+        |ORDER BY doc_id""".stripMargin,
+
+    // The diff statuses re-derived from the constructing id arithmetic:
+    // %10 ids exist only in new (added), %9 only in old (removed), %7 had
+    // old text mutated (changed); ids hitting both %10 and %9 are in
+    // neither snapshot.
+    "corpus_diff_snapshots" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'added'
+        |       WHEN doc_id % 9 = 0 THEN 'removed'
+        |       WHEN doc_id % 7 = 0 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM documents
+        |WHERE doc_id % 10 != 0 OR doc_id % 9 != 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same reachability CTE as dedup_minhash, but the keep pick is the
+    // per-component argmax on n_chars (ties → min doc_id).
+    "dedup_minhash_keepbest" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh
+        |  FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |comp AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a)
+        |SELECT d.doc_id FROM documents d JOIN comp c USING (doc_id)
+        |QUALIFY row_number() OVER (PARTITION BY c.rep
+        |  ORDER BY d.n_chars DESC, d.doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
 
     // The written corpus equals the source table (hive partitioning moves

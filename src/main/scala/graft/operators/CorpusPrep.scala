@@ -408,4 +408,85 @@ object CorpusPrep {
       shardsPerPartition: Int, sortBy: Seq[String]): (Long, Long, WriteLayout) =
     compact(spark.read.parquet(src), src, dest, partitionCols, targetFileMb,
       shardsPerPartition, sortBy)
+
+  /** Read a corpus whose schema evolved across snapshot directories —
+    * columns added over time, old snapshots never rewritten (the normal
+    * state of a long-lived 100 TB corpus: rewriting history to add a
+    * column would cost a full-corpus write). Each snapshot is read with
+    * its OWN schema and the union aligns by column NAME, filling columns a
+    * snapshot predates with null — `unionByName(allowMissingColumns)`, the
+    * explicit form of parquet's `mergeSchema` that also keeps per-snapshot
+    * pushdown/pruning intact (each scan prunes against its own footer
+    * schema; a filter on a later-added column still prunes old snapshots
+    * to an empty scan via the all-null stats).
+    *
+    * Union is narrow (no shuffle). Conflicting TYPES for a same-named
+    * column are REFUSED up front: Spark's own union coercion would widen
+    * int↔string pairs silently and then corrupt or crash row-by-row at
+    * read time (ANSI cast). Widening a type is a rewrite decision, not
+    * something to coerce under a reader.
+    */
+  def mergeSnapshots(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "mergeSnapshots: no snapshot paths")
+    val dfs = paths.map(spark.read.parquet(_))
+    val seen = scala.collection.mutable.Map[String, (org.apache.spark.sql.types.DataType, String)]()
+    dfs.zip(paths).foreach { case (df, p) =>
+      df.schema.fields.foreach { f =>
+        seen.get(f.name) match {
+          case Some((dt, firstPath)) if dt != f.dataType =>
+            throw new IllegalArgumentException(
+              s"mergeSnapshots: column '${f.name}' is $dt in $firstPath but " +
+                s"${f.dataType} in $p — rewrite the snapshot to widen the " +
+                "type; refusing to coerce under a reader")
+          case None => seen(f.name) = (f.dataType, p)
+          case _ => ()
+        }
+      }
+    }
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Deterministic per-key "reservoir" sample: keep `k` rows per key,
+    * ranked by `md5(salt|id)` — a uniform pseudo-random order that is a
+    * pure function of (salt, id), so the same rows survive on any cluster,
+    * any partitioning, any engine (the per-key sibling of
+    * [[deterministicSample]]'s whole-corpus cut, for "inspect 100 docs per
+    * language" / per-domain eval-split carving).
+    *
+    * One shuffle on the key; the `row_number <= k` filter lowers to
+    * WindowGroupLimit, so each map task forwards at most k rows per key —
+    * a hot key costs k rows per upstream partition, never its full volume.
+    */
+  def reservoirByKey(df: DataFrame, keyCol: String, idCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, s"reservoirByKey: k must be positive, got $k")
+    val rank = concat(lit(salt), lit("|"), col(idCol).cast("string"))
+    df.withColumn("__rk", md5(to_binary(rank, lit("utf-8"))))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__rk"), col(idCol))))
+      .filter(col("__rn") <= k)
+      .drop("__rk", "__rn")
+  }
+
+  /** Diff two corpus snapshots by content fingerprint: which ids were
+    * added, removed, or changed between `old` and `neu` — the audit step
+    * of an incremental pipeline ("this crawl batch replaced 2% and added
+    * 5%") and the input to targeted re-embedding (only `changed`+`added`
+    * need new vectors, not the full 100 TB).
+    *
+    * One full-outer join on the id — fingerprints are computed per-row
+    * (narrow) and only (id, 16-byte fp) pairs shuffle, never text.
+    */
+  def diffSnapshots(old: DataFrame, neu: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def fps(df: DataFrame, fpName: String) = df.select(
+      col(idCol),
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as(fpName))
+    fps(old, "__fp_old").join(fps(neu, "__fp_new"), Seq(idCol), "full_outer")
+      .select(col(idCol), when(col("__fp_old").isNull, lit("added"))
+        .when(col("__fp_new").isNull, lit("removed"))
+        .when(col("__fp_old") === col("__fp_new"), lit("unchanged"))
+        .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -629,4 +629,28 @@ object Dedup {
     df.join(keep.withColumnRenamed("id", "__keep_id"),
       col(idCol).cast("long") === col("__keep_id"), "left_semi")
   }
+
+  /** [[dropDuplicatesByPairs]] with a QUALITY keep policy: per duplicate
+    * cluster, keep the row maximizing `scoreCol` (ties → min id) instead of
+    * the min-id row. Published pipelines keep the longest / highest-quality
+    * member of a near-dup cluster, not an arbitrary one — min-id is only
+    * right when ids carry no meaning.
+    *
+    * Shape: the same connected-components mapping (star contraction at
+    * scale, union-find below the driver threshold), then ONE extra shuffle
+    * on the component id where `row_number() = 1` lowers to
+    * WindowGroupLimit — each map task forwards one candidate per cluster,
+    * so the pick costs (clusters × map tasks) rows, never the corpus.
+    */
+  def dropDuplicatesByPairsKeepBest(df: DataFrame, idCol: String,
+      pairs: DataFrame, scoreCol: Column): DataFrame = {
+    val comp = componentIds(df.select(col(idCol).cast("long").as("id")), pairs)
+      .withColumnRenamed("id", "__cc_id")
+    df.join(comp, col(idCol).cast("long") === col("__cc_id"))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("rep_id"))
+          .orderBy(scoreCol.desc, col(idCol))))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__cc_id", "rep_id")
+  }
 }

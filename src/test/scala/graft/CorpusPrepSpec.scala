@@ -270,4 +270,58 @@ class CorpusPrepSpec extends SparkSpec {
       CorpusPrep.frequentWords(df, "text", support = 1.5)
     }
   }
+
+  test("mergeSnapshots null-fills missing columns and refuses type conflicts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge_spec").toString
+    Seq((1L, "a")).toDF("id", "text").write.parquet(s"$tmp/s0")
+    Seq((2L, "b", 0.9)).toDF("id", "text", "quality").write.parquet(s"$tmp/s1")
+    val m = CorpusPrep.mergeSnapshots(spark, Seq(s"$tmp/s0", s"$tmp/s1"))
+      .orderBy("id").collect()
+    assert(m.length == 2)
+    assert(m(0).isNullAt(m(0).fieldIndex("quality"))) // snapshot 0 predates it
+    assert(m(1).getDouble(m(1).fieldIndex("quality")) == 0.9)
+    // Same-named column with a conflicting type must fail loudly AT PLAN
+    // TIME — Spark's own union coercion would widen int↔string silently
+    // and corrupt/crash later, row by row.
+    Seq((3L, 42)).toDF("id", "text").write.parquet(s"$tmp/s2")
+    val e = intercept[IllegalArgumentException] {
+      CorpusPrep.mergeSnapshots(spark, Seq(s"$tmp/s0", s"$tmp/s2"))
+    }
+    assert(e.getMessage.contains("'text'"), e.getMessage)
+  }
+
+  test("reservoirByKey keeps k per key and is partitioning-independent") {
+    val df = (0 until 300).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "key")
+    val a = CorpusPrep.reservoirByKey(df, "key", "id", k = 7, salt = "s")
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = CorpusPrep.reservoirByKey(df.repartition(13), "key", "id", k = 7,
+      salt = "s").select("id").as[Long].collect().sorted.toSeq
+    assert(a == b, "sample must be a pure function of (salt, id)")
+    val perKey = CorpusPrep.reservoirByKey(df, "key", "id", k = 7, salt = "s")
+      .groupBy("key").count().as[(String, Long)].collect().toMap
+    assert(perKey.values.forall(_ == 7L), perKey.toString)
+    // A different salt draws a different sample (overwhelmingly likely
+    // with 100 candidates per key).
+    val c = CorpusPrep.reservoirByKey(df, "key", "id", k = 7, salt = "other")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a != c, "salt must rotate the sample")
+    // Keys with fewer than k rows keep everything.
+    val small = Seq((1L, "x"), (2L, "x")).toDF("id", "key")
+    assert(CorpusPrep.reservoirByKey(small, "key", "id", k = 7).count() == 2)
+  }
+
+  test("diffSnapshots classifies added, removed, changed, unchanged") {
+    val old = Seq((1L, "same"), (2L, "before"), (3L, "gone")).toDF("id", "text")
+    val neu = Seq((1L, "same"), (2L, "after"), (4L, "fresh")).toDF("id", "text")
+    val d = CorpusPrep.diffSnapshots(old, neu, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added"))
+    // Whitespace-only edits share a fingerprint: unchanged by design.
+    val ws = CorpusPrep.diffSnapshots(
+      Seq((9L, "a  b")).toDF("id", "text"),
+      Seq((9L, "a b")).toDF("id", "text"), "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(ws(9L) == "unchanged")
+  }
 }

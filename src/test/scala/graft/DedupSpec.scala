@@ -296,4 +296,22 @@ class DedupSpec extends SparkSpec {
       .select(col("doc_id"), col("n_removed")).as[(Long, Long)].collect().sortBy(_._1)
     assert(out.forall(_._2 == 0L), s"within-doc repeats must not strip: ${out.toSeq}")
   }
+
+  test("dropDuplicatesByPairsKeepBest keeps the argmax, ties to min id") {
+    import org.apache.spark.sql.functions._
+    // Cluster {1,2,3}: 2 has the top score. Cluster {4,5}: tie → min id 4.
+    // 6 is a singleton and always survives.
+    val df = Seq(
+      (1L, 10), (2L, 99), (3L, 50),
+      (4L, 7), (5L, 7),
+      (6L, 1)).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val kept = Dedup.dropDuplicatesByPairsKeepBest(df, "id", pairs, col("score"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L, 6L), kept.toString)
+    // Min-id policy on the same graph differs (keeps 1, not 2).
+    val minKept = Dedup.dropDuplicatesByPairs(df, "id", pairs)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(minKept == Seq(1L, 4L, 6L), minKept.toString)
+  }
 }

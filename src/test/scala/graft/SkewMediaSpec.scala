@@ -67,6 +67,29 @@ class SkewMediaSpec extends SparkSpec {
     }
   }
 
+  test("skewSafeDistinctCount equals countDistinct under heavy key skew") {
+    // 9000 rows on one hot key (900 distinct values), 100 singletons.
+    val rows = (0 until 9000).map(i => ("hot", (i % 900).toLong)) ++
+      (0 until 100).map(i => (s"k$i", i.toLong))
+    val df = rows.toDF("k", "v").repartition(8)
+    val safe = Skew.skewSafeDistinctCount(df, Seq("k"), "v", "n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val naive = df.groupBy("k").agg(countDistinct($"v").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(safe == naive)
+    assert(safe("hot") == 900L)
+  }
+
+  test("skewSafeDistinctCount's first exchange hashes on (key, value)") {
+    val df = (0 until 100).map(i => ("k", i.toLong)).toDF("k", "v")
+    val plan = Skew.skewSafeDistinctCount(df, Seq("k"), "v", "n")
+      .queryExecution.executedPlan.toString
+    // The distinct stage must partition on BOTH columns — that is the
+    // whole point of the rewrite (no hot-key reducer).
+    assert(plan.contains("hashpartitioning(k") && plan.contains("v#"),
+      s"expected a (k, v) exchange in:\n$plan")
+  }
+
   test("resolveMediaRefs handles base64 and file refs on executors") {
     val tmp = java.nio.file.Files.createTempFile("graftimg", ".bin")
     java.nio.file.Files.write(tmp, "IMAGEBYTES".getBytes("UTF-8"))
