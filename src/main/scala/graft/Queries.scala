@@ -1787,6 +1787,17 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "split_train_holdout" -> ((s, dir) => {
+      // Deterministic 80/10/10 train/val/test assignment from the shared
+      // md5(salt|key) membership hash — a pure per-row expression, stable
+      // as the corpus grows (new rows never move old ones between splits).
+      // The oracle mirrors the cumulative hex cuts exactly.
+      CorpusPrep.assignSplits(read(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split")
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
     "corpus_diff_snapshots" -> ((s, dir) => {
       // Snapshot diff by content fingerprint: old drops every 10th id and
       // mutates every 7th's text; new drops every 9th. The full-outer
@@ -3259,6 +3270,19 @@ object Queries {
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY md5('r8|' || CAST(doc_id AS VARCHAR)), doc_id) <= 5
         |ORDER BY doc_id""".stripMargin,
+
+    // The same cumulative cuts in hex: round(0.8*65536) = 52429 = 0xcccd,
+    // round(0.9*65536) = 58982 = 0xe666, over the '0'-prefixed 4-hex md5
+    // prefix convention shared with corpus_sample_det.
+    "split_train_holdout" ->
+      """WITH h AS (SELECT doc_id,
+        |  '0' || substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) AS hp
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN hp < '0cccd' THEN 'train'
+        |       WHEN hp < '0e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // The diff statuses re-derived from the constructing id arithmetic:
     // %10 ids exist only in new (added), %9 only in old (removed), %7 had

@@ -469,6 +469,37 @@ object CorpusPrep {
       .drop("__rk", "__rn")
   }
 
+  /** Assign every row a deterministic train/val/test split label from
+    * `md5(salt|key)` — the same membership hash as
+    * [[deterministicSample]], carved into cumulative cuts. Splits are a
+    * pure function of (salt, key): reproducible on any cluster, any
+    * engine, and stable as the corpus grows (new rows land in splits
+    * without moving old ones — a re-shuffle split would leak yesterday's
+    * training docs into today's test set).
+    *
+    * LEAKAGE is controlled by the key choice: key by doc id and near-dup
+    * documents can straddle train/test; key by the dedup cluster
+    * representative (see Dedup.componentIds) or the source domain and the
+    * whole correlated group lands in ONE split. A pure per-row expression
+    * — no shuffle, pushes to the scan.
+    */
+  def assignSplits(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], salt: String = "",
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "assignSplits: no splits")
+    require(splits.forall(_._2 >= 0.0), s"assignSplits: negative fraction in $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"assignSplits: fractions must sum to 1, got $total")
+    val h = hashPrefix(col(keyCol), salt)
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail // cumulative upper bounds
+    val expr = splits.init.zip(cuts.init).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), cut)) =>
+        when(h < lit(cutHex(cut)), lit(name)).otherwise(acc)
+      }
+    df.withColumn(outCol, expr)
+  }
+
   /** Diff two corpus snapshots by content fingerprint: which ids were
     * added, removed, or changed between `old` and `neu` — the audit step
     * of an incremental pipeline ("this crawl batch replaced 2% and added
