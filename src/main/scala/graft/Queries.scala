@@ -1901,6 +1901,46 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    "events_asof_forward_tol" -> ((s, dir) => {
+      // merge_asof(direction="forward", tolerance=30 min): each click picks
+      // the EARLIEST view at-or-after it within 30 minutes per user —
+      // epoch-micros arithmetic, so tolerance math is identical on both
+      // engines. Same single-shuffle union-window shape as backward.
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      val e = read(s, dir, "events")
+        .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "tsu")
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "tsu", "value")
+      Temporal.asofJoin(clicks, views, Seq("user_id"), "tsu",
+          rightCols = Seq("event_id", "value"), suffix = "_view",
+          direction = "forward", tolerance = Some(1800L * 1000000L))
+        .select(col("event_id"), col("user_id"),
+          col("event_id_view"), col("value_view"))
+        .orderBy("event_id")
+    }),
+
+    "events_asof_nearest" -> ((s, dir) => {
+      // merge_asof(direction="nearest"): closest view either side, equal
+      // distances prefer backward. Exercises both window passes over ONE
+      // exchange (the descending pass is a second sort, not a second
+      // shuffle).
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      val e = read(s, dir, "events")
+        .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "tsu")
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "tsu", "value")
+      Temporal.asofJoin(clicks, views, Seq("user_id"), "tsu",
+          rightCols = Seq("event_id", "value"), suffix = "_view",
+          direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          col("event_id_view"), col("value_view"))
+        .orderBy("event_id")
+    }),
+
     "events_range_join" -> ((s, dir) => {
       // Pure range join (NO equality key — the shape that lowers to a
       // nested-loop product in naive Spark): every event against the
@@ -3377,6 +3417,34 @@ object Queries {
         |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    // Forward-within-tolerance as a plain non-equi join + QUALIFY pick of
+    // the earliest qualifying view (unmatched clicks keep the null row).
+    "events_asof_forward_tol" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id,
+        |  r.event_id AS event_id_view, r.value AS value_view
+        |FROM c LEFT JOIN v r ON c.user_id = r.user_id
+        |  AND r.tsu >= c.tsu AND r.tsu - c.tsu <= 1800000000
+        |QUALIFY row_number() OVER (PARTITION BY c.event_id ORDER BY r.tsu) = 1
+        |ORDER BY c.event_id""".stripMargin,
+
+    // Nearest-by-|Δts| with the backward side preferred on equal distance.
+    "events_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id,
+        |  r.event_id AS event_id_view, r.value AS value_view
+        |FROM c LEFT JOIN v r ON c.user_id = r.user_id
+        |QUALIFY row_number() OVER (PARTITION BY c.event_id
+        |  ORDER BY abs(c.tsu - r.tsu),
+        |           CASE WHEN r.tsu <= c.tsu THEN 0 ELSE 1 END) = 1
+        |ORDER BY c.event_id""".stripMargin,
 
     "corpus_sample_det" ->
       """SELECT doc_id, lang FROM documents

@@ -142,20 +142,40 @@ object Temporal {
       candidatePairs = if (joined.isNullAt(0)) 0L else joined.getLong(0))
   }
 
-  /** As-of join: for every left row, the single most recent right row with
-    * `right.tsCol <= left.tsCol` on the same `keys` (left join: unmatched
+  /** As-of join with pandas-`merge_asof` semantics: for every left row,
+    * the single nearest right row on the same `keys` (left join: unmatched
     * lefts keep nulls). Right columns `rightCols` arrive suffixed.
+    *
+    *  - `direction = "backward"` (default): most recent right with
+    *    `rts <= lts` — ANSI ASOF.
+    *  - `"forward"`: earliest right with `rts >= lts`.
+    *  - `"nearest"`: whichever of the two is closer by |lts − rts|;
+    *    equal distances prefer backward (deterministic).
+    *  - `tolerance`: discard a match farther than this from the left ts
+    *    (requires a numeric ts column — derive epoch micros first;
+    *    "nearest" needs the same arithmetic).
     *
     * Physical shape — the union-window trick: tag both inputs, union them,
     * and per key take the running "last right payload seen" in
     * (ts, tag) order (right sorts before left on equal ts, so same-instant
-    * rights match, ANSI ASOF semantics). ONE shuffle on the join keys and a
-    * sort — no range cross product, no per-left probe; skew behaves like
-    * any window over the same key.
+    * rights match both directions). ONE shuffle on the join keys — no
+    * range cross product, no per-left probe; "nearest" adds a second SORT
+    * over the same exchange (descending pass), never a second shuffle.
+    * Skew behaves like any window over the same key.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
-      rightCols: Seq[String], suffix: String = "_asof"): DataFrame = {
+      rightCols: Seq[String], suffix: String = "_asof",
+      direction: String = "backward", tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one equi-key")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asofJoin direction must be backward|forward|nearest, got '$direction'")
+    if (tolerance.isDefined || direction == "nearest") {
+      val dt = left.schema(tsCol).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"asofJoin tolerance/nearest needs a numeric ts column (epoch micros), " +
+          s"got $dt — derive one with unix_micros() first")
+      tolerance.foreach(t => require(t >= 0, s"negative tolerance $t"))
+    }
     val leftCols = left.columns.toSeq
     val lStruct = struct(leftCols.map(col): _*).as("__l")
     val rStruct = struct(rightCols.map(col): _*).as("__r")
@@ -169,11 +189,35 @@ object Temporal {
       nullL.as("__l") :+ rStruct: _*)
     val unioned = l2.unionByName(r2)
 
-    val w = Window.partitionBy(keyCols: _*).orderBy(col("__ts"), col("__tag"))
+    def running(w: org.apache.spark.sql.expressions.WindowSpec) = (
+      last(col("__r"), ignoreNulls = true).over(w),
+      last(when(col("__tag") === 0, col("__ts")), ignoreNulls = true).over(w))
+    val wB = Window.partitionBy(keyCols: _*).orderBy(col("__ts").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = unioned
-      .withColumn("__rm", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__tag") === 1)
+    val wF = Window.partitionBy(keyCols: _*).orderBy(col("__ts").desc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Null a candidate out past the tolerance; dist is ≥ 0 by construction.
+    def gated(rm: Column, rts: Column): Column = tolerance match {
+      case Some(t) => when(rts.isNotNull &&
+        abs(col("__ts") - rts) <= t, rm)
+      case None => rm
+    }
+    val (rmB, rtsB) = running(wB)
+    val (rmF, rtsF) = running(wF)
+    val matched = (direction match {
+      case "backward" => unioned.withColumn("__rm", gated(rmB, rtsB))
+      case "forward" => unioned.withColumn("__rm", gated(rmF, rtsF))
+      case "nearest" =>
+        unioned
+          .withColumn("__rmb", gated(rmB, rtsB)).withColumn("__rtb", rtsB)
+          .withColumn("__rmf", gated(rmF, rtsF)).withColumn("__rtf", rtsF)
+          .withColumn("__rm",
+            when(col("__rmb").isNull, col("__rmf"))
+              .when(col("__rmf").isNull, col("__rmb"))
+              .when(col("__rtf") - col("__ts") < col("__ts") - col("__rtb"),
+                col("__rmf"))
+              .otherwise(col("__rmb"))) // ties and backward-closer
+    }).filter(col("__tag") === 1)
     val out = leftCols.map(c => col("__l").getField(c).as(c)) ++
       rightCols.map(c => col("__rm").getField(c).as(c + suffix))
     matched.select(out: _*)

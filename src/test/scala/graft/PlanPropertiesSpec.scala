@@ -259,4 +259,69 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(sizes.count(_ == 1) <= 8)
     assert(sizes.length <= 500 / 2 + 8)
   }
+
+  test("reservoirByKey limits map-side: partial WindowGroupLimit below the exchange") {
+    // k rows per key must be enforced BEFORE the shuffle on the key — the
+    // whole point of the hash-ranked reservoir is that a hot key costs k
+    // rows per map task, never its full volume.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.CorpusPrep.reservoirByKey(docs, "lang", "doc_id",
+      k = 5, salt = "s").queryExecution.executedPlan.toString
+    val first = p.indexOf("WindowGroupLimit")
+    val last = p.lastIndexOf("WindowGroupLimit")
+    val exchange = p.indexOf("Exchange", first)
+    assert(first >= 0 && last > first, p.take(3000))
+    assert(exchange > first && exchange < last,
+      s"expected partial WindowGroupLimit upstream of the Exchange\n${p.take(3000)}")
+  }
+
+  test("diffSnapshots shuffles ids and fingerprints only — never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val plan = graft.operators.CorpusPrep
+        .diffSnapshots(docs, docs, "doc_id", "text")
+        .queryExecution.executedPlan
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.nonEmpty, "expected join exchanges")
+      shuffles.foreach { s =>
+        // The 32-hex fingerprint string is fine; the doc text itself must
+        // be fingerprinted BELOW the exchange. Assert no column except the
+        // __fp_* hashes is a string/array.
+        val wide = s.output.filter(a => (a.dataType == StringType &&
+          !a.name.startsWith("__fp")) || a.dataType.isInstanceOf[ArrayType])
+        assert(wide.isEmpty,
+          s"text crossed a diff exchange: ${s.output.map(a => s"${a.name}:${a.dataType}")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("assignSplits and deterministicSample are pure scan expressions (no exchange)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val splitPlan = graft.operators.CorpusPrep.assignSplits(docs, "doc_id",
+        Seq("train" -> 0.9, "test" -> 0.1), salt = "s")
+      .queryExecution.executedPlan
+    assert(splitPlan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"split assignment must not shuffle: ${splitPlan.toString.take(1200)}")
+    val samplePlan = graft.operators.CorpusPrep.deterministicSample(
+        docs, "doc_id", 0.25, salt = "s")
+      .queryExecution.executedPlan
+    assert(samplePlan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"sampling must not shuffle: ${samplePlan.toString.take(1200)}")
+  }
+
+  test("skewSafeDistinctCount partial-aggregates the final count map-side") {
+    // Second exchange must carry partial counts (one row per key per map
+    // task), not the distinct (key, value) rows.
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val p = graft.operators.Skew.skewSafeDistinctCount(
+        events, Seq("event_type"), "user_id", "n")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"expected a map-side partial count:\n${p.take(2000)}")
+  }
 }

@@ -39,6 +39,68 @@ class TemporalSpec extends SparkSpec {
     assert(out(3L) == ((None, None)))           // no view at/before ts=50
   }
 
+  test("asofJoin: forward picks earliest at-or-after; tolerance discards far matches") {
+    val clicks = Seq((1L, "u1", 100L), (2L, "u1", 300L), (3L, "u2", 50L))
+      .toDF("id", "user", "ts")
+    val views = Seq((10L, "u1", 90L, 1.5), (11L, "u1", 100L, 2.5),
+      (12L, "u1", 250L, 3.5), (13L, "u2", 500L, 9.9))
+      .toDF("id", "user", "ts", "v")
+    def run(dir: String, tol: Option[Long]) =
+      Temporal.asofJoin(clicks, views, Seq("user"), "ts",
+          rightCols = Seq("id"), suffix = "_v", direction = dir, tolerance = tol)
+        .select("id", "id_v").as[(Long, Option[Long])].collect().toMap
+    val fwd = run("forward", None)
+    assert(fwd(1L) == Some(11L)) // equal-ts right matches forward too
+    assert(fwd(2L).isEmpty)      // no later view for u1
+    assert(fwd(3L) == Some(13L)) // u2's only view is ahead
+    val fwdTol = run("forward", Some(100L))
+    assert(fwdTol(3L).isEmpty)   // 500 - 50 > 100 → discarded
+    val backTol = run("backward", Some(10L))
+    assert(backTol(1L) == Some(11L)) // distance 0 within any tolerance
+    assert(backTol(2L).isEmpty)      // 300 - 250 = 50 > 10 → discarded
+  }
+
+  test("asofJoin: nearest picks the closer side, ties prefer backward") {
+    val clicks = Seq((1L, "u1", 100L), (2L, "u1", 201L), (3L, "u1", 400L))
+      .toDF("id", "user", "ts")
+    val views = Seq((10L, "u1", 60L, 0.0), (11L, "u1", 140L, 0.0),
+      (12L, "u1", 262L, 0.0)).toDF("id", "user", "ts", "v")
+    val near = Temporal.asofJoin(clicks, views, Seq("user"), "ts",
+        rightCols = Seq("id"), suffix = "_v", direction = "nearest")
+      .select("id", "id_v").as[(Long, Option[Long])].collect().toMap
+    assert(near(1L) == Some(10L)) // |100-60| = |100-140| = 40 → backward wins
+    assert(near(2L) == Some(11L)) // 61 back vs 61 forward... backward (tie)
+    assert(near(3L) == Some(12L)) // only side available
+    // nearest with tolerance: both candidates beyond it → null.
+    val nt = Temporal.asofJoin(clicks, views, Seq("user"), "ts",
+        rightCols = Seq("id"), suffix = "_v", direction = "nearest",
+        tolerance = Some(30L))
+      .select("id", "id_v").as[(Long, Option[Long])].collect().toMap
+    assert(nt(1L).isEmpty && nt(2L).isEmpty)
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(clicks, views, Seq("user"), "ts", Seq("id"),
+        direction = "sideways")
+    }
+  }
+
+  test("asofJoin: nearest re-sorts but never re-shuffles (one exchange)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val clicks = (0 until 100).map(i => (i.toLong, s"u${i % 5}", i.toLong * 10))
+        .toDF("id", "user", "ts")
+      val views = (0 until 100).map(i => (1000L + i, s"u${i % 5}", i.toLong * 7, i * 1.0))
+        .toDF("id", "user", "ts", "v")
+      val plan = Temporal.asofJoin(clicks, views, Seq("user"), "ts",
+          rightCols = Seq("id", "v"), direction = "nearest")
+        .queryExecution.executedPlan
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.length <= 2, // one per union branch pre-union at most
+        s"nearest must not add exchanges beyond the key shuffle: ${shuffles.length}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("asofJoin: single shuffle on the key — no cross/range join in the plan") {
     val clicks = (0 until 200).map(i => (i.toLong, s"u${i % 5}", i.toLong * 10))
       .toDF("id", "user", "ts")
