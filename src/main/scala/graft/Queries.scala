@@ -2198,6 +2198,24 @@ object Queries {
       ).orderBy("doc_id")
     }),
 
+    "text_line_stats" -> ((s, dir) => {
+      // Line-level Gopher/C4 rules (bulleted-line, ellipsis-line, and
+      // short-line fractions). The gate corpus is single-line, so the
+      // adapter deterministically reshapes it — sentence breaks become
+      // newlines, every third doc gains a bullet line and a truncated
+      // line — and the oracle performs the IDENTICAL construction, so the
+      // fractions are hash-verified on genuinely multi-line text.
+      val t2 = concat(
+        regexp_replace(col("text"), "\\. ", ".\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("\n- bullet item\nsnipped tail...")).otherwise(lit("")))
+      read(s, dir, "documents").select(col("doc_id"),
+          round(TF.bulletLineFraction(t2), 4).as("bullet_frac"),
+          round(TF.ellipsisLineFraction(t2), 4).as("ellipsis_frac"),
+          round(TF.shortLineFraction(t2, 3), 4).as("short_frac"))
+        .orderBy("doc_id")
+    }),
+
     "multimodal_prompt" -> ((s, dir) => {
       // Image column → LLM prompt end-to-end: tag the column as an image,
       // sem_map resolves refs into chat image parts (LMRequest.images); the
@@ -3707,6 +3725,30 @@ object Queries {
         |FROM rec r, q
         |ORDER BY list_cosine_similarity(r.r, q.qv) DESC, r.vec_id
         |LIMIT 12""".stripMargin,
+
+    // Identical line construction (sentence breaks → newlines + the
+    // deterministic bullet/ellipsis tail on every third doc), then the
+    // three line fractions over non-empty lines.
+    "text_line_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '\. ', '.' || chr(10), 'g')
+        |      || CASE WHEN doc_id % 3 = 0
+        |         THEN chr(10) || '- bullet item' || chr(10) || 'snipped tail...'
+        |         ELSE '' END AS t2
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(t2, chr(10)), x -> len(trim(x)) > 0) AS ls
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(ls) = 0 THEN NULL ELSE
+        |    round(len(list_filter(ls, x -> substring(trim(x), 1, 1) IN ('-','*','•'))) * 1.0 / len(ls), 4) END AS bullet_frac,
+        |  CASE WHEN len(ls) = 0 THEN NULL ELSE
+        |    round(len(list_filter(ls, x -> right(trim(x), 3) = '...' OR right(trim(x), 1) = '…')) * 1.0 / len(ls), 4) END AS ellipsis_frac,
+        |  CASE WHEN len(ls) = 0 THEN NULL ELSE
+        |    round(len(list_filter(ls, x -> len(string_split(trim(x), ' ')) < 3)) * 1.0 / len(ls), 4) END AS short_frac
+        |FROM l ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       """WITH t AS (

@@ -124,6 +124,45 @@ object TextFunctions {
   def dupNgramFraction(c: Column, n: Int): Column =
     MinHashExpr.ngramRepetition(wordsOf(c), n).getField("dup_frac")
 
+  /** Non-empty lines of a document (newline-split, whitespace-only lines
+    * dropped) — the unit of Gopher's line-level rules below. Per-row HOFs:
+    * O(doc length), no shuffle, SQL-portable.
+    */
+  private def linesOf(c: Column): Column =
+    filter(split(c, "\n"), l => length(trim(l)) > 0)
+
+  /** Fraction of lines starting with a bullet mark (Gopher drops docs with
+    * > 90% bulleted lines — list-of-links pages). Null on line-less docs.
+    */
+  def bulletLineFraction(c: Column): Column = {
+    val ls = linesOf(c)
+    when(size(ls) === 0, lit(null).cast("double"))
+      .otherwise(size(filter(ls, l =>
+        substring(trim(l), 1, 1).isin("-", "*", "•"))).cast("double") / size(ls))
+  }
+
+  /** Fraction of lines ending in an ellipsis (Gopher drops docs with > 30%
+    * — truncated-snippet pages). Null on line-less docs.
+    */
+  def ellipsisLineFraction(c: Column): Column = {
+    val ls = linesOf(c)
+    when(size(ls) === 0, lit(null).cast("double"))
+      .otherwise(size(filter(ls, l =>
+        right(trim(l), lit(3)) === "..." || right(trim(l), lit(1)) === "…"))
+        .cast("double") / size(ls))
+  }
+
+  /** Fraction of lines with fewer than `minWords` whitespace tokens (the
+    * C4 "at least 3 words per line" family: nav crumbs, footers). Null on
+    * line-less docs.
+    */
+  def shortLineFraction(c: Column, minWords: Int = 3): Column = {
+    val ls = linesOf(c)
+    when(size(ls) === 0, lit(null).cast("double"))
+      .otherwise(size(filter(ls, l =>
+        size(split(trim(l), "\\s+")) < minWords)).cast("double") / size(ls))
+  }
+
   /** Symbol-to-word ratio (Gopher): '#'/ellipsis marks per whitespace token. */
   def symbolWordRatio(c: Column): Column =
     when(tokenCount(c) === 0, lit(0.0))

@@ -101,6 +101,47 @@ class TemporalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("asofJoin matches a brute-force model on seeded random inputs, all directions") {
+    val rng = new scala.util.Random(421)
+    // Odd timestamps for rights, even for lefts — plus deliberate exact
+    // collisions — so same-instant matching is exercised but within-side
+    // ties (which the operator leaves unspecified) cannot occur.
+    val lefts = (0 until 120).map(i =>
+      (i.toLong, s"u${rng.nextInt(6)}", rng.nextInt(500).toLong * 2))
+    val rights = (0 until 150).map(i =>
+      (1000L + i, s"u${rng.nextInt(6)}",
+        if (i % 10 == 0) lefts(i % lefts.size)._3 else rng.nextInt(500).toLong * 2 + 1))
+    val dedupRights = rights.groupBy(r => (r._2, r._3)).map(_._2.head).toSeq
+    val lDf = lefts.toDF("id", "user", "ts")
+    val rDf = dedupRights.toDF("id", "user", "ts")
+    def model(dir: String, tol: Option[Long]): Map[Long, Option[Long]] =
+      lefts.map { case (lid, u, lts) =>
+        val cands = dedupRights.filter(_._2 == u)
+        def ok(rts: Long) = tol.forall(t => math.abs(lts - rts) <= t)
+        val back = cands.filter(r => r._3 <= lts && ok(r._3))
+          .sortBy(r => (-r._3, r._1)).headOption
+        val fwd = cands.filter(r => r._3 >= lts && ok(r._3))
+          .sortBy(r => (r._3, r._1)).headOption
+        val pick = dir match {
+          case "backward" => back
+          case "forward" => fwd
+          case "nearest" => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (f._3 - lts < lts - b._3) Some(f) else Some(b)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        lid -> pick.map(_._1)
+      }.toMap
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(37L), Some(0L))) {
+      val got = Temporal.asofJoin(lDf, rDf, Seq("user"), "ts",
+          rightCols = Seq("id"), suffix = "_r", direction = dir, tolerance = tol)
+        .select("id", "id_r").as[(Long, Option[Long])].collect().toMap
+      assert(got == model(dir, tol), s"direction=$dir tolerance=$tol")
+    }
+  }
+
   test("asofJoin: single shuffle on the key — no cross/range join in the plan") {
     val clicks = (0 until 200).map(i => (i.toLong, s"u${i % 5}", i.toLong * 10))
       .toDF("id", "user", "ts")

@@ -118,6 +118,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(m(2L)._2 == 0.25)
   }
 
+  test("line-level Gopher fractions: bullets, ellipses, short lines") {
+    val doc = Seq(
+      "- first bullet\n* second\nplain line of many words here\n" +
+        "to be continued...\nshort one\n   \ntruncated…"
+    ).toDF("text")
+    // 6 non-empty lines: 2 bulleted, 2 ellipsis-ended, short (<3 words):
+    // "- first bullet"(3w no), "* second"(2w yes), "short one"(2w yes),
+    // "truncated…"(1w yes) → 3/6.
+    val r = doc.select(
+      graft.functions.TextFunctions.bulletLineFraction($"text").as("b"),
+      graft.functions.TextFunctions.ellipsisLineFraction($"text").as("e"),
+      graft.functions.TextFunctions.shortLineFraction($"text", 3).as("s"))
+      .head()
+    assert(math.abs(r.getDouble(0) - 2.0 / 6) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 2.0 / 6) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 3.0 / 6) < 1e-12)
+    // Whitespace-only text has no lines → null, never a division error.
+    val n = Seq("   ").toDF("text").select(
+      graft.functions.TextFunctions.bulletLineFraction($"text")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("multimodal stub decode keeps batch shape and schema") {
     val bin = df.select($"id", to_binary($"text", lit("utf-8")).as("img"))
     val out = MultimodalOps.decodeMeta(bin, "img")
