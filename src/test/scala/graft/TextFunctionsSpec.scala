@@ -140,6 +140,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("deflate ratio orders repetitive < prose < random, and is a pure scan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val rng = new scala.util.Random(7)
+    val repetitive = "lorem ipsum dolor " * 300
+    val prose = (0 until 300).map(i => s"sentence $i about topic ${i % 17} " +
+      s"with varying words ${rng.nextInt(1000)}").mkString(". ")
+    val random = Array.fill(4000)((rng.nextInt(94) + 33).toChar).mkString
+    val df = Seq((1L, repetitive), (2L, prose), (3L, random)).toDF("id", "text")
+    val out = df.select($"id",
+      graft.functions.CompressExpr.deflateRatio($"text").as("r"))
+    assert(out.queryExecution.executedPlan
+      .collect { case s: ShuffleExchangeExec => s }.isEmpty)
+    val m = out.as[(Long, Double)].collect().toMap
+    assert(m(1L) < 0.1, s"repetitive text must compress hard: ${m(1L)}")
+    assert(m(2L) > m(1L) && m(2L) < m(3L), m.toString)
+    assert(m(3L) > 0.7, s"random text must not compress: ${m(3L)}")
+    // Determinism within a JVM and empty-string convention.
+    val again = out.as[(Long, Double)].collect().toMap
+    assert(again == m)
+    val empty = Seq(Tuple1("")).toDF("text")
+      .select(graft.functions.CompressExpr.deflateRatio($"text")).head().getDouble(0)
+    assert(empty == 1.0)
+  }
+
   test("multimodal stub decode keeps batch shape and schema") {
     val bin = df.select($"id", to_binary($"text", lit("utf-8")).as("img"))
     val out = MultimodalOps.decodeMeta(bin, "img")
