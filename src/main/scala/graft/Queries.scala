@@ -1798,6 +1798,28 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "corpus_release_pipeline" -> ((s, dir) => {
+      // The release-cut pipeline as ONE plan over this round's operators:
+      // exact dedup keeping the HIGHEST-QUALITY member per fingerprint
+      // group (longest text, tie min id — the keep-best policy), then
+      // deterministic 90/10 train/holdout assignment, then per-(lang,
+      // split) doc and token counts. Every stage native; composition
+      // oracle-checked end to end.
+      val d = read(s, dir, "documents")
+      val ranked = d.withColumn("__fp", TF.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__fp"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("__rn") === 1).drop("__fp", "__rn")
+      CorpusPrep.assignSplits(ranked, "doc_id",
+          Seq("train" -> 0.9, "holdout" -> 0.1), salt = "rel")
+        .withColumn("n_tok", TF.tokenCount(col("text")))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("sum_tok"))
+        .orderBy("lang", "split")
+    }),
+
     "corpus_diff_snapshots" -> ((s, dir) => {
       // Snapshot diff by content fingerprint: old drops every 10th id and
       // mutates every 7th's text; new drops every 9th. The full-outer
@@ -3341,6 +3363,25 @@ object Queries {
         |       WHEN hp < '0e666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Same fingerprint (md5 of whitespace-normalized lowercase), same
+    // argmax keep, same 0.9 hex cut (round(0.9*65536) = 58982 = 0xe666),
+    // same whitespace token count.
+    "corpus_release_pipeline" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, text,
+        |    CASE WHEN '0' || substring(md5('rel|' || CAST(doc_id AS VARCHAR)), 1, 4) < '0e666'
+        |         THEN 'train' ELSE 'holdout' END AS split
+        |  FROM k WHERE rn = 1)
+        |SELECT lang, split, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS sum_tok
+        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     // The diff statuses re-derived from the constructing id arithmetic:
     // %10 ids exist only in new (added), %9 only in old (removed), %7 had
