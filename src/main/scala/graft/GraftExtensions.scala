@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Spark session extension registering graft's custom Catalyst expressions
+  * as SQL functions, so pure-SQL pipelines (spark-sql, Thrift server,
+  * `spark.sql(...)`) reach the same tight-loop kernels the DataFrame API
+  * uses:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // at build time, or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * // ... or on a session that already exists:
+  * GraftExtensions.register(spark)
+  * spark.sql("SELECT simhash64(split(text, '\\\\s+')) FROM docs")
+  * }}}
+  *
+  * Registered: `minhash_signature(words, shingleLen, numHashes)`,
+  * `shingle_hashes(words, n)`, `simhash64(words)`,
+  * `ngram_repetition(words, n)`, `deflate_ratio(text[, level])`,
+  * `array_dot(a, b)`. Shape parameters must be literals — they size
+  * per-row loops at plan time, exactly like the DataFrame wrappers.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** Register every graft SQL function on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graft.FunctionBridge.register(spark, id, info, builder)
+    }
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def fn(name: String, usage: String)(
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage), builder)
+
+  private[graft] val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    fn("minhash_signature",
+      "_FUNC_(words, shingleLen, numHashes) - minhash signature of word shingles") {
+      args =>
+        require(args.length == 3, "minhash_signature(words, shingleLen, numHashes)")
+        functions.MinHashSignature(args.head,
+          intLit(args(1), "minhash_signature", "shingleLen"),
+          intLit(args(2), "minhash_signature", "numHashes"))
+    },
+    fn("shingle_hashes", "_FUNC_(words, n) - 64-bit hashes of word n-gram shingles") {
+      args =>
+        require(args.length == 2, "shingle_hashes(words, n)")
+        functions.ShingleHashes(args.head, intLit(args(1), "shingle_hashes", "n"))
+    },
+    fn("simhash64", "_FUNC_(words) - 64-bit simhash of a token array") { args =>
+      require(args.length == 1, "simhash64(words)")
+      functions.SimHash64(args.head)
+    },
+    fn("ngram_repetition",
+      "_FUNC_(words, n) - struct(top_frac, dup_frac) n-gram repetition stats") {
+      args =>
+        require(args.length == 2, "ngram_repetition(words, n)")
+        functions.NgramRepetition(args.head, intLit(args(1), "ngram_repetition", "n"))
+    },
+    fn("deflate_ratio", "_FUNC_(text[, level]) - deflate compressed/raw byte ratio") {
+      case Seq(c) => functions.DeflateRatio(c, 6)
+      case Seq(c, l) => functions.DeflateRatio(c, intLit(l, "deflate_ratio", "level"))
+      case _ => throw new IllegalArgumentException("deflate_ratio(text[, level])")
+    },
+    fn("array_dot", "_FUNC_(a, b) - dot product of two numeric arrays") { args =>
+      require(args.length == 2, "array_dot(a, b)")
+      functions.ArrayDotProduct(args.head, args(1))
+    })
+}

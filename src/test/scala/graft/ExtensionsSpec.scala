@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  test("SQL functions reach the same kernels as the DataFrame wrappers") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT simhash64(split(trim(text), '\\s+')) AS sh,
+        |  minhash_signature(split(trim(text), '\\s+'), 3, 8) AS mh,
+        |  ngram_repetition(split(trim(text), '\\s+'), 2).dup_frac AS dup,
+        |  deflate_ratio(text) AS dr,
+        |  array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot
+        |FROM ext_docs""".stripMargin).head()
+    val viaDf = df.select(
+      functions.MinHashExpr.simhash64(split(trim($"text"), "\\s+")).as("sh"),
+      functions.MinHashExpr.minhashSignature(split(trim($"text"), "\\s+"), 3, 8).as("mh"),
+      functions.MinHashExpr.ngramRepetition(split(trim($"text"), "\\s+"), 2)
+        .getField("dup_frac").as("dup"),
+      functions.CompressExpr.deflateRatio($"text").as("dr")).head()
+    assert(viaSql.getLong(0) == viaDf.getLong(0))
+    assert(viaSql.getSeq[Long](1) == viaDf.getSeq[Long](1))
+    assert(viaSql.getDouble(2) == viaDf.getDouble(2))
+    assert(viaSql.getDouble(3) == viaDf.getDouble(3))
+    assert(viaSql.getDouble(4) == 11.0)
+  }
+
+  test("shape parameters must be literals; arity is checked") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array('a'), 1 + 2, 8)").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+    val a = intercept[Exception] {
+      spark.sql("SELECT simhash64(array('a'), 2)").collect()
+    }
+    assert(a.getMessage.contains("simhash64"), a.getMessage)
+  }
+}
