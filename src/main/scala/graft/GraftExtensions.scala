@@ -84,5 +84,18 @@ object GraftExtensions {
     fn("array_dot", "_FUNC_(a, b) - dot product of two numeric arrays") { args =>
       require(args.length == 2, "array_dot(a, b)")
       functions.ArrayDotProduct(args.head, args(1))
+    },
+    fn("nfc_normalize", "_FUNC_(text) - unicode NFC canonical composition") { args =>
+      require(args.length == 1, "nfc_normalize(text)")
+      functions.UnicodeNormalize(args.head, "NFC")
+    },
+    fn("nfkc_normalize",
+      "_FUNC_(text) - unicode NFKC compatibility composition") { args =>
+      require(args.length == 1, "nfkc_normalize(text)")
+      functions.UnicodeNormalize(args.head, "NFKC")
+    },
+    fn("strip_accents", "_FUNC_(text) - remove combining diacritics") { args =>
+      require(args.length == 1, "strip_accents(text)")
+      functions.StripAccents(args.head)
     })
 }

@@ -7,7 +7,7 @@ import graft.core.Sem
 import graft.llm.{FakeBehavior, FakeLM}
 import graft.connectors.DataConnectors
 import graft.operators.{CorpusPrep, Decontaminate, Dedup, EmbedOps, Lexical, LexIndex, Temporal}
-import graft.functions.{MultimodalOps, TextFunctions => TF}
+import graft.functions.{MultimodalOps, TextFunctions => TF, UnicodeExpr => UE}
 
 /** The operator inventory as driver-checkable queries.
   *
@@ -139,6 +139,15 @@ object Queries {
       d.toString
     }
   }
+
+  /** The DECOMPOSED unicode tail of the `text_normalize` gate — combining
+    * marks spelled as explicit escapes (e+U+0301, u+U+0308, n+U+0303 ×2,
+    * plus the standalone Ø neither engine touches) so the construction is
+    * byte-identical in the Spark adapter and the DuckDB oracle regardless
+    * of source-file encoding.
+    */
+  private val decomposedTail =
+    " cafe\u0301 u\u0308ber n\u0303on\u0303o \u00d8rsted"
 
   /** Run `body` with `spark.sql.shuffle.partitions` lowered to `n`,
     * restoring the session value after. Streaming STATE STORE count is
@@ -2220,6 +2229,21 @@ object Queries {
       ).orderBy("doc_id")
     }),
 
+    "text_normalize" -> ((s, dir) => {
+      // Unicode canonicalization, gated bit-exactly: append a DECOMPOSED
+      // tail (e+U+0301, u+U+0308, n+U+0303, plus Ø which neither engine
+      // touches) to every doc, NFC-compose it, and strip accents — DuckDB
+      // reproduces both via nfc_normalize / strip_accents over the
+      // identical construction. The op the byte-level dedup/decontamination
+      // stack needs FIRST, or composed and decomposed forms of the same
+      // text count as different documents.
+      val t2 = concat(col("text"), lit(decomposedTail))
+      read(s, dir, "documents").select(col("doc_id"),
+          UE.nfcNormalize(t2).as("nfc"),
+          UE.stripAccents(t2).as("plain"))
+        .orderBy("doc_id")
+    }),
+
     "text_line_stats" -> ((s, dir) => {
       // Line-level Gopher/C4 rules (bulleted-line, ellipsis-line, and
       // short-line fractions). The gate corpus is single-line, so the
@@ -3766,6 +3790,14 @@ object Queries {
         |FROM rec r, q
         |ORDER BY list_cosine_similarity(r.r, q.qv) DESC, r.vec_id
         |LIMIT 12""".stripMargin,
+
+    // The identical decomposed tail, normalized by DuckDB's own
+    // nfc_normalize / strip_accents.
+    "text_normalize" ->
+      s"""SELECT doc_id,
+         |  nfc_normalize(text || '$decomposedTail') AS nfc,
+         |  strip_accents(text || '$decomposedTail') AS plain
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Identical line construction (sentence breaks → newlines + the
     // deterministic bullet/ellipsis tail on every third doc), then the

@@ -29,6 +29,11 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.getDouble(2) == viaDf.getDouble(2))
     assert(viaSql.getDouble(3) == viaDf.getDouble(3))
     assert(viaSql.getDouble(4) == 11.0)
+    val uni = spark.sql(
+      "SELECT strip_accents(nfc_normalize('café')), nfkc_normalize('ﬁn')")
+      .head()
+    assert(uni.getString(0) == "cafe")
+    assert(uni.getString(1) == "fin")
   }
 
   test("shape parameters must be literals; arity is checked") {

@@ -164,6 +164,38 @@ class TextFunctionsSpec extends SparkSpec {
     assert(empty == 1.0)
   }
 
+  test("unicode normalization: NFC composes, stripAccents drops marks only") {
+    import graft.functions.UnicodeExpr
+    // Explicit escapes: decomposed marks (U+0301/U+0308/U+0303), the
+    // standalone \u00d8, and the U+FB01 ligature.
+    val decomposed = "cafe\u0301 u\u0308ber n\u0303o \u00d8 \ufb01ne"
+    val df = Seq(Tuple1(decomposed)).toDF("t")
+    val r = df.select(
+      UnicodeExpr.nfcNormalize($"t").as("nfc"),
+      UnicodeExpr.nfkcNormalize($"t").as("nfkc"),
+      UnicodeExpr.stripAccents($"t").as("plain")).head()
+    assert(r.getString(0) == "caf\u00e9 \u00fcber \u00f1o \u00d8 \ufb01ne")
+    // NFKC additionally folds the ligature to "fi".
+    assert(r.getString(1) == "caf\u00e9 \u00fcber \u00f1o \u00d8 fine")
+    // Combining marks removed; standalone \u00d8 untouched (decomposition-
+    // based, not locale folding -- the DuckDB strip_accents contract).
+    assert(r.getString(2) == "cafe uber no \u00d8 \ufb01ne")
+    // Already-normalized fast path returns the identical string.
+    val clean = Seq(Tuple1("plain ascii")).toDF("t")
+      .select(UnicodeExpr.nfcNormalize($"t")).head().getString(0)
+    assert(clean == "plain ascii")
+    // Normalization heals byte-level dedup: composed vs decomposed spellings
+    // fingerprint identically only after NFC.
+    val pair = Seq(("caf\u00e9", "cafe\u0301")).toDF("a", "b")
+    val fps = pair.select(
+      (graft.functions.TextFunctions.fingerprint($"a") ===
+        graft.functions.TextFunctions.fingerprint($"b")).as("raw_eq"),
+      (graft.functions.TextFunctions.fingerprint(UnicodeExpr.nfcNormalize($"a")) ===
+        graft.functions.TextFunctions.fingerprint(UnicodeExpr.nfcNormalize($"b")))
+        .as("nfc_eq")).head()
+    assert(!fps.getBoolean(0) && fps.getBoolean(1))
+  }
+
   test("multimodal stub decode keeps batch shape and schema") {
     val bin = df.select($"id", to_binary($"text", lit("utf-8")).as("img"))
     val out = MultimodalOps.decodeMeta(bin, "img")
