@@ -1807,6 +1807,20 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "corpus_budget_select" -> ((s, dir) => {
+      // "Assemble the best 10k-token corpus": histogram-threshold
+      // selection over a rounded quality score — equivalent to the flat
+      // ORDER BY quality DESC, doc_id cumulative-sum cut (the oracle), but
+      // executed as one narrow histogram + a pure filter, with only the
+      // boundary score bucket paying an ordered window.
+      val d = read(s, dir, "documents")
+        .withColumn("q", round(TF.qualityScore(col("text")), 2))
+        .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
+      CorpusPrep.selectByTokenBudget(d, "q", "n_tok", "doc_id", budget = 10000L)
+        .select("doc_id", "q", "n_tok")
+        .orderBy("doc_id")
+    }),
+
     "corpus_release_pipeline" -> ((s, dir) => {
       // The release-cut pipeline as ONE plan over this round's operators:
       // exact dedup keeping the HIGHEST-QUALITY member per fingerprint
@@ -3387,6 +3401,30 @@ object Queries {
         |       WHEN hp < '0e666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // The flat descending cumulative-sum selection the histogram threshold
+    // is provably equivalent to: keep while the PRIOR cumulative token sum
+    // is under budget (crossing doc kept). Quality formula mirrors
+    // corpus_clean_pipeline's, re-rounded to 2 decimals.
+    "corpus_budget_select" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / len(text) AS praw,
+        |    len(list_filter(string_split(lower(trim(text)), ' '),
+        |      w -> w IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as')))
+        |      * 1.0 / len(string_split(lower(trim(text)), ' ')) AS sraw
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(round((least(len(text)*1.0/500, 1.0) + least(sraw*5, 1.0)
+        |      + greatest(0.0, 1.0 - praw*10)) / 3.0, 4), 2) AS q,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM base),
+        |c AS (
+        |  SELECT *, sum(n_tok) OVER (ORDER BY q DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM q)
+        |SELECT doc_id, q, n_tok FROM c
+        |WHERE cum - n_tok < 10000 ORDER BY doc_id""".stripMargin,
 
     // Same fingerprint (md5 of whitespace-normalized lowercase), same
     // argmax keep, same 0.9 hex cut (round(0.9*65536) = 58982 = 0xe666),

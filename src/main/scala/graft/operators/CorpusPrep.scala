@@ -500,6 +500,57 @@ object CorpusPrep {
     df.withColumn(outCol, expr)
   }
 
+  /** Select the highest-`scoreCol` documents whose `tokenCol` sum fits a
+    * global token budget — "assemble the best 10 B-token corpus" — WITHOUT
+    * the global sort + running sum that form would naively need (a
+    * single-partition window over the corpus). Two narrow passes:
+    *
+    *  1. one `groupBy(score)` histogram (scores must be LOW-CARDINALITY —
+    *     a rounded quality score; refused loudly past `maxScoreBuckets`)
+    *     collected to the driver, which finds the threshold bucket where
+    *     the descending cumulative token sum crosses the budget;
+    *  2. a pure filter keeps every doc above the threshold, plus the
+    *     threshold bucket's docs in `idCol` order until the budget is
+    *     exhausted (the budget-crossing doc is KEPT, the
+    *     [[quotaPerGroupTokens]] convention). Only the single boundary
+    *     bucket pays an ordered window.
+    *
+    * Equivalent to the flat `ORDER BY score DESC, id` cumulative-sum
+    * selection, deterministic, and reproducible in SQL.
+    */
+  def selectByTokenBudget(df: DataFrame, scoreCol: String, tokenCol: String,
+      idCol: String, budget: Long, maxScoreBuckets: Int = 100000): DataFrame = {
+    require(budget > 0, s"selectByTokenBudget: budget $budget must be positive")
+    val hist = df.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .orderBy(col("__s").desc)
+      .limit(maxScoreBuckets + 1)
+      .collect()
+    require(hist.length <= maxScoreBuckets,
+      s"selectByTokenBudget: more than $maxScoreBuckets distinct scores — " +
+        s"round '$scoreCol' first (the histogram must fit the driver)")
+    var cum = 0L
+    var i = 0
+    while (i < hist.length && cum + hist(i).getLong(1) < budget) {
+      cum += hist(i).getLong(1); i += 1
+    }
+    if (i >= hist.length) df // everything fits
+    else {
+      val tau = hist(i).get(0)
+      val remaining = budget - cum
+      val above = df.filter(col(scoreCol) > lit(tau))
+      // Boundary bucket only: docs in id order while the PRIOR cumulative
+      // token sum stays under the remaining budget (crossing doc kept).
+      val w = Window.orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val boundary = df.filter(col(scoreCol) === lit(tau))
+        .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+        .filter(col("__cum") - col(tokenCol).cast("long") < remaining)
+        .drop("__cum")
+      above.unionByName(boundary)
+    }
+  }
+
   /** Diff two corpus snapshots by content fingerprint: which ids were
     * added, removed, or changed between `old` and `neu` — the audit step
     * of an incremental pipeline ("this crawl batch replaced 2% and added

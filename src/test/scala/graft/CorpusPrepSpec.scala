@@ -358,6 +358,31 @@ class CorpusPrepSpec extends SparkSpec {
     assert(numFiles.contains(1L), s"pruned scan read $numFiles files, expected 1")
   }
 
+  test("selectByTokenBudget equals the flat descending cumsum cut") {
+    // Buckets: q=3 {a:40, b:50}, q=2 {c:30, d:30, e:30}, q=1 {f:100}.
+    val d = Seq(("a", 3, 40L), ("b", 3, 50L), ("c", 2, 30L), ("d", 2, 30L),
+      ("e", 2, 30L), ("f", 1, 100L)).toDF("id", "q", "tok")
+    def sel(budget: Long) =
+      CorpusPrep.selectByTokenBudget(d, "q", "tok", "id", budget)
+        .select("id").as[String].collect().sorted.toSeq
+    // Budget 130: q=3 fully (90), boundary q=2 in id order: c (before 0),
+    // d (before 30 < 40) — crossing doc kept — e excluded (before 60 ≥ 40).
+    assert(sel(130L) == Seq("a", "b", "c", "d"))
+    // Budget crossing exactly at a bucket boundary keeps the whole bucket.
+    assert(sel(180L) == Seq("a", "b", "c", "d", "e"))
+    // Everything fits.
+    assert(sel(1000L) == Seq("a", "b", "c", "d", "e", "f"))
+    // Tiny budget still keeps the crossing doc (never an empty corpus).
+    assert(sel(10L) == Seq("a"))
+    // Loud refusal past the score-bucket cap.
+    val wide = (0 until 50).map(i => (s"x$i", i, 1L)).toDF("id", "q", "tok")
+    val e = intercept[IllegalArgumentException] {
+      CorpusPrep.selectByTokenBudget(wide, "q", "tok", "id", 10L,
+        maxScoreBuckets = 10)
+    }
+    assert(e.getMessage.contains("distinct scores"), e.getMessage)
+  }
+
   test("diffSnapshots classifies added, removed, changed, unchanged") {
     val old = Seq((1L, "same"), (2L, "before"), (3L, "gone")).toDF("id", "text")
     val neu = Seq((1L, "same"), (2L, "after"), (4L, "fresh")).toDF("id", "text")
