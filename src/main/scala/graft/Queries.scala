@@ -628,6 +628,43 @@ object Queries {
         .select(col("vec_id"), round(col("raw"), 3).as("score"))
     }),
 
+    "ann_ivf_delete" -> ((s, dir) => {
+      // Index deletion lifecycle: build + save on ALL vectors, DELETE the
+      // odd vec_ids (tombstones — O(batch) write, zero index IO), search
+      // the loaded index (anti-join subtracts them), then compact to a
+      // fresh path and require the compacted search to agree. nProbe =
+      // nCells ⇒ result equals exact cosine top-k over the surviving
+      // (even) vectors — the oracle's WHERE.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_verify_ivfdel").toString
+      val path = s"$tmp/idx"
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 7).select("embedding")
+        .head().getSeq[Float](0)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      val (indexed, model) = graft.embed.IvfIndex.build(withVec, "emb", nCells = 8)
+      graft.embed.IvfIndex.save(indexed, model, "emb", "vec_id", path)
+      indexed.unpersist()
+      val n = graft.embed.IvfIndex.delete(
+        e.filter(col("vec_id") % 2 === 1), "vec_id", path)
+      require(n > 0, "delete gate removed no ids")
+      def topk(p: String) = {
+        val (loaded, m) = graft.embed.IvfIndex.load(s, p)
+        graft.embed.IvfIndex.search(loaded, m, "emb", qv, k = 12, nProbe = 8,
+            scoreCol = "raw", tieBreak = Seq(col("vec_id")))
+          .orderBy(col("raw").desc, col("vec_id"))
+          .select(col("vec_id"), round(col("raw"), 3).as("score"))
+      }
+      val fromTombstoned = topk(path)
+      graft.embed.IvfIndex.compactDeletes(s, path, s"$tmp/compacted")
+      require(!graft.core.MetaIo.exists(s, s"$tmp/compacted/tombstones"),
+        "compacted index must start tombstone-free")
+      val fromCompacted = topk(s"$tmp/compacted")
+      require(fromTombstoned.except(fromCompacted).isEmpty &&
+        fromCompacted.except(fromTombstoned).isEmpty,
+        "compacted search diverged from tombstoned search")
+      fromTombstoned
+    }),
+
     "ann_ivf_filtered" -> ((s, dir) => {
       // Filtered ANN: top-k among the rows satisfying a metadata predicate
       // (the reference's id-subset search, lotus/vector_store/faiss_vs.py:57-72,
@@ -3126,6 +3163,16 @@ object Queries {
         |SELECT e.vec_id,
         |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score
         |FROM embeddings e, q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 12""".stripMargin,
+
+    // Exact cosine top-k over the SURVIVING (even) vectors only.
+    "ann_ivf_delete" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score
+        |FROM embeddings e, q
+        |WHERE e.vec_id % 2 = 0
         |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
         |LIMIT 12""".stripMargin,
 

@@ -314,6 +314,18 @@ object IvfIndex {
     require(payload.schema.fieldNames.toSet == existing,
       s"IvfIndex.append: batch columns ${payload.schema.fieldNames.toSet} " +
         s"do not match the saved layout $existing (same idCol and vector column required)")
+    // A tombstoned id would be silently swallowed by load()'s anti-join —
+    // refuse the batch loudly; compactDeletes first frees the id.
+    tombstones(spark, path).foreach { t =>
+      val idName = t.schema.fieldNames.head
+      require(idName == idCol,
+        s"IvfIndex.append: tombstone id column '$idName' != batch id column '$idCol'")
+      val clash = df.select(col(idCol))
+        .join(t.select(idName).distinct(), Seq(idCol), "left_semi").limit(1)
+      require(clash.isEmpty,
+        s"IvfIndex.append: batch contains tombstoned ids — run compactDeletes " +
+          s"on $path first (a tombstone shadows its id)")
+    }
     val tok = token.getOrElse(graft.core.BatchCommit.batchToken(df, idCol))
     graft.core.BatchCommit.appendExactlyOnce(spark, path, "cells", tok,
       sidecarState = Map.empty,
@@ -324,6 +336,55 @@ object IvfIndex {
       updateSidecar = _ => ())
   }
 
+  private val tombSubdir = "tombstones"
+
+  /** Delete ids from a SAVED index without rewriting cells — the
+    * "right to be forgotten" path at corpus scale: the ids are recorded as
+    * tombstones that [[load]] subtracts (anti-join), so a deletion batch
+    * costs O(batch) write and ZERO index IO. Idempotent by construction:
+    * the tombstone batch directory is named by the ids' content token, so
+    * a crashed or replayed delete overwrites itself and converges.
+    *
+    * A tombstone shadows its id until [[compactDeletes]] reclaims the
+    * space; re-appending a tombstoned id is refused loudly by [[append]]'s
+    * preflight (the anti-join would silently swallow the new row) — compact
+    * first. Returns the number of distinct ids tombstoned.
+    */
+  def delete(df: DataFrame, idCol: String, path: String): Long = {
+    val spark = df.sparkSession
+    require(graft.core.MetaIo.exists(spark, s"$path/centroids.json"),
+      s"IvfIndex.delete: no index at $path (missing centroids.json)")
+    val ids = df.select(col(idCol)).distinct()
+    val token = graft.core.BatchCommit.batchToken(ids, idCol)
+    ids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/$tombSubdir/batch_$token")
+    ids.count()
+  }
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val dir = s"$path/$tombSubdir"
+    if (!graft.core.MetaIo.exists(spark, dir)) None
+    else Some(spark.read.option("recursiveFileLookup", "true").parquet(dir))
+  }
+
+  /** Rewrite a tombstoned index at `dest` WITHOUT the deleted rows —
+    * deliberately never in place (the [[graft.operators.CorpusPrep.compact]]
+    * contract: a crashed compaction leaves `src` untouched). Payload is
+    * copied as-is (float or SQ8 codes — no re-encode), quantizer sidecars
+    * verbatim; `dest` starts tombstone-free.
+    */
+  def compactDeletes(spark: SparkSession, src: String, dest: String): Unit = {
+    require(src != dest, "compactDeletes: dest must differ from src (no in-place rewrite)")
+    val (cells, _) = load(spark, src) // tombstones already subtracted
+    cells.repartition(col(cellCol))
+      .write.mode("overwrite").partitionBy(cellCol).parquet(s"$dest/cells")
+    Seq("centroids.json", "pq.json").foreach { f =>
+      if (graft.core.MetaIo.exists(spark, s"$src/$f"))
+        graft.core.MetaIo.write(spark, s"$dest/$f",
+          graft.core.MetaIo.read(spark, s"$src/$f"))
+    }
+  }
+
   /** Load a saved index: the cell-partitioned vector frame + centroids.
     * Falls back to the legacy `centroids/` parquet directory for indexes
     * saved before the JSON format.
@@ -331,7 +392,16 @@ object IvfIndex {
   def load(spark: SparkSession, path: String): (DataFrame, IvfModel) = {
     // A dangling append mark means the cells may hold a partial batch.
     graft.core.BatchCommit.requireClean(spark, path, "IvfIndex")
-    val cells = graft.core.BatchCommit.readData(spark, path, "cells")
+    val cells0 = graft.core.BatchCommit.readData(spark, path, "cells")
+    // Tombstoned ids are subtracted at load: the scan's partition pruning
+    // is unaffected (the anti-join sits above it) and the deletion set
+    // broadcasts while small.
+    val cells = tombstones(spark, path) match {
+      case Some(t) =>
+        val idName = t.schema.fieldNames.head
+        cells0.join(t.select(idName).distinct(), Seq(idName), "left_anti")
+      case None => cells0
+    }
     val metaPath = s"$path/centroids.json"
     val centroids =
       if (graft.core.MetaIo.exists(spark, metaPath)) {

@@ -139,6 +139,40 @@ class IvfSpec extends SparkSpec {
     assert(IvfIndex.load(spark, path)._1.count() == 120)
   }
 
+  test("delete tombstones ids; append of a tombstoned id refused; compact reclaims") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    val path = s"$tmp/idx"
+    val (indexed, model) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
+    IvfIndex.save(indexed, model, "emb", "id", path)
+    // Delete ids 0..9; load must not return them.
+    val delBatch = vecs.filter($"id" < 10)
+    assert(IvfIndex.delete(delBatch, "id", path) == 10L)
+    val (loaded, _) = IvfIndex.load(spark, path)
+    val ids = loaded.select("id").as[Long].collect().toSet
+    assert(ids.size == 110 && !ids.exists(_ < 10))
+    // Idempotent: replaying the same delete converges (content-token dir).
+    assert(IvfIndex.delete(delBatch, "id", path) == 10L)
+    assert(IvfIndex.load(spark, path)._1.count() == 110)
+    // Re-appending a tombstoned id is refused loudly.
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.append(vecs.filter($"id" === 3), "emb", "id", path)
+    }
+    assert(e.getMessage.contains("tombstoned"), e.getMessage)
+    // Appending FRESH ids still works under tombstones.
+    IvfIndex.append(
+      vecs.filter($"id" < 5).withColumn("id", $"id" + 1000), "emb", "id", path)
+    assert(IvfIndex.load(spark, path)._1.count() == 115)
+    // Compaction: dest is tombstone-free and equal; src untouched.
+    IvfIndex.compactDeletes(spark, path, s"$tmp/compacted")
+    val (compacted, _) = IvfIndex.load(spark, s"$tmp/compacted")
+    assert(compacted.count() == 115)
+    assert(!graft.core.MetaIo.exists(spark, s"$tmp/compacted/tombstones"))
+    assert(graft.core.MetaIo.exists(spark, s"$path/tombstones"))
+    // The freed id can be appended at dest.
+    IvfIndex.append(vecs.filter($"id" === 3), "emb", "id", s"$tmp/compacted")
+    assert(IvfIndex.load(spark, s"$tmp/compacted")._1.count() == 116)
+  }
+
   test("cosine fails loudly on a dimension-mismatched query vector") {
     val (_, model) = IvfIndex.build(vecs, "emb", nCells = 4, seed = 7)
     intercept[IllegalArgumentException] {
