@@ -2341,6 +2341,34 @@ object Queries {
         .select(col("doc_id"), round(col("bm25"), 3).as("score"))
     }),
 
+    "bm25_delete" -> ((s, dir) => {
+      // Deletion lifecycle of the durable inverted index: save on ALL
+      // docs, tombstone every third doc_id (O(batch) write, zero index
+      // IO), then search — deleted docs can never return and per-term df
+      // is survivor-fresh, while (n, avgdl) stay stale until compaction:
+      // the Lucene pre-merge contract, mirrored EXACTLY in the oracle
+      // (stale totals × fresh df). The adapter then compacts to a fresh
+      // path and requires the compacted search to equal a clean rebuild
+      // on the survivors — stats recomputation is exact.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_verify_bm25del").toString
+      val d = read(s, dir, "documents")
+      LexIndex.save(d, "text", "doc_id", s"$tmp/idx")
+      val ndel = LexIndex.delete(
+        d.filter(col("doc_id") % 3 === 0), "doc_id", s"$tmp/idx")
+      require(ndel > 0, "bm25_delete removed no ids")
+      def run(p: String) = LexIndex.search(s, p, "spark join window", k = 10)
+        .select(col("id").as("doc_id"), round(col("bm25"), 3).as("score"))
+      val tombstoned = run(s"$tmp/idx")
+      LexIndex.compactDeletes(s, s"$tmp/idx", s"$tmp/compacted")
+      LexIndex.save(d.filter(col("doc_id") % 3 =!= 0), "text", "doc_id",
+        s"$tmp/rebuild")
+      val comp = run(s"$tmp/compacted")
+      val reb = run(s"$tmp/rebuild")
+      require(comp.except(reb).isEmpty && reb.except(comp).isEmpty,
+        "compacted index diverged from a clean rebuild on the survivors")
+      tombstoned.orderBy(col("score").desc, col("doc_id"))
+    }),
+
     "bm25_saved" -> ((s, dir) => {
       // The durable inverted-index lifecycle: build → save (term-bucket-
       // partitioned postings, pruned at query time like IVF cells) → search.
@@ -3947,6 +3975,38 @@ object Queries {
 
     // BM25 with the Lucene idf variant, k1=1.2 b=0.75; the + chain and
     // parenthesization mirror the Spark expressions so IEEE doubles agree.
+    // The tombstoned-search contract: totals (n, sumdl) from the FULL
+    // corpus (stale until compaction), tf/dl/df from the survivors only.
+    "bm25_delete" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf2
+        |  FROM t),
+        |stale AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl
+        |  FROM d),
+        |surv AS (SELECT * FROM d WHERE doc_id % 3 != 0),
+        |fresh AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM surv)
+        |SELECT doc_id, round(score, 3) AS score FROM (
+        |  SELECT surv.doc_id,
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))) AS score
+        |  FROM surv, stale, fresh) q
+        |WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
     "bm25_search" ->
       """WITH t AS (
         |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []

@@ -124,6 +124,64 @@ object BatchCommit {
     tokenOf(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  // ------------------------------------------------------------------
+  // Tombstones — the shared deletion protocol of the durable indexes
+  // (IvfIndex, LexIndex): a delete batch is a content-token-named
+  // directory of distinct ids, so replaying a crashed delete OVERWRITES
+  // itself and converges; readers subtract the union of all batches.
+  // ------------------------------------------------------------------
+
+  private val tombSubdir = "tombstones"
+
+  def tombstonesPath(root: String): String = s"$root/$tombSubdir"
+
+  /** Record `df`'s distinct `idCol` values as a tombstone batch under
+    * `root`. Idempotent (content-token directory name). Returns the
+    * number of distinct ids tombstoned.
+    */
+  def writeTombstones(df: DataFrame, idCol: String, root: String): Long = {
+    val ids = df.select(col(idCol)).distinct()
+    val token = batchToken(ids, idCol)
+    ids.coalesce(1).write.mode("overwrite")
+      .parquet(s"${tombstonesPath(root)}/batch_$token")
+    ids.count()
+  }
+
+  /** All tombstoned ids under `root` (one column, the original idCol
+    * name), or None when no delete has ever run.
+    */
+  def readTombstones(spark: SparkSession, root: String): Option[DataFrame] = {
+    val dir = tombstonesPath(root)
+    if (!MetaIo.exists(spark, dir)) None
+    else Some(spark.read.option("recursiveFileLookup", "true").parquet(dir))
+  }
+
+  /** Subtract tombstones from an index frame (no-op when none exist). */
+  def subtractTombstones(spark: SparkSession, root: String,
+      data: DataFrame): DataFrame =
+    readTombstones(spark, root) match {
+      case Some(t) =>
+        val idName = t.schema.fieldNames.head
+        data.join(t.select(idName).distinct(), Seq(idName), "left_anti")
+      case None => data
+    }
+
+  /** Append preflight: refuse a batch holding tombstoned ids — the
+    * reader-side anti-join would silently swallow the new rows.
+    */
+  def requireNotTombstoned(df: DataFrame, idCol: String, root: String,
+      what: String): Unit =
+    readTombstones(df.sparkSession, root).foreach { t =>
+      val idName = t.schema.fieldNames.head
+      require(idName == idCol,
+        s"$what: tombstone id column '$idName' != batch id column '$idCol'")
+      val clash = df.select(col(idCol))
+        .join(t.select(idName).distinct(), Seq(idCol), "left_semi").limit(1)
+      require(clash.isEmpty,
+        s"$what: batch contains tombstoned ids — compact the index at $root " +
+          "first (a tombstone shadows its id)")
+    }
+
   def readMark(spark: SparkSession, root: String): Option[Mark] = {
     val p = new Path(root, markFile)
     if (!fsOf(spark, p).exists(p)) None

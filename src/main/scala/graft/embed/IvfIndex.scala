@@ -316,16 +316,7 @@ object IvfIndex {
         s"do not match the saved layout $existing (same idCol and vector column required)")
     // A tombstoned id would be silently swallowed by load()'s anti-join —
     // refuse the batch loudly; compactDeletes first frees the id.
-    tombstones(spark, path).foreach { t =>
-      val idName = t.schema.fieldNames.head
-      require(idName == idCol,
-        s"IvfIndex.append: tombstone id column '$idName' != batch id column '$idCol'")
-      val clash = df.select(col(idCol))
-        .join(t.select(idName).distinct(), Seq(idCol), "left_semi").limit(1)
-      require(clash.isEmpty,
-        s"IvfIndex.append: batch contains tombstoned ids — run compactDeletes " +
-          s"on $path first (a tombstone shadows its id)")
-    }
+    graft.core.BatchCommit.requireNotTombstoned(df, idCol, path, "IvfIndex.append")
     val tok = token.getOrElse(graft.core.BatchCommit.batchToken(df, idCol))
     graft.core.BatchCommit.appendExactlyOnce(spark, path, "cells", tok,
       sidecarState = Map.empty,
@@ -336,14 +327,11 @@ object IvfIndex {
       updateSidecar = _ => ())
   }
 
-  private val tombSubdir = "tombstones"
-
   /** Delete ids from a SAVED index without rewriting cells — the
     * "right to be forgotten" path at corpus scale: the ids are recorded as
     * tombstones that [[load]] subtracts (anti-join), so a deletion batch
-    * costs O(batch) write and ZERO index IO. Idempotent by construction:
-    * the tombstone batch directory is named by the ids' content token, so
-    * a crashed or replayed delete overwrites itself and converges.
+    * costs O(batch) write and ZERO index IO. Idempotent by construction
+    * (content-token batch directory, [[graft.core.BatchCommit]] protocol).
     *
     * A tombstone shadows its id until [[compactDeletes]] reclaims the
     * space; re-appending a tombstoned id is refused loudly by [[append]]'s
@@ -351,20 +339,9 @@ object IvfIndex {
     * first. Returns the number of distinct ids tombstoned.
     */
   def delete(df: DataFrame, idCol: String, path: String): Long = {
-    val spark = df.sparkSession
-    require(graft.core.MetaIo.exists(spark, s"$path/centroids.json"),
+    require(graft.core.MetaIo.exists(df.sparkSession, s"$path/centroids.json"),
       s"IvfIndex.delete: no index at $path (missing centroids.json)")
-    val ids = df.select(col(idCol)).distinct()
-    val token = graft.core.BatchCommit.batchToken(ids, idCol)
-    ids.coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/$tombSubdir/batch_$token")
-    ids.count()
-  }
-
-  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
-    val dir = s"$path/$tombSubdir"
-    if (!graft.core.MetaIo.exists(spark, dir)) None
-    else Some(spark.read.option("recursiveFileLookup", "true").parquet(dir))
+    graft.core.BatchCommit.writeTombstones(df, idCol, path)
   }
 
   /** Rewrite a tombstoned index at `dest` WITHOUT the deleted rows —
@@ -396,12 +373,7 @@ object IvfIndex {
     // Tombstoned ids are subtracted at load: the scan's partition pruning
     // is unaffected (the anti-join sits above it) and the deletion set
     // broadcasts while small.
-    val cells = tombstones(spark, path) match {
-      case Some(t) =>
-        val idName = t.schema.fieldNames.head
-        cells0.join(t.select(idName).distinct(), Seq(idName), "left_anti")
-      case None => cells0
-    }
+    val cells = graft.core.BatchCommit.subtractTombstones(spark, path, cells0)
     val metaPath = s"$path/centroids.json"
     val centroids =
       if (graft.core.MetaIo.exists(spark, metaPath)) {

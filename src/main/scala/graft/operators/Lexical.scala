@@ -264,6 +264,9 @@ object LexIndex {
     require(existing.contains("dl"),
       s"LexIndex.append: $path uses the legacy postings layout (no dl column) — rebuild with save()")
     if (df.isEmpty) return
+    // A tombstoned id's postings would be swallowed by search's anti-join.
+    graft.core.BatchCommit.requireNotTombstoned(
+      df.select(col(idCol).as("id")), "id", path, "LexIndex.append")
     val (_, _, nBuckets) = readStats(path)
     // One narrow aggregate computes the batch's stats delta AND its content
     // token (count + order-independent XOR id hash, so every replay of this
@@ -288,6 +291,48 @@ object LexIndex {
         writeStats(path, p("n0") + dn, p("sumdl0") + dsum, nBuckets))
   }
 
+  /** Delete documents from a saved index without rewriting postings —
+    * tombstones under the shared [[graft.core.BatchCommit]] protocol
+    * (content-token batch dirs, idempotent replay, O(batch) write, zero
+    * index IO). [[search]] subtracts tombstoned docs' postings, so deleted
+    * documents can never be returned; like Lucene before a merge, the
+    * COLLECTION stats (n, Σdl → idf/avgdl) stay stale until
+    * [[compactDeletes]] — per-term df is already fresh (it is computed
+    * from the surviving postings at query time). Returns the number of
+    * distinct ids tombstoned.
+    */
+  def delete(df: DataFrame, idCol: String, path: String): Long = {
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "stats.json")),
+      s"LexIndex.delete: no index at $path (missing stats.json)")
+    // Postings carry the id under the canonical "id" column — normalize so
+    // the reader-side anti-join lines up whatever the caller's idCol was.
+    graft.core.BatchCommit.writeTombstones(
+      df.select(col(idCol).as("id")), "id", path)
+  }
+
+  /** Rewrite a tombstoned index at `dest` without the deleted postings and
+    * with EXACT recomputed stats — never in place (a crashed compaction
+    * leaves `src` untouched). Stats are recomputed from the surviving
+    * postings ((n, Σdl) over distinct ids), which equals a fresh
+    * [[save]] on the surviving documents — except that zero-token
+    * documents (which have no postings and can never match a query) drop
+    * out of n; document-count consumers of stats.json should prefer the
+    * corpus over a compacted index.
+    */
+  def compactDeletes(spark: SparkSession, src: String, dest: String): Unit = {
+    require(src != dest, "LexIndex.compactDeletes: dest must differ from src (no in-place rewrite)")
+    graft.core.BatchCommit.requireClean(spark, src, "LexIndex")
+    val (_, _, nBuckets) = readStats(src)
+    val post = graft.core.BatchCommit.subtractTombstones(spark, src,
+      graft.core.BatchCommit.readData(spark, src, "postings"))
+    post.repartition(col(bucketCol))
+      .write.mode("overwrite").partitionBy(bucketCol).parquet(s"$dest/postings")
+    val r = post.groupBy("id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).cast("double"), sum(col("dl")).cast("double")).head()
+    writeStats(dest, r.getDouble(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1),
+      nBuckets)
+  }
+
   /** Search a saved index. Reads: stats.json (driver, bytes) and the
     * postings partitions of the query terms' buckets (pruned scan) — nothing
     * else; doc lengths ride inside the posting rows and document frequencies
@@ -310,8 +355,12 @@ object LexIndex {
         org.apache.spark.sql.types.StringType, 42L)
       math.floorMod(h, nBuckets.toLong).toInt
     }.distinct
-    val post = graft.core.BatchCommit.readData(spark, path, "postings")
-      .filter(col(bucketCol).isin(bucketLits: _*) && col("term").isin(terms: _*))
+    // Deleted docs' postings are subtracted ABOVE the pruned scan, so they
+    // can never score; per-term df below is therefore survivor-fresh, while
+    // (n, avgdl) stay stale until compactDeletes — the Lucene contract.
+    val post = graft.core.BatchCommit.subtractTombstones(spark, path,
+      graft.core.BatchCommit.readData(spark, path, "postings")
+        .filter(col(bucketCol).isin(bucketLits: _*) && col("term").isin(terms: _*)))
     require(post.columns.contains("dl"),
       s"LexIndex.search: $path uses the legacy postings layout (no dl column) — rebuild with save()")
     val dfs = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))

@@ -170,6 +170,41 @@ class LexicalSpec extends SparkSpec {
     }
   }
 
+  test("LexIndex.delete hides docs; compaction equals a rebuild on survivors") {
+    val docs = Seq(
+      (1L, "spark join window functions"),
+      (2L, "spark streaming watermark state"),
+      (3L, "window aggregation over events"),
+      (4L, "join strategies broadcast shuffle")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("lex_del").toString
+    LexIndex.save(docs, "text", "doc_id", s"$tmp/idx", nBuckets = 8)
+    assert(LexIndex.delete(docs.filter($"doc_id" === 2), "doc_id", s"$tmp/idx") == 1L)
+    // Deleted doc never returned; survivors still score.
+    val hits = LexIndex.search(spark, s"$tmp/idx", "spark window", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(hits == Set(1L, 3L), hits.toString)
+    // Idempotent replay.
+    assert(LexIndex.delete(docs.filter($"doc_id" === 2), "doc_id", s"$tmp/idx") == 1L)
+    // Re-append of a tombstoned id refused; fresh ids fine.
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.append(docs.filter($"doc_id" === 2), "text", "doc_id", s"$tmp/idx")
+    }
+    assert(e.getMessage.contains("tombstoned"), e.getMessage)
+    LexIndex.append(Seq((9L, "spark everywhere")).toDF("doc_id", "text"),
+      "text", "doc_id", s"$tmp/idx")
+    // Compaction ≡ rebuild on survivors, scores included (exact stats).
+    LexIndex.compactDeletes(spark, s"$tmp/idx", s"$tmp/compacted")
+    LexIndex.save(docs.filter($"doc_id" =!= 2)
+        .unionByName(Seq((9L, "spark everywhere")).toDF("doc_id", "text")),
+      "text", "doc_id", s"$tmp/rebuild", nBuckets = 8)
+    val comp = LexIndex.search(spark, s"$tmp/compacted", "spark window", k = 10)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val reb = LexIndex.search(spark, s"$tmp/rebuild", "spark window", k = 10)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(comp == reb, s"$comp vs $reb")
+  }
+
   test("tfidf top terms: discriminative terms win, ubiquitous terms score zero") {
     val docs = Seq(
       (1L, "spark spark unique common"),
