@@ -665,6 +665,74 @@ object Queries {
       fromTombstoned
     }),
 
+    "ann_ivf_partial_probe" -> ((s, dir) => {
+      // PRUNED-probe correctness, oracle-checked: with caller-supplied
+      // centroids (the embeddings of vec_id 0,10,…,70 — the
+      // bring-your-own-quantizer path that at 100 TB trains the quantizer
+      // once on a sample and pays only the assignment scan), cell
+      // assignment (argmin L2, first wins) and the nProbe=2 probe set
+      // (top-cosine cells, ties → lowest) are pure arithmetic the oracle
+      // reproduces — so the PARTIAL probe result is hash-verified, not
+      // just the exhaustive nProbe=nCells tier the other ann gates pin.
+      val e = read(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 80)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      val (indexed, model) =
+        graft.embed.IvfIndex.buildWithCentroids(withVec, "emb", cents)
+      val qv = e.filter(col("vec_id") === 11).select("embedding")
+        .head().getSeq[Float](0)
+      graft.embed.IvfIndex.search(indexed, model, "emb", qv, k = 12, nProbe = 2,
+          scoreCol = "raw", tieBreak = Seq(col("vec_id")))
+        .orderBy(col("raw").desc, col("vec_id"))
+        .select(col("vec_id"), round(col("raw"), 3).as("score"))
+    }),
+
+    "ann_batch_search" -> ((s, dir) => {
+      // BATCH retrieval: the whole query table (vec_id 1,2,3) resolves in
+      // ONE distributed job — each query computes its own nProbe=2 probe
+      // set inside the scan (ProbeCells expression), explodes to
+      // (query, cell) pairs, one equi-join on the cell delivers the IVF
+      // candidates, per-query top-5 lowers to WindowGroupLimit. Same
+      // pinned-sample centroids as ann_ivf_partial_probe, so the oracle
+      // reproduces assignment, per-query probe sets, and ranking exactly.
+      val e = read(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 80)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      val (indexed, model) =
+        graft.embed.IvfIndex.buildWithCentroids(withVec, "emb", cents)
+      val queries = e.filter(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.embed.IvfIndex.searchBatch(
+          indexed.select(col("vec_id"), col(EmbedOps.vecCol("emb")),
+            col(graft.embed.IvfIndex.cellCol)),
+          model, "emb", queries, "qid", "qvec", k = 5, nProbe = 2,
+          scoreCol = "raw", tieBreak = Seq(col("vec_id")))
+        .select(col("qid"), col("vec_id"), round(col("raw"), 3).as("score"))
+        .orderBy(col("qid"), col("raw").desc, col("vec_id"))
+    }),
+
+    "ann_prefix_rerank" -> ((s, dir) => {
+      // Matryoshka two-stage search: stage 1 ranks the corpus by cosine
+      // over the FIRST 16 of 64 dims (4× less compute on the whole-corpus
+      // pass), keeps 50 candidates; stage 2 reranks those by full-dim
+      // cosine. The oracle reproduces both stages with list_slice — the
+      // candidate cut is part of the hash, so the staging itself is
+      // verified, not just the final ranking.
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 9).select("embedding")
+        .head().getSeq[Float](0)
+      EmbedOps.semSearchPrefix(
+          e.withColumnRenamed("embedding", EmbedOps.vecCol("emb")), "emb",
+          qv, k = 10, prefixDim = 16, candidates = 50,
+          scoreCol = "raw", tieBreak = Seq(col("vec_id")))
+        .orderBy(col("raw").desc, col("vec_id"))
+        .select(col("vec_id"), round(col("raw"), 3).as("score"))
+    }),
+
     "ann_ivf_filtered" -> ((s, dir) => {
       // Filtered ANN: top-k among the rows satisfying a metadata predicate
       // (the reference's id-subset search, lotus/vector_store/faiss_vs.py:57-72,
@@ -1894,6 +1962,87 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "corpus_bucketed_join" -> ((s, dir) => {
+      // Bucketed snapshot layout: two document snapshots written as
+      // 8-bucket external parquet tables on doc_id (one file per bucket,
+      // bucket-sorted), then joined bucket-against-bucket.
+      // CorpusPrep.bucketedJoin REFUSES any plan containing an Exchange,
+      // so a green row here certifies the shuffle-free co-located join
+      // the layout buys — at 100 TB that deletes the dominant cost (a
+      // full shuffle of both sides) from every repeated join on the key.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_verify_bkt").toString
+      val d = read(s, dir, "documents")
+      val old = d.select(col("doc_id"), col("lang"), col("n_chars"))
+      val neu = d.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, col("n_chars") + 7)
+          .otherwise(col("n_chars")).as("n_chars"))
+      CorpusPrep.writeBucketed(old, "graft_bkt_old", s"$tmp/old", "doc_id", 8)
+      CorpusPrep.writeBucketed(neu, "graft_bkt_new", s"$tmp/new", "doc_id", 8)
+      CorpusPrep.bucketedJoin(s, "graft_bkt_old", "graft_bkt_new", "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("n_chars_r"),
+          (col("n_chars_r") =!= col("n_chars")).as("changed"))
+        .orderBy("doc_id")
+    }),
+
+    "embed_incremental_refresh" -> ((s, dir) => {
+      // Incremental re-embedding, end to end: diff two vector snapshots by
+      // content fingerprint, tombstone the removed+changed ids, COMPACT
+      // (frees the tombstoned ids — append refuses shadowed ids by
+      // contract), then append only the changed+added vectors. nProbe =
+      // nCells makes the final probe exhaustive, so the refreshed index's
+      // top-k must equal exact cosine top-k over the NEW snapshot (the
+      // oracle) — refresh ≡ full rebuild without re-embedding the
+      // unchanged bulk of a 100 TB corpus. Snapshot 2 is pure arithmetic:
+      // %7==1 removed, %7==2 REVERSED (a direction change — scaling would
+      // leave cosine invariant), a +100000-shifted reversed copy of %7==3
+      // added.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_verify_refresh").toString
+      val e = read(s, dir, "embeddings")
+      val v = EmbedOps.vecCol("emb")
+      val withVec = e.withColumnRenamed("embedding", v)
+      val changed = withVec.filter(col("vec_id") % 7 === 2)
+        .withColumn(v, reverse(col(v)))
+      val added = withVec.filter(col("vec_id") % 7 === 3)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn(v, reverse(col(v)))
+      val snap2 = withVec
+        .filter(col("vec_id") % 7 =!= 1 && col("vec_id") % 7 =!= 2)
+        .unionByName(changed).unionByName(added)
+      // Pinned-sample centroids (the bring-your-own-quantizer path): the
+      // refresh ≡ rebuild proof only needs nProbe = nCells, so skip the
+      // k-means fit — it's the expensive part of build() and irrelevant
+      // here (and at 100 TB a refresh REUSES the previous generation's
+      // quantizer anyway, exactly this call).
+      val cents = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 80)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val (indexed, model) =
+        graft.embed.IvfIndex.buildWithCentroids(withVec, "emb", cents)
+      graft.embed.IvfIndex.save(indexed, model, "emb", "vec_id", s"$tmp/idx")
+      def printable(df: DataFrame) =
+        df.withColumn("__emb_str", col(v).cast("string"))
+      val diff = CorpusPrep.diffSnapshots(
+        printable(withVec), printable(snap2), "vec_id", "__emb_str")
+      val stale = diff.filter(col("status").isin("removed", "changed"))
+        .select("vec_id")
+      val n = graft.embed.IvfIndex.delete(stale, "vec_id", s"$tmp/idx")
+      require(n > 0, "refresh gate tombstoned no ids")
+      graft.embed.IvfIndex.compactDeletes(s, s"$tmp/idx", s"$tmp/idx2")
+      val freshIds = diff.filter(col("status").isin("added", "changed"))
+        .select("vec_id")
+      graft.embed.IvfIndex.append(
+        snap2.join(freshIds, Seq("vec_id"), "left_semi"), "emb", "vec_id",
+        s"$tmp/idx2")
+      val qv = e.filter(col("vec_id") === 11).select("embedding")
+        .head().getSeq[Float](0)
+      val (loaded, m) = graft.embed.IvfIndex.load(s, s"$tmp/idx2")
+      graft.embed.IvfIndex.search(loaded, m, "emb", qv, k = 12, nProbe = 8,
+          scoreCol = "raw", tieBreak = Seq(col("vec_id")))
+        .orderBy(col("raw").desc, col("vec_id"))
+        .select(col("vec_id"), round(col("raw"), 3).as("score"))
+    }),
+
     "dedup_minhash_keepbest" -> ((s, dir) => {
       // Quality keep policy over the same minhash pair graph as
       // dedup_minhash: per duplicate cluster keep the LONGEST member
@@ -2378,6 +2527,24 @@ object Queries {
       LexIndex.save(read(s, dir, "documents"), "text", "doc_id", path, nBuckets = 16)
       LexIndex.search(s, path, "spark join window", k = 10)
         .select(col("id").as("doc_id"), round(col("bm25"), 3).as("score"))
+    }),
+
+    "bm25_batch_search" -> ((s, dir) => {
+      // Batch retrieval over the saved inverted index: THREE queries in
+      // ONE job — the postings scan prunes to the union of the queries'
+      // term buckets, per-term df is computed once and shared, the
+      // (query, term) table broadcasts into the postings join, and
+      // per-query top-8 lowers to WindowGroupLimit. The oracle reproduces
+      // each query's BM25 score assembly exactly (shared-term df reuse
+      // included: q1 and q3 both probe 'spark').
+      val path = java.nio.file.Files.createTempDirectory("graft_verify_lexb").toString + "/idx"
+      LexIndex.save(read(s, dir, "documents"), "text", "doc_id", path, nBuckets = 16)
+      LexIndex.searchBatch(s, path,
+          Seq(1L -> "spark join", 2L -> "window filter", 3L -> "spark window"),
+          k = 8)
+        .orderBy(col("qid"), col("bm25").desc, col("id"))
+        .select(col("qid"), col("id").as("doc_id"),
+          round(col("bm25"), 3).as("score"))
     }),
 
     "bm25_append" -> ((s, dir) => {
@@ -3194,6 +3361,74 @@ object Queries {
         |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
         |LIMIT 12""".stripMargin,
 
+    // The full IVF pipeline in SQL: the same pinned-sample centroids,
+    // argmin-L2 first-wins assignment, top-2-cosine probe set (ties →
+    // lowest cell), then top-k among rows in probed cells only.
+    "ann_ivf_partial_probe" ->
+      """WITH cents AS (
+        |  SELECT CAST(vec_id // 10 AS INT) AS c, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 80),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 11),
+        |probe AS (
+        |  SELECT c FROM cents, q
+        |  ORDER BY list_cosine_similarity(ce, qv) DESC, c LIMIT 2),
+        |assigned AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    (SELECT c FROM cents
+        |     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), ce), c
+        |     LIMIT 1) AS cell
+        |  FROM embeddings e)
+        |SELECT a.vec_id,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv), 3) AS score
+        |FROM assigned a JOIN probe p ON a.cell = p.c, q
+        |ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv) DESC, a.vec_id
+        |LIMIT 12""".stripMargin,
+
+    // Per-query IVF batch search in SQL: same pinned centroids and
+    // assignment CTE as ann_ivf_partial_probe, probe sets ranked PER
+    // query, top-5 per query via row_number.
+    "ann_batch_search" ->
+      """WITH cents AS (
+        |  SELECT CAST(vec_id // 10 AS INT) AS c, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 80),
+        |qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id IN (1, 2, 3)),
+        |probe AS (
+        |  SELECT qid, c FROM (
+        |    SELECT q.qid, c.c,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(c.ce, q.qv) DESC, c.c) AS rn
+        |    FROM qs q, cents c) WHERE rn <= 2),
+        |assigned AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    (SELECT c FROM cents
+        |     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), ce), c
+        |     LIMIT 1) AS cell
+        |  FROM embeddings e),
+        |scored AS (
+        |  SELECT p.qid, a.vec_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv) AS cs
+        |  FROM assigned a JOIN probe p ON a.cell = p.c JOIN qs q ON q.qid = p.qid)
+        |SELECT qid, vec_id, round(cs, 3) AS score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY qid, cs DESC, vec_id""".stripMargin,
+
+    // Both stages reproduced: prefix-cosine top-50 cut, then full-dim
+    // top-10 among the survivors.
+    "ann_prefix_rerank" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 9),
+        |cand AS (
+        |  SELECT e.vec_id, e.embedding FROM embeddings e, q
+        |  ORDER BY list_cosine_similarity(CAST(list_slice(e.embedding, 1, 16) AS DOUBLE[]),
+        |                                  list_slice(q.qv, 1, 16)) DESC, e.vec_id
+        |  LIMIT 50)
+        |SELECT c.vec_id,
+        |  round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qv), 3) AS score
+        |FROM cand c, q
+        |ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qv) DESC, c.vec_id
+        |LIMIT 10""".stripMargin,
+
     // Exact cosine top-k over the SURVIVING (even) vectors only.
     "ann_ivf_delete" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
@@ -3524,6 +3759,31 @@ object Queries {
     // %10 ids exist only in new (added), %9 only in old (removed), %7 had
     // old text mutated (changed); ids hitting both %10 and %9 are in
     // neither snapshot.
+    // The same per-doc change classification the bucket-local join
+    // computes; the plan contract (no Exchange) is asserted Spark-side.
+    "corpus_bucketed_join" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 7 ELSE n_chars END AS n_chars_r,
+        |  (CASE WHEN doc_id % 5 = 0 THEN n_chars + 7 ELSE n_chars END) != n_chars AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Exact cosine top-k over snapshot 2, constructed by the same
+    // arithmetic the gate uses (%7==1 removed, %7==2 reversed, reversed
+    // copies of %7==3 added under shifted ids).
+    "embed_incremental_refresh" ->
+      """WITH snap2 AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 NOT IN (1, 2)
+        |  UNION ALL
+        |  SELECT vec_id, list_reverse(embedding) FROM embeddings WHERE vec_id % 7 = 2
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_reverse(embedding) FROM embeddings WHERE vec_id % 7 = 3
+        |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11)
+        |SELECT s.vec_id,
+        |  round(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score
+        |FROM snap2 s, q
+        |ORDER BY list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, s.vec_id
+        |LIMIT 12""".stripMargin,
+
     "corpus_diff_snapshots" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN 'added'
@@ -4038,6 +4298,49 @@ object Queries {
     // The appended index computes the same stats totals and posting rows as
     // a fresh full-corpus build, so the same oracle is the truth.
     "bm25_append" -> Bm25SavedOracle,
+
+    // Three BM25 queries over one tokenized-docs CTE: per-term tf/df
+    // computed once (the shared-scan form of the batch), per-query score
+    // sums in the engine's op order, top-8 per query via row_number over
+    // the UNROUNDED score.
+    "bm25_batch_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tfa,
+        |    CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tfb,
+        |    CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tfc,
+        |    CAST(len(list_filter(w, x -> x = 'filter')) AS DOUBLE) AS tfd
+        |  FROM t),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+        |    CAST(sum(CASE WHEN tfa > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfa,
+        |    CAST(sum(CASE WHEN tfb > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfb,
+        |    CAST(sum(CASE WHEN tfc > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfc,
+        |    CAST(sum(CASE WHEN tfd > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfd
+        |  FROM d),
+        |scored AS (
+        |  SELECT d.doc_id, dl, tfa, tfb, tfc, tfd, n, sumdl, dfa, dfb, dfc, dfd,
+        |    ln(1.0 + (n - dfa + 0.5) / (dfa + 0.5)) * tfa * 2.2 / (tfa + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))) AS sa,
+        |    ln(1.0 + (n - dfb + 0.5) / (dfb + 0.5)) * tfb * 2.2 / (tfb + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))) AS sb,
+        |    ln(1.0 + (n - dfc + 0.5) / (dfc + 0.5)) * tfc * 2.2 / (tfc + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))) AS sc,
+        |    ln(1.0 + (n - dfd + 0.5) / (dfd + 0.5)) * tfd * 2.2 / (tfd + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))) AS sd
+        |  FROM d, s),
+        |perq AS (
+        |  SELECT 1 AS qid, doc_id, sa + sb AS score FROM scored
+        |  UNION ALL
+        |  SELECT 2 AS qid, doc_id, sc + sd AS score FROM scored
+        |  UNION ALL
+        |  SELECT 3 AS qid, doc_id, sa + sc AS score FROM scored)
+        |SELECT qid, doc_id, round(score, 3) AS score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, doc_id) AS rn
+        |  FROM perq)
+        |WHERE rn <= 8 AND score > 0
+        |ORDER BY qid, score DESC, doc_id""".stripMargin,
 
     "hybrid_search_rrf" -> HybridRrfOracle,
 

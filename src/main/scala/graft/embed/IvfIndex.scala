@@ -98,6 +98,61 @@ object IvfIndex {
     (out, IvfModel(centroids))
   }
 
+  /** Index with CALLER-SUPPLIED centroids — the bring-your-own-quantizer
+    * path. At 100 TB the quantizer is trained ONCE on a driver-sized sample
+    * (or reused from the previous index generation so cell ids stay
+    * comparable across rebuilds) and the full corpus only pays the narrow
+    * O(k·d) assignment scan — never a second k-means over the data. Also
+    * the oracle hook: with pinned centroids, cell assignment and probe
+    * ranking are pure arithmetic an external engine can reproduce, which
+    * makes the PRUNED nProbe < nCells search path hash-checkable (the
+    * exhaustive-probe gates only certify the nProbe = nCells tier).
+    */
+  def buildWithCentroids(df: DataFrame, c: String,
+      centroids: Array[Array[Float]]): (DataFrame, IvfModel) = {
+    require(centroids.nonEmpty, "buildWithCentroids: empty centroid table")
+    require(centroids.forall(_.length == centroids.head.length),
+      "buildWithCentroids: ragged centroid table")
+    val indexed = EmbedOps.semIndex(df, c)
+    val v = EmbedOps.vecCol(c)
+    val out = indexed.withColumn(cellCol,
+      graft.functions.VectorExprs.nearestCentroid(col(v), centroids))
+    (out, IvfModel(centroids.map(_.clone())))
+  }
+
+  /** Recall@k per probe tier against the exact top-k — the tuning table
+    * for the recall/IO trade (how many of the nCells cell-partitions must
+    * a query actually read?). Queries are a handful of driver-side probe
+    * vectors (a tuning run, not a data-scale path); each tier is one
+    * pruned search job. Returns (query_id, n_probe, recall) with recall
+    * ≡ 1.0 guaranteed at nProbe = nCells.
+    */
+  def recallReport(indexed: DataFrame, model: IvfModel, c: String,
+      queries: Seq[(Long, Seq[Float])], k: Int, nProbes: Seq[Int],
+      idCol: String): DataFrame = {
+    require(queries.nonEmpty && nProbes.nonEmpty,
+      "recallReport: need at least one query and one probe tier")
+    val spark = indexed.sparkSession
+    val rows = for ((qid, qv) <- queries) yield {
+      val exact = search(indexed, model, c, qv, k, nProbe = model.nCells,
+          tieBreak = Seq(col(idCol)))
+        .select(idCol).collect().map(_.get(0)).toSet
+      (qid, exact)
+    }
+    val out = for {
+      (qid, exact) <- rows
+      np <- nProbes.sorted
+    } yield {
+      val qv = queries.find(_._1 == qid).get._2
+      val got = search(indexed, model, c, qv, k, nProbe = np,
+          tieBreak = Seq(col(idCol)))
+        .select(idCol).collect().map(_.get(0)).toSet
+      (qid, np, got.intersect(exact).size.toDouble / math.max(1, exact.size))
+    }
+    import spark.implicits._
+    out.toDF("query_id", "n_probe", "recall")
+  }
+
   /** Public fit entry for other operators (semClusterBy shares the layout):
     * `nRestarts` seeded k-means++ runs, keep the lowest-SSE solution.
     * Restarts dodge the single-run local optima a lone Lloyd's descent can
@@ -413,6 +468,46 @@ object IvfIndex {
       .orderBy(col(scoreCol).desc +: tieBreak: _*)
       .limit(k)
       .drop(payloadCols :+ cellCol: _*)
+  }
+
+  /** Batch retrieval: top-k per query over ONE distributed job — the
+    * RAG-eval / recommendation workload where the query set is itself a
+    * table (thousands to millions of rows). Per-query [[search]] calls
+    * would be Q driver-scheduled jobs; here every query computes its probe
+    * set inside the scan ([[graft.functions.ProbeCells]]), explodes to
+    * (query, cell) pairs, and ONE equi-join on the cell column delivers
+    * exactly the IVF candidate set — over a [[save]]d index the cell join
+    * key is also the partition key, so candidates co-locate without
+    * touching unprobed cells. Per-query top-k lowers to WindowGroupLimit
+    * (each map task keeps ≤ k rows per query before the single shuffle).
+    *
+    * `queries` must not share column names with the index frame (rename
+    * to e.g. `qid`/`qvec`); pass `tieBreak` for deterministic results.
+    */
+  def searchBatch(indexed: DataFrame, model: IvfModel, c: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nProbe: Int, scoreCol: String = "vec_scores",
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val v = EmbedOps.vecCol(c)
+    require(indexed.columns.contains(v),
+      s"IVF searchBatch: frame lacks $v — load a raw-vector index " +
+        "(SQ8/PQ collections batch-search via their dequantized load path)")
+    val overlap = indexed.columns.toSet.intersect(queries.columns.toSet)
+    require(overlap.isEmpty,
+      s"IVF searchBatch: rename query columns colliding with the index: $overlap")
+    val probeCol = "__probe_cell"
+    val probes = queries.select(col(queryIdCol), col(queryVecCol),
+      explode(graft.functions.VectorExprs.probeCells(
+        col(queryVecCol), model.centroids, nProbe)).as(probeCol))
+    val scored = indexed.join(probes, col(cellCol) === col(probeCol))
+      .withColumn(scoreCol, EmbedOps.cosineSim(col(v), col(queryVecCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col(scoreCol).desc +: tieBreak: _*)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank", probeCol, cellCol, v, queryVecCol)
   }
 
   /** Text-query convenience: embed with the session embedder, then [[search]]. */

@@ -141,6 +141,58 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/** Top-`nProbe` IVF cells by cosine similarity to the row's vector (ties →
+  * lowest cell id) — the batch-retrieval probe kernel. One expression per
+  * QUERY row lets a whole query table compute its probe sets inside the
+  * scan (no driver loop over queries), which is what turns Q searches into
+  * ONE distributed join. Same centroid-in-closure shape as
+  * [[NearestCentroid]]; per-row work is O(nCells·dim + nCells log nCells).
+  */
+case class ProbeCells(child: Expression, centroids: Array[Array[Float]],
+    nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"probe_cells requires array<float>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    val scored = new Array[(Double, Int)](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      if (d != cent.length) throw new IllegalArgumentException(
+        s"probe_cells dimension mismatch: vector dim $d vs centroid dim ${cent.length}")
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      while (i < d) {
+        val x = v.getFloat(i).toDouble
+        dot += x * cent(i); nv += x * x; nc += cent(i).toDouble * cent(i)
+        i += 1
+      }
+      val denom = math.sqrt(nv) * math.sqrt(nc)
+      scored(c) = (if (denom == 0.0) 0.0 else dot / denom, c)
+      c += 1
+    }
+    val top = scored.sortBy { case (s, i) => (-s, i) }
+      .take(math.min(nProbe, centroids.length)).map(_._2)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(top)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.graft.ColumnBridge
   /** Column wrapper: dot product of two numeric array columns (codegen'd). */
@@ -150,4 +202,7 @@ object VectorExprs {
   /** Column wrapper: nearest-centroid index of a float-array column. */
   def nearestCentroid(v: Column, centroids: Array[Array[Float]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), centroids))
+
+  def probeCells(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+    ColumnBridge.column(ProbeCells(ColumnBridge.expression(v), centroids, nProbe))
 }

@@ -571,4 +571,66 @@ object CorpusPrep {
         .when(col("__fp_old") === col("__fp_new"), lit("unchanged"))
         .otherwise(lit("changed")).as("status"))
   }
+
+  /** Write a snapshot as a BUCKETED parquet table: rows hash-distributed
+    * into `nBuckets` files on `bucketCol`, each bucket ONE file sorted on
+    * the bucket column.
+    *
+    * This is the co-located layout for datasets that are JOINED on the same
+    * key again and again (snapshot diffs, dedup-index probes, metadata ⋈
+    * embeddings): two tables bucketed the same way sort-merge join with
+    * ZERO exchanges and ZERO sorts — at 100 TB that deletes the dominant
+    * cost (a full shuffle of both sides) from every repeated join, paid
+    * once at write time instead. Spark's bucket-pruning also turns an
+    * equality predicate on the bucket column into a one-file scan.
+    *
+    * Mechanics worth pinning: the explicit `repartition(nBuckets, key)`
+    * uses the SAME Murmur3 hash as the bucket spec, so each writing task
+    * holds exactly one bucket and emits exactly one file — the
+    * one-file-per-bucket invariant Spark needs to trust the sorted-ness
+    * and skip the sort on read. The table is EXTERNAL (`path`): the
+    * catalog entry holds only the bucket spec, the data lives where all
+    * other corpus artifacts live.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      bucketCol: String, nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"nBuckets $nBuckets must be positive")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    df.repartition(nBuckets, col(bucketCol))
+      .write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(tableName)
+  }
+
+  /** Inner-join two [[writeBucketed]] tables on their shared bucket column —
+    * plan-asserted SHUFFLE-FREE: both sides already hash-partitioned on the
+    * key at write time, so the sort-merge join runs bucket-against-bucket
+    * with no Exchange anywhere in the executed plan (the `merge` hint keeps
+    * the small-table broadcast path from masking a layout regression). The
+    * assertion is the point — a silent fallback to a full shuffle is
+    * exactly the 100 TB failure this layout exists to prevent, so it fails
+    * loudly instead.
+    */
+  def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
+      leftTable: String, rightTable: String, keyCol: String,
+      rightSuffix: String = "_r"): DataFrame = {
+    val l = spark.table(leftTable)
+    val r0 = spark.table(rightTable)
+    val r = r0.columns.foldLeft(r0) { (d, c) =>
+      if (c == keyCol) d else d.withColumnRenamed(c, c + rightSuffix)
+    }
+    val joined = l.hint("merge").join(r.hint("merge"), Seq(keyCol))
+    // String-form check: under AQE the executed plan is an adaptive wrapper
+    // whose children aren't walkable via collect(), but its rendering always
+    // shows the (initial) physical plan — any Exchange in it is a layout
+    // regression.
+    val plan = joined.queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange"),
+      s"bucketedJoin: expected an exchange-free bucket join of $leftTable ⋈ " +
+        s"$rightTable on $keyCol, but the plan shuffles — were both tables " +
+        "written by writeBucketed with the same nBuckets and bucket column?\n" +
+        plan.take(2000))
+    joined
+  }
 }

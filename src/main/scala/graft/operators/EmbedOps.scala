@@ -148,6 +148,36 @@ object EmbedOps {
     }
   }
 
+  /** Matryoshka-style two-stage search: stage 1 ranks by cosine over the
+    * FIRST `prefixDim` dimensions only (an MRL-trained embedding packs the
+    * semantic mass into the prefix), keeps `candidates` rows; stage 2
+    * reranks just those by full-dimension cosine and returns the top k.
+    * At 100 TB stage 1 is the whole-corpus pass and it reads/multiplies
+    * prefixDim/dim of the floats (a 64→512 prefix is an 8× cut in the
+    * scan's compute); the exact full-dim pass touches only `candidates`
+    * rows. Both stages stay codegen'd native expressions; the slice is
+    * zero-copy over the ArrayData buffer.
+    */
+  def semSearchPrefix(df: DataFrame, c: String, qv: Seq[Float], k: Int,
+      prefixDim: Int, candidates: Int, scoreCol: String = "vec_scores",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(prefixDim >= 1 && prefixDim <= qv.length,
+      s"prefixDim $prefixDim out of range for a ${qv.length}-dim query")
+    require(candidates >= k,
+      s"candidates $candidates must be >= k $k (stage 2 only reranks)")
+    val indexed = semIndex(df, c)
+    val v = vecCol(c)
+    val pre = cosineSim(slice(col(v), 1, prefixDim),
+      lit(qv.take(prefixDim).toArray))
+    indexed.withColumn("__prefix_score", pre)
+      .orderBy(col("__prefix_score").desc +: tieBreak: _*)
+      .limit(candidates)
+      .withColumn(scoreCol, cosineSim(col(v), lit(qv.toArray)))
+      .orderBy(col(scoreCol).desc +: tieBreak: _*)
+      .limit(k)
+      .drop(v, "__prefix_score")
+  }
+
   /** sem_sim_join: for each left row, the k nearest right rows by cosine on
     * the two columns' embeddings. Broadcast-hash layout: the right vector
     * table is broadcast (typical dims table), scoring is a nested-loop with

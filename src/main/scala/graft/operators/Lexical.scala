@@ -374,4 +374,57 @@ object LexIndex {
       .orderBy(col(scoreCol).desc, col("id"))
       .limit(k)
   }
+
+  /** Batch retrieval: top-k per query for a WHOLE query set in one job —
+    * the eval/RAG workload ([[search]] per query would be Q driver-
+    * scheduled jobs). The queries tokenize on the driver (a bounded tuning/
+    * eval set), the postings scan prunes to the UNION of all queries' term
+    * buckets, per-term df is computed once and shared, and the (query,
+    * term) table broadcasts into the postings join to fan each posting out
+    * to the queries containing its term. Per-query top-k lowers to
+    * WindowGroupLimit, so map tasks keep ≤ k rows per query before the one
+    * shuffle on the query id. Returns `(qid, id, scoreCol)`.
+    */
+  def searchBatch(spark: SparkSession, path: String,
+      queries: Seq[(Long, String)], k: Int, scoreCol: String = "bm25",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "LexIndex.searchBatch: no queries")
+    val termsByQ = queries.map { case (qid, q) => (qid, Lexical.queryTerms(q)) }
+    termsByQ.foreach { case (qid, ts) =>
+      require(ts.nonEmpty, s"LexIndex.searchBatch: query $qid has no terms")
+    }
+    graft.core.BatchCommit.requireClean(spark, path, "LexIndex")
+    val (n, sumdl, nBuckets) = readStats(path)
+    val allTerms = termsByQ.flatMap(_._2).distinct
+    val bucketLits = allTerms.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType, 42L)
+      math.floorMod(h, nBuckets.toLong).toInt
+    }.distinct
+    val post = graft.core.BatchCommit.subtractTombstones(spark, path,
+      graft.core.BatchCommit.readData(spark, path, "postings")
+        .filter(col(bucketCol).isin(bucketLits: _*) &&
+          col("term").isin(allTerms: _*)))
+    require(post.columns.contains("dl"),
+      s"LexIndex.searchBatch: $path uses the legacy postings layout (no dl column) — rebuild with save()")
+    val dfs = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val avgdl = sumdl / n
+    import spark.implicits._
+    val qt = termsByQ.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("__qid", "term")
+    val perPost = post.join(broadcast(dfs), "term")
+      .join(broadcast(qt), "term")
+      .withColumn("__s",
+        log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / lit(avgdl))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col(scoreCol).desc, col("id"))
+    perPost.groupBy(col("__qid").as("qid"), col("id"))
+      .agg(sum(col("__s")).as(scoreCol))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
 }

@@ -397,4 +397,37 @@ class CorpusPrepSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(ws(9L) == "unchanged")
   }
+
+  test("writeBucketed: one file per bucket; bucketedJoin is exchange-free " +
+      "and refuses a shuffling fallback") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val left = docs
+    val right = docs.select($"id", ($"toks" * 2).as("toks2"))
+    CorpusPrep.writeBucketed(left, "graft_spec_bl", s"$tmp/l", "id", 4)
+    CorpusPrep.writeBucketed(right, "graft_spec_br", s"$tmp/r", "id", 4)
+    // One data file per bucket — the invariant that lets Spark trust the
+    // written sort order and schedule bucket-against-bucket.
+    assert(CorpusPrep.dataFileCount(spark, s"$tmp/l") == 4)
+    assert(CorpusPrep.dataFileCount(spark, s"$tmp/r") == 4)
+    val joined = CorpusPrep.bucketedJoin(spark, "graft_spec_bl",
+      "graft_spec_br", "id")
+    // bucketedJoin's own require already pins exchange-freeness; re-assert
+    // here so a relaxed require can't silently drop the contract.
+    assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"))
+    // Values survive the layout round trip.
+    val m = joined.select("id", "toks", "toks2_r")
+      .as[(Long, Long, Long)].collect()
+    assert(m.length == 400 && m.forall { case (_, t, t2) => t2 == 2 * t })
+    // The same join WITHOUT the bucketed layout shuffles — proving the
+    // assertion bites on exactly the regression it exists to catch.
+    spark.sql("DROP TABLE IF EXISTS graft_spec_plain")
+    right.write.format("parquet").option("path", s"$tmp/plain")
+      .saveAsTable("graft_spec_plain")
+    val e = intercept[IllegalArgumentException] {
+      CorpusPrep.bucketedJoin(spark, "graft_spec_bl", "graft_spec_plain", "id")
+    }
+    assert(e.getMessage.contains("shuffles"), e.getMessage)
+    Seq("graft_spec_bl", "graft_spec_br", "graft_spec_plain")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

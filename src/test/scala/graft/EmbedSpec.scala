@@ -67,6 +67,29 @@ class EmbedSpec extends SparkSpec {
     assert(loaded.filter($"__vec_text".isNull).count() == 0)
   }
 
+  test("semSearchPrefix: candidates = n equals exact search; bad stage " +
+      "sizes refused") {
+    val qv = EmbedOps.semIndex(corpus, "text")
+      .filter($"id" === 2).select("__vec_text").as[Seq[Float]].head()
+    // With the candidate pool covering the whole corpus, stage 2's exact
+    // rerank must reproduce exact search regardless of the prefix cut.
+    val staged = EmbedOps.semSearchPrefix(corpus, "text", qv, k = 3,
+        prefixDim = 8, candidates = 5, tieBreak = Seq(col("id")))
+      .select("id").as[Long].collect().toSeq
+    val exact = EmbedOps.semSearchVec(corpus, "text", qv, 3,
+        tieBreak = Seq(col("id")))
+      .select("id").as[Long].collect().toSeq
+    assert(staged == exact)
+    intercept[IllegalArgumentException] {
+      EmbedOps.semSearchPrefix(corpus, "text", qv, k = 3, prefixDim = 999,
+        candidates = 5)
+    }
+    intercept[IllegalArgumentException] {
+      EmbedOps.semSearchPrefix(corpus, "text", qv, k = 3, prefixDim = 8,
+        candidates = 2)
+    }
+  }
+
   test("semPartitionBy writes _lotus_partition_id") {
     val out = corpus.semPartitionBy("text", 2)
     assert(out.columns.contains("_lotus_partition_id"))

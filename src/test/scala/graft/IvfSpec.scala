@@ -180,6 +180,69 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("buildWithCentroids assigns by the supplied quantizer; recallReport " +
+      "is monotone in nProbe and exactly 1.0 at nProbe = nCells") {
+    // Bring-your-own quantizer: unit axis vectors as centroids — cluster g
+    // rows must land in cell g (their axis dominates the L2 argmin).
+    val cents = Array.tabulate(8)(g =>
+      Array.tabulate(16)(d => if (d == g) 1.0f else 0.0f))
+    val (indexed, model) = IvfIndex.buildWithCentroids(vecs, "emb", cents)
+    assert(model.nCells == 8)
+    val byCell = indexed.select("id", IvfIndex.cellCol).as[(Long, Int)]
+      .collect()
+    assert(byCell.forall { case (id, c) => c == (id % 8) })
+    val qs = Seq(3L, 14L).map { id =>
+      id -> vecs.filter($"id" === id).select(EmbedOps.vecCol("emb"))
+        .as[Seq[Float]].head()
+    }
+    val rep = IvfIndex.recallReport(indexed, model, "emb", qs, k = 10,
+        nProbes = Seq(1, 2, 8), idCol = "id")
+      .as[(Long, Int, Double)].collect()
+    assert(rep.length == 6)
+    for ((qid, _) <- qs) {
+      val tiers = rep.filter(_._1 == qid).sortBy(_._2).map(_._3)
+      assert(tiers.zip(tiers.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone for $qid: ${tiers.toSeq}")
+      assert(tiers.last == 1.0)
+    }
+    // Empty inputs are refused, not an empty frame.
+    intercept[IllegalArgumentException] {
+      IvfIndex.recallReport(indexed, model, "emb", Nil, 10, Seq(1), "id")
+    }
+  }
+
+  test("searchBatch equals per-query search at the same nProbe; collisions " +
+      "and bad probe counts are refused") {
+    val (indexed, model) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
+    val qids = Seq(3L, 14L, 25L)
+    val queries = vecs.filter($"id".isin(qids: _*))
+      .select($"id".as("qid"), col(EmbedOps.vecCol("emb")).as("qvec"))
+    val batch = IvfIndex.searchBatch(indexed, model, "emb", queries,
+        "qid", "qvec", k = 5, nProbe = 2, tieBreak = Seq(col("id")))
+      .select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (q <- qids) {
+      val qv = vecs.filter($"id" === q).select(EmbedOps.vecCol("emb"))
+        .as[Seq[Float]].head()
+      val single = IvfIndex.search(indexed, model, "emb", qv, k = 5,
+          nProbe = 2, tieBreak = Seq(col("id")))
+        .select("id").as[Long].collect().toSet
+      assert(batch(q) == single, s"batch != single for query $q")
+    }
+    // Query columns colliding with the index frame are refused loudly.
+    val colliding = vecs.filter($"id" === 3L)
+      .select($"id", col(EmbedOps.vecCol("emb")).as("qvec"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.searchBatch(indexed, model, "emb", colliding, "id", "qvec",
+        k = 5, nProbe = 2)
+    }
+    assert(e.getMessage.contains("colliding"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      IvfIndex.searchBatch(indexed, model, "emb", queries, "qid", "qvec",
+        k = 5, nProbe = 0)
+    }
+  }
+
   test("deterministic across rebuilds with the same seed") {
     val (i1, m1) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
     val (i2, m2) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)

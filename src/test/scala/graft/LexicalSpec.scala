@@ -54,6 +54,31 @@ class LexicalSpec extends SparkSpec {
       s"bucket filter must reach PartitionFilters:\n$plan")
   }
 
+  test("searchBatch equals per-query search; empty inputs refused") {
+    val path = java.nio.file.Files.createTempDirectory("lexbatch").toString + "/idx"
+    LexIndex.save(docs, "text", "doc_id", path, nBuckets = 8)
+    val qs = Seq(10L -> "spark join", 20L -> "window", 30L -> "table scan")
+    val batch = LexIndex.searchBatch(spark, path, qs, k = 4)
+      .select("qid", "id", "bm25").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    for ((qid, q) <- qs) {
+      val single = LexIndex.search(spark, path, q, k = 4)
+        .select("id", "bm25").as[(Long, Double)].collect().toMap
+      assert(batch(qid).keySet == single.keySet,
+        s"batch != single for '$q': ${batch(qid).keySet} vs ${single.keySet}")
+      batch(qid).foreach { case (id, s) =>
+        assert(math.abs(s - single(id)) < 1e-9, s"query $qid doc $id: $s vs ${single(id)}")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      LexIndex.searchBatch(spark, path, Nil, k = 4)
+    }
+    intercept[IllegalArgumentException] {
+      LexIndex.searchBatch(spark, path, Seq(1L -> "  "), k = 4)
+    }
+  }
+
   test("driver-side bucket hash matches the xxhash64 bucketing expression") {
     val terms = Seq("spark", "join", "window", "zebra", "a")
     val fromExpr = terms.toDF("term")
