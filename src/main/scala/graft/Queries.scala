@@ -2055,6 +2055,62 @@ object Queries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    "dedup_paragraphs" -> ((s, dir) => {
+      // C4-style CROSS-document paragraph dedup: sentence-separated
+      // paragraphs, keep only the globally-first occurrence (lowest
+      // (doc_id, position)) of each normalized paragraph, reassemble
+      // survivors in original order; fully-deduped docs disappear. One
+      // fingerprint shuffle (keep-first lowers to WindowGroupLimit — a
+      // boilerplate paragraph repeated a billion times costs one row per
+      // map task, not a hot reducer) + one reassembly shuffle.
+      Dedup.dedupParagraphs(
+          read(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "events_dpp_join" -> ((s, dir) => {
+      // Dynamic partition pruning: the events fact table hive-partitioned
+      // by event_type, star-joined to a tiny dim FILTERED on a non-key
+      // column. Static pruning cannot see through the dim filter, so the
+      // optimizer must inject the runtime DPP subquery into the scan's
+      // PartitionFilters — REQUIRED here, a silent full scan fails the
+      // gate. This is the 100 TB star-join read-path contract: only the
+      // dim's surviving partitions are listed and read.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_verify_dpp").toString
+      read(s, dir, "events").write.mode("overwrite")
+        .partitionBy("event_type").parquet(s"$tmp/ev")
+      val facts = s.read.parquet(s"$tmp/ev")
+      import s.implicits._
+      // The dim must be a STORED table: a literal Seq constant-folds to a
+      // LocalRelation with the filter pre-applied, and DPP requires a live
+      // selective predicate on the filtering side (exactly the deployed
+      // star-schema shape — dims live in storage).
+      Seq(("click", 1.0), ("view", 0.5), ("error", 0.0),
+        ("purchase", 2.0), ("signup", 0.9)).toDF("event_type", "weight")
+        .write.mode("overwrite").parquet(s"$tmp/dim")
+      val dim = s.read.parquet(s"$tmp/dim")
+      // The DPP cost model compares the fact scan saved against the
+      // broadcast overhead — on the MB-sized gate fixture the saving
+      // rounds to nothing, so pin the decision to the filter-ratio
+      // fallback for the assertion (at real scale the stats path fires on
+      // its own; the conf is restored either way).
+      val useStatsKey = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+      val old = s.conf.get(useStatsKey)
+      val joined =
+        try {
+          s.conf.set(useStatsKey, "false")
+          val j = facts.join(dim.filter(col("weight") >= 1.0), Seq("event_type"))
+          val plan = j.queryExecution.executedPlan.toString
+          require(plan.contains("dynamicpruning"),
+            "expected a dynamicpruningexpression on the partitioned scan — " +
+              s"DPP did not trigger:\n${plan.take(2000)}")
+          j
+        } finally s.conf.set(useStatsKey, old)
+      joined.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+        .orderBy("event_type")
+    }),
+
     "corpus_write_roundtrip" -> ((s, dir) => {
       // The layout-aware corpus writer end to end: write documents hive-
       // partitioned by lang with 2 content-hash shards per partition and
@@ -3783,6 +3839,32 @@ object Queries {
         |FROM snap2 s, q
         |ORDER BY list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, s.vec_id
         |LIMIT 12""".stripMargin,
+
+    // Same split / normalize / keep-first / reassemble pipeline in SQL;
+    // paragraph identity is the normalized string itself (the engine's
+    // md5 fingerprint induces the identical equivalence classes).
+    "dedup_paragraphs" ->
+      """WITH p AS (
+        |  SELECT doc_id, unnest(ps) AS para, generate_subscripts(ps, 1) AS idx
+        |  FROM (SELECT doc_id, string_split(text, '. ') AS ps FROM documents)),
+        |k AS (
+        |  SELECT *, regexp_replace(lower(trim(para)), '\s+', ' ', 'g') AS fp
+        |  FROM p),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id, idx) AS rn
+        |  FROM k)
+        |SELECT doc_id, string_agg(para, '. ' ORDER BY idx) AS text
+        |FROM w WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The joined fact rows are exactly the partitions surviving the dim
+    // filter (weight >= 1: click, purchase); DPP's presence is asserted
+    // Spark-side in the adapter.
+    "events_dpp_join" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_diff_snapshots" ->
       """SELECT doc_id,

@@ -310,7 +310,8 @@ object CorpusPrep {
       targetFileMb: Int = 256, shardsPerPartition: Int = 1,
       sortBy: Seq[String] = Nil, sampleRows: Int = 1000,
       maxRecordsOverride: Option[Long] = None,
-      zOrderBy: Seq[String] = Nil, zBits: Int = 12): WriteLayout = {
+      zOrderBy: Seq[String] = Nil, zBits: Int = 12,
+      codec: Option[String] = None): WriteLayout = {
     require(targetFileMb > 0, s"targetFileMb $targetFileMb must be positive")
     require(shardsPerPartition > 0,
       s"shardsPerPartition $shardsPerPartition must be positive")
@@ -353,8 +354,13 @@ object CorpusPrep {
       if (zOrderBy.nonEmpty) parted.sortWithinPartitions(col(zCol)).drop(zCol)
       else if (sortBy.isEmpty) parted
       else parted.sortWithinPartitions(sortBy.map(col): _*)
-    val writer = sorted.write.mode("overwrite")
+    // Codec is a per-write decision, not a session conf: archival corpus
+    // tiers want zstd (denser, splittable, ~30% smaller than snappy on
+    // text — real money at 100 TB), hot intermediate tiers keep the
+    // session default.
+    val writer0 = sorted.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecords)
+    val writer = codec.fold(writer0)(c => writer0.option("compression", c))
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(path)
     WriteLayout(avg, maxRecords, shardsPerPartition)

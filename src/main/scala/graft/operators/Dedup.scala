@@ -653,4 +653,35 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn", "__cc_id", "rep_id")
   }
+
+  /** CROSS-document paragraph dedup — the C4 "remove duplicated lines
+    * across the corpus" step (Raffel et al. 2020 §2.2 keep-one policy,
+    * applied at paragraph granularity): split every document on `sep`,
+    * keep only the GLOBALLY FIRST occurrence of each paragraph (first =
+    * lowest (id, position), paragraph identity = the whitespace-normalized
+    * lowercased fingerprint), and reassemble the survivors in original
+    * order. Documents whose every paragraph lost disappear (their content
+    * exists verbatim earlier in the corpus).
+    *
+    * Shape at 100 TB: posexplode is per-row; the keep-first pick is ONE
+    * shuffle on the 16-byte fingerprint where `row_number() = 1` lowers to
+    * WindowGroupLimit (map tasks forward one candidate per fingerprint
+    * they hold — a boilerplate paragraph repeated a billion times costs
+    * each task one row, not a hot reducer); reassembly is one shuffle back
+    * on the id. Returns (idCol, textCol) with textCol rebuilt.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = ". "): DataFrame = {
+    val paras = df.select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      .as(Seq("__pos", "__para")))
+      .withColumn("__fp", graft.functions.TextFunctions.fingerprint(col("__para")))
+    val kept = paras.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__fp")).orderBy(col(idCol), col("__pos"))))
+      .filter(col("__rn") === 1)
+    kept.groupBy(col(idCol))
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("__pos"), col("__para")))),
+        x => x("__para")), sep).as(textCol))
+  }
 }

@@ -398,6 +398,23 @@ class CorpusPrepSpec extends SparkSpec {
     assert(ws(9L) == "unchanged")
   }
 
+  test("writeCorpus codec: zstd lands in the file names and round-trips") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_codec").toString
+    CorpusPrep.writeCorpus(docs, s"$tmp/z", Seq("lang"),
+      codec = Some("zstd"))
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/z"))
+      .filter(p => p.toString.endsWith(".parquet")).toArray.map(_.toString)
+    assert(files.nonEmpty && files.forall(_.contains(".zstd.")),
+      files.take(3).mkString(", "))
+    val back = spark.read.parquet(s"$tmp/z")
+    assert(back.count() == 400)
+    // Default stays the session codec (no zstd suffix).
+    CorpusPrep.writeCorpus(docs, s"$tmp/d", Seq("lang"))
+    val dFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/d"))
+      .filter(p => p.toString.endsWith(".parquet")).toArray.map(_.toString)
+    assert(dFiles.nonEmpty && !dFiles.exists(_.contains(".zstd.")))
+  }
+
   test("writeBucketed: one file per bucket; bucketedJoin is exchange-free " +
       "and refuses a shuffling fallback") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString

@@ -314,4 +314,25 @@ class DedupSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(minKept == Seq(1L, 4L, 6L), minKept.toString)
   }
+
+  test("dedupParagraphs keeps the globally-first paragraph occurrence and " +
+      "reassembles survivors in order") {
+    val docs = Seq(
+      (1L, "alpha beta. shared boiler. gamma"),
+      (2L, "shared boiler. delta delta"),          // loses its boilerplate
+      (3L, "SHARED  boiler. epsilon"),             // normalized dup also lost
+      (4L, "shared boiler")                        // fully deduped: disappears
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "alpha beta. shared boiler. gamma",
+      2L -> "delta delta",
+      3L -> "epsilon"))
+    // Partitioning-independent: the keep-first winner is a total order on
+    // (doc_id, position), not arrival order.
+    val out7 = Dedup.dedupParagraphs(docs.repartition(7), "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out7 == out)
+  }
 }
