@@ -2289,6 +2289,59 @@ object Queries {
         .orderBy("lang", "source")
     }),
 
+    "corpus_profile_merge" -> ((s, dir) => {
+      // Profile ALGEBRA: profile(A ∪ B) must equal merge(profile(A),
+      // profile(B)) — the property that lets a year of per-snapshot
+      // profiles fold into a corpus profile without rescanning 100 TB.
+      // The adapter REQUIRES merged ≡ full-scan on every additive column
+      // AND requires the HLL unique-docs estimates to agree within 2%
+      // (DataSketches union is exact in coupon range, approximate after);
+      // the oracle hash-checks the additive columns.
+      val d = read(s, dir, "documents")
+      val p1 = CorpusPrep.mergeableProfile(
+        d.filter(col("doc_id") % 2 === 0), "text", Seq("lang"))
+      val p2 = CorpusPrep.mergeableProfile(
+        d.filter(col("doc_id") % 2 === 1), "text", Seq("lang"))
+      val merged = CorpusPrep.finalizeProfile(
+        CorpusPrep.mergeProfiles(p1, p2, Seq("lang")))
+      val full = CorpusPrep.finalizeProfile(
+        CorpusPrep.mergeableProfile(d, "text", Seq("lang")))
+      val addCols = Seq("lang", "n_docs", "total_tokens", "avg_quality", "avg_chars")
+      require(merged.select(addCols.map(col): _*)
+          .except(full.select(addCols.map(col): _*)).isEmpty,
+        "merged profile diverged from the full-scan profile")
+      val est = merged.select(col("lang"), col("n_unique_docs_est")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      full.select(col("lang"), col("n_unique_docs_est")).collect().foreach { r =>
+        val (m, f) = (est(r.getString(0)), r.getLong(1))
+        require(math.abs(m - f) <= 0.02 * math.max(f.toDouble, 1.0),
+          s"sketch union drifted: lang ${r.getString(0)} merged $m vs full $f")
+      }
+      merged.select(addCols.map(col): _*).orderBy("lang")
+    }),
+
+    "corpus_global_rank" -> ((s, dir) => {
+      // Scale-correct global dense rank: offsets-plus-local-position over
+      // a range repartition — NOT the single-partition window that
+      // row_number() OVER (ORDER BY key) collapses to. The oracle IS that
+      // window (affordable at oracle scale), so the two-pass form is
+      // hash-verified against the textbook definition.
+      CorpusPrep.globalRank(read(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "corpus_negative_samples" -> ((s, dir) => {
+      // Deterministic contrastive negatives: 2 pseudo-random non-self
+      // partners per anchor, a pure function of (salt, id, j) — same
+      // pairs on any cluster/partitioning/engine (md5-derived offset over
+      // the dense rank ring; the 1 + mod(n-1) step can never return the
+      // anchor itself). Oracle reproduces rank, offset and ring walk.
+      CorpusPrep.negativeSamples(
+          read(s, dir, "documents").select("doc_id"), "doc_id",
+          k = 2, salt = "ep1")
+        .orderBy("doc_id", "j")
+    }),
+
     "corpus_quota_tokens" -> ((s, dir) => {
       // Token-budget mixing cap: each language keeps docs (doc_id order)
       // until 20k tokens; the budget-crossing doc is kept, the rest drop.
@@ -4030,6 +4083,54 @@ object Queries {
         |  round(sum(q4) * 1.0 / 10000.0 / count(*), 4) AS avg_quality,
         |  round(sum(n_chars) * 1.0 / count(*), 2) AS avg_chars
         |FROM q GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // The additive profile columns over the full corpus (per lang) — the
+    // merge ≡ full-scan requirement is asserted Spark-side; this pins the
+    // numbers themselves.
+    "corpus_profile_merge" ->
+      """WITH t AS (
+        |  SELECT lang, text,
+        |    string_split(lower(trim(text)), ' ') AS words,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |    len(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / len(text) AS praw
+        |  FROM documents),
+        |h AS (
+        |  SELECT *,
+        |    len(list_filter(words, w -> w IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0 / len(words) AS sraw
+        |  FROM t),
+        |q AS (
+        |  SELECT lang, n_tokens, len(text) AS n_chars,
+        |    CAST(round(round((least(len(text)*1.0/500, 1.0) + least(sraw*5, 1.0) + greatest(0.0, 1.0 - praw*10)) / 3.0, 4) * 10000) AS BIGINT) AS q4
+        |  FROM h)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(sum(q4) * 1.0 / 10000.0 / count(*), 4) AS avg_quality,
+        |  round(sum(n_chars) * 1.0 / count(*), 2) AS avg_chars
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "corpus_global_rank" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Rank ring + md5-derived offsets, exactly the engine's arithmetic:
+    // offset = 1 + (first 8 md5 hex chars of 'ep1|id|j' as int) mod (n-1),
+    // negative = id at (rank + offset) mod n.
+    "corpus_negative_samples" ->
+      """WITH r AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rank,
+        |    count(*) OVER () AS n
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, rank, n, unnest([1, 2]) AS j FROM r),
+        |o AS (
+        |  SELECT doc_id, j,
+        |    (rank + 1 + (CAST(('0x' || substr(md5('ep1|' || CAST(doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % (n - 1))) % n AS neg_rank
+        |  FROM a)
+        |SELECT o.doc_id, o.j, r2.doc_id AS neg_id
+        |FROM o JOIN r r2 ON r2.rank = o.neg_rank
+        |ORDER BY o.doc_id, o.j""".stripMargin,
 
     "corpus_quota_tokens" ->
       """WITH t AS (

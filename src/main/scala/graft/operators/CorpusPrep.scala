@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -271,6 +271,122 @@ object CorpusPrep {
     .withColumn("avg_chars",
       round(col("__chars").cast("double") / col("n_docs"), 2))
     .drop("__q4", "__chars")
+  }
+
+  /** MERGEABLE corpus profile — [[corpusProfile]]'s algebra split open so
+    * profiles of snapshot generations COMBINE without rescanning the data
+    * (the distributed-aggregation property, lifted to the artifact level:
+    * profile(A ∪ B) = merge(profile(A), profile(B))). Sums and counts are
+    * exact longs; the one non-additive statistic — distinct documents —
+    * becomes a DataSketches HLL sketch (`hll_sketch_agg`), whose union is
+    * associative, so a year of per-day profiles folds into a corpus-level
+    * profile in kilobytes of driver work. Finalize with
+    * [[finalizeProfile]].
+    */
+  def mergeableProfile(df: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "mergeableProfile needs at least one group column")
+    val t = col(textCol)
+    val TF = graft.functions.TextFunctions
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      hll_sketch_agg(TF.fingerprint(t)).as("__uniq_sketch"),
+      sum(TF.tokenCount(t).cast("long")).as("total_tokens"),
+      sum(round(TF.qualityScore(t) * 10000).cast("long")).as("__q4"),
+      sum(length(t).cast("long")).as("__chars"))
+  }
+
+  /** Combine two [[mergeableProfile]] frames (same group columns): sums
+    * add, sketches union. Exactly-associative — merge order never changes
+    * the result.
+    */
+  def mergeProfiles(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    a.unionByName(b).groupBy(groupCols.map(col): _*).agg(
+      sum(col("n_docs")).as("n_docs"),
+      hll_union_agg(col("__uniq_sketch")).as("__uniq_sketch"),
+      sum(col("total_tokens")).as("total_tokens"),
+      sum(col("__q4")).as("__q4"),
+      sum(col("__chars")).as("__chars"))
+
+  /** Close a [[mergeableProfile]]: the [[corpusProfile]] columns, with
+    * `n_unique_docs` replaced by the sketch estimate
+    * (`n_unique_docs_est`).
+    */
+  def finalizeProfile(p: DataFrame): DataFrame =
+    p.withColumn("n_unique_docs_est",
+        hll_sketch_estimate(col("__uniq_sketch")))
+      .withColumn("avg_quality",
+        round(col("__q4").cast("double") / 10000.0 / col("n_docs"), 4))
+      .withColumn("avg_chars",
+        round(col("__chars").cast("double") / col("n_docs"), 2))
+      .drop("__uniq_sketch", "__q4", "__chars")
+
+  /** Global 0-based dense rank of a UNIQUE key — withOUT the
+    * single-partition window `row_number() OVER (ORDER BY key)` collapses
+    * to (the classic driver-bottleneck anti-pattern at 100 TB). Form:
+    * range-repartition on the key, sort within partitions, count each
+    * partition (first narrow pass), prefix-sum the counts on the driver
+    * (nPartitions longs), then stream each partition adding its offset
+    * (second narrow pass). The ranks are a pure function of the key
+    * MULTISET — range boundaries only move keys between partitions, never
+    * change `offset + local position` — so the result is deterministic on
+    * any cluster layout (keys must be unique; ties would order
+    * arbitrarily). The two passes share one cached exchange; the returned
+    * frame is localCheckpoint-materialized so the cache can be freed
+    * eagerly.
+    */
+  def globalRank(df: DataFrame, keyCol: String, nPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(1, if (nPartitions > 0) nPartitions
+      else spark.sparkContext.defaultParallelism)
+    val sorted = df.select(col(keyCol)).repartitionByRange(n, col(keyCol))
+      .sortWithinPartitions(keyCol).persist()
+    try {
+      val counts = sorted.toDF().rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val bc = spark.sparkContext.broadcast(offsets)
+      val schema = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "rank", org.apache.spark.sql.types.LongType, nullable = false))
+      spark.createDataFrame(
+        sorted.toDF().rdd.mapPartitionsWithIndex { (i, it) =>
+          var r = bc.value(i) - 1
+          it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+        }, schema).localCheckpoint(true)
+    } finally sorted.unpersist()
+  }
+
+  /** Deterministic NEGATIVE sampling for contrastive training: `k`
+    * pseudo-random non-self partners per anchor, a pure function of
+    * (salt, id, j) — the same pairs on any cluster, partitioning, or
+    * engine, and a salt rotation gives a fresh epoch of negatives without
+    * reshuffling data. Mechanics: [[globalRank]] gives ids dense positions
+    * in [0, n); negative j of an anchor is the id at
+    * `(rank + 1 + md5-hash(salt|id|j) mod (n-1)) mod n` — the `1 +
+    * mod (n-1)` offset can never be ≡ 0 mod n, so an anchor never draws
+    * itself. Cost beyond the rank: one explode to (anchor, j) and one
+    * narrow join on the rank column.
+    */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, s"negativeSamples: k $k must be >= 1")
+    val ranked = globalRank(df, idCol)
+    val n = ranked.count()
+    require(n > 1, "negativeSamples: need at least 2 rows to draw negatives")
+    val h = conv(substring(md5(
+        concat_ws("|", lit(salt), col(idCol).cast("string"),
+          col("j").cast("string"))), 1, 8), 16, 10).cast("long")
+    val anchors = ranked
+      .withColumn("j", explode(sequence(lit(1), lit(k))))
+      .withColumn("__neg_rank",
+        pmod(col("rank") + lit(1L) + pmod(h, lit(n - 1)), lit(n)))
+    anchors.join(
+        ranked.select(col(idCol).as("neg_id"), col("rank").as("__neg_rank")),
+        "__neg_rank")
+      .select(col(idCol), col("j"), col("neg_id"))
   }
 
   /** The layout decision [[writeCorpus]] made, for observability/logging. */

@@ -398,6 +398,61 @@ class CorpusPrepSpec extends SparkSpec {
     assert(ws(9L) == "unchanged")
   }
 
+  test("globalRank equals the window definition without a single-partition " +
+      "stage, independent of layout") {
+    val ids = docs.select($"id")
+    val ranked = CorpusPrep.globalRank(ids, "id")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // The textbook definition: position in the sorted key order.
+    val expected = ids.as[Long].collect().sorted.zipWithIndex
+      .map { case (id, i) => (id, i.toLong) }
+    assert(ranked.toSeq == expected.toSeq)
+    // Layout-independent: a different partitioning gives identical ranks.
+    val ranked7 = CorpusPrep.globalRank(ids.repartition(7), "id", nPartitions = 3)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(ranked7.toSeq == expected.toSeq)
+  }
+
+  test("negativeSamples: k non-self partners per anchor, deterministic, " +
+      "salt rotates") {
+    val ids = docs.select($"id").filter($"id" < 50)
+    val neg = CorpusPrep.negativeSamples(ids, "id", k = 3, salt = "s1")
+      .as[(Long, Int, Long)].collect()
+    assert(neg.length == 50 * 3)
+    assert(neg.forall { case (a, _, n) => a != n }, "anchor drew itself")
+    val again = CorpusPrep.negativeSamples(ids.repartition(5), "id", 3, "s1")
+      .as[(Long, Int, Long)].collect()
+    assert(neg.sorted.toSeq == again.sorted.toSeq)
+    val other = CorpusPrep.negativeSamples(ids, "id", 3, "s2")
+      .as[(Long, Int, Long)].collect()
+    assert(neg.sorted.toSeq != other.sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      CorpusPrep.negativeSamples(ids, "id", 0, "s1")
+    }
+  }
+
+  test("mergeableProfile: merge of split profiles equals the full-scan " +
+      "profile, sketch estimate included") {
+    val d = docs.withColumn("text",
+      concat_ws(" ", lit("doc"), $"id", lit("filler words here")))
+    val p1 = CorpusPrep.mergeableProfile(d.filter($"id" % 2 === 0), "text", Seq("lang"))
+    val p2 = CorpusPrep.mergeableProfile(d.filter($"id" % 2 =!= 0), "text", Seq("lang"))
+    val merged = CorpusPrep.finalizeProfile(
+      CorpusPrep.mergeProfiles(p1, p2, Seq("lang")))
+    val full = CorpusPrep.finalizeProfile(
+      CorpusPrep.mergeableProfile(d, "text", Seq("lang")))
+    assert(merged.except(full).isEmpty && full.except(merged).isEmpty)
+    // In coupon range the sketch estimate is the exact distinct count.
+    val uniq = merged.select("lang", "n_unique_docs_est")
+      .as[(String, Double)].collect().toMap
+    val exact = d.groupBy("lang").agg(
+        countDistinct(graft.functions.TextFunctions.fingerprint($"text")))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (lang, n) =>
+      assert(math.round(uniq(lang)) == n, s"$lang: ${uniq(lang)} vs $n")
+    }
+  }
+
   test("writeCorpus codec: zstd lands in the file names and round-trips") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_codec").toString
     CorpusPrep.writeCorpus(docs, s"$tmp/z", Seq("lang"),
