@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Sem
 import graft.llm.{FakeBehavior, FakeLM}
 import graft.connectors.DataConnectors
-import graft.operators.{CorpusPrep, Decontaminate, Dedup, EmbedOps, Lexical, LexIndex, Temporal}
+import graft.operators.{CorpusPrep, Decontaminate, Dedup, EmbedOps, Evals, Lexical, LexIndex, Temporal}
 import graft.functions.{MultimodalOps, TextFunctions => TF, UnicodeExpr => UE}
 
 /** The operator inventory as driver-checkable queries.
@@ -370,6 +370,52 @@ object Queries {
           .select(col("doc_id"), col("_judge0"))
           .orderBy("doc_id")
       }
+    }),
+
+    "eval_retrieval_metrics" -> ((s, dir) => {
+      // IR eval metrics (recall@k, MRR@k, nDCG@k) per query over a
+      // deterministic arithmetic fixture: results docs at (q*7 + 13r) mod
+      // 100, judgments at (q*7 + 26j) mod 100 with grades varying by
+      // (q + j) parity, so per-query hit patterns and ideal orderings are
+      // fully reconstructable in SQL. One (qid, doc) equi-join + grouped
+      // aggs — nothing per-query iterative, so a million-query eval is
+      // one plan.
+      val ids = read(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 20)
+      val results = ids.select(col("doc_id").as("qid"),
+          explode(sequence(lit(1), lit(5))).as("rank"))
+        .withColumn("doc_id", (col("qid") * 7 + col("rank") * 13) % 100)
+      val qrels = ids.select(col("doc_id").as("qid"),
+          explode(sequence(lit(1), lit(3))).as("j"))
+        .withColumn("doc_id", (col("qid") * 7 + col("j") * 26) % 100)
+        .withColumn("grade", ((col("qid") + col("j")) % 2 + 1).cast("int"))
+        .drop("j")
+      Evals.retrievalMetrics(results, qrels, k = 5).orderBy("qid")
+    }),
+
+    "rag_self_retrieval" -> ((s, dir) => {
+      // The RAG loop closed end to end: for 3 sampled docs the query is
+      // the doc's first 8 tokens and the only relevant answer is the doc
+      // itself — save the BM25 index, batch-search all 3 queries in one
+      // job, rank, and score with retrievalMetrics. The oracle rebuilds
+      // queries, generic postings, BM25 scores, ranks and the metrics in
+      // SQL — the whole pipeline is hash-verified, not just the search.
+      val path = java.nio.file.Files.createTempDirectory("graft_verify_rag").toString + "/idx"
+      val d = read(s, dir, "documents")
+      LexIndex.save(d, "text", "doc_id", path, nBuckets = 16)
+      val qdocs = d.filter(col("doc_id").isin(3L, 57L, 101L))
+        .select(col("doc_id"),
+          array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 8), " "))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val res = LexIndex.searchBatch(s, path, qdocs, k = 10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("bm25").desc, col("id"))))
+        .select(col("qid"), col("id").as("doc_id"), col("rank"))
+      import s.implicits._
+      val qrels = qdocs.map { case (q, _) => (q, q, 1) }
+        .toDF("qid", "doc_id", "grade")
+      Evals.retrievalMetrics(res, qrels, k = 10).orderBy("qid")
     }),
 
     "sem_topk_quicksem" -> ((s, dir) => {
@@ -3738,6 +3784,74 @@ object Queries {
       """SELECT doc_id,
         |  CASE WHEN len(text) >= len(source) THEN 'A' ELSE 'B' END AS _judge0
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The same arithmetic fixture and the textbook metric definitions.
+    "eval_retrieval_metrics" ->
+      """WITH ids AS (SELECT doc_id AS qid FROM documents WHERE doc_id < 20),
+        |r2 AS (
+        |  SELECT qid, rank, (qid*7 + rank*13) % 100 AS doc_id
+        |  FROM (SELECT qid, unnest([1,2,3,4,5]) AS rank FROM ids)),
+        |q2 AS (
+        |  SELECT qid, (qid*7 + j*26) % 100 AS doc_id,
+        |    CAST((qid + j) % 2 + 1 AS INT) AS grade
+        |  FROM (SELECT qid, unnest([1,2,3]) AS j FROM ids)),
+        |nrel AS (SELECT qid, count(*) AS n_rel FROM q2 WHERE grade > 0 GROUP BY qid),
+        |ideal AS (
+        |  SELECT qid, sum(grade * 1.0 / log2(irank + 1.0)) AS idcg FROM (
+        |    SELECT qid, grade, row_number() OVER (PARTITION BY qid
+        |      ORDER BY grade DESC, doc_id) AS irank
+        |    FROM q2 WHERE grade > 0) WHERE irank <= 5 GROUP BY qid),
+        |hits AS (
+        |  SELECT r2.qid, r2.rank, q2.grade
+        |  FROM r2 JOIN q2 ON r2.qid = q2.qid AND r2.doc_id = q2.doc_id
+        |  WHERE q2.grade > 0 AND r2.rank <= 5),
+        |per AS (
+        |  SELECT qid, count(*) AS n_hit, min(rank) AS first_rank,
+        |    sum(grade * 1.0 / log2(rank + 1.0)) AS dcg
+        |  FROM hits GROUP BY qid)
+        |SELECT n.qid,
+        |  round(coalesce(p.n_hit, 0) * 1.0 / n.n_rel, 4) AS recall_5,
+        |  round(coalesce(1.0 / p.first_rank, 0), 4) AS mrr_5,
+        |  round(coalesce(p.dcg / i.idcg, 0), 4) AS ndcg_5
+        |FROM nrel n JOIN ideal i USING (qid) LEFT JOIN per p USING (qid)
+        |ORDER BY n.qid""".stripMargin,
+
+    // Generic postings + BM25 + ranks + metrics rebuilt in SQL; the only
+    // relevant doc per query is the query's source doc (grade 1, so
+    // idcg = 1 and ndcg = 1/log2(rank+1)).
+    "rag_self_retrieval" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM documents),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(len(w)) AS DOUBLE) AS sumdl FROM t),
+        |post AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS term FROM t) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM t),
+        |dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+        |qt AS (
+        |  SELECT DISTINCT qid, term FROM (
+        |    SELECT doc_id AS qid, unnest(list_slice(w, 1, 8)) AS term
+        |    FROM t WHERE doc_id IN (3, 57, 101))),
+        |scored AS (
+        |  SELECT qt.qid, post.doc_id,
+        |    sum(ln(1.0 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * post.tf * 2.2 /
+        |        (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (s.sumdl / s.n)))) AS score
+        |  FROM qt JOIN post USING (term) JOIN dfs USING (term)
+        |    JOIN dl ON dl.doc_id = post.doc_id, s
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored),
+        |hits AS (SELECT qid, rank FROM ranked WHERE doc_id = qid AND rank <= 10)
+        |SELECT q.qid,
+        |  round(CASE WHEN h.rank IS NULL THEN 0.0 ELSE 1.0 END, 4) AS recall_10,
+        |  round(coalesce(1.0 / h.rank, 0), 4) AS mrr_10,
+        |  round(coalesce(1.0 / log2(h.rank + 1.0), 0), 4) AS ndcg_10
+        |FROM (SELECT DISTINCT qid FROM qt) q LEFT JOIN hits h USING (qid)
+        |ORDER BY q.qid""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH t AS (

@@ -111,4 +111,56 @@ object Evals {
         .withColumnRenamed("A", a).withColumnRenamed("B", b)
     }
   }
+
+  /** Retrieval-quality metrics per query — the IR eval that closes the
+    * loop on the batch search tiers: given a ranked results table
+    * `(qid, doc, rank)` (rank 1-based) and graded judgments
+    * `(qid, doc, grade)` (grade > 0 ⇒ relevant), computes per query
+    *
+    *  - `recall_k`:  |retrieved@k ∩ relevant| / |relevant|
+    *  - `mrr_k`:     1 / rank of the first relevant hit in the top k (0 if
+    *                 none) — reciprocal rank, macro-averaged by the caller
+    *  - `ndcg_k`:    Σ grade/log2(rank+1) over the top k, normalized by the
+    *                 ideal ordering of that query's grades (0 if no
+    *                 relevant docs)
+    *
+    * Queries with judgments but no results still appear (all-zero row) —
+    * silently dropping them would inflate every macro average. Shape: one
+    * equi-join on (qid, doc) + two grouped aggregations; nothing is
+    * per-query iterative, so a million-query eval runs as one plan.
+    */
+  def retrievalMetrics(results: DataFrame, qrels: DataFrame, k: Int,
+      qidCol: String = "qid", docCol: String = "doc_id",
+      rankCol: String = "rank", gradeCol: String = "grade"): DataFrame = {
+    require(k >= 1, s"retrievalMetrics: k $k must be >= 1")
+    val q = col(qidCol)
+    // Ideal DCG from the judgments alone: grades sorted descending.
+    val ideal = qrels.filter(col(gradeCol) > 0)
+      .withColumn("__irank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(q)
+          .orderBy(col(gradeCol).desc, col(docCol))))
+      .filter(col("__irank") <= k)
+      .groupBy(q).agg(
+        sum(col(gradeCol).cast("double") /
+          log2(col("__irank").cast("double") + 1.0)).as("__idcg"),
+        count(lit(1)).as("__n_rel_k"))
+    val nRel = qrels.filter(col(gradeCol) > 0)
+      .groupBy(q).agg(count(lit(1)).as("__n_rel"))
+    val hits = results.filter(col(rankCol) <= k)
+      .join(qrels.filter(col(gradeCol) > 0), Seq(qidCol, docCol))
+    val perQ = hits.groupBy(q).agg(
+      count(lit(1)).as("__n_hit"),
+      min(col(rankCol)).as("__first_rank"),
+      sum(col(gradeCol).cast("double") /
+        log2(col(rankCol).cast("double") + 1.0)).as("__dcg"))
+    nRel.join(ideal, Seq(qidCol))
+      .join(perQ, Seq(qidCol), "left_outer")
+      .select(q,
+        round(coalesce(col("__n_hit"), lit(0L)).cast("double") /
+          col("__n_rel"), 4).as(s"recall_$k"),
+        round(coalesce(lit(1.0) / col("__first_rank"), lit(0.0)), 4)
+          .as(s"mrr_$k"),
+        round(coalesce(col("__dcg") / col("__idcg"), lit(0.0)), 4)
+          .as(s"ndcg_$k"))
+  }
 }

@@ -204,4 +204,34 @@ class JudgeCotPdfSpec extends SparkSpec {
     val text = df.select("content").as[String].collect().mkString("\n")
     assert(text.contains("Compressed page text"))
   }
+
+  test("retrievalMetrics: textbook values, and judged-but-unretrieved " +
+      "queries appear as zero rows") {
+    import graft.operators.Evals
+    // q1: relevant docs 10 (grade 2) and 11 (grade 1); retrieved at ranks
+    // 2 and 3 plus noise at rank 1 → recall 1, mrr 1/2,
+    // ndcg = (2/log2(3) + 1/log2(4)) / (2/log2(2) + 1/log2(3)).
+    // q2: one relevant doc, NOT retrieved → all zeros.
+    // q3: judged but absent from results entirely → still an output row.
+    val results = Seq(
+      (1L, 99L, 1), (1L, 10L, 2), (1L, 11L, 3),
+      (2L, 98L, 1), (2L, 97L, 2)
+    ).toDF("qid", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, 10L, 2), (1L, 11L, 1),
+      (2L, 50L, 1),
+      (3L, 60L, 1)
+    ).toDF("qid", "doc_id", "grade")
+    val m = Evals.retrievalMetrics(results, qrels, k = 5)
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    def r4(x: Double) = math.round(x * 10000) / 10000.0
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    assert(m(1L)._2 == 1.0 && m(1L)._3 == 0.5)
+    assert(m(1L)._4 == r4((2 / log2(3) + 1 / log2(4)) / (2 / log2(2) + 1 / log2(3))))
+    assert(m(2L) == ((2L, 0.0, 0.0, 0.0)))
+    assert(m(3L) == ((3L, 0.0, 0.0, 0.0)), "judged-but-unretrieved query must appear")
+    intercept[IllegalArgumentException] {
+      Evals.retrievalMetrics(results, qrels, k = 0)
+    }
+  }
 }
