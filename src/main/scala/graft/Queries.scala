@@ -2388,6 +2388,39 @@ object Queries {
         .orderBy("doc_id", "j")
     }),
 
+    "corpus_score_pctrank" -> ((s, dir) => {
+      // Percent-rank quality calibration at scale: histogram of DISTINCT
+      // scores + bounded cumulative pass + broadcast join back — never
+      // the corpus-wide single-partition window. The oracle IS that
+      // window (percent_rank() OVER), so tie handling and the /(n-1)
+      // normalization are verified against the textbook definition.
+      CorpusPrep.scorePercentRank(
+          read(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "n_chars")
+        .select(col("doc_id"), col("n_chars"),
+          round(col("score_pct"), 6).as("score_pct"))
+        .orderBy("doc_id")
+    }),
+
+    "embed_group_centroid" -> ((s, dir) => {
+      // Group centroids via the custom partial-merge aggregate
+      // (VectorAvg): ONE (dim doubles + count) buffer per group per map
+      // task crosses the wire — not the 64× shuffle amplification of
+      // posexplode + groupBy(key, dim). The oracle computes the same
+      // means through unnest + per-dimension avg. The centroid serializes
+      // to comma-joined ×10⁴-scaled ints — the driver compare can't hash
+      // array cells, and integer text is formatting-stable across engines.
+      read(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(graft.functions.VectorAvg.vectorAvg(col("embedding")).as("__m"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("n_vecs"),
+          array_join(transform(col("__m"),
+            x => round(x * 10000).cast("long").cast("string")), ",")
+            .as("centroid"))
+        .orderBy("label")
+    }),
+
     "corpus_quota_tokens" -> ((s, dir) => {
       // Token-budget mixing cap: each language keeps docs (doc_id order)
       // until 20k tokens; the budget-crossing doc is kept, the rest drop.
@@ -4222,6 +4255,28 @@ object Queries {
         |  round(sum(q4) * 1.0 / 10000.0 / count(*), 4) AS avg_quality,
         |  round(sum(n_chars) * 1.0 / count(*), 2) AS avg_chars
         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "corpus_score_pctrank" ->
+      """SELECT doc_id, n_chars,
+        |  round(percent_rank() OVER (ORDER BY n_chars), 6) AS score_pct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Per-dimension means reassembled in index order, serialized as
+    // ×10⁴-scaled int text (array cells don't hash in the compare).
+    "embed_group_centroid" ->
+      """WITH u AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS idx,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, idx, CAST(round(avg(v) * 10000) AS BIGINT) AS mv
+        |  FROM u GROUP BY label, idx),
+        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT n.label, n.n_vecs,
+        |  array_to_string(list(m.mv ORDER BY m.idx), ',') AS centroid
+        |FROM n JOIN m USING (label)
+        |GROUP BY n.label, n.n_vecs
+        |ORDER BY n.label""".stripMargin,
 
     "corpus_global_rank" ->
       """SELECT doc_id,

@@ -273,6 +273,36 @@ object CorpusPrep {
     .drop("__q4", "__chars")
   }
 
+  /** Percent-rank calibration of a score column — "this doc's quality is
+    * in the 87th percentile of the corpus" — withOUT the corpus-wide
+    * single-partition window `percent_rank() OVER (ORDER BY score)`
+    * collapses to. Form: one grouped count per DISTINCT score (the
+    * histogram — loud refusal past `maxScoreBuckets`, same contract as
+    * [[selectByTokenBudget]]), a cumulative sum over that BOUNDED frame
+    * only, then a broadcast join back. Ties share a rank exactly like the
+    * window definition: pct = strictly-smaller count / (n − 1).
+    */
+  def scorePercentRank(df: DataFrame, scoreCol: String,
+      outCol: String = "score_pct",
+      maxScoreBuckets: Int = 100000): DataFrame = {
+    val counts = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+    val nDistinct = counts.limit(maxScoreBuckets + 1).count()
+    require(nDistinct <= maxScoreBuckets,
+      s"scorePercentRank: > $maxScoreBuckets distinct scores — quantize the " +
+        "score first (the cumulative pass must stay driver-bounded)")
+    val total = df.count()
+    val w = Window.orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = counts
+      .withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .select(col(scoreCol), col("__below"))
+    df.join(broadcast(ranks), Seq(scoreCol))
+      .withColumn(outCol,
+        if (total <= 1L) lit(0.0)
+        else col("__below").cast("double") / lit((total - 1).toDouble))
+      .drop("__below")
+  }
+
   /** MERGEABLE corpus profile — [[corpusProfile]]'s algebra split open so
     * profiles of snapshot generations COMBINE without rescanning the data
     * (the distributed-aggregation property, lifted to the artifact level:

@@ -453,6 +453,56 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("scorePercentRank matches the window definition with ties; " +
+      "unbounded cardinality refused") {
+    val scored = Seq(("a", 10), ("b", 20), ("c", 20), ("d", 30), ("e", 40))
+      .toDF("id", "s")
+    val pct = CorpusPrep.scorePercentRank(scored, "s")
+      .select("id", "score_pct").as[(String, Double)].collect().toMap
+    // percent_rank: below/(n-1); the two ties share 1/4.
+    assert(pct == Map("a" -> 0.0, "b" -> 0.25, "c" -> 0.25,
+      "d" -> 0.75, "e" -> 1.0))
+    // Layout-independent.
+    val pct7 = CorpusPrep.scorePercentRank(scored.repartition(7), "s")
+      .select("id", "score_pct").as[(String, Double)].collect().toMap
+    assert(pct7 == pct)
+    // Single row → 0, no division by zero.
+    val one = CorpusPrep.scorePercentRank(scored.limit(1), "s")
+      .select("score_pct").as[Double].collect()
+    assert(one.toSeq == Seq(0.0))
+    val e = intercept[IllegalArgumentException] {
+      CorpusPrep.scorePercentRank(
+        (1 to 50).map(i => (i, i)).toDF("id", "s"), "s", maxScoreBuckets = 10)
+    }
+    assert(e.getMessage.contains("distinct scores"), e.getMessage)
+  }
+
+  test("VectorAvg: partial-merge mean equals the exact mean on any layout; " +
+      "ragged dims and empty groups handled") {
+    import graft.functions.VectorAvg.vectorAvg
+    val vs = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)),
+      (1, Seq(10.0f, 20.0f))
+    ).toDF("g", "v")
+    def means(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(vectorAvg(col("v")).as("m"))
+        .as[(Int, Seq[Double])].collect().toMap
+    val m = means(vs)
+    assert(m(0) == Seq(2.0, 4.0) && m(1) == Seq(10.0, 20.0))
+    assert(means(vs.repartition(5)) == m)
+    // Null rows are ignored; an all-null group is null.
+    val withNull = Seq((0, Seq(2.0f, 2.0f)), (1, null.asInstanceOf[Seq[Float]]))
+      .toDF("g", "v")
+    val rows = withNull.groupBy("g").agg(vectorAvg(col("v")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.isNullAt(1)).toMap
+    assert(!rows(0) && rows(1))
+    // Ragged dims in one group fail loudly.
+    intercept[Exception] {
+      Seq((0, Seq(1.0f)), (0, Seq(1.0f, 2.0f))).toDF("g", "v")
+        .groupBy("g").agg(vectorAvg(col("v"))).collect()
+    }
+  }
+
   test("writeCorpus codec: zstd lands in the file names and round-trips") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_codec").toString
     CorpusPrep.writeCorpus(docs, s"$tmp/z", Seq("lang"),
