@@ -318,7 +318,68 @@ object BatchCommit {
     *   - `updateSidecar(payload)`: atomically move the sidecar to
     *     payload + this batch, AFTER the data adoption.
     */
+  val leaseFile = "_writer.lock"
+
+  /** Exclusive writer lease over an index root — the guard against TWO
+    * writers appending DIFFERENT batches concurrently (double-launched
+    * scheduler jobs): the mark protocol serializes replays of the SAME
+    * batch, but two writers racing `readMark` before either's begin-mark
+    * lands would interleave staging and adoption. Acquisition is an atomic
+    * create (`FileSystem.create(overwrite = false)` — atomic on HDFS/
+    * local; a conditional PUT on object stores); the loser fails fast with
+    * the holder named. A lease older than `ttlMs` is STALE (its holder
+    * crashed) and is broken — a crashed writer must not wedge the index
+    * forever; the mark protocol then recovers its partial batch.
+    */
+  def withWriterLease[T](spark: SparkSession, root: String,
+      holder: String = java.util.UUID.randomUUID().toString,
+      ttlMs: Long = 15L * 60 * 1000)(body: => T): T = {
+    val lock = new Path(root, leaseFile)
+    val f = fsOf(spark, lock)
+    def tryAcquire(): Boolean =
+      try {
+        val out = f.create(lock, false)
+        try out.write(s"""{"holder":"$holder","ts":${System.currentTimeMillis}}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val txt = try {
+        val in = f.open(lock)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](256)
+          var n = in.read(tmp)
+          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      } catch { case _: java.io.IOException => "" }
+      val ts = """"ts":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      val stale = ts.forall(t => System.currentTimeMillis - t > ttlMs)
+      if (!stale) throw new IllegalStateException(
+        s"append to $root: another writer holds the lease ($txt) — " +
+          "a concurrent append would interleave staging and adoption; " +
+          "wait for it (or for the lease TTL if it crashed)")
+      f.delete(lock, false) // break the stale lease, then race for it again
+      if (!tryAcquire()) throw new IllegalStateException(
+        s"append to $root: lost the race re-acquiring a stale lease")
+    }
+    try body
+    finally f.delete(lock, false)
+  }
+
   def appendExactlyOnce(spark: SparkSession, root: String, liveSubdir: String,
+      token: String, sidecarState: => Map[String, Double],
+      writeStaged: String => Unit,
+      updateSidecar: Map[String, Double] => Unit): Boolean =
+    withWriterLease(spark, root) {
+      appendExactlyOnceUnlocked(spark, root, liveSubdir, token, sidecarState,
+        writeStaged, updateSidecar)
+    }
+
+  private def appendExactlyOnceUnlocked(spark: SparkSession, root: String,
+      liveSubdir: String,
       token: String, sidecarState: => Map[String, Double],
       writeStaged: String => Unit,
       updateSidecar: Map[String, Double] => Unit): Boolean = {

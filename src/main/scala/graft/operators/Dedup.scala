@@ -35,6 +35,34 @@ object Dedup {
       array_min(transform(shinglesCol, s => xxhash64(s, lit(seed))))
     }: _*)
 
+  /** Candidate probability of the LSH S-curve: a pair with Jaccard
+    * similarity `s` shares at least one band key with probability
+    * 1 − (1 − s^r)^b (Leskovec/Rajaraman/Ullman, "Mining of Massive
+    * Datasets" ch. 3.4 — published LSH analysis). Use with [[lshPlan]] to
+    * see what a banding choice actually does to recall/noise.
+    */
+  def lshCandidateProbability(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+
+  /** Choose (bands, rowsPerBand) for a target Jaccard threshold: the
+    * S-curve's steep region sits at ≈ (1/b)^(1/r), so pick the
+    * factorization of `numHashes` whose implied threshold lands closest to
+    * the target (ties → more bands, i.e. recall over precision — a missed
+    * duplicate survives forever, a false candidate only costs one exact
+    * Jaccard check). This turns the banding knobs into a declarative
+    * "dedup at ≥ 0.8 similarity" API.
+    */
+  def lshPlan(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes >= 1, s"lshPlan: numHashes $numHashes must be >= 1")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"lshPlan: threshold $threshold must be in (0, 1)")
+    val options = for (r <- 1 to numHashes if numHashes % r == 0)
+      yield (numHashes / r, r)
+    options.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), -b)
+    }
+  }
+
   /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
     * and hash each band — docs sharing any band key are candidates.
     */

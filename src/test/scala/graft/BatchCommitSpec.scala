@@ -47,6 +47,29 @@ class BatchCommitSpec extends SparkSpec {
       "a committed batch replay must not double postings or stats")
   }
 
+  test("writer lease: a held lease refuses a second writer, a stale lease " +
+      "is broken, and appends release it") {
+    val p = tmp("lex_lease")
+    LexIndex.save(corpusA, "text", "doc_id", p, nBuckets = 8)
+    // Simulate a live concurrent writer: hold the lease, then append.
+    val lock = java.nio.file.Paths.get(p, BatchCommit.leaseFile)
+    java.nio.file.Files.write(lock,
+      s"""{"holder":"other-writer","ts":${System.currentTimeMillis}}"""
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      LexIndex.append(batchB, "text", "doc_id", p)
+    }
+    assert(e.getMessage.contains("another writer holds the lease"), e.getMessage)
+    // A STALE lease (its holder crashed long ago) is broken and the append
+    // proceeds — and afterwards the lease is released again.
+    java.nio.file.Files.write(lock,
+      """{"holder":"crashed-writer","ts":1}""".getBytes("UTF-8"))
+    LexIndex.append(batchB, "text", "doc_id", p)
+    assert(searchRows(p) == controlRows)
+    assert(!java.nio.file.Files.exists(lock),
+      "the lease must be released after a successful append")
+  }
+
   test("LexIndex: crash after adoption+stats but before done-mark recovers without double-count") {
     val p = tmp("lex_crash_stats")
     LexIndex.save(corpusA, "text", "doc_id", p, nBuckets = 8)

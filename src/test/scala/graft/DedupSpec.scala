@@ -315,6 +315,22 @@ class DedupSpec extends SparkSpec {
     assert(minKept == Seq(1L, 4L, 6L), minKept.toString)
   }
 
+  test("lshPlan picks the factorization whose S-curve matches the threshold") {
+    // (1/b)^(1/r) over 64 = b·r: r=8,b=8 → 0.771 (closest to 0.8);
+    // r=4,b=16 → 0.5 exactly.
+    assert(Dedup.lshPlan(64, 0.8) == ((8, 8)))
+    assert(Dedup.lshPlan(64, 0.5) == ((16, 4)))
+    // Near-1 thresholds want long rows (few, wide bands).
+    val (bHi, rHi) = Dedup.lshPlan(64, 0.95)
+    assert(rHi > 8 && bHi * rHi == 64)
+    // The S-curve is monotone in s and ~0.5-steep near the implied threshold.
+    val p = (s: Double) => Dedup.lshCandidateProbability(s, 8, 8)
+    assert(p(0.4) < p(0.6) && p(0.6) < p(0.9))
+    assert(p(0.95) > 0.9 && p(0.3) < 0.01)
+    intercept[IllegalArgumentException] { Dedup.lshPlan(64, 1.0) }
+    intercept[IllegalArgumentException] { Dedup.lshPlan(0, 0.5) }
+  }
+
   test("dedupParagraphs keeps the globally-first paragraph occurrence and " +
       "reassembles survivors in order") {
     val docs = Seq(
