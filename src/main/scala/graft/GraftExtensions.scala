@@ -97,5 +97,14 @@ object GraftExtensions {
     fn("strip_accents", "_FUNC_(text) - remove combining diacritics") { args =>
       require(args.length == 1, "strip_accents(text)")
       functions.StripAccents(args.head)
+    },
+    // An AGGREGATE registers through the same builder: the analyzer wraps a
+    // bare AggregateFunction in AggregateExpression during resolution, so
+    // SQL GROUP BYs reach the partial-merge vector mean directly.
+    fn("vector_avg",
+      "_FUNC_(vec) - element-wise mean of array<float> vectors (aggregate)") {
+      args =>
+        require(args.length == 1, "vector_avg(vec)")
+        functions.VectorAvg(args.head)
     })
 }

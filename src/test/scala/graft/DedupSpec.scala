@@ -350,5 +350,13 @@ class DedupSpec extends SparkSpec {
     val out7 = Dedup.dedupParagraphs(docs.repartition(7), "doc_id", "text")
       .as[(Long, String)].collect().toMap
     assert(out7 == out)
+    // Identity on duplicate-free corpora: split + keep-all + reassemble
+    // must reproduce every document byte-for-byte.
+    val unique = (0 until 40).map { i =>
+      (i.toLong, s"first $i sentence. middle part $i. tail $i.")
+    }.toDF("doc_id", "text")
+    val id = Dedup.dedupParagraphs(unique, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(id == unique.as[(Long, String)].collect().toMap)
   }
 }

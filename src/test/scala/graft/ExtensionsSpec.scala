@@ -36,6 +36,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(uni.getString(1) == "fin")
   }
 
+  test("vector_avg aggregates through SQL identically to the Column API") {
+    import graft.operators.EmbedOps
+    Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(2.0f, 2.0f)))
+      .toDF("g", "v").createOrReplaceTempView("graft_ext_vecs")
+    val viaSql = spark.sql(
+      "SELECT g, vector_avg(v) AS m FROM graft_ext_vecs GROUP BY g")
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(viaSql == Map(0 -> Seq(2.0, 4.0), 1 -> Seq(2.0, 2.0)))
+  }
+
   test("shape parameters must be literals; arity is checked") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_signature(array('a'), 1 + 2, 8)").collect()
