@@ -2706,6 +2706,46 @@ object Queries {
       tombstoned.orderBy(col("score").desc, col("doc_id"))
     }),
 
+    "bm25_refresh" -> ((s, dir) => {
+      // Incremental refresh of the lexical tier — the sparse sibling of
+      // embed_incremental_refresh: diff two corpus snapshots by content
+      // fingerprint, tombstone removed+changed, COMPACT (stats recompute
+      // exactly; append refuses shadowed ids by contract), append only
+      // changed+added. The refreshed search must equal BM25 over the NEW
+      // snapshot (the oracle) AND a fresh rebuild on snapshot 2 (engine
+      // cross-check) — refresh ≡ rebuild without re-indexing the
+      // unchanged bulk. Snapshot 2 is pure arithmetic: %10==1 removed,
+      // %10==2 text-suffixed, suffixed copies of %10==3 added at +100000.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_verify_bm25ref").toString
+      val d = read(s, dir, "documents").select("doc_id", "text")
+      val changed = d.filter(col("doc_id") % 10 === 2)
+        .withColumn("text", concat(col("text"), lit(" graft refreshed")))
+      val added = d.filter(col("doc_id") % 10 === 3)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" appended copy")))
+      val snap2 = d.filter(col("doc_id") % 10 =!= 1 && col("doc_id") % 10 =!= 2)
+        .unionByName(changed).unionByName(added)
+      LexIndex.save(d, "text", "doc_id", s"$tmp/idx", nBuckets = 16)
+      val diff = CorpusPrep.diffSnapshots(d, snap2, "doc_id", "text")
+      val stale = diff.filter(col("status").isin("removed", "changed"))
+        .select("doc_id")
+      require(LexIndex.delete(stale, "doc_id", s"$tmp/idx") > 0,
+        "bm25_refresh tombstoned no ids")
+      LexIndex.compactDeletes(s, s"$tmp/idx", s"$tmp/idx2")
+      val fresh = diff.filter(col("status").isin("added", "changed"))
+        .select("doc_id")
+      LexIndex.append(snap2.join(fresh, Seq("doc_id"), "left_semi"),
+        "text", "doc_id", s"$tmp/idx2")
+      def run(p: String) = LexIndex.search(s, p, "spark join window", k = 10)
+        .select(col("id").as("doc_id"), round(col("bm25"), 3).as("score"))
+      val refreshed = run(s"$tmp/idx2")
+      LexIndex.save(snap2, "text", "doc_id", s"$tmp/rebuild", nBuckets = 16)
+      val rebuilt = run(s"$tmp/rebuild")
+      require(refreshed.except(rebuilt).isEmpty && rebuilt.except(refreshed).isEmpty,
+        "refreshed index diverged from a clean rebuild on snapshot 2")
+      refreshed.orderBy(col("score").desc, col("doc_id"))
+    }),
+
     "bm25_saved" -> ((s, dir) => {
       // The durable inverted-index lifecycle: build → save (term-bucket-
       // partitioned postings, pruned at query time like IVF cells) → search.
@@ -4646,6 +4686,40 @@ object Queries {
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "bm25_saved" -> Bm25SavedOracle,
+
+    // BM25 over SNAPSHOT 2 (the engine's cross-check vs a clean rebuild is
+    // asserted Spark-side; this pins the scores themselves).
+    "bm25_refresh" ->
+      """WITH snap2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 NOT IN (1, 2)
+        |  UNION ALL
+        |  SELECT doc_id, text || ' graft refreshed' FROM documents WHERE doc_id % 10 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' appended copy' FROM documents WHERE doc_id % 10 = 3),
+        |t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM snap2),
+        |d AS (
+        |  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf2
+        |  FROM t),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM d)
+        |SELECT doc_id, round(score, 3) AS score FROM (
+        |  SELECT d.doc_id,
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))) AS score
+        |  FROM d, s) q
+        |WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // The appended index computes the same stats totals and posting rows as
     // a fresh full-corpus build, so the same oracle is the truth.
