@@ -324,4 +324,53 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"),
       s"expected a map-side partial count:\n${p.take(2000)}")
   }
+
+  test("LexIndex.searchBatch: postings scan prunes to the UNION of the " +
+      "queries' term buckets; per-query top-k is WindowGroupLimit") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val path = java.nio.file.Files.createTempDirectory("lexbplan").toString + "/lex"
+      graft.operators.LexIndex.save(docs, "text", "doc_id", path, nBuckets = 8)
+      val plan = graft.operators.LexIndex.searchBatch(spark, path,
+          Seq(1L -> "spark join", 2L -> "window"), k = 5)
+        .queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      scans.foreach { s =>
+        assert(s.relation.location.rootPaths.mkString(",").contains("postings"))
+        assert(s.partitionFilters.nonEmpty,
+          s"batch postings scan must prune buckets: $s")
+      }
+      assert(plan.toString.contains("WindowGroupLimit"),
+        s"per-query top-k must lower to WindowGroupLimit:\n${plan.toString.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("IvfIndex.searchBatch joins candidates on the cell key — no " +
+      "nested-loop product of queries x corpus") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val withVec = e.withColumnRenamed("embedding",
+      graft.operators.EmbedOps.vecCol("emb"))
+    val cents = Array.tabulate(4)(c => Array.tabulate(64)(d =>
+      if (d == c) 1.0f else 0.0f))
+    val (indexed, model) =
+      graft.embed.IvfIndex.buildWithCentroids(withVec, "emb", cents)
+    val queries = e.limit(3).select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+      org.apache.spark.sql.functions.col("embedding").as("qvec"))
+    val plan = graft.embed.IvfIndex.searchBatch(
+        indexed.select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col(graft.operators.EmbedOps.vecCol("emb")),
+          org.apache.spark.sql.functions.col(graft.embed.IvfIndex.cellCol)),
+        model, "emb", queries, "qid", "qvec", k = 5, nProbe = 2,
+        tieBreak = Seq(org.apache.spark.sql.functions.col("vec_id")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"batch ANN must equi-join on the probe cell:\n${plan.take(2000)}")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k must lower to WindowGroupLimit:\n${plan.take(2000)}")
+  }
 }
