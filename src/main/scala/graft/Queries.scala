@@ -711,6 +711,33 @@ object Queries {
       fromTombstoned
     }),
 
+    "ann_sharded_search" -> ((s, dir) => {
+      // Federated search over per-epoch index SHARDS (each with its own
+      // quantizer — cell ids are quantizer-local, so shards are searched
+      // separately and the per-shard top-k lists merge): even vec_ids in
+      // shard A, odd in shard B, both probed exhaustively ⇒ the merge is
+      // exact top-k over the disjoint union, which the oracle computes
+      // over ALL vectors. The multi-generation layout incremental
+      // pipelines actually run.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_verify_shard").toString
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 13).select("embedding")
+        .head().getSeq[Float](0)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      Seq(0, 1).foreach { par =>
+        val (idx, m) = graft.embed.IvfIndex.build(
+          withVec.filter(col("vec_id") % 2 === par), "emb", nCells = 4,
+          seed = 7 + par)
+        graft.embed.IvfIndex.save(idx, m, "emb", "vec_id", s"$tmp/shard$par")
+        idx.unpersist()
+      }
+      graft.embed.IvfIndex.searchSharded(s,
+          Seq(s"$tmp/shard0", s"$tmp/shard1"), "emb", qv, k = 12, nProbe = 4,
+          scoreCol = "raw", tieBreak = Seq(col("vec_id")))
+        .orderBy(col("raw").desc, col("vec_id"))
+        .select(col("vec_id"), round(col("raw"), 3).as("score"))
+    }),
+
     "ann_ivf_partial_probe" -> ((s, dir) => {
       // PRUNED-probe correctness, oracle-checked: with caller-supplied
       // centroids (the embeddings of vec_id 0,10,…,70 — the
@@ -3583,6 +3610,16 @@ object Queries {
 
     "ann_ivf_append" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score
+        |FROM embeddings e, q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 12""".stripMargin,
+
+    // Exhaustive probes on both shards ⇒ the shard merge equals exact
+    // cosine top-k over all vectors.
+    "ann_sharded_search" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 13)
         |SELECT e.vec_id,
         |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score
         |FROM embeddings e, q

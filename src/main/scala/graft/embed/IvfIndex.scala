@@ -510,6 +510,49 @@ object IvfIndex {
       .drop("__rank", probeCol, cellCol, v, queryVecCol)
   }
 
+  /** Federated top-k over SEVERAL saved indexes — the multi-generation
+    * layout: incremental pipelines keep per-epoch shards (each with its
+    * own quantizer) instead of rewriting one monolith, and a query probes
+    * every shard and merges. Each shard is searched with ITS OWN centroid
+    * table (cell ids are quantizer-local — unioning cell frames across
+    * shards would be meaningless), the per-shard top-k lists union (k
+    * rows per shard, driver-free), and one global re-sort takes the final
+    * k. Exact when every shard probes exhaustively, because top-k over a
+    * disjoint union is the merge of per-shard top-k.
+    */
+  def searchSharded(spark: SparkSession, paths: Seq[String], c: String,
+      qv: Seq[Float], k: Int, nProbe: Int, scoreCol: String = "vec_scores",
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    require(paths.nonEmpty, "searchSharded: no index shards")
+    val perShard = paths.map { p =>
+      val (cells, model) = load(spark, p)
+      search(cells, model, c, qv, k, nProbe, scoreCol, tieBreak)
+    }
+    perShard.reduce(_ unionByName _)
+      .orderBy(col(scoreCol).desc +: tieBreak: _*)
+      .limit(k)
+  }
+
+  /** Index observability: the numbers an operator checks before trusting a
+    * path — cells, dim, live rows, per-cell min/max occupancy (skew), and
+    * how many ids are tombstoned awaiting compaction. One pruned-free
+    * metadata read + one narrow aggregate.
+    */
+  final case class IndexInfo(nCells: Int, dim: Int, rows: Long,
+      minCellRows: Long, maxCellRows: Long, tombstoned: Long)
+
+  def describe(spark: SparkSession, path: String): IndexInfo = {
+    val (cells, model) = load(spark, path)
+    val occ = cells.groupBy(col(cellCol)).agg(count(lit(1)).as("n"))
+      .agg(sum("n"), min("n"), max("n")).head()
+    val tomb = graft.core.BatchCommit.readTombstones(spark, path)
+      .map(_.count()).getOrElse(0L)
+    IndexInfo(model.nCells, model.dim,
+      if (occ.isNullAt(0)) 0L else occ.getLong(0),
+      if (occ.isNullAt(1)) 0L else occ.getLong(1),
+      if (occ.isNullAt(2)) 0L else occ.getLong(2), tomb)
+  }
+
   /** Text-query convenience: embed with the session embedder, then [[search]]. */
   def searchText(indexed: DataFrame, model: IvfModel, c: String, query: String, k: Int,
       nProbe: Int, scoreCol: String = "vec_scores",

@@ -243,6 +243,36 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("searchSharded merges per-shard top-k exactly; describe reports " +
+      "occupancy and tombstones") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shard_spec").toString
+    Seq(0, 1).foreach { par =>
+      val (idx, m) = IvfIndex.build(vecs.filter($"id" % 2 === par), "emb",
+        nCells = 4, seed = 7 + par)
+      IvfIndex.save(idx, m, "emb", "id", s"$tmp/s$par")
+      idx.unpersist()
+    }
+    val qv = vecs.filter($"id" === 3).select(EmbedOps.vecCol("emb"))
+      .as[Seq[Float]].head()
+    val sharded = IvfIndex.searchSharded(spark, Seq(s"$tmp/s0", s"$tmp/s1"),
+        "emb", qv, k = 10, nProbe = 4, tieBreak = Seq(col("id")))
+      .select("id").as[Long].collect().toSeq
+    val exact = EmbedOps.semSearchVec(vecs, "emb", qv, 10,
+        tieBreak = Seq(col("id")))
+      .select("id").as[Long].collect().toSeq
+    assert(sharded == exact)
+    val info = IvfIndex.describe(spark, s"$tmp/s0")
+    assert(info.nCells == 4 && info.dim == 16 && info.rows == 60 &&
+      info.tombstoned == 0L && info.minCellRows >= 1 &&
+      info.maxCellRows <= 60)
+    IvfIndex.delete(vecs.filter($"id" === 0), "id", s"$tmp/s0")
+    val after = IvfIndex.describe(spark, s"$tmp/s0")
+    assert(after.rows == 59 && after.tombstoned == 1L)
+    intercept[IllegalArgumentException] {
+      IvfIndex.searchSharded(spark, Nil, "emb", qv, 10, 4)
+    }
+  }
+
   test("deterministic across rebuilds with the same seed") {
     val (i1, m1) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
     val (i2, m2) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
