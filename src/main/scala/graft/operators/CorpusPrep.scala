@@ -457,7 +457,8 @@ object CorpusPrep {
       sortBy: Seq[String] = Nil, sampleRows: Int = 1000,
       maxRecordsOverride: Option[Long] = None,
       zOrderBy: Seq[String] = Nil, zBits: Int = 12,
-      codec: Option[String] = None): WriteLayout = {
+      codec: Option[String] = None,
+      bloomFilterCols: Seq[String] = Nil): WriteLayout = {
     require(targetFileMb > 0, s"targetFileMb $targetFileMb must be positive")
     require(shardsPerPartition > 0,
       s"shardsPerPartition $shardsPerPartition must be positive")
@@ -506,7 +507,13 @@ object CorpusPrep {
     // session default.
     val writer0 = sorted.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecords)
-    val writer = codec.fold(writer0)(c => writer0.option("compression", c))
+    val writer1 = codec.fold(writer0)(c => writer0.option("compression", c))
+    // Parquet bloom filters on point-lookup columns (ids, fingerprints):
+    // a dedup/diff probe against the written corpus skips whole row groups
+    // whose bloom says "absent" — min/max stats can't do that for
+    // high-cardinality unsorted ids.
+    val writer = bloomFilterCols.foldLeft(writer1)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(path)
     WriteLayout(avg, maxRecords, shardsPerPartition)

@@ -520,6 +520,27 @@ class CorpusPrepSpec extends SparkSpec {
     assert(dFiles.nonEmpty && !dFiles.exists(_.contains(".zstd.")))
   }
 
+  test("writeCorpus bloom filters land in the parquet footers for exactly " +
+      "the requested columns") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    CorpusPrep.writeCorpus(docs, s"$tmp/b", Seq("lang"),
+      bloomFilterCols = Seq("id"))
+    val file = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/b"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get().toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      import scala.jdk.CollectionConverters._
+      val offsets = cols.asScala.map(c =>
+        c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+      assert(offsets("id") > 0, s"id must carry a bloom filter: $offsets")
+      assert(offsets("toks") < 0, s"toks must NOT carry one: $offsets")
+    } finally reader.close()
+  }
+
   test("writeBucketed: one file per bucket; bucketedJoin is exchange-free " +
       "and refuses a shuffling fallback") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
