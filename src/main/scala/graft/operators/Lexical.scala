@@ -333,6 +333,29 @@ object LexIndex {
       nBuckets)
   }
 
+  /** Index observability — the sparse sibling of `IvfIndex.describe`:
+    * live docs and postings (tombstones subtracted), distinct terms,
+    * bucket count, pending tombstones, and the STALENESS of the sidecar
+    * stats (sidecar n minus live docs — grows with deletions until
+    * [[compactDeletes]]; idf/avgdl drift with it, the Lucene pre-merge
+    * contract made visible).
+    */
+  final case class LexIndexInfo(docs: Long, postings: Long, terms: Long,
+      nBuckets: Int, tombstoned: Long, statsDocsStale: Double)
+
+  def describe(spark: SparkSession, path: String): LexIndexInfo = {
+    graft.core.BatchCommit.requireClean(spark, path, "LexIndex")
+    val (n, _, nBuckets) = readStats(path)
+    val post = graft.core.BatchCommit.subtractTombstones(spark, path,
+      graft.core.BatchCommit.readData(spark, path, "postings"))
+    val r = post.agg(count(lit(1)), countDistinct(col("id")),
+      countDistinct(col("term"))).head()
+    val tomb = graft.core.BatchCommit.readTombstones(spark, path)
+      .map(_.count()).getOrElse(0L)
+    LexIndexInfo(r.getLong(1), r.getLong(0), r.getLong(2), nBuckets, tomb,
+      n - r.getLong(1))
+  }
+
   /** Search a saved index. Reads: stats.json (driver, bytes) and the
     * postings partitions of the query terms' buckets (pruned scan) — nothing
     * else; doc lengths ride inside the posting rows and document frequencies

@@ -79,6 +79,23 @@ class LexicalSpec extends SparkSpec {
     }
   }
 
+  test("describe reports live docs/postings/terms and stats staleness " +
+      "across the delete/compact lifecycle") {
+    val path = java.nio.file.Files.createTempDirectory("lexdesc").toString + "/idx"
+    LexIndex.save(docs, "text", "doc_id", path, nBuckets = 8)
+    val before = LexIndex.describe(spark, path)
+    // doc 5 is empty (no postings) — 5 docs carry postings; sidecar n = 6.
+    assert(before.docs == 5 && before.terms > 0 && before.nBuckets == 8 &&
+      before.tombstoned == 0 && before.statsDocsStale == 1.0)
+    LexIndex.delete(docs.filter($"doc_id" < 2), "doc_id", path)
+    val del = LexIndex.describe(spark, path)
+    assert(del.docs == 3 && del.tombstoned == 2 && del.statsDocsStale == 3.0)
+    LexIndex.compactDeletes(spark, path,
+      path.stripSuffix("/idx") + "/compacted")
+    val comp = LexIndex.describe(spark, path.stripSuffix("/idx") + "/compacted")
+    assert(comp.docs == 3 && comp.tombstoned == 0 && comp.statsDocsStale == 0.0)
+  }
+
   test("driver-side bucket hash matches the xxhash64 bucketing expression") {
     val terms = Seq("spark", "join", "window", "zebra", "a")
     val fromExpr = terms.toDF("term")
