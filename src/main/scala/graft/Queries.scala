@@ -2739,9 +2739,9 @@ object Queries {
       // fingerprint, tombstone removed+changed, COMPACT (stats recompute
       // exactly; append refuses shadowed ids by contract), append only
       // changed+added. The refreshed search must equal BM25 over the NEW
-      // snapshot (the oracle) AND a fresh rebuild on snapshot 2 (engine
-      // cross-check) — refresh ≡ rebuild without re-indexing the
-      // unchanged bulk. Snapshot 2 is pure arithmetic: %10==1 removed,
+      // snapshot — the oracle computes it from scratch, which IS the
+      // clean-rebuild truth, so refresh ≡ rebuild without re-indexing
+      // the unchanged bulk. Snapshot 2 is pure arithmetic: %10==1 removed,
       // %10==2 text-suffixed, suffixed copies of %10==3 added at +100000.
       val tmp = java.nio.file.Files.createTempDirectory("graft_verify_bm25ref").toString
       val d = read(s, dir, "documents").select("doc_id", "text")
@@ -2763,14 +2763,12 @@ object Queries {
         .select("doc_id")
       LexIndex.append(snap2.join(fresh, Seq("doc_id"), "left_semi"),
         "text", "doc_id", s"$tmp/idx2")
-      def run(p: String) = LexIndex.search(s, p, "spark join window", k = 10)
+      // No engine-side rebuild cross-check: the oracle IS BM25 over
+      // snapshot 2 — exactly what a clean rebuild computes — so building
+      // a second index here would only double the gate's write cost.
+      LexIndex.search(s, s"$tmp/idx2", "spark join window", k = 10)
         .select(col("id").as("doc_id"), round(col("bm25"), 3).as("score"))
-      val refreshed = run(s"$tmp/idx2")
-      LexIndex.save(snap2, "text", "doc_id", s"$tmp/rebuild", nBuckets = 16)
-      val rebuilt = run(s"$tmp/rebuild")
-      require(refreshed.except(rebuilt).isEmpty && rebuilt.except(refreshed).isEmpty,
-        "refreshed index diverged from a clean rebuild on snapshot 2")
-      refreshed.orderBy(col("score").desc, col("doc_id"))
+        .orderBy(col("score").desc, col("doc_id"))
     }),
 
     "bm25_saved" -> ((s, dir) => {
