@@ -349,6 +349,18 @@ class PlanPropertiesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("dedupParagraphs keep-first limits map-side BEFORE the fingerprint " +
+      "shuffle (Partial WindowGroupLimit)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // The Partial variant below the exchange is the scale property: a
+    // boilerplate paragraph repeated a billion times forwards ONE row per
+    // map task instead of flooding a hot reducer.
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"keep-first must lower to a partial WindowGroupLimit:\n${plan.take(2000)}")
+  }
+
   test("IvfIndex.searchBatch joins candidates on the cell key — no " +
       "nested-loop product of queries x corpus") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
