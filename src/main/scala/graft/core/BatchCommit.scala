@@ -336,16 +336,8 @@ object BatchCommit {
       ttlMs: Long = 15L * 60 * 1000)(body: => T): T = {
     val lock = new Path(root, leaseFile)
     val f = fsOf(spark, lock)
-    def tryAcquire(): Boolean =
+    def readLease(): String =
       try {
-        val out = f.create(lock, false)
-        try out.write(s"""{"holder":"$holder","ts":${System.currentTimeMillis}}"""
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    if (!tryAcquire()) {
-      val txt = try {
         val in = f.open(lock)
         try {
           val buf = new java.io.ByteArrayOutputStream()
@@ -355,18 +347,41 @@ object BatchCommit {
           new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
         } finally in.close()
       } catch { case _: java.io.IOException => "" }
+    def tryAcquire(): Boolean =
+      try {
+        val out = f.create(lock, false)
+        try out.write(s"""{"holder":"$holder","ts":${System.currentTimeMillis}}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    // Releases and stale-breaks are OWNERSHIP-CHECKED: an unconditional
+    // delete could remove ANOTHER writer's live lease (a holder finishing
+    // after its own TTL expired would release its successor's lock; two
+    // waiters observing one stale lease would free each other). The
+    // remaining read→delete window is the irreducible gap of a filesystem
+    // without compare-and-delete — document, don't pretend otherwise.
+    def deleteIfContentIs(expected: String): Unit =
+      if (readLease() == expected) f.delete(lock, false)
+    if (!tryAcquire()) {
+      val txt = readLease()
       val ts = """"ts":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
       val stale = ts.forall(t => System.currentTimeMillis - t > ttlMs)
       if (!stale) throw new IllegalStateException(
         s"append to $root: another writer holds the lease ($txt) — " +
           "a concurrent append would interleave staging and adoption; " +
           "wait for it (or for the lease TTL if it crashed)")
-      f.delete(lock, false) // break the stale lease, then race for it again
+      deleteIfContentIs(txt) // break the stale lease iff it is still the one we judged
       if (!tryAcquire()) throw new IllegalStateException(
         s"append to $root: lost the race re-acquiring a stale lease")
     }
     try body
-    finally f.delete(lock, false)
+    finally {
+      // Release only our own lease: if it expired mid-append and a
+      // successor broke it, theirs must survive.
+      if (readLease().contains(s""""holder":"$holder""""))
+        f.delete(lock, false)
+    }
   }
 
   def appendExactlyOnce(spark: SparkSession, root: String, liveSubdir: String,

@@ -133,24 +133,21 @@ object IvfIndex {
     require(queries.nonEmpty && nProbes.nonEmpty,
       "recallReport: need at least one query and one probe tier")
     val spark = indexed.sparkSession
-    val rows = for ((qid, qv) <- queries) yield {
-      val exact = search(indexed, model, c, qv, k, nProbe = model.nCells,
+    def topIds(qv: Seq[Float], np: Int): Set[Any] =
+      search(indexed, model, c, qv, k, nProbe = np,
           tieBreak = Seq(col(idCol)))
         .select(idCol).collect().map(_.get(0)).toSet
-      (qid, exact)
-    }
-    val out = for {
-      (qid, exact) <- rows
-      np <- nProbes.sorted
-    } yield {
-      val qv = queries.find(_._1 == qid).get._2
-      val got = search(indexed, model, c, qv, k, nProbe = np,
-          tieBreak = Seq(col(idCol)))
-        .select(idCol).collect().map(_.get(0)).toSet
-      (qid, np, got.intersect(exact).size.toDouble / math.max(1, exact.size))
+    val out = for ((qid, qv) <- queries) yield {
+      val exact = topIds(qv, model.nCells)
+      nProbes.sorted.map { np =>
+        // An exhaustive tier IS the exact set — recall 1.0 by definition,
+        // no second search job.
+        val got = if (np >= model.nCells) exact else topIds(qv, np)
+        (qid, np, got.intersect(exact).size.toDouble / math.max(1, exact.size))
+      }
     }
     import spark.implicits._
-    out.toDF("query_id", "n_probe", "recall")
+    out.flatten.toDF("query_id", "n_probe", "recall")
   }
 
   /** Public fit entry for other operators (semClusterBy shares the layout):
@@ -539,18 +536,25 @@ object IvfIndex {
     * metadata read + one narrow aggregate.
     */
   final case class IndexInfo(nCells: Int, dim: Int, rows: Long,
-      minCellRows: Long, maxCellRows: Long, tombstoned: Long)
+      minCellRows: Long, maxCellRows: Long, emptyCells: Int,
+      tombstoned: Long)
 
   def describe(spark: SparkSession, path: String): IndexInfo = {
     val (cells, model) = load(spark, path)
     val occ = cells.groupBy(col(cellCol)).agg(count(lit(1)).as("n"))
-      .agg(sum("n"), min("n"), max("n")).head()
+      .agg(sum("n"), min("n"), max("n"), count(lit(1))).head()
     val tomb = graft.core.BatchCommit.readTombstones(spark, path)
       .map(_.count()).getOrElse(0L)
+    // groupBy only surfaces NONEMPTY cells — a collapsed quantizer (all
+    // rows in one cell) would otherwise read as min == max == rows, i.e.
+    // no skew at all. Empty cells are the skew signal, so they force
+    // minCellRows to 0 and are counted out loud.
+    val nonEmpty = if (occ.isNullAt(3)) 0 else occ.getLong(3).toInt
+    val empty = model.nCells - nonEmpty
     IndexInfo(model.nCells, model.dim,
       if (occ.isNullAt(0)) 0L else occ.getLong(0),
-      if (occ.isNullAt(1)) 0L else occ.getLong(1),
-      if (occ.isNullAt(2)) 0L else occ.getLong(2), tomb)
+      if (empty > 0 || occ.isNullAt(1)) 0L else occ.getLong(1),
+      if (occ.isNullAt(2)) 0L else occ.getLong(2), empty, tomb)
   }
 
   /** Text-query convenience: embed with the session embedder, then [[search]]. */

@@ -54,7 +54,14 @@ case class VectorAvg(
     else if (b.sums.length != d) throw new IllegalArgumentException(
       s"vector_avg: ragged vector dims in one group (${b.sums.length} vs $d)")
     var i = 0
-    while (i < d) { b.sums(i) += arr.getFloat(i).toDouble; i += 1 }
+    while (i < d) {
+      // A null ELEMENT would read as 0.0 from ArrayData and silently skew
+      // the centroid — same loud-failure contract as ragged dims.
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"vector_avg: null element at index $i — drop or impute the vector first")
+      b.sums(i) += arr.getFloat(i).toDouble
+      i += 1
+    }
     b.count += 1
     b
   }

@@ -164,27 +164,42 @@ case class ProbeCells(child: Expression, centroids: Array[Array[Float]],
           s"probe_cells requires array<float>, got $other")
     }
 
+  // Centroid norms are row-invariant — computed once per expression
+  // instance, not once per (row × centroid).
+  @transient private lazy val centroidNorms: Array[Double] =
+    centroids.map { cent =>
+      var s = 0.0; var i = 0
+      while (i < cent.length) { s += cent(i).toDouble * cent(i); i += 1 }
+      math.sqrt(s)
+    }
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val d = v.numElements()
+    // The query norm is centroid-invariant — one pass per row, hoisted out
+    // of the centroid loop (halves the kernel's flops on the batch path).
+    var nv = 0.0
+    var i = 0
+    while (i < d) {
+      val x = v.getFloat(i).toDouble
+      nv += x * x
+      i += 1
+    }
+    val qNorm = math.sqrt(nv)
     val scored = new Array[(Double, Int)](centroids.length)
     var c = 0
     while (c < centroids.length) {
       val cent = centroids(c)
       if (d != cent.length) throw new IllegalArgumentException(
         s"probe_cells dimension mismatch: vector dim $d vs centroid dim ${cent.length}")
-      var dot = 0.0; var nv = 0.0; var nc = 0.0
-      var i = 0
-      while (i < d) {
-        val x = v.getFloat(i).toDouble
-        dot += x * cent(i); nv += x * x; nc += cent(i).toDouble * cent(i)
-        i += 1
-      }
-      val denom = math.sqrt(nv) * math.sqrt(nc)
+      var dot = 0.0
+      i = 0
+      while (i < d) { dot += v.getFloat(i).toDouble * cent(i); i += 1 }
+      val denom = qNorm * centroidNorms(c)
       scored(c) = (if (denom == 0.0) 0.0 else dot / denom, c)
       c += 1
     }
-    val top = scored.sortBy { case (s, i) => (-s, i) }
+    val top = scored.sortBy { case (s, j) => (-s, j) }
       .take(math.min(nProbe, centroids.length)).map(_._2)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(top)
   }

@@ -285,22 +285,41 @@ object CorpusPrep {
   def scorePercentRank(df: DataFrame, scoreCol: String,
       outCol: String = "score_pct",
       maxScoreBuckets: Int = 100000): DataFrame = {
+    // ONE scan of the corpus: the histogram is cached (bounded by the cap,
+    // checked below), the cardinality probe and the total both read it.
     val counts = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
-    val nDistinct = counts.limit(maxScoreBuckets + 1).count()
-    require(nDistinct <= maxScoreBuckets,
-      s"scorePercentRank: > $maxScoreBuckets distinct scores — quantize the " +
-        "score first (the cumulative pass must stay driver-bounded)")
-    val total = df.count()
-    val w = Window.orderBy(col(scoreCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranks = counts
-      .withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
-      .select(col(scoreCol), col("__below"))
-    df.join(broadcast(ranks), Seq(scoreCol))
-      .withColumn(outCol,
-        if (total <= 1L) lit(0.0)
-        else col("__below").cast("double") / lit((total - 1).toDouble))
-      .drop("__below")
+      .persist()
+    try {
+      val nDistinct = counts.limit(maxScoreBuckets + 1).count()
+      require(nDistinct <= maxScoreBuckets,
+        s"scorePercentRank: > $maxScoreBuckets distinct scores — quantize the " +
+          "score first (the cumulative pass must stay driver-bounded)")
+      // A null score would silently vanish in the equi-join below while
+      // still inflating every other row's denominator — refuse loudly
+      // (percent_rank over nulls has no portable definition anyway).
+      require(counts.filter(col(scoreCol).isNull).isEmpty,
+        s"scorePercentRank: $scoreCol contains nulls — filter or impute first")
+      val total = counts.agg(sum(col("__c"))).head().getLong(0)
+      val w = Window.orderBy(col(scoreCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // The rank table is bounded by the cap and destined for a broadcast
+      // anyway — materialize it now so the cache can be freed eagerly and
+      // the caller's action never re-scans the corpus for it.
+      val ranksRows = counts
+        .withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
+        .select(col(scoreCol), col("__below")).collect().toSeq
+      val ranks = df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.parallelize(ranksRows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          df.schema(scoreCol),
+          org.apache.spark.sql.types.StructField("__below",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      df.join(broadcast(ranks), Seq(scoreCol))
+        .withColumn(outCol,
+          if (total <= 1L) lit(0.0)
+          else col("__below").cast("double") / lit((total - 1).toDouble))
+        .drop("__below")
+    } finally counts.unpersist()
   }
 
   /** MERGEABLE corpus profile — [[corpusProfile]]'s algebra split open so

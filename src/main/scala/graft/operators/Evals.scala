@@ -134,18 +134,19 @@ object Evals {
       rankCol: String = "rank", gradeCol: String = "grade"): DataFrame = {
     require(k >= 1, s"retrievalMetrics: k $k must be >= 1")
     val q = col(qidCol)
-    // Ideal DCG from the judgments alone: grades sorted descending.
+    // Ideal DCG and the relevant-doc count share ONE aggregation over the
+    // judged-relevant rows: the iDCG sum is conditioned on the top-k ideal
+    // ranks, the count is not.
     val ideal = qrels.filter(col(gradeCol) > 0)
       .withColumn("__irank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(q)
           .orderBy(col(gradeCol).desc, col(docCol))))
-      .filter(col("__irank") <= k)
       .groupBy(q).agg(
-        sum(col(gradeCol).cast("double") /
-          log2(col("__irank").cast("double") + 1.0)).as("__idcg"),
-        count(lit(1)).as("__n_rel_k"))
-    val nRel = qrels.filter(col(gradeCol) > 0)
-      .groupBy(q).agg(count(lit(1)).as("__n_rel"))
+        sum(when(col("__irank") <= k,
+          col(gradeCol).cast("double") /
+            log2(col("__irank").cast("double") + 1.0))
+          .otherwise(lit(0.0))).as("__idcg"),
+        count(lit(1)).as("__n_rel"))
     val hits = results.filter(col(rankCol) <= k)
       .join(qrels.filter(col(gradeCol) > 0), Seq(qidCol, docCol))
     val perQ = hits.groupBy(q).agg(
@@ -153,8 +154,7 @@ object Evals {
       min(col(rankCol)).as("__first_rank"),
       sum(col(gradeCol).cast("double") /
         log2(col(rankCol).cast("double") + 1.0)).as("__dcg"))
-    nRel.join(ideal, Seq(qidCol))
-      .join(perQ, Seq(qidCol), "left_outer")
+    ideal.join(perQ, Seq(qidCol), "left_outer")
       .select(q,
         round(coalesce(col("__n_hit"), lit(0L)).cast("double") /
           col("__n_rel"), 4).as(s"recall_$k"),

@@ -44,6 +44,14 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT g, vector_avg(v) AS m FROM graft_ext_vecs GROUP BY g")
       .as[(Int, Seq[Double])].collect().toMap
     assert(viaSql == Map(0 -> Seq(2.0, 4.0), 1 -> Seq(2.0, 2.0)))
+    // A null ELEMENT is refused loudly — ArrayData would read it as 0.0
+    // and silently skew the centroid.
+    val err = intercept[Throwable] {
+      spark.sql("SELECT vector_avg(v) FROM (SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS v)").collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + messages(t.getCause)
+    assert(messages(err).contains("null element"), messages(err))
   }
 
   test("shape parameters must be literals; arity is checked") {

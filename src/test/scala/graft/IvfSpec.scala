@@ -263,11 +263,23 @@ class IvfSpec extends SparkSpec {
     assert(sharded == exact)
     val info = IvfIndex.describe(spark, s"$tmp/s0")
     assert(info.nCells == 4 && info.dim == 16 && info.rows == 60 &&
-      info.tombstoned == 0L && info.minCellRows >= 1 &&
-      info.maxCellRows <= 60)
+      info.tombstoned == 0L && info.maxCellRows <= 60)
+    assert(info.emptyCells == 0 && info.minCellRows >= 1)
     IvfIndex.delete(vecs.filter($"id" === 0), "id", s"$tmp/s0")
     val after = IvfIndex.describe(spark, s"$tmp/s0")
     assert(after.rows == 59 && after.tombstoned == 1L)
+    // A collapsed quantizer must read as SKEW, not as uniformity: with a
+    // far-away second/third centroid every row lands in cell 0, and
+    // describe reports the empty cells and a zero min occupancy.
+    val farCents = Array(
+      Array.fill(16)(0.1f),
+      Array.fill(16)(100f),
+      Array.fill(16)(-100f))
+    val (collapsed, cm) = IvfIndex.buildWithCentroids(vecs, "emb", farCents)
+    IvfIndex.save(collapsed, cm, "emb", "id", s"$tmp/collapsed")
+    val skew = IvfIndex.describe(spark, s"$tmp/collapsed")
+    assert(skew.emptyCells == 2 && skew.minCellRows == 0L &&
+      skew.maxCellRows == 120L, skew.toString)
     intercept[IllegalArgumentException] {
       IvfIndex.searchSharded(spark, Nil, "emb", qv, 10, 4)
     }
