@@ -2129,15 +2129,22 @@ object Queries {
     }),
 
     "dedup_paragraphs" -> ((s, dir) => {
-      // C4-style CROSS-document paragraph dedup: sentence-separated
-      // paragraphs, keep only the globally-first occurrence (lowest
-      // (doc_id, position)) of each normalized paragraph, reassemble
-      // survivors in original order; fully-deduped docs disappear. One
-      // fingerprint shuffle (keep-first lowers to WindowGroupLimit — a
-      // boilerplate paragraph repeated a billion times costs one row per
-      // map task, not a hot reducer) + one reassembly shuffle.
-      Dedup.dedupParagraphs(
-          read(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+      // C4-style CROSS-document paragraph dedup: keep only the
+      // globally-first occurrence (lowest (doc_id, position)) of each
+      // normalized paragraph, reassemble survivors in original order.
+      // The gate corpus is single-sentence, so the adapter deterministically
+      // sentence-izes it (period after every 7th word — the text_line_stats
+      // reshaping convention) and prepends a SHARED boilerplate sentence to
+      // every doc: only doc 0 may keep it, every other doc must lose it —
+      // the keep-first shuffle (WindowGroupLimit: a boilerplate paragraph
+      // repeated a billion times costs one row per map task, not a hot
+      // reducer) is exercised on a real cross-corpus duplicate.
+      val d = read(s, dir, "documents")
+        .select(col("doc_id"), concat(lit("Common header sentence. "),
+          array_join(transform(split(trim(col("text")), "\\s+"),
+            (w, i) => when(i % 7 === 6, concat(w, lit(".")))
+              .otherwise(w)), " ")).as("text"))
+      Dedup.dedupParagraphs(d, "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -2510,6 +2517,23 @@ object Queries {
           chunkTokens = 128, overlap = 32)
         .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
           md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    "chunk_sentences" -> ((s, dir) => {
+      // Sentence-boundary chunking (the RAG chunker that never cuts
+      // mid-sentence): consecutive sentences pack into ~14-token chunks
+      // via the exclusive-cumsum bin id; the budget-crossing sentence
+      // stays in the chunk it started. The gate corpus is single-sentence,
+      // so the adapter sentence-izes it deterministically (period after
+      // every 7th word) — real multi-chunk packing, and reassembly
+      // restores '. ' so the chunk text itself is part of the hash.
+      val d = read(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(transform(split(trim(col("text")), "\\s+"),
+            (w, i) => when(i % 7 === 6, concat(w, lit(".")))
+              .otherwise(w)), " ").as("text"))
+      CorpusPrep.chunkBySentences(d, "doc_id", "text", maxTokens = 14)
         .orderBy("doc_id", "chunk_id")
     }),
 
@@ -4115,13 +4139,18 @@ object Queries {
         |ORDER BY list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, s.vec_id
         |LIMIT 12""".stripMargin,
 
-    // Same split / normalize / keep-first / reassemble pipeline in SQL;
-    // paragraph identity is the normalized string itself (the engine's
-    // md5 fingerprint induces the identical equivalence classes).
+    // Same sentence-ize / split / normalize / keep-first / reassemble
+    // pipeline in SQL; paragraph identity is the normalized string itself
+    // (the engine's md5 fingerprint induces identical equivalence classes).
     "dedup_paragraphs" ->
-      """WITH p AS (
+      """WITH src AS (
+        |  SELECT doc_id, 'Common header sentence. ' ||
+        |    array_to_string(list_transform(range(1, len(w0) + 1),
+        |      i -> CASE WHEN i % 7 = 0 THEN w0[i] || '.' ELSE w0[i] END), ' ') AS text
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w0 FROM documents)),
+        |p AS (
         |  SELECT doc_id, unnest(ps) AS para, generate_subscripts(ps, 1) AS idx
-        |  FROM (SELECT doc_id, string_split(text, '. ') AS ps FROM documents)),
+        |  FROM (SELECT doc_id, string_split(text, '. ') AS ps FROM src)),
         |k AS (
         |  SELECT *, regexp_replace(lower(trim(para)), '\s+', ' ', 'g') AS fp
         |  FROM p),
@@ -4438,6 +4467,32 @@ object Queries {
         |  CAST(least(128, len(w) - unnest(starts)) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(list_slice(w, unnest(starts) + 1, unnest(starts) + 128), ' ')) AS chunk_md5
         |FROM p ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Same sentence-ize / split / token-count / exclusive-cumsum bin /
+    // reassemble pipeline in SQL.
+    "chunk_sentences" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(1, len(w0) + 1),
+        |      i -> CASE WHEN i % 7 = 0 THEN w0[i] || '.' ELSE w0[i] END), ' ') AS text
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w0 FROM documents)),
+        |sent AS (
+        |  SELECT doc_id, unnest(ss) AS s, generate_subscripts(ss, 1) AS pos
+        |  FROM (SELECT doc_id, string_split(text, '. ') AS ss FROM src)),
+        |tok AS (
+        |  SELECT doc_id, s, pos,
+        |    CASE WHEN len(trim(s)) = 0 THEN 0
+        |         ELSE len(string_split(trim(s), ' ')) END AS t
+        |  FROM sent),
+        |packed AS (
+        |  SELECT *, CAST(floor((sum(t) OVER w - t) * 1.0 / 14) AS BIGINT) AS chunk_id
+        |  FROM tok
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING))
+        |SELECT doc_id, chunk_id,
+        |  string_agg(s, '. ' ORDER BY pos) AS chunk_text,
+        |  CAST(sum(t) AS BIGINT) AS n_tokens
+        |FROM packed GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // Exact all-pairs new-vs-old match set (fingerprint or string-shingle
     // Jaccard >= 0.5); hashed-vs-string shingles differ only by 2^-64

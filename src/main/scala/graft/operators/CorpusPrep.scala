@@ -122,6 +122,37 @@ object CorpusPrep {
       floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / maxTokens).cast("long"))
   }
 
+  /** Sentence-boundary passage chunking — the RAG chunker that never cuts
+    * mid-sentence: split on `sep`, then pack CONSECUTIVE sentences into
+    * chunks of ~`maxTokens` with the same exclusive-cumulative-sum bin id
+    * as [[packSequences]] (the budget-crossing sentence stays in the chunk
+    * it started, so a chunk overflows by at most one sentence; a single
+    * sentence longer than the budget owns its chunk). Reassembly restores
+    * the original separator, so concatenating a document's chunks in order
+    * reproduces its text byte-for-byte. Shape: per-row split, one per-doc
+    * window (narrow after the id shuffle), one (id, chunk) reassembly
+    * shuffle. Returns (idCol, chunk_id, chunk_text, n_tokens).
+    */
+  def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, sep: String = ". "): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens $maxTokens must be >= 1")
+    val sent = df.select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      .as(Seq("__pos", "__sent")))
+      .withColumn("__tok",
+        graft.functions.TextFunctions.tokenCount(col("__sent")).cast("long"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sent.withColumn("chunk_id",
+        floor((sum(col("__tok")).over(w) - col("__tok")) / maxTokens)
+          .cast("long"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("__pos"), col("__sent")))),
+        x => x("__sent")), sep).as("chunk_text"),
+        sum(col("__tok")).as("n_tokens"))
+  }
+
   /** Word counts `(word, n)` of the lowercased whitespace token stream —
     * the vocabulary-build pass shared by [[vocabTopK]] and
     * [[unigramSurprisal]]: explode + map-side partial count, one

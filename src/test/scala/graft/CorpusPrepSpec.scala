@@ -520,6 +520,33 @@ class CorpusPrepSpec extends SparkSpec {
     assert(dFiles.nonEmpty && !dFiles.exists(_.contains(".zstd.")))
   }
 
+  test("chunkBySentences packs whole sentences and reassembles to the " +
+      "original text") {
+    val d = Seq(
+      (1L, "one two three. four five. six seven eight nine. ten"),
+      (2L, "solo")
+    ).toDF("doc_id", "text")
+    val chunks = CorpusPrep.chunkBySentences(d, "doc_id", "text", maxTokens = 5)
+      .as[(Long, Long, String, Long)].collect().sortBy(c => (c._1, c._2))
+    // doc 1 sentence tokens: 3, 2, 4, 1; exclusive cumsums 0,3,5,9 →
+    // bins 0,0,1,1.
+    assert(chunks.filter(_._1 == 1L).map(c => (c._2, c._3, c._4)).toSeq == Seq(
+      (0L, "one two three. four five", 5L),
+      (1L, "six seven eight nine. ten", 5L)))
+    assert(chunks.filter(_._1 == 2L).map(_._3).toSeq == Seq("solo"))
+    // Concatenating a doc's chunks in order restores the text exactly.
+    val rejoined = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+      .mkString(". ")
+    assert(rejoined == "one two three. four five. six seven eight nine. ten")
+    // A huge budget yields one chunk per doc == the original text.
+    val whole = CorpusPrep.chunkBySentences(d, "doc_id", "text", 1000000)
+      .as[(Long, Long, String, Long)].collect()
+    assert(whole.length == 2 && whole.forall(_._2 == 0L))
+    intercept[IllegalArgumentException] {
+      CorpusPrep.chunkBySentences(d, "doc_id", "text", 0)
+    }
+  }
+
   test("writeCorpus bloom filters land in the parquet footers for exactly " +
       "the requested columns") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bloom").toString
