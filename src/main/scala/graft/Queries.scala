@@ -914,7 +914,16 @@ object Queries {
 
     // ---------------- dedup suite -----------------------------------------
     "dedup_exact" -> ((s, dir) => {
-      read(s, dir, "documents")
+      // The gate corpus holds no exact duplicates, so the adapter PLANTS
+      // them: every 10th doc re-enters under doc_id + 100000. Exact dedup
+      // must drop every planted copy (min id wins) and keep all
+      // originals — the oracle (dedup over the bare table) only matches
+      // if the drop actually happened; a keep-max or keep-all regression
+      // would surface +100000 ids and fail the hash.
+      val d = read(s, dir, "documents").select("doc_id", "text")
+      val planted = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      d.unionByName(planted)
         .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id", "text")
         .orderBy("doc_id")
