@@ -2529,6 +2529,26 @@ object Queries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    "text_script_mix" -> ((s, dir) => {
+      // Unicode-script composition — the pre-language-ID routing signal
+      // (a stopword langId is meaningless on CJK; script fractions say
+      // which detector applies and catch mixed-script spam). The gate
+      // corpus is Latin-only, so the adapter deterministically mixes it:
+      // every 3rd doc gains a Cyrillic tail, 3rd+1 a CJK tail, 3rd+2 an
+      // Arabic tail; the oracle mirrors construction and the per-class
+      // codepoint counts exactly (literal RE2 ranges).
+      val mixed = read(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" Привет мир"))
+            .when(col("doc_id") % 3 === 1, lit(" 中文字符测试"))
+            .otherwise(lit(" مرحبا بالعالم"))).as("text"))
+      mixed.select(col("doc_id"), TF.scriptFractions(col("text")).as("sf"))
+        .select(col("doc_id"), col("sf.latin").as("latin"),
+          col("sf.cyrillic").as("cyrillic"), col("sf.cjk").as("cjk"),
+          col("sf.arabic").as("arabic"), col("sf.other").as("other"))
+        .orderBy("doc_id")
+    }),
+
     "chunk_sentences" -> ((s, dir) => {
       // Sentence-boundary chunking (the RAG chunker that never cuts
       // mid-sentence): consecutive sentences pack into ~14-token chunks
@@ -4476,6 +4496,32 @@ object Queries {
         |  CAST(least(128, len(w) - unnest(starts)) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(list_slice(w, unnest(starts) + 1, unnest(starts) + 128), ' ')) AS chunk_md5
         |FROM p ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Same mixed-script construction; per-class counts over the identical
+    // literal codepoint ranges (RE2 \x{...} ≡ Java \uXXXX).
+    "text_script_mix" ->
+      """WITH src AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' Привет мир'
+        |         WHEN doc_id % 3 = 1 THEN ' 中文字符测试'
+        |         ELSE ' مرحبا بالعالم' END AS text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(regexp_replace(text, '\s+', '', 'g')) AS nw,
+        |    len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]')) AS la,
+        |    len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS cy,
+        |    len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]')) AS cj,
+        |    len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS ar
+        |  FROM src)
+        |SELECT doc_id,
+        |  round(la * 1.0 / nw, 4) AS latin,
+        |  round(cy * 1.0 / nw, 4) AS cyrillic,
+        |  round(cj * 1.0 / nw, 4) AS cjk,
+        |  round(ar * 1.0 / nw, 4) AS arabic,
+        |  round(greatest(0.0, 1.0 - la * 1.0 / nw - cy * 1.0 / nw
+        |    - cj * 1.0 / nw - ar * 1.0 / nw), 4) AS other
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Same sentence-ize / split / token-count / exclusive-cumsum bin /
     // reassemble pipeline in SQL.

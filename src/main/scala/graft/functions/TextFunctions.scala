@@ -74,6 +74,33 @@ object TextFunctions {
     best._2
   }
 
+  /** Unicode-script composition of a document: the fraction of
+    * NON-WHITESPACE characters in each of the major script classes
+    * (latin, cyrillic, cjk, arabic, other) — the pre-language-ID routing
+    * signal of multilingual pipelines (a stopword-lexicon langId is
+    * meaningless on CJK text; script fractions say which detector even
+    * applies, and catch mixed-script spam). Pure per-row regexp counts,
+    * O(doc length), no shuffle; the ranges are literal codepoint classes
+    * so an external engine reproduces them exactly.
+    */
+  def scriptFractions(c: Column): Column = {
+    val nonWs = length(regexp_replace(c, "\\s+", ""))
+    def frac(pattern: String) =
+      when(nonWs === 0, lit(0.0)).otherwise(
+        size(regexp_extract_all(c, lit(pattern), lit(0))).cast("double") / nonWs)
+    val latin = frac("[A-Za-z\\u00C0-\\u024F]")
+    val cyr = frac("[\\u0400-\\u04FF]")
+    val cjk = frac("[\\u4E00-\\u9FFF\\u3040-\\u30FF\\uAC00-\\uD7AF]")
+    val arabic = frac("[\\u0600-\\u06FF]")
+    struct(
+      round(latin, 4).as("latin"),
+      round(cyr, 4).as("cyrillic"),
+      round(cjk, 4).as("cjk"),
+      round(arabic, 4).as("arabic"),
+      round(when(nonWs === 0, lit(0.0)).otherwise(greatest(lit(0.0),
+        lit(1.0) - latin - cyr - cjk - arabic)), 4).as("other"))
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased text.
     * (The md5 builtin exists in both Spark and ANSI-ish oracles, so
     * fingerprints are verifiable end-to-end.)

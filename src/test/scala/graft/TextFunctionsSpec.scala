@@ -204,4 +204,29 @@ class TextFunctionsSpec extends SparkSpec {
     val r = out.filter($"id" === 3).select("media_bytes").as[Int].head()
     assert(r == 10)
   }
+
+  test("scriptFractions classifies major scripts; fractions sum to ~1; " +
+      "empty text is all zero") {
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "Привет мир"),
+      (3L, "中文字符"),
+      (4L, "hello Привет"),
+      (5L, "   ")
+    ).toDF("id", "text")
+    val out = df.select($"id", TF.scriptFractions($"text").as("sf"))
+      .select($"id", $"sf.latin", $"sf.cyrillic", $"sf.cjk", $"sf.arabic",
+        $"sf.other")
+      .as[(Long, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1.0 && out(1L)._3 == 0.0)
+    assert(out(2L)._3 == 1.0 && out(2L)._2 == 0.0)
+    assert(out(3L)._4 == 1.0)
+    // "hello" = 5 of 11 non-ws chars, "Привет" = 6 of 11.
+    assert(out(4L)._2 == 0.4545 && out(4L)._3 == 0.5455)
+    assert(out(5L) == ((5L, 0.0, 0.0, 0.0, 0.0, 0.0)))
+    // Fractions of a mixed doc cover everything (other picks up the rest).
+    val s = out(4L)
+    assert(math.abs(s._2 + s._3 + s._4 + s._5 + s._6 - 1.0) < 1e-3)
+  }
 }
