@@ -2537,10 +2537,13 @@ object Queries {
       // every 3rd doc gains a Cyrillic tail, 3rd+1 a CJK tail, 3rd+2 an
       // Arabic tail; the oracle mirrors construction and the per-class
       // codepoint counts exactly (literal RE2 ranges).
+      // The tails also plant the classification edges: × ÷ are Latin-1
+      // SIGNS (must count as "other", not latin) and NBSP / ideographic
+      // space are whitespace (must not count at all).
       val mixed = read(s, dir, "documents").select(col("doc_id"),
         concat(col("text"),
-          when(col("doc_id") % 3 === 0, lit(" Привет мир"))
-            .when(col("doc_id") % 3 === 1, lit(" 中文字符测试"))
+          when(col("doc_id") % 3 === 0, lit(" Привет мир 3×4÷2"))
+            .when(col("doc_id") % 3 === 1, lit(" 中文字符测试　汉"))
             .otherwise(lit(" مرحبا بالعالم"))).as("text"))
       mixed.select(col("doc_id"), TF.scriptFractions(col("text")).as("sf"))
         .select(col("doc_id"), col("sf.latin").as("latin"),
@@ -4502,14 +4505,14 @@ object Queries {
     "text_script_mix" ->
       """WITH src AS (
         |  SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 3 = 0 THEN ' Привет мир'
-        |         WHEN doc_id % 3 = 1 THEN ' 中文字符测试'
+        |    CASE WHEN doc_id % 3 = 0 THEN ' Привет мир 3×4÷2'
+        |         WHEN doc_id % 3 = 1 THEN ' 中文字符测试　汉'
         |         ELSE ' مرحبا بالعالم' END AS text
         |  FROM documents),
         |m AS (
         |  SELECT doc_id,
-        |    len(regexp_replace(text, '\s+', '', 'g')) AS nw,
-        |    len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]')) AS la,
+        |    len(regexp_replace(text, '[\s\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+', '', 'g')) AS nw,
+        |    len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]')) AS la,
         |    len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS cy,
         |    len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]')) AS cj,
         |    len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS ar

@@ -331,9 +331,34 @@ object BatchCommit {
     * crashed) and is broken — a crashed writer must not wedge the index
     * forever; the mark protocol then recovers its partial batch.
     */
+  val defaultLeaseTtlMs: Long = 15L * 60 * 1000
+
+  /** Handle on a HELD lease. `verifyOwned()` re-reads the lease file and
+    * throws if another holder has taken it (possible only if this writer
+    * stalled past the TTL — e.g. a long GC pause — and a waiter broke the
+    * lease as stale). Called immediately before the adoption step, it
+    * shrinks the lost-lease/concurrent-adoption window to a single read.
+    */
+  final class LeaseHandle private[core] (read: () => String, holder: String) {
+    def verifyOwned(): Unit = {
+      val txt = read()
+      if (!txt.contains(s""""holder":"$holder""""))
+        throw new IllegalStateException(
+          s"writer lease lost before commit (holder $holder, lease now " +
+            s"[$txt]): this writer stalled past the lease TTL and a second " +
+            "writer broke the lease — aborting before adoption to avoid " +
+            "interleaving with its append")
+    }
+  }
+
   def withWriterLease[T](spark: SparkSession, root: String,
       holder: String = java.util.UUID.randomUUID().toString,
-      ttlMs: Long = 15L * 60 * 1000)(body: => T): T = {
+      ttlMs: Long = defaultLeaseTtlMs)(body: => T): T =
+    withWriterLeaseHandle(spark, root, holder, ttlMs)(_ => body)
+
+  def withWriterLeaseHandle[T](spark: SparkSession, root: String,
+      holder: String = java.util.UUID.randomUUID().toString,
+      ttlMs: Long = defaultLeaseTtlMs)(body: LeaseHandle => T): T = {
     val lock = new Path(root, leaseFile)
     val f = fsOf(spark, lock)
     def readLease(): String =
@@ -375,8 +400,39 @@ object BatchCommit {
       if (!tryAcquire()) throw new IllegalStateException(
         s"append to $root: lost the race re-acquiring a stale lease")
     }
-    try body
+    // Renewal: a LIVE append running longer than ttlMs must not be judged
+    // stale by a waiting second writer (which would break the lease and
+    // append concurrently — exactly the interleaving the lease prevents).
+    // A daemon thread refreshes the timestamp every ttlMs/3 for as long as
+    // the body runs; only a writer that STOPS renewing (crashed, or paused
+    // longer than the TTL) can be broken, and that case is caught by
+    // `verifyOwned()` at the adoption step.
+    def renew(): Unit =
+      if (readLease().contains(s""""holder":"$holder""""))
+        try {
+          val out = f.create(lock, true)
+          try out.write(
+            s"""{"holder":"$holder","ts":${System.currentTimeMillis}}"""
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } catch { case _: java.io.IOException => () }
+    @volatile var released = false
+    val renewEveryMs = math.max(50L, ttlMs / 3)
+    val renewer = new Thread(() => {
+      try {
+        while (!released) {
+          Thread.sleep(renewEveryMs)
+          if (!released) renew()
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-renew-$holder")
+    renewer.setDaemon(true)
+    renewer.start()
+    try body(new LeaseHandle(() => readLease(), holder))
     finally {
+      released = true
+      renewer.interrupt()
+      renewer.join(2000)
       // Release only our own lease: if it expired mid-append and a
       // successor broke it, theirs must survive.
       if (readLease().contains(s""""holder":"$holder""""))
@@ -387,17 +443,20 @@ object BatchCommit {
   def appendExactlyOnce(spark: SparkSession, root: String, liveSubdir: String,
       token: String, sidecarState: => Map[String, Double],
       writeStaged: String => Unit,
-      updateSidecar: Map[String, Double] => Unit): Boolean =
-    withWriterLease(spark, root) {
+      updateSidecar: Map[String, Double] => Unit,
+      leaseHolder: String = java.util.UUID.randomUUID().toString,
+      leaseTtlMs: Long = defaultLeaseTtlMs): Boolean =
+    withWriterLeaseHandle(spark, root, leaseHolder, leaseTtlMs) { lease =>
       appendExactlyOnceUnlocked(spark, root, liveSubdir, token, sidecarState,
-        writeStaged, updateSidecar)
+        writeStaged, updateSidecar, lease)
     }
 
   private def appendExactlyOnceUnlocked(spark: SparkSession, root: String,
       liveSubdir: String,
       token: String, sidecarState: => Map[String, Double],
       writeStaged: String => Unit,
-      updateSidecar: Map[String, Double] => Unit): Boolean = {
+      updateSidecar: Map[String, Double] => Unit,
+      lease: LeaseHandle): Boolean = {
     val prior = readMark(spark, root)
     prior match {
       case Some(m) if m.done && m.token == token =>
@@ -425,6 +484,7 @@ object BatchCommit {
           val f = fsOf(spark, staging)
           if (f.exists(staging)) f.delete(staging, true)
           writeStaged(staging.toString)
+          lease.verifyOwned() // staging may have run long; abort if broken as stale
           adoptStaged(spark, staging, live, prefix)
           f.delete(staging, true)
         } else {
@@ -437,6 +497,7 @@ object BatchCommit {
           val f = fsOf(spark, batchDir)
           if (f.exists(batchDir)) f.delete(batchDir, true)
           writeStaged(batchDir.toString)
+          lease.verifyOwned() // same guard before the manifest/commit point
           val files =
             if (f.exists(batchDir))
               listAll(f, batchDir).map(_.getName)

@@ -84,11 +84,17 @@ object TextFunctions {
     * so an external engine reproduces them exactly.
     */
   def scriptFractions(c: Column): Column = {
-    val nonWs = length(regexp_replace(c, "\\s+", ""))
+    // Unicode-aware whitespace strip: NBSP, ogham mark, the en/em-space
+    // block, line/para separators, narrow NBSP, math space, ideographic
+    // space — all non-letters that must not count as "other" on real
+    // multilingual text. The latin class excludes U+00D7 (×) and U+00F7
+    // (÷): Latin-1 SIGNS, not letters.
+    val nonWs = length(regexp_replace(c,
+      "[\\s\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]+", ""))
     def frac(pattern: String) =
       when(nonWs === 0, lit(0.0)).otherwise(
         size(regexp_extract_all(c, lit(pattern), lit(0))).cast("double") / nonWs)
-    val latin = frac("[A-Za-z\\u00C0-\\u024F]")
+    val latin = frac("[A-Za-z\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u024F]")
     val cyr = frac("[\\u0400-\\u04FF]")
     val cjk = frac("[\\u4E00-\\u9FFF\\u3040-\\u30FF\\uAC00-\\uD7AF]")
     val arabic = frac("[\\u0600-\\u06FF]")

@@ -128,8 +128,10 @@ object CorpusPrep {
     * as [[packSequences]] (the budget-crossing sentence stays in the chunk
     * it started, so a chunk overflows by at most one sentence; a single
     * sentence longer than the budget owns its chunk). Reassembly restores
-    * the original separator, so concatenating a document's chunks in order
-    * reproduces its text byte-for-byte. Shape: per-row split, one per-doc
+    * `sep` between sentences WITHIN a chunk, so JOINING a document's chunks
+    * in order with `sep` reproduces its text byte-for-byte (the separator
+    * at each chunk boundary is not stored in either chunk). Shape: per-row
+    * split, one per-doc
     * window (narrow after the id shuffle), one (id, chunk) reassembly
     * shuffle. Returns (idCol, chunk_id, chunk_text, n_tokens).
     */

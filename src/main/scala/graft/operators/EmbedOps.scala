@@ -404,8 +404,15 @@ object EmbedOps {
       if (fitSampleFraction > 0) math.min(1.0, fitSampleFraction)
       else math.min(1.0,
         graft.embed.IvfIndex.defaultFitPoints(nClusters).toDouble / math.max(1L, n))
+    // Content-hash sampling, same as IvfIndex.build: df.sample seeds its
+    // Bernoulli draw per partition, so the fit sample (hence the centroids)
+    // would change with the physical layout. pmod(xxhash64(vec, seed), 1M)
+    // is a pure function of the vector multiset — identical centroids at
+    // any fraction, no matter how the corpus is partitioned.
     val fitDf = if (frac >= 1.0) indexed.select(col(v))
-                else indexed.select(col(v)).sample(withReplacement = false, frac, seed)
+                else indexed.select(col(v)).filter(
+                  pmod(xxhash64(col(v), lit(seed)), lit(1000000L)) <
+                    math.round(frac * 1000000.0))
     val sample = fitDf.collect().map(_.getSeq[Float](0).toArray)
     val centroids = graft.embed.IvfIndex.fitCentroids(sample, nClusters, seed)
     val res = indexed.withColumn(clusterCol,

@@ -182,37 +182,47 @@ object LexIndex {
     df.select(col(idCol).as("id"),
       size(Lexical.tokens(col(textCol))).cast("double").as("dl"))
 
-  /** Parse the stats sidecar: `(n, sumdl, nBuckets)`. One parser — what
-    * [[append]] updates is exactly what [[search]] reads; a format change
-    * that misses a site fails here loudly, not as drifted scores.
+  /** Parse the stats sidecar: `(n, sumdl, nBuckets, nEmpty)`. One parser —
+    * what [[append]] updates is exactly what [[search]] reads; a format
+    * change that misses a site fails here loudly, not as drifted scores.
+    * `nEmpty` (zero-token docs — they have no postings and can never match)
+    * defaults to 0 for sidecars written before the field existed.
     */
-  private def readStats(path: String): (Double, Double, Int) = {
+  private def readStats(path: String): (Double, Double, Int, Double) = {
     val stats = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path, "stats.json")),
       java.nio.charset.StandardCharsets.UTF_8)
-    def field(name: String): Double =
+    def fieldOpt(name: String): Option[Double] =
       s""""$name":([-0-9.eE]+)""".r.findFirstMatchIn(stats)
         .map(_.group(1).toDouble)
-        .getOrElse(sys.error(s"LexIndex stats.json missing $name"))
-    (field("n"), field("sumdl"), field("nBuckets").toInt)
+    def field(name: String): Double =
+      fieldOpt(name).getOrElse(sys.error(s"LexIndex stats.json missing $name"))
+    (field("n"), field("sumdl"), field("nBuckets").toInt,
+      fieldOpt("nEmpty").getOrElse(0.0))
   }
 
-  /** Corpus totals for the sidecar: `(docCount, Σ dl)` in one tiny agg. */
-  private def docStats(df: DataFrame, textCol: String, idCol: String): (Double, Double) = {
-    val Array(n, sumdl) = docLengths(df, textCol, idCol)
-      .agg(count(lit(1)).cast("double"),
-        sum(col("dl")).cast("double")).head().toSeq.map(_.asInstanceOf[Double]).toArray
-    (n, sumdl)
+  /** Corpus totals for the sidecar: `(docCount, Σ dl, emptyDocCount)` in one
+    * tiny agg. The empty-doc count lets [[describe]] distinguish "doc with
+    * no postings by construction" from deletion-induced staleness.
+    */
+  private def docStats(df: DataFrame, textCol: String,
+      idCol: String): (Double, Double, Double) = {
+    val r = docLengths(df, textCol, idCol)
+      .agg(count(lit(1)).cast("double"), sum(col("dl")).cast("double"),
+        sum(when(col("dl") === 0, 1).otherwise(0)).cast("double")).head()
+    (r.getDouble(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1),
+      if (r.isNullAt(2)) 0.0 else r.getDouble(2))
   }
 
   /** Atomically (re)write the stats sidecar (temp + rename — a reader never
     * sees a torn file).
     */
-  private def writeStats(path: String, n: Double, sumdl: Double, nBuckets: Int): Unit = {
+  private def writeStats(path: String, n: Double, sumdl: Double, nBuckets: Int,
+      nEmpty: Double): Unit = {
     val statsPath = java.nio.file.Paths.get(path, "stats.json")
     val tmp = statsPath.resolveSibling("stats.json.tmp")
     java.nio.file.Files.write(tmp,
-      s"""{"n":$n,"sumdl":$sumdl,"nBuckets":$nBuckets}"""
+      s"""{"n":$n,"sumdl":$sumdl,"nBuckets":$nBuckets,"nEmpty":$nEmpty}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, statsPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -228,8 +238,8 @@ object LexIndex {
       .repartition(col(bucketCol))
       .write.mode("overwrite").partitionBy(bucketCol)
       .parquet(path + "/postings")
-    val (n, sumdl) = docStats(df, textCol, idCol)
-    writeStats(path, n, sumdl, nBuckets)
+    val (n, sumdl, nEmpty) = docStats(df, textCol, idCol)
+    writeStats(path, n, sumdl, nBuckets, nEmpty)
     // A rebuild supersedes any interrupted append — clear its dangling mark.
     graft.core.BatchCommit.clearMark(df.sparkSession, path)
   }
@@ -267,20 +277,22 @@ object LexIndex {
     // A tombstoned id's postings would be swallowed by search's anti-join.
     graft.core.BatchCommit.requireNotTombstoned(
       df.select(col(idCol).as("id")), "id", path, "LexIndex.append")
-    val (_, _, nBuckets) = readStats(path)
+    val (_, _, nBuckets, _) = readStats(path)
     // One narrow aggregate computes the batch's stats delta AND its content
     // token (count + order-independent XOR id hash, so every replay of this
     // batch re-derives the same token).
     val r = docLengths(df, textCol, idCol)
       .select(col("dl"), xxhash64(col("id").cast("string")).as("__h"))
       .agg(count(lit(1)).cast("double"), sum(col("dl")).cast("double"),
-        expr("bit_xor(__h)")).head()
+        expr("bit_xor(__h)"),
+        sum(when(col("dl") === 0, 1).otherwise(0)).cast("double")).head()
     val (dn, dsum) = (r.getDouble(0), r.getDouble(1))
+    val dnEmpty = if (r.isNullAt(3)) 0.0 else r.getDouble(3)
     val token = graft.core.BatchCommit.tokenOf(dn.toLong, r.getLong(2))
     graft.core.BatchCommit.appendExactlyOnce(spark, path, "postings", token,
       sidecarState = {
-        val (n0, sumdl0, _) = readStats(path)
-        Map("n0" -> n0, "sumdl0" -> sumdl0)
+        val (n0, sumdl0, _, nEmpty0) = readStats(path)
+        Map("n0" -> n0, "sumdl0" -> sumdl0, "nEmpty0" -> nEmpty0)
       },
       writeStaged = staging =>
         postings(df, textCol, idCol, nBuckets)
@@ -288,7 +300,8 @@ object LexIndex {
           .write.mode("overwrite").partitionBy(bucketCol)
           .parquet(staging),
       updateSidecar = p =>
-        writeStats(path, p("n0") + dn, p("sumdl0") + dsum, nBuckets))
+        writeStats(path, p("n0") + dn, p("sumdl0") + dsum, nBuckets,
+          p.getOrElse("nEmpty0", 0.0) + dnEmpty))
   }
 
   /** Delete documents from a saved index without rewriting postings —
@@ -322,30 +335,33 @@ object LexIndex {
   def compactDeletes(spark: SparkSession, src: String, dest: String): Unit = {
     require(src != dest, "LexIndex.compactDeletes: dest must differ from src (no in-place rewrite)")
     graft.core.BatchCommit.requireClean(spark, src, "LexIndex")
-    val (_, _, nBuckets) = readStats(src)
+    val (_, _, nBuckets, _) = readStats(src)
     val post = graft.core.BatchCommit.subtractTombstones(spark, src,
       graft.core.BatchCommit.readData(spark, src, "postings"))
     post.repartition(col(bucketCol))
       .write.mode("overwrite").partitionBy(bucketCol).parquet(s"$dest/postings")
     val r = post.groupBy("id").agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).cast("double"), sum(col("dl")).cast("double")).head()
+    // Zero-token docs have no postings, so they drop out of the recomputed
+    // n entirely — the compacted sidecar has no empty docs by construction.
     writeStats(dest, r.getDouble(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1),
-      nBuckets)
+      nBuckets, nEmpty = 0.0)
   }
 
   /** Index observability — the sparse sibling of `IvfIndex.describe`:
     * live docs and postings (tombstones subtracted), distinct terms,
     * bucket count, pending tombstones, and the STALENESS of the sidecar
-    * stats (sidecar n minus live docs — grows with deletions until
-    * [[compactDeletes]]; idf/avgdl drift with it, the Lucene pre-merge
-    * contract made visible).
+    * stats (sidecar n minus sidecar empty-doc count minus live docs —
+    * zero on a fresh index even when the corpus holds posting-less empty
+    * docs, then grows with deletions until [[compactDeletes]]; idf/avgdl
+    * drift with it, the Lucene pre-merge contract made visible).
     */
   final case class LexIndexInfo(docs: Long, postings: Long, terms: Long,
       nBuckets: Int, tombstoned: Long, statsDocsStale: Double)
 
   def describe(spark: SparkSession, path: String): LexIndexInfo = {
     graft.core.BatchCommit.requireClean(spark, path, "LexIndex")
-    val (n, _, nBuckets) = readStats(path)
+    val (n, _, nBuckets, nEmpty) = readStats(path)
     val post = graft.core.BatchCommit.subtractTombstones(spark, path,
       graft.core.BatchCommit.readData(spark, path, "postings"))
     val r = post.agg(count(lit(1)), countDistinct(col("id")),
@@ -353,7 +369,7 @@ object LexIndex {
     val tomb = graft.core.BatchCommit.readTombstones(spark, path)
       .map(_.count()).getOrElse(0L)
     LexIndexInfo(r.getLong(1), r.getLong(0), r.getLong(2), nBuckets, tomb,
-      n - r.getLong(1))
+      n - nEmpty - r.getLong(1))
   }
 
   /** Search a saved index. Reads: stats.json (driver, bytes) and the
@@ -369,7 +385,7 @@ object LexIndex {
     // An interrupted append means the stats may be stale by its batch and
     // the postings may hold a partial batch — scores would silently drift.
     graft.core.BatchCommit.requireClean(spark, path, "LexIndex")
-    val (n, sumdl, nBuckets) = readStats(path)
+    val (n, sumdl, nBuckets, _) = readStats(path)
     // Same hash as bucketOf's xxhash64 expression (seed 42), computed on the
     // driver — no job just to learn which partitions to prune.
     val bucketLits = terms.map { t =>
@@ -417,7 +433,7 @@ object LexIndex {
       require(ts.nonEmpty, s"LexIndex.searchBatch: query $qid has no terms")
     }
     graft.core.BatchCommit.requireClean(spark, path, "LexIndex")
-    val (n, sumdl, nBuckets) = readStats(path)
+    val (n, sumdl, nBuckets, _) = readStats(path)
     val allTerms = termsByQ.flatMap(_._2).distinct
     val bucketLits = allTerms.map { t =>
       val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(

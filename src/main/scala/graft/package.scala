@@ -98,8 +98,10 @@ package object graft {
       graft.streaming.StreamingOps.semMapStream(df, instr, suffix)
 
     def semClusterBy(c: String, nClusters: Int, seed: Long = 42,
-        clusterCol: String = "cluster_id"): DataFrame =
-      EmbedOps.semClusterBy(df, c, nClusters, seed, clusterCol)
+        clusterCol: String = "cluster_id",
+        fitSampleFraction: Double = -1.0): DataFrame =
+      EmbedOps.semClusterBy(df, c, nClusters, seed, clusterCol,
+        fitSampleFraction)
 
     def semDedup(c: String, idCol: String, threshold: Double): DataFrame =
       EmbedOps.semDedup(df, c, idCol, threshold)

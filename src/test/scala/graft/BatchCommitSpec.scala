@@ -70,6 +70,49 @@ class BatchCommitSpec extends SparkSpec {
       "the lease must be released after a successful append")
   }
 
+  test("writer lease: a LIVE body longer than the TTL is renewed — a " +
+      "second writer must NOT judge it stale and break it") {
+    val p = tmp("lex_renew")
+    LexIndex.save(corpusA, "text", "doc_id", p, nBuckets = 8)
+    // ttl 400ms, body 1.2s: without renewal the lease timestamp would be
+    // 3× the TTL old by the second acquisition attempt, which would break
+    // it and append concurrently. Renewal every ttl/3 keeps it fresh.
+    BatchCommit.withWriterLease(spark, p, holder = "long-writer",
+        ttlMs = 400) {
+      Thread.sleep(1200)
+      val e = intercept[IllegalStateException] {
+        BatchCommit.withWriterLease(spark, p, holder = "impatient",
+          ttlMs = 400) { fail("second writer must not acquire a live lease") }
+      }
+      assert(e.getMessage.contains("another writer holds the lease"),
+        e.getMessage)
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p, BatchCommit.leaseFile)),
+      "the lease must be released after the body")
+  }
+
+  test("writer lease: verifyOwned aborts before adoption when the lease " +
+      "was broken as stale (writer paused past TTL)") {
+    val p = tmp("lex_verify_owned")
+    LexIndex.save(corpusA, "text", "doc_id", p, nBuckets = 8)
+    val lock = java.nio.file.Paths.get(p, BatchCommit.leaseFile)
+    BatchCommit.withWriterLeaseHandle(spark, p, holder = "gc-paused") { lease =>
+      lease.verifyOwned() // held — must not throw
+      // Simulate a second writer having broken this lease as stale while
+      // this writer was paused: the lock now names the successor.
+      java.nio.file.Files.write(lock,
+        s"""{"holder":"successor","ts":${System.currentTimeMillis}}"""
+          .getBytes("UTF-8"))
+      val e = intercept[IllegalStateException] { lease.verifyOwned() }
+      assert(e.getMessage.contains("writer lease lost"), e.getMessage)
+    }
+    // Release must leave the SUCCESSOR's lease untouched.
+    assert(java.nio.file.Files.exists(lock),
+      "releasing a lost lease must not delete the successor's")
+    java.nio.file.Files.delete(lock)
+  }
+
   test("LexIndex: crash after adoption+stats but before done-mark recovers without double-count") {
     val p = tmp("lex_crash_stats")
     LexIndex.save(corpusA, "text", "doc_id", p, nBuckets = 8)

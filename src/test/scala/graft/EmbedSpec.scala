@@ -50,6 +50,28 @@ class EmbedSpec extends SparkSpec {
     assert(byId(1L) != byId(3L))
   }
 
+  test("semClusterBy sampled fit is partitioning-independent " +
+      "(content-hash membership, not per-partition Bernoulli)") {
+    // 120 rows across three lexical families; fitSampleFraction < 1 forces
+    // the sampled-fit path. df.sample would seed per partition, so the two
+    // layouts below would draw different fit samples and could produce
+    // different centroids; content-hash membership is a pure function of
+    // the vector multiset, so the assignment must be bit-identical.
+    val big = (0 until 120).map { i =>
+      val t = i % 3 match {
+        case 0 => s"neural network training run $i gradient descent"
+        case 1 => s"tomato pasta recipe $i olive oil basil"
+        case _ => s"quantum lattice gauge simulation $i"
+      }
+      (i.toLong, t)
+    }.toDF("id", "text")
+    def assignments(parts: Int) =
+      big.repartition(parts).semClusterBy("text", nClusters = 3,
+          fitSampleFraction = 0.5)
+        .select("id", "cluster_id").as[(Long, Int)].collect().toMap
+    assert(assignments(1) == assignments(7))
+  }
+
   test("semDedup drops one of a near-identical pair") {
     val withDup = corpus.union(Seq((6L, "machine learning models and neural networks"))
       .toDF("id", "text"))

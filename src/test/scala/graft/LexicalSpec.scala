@@ -84,12 +84,15 @@ class LexicalSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("lexdesc").toString + "/idx"
     LexIndex.save(docs, "text", "doc_id", path, nBuckets = 8)
     val before = LexIndex.describe(spark, path)
-    // doc 5 is empty (no postings) — 5 docs carry postings; sidecar n = 6.
+    // doc 5 is empty (no postings) — 5 docs carry postings; sidecar n = 6,
+    // nEmpty = 1. A FRESH index reports zero staleness: a posting-less doc
+    // is a property of the corpus, not deletion-induced drift.
     assert(before.docs == 5 && before.terms > 0 && before.nBuckets == 8 &&
-      before.tombstoned == 0 && before.statsDocsStale == 1.0)
+      before.tombstoned == 0 && before.statsDocsStale == 0.0)
     LexIndex.delete(docs.filter($"doc_id" < 2), "doc_id", path)
     val del = LexIndex.describe(spark, path)
-    assert(del.docs == 3 && del.tombstoned == 2 && del.statsDocsStale == 3.0)
+    // Exactly the 2 tombstoned docs are stale: n(6) - nEmpty(1) - live(3).
+    assert(del.docs == 3 && del.tombstoned == 2 && del.statsDocsStale == 2.0)
     LexIndex.compactDeletes(spark, path,
       path.stripSuffix("/idx") + "/compacted")
     val comp = LexIndex.describe(spark, path.stripSuffix("/idx") + "/compacted")

@@ -229,4 +229,22 @@ class TextFunctionsSpec extends SparkSpec {
     val s = out(4L)
     assert(math.abs(s._2 + s._3 + s._4 + s._5 + s._6 - 1.0) < 1e-3)
   }
+
+  test("scriptFractions: × ÷ are signs not latin; NBSP/ideographic space " +
+      "are whitespace") {
+    val df = Seq(
+      // 4 latin letters, 2 signs (× ÷) → latin 4/6, other 2/6
+      (1L, "ab×cd÷"),
+      // NBSP and U+3000 must strip like ASCII space: latin = 12/12 = 1.0
+      // (it would be 12/14 if the two unicode spaces counted as "other")
+      (2L, "hello world　ok"),
+      (3L, " 　")
+    ).toDF("id", "text")
+    val out = df.select($"id", TF.scriptFractions($"text").as("sf"))
+      .select($"id", $"sf.latin", $"sf.other")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 0.6667 && out(1L)._3 == 0.3333)
+    assert(out(2L)._2 == 1.0 && out(2L)._3 == 0.0)
+    assert(out(3L) == ((3L, 0.0, 0.0)))
+  }
 }
