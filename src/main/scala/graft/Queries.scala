@@ -1107,6 +1107,38 @@ object Queries {
       }
     }),
 
+    "op_cache_replay" -> ((s, dir) => {
+      // The PERSISTENT operator cache (reference cache layer 2,
+      // lotus/cache.py:33-100) as a HARD gate: the same sem_map stage runs
+      // twice through OpCache.cached against a parquet cache dir with the
+      // response cache DISABLED — so only the op cache can explain a
+      // silent second pass. The second pass must issue ZERO LM requests
+      // (virtual AND physical: the operator never ran, its result came
+      // from the immutable parquet that survives a JVM restart) and
+      // reproduce the first pass's rows. Both deltas ride the result.
+      val cacheDir =
+        java.nio.file.Files.createTempDirectory("graft_opcache").toString
+      Sem.withSettings(Sem.settings.copy(
+          lm = FakeLM(FakeBehavior.FirstWords("Text", 3)),
+          enableCache = false)) {
+        val stats = graft.llm.UsageTracker.forSession(s)
+        val docs = read(s, dir, "documents")
+        def stage() = docs.semMap("give the first three words of {text}")
+          .select(col("doc_id"), col("_map"))
+        val key = graft.plan.OpCache.keyFor(docs, "sem_map", "first3")
+        graft.plan.OpCache.cached(s, cacheDir, key)(stage()).count()
+        val (req0, phys0) =
+          (stats.requests.value, stats.physicalRequests.value)
+        val second = graft.plan.OpCache.cached(s, cacheDir, key)(stage())
+        second.count() // settle accumulators before reading the deltas
+        second
+          .withColumn("requests_second", lit(stats.requests.value - req0))
+          .withColumn("physical_second",
+            lit(stats.physicalRequests.value - phys0))
+          .orderBy("doc_id")
+      }
+    }),
+
     "usage_ledger" -> ((s, dir) => {
       // Usage + pricing accounting (reference lotus/models/lm.py:497-529,
       // lotus/pricing.py:10-34) as a HARD gate: an Echo sem_map under the
@@ -1252,6 +1284,27 @@ object Queries {
         }
       graft.connectors.DirectoryReaderLite.toDf(s, tmp.toString + "/*.html")
         .select(regexp_extract(col("path"), "(\\d+)\\.html$", 1)
+            .cast("long").as("doc_id"),
+          col("page"), md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "source_dir_pdf" -> ((s, dir) => {
+      // The DirectoryReader pdf path end to end and DISTRIBUTED: docs are
+      // materialized as REAL single-page PDFs (PdfLite.writeSimplePdf —
+      // valid xref'd PDF 1.4 with FlateDecode content streams), read back
+      // via the binaryFile source + extractor dispatch on executors; the
+      // Inflater + text-operator scan must reproduce the original text
+      // (md5-pinned against the corpus).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_verify_pdf")
+      read(s, dir, "documents").filter(col("doc_id") < 50)
+        .select("doc_id", "text").collect().foreach { r =>
+          java.nio.file.Files.write(
+            tmp.resolve(s"${r.getLong(0)}.pdf"),
+            graft.connectors.PdfLite.writeSimplePdf(Seq(r.getString(1))))
+        }
+      graft.connectors.DirectoryReaderLite.toDf(s, tmp.toString + "/*.pdf")
+        .select(regexp_extract(col("path"), "(\\d+)\\.pdf$", 1)
             .cast("long").as("doc_id"),
           col("page"), md5(col("content")).as("content_md5"))
         .orderBy("doc_id")
@@ -1420,6 +1473,46 @@ object Queries {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), col("total_value").cast("long").as("total_cents"))
         .orderBy("user_id", "session_start")
+    }),
+
+    "stream_sem_filter" -> ((s, dir) => {
+      // sem_filter over a REAL file-stream source (beyond-reference — the
+      // reference is batch-only): the streamed documents table flows
+      // through the same serializer/prompt/postprocess plumbing as the
+      // batch gate, and the oracle is literally sem_filter_kw's SQL —
+      // stream ≡ batch semantics, proven on the wire.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      Sem.withLM(FakeLM(FakeBehavior.KeywordFilter("spark"))) {
+        val stream = s.readStream.schema(schema)
+          .parquet(streamDir(dir, "documents"))
+        val kept = graft.streaming.StreamingOps.semFilterStream(
+          stream, "the {text} mentions a certain data engine")
+        val sink = "stream_semf_sink"
+        s.catalog.dropTempView(sink)
+        val q = kept.writeStream.outputMode("append").format("memory")
+          .queryName(sink).start()
+        q.processAllAvailable(); q.stop()
+        s.table(sink).orderBy("doc_id")
+      }
+    }),
+
+    "stream_sem_map" -> ((s, dir) => {
+      // sem_map over the same file-stream source; oracle = the batch
+      // sem_map_first3 SQL. Stateless transform — no watermark, no state
+      // store; the LLM call rides inside the micro-batch's mapPartitions.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      Sem.withLM(FakeLM(FakeBehavior.FirstWords("Text", 3))) {
+        val stream = s.readStream.schema(schema)
+          .parquet(streamDir(dir, "documents"))
+        val mapped = graft.streaming.StreamingOps.semMapStream(
+          stream, "give the first three words of {text}")
+        val sink = "stream_semm_sink"
+        s.catalog.dropTempView(sink)
+        val q = mapped.writeStream.outputMode("append").format("memory")
+          .queryName(sink).start()
+        q.processAllAvailable(); q.stop()
+        s.table(sink).select(col("doc_id"), col("_map")).orderBy("doc_id")
+      }
     }),
 
     "stream_interval_join" -> ((s, dir) => withShufflePartitions(s, 8) {
@@ -2983,6 +3076,30 @@ object Queries {
     }),
 
     // ---------------- multimodal plumbing (stub decode) -------------------
+    "image_embed_neardup" -> ((s, dir) => {
+      // The image → embedding → near-dup COMPOSITION, real decode
+      // included: 24 deterministic PNGs (ids from the documents table,
+      // pixels from gridPng's integer formula) are ImageIO-decoded ON
+      // EXECUTORS into luma-grid embeddings (MultimodalOps
+      // .imageEmbedColumn) and pushed through the standard neardupPairs
+      // kernel. Gray pixels make decoded luma == the gray level and
+      // cosine is scale-invariant, so the oracle reproduces every score
+      // from the raw integer grids — PNG encode, ImageIO decode, patch
+      // averaging, normalization, and the pair kernel are all inside the
+      // hash. Images sharing doc_id % 4 are near-dups (small per-doc
+      // perturbation); cross-pattern cosines top out at 0.946 < 0.96.
+      import s.implicits._
+      val ids = read(s, dir, "documents").filter(col("doc_id") < 24)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val imgs = ids.map(i => (i, gridPng(i))).toDF("doc_id", "img")
+        .repartition(4)
+      val emb = graft.functions.MultimodalOps.imageEmbedColumn(imgs, "img")
+      graft.operators.EmbedOps.neardupPairs(emb, "img", "doc_id",
+          threshold = 0.96, useLsh = Some(false))
+        .select(col("id1"), col("id2"), round(col("score"), 3).as("score"))
+        .orderBy("id1", "id2")
+    }),
+
     "multimodal_meta" -> ((s, dir) => {
       val d = read(s, dir, "documents")
         .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("img"))
@@ -2993,6 +3110,37 @@ object Queries {
         .orderBy("doc_id")
     })
   )
+
+  /** 64×64 PNG of 8×8 constant-gray blocks for the `image_embed_neardup`
+    * gate: block c (row-major, matching lumaFeatures' cell order) of image
+    * i has gray level ((17·((i%4)+1)·(c+3)) % 160) + 20 (cap 235 < 256 —
+    * the perturbed level must stay a single byte), plus a per-doc
+    * perturbation ((i·13 + c·7) % 60) for i ≥ 4. Deterministic, lossless
+    * (PNG), and gray — so decoded luma == gray level and the oracle can
+    * recompute the embedding geometry from this formula alone.
+    */
+  private def gridPng(i: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var c = 0
+    while (c < 64) {
+      val g = ((17 * ((i % 4) + 1) * (c + 3)) % 160 + 20 +
+        (if (i < 4) 0L else (i * 13 + c * 7) % 60)).toInt
+      val rgb = (g << 16) | (g << 8) | g
+      val bx = (c % 8) * 8
+      val by = (c / 8) * 8
+      var y = by
+      while (y < by + 8) {
+        var x = bx
+        while (x < bx + 8) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      c += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** The seeded LSH hyperplanes as DuckDB VALUES rows — a pure function of
     * (dim, nBits, seed), identical to the planes the Spark operator builds,
@@ -3130,6 +3278,11 @@ object Queries {
         |  md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_md5
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
 
+    // The pdf write → inflate → Tj-scan round trip is exact modulo trim.
+    "source_dir_pdf" ->
+      """SELECT doc_id, 0 AS page, md5(trim(text)) AS content_md5
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
     // Retrieval top-20 by cosine (the sem_search truth), reranked by
     // overlap(query terms)/sqrt(doc tokens) with candidate-order
     // tie-break — LexicalReranker's exact math, rank pinned.
@@ -3197,6 +3350,17 @@ object Queries {
 
     // The sentinel watermark closed every session, so the stream's output
     // equals batch gap sessionization aggregated to session rows.
+    // Stream ≡ batch: the streaming semantic ops are checked against the
+    // SAME SQL as their batch siblings (sem_filter_kw / sem_map_first3).
+    "stream_sem_filter" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY doc_id""".stripMargin,
+
+    "stream_sem_map" ->
+      """SELECT doc_id, array_to_string((string_split(text, ' '))[1:3], ' ') AS _map
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ms(ts) AS tms,
@@ -3352,6 +3516,13 @@ object Queries {
         |  array_to_string((string_split(text, ' '))[1:3], ' ') AS _map,
         |  CAST(0 AS BIGINT) AS physical_second,
         |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS virtual_second
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "op_cache_replay" ->
+      """SELECT doc_id,
+        |  array_to_string((string_split(text, ' '))[1:3], ' ') AS _map,
+        |  CAST(0 AS BIGINT) AS requests_second,
+        |  CAST(0 AS BIGINT) AS physical_second
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // The usage ledger from first principles: prompt chars = json rendering
@@ -4766,6 +4937,22 @@ object Queries {
       """SELECT doc_id,
         |  CAST(22 + 4 * ceil(strlen(text) / 3.0) AS BIGINT) AS n_img_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The gridPng integer formula, re-run in SQL: cosine is
+    // scale-invariant and the blocks are constant gray, so the decoded
+    // luma-grid embedding's pair scores equal the raw grid cosines.
+    "image_embed_neardup" ->
+      """WITH v AS (
+        |  SELECT doc_id AS i, CAST(list_transform(range(0, 64), c ->
+        |    ((17*((doc_id%4)+1)*(c+3)) % 160) + 20 +
+        |    CASE WHEN doc_id < 4 THEN 0 ELSE (doc_id*13 + c*7) % 60 END)
+        |    AS DOUBLE[]) AS vec
+        |  FROM documents WHERE doc_id < 24)
+        |SELECT a.i AS id1, b.i AS id2,
+        |  round(list_cosine_similarity(a.vec, b.vec), 3) AS score
+        |FROM v a JOIN v b ON a.i < b.i
+        |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.96
+        |ORDER BY id1, id2""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes,

@@ -121,6 +121,54 @@ object OoxmlLite {
 
 object PdfLite {
 
+  /** Minimal VALID PDF writer (PDF 1.4: catalog → pages → one page per
+    * entry, Helvetica, one FlateDecode content stream per page, full xref
+    * table + trailer — loads in any conforming viewer). One `Tj` text op
+    * per page, so [[extractText]] round-trips the page text exactly (after
+    * trim). Latin-1 text only (the PDF string model without a CID font).
+    * Used by specs and the `source_dir_pdf` gate to materialize real
+    * on-disk PDFs with zero dependencies.
+    */
+  def writeSimplePdf(pages: Seq[String]): Array[Byte] = {
+    require(pages.nonEmpty, "writeSimplePdf: no pages")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+      d.end(); out.toByteArray
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = { offsets += bos.size(); w(body) }
+    w("%PDF-1.4\n")
+    val n = pages.length
+    val kids = (0 until n).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    obj(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $n >>\nendobj\n")
+    obj("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    pages.zipWithIndex.foreach { case (p, i) =>
+      val z = deflate(s"BT /F1 12 Tf 72 720 Td (${esc(p)}) Tj ET"
+        .getBytes("ISO-8859-1"))
+      obj(s"${4 + 2 * i} 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        "/MediaBox [0 0 612 792] /Resources << /Font << /F1 3 0 R >> >> " +
+        s"/Contents ${5 + 2 * i} 0 R >>\nendobj\n")
+      offsets += bos.size()
+      w(s"${5 + 2 * i} 0 obj\n<< /Filter /FlateDecode /Length ${z.length} >>\nstream\n")
+      bos.write(z)
+      w("\nendstream\nendobj\n")
+    }
+    val xref = bos.size()
+    val total = 3 + 2 * n
+    w(s"xref\n0 ${total + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${total + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    bos.toByteArray
+  }
+
   def isPdf(bytes: Array[Byte]): Boolean =
     bytes.length > 4 && bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F'
 

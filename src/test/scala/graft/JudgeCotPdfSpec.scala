@@ -86,6 +86,28 @@ class JudgeCotPdfSpec extends SparkSpec {
     assert(text.contains("Segmented"))
   }
 
+  test("writeSimplePdf round-trips multi-page text through extractText, " +
+      "escapes included, and carries a well-formed xref") {
+    val pages = Seq("first page plain text",
+      "second with (parens) and back\\slash",
+      "third")
+    val bytes = PdfLite.writeSimplePdf(pages)
+    assert(PdfLite.isPdf(bytes))
+    val got = PdfLite.extractText(bytes)
+    assert(got == pages, s"round trip drifted: $got")
+    // Structural sanity: one xref entry per object plus the free head, and
+    // every recorded offset points at its object header.
+    val raw = new String(bytes, "ISO-8859-1")
+    assert(raw.contains("xref\n0 10\n")) // 3 fixed + 2×3 page objects + free
+    val offs = "(\\d{10}) 00000 n".r.findAllMatchIn(raw)
+      .map(_.group(1).toInt).toList
+    offs.zipWithIndex.foreach { case (o, i) =>
+      assert(raw.startsWith(s"${i + 1} 0 obj", o),
+        s"xref offset $o does not point at object ${i + 1}")
+    }
+    assert(raw.endsWith("%%EOF\n"))
+  }
+
   test("OoxmlLite extracts slide and document text from generated pptx/docx") {
     def zip(entries: (String, String)*): Array[Byte] = {
       val buf = new java.io.ByteArrayOutputStream()
