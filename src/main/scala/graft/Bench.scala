@@ -19,6 +19,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
+  private[graft] def loadAvgNow(): Double = loadAvg()
+
   private def loadAvg(): Double =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")

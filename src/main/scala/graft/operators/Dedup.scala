@@ -98,9 +98,59 @@ object Dedup {
     if (size < BigInt(maxPartitionBytes) * target) df.repartition(target) else df
   }
 
+  /** MinHash+LSH near-duplicate pairs at exact-shingle Jaccard ≥
+    * `threshold`, with EXACT PRE-COLLAPSE (default): byte-identical texts
+    * are grouped by content fingerprint first, each group contributes
+    * (minId → member) star edges at jaccard 1.0, and the LSH pipeline
+    * runs over one representative per distinct text. The returned pair
+    * set is therefore a SPANNING subset of the exhaustive one — its
+    * connected components (hence any dedup/keep decision built on them)
+    * are identical, but a document repeated k times costs O(k) rows
+    * instead of O(k²)·bands candidate pairs. At corpus scale that is the
+    * difference between linear and quadratic: a boilerplate page repeated
+    * a million times would otherwise emit 10¹¹ band pairs. Pass
+    * `collapseExact = false` for the exhaustive enumeration (every
+    * qualifying (id1, id2), at duplication-quadratic cost).
+    */
   def minhashPairs(dfIn: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
-      shingleLen: Int = 3): DataFrame = {
+      shingleLen: Int = 3, collapseExact: Boolean = true): DataFrame = {
+    if (!collapseExact)
+      return minhashPairsExhaustive(dfIn, textCol, idCol, threshold,
+        numHashes, bands, shingleLen)
+    withExactCollapse(dfIn, textCol, idCol, lit(1.0).as("jaccard"))(reps =>
+      minhashPairsExhaustive(reps, textCol, "__rep_id", threshold,
+        numHashes, bands, shingleLen))
+  }
+
+  /** Shared exact pre-collapse of the pair enumerators: one shuffle by
+    * content fingerprint tags every row with its group's min id; each
+    * group contributes (minId → member) star edges scored `exactScore`
+    * (jaccard 1.0 / hamming 0 — identical text), and `enumerate` runs
+    * over the one-representative-per-distinct-text frame (id column
+    * `__rep_id`). Components of the union equal the exhaustive pair
+    * set's: exact cliques collapse to stars and any qualifying
+    * cross-group pair survives through the groups' representatives.
+    */
+  private def withExactCollapse(dfIn: DataFrame, textCol: String,
+      idCol: String, exactScore: Column)(
+      enumerate: DataFrame => DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__fp")
+    val marked = parallelize(dfIn)
+      .select(col(idCol).cast("long").as("id"), col(textCol))
+      .withColumn("__fp", xxhash64(col(textCol)))
+      .withColumn("__rep", min(col("id")).over(w))
+      .transform(graft.core.Persist.stage(_))
+    val star = marked.filter(col("id") =!= col("__rep"))
+      .select(col("__rep").as("id1"), col("id").as("id2"), exactScore)
+    val reps = marked.filter(col("id") === col("__rep"))
+      .select(col("id").as("__rep_id"), col(textCol))
+    star.unionAll(enumerate(reps))
+  }
+
+  private def minhashPairsExhaustive(dfIn: DataFrame, textCol: String,
+      idCol: String, threshold: Double, numHashes: Int, bands: Int,
+      shingleLen: Int): DataFrame = {
     val df = parallelize(dfIn)
     val rowsPerBand = numHashes / bands
     // ONE scan of the corpus computes both per-row artifacts with tight-loop
@@ -147,9 +197,18 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup candidate pairs: bucket by 4 16-bit chunks (any doc
-    * pair within hamming distance 3 shares ≥1 chunk), verify hamming ≤ maxDist.
+    * pair within hamming distance 3 shares ≥1 chunk), verify hamming ≤
+    * maxDist. Same exact pre-collapse and SPANNING pair contract as
+    * [[minhashPairs]] (byte-identical texts → star edges at dist 0, the
+    * chunk bucketing runs over distinct texts only); `collapseExact =
+    * false` restores the exhaustive, duplication-quadratic enumeration.
     */
-  def simhashPairs(dfIn: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(dfIn: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3, collapseExact: Boolean = true): DataFrame = {
+    if (collapseExact)
+      return withExactCollapse(dfIn, textCol, idCol, lit(0).as("dist"))(
+        reps => simhashPairs(reps, textCol, "__rep_id", maxDist,
+          collapseExact = false))
     val df = parallelize(dfIn)
     // Signature as ONE tight per-row loop (custom expression, same pattern
     // as the minhash signature): per token a single FNV-1a hash and 64 ±1
@@ -163,10 +222,20 @@ object Dedup {
       .transform(graft.core.Persist.stage(_))
     val a = h.toDF("id1", "h1", "c1")
     val b = h.toDF("id2", "h2", "c2")
-    a.join(b, col("c1") === col("c2") && col("id1") < col("id2"))
+    // The hamming verify rides IN the join condition: a hot chunk bucket
+    // (formulaic corpora correlate simhash bits, so 16-bit buckets can
+    // collect thousands of docs) then costs one xor+popcount per candidate
+    // INSIDE the join loop — only true pairs materialize, shuffle into the
+    // dedup, or allocate rows. With the verify applied after the join, a
+    // ×30 blow-up of the gate corpus pushed 446M candidate rows through
+    // dropDuplicates (~50 s); in-join it is seconds. The candidate
+    // EVALUATIONS stay quadratic in the bucket size — that is the simhash
+    // trade; minhash's 64-bit band keys are the escape when buckets run
+    // hot.
+    a.join(b, col("c1") === col("c2") && col("id1") < col("id2") &&
+        hamming64(col("h1"), col("h2")) <= maxDist)
       .select(col("id1"), col("id2"), hamming64(col("h1"), col("h2")).as("dist"))
       .dropDuplicates("id1", "id2")
-      .filter(col("dist") <= maxDist)
   }
 
   /** Connected components by iterative min-label propagation (bounded by the

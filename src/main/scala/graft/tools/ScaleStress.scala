@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Load test for the flagship scale operators on a synthetic ×N blow-up of
+  * the gate corpus — the empirical leg of the 100 TB claims (the per-round
+  * bench runs at sf0.1 where every query is seconds; plan shapes are
+  * asserted but never load-tested).
+  *
+  * The blow-up is DETERMINISTIC replication with id offsets: copy k of a
+  * document keeps its text when k = 0 or the original doc_id is even
+  * (planted exact duplicates at scale — dedup must collapse them) and gains
+  * a per-copy suffix otherwise (near-miss variants — dedup must NOT merge
+  * them across copies); embeddings replicate verbatim (duplicate vectors
+  * stress IVF cell density); events offset both ids so the per-copy hot-key
+  * skew pattern survives at N× the rows. Built entirely as one Spark job
+  * per table — no driver-side loops.
+  *
+  * Emits the standard bench JSON line and appends it to
+  * `BENCH_HISTORY.jsonl` with `"sf"` marking the blow-up (`<base>xN`), so
+  * scale runs sit beside the per-round records without being confused for
+  * them.
+  */
+object ScaleStress {
+
+  val defaultQueries =
+    "dedup_minhash,dedup_simhash,dedup_paragraphs,ann_batch_search," +
+      "bm25_batch_search,agg_skew_distinct,corpus_global_rank"
+
+  def buildBlowup(spark: SparkSession, base: String, out: String,
+      factor: Int): Unit = {
+    val k = spark.range(factor.toLong).toDF("__k")
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    docs.crossJoin(k)
+      .withColumn("text",
+        when(col("__k") === 0 || pmod(col("doc_id"), lit(2)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" variant "), col("__k"))))
+      .withColumn("doc_id", col("doc_id") + col("__k") * maxDoc)
+      .drop("__k")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    emb.crossJoin(k)
+      .withColumn("vec_id", col("vec_id") + col("__k") * maxVec)
+      .drop("__k")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val Array(maxEv, maxUser) = ev.agg(max("event_id"), max("user_id"))
+      .head().toSeq.map(_.asInstanceOf[Long] + 1).toArray
+    ev.crossJoin(k)
+      .withColumn("event_id", col("event_id") + col("__k") * maxEv)
+      .withColumn("user_id", col("user_id") + col("__k") * maxUser)
+      .drop("__k")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "30").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "1").toInt)
+    val only = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES", defaultQueries)
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_SCALE_PREBUILT reuses an existing blow-up dir: the
+    // measurement session then starts clean (no residue from the build
+    // job), and iterating on one query doesn't pay the build each run.
+    val out = sys.env.get("SPARK_GRAFT_SCALE_PREBUILT").getOrElse {
+      val d = java.nio.file.Files.createTempDirectory("graft_scale").toString
+      val t0 = System.nanoTime()
+      buildBlowup(spark, base, d, factor)
+      System.err.println(f"[scale-stress] blow-up ×$factor built in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s at $d")
+      d
+    }
+    val names = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.contains(n) }
+    require(names.map(_._1).toSet == only,
+      s"unknown scale queries: ${only -- names.map(_._1)}")
+    val loadBefore = graft.Bench.loadAvgNow()
+    val outcome = graft.Bench.timeAll(spark, out, names, passes)
+    val json = graft.Bench.renderJson(outcome, s"${base}x$factor", passes,
+      loadBefore, graft.Bench.loadAvgNow())
+    println(json)
+    try
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Exception => () }
+    spark.stop()
+  }
+}

@@ -84,10 +84,47 @@ class DedupSpec extends SparkSpec {
       .withColumn("j", Dedup.jaccard(col("sh1"), col("sh2")))
       .filter(col("j") >= 0.5).select("id1", "id2")
       .as[(Long, Long)].collect().toSet
-    val lsh = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5)
+    // collapseExact = false: this spec pins LSH candidate RECALL, which is
+    // a property of the exhaustive enumeration (the default spanning pair
+    // set is checked component-for-component in its own spec below).
+    val lsh = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5,
+        collapseExact = false)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty, "gate corpus must contain planted near-dups")
     assert(lsh == exact, s"missed=${(exact -- lsh).size} spurious=${(lsh -- exact).size}")
+  }
+
+  test("exact pre-collapse: spanning pairs are linear in duplication and " +
+      "component-equivalent to the exhaustive enumeration") {
+    // 3 exact groups of 4 copies each (ids i, 100+i, 200+i, 300+i), one
+    // near-miss variant of doc 0 (id 400), plus unique docs. Exhaustive
+    // pairs are quadratic in the group size (C(4,2)=6 per group per
+    // component); the collapsed set must be 3 star edges per group plus
+    // one rep pair — yet produce the identical kept set.
+    val base = (0 until 8).map(i =>
+      (i.toLong, (0 until 30).map(j => s"x${i}_$j").mkString(" ")))
+    val copies = for (i <- 0 until 3; k <- 1 to 3)
+      yield ((100 * k + i).toLong, base(i)._2)
+    val nearMiss = Seq((400L, base(0)._2.replaceFirst("x\\d+_\\d+", "CHANGED")))
+    val d = (base ++ copies ++ nearMiss).toDF("doc_id", "text")
+    val collapsed = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
+    // Star edges anchor at the group's min id with jaccard exactly 1.0.
+    val stars = collapsed.filter(_._3 == 1.0).map(p => (p._1, p._2)).toSet
+    assert(stars == (for (i <- 0 until 3; k <- 1 to 3)
+      yield (i.toLong, (100 * k + i).toLong)).toSet)
+    // Spanning: 9 star edges + the (0, 400) near-dup rep pair — not the
+    // exhaustive 3·C(4,2) + the 4·1 cross pairs of component {0's copies, 400}.
+    assert(collapsed.length == 10, collapsed.mkString(","))
+    val keptCollapsed = Dedup.dropDuplicatesByPairs(d, "doc_id",
+        Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    val keptExhaustive = Dedup.dropDuplicatesByPairs(d, "doc_id",
+        Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5,
+          collapseExact = false))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptCollapsed == keptExhaustive)
+    assert(keptCollapsed == (0L until 8L).toSet)
   }
 
   test("sharedWindowStats flags cross-doc repeated spans and leaves unique docs at 0") {
