@@ -1289,6 +1289,49 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "source_dir_office" -> ((s, dir) => {
+      // The remaining DirectoryReader CONTAINER formats — docx, xlsx,
+      // epub, pptx — all ZIP+XML (public ECMA-376 / IDPF structures) —
+      // end to end and distributed: one mixed directory (format = doc_id
+      // mod 4), extension-dispatched extraction on executors, extracted
+      // text md5-pinned against the corpus. Together with source_dir_html
+      // and source_dir_pdf this puts EVERY DirectoryReader extractor
+      // under an oracle gate.
+      def zipOf(entries: (String, String)*): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.ZipOutputStream(bos)
+        entries.foreach { case (n, c) =>
+          z.putNextEntry(new java.util.zip.ZipEntry(n))
+          z.write(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          z.closeEntry()
+        }
+        z.close(); bos.toByteArray
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_verify_office")
+      read(s, dir, "documents").filter(col("doc_id") < 30)
+        .select("doc_id", "text").collect().foreach { r =>
+          val (id, t) = (r.getLong(0), r.getString(1))
+          val (name, bytes) = (id % 4) match {
+            case 0 => (s"$id.docx", zipOf("word/document.xml" ->
+              s"<w:document><w:body><w:p><w:r><w:t>$t</w:t></w:r></w:p></w:body></w:document>"))
+            case 1 => (s"$id.xlsx", zipOf("xl/worksheets/sheet1.xml" ->
+              s"""<worksheet><sheetData><row><c t="inlineStr"><is><t>$t</t></is></c></row></sheetData></worksheet>"""))
+            case 2 => (s"$id.epub", zipOf("mimetype" -> "application/epub+zip",
+              "OEBPS/ch1.xhtml" -> s"<html><body><p>$t</p></body></html>"))
+            case _ => (s"$id.pptx", zipOf("ppt/slides/slide1.xml" ->
+              s"<p:sld><p:txBody><a:p><a:r><a:t>$t</a:t></a:r></a:p></p:txBody></p:sld>"))
+          }
+          java.nio.file.Files.write(tmp.resolve(name), bytes)
+        }
+      graft.connectors.DirectoryReaderLite.toDf(s, tmp.toString + "/*.*")
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.(docx|xlsx|epub|pptx)$", 1)
+            .cast("long").as("doc_id"),
+          regexp_extract(col("path"), "\\.(docx|xlsx|epub|pptx)$", 1).as("fmt"),
+          col("page"), md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     "source_dir_pdf" -> ((s, dir) => {
       // The DirectoryReader pdf path end to end and DISTRIBUTED: docs are
       // materialized as REAL single-page PDFs (PdfLite.writeSimplePdf —
@@ -3277,6 +3320,19 @@ object Queries {
       """SELECT doc_id, 0 AS page,
         |  md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_md5
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    // docx/xlsx/pptx round trips are exact (single run / single inline
+    // cell / single slide run); the epub chapter goes through the html
+    // tag-strip + collapse.
+    "source_dir_office" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
+        |       WHEN 2 THEN 'epub' ELSE 'pptx' END AS fmt,
+        |  0 AS page,
+        |  md5(CASE WHEN doc_id % 4 = 2
+        |      THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
+        |      ELSE text END) AS content_md5
+        |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin,
 
     // The pdf write → inflate → Tj-scan round trip is exact modulo trim.
     "source_dir_pdf" ->
