@@ -159,6 +159,52 @@ object IvfIndex {
     * or ordered the collect, which makes index rebuilds reproducible and
     * the fitted centroids stable enough to pin in an oracle.
     */
+  /** Run `body(start, end, chunkIdx)` over FIXED size-⌈n/64⌉ chunks on up
+    * to `availableProcessors` threads. The chunk count is
+    * machine-independent and every merge the callers do is in chunk-index
+    * order, so floating-point results are identical on any core count —
+    * the fit stays a pure function of (points, k, seed), just faster.
+    */
+  private def parChunks(n: Int)(body: (Int, Int, Int) => Unit): Unit = {
+    // Below the parallel threshold: ONE chunk, so the callers' partial
+    // merges degenerate to the legacy single-accumulator FP order — small
+    // fits (every sf0.01 gate, hence every pinned-centroid oracle) are
+    // bit-identical to the pre-parallel implementation.
+    if (n < 4096) { body(0, n, 0); return }
+    val nChunks = 64
+    val chunk = math.max(1, (n + nChunks - 1) / nChunks)
+    val actual = (n + chunk - 1) / chunk
+    val threads = math.min(Runtime.getRuntime.availableProcessors, actual)
+    if (threads <= 1) {
+      var ci = 0
+      while (ci < actual) {
+        body(ci * chunk, math.min(n, (ci + 1) * chunk), ci); ci += 1
+      }
+      return
+    }
+    val next = new java.util.concurrent.atomic.AtomicInteger(0)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val ts = (0 until threads).map { _ =>
+      new Thread(() =>
+        try {
+          var ci = next.getAndIncrement()
+          while (ci < actual && err.get() == null) {
+            body(ci * chunk, math.min(n, (ci + 1) * chunk), ci)
+            ci = next.getAndIncrement()
+          }
+        } catch { case t: Throwable => err.compareAndSet(null, t) })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    if (err.get() != null) throw err.get()
+  }
+
+  private[embed] def chunkCountFor(n: Int): Int =
+    if (n < 4096) 1
+    else {
+      val chunk = math.max(1, (n + 63) / 64)
+      (n + chunk - 1) / chunk
+    }
+
   def fitCentroids(points0: Array[Array[Float]], k: Int, seed: Long,
       maxIter: Int = 20, nRestarts: Int = 5): Array[Array[Float]] = {
     val points = points0.clone()
@@ -175,24 +221,39 @@ object IvfIndex {
       }
     })
     def sse(cents: Array[Array[Float]]): Double = {
-      var total = 0.0
-      var p = 0
-      while (p < points.length) {
-        val pt = points(p)
-        var best = Double.MaxValue
-        var c = 0
-        while (c < cents.length) {
-          var d = 0.0; var i = 0
-          while (i < pt.length) { val x = pt(i).toDouble - cents(c)(i); d += x * x; i += 1 }
-          if (d < best) best = d
-          c += 1
+      val partials = new Array[Double](chunkCountFor(points.length))
+      parChunks(points.length) { (s, e, ci) =>
+        var total = 0.0
+        var p = s
+        while (p < e) {
+          val pt = points(p)
+          var best = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < pt.length) { val x = pt(i).toDouble - cents(c)(i); d += x * x; i += 1 }
+            if (d < best) best = d
+            c += 1
+          }
+          total += best
+          p += 1
         }
-        total += best
-        p += 1
+        partials(ci) = total
       }
-      total
+      // Chunk-order merge: deterministic FP sum on any thread count.
+      var t = 0.0; var ci = 0
+      while (ci < partials.length) { t += partials(ci); ci += 1 }
+      t
     }
-    (0 until math.max(1, nRestarts))
+    // Restarts buy conditioning on SMALL fits; on a big sample each Lloyd
+    // pass is already n·k·dim·iters flops and k-means++ init makes the
+    // marginal restart nearly worthless — cap the total work instead of
+    // paying 5× on a 60k-point fit. Deterministic: the count is a pure
+    // function of (n, k, dim, maxIter), never of machine load.
+    val flopsPerRestart =
+      points.length.toDouble * k * points.headOption.map(_.length).getOrElse(0) * maxIter
+    val restarts = if (flopsPerRestart > 2e9) 1 else math.max(1, nRestarts)
+    (0 until restarts)
       .map(r => lloyd(points, k, seed + r, maxIter))
       .minBy(sse)
   }
@@ -231,50 +292,70 @@ object IvfIndex {
           points(i)
         }
       init += pick.clone()
-      var i = 0
-      while (i < points.length) {
-        val d = d2(points(i), pick)
-        if (d < minD2(i)) minD2(i) = d
-        i += 1
+      // Parallel distance refresh: independent per-point writes, no merge.
+      parChunks(points.length) { (s, e, _) =>
+        var i = s
+        while (i < e) {
+          val d = d2(points(i), pick)
+          if (d < minD2(i)) minD2(i) = d
+          i += 1
+        }
       }
     }
     val centroids = init.toArray
     val assign = new Array[Int](points.length)
+    val nChunks = chunkCountFor(points.length)
     var iter = 0
     var changed = true
     while (iter < maxIter && changed) {
-      changed = false
-      var p = 0
-      while (p < points.length) {
-        val pt = points(p)
-        var best = 0
-        var bestDist = Double.MaxValue
-        var c = 0
-        while (c < centroids.length) {
-          val cent = centroids(c)
-          var dist = 0.0
+      // One parallel pass does assignment AND per-chunk partial sums; the
+      // partials merge in chunk-index order so the new centroids are
+      // bit-identical on any thread count.
+      val chunkChanged = new Array[Boolean](nChunks)
+      val partSums =
+        Array.fill(nChunks, centroids.length)(new Array[Double](dim))
+      val partCounts = Array.fill(nChunks)(new Array[Long](centroids.length))
+      parChunks(points.length) { (s, e, ci) =>
+        val sums = partSums(ci)
+        val counts = partCounts(ci)
+        var p = s
+        while (p < e) {
+          val pt = points(p)
+          var best = 0
+          var bestDist = Double.MaxValue
+          var c = 0
+          while (c < centroids.length) {
+            val cent = centroids(c)
+            var dist = 0.0
+            var i = 0
+            while (i < dim) { val d = pt(i).toDouble - cent(i); dist += d * d; i += 1 }
+            if (dist < bestDist) { bestDist = dist; best = c }
+            c += 1
+          }
+          if (assign(p) != best) { assign(p) = best; chunkChanged(ci) = true }
+          counts(best) += 1
+          val sb = sums(best)
           var i = 0
-          while (i < dim) { val d = pt(i).toDouble - cent(i); dist += d * d; i += 1 }
-          if (dist < bestDist) { bestDist = dist; best = c }
-          c += 1
+          while (i < dim) { sb(i) += pt(i); i += 1 }
+          p += 1
         }
-        if (assign(p) != best) { assign(p) = best; changed = true }
-        p += 1
       }
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Long](centroids.length)
-      var q = 0
-      while (q < points.length) {
-        val a = assign(q); val pt = points(q); counts(a) += 1
-        var i = 0
-        while (i < dim) { sums(a)(i) += pt(i); i += 1 }
-        q += 1
-      }
+      changed = chunkChanged.exists(identity)
       var c = 0
       while (c < centroids.length) {
-        if (counts(c) > 0) {
+        var count = 0L
+        val sum = new Array[Double](dim)
+        var ci = 0
+        while (ci < nChunks) {
+          count += partCounts(ci)(c)
+          val ps = partSums(ci)(c)
           var i = 0
-          while (i < dim) { centroids(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+          while (i < dim) { sum(i) += ps(i); i += 1 }
+          ci += 1
+        }
+        if (count > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = (sum(i) / count).toFloat; i += 1 }
         }
         c += 1
       }

@@ -433,21 +433,92 @@ object EmbedOps {
     * operator cannot broadcast-cross-join a corpus by accident. The LSH path
     * is approximate (pairs whose vectors share no band are missed; tune
     * nBits/bands for recall); the brute-force path is exact and only chosen
-    * when the input is small enough to broadcast. Force a path with
-    * `Some(true/false)`. Auto-routing counts the RAW input frame (semIndex
-    * is 1:1, so the count is identical and costs no embedder calls).
+    * when the QUADRATIC pair count is cheaper than the LSH detour — the
+    * routing bound is the n²/2 comparison count, NOT broadcastability (a
+    * 100k-vector frame broadcasts in 25 MB but costs 5·10⁹ cosine
+    * evaluations; the ×30 scale stress showed 60k vectors not finishing in
+    * 10 minutes on 32 cores, vs seconds through the bucketed paths). 10k
+    * rows ≈ 5·10⁷ pairs, a few seconds anywhere.
+    *
+    * Above the threshold the AUTO route is the CELL-PARTITIONED path (the
+    * SemDeDup shape, Abbas et al. 2023, arXiv 2303.09540): fit
+    * ~n/`targetCellSize` k-means centroids on a bounded content-hash
+    * sample, assign every vector to its `cellProbes` nearest cells, exact
+    * all-pairs cosine WITHIN each cell. Pairs per cell are
+    * C(cellSize·probes, 2) at a CONTROLLED cell size — hot buckets cannot
+    * go quadratic the way hash buckets can (the ×30 scale stress caught
+    * the 4-bit band keys of the `useLsh = Some(true)` path collecting
+    * 3750-row buckets → 450M candidates; cells cap the bucket by
+    * construction). A pair is emitted iff the two vectors share a cell —
+    * approximate at cell boundaries; raise `cellProbes` for recall.
+    * `useLsh = Some(true)` forces the random-hyperplane band path
+    * (recall governed by nBits/bands instead of cell geometry);
+    * `Some(false)` forces exact. Auto-routing counts the RAW input frame
+    * (semIndex is 1:1, so the count is identical and costs no embedder
+    * calls).
     */
   def neardupPairs(df: DataFrame, c: String, idCol: String, threshold: Double,
-      useLsh: Option[Boolean] = None, lshRowThreshold: Long = 100000L,
+      useLsh: Option[Boolean] = None, lshRowThreshold: Long = 10000L,
       dim: Int = 0, nBits: Int = 16, bands: Int = 4,
-      knownRows: Long = -1L): DataFrame = {
+      knownRows: Long = -1L, targetCellSize: Int = 256, cellProbes: Int = 2,
+      seed: Long = 42): DataFrame = {
     val indexed = semIndex(df, c)
     val v = vecCol(c)
     // Routing stats: an explicit `useLsh` or `knownRows` (e.g. from a caller
     // like semDedup that already counted) costs zero jobs here.
-    val lsh = useLsh.getOrElse(
-      (if (knownRows >= 0) knownRows else df.count()) > lshRowThreshold)
-    if (!lsh) {
+    val n = if (knownRows >= 0) knownRows
+            else if (useLsh.isDefined) -1L
+            else df.count()
+    val big = n > lshRowThreshold
+    if (useLsh.isEmpty && big) {
+      // Cell-partitioned route: bounded centroid fit (the IvfIndex
+      // convention — content-hash sample membership, pure function of the
+      // vector multiset), multi-assign via the ProbeCells kernel, narrow
+      // (id, cell) exchange, exact cosine verify over the vector re-join.
+      // Exact pre-collapse first (the Dedup.minhashPairs move, applied to
+      // vectors): byte-identical vectors group by content fingerprint into
+      // (minId → member) star edges at score 1.0 and only one
+      // representative per distinct vector enters the cell pipeline — a
+      // k-fold repeated embedding costs O(k) rows, not O(k²) within-cell
+      // pairs. SPANNING pair contract (connected components identical to
+      // the exhaustive set); the fp window is one linear (id, vector)
+      // exchange, the same cost class as the verify join below.
+      val w = Window.partitionBy("__fp")
+      val marked = graft.core.Persist.stage(
+        indexed.select(col(idCol).cast(LongType).as("id"), col(v).as("vec"))
+          .withColumn("__fp", xxhash64(col("vec")))
+          .withColumn("__rep", min(col("id")).over(w)))
+      val star = marked.filter(col("id") =!= col("__rep"))
+        .select(col("__rep").as("id1"), col("id").as("id2"),
+          lit(1.0).as("score"))
+      val base = graft.core.Persist.stage(
+        marked.filter(col("id") === col("__rep")).select("id", "vec"))
+      val nDistinct = base.count()
+      val k = math.max(2,
+        math.min(1 << 16, (nDistinct / targetCellSize).toInt))
+      val frac = math.min(1.0,
+        graft.embed.IvfIndex.defaultFitPoints(k).toDouble /
+          math.max(1L, nDistinct))
+      val fitDf = if (frac >= 1.0) base.select(col("vec"))
+                  else base.select(col("vec")).filter(
+                    pmod(xxhash64(col("vec"), lit(seed)), lit(1000000L)) <
+                      math.round(frac * 1000000.0))
+      val centroids = graft.embed.IvfIndex.fitCentroids(
+        fitDf.collect().map(_.getSeq[Float](0).toArray), k, seed)
+      val celled = base.select(col("id"),
+        explode(graft.functions.VectorExprs.probeCells(
+          col("vec"), centroids, cellProbes)).as("cell"))
+      val a = celled.toDF("id1", "c1")
+      val b = celled.toDF("id2", "c2")
+      val cand = a.join(b, col("c1") === col("c2") && col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      star.unionAll(cand
+        .join(base.toDF("id1", "v1"), "id1")
+        .join(base.toDF("id2", "v2"), "id2")
+        .withColumn("score", cosineSim(col("v1"), col("v2")))
+        .filter(col("score") >= threshold)
+        .select("id1", "id2", "score"))
+    } else if (useLsh.contains(false) || (useLsh.isEmpty && !big)) {
       val a = indexed.select(col(idCol).cast(LongType).as("id1"), col(v).as("v1"))
       val b = indexed.select(col(idCol).cast(LongType).as("id2"), col(v).as("v2"))
       a.join(broadcast(b), col("id1") < col("id2"))
@@ -482,16 +553,18 @@ object EmbedOps {
     * `threshold`, connected components over the duplicate graph, keep the
     * minimum-id representative per component (reference sem_dedup.py:32-91).
     * Above `lshRowThreshold` rows the pair generation switches from exact
-    * all-pairs to the LSH band-bucket path — all-pairs is O(n²) and fatal at
-    * corpus scale.
+    * all-pairs to the cell-partitioned path — all-pairs is O(n²) and fatal
+    * at corpus scale (the bound is pair-count, not broadcastability — see
+    * [[neardupPairs]]).
     */
   def semDedup(df: DataFrame, c: String, idCol: String, threshold: Double,
-      lshRowThreshold: Long = 100000L, dim: Int = 0): DataFrame = {
+      lshRowThreshold: Long = 10000L, dim: Int = 0): DataFrame = {
     val indexed = semIndex(df, c).persist()
     val n = indexed.count()
     val v = vecCol(c)
     val edges = neardupPairs(indexed, c, idCol, threshold,
-      useLsh = Some(n > lshRowThreshold), dim = dim).select("id1", "id2")
+      lshRowThreshold = lshRowThreshold, dim = dim, knownRows = n)
+      .select("id1", "id2")
     val keep = Dedup.keepAfterConnectedComponents(
       indexed.select(col(idCol).cast(LongType).as("id")), edges)
     val res = indexed.join(keep.withColumnRenamed("id", "__keep_id"),

@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
 object ScaleStress {
 
   val defaultQueries =
-    "dedup_minhash,dedup_simhash,dedup_paragraphs,ann_batch_search," +
-      "bm25_batch_search,agg_skew_distinct,corpus_global_rank"
+    "dedup_minhash,dedup_simhash,dedup_paragraphs,dedup_clusters," +
+      "neardup_pairs_cos,ann_batch_search,bm25_batch_search," +
+      "agg_skew_distinct,corpus_global_rank,tfidf_topterms"
 
   def buildBlowup(spark: SparkSession, base: String, out: String,
       factor: Int): Unit = {

@@ -153,6 +153,41 @@ class EmbedSpec extends SparkSpec {
     assert(small.contains((1L, 6L)))
   }
 
+  test("neardupPairs cells route: exact duplicates collapse to star edges, " +
+      "components equal the exhaustive enumeration") {
+    // 3 text families × 8 identical copies → identical vectors. The auto
+    // big route (lshRowThreshold = 0 makes everything "big") must emit
+    // (minId → member) stars at score 1.0 — 7 per family, linear in the
+    // duplication — and its components must equal the exact all-pairs
+    // path's despite never enumerating the O(k²) within-family pairs.
+    val fams = Seq("machine learning neural nets", "tomato pasta cooking",
+      "quantum lattice physics")
+    val d = (for (f <- fams.indices; k <- 0 until 8)
+      yield ((f * 100 + k).toLong, fams(f))).toDF("id", "text")
+    val cells = EmbedOps.neardupPairs(d, "text", "id", threshold = 0.999,
+        lshRowThreshold = 0L)
+      .select("id1", "id2", "score").as[(Long, Long, Double)].collect()
+    val stars = cells.filter(_._3 == 1.0)
+    assert(stars.forall(p => p._1 == (p._2 / 100) * 100),
+      s"star edges must anchor at the family min id: ${stars.mkString(",")}")
+    assert(cells.length == 3 * 7, cells.mkString(","))
+    def components(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+      val ids = d.select("id").as[Long].collect()
+      val rep = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (rep(x) == x) x else { val r = find(rep(x)); rep(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) rep(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      ids.map(i => i -> find(i)).toMap
+    }
+    val exact = EmbedOps.neardupPairs(d, "text", "id", threshold = 0.999,
+        useLsh = Some(false))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(components(cells.map(p => (p._1, p._2)).toSet) == components(exact))
+  }
+
   test("LSH hyperplanes span the embedder's true dimension, not a 64 default") {
     graft.core.Sem.withEmbedder(HashingEmbedder(17)) {
       val idx = corpus.semIndex("text")
