@@ -475,39 +475,8 @@ object EmbedOps {
       // convention — content-hash sample membership, pure function of the
       // vector multiset), multi-assign via the ProbeCells kernel, narrow
       // (id, cell) exchange, exact cosine verify over the vector re-join.
-      // Exact pre-collapse first (the Dedup.minhashPairs move, applied to
-      // vectors): byte-identical vectors group by content fingerprint into
-      // (minId → member) star edges at score 1.0 and only one
-      // representative per distinct vector enters the cell pipeline — a
-      // k-fold repeated embedding costs O(k) rows, not O(k²) within-cell
-      // pairs. SPANNING pair contract (connected components identical to
-      // the exhaustive set); the fp window is one linear (id, vector)
-      // exchange, the same cost class as the verify join below.
-      val w = Window.partitionBy("__fp")
-      val marked = graft.core.Persist.stage(
-        indexed.select(col(idCol).cast(LongType).as("id"), col(v).as("vec"))
-          .withColumn("__fp", xxhash64(col("vec")))
-          .withColumn("__rep", min(col("id")).over(w)))
-      val star = marked.filter(col("id") =!= col("__rep"))
-        .select(col("__rep").as("id1"), col("id").as("id2"),
-          lit(1.0).as("score"))
-      val base = graft.core.Persist.stage(
-        marked.filter(col("id") === col("__rep")).select("id", "vec"))
-      val nDistinct = base.count()
-      val k = math.max(2,
-        math.min(1 << 16, (nDistinct / targetCellSize).toInt))
-      val frac = math.min(1.0,
-        graft.embed.IvfIndex.defaultFitPoints(k).toDouble /
-          math.max(1L, nDistinct))
-      val fitDf = if (frac >= 1.0) base.select(col("vec"))
-                  else base.select(col("vec")).filter(
-                    pmod(xxhash64(col("vec"), lit(seed)), lit(1000000L)) <
-                      math.round(frac * 1000000.0))
-      val centroids = graft.embed.IvfIndex.fitCentroids(
-        fitDf.collect().map(_.getSeq[Float](0).toArray), k, seed)
-      val celled = base.select(col("id"),
-        explode(graft.functions.VectorExprs.probeCells(
-          col("vec"), centroids, cellProbes)).as("cell"))
+      val (star, base, celled, _) =
+        cellAssignments(indexed, v, idCol, targetCellSize, cellProbes, seed)
       val a = celled.toDF("id1", "c1")
       val b = celled.toDF("id2", "c2")
       val cand = a.join(b, col("c1") === col("c2") && col("id1") < col("id2"))
@@ -547,6 +516,82 @@ object EmbedOps {
         .filter(col("score") >= threshold)
         .select("id1", "id2", "score")
     }
+  }
+
+  /** The cells route's shared prelude: exact pre-collapse of
+    * byte-identical vectors (the Dedup.minhashPairs move — content
+    * fingerprint window, (minId → member) star edges at score 1.0, only
+    * one representative per distinct vector enters the pipeline, so a
+    * k-fold repeated embedding costs O(k) rows, not O(k²) within-cell
+    * pairs), bounded content-hash-sampled centroid fit, and multi-assign
+    * of every representative to its `cellProbes` nearest cells. The fp
+    * window is one linear (id, vector) exchange — the same cost class as
+    * the verify join the caller runs. Returns (star edges, staged (id,
+    * vec) reps, (id, cell) assignments, nCells).
+    */
+  private def cellAssignments(indexed: DataFrame, v: String, idCol: String,
+      targetCellSize: Int, cellProbes: Int,
+      seed: Long): (DataFrame, DataFrame, DataFrame, Int) = {
+    val w = Window.partitionBy("__fp")
+    val marked = graft.core.Persist.stage(
+      indexed.select(col(idCol).cast(LongType).as("id"), col(v).as("vec"))
+        .withColumn("__fp", xxhash64(col("vec")))
+        .withColumn("__rep", min(col("id")).over(w)))
+    val star = marked.filter(col("id") =!= col("__rep"))
+      .select(col("__rep").as("id1"), col("id").as("id2"),
+        lit(1.0).as("score"))
+    val base = graft.core.Persist.stage(
+      marked.filter(col("id") === col("__rep")).select("id", "vec"))
+    val nDistinct = base.count()
+    val k = math.max(2, math.min(1 << 16, (nDistinct / targetCellSize).toInt))
+    val frac = math.min(1.0,
+      graft.embed.IvfIndex.defaultFitPoints(k).toDouble /
+        math.max(1L, nDistinct))
+    val fitDf = if (frac >= 1.0) base.select(col("vec"))
+                else base.select(col("vec")).filter(
+                  pmod(xxhash64(col("vec"), lit(seed)), lit(1000000L)) <
+                    math.round(frac * 1000000.0))
+    val centroids = graft.embed.IvfIndex.fitCentroids(
+      fitDf.collect().map(_.getSeq[Float](0).toArray), k, seed)
+    val celled = base.select(col("id"),
+      explode(graft.functions.VectorExprs.probeCells(
+        col("vec"), centroids, cellProbes)).as("cell"))
+    (star, base, celled, k)
+  }
+
+  /** Occupancy diagnostics for the cells route — the embedding sibling of
+    * `Temporal.rangeJoinDiagnostics`: exact candidate-pair count and cell
+    * occupancy from ONE narrow histogram aggregate over the (id, cell)
+    * assignments, surfacing a degenerate cell layout (all vectors in few
+    * cells → the candidate join quietly goes quadratic) BEFORE paying for
+    * the pair join. `candidatePairs` counts Σ_cells C(occ, 2) — the exact
+    * number of within-cell comparisons the route would evaluate (an id
+    * pair sharing both probe cells is counted in each, as the join does
+    * before its distinct).
+    */
+  final case class CellDiagnostics(nCells: Int, nVectors: Long,
+      nDistinctVectors: Long, occupiedCells: Long, maxOccupancy: Long,
+      avgOccupancy: Double, candidatePairs: Long) {
+    /** Fraction of the all-pairs cross product the route would evaluate. */
+    def crossJoinFraction: Double =
+      if (nDistinctVectors < 2) 0.0
+      else candidatePairs.toDouble /
+        (nDistinctVectors.toDouble * (nDistinctVectors - 1) / 2.0)
+  }
+
+  def neardupCellDiagnostics(df: DataFrame, c: String, idCol: String,
+      targetCellSize: Int = 256, cellProbes: Int = 2,
+      seed: Long = 42): CellDiagnostics = {
+    val indexed = semIndex(df, c)
+    val n = df.count()
+    val (_, base, celled, k) =
+      cellAssignments(indexed, vecCol(c), idCol, targetCellSize, cellProbes,
+        seed)
+    val occ = celled.groupBy("cell").agg(count(lit(1)).as("n"))
+    val r = occ.agg(count(lit(1)), max(col("n")), avg(col("n")),
+      sum(col("n") * (col("n") - 1) / 2).cast(LongType)).head()
+    CellDiagnostics(k, n, base.count(), r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3))
   }
 
   /** sem_dedup: semantic near-duplicate removal — self sim-join at

@@ -188,6 +188,24 @@ class EmbedSpec extends SparkSpec {
     assert(components(cells.map(p => (p._1, p._2)).toSet) == components(exact))
   }
 
+  test("neardupCellDiagnostics: exact candidate count; duplicates collapse " +
+      "out of the layout") {
+    val fams = Seq("alpha beta gamma delta", "one two three four",
+      "red green blue yellow")
+    val d = (for (f <- fams.indices; k <- 0 until 8)
+      yield ((f * 100 + k).toLong, fams(f))).toDF("id", "text")
+    val diag = EmbedOps.neardupCellDiagnostics(d, "text", "id",
+      targetCellSize = 2, cellProbes = 1)
+    assert(diag.nVectors == 24 && diag.nDistinctVectors == 3,
+      s"collapse drifted: $diag")
+    // 3 distinct vectors in ≥2 cells at 1 probe: candidate pairs are the
+    // within-cell C(occ,2) sum — at most C(3,2)=3, and crossJoinFraction
+    // is a valid fraction of the 3-vector cross product.
+    assert(diag.candidatePairs <= 3, diag.toString)
+    assert(diag.crossJoinFraction >= 0.0 && diag.crossJoinFraction <= 1.0)
+    assert(diag.maxOccupancy <= 3 && diag.occupiedCells >= 1)
+  }
+
   test("LSH hyperplanes span the embedder's true dimension, not a 64 default") {
     graft.core.Sem.withEmbedder(HashingEmbedder(17)) {
       val idx = corpus.semIndex("text")

@@ -53,4 +53,31 @@ class GateVitalitySpec extends SparkSpec {
       .limit(1).count() == 1,
       "every doc fits one chunk — the packing path is untested by the gate")
   }
+
+  test("image_embed_neardup: both sides of the threshold are exercised") {
+    // The gate needs all 24 ids (6 per pattern → 60 within-pattern pairs)
+    // AND a live margin: if a regeneration dropped ids the pair structure
+    // silently shrinks; if every pair passed the threshold the gate would
+    // stop distinguishing patterns.
+    val out = run("image_embed_neardup")
+    assert(out.count() == 60,
+      "within-pattern pair count drifted — gate ids or pattern families changed")
+    assert(out.agg(min(col("score"))).head().getDouble(0) >= 0.96,
+      "a sub-threshold pair leaked through")
+  }
+
+  test("source_dir_office: all four container formats appear") {
+    val fmts = run("source_dir_office").select("fmt").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(fmts == Set("docx", "xlsx", "epub", "pptx"),
+      s"formats exercised: $fmts — an extractor lost its gate coverage")
+  }
+
+  test("stream_sem_filter: the filter actually rejects rows") {
+    val kept = run("stream_sem_filter").count()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(kept > 0, "keyword filter kept nothing — FakeLM wiring broken")
+    assert(kept < total,
+      "keyword filter kept everything — the stream gate no longer filters")
+  }
 }
