@@ -498,7 +498,12 @@ object Queries {
     "neardup_pairs_cos" -> ((s, dir) => {
       val e = read(s, dir, "embeddings")
         .withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
-      EmbedOps.neardupPairs(e, "emb", "vec_id", threshold = 0.45)
+      // Route PINNED exact: the oracle is all-pairs cosine, so the gate
+      // must compare the exact path regardless of how big the gate corpus
+      // grows relative to the auto-routing threshold (the approximate
+      // cells route would fail for a data-geometry reason, not a bug).
+      EmbedOps.neardupPairs(e, "emb", "vec_id", threshold = 0.45,
+          useLsh = Some(false))
         .orderBy("id1", "id2")
         .select(col("id1"), col("id2"), round(col("score"), 3).as("score"))
     }),
@@ -508,7 +513,11 @@ object Queries {
       // representative. Oracle = recursive-CTE reachability in DuckDB.
       val e = read(s, dir, "embeddings")
         .withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
-      EmbedOps.semDedup(e, "emb", "vec_id", threshold = 0.45)
+      // Exact path pinned (threshold = MaxValue): the oracle computes
+      // all-pairs reachability, so the compared route must stay exact at
+      // any gate-corpus size.
+      EmbedOps.semDedup(e, "emb", "vec_id", threshold = 0.45,
+          lshRowThreshold = Long.MaxValue)
         .select(col("vec_id")).orderBy("vec_id")
     }),
 

@@ -407,16 +407,28 @@ object BatchCommit {
     // the body runs; only a writer that STOPS renewing (crashed, or paused
     // longer than the TTL) can be broken, and that case is caught by
     // `verifyOwned()` at the adoption step.
+    @volatile var released = false
     def renew(): Unit =
-      if (readLease().contains(s""""holder":"$holder""""))
+      if (!released && readLease().contains(s""""holder":"$holder""""))
         try {
           val out = f.create(lock, true)
           try out.write(
             s"""{"holder":"$holder","ts":${System.currentTimeMillis}}"""
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
+          // A renew whose create outlived the release (slow store: the
+          // finally block's join(2000) timed out, deleted the lease and
+          // returned, then this create completed) must not RESURRECT the
+          // lease — that would wedge every writer for a full TTL against
+          // a holder that already finished. Ownership-checked re-release.
+          if (released && readLease().contains(s""""holder":"$holder""""))
+            f.delete(lock, false)
+          // The sibling hazard — a writer stalled PAST its TTL between
+          // renew's read and create clobbering a successor's lease — is
+          // the same irreducible read→write TOCTOU documented at
+          // deleteIfContentIs; verifyOwned() before adoption is the
+          // backstop.
         } catch { case _: java.io.IOException => () }
-    @volatile var released = false
     val renewEveryMs = math.max(50L, ttlMs / 3)
     val renewer = new Thread(() => {
       try {

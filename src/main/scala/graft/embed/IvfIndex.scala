@@ -253,7 +253,8 @@ object IvfIndex {
     val flopsPerRestart =
       points.length.toDouble * k * points.headOption.map(_.length).getOrElse(0) * maxIter
     val restarts = if (flopsPerRestart > 2e9) 1 else math.max(1, nRestarts)
-    (0 until restarts)
+    if (restarts == 1) lloyd(points, k, seed, maxIter) // no rival → no SSE pass
+    else (0 until restarts)
       .map(r => lloyd(points, k, seed + r, maxIter))
       .minBy(sse)
   }
@@ -305,16 +306,28 @@ object IvfIndex {
     val centroids = init.toArray
     val assign = new Array[Int](points.length)
     val nChunks = chunkCountFor(points.length)
+    // Buffers hoisted out of the iteration loop (nChunks×k×dim doubles —
+    // allocated once and zeroed per pass, not reallocated ×maxIter).
+    val chunkChanged = new Array[Boolean](nChunks)
+    val partSums =
+      Array.fill(nChunks, centroids.length)(new Array[Double](dim))
+    val partCounts = Array.fill(nChunks)(new Array[Long](centroids.length))
     var iter = 0
     var changed = true
     while (iter < maxIter && changed) {
       // One parallel pass does assignment AND per-chunk partial sums; the
       // partials merge in chunk-index order so the new centroids are
       // bit-identical on any thread count.
-      val chunkChanged = new Array[Boolean](nChunks)
-      val partSums =
-        Array.fill(nChunks, centroids.length)(new Array[Double](dim))
-      val partCounts = Array.fill(nChunks)(new Array[Long](centroids.length))
+      java.util.Arrays.fill(chunkChanged, false)
+      var zc = 0
+      while (zc < nChunks) {
+        java.util.Arrays.fill(partCounts(zc), 0L)
+        var zk = 0
+        while (zk < centroids.length) {
+          java.util.Arrays.fill(partSums(zc)(zk), 0.0); zk += 1
+        }
+        zc += 1
+      }
       parChunks(points.length) { (s, e, ci) =>
         val sums = partSums(ci)
         val counts = partCounts(ci)

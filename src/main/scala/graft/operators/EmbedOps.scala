@@ -543,9 +543,19 @@ object EmbedOps {
     val base = graft.core.Persist.stage(
       marked.filter(col("id") === col("__rep")).select("id", "vec"))
     val nDistinct = base.count()
-    val k = math.max(2, math.min(1 << 16, (nDistinct / targetCellSize).toInt))
+    // BOUNDED driver fit, independent of n: k caps at 1024 and the fit
+    // sample at 128k points (a k=1024 Lloyd pass over 128k×dim is seconds
+    // on the parallel fit; uncapped, k = n/256 makes defaultFitPoints(k)
+    // = n and the "bounded" fit would collect the whole distinct vector
+    // set). The price of the cap: beyond ~k·targetCellSize distinct
+    // vectors, cell occupancy grows linearly with n and the within-cell
+    // pair cost quadratically — check [[neardupCellDiagnostics]] (the
+    // candidatePairs/crossJoinFraction fields exist for exactly this) and
+    // raise `targetCellSize` consciously or pre-shard by a saved coarse
+    // IvfIndex when occupancy runs away.
+    val k = math.max(2, math.min(1024, (nDistinct / targetCellSize).toInt))
     val frac = math.min(1.0,
-      graft.embed.IvfIndex.defaultFitPoints(k).toDouble /
+      math.min(graft.embed.IvfIndex.defaultFitPoints(k), 131072L).toDouble /
         math.max(1L, nDistinct))
     val fitDf = if (frac >= 1.0) base.select(col("vec"))
                 else base.select(col("vec")).filter(

@@ -72,11 +72,15 @@ package object graft {
         tieBreak: Seq[Column] = Nil): DataFrame =
       EmbedOps.semSimJoin(df, other, leftOn, rightOn, k, scoreCol, broadcastRight, tieBreak)
 
-    /** Near-dup pair kernel; routes to LSH above `lshRowThreshold` rows so
-      * the default path never cross-joins a large corpus.
+    /** Near-dup pair kernel; above `lshRowThreshold` rows the auto route
+      * takes the cell-partitioned path (pair-count-bound — see
+      * [[EmbedOps.neardupPairs]]) so the default path never cross-joins a
+      * large corpus. The threshold default MUST stay in lock-step with
+      * EmbedOps' (it is the quadratic-pair-cost bound, not a broadcast
+      * size).
       */
     def neardupPairs(c: String, idCol: String, threshold: Double,
-        useLsh: Option[Boolean] = None, lshRowThreshold: Long = 100000L): DataFrame =
+        useLsh: Option[Boolean] = None, lshRowThreshold: Long = 10000L): DataFrame =
       EmbedOps.neardupPairs(df, c, idCol, threshold, useLsh, lshRowThreshold)
 
     def semSimJoinAuto(other: DataFrame, leftOn: String, rightOn: String, k: Int,

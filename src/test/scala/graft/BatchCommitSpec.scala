@@ -74,15 +74,17 @@ class BatchCommitSpec extends SparkSpec {
       "second writer must NOT judge it stale and break it") {
     val p = tmp("lex_renew")
     LexIndex.save(corpusA, "text", "doc_id", p, nBuckets = 8)
-    // ttl 400ms, body 1.2s: without renewal the lease timestamp would be
+    // ttl 1.5s, body 4.5s: without renewal the lease timestamp would be
     // 3× the TTL old by the second acquisition attempt, which would break
-    // it and append concurrently. Renewal every ttl/3 keeps it fresh.
+    // it and append concurrently. Renewal every ttl/3 (500 ms) keeps it
+    // fresh with a >1 s margin against CI scheduler/GC stalls of the
+    // renewer thread (a tighter 400 ms TTL made this a timing flake).
     BatchCommit.withWriterLease(spark, p, holder = "long-writer",
-        ttlMs = 400) {
-      Thread.sleep(1200)
+        ttlMs = 1500) {
+      Thread.sleep(4500)
       val e = intercept[IllegalStateException] {
         BatchCommit.withWriterLease(spark, p, holder = "impatient",
-          ttlMs = 400) { fail("second writer must not acquire a live lease") }
+          ttlMs = 1500) { fail("second writer must not acquire a live lease") }
       }
       assert(e.getMessage.contains("another writer holds the lease"),
         e.getMessage)

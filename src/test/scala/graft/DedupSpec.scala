@@ -127,6 +127,25 @@ class DedupSpec extends SparkSpec {
     assert(keptCollapsed == (0L until 8L).toSet)
   }
 
+  test("spanning contract holds for degenerate texts (shorter than the " +
+      "shingle length, empty, whitespace-only)") {
+    // Short docs get a whole-text shingle (never an empty set), so the
+    // collapsed and exhaustive modes must agree even on texts the shingle
+    // window cannot cover — pinned because a reviewer plausibly predicted
+    // a divergence here (empty sets → no band keys on one side only).
+    import org.apache.spark.sql.functions.col
+    for (t <- Seq("hi", "", "   ")) {
+      val d = Seq((1L, t), (2L, t), (3L, "unrelated words entirely different"))
+        .toDF("doc_id", "text")
+      def pairs(collapse: Boolean) =
+        Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5,
+            collapseExact = collapse)
+          .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(pairs(true) == Set((1L, 2L)), s"collapsed drifted on '$t'")
+      assert(pairs(false) == Set((1L, 2L)), s"exhaustive drifted on '$t'")
+    }
+  }
+
   test("sharedWindowStats flags cross-doc repeated spans and leaves unique docs at 0") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
