@@ -61,6 +61,18 @@ object Bench {
             errors(name) = Option(e.getMessage).getOrElse(e.toString)
               .linesIterator.take(3).mkString(" ").take(500)
       }
+      // Per-query isolation, OUTSIDE the timing window: operators stage
+      // frames via localCheckpoint and (by design — see Persist's
+      // Tracked-variant contract) leave them pinned for the caller's
+      // lifetime. Across passes × queries those blocks accumulate until
+      // late-alphabet queries measure storage-memory pressure instead of
+      // their own plan (a ×30 scale run showed the 9th query 7× slower
+      // in-sequence than in isolation, on identical code and data).
+      try {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+      } catch { case _: Exception => () }
     }
     def ms(v: Double): Double = math.round(v * 1000).toDouble / 1000
     val results = names.map { case (name, _) =>

@@ -508,6 +508,22 @@ object Queries {
         .select(col("id1"), col("id2"), round(col("score"), 3).as("score"))
     }),
 
+    "neardup_pairs_cells" -> ((s, dir) => {
+      // The CELL-PARTITIONED route (the scale path), pinned via
+      // lshRowThreshold = 0. On the gate corpus the route is provably
+      // exhaustive — nDistinct/targetCellSize rounds to k = 2 cells and
+      // cellProbes = 2 assigns every vector to BOTH, so the within-cell
+      // join enumerates every pair and the exact all-pairs oracle still
+      // applies; at bench/scale corpora the same query exercises the
+      // approximate geometry the 100 TB path uses.
+      val e = read(s, dir, "embeddings")
+        .withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      EmbedOps.neardupPairs(e, "emb", "vec_id", threshold = 0.45,
+          lshRowThreshold = 0L)
+        .orderBy("id1", "id2")
+        .select(col("id1"), col("id2"), round(col("score"), 3).as("score"))
+    }),
+
     "sem_dedup_drop" -> ((s, dir) => {
       // Full semDedup: pair kernel → connected components → keep min-id
       // representative. Oracle = recursive-CTE reachability in DuckDB.
@@ -4047,6 +4063,15 @@ object Queries {
         |ORDER BY lid, list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) DESC, rid""".stripMargin,
 
     "neardup_pairs_cos" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS score
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY id1, id2""".stripMargin,
+
+    // k = 2 cells × 2 probes on the gate corpus ⇒ the cells route is
+    // exhaustive there — same exact oracle.
+    "neardup_pairs_cells" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS score
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -90,13 +90,8 @@ object Dedup {
     * partitions, so below one maxPartitionBytes per core the input cannot
     * fill the cluster and is worth an (O(small) bytes) spread shuffle.
     */
-  private def parallelize(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val target = spark.sparkContext.defaultParallelism
-    val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (size < BigInt(maxPartitionBytes) * target) df.repartition(target) else df
-  }
+  private def parallelize(df: DataFrame): DataFrame =
+    graft.core.Parallelism.spread(df)
 
   /** MinHash+LSH near-duplicate pairs at exact-shingle Jaccard ≥
     * `threshold`, with EXACT PRE-COLLAPSE (default): byte-identical texts

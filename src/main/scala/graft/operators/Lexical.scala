@@ -67,7 +67,11 @@ object Lexical {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = queryTerms(query)
     require(terms.nonEmpty, "bm25Search: query has no terms")
-    val base = df.withColumn("__toks", tokens(col(textCol)))
+    // Both the stats aggregate and the scoring pass re-tokenize every row
+    // — a compactly-written corpus (few files) would otherwise run both
+    // CPU-heavy scans on as many cores as it has files.
+    val base = graft.core.Parallelism.spread(df)
+      .withColumn("__toks", tokens(col(textCol)))
       .withColumn("__dl", size(col("__toks")).cast("double"))
     val withTf = terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
       d.withColumn(s"__tf$i",
@@ -116,7 +120,8 @@ object Lexical {
       scoreCol: String = "tfidf", nDocs: Long = -1L): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
     val n = (if (nDocs > 0) nDocs else df.count()).toDouble
-    val post = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val post = graft.core.Parallelism.spread(df)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
     val dfs = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -166,7 +171,8 @@ object LexIndex {
     */
   def postings(df: DataFrame, textCol: String, idCol: String,
       nBuckets: Int = 64): DataFrame =
-    df.select(col(idCol).as("id"), Lexical.tokens(col(textCol)).as("__toks"))
+    graft.core.Parallelism.spread(df)
+      .select(col(idCol).as("id"), Lexical.tokens(col(textCol)).as("__toks"))
       // Tokenize once: size and explode both read the projected array — a
       // second split() of every document doubles the build's scan cost.
       .select(col("id"), size(col("__toks")).cast("double").as("dl"),

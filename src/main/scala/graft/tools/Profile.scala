@@ -43,6 +43,26 @@ object Profile {
       Dedup.dropDuplicatesByPairs(d, "doc_id",
         Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5)).count()
     }
+    time("neardup: window+collapse") {
+      import org.apache.spark.sql.expressions.Window
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumnRenamed("embedding", "__vec_emb")
+      val w = Window.partitionBy("__fp")
+      val marked = e.select(col("vec_id").cast("long").as("id"),
+          col("__vec_emb").as("vec"))
+        .withColumn("__fp", xxhash64(col("vec")))
+        .withColumn("__rep", min(col("id")).over(w))
+      println(s"  marked=${marked.count()}")
+      val base = marked.filter(col("id") === col("__rep")).select("id", "vec")
+      println(s"  distinct=${base.count()}")
+    }
+    time("neardup: full route") {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumnRenamed("embedding", "__vec_emb")
+      val n = graft.operators.EmbedOps.neardupPairs(e, "__vec_emb".stripPrefix("__vec_"), "vec_id",
+        threshold = 0.45).count()
+      println(s"  pairs=$n")
+    }
     time("simhash signature only") {
       d.select(graft.functions.MinHashExpr.simhash64(
         split(lower(trim(col("text"))), "\\s+")).as("h")).count()

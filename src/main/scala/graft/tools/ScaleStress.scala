@@ -26,7 +26,7 @@ object ScaleStress {
 
   val defaultQueries =
     "dedup_minhash,dedup_simhash,dedup_paragraphs,dedup_clusters," +
-      "neardup_pairs_cos,ann_batch_search,bm25_batch_search," +
+      "neardup_pairs_cells,ann_batch_search,bm25_batch_search," +
       "agg_skew_distinct,corpus_global_rank,tfidf_topterms"
 
   def buildBlowup(spark: SparkSession, base: String, out: String,
@@ -41,6 +41,10 @@ object ScaleStress {
           .otherwise(concat(col("text"), lit(" variant "), col("__k"))))
       .withColumn("doc_id", col("doc_id") + col("__k") * maxDoc)
       .drop("__k")
+      // Many files, like a real corpus — a compact 1-2-file write would
+      // hand every downstream scan a single input split and measure
+      // single-core starvation instead of the operator.
+      .repartition(64)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
@@ -48,6 +52,7 @@ object ScaleStress {
     emb.crossJoin(k)
       .withColumn("vec_id", col("vec_id") + col("__k") * maxVec)
       .drop("__k")
+      .repartition(64)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val ev = spark.read.parquet(s"$base/events.parquet")
@@ -57,6 +62,7 @@ object ScaleStress {
       .withColumn("event_id", col("event_id") + col("__k") * maxEv)
       .withColumn("user_id", col("user_id") + col("__k") * maxUser)
       .drop("__k")
+      .repartition(64)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
