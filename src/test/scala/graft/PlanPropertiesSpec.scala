@@ -94,6 +94,13 @@ class PlanPropertiesSpec extends SparkSpec {
       assertNarrow(shufflesOf(graft.operators.EmbedOps.neardupPairs(
         e, "emb", "vec_id", threshold = 0.45, useLsh = Some(true))),
         Set("bk1", "bk2"), Set("id1", "id2"))
+      // …and on the cell-partitioned route (lshRowThreshold = 0 forces it):
+      // the cell-bucket exchanges and the pair-dedup exchange stay narrow —
+      // vectors move exactly once through the fp-collapse window and once
+      // into the verify join, never ×probes through the cell join.
+      assertNarrow(shufflesOf(graft.operators.EmbedOps.neardupPairs(
+        e, "emb", "vec_id", threshold = 0.45, lshRowThreshold = 0L)),
+        Set("c1", "c2"), Set("id1", "id2"))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prev)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
