@@ -537,6 +537,19 @@ object Queries {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    "sem_dedup_cells" -> ((s, dir) => {
+      // semDedup through the cell-partitioned SCALE path (lshRowThreshold
+      // = 0 routes every input to it). Exhaustive on the gate corpus —
+      // k rounds to 2 cells, cellProbes = 2 assigns both — so the same
+      // reachability oracle applies; at scale the identical query runs
+      // the approximate geometry (load-tested ×30/×100/×300).
+      val e = read(s, dir, "embeddings")
+        .withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      EmbedOps.semDedup(e, "emb", "vec_id", threshold = 0.45,
+          lshRowThreshold = 0L)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
     "sem_index_roundtrip" -> ((s, dir) => {
       // semIndexSave → parquet (id, vector) → semLoadIndex re-attach; the
       // round-tripped first component must equal the source table's.
@@ -4184,6 +4197,19 @@ object Queries {
         |SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a ORDER BY doc_id""".stripMargin,
 
     "sem_dedup_drop" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS vec_id FROM reach GROUP BY a HAVING min(b) = a ORDER BY vec_id""".stripMargin,
+
+    // Same reachability truth — the cells path is exhaustive at gate size.
+    "sem_dedup_cells" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

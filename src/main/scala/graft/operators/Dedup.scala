@@ -383,8 +383,9 @@ object Dedup {
       .distinct()
     var (cur, curIds) = stageTracked(canon(
       edges.select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))))
+    var curCount = cur.count()
     var iter = 0
-    var done = cur.isEmpty
+    var done = curCount == 0
     try {
     while (!done && iter < maxIter) {
       // Large-star: every neighbor LARGER than u re-links to u's local min
@@ -401,12 +402,18 @@ object Dedup {
       val (next, nextIds) = stageTracked(canon(
         lc.join(smins, "u").select(col("v").as("u"), col("m").as("v"))
           .union(smins.select(col("u"), col("m").as("v")))))
-      // Fixed point ⇔ disjoint stars (SoCC'14, Thm 1) ⇔ converged. One
-      // symmetric-difference job, not two except probes.
-      done = next.exceptAll(cur).union(cur.exceptAll(next)).limit(1).isEmpty
+      // Fixed point ⇔ disjoint stars (SoCC'14, Thm 1) ⇔ converged. Count
+      // equality is a NECESSARY condition and one cheap job over the
+      // checkpointed round — only when the count stops shrinking does the
+      // exact symmetric-difference probe run (mid-contraction rounds skip
+      // the two exceptAll shuffles entirely).
+      val nextCount = next.count()
+      done = nextCount == curCount &&
+        next.exceptAll(cur).union(cur.exceptAll(next)).limit(1).isEmpty
       unstage(spark, curIds)
       cur = next
       curIds = nextIds
+      curCount = nextCount
       iter += 1
     }
     // An unconverged edge set is NOT a union of stars: componentIds would
