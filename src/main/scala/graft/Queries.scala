@@ -1043,9 +1043,12 @@ object Queries {
       // anyway, but written this way `id1 < id2` short-circuits the set
       // ops for half the ordered pairs (plan-audited r8).
       a.join(broadcast(b),
-          col("id1") < col("id2") && Dedup.jaccard(col("sh1"), col("sh2")) >= 0.2)
+          col("id1") < col("id2") &&
+            graft.functions.VectorExprs.longSetJaccard(
+              col("sh1"), col("sh2")) >= 0.2)
         .select(col("id1"), col("id2"),
-          round(Dedup.jaccard(col("sh1"), col("sh2")), 3).as("jac"))
+          round(graft.functions.VectorExprs.longSetJaccard(
+            col("sh1"), col("sh2")), 3).as("jac"))
         .orderBy("id1", "id2")
     }),
 

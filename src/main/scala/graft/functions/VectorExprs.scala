@@ -208,11 +208,97 @@ case class ProbeCells(child: Expression, centroids: Array[Array[Float]],
     copy(child = newChild)
 }
 
+/** Jaccard |A∩B| / |A∪B| of two long-array SETS — the minhash
+  * verification kernel as one merge pass. The built-in composition
+  * `size(array_intersect)/size(array_union)` builds a boxed hash set and
+  * materializes two result arrays PER PAIR; on a verify join over millions
+  * of candidate pairs that allocation dominates. Here each side is copied
+  * once into a primitive long[] (sorted on the fly iff the producer did
+  * not pre-sort — legacy saved dedup indexes predate the sorted layout)
+  * and intersected by merge with duplicate-run skipping, so inputs need
+  * not be distinct for CORRECTNESS (set semantics), only for speed. Empty
+  * ∪ empty → 1.0, matching [[graft.operators.Dedup.jaccard]].
+  */
+object LongSetOps {
+  def isSorted(xs: Array[Long]): Boolean = {
+    var i = 1
+    while (i < xs.length) { if (xs(i - 1) > xs(i)) return false; i += 1 }
+    true
+  }
+
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    if (!isSorted(xs)) java.util.Arrays.sort(xs)
+    if (!isSorted(ys)) java.util.Arrays.sort(ys)
+    val n = xs.length
+    val m = ys.length
+    var i = 0; var j = 0
+    var inter = 0L; var da = 0L; var db = 0L
+    while (i < n && j < m) {
+      val x = xs(i); val y = ys(j)
+      if (x == y) {
+        inter += 1; da += 1; db += 1
+        while (i < n && xs(i) == x) i += 1
+        while (j < m && ys(j) == y) j += 1
+      } else if (x < y) {
+        da += 1; while (i < n && xs(i) == x) i += 1
+      } else {
+        db += 1; while (j < m && ys(j) == y) j += 1
+      }
+    }
+    while (i < n) { val x = xs(i); da += 1; while (i < n && xs(i) == x) i += 1 }
+    while (j < m) { val y = ys(j); db += 1; while (j < m && ys(j) == y) j += 1 }
+    val uni = da + db - inter
+    if (uni == 0L) 1.0 else inter.toDouble / uni
+  }
+}
+
+case class LongSetJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"long_set_jaccard requires two array<bigint>, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(LongSetOps.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.LongSetOps.compute($a, $b);")
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    nullSafeEval(a, b)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.graft.ColumnBridge
   /** Column wrapper: dot product of two numeric array columns (codegen'd). */
   def arrayDot(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper: merge-based Jaccard of two long-array set columns. */
+  def longSetJaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(LongSetJaccard(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column wrapper: nearest-centroid index of a float-array column. */
   def nearestCentroid(v: Column, centroids: Array[Array[Float]]): Column =

@@ -171,7 +171,9 @@ object Dedup {
     candidates
       .join(shingleSets.toDF("id1", "sh1"), "id1")
       .join(shingleSets.toDF("id2", "sh2"), "id2")
-      .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .select(col("id1"), col("id2"),
+        graft.functions.VectorExprs.longSetJaccard(col("sh1"), col("sh2"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -483,7 +485,11 @@ object Dedup {
       else Nil
     df.select((col(idCol).cast("long").as("id") +: fp) ++ Seq(
       graft.functions.MinHashExpr.minhashSignature(words, shingleLen, numHashes).as("sig"),
-      array_distinct(graft.functions.MinHashExpr.shingleHashes(words, shingleLen)).as("sh")): _*)
+      // Sorted: the merge-based LongSetJaccard verify kernel then never
+      // pays its defensive per-pair sort (legacy unsorted indexes still
+      // verify correctly — the kernel detects and sorts).
+      sort_array(array_distinct(
+        graft.functions.MinHashExpr.shingleHashes(words, shingleLen))).as("sh")): _*)
   }
 
   /** Persist a dedup index for INCREMENTAL corpus growth: per doc, the
@@ -643,7 +649,8 @@ object Dedup {
     val nearIds = candidates
       .join(newBase.select(col("id").as("nid"), col("sh").as("sh1")), "nid")
       .join(idx.select(col("id").as("oid"), col("sh").as("sh2")), "oid")
-      .filter(jaccard(col("sh1"), col("sh2")) >= threshold)
+      .filter(graft.functions.VectorExprs.longSetJaccard(
+        col("sh1"), col("sh2")) >= threshold)
       .select(col("nid"))
     val dropIds = exactIds.union(nearIds).distinct()
     df.join(dropIds, col(idCol).cast("long") === col("nid"), "left_anti")

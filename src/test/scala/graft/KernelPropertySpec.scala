@@ -11,6 +11,26 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class KernelPropertySpec extends AnyFunSuite {
 
+  test("LongSetOps.compute equals reference set-Jaccard on random long " +
+      "arrays — sorted or not, duplicates or not, empty included") {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)),
+      Prop.forAll(Gen.listOf(Gen.chooseNum(-50L, 50L)),
+          Gen.listOf(Gen.chooseNum(-50L, 50L))) { (a, b) =>
+        val ref = {
+          val (sa, sb) = (a.toSet, b.toSet)
+          val uni = (sa ++ sb).size
+          if (uni == 0) 1.0 else (sa & sb).size.toDouble / uni
+        }
+        val got = graft.functions.LongSetOps.compute(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toArray),
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b.toArray))
+        got == ref
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   private def check(p: Prop, tests: Int = 60): Unit = {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(tests)
