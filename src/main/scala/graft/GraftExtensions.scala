@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.IntegerType
   * Registered: `minhash_signature(words, shingleLen, numHashes)`,
   * `shingle_hashes(words, n)`, `simhash64(words)`,
   * `ngram_repetition(words, n)`, `deflate_ratio(text[, level])`,
-  * `array_dot(a, b)`. Shape parameters must be literals — they size
+  * `array_dot(a, b)`, `long_set_jaccard(a, b)`. Shape parameters must be
+  * literals — they size
   * per-row loops at plan time, exactly like the DataFrame wrappers.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -84,6 +85,11 @@ object GraftExtensions {
     fn("array_dot", "_FUNC_(a, b) - dot product of two numeric arrays") { args =>
       require(args.length == 2, "array_dot(a, b)")
       functions.ArrayDotProduct(args.head, args(1))
+    },
+    fn("long_set_jaccard",
+      "_FUNC_(a, b) - merge-based Jaccard of two array<bigint> sets") { args =>
+      require(args.length == 2, "long_set_jaccard(a, b)")
+      functions.LongSetJaccard(args.head, args(1))
     },
     fn("nfc_normalize", "_FUNC_(text) - unicode NFC canonical composition") { args =>
       require(args.length == 1, "nfc_normalize(text)")

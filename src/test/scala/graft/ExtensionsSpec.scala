@@ -34,6 +34,10 @@ class ExtensionsSpec extends SparkSpec {
       .head()
     assert(uni.getString(0) == "cafe")
     assert(uni.getString(1) == "fin")
+    // Merge-based set Jaccard: {1,2,3} vs {2,3,4} -> 2/4, unsorted input.
+    val jac = spark.sql(
+      "SELECT long_set_jaccard(array(3L, 1L, 2L), array(2L, 4L, 3L))").head()
+    assert(jac.getDouble(0) == 0.5)
   }
 
   test("vector_avg aggregates through SQL identically to the Column API") {
