@@ -388,10 +388,30 @@ object BatchCommit {
     // without compare-and-delete — document, don't pretend otherwise.
     def deleteIfContentIs(expected: String): Unit =
       if (readLease() == expected) f.delete(lock, false)
+    def leaseTs(txt: String): Option[Long] =
+      """"ts":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    // Stale judgment must never default an UNREADABLE lease to stale: an
+    // empty/partial read can mean a lease caught mid-write, and breaking
+    // it would admit the concurrent append the lease exists to prevent.
+    // Unparsable content → re-read a few times (a torn write resolves in
+    // ms); still unparsable but the file EXISTS → judge by the file's
+    // modification time (renewal rewrites the file, so mtime tracks
+    // liveness even when content can't be parsed); file GONE → the holder
+    // released between our create-fail and read — retry the acquire.
     if (!tryAcquire()) {
-      val txt = readLease()
-      val ts = """"ts":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-      val stale = ts.forall(t => System.currentTimeMillis - t > ttlMs)
+      var txt = readLease()
+      var ts = leaseTs(txt)
+      var retries = 0
+      while (ts.isEmpty && retries < 5 && f.exists(lock)) {
+        Thread.sleep(50); txt = readLease(); ts = leaseTs(txt); retries += 1
+      }
+      val now = System.currentTimeMillis
+      val stale = ts match {
+        case Some(t) => now - t > ttlMs
+        case None =>
+          try now - f.getFileStatus(lock).getModificationTime > ttlMs
+          catch { case _: java.io.IOException => true } // gone → retry acquire below
+      }
       if (!stale) throw new IllegalStateException(
         s"append to $root: another writer holds the lease ($txt) — " +
           "a concurrent append would interleave staging and adoption; " +
@@ -408,14 +428,29 @@ object BatchCommit {
     // longer than the TTL) can be broken, and that case is caught by
     // `verifyOwned()` at the adoption step.
     @volatile var released = false
+    // Renewal never truncates the live lock in place (a waiter reading
+    // mid-truncate would see an empty lease): the new lease body lands in
+    // a holder-suffixed temp file and REPLACES the lock via rename —
+    // atomic on local/HDFS. On a dest-exists-refusing FS the rename fails
+    // and we fall back to delete+rename, whose brief missing-file window
+    // the waiter's retry/mtime judgment above absorbs.
     def renew(): Unit =
       if (!released && readLease().contains(s""""holder":"$holder""""))
         try {
-          val out = f.create(lock, true)
+          val tmp = new Path(root, s"$leaseFile.renew.$holder")
+          val out = f.create(tmp, true)
           try out.write(
             s"""{"holder":"$holder","ts":${System.currentTimeMillis}}"""
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
+          if (!f.rename(tmp, lock)) {
+            // Ownership re-check before the non-atomic fallback: only
+            // delete a lock that is still OURS.
+            if (readLease().contains(s""""holder":"$holder"""")) {
+              f.delete(lock, false)
+              if (!f.rename(tmp, lock)) f.delete(tmp, false)
+            } else f.delete(tmp, false)
+          }
           // A renew whose create outlived the release (slow store: the
           // finally block's join(2000) timed out, deleted the lease and
           // returned, then this create completed) must not RESURRECT the

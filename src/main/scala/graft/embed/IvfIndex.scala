@@ -165,13 +165,14 @@ object IvfIndex {
     * order, so floating-point results are identical on any core count —
     * the fit stays a pure function of (points, k, seed), just faster.
     */
-  private def parChunks(n: Int)(body: (Int, Int, Int) => Unit): Unit = {
+  private def parChunks(n: Int, maxChunks: Int = 64)(
+      body: (Int, Int, Int) => Unit): Unit = {
     // Below the parallel threshold: ONE chunk, so the callers' partial
     // merges degenerate to the legacy single-accumulator FP order — small
     // fits (every sf0.01 gate, hence every pinned-centroid oracle) are
     // bit-identical to the pre-parallel implementation.
     if (n < 4096) { body(0, n, 0); return }
-    val nChunks = 64
+    val nChunks = maxChunks
     val chunk = math.max(1, (n + nChunks - 1) / nChunks)
     val actual = (n + chunk - 1) / chunk
     val threads = math.min(Runtime.getRuntime.availableProcessors, actual)
@@ -198,15 +199,37 @@ object IvfIndex {
     if (err.get() != null) throw err.get()
   }
 
-  private[embed] def chunkCountFor(n: Int): Int =
+  private[embed] def chunkCountFor(n: Int, maxChunks: Int = 64): Int =
     if (n < 4096) 1
     else {
-      val chunk = math.max(1, (n + 63) / 64)
+      val chunk = math.max(1, (n + maxChunks - 1) / maxChunks)
       (n + chunk - 1) / chunk
     }
 
+  /** Chunk-count cap for the Lloyd pass, whose per-chunk partial buffers
+    * are k × dim doubles EACH: 64 chunks at the cells-route cap (k=1024,
+    * dim=768) would be ~400 MB of driver partials — enough to OOM a
+    * default heap. Bound total partials to ~64 MB. A pure function of
+    * (k, dim) — never machine load — so fitted centroids stay
+    * deterministic on any core count.
+    */
+  private[graft] def lloydChunkCap(k: Int, dim: Int): Int = {
+    val budgetBytes = 64L << 20
+    math.max(1, math.min(64L, budgetBytes / math.max(1L, k.toLong * dim * 8)).toInt)
+  }
+
+  /** Seeded k-means fit with restarts. NOTE the restart-work cap: when a
+    * single Lloyd pass exceeds `maxRestartFlops` (n·k·dim·maxIter flops),
+    * `nRestarts` is IGNORED and exactly one restart runs — on a big
+    * sample, k-means++ init makes marginal restarts nearly worthless and
+    * the cap keeps fit cost bounded. Callers that genuinely want multiple
+    * restarts on a large fit must raise `maxRestartFlops` explicitly.
+    * Deterministic: the effective restart count is a pure function of
+    * (n, k, dim, maxIter, maxRestartFlops), never machine load.
+    */
   def fitCentroids(points0: Array[Array[Float]], k: Int, seed: Long,
-      maxIter: Int = 20, nRestarts: Int = 5): Array[Array[Float]] = {
+      maxIter: Int = 20, nRestarts: Int = 5,
+      maxRestartFlops: Double = 2e9): Array[Array[Float]] = {
     val points = points0.clone()
     java.util.Arrays.sort(points, new java.util.Comparator[Array[Float]] {
       override def compare(a: Array[Float], b: Array[Float]): Int = {
@@ -252,7 +275,8 @@ object IvfIndex {
     // function of (n, k, dim, maxIter), never of machine load.
     val flopsPerRestart =
       points.length.toDouble * k * points.headOption.map(_.length).getOrElse(0) * maxIter
-    val restarts = if (flopsPerRestart > 2e9) 1 else math.max(1, nRestarts)
+    val restarts =
+      if (flopsPerRestart > maxRestartFlops) 1 else math.max(1, nRestarts)
     if (restarts == 1) lloyd(points, k, seed, maxIter) // no rival → no SSE pass
     else (0 until restarts)
       .map(r => lloyd(points, k, seed + r, maxIter))
@@ -305,9 +329,12 @@ object IvfIndex {
     }
     val centroids = init.toArray
     val assign = new Array[Int](points.length)
-    val nChunks = chunkCountFor(points.length)
+    val chunkCap = lloydChunkCap(centroids.length, dim)
+    val nChunks = chunkCountFor(points.length, chunkCap)
     // Buffers hoisted out of the iteration loop (nChunks×k×dim doubles —
-    // allocated once and zeroed per pass, not reallocated ×maxIter).
+    // allocated once and zeroed per pass, not reallocated ×maxIter) and
+    // BOUNDED via lloydChunkCap: big k·dim shrinks the chunk count so the
+    // partials never exceed ~64 MB however large the fit.
     val chunkChanged = new Array[Boolean](nChunks)
     val partSums =
       Array.fill(nChunks, centroids.length)(new Array[Double](dim))
@@ -328,7 +355,7 @@ object IvfIndex {
         }
         zc += 1
       }
-      parChunks(points.length) { (s, e, ci) =>
+      parChunks(points.length, chunkCap) { (s, e, ci) =>
         val sums = partSums(ci)
         val counts = partCounts(ci)
         var p = s

@@ -226,10 +226,37 @@ object LongSetOps {
     true
   }
 
+  /** Copy out the non-null elements and whether any NULL element was
+    * present. `ArrayData.toLongArray` on a null-bearing array either NPEs
+    * (GenericArrayData) or silently reads 0 (UnsafeArrayData) — since
+    * `long_set_jaccard` is a user-facing SQL function the same query must
+    * not behave differently per physical representation. NULL is treated
+    * as one distinct set element per side, exactly matching the
+    * `size(array_intersect)/size(array_union)` composition this kernel
+    * replaces.
+    */
+  private def extract(a: org.apache.spark.sql.catalyst.util.ArrayData)
+      : (Array[Long], Boolean) = {
+    val n = a.numElements()
+    var hasNull = false
+    var nn = 0
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) hasNull = true else nn += 1; i += 1 }
+    if (!hasNull) return (a.toLongArray(), false)
+    val out = new Array[Long](nn)
+    var j = 0
+    i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) { out(j) = a.getLong(i); j += 1 }
+      i += 1
+    }
+    (out, true)
+  }
+
   def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
-    val xs = a.toLongArray()
-    val ys = b.toLongArray()
+    val (xs, aNull) = extract(a)
+    val (ys, bNull) = extract(b)
     if (!isSorted(xs)) java.util.Arrays.sort(xs)
     if (!isSorted(ys)) java.util.Arrays.sort(ys)
     val n = xs.length
@@ -250,6 +277,11 @@ object LongSetOps {
     }
     while (i < n) { val x = xs(i); da += 1; while (i < n && xs(i) == x) i += 1 }
     while (j < m) { val y = ys(j); db += 1; while (j < m && ys(j) == y) j += 1 }
+    // NULL contributes one distinct element per side (array_intersect /
+    // array_union semantics: null ∈ both → in the intersection once).
+    if (aNull && bNull) inter += 1
+    if (aNull) da += 1
+    if (bNull) db += 1
     val uni = da + db - inter
     if (uni == 0L) 1.0 else inter.toDouble / uni
   }

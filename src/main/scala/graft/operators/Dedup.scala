@@ -106,6 +106,15 @@ object Dedup {
     * a million times would otherwise emit 10¹¹ band pairs. Pass
     * `collapseExact = false` for the exhaustive enumeration (every
     * qualifying (id1, id2), at duplication-quadratic cost).
+    *
+    * ==BREAKING CHANGE (round 9)==
+    * `collapseExact` defaults to `true`: the PAIR LIST is now a spanning
+    * subset, not the exhaustive enumeration. Connected components — and
+    * every keep/drop decision derived from them — are unchanged, but a
+    * caller consuming the raw pair rows (pair counts, per-pair score
+    * aggregation, duplicate-edge statistics) sees fewer rows than before.
+    * Such callers must pass `collapseExact = false` explicitly. The same
+    * applies to [[simhashPairs]].
     */
   def minhashPairs(dfIn: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,

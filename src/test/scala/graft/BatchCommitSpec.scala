@@ -94,6 +94,59 @@ class BatchCommitSpec extends SparkSpec {
       "the lease must be released after the body")
   }
 
+  test("writer lease: an EMPTY lock file (a torn write) is judged by its " +
+      "mtime, never defaulted to stale") {
+    val p = tmp("lex_torn")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+    val lock = java.nio.file.Paths.get(p, BatchCommit.leaseFile)
+    java.nio.file.Files.write(lock, Array.emptyByteArray)
+    // A FRESH empty lease is a write caught mid-flight: breaking it would
+    // admit a concurrent append. The waiter must refuse, not acquire.
+    val e = intercept[IllegalStateException] {
+      BatchCommit.withWriterLease(spark, p, holder = "eager", ttlMs = 2000) {
+        fail("an empty-but-fresh lock must be treated as LIVE")
+      }
+    }
+    assert(e.getMessage.contains("another writer holds the lease"),
+      e.getMessage)
+    // The SAME empty file with an mtime older than the TTL is a crashed
+    // writer's wreckage: broken, and the waiter proceeds.
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 60000))
+    var ran = false
+    BatchCommit.withWriterLease(spark, p, holder = "next", ttlMs = 2000) {
+      ran = true
+    }
+    assert(ran, "an empty lock older than the TTL must be broken")
+    assert(!java.nio.file.Files.exists(lock))
+  }
+
+  test("writer lease: renewal replaces the lock atomically — a concurrent " +
+      "reader never observes an empty lease, and no temp files survive") {
+    val p = tmp("lex_renew_atomic")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+    val lock = java.nio.file.Paths.get(p, BatchCommit.leaseFile)
+    // ttl 300 ms → a renewal every 100 ms; the body hammers reads for
+    // 1.2 s. In-place truncate+write renewal fails this reliably (the
+    // read lands mid-truncate and sees zero bytes); temp+rename must not.
+    BatchCommit.withWriterLease(spark, p, holder = "atomic-writer",
+        ttlMs = 300) {
+      val deadline = System.currentTimeMillis + 1200
+      while (System.currentTimeMillis < deadline) {
+        val txt = try new String(java.nio.file.Files.readAllBytes(lock),
+          "UTF-8") catch { case _: java.io.IOException => null }
+        if (txt != null)
+          assert(txt.contains("\"holder\":\"atomic-writer\""),
+            s"reader observed a torn lease: [$txt]")
+      }
+    }
+    assert(!java.nio.file.Files.exists(lock))
+    val strays = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      .toArray.map(_.toString).filter(_.contains(BatchCommit.leaseFile))
+    assert(strays.isEmpty, s"renewal temp files must not survive: ${strays.toSeq}")
+  }
+
   test("writer lease: verifyOwned aborts before adoption when the lease " +
       "was broken as stale (writer paused past TTL)") {
     val p = tmp("lex_verify_owned")

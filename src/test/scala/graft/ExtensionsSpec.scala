@@ -38,6 +38,17 @@ class ExtensionsSpec extends SparkSpec {
     val jac = spark.sql(
       "SELECT long_set_jaccard(array(3L, 1L, 2L), array(2L, 4L, 3L))").head()
     assert(jac.getDouble(0) == 0.5)
+    // NULL elements: one distinct element per side, exactly matching the
+    // size(array_intersect)/size(array_union) composition the kernel
+    // replaces — and identical on ANY physical array representation
+    // (GenericArrayData would NPE, UnsafeArrayData would silently read 0).
+    val jn = spark.sql(
+      """SELECT long_set_jaccard(array(1L, NULL), array(CAST(NULL AS BIGINT), 2L)) AS k,
+        |  size(array_intersect(array(1L, NULL), array(CAST(NULL AS BIGINT), 2L))) /
+        |  CAST(size(array_union(array(1L, NULL), array(CAST(NULL AS BIGINT), 2L))) AS DOUBLE) AS c
+        |""".stripMargin).head()
+    assert(jn.getDouble(0) == jn.getDouble(1), s"$jn")
+    assert(jn.getDouble(0) == 1.0 / 3.0)
   }
 
   test("vector_avg aggregates through SQL identically to the Column API") {

@@ -285,6 +285,21 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("lloydChunkCap bounds the driver partial buffers to ~64 MB and is " +
+      "a pure function of (k, dim)") {
+    import graft.embed.IvfIndex
+    // Small k·dim keeps the full 64-way parallel fit.
+    assert(IvfIndex.lloydChunkCap(8, 8) == 64)
+    assert(IvfIndex.lloydChunkCap(64, 128) == 64)
+    // The cells-route cap (k=1024, dim=768): 64 chunks would be ~400 MB of
+    // partials; the cap shrinks the chunk count so partials stay bounded.
+    assert(IvfIndex.lloydChunkCap(1024, 768) < 64)
+    for ((k, d) <- Seq((1024, 768), (4096, 1024), (1, 1), (512, 64), (1024, 4096)))
+      assert(IvfIndex.lloydChunkCap(k, d).toLong * k * d * 8 <= (64L << 20) ||
+        IvfIndex.lloydChunkCap(k, d) == 1,
+        s"cap must bound partials for k=$k dim=$d")
+  }
+
   test("deterministic across rebuilds with the same seed") {
     val (i1, m1) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
     val (i2, m2) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
