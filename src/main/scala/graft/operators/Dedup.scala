@@ -186,6 +186,67 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Empirical pair-recall of banded minhash LSH against sampled exact
+    * shingle-Jaccard ground truth — the [[graft.operators.EmbedOps.neardupRecallReport]]
+    * sibling for the text route. Banded LSH is probabilistic (a qualifying
+    * pair collides in ≥1 band with probability 1−(1−j^r)^b, never 1), and
+    * every oracle gate pins a recall-1 configuration, so an over-tuned
+    * band config at a real corpus would drop recall with nothing to catch
+    * it. Ground truth: exact [[graft.functions.LongSetOps]] Jaccard over
+    * the hashed-shingle sets of a bounded content-hash sample of DISTINCT
+    * texts; route: the real banded pipeline over the FULL distinct-text
+    * frame at each `bandTiers` config, restricted to the sample. Emitted
+    * route pairs are exact-Jaccard verified, so matched is one semi join.
+    * More bands (fewer rows per band) at fixed `numHashes` can only raise
+    * collision probability — recall trends up the tier table.
+    */
+  def minhashRecallReport(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, numHashes: Int = 64,
+      bandTiers: Seq[Int] = Seq(4, 8, 16, 32), shingleLen: Int = 3,
+      sampleSize: Int = 2048): DataFrame = {
+    require(bandTiers.nonEmpty && bandTiers.forall(b => b > 0 && numHashes % b == 0),
+      s"minhashRecallReport: every band tier must divide numHashes=$numHashes")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__fp")
+    val reps = graft.core.Persist.stage(parallelize(df)
+      .select(col(idCol).cast("long").as("id"), col(textCol))
+      .withColumn("__fp", xxhash64(col(textCol)))
+      .withColumn("__rep", min(col("id")).over(w))
+      .filter(col("id") === col("__rep"))
+      .select(col("id"), col(textCol)))
+    val nReps = reps.count()
+    val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, nReps))
+    val sampled =
+      if (frac >= 1.0) reps
+      else reps.filter(
+        pmod(xxhash64(col(textCol), lit(101L)), lit(1000000L)) <
+          math.round(frac * 1000000.0))
+    // Exact ground truth: hashed-shingle sets for the sampled docs, then
+    // all-pairs merge-kernel Jaccard — C(sampleSize, 2) broadcast
+    // comparisons, bounded independent of n.
+    val state = graft.core.Persist.stage(
+      dedupState(sampled, textCol, "id", numHashes, shingleLen, withFp = false)
+        .select(col("id"), col("sh")))
+    val nSample = state.count()
+    val exact = graft.core.Persist.stage(
+      state.toDF("id1", "sh1")
+        .join(broadcast(state.toDF("id2", "sh2")), col("id1") < col("id2"))
+        .filter(graft.functions.VectorExprs.longSetJaccard(col("sh1"), col("sh2"))
+          >= threshold)
+        .select("id1", "id2"))
+    val nExact = exact.count()
+    val rows = bandTiers.distinct.sorted.map { bands =>
+      val route = minhashPairsExhaustive(reps, textCol, "id", threshold,
+        numHashes, bands, shingleLen)
+      val matched = route.join(exact, Seq("id1", "id2"), "left_semi").count()
+      ("minhash_lsh", bands, numHashes / bands, nSample, nExact, matched,
+        if (nExact == 0) 1.0 else matched.toDouble / nExact)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("route", "bands", "rows_per_band", "n_sample", "exact_pairs",
+      "matched_pairs", "recall")
+  }
+
   /** 64-bit SimHash of word tokens, natively: for each bit, sum the ±1
     * contributions of each token hash and take the sign.
     */

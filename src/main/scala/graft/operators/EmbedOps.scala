@@ -22,6 +22,15 @@ object EmbedOps {
 
   def vecCol(c: String): String = s"__vec_$c"
 
+  /** Default within-cell candidate-pair budget for the [[neardupPairs]]
+    * cells route: ~2·10⁹ exact-cosine verifications is minutes of cluster
+    * work — a layout past it is almost certainly degenerate (the bounded
+    * fit's k=1024 cap outgrown, or an embedding space collapsed into few
+    * cells) and the route refuses loudly instead of silently going
+    * quadratic. Tunable per call via `maxCandidatePairs`.
+    */
+  val defaultMaxCandidatePairs: Long = 2000000000L
+
   /** Cosine similarity between two numeric array columns, via the codegen'd
     * [[graft.functions.ArrayDotProduct]] primitive — no intermediate arrays,
     * no lambda interpretation (the higher-order-function composition
@@ -461,7 +470,8 @@ object EmbedOps {
       useLsh: Option[Boolean] = None, lshRowThreshold: Long = 10000L,
       dim: Int = 0, nBits: Int = 16, bands: Int = 4,
       knownRows: Long = -1L, targetCellSize: Int = 256, cellProbes: Int = 2,
-      seed: Long = 42): DataFrame = {
+      seed: Long = 42,
+      maxCandidatePairs: Long = defaultMaxCandidatePairs): DataFrame = {
     val indexed = semIndex(df, c)
     val v = vecCol(c)
     // Routing stats: an explicit `useLsh` or `knownRows` (e.g. from a caller
@@ -475,8 +485,28 @@ object EmbedOps {
       // convention — content-hash sample membership, pure function of the
       // vector multiset), multi-assign via the ProbeCells kernel, narrow
       // (id, cell) exchange, exact cosine verify over the vector re-join.
-      val (star, base, celled, _) =
+      val (star, base, celled0, k) =
         cellAssignments(indexed, v, idCol, targetCellSize, cellProbes, seed)
+      // OCCUPANCY GUARD (the rangeJoin maxBucketsPerInterval convention):
+      // one narrow histogram aggregate over the staged (id, cell) frame
+      // computes the EXACT number of within-cell comparisons the pair join
+      // would evaluate, and a degenerate layout — the k=1024 fit cap hit
+      // at huge n, or near-identical embeddings collapsing into few cells
+      // — refuses loudly BEFORE the quadratic join runs, instead of
+      // silently burning the cluster. The staged frame costs nothing
+      // extra: the a/b self-join below reads it twice anyway.
+      val celled = graft.core.Persist.stage(celled0)
+      val candRow = celled.groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0.0))
+          .cast(LongType)).head()
+      val candidatePairs = candRow.getLong(0)
+      if (candidatePairs > maxCandidatePairs) throw new IllegalStateException(
+        f"neardupPairs cells route: degenerate cell layout — $candidatePairs%,d " +
+          f"within-cell candidate pairs exceed the $maxCandidatePairs%,d budget " +
+          s"(nCells=$k, cellProbes=$cellProbes, targetCellSize=$targetCellSize). " +
+          "Inspect neardupCellDiagnostics; lower targetCellSize (more, smaller " +
+          "cells) while the fit is under its k=1024 cap, pre-shard by a saved " +
+          "coarse IvfIndex beyond it, or raise maxCandidatePairs consciously")
       val a = celled.toDF("id1", "c1")
       val b = celled.toDF("id2", "c2")
       val cand = a.join(b, col("c1") === col("c2") && col("id1") < col("id2"))
@@ -602,6 +632,73 @@ object EmbedOps {
       sum(col("n") * (col("n") - 1) / 2).cast(LongType)).head()
     CellDiagnostics(k, n, base.count(), r.getLong(0), r.getLong(1),
       r.getDouble(2), r.getLong(3))
+  }
+
+  /** Empirical pair-recall of the cells route against sampled exact ground
+    * truth — the tuning table for the recall/cost trade, mirroring
+    * [[graft.embed.IvfIndex.recallReport]] (which answers the same
+    * question for ANN search). The cells route is approximate by design
+    * (a qualifying pair straddling a cell boundary is missed); every
+    * ORACLE gate pins a provably-exhaustive geometry, so nothing on the
+    * green board would catch an over-tuned `targetCellSize` silently
+    * dropping recall at a real corpus. This measures it: ground truth is
+    * exact all-pairs cosine over a bounded content-hash sample of the
+    * DISTINCT vectors (the frame the route's candidate generation actually
+    * sees — pair recall over representatives is well-defined; exact-dup
+    * star edges are exact by construction), the route runs at the REAL
+    * geometry over the FULL frame, and recall = matched/exact within the
+    * sample. One row per `cellProbes` tier; probe cell sets are nested
+    * (top-p ⊆ top-(p+1)), so recall is monotone non-decreasing in
+    * `cell_probes` — a property the spec pins.
+    */
+  def neardupRecallReport(df: DataFrame, c: String, idCol: String,
+      threshold: Double, targetCellSize: Int = 256,
+      cellProbesTiers: Seq[Int] = Seq(1, 2, 4), sampleSize: Int = 4096,
+      seed: Long = 42): DataFrame = {
+    require(cellProbesTiers.nonEmpty, "neardupRecallReport: need ≥1 probe tier")
+    val v = vecCol(c)
+    val indexed = semIndex(df, c)
+    val w = Window.partitionBy("__fp")
+    val reps = graft.core.Persist.stage(
+      indexed.select(col(idCol).cast(LongType).as("id"), col(v))
+        .withColumn("__fp", xxhash64(col(v)))
+        .withColumn("__rep", min(col("id")).over(w))
+        .filter(col("id") === col("__rep"))
+        .select(col("id"), col(v)))
+    val nReps = reps.count()
+    // Bounded deterministic sample — content-hash membership (a pure
+    // function of the vector, not of partitioning), the fit-sample
+    // convention. The exact all-pairs ground truth is C(sampleSize, 2)
+    // broadcast comparisons: bounded independent of n.
+    val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, nReps))
+    val sampled = graft.core.Persist.stage(
+      if (frac >= 1.0) reps
+      else reps.filter(
+        pmod(xxhash64(col(v), lit(seed + 101)), lit(1000000L)) <
+          math.round(frac * 1000000.0)))
+    val nSample = sampled.count()
+    val exact = graft.core.Persist.stage(
+      sampled.toDF("id1", "v1")
+        .join(broadcast(sampled.toDF("id2", "v2")), col("id1") < col("id2"))
+        .filter(cosineSim(col("v1"), col("v2")) >= threshold)
+        .select("id1", "id2"))
+    val nExact = exact.count()
+    val rows = cellProbesTiers.distinct.sorted.map { probes =>
+      // The route at the real geometry over the FULL representative frame;
+      // every route pair is exact-cosine verified, so a route pair inside
+      // the sample is necessarily a ground-truth pair — matched is one
+      // semi join.
+      val route = neardupPairs(reps, c, "id", threshold,
+        lshRowThreshold = 0L, knownRows = nReps,
+        targetCellSize = targetCellSize, cellProbes = probes, seed = seed)
+      val matched = route.join(exact, Seq("id1", "id2"), "left_semi").count()
+      ("cells", probes, nSample, nExact, matched,
+        if (nExact == 0) 1.0 else matched.toDouble / nExact)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("route", "cell_probes", "n_sample", "exact_pairs",
+      "matched_pairs", "recall")
   }
 
   /** sem_dedup: semantic near-duplicate removal — self sim-join at

@@ -102,12 +102,49 @@ object ScaleStress {
     val json = graft.Bench.renderJson(outcome, s"${base}x$factor", passes,
       loadBefore, graft.Bench.loadAvgNow())
     println(json)
+    appendHistory(json)
+    // Approximate-route RECALL at the blow-up's REAL geometry — the oracle
+    // gates pin provably-exhaustive configs, so this record is the only
+    // artifact measuring what the approximation actually costs at scale:
+    // sampled exact ground truth vs the cells route (per probe tier) and
+    // vs banded minhash LSH (per band tier). SPARK_GRAFT_SCALE_RECALL=0
+    // skips it when iterating on a single timing query.
+    if (sys.env.getOrElse("SPARK_GRAFT_SCALE_RECALL", "1") == "1") {
+      val t0 = System.nanoTime()
+      val emb = spark.read.parquet(s"$out/embeddings.parquet")
+        .withColumnRenamed("embedding", graft.operators.EmbedOps.vecCol("emb"))
+      val cells = graft.operators.EmbedOps.neardupRecallReport(
+          emb, "emb", "vec_id", threshold = 0.45,
+          cellProbesTiers = Seq(1, 2, 4))
+        .orderBy("cell_probes")
+        .select("cell_probes", "n_sample", "exact_pairs", "matched_pairs",
+          "recall").collect()
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+      val mh = graft.operators.Dedup.minhashRecallReport(
+          docs, "text", "doc_id", threshold = 0.8,
+          bandTiers = Seq(8, 16, 32))
+        .orderBy("bands")
+        .select("bands", "n_sample", "exact_pairs", "matched_pairs",
+          "recall").collect()
+      def tiers(rows: Array[org.apache.spark.sql.Row], key: String): String =
+        rows.map(r => s"""{"$key":${r.getInt(0)},"n_sample":${r.getLong(1)},""" +
+          s""""exact_pairs":${r.getLong(2)},"matched_pairs":${r.getLong(3)},""" +
+          f""""recall":${r.getDouble(4)}%.4f}""").mkString("[", ",", "]")
+      val rec = s"""{"metric":"approx_route_recall","sf":"${base}x$factor",""" +
+        s""""cells_threshold":0.45,"cells":${tiers(cells, "cell_probes")},""" +
+        s""""minhash_threshold":0.8,"minhash":${tiers(mh, "bands")},""" +
+        f""""sec":${(System.nanoTime() - t0) / 1e9}%.1f}"""
+      println(rec)
+      appendHistory(rec)
+    }
+    spark.stop()
+  }
+
+  private def appendHistory(line: String): Unit =
     try
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Exception => () }
-    spark.stop()
-  }
 }

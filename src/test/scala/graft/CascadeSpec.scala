@@ -135,6 +135,64 @@ class CascadeSpec extends SparkSpec {
     assert(cand.count() == 80)
   }
 
+  test("cascade guarantee holds in aggregate: realized recall/precision " +
+      "miss rate across 30 seeded corpora stays within failureProbability") {
+    // The reference validates its cascade guarantees STATISTICALLY
+    // (benchmarks/biodex/test_paper_results.py:79-124): the UB/LB
+    // threshold-learning math promises recall ≥ target and precision ≥
+    // target each with probability ≥ 1 − failureProbability — a claim a
+    // single seed can't test and exactly where a subtle port bug hides.
+    // 30 corpora (distinct content → distinct deterministic proxy jitter,
+    // overlapping positive/negative proxy bands so the thresholds MUST be
+    // learned, not trivially separable), LEARNED thresholds each time;
+    // the realized miss rates must stay within the configured failure
+    // probability plus binomial sampling slack. Everything is seeded, so
+    // this is a deterministic pin of an aggregate property, not a flake.
+    val seeds = 30
+    val args = CascadeArgs() // recall 0.8, precision 0.8, failureProb 0.2
+    var recallMisses = 0
+    var precisionMisses = 0
+    var totalOracleCalls = 0L
+    var totalRows = 0L
+    for (seed <- 0 until seeds) {
+      val rng = new scala.util.Random(seed)
+      val docs = (0 until 240).map { i =>
+        val pos = rng.nextDouble() < 0.4
+        val filler = (0 until 5).map(_ => s"t${rng.nextInt(50)}").mkString(" ")
+        (i.toLong,
+          s"corpus$seed item $i $filler " + (if (pos) "delay today" else "fine today"),
+          pos)
+      }
+      val df = docs.map(d => (d._1, d._2)).toDF("id", "text")
+      val truePos = docs.filter(_._3).map(_._1).toSet
+      val (result, stats) = Sem.withLM(FakeLM(FakeBehavior.KeywordFilter("delay"))) {
+        FilterCascade.semFilterCascade(df, "the {text} mentions a delay",
+          helperLm = FakeLM(FakeBehavior.KeywordFilterProb("delay",
+            hi = 0.65, lo = 0.35, jitter = 0.8)),
+          args = args)
+      }
+      val got = result.select("id").as[Long].collect().toSet
+      val hit = (got & truePos).size.toDouble
+      val recall = if (truePos.isEmpty) 1.0 else hit / truePos.size
+      val precision = if (got.isEmpty) 1.0 else hit / got.size
+      if (recall < args.recallTarget) recallMisses += 1
+      if (precision < args.precisionTarget) precisionMisses += 1
+      totalOracleCalls += stats.oracleCalls
+      totalRows += docs.length
+    }
+    // failureProbability 0.2 over 30 trials: E[misses] = 6; P(X > 13) < 0.3%
+    // under the promised bound — more misses means the guarantee math is
+    // broken, not bad luck.
+    assert(recallMisses <= 13,
+      s"recall guarantee missed $recallMisses/$seeds times (bound: 0.2 + slack)")
+    assert(precisionMisses <= 13,
+      s"precision guarantee missed $precisionMisses/$seeds times (bound: 0.2 + slack)")
+    // And the cascade must actually be a cascade: the learned thresholds
+    // must route well under everything to the oracle in aggregate.
+    assert(totalOracleCalls < totalRows * 0.9,
+      s"learned thresholds routed $totalOracleCalls/$totalRows to the oracle")
+  }
+
   test("fixed thresholds skip learning") {
     val docs = (0 until 50).map(i => (i.toLong, if (i % 2 == 0) "a delay" else "fine"))
       .toDF("id", "text")

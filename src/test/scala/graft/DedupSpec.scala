@@ -26,6 +26,43 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size == 3) // no false positives among distinct docs
   }
 
+  test("minhashRecallReport: measured recall vs exact Jaccard ground truth " +
+      "climbs the band-tier table and saturates at the aggressive tier") {
+    // 40 base docs of 30 words + 25 planted near-dups (1 of 30 words
+    // changed → 3 of 28 shingles die → shingle Jaccard 25/31 ≈ 0.81,
+    // deliberately NEAR the 0.7 threshold so the conservative band tier
+    // genuinely misses pairs: P(collide | j=0.81, r=16, b=4) ≈ 0.12).
+    val rng = new scala.util.Random(7)
+    val base = (0 until 40).map(i =>
+      (i.toLong, (0 until 30).map(j => s"w${i}_$j").mkString(" ")))
+    val dups = (0 until 25).map { k =>
+      val (src, text) = base(k)
+      val words = text.split(" ")
+      words(5 + rng.nextInt(20)) = s"CHANGED$k"
+      (200L + src, words.mkString(" "))
+    }
+    val df = (base ++ dups).toDF("doc_id", "text")
+    val rep = Dedup.minhashRecallReport(df, "text", "doc_id",
+        threshold = 0.7, numHashes = 64, bandTiers = Seq(4, 32))
+      .orderBy("bands")
+      .select("bands", "n_sample", "exact_pairs", "matched_pairs", "recall")
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(rep.length == 2)
+    assert(rep.head._2 == 65, s"all distinct docs sampled: ${rep.toSeq}")
+    assert(rep.head._3 >= 25, s"planted pairs must be in ground truth: ${rep.toSeq}")
+    assert(rep.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+    assert(rep.head._5 <= rep.last._5,
+      s"more bands cannot lower recall here: ${rep.toSeq}")
+    // bands=32 (2 rows/band): per-pair miss probability at j≥0.7 is
+    // (1-0.49)^32 ≈ 5e-10 — recall 1.0 up to astronomically unlucky seeds
+    // (everything is seeded/deterministic, so this is a pin, not a flake).
+    assert(rep.last._5 == 1.0, s"aggressive tier must saturate: ${rep.toSeq}")
+    // bands=4 (16 rows/band): collision probability at j≈0.8 is
+    // 1-(1-0.8^16)^4 ≈ 0.1 — the conservative tier must MISS pairs, or
+    // the report isn't measuring anything.
+    assert(rep.head._5 < 1.0, s"conservative tier must miss: ${rep.toSeq}")
+  }
+
   test("dropDuplicatesByPairs keeps the min-id representative") {
     val deduped = Dedup.dropDuplicatesByPairs(corpus, "doc_id",
       Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.5))

@@ -206,6 +206,51 @@ class EmbedSpec extends SparkSpec {
     assert(diag.maxOccupancy <= 3 && diag.occupiedCells >= 1)
   }
 
+  test("neardupPairs cells route refuses a degenerate layout past the " +
+      "candidate-pair budget instead of going quadratic") {
+    // 60 distinct texts, targetCellSize=256 → the fit floors at k=2 cells,
+    // and cellProbes=2 assigns EVERY vector to both — the worst layout:
+    // candidate pairs = 2·C(60,2) = 3540, a within-cell cross join.
+    val d = (0 until 60).map(i => (i.toLong, s"document number $i about topic ${i % 7}"))
+      .toDF("id", "text")
+    val e = intercept[IllegalStateException] {
+      EmbedOps.neardupPairs(d, "text", "id", threshold = 0.9,
+        lshRowThreshold = 0L, targetCellSize = 256, cellProbes = 2,
+        maxCandidatePairs = 100L)
+    }
+    assert(e.getMessage.contains("candidate pairs exceed"), e.getMessage)
+    assert(e.getMessage.contains("neardupCellDiagnostics"), e.getMessage)
+    // The same layout under the default budget proceeds.
+    EmbedOps.neardupPairs(d, "text", "id", threshold = 0.9,
+      lshRowThreshold = 0L, targetCellSize = 256, cellProbes = 2).count()
+  }
+
+  test("neardupRecallReport: recall is monotone in cellProbes and 1.0 at " +
+      "the exhaustive tier; boundary pairs are genuinely missed below it") {
+    // 60 unit vectors on an arc (1.5° apart): pairs within 3 steps qualify
+    // at 0.995; k-means cells are contiguous arcs, so at 1 probe every
+    // qualifying pair straddling a cell boundary is missed — the
+    // approximation this report exists to measure.
+    val vecs = (0 until 60).map { i =>
+      val th = i * math.Pi / 120
+      (i.toLong, Seq(math.cos(th).toFloat, math.sin(th).toFloat))
+    }.toDF("id", "__vec_emb")
+    val rep = EmbedOps.neardupRecallReport(vecs, "emb", "id",
+        threshold = 0.995, targetCellSize = 8, cellProbesTiers = Seq(1, 2, 16))
+      .orderBy("cell_probes")
+      .select("cell_probes", "exact_pairs", "matched_pairs", "recall")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rep.length == 3)
+    assert(rep.head._2 > 0, s"ground truth must be non-empty: ${rep.toSeq}")
+    assert(rep.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    assert(rep.sliding(2).forall { case Array(a, b) => a._4 <= b._4 },
+      s"recall must be monotone in cellProbes: ${rep.toSeq}")
+    assert(rep.head._4 < 1.0,
+      s"1 probe on an arc must miss boundary pairs: ${rep.toSeq}")
+    assert(rep.last._4 == 1.0,
+      s"probing every cell is exhaustive: ${rep.toSeq}")
+  }
+
   test("LSH hyperplanes span the embedder's true dimension, not a 64 default") {
     graft.core.Sem.withEmbedder(HashingEmbedder(17)) {
       val idx = corpus.semIndex("text")
