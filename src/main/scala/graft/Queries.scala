@@ -283,6 +283,30 @@ object Queries {
       }
     }),
 
+    "long_context_chunk" -> ((s, dir) => {
+      // The CHUNK long-context strategy end-to-end on the wire (reference
+      // long_context_strategy.py:85-233): docs over a deliberately tiny
+      // 120-char budget split into one row per chunk (pure substring
+      // arithmetic), EVERY chunk rides its own LM request, and
+      // restoreChunks reassembles the answers in chunk order. The fake
+      // reverses each chunk character-exactly, so the restored value is
+      // the CHUNKWISE reversal — an implementation that quietly sent the
+      // whole doc once would produce reverse(doc) and hash-mismatch, and
+      // any chunk-boundary drift breaks the DuckDB mirror (the same
+      // ceil(len/120) substring arithmetic via generate_series).
+      Sem.withLM(FakeLM(FakeBehavior.ReverseField("Text"))) {
+        val chunked = graft.core.LongContext.chunkColumn(
+          read(s, dir, "documents").select("doc_id", "text"), "text", 120)
+        graft.core.LongContext.restoreChunks(
+            chunked.semMap("reverse the {text}")
+              .drop("text").withColumnRenamed("_map", "rev"),
+            "rev", Seq("doc_id", "__chunk_of"))
+          .select(col("doc_id"),
+            col("__chunk_of").cast("long").as("n_chunks"), col("rev"))
+          .orderBy("doc_id")
+      }
+    }),
+
     "sem_extract_stats" -> ((s, dir) => {
       Sem.withLM(FakeLM(FakeBehavior.ExtractStats("Text"))) {
         read(s, dir, "documents")
@@ -427,6 +451,31 @@ object Queries {
         read(s, dir, "documents")
           .semTopK("which {text} is more substantial", k = 8, method = "quick-sem")
           .select(col("doc_id"), col("rank").cast("long").as("rank"))
+          .orderBy("rank")
+      }
+    }),
+
+    "sem_topk_cascade" -> ((s, dir) => {
+      // Comparison cascade (reference sem_topk.py:176-273): every
+      // quickselect comparison goes to the HELPER LM first; a positive-
+      // token logprob at or above the pinned 0.9 threshold accepts the
+      // helper verdict, below it the comparison escalates to the oracle
+      // LM. PreferLongerProb answers exactly like the PreferLonger oracle
+      // with confidence 0.97 at wide n_chars margins and ~0.5 inside
+      // them, so the cascade routes precisely the close calls — the final
+      // top-k is the same strict (n_chars DESC, doc_id) order the plain
+      // gates pin, keeping the DuckDB oracle exact while the logprob
+      // routing runs on the real wire. A router that stopped escalating
+      // sub-threshold calls would take coin-flip verdicts on the close
+      // pairs and hash-mismatch here; the call-savings property is pinned
+      // by SemAggTopKSpec.
+      Sem.withSettings(Sem.settings.copy(
+        lm = FakeLM(FakeBehavior.PreferLonger()),
+        helperLm = Some(FakeLM(FakeBehavior.PreferLongerProb())))) {
+        read(s, dir, "documents")
+          .semTopK("which doc is more substantial given {text} with {n_chars} chars (id {doc_id})",
+            k = 8, cascadeThreshold = Some(0.9))
+          .select(col("doc_id"), col("n_chars"), col("rank").cast("long").as("rank"))
           .orderBy("rank")
       }
     }),
@@ -3879,6 +3928,21 @@ object Queries {
         |  CAST(len(string_split(text, ' ')) AS VARCHAR) AS n_words
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Chunk boundaries mirrored as pure substring arithmetic: per-chunk
+    // reversal concatenated in chunk order ≠ reverse(text), so the oracle
+    // fails any whole-doc shortcut or boundary drift.
+    "long_context_chunk" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1,
+        |      GREATEST(CAST(ceil(length(text) / 120.0) AS BIGINT), 1))) AS i
+        |  FROM documents)
+        |SELECT doc_id,
+        |  GREATEST(CAST(ceil(length(text) / 120.0) AS BIGINT), 1) AS n_chunks,
+        |  string_agg(reverse(substring(text, CAST((i - 1) * 120 + 1 AS INT), 120)),
+        |    '' ORDER BY i) AS rev
+        |FROM c GROUP BY doc_id, text ORDER BY doc_id""".stripMargin,
+
     "sem_join_kw" ->
       """SELECT d.doc_id, d.text, k.word
         |FROM (SELECT doc_id, text FROM documents WHERE doc_id < 40) d
@@ -4051,6 +4115,15 @@ object Queries {
     "sem_topk_quicksem" ->
       """SELECT doc_id, rank FROM (
         |  SELECT doc_id, row_number() OVER (ORDER BY length(text) DESC, text) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 8 ORDER BY rank""".stripMargin,
+
+    // The comparison cascade accepts only ≥0.9-confidence helper verdicts
+    // (which agree with the oracle by construction) and escalates the
+    // rest, so the ranking stays the exact strict order.
+    "sem_topk_cascade" ->
+      """SELECT doc_id, n_chars, rank FROM (
+        |  SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
         |  FROM documents) t
         |WHERE rank <= 8 ORDER BY rank""".stripMargin,
 

@@ -64,6 +64,17 @@ object FakeBehavior {
     }
   }
 
+  /** Map: echo `field` reversed, character-exact (no trimming — chunk
+    * boundaries must survive). The per-chunk transform for long-context
+    * CHUNK gates: a chunkwise reversal is NOT the whole-doc reversal, so
+    * an implementation that quietly sent the full document in one request
+    * cannot fake the restored result.
+    */
+  final case class ReverseField(field: String) extends FakeBehavior {
+    def answer(req: LMRequest): String =
+      DocParse.fields(req.context).getOrElse(field, "").reverse
+  }
+
   /** Map: first `n` whitespace tokens of `field`. */
   final case class FirstWords(field: String, n: Int) extends FakeBehavior {
     def answer(req: LMRequest): String =
