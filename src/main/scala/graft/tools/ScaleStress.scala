@@ -49,7 +49,24 @@ object ScaleStress {
 
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
-    emb.crossJoin(k)
+    // SPARK_GRAFT_SCALE_PERTURB > 0 jitters every copy k > 0 with
+    // deterministic per-(vector, copy, slot) noise of that amplitude:
+    // verbatim replication keeps the DISTINCT vector count at the base
+    // corpus size (the exact pre-collapse absorbs the whole blow-up and
+    // the cells route never sees a big distinct set), while perturbed
+    // copies form genuine near-dup clusters around each base vector —
+    // the real SemDeDup workload, with the distinct count growing ×N.
+    val perturb = sys.env.getOrElse("SPARK_GRAFT_SCALE_PERTURB", "0").toDouble
+    val replicated = emb.crossJoin(k)
+    val jittered =
+      if (perturb <= 0) replicated
+      else replicated.withColumn("embedding",
+        when(col("__k") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, i) =>
+            (x + lit(perturb) *
+              (pmod(xxhash64(col("vec_id"), col("__k"), i), lit(1000L))
+                .cast("double") / 500.0 - 1.0)).cast("float"))))
+    jittered
       .withColumn("vec_id", col("vec_id") + col("__k") * maxVec)
       .drop("__k")
       .repartition(64)
@@ -99,8 +116,10 @@ object ScaleStress {
       s"unknown scale queries: ${only -- names.map(_._1)}")
     val loadBefore = graft.Bench.loadAvgNow()
     val outcome = graft.Bench.timeAll(spark, out, names, passes)
-    val json = graft.Bench.renderJson(outcome, s"${base}x$factor", passes,
-      loadBefore, graft.Bench.loadAvgNow())
+    val perturbTag = sys.env.get("SPARK_GRAFT_SCALE_PERTURB")
+      .filter(p => p.toDouble > 0).map(p => s"~p$p").getOrElse("")
+    val json = graft.Bench.renderJson(outcome, s"${base}x$factor$perturbTag",
+      passes, loadBefore, graft.Bench.loadAvgNow())
     println(json)
     appendHistory(json)
     // Approximate-route RECALL at the blow-up's REAL geometry — the oracle
@@ -130,7 +149,7 @@ object ScaleStress {
         rows.map(r => s"""{"$key":${r.getInt(0)},"n_sample":${r.getLong(1)},""" +
           s""""exact_pairs":${r.getLong(2)},"matched_pairs":${r.getLong(3)},""" +
           f""""recall":${r.getDouble(4)}%.4f}""").mkString("[", ",", "]")
-      val rec = s"""{"metric":"approx_route_recall","sf":"${base}x$factor",""" +
+      val rec = s"""{"metric":"approx_route_recall","sf":"${base}x$factor$perturbTag",""" +
         s""""cells_threshold":0.45,"cells":${tiers(cells, "cell_probes")},""" +
         s""""minhash_threshold":0.8,"minhash":${tiers(mh, "bands")},""" +
         f""""sec":${(System.nanoTime() - t0) / 1e9}%.1f}"""

@@ -193,6 +193,53 @@ class CascadeSpec extends SparkSpec {
       s"learned thresholds routed $totalOracleCalls/$totalRows to the oracle")
   }
 
+  test("join cascade guarantee holds in aggregate: realized recall/precision " +
+      "miss rate across 20 seeded corpora stays within failureProbability") {
+    // The join-side sibling of the filter-cascade property above: learned
+    // (not pinned) thresholds over the embedding-sim proxy, exact oracle,
+    // realized pair recall/precision per corpus, aggregate miss rates
+    // bounded by the configured failure probability + binomial slack.
+    import graft.cascade.JoinCascade
+    val seeds = 20
+    val args = CascadeArgs() // recall 0.8, precision 0.8, failureProb 0.2
+    val words = Seq("spark", "kafka", "flink", "beam", "storm")
+    var recallMisses = 0
+    var precisionMisses = 0
+    for (seed <- 0 until seeds) {
+      val rng = new scala.util.Random(1000 + seed)
+      val docs = (0 until 40).map { i =>
+        val w = words(rng.nextInt(words.size))
+        val extra =
+          if (rng.nextDouble() < 0.3) " also " + words(rng.nextInt(words.size))
+          else ""
+        val noise = (0 until 4).map(_ => s"n${rng.nextInt(30)}").mkString(" ")
+        (i.toLong, s"doc$seed $i $noise uses $w$extra")
+      }
+      val df = docs.toDF("doc_id", "text")
+      val kws = words.map(Tuple1(_)).toDF("word")
+      val truePairs = (for {
+        (id, t) <- docs
+        w <- words if t.split("\\s+").contains(w)
+      } yield (id, w)).toSet
+      val (res, stats) = Sem.withLM(FakeLM(FakeBehavior.FieldWordJoin("Text", "Word"))) {
+        JoinCascade.semJoinCascade(df, kws,
+          "the {text} mentions the word {word}", "text", "word", args)
+      }
+      assert(stats.nonEmpty, "200 pairs ≥ minJoinCascadeSize must cascade")
+      val got = res.select("doc_id", "word").as[(Long, String)].collect().toSet
+      val hit = (got & truePairs).size.toDouble
+      val recall = if (truePairs.isEmpty) 1.0 else hit / truePairs.size
+      val precision = if (got.isEmpty) 1.0 else hit / got.size
+      if (recall < args.recallTarget) recallMisses += 1
+      if (precision < args.precisionTarget) precisionMisses += 1
+    }
+    // failureProbability 0.2 over 20 trials: E[misses] = 4; P(X > 10) ≈ 2e-4.
+    assert(recallMisses <= 10,
+      s"join recall guarantee missed $recallMisses/$seeds times")
+    assert(precisionMisses <= 10,
+      s"join precision guarantee missed $precisionMisses/$seeds times")
+  }
+
   test("fixed thresholds skip learning") {
     val docs = (0 until 50).map(i => (i.toLong, if (i % 2 == 0) "a delay" else "fine"))
       .toDF("id", "text")
