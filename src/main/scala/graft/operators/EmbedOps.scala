@@ -22,6 +22,17 @@ object EmbedOps {
 
   def vecCol(c: String): String = s"__vec_$c"
 
+  /** Broadcast budget for the pair-verify joins in [[neardupPairs]]: when
+    * the DISTINCT (id, vector) frame fits (128 MB ≈ 500k 64-dim floats),
+    * the exact-cosine verification broadcasts it instead of shuffling the
+    * candidate-pair frame — at the perturbed ×100 stress geometry the
+    * candidates are ~100M rows and the vectors ~50 MB, so the shuffle
+    * savings is the whole candidate set, twice, plus the pre-verify
+    * distinct. Past the budget the route falls back to the narrow
+    * (id1, id2) dedup + shuffle-join shape that scales to any corpus.
+    */
+  val verifyBroadcastMaxBytes: Long = 128L << 20
+
   /** Default within-cell candidate-pair budget for the [[neardupPairs]]
     * cells route: ~2·10⁹ exact-cosine verifications is minutes of cluster
     * work — a layout past it is almost certainly degenerate (the bounded
@@ -517,14 +528,9 @@ object EmbedOps {
           "coarse IvfIndex beyond it, or raise maxCandidatePairs consciously")
       val a = celled.toDF("id1", "c1")
       val b = celled.toDF("id2", "c2")
-      val cand = a.join(b, col("c1") === col("c2") && col("id1") < col("id2"))
-        .select("id1", "id2").distinct()
-      star.unionAll(cand
-        .join(base.toDF("id1", "v1"), "id1")
-        .join(base.toDF("id2", "v2"), "id2")
-        .withColumn("score", cosineSim(col("v1"), col("v2")))
-        .filter(col("score") >= threshold)
-        .select("id1", "id2", "score"))
+      val candRaw = a.join(b, col("c1") === col("c2") && col("id1") < col("id2"))
+        .select("id1", "id2")
+      star.unionAll(verifyPairs(candRaw, base, threshold))
     } else if (useLsh.contains(false) || (useLsh.isEmpty && !big)) {
       val a = indexed.select(col(idCol).cast(LongType).as("id1"), col(v).as("v1"))
       val b = indexed.select(col(idCol).cast(LongType).as("id2"), col(v).as("v2"))
@@ -545,15 +551,45 @@ object EmbedOps {
         explode(lshBandKeys(col("vec"), d, nBits, bands)).as("bk"))
       val a = keyed.toDF("id1", "bk1")
       val b = keyed.toDF("id2", "bk2")
-      val cand = a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
-        .select("id1", "id2").distinct()
-      cand
+      val candRaw = a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
+        .select("id1", "id2")
+      verifyPairs(candRaw, base, threshold)
+    }
+  }
+
+  /** Exact-cosine verification of candidate (id1, id2) pairs against the
+    * staged (id, vec) frame. When the vector frame fits
+    * [[verifyBroadcastMaxBytes]] the two verify joins BROADCAST it — the
+    * (potentially enormous) candidate frame never crosses an exchange,
+    * and pair dedup moves AFTER the threshold filter where survivors are
+    * orders of magnitude fewer (a duplicate candidate — the same pair
+    * sharing several cells/bands — is bounded by the probe/band
+    * multiplicity, so re-verifying it beats shuffling the full candidate
+    * set to dedup it first). Past the budget: dedup first on the narrow
+    * (id1, id2) exchange, then two shuffle joins — the corpus-scale
+    * shape, where the vector frame itself is too big to ship to every
+    * task.
+    */
+  private def verifyPairs(candRaw: DataFrame, base: DataFrame,
+      threshold: Double): DataFrame = {
+    val first = base.take(1)
+    val dim = if (first.isEmpty) 0 else first(0).getSeq[Float](1).size
+    val fits = base.count() * (4L * dim + 28L) <= verifyBroadcastMaxBytes
+    if (fits)
+      candRaw
+        .join(broadcast(base.toDF("id1", "v1")), "id1")
+        .join(broadcast(base.toDF("id2", "v2")), "id2")
+        .withColumn("score", cosineSim(col("v1"), col("v2")))
+        .filter(col("score") >= threshold)
+        .select("id1", "id2", "score")
+        .dropDuplicates("id1", "id2")
+    else
+      candRaw.distinct()
         .join(base.toDF("id1", "v1"), "id1")
         .join(base.toDF("id2", "v2"), "id2")
         .withColumn("score", cosineSim(col("v1"), col("v2")))
         .filter(col("score") >= threshold)
         .select("id1", "id2", "score")
-    }
   }
 
   /** The cells route's shared prelude: exact pre-collapse of
@@ -707,6 +743,26 @@ object EmbedOps {
     import spark.implicits._
     rows.toDF("route", "cell_probes", "n_sample", "exact_pairs",
       "matched_pairs", "recall")
+  }
+
+  /** Pick the CHEAPEST `cellProbes` tier whose MEASURED pair recall (via
+    * [[neardupRecallReport]], sampled exact ground truth at the real
+    * geometry) meets `targetRecall` — the tuning decision the report
+    * exists to inform, as one call. Falls back to the highest offered
+    * tier when none measures up (the report is sampled; a caller that
+    * needs guaranteed recall 1.0 must probe every cell). Returns
+    * (chosen probes, measured recall at that tier).
+    */
+  def recommendCellProbes(df: DataFrame, c: String, idCol: String,
+      threshold: Double, targetRecall: Double,
+      targetCellSize: Int = 256, cellProbesTiers: Seq[Int] = Seq(1, 2, 4, 8),
+      sampleSize: Int = 4096, seed: Long = 42): (Int, Double) = {
+    require(cellProbesTiers.nonEmpty, "recommendCellProbes: need ≥1 tier")
+    val rep = neardupRecallReport(df, c, idCol, threshold, targetCellSize,
+        cellProbesTiers, sampleSize, seed)
+      .select("cell_probes", "recall")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    rep.find(_._2 >= targetRecall).getOrElse(rep.last)
   }
 
   /** sem_dedup: semantic near-duplicate removal — self sim-join at

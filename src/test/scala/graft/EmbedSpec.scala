@@ -251,6 +251,32 @@ class EmbedSpec extends SparkSpec {
       s"probing every cell is exhaustive: ${rep.toSeq}")
   }
 
+  test("recommendCellProbes picks the cheapest tier whose MEASURED recall " +
+      "meets the target, falling back to the highest tier") {
+    val vecs = (0 until 60).map { i =>
+      val th = i * math.Pi / 120
+      (i.toLong, Seq(math.cos(th).toFloat, math.sin(th).toFloat))
+    }.toDF("id", "__vec_emb")
+    // Exhaustive tier always measures 1.0 → a 1.0 target is satisfiable
+    // and must choose the smallest tier that measured 1.0.
+    val (probes, recall) = EmbedOps.recommendCellProbes(vecs, "emb", "id",
+      threshold = 0.995, targetRecall = 1.0, targetCellSize = 8,
+      cellProbesTiers = Seq(1, 2, 16))
+    assert(recall == 1.0)
+    assert(probes > 1, "1 probe misses boundary pairs on the arc, so the " +
+      s"1.0 target cannot pick it (picked $probes)")
+    // An unreachable-within-tiers target falls back to the best offered.
+    val (pMax, rMax) = EmbedOps.recommendCellProbes(vecs, "emb", "id",
+      threshold = 0.995, targetRecall = 2.0, targetCellSize = 8,
+      cellProbesTiers = Seq(1, 2))
+    assert(pMax == 2 && rMax <= 1.0)
+    // A trivial target picks the cheapest tier.
+    val (pMin, _) = EmbedOps.recommendCellProbes(vecs, "emb", "id",
+      threshold = 0.995, targetRecall = 0.0, targetCellSize = 8,
+      cellProbesTiers = Seq(1, 2, 16))
+    assert(pMin == 1)
+  }
+
   test("LSH hyperplanes span the embedder's true dimension, not a 64 default") {
     graft.core.Sem.withEmbedder(HashingEmbedder(17)) {
       val idx = corpus.semIndex("text")
