@@ -480,6 +480,12 @@ object BatchCommit {
       released = true
       renewer.interrupt()
       renewer.join(2000)
+      // The interrupt can land mid-renewal-IO (InterruptedIOException
+      // inside create/write), stranding the holder-suffixed temp file —
+      // delete it best-effort; it is ours by construction (the name
+      // carries the holder id).
+      try f.delete(new Path(root, s"$leaseFile.renew.$holder"), false)
+      catch { case _: java.io.IOException => () }
       // Release only our own lease: if it expired mid-append and a
       // successor broke it, theirs must survive.
       if (readLease().contains(s""""holder":"$holder""""))

@@ -175,15 +175,37 @@ object Dedup {
     val shingleSets = base.select(col("id"), col("sh"))
     val a = bucketed.toDF("id1", "bk1")
     val b = bucketed.toDF("id2", "bk2")
-    val candidates = a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    candidates
-      .join(shingleSets.toDF("id1", "sh1"), "id1")
-      .join(shingleSets.toDF("id2", "sh2"), "id2")
+    val candRaw = a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
+      .select("id1", "id2")
+    def verified(cand: DataFrame, sets1: DataFrame, sets2: DataFrame) = cand
+      .join(sets1, "id1")
+      .join(sets2, "id2")
       .select(col("id1"), col("id2"),
         graft.functions.VectorExprs.longSetJaccard(col("sh1"), col("sh2"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // The EmbedOps.verifyPairs move, for shingle sets: when the distinct
+    // (id, sh) frame fits the broadcast budget (measured exactly — one
+    // narrow aggregate over the staged frame), broadcast it into both
+    // verify joins so the candidate frame (the big one — band-collision
+    // pairs) never shuffles through them. UNLIKE the cells route, pair
+    // dedup stays BEFORE the Jaccard filter: a true near-dup pair
+    // collides in ~bands·j^r of its bands (≈10 of 16 at j = 0.9), so
+    // deferring dedup would multiply the merge-kernel evaluations ~10×
+    // — measured a wash at the ×100 stress, while the (id1, id2)
+    // distinct is a narrow 16-byte-row exchange. The cells route defers
+    // it because its duplicate factor is capped at cellProbes (2).
+    val st = base.agg(count(lit(1)),
+      coalesce(sum(size(col("sh")).cast("long")), lit(0L))).head()
+    val bytes = st.getLong(0) * 24L + st.getLong(1) * 8L
+    val cand = candRaw.distinct()
+    if (bytes <= graft.operators.EmbedOps.verifyBroadcastMaxBytes)
+      verified(cand,
+        broadcast(shingleSets.toDF("id1", "sh1")),
+        broadcast(shingleSets.toDF("id2", "sh2")))
+    else
+      verified(cand,
+        shingleSets.toDF("id1", "sh1"), shingleSets.toDF("id2", "sh2"))
   }
 
   /** Empirical pair-recall of banded minhash LSH against sampled exact
