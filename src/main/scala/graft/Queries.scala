@@ -1648,6 +1648,40 @@ object Queries {
       }
     }),
 
+    "stream_neardup_drop" -> ((s, dir) => {
+      // End-to-end STREAMING near-dedup (the incremental-crawl hot path):
+      // the corpus half (even doc_ids) is indexed once; the incoming half
+      // STREAMS through streamDropAgainstIndex — exact duplicates drop
+      // in-stream via the fingerprint anti-join, near-dup CANDIDATES are
+      // flagged by the Bloom band prefilter — and only flagged rows pay
+      // the batch exact verify (dropAgainstIndex). The Bloom flag has no
+      // false negatives (fpp bounds false POSITIVES only), so the kept
+      // set is exactly "not an exact dup and max-Jaccard < 0.5 vs the
+      // corpus" — the definition the oracle computes from scratch.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_streamdd").toString
+      val d = read(s, dir, "documents")
+      Dedup.saveDedupIndex(d.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", s"$tmp/idx")
+      d.filter(col("doc_id") % 2 === 1).write.parquet(s"$tmp/staging")
+      val schema = s.read.parquet(s"$tmp/staging").schema
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/staging")
+      val out = graft.streaming.StreamingOps.streamDropAgainstIndex(
+        stream, "text", s"$tmp/idx")
+      val sink = "stream_neardup_sink"
+      s.catalog.dropTempView(sink)
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      q.processAllAvailable(); q.stop()
+      val arrived = s.table(sink)
+      val clean = arrived.filter(!col("maybe_near_dup"))
+      val verified = Dedup.dropAgainstIndex(
+        arrived.filter(col("maybe_near_dup")).drop("maybe_near_dup"),
+        "text", "doc_id", s"$tmp/idx")
+      clean.select("doc_id").union(verified.select("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "stream_interval_join" -> ((s, dir) => withShufflePartitions(s, 8) {
       // Watermarked stream-stream interval join (clicks ⋈ views within the
       // preceding hour per user) through TWO file-stream sources and the
@@ -3506,6 +3540,28 @@ object Queries {
     "stream_sem_map" ->
       """SELECT doc_id, array_to_string((string_split(text, ' '))[1:3], ' ') AS _map
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Stream ≡ batch again: the streaming prefilter + batch verify
+    // composition keeps exactly the dedup_incremental set (the Bloom flag
+    // has no false negatives; false positives only pay a redundant exact
+    // verify), so the oracle is dedup_incremental's exact all-pairs SQL.
+    "stream_neardup_drop" ->
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM t),
+        |old AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+        |nw AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+        |excl AS (
+        |  SELECT n.doc_id FROM nw n WHERE n.fp IN (SELECT fp FROM old)
+        |  UNION
+        |  SELECT n.doc_id FROM nw n JOIN old o
+        |    ON len(list_distinct(list_intersect(n.sh, o.sh))) * 1.0 /
+        |       len(list_distinct(list_concat(n.sh, o.sh))) >= 0.5)
+        |SELECT doc_id FROM nw WHERE doc_id NOT IN (SELECT doc_id FROM excl)
+        |ORDER BY doc_id""".stripMargin,
 
     "stream_sessionize" ->
       """WITH e AS (
