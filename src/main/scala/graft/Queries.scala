@@ -2778,6 +2778,40 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "quality_nb_score" -> ((s, dir) => {
+      // Model-based quality filtering (the CCNet/GPT-3 classifier stage,
+      // fastText-style): a multinomial Naive Bayes is TRAINED on this
+      // corpus — label = "mentions spark", the in-domain proxy — and every
+      // doc is scored prior + Σ llr(token). Training is one vocab-bounded
+      // aggregate (integer counts, engine-independent); scoring is one
+      // per-row left-to-right fold, so round-4 scores hash-match the
+      // from-scratch oracle, and the sign bit (nb_pred) matches exactly.
+      val d = read(s, dir, "documents")
+        .withColumn("label",
+          array_contains(split(lower(trim(col("text"))), "\\s+"), "spark"))
+      val m = graft.operators.QualityClassifier.trainNaiveBayes(
+        d, "text", "label")
+      graft.operators.QualityClassifier.scoreNaiveBayes(d, "text", m)
+        .select(col("doc_id"), col("label"),
+          round(col("nb_score"), 4).as("nb_score"), col("nb_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "dsir_weights" -> ((s, dir) => {
+      // DSIR data selection (arXiv 2302.03169): importance weights of raw
+      // docs under target-vs-raw unigram LMs — target = the src0-4
+      // "domain", raw = the whole corpus. Both models fit in one bounded
+      // aggregate each; the per-doc log-weight is a fold over the shared
+      // Laplace-smoothed vocabulary, reproduced exactly by the oracle.
+      val d = read(s, dir, "documents")
+      val m = graft.operators.QualityClassifier.fitDsir(
+        d, d.filter(col("source").isin("src0", "src1", "src2", "src3", "src4")),
+        "text")
+      graft.operators.QualityClassifier.dsirLogWeights(d, "text", m)
+        .select(col("doc_id"), round(col("dsir_logw"), 4).as("dsir_logw"))
+        .orderBy("doc_id")
+    }),
+
     "chunk_docs" -> ((s, dir) => {
       // Passage chunking for retrieval/training: 128-token windows with
       // 32-token overlap; trailing starts that add no new words are
@@ -4900,6 +4934,70 @@ object Queries {
         |        x -> -ln(coalesce(mp[x][1], 1.0) / total)),
         |      (a, b) -> a + b) / len(w), 4)
         |  END AS surprisal
+        |FROM t, m ORDER BY doc_id""".stripMargin,
+
+    // From-scratch NB refit: integer class counts, the same Laplace
+    // expression SHAPE as the Scala fit (ln((c+1)/(t+v)) differences —
+    // same ops, same order, so round-4 survives the 1-ulp ln variance),
+    // and the same left-to-right fold with the prior added last.
+    "quality_nb_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM documents),
+        |l AS (SELECT doc_id, w, list_contains(w, 'spark') AS y FROM t),
+        |cnt AS (
+        |  SELECT word,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS DOUBLE) AS c0
+        |  FROM (SELECT y, unnest(w) AS word FROM l) GROUP BY word),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t1,
+        |               CAST(sum(c0) AS DOUBLE) AS t0,
+        |               CAST(count(*) AS DOUBLE) AS v FROM cnt),
+        |pr AS (SELECT ln(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE))
+        |            - ln(CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS DOUBLE)) AS prior
+        |       FROM l),
+        |m AS (SELECT map(list(word ORDER BY word),
+        |        list(ln((c1 + 1) / (t1 + v)) - ln((c0 + 1) / (t0 + v)) ORDER BY word)) AS mp,
+        |      min(ln(1 / (t1 + v)) - ln(1 / (t0 + v))) AS oov
+        |      FROM cnt, tot),
+        |sc AS (SELECT doc_id, y,
+        |    CASE WHEN len(w) = 0 THEN prior ELSE
+        |      list_reduce(list_transform(w, x -> coalesce(mp[x][1], oov)),
+        |        (a, b) -> a + b) + prior END AS score
+        |  FROM l, m, pr)
+        |SELECT doc_id, y AS label, round(score, 4) AS nb_score,
+        |       score > 0 AS nb_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Two unigram refits over the SHARED vocabulary (union support — a
+    // ratio over mismatched supports is not a likelihood ratio), then the
+    // same per-token fold. raw ⊇ every scored doc, so no OOV branch fires.
+    "dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM documents),
+        |tc AS (SELECT word, CAST(count(*) AS DOUBLE) AS n
+        |  FROM (SELECT unnest(w) AS word FROM t
+        |        WHERE source IN ('src0','src1','src2','src3','src4'))
+        |  GROUP BY word),
+        |rc AS (SELECT word, CAST(count(*) AS DOUBLE) AS n
+        |  FROM (SELECT unnest(w) AS word FROM t) GROUP BY word),
+        |u AS (SELECT word FROM tc UNION SELECT word FROM rc),
+        |tot AS (SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM tc) AS tt,
+        |               (SELECT CAST(sum(n) AS DOUBLE) FROM rc) AS rt,
+        |               (SELECT CAST(count(*) AS DOUBLE) FROM u) AS v),
+        |m AS (SELECT map(list(word ORDER BY word), list(lr ORDER BY word)) AS mp
+        |  FROM (SELECT u.word,
+        |          ln((coalesce(tc.n, 0) + 1) / (tt + v)) -
+        |          ln((coalesce(rc.n, 0) + 1) / (rt + v)) AS lr
+        |        FROM u LEFT JOIN tc ON u.word = tc.word
+        |               LEFT JOIN rc ON u.word = rc.word, tot))
+        |SELECT doc_id,
+        |  round(CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |    list_reduce(list_transform(w, x -> mp[x][1]), (a, b) -> a + b)
+        |  END, 4) AS dsir_logw
         |FROM t, m ORDER BY doc_id""".stripMargin,
 
     // Zipped unnests over the same start list stay aligned in DuckDB, so

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the trained-classifier stage of
+  * published corpus pipelines (CCNet, arXiv 1911.00359, trains a fastText
+  * linear classifier on target-domain labels; the GPT-3 and Pile corpus
+  * papers filter CommonCrawl the same way). The reference
+  * (lotus-data/lotus) has no classifier stage — this is a
+  * beyond-reference training-data op, kept model-artifact-free:
+  * multinomial Naive Bayes over whitespace unigrams, trained entirely in
+  * Spark aggregates and applied as one per-row left-to-right fold.
+  *
+  * Scale shape: training is ONE shuffle — the (word → per-class counts)
+  * groupBy with map-side partial aggregation, vocabulary-bounded, never
+  * document-bounded; the fitted model is a bounded driver-side map riding
+  * the scoring plan as a literal (the [[CorpusPrep.unigramSurprisal]]
+  * convention — a capped vocab IS the model, fastText hashes its vocab
+  * into a bounded bucket table for the same reason). Scoring is a pure
+  * per-row expression: no UDF, no join, no shuffle — the property that
+  * keeps a quality pass one narrow map over 100 TB. The fold order is
+  * deterministic IEEE left-to-right, so a SQL oracle reproduces scores
+  * exactly.
+  */
+object QualityClassifier {
+
+  /** A fitted text Naive Bayes: per-token log-likelihood ratios
+    * `ln p(w|pos) − ln p(w|neg)` under Laplace smoothing, the shared OOV
+    * floor llr, and the document-frequency log prior `ln(nPos/nNeg)`.
+    * score(doc) = prior + Σ_w llr(w); classify at score > 0 (posterior
+    * odds > 1).
+    */
+  final case class NaiveBayesText(
+      llr: Map[String, Double],
+      oovLlr: Double,
+      prior: Double,
+      alpha: Double,
+      nPos: Long,
+      nNeg: Long)
+
+  /** Fit the classifier: one exploded-token groupBy collects per-class
+    * word counts (integers — engine-independent), the closed-form Laplace
+    * log-ratios are computed driver-side. `labelCol` must be boolean-like
+    * and both classes must be present (a one-class fit has no likelihood
+    * ratio — that failure is loud, not a NaN model).
+    *
+    * The vocabulary literal is BOUNDED (`maxVocabEntries`, the
+    * [[CorpusPrep.unigramSurprisal]] rule): an unbounded vocab would ride
+    * every scoring task as a multi-GB plan literal. Corpora with bigger
+    * vocabularies cap deliberately — drop words below a count floor with
+    * `minCount` (rare words carry noise, not signal, under NB anyway).
+    */
+  def trainNaiveBayes(df: DataFrame, textCol: String, labelCol: String,
+      alpha: Double = 1.0, minCount: Long = 1L,
+      maxVocabEntries: Int = 1 << 18): NaiveBayesText = {
+    require(alpha > 0, s"trainNaiveBayes: alpha $alpha must be > 0")
+    require(minCount >= 1, s"trainNaiveBayes: minCount $minCount must be >= 1")
+    val y = col(labelCol).cast("boolean")
+    val docCounts = df.groupBy(y.as("y")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    require(docCounts.keySet == Set(true, false),
+      s"trainNaiveBayes: need both classes in $labelCol, " +
+        s"got ${docCounts.keys.mkString(",")} — a one-class corpus has no " +
+        "likelihood ratio to fit")
+    val counts = df
+      .select(y.as("y"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("c0"))
+      .filter(col("c1") + col("c0") >= minCount)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(counts.nonEmpty, "trainNaiveBayes: corpus has no tokens")
+    require(counts.length <= maxVocabEntries,
+      s"trainNaiveBayes: vocabulary has ${counts.length} entries > bound " +
+        s"$maxVocabEntries — the model rides every scoring task as a plan " +
+        "literal; raise minCount to shrink it, or raise maxVocabEntries " +
+        "deliberately")
+    val t1 = counts.map(_._2).sum.toDouble
+    val t0 = counts.map(_._3).sum.toDouble
+    val v = counts.length.toDouble
+    def logP(c: Double, t: Double) = math.log((c + alpha) / (t + alpha * v))
+    NaiveBayesText(
+      llr = counts.map { case (w, c1, c0) =>
+        w -> (logP(c1.toDouble, t1) - logP(c0.toDouble, t0))
+      }.toMap,
+      oovLlr = logP(0.0, t1) - logP(0.0, t0),
+      prior = math.log(docCounts(true).toDouble) -
+        math.log(docCounts(false).toDouble),
+      alpha = alpha, nPos = docCounts(true), nNeg = docCounts(false))
+  }
+
+  /** Score every document: `outCol` = prior + Σ llr(token) (an empty doc
+    * scores exactly the prior), `predCol` = score > 0. Pure per-row fold
+    * over a broadcast map literal — zero shuffle, codegen-friendly, and
+    * the left-to-right order makes scores bit-reproducible across
+    * engines.
+    */
+  def scoreNaiveBayes(df: DataFrame, textCol: String, model: NaiveBayesText,
+      outCol: String = "nb_score", predCol: String = "nb_pred"): DataFrame = {
+    val lut = typedLit(model.llr)
+    val words = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    val score = aggregate(words, lit(0.0), (acc, w) =>
+      acc + coalesce(element_at(lut, w), lit(model.oovLlr))) +
+      lit(model.prior)
+    df.withColumn(outCol, score).withColumn(predCol, col(outCol) > 0)
+  }
+
+  /** Train-then-score in one call over the same frame — the self-scored
+    * shape corpus pipelines use when the label is a metadata proxy
+    * (in-domain source, reference-corpus membership) and the classifier
+    * generalizes it to content.
+    */
+  def naiveBayesScores(df: DataFrame, textCol: String, labelCol: String,
+      alpha: Double = 1.0, minCount: Long = 1L,
+      outCol: String = "nb_score", predCol: String = "nb_pred"): DataFrame =
+    scoreNaiveBayes(df, textCol,
+      trainNaiveBayes(df, textCol, labelCol, alpha, minCount),
+      outCol, predCol)
+
+  /** DSIR-style importance weighting for data selection (arXiv
+    * 2302.03169: weight raw documents by target-vs-raw likelihood ratio
+    * under cheap bag-of-ngrams models, then importance-resample). Here
+    * with unigram models over whitespace tokens: per doc,
+    * `log w(x) = Σ_tokens [ln p_target(w) − ln p_raw(w)]`, both
+    * distributions Laplace-smoothed over the SHARED vocabulary (a ratio
+    * over mismatched supports is not a likelihood ratio).
+    *
+    * Same scale shape as NB: two bounded vocab aggregates at fit time,
+    * one per-row fold at weighting time. Selection composes with the
+    * deterministic-hash samplers in [[CorpusPrep]]: resample by keeping
+    * doc where `hash-uniform(id) < exp(logw − logwMax)` or simply take
+    * the top fraction by weight — both engine-reproducible.
+    */
+  final case class DsirUnigram(lr: Map[String, Double], oovLr: Double)
+
+  /** Fit the two unigram models on a raw sample and the target corpus;
+    * the returned per-token log-ratios (and the constant ratio for tokens
+    * unseen in both) weight any frame via [[dsirLogWeights]].
+    */
+  def fitDsir(raw: DataFrame, target: DataFrame, textCol: String,
+      alpha: Double = 1.0, maxVocabEntries: Int = 1 << 18): DsirUnigram = {
+    require(alpha > 0, s"fitDsir: alpha $alpha must be > 0")
+    def cnt(df: DataFrame) = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tgt = cnt(target)
+    val rw = cnt(raw)
+    require(tgt.nonEmpty && rw.nonEmpty, "fitDsir: empty corpus")
+    val vocab = (tgt.keySet ++ rw.keySet).toSeq.sorted
+    require(vocab.length <= maxVocabEntries,
+      s"fitDsir: shared vocabulary has ${vocab.length} entries > bound " +
+        s"$maxVocabEntries — the models ride the weighting plan as a " +
+        "literal; raise maxVocabEntries deliberately")
+    val tTot = tgt.values.sum.toDouble
+    val rTot = rw.values.sum.toDouble
+    val v = vocab.length.toDouble
+    def term(tc: Long, rc: Long) =
+      math.log((tc + alpha) / (tTot + alpha * v)) -
+        math.log((rc + alpha) / (rTot + alpha * v))
+    DsirUnigram(
+      lr = vocab.map(w => w -> term(tgt.getOrElse(w, 0L), rw.getOrElse(w, 0L))).toMap,
+      oovLr = term(0L, 0L))
+  }
+
+  /** `outCol` = Σ_tokens log-ratio — one per-row fold, no shuffle; tokens
+    * outside the fitted vocabulary contribute the smoothing-floor
+    * constant.
+    */
+  def dsirLogWeights(df: DataFrame, textCol: String, model: DsirUnigram,
+      outCol: String = "dsir_logw"): DataFrame = {
+    val lut = typedLit(model.lr)
+    val words = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    df.withColumn(outCol, aggregate(words, lit(0.0), (acc, w) =>
+      acc + coalesce(element_at(lut, w), lit(model.oovLr))))
+  }
+}
