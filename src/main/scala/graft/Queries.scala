@@ -3227,6 +3227,20 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "decontaminate_semantic" -> ((s, dir) => {
+      // The EMBEDDING decontamination pass beside the n-gram one: corpus
+      // vectors (even vec_ids) drop when within cosine 0.45 of ANY eval
+      // vector (odd vec_ids) — the paraphrase-leakage guard. Eval
+      // broadcasts; the anti-join is one short-circuiting nested-loop
+      // probe per corpus row. Oracle = the exact NOT EXISTS.
+      val e = read(s, dir, "embeddings")
+      Decontaminate.dropContaminatedSemantic(
+          e.filter(col("vec_id") % 2 === 0), "embedding",
+          e.filter(col("vec_id") % 2 === 1), "embedding",
+          threshold = 0.45)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
     "boilerplate_windows" -> ((s, dir) => {
       // Repeated-span boilerplate signal: per doc, distinct 8-word windows
       // shared with other docs + the boilerplate fraction. Hashed windows
@@ -5454,6 +5468,16 @@ object Queries {
     // Saved tiers compute the same truth (bm25_saved ≡ ad-hoc BM25;
     // nProbe = nCells IVF ≡ exact cosine), so the oracle is shared.
     "hybrid_search_saved" -> HybridRrfOracle,
+
+    // Exact NOT EXISTS over all corpus×eval cosine pairs — the definition
+    // the broadcast nested-loop anti-join implements.
+    "decontaminate_semantic" ->
+      """SELECT a.vec_id FROM embeddings a
+        |WHERE a.vec_id % 2 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM embeddings b WHERE b.vec_id % 2 = 1
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.45)
+        |ORDER BY vec_id""".stripMargin,
 
     // String 5-grams in SQL vs FNV-hashed grams in Spark: identical counts
     // up to 2^-64 hash collisions (dedup_ngram_jaccard convention).

@@ -77,4 +77,37 @@ object Decontaminate {
         BloomExpr.bloomContainsCount(gramHashes(col(textCol), n), bloom))
       .withColumn("contaminated", col("contam_grams") >= minHits)
   }
+
+  /** SEMANTIC decontamination: drop corpus rows whose embedding is within
+    * cosine `threshold` of ANY eval embedding — the paraphrase-leakage
+    * guard n-gram overlap misses (an eval question rephrased in the
+    * training set shares meaning, not 13-grams; the published phi/FineWeb
+    * pipelines run exactly this embedding pass beside the n-gram one).
+    *
+    * Scale shape: eval sets are benchmarks — thousands of vectors, not
+    * billions — so the eval side BROADCASTS and the corpus pays one
+    * nested-loop anti-join probe per row against the in-memory eval
+    * matrix, short-circuiting at the first hit: no shuffle of the corpus,
+    * no candidate blow-up, linear in |corpus|·|eval|. That product is the
+    * right cost up to ~10⁴ eval vectors; past `maxBroadcastEvalRows` this
+    * refuses loudly — route giant "eval" sets through the LSH/cell pair
+    * machinery ([[EmbedOps.neardupPairs]]) instead of silently turning a
+    * guard pass into a quadratic job.
+    */
+  def dropContaminatedSemantic(corpus: DataFrame, corpusVec: String,
+      eval: DataFrame, evalVec: String, threshold: Double,
+      maxBroadcastEvalRows: Long = 100000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"dropContaminatedSemantic: cosine threshold $threshold must be in (0, 1]")
+    val nEval = eval.count()
+    require(nEval <= maxBroadcastEvalRows,
+      s"dropContaminatedSemantic: eval set has $nEval rows > " +
+        s"$maxBroadcastEvalRows — a broadcast nested-loop probe at this " +
+        "size is a quadratic job, not a guard pass; dedup the eval set or " +
+        "use the LSH/cell pair route (EmbedOps.neardupPairs) instead")
+    val ev = eval.select(col(evalVec).as("__eval_vec"))
+    corpus.join(broadcast(ev),
+      EmbedOps.cosineSim(col(corpusVec), col("__eval_vec")) >= threshold,
+      "left_anti")
+  }
 }

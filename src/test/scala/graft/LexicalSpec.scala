@@ -183,6 +183,25 @@ class LexicalSpec extends SparkSpec {
     assert(spurious <= 5, s"too many bloom false positives: $spurious")
   }
 
+  test("semantic decontamination drops cosine-near rows, keeps the rest, " +
+      "and refuses an oversized eval broadcast") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),   // equals eval vec
+      (1L, Seq(0.9f, 0.1f, 0.0f)),   // near eval vec (cos > 0.9)
+      (2L, Seq(0.0f, 0.0f, 1.0f))    // orthogonal
+    ).toDF("vec_id", "emb")
+    val eval = Seq((10L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "emb")
+    val kept = Decontaminate.dropContaminatedSemantic(
+        corpus, "emb", eval, "emb", threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(2L)), kept.mkString(","))
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.dropContaminatedSemantic(corpus, "emb", eval, "emb",
+        threshold = 0.9, maxBroadcastEvalRows = 0L)
+    }
+    assert(e.getMessage.contains("neardupPairs"))
+  }
+
   test("bloom contamination scan plan has no shuffle") {
     val corpus = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
     val eval = corpus
