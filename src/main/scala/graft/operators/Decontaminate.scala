@@ -105,9 +105,21 @@ object Decontaminate {
         s"$maxBroadcastEvalRows — a broadcast nested-loop probe at this " +
         "size is a quadratic job, not a guard pass; dedup the eval set or " +
         "use the LSH/cell pair route (EmbedOps.neardupPairs) instead")
+    // One dot product per pair: norms are hoisted to per-ROW columns and
+    // the cosine test becomes dot ≥ τ·‖a‖·‖b‖ — vs cosineSim in the join
+    // condition, which would re-derive both norms (3 dots) per pair. The
+    // ‖·‖ > 0 conjuncts keep zero vectors UNmatched (cosine with a zero
+    // vector is undefined-not-contaminated, the NaN-comparison semantics).
+    def dot(a: Column, b: Column) = graft.functions.VectorExprs.arrayDot(a, b)
     val ev = eval.select(col(evalVec).as("__eval_vec"))
-    corpus.join(broadcast(ev),
-      EmbedOps.cosineSim(col(corpusVec), col("__eval_vec")) >= threshold,
-      "left_anti")
+      .withColumn("__eval_norm", sqrt(dot(col("__eval_vec"), col("__eval_vec"))))
+    val cn = corpus.withColumn("__corpus_norm",
+      sqrt(dot(col(corpusVec), col(corpusVec))))
+    cn.join(broadcast(ev),
+        dot(col(corpusVec), col("__eval_vec")) >=
+          lit(threshold) * col("__corpus_norm") * col("__eval_norm") &&
+          col("__corpus_norm") > 0 && col("__eval_norm") > 0,
+        "left_anti")
+      .drop("__corpus_norm")
   }
 }
