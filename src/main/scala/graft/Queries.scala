@@ -2812,6 +2812,21 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "dsir_resample" -> ((s, dir) => {
+      // The resample half of DSIR: acceptance exp(logw − logwMax) against
+      // the deterministic md5-prefix uniform (corpus_sample_det's
+      // convention) — the paper's importance resampling with zero RNG
+      // state; the oracle replays weight fit, normalizer and draw.
+      val d = read(s, dir, "documents")
+      val m = graft.operators.QualityClassifier.fitDsir(
+        d, d.filter(col("source").isin("src0", "src1", "src2", "src3", "src4")),
+        "text")
+      val w = graft.operators.QualityClassifier.dsirLogWeights(d, "text", m)
+      graft.operators.QualityClassifier.importanceResample(
+          w, "doc_id", "dsir_logw", salt = "s7")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     "chunk_docs" -> ((s, dir) => {
       // Passage chunking for retrieval/training: 128-token windows with
       // 32-token overlap; trailing starts that add no new words are
@@ -5013,6 +5028,42 @@ object Queries {
         |    list_reduce(list_transform(w, x -> mp[x][1]), (a, b) -> a + b)
         |  END, 4) AS dsir_logw
         |FROM t, m ORDER BY doc_id""".stripMargin,
+
+    // Same refit UNROUNDED, then the exp(logw − max) acceptance against
+    // the md5-prefix uniform — the '0'+4-hex < %05x cutoff comparison is
+    // the deterministicSample convention (p = 1 formats to '10000', above
+    // every prefix).
+    "dsir_resample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM documents),
+        |tc AS (SELECT word, CAST(count(*) AS DOUBLE) AS n
+        |  FROM (SELECT unnest(w) AS word FROM t
+        |        WHERE source IN ('src0','src1','src2','src3','src4'))
+        |  GROUP BY word),
+        |rc AS (SELECT word, CAST(count(*) AS DOUBLE) AS n
+        |  FROM (SELECT unnest(w) AS word FROM t) GROUP BY word),
+        |u AS (SELECT word FROM tc UNION SELECT word FROM rc),
+        |tot AS (SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM tc) AS tt,
+        |               (SELECT CAST(sum(n) AS DOUBLE) FROM rc) AS rt,
+        |               (SELECT CAST(count(*) AS DOUBLE) FROM u) AS v),
+        |m AS (SELECT map(list(word ORDER BY word), list(lr ORDER BY word)) AS mp
+        |  FROM (SELECT u.word,
+        |          ln((coalesce(tc.n, 0) + 1) / (tt + v)) -
+        |          ln((coalesce(rc.n, 0) + 1) / (rt + v)) AS lr
+        |        FROM u LEFT JOIN tc ON u.word = tc.word
+        |               LEFT JOIN rc ON u.word = rc.word, tot)),
+        |wts AS (SELECT doc_id,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |      list_reduce(list_transform(w, x -> mp[x][1]), (a, b) -> a + b)
+        |    END AS lw
+        |  FROM t, m),
+        |mx AS (SELECT max(lw) AS mlw FROM wts)
+        |SELECT doc_id FROM wts, mx
+        |WHERE '0' || substring(md5('s7' || '|' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |      < printf('%05x', CAST(round(exp(lw - mlw) * 65536) AS INT))
+        |ORDER BY doc_id""".stripMargin,
 
     // Zipped unnests over the same start list stay aligned in DuckDB, so
     // chunk_id / token count / slice all read the same start. 0-based

@@ -145,15 +145,24 @@ object QualityClassifier {
   def fitDsir(raw: DataFrame, target: DataFrame, textCol: String,
       alpha: Double = 1.0, maxVocabEntries: Int = 1 << 18): DsirUnigram = {
     require(alpha > 0, s"fitDsir: alpha $alpha must be > 0")
-    def cnt(df: DataFrame) = df
+    // Both vocabularies in ONE tagged aggregate (one shuffle stage, one
+    // vocab collect) instead of a count job per corpus — at scale the two
+    // corpora are each full scans anyway; the fit should not double the
+    // shuffle/collect round-trips on top.
+    def toks(df: DataFrame, isTarget: Boolean) = df
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val tgt = cnt(target)
-    val rw = cnt(raw)
+      .withColumn("__t", lit(isTarget))
+    val counts = toks(raw, isTarget = false)
+      .unionByName(toks(target, isTarget = true))
+      .groupBy("word")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("tn"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("rn"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val tgt = counts.collect { case (w, tn, _) if tn > 0 => w -> tn }.toMap
+    val rw = counts.collect { case (w, _, rn) if rn > 0 => w -> rn }.toMap
     require(tgt.nonEmpty && rw.nonEmpty, "fitDsir: empty corpus")
-    val vocab = (tgt.keySet ++ rw.keySet).toSeq.sorted
+    val vocab = counts.map(_._1).sorted.toSeq
     require(vocab.length <= maxVocabEntries,
       s"fitDsir: shared vocabulary has ${vocab.length} entries > bound " +
         s"$maxVocabEntries — the models ride the weighting plan as a " +
@@ -181,5 +190,32 @@ object QualityClassifier {
       .otherwise(split(lower(trim(col(textCol))), "\\s+"))
     df.withColumn(outCol, aggregate(words, lit(0.0), (acc, w) =>
       acc + coalesce(element_at(lut, w), lit(model.oovLr))))
+  }
+
+  /** The RESAMPLE half of DSIR: keep each row with probability
+    * `exp(logw − logwMax)` — self-normalized rejection sampling, the
+    * heaviest row always survives and the kept fraction adapts to the
+    * weight distribution. The uniform is the repo's deterministic
+    * md5-prefix draw ([[CorpusPrep.deterministicSample]]'s convention:
+    * first 4 hex chars of `md5(salt|id)` against a per-row cutoff, 1/65536
+    * resolution) — membership is a pure function of (salt, id, logw), the
+    * same rows survive on any cluster, any partitioning, any engine.
+    *
+    * Cost: one max() pass for the normalizer (a driver scalar — the only
+    * global state), then a pure per-row filter. No shuffle, no RNG state.
+    */
+  def importanceResample(df: DataFrame, idCol: String, logwCol: String,
+      salt: String = ""): DataFrame = {
+    // The normalizer pass and the filter pass both read the weight column
+    // — staged once so an upstream weight FOLD (dsirLogWeights) is not
+    // re-evaluated corpus-wide for the max() alone.
+    val staged = graft.core.Persist.stage(df)
+    val mxRow = staged.agg(max(col(logwCol))).head()
+    if (mxRow.isNullAt(0)) return staged // empty input: nothing to resample
+    val p = exp(col(logwCol) - lit(mxRow.getDouble(0)))
+    val cut = format_string("%05x", round(p * 65536.0).cast("int"))
+    val pref = concat(lit("0"), substring(md5(to_binary(
+      concat_ws("|", lit(salt), col(idCol).cast("string")), lit("utf-8"))), 1, 4))
+    staged.filter(pref < cut)
   }
 }

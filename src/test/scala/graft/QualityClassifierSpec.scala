@@ -81,6 +81,25 @@ class QualityClassifierSpec extends SparkSpec {
       "more target mass must mean higher weight")
   }
 
+  test("importance resampling keeps every row at uniform weights, always " +
+      "keeps the heaviest row, and is partitioning-invariant") {
+    val even = (0L until 200L).map(i => (i, 0.0)).toDF("id", "lw")
+    assert(QualityClassifier.importanceResample(even, "id", "lw").count() == 200,
+      "p = 1 for every row must keep every row")
+    val skew = (0L until 200L).map(i => (i, if (i == 42L) 0.0 else -3.0))
+      .toDF("id", "lw")
+    val kept = QualityClassifier.importanceResample(skew, "id", "lw", salt = "z")
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(42L), "the max-weight row accepts with p = 1")
+    assert(kept.size < 40, s"exp(-3) ~ 0.05 acceptance, got ${kept.size}/200")
+    val repart = QualityClassifier.importanceResample(
+        skew.repartition(13), "id", "lw", salt = "z")
+      .select("id").as[Long].collect().toSet
+    assert(repart == kept, "membership is a pure function of (salt, id, logw)")
+    assert(QualityClassifier.importanceResample(
+      even.limit(0), "id", "lw").count() == 0)
+  }
+
   test("DSIR tokens unseen in BOTH fit corpora fold the constant " +
       "smoothing-floor ratio per occurrence") {
     val raw = Seq((0L, "a b")).toDF("doc_id", "text")
