@@ -390,14 +390,43 @@ object BatchCommit {
       if (readLease() == expected) f.delete(lock, false)
     def leaseTs(txt: String): Option[Long] =
       """"ts":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    def leaseHolder(txt: String): Option[String] =
+      """"holder":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    // Liveness is extended through a HOLDER-SUFFIXED heartbeat sidecar, not
+    // by rewriting the lock: the lock file is written exactly once at
+    // acquisition and deleted at release, so a reader can never observe it
+    // torn mid-renewal, and there is no delete+rename window in which a
+    // second writer's create(lock, false) could succeed against a live
+    // holder (HDFS/S3A rename refuses an existing destination, which would
+    // force exactly that fallback every renewal period).
+    def hbPath(h: String) = new Path(root, s"$leaseFile.hb.$h")
+    // Newest liveness signal for the holder named in the lock: the
+    // heartbeat's content ts, falling back to the heartbeat FILE's mtime
+    // when a read catches it torn (mtime tracks the write that tore it).
+    def heartbeatTs(h: String): Option[Long] = {
+      val p = hbPath(h)
+      val content =
+        try {
+          val in = f.open(p)
+          try {
+            val buf = new Array[Byte](256)
+            val n = in.read(buf)
+            leaseTs(new String(buf, 0, math.max(0, n),
+              java.nio.charset.StandardCharsets.UTF_8))
+          } finally in.close()
+        } catch { case _: java.io.IOException => None }
+      content.orElse(
+        try Some(f.getFileStatus(p).getModificationTime)
+        catch { case _: java.io.IOException => None })
+    }
     // Stale judgment must never default an UNREADABLE lease to stale: an
     // empty/partial read can mean a lease caught mid-write, and breaking
     // it would admit the concurrent append the lease exists to prevent.
     // Unparsable content → re-read a few times (a torn write resolves in
     // ms); still unparsable but the file EXISTS → judge by the file's
-    // modification time (renewal rewrites the file, so mtime tracks
-    // liveness even when content can't be parsed); file GONE → the holder
-    // released between our create-fail and read — retry the acquire.
+    // modification time; file GONE → the holder released between our
+    // create-fail and read — retry the acquire. A parsable lease is live
+    // while EITHER its own ts or its holder's heartbeat is within the TTL.
     if (!tryAcquire()) {
       var txt = readLease()
       var ts = leaseTs(txt)
@@ -406,17 +435,24 @@ object BatchCommit {
         Thread.sleep(50); txt = readLease(); ts = leaseTs(txt); retries += 1
       }
       val now = System.currentTimeMillis
-      val stale = ts match {
-        case Some(t) => now - t > ttlMs
+      val liveTs = ts match {
+        case Some(t) =>
+          Some((Seq(t) ++ leaseHolder(txt).flatMap(heartbeatTs)).max)
         case None =>
-          try now - f.getFileStatus(lock).getModificationTime > ttlMs
-          catch { case _: java.io.IOException => true } // gone → retry acquire below
+          try Some(f.getFileStatus(lock).getModificationTime)
+          catch { case _: java.io.IOException => None } // gone → retry acquire below
       }
+      val stale = liveTs.forall(t => now - t > ttlMs)
       if (!stale) throw new IllegalStateException(
         s"append to $root: another writer holds the lease ($txt) — " +
           "a concurrent append would interleave staging and adoption; " +
           "wait for it (or for the lease TTL if it crashed)")
       deleteIfContentIs(txt) // break the stale lease iff it is still the one we judged
+      // Sweep the crashed holder's heartbeat so it cannot vouch for a
+      // future lease that happens to reuse the same holder id.
+      leaseHolder(txt).foreach(h =>
+        try f.delete(hbPath(h), false)
+        catch { case _: java.io.IOException => () })
       if (!tryAcquire()) throw new IllegalStateException(
         s"append to $root: lost the race re-acquiring a stale lease")
     }
@@ -428,41 +464,24 @@ object BatchCommit {
     // longer than the TTL) can be broken, and that case is caught by
     // `verifyOwned()` at the adoption step.
     @volatile var released = false
-    // Renewal never truncates the live lock in place (a waiter reading
-    // mid-truncate would see an empty lease): the new lease body lands in
-    // a holder-suffixed temp file and REPLACES the lock via rename —
-    // atomic on local/HDFS. On a dest-exists-refusing FS the rename fails
-    // and we fall back to delete+rename, whose brief missing-file window
-    // the waiter's retry/mtime judgment above absorbs.
+    // Renewal NEVER touches the lock: it overwrites only this holder's own
+    // heartbeat sidecar. The only writer of that file is this renewer
+    // thread, so the create(overwrite) truncation can race nothing but a
+    // waiter's read — and a torn heartbeat read falls back to the file's
+    // mtime, which the very write that tore it keeps fresh. A heartbeat
+    // written after the lock was broken as stale cannot resurrect the
+    // lease (waiters only consult the heartbeat of the holder the LOCK
+    // names, and the break path sweeps the broken holder's heartbeat);
+    // verifyOwned() before adoption remains the backstop for a writer
+    // stalled past its TTL.
     def renew(): Unit =
       if (!released && readLease().contains(s""""holder":"$holder""""))
         try {
-          val tmp = new Path(root, s"$leaseFile.renew.$holder")
-          val out = f.create(tmp, true)
+          val out = f.create(hbPath(holder), true)
           try out.write(
             s"""{"holder":"$holder","ts":${System.currentTimeMillis}}"""
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
-          if (!f.rename(tmp, lock)) {
-            // Ownership re-check before the non-atomic fallback: only
-            // delete a lock that is still OURS.
-            if (readLease().contains(s""""holder":"$holder"""")) {
-              f.delete(lock, false)
-              if (!f.rename(tmp, lock)) f.delete(tmp, false)
-            } else f.delete(tmp, false)
-          }
-          // A renew whose create outlived the release (slow store: the
-          // finally block's join(2000) timed out, deleted the lease and
-          // returned, then this create completed) must not RESURRECT the
-          // lease — that would wedge every writer for a full TTL against
-          // a holder that already finished. Ownership-checked re-release.
-          if (released && readLease().contains(s""""holder":"$holder""""))
-            f.delete(lock, false)
-          // The sibling hazard — a writer stalled PAST its TTL between
-          // renew's read and create clobbering a successor's lease — is
-          // the same irreducible read→write TOCTOU documented at
-          // deleteIfContentIs; verifyOwned() before adoption is the
-          // backstop.
         } catch { case _: java.io.IOException => () }
     val renewEveryMs = math.max(50L, ttlMs / 3)
     val renewer = new Thread(() => {
@@ -480,11 +499,11 @@ object BatchCommit {
       released = true
       renewer.interrupt()
       renewer.join(2000)
-      // The interrupt can land mid-renewal-IO (InterruptedIOException
-      // inside create/write), stranding the holder-suffixed temp file —
-      // delete it best-effort; it is ours by construction (the name
-      // carries the holder id).
-      try f.delete(new Path(root, s"$leaseFile.renew.$holder"), false)
+      // Sweep our own heartbeat; it is ours by construction (the name
+      // carries the holder id). Best-effort — an orphan heartbeat is
+      // harmless (waiters only consult it while a lock names its holder,
+      // and the stale-break path sweeps it), just litter.
+      try f.delete(hbPath(holder), false)
       catch { case _: java.io.IOException => () }
       // Release only our own lease: if it expired mid-append and a
       // successor broke it, theirs must survive.

@@ -122,29 +122,37 @@ class BatchCommitSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(lock))
   }
 
-  test("writer lease: renewal replaces the lock atomically — a concurrent " +
-      "reader never observes an empty lease, and no temp files survive") {
+  test("writer lease: renewal never touches the lock — a concurrent " +
+      "reader always sees the holder's intact lease, the heartbeat " +
+      "sidecar advances, and nothing survives release") {
     val p = tmp("lex_renew_atomic")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
     val lock = java.nio.file.Paths.get(p, BatchCommit.leaseFile)
-    // ttl 300 ms → a renewal every 100 ms; the body hammers reads for
-    // 1.2 s. In-place truncate+write renewal fails this reliably (the
-    // read lands mid-truncate and sees zero bytes); temp+rename must not.
+    val hb = java.nio.file.Paths.get(p,
+      BatchCommit.leaseFile + ".hb.atomic-writer")
+    // ttl 300 ms → a heartbeat every 100 ms; the body hammers lock reads
+    // for 1.2 s. The lock file must NEVER be missing or torn mid-body (the
+    // old temp+rename renewal had a delete+rename fallback window on
+    // dest-exists-refusing filesystems), and the heartbeat must advance so
+    // a waiter judges the long-running holder live.
     BatchCommit.withWriterLease(spark, p, holder = "atomic-writer",
         ttlMs = 300) {
       val deadline = System.currentTimeMillis + 1200
+      var hbSeen = false
       while (System.currentTimeMillis < deadline) {
         val txt = try new String(java.nio.file.Files.readAllBytes(lock),
           "UTF-8") catch { case _: java.io.IOException => null }
-        if (txt != null)
-          assert(txt.contains("\"holder\":\"atomic-writer\""),
-            s"reader observed a torn lease: [$txt]")
+        assert(txt != null && txt.contains("\"holder\":\"atomic-writer\""),
+          s"reader observed a missing/torn lease: [$txt]")
+        hbSeen ||= java.nio.file.Files.exists(hb)
       }
+      assert(hbSeen, "the heartbeat sidecar must appear within 4 periods")
     }
     assert(!java.nio.file.Files.exists(lock))
     val strays = java.nio.file.Files.list(java.nio.file.Paths.get(p))
       .toArray.map(_.toString).filter(_.contains(BatchCommit.leaseFile))
-    assert(strays.isEmpty, s"renewal temp files must not survive: ${strays.toSeq}")
+    assert(strays.isEmpty,
+      s"lease/heartbeat files must not survive release: ${strays.toSeq}")
   }
 
   test("writer lease: verifyOwned aborts before adoption when the lease " +
