@@ -2827,6 +2827,27 @@ object Queries {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    "tokenize_subword" -> ((s, dir) => {
+      // Real subword tokenization (not the regex estimate): an
+      // SQL-replayable frequency vocab — top-8 whole words + every char
+      // 1/2-gram — applied by the greedy longest-match kernel; pieces and
+      // dense sorted-vocab ids emitted as joined strings (array outputs
+      // stringify unstably through the compare). Frequent words match
+      // whole, the rest decompose to bigrams/chars — longest-match
+      // priority is live on every rare word.
+      val d = read(s, dir, "documents")
+      val vocab = graft.operators.Tokenizer.freqVocab(
+        d, "text", topWords = 8, charNgramLens = Seq(1, 2))
+      graft.operators.Tokenizer.tokenize(d, "text", vocab, "pieces")
+        .select(col("doc_id"),
+          size(col("pieces")).as("n_tokens"),
+          concat_ws("|", col("pieces")).as("pieces_str"),
+          concat_ws(",", transform(
+            graft.operators.Tokenizer.tokenIds(col("pieces"), vocab),
+            i => i.cast("string"))).as("token_ids_str"))
+        .orderBy("doc_id")
+    }),
+
     "chunk_docs" -> ((s, dir) => {
       // Passage chunking for retrieval/training: 128-token windows with
       // 32-token overlap; trailing starts that add no new words are
@@ -5065,6 +5086,57 @@ object Queries {
         |      < printf('%05x', CAST(round(exp(lw - mlw) * 65536) AS INT))
         |ORDER BY doc_id""".stripMargin,
 
+    // Replays the whole tokenizer in ANSI SQL: the vocab rule (top-8 words
+    // by count desc/word asc + distinct char 1/2-grams over distinct
+    // words), then greedy longest-match as a recursive CTE over DISTINCT
+    // words (at each position the longest vocab piece prefixing the
+    // remaining suffix — ORDER BY len DESC, p LIMIT 1 is a total order —
+    // else '<unk>' advancing one char), reassembled per doc in word order.
+    // substr/len are codepoint-indexed like the kernel; ids are
+    // row_number() over the binary-collated piece sort, the idOf contract.
+    "tokenize_subword" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |        ELSE string_split(lower(trim(text)), ' ') END AS ws FROM documents),
+        |wi AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM t),
+        |w AS (SELECT doc_id, i, w FROM wi WHERE w != ''),
+        |top AS (SELECT w AS p FROM (SELECT w, count(*) AS n FROM w GROUP BY w)
+        |        ORDER BY n DESC, w LIMIT 8),
+        |dw AS (SELECT DISTINCT w FROM w),
+        |g1 AS (SELECT DISTINCT substr(dw.w, u.i, 1) AS p
+        |       FROM dw, unnest(generate_series(1, len(dw.w))) AS u(i)),
+        |g2 AS (SELECT DISTINCT substr(dw.w, u.i, 2) AS p
+        |       FROM dw, unnest(generate_series(1, len(dw.w) - 1)) AS u(i)),
+        |vocab AS (SELECT DISTINCT p FROM (SELECT p FROM top UNION ALL
+        |          SELECT p FROM g1 UNION ALL SELECT p FROM g2)),
+        |ids AS (SELECT p, CAST(row_number() OVER (ORDER BY p) AS INT) AS id
+        |        FROM vocab),
+        |mp AS (SELECT map(list(p ORDER BY p), list(id ORDER BY p)) AS m FROM ids),
+        |tok AS (
+        |  SELECT w, 1 AS pos, 0 AS pi, CAST(NULL AS VARCHAR) AS piece FROM dw
+        |  UNION ALL
+        |  SELECT tok.w,
+        |    tok.pos + coalesce((SELECT len(v.p) FROM vocab v
+        |      WHERE substr(tok.w, tok.pos, len(v.p)) = v.p
+        |      ORDER BY len(v.p) DESC, v.p LIMIT 1), 1),
+        |    tok.pi + 1,
+        |    coalesce((SELECT v.p FROM vocab v
+        |      WHERE substr(tok.w, tok.pos, len(v.p)) = v.p
+        |      ORDER BY len(v.p) DESC, v.p LIMIT 1), '<unk>')
+        |  FROM tok WHERE tok.pos <= len(tok.w)),
+        |wp AS (SELECT w, list(piece ORDER BY pi) AS pieces
+        |       FROM tok WHERE pi > 0 GROUP BY w),
+        |docs AS (SELECT w.doc_id, flatten(list(wp.pieces ORDER BY w.i)) AS pieces
+        |         FROM w JOIN wp ON w.w = wp.w GROUP BY w.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(len(docs.pieces), 0) AS INT) AS n_tokens,
+        |  coalesce(array_to_string(docs.pieces, '|'), '') AS pieces_str,
+        |  coalesce(array_to_string(
+        |    list_transform(docs.pieces, x -> mp.m[x][1]), ','), '') AS token_ids_str
+        |FROM documents d CROSS JOIN mp
+        |LEFT JOIN docs ON d.doc_id = docs.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // Zipped unnests over the same start list stay aligned in DuckDB, so
     // chunk_id / token count / slice all read the same start. 0-based
     // starts both sides; list_slice is 1-based inclusive like Spark slice.
@@ -5521,11 +5593,19 @@ object Queries {
     "hybrid_search_saved" -> HybridRrfOracle,
 
     // Exact NOT EXISTS over all corpus×eval cosine pairs — the definition
-    // the broadcast nested-loop anti-join implements.
+    // the broadcast nested-loop anti-join implements. The norm > 0 guards
+    // mirror the route's zero-vector semantics (undefined-not-contaminated):
+    // without them DuckDB's list_cosine_similarity yields NaN for a zero
+    // vector and NaN >= τ is TRUE under DuckDB's NaN-greatest ordering, so
+    // a zero vector would contaminate (or be contaminated by) everything.
     "decontaminate_semantic" ->
       """SELECT a.vec_id FROM embeddings a
         |WHERE a.vec_id % 2 = 0 AND NOT EXISTS (
         |  SELECT 1 FROM embeddings b WHERE b.vec_id % 2 = 1
+        |  AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                       CAST(a.embedding AS DOUBLE[])) > 0
+        |  AND list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                       CAST(b.embedding AS DOUBLE[])) > 0
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45)
         |ORDER BY vec_id""".stripMargin,

@@ -22,12 +22,22 @@ object CorpusPrep {
     * digit lets fraction 1.0 render as "10000" and clear every hash).
     * Rendered identically by Spark and ANSI oracles.
     */
-  private def hashPrefix(keyCol: Column, salt: String): Column =
+  private[graft] def hashPrefix(keyCol: Column, salt: String): Column =
     concat(lit("0"), substring(md5(to_binary(
       concat_ws("|", lit(salt), keyCol.cast("string")), lit("utf-8"))), 1, 4))
 
-  private def cutHex(fraction: Double): String =
+  private[graft] def cutHex(fraction: Double): String =
     f"${math.round(fraction * 65536.0).toInt}%05x"
+
+  /** Column-typed [[cutHex]] for PER-ROW keep probabilities
+    * ([[QualityClassifier.importanceResample]]): same %05x rendering, same
+    * half-up rounding, so a constant column matches cutHex exactly. Both
+    * variants and [[hashPrefix]] are the single definition of the
+    * deterministic-membership convention — oracles replay these byte
+    * recipes, so a second hand-rolled copy could silently drift.
+    */
+  private[graft] def cutHexCol(fraction: Column): Column =
+    format_string("%05x", round(fraction * 65536.0).cast("int"))
 
   /** Deterministic content-hash sampling: keep a row iff the first 4 hex
     * chars of `md5(salt|key)` fall under `fraction` of the 16-bit space.

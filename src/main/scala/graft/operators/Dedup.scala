@@ -136,15 +136,26 @@ object Dedup {
     * set's: exact cliques collapse to stars and any qualifying
     * cross-group pair survives through the groups' representatives.
     */
+  /** The CANONICAL content-fingerprint collapse frame for texts —
+    * (id, textCol, __fp, __rep), staged; __rep is the group's min id. Both
+    * the pair enumerators ([[withExactCollapse]]) and
+    * [[minhashRecallReport]] derive their representative frames from THIS
+    * projection — a second hand-rolled copy of the window could silently
+    * desynchronize the recall report from the route it claims to measure.
+    */
+  private def textCollapseMarked(dfIn: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    parallelize(dfIn)
+      .select(col(idCol).cast("long").as("id"), col(textCol))
+      .withColumn("__fp", xxhash64(col(textCol)))
+      .withColumn("__rep", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
+      .transform(graft.core.Persist.stage(_))
+
   private def withExactCollapse(dfIn: DataFrame, textCol: String,
       idCol: String, exactScore: Column)(
       enumerate: DataFrame => DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__fp")
-    val marked = parallelize(dfIn)
-      .select(col(idCol).cast("long").as("id"), col(textCol))
-      .withColumn("__fp", xxhash64(col(textCol)))
-      .withColumn("__rep", min(col("id")).over(w))
-      .transform(graft.core.Persist.stage(_))
+    val marked = textCollapseMarked(dfIn, textCol, idCol)
     val star = marked.filter(col("id") =!= col("__rep"))
       .select(col("__rep").as("id1"), col("id").as("id2"), exactScore)
     val reps = marked.filter(col("id") === col("__rep"))
@@ -228,13 +239,13 @@ object Dedup {
       sampleSize: Int = 2048): DataFrame = {
     require(bandTiers.nonEmpty && bandTiers.forall(b => b > 0 && numHashes % b == 0),
       s"minhashRecallReport: every band tier must divide numHashes=$numHashes")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__fp")
-    val reps = graft.core.Persist.stage(parallelize(df)
-      .select(col(idCol).cast("long").as("id"), col(textCol))
-      .withColumn("__fp", xxhash64(col(textCol)))
-      .withColumn("__rep", min(col("id")).over(w))
-      .filter(col("id") === col("__rep"))
-      .select(col("id"), col(textCol)))
+    // The SAME canonical collapse the enumerators run (see
+    // textCollapseMarked) — the report must measure the representative
+    // frame the routes actually see.
+    val reps = graft.core.Persist.stage(
+      textCollapseMarked(df, textCol, idCol)
+        .filter(col("id") === col("__rep"))
+        .select(col("id"), col(textCol)))
     val nReps = reps.count()
     val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, nReps))
     val sampled =

@@ -504,7 +504,7 @@ object EmbedOps {
       // convention — content-hash sample membership, pure function of the
       // vector multiset), multi-assign via the ProbeCells kernel, narrow
       // (id, cell) exchange, exact cosine verify over the vector re-join.
-      val (star, base, celled0, k) =
+      val (star, base, celled0, k, nDistinct, repDim) =
         cellAssignments(indexed, v, idCol, targetCellSize, cellProbes, seed)
       // OCCUPANCY GUARD (the rangeJoin maxBucketsPerInterval convention):
       // one narrow histogram aggregate over the staged (id, cell) frame
@@ -530,7 +530,8 @@ object EmbedOps {
       val b = celled.toDF("id2", "c2")
       val candRaw = a.join(b, col("c1") === col("c2") && col("id1") < col("id2"))
         .select("id1", "id2")
-      star.unionAll(verifyPairs(candRaw, base, threshold))
+      star.unionAll(verifyPairs(candRaw, base, threshold,
+        knownRows = nDistinct, knownDim = repDim))
     } else if (useLsh.contains(false) || (useLsh.isEmpty && !big)) {
       val a = indexed.select(col(idCol).cast(LongType).as("id1"), col(v).as("v1"))
       val b = indexed.select(col(idCol).cast(LongType).as("id2"), col(v).as("v2"))
@@ -553,7 +554,9 @@ object EmbedOps {
       val b = keyed.toDF("id2", "bk2")
       val candRaw = a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
         .select("id1", "id2")
-      verifyPairs(candRaw, base, threshold)
+      // n is the routing count when one was taken (-1 under an explicit
+      // useLsh, where verifyPairs counts the staged frame itself).
+      verifyPairs(candRaw, base, threshold, knownRows = n, knownDim = d)
     }
   }
 
@@ -571,10 +574,18 @@ object EmbedOps {
     * task.
     */
   private def verifyPairs(candRaw: DataFrame, base: DataFrame,
-      threshold: Double): DataFrame = {
-    val first = base.take(1)
-    val dim = if (first.isEmpty) 0 else first(0).getSeq[Float](1).size
-    val fits = base.count() * (4L * dim + 28L) <= verifyBroadcastMaxBytes
+      threshold: Double, knownRows: Long = -1L, knownDim: Int = -1): DataFrame = {
+    // Callers that already counted/measured the staged frame pass the
+    // stats in — re-deriving them here would add two Spark jobs per call
+    // (multiplied by the probe tiers in neardupRecallReport).
+    val dim =
+      if (knownDim >= 0) knownDim
+      else {
+        val first = base.take(1)
+        if (first.isEmpty) 0 else first(0).getSeq[Float](1).size
+      }
+    val rows = if (knownRows >= 0) knownRows else base.count()
+    val fits = rows * (4L * dim + 28L) <= verifyBroadcastMaxBytes
     if (fits)
       candRaw
         .join(broadcast(base.toDF("id1", "v1")), "id1")
@@ -603,14 +614,24 @@ object EmbedOps {
     * the verify join the caller runs. Returns (star edges, staged (id,
     * vec) reps, (id, cell) assignments, nCells).
     */
-  private def cellAssignments(indexed: DataFrame, v: String, idCol: String,
-      targetCellSize: Int, cellProbes: Int,
-      seed: Long): (DataFrame, DataFrame, DataFrame, Int) = {
-    val w = Window.partitionBy("__fp")
-    val marked = graft.core.Persist.stage(
+  /** The CANONICAL content-fingerprint collapse frame for vectors —
+    * (id, vec, __fp, __rep), staged; __rep is the group's min id. Both the
+    * cells route ([[cellAssignments]]) and [[neardupRecallReport]] derive
+    * their representative frames from THIS projection: a second
+    * hand-rolled copy of the window could silently desynchronize the
+    * recall report from the route it claims to measure.
+    */
+  private def vecCollapseMarked(indexed: DataFrame, v: String,
+      idCol: String): DataFrame =
+    graft.core.Persist.stage(
       indexed.select(col(idCol).cast(LongType).as("id"), col(v).as("vec"))
         .withColumn("__fp", xxhash64(col("vec")))
-        .withColumn("__rep", min(col("id")).over(w)))
+        .withColumn("__rep", min(col("id")).over(Window.partitionBy("__fp"))))
+
+  private def cellAssignments(indexed: DataFrame, v: String, idCol: String,
+      targetCellSize: Int, cellProbes: Int,
+      seed: Long): (DataFrame, DataFrame, DataFrame, Int, Long, Int) = {
+    val marked = vecCollapseMarked(indexed, v, idCol)
     val star = marked.filter(col("id") =!= col("__rep"))
       .select(col("__rep").as("id1"), col("id").as("id2"),
         lit(1.0).as("score"))
@@ -640,7 +661,8 @@ object EmbedOps {
     val celled = base.select(col("id"),
       explode(graft.functions.VectorExprs.probeCells(
         col("vec"), centroids, cellProbes)).as("cell"))
-    (star, base, celled, k)
+    val dim = if (centroids.isEmpty) 0 else centroids(0).length
+    (star, base, celled, k, nDistinct, dim)
   }
 
   /** Occupancy diagnostics for the cells route — the embedding sibling of
@@ -668,13 +690,13 @@ object EmbedOps {
       seed: Long = 42): CellDiagnostics = {
     val indexed = semIndex(df, c)
     val n = df.count()
-    val (_, base, celled, k) =
+    val (_, _, celled, k, nDistinct, _) =
       cellAssignments(indexed, vecCol(c), idCol, targetCellSize, cellProbes,
         seed)
     val occ = celled.groupBy("cell").agg(count(lit(1)).as("n"))
     val r = occ.agg(count(lit(1)), max(col("n")), avg(col("n")),
       sum(col("n") * (col("n") - 1) / 2).cast(LongType)).head()
-    CellDiagnostics(k, n, base.count(), r.getLong(0), r.getLong(1),
+    CellDiagnostics(k, n, nDistinct, r.getLong(0), r.getLong(1),
       r.getDouble(2), r.getLong(3))
   }
 
@@ -702,13 +724,13 @@ object EmbedOps {
     require(cellProbesTiers.nonEmpty, "neardupRecallReport: need ≥1 probe tier")
     val v = vecCol(c)
     val indexed = semIndex(df, c)
-    val w = Window.partitionBy("__fp")
+    // The SAME canonical collapse the route runs — a private copy of the
+    // window here would let the report measure a different representative
+    // frame than the route it certifies.
     val reps = graft.core.Persist.stage(
-      indexed.select(col(idCol).cast(LongType).as("id"), col(v))
-        .withColumn("__fp", xxhash64(col(v)))
-        .withColumn("__rep", min(col("id")).over(w))
+      vecCollapseMarked(indexed, v, idCol)
         .filter(col("id") === col("__rep"))
-        .select(col("id"), col(v)))
+        .select(col("id"), col("vec").as(v)))
     val nReps = reps.count()
     // Bounded deterministic sample — content-hash membership (a pure
     // function of the vector, not of partitioning), the fit-sample

@@ -63,21 +63,27 @@ object QualityClassifier {
       s"trainNaiveBayes: need both classes in $labelCol, " +
         s"got ${docCounts.keys.mkString(",")} — a one-class corpus has no " +
         "likelihood ratio to fit")
-    val counts = df
+    // The bound is enforced BEFORE any driver collect (stage the
+    // distributed aggregate, probe its size with a bounded count, only
+    // then pull): a web-scale vocabulary must fail at aggregate cost, not
+    // OOM the driver on the very collect the bound exists to prevent.
+    val (agg, blocks) = graft.core.Persist.stageTracked(df
       .select(y.as("y"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word")
       .agg(sum(when(col("y"), 1L).otherwise(0L)).as("c1"),
         sum(when(col("y"), 0L).otherwise(1L)).as("c0"))
-      .filter(col("c1") + col("c0") >= minCount)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    require(counts.nonEmpty, "trainNaiveBayes: corpus has no tokens")
-    require(counts.length <= maxVocabEntries,
-      s"trainNaiveBayes: vocabulary has ${counts.length} entries > bound " +
-        s"$maxVocabEntries — the model rides every scoring task as a plan " +
+      .filter(col("c1") + col("c0") >= minCount))
+    val vocabSize = agg.limit(maxVocabEntries + 1).count()
+    require(vocabSize > 0, "trainNaiveBayes: corpus has no tokens")
+    require(vocabSize <= maxVocabEntries,
+      s"trainNaiveBayes: vocabulary has > $maxVocabEntries entries " +
+        "(bound) — the model rides every scoring task as a plan " +
         "literal; raise minCount to shrink it, or raise maxVocabEntries " +
         "deliberately")
+    val counts = agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    graft.core.Persist.unstage(df.sparkSession, blocks)
     val t1 = counts.map(_._2).sum.toDouble
     val t0 = counts.map(_._3).sum.toDouble
     val v = counts.length.toDouble
@@ -153,20 +159,25 @@ object QualityClassifier {
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .withColumn("__t", lit(isTarget))
-    val counts = toks(raw, isTarget = false)
-      .unionByName(toks(target, isTarget = true))
-      .groupBy("word")
-      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("tn"),
-        sum(when(col("__t"), 0L).otherwise(1L)).as("rn"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // Bound enforced pre-collect (the trainNaiveBayes convention): stage
+    // the aggregate, probe its size bounded, only then pull to the driver.
+    val (agg, blocks) = graft.core.Persist.stageTracked(
+      toks(raw, isTarget = false)
+        .unionByName(toks(target, isTarget = true))
+        .groupBy("word")
+        .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("tn"),
+          sum(when(col("__t"), 0L).otherwise(1L)).as("rn")))
+    val vocabSize = agg.limit(maxVocabEntries + 1).count()
+    require(vocabSize <= maxVocabEntries,
+      s"fitDsir: shared vocabulary has > $maxVocabEntries entries " +
+        "(bound) — the models ride the weighting plan as a " +
+        "literal; raise maxVocabEntries deliberately")
+    val counts = agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    graft.core.Persist.unstage(raw.sparkSession, blocks)
     val tgt = counts.collect { case (w, tn, _) if tn > 0 => w -> tn }.toMap
     val rw = counts.collect { case (w, _, rn) if rn > 0 => w -> rn }.toMap
     require(tgt.nonEmpty && rw.nonEmpty, "fitDsir: empty corpus")
     val vocab = counts.map(_._1).sorted.toSeq
-    require(vocab.length <= maxVocabEntries,
-      s"fitDsir: shared vocabulary has ${vocab.length} entries > bound " +
-        s"$maxVocabEntries — the models ride the weighting plan as a " +
-        "literal; raise maxVocabEntries deliberately")
     val tTot = tgt.values.sum.toDouble
     val rTot = rw.values.sum.toDouble
     val v = vocab.length.toDouble
@@ -213,9 +224,8 @@ object QualityClassifier {
     val mxRow = staged.agg(max(col(logwCol))).head()
     if (mxRow.isNullAt(0)) return staged // empty input: nothing to resample
     val p = exp(col(logwCol) - lit(mxRow.getDouble(0)))
-    val cut = format_string("%05x", round(p * 65536.0).cast("int"))
-    val pref = concat(lit("0"), substring(md5(to_binary(
-      concat_ws("|", lit(salt), col(idCol).cast("string")), lit("utf-8"))), 1, 4))
-    staged.filter(pref < cut)
+    // The draw and cutoff are CorpusPrep's shared membership convention —
+    // one definition, so the byte recipe oracles replay cannot drift.
+    staged.filter(CorpusPrep.hashPrefix(col(idCol), salt) < CorpusPrep.cutHexCol(p))
   }
 }

@@ -30,7 +30,7 @@ object ScaleStress {
       "agg_skew_distinct,corpus_global_rank,tfidf_topterms"
 
   def buildBlowup(spark: SparkSession, base: String, out: String,
-      factor: Int): Unit = {
+      factor: Int, perturb: Double = 0.0): Unit = {
     val k = spark.range(factor.toLong).toDF("__k")
 
     val docs = spark.read.parquet(s"$base/documents.parquet")
@@ -49,14 +49,13 @@ object ScaleStress {
 
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
-    // SPARK_GRAFT_SCALE_PERTURB > 0 jitters every copy k > 0 with
-    // deterministic per-(vector, copy, slot) noise of that amplitude:
-    // verbatim replication keeps the DISTINCT vector count at the base
-    // corpus size (the exact pre-collapse absorbs the whole blow-up and
-    // the cells route never sees a big distinct set), while perturbed
-    // copies form genuine near-dup clusters around each base vector —
-    // the real SemDeDup workload, with the distinct count growing ×N.
-    val perturb = sys.env.getOrElse("SPARK_GRAFT_SCALE_PERTURB", "0").toDouble
+    // perturb > 0 jitters every copy k > 0 with deterministic
+    // per-(vector, copy, slot) noise of that amplitude: verbatim
+    // replication keeps the DISTINCT vector count at the base corpus size
+    // (the exact pre-collapse absorbs the whole blow-up and the cells
+    // route never sees a big distinct set), while perturbed copies form
+    // genuine near-dup clusters around each base vector — the real
+    // SemDeDup workload, with the distinct count growing ×N.
     val replicated = emb.crossJoin(k)
     val jittered =
       if (perturb <= 0) replicated
@@ -81,6 +80,33 @@ object ScaleStress {
       .drop("__k")
       .repartition(64)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // The geometry marker: a PREBUILT reuse labels its records from what
+    // the dataset actually IS, not from whatever env vars happen to be set
+    // at bench time (a perturbed blow-up re-benched without the perturb
+    // env would otherwise publish recall numbers under the wrong label).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "blowup.json"),
+      s"""{"base":"$base","factor":$factor,"perturb":$perturb}""")
+  }
+
+  /** sf label of a blow-up dir: from its `blowup.json` marker when present
+    * (authoritative — the dataset's real geometry), else from the given
+    * fallback values (pre-marker dirs).
+    */
+  def sfLabel(out: String, base: String, factor: Int, perturb: Double): String = {
+    val marker = java.nio.file.Paths.get(out, "blowup.json")
+    val (b, f, p) =
+      if (java.nio.file.Files.exists(marker)) {
+        val txt = java.nio.file.Files.readString(marker)
+        def field(k: String) = (s""""$k":"?([^",}]+)"""".r)
+          .findFirstMatchIn(txt).map(_.group(1))
+        (field("base").getOrElse(base),
+          field("factor").map(_.toInt).getOrElse(factor),
+          field("perturb").map(_.toDouble).getOrElse(perturb))
+      } else (base, factor, perturb)
+    val tag = if (p > 0) s"~p$p" else ""
+    s"${b}x$f$tag"
   }
 
   def main(args: Array[String]): Unit = {
@@ -102,23 +128,29 @@ object ScaleStress {
     // SPARK_GRAFT_SCALE_PREBUILT reuses an existing blow-up dir: the
     // measurement session then starts clean (no residue from the build
     // job), and iterating on one query doesn't pay the build each run.
+    // Parsed ONCE, loudly, before any expensive work — a malformed value
+    // must not kill the run after the build/bench already paid.
+    val perturb = sys.env.get("SPARK_GRAFT_SCALE_PERTURB") match {
+      case None | Some("") => 0.0
+      case Some(v) => v.toDoubleOption.getOrElse(sys.error(
+        s"SPARK_GRAFT_SCALE_PERTURB=[$v] is not a number"))
+    }
     val out = sys.env.get("SPARK_GRAFT_SCALE_PREBUILT").getOrElse {
       val d = java.nio.file.Files.createTempDirectory("graft_scale").toString
       val t0 = System.nanoTime()
-      buildBlowup(spark, base, d, factor)
+      buildBlowup(spark, base, d, factor, perturb)
       System.err.println(f"[scale-stress] blow-up ×$factor built in " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s at $d")
       d
     }
+    val sf = sfLabel(out, base, factor, perturb)
     val names = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.contains(n) }
     require(names.map(_._1).toSet == only,
       s"unknown scale queries: ${only -- names.map(_._1)}")
     val loadBefore = graft.Bench.loadAvgNow()
     val outcome = graft.Bench.timeAll(spark, out, names, passes)
-    val perturbTag = sys.env.get("SPARK_GRAFT_SCALE_PERTURB")
-      .filter(p => p.toDouble > 0).map(p => s"~p$p").getOrElse("")
-    val json = graft.Bench.renderJson(outcome, s"${base}x$factor$perturbTag",
+    val json = graft.Bench.renderJson(outcome, sf,
       passes, loadBefore, graft.Bench.loadAvgNow())
     println(json)
     appendHistory(json)
@@ -149,7 +181,7 @@ object ScaleStress {
         rows.map(r => s"""{"$key":${r.getInt(0)},"n_sample":${r.getLong(1)},""" +
           s""""exact_pairs":${r.getLong(2)},"matched_pairs":${r.getLong(3)},""" +
           f""""recall":${r.getDouble(4)}%.4f}""").mkString("[", ",", "]")
-      val rec = s"""{"metric":"approx_route_recall","sf":"${base}x$factor$perturbTag",""" +
+      val rec = s"""{"metric":"approx_route_recall","sf":"$sf",""" +
         s""""cells_threshold":0.45,"cells":${tiers(cells, "cell_probes")},""" +
         s""""minhash_threshold":0.8,"minhash":${tiers(mh, "bands")},""" +
         f""""sec":${(System.nanoTime() - t0) / 1e9}%.1f}"""

@@ -188,13 +188,17 @@ class LexicalSpec extends SparkSpec {
     val corpus = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),   // equals eval vec
       (1L, Seq(0.9f, 0.1f, 0.0f)),   // near eval vec (cos > 0.9)
-      (2L, Seq(0.0f, 0.0f, 1.0f))    // orthogonal
+      (2L, Seq(0.0f, 0.0f, 1.0f)),   // orthogonal
+      (3L, Seq(0.0f, 0.0f, 0.0f))    // zero norm: cosine undefined → KEPT
     ).toDF("vec_id", "emb")
-    val eval = Seq((10L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "emb")
+    // The zero EVAL vector must contaminate nothing (undefined cosine),
+    // not everything (the NaN >= τ trap both engines would otherwise hit).
+    val eval = Seq((10L, Seq(1.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "emb")
     val kept = Decontaminate.dropContaminatedSemantic(
         corpus, "emb", eval, "emb", threshold = 0.9)
       .select("vec_id").as[Long].collect().sorted
-    assert(kept.sameElements(Array(2L)), kept.mkString(","))
+    assert(kept.sameElements(Array(2L, 3L)), kept.mkString(","))
     val e = intercept[IllegalArgumentException] {
       Decontaminate.dropContaminatedSemantic(corpus, "emb", eval, "emb",
         threshold = 0.9, maxBroadcastEvalRows = 0L)
