@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.IntegerType
   * Registered: `minhash_signature(words, shingleLen, numHashes)`,
   * `shingle_hashes(words, n)`, `simhash64(words)`,
   * `ngram_repetition(words, n)`, `deflate_ratio(text[, level])`,
-  * `array_dot(a, b)`, `long_set_jaccard(a, b)`. Shape parameters must be
+  * `array_dot(a, b)`, `long_set_jaccard(a, b)`,
+  * `subword_tokenize(words, vocab[, unk])`. Shape parameters must be
   * literals — they size
   * per-row loops at plan time, exactly like the DataFrame wrappers.
   */
@@ -44,6 +45,22 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
   }
+
+  /** A FOLDABLE array<string> (array(...) of literals, a typedLit, …)
+    * evaluated at registration — vocabularies size the per-row matcher at
+    * plan time, exactly like the int shape parameters.
+    */
+  private def stringArrayLit(e: Expression, fn: String, arg: String): Seq[String] =
+    if (e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      e.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toObjectArray(org.apache.spark.sql.types.StringType)
+            .map(v => if (v == null) null else v.toString).toSeq
+        case _ => throw new IllegalArgumentException(
+          s"$fn: $arg must be a non-null array<string> literal")
+      }
+    else throw new IllegalArgumentException(
+      s"$fn: $arg must be a foldable array<string> literal, got $e")
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
@@ -90,6 +107,21 @@ object GraftExtensions {
       "_FUNC_(a, b) - merge-based Jaccard of two array<bigint> sets") { args =>
       require(args.length == 2, "long_set_jaccard(a, b)")
       functions.LongSetJaccard(args.head, args(1))
+    },
+    fn("subword_tokenize",
+      "_FUNC_(words, vocab[, unk]) - greedy longest-match subword pieces " +
+        "of a word array against an array<string> vocab literal") {
+      args =>
+        require(args.length == 2 || args.length == 3,
+          "subword_tokenize(words, vocab[, unk])")
+        val unk = if (args.length == 3) args(2) match {
+          case Literal(u, org.apache.spark.sql.types.StringType) if u != null =>
+            u.toString
+          case other => throw new IllegalArgumentException(
+            s"subword_tokenize: unk must be a string literal, got $other")
+        } else "<unk>"
+        functions.SubwordTokenize(args.head,
+          stringArrayLit(args(1), "subword_tokenize", "vocab"), unk)
     },
     fn("nfc_normalize", "_FUNC_(text) - unicode NFC canonical composition") { args =>
       require(args.length == 1, "nfc_normalize(text)")

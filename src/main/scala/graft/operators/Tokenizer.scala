@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Subword tokenization for training-data pipelines: a trained vocabulary
+  * (frequency-derived or BPE) applied corpus-wide by the greedy
+  * longest-match kernel ([[graft.functions.SubwordTokenize]]). The split
+  * real pipelines use — train the tokenizer ONCE on a bounded sample
+  * (driver-side, deterministic), apply it EVERYWHERE as a broadcast plan
+  * literal — so the 100 TB cost is a single linear scan per corpus, no
+  * shuffle, no model service.
+  *
+  * Reference parity note: the reference engine counts tokens through its
+  * LM tokenizer (`lotus/models/lm.py` count_tokens); this module is the
+  * beyond-reference training-pipeline surface (real subword ids for
+  * packing/budgeting, not estimates).
+  */
+object Tokenizer {
+
+  /** A subword vocabulary. Piece ids are DENSE and DETERMINISTIC: sort the
+    * distinct pieces by UTF-8 binary order (Spark's string comparison and
+    * ANSI binary collation — the order an oracle's `row_number() OVER
+    * (ORDER BY piece)` replays), ids start at 1; id 0 is `<unk>`.
+    */
+  final case class SubwordVocab(pieces: Seq[String], unkPiece: String = "<unk>") {
+    require(pieces.nonEmpty, "SubwordVocab: empty vocabulary")
+    require(!pieces.contains(unkPiece),
+      s"SubwordVocab: the unk sentinel [$unkPiece] collides with a real piece")
+    /** UTF-8 binary order == codepoint order (UTF-8 preserves it); sorting
+      * JVM strings by UTF-16 code units would diverge on supplementary
+      * characters, so compare codepoints explicitly.
+      */
+    private def cpCompare(a: String, b: String): Boolean = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return ca < cb
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      a.length - i < b.length - j
+    }
+    lazy val sorted: Seq[String] = pieces.distinct.sortWith(cpCompare)
+    lazy val idOf: Map[String, Int] = sorted.zipWithIndex.map {
+      case (p, i) => p -> (i + 1)
+    }.toMap
+  }
+
+  /** SQL-replayable frequency vocabulary: the `topWords` most frequent
+    * whitespace words (count desc, word asc — a total order, so the cut is
+    * deterministic) plus every distinct character n-gram of the lengths in
+    * `charNgramLens` observed across the distinct words. Whole frequent
+    * words match in one piece; everything else decomposes greedily into
+    * n-grams — the WordPiece shape with a closed-form training rule an
+    * ANSI oracle can derive from the same table.
+    *
+    * Bounded by construction: `topWords` caps the word side and the n-gram
+    * side is ≤ charset^n observed grams — but a giant `charNgramLens` max
+    * over a huge charset could still blow the plan literal, so the TOTAL
+    * is guarded by `maxPieces` (the maxVocabEntries convention), enforced
+    * BEFORE any driver collect.
+    */
+  def freqVocab(df: DataFrame, textCol: String, topWords: Int,
+      charNgramLens: Seq[Int] = Seq(1), maxPieces: Int = 1 << 17): SubwordVocab = {
+    require(topWords > 0, s"freqVocab: topWords $topWords must be > 0")
+    require(charNgramLens.nonEmpty && charNgramLens.forall(_ >= 1),
+      s"freqVocab: charNgramLens $charNgramLens must be >= 1")
+    val words = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val top = words.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(topWords)
+      .select(col("w").as("p"))
+    val dw = words.distinct()
+    // Character n-grams by CODEPOINT positions: substring() is
+    // codepoint-indexed in Spark (and in ANSI substr), so the pieces agree
+    // with the kernel's codepoint matching.
+    val grams = charNgramLens.distinct.map { nlen =>
+      dw.select(explode(transform(
+          sequence(lit(1), greatest(length(col("w")) - (nlen - 1), lit(0))),
+          i => substring(col("w"), i, lit(nlen)))).as("p"))
+    }.reduce(_.unionAll(_))
+    val (agg, blocks) = graft.core.Persist.stageTracked(
+      top.unionAll(grams).distinct())
+    val probe = agg.limit(maxPieces + 1).count()
+    require(probe <= maxPieces,
+      s"freqVocab: vocabulary has > $maxPieces pieces (maxPieces bound) — " +
+        "the vocab rides every tokenize task as a plan literal; shrink " +
+        "charNgramLens or raise maxPieces deliberately")
+    val pieces = agg.collect().map(_.getString(0)).toSeq
+    graft.core.Persist.unstage(df.sparkSession, blocks)
+    SubwordVocab(pieces)
+  }
+
+  /** Byte-pair-encoding vocabulary (Sennrich et al. 2016, arXiv
+    * 1508.07909 §3.2 — the standard algorithm): start from single
+    * characters, repeatedly merge the most frequent adjacent symbol pair
+    * (count desc, then pair lexicographic asc — fully deterministic) for
+    * `numMerges` rounds. The corpus reduces to a bounded word-frequency
+    * table FIRST (one distributed aggregate, the fitDsir collect-bound
+    * convention) and the merge loop runs driver-side over that table —
+    * O(vocab) work per merge, independent of corpus size; this is how
+    * production tokenizers are trained (on samples, not the full corpus).
+    *
+    * Greedy longest-match application of the resulting piece set is not
+    * byte-for-byte identical to merge-order BPE encoding on adversarial
+    * vocabularies, but is the standard WordPiece-style inference this
+    * module applies uniformly; the trainer's value is the LEARNED piece
+    * inventory.
+    */
+  def trainBpe(df: DataFrame, textCol: String, numMerges: Int,
+      maxWordEntries: Int = 1 << 18): SubwordVocab = {
+    require(numMerges >= 0, s"trainBpe: numMerges $numMerges must be >= 0")
+    val (agg, blocks) = graft.core.Persist.stageTracked(df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n")))
+    val probe = agg.limit(maxWordEntries + 1).count()
+    require(probe > 0, "trainBpe: corpus has no tokens")
+    require(probe <= maxWordEntries,
+      s"trainBpe: word table has > $maxWordEntries entries (bound) — " +
+        "fit on a sample (deterministicSample) or raise maxWordEntries")
+    val wordFreq = agg.collect().map(r => (r.getString(0), r.getLong(1)))
+    graft.core.Persist.unstage(df.sparkSession, blocks)
+    // Symbol sequences start as codepoint strings.
+    var seqs: Array[(Array[String], Long)] = wordFreq.map { case (w, n) =>
+      val cps = new scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val c = w.codePointAt(i)
+        cps += new String(Character.toChars(c))
+        i += Character.charCount(c)
+      }
+      (cps.toArray, n)
+    }
+    val merged = scala.collection.mutable.LinkedHashSet[String]()
+    seqs.foreach(_._1.foreach(merged += _))
+    var round = 0
+    while (round < numMerges) {
+      val pairCounts = scala.collection.mutable.HashMap[(String, String), Long]()
+      seqs.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + n
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) round = numMerges
+      else {
+        // Most frequent pair; ties break to the lexicographically smallest
+        // pair — a total order, so training is seed-free deterministic.
+        val (l, r) = pairCounts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+        merged += (l + r)
+        seqs = seqs.map { case (syms, n) =>
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, n)
+        }
+        round += 1
+      }
+    }
+    SubwordVocab(merged.toSeq)
+  }
+
+  /** Tokenize `textCol` into subword pieces: whitespace words (the corpus
+    * convention — lower, trim, split), each greedily longest-matched
+    * against the vocab. Adds `outCol` as array<string>. Zero shuffle.
+    */
+  def tokenize(df: DataFrame, textCol: String, vocab: SubwordVocab,
+      outCol: String = "pieces"): DataFrame = {
+    val words = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    df.withColumn(outCol, graft.functions.SubwordExpr.subwordTokenize(
+      words, vocab.sorted, vocab.unkPiece))
+  }
+
+  /** Map a pieces array to dense token ids (sorted-vocab rank, unk → 0) —
+    * a codegen'd map-literal lookup, the scoreNaiveBayes shape.
+    */
+  def tokenIds(pieces: Column, vocab: SubwordVocab): Column = {
+    val lut = typedLit(vocab.idOf)
+    transform(pieces, p => coalesce(element_at(lut, p), lit(0)))
+  }
+}

@@ -69,6 +69,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(messages(err).contains("null element"), messages(err))
   }
 
+  test("subword_tokenize matches the DataFrame kernel through SQL and " +
+      "requires a foldable vocab") {
+    val viaSql = spark.sql(
+      """SELECT subword_tokenize(array('window', 'windo'),
+        |  array('win', 'w', 'i', 'n', 'd', 'o', 'window')) AS p,
+        |  subword_tokenize(array('xq'), array('x'), '?') AS u""".stripMargin)
+      .head()
+    assert(viaSql.getSeq[String](0) == Seq("window", "win", "d", "o"))
+    assert(viaSql.getSeq[String](1) == Seq("x", "?"))
+    val viaDf = Seq(Tuple1(Seq("window", "windo"))).toDF("ws")
+      .select(functions.SubwordExpr.subwordTokenize($"ws",
+        Seq("win", "w", "i", "n", "d", "o", "window")))
+      .head().getSeq[String](0)
+    assert(viaDf == viaSql.getSeq[String](0))
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT subword_tokenize(array('a'), array(c)) FROM (SELECT 'x' AS c)")
+        .collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+  }
+
   test("shape parameters must be literals; arity is checked") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_signature(array('a'), 1 + 2, 8)").collect()
