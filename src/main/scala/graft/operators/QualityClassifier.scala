@@ -214,18 +214,21 @@ object QualityClassifier {
     *
     * Cost: one max() pass for the normalizer (a driver scalar — the only
     * global state), then a pure per-row filter. No shuffle, no RNG state.
+    * The weight expression is evaluated twice (once projected for the max,
+    * once in the filter) — deliberately: staging the full frame to make it
+    * single-pass would MATERIALIZE the whole corpus (text columns and all)
+    * to checkpoint storage, which measured 4× the cost of re-running the
+    * cheap dsirLogWeights fold at the ×1000 blow-up and is a nonstarter at
+    * 100 TB. A caller whose weight column is expensive (LM-scored) should
+    * stage that column itself before resampling.
     */
   def importanceResample(df: DataFrame, idCol: String, logwCol: String,
       salt: String = ""): DataFrame = {
-    // The normalizer pass and the filter pass both read the weight column
-    // — staged once so an upstream weight FOLD (dsirLogWeights) is not
-    // re-evaluated corpus-wide for the max() alone.
-    val staged = graft.core.Persist.stage(df)
-    val mxRow = staged.agg(max(col(logwCol))).head()
-    if (mxRow.isNullAt(0)) return staged // empty input: nothing to resample
+    val mxRow = df.select(col(logwCol)).agg(max(col(logwCol))).head()
+    if (mxRow.isNullAt(0)) return df // empty input: nothing to resample
     val p = exp(col(logwCol) - lit(mxRow.getDouble(0)))
     // The draw and cutoff are CorpusPrep's shared membership convention —
     // one definition, so the byte recipe oracles replay cannot drift.
-    staged.filter(CorpusPrep.hashPrefix(col(idCol), salt) < CorpusPrep.cutHexCol(p))
+    df.filter(CorpusPrep.hashPrefix(col(idCol), salt) < CorpusPrep.cutHexCol(p))
   }
 }
