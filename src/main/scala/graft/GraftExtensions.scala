@@ -50,17 +50,29 @@ object GraftExtensions {
     * evaluated at registration — vocabularies size the per-row matcher at
     * plan time, exactly like the int shape parameters.
     */
-  private def stringArrayLit(e: Expression, fn: String, arg: String): Seq[String] =
-    if (e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+  private def stringArrayLit(e: Expression, fn: String, arg: String): Seq[String] = {
+    // Element type is CHECKED, not assumed: array(1,2,3) would otherwise be
+    // silently stringified via toString, and a null element would defer to
+    // an NPE inside the kernel at eval time — both fail loudly here, at
+    // registration, like the sibling literal extractors.
+    val elemOk = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    if (e.foldable && elemOk)
       e.eval() match {
         case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-          a.toObjectArray(org.apache.spark.sql.types.StringType)
-            .map(v => if (v == null) null else v.toString).toSeq
+          val vs = a.toObjectArray(org.apache.spark.sql.types.StringType)
+          if (vs.exists(_ == null)) throw new IllegalArgumentException(
+            s"$fn: $arg contains a null element — vocab pieces must be non-null")
+          vs.map(_.toString).toSeq
         case _ => throw new IllegalArgumentException(
           s"$fn: $arg must be a non-null array<string> literal")
       }
     else throw new IllegalArgumentException(
       s"$fn: $arg must be a foldable array<string> literal, got $e")
+  }
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")

@@ -1655,9 +1655,15 @@ object Queries {
       // in-stream via the fingerprint anti-join, near-dup CANDIDATES are
       // flagged by the Bloom band prefilter — and only flagged rows pay
       // the batch exact verify (dropAgainstIndex). The Bloom flag has no
-      // false negatives (fpp bounds false POSITIVES only), so the kept
-      // set is exactly "not an exact dup and max-Jaccard < 0.5 vs the
-      // corpus" — the definition the oracle computes from scratch.
+      // false negatives (fpp bounds false POSITIVES only) AS LONG AS ALL
+      // 16 bands are probed — the oracle identity also leans on batch
+      // dropAgainstIndex using the same 16-band candidate join (band
+      // recall 1.0 on this corpus), so degradeBands is pinned FALSE here:
+      // if the Bloom budget ever can't fit all bands this gate fails
+      // loudly instead of silently keeping rows the oracle drops. With
+      // that, the kept set is exactly "not an exact dup and max-Jaccard
+      // < 0.5 vs the corpus" — the definition the oracle computes from
+      // scratch.
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_verify_streamdd").toString
       val d = read(s, dir, "documents")
@@ -1667,7 +1673,7 @@ object Queries {
       val schema = s.read.parquet(s"$tmp/staging").schema
       val stream = s.readStream.schema(schema).parquet(s"$tmp/staging")
       val out = graft.streaming.StreamingOps.streamDropAgainstIndex(
-        stream, "text", s"$tmp/idx")
+        stream, "text", s"$tmp/idx", degradeBands = false)
       val sink = "stream_neardup_sink"
       s.catalog.dropTempView(sink)
       val q = out.writeStream.outputMode("append").format("memory")

@@ -405,14 +405,23 @@ object BatchCommit {
     // when a read catches it torn (mtime tracks the write that tore it).
     def heartbeatTs(h: String): Option[Long] = {
       val p = hbPath(h)
+      // Read to EOF (a single read() can return a short prefix) and only
+      // trust the parsed ts when the JSON is COMPLETE (ends with '}'): a
+      // truncated-but-parsable prefix like `"ts":17236` would decode as an
+      // ancient timestamp and let a waiter break a live holder's lease.
+      // Torn or partial content → the file's mtime (which tracks the very
+      // write that tore it) is the honest liveness signal.
       val content =
         try {
           val in = f.open(p)
           try {
-            val buf = new Array[Byte](256)
-            val n = in.read(buf)
-            leaseTs(new String(buf, 0, math.max(0, n),
-              java.nio.charset.StandardCharsets.UTF_8))
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](256)
+            var n = in.read(tmp)
+            while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+            val txt =
+              new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+            if (txt.trim.endsWith("}")) leaseTs(txt) else None
           } finally in.close()
         } catch { case _: java.io.IOException => None }
       content.orElse(

@@ -76,10 +76,16 @@ object Tokenizer {
     // Character n-grams by CODEPOINT positions: substring() is
     // codepoint-indexed in Spark (and in ANSI substr), so the pieces agree
     // with the kernel's codepoint matching.
+    // Words shorter than nlen contribute NOTHING at that length: Spark's
+    // sequence(1, 0) steps DOWN to [1, 0] (not empty), which would smuggle
+    // the whole short word in as an "n-gram" — guard on length >= nlen so
+    // the piece set agrees with an oracle's generate_series(1, len-nlen+1).
     val grams = charNgramLens.distinct.map { nlen =>
-      dw.select(explode(transform(
-          sequence(lit(1), greatest(length(col("w")) - (nlen - 1), lit(0))),
-          i => substring(col("w"), i, lit(nlen)))).as("p"))
+      dw.select(explode(when(length(col("w")) >= nlen,
+          transform(
+            sequence(lit(1), length(col("w")) - (nlen - 1)),
+            i => substring(col("w"), i, lit(nlen))))
+        .otherwise(array().cast("array<string>"))).as("p"))
     }.reduce(_.unionAll(_))
     val (agg, blocks) = graft.core.Persist.stageTracked(
       top.unionAll(grams).distinct())

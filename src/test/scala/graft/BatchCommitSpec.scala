@@ -122,6 +122,41 @@ class BatchCommitSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(lock))
   }
 
+  test("writer lease: a TRUNCATED heartbeat with a parsable ts prefix is " +
+      "judged by its mtime, never by the truncated number") {
+    val p = tmp("lex_hb_torn")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+    val lock = java.nio.file.Paths.get(p, BatchCommit.leaseFile)
+    // Ancient lock ts (the holder renews through the sidecar, never the
+    // lock) + a heartbeat caught mid-truncation: the prefix `{"ts":17236`
+    // PARSES as an ancient timestamp. A waiter trusting it would break a
+    // live holder's lease; the complete-JSON check must defer to the
+    // file's FRESH mtime instead → the lease is live → refuse.
+    java.nio.file.Files.write(lock,
+      """{"holder":"hb-holder","ts":1}""".getBytes("UTF-8"))
+    val hb = java.nio.file.Paths.get(p, BatchCommit.leaseFile + ".hb.hb-holder")
+    java.nio.file.Files.write(hb, """{"ts":17236""".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      BatchCommit.withWriterLease(spark, p, holder = "waiter", ttlMs = 2000) {
+        fail("a fresh-but-torn heartbeat must vouch for its holder")
+      }
+    }
+    assert(e.getMessage.contains("another writer holds the lease"),
+      e.getMessage)
+    // The SAME torn heartbeat, aged past the TTL: the holder stopped
+    // renewing → stale → broken, and the sweep removes the sidecar too.
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis - 60000)
+    java.nio.file.Files.setLastModifiedTime(hb, old)
+    var ran = false
+    BatchCommit.withWriterLease(spark, p, holder = "next", ttlMs = 2000) {
+      ran = true
+    }
+    assert(ran)
+    assert(!java.nio.file.Files.exists(hb),
+      "breaking a stale lease must sweep its holder's heartbeat")
+  }
+
   test("writer lease: renewal never touches the lock — a concurrent " +
       "reader always sees the holder's intact lease, the heartbeat " +
       "sidecar advances, and nothing survives release") {

@@ -89,6 +89,19 @@ class ExtensionsSpec extends SparkSpec {
         .collect()
     }
     assert(e.getMessage.contains("foldable"), e.getMessage)
+    // A non-string element type is rejected at registration (not silently
+    // stringified), and a null vocab element fails loudly there too (not
+    // as an NPE inside the kernel at eval time).
+    val t = intercept[Exception] {
+      spark.sql("SELECT subword_tokenize(array('a'), array(1, 2, 3))").collect()
+    }
+    assert(t.getMessage.contains("array<string>"), t.getMessage)
+    val n = intercept[Exception] {
+      spark.sql(
+        "SELECT subword_tokenize(array('a'), array('x', CAST(NULL AS STRING)))")
+        .collect()
+    }
+    assert(n.getMessage.contains("null element"), n.getMessage)
   }
 
   test("shape parameters must be literals; arity is checked") {

@@ -65,6 +65,18 @@ class TokenizerSpec extends SparkSpec {
     assert(toks(2L) == Seq.empty)
   }
 
+  test("freqVocab: words shorter than an n-gram length contribute nothing " +
+      "at that length (no [1,0] sequence smuggling the whole word in)") {
+    val df = Seq((0L, "ab xyz q")).toDF("id", "text")
+    // charNgramLens = Seq(3) only: "ab" (len 2) and "q" (len 1) are shorter
+    // than 3 — without the length guard Spark's sequence(1,0)=[1,0] would
+    // emit them whole as fake "3-grams".
+    val vocab = Tokenizer.freqVocab(df, "text", topWords = 1,
+      charNgramLens = Seq(3))
+    // top-1 word is "ab" (count ties broken word asc); 3-grams: only "xyz".
+    assert(vocab.pieces.toSet == Set("ab", "xyz"), vocab.pieces.toString)
+  }
+
   test("freqVocab refuses an oversized piece inventory before collecting it") {
     val df = Seq((0L, "abcdefghij klmnopqrst")).toDF("id", "text")
     val e = intercept[IllegalArgumentException] {
