@@ -559,16 +559,33 @@ object Queries {
 
     "neardup_pairs_cells" -> ((s, dir) => {
       // The CELL-PARTITIONED route (the scale path), pinned via
-      // lshRowThreshold = 0. On the gate corpus the route is provably
-      // exhaustive — nDistinct/targetCellSize rounds to k = 2 cells and
-      // cellProbes = 2 assigns every vector to BOTH, so the within-cell
-      // join enumerates every pair and the exact all-pairs oracle still
-      // applies; at bench/scale corpora the same query exercises the
-      // approximate geometry the 100 TB path uses.
+      // lshRowThreshold = 0 and cellProbes = 2. On the gate corpus the
+      // route is provably exhaustive — nDistinct/targetCellSize rounds to
+      // k = 2 cells and cellProbes = 2 assigns every vector to BOTH, so
+      // the within-cell join enumerates every pair and the exact all-pairs
+      // oracle still applies; at bench/scale corpora the same query
+      // exercises the approximate geometry the 100 TB path uses.
       val e = read(s, dir, "embeddings")
         .withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
       EmbedOps.neardupPairs(e, "emb", "vec_id", threshold = 0.45,
-          lshRowThreshold = 0L)
+          lshRowThreshold = 0L, cellProbes = 2)
+        .orderBy("id1", "id2")
+        .select(col("id1"), col("id2"), round(col("score"), 3).as("score"))
+    }),
+
+    "neardup_pairs_auto" -> ((s, dir) => {
+      // The RECALL-AWARE AUTO route (cellProbes = 0, the default): the
+      // route spends the nested-probe recall estimator and picks the
+      // cheapest tier meeting the target. targetRecall = 1.0 with a
+      // sample covering the whole gate corpus makes the measured recall
+      // EXACT, so the chosen tier is provably exhaustive and the
+      // all-pairs oracle applies — the gate pins the DECISION MACHINERY
+      // end-to-end, not a hand-picked geometry; at scale the same call
+      // trades tiers against the measured 0.95 default.
+      val e = read(s, dir, "embeddings")
+        .withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      EmbedOps.neardupPairs(e, "emb", "vec_id", threshold = 0.45,
+          lshRowThreshold = 0L, targetRecall = 1.0)
         .orderBy("id1", "id2")
         .select(col("id1"), col("id2"), round(col("score"), 3).as("score"))
     }),
@@ -595,7 +612,7 @@ object Queries {
       val e = read(s, dir, "embeddings")
         .withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
       EmbedOps.semDedup(e, "emb", "vec_id", threshold = 0.45,
-          lshRowThreshold = 0L)
+          lshRowThreshold = 0L, cellProbes = 2)
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
@@ -4307,6 +4324,15 @@ object Queries {
     // k = 2 cells × 2 probes on the gate corpus ⇒ the cells route is
     // exhaustive there — same exact oracle.
     "neardup_pairs_cells" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS score
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY id1, id2""".stripMargin,
+
+    // The auto route at targetRecall = 1.0 with a full-corpus sample picks
+    // a provably exhaustive probe tier — same exact oracle.
+    "neardup_pairs_auto" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS score
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -42,6 +42,16 @@ object EmbedOps {
     */
   val defaultMaxCandidatePairs: Long = 2000000000L
 
+  /** Probe tiers the [[neardupPairs]] recall-aware auto route considers
+    * (cheapest first; nested, so one sampled assignment measures all) and
+    * the bounded sample its estimator spends. Tier 8 is the ceiling the
+    * auto route will pay without an explicit decision — past it the cell
+    * geometry itself is wrong for the data (raise `targetCellSize`) and
+    * more probes are the expensive answer.
+    */
+  val autoProbeTiers: Seq[Int] = Seq(1, 2, 4, 8)
+  val autoRecallSampleSize: Int = 4096
+
   /** Cosine similarity between two numeric array columns, via the codegen'd
     * [[graft.functions.ArrayDotProduct]] primitive — no intermediate arrays,
     * no lambda interpretation (the higher-order-function composition
@@ -477,20 +487,26 @@ object EmbedOps {
     * (semIndex is 1:1, so the count is identical and costs no embedder
     * calls).
     *
-    * MEASURE the recall at your geometry with [[neardupRecallReport]]
-    * before trusting a config: at the ×30 scale-stress corpus the
-    * default `cellProbes = 2` measured 0.79 pair recall vs sampled exact
-    * ground truth (cellProbes = 4 → 1.0) — dedup keep/drop decisions
-    * degrade gracefully (a cluster member needs ANY edge to be caught),
-    * but pair-consuming callers should pick the probe tier from the
-    * report, not the default.
+    * `cellProbes = 0` (the DEFAULT) is RECALL-AWARE AUTO: the route spends
+    * the cheap nested-probe estimator ([[pickCellProbes]] — one sampled
+    * assignment + one bounded all-pairs, answering every tier at once) and
+    * picks the cheapest tier whose sampled recall meets `targetRecall`
+    * (default 0.95); when even the highest tier (8) misses it, the route
+    * proceeds at that tier with a LOUD warning naming the knobs — a fixed
+    * probe count tuned on one geometry silently under-recalled on
+    * spread-out clusters (measured: 0.79 at probes = 2 on the ×30
+    * scale-stress corpus, where auto picks 4 → 1.0). An EXPLICIT
+    * `cellProbes > 0` pins the tier with no measurement — oracle gates pin
+    * provably-exhaustive geometries this way; certify a pinned config with
+    * [[neardupRecallReport]].
     */
   def neardupPairs(df: DataFrame, c: String, idCol: String, threshold: Double,
       useLsh: Option[Boolean] = None, lshRowThreshold: Long = 10000L,
       dim: Int = 0, nBits: Int = 16, bands: Int = 4,
-      knownRows: Long = -1L, targetCellSize: Int = 256, cellProbes: Int = 2,
+      knownRows: Long = -1L, targetCellSize: Int = 256, cellProbes: Int = 0,
       seed: Long = 42,
-      maxCandidatePairs: Long = defaultMaxCandidatePairs): DataFrame = {
+      maxCandidatePairs: Long = defaultMaxCandidatePairs,
+      targetRecall: Double = 0.95): DataFrame = {
     val indexed = semIndex(df, c)
     val v = vecCol(c)
     // Routing stats: an explicit `useLsh` or `knownRows` (e.g. from a caller
@@ -504,8 +520,26 @@ object EmbedOps {
       // convention — content-hash sample membership, pure function of the
       // vector multiset), multi-assign via the ProbeCells kernel, narrow
       // (id, cell) exchange, exact cosine verify over the vector re-join.
-      val (star, base, celled0, k, nDistinct, repDim) =
-        cellAssignments(indexed, v, idCol, targetCellSize, cellProbes, seed)
+      val (star, base, centroids, k, nDistinct, repDim) =
+        cellPrelude(indexed, v, idCol, targetCellSize, seed)
+      val probes =
+        if (cellProbes > 0) cellProbes
+        else {
+          val (p, r) = pickCellProbes(base, centroids, nDistinct, threshold,
+            targetRecall, autoProbeTiers, autoRecallSampleSize, seed)
+          val log = org.slf4j.LoggerFactory.getLogger(getClass)
+          if (r < targetRecall) log.warn(
+            f"neardupPairs auto route: even cellProbes = $p (the highest " +
+              f"auto tier) measures sampled pair recall $r%.3f < target " +
+              f"$targetRecall%.2f at this geometry — proceeding at $p; " +
+              "raise targetCellSize (fewer, larger cells), pin a higher " +
+              "cellProbes explicitly, or pin useLsh = Some(false) for exact")
+          else log.info(
+            f"neardupPairs auto route: cellProbes = $p (sampled recall " +
+              f"$r%.3f ≥ target $targetRecall%.2f)")
+          p
+        }
+      val celled0 = probeAssign(base, centroids, probes)
       // OCCUPANCY GUARD (the rangeJoin maxBucketsPerInterval convention):
       // one narrow histogram aggregate over the staged (id, cell) frame
       // computes the EXACT number of within-cell comparisons the pair join
@@ -522,7 +556,7 @@ object EmbedOps {
       if (candidatePairs > maxCandidatePairs) throw new IllegalStateException(
         f"neardupPairs cells route: degenerate cell layout — $candidatePairs%,d " +
           f"within-cell candidate pairs exceed the $maxCandidatePairs%,d budget " +
-          s"(nCells=$k, cellProbes=$cellProbes, targetCellSize=$targetCellSize). " +
+          s"(nCells=$k, cellProbes=$probes, targetCellSize=$targetCellSize). " +
           "Inspect neardupCellDiagnostics; lower targetCellSize (more, smaller " +
           "cells) while the fit is under its k=1024 cap, pre-shard by a saved " +
           "coarse IvfIndex beyond it, or raise maxCandidatePairs consciously")
@@ -628,9 +662,17 @@ object EmbedOps {
         .withColumn("__fp", xxhash64(col("vec")))
         .withColumn("__rep", min(col("id")).over(Window.partitionBy("__fp"))))
 
-  private def cellAssignments(indexed: DataFrame, v: String, idCol: String,
-      targetCellSize: Int, cellProbes: Int,
-      seed: Long): (DataFrame, DataFrame, DataFrame, Int, Long, Int) = {
+  /** Everything the cells route needs BEFORE a probe tier is chosen: the
+    * exact-dup star edges, the staged distinct (id, vec) representative
+    * frame, and the fitted centroids. Splitting the prelude from the probe
+    * assignment lets the auto route measure recall per tier against ONE
+    * centroid fit and then assign at the chosen tier — re-fitting per tier
+    * would both triple the cost and let the measured geometry drift from
+    * the executed one.
+    */
+  private def cellPrelude(indexed: DataFrame, v: String, idCol: String,
+      targetCellSize: Int,
+      seed: Long): (DataFrame, DataFrame, Array[Array[Float]], Int, Long, Int) = {
     val marked = vecCollapseMarked(indexed, v, idCol)
     val star = marked.filter(col("id") =!= col("__rep"))
       .select(col("__rep").as("id1"), col("id").as("id2"),
@@ -658,11 +700,93 @@ object EmbedOps {
                     math.round(frac * 1000000.0))
     val centroids = graft.embed.IvfIndex.fitCentroids(
       fitDf.collect().map(_.getSeq[Float](0).toArray), k, seed)
-    val celled = base.select(col("id"),
+    val dim = if (centroids.isEmpty) 0 else centroids(0).length
+    (star, base, centroids, k, nDistinct, dim)
+  }
+
+  /** Multi-assign each representative to its `cellProbes` nearest cells. */
+  private def probeAssign(base: DataFrame, centroids: Array[Array[Float]],
+      cellProbes: Int): DataFrame =
+    base.select(col("id"),
       explode(graft.functions.VectorExprs.probeCells(
         col("vec"), centroids, cellProbes)).as("cell"))
-    val dim = if (centroids.isEmpty) 0 else centroids(0).length
-    (star, base, celled, k, nDistinct, dim)
+
+  private def cellAssignments(indexed: DataFrame, v: String, idCol: String,
+      targetCellSize: Int, cellProbes: Int,
+      seed: Long): (DataFrame, DataFrame, DataFrame, Int, Long, Int) = {
+    val (star, base, centroids, k, nDistinct, dim) =
+      cellPrelude(indexed, v, idCol, targetCellSize, seed)
+    (star, base, probeAssign(base, centroids, cellProbes), k, nDistinct, dim)
+  }
+
+  /** The auto route's probe-tier picker: a NESTED-probe recall estimator
+    * that answers every tier from ONE sample assignment. Probe cell lists
+    * are ranked nearest-first and nested (top-p ⊆ top-(p+1)), so assigning
+    * a bounded content-hash sample of the representatives to their
+    * `tiers.max` nearest cells determines, for every sampled qualifying
+    * pair, the SMALLEST tier that catches it (the first p at which the two
+    * top-p prefixes intersect) — recall at every tier then falls out of
+    * one aggregate. Cost: one ProbeCells pass + one broadcast all-pairs
+    * cosine over ≤ `sampleSize` vectors, independent of n — cheap enough
+    * to spend by default, unlike [[neardupRecallReport]] which re-runs the
+    * full route per tier (use that to CERTIFY a config; this to pick one).
+    * Returns the cheapest tier whose sampled recall meets `targetRecall`,
+    * else the highest offered tier with its (insufficient) recall.
+    */
+  private def pickCellProbes(base: DataFrame, centroids: Array[Array[Float]],
+      nDistinct: Long, threshold: Double, targetRecall: Double,
+      tiers: Seq[Int], sampleSize: Int, seed: Long): (Int, Double) = {
+    val ts = tiers.distinct.sorted
+    val maxTier = ts.last
+    val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, nDistinct))
+    // Content-hash sample membership (seed offset matches
+    // neardupRecallReport so the two tools see the same sample).
+    val sampled = graft.core.Persist.stage(
+      (if (frac >= 1.0) base
+       else base.filter(
+         pmod(xxhash64(col("vec"), lit(seed + 101)), lit(1000000L)) <
+           math.round(frac * 1000000.0)))
+        .select(col("id"), col("vec"), graft.functions.VectorExprs.probeCells(
+          col("vec"), centroids, maxTier).as("pc")))
+    val a = sampled.select(col("id").as("id1"), col("vec").as("v1"),
+      col("pc").as("pc1"))
+    val b = sampled.select(col("id").as("id2"), col("vec").as("v2"),
+      col("pc").as("pc2"))
+    // Smallest tier catching the pair; null when even maxTier misses it.
+    val ct = array_min(filter(
+      transform(sequence(lit(1), lit(maxTier)),
+        p => when(arrays_overlap(slice(col("pc1"), lit(1), p),
+          slice(col("pc2"), lit(1), p)), p)),
+      x => x.isNotNull))
+    val tierCols = ts.map(t =>
+      sum(when(col("ct") <= t, 1L).otherwise(0L)).as(s"t$t"))
+    val row = a.join(broadcast(b), col("id1") < col("id2"))
+      .filter(cosineSim(col("v1"), col("v2")) >= threshold)
+      .select(ct.as("ct"))
+      .agg(count(lit(1)).as("n"), tierCols: _*).head()
+    val nExact = row.getLong(0)
+    val recalls = ts.zipWithIndex.map { case (t, i) =>
+      (t, if (nExact == 0) 1.0 else row.getLong(i + 1).toDouble / nExact)
+    }
+    recalls.find(_._2 >= targetRecall).getOrElse(recalls.last)
+  }
+
+  /** The auto probe-tier decision [[neardupPairs]] makes when `cellProbes`
+    * is left at 0, exposed standalone: (chosen tier, sampled recall at it).
+    * Same centroid fit, same sample, same nested estimator — callers that
+    * want to inspect or record the decision (scale-stress does) without
+    * running the route.
+    */
+  def autoCellProbes(df: DataFrame, c: String, idCol: String,
+      threshold: Double, targetRecall: Double = 0.95,
+      targetCellSize: Int = 256, cellProbesTiers: Seq[Int] = Seq(1, 2, 4, 8),
+      sampleSize: Int = 4096, seed: Long = 42): (Int, Double) = {
+    require(cellProbesTiers.nonEmpty, "autoCellProbes: need ≥1 tier")
+    val indexed = semIndex(df, c)
+    val (_, base, centroids, _, nDistinct, _) =
+      cellPrelude(indexed, vecCol(c), idCol, targetCellSize, seed)
+    pickCellProbes(base, centroids, nDistinct, threshold, targetRecall,
+      cellProbesTiers, sampleSize, seed)
   }
 
   /** Occupancy diagnostics for the cells route — the embedding sibling of
@@ -796,12 +920,14 @@ object EmbedOps {
     * [[neardupPairs]]).
     */
   def semDedup(df: DataFrame, c: String, idCol: String, threshold: Double,
-      lshRowThreshold: Long = 10000L, dim: Int = 0): DataFrame = {
+      lshRowThreshold: Long = 10000L, dim: Int = 0, cellProbes: Int = 0,
+      targetRecall: Double = 0.95): DataFrame = {
     val indexed = semIndex(df, c).persist()
     val n = indexed.count()
     val v = vecCol(c)
     val edges = neardupPairs(indexed, c, idCol, threshold,
-      lshRowThreshold = lshRowThreshold, dim = dim, knownRows = n)
+      lshRowThreshold = lshRowThreshold, dim = dim, knownRows = n,
+      cellProbes = cellProbes, targetRecall = targetRecall)
       .select("id1", "id2")
     val keep = Dedup.keepAfterConnectedComponents(
       indexed.select(col(idCol).cast(LongType).as("id")), edges)

@@ -181,8 +181,16 @@ object ScaleStress {
         rows.map(r => s"""{"$key":${r.getInt(0)},"n_sample":${r.getLong(1)},""" +
           s""""exact_pairs":${r.getLong(2)},"matched_pairs":${r.getLong(3)},""" +
           f""""recall":${r.getDouble(4)}%.4f}""").mkString("[", ",", "]")
+      // The recall-aware AUTO decision at this geometry: what probe tier
+      // the default neardupPairs/semDedup route would actually pick, and
+      // the sampled recall it measured — the record that shows the auto
+      // route hitting (or honestly missing) its 0.95 default target.
+      val (autoProbes, autoRecall) = graft.operators.EmbedOps.autoCellProbes(
+        emb, "emb", "vec_id", threshold = 0.45, targetRecall = 0.95)
       val rec = s"""{"metric":"approx_route_recall","sf":"$sf",""" +
         s""""cells_threshold":0.45,"cells":${tiers(cells, "cell_probes")},""" +
+        s""""auto":{"target":0.95,"cell_probes":$autoProbes,""" +
+        f""""recall":$autoRecall%.4f},""" +
         s""""minhash_threshold":0.8,"minhash":${tiers(mh, "bands")},""" +
         f""""sec":${(System.nanoTime() - t0) / 1e9}%.1f}"""
       println(rec)

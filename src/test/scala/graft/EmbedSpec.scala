@@ -277,6 +277,50 @@ class EmbedSpec extends SparkSpec {
     assert(pMin == 1)
   }
 
+  test("recall-aware auto route: the default picks a tier from the measured " +
+      "recall, the arc geometry forces >1 probe at target 1.0, and the " +
+      "nested estimator agrees with the full recall report") {
+    val vecs = (0 until 60).map { i =>
+      val th = i * math.Pi / 120
+      (i.toLong, Seq(math.cos(th).toFloat, math.sin(th).toFloat))
+    }.toDF("id", "__vec_emb")
+    // The sample covers the whole corpus (60 ≤ 4096), so measured recall
+    // is EXACT: a 1.0 target must reject tier 1 (boundary pairs straddle
+    // arcs) and land on a provably exhaustive tier.
+    val (probes, recall) = EmbedOps.autoCellProbes(vecs, "emb", "id",
+      threshold = 0.995, targetRecall = 1.0, targetCellSize = 8,
+      cellProbesTiers = Seq(1, 2, 16))
+    assert(recall == 1.0)
+    assert(probes > 1, s"tier 1 misses boundary pairs, picked $probes")
+    // A trivial target picks the cheapest tier.
+    assert(EmbedOps.autoCellProbes(vecs, "emb", "id", threshold = 0.995,
+      targetRecall = 0.0, targetCellSize = 8,
+      cellProbesTiers = Seq(1, 2, 16))._1 == 1)
+    // Per-tier recalls from the ONE-assignment nested estimator must equal
+    // the full report's (which re-runs the whole route per tier): same
+    // sample, same centroids, same catch condition.
+    val rep = EmbedOps.neardupRecallReport(vecs, "emb", "id",
+        threshold = 0.995, targetCellSize = 8, cellProbesTiers = Seq(1, 2, 16))
+      .orderBy("cell_probes").select("cell_probes", "recall")
+      .as[(Int, Double)].collect()
+    rep.foreach { case (t, r) =>
+      val (_, est) = EmbedOps.autoCellProbes(vecs, "emb", "id",
+        threshold = 0.995, targetRecall = 2.0, targetCellSize = 8,
+        cellProbesTiers = Seq(t))
+      assert(math.abs(est - r) < 1e-12,
+        s"tier $t: nested estimator $est vs report $r")
+    }
+    // END-TO-END: neardupPairs at the auto default (cellProbes = 0) with
+    // target 1.0 must return exactly the exact route's pair set.
+    val auto = EmbedOps.neardupPairs(vecs, "emb", "id", threshold = 0.995,
+        lshRowThreshold = 0L, targetCellSize = 8, targetRecall = 1.0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val exact = EmbedOps.neardupPairs(vecs, "emb", "id", threshold = 0.995,
+        useLsh = Some(false))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(auto == exact, s"auto=${auto.size} exact=${exact.size}")
+  }
+
   test("LSH hyperplanes span the embedder's true dimension, not a 64 default") {
     graft.core.Sem.withEmbedder(HashingEmbedder(17)) {
       val idx = corpus.semIndex("text")
