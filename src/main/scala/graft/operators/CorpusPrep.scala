@@ -451,6 +451,48 @@ object CorpusPrep {
     } finally sorted.unpersist()
   }
 
+  /** Running total of `valueCol` in `orderCol` order — the cumulative-sum
+    * sibling of [[globalRank]], and the scale-safe replacement for
+    * `sum(v) OVER (ORDER BY key)` (a single-partition window: the classic
+    * driver-bottleneck anti-pattern). Same two narrow passes over one
+    * cached range-exchange: per-partition sums (nPartitions longs) prefix-
+    * summed on the driver, then each partition streams adding its offset.
+    * Deterministic for a UNIQUE `orderCol` (ties would order arbitrarily
+    * within a partition); null values count as 0 (the SQL sum-over-window
+    * convention). The result is localCheckpoint-materialized.
+    */
+  def runningTotal(df: DataFrame, orderCol: String, valueCol: Column,
+      outCol: String, nPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(1, if (nPartitions > 0) nPartitions
+      else spark.sparkContext.defaultParallelism)
+    val sorted = df.withColumn("__rt_v", coalesce(valueCol.cast("long"), lit(0L)))
+      .repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(orderCol).persist()
+    try {
+      // Hoisted OUTSIDE the task closures: capturing the Dataset itself
+      // (to read .schema lazily) ships it into the task, where touching
+      // it is illegal (SPARK-28702).
+      val vi = sorted.schema.fieldIndex("__rt_v")
+      val sums = sorted.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          var s = 0L
+          it.foreach(r => s += r.getLong(vi))
+          Iterator((i, s))
+        }.collect().sortBy(_._1).map(_._2)
+      val offsets = sums.scanLeft(0L)(_ + _)
+      val bc = spark.sparkContext.broadcast(offsets)
+      val schema = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+          outCol, org.apache.spark.sql.types.LongType, nullable = false))
+      spark.createDataFrame(
+        sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+          var s = bc.value(i)
+          it.map { row => s += row.getLong(vi); Row.fromSeq(row.toSeq :+ s) }
+        }, schema).localCheckpoint(true).drop("__rt_v")
+    } finally sorted.unpersist()
+  }
+
   /** Deterministic NEGATIVE sampling for contrastive training: `k`
     * pseudo-random non-self partners per anchor, a pure function of
     * (salt, id, j) — the same pairs on any cluster, partitioning, or
@@ -734,7 +776,9 @@ object CorpusPrep {
     *     threshold bucket's docs in `idCol` order until the budget is
     *     exhausted (the budget-crossing doc is KEPT, the
     *     [[quotaPerGroupTokens]] convention). Only the single boundary
-    *     bucket pays an ordered window.
+    *     bucket pays an ordered pass — and that pass is [[runningTotal]]'s
+    *     range-partitioned prefix-sum, bounded in per-task size even when
+    *     coarse scores make the boundary bucket a large corpus fraction.
     *
     * Equivalent to the flat `ORDER BY score DESC, id` cumulative-sum
     * selection, deterministic, and reproducible in SQL.
@@ -762,11 +806,17 @@ object CorpusPrep {
       val above = df.filter(col(scoreCol) > lit(tau))
       // Boundary bucket only: docs in id order while the PRIOR cumulative
       // token sum stays under the remaining budget (crossing doc kept).
-      val w = Window.orderBy(col(idCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val boundary = df.filter(col(scoreCol) === lit(tau))
-        .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
-        .filter(col("__cum") - col(tokenCol).cast("long") < remaining)
+      // The running sum is [[runningTotal]]'s range-repartition prefix-sum,
+      // NOT a global-ORDER-BY window: with coarse scores (integer quality
+      // 0-10) the boundary bucket can be ~10% of the corpus, and a
+      // single-partition window over it would funnel that through one
+      // task — the histogram cap guards distinct-score COUNT, not bucket
+      // SIZE.
+      val boundary = runningTotal(
+          df.filter(col(scoreCol) === lit(tau)), idCol,
+          col(tokenCol), "__cum")
+        .filter(col("__cum") - coalesce(col(tokenCol).cast("long"), lit(0L))
+          < remaining)
         .drop("__cum")
       above.unionByName(boundary)
     }

@@ -383,6 +383,35 @@ class CorpusPrepSpec extends SparkSpec {
     assert(e.getMessage.contains("distinct scores"), e.getMessage)
   }
 
+  test("selectByTokenBudget: a single-score corpus (boundary bucket = " +
+      "everything) selects the id-order prefix through the partitioned " +
+      "prefix-sum, with no single-partition window in the plan") {
+    // Worst case for the old global-window form: ONE score bucket, so the
+    // entire corpus is the boundary bucket. 10k docs of 7 tokens each,
+    // budget 350 → ids 0..49 kept (crossing doc kept at exactly 350).
+    val n = 10000
+    val d = spark.range(n.toLong).toDF("id")
+      .withColumn("q", lit(5))
+      .withColumn("tok", lit(7L))
+      .repartition(16)
+    val sel = CorpusPrep.selectByTokenBudget(d, "q", "tok", "id", budget = 350L)
+    assert(sel.select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 50L).toSeq)
+    // The boundary pass must be runningTotal's range-partitioned
+    // prefix-sum — a global-ORDER-BY Window would funnel all 10k rows
+    // (the WHOLE corpus here) through one task.
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // runningTotal on its own: running sums equal the sequential scan and
+    // null values count as 0.
+    val rt = CorpusPrep.runningTotal(
+        Seq((1L, java.lang.Long.valueOf(3L)), (2L, null),
+          (3L, java.lang.Long.valueOf(5L))).toDF("id", "v"),
+        "id", col("v"), "cum")
+      .select("id", "cum").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rt == Seq((1L, 3L), (2L, 3L), (3L, 8L)), rt.toString)
+  }
+
   test("diffSnapshots classifies added, removed, changed, unchanged") {
     val old = Seq((1L, "same"), (2L, "before"), (3L, "gone")).toDF("id", "text")
     val neu = Seq((1L, "same"), (2L, "after"), (4L, "fresh")).toDF("id", "text")
