@@ -2820,6 +2820,24 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "lang_id_nb" -> ((s, dir) => {
+      // TRAINED language ID (the fastText-langid shape, char 1+2-gram
+      // multinomial NB): fit on the corpus's own lang labels in one
+      // vocab-bounded (gram, class) aggregate, predict every doc with one
+      // per-row fold that accumulates all k class scores vector-wise and
+      // argmaxes in the finish lambda (ties → smallest class, the ORDER
+      // BY score DESC, class the oracle replays). The oracle refits from
+      // scratch in DuckDB with the same float-op shapes, so round-4
+      // scores AND the argmax hash-match.
+      val d = read(s, dir, "documents")
+      val m = graft.operators.QualityClassifier.trainLangNB(
+        d, "text", "lang")
+      graft.operators.QualityClassifier.scoreLangNB(d, "text", m)
+        .select(col("doc_id"), col("lang"), col("lang_pred"),
+          round(col("lang_score"), 4).as("lang_score"))
+        .orderBy("doc_id")
+    }),
+
     "dsir_weights" -> ((s, dir) => {
       // DSIR data selection (arXiv 2302.03169): importance weights of raw
       // docs under target-vs-raw unigram LMs — target = the src0-4
@@ -5051,6 +5069,47 @@ object Queries {
         |SELECT doc_id, y AS label, round(score, 4) AS nb_score,
         |       score > 0 AS nb_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // From-scratch multi-class char-1+2-gram NB refit: same whitespace
+    // normalization, same codepoint n-gram extraction, same Laplace
+    // expression shape over the SHARED gram vocabulary, same
+    // fold-then-add-prior float order; the argmax replays the engine's
+    // first-maximal-index tie-break as ORDER BY score DESC, cand.
+    "lang_id_nb" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, list_concat(
+        |      list_transform(range(1, len(s) + 1), i -> substr(s, i, 1)),
+        |      list_transform(range(1, len(s)), i -> substr(s, i, 2))) AS gr
+        |  FROM t),
+        |cnt AS (
+        |  SELECT y, gram, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT lang AS y, unnest(gr) AS gram FROM g) GROUP BY y, gram),
+        |voc AS (SELECT CAST(count(DISTINCT gram) AS DOUBLE) AS v FROM cnt),
+        |tot AS (SELECT y, CAST(sum(c) AS DOUBLE) AS t FROM cnt GROUP BY y),
+        |cls AS (
+        |  SELECT lang AS y, ln(CAST(count(*) AS DOUBLE)) -
+        |    ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)) AS prior
+        |  FROM documents GROUP BY lang),
+        |m AS (
+        |  SELECT cnt.y, map(list(gram ORDER BY gram),
+        |      list(ln((c + 1) / (t + v)) ORDER BY gram)) AS mp,
+        |    min(ln(1 / (t + v))) AS oov
+        |  FROM cnt JOIN tot ON cnt.y = tot.y, voc GROUP BY cnt.y),
+        |sc AS (
+        |  SELECT g.doc_id, g.lang, m.y AS cand,
+        |    CASE WHEN len(g.gr) = 0 THEN cls.prior
+        |      ELSE list_reduce(list_transform(g.gr, x -> coalesce(mp[x][1], oov)),
+        |        (a, b) -> a + b) + cls.prior END AS score
+        |  FROM g CROSS JOIN m JOIN cls ON m.y = cls.y)
+        |SELECT doc_id, lang, cand AS lang_pred, round(score, 4) AS lang_score
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, cand) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // Two unigram refits over the SHARED vocabulary (union support — a
     // ratio over mismatched supports is not a likelihood ratio), then the

@@ -128,6 +128,150 @@ object QualityClassifier {
       trainNaiveBayes(df, textCol, labelCol, alpha, minCount),
       outCol, predCol)
 
+  /** A fitted multi-class char-ngram Naive Bayes language classifier —
+    * the fastText-langid feature family (Joulin et al. 2016, arXiv
+    * 1607.01759 use char n-grams for exactly this task) with the NB
+    * training rule that fits in one bounded aggregate. `classes` is
+    * SORTED; `logLik(gram)` packs the per-class log-likelihoods in class
+    * order (one map literal, one array lookup per gram — not a map per
+    * class), `oov` / `logPrior` are the same class-ordered packing.
+    */
+  final case class NaiveBayesLang(
+      classes: Seq[String],
+      logLik: Map[String, Seq[Double]],
+      oov: Seq[Double],
+      logPrior: Seq[Double],
+      ngramLens: Seq[Int],
+      alpha: Double)
+
+  /** Whitespace-normalized char n-grams: lower, trim, collapse runs of
+    * whitespace to one space (so a gram can span a word boundary — the
+    * fastText convention — but never depends on HOW the source was
+    * whitespace-formatted), then every codepoint n-gram of each length.
+    * Words shorter than n contribute nothing at that length (Spark's
+    * sequence(1, 0) steps DOWN; the guard keeps parity with an oracle's
+    * empty range).
+    */
+  private[operators] def charNgrams(c: Column, lens: Seq[Int]): Column = {
+    val s = regexp_replace(lower(trim(c)), "\\s+", " ")
+    lens.distinct.sorted.map { n =>
+      when(length(s) >= n,
+          transform(sequence(lit(1), length(s) - (n - 1)),
+            i => substring(s, i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    }.reduce(concat(_, _))
+  }
+
+  /** Fit the language classifier: ONE exploded (class, gram) aggregate —
+    * map-side-combined, vocabulary-bounded, never document-bounded — then
+    * closed-form Laplace log-likelihoods driver-side over the SHARED gram
+    * vocabulary (per-class smoothing over mismatched supports is not a
+    * common likelihood space). This replaces the stopword-lexicon
+    * [[graft.functions.TextFunctions.langId]] heuristic with a TRAINED
+    * detector: any label set the corpus carries, any script (char grams
+    * need no tokenizer, so CJK works), measured rather than hardcoded.
+    * Route with [[graft.functions.TextFunctions.scriptFractions]] first
+    * when the corpus mixes script families and you want per-script
+    * models. Classes are bounded by `maxClasses` (they ride the scoring
+    * plan k-wide) and the vocab by `maxVocabEntries`, both enforced
+    * BEFORE any driver collect.
+    */
+  def trainLangNB(df: DataFrame, textCol: String, labelCol: String,
+      ngramLens: Seq[Int] = Seq(1, 2), alpha: Double = 1.0,
+      minCount: Long = 1L, maxClasses: Int = 64,
+      maxVocabEntries: Int = 1 << 17): NaiveBayesLang = {
+    require(alpha > 0, s"trainLangNB: alpha $alpha must be > 0")
+    require(ngramLens.nonEmpty && ngramLens.forall(_ >= 1),
+      s"trainLangNB: ngramLens $ngramLens must be >= 1")
+    require(minCount >= 1, s"trainLangNB: minCount $minCount must be >= 1")
+    val docCounts = df.groupBy(col(labelCol).as("y"))
+      .agg(count(lit(1)).as("n")).limit(maxClasses + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(docCounts.nonEmpty, "trainLangNB: empty corpus")
+    require(docCounts.length <= maxClasses,
+      s"trainLangNB: more than $maxClasses classes in $labelCol — the " +
+        "model is k-wide in every scoring row; raise maxClasses deliberately")
+    require(docCounts.forall(c => c._1 != null && c._1.nonEmpty),
+      s"trainLangNB: null/empty label in $labelCol")
+    val classes = docCounts.map(_._1).sorted.toSeq
+    val clsIdx = classes.zipWithIndex.toMap
+    // The bound is enforced BEFORE the collect (the trainNaiveBayes
+    // convention): stage the aggregate, probe the DISTINCT-GRAM count
+    // bounded, only then pull ≤ vocab × k rows.
+    val (agg, blocks) = graft.core.Persist.stageTracked(df
+      .select(col(labelCol).as("y"),
+        explode(charNgrams(col(textCol), ngramLens)).as("gram"))
+      .groupBy("gram", "y").agg(count(lit(1)).as("n")))
+    val vocabSize = agg.select("gram").distinct().limit(maxVocabEntries + 1).count()
+    require(vocabSize > 0, "trainLangNB: corpus has no characters")
+    require(vocabSize <= maxVocabEntries,
+      s"trainLangNB: gram vocabulary has > $maxVocabEntries entries " +
+        "(bound) — the model rides every scoring task as a plan literal; " +
+        "shrink ngramLens or raise maxVocabEntries deliberately")
+    val rows = agg.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    graft.core.Persist.unstage(df.sparkSession, blocks)
+    // minCount floors on the gram's TOTAL count across classes (a rare
+    // gram is noise everywhere, not just in the class that saw it).
+    val byGram = rows.groupBy(_._1).filter(_._2.map(_._3).sum >= minCount)
+    val k = classes.length
+    val totals = Array.fill(k)(0.0)
+    byGram.valuesIterator.foreach(_.foreach { case (_, y, n) =>
+      totals(clsIdx(y)) += n.toDouble })
+    val v = byGram.size.toDouble
+    def logP(c: Double, t: Double) = math.log((c + alpha) / (t + alpha * v))
+    val nTotal = docCounts.map(_._2).sum.toDouble
+    NaiveBayesLang(
+      classes = classes,
+      logLik = byGram.map { case (g, cs) =>
+        val perClass = Array.fill(k)(0.0)
+        cs.foreach { case (_, y, n) => perClass(clsIdx(y)) = n.toDouble }
+        g -> classes.indices.map(i => logP(perClass(i), totals(i)))
+      },
+      oov = classes.indices.map(i => logP(0.0, totals(i))),
+      logPrior = classes.map(c =>
+        math.log(docCounts.find(_._1 == c).get._2.toDouble) -
+          math.log(nTotal)),
+      ngramLens = ngramLens.distinct.sorted, alpha = alpha)
+  }
+
+  /** Predict the language of every document: ONE per-row fold over the
+    * char-gram array accumulates the k class scores vector-wise
+    * (`zip_with` against the packed map literal — the gram array is
+    * walked once, not once per class), the finish lambda adds the log
+    * priors LAST (matching an oracle's `list_reduce(...) + prior`
+    * float-op order) and takes the argmax; ties break to the
+    * lexicographically smallest class (`array_position` finds the FIRST
+    * maximal index of the class-sorted score vector — the `ORDER BY score
+    * DESC, class` the oracle replays). Adds `predCol` (the class) and
+    * `scoreCol` (its joint log-probability). Pure per-row expressions —
+    * zero shuffle, no UDF, no model artifact.
+    */
+  def scoreLangNB(df: DataFrame, textCol: String, model: NaiveBayesLang,
+      predCol: String = "lang_pred", scoreCol: String = "lang_score"): DataFrame = {
+    val lut = typedLit(model.logLik)
+    val oovLit = typedLit(model.oov)
+    val priorLit = typedLit(model.logPrior)
+    val classesLit = typedLit(model.classes)
+    val zero = typedLit(Seq.fill(model.classes.length)(0.0))
+      .cast("array<double>")
+    val best = aggregate(
+      charNgrams(col(textCol), model.ngramLens),
+      zero,
+      (acc, g) => zip_with(acc,
+        coalesce(element_at(lut, g), oovLit), (a, b) => a + b),
+      acc => {
+        val scores = zip_with(acc, priorLit, (a, b) => a + b)
+        val mx = array_max(scores)
+        struct(element_at(classesLit, array_position(scores, mx).cast("int"))
+          .as("pred"), mx.as("score"))
+      })
+    df.withColumn("__lang_best", best)
+      .withColumn(predCol, col("__lang_best.pred"))
+      .withColumn(scoreCol, col("__lang_best.score"))
+      .drop("__lang_best")
+  }
+
   /** DSIR-style importance weighting for data selection (arXiv
     * 2302.03169: weight raw documents by target-vs-raw likelihood ratio
     * under cheap bag-of-ngrams models, then importance-resample). Here

@@ -111,4 +111,73 @@ class QualityClassifierSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(w(7L) == 2 * m.oovLr && w(8L) == m.oovLr)
   }
+
+  private def langCorpus = Seq(
+    (0L, "the cat sat on the mat", "en"),
+    (1L, "the dog and the bird went there", "en"),
+    (2L, "she was there with the things", "en"),
+    (3L, "der hund und die katze schlafen", "de"),
+    (4L, "die kinder gehen durch den wald", "de"),
+    (5L, "das haus steht auf dem huegel", "de"),
+    (6L, "el gato y el perro duermen", "es"),
+    (7L, "los ninos van por el bosque", "es"),
+    (8L, "la casa esta sobre la colina", "es")
+  ).toDF("id", "text", "lang")
+
+  test("char-ngram NB language ID: trained on labels, predicts held-out " +
+      "text of each language; CJK needs no tokenizer") {
+    val m = QualityClassifier.trainLangNB(langCorpus, "text", "lang")
+    assert(m.classes == Seq("de", "en", "es"))
+    val held = Seq(
+      (10L, "the bird sat with the dog"),
+      (11L, "der wald und das haus"),
+      (12L, "el perro va por la casa")
+    ).toDF("id", "text")
+    val preds = QualityClassifier.scoreLangNB(held, "text", m)
+      .select("id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(preds == Map(10L -> "en", 11L -> "de", 12L -> "es"), preds.toString)
+    // Char grams make scripts without whitespace tokenization work — the
+    // case the stopword-lexicon langId cannot express.
+    val zh = langCorpus.unionByName(Seq(
+      (20L, "我们在公园里散步看花", "zh"),
+      (21L, "他们喜欢在山上看日出", "zh"),
+      (22L, "今天的天气很好我们去海边", "zh")).toDF("id", "text", "lang"))
+    val mz = QualityClassifier.trainLangNB(zh, "text", "lang")
+    val zPred = QualityClassifier.scoreLangNB(
+        Seq((30L, "我们去山上看花")).toDF("id", "text"), "text", mz)
+      .select("lang_pred").as[String].head()
+    assert(zPred == "zh", zPred)
+  }
+
+  test("lang NB scoring is one zero-shuffle per-row fold; empty text " +
+      "scores the priors and ties break to the smallest class") {
+    val m = QualityClassifier.trainLangNB(langCorpus, "text", "lang")
+    val scored = QualityClassifier.scoreLangNB(
+      Seq((0L, "")).toDF("id", "text"), "text", m)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    val r = scored.select("lang_pred", "lang_score").head()
+    // Empty text: every class scores exactly its prior; 3 docs per class
+    // → equal priors → the tie breaks to the first sorted class.
+    assert(r.getString(0) == "de", r.toString)
+    assert(math.abs(r.getDouble(1) - math.log(3.0 / 9.0)) < 1e-12)
+  }
+
+  test("lang NB bounds fail loudly: class cap, vocab cap, null labels") {
+    val e1 = intercept[IllegalArgumentException] {
+      QualityClassifier.trainLangNB(langCorpus, "text", "lang", maxClasses = 2)
+    }
+    assert(e1.getMessage.contains("classes"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      QualityClassifier.trainLangNB(langCorpus, "text", "lang",
+        maxVocabEntries = 5)
+    }
+    assert(e2.getMessage.contains("vocabulary"), e2.getMessage)
+    val withNull = langCorpus.unionByName(
+      Seq((99L, "x", null.asInstanceOf[String])).toDF("id", "text", "lang"))
+    val e3 = intercept[IllegalArgumentException] {
+      QualityClassifier.trainLangNB(withNull, "text", "lang")
+    }
+    assert(e3.getMessage.contains("label"), e3.getMessage)
+  }
 }
