@@ -3342,6 +3342,29 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "dedup_exactsubstr" -> ((s, dir) => {
+      // ExactSubstr dedup (Lee et al. 2022, arXiv 2107.06499) at
+      // minMatchWords = 25: a deterministic 31-word boilerplate span is
+      // appended to every 7th doc (the pii_redact injection convention —
+      // the raw corpus has no cross-doc ≥25-word span, so the gate plants
+      // the adversarial case in BOTH engines), and the cleaner must strip
+      // exactly the repeated span — boundary windows straddling each doc's
+      // distinct prefix are NOT shared and must survive — plus whatever
+      // short exact-dup texts the corpus already carries (≤ w words form
+      // one whole-doc window). Full cleaned text pinned by md5.
+      val span = "this document is provided as is without warranty of any " +
+        "kind either express or implied including but not limited to the " +
+        "implied warranties of merchantability and fitness for a " +
+        "particular purpose"
+      val d = read(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + span)))
+          .otherwise(col("text")))
+      Dedup.exactSubstrClean(d, "text", "doc_id", minMatchWords = 25)
+        .select(col("doc_id"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     "pii_redact" -> ((s, dir) => {
       // PII scrub: the corpus text carries no PII, so deterministic
       // synthetic PII (a function of doc_id) is injected identically in
@@ -5760,6 +5783,39 @@ object Queries {
         |SELECT doc_id, CAST(len(covered) AS BIGINT) AS n_removed,
         |  md5(coalesce(array_to_string(list_filter(w, (x, i) -> NOT list_contains(covered, i)), ' '), '')) AS clean_md5
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // The boilerplate_strip refit at window 25 over the span-injected
+    // corpus — same injection, same window algebra, whole-doc windows for
+    // docs of <= 25 words.
+    "dedup_exactsubstr" ->
+      ("""WITH inj AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' """ +
+        "this document is provided as is without warranty of any kind " +
+        "either express or implied including but not limited to the " +
+        "implied warranties of merchantability and fitness for a " +
+        "particular purpose" + """' ELSE text END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w,
+        |    list_transform(string_split(trim(text), ' '), x -> lower(x)) AS k
+        |  FROM inj),
+        |gr AS (
+        |  SELECT doc_id, w, k,
+        |    CASE WHEN len(k) <= 25 THEN [array_to_string(k, ' ')]
+        |      ELSE list_transform(range(1, len(k) - 23), i -> array_to_string(list_slice(k, i, i + 24), ' ')) END AS grams
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM gr),
+        |shared AS (SELECT gram FROM e GROUP BY gram HAVING count(*) >= 2),
+        |sh AS (SELECT coalesce(list(gram), CAST([] AS VARCHAR[])) AS sg FROM shared),
+        |c AS (
+        |  SELECT gr.doc_id, gr.w,
+        |    list_distinct(flatten(list_transform(
+        |      list_filter(range(1, len(gr.grams) + 1), i -> list_contains(sh.sg, gr.grams[i])),
+        |      s -> range(s, s + least(25, len(gr.k)))))) AS covered
+        |  FROM gr, sh)
+        |SELECT doc_id, CAST(len(covered) AS BIGINT) AS n_removed,
+        |  md5(coalesce(array_to_string(list_filter(w, (x, i) -> NOT list_contains(covered, i)), ' '), '')) AS clean_md5
+        |FROM c ORDER BY doc_id""").stripMargin,
 
     "pii_redact" ->
       """WITH inj AS (

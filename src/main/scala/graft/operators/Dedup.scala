@@ -804,6 +804,32 @@ object Dedup {
       .drop("__w", "__h", "__starts", "__sc")
   }
 
+  /** ExactSubstr deduplication (Lee et al. 2022, arXiv 2107.06499 §4.1):
+    * remove every cross-document repeated span of ≥ `minMatchWords`
+    * tokens. The published cleaner finds maximal repeated substrings with
+    * a suffix array; this is the same cleaned output via window coverage —
+    * a repeated span of length L ≥ w is exactly the union of its L−w+1
+    * repeated w-windows, and conversely every word covered by a shared
+    * w-window sits inside a cross-doc repeated span of ≥ w words — so
+    * [[stripSharedWindows]] at `window = minMatchWords` IS the ExactSubstr
+    * cleaning rule, with the suffix array replaced by a distributed
+    * (hash, doc) aggregate (narrow shuffles of positional hashes, never
+    * text; the suffix array is a single-machine construction that has no
+    * 100 TB form). Granularity is whitespace words where the paper used
+    * BPE tokens (50-token default ≈ this `minMatchWords` default);
+    * adjacent/overlapping repeated spans chain into maximal spans through
+    * the shared difference-array coverage rebuild. Docs of ≤ w words form
+    * one whole-doc window, so short exact duplicates strip to empty.
+    */
+  def exactSubstrClean(df: DataFrame, textCol: String, idCol: String,
+      minMatchWords: Int = 50, minDocs: Int = 2,
+      cleanCol: String = "clean_text"): DataFrame = {
+    require(minMatchWords >= 2,
+      s"exactSubstrClean: minMatchWords $minMatchWords must be >= 2")
+    stripSharedWindows(df, textCol, idCol, window = minMatchWords,
+      minDocs = minDocs, cleanCol = cleanCol)
+  }
+
   /** Remove WITHIN-document repeated spans: every word covered by a w-word
     * window whose (lowercased) text already occurred earlier in the SAME
     * document is dropped, keeping the first occurrence — the intra-doc

@@ -227,6 +227,47 @@ class DedupSpec extends SparkSpec {
     assert(out(3) == ((3L, 2L, "")) && out(4) == ((4L, 2L, "")), s"${out(3)} ${out(4)}")
   }
 
+  test("exactSubstrClean (Lee et al.) removes maximal cross-doc spans >= " +
+      "the window, keeps shorter repeats, and chains adjacent spans") {
+    import org.apache.spark.sql.functions._
+    def ws(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val span60 = ws("s", 60)   // repeated 60-word span
+    val span24 = ws("t", 24)   // repeated but BELOW the 25-word threshold
+    val spanA = ws("a", 25)    // two adjacent 25-word spans, repeated
+    val spanB = ws("b", 25)    //   contiguously in doc 6 and separately in 7/8
+    val docs = Seq(
+      (0L, s"${ws("p", 30)} $span60 ${ws("q", 30)}"),
+      (1L, s"${ws("r", 30)} $span60 ${ws("u", 30)}"),
+      (2L, s"${ws("v", 30)} $span24 ${ws("w", 30)}"),
+      (3L, s"${ws("x", 30)} $span24 ${ws("y", 30)}"),
+      (6L, s"${ws("c", 30)} $spanA $spanB ${ws("d", 30)}"),
+      (7L, s"${ws("e", 30)} $spanA ${ws("f", 30)}"),
+      (8L, s"${ws("g", 30)} $spanB ${ws("h", 30)}")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrClean(docs, "text", "doc_id", minMatchWords = 25)
+      .select(col("doc_id"), col("n_removed"), col("clean_text"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // The 60-word span strips exactly; windows straddling the distinct
+    // 30-word surroundings are unshared, so the surroundings survive whole.
+    assert(out(0L) == ((60L, s"${ws("p", 30)} ${ws("q", 30)}")), out(0L).toString)
+    assert(out(1L) == ((60L, s"${ws("r", 30)} ${ws("u", 30)}")), out(1L).toString)
+    // A 24-word repeat is BELOW minMatchWords: no 25-window repeats, kept.
+    assert(out(2L)._1 == 0L && out(3L)._1 == 0L,
+      s"sub-threshold span must survive: ${out(2L)} ${out(3L)}")
+    // Adjacent repeated spans chain: doc 6 loses the full 50-word run
+    // (both spans covered, including the A→B seam via coverage union).
+    assert(out(6L) == ((50L, s"${ws("c", 30)} ${ws("d", 30)}")), out(6L).toString)
+    assert(out(7L)._1 == 25L && out(8L)._1 == 25L)
+    // Intra-doc-only repetition is NOT cross-doc: a doc repeating its own
+    // 30-word span keeps it (minDocs counts DISTINCT docs).
+    val intra = Seq((9L, s"${ws("k", 30)} ${ws("k", 30)}"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactSubstrClean(intra, "text", "doc_id",
+        minMatchWords = 25)
+      .select("n_removed").as[Long].head()
+    assert(kept == 0L, s"intra-doc repeat must survive the cross-doc cleaner")
+  }
+
   test("dropAgainstIndex drops exact and near dups of the indexed corpus, keeps intra-batch dups") {
     import org.apache.spark.sql.functions._
     val old = Seq(
