@@ -2889,6 +2889,26 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "tokenize_bpe" -> ((s, dir) => {
+      // The BPE TRAINER on the wire (tokenize_subword gates freqVocab
+      // only): train 48 merges from scratch on this corpus — the merge
+      // loop is deterministic (count desc, pair asc) — then tokenize under
+      // the learned inventory. The oracle tokenizes under the PINNED
+      // BpeVocabM48 literal (OracleConstants), so a drifting merge
+      // sequence, a wrong tie-break, or a piece that stopped/started
+      // being learned all surface as hash mismatches on real documents.
+      val d = read(s, dir, "documents")
+      val vocab = graft.operators.Tokenizer.trainBpe(d, "text", numMerges = 48)
+      graft.operators.Tokenizer.tokenize(d, "text", vocab, "pieces")
+        .select(col("doc_id"),
+          size(col("pieces")).as("n_tokens"),
+          concat_ws("|", col("pieces")).as("pieces_str"),
+          concat_ws(",", transform(
+            graft.operators.Tokenizer.tokenIds(col("pieces"), vocab),
+            i => i.cast("string"))).as("token_ids_str"))
+        .orderBy("doc_id")
+    }),
+
     "chunk_docs" -> ((s, dir) => {
       // Passage chunking for retrieval/training: 128-token windows with
       // 32-token overlap; trailing starts that add no new words are
@@ -3484,6 +3504,27 @@ object Queries {
     * ever changes.
     */
   private val PqCodebooksM8K16: String = "(0, 0, [-0.1005033329129219,-0.047960925847291946,-0.14786396920681,-0.07483185827732086,-0.005980160087347031,0.10288123041391373,0.04169303923845291,0.07255616784095764]::DOUBLE[]),(0, 1, [-0.13025550544261932,-0.050390876829624176,0.061867982149124146,-0.062135759741067886,0.10304860770702362,-0.03688093647360802,-0.12880611419677734,0.03677062690258026]::DOUBLE[]),(0, 2, [0.04909701645374298,-0.004884135909378529,-0.002476299414411187,-0.14222466945648193,-0.13221336901187897,-0.07743377983570099,-0.022102277725934982,0.06267354637384415]::DOUBLE[]),(0, 3, [0.022518210113048553,-0.05613831430673599,0.008527595549821854,0.085136778652668,0.04780787602066994,0.1392262727022171,-0.20875047147274017,-0.05584999546408653]::DOUBLE[]),(0, 4, [0.10018142312765121,-0.017853092402219772,-0.1396171748638153,0.11173945665359497,0.03085552714765072,0.08947551250457764,0.04099947586655617,-0.1415473371744156]::DOUBLE[]),(0, 5, [0.16239748895168304,-0.06902363896369934,0.03269824758172035,-0.07459326833486557,0.0807109922170639,0.04786352813243866,0.013215635903179646,0.09501957893371582]::DOUBLE[]),(0, 6, [0.0180288664996624,-0.018025096505880356,-0.04145306721329689,0.025234060361981392,0.14573755860328674,-0.16939128935337067,-0.0630209669470787,0.08756524324417114]::DOUBLE[]),(0, 7, [0.06339702755212784,0.1457829624414444,-0.13749535381793976,-0.022033827379345894,0.007296515628695488,0.06912656128406525,-0.04517717286944389,0.13107632100582123]::DOUBLE[]),(0, 8, [0.04354044049978256,-0.06757302582263947,0.013689078390598297,-0.06300946325063705,0.007504337001591921,-0.04149054363369942,-0.020952530205249786,-0.19034487009048462]::DOUBLE[]),(0, 9, [-0.10049081593751907,-0.044033389538526535,0.05246347934007645,0.14935874938964844,-0.03209049254655838,0.05455779656767845,0.07296909391880035,0.03431606665253639]::DOUBLE[]),(0, 10, [-0.032947786152362823,0.08952178061008453,0.1259741187095642,-0.056618813425302505,-0.08999821543693542,0.1300555169582367,-0.016889529302716255,-0.016919491812586784]::DOUBLE[]),(0, 11, [-0.037492215633392334,0.009179123677313328,-0.07415230572223663,0.09436513483524323,-0.19719581305980682,-0.07993236184120178,-0.019595962017774582,-0.03133249282836914]::DOUBLE[]),(0, 12, [0.03201860561966896,0.15753242373466492,0.07508594542741776,0.08439338952302933,0.06703566014766693,-0.030598318204283714,-0.06306187808513641,-0.055714454501867294]::DOUBLE[]),(0, 13, [0.12787844240665436,-0.06349875032901764,0.04210349917411804,0.0716879814863205,-0.03491315618157387,-0.0446140356361866,-0.09850592911243439,0.09631381928920746]::DOUBLE[]),(0, 14, [-0.10698635131120682,-0.013816209509968758,-0.01627844199538231,-0.0818740576505661,0.1558389663696289,0.0775812417268753,0.10947062075138092,-0.09219451993703842]::DOUBLE[]),(0, 15, [-0.04421093687415123,0.012297234497964382,0.11019334942102432,-0.0015756352804601192,-0.031503673642873764,-0.14380232989788055,0.1816059648990631,0.03557669743895531]::DOUBLE[]),(1, 0, [-0.07365026324987411,-0.11392726004123688,-0.019233189523220062,-0.02318180911242962,-0.05965454876422882,0.002907892456278205,-0.06314602494239807,-0.20100969076156616]::DOUBLE[]),(1, 1, [-0.029522081837058067,0.23573431372642517,-0.04933376610279083,-0.05414861813187599,0.03828834369778633,-0.02455854043364525,0.12838424742221832,0.01360784750431776]::DOUBLE[]),(1, 2, [0.00264020380564034,0.15481869876384735,0.03845134377479553,-0.0019532733131200075,-0.19233329594135284,0.007068140432238579,-0.06492442637681961,-0.08178013563156128]::DOUBLE[]),(1, 3, [-0.08994331955909729,0.04172540083527565,0.07020147889852524,-0.06842406839132309,0.06545209884643555,-0.13538357615470886,0.019335003569722176,-0.07789622992277145]::DOUBLE[]),(1, 4, [0.05777014419436455,-0.10230046510696411,0.049950700253248215,-0.1125384047627449,0.03837412968277931,-0.09705688059329987,-0.10852587968111038,0.10637598484754562]::DOUBLE[]),(1, 5, [-2.000688255066052E-4,-0.05516153573989868,0.18268343806266785,-0.050829097628593445,0.048176247626543045,0.02109137922525406,0.033521924167871475,0.1407635658979416]::DOUBLE[]),(1, 6, [0.08576174825429916,0.029149172827601433,-0.15821008384227753,0.132441446185112,-0.06538667529821396,0.06287948042154312,-0.03406504914164543,0.055628299713134766]::DOUBLE[]),(1, 7, [-0.015460646711289883,0.046490106731653214,0.15512718260288239,0.05606800317764282,-0.059739671647548676,0.014597994275391102,0.10722622275352478,-0.073982372879982]::DOUBLE[]),(1, 8, [-0.0980461984872818,-0.13341782987117767,-0.08126004040241241,0.028440916910767555,0.01686406321823597,0.03968147560954094,-0.003307688981294632,0.13458655774593353]::DOUBLE[]),(1, 9, [-0.09350061416625977,-0.04399469122290611,-0.027448931708931923,-0.17798970639705658,-0.1280539631843567,0.0705743208527565,-0.009412059560418129,0.04368814080953598]::DOUBLE[]),(1, 10, [0.09142603725194931,0.11623003333806992,0.006959219463169575,-0.09271799027919769,0.09863430261611938,0.10076628625392914,-0.06861063092947006,0.0434398278594017]::DOUBLE[]),(1, 11, [0.08705265820026398,-0.00830343272536993,-0.026504572480916977,0.06377503275871277,0.07907602936029434,-0.0180865116417408,0.1812593638896942,0.0555240735411644]::DOUBLE[]),(1, 12, [-0.03605068847537041,-0.10305944085121155,-0.026792574673891068,0.050532057881355286,0.06081794947385788,0.22636054456233978,0.03219776228070259,-0.029945136979222298]::DOUBLE[]),(1, 13, [0.1344606578350067,-0.07055740803480148,-0.052155014127492905,-0.024154668673872948,-0.08245457708835602,-0.11529646813869476,0.029403679072856903,-0.06119395047426224]::DOUBLE[]),(1, 14, [3.3388540032319725E-5,-0.013825484551489353,0.07075776159763336,0.1766667515039444,-0.07279747724533081,-0.019654635339975357,-0.1598992496728897,0.04403363913297653]::DOUBLE[]),(1, 15, [-0.09559644758701324,0.1384221762418747,-0.07825207710266113,0.15736247599124908,0.07714413106441498,-0.032919351011514664,-0.026433341205120087,0.016044171527028084]::DOUBLE[]),(2, 0, [-0.1321362555027008,-0.03290247544646263,0.07259528338909149,-0.06324554979801178,0.04163391888141632,0.14197158813476562,0.03944132849574089,-0.040797941386699677]::DOUBLE[]),(2, 1, [0.22979436814785004,-0.20158779621124268,0.17523609101772308,-0.30534887313842773,-0.0044603655114769936,0.1634998470544815,0.010562696494162083,-0.13122759759426117]::DOUBLE[]),(2, 2, [0.027750182896852493,0.01522463746368885,0.0192062146961689,0.013747185468673706,0.15482236444950104,0.04881059005856514,-0.11654512584209442,0.10020167380571365]::DOUBLE[]),(2, 3, [-0.13586542010307312,-0.209495410323143,-0.07571908086538315,-0.05474504083395004,0.022973382845520973,0.00933841336518526,-0.090603768825531,-1.0058504267362878E-4]::DOUBLE[]),(2, 4, [-0.0773301050066948,-0.05132440850138664,-0.03209373354911804,0.11368284374475479,-0.04246342182159424,-0.13978993892669678,0.03677967190742493,-0.008953778073191643]::DOUBLE[]),(2, 5, [0.03598777949810028,-0.053374070674180984,-0.18188491463661194,0.05760521814227104,0.09235253930091858,0.050814349204301834,0.026147589087486267,-0.054133642464876175]::DOUBLE[]),(2, 6, [-0.002329186536371708,-0.1067853718996048,-0.09793830662965775,0.030843930318951607,-0.03984164446592331,0.0378529317677021,0.1152249276638031,0.12592369318008423]::DOUBLE[]),(2, 7, [-0.09035313129425049,0.1596570760011673,0.09522801637649536,0.035651788115501404,-0.1824747622013092,0.04428553953766823,-0.0078002288937568665,-0.1327991783618927]::DOUBLE[]),(2, 8, [-0.0047897715121507645,0.06663745641708374,0.057692255824804306,0.15308618545532227,0.048222050070762634,0.07705434411764145,0.09744526445865631,0.003091377904638648]::DOUBLE[]),(2, 9, [0.19348978996276855,-0.001063444186002016,-1.8303289834875613E-4,-0.05606292560696602,0.025429852306842804,-0.08684131503105164,0.05488435924053192,0.0565917007625103]::DOUBLE[]),(2, 10, [-0.06731036305427551,0.12690769135951996,-0.11082689464092255,0.02831316739320755,-0.04048370569944382,-0.007650670595467091,-0.09598197042942047,-0.038195911794900894]::DOUBLE[]),(2, 11, [-0.043476756662130356,0.20001381635665894,0.0018285377882421017,-0.11463537812232971,0.04142284020781517,-0.06892111152410507,0.057917769998311996,-0.04098409041762352]::DOUBLE[]),(2, 12, [0.0702306255698204,0.05885796993970871,0.05286531150341034,-0.04557620361447334,0.0368698313832283,0.005812949035316706,0.0781140998005867,-0.2321656048297882]::DOUBLE[]),(2, 13, [0.00868282001465559,-0.026736494153738022,0.17268633842468262,0.03570311889052391,0.013708381913602352,-0.06343609094619751,-0.0966276079416275,0.015616865828633308]::DOUBLE[]),(2, 14, [0.05108815059065819,0.07815206795930862,0.043471235781908035,-0.07628672569990158,-0.12626102566719055,0.10483431816101074,0.025319967418909073,0.1454165130853653]::DOUBLE[]),(2, 15, [0.1038091853260994,-0.07867050915956497,-0.047672443091869354,-0.049274660646915436,-0.1294623613357544,-0.01489671878516674,-0.04726390913128853,-0.06884663552045822]::DOUBLE[]),(3, 0, [-0.15383107960224152,-0.007311301305890083,-0.1292523443698883,0.048552002757787704,-0.019345611333847046,0.008936591446399689,-0.1449737250804901,0.1431605964899063]::DOUBLE[]),(3, 1, [0.1345101296901703,0.05894798785448074,-0.050811540335416794,0.06241559237241745,0.11452087759971619,0.0754345953464508,0.034696806222200394,-0.1014779806137085]::DOUBLE[]),(3, 2, [-0.03435348719358444,0.14142653346061707,-0.04364558681845665,0.0070760417729616165,-0.02580379508435726,-0.15076705813407898,0.12880998849868774,-0.0470779612660408]::DOUBLE[]),(3, 3, [-0.15952247381210327,0.07134854793548584,0.08873656392097473,0.09246115386486053,-0.12825530767440796,0.15149037539958954,0.0062082805670797825,-0.06196720898151398]::DOUBLE[]),(3, 4, [-0.05301110818982124,-0.06342020630836487,0.024474509060382843,-0.1301206648349762,-0.12668894231319427,-0.027134308591485023,-0.0811946764588356,0.02699604630470276]::DOUBLE[]),(3, 5, [-0.006082229781895876,-0.06261918693780899,0.14258262515068054,-0.07724839448928833,0.04852697625756264,0.006953603588044643,0.06334320455789566,-0.17246000468730927]::DOUBLE[]),(3, 6, [0.046923279762268066,-0.15935170650482178,0.024083212018013,0.04740364849567413,-0.10173984616994858,-0.07151475548744202,0.11420439928770065,-0.044955845922231674]::DOUBLE[]),(3, 7, [-0.15817375481128693,-0.009023329243063927,-0.06072197109460831,-0.13499309122562408,0.11893759667873383,-0.021083422005176544,-0.03955760598182678,-0.11085465550422668]::DOUBLE[]),(3, 8, [7.369968807324767E-5,-0.04433352127671242,-0.09702625870704651,0.14264823496341705,-0.07709047943353653,-0.049195464700460434,-0.051710888743400574,-0.1348390132188797]::DOUBLE[]),(3, 9, [0.11869567632675171,0.18864819407463074,0.08374837785959244,-0.012383411638438702,-0.06098981201648712,0.023121878504753113,0.03075559064745903,0.042672183364629745]::DOUBLE[]),(3, 10, [-0.11213475465774536,-0.06893890351057053,-0.0038031486328691244,0.05957726016640663,0.09780906140804291,0.05193156376481056,0.12914897501468658,0.011476578190922737]::DOUBLE[]),(3, 11, [0.0020040483213961124,0.0196541715413332,0.0361676849424839,0.0054594106040894985,0.09112943708896637,-0.1844150573015213,-0.08996053040027618,0.0010320412693545222]::DOUBLE[]),(3, 12, [0.10471168160438538,-0.06258412450551987,0.09766290336847305,0.01527285948395729,0.06780166923999786,0.11260416358709335,-0.059133876115083694,0.06649437546730042]::DOUBLE[]),(3, 13, [0.022099683061242104,0.11523527652025223,-0.11950350552797318,-0.03670288622379303,-0.03798636049032211,0.06597957015037537,-0.08888841420412064,0.00430014543235302]::DOUBLE[]),(3, 14, [0.02492341957986355,0.07158888876438141,0.11650779843330383,0.08769774436950684,0.015724513679742813,-0.04110182821750641,-0.06320555508136749,0.17681939899921417]::DOUBLE[]),(3, 15, [0.052310146391391754,-0.04776105284690857,-0.11375465989112854,-0.03282063454389572,-0.031457528471946716,0.05483391508460045,0.11306159943342209,0.0926942229270935]::DOUBLE[]),(4, 0, [0.08295311778783798,-0.018051736056804657,0.0010079010389745235,0.09832373261451721,0.11716759204864502,0.020516028627753258,0.0993461161851883,0.08584104478359222]::DOUBLE[]),(4, 1, [-0.018401363864541054,-0.18069739639759064,-0.0911831185221672,-0.01851881854236126,-0.026559531688690186,-0.0487162247300148,-0.050220977514982224,-0.06820373982191086]::DOUBLE[]),(4, 2, [-0.1584610790014267,-0.04599687084555626,0.013643949292600155,0.04371979832649231,0.0928163155913353,0.06677497178316116,0.078530453145504,-0.022334322333335876]::DOUBLE[]),(4, 3, [-0.024004530161619186,-0.07896766066551208,0.07274076342582703,0.05785728618502617,-0.21595355868339539,-0.005436539184302092,0.08726377785205841,-0.039453595876693726]::DOUBLE[]),(4, 4, [0.09276876598596573,0.06109483912587166,0.0631750300526619,0.04343600571155548,0.01676650159060955,0.059445347636938095,-0.17810605466365814,-0.01554757822304964]::DOUBLE[]),(4, 5, [0.09788820147514343,-0.13847456872463226,0.08799024671316147,-0.06003740429878235,0.004374759271740913,0.04431701451539993,-0.06433197855949402,0.11696863919496536]::DOUBLE[]),(4, 6, [0.038201428949832916,-0.09858083724975586,-0.1486966460943222,0.06757278740406036,0.012472672387957573,0.12476462125778198,-0.04296588525176048,0.09488733857870102]::DOUBLE[]),(4, 7, [-0.031294625252485275,0.1310432106256485,-0.12404076755046844,0.02280474081635475,-0.11290968209505081,0.054517488926649094,-0.043522775173187256,0.021641014143824577]::DOUBLE[]),(4, 8, [0.052677594125270844,-0.046193819493055344,0.07900066673755646,-0.22205011546611786,-0.04893139377236366,-0.11628684401512146,0.05514438450336456,-0.04365023225545883]::DOUBLE[]),(4, 9, [0.09777842462062836,0.08993559330701828,-0.03192216530442238,0.041753944009542465,0.048579972237348557,-0.11202393472194672,0.003970780409872532,-0.1350824385881424]::DOUBLE[]),(4, 10, [-0.005743667017668486,-0.05487674102187157,-0.07278446108102798,-0.115526482462883,0.048743415623903275,-0.14839553833007812,-0.07930450886487961,0.11390851438045502]::DOUBLE[]),(4, 11, [-0.05342531576752663,0.0029866090044379234,-0.002546871779486537,0.1935938149690628,-0.025749091058969498,-0.14029613137245178,-0.0033815691713243723,0.021937573328614235]::DOUBLE[]),(4, 12, [0.10578407347202301,0.016938693821430206,-0.07806963473558426,-0.09703540056943893,-0.05332789570093155,0.07694631814956665,0.18893404304981232,-0.04624081775546074]::DOUBLE[]),(4, 13, [-0.14857962727546692,0.016747677698731422,0.0013024769723415375,-0.1251276582479477,-0.05604676157236099,0.06089925393462181,-0.0934024527668953,-0.07773768156766891]::DOUBLE[]),(4, 14, [-7.198070670710877E-5,0.1554621458053589,0.09057816118001938,-0.03662525862455368,-0.06058917194604874,0.06636985391378403,0.07692578434944153,0.10365232080221176]::DOUBLE[]),(4, 15, [0.022183438763022423,-0.020220929756760597,0.2067440301179886,-0.010853439569473267,0.05381329730153084,0.010531887412071228,0.042136505246162415,-0.07437161356210709]::DOUBLE[]),(5, 0, [0.08237463980913162,0.02832191251218319,-8.779442869126797E-4,0.20485520362854004,-0.04404452443122864,-0.023421261459589005,0.03737429901957512,0.04016609117388725]::DOUBLE[]),(5, 1, [-0.06084742397069931,0.04165928438305855,-0.00447789067402482,-0.009425447322428226,-0.09036879241466522,-0.20921503007411957,-0.010605969466269016,0.05085030570626259]::DOUBLE[]),(5, 2, [-0.011861762031912804,-0.11651205271482468,-0.0603153295814991,0.01306939497590065,0.05633830651640892,-0.07727423310279846,0.08340923488140106,-0.10446163266897202]::DOUBLE[]),(5, 3, [0.17973336577415466,-0.0017642227467149496,-0.0199054516851902,-0.09111612290143967,0.05138512700796127,0.09796939790248871,0.0531025305390358,0.12349318712949753]::DOUBLE[]),(5, 4, [-0.012683400884270668,-0.11914961785078049,0.1708402782678604,-0.04222028702497482,0.03972106799483299,0.0598754808306694,0.0036710472777485847,0.028798507526516914]::DOUBLE[]),(5, 5, [0.06413476169109344,0.026379628106951714,-0.0620582178235054,-0.17431747913360596,0.05473089963197708,-0.09591539204120636,-0.05831519886851311,0.04391245171427727]::DOUBLE[]),(5, 6, [0.0021864022128283978,-0.10240813344717026,-0.07673497498035431,0.0702439472079277,0.0175449401140213,0.15432119369506836,0.06916998326778412,0.06374501436948776]::DOUBLE[]),(5, 7, [-0.075058713555336,0.2107899785041809,0.019344881176948547,-0.021504346281290054,0.10681302100419998,0.01413009688258171,0.05919220298528671,0.10227754712104797]::DOUBLE[]),(5, 8, [-0.04015257582068443,-0.004127933643758297,-0.1740426868200302,0.024970002472400665,0.1412779986858368,0.023306384682655334,-0.08633013069629669,0.06990354508161545]::DOUBLE[]),(5, 9, [-0.14185293018817902,0.001344765885733068,-0.02151726931333542,-0.10207615047693253,-0.10032369196414948,0.03592708706855774,-0.11413873732089996,-0.035767849534749985]::DOUBLE[]),(5, 10, [-0.17390190064907074,-0.05931953713297844,0.04288819059729576,0.07699649780988693,-0.03876848891377449,-0.017312852665781975,0.04384073615074158,0.10451405495405197]::DOUBLE[]),(5, 11, [0.1014273390173912,0.0735435038805008,0.20418083667755127,-0.04358178749680519,-0.040334831923246384,-0.03501499444246292,0.08803943544626236,-0.12007609754800797]::DOUBLE[]),(5, 12, [-0.015043598599731922,0.017258938401937485,5.076478119008243E-4,0.07086668908596039,-0.03653049096465111,0.13457198441028595,0.007892157882452011,-0.188736692070961]::DOUBLE[]),(5, 13, [0.04964686557650566,-0.013288196176290512,0.09434337168931961,0.06600093841552734,0.006614364683628082,0.009627390652894974,-0.16604109108448029,-0.025403592735528946]::DOUBLE[]),(5, 14, [0.10279569029808044,-0.132696270942688,-0.027762606739997864,-0.03755682334303856,-0.15573793649673462,0.03017950989305973,-0.04138866811990738,0.05170871689915657]::DOUBLE[]),(5, 15, [-0.010739394463598728,0.15347975492477417,-0.1114397644996643,-0.009018740616738796,-0.16596505045890808,0.00586307467892766,0.07115156203508377,-0.03914584964513779]::DOUBLE[]),(6, 0, [0.06287072598934174,-0.08066117763519287,0.16792891919612885,0.054967109113931656,0.045108404010534286,-0.0047063520178198814,0.10451909899711609,0.018930384889245033]::DOUBLE[]),(6, 1, [-0.15881207585334778,0.06292740255594254,-0.012593048624694347,0.04245375096797943,0.11217895895242691,0.04413783550262451,-0.10693208873271942,-2.6438672648509964E-5]::DOUBLE[]),(6, 2, [-0.02851538173854351,-0.056863293051719666,0.10976953059434891,0.027758019044995308,-0.012305104173719883,0.09237898141145706,-0.13854755461215973,-0.19290891289710999]::DOUBLE[]),(6, 3, [0.1348028928041458,0.1253252774477005,6.53933035209775E-4,-0.06425415724515915,0.03893708437681198,0.0176698025316,-0.009791559539735317,-0.036513637751340866]::DOUBLE[]),(6, 4, [0.03987409546971321,0.02789546549320221,0.011034011840820312,-0.04772385582327843,-0.160331130027771,-0.023962197825312614,-0.08134651929140091,-0.1312035620212555]::DOUBLE[]),(6, 5, [-0.05947378650307655,0.004513351712375879,-0.06952903419733047,-0.044831886887550354,0.10556140542030334,0.09915755689144135,0.0814451351761818,-0.08927018940448761]::DOUBLE[]),(6, 6, [0.14192882180213928,-0.18609246611595154,0.04515483230352402,-0.10245117545127869,0.02137594483792782,0.04409658536314964,-0.08379673957824707,0.0414247028529644]::DOUBLE[]),(6, 7, [0.02106410078704357,0.007282680366188288,-0.07209755480289459,-0.1837744265794754,-0.059930358082056046,0.02231765352189541,0.11940553039312363,-0.031373221427202225]::DOUBLE[]),(6, 8, [-0.08234603703022003,-0.08957722783088684,0.04808543249964714,0.03938845545053482,-0.056625064462423325,0.1297357827425003,0.050167910754680634,0.07343608886003494]::DOUBLE[]),(6, 9, [-0.0010828068479895592,0.09577532112598419,0.11510928720235825,-0.05742492899298668,0.005300566088408232,-0.024665439501404762,0.07476069778203964,0.18126368522644043]::DOUBLE[]),(6, 10, [-0.053237851709127426,-0.1713552176952362,0.03672114387154579,-6.146616069599986E-4,0.023378346115350723,-0.1424340009689331,0.013344795443117619,-0.10602839291095734]::DOUBLE[]),(6, 11, [0.043087758123874664,0.08136315643787384,0.09087841212749481,-0.04392280429601669,0.08126135170459747,-0.1638364940881729,-0.14364896714687347,-0.004776802379637957]::DOUBLE[]),(6, 12, [-0.12388277798891068,0.03001541830599308,-0.03414151817560196,0.09972864389419556,-0.1909644454717636,0.006233696360141039,0.10285152494907379,-0.05105752870440483]::DOUBLE[]),(6, 13, [-0.048822686076164246,-0.09501512348651886,-0.09641211479902267,-0.025549013167619705,-0.03136557340621948,-0.05347185954451561,-0.1043616458773613,0.0997619479894638]::DOUBLE[]),(6, 14, [0.040824223309755325,-0.05288851261138916,-0.06753057986497879,0.11681922525167465,0.11839400976896286,-0.020928584039211273,0.010070470161736012,0.06799912452697754]::DOUBLE[]),(6, 15, [-0.03384169563651085,0.10076071321964264,-0.029790526255965233,0.12552092969417572,0.02369476668536663,-0.10279162973165512,0.05676811560988426,0.029804935678839684]::DOUBLE[]),(7, 0, [-0.09555590897798538,-0.013360581360757351,-0.13700926303863525,0.05041888728737831,-0.009930172003805637,-0.16633720695972443,-0.05769722908735275,0.008520364761352539]::DOUBLE[]),(7, 1, [-0.025853540748357773,-0.09489723294973373,-0.12892180681228638,-0.07209204882383347,-0.0797095000743866,0.04040627181529999,0.03097323141992092,-0.18065881729125977]::DOUBLE[]),(7, 2, [0.06862916052341461,0.025274867191910744,5.478767343447544E-5,0.16705167293548584,-0.029785247519612312,-0.11282703280448914,0.13996437191963196,-0.0814070925116539]::DOUBLE[]),(7, 3, [-0.06068374589085579,-0.09293719381093979,-0.0072312080301344395,-0.15744102001190186,0.07190261781215668,0.05316340923309326,-0.01573900878429413,0.035856716334819794]::DOUBLE[]),(7, 4, [0.06141861528158188,0.05534761771559715,-0.10639005154371262,-0.016930118203163147,-0.14449211955070496,0.0384562723338604,-0.031520675867795944,0.05193231254816055]::DOUBLE[]),(7, 5, [0.07395470142364502,-0.10059472918510437,0.025215117260813713,0.101736880838871,-0.10150641202926636,-0.019192200154066086,-0.06600569188594818,-0.07930692285299301]::DOUBLE[]),(7, 6, [0.027727074921131134,0.005395242944359779,0.0678335651755333,-0.08647255599498749,0.10083890706300735,-0.05889859423041344,-0.02073422446846962,-0.1953042447566986]::DOUBLE[]),(7, 7, [-0.0736699104309082,0.08354822546243668,0.012914393097162247,0.03132248297333717,-0.033900097012519836,0.10545215755701065,-0.04240552335977554,-0.10851766914129257]::DOUBLE[]),(7, 8, [0.12525829672813416,-0.1350245624780655,-0.07723180204629898,-0.041418708860874176,0.09253095835447311,-0.05428478866815567,0.09327547997236252,0.025365428999066353]::DOUBLE[]),(7, 9, [-0.044765520840883255,0.04543835669755936,0.1272081583738327,-0.0318293422460556,-0.056972529739141464,-0.06436463445425034,0.11725230515003204,0.07517944276332855]::DOUBLE[]),(7, 10, [0.02222060225903988,0.07351347804069519,0.14961867034435272,-0.09120550751686096,-0.08244214951992035,0.04488107189536095,-0.15257978439331055,-0.008381841704249382]::DOUBLE[]),(7, 11, [0.06219214200973511,0.0827416256070137,-0.028780387714505196,0.04010144993662834,0.11669295281171799,-0.025876758620142937,-0.07405770570039749,0.14819122850894928]::DOUBLE[]),(7, 12, [-0.0680442675948143,-0.06409658491611481,-0.08130086213350296,0.07146163284778595,0.010507066734135151,0.0803174152970314,0.12021395564079285,0.016577893868088722]::DOUBLE[]),(7, 13, [0.14556051790714264,-0.0060819415375590324,0.07107691466808319,0.018907111138105392,0.04424886777997017,0.1583082228899002,-0.011141132563352585,-0.008839546702802181]::DOUBLE[]),(7, 14, [-0.07942943274974823,-0.03133227676153183,0.15797899663448334,0.13629482686519623,0.11783745139837265,0.03884759545326233,-0.10642728209495544,-0.005279919598251581]::DOUBLE[]),(7, 15, [0.003325489116832614,0.12197153270244598,-0.15126517415046692,-0.13923127949237823,0.0555468387901783,-0.10769963264465332,0.00796580407768488,-0.014849641360342503]::DOUBLE[])"
+
+  /** The BPE piece inventory trainBpe learns at 48 merges on the sf
+    * documents table (deterministic: most-frequent pair first, ties to the
+    * lexicographically smallest pair — a pure function of the
+    * word-frequency multiset, the OracleConstants convention). The
+    * tokenize_bpe oracle tokenizes under THIS literal while the gate
+    * RE-TRAINS from scratch — any drift in the merge loop shows up as a
+    * hash mismatch. Regenerate with OracleConstants if testdata changes.
+    */
+  private val BpeVocabM48: Seq[String] = Seq("v", "a", "l", "u", "e", "s",
+    "p", "r", "k", "o", "w", "t", "c", "m", "d", "i", "n", "j", "q", "y",
+    "g", "b", "h", "f", "er", "in", "ow", "or", "st", "mer", "at", "lu",
+    "ar", "par", "jo", "join", "as", "ash", "hash", "row", "atc", "atch",
+    "batch", "an", "can", "scan", "co", "cu", "colu", "colum", "column",
+    "cust", "custo", "customer", "fi", "fil", "filt", "filter", "al",
+    "all", "mall", "small", "ge", "low", "merge", "slow", "ct", "ctor",
+    "der", "ector", "order", "vector")
+
+  /** A Seq[String] as a DuckDB list literal, single quotes doubled. */
+  private def sqlStrList(ps: Seq[String]): String =
+    ps.map(p => "'" + p.replace("'", "''") + "'").mkString("[", ", ", "]")
 
   /** Nearest-centroid assignment (squared-Euclidean argmin, ties → lowest
     * cell — list_distance is its monotone sqrt) against pinned centroids.
@@ -5250,6 +5291,47 @@ object Queries {
         |FROM documents d CROSS JOIN mp
         |LEFT JOIN docs ON d.doc_id = docs.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Greedy longest-match under the PINNED BPE inventory (BpeVocabM48 —
+    // the gate re-trains from scratch, the oracle replays the learned
+    // pieces as literals); the recursive tokenizer and id assignment are
+    // the tokenize_subword machinery verbatim.
+    "tokenize_bpe" ->
+      (s"""WITH RECURSIVE
+        |vocab AS (SELECT unnest(${sqlStrList(BpeVocabM48)}) AS p),
+        |""" +
+      """t AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |        ELSE string_split(lower(trim(text)), ' ') END AS ws FROM documents),
+        |wi AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM t),
+        |w AS (SELECT doc_id, i, w FROM wi WHERE w != ''),
+        |dw AS (SELECT DISTINCT w FROM w),
+        |ids AS (SELECT p, CAST(row_number() OVER (ORDER BY p) AS INT) AS id
+        |        FROM vocab),
+        |mp AS (SELECT map(list(p ORDER BY p), list(id ORDER BY p)) AS m FROM ids),
+        |tok AS (
+        |  SELECT w, 1 AS pos, 0 AS pi, CAST(NULL AS VARCHAR) AS piece FROM dw
+        |  UNION ALL
+        |  SELECT tok.w,
+        |    tok.pos + coalesce((SELECT len(v.p) FROM vocab v
+        |      WHERE substr(tok.w, tok.pos, len(v.p)) = v.p
+        |      ORDER BY len(v.p) DESC, v.p LIMIT 1), 1),
+        |    tok.pi + 1,
+        |    coalesce((SELECT v.p FROM vocab v
+        |      WHERE substr(tok.w, tok.pos, len(v.p)) = v.p
+        |      ORDER BY len(v.p) DESC, v.p LIMIT 1), '<unk>')
+        |  FROM tok WHERE tok.pos <= len(tok.w)),
+        |wp AS (SELECT w, list(piece ORDER BY pi) AS pieces
+        |       FROM tok WHERE pi > 0 GROUP BY w),
+        |docs AS (SELECT w.doc_id, flatten(list(wp.pieces ORDER BY w.i)) AS pieces
+        |         FROM w JOIN wp ON w.w = wp.w GROUP BY w.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(len(docs.pieces), 0) AS INT) AS n_tokens,
+        |  coalesce(array_to_string(docs.pieces, '|'), '') AS pieces_str,
+        |  coalesce(array_to_string(
+        |    list_transform(docs.pieces, x -> mp.m[x][1]), ','), '') AS token_ids_str
+        |FROM documents d CROSS JOIN mp
+        |LEFT JOIN docs ON d.doc_id = docs.doc_id
+        |ORDER BY d.doc_id""").stripMargin,
 
     // Zipped unnests over the same start list stay aligned in DuckDB, so
     // chunk_id / token count / slice all read the same start. 0-based

@@ -45,6 +45,20 @@ object OracleConstants {
         }
       }
       println("PqCodebooksM8K16 = \"" + rows.mkString(",") + "\"")
+
+      // BPE piece inventory at 48 merges over the documents table — the
+      // tokenize_bpe gate's pinned oracle vocab (the merge sequence is
+      // deterministic: count desc, then pair lexicographic asc, so this is
+      // a pure function of the word-frequency multiset).
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val bpe = graft.operators.Tokenizer.trainBpe(docs, "text", numMerges = 48)
+      def scalaStr(p: String): String = "\"" + p.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c => c.toString
+      } + "\""
+      println("BpeVocabM48 = Seq(" +
+        bpe.pieces.map(scalaStr).mkString(", ") + ")")
     } finally spark.stop()
   }
 }
