@@ -280,6 +280,27 @@ object Dedup {
       "matched_pairs", "recall")
   }
 
+  /** Pick the CHEAPEST band tier whose MEASURED pair recall (via
+    * [[minhashRecallReport]] — sampled exact ground truth vs the banded
+    * route at the real geometry) meets `targetRecall` — the minhash twin
+    * of [[EmbedOps.recommendCellProbes]]. Fewer bands = fewer bucket keys
+    * = a cheaper candidate join, at the S-curve's recall cost; this turns
+    * the recorded report into the tuning decision. Falls back to the
+    * highest offered tier (with its insufficient measured recall) when
+    * none measures up. Returns (bands, measured recall).
+    */
+  def recommendBands(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, targetRecall: Double = 0.95,
+      numHashes: Int = 64, bandTiers: Seq[Int] = Seq(4, 8, 16, 32),
+      shingleLen: Int = 3, sampleSize: Int = 2048): (Int, Double) = {
+    require(bandTiers.nonEmpty, "recommendBands: need ≥1 tier")
+    val rep = minhashRecallReport(df, textCol, idCol, threshold, numHashes,
+        bandTiers, shingleLen, sampleSize)
+      .select("bands", "recall")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    rep.find(_._2 >= targetRecall).getOrElse(rep.last)
+  }
+
   /** 64-bit SimHash of word tokens, natively: for each bit, sum the ±1
     * contributions of each token hash and take the sign.
     */

@@ -358,19 +358,35 @@ object QualityClassifier {
     *
     * Cost: one max() pass for the normalizer (a driver scalar — the only
     * global state), then a pure per-row filter. No shuffle, no RNG state.
-    * The weight expression is evaluated twice (once projected for the max,
-    * once in the filter) — deliberately: staging the full frame to make it
-    * single-pass would MATERIALIZE the whole corpus (text columns and all)
-    * to checkpoint storage, which measured 4× the cost of re-running the
-    * cheap dsirLogWeights fold at the ×1000 blow-up and is a nonstarter at
-    * 100 TB. A caller whose weight column is expensive (LM-scored) should
-    * stage that column itself before resampling.
+    * Without a supplied `normalizer` the weight expression is evaluated
+    * twice (once projected for the max, once in the filter) —
+    * deliberately: staging the full frame to make it single-pass would
+    * MATERIALIZE the whole corpus (text columns and all) to checkpoint
+    * storage, which measured 4× the cost of re-running the cheap
+    * dsirLogWeights fold at the ×1000 blow-up and is a nonstarter at
+    * 100 TB.
+    *
+    * `normalizer = Some(m)` SKIPS the max() pass — the ×1000 single-scan
+    * path (measured: the second fold scan is ~40% of the call). Supply it
+    * when the max is already known: a previously staged narrow
+    * (id, logw) frame, the max of an earlier epoch over the same fit, or
+    * an analytic bound. The supplied value must be ≥ the true max for
+    * exact self-normalized semantics; a LOWER value degrades gracefully —
+    * rows with logw > m get acceptance p > 1, which the cutoff clamps to
+    * "always keep" (the heaviest rows can never be lost, only the
+    * relative down-weighting of the rest is scaled). Keep the supplied
+    * value within ~ln(2¹⁵) ≈ 10.4 of the true max: beyond that,
+    * exp(logw − m) overflows the 16-bit acceptance rendering — supply
+    * bounds, not guesses.
     */
   def importanceResample(df: DataFrame, idCol: String, logwCol: String,
-      salt: String = ""): DataFrame = {
-    val mxRow = df.select(col(logwCol)).agg(max(col(logwCol))).head()
-    if (mxRow.isNullAt(0)) return df // empty input: nothing to resample
-    val p = exp(col(logwCol) - lit(mxRow.getDouble(0)))
+      salt: String = "", normalizer: Option[Double] = None): DataFrame = {
+    val mx = normalizer.getOrElse {
+      val mxRow = df.select(col(logwCol)).agg(max(col(logwCol))).head()
+      if (mxRow.isNullAt(0)) return df // empty input: nothing to resample
+      mxRow.getDouble(0)
+    }
+    val p = exp(col(logwCol) - lit(mx))
     // The draw and cutoff are CorpusPrep's shared membership convention —
     // one definition, so the byte recipe oracles replay cannot drift.
     df.filter(CorpusPrep.hashPrefix(col(idCol), salt) < CorpusPrep.cutHexCol(p))

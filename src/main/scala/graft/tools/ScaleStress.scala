@@ -99,7 +99,12 @@ object ScaleStress {
     val (b, f, p) =
       if (java.nio.file.Files.exists(marker)) {
         val txt = java.nio.file.Files.readString(marker)
-        def field(k: String) = (s""""$k":"?([^",}]+)"""".r)
+        // The closing quote must be OPTIONAL: "factor":1000 is an
+        // unquoted JSON number — a mandatory quote made the field
+        // silently fall back to the caller's value (masked in ScaleStress
+        // runs, which pass the real factor as the fallback; exposed by
+        // DsirNormBench passing 0).
+        def field(k: String) = (s""""$k":"?([^",}]+?)"?[,}]""".r)
           .findFirstMatchIn(txt).map(_.group(1))
         (field("base").getOrElse(base),
           field("factor").map(_.toInt).getOrElse(factor),

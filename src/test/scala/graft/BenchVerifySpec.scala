@@ -44,6 +44,22 @@ class BenchVerifySpec extends SparkSpec {
     assert(o.errors.toMap.apply("flaky").contains("flaky pass"))
   }
 
+  test("ScaleStress.sfLabel reads unquoted JSON numbers from the blow-up " +
+      "marker (a mandatory closing quote silently fell back to the " +
+      "caller's factor)") {
+    val d = java.nio.file.Files.createTempDirectory("graft_sflabel").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d, "blowup.json"),
+      """{"base":"/data/sf0.1","factor":1000,"perturb":0.02}""")
+    // Fallback args deliberately wrong: the marker must win on every field.
+    assert(graft.tools.ScaleStress.sfLabel(d, "bad", 0, 0.0) ==
+      "/data/sf0.1x1000~p0.02")
+    // No marker → the fallback values.
+    val empty = java.nio.file.Files.createTempDirectory("graft_sflabel2").toString
+    assert(graft.tools.ScaleStress.sfLabel(empty, "/data/sf0.1", 30, 0.0) ==
+      "/data/sf0.1x30")
+  }
+
   test("GateTables pins all 10 gate tables and matches the shipped testdata") {
     assert(GateTables.expected.keySet == Set("region", "nation", "customer",
       "supplier", "part", "orders", "lineitem", "events", "documents",

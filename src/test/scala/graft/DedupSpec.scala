@@ -63,6 +63,32 @@ class DedupSpec extends SparkSpec {
     assert(rep.head._5 < 1.0, s"conservative tier must miss: ${rep.toSeq}")
   }
 
+  test("recommendBands turns the recall report into the tuning decision: " +
+      "cheapest tier meeting the target, highest as the fallback") {
+    // The minhashRecallReport corpus: j≈0.81 pairs near the 0.7 threshold,
+    // so 4 bands genuinely under-recall and 32 bands saturate at 1.0.
+    val rng = new scala.util.Random(7)
+    val base = (0 until 40).map(i =>
+      (i.toLong, (0 until 30).map(j => s"w${i}_$j").mkString(" ")))
+    val dups = (0 until 25).map { k =>
+      val (src, text) = base(k)
+      val words = text.split(" ")
+      words(5 + rng.nextInt(20)) = s"CHANGED$k"
+      (200L + src, words.mkString(" "))
+    }
+    val df = (base ++ dups).toDF("doc_id", "text")
+    val (bands, recall) = Dedup.recommendBands(df, "text", "doc_id",
+      threshold = 0.7, targetRecall = 1.0, bandTiers = Seq(4, 32))
+    assert(bands == 32 && recall == 1.0, s"($bands, $recall)")
+    // An unreachable target falls back to the best offered tier.
+    val (bMax, rMax) = Dedup.recommendBands(df, "text", "doc_id",
+      threshold = 0.7, targetRecall = 2.0, bandTiers = Seq(4))
+    assert(bMax == 4 && rMax < 1.0, s"($bMax, $rMax)")
+    // A trivial target picks the cheapest tier.
+    assert(Dedup.recommendBands(df, "text", "doc_id", threshold = 0.7,
+      targetRecall = 0.0, bandTiers = Seq(4, 32))._1 == 4)
+  }
+
   test("dropDuplicatesByPairs keeps the min-id representative") {
     val deduped = Dedup.dropDuplicatesByPairs(corpus, "doc_id",
       Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.5))

@@ -112,6 +112,29 @@ class QualityClassifierSpec extends SparkSpec {
     assert(w(7L) == 2 * m.oovLr && w(8L) == m.oovLr)
   }
 
+  test("importanceResample with a supplied normalizer keeps exactly the " +
+      "auto path's rows; a too-low normalizer clamps heavy rows to " +
+      "always-keep instead of losing them") {
+    val d = spark.range(200).toDF("id")
+      .withColumn("lw", -(col("id").cast("double")) / 50.0)
+    val auto = QualityClassifier.importanceResample(d, "id", "lw", "s1")
+      .select("id").as[Long].collect().toSet
+    val mx = d.agg(max("lw")).head().getDouble(0)
+    val norm = QualityClassifier.importanceResample(d, "id", "lw", "s1",
+        normalizer = Some(mx))
+      .select("id").as[Long].collect().toSet
+    assert(norm == auto, s"supplied-max must match auto: ${norm.size} vs ${auto.size}")
+    // normalizer BELOW the true max: rows with lw > m get p > 1 → cutoff
+    // clamps to always-keep; the very heaviest rows can never be lost.
+    val low = QualityClassifier.importanceResample(d, "id", "lw", "s1",
+        normalizer = Some(mx - 2.0))
+      .select("id").as[Long].collect().toSet
+    assert((0L until 100L).forall(low.contains),
+      "rows with lw above the low normalizer must always survive")
+    assert(auto.subsetOf(low),
+      "a lower normalizer only raises acceptance, never drops a kept row")
+  }
+
   private def langCorpus = Seq(
     (0L, "the cat sat on the mat", "en"),
     (1L, "the dog and the bird went there", "en"),
