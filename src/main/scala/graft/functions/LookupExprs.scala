@@ -1,0 +1,200 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop token-fold kernels for the trained-classifier family
+  * ([[graft.operators.QualityClassifier]]). The composable form —
+  * `aggregate(tokens, 0.0, (acc, w) => acc + element_at(mapLit, w))` —
+  * hides two per-TOKEN costs that dominate a corpus pass: Spark's
+  * `GetMapValue` on a literal map is a LINEAR scan of the entries (a 5k-
+  * gram vocab ⇒ thousands of comparisons per token), and the interpreted
+  * higher-order lambda allocates per step (the vector variant allocated a
+  * fresh k-array per token through `zip_with`). Measured at the ×100
+  * blow-up, the language-ID scoring fold spent 90+ seconds in exactly
+  * this. These kernels do the same fold as ONE compiled loop over a
+  * transient HashMap keyed by UTF8String (no per-token toString), with
+  * IDENTICAL left-to-right IEEE addition order — the DuckDB oracles that
+  * replay `list_reduce(list_transform(...)) + prior` stay hash-matched.
+  * CodegenFallback: only the expression boundary is interpreted, the loop
+  * body is compiled JVM code (the SubwordTokenize convention).
+  */
+object LookupExprs {
+
+  private def utf8Map[V](m: Map[String, V]): java.util.HashMap[UTF8String, V] = {
+    val h = new java.util.HashMap[UTF8String, V](m.size * 2)
+    m.foreach { case (k, v) => h.put(UTF8String.fromString(k), v) }
+    h
+  }
+
+  private def requireStringArray(e: Expression, fn: String) =
+    e.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$fn requires array<string>, got $other")
+    }
+
+  /** Σ over tokens of `lut(token)` (missing → `default`), left-to-right —
+    * the scalar NB/DSIR fold. Null tokens fold the default (the
+    * `coalesce(element_at(...), default)` semantics it replaces).
+    */
+  case class SumLookup(child: Expression, lut: Map[String, Double],
+      default: Double) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes() = requireStringArray(child, "sum_lookup")
+    @transient private lazy val h = utf8Map(lut)
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        val v = if (t == null) null else h.get(t)
+        acc += (if (v == null) default else v.asInstanceOf[Double])
+        i += 1
+      }
+      acc
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  /** Per-row char n-gram COUNTS of a (pre-normalized) string — the
+    * training-side extraction as one compiled pass. The composable form
+    * (`transform(sequence(...), substring)` per length, exploded row per
+    * gram OCCURRENCE) paid an interpreted lambda + allocation per gram
+    * and shuffled the full occurrence stream; this emits one
+    * (gram → count) map per row, so the exploded aggregate input shrinks
+    * to per-row DISTINCT grams (~5× fewer rows on real text; the
+    * downstream sum of counts is the identical multiset). Codepoint
+    * n-grams via `substringSQL` — the ANSI substr semantics the oracles
+    * replay. Lengths iterate sorted ascending, positions left-to-right
+    * (the list_concat order of the composable form).
+    */
+  case class CharNgramCounts(child: Expression, lens: Seq[Int])
+      extends UnaryExpression with CodegenFallback {
+    require(lens.nonEmpty && lens.forall(_ >= 1),
+      s"char_ngram_counts: lens $lens must be >= 1")
+    private val sortedLens = lens.distinct.sorted
+    override def dataType: DataType =
+      MapType(StringType, LongType, valueContainsNull = false)
+    override def checkInputDataTypes() = child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_ngram_counts requires string, got $other")
+    }
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val nCp = s.numChars()
+      val counts = new java.util.LinkedHashMap[UTF8String, Long]()
+      sortedLens.foreach { n =>
+        var i = 0
+        while (i + n <= nCp) {
+          val g = s.substringSQL(i + 1, n)
+          val prev = counts.get(g)
+          counts.put(g, if (prev == null) 1L else prev + 1L)
+          i += 1
+        }
+      }
+      val k = new Array[Any](counts.size)
+      val v = new Array[Any](counts.size)
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        k(j) = e.getKey; v(j) = e.getValue; j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(k), new GenericArrayData(v))
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  /** The whole multi-class NB decision in one pass
+    * ([[graft.operators.QualityClassifier.scoreLangNB]]): char n-grams
+    * are extracted INLINE from the (pre-normalized) string — lengths
+    * ascending, positions left-to-right, the list_concat order — and per
+    * class i, score_i = (Σ over grams of llr(gram)(i), missing → oov(i))
+    * + prior(i); returns struct(pred = classes(argmax), score = max)
+    * with the FIRST maximal index winning ties — `classes` is sorted, so
+    * ties break to the lexicographically smallest class, the `ORDER BY
+    * score DESC, class` an oracle replays. Extraction + fold + argmax in
+    * one kernel: materializing the gram array through interpreted
+    * `transform`/`substring` Columns measured 80+ s at the ×100 blow-up
+    * (an allocation and lambda dispatch per gram); a score-vector column
+    * would additionally re-run its subtree per reference.
+    */
+  case class LangNbScore(child: Expression, lens: Seq[Int],
+      classes: Seq[String], llr: Map[String, Array[Double]],
+      oov: Array[Double], priors: Array[Double])
+      extends UnaryExpression with CodegenFallback {
+    require(classes.nonEmpty && oov.length == classes.length &&
+      priors.length == classes.length, "LangNbScore: class arity mismatch")
+    require(lens.nonEmpty && lens.forall(_ >= 1),
+      s"lang_nb_score: lens $lens must be >= 1")
+    private val sortedLens = lens.distinct.sorted
+    override def dataType: DataType = StructType(Seq(
+      StructField("pred", StringType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    override def checkInputDataTypes() = child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lang_nb_score requires string, got $other")
+    }
+    @transient private lazy val h = utf8Map(llr)
+    @transient private lazy val classU8 = classes.map(UTF8String.fromString).toArray
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val nCp = s.numChars()
+      val k = priors.length
+      val acc = new Array[Double](k)
+      sortedLens.foreach { n =>
+        var i = 0
+        while (i + n <= nCp) {
+          val v = h.get(s.substringSQL(i + 1, n))
+          val vec = if (v == null) oov else v
+          var c = 0
+          while (c < k) { acc(c) += vec(c); c += 1 }
+          i += 1
+        }
+      }
+      var best = 0
+      var c = 0
+      while (c < k) {
+        acc(c) += priors(c)
+        if (acc(c) > acc(best)) best = c // strict > : first max wins ties
+        c += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(classU8(best), acc(best))
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  def sumLookup(tokens: Column, lut: Map[String, Double],
+      default: Double): Column =
+    ColumnBridge.column(SumLookup(ColumnBridge.expression(tokens), lut, default))
+
+  def charNgramCounts(normText: Column, lens: Seq[Int]): Column =
+    ColumnBridge.column(
+      CharNgramCounts(ColumnBridge.expression(normText), lens))
+
+  def langNbScore(normText: Column, lens: Seq[Int], classes: Seq[String],
+      llr: Map[String, Array[Double]], oov: Array[Double],
+      priors: Array[Double]): Column =
+    ColumnBridge.column(LangNbScore(ColumnBridge.expression(normText), lens,
+      classes, llr, oov, priors))
+}

@@ -106,13 +106,14 @@ object QualityClassifier {
     */
   def scoreNaiveBayes(df: DataFrame, textCol: String, model: NaiveBayesText,
       outCol: String = "nb_score", predCol: String = "nb_pred"): DataFrame = {
-    val lut = typedLit(model.llr)
     val words = when(length(trim(col(textCol))) === 0,
         array().cast("array<string>"))
       .otherwise(split(lower(trim(col(textCol))), "\\s+"))
-    val score = aggregate(words, lit(0.0), (acc, w) =>
-      acc + coalesce(element_at(lut, w), lit(model.oovLlr))) +
-      lit(model.prior)
+    // One tight-loop fold (hash lookup per token, identical left-to-right
+    // addition) — the composable aggregate()-over-map-literal form scanned
+    // the whole vocab literal per token (see LookupExprs).
+    val score = graft.functions.LookupExprs.sumLookup(
+      words, model.llr, model.oovLlr) + lit(model.prior)
     df.withColumn(outCol, score).withColumn(predCol, col(outCol) > 0)
   }
 
@@ -144,16 +145,26 @@ object QualityClassifier {
       ngramLens: Seq[Int],
       alpha: Double)
 
-  /** Whitespace-normalized char n-grams: lower, trim, collapse runs of
+  /** The classifier's text normalization: lower, trim, collapse runs of
     * whitespace to one space (so a gram can span a word boundary — the
     * fastText convention — but never depends on HOW the source was
-    * whitespace-formatted), then every codepoint n-gram of each length.
-    * Words shorter than n contribute nothing at that length (Spark's
-    * sequence(1, 0) steps DOWN; the guard keeps parity with an oracle's
-    * empty range).
+    * whitespace-formatted).
     */
-  private[operators] def charNgrams(c: Column, lens: Seq[Int]): Column = {
-    val s = regexp_replace(lower(trim(c)), "\\s+", " ")
+  private[graft] def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** COMPOSABLE reference implementation of codepoint char n-grams over
+    * the normalized text — lengths ascending, positions left-to-right.
+    * The hot paths use the tight-loop kernels
+    * ([[graft.functions.LookupExprs.CharNgramCounts]] /
+    * [[graft.functions.LookupExprs.LangNbScore]], which extract grams
+    * inline); this form exists as the semantic contract the kernels are
+    * spec-matched against. Words shorter than n contribute nothing at
+    * that length (Spark's sequence(1, 0) steps DOWN; the guard keeps
+    * parity with an oracle's empty range).
+    */
+  private[graft] def charNgrams(c: Column, lens: Seq[Int]): Column = {
+    val s = normText(c)
     lens.distinct.sorted.map { n =>
       when(length(s) >= n,
           transform(sequence(lit(1), length(s) - (n - 1)),
@@ -198,10 +209,15 @@ object QualityClassifier {
     // The bound is enforced BEFORE the collect (the trainNaiveBayes
     // convention): stage the aggregate, probe the DISTINCT-GRAM count
     // bounded, only then pull ≤ vocab × k rows.
+    // Per-row gram COUNTS from the tight-loop kernel, so the exploded
+    // aggregate input is per-row DISTINCT grams (not every occurrence)
+    // and the sum of counts is the identical multiset the composable
+    // explode(charNgrams) form would aggregate — spec-matched.
     val (agg, blocks) = graft.core.Persist.stageTracked(df
       .select(col(labelCol).as("y"),
-        explode(charNgrams(col(textCol), ngramLens)).as("gram"))
-      .groupBy("gram", "y").agg(count(lit(1)).as("n")))
+        explode(graft.functions.LookupExprs.charNgramCounts(
+          normText(col(textCol)), ngramLens)).as(Seq("gram", "cnt")))
+      .groupBy("gram", "y").agg(sum(col("cnt")).as("n")))
     val vocabSize = agg.select("gram").distinct().limit(maxVocabEntries + 1).count()
     require(vocabSize > 0, "trainLangNB: corpus has no characters")
     require(vocabSize <= maxVocabEntries,
@@ -235,37 +251,28 @@ object QualityClassifier {
       ngramLens = ngramLens.distinct.sorted, alpha = alpha)
   }
 
-  /** Predict the language of every document: ONE per-row fold over the
-    * char-gram array accumulates the k class scores vector-wise
-    * (`zip_with` against the packed map literal — the gram array is
-    * walked once, not once per class), the finish lambda adds the log
-    * priors LAST (matching an oracle's `list_reduce(...) + prior`
-    * float-op order) and takes the argmax; ties break to the
-    * lexicographically smallest class (`array_position` finds the FIRST
-    * maximal index of the class-sorted score vector — the `ORDER BY score
-    * DESC, class` the oracle replays). Adds `predCol` (the class) and
-    * `scoreCol` (its joint log-probability). Pure per-row expressions —
-    * zero shuffle, no UDF, no model artifact.
+  /** Predict the language of every document: ONE tight-loop pass over the
+    * char-gram array ([[graft.functions.LookupExprs.LangNbScore]])
+    * accumulates all k class scores vector-wise via a hash lookup per
+    * gram, adds the log priors LAST (matching an oracle's
+    * `list_reduce(...) + prior` float-op order) and takes the argmax
+    * inside the kernel; ties break to the lexicographically smallest
+    * class (first maximal index of the class-sorted score vector — the
+    * `ORDER BY score DESC, class` the oracle replays). Adds `predCol`
+    * (the class) and `scoreCol` (its joint log-probability). Pure per-row
+    * expressions — zero shuffle, no UDF, no model artifact. (The
+    * composable aggregate/zip_with form measured 90+ s at the ×100
+    * blow-up: a literal-map lookup is a linear scan and the interpreted
+    * lambda allocates a k-array per gram.)
     */
   def scoreLangNB(df: DataFrame, textCol: String, model: NaiveBayesLang,
       predCol: String = "lang_pred", scoreCol: String = "lang_score"): DataFrame = {
-    val lut = typedLit(model.logLik)
-    val oovLit = typedLit(model.oov)
-    val priorLit = typedLit(model.logPrior)
-    val classesLit = typedLit(model.classes)
-    val zero = typedLit(Seq.fill(model.classes.length)(0.0))
-      .cast("array<double>")
-    val best = aggregate(
-      charNgrams(col(textCol), model.ngramLens),
-      zero,
-      (acc, g) => zip_with(acc,
-        coalesce(element_at(lut, g), oovLit), (a, b) => a + b),
-      acc => {
-        val scores = zip_with(acc, priorLit, (a, b) => a + b)
-        val mx = array_max(scores)
-        struct(element_at(classesLit, array_position(scores, mx).cast("int"))
-          .as("pred"), mx.as("score"))
-      })
+    val best = graft.functions.LookupExprs.langNbScore(
+      normText(col(textCol)), model.ngramLens,
+      model.classes,
+      model.logLik.map { case (g, v) => g -> v.toArray },
+      model.oov.toArray,
+      model.logPrior.toArray)
     df.withColumn("__lang_best", best)
       .withColumn(predCol, col("__lang_best.pred"))
       .withColumn(scoreCol, col("__lang_best.score"))
@@ -339,12 +346,11 @@ object QualityClassifier {
     */
   def dsirLogWeights(df: DataFrame, textCol: String, model: DsirUnigram,
       outCol: String = "dsir_logw"): DataFrame = {
-    val lut = typedLit(model.lr)
     val words = when(length(trim(col(textCol))) === 0,
         array().cast("array<string>"))
       .otherwise(split(lower(trim(col(textCol))), "\\s+"))
-    df.withColumn(outCol, aggregate(words, lit(0.0), (acc, w) =>
-      acc + coalesce(element_at(lut, w), lit(model.oovLr))))
+    df.withColumn(outCol, graft.functions.LookupExprs.sumLookup(
+      words, model.lr, model.oovLr))
   }
 
   /** The RESAMPLE half of DSIR: keep each row with probability

@@ -186,6 +186,57 @@ class QualityClassifierSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - math.log(3.0 / 9.0)) < 1e-12)
   }
 
+  test("tight-loop gram kernels match the composable reference exactly: " +
+      "counts are the same multiset, scores the same doubles") {
+    import graft.functions.LookupExprs
+    import graft.operators.QualityClassifier.{charNgrams, normText}
+    // Tricky shapes: multi-space runs, a supplementary char (one
+    // codepoint), text shorter than the longest n, empty after trim.
+    val clef = new String(Character.toChars(0x1D11E))
+    val texts = Seq("The  quick   brown fox", s"a${clef}b c", "xy", "  ",
+      "ab ab ab")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val lens = Seq(1, 2, 3)
+    val viaKernel = df.select(col("id"),
+        explode(LookupExprs.charNgramCounts(normText(col("text")), lens))
+          .as(Seq("g", "n")))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val viaRef = df.select(col("id"),
+        explode(charNgrams(col("text"), lens)).as("g"))
+      .as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.groupBy(_._2).view.mapValues(_.length.toLong).toMap).toMap
+    assert(viaKernel == viaRef, s"$viaKernel vs $viaRef")
+    // Scoring: the kernel's (pred, score) equals the composable fold —
+    // same grams, same left-to-right order, priors last.
+    val m = QualityClassifier.trainLangNB(langCorpus, "text", "lang",
+      ngramLens = Seq(1, 2))
+    val kernel = QualityClassifier.scoreLangNB(
+        langCorpus.select(col("id"), col("text")), "text", m)
+      .select("id", "lang_pred", "lang_score")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    val lut = typedLit(m.logLik)
+    val oovLit = typedLit(m.oov)
+    val priorLit = typedLit(m.logPrior)
+    val composable = langCorpus.select(col("id"),
+        aggregate(
+          charNgrams(col("text"), m.ngramLens),
+          typedLit(Seq.fill(m.classes.length)(0.0)).cast("array<double>"),
+          (acc, g) => zip_with(acc,
+            coalesce(element_at(lut, g), oovLit), (a, b) => a + b),
+          acc => zip_with(acc, priorLit, (a, b) => a + b)).as("sc"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    kernel.zip(composable).foreach { case ((id, pred, score), (id2, sc)) =>
+      assert(id == id2)
+      val mx = sc.max
+      val idx = sc.indexOf(mx)
+      assert(pred == m.classes(idx), s"row $id: $pred vs ${m.classes(idx)}")
+      assert(score == mx, s"row $id: $score vs $mx (must be bit-identical)")
+    }
+  }
+
   test("lang NB bounds fail loudly: class cap, vocab cap, null labels") {
     val e1 = intercept[IllegalArgumentException] {
       QualityClassifier.trainLangNB(langCorpus, "text", "lang", maxClasses = 2)
