@@ -184,9 +184,40 @@ object LookupExprs {
       copy(child = newChild)
   }
 
+  /** array<string> → array<int> through a hash map (missing → `default`)
+    * — the dense-token-id projection ([[graft.operators.Tokenizer
+    * .tokenIds]]). `transform` + `element_at(mapLit, p)` scans the whole
+    * vocab literal per piece: at the 2¹⁷-entry vocab bound that is 131k
+    * comparisons per TOKEN.
+    */
+  case class IdLookup(child: Expression, lut: Map[String, Int],
+      default: Int) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes() = requireStringArray(child, "id_lookup")
+    @transient private lazy val h = utf8Map(lut)
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        val v = if (t == null) null else h.get(t)
+        out(i) = if (v == null) default else v.asInstanceOf[Int]
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
   def sumLookup(tokens: Column, lut: Map[String, Double],
       default: Double): Column =
     ColumnBridge.column(SumLookup(ColumnBridge.expression(tokens), lut, default))
+
+  def idLookup(tokens: Column, lut: Map[String, Int], default: Int): Column =
+    ColumnBridge.column(IdLookup(ColumnBridge.expression(tokens), lut, default))
 
   def charNgramCounts(normText: Column, lens: Seq[Int]): Column =
     ColumnBridge.column(

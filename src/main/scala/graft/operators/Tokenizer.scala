@@ -190,10 +190,11 @@ object Tokenizer {
   }
 
   /** Map a pieces array to dense token ids (sorted-vocab rank, unk → 0) —
-    * a codegen'd map-literal lookup, the scoreNaiveBayes shape.
+    * one tight-loop hash lookup per piece
+    * ([[graft.functions.LookupExprs.IdLookup]]; the composable
+    * `transform` + `element_at(mapLit, p)` form scans the whole vocab
+    * literal per piece — 131k comparisons per token at the 2¹⁷ bound).
     */
-  def tokenIds(pieces: Column, vocab: SubwordVocab): Column = {
-    val lut = typedLit(vocab.idOf)
-    transform(pieces, p => coalesce(element_at(lut, p), lit(0)))
-  }
+  def tokenIds(pieces: Column, vocab: SubwordVocab): Column =
+    graft.functions.LookupExprs.idLookup(pieces, vocab.idOf, 0)
 }
