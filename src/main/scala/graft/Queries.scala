@@ -2838,6 +2838,26 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "ppl_bigram" -> ((s, dir) => {
+      // LM-perplexity scoring (the CCNet stage the lang-id and dedup
+      // gates bracket: KenLM perplexity against an in-domain LM): an
+      // interpolated bigram LM is fitted on this corpus — minCount = 2
+      // folds the hapax words into <unk>, so the OOV path is LIVE — and
+      // every doc scores Σ ln(λ·pml(cur|prev) + (1−λ)·p_uni(cur)) left
+      // to right from BOS, ppl = exp(−ll/n). The oracle refits from
+      // scratch in DuckDB with the same float-op shapes (including
+      // (1 − 0.7), NOT the 0.3 literal — IEEE 1−0.7 ≠ 0.3), so round-4
+      // ll AND ppl hash-match.
+      val d = read(s, dir, "documents")
+      val m = graft.operators.NgramLm.fitBigramLM(
+        d, "text", minCount = 2L)
+      graft.operators.NgramLm.perplexity(d, "text", m)
+        .select(col("doc_id"), col("lm_tokens"),
+          round(col("lm_ll"), 4).as("lm_ll"),
+          round(col("ppl"), 4).as("ppl"))
+        .orderBy("doc_id")
+    }),
+
     "dsir_weights" -> ((s, dir) => {
       // DSIR data selection (arXiv 2302.03169): importance weights of raw
       // docs under target-vs-raw unigram LMs — target = the src0-4
@@ -5174,6 +5194,61 @@ object Queries {
         |QUALIFY row_number() OVER (PARTITION BY doc_id
         |  ORDER BY score DESC, cand) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // From-scratch bigram-LM refit: vocab (count >= 2, hapaxes fold to
+    // the chr(1) unk sentinel), BOS = chr(2), bigram keys prev·chr(3)·cur;
+    // per-position p = 0.7·c(v,w)/c(v·) + (1 − 0.7)·p_uni(w) — (1 − 0.7)
+    // replays IEEE 1.0−0.7 (≠ the 0.3 literal) — summed left-to-right by
+    // list_reduce, ppl = exp(−ll/n), NULL for empty docs.
+    "ppl_bigram" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM documents),
+        |uc AS (
+        |  SELECT word, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(w) AS word FROM t) GROUP BY word),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+        |kept AS (SELECT word, c FROM uc WHERE c >= 2),
+        |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM kept),
+        |unkc AS (SELECT (SELECT sum(c) FROM uc)
+        |    - coalesce((SELECT sum(c) FROM kept), 0) AS cu),
+        |up AS (SELECT map(list(word ORDER BY word),
+        |      list((c + 1) / (n + (v + 1)) ORDER BY word)) AS mp,
+        |    min((cu + 1) / (n + (v + 1))) AS unkp
+        |  FROM kept, tot, vv, unkc),
+        |tm AS (
+        |  SELECT doc_id, list_transform(w, x ->
+        |    CASE WHEN mp[x][1] IS NOT NULL THEN x ELSE chr(1) END) AS mt
+        |  FROM t, up),
+        |ps AS (SELECT doc_id, mt,
+        |    unnest(range(1, len(mt) + 1)) AS i FROM tm),
+        |pairs AS (SELECT CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END AS prev,
+        |    mt[i] AS cur FROM ps),
+        |bc AS (SELECT prev || chr(3) || cur AS bg,
+        |    CAST(count(*) AS DOUBLE) AS c FROM pairs GROUP BY 1),
+        |pt AS (SELECT prev, CAST(count(*) AS DOUBLE) AS ct
+        |  FROM pairs GROUP BY 1),
+        |bm AS (SELECT map(list(bg ORDER BY bg), list(c ORDER BY bg)) AS bmp
+        |  FROM bc),
+        |pm AS (SELECT map(list(prev ORDER BY prev), list(ct ORDER BY prev)) AS pmp
+        |  FROM pt),
+        |sc AS (
+        |  SELECT doc_id, len(mt) AS n,
+        |    CASE WHEN len(mt) = 0 THEN 0.0 ELSE
+        |      list_reduce(list_transform(range(1, len(mt) + 1), i ->
+        |        ln(0.7 * coalesce(
+        |             bmp[(CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END)
+        |                 || chr(3) || mt[i]][1]
+        |             / pmp[CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END][1],
+        |             0.0)
+        |           + (1 - 0.7) * coalesce(mp[mt[i]][1], unkp))),
+        |        (a, b) -> a + b)
+        |    END AS ll
+        |  FROM tm, bm, pm, up)
+        |SELECT doc_id, n AS lm_tokens, round(ll, 4) AS lm_ll,
+        |  CASE WHEN n > 0 THEN round(exp(-ll / n), 4) END AS ppl
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     // Two unigram refits over the SHARED vocabulary (union support — a
     // ratio over mismatched supports is not a likelihood ratio), then the

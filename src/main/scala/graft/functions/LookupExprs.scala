@@ -212,12 +212,124 @@ object LookupExprs {
       copy(child = newChild)
   }
 
+  /** Per-row bigram-key COUNTS over the vocab-mapped token stream — the
+    * training-side extraction for [[graft.operators.NgramLm]], one
+    * compiled pass (the [[CharNgramCounts]] convention). Each token maps
+    * to its vocab id (missing → `unkId`); the row contributes one count
+    * per position for the key `prev · 2³² + cur`, with `prev = bosId` at
+    * position 0 — so the exploded aggregate input is per-row DISTINCT
+    * bigram keys, and the downstream sum of counts is the exact bigram
+    * multiset of the BOS-prefixed stream. Ids are < 2³¹, so the packed
+    * long is non-negative and `key >> 32` recovers `prev` exactly.
+    */
+  case class BigramKeyCounts(child: Expression, vocab: Map[String, Int],
+      unkId: Int, bosId: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      MapType(LongType, LongType, valueContainsNull = false)
+    override def checkInputDataTypes() =
+      requireStringArray(child, "bigram_key_counts")
+    @transient private lazy val h = utf8Map(vocab)
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val counts = new java.util.LinkedHashMap[java.lang.Long, Long]()
+      var prev = bosId
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        val v = if (t == null) null else h.get(t)
+        val cur = if (v == null) unkId else v.asInstanceOf[Int]
+        val key = java.lang.Long.valueOf((prev.toLong << 32) | cur.toLong)
+        val c = counts.get(key)
+        counts.put(key, if (c == null) 1L else c + 1L)
+        prev = cur
+        i += 1
+      }
+      val k = new Array[Any](counts.size)
+      val v = new Array[Any](counts.size)
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        k(j) = e.getKey.longValue(); v(j) = e.getValue; j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(k), new GenericArrayData(v))
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  /** The whole interpolated-bigram-LM document score in one pass
+    * ([[graft.operators.NgramLm.logLik]]): per token,
+    * `p = λ·pml(cur|prev) + (1−λ)·p_uni(cur)` (`pml` from the bigram
+    * table, missing → 0; ids via the vocab hash, missing → unk), the
+    * log-likelihood accumulates `ln p` LEFT-TO-RIGHT with `prev = bos`
+    * at position 0 — the float-op shape a SQL oracle replays position by
+    * position. Returns struct(ll = Σ ln p, n = token count); an empty
+    * array is (0.0, 0). λ ∈ (0, 1] and α > 0 keep the argument of ln
+    * strictly positive.
+    */
+  case class BigramLmScore(child: Expression, vocab: Map[String, Int],
+      uniProb: Array[Double], bigramPml: Map[Long, Double],
+      lambda: Double, bosId: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(lambda > 0 && lambda <= 1,
+      s"bigram_lm_score: lambda $lambda must be in (0, 1]")
+    override def dataType: DataType = StructType(Seq(
+      StructField("ll", DoubleType, nullable = false),
+      StructField("n", IntegerType, nullable = false)))
+    override def checkInputDataTypes() =
+      requireStringArray(child, "bigram_lm_score")
+    @transient private lazy val h = utf8Map(vocab)
+    @transient private lazy val bg = {
+      val m = new java.util.HashMap[java.lang.Long, java.lang.Double](
+        bigramPml.size * 2)
+      bigramPml.foreach { case (k, v) =>
+        m.put(java.lang.Long.valueOf(k), java.lang.Double.valueOf(v)) }
+      m
+    }
+    private val unkId = uniProb.length - 1
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      var ll = 0.0
+      var prev = bosId
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        val v = if (t == null) null else h.get(t)
+        val cur = if (v == null) unkId else v.asInstanceOf[Int]
+        val b = bg.get(java.lang.Long.valueOf((prev.toLong << 32) | cur.toLong))
+        val pml = if (b == null) 0.0 else b.doubleValue()
+        ll += math.log(lambda * pml + (1.0 - lambda) * uniProb(cur))
+        prev = cur
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(ll, n)
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
   def sumLookup(tokens: Column, lut: Map[String, Double],
       default: Double): Column =
     ColumnBridge.column(SumLookup(ColumnBridge.expression(tokens), lut, default))
 
   def idLookup(tokens: Column, lut: Map[String, Int], default: Int): Column =
     ColumnBridge.column(IdLookup(ColumnBridge.expression(tokens), lut, default))
+
+  def bigramKeyCounts(tokens: Column, vocab: Map[String, Int],
+      unkId: Int, bosId: Int): Column =
+    ColumnBridge.column(BigramKeyCounts(ColumnBridge.expression(tokens),
+      vocab, unkId, bosId))
+
+  def bigramLmScore(tokens: Column, vocab: Map[String, Int],
+      uniProb: Array[Double], bigramPml: Map[Long, Double],
+      lambda: Double, bosId: Int): Column =
+    ColumnBridge.column(BigramLmScore(ColumnBridge.expression(tokens),
+      vocab, uniProb, bigramPml, lambda, bosId))
 
   def charNgramCounts(normText: Column, lens: Seq[Int]): Column =
     ColumnBridge.column(

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model perplexity scoring — the third leg of the CCNet
+  * corpus pipeline (arXiv 1911.00359: language ID → dedup → a KenLM
+  * perplexity filter; the Gopher and LLaMA corpus reports keep the same
+  * stage). The reference (lotus-data/lotus) has no LM-perplexity stage —
+  * this is a beyond-reference training-data op, kept model-artifact-free
+  * like [[QualityClassifier]]: an interpolated (Jelinek–Mercer) bigram LM
+  * over whitespace tokens, trained entirely in Spark aggregates and
+  * applied as one per-row fold.
+  *
+  * Model. Token ids 0..V−1 are the vocabulary (count ≥ `minCount`, the
+  * rest fold into `<unk>` = id V; BOS = id V+1 appears only as a left
+  * context). Unigram: `p_u(w) = (c(w) + α) / (N + α·(V+1))` over
+  * vocab ∪ {unk}. Per token, `p(w|v) = λ·c(v,w)/c(v·) + (1−λ)·p_u(w)`
+  * where `c(v·)` is v's total continuation count over the BOS-prefixed
+  * stream (so the ML term is exactly normalized); a bigram absent from
+  * the table contributes 0 to the ML term and backs off to the unigram.
+  * Document log-likelihood is the left-to-right sum of `ln p`;
+  * `ppl = exp(−ll/n)`. Dropping bigrams below `minBigramCount` loses
+  * their ML mass (the model becomes a sub-distribution, scores shift up
+  * slightly) — deterministic and engine-reproducible either way, since
+  * `c(v·)` stays the TRUE total.
+  *
+  * Scale shape: fitting is two shuffles — the unigram (word → count)
+  * aggregate, then the bigram (packed key → count) aggregate whose
+  * per-row extraction is one compiled pass
+  * ([[graft.functions.LookupExprs.BigramKeyCounts]] — per-row DISTINCT
+  * keys enter the exchange, never the token stream). Both collects are
+  * bounded and the bounds are enforced BEFORE the pull (the
+  * [[QualityClassifier.trainNaiveBayes]] convention). Scoring is a pure
+  * per-row expression over plan literals — no UDF, no join, no shuffle:
+  * the property that keeps a perplexity pass one narrow map over 100 TB.
+  */
+object NgramLm {
+
+  /** A fitted interpolated bigram LM. `vocab` maps token → id ∈ [0, V);
+    * `uniProb` has V+1 entries (unk last); `bigramPml(prev·2³²+cur)` is
+    * the exact ML continuation probability of the kept bigrams; `bosId`
+    * = V+1.
+    */
+  final case class BigramLM(
+      vocab: Map[String, Int],
+      uniProb: Array[Double],
+      bigramPml: Map[Long, Double],
+      lambda: Double,
+      alpha: Double,
+      minCount: Long,
+      minBigramCount: Long,
+      nTokens: Long) {
+    def vocabSize: Int = vocab.size
+    def unkId: Int = vocab.size
+    def bosId: Int = vocab.size + 1
+  }
+
+  /** The tokenization every NgramLm entry point shares (the
+    * [[QualityClassifier]] convention): lower, trim, split on whitespace
+    * runs; an all-whitespace text is the empty stream.
+    */
+  private[graft] def tokensOf(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(c)), "\\s+"))
+
+  /** Fit the LM. Two aggregate jobs over the corpus; driver state is the
+    * bounded vocab + kept-bigram table only. Bounds: `maxVocabEntries`
+    * on the post-`minCount` vocabulary and `maxBigramEntries` on the
+    * post-`minBigramCount` bigram table, both probed on the staged
+    * aggregate before any collect — a web-scale table must fail at
+    * aggregate cost, not OOM the driver. The per-prev continuation
+    * totals are ≤ V+2 rows by construction and need no bound.
+    */
+  def fitBigramLM(df: DataFrame, textCol: String, alpha: Double = 1.0,
+      lambda: Double = 0.7, minCount: Long = 1L, minBigramCount: Long = 1L,
+      maxVocabEntries: Int = 1 << 18,
+      maxBigramEntries: Int = 1 << 21): BigramLM = {
+    require(alpha > 0, s"fitBigramLM: alpha $alpha must be > 0")
+    require(lambda > 0 && lambda <= 1,
+      s"fitBigramLM: lambda $lambda must be in (0, 1]")
+    require(minCount >= 1 && minBigramCount >= 1,
+      s"fitBigramLM: minCount/minBigramCount must be >= 1")
+    val spark = df.sparkSession
+    // Pass 1: unigram counts. N (total tokens) sums over ALL words; the
+    // sub-minCount remainder is exactly the unk mass, so the unigram
+    // model normalizes over vocab ∪ {unk} with nothing lost.
+    val (aggU, blocksU) = graft.core.Persist.stageTracked(df
+      .select(explode(tokensOf(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n")))
+    val totRow = aggU.agg(coalesce(sum(col("n")), lit(0L))).head()
+    val nTokens = totRow.getLong(0)
+    require(nTokens > 0, "fitBigramLM: corpus has no tokens")
+    val keptU = aggU.filter(col("n") >= minCount)
+    val vocabSize = keptU.limit(maxVocabEntries + 1).count()
+    require(vocabSize <= maxVocabEntries,
+      s"fitBigramLM: vocabulary has > $maxVocabEntries entries (bound) — " +
+        "the model rides every scoring task as a plan literal; raise " +
+        "minCount to shrink it, or raise maxVocabEntries deliberately")
+    val uniCounts = keptU.collect().map(r => (r.getString(0), r.getLong(1)))
+    graft.core.Persist.unstage(spark, blocksU)
+    // Deterministic ids: token-sorted. (Ids are engine-internal — only
+    // the probabilities reach an oracle.)
+    val sortedU = uniCounts.sortBy(_._1)
+    val vocab = sortedU.iterator.map(_._1).zipWithIndex.toMap
+    val v = vocab.size
+    val unkCount = nTokens - uniCounts.iterator.map(_._2).sum
+    val denom = nTokens.toDouble + alpha * (v + 1.0)
+    val uniProb = new Array[Double](v + 1)
+    sortedU.iterator.zipWithIndex.foreach { case ((_, c), i) =>
+      uniProb(i) = (c.toDouble + alpha) / denom }
+    uniProb(v) = (unkCount.toDouble + alpha) / denom
+    // Pass 2: bigram counts over the vocab-mapped, BOS-prefixed stream —
+    // ids assigned BEFORE the exchange, so unk folding is exact and the
+    // key space is bounded by the vocab, not the raw token space.
+    val (aggB, blocksB) = graft.core.Persist.stageTracked(df
+      .select(explode(graft.functions.LookupExprs.bigramKeyCounts(
+        tokensOf(col(textCol)), vocab, v, v + 1)).as(Seq("key", "cnt")))
+      .groupBy("key").agg(sum(col("cnt")).as("n")))
+    // TRUE continuation totals per prev (≤ V+2 rows — collect is safe),
+    // summed over ALL bigram types before the minBigramCount filter.
+    val prevTot = aggB.groupBy(shiftright(col("key"), 32).as("prev"))
+      .agg(sum(col("n")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val keptB = aggB.filter(col("n") >= minBigramCount)
+    val bigramSize = keptB.limit(maxBigramEntries + 1).count()
+    require(bigramSize <= maxBigramEntries,
+      s"fitBigramLM: bigram table has > $maxBigramEntries entries " +
+        "(bound) — raise minBigramCount to shrink it, or raise " +
+        "maxBigramEntries deliberately")
+    val bigramPml = keptB.collect().map { r =>
+      val key = r.getLong(0)
+      key -> r.getLong(1).toDouble / prevTot(key >> 32).toDouble
+    }.toMap
+    graft.core.Persist.unstage(spark, blocksB)
+    BigramLM(vocab, uniProb, bigramPml, lambda, alpha, minCount,
+      minBigramCount, nTokens)
+  }
+
+  /** Per-document log-likelihood + token count under the fitted LM —
+    * one tight-loop pass ([[graft.functions.LookupExprs.BigramLmScore]]),
+    * zero shuffle. An empty document is (ll = 0, n = 0).
+    */
+  def logLik(df: DataFrame, textCol: String, model: BigramLM,
+      llCol: String = "lm_ll", nCol: String = "lm_tokens"): DataFrame = {
+    val sc = graft.functions.LookupExprs.bigramLmScore(
+      tokensOf(col(textCol)), model.vocab, model.uniProb, model.bigramPml,
+      model.lambda, model.bosId)
+    df.withColumn("__lm", sc)
+      .withColumn(llCol, col("__lm.ll"))
+      .withColumn(nCol, col("__lm.n"))
+      .drop("__lm")
+  }
+
+  /** Per-document perplexity `exp(−ll/n)` (null for an empty document —
+    * perplexity of nothing is undefined, not 1). Low ppl = the LM finds
+    * the text predictable; CCNet keeps the low-perplexity tail and
+    * discards the noise head. Compose with
+    * [[CorpusPrep.scorePercentileRank]] for the percentile cut.
+    */
+  def perplexity(df: DataFrame, textCol: String, model: BigramLM,
+      outCol: String = "ppl", llCol: String = "lm_ll",
+      nCol: String = "lm_tokens"): DataFrame =
+    logLik(df, textCol, model, llCol, nCol)
+      .withColumn(outCol,
+        when(col(nCol) > 0, exp(-col(llCol) / col(nCol))))
+
+  /** Train-then-score over the same frame — the self-scored corpus-prep
+    * shape (fit the LM on the corpus, flag each document's fit to it).
+    */
+  def perplexityScores(df: DataFrame, textCol: String, alpha: Double = 1.0,
+      lambda: Double = 0.7, minCount: Long = 1L, minBigramCount: Long = 1L,
+      outCol: String = "ppl"): DataFrame =
+    perplexity(df, textCol,
+      fitBigramLM(df, textCol, alpha, lambda, minCount, minBigramCount),
+      outCol)
+}

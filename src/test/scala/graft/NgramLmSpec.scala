@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.NgramLm
+
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  // "a b a" + "a b": N = 5, c(a) = 3, c(b) = 2; BOS-prefixed bigrams
+  // (B,a)×2, (a,b)×2, (b,a)×1 — every kept context is deterministic ML 1.
+  private def tiny = Seq((0L, "a b a"), (1L, "a b")).toDF("id", "text")
+
+  test("fit recovers exact unigram and bigram tables on a hand corpus") {
+    val m = NgramLm.fitBigramLM(tiny, "text")
+    assert(m.vocab == Map("a" -> 0, "b" -> 1))
+    assert(m.nTokens == 5L)
+    // denom = 5 + 1·(2+1) = 8; unk mass 0
+    assert(m.uniProb.toSeq == Seq(4.0 / 8, 3.0 / 8, 1.0 / 8))
+    val bos = m.bosId.toLong
+    assert(m.bigramPml == Map(
+      (bos << 32 | 0L) -> 1.0,   // (BOS, a) 2/2
+      (0L << 32 | 1L) -> 1.0,    // (a, b)   2/2
+      (1L << 32 | 0L) -> 1.0))   // (b, a)   1/1
+  }
+
+  test("logLik folds λ·pml + (1−λ)·p_uni left-to-right from BOS") {
+    val m = NgramLm.fitBigramLM(tiny, "text")
+    val lam = m.lambda
+    val ll = NgramLm.logLik(tiny, "text", m)
+      .filter(col("id") === 1L).select("lm_ll", "lm_tokens").head()
+    // doc "a b": ln(λ·1 + (1−λ)·p(a)) + ln(λ·1 + (1−λ)·p(b))
+    val exp = math.log(lam * 1.0 + (1.0 - lam) * (4.0 / 8)) +
+      math.log(lam * 1.0 + (1.0 - lam) * (3.0 / 8))
+    assert(ll.getDouble(0) == exp && ll.getInt(1) == 2)
+  }
+
+  test("an unseen bigram backs off to the unigram alone") {
+    val m = NgramLm.fitBigramLM(tiny, "text")
+    val ba = spark.createDataFrame(Seq((0L, "b b"))).toDF("id", "text")
+    val ll = NgramLm.logLik(ba, "text", m).select("lm_ll").head().getDouble(0)
+    // (BOS, b) and (b, b) are both unseen → pml = 0 at every position
+    val pb = 3.0 / 8
+    assert(ll == 2 * math.log((1.0 - m.lambda) * pb))
+  }
+
+  test("minCount folds hapaxes into a live <unk> with their exact mass") {
+    // "a a b": a kept (c = 2), b → unk; denom = 3 + 1·(1+1) = 5
+    val df = Seq((0L, "a a b")).toDF("id", "text")
+    val m = NgramLm.fitBigramLM(df, "text", minCount = 2L)
+    assert(m.vocab == Map("a" -> 0))
+    assert(m.uniProb.toSeq == Seq(3.0 / 5, 2.0 / 5))
+    // OOV scoring: "c" maps to unk; (BOS, unk) unseen → unigram only
+    val oov = spark.createDataFrame(Seq((0L, "c"))).toDF("id", "text")
+    val ll = NgramLm.logLik(oov, "text", m).select("lm_ll").head().getDouble(0)
+    assert(ll == math.log((1.0 - m.lambda) * (2.0 / 5)))
+  }
+
+  test("empty and whitespace-only docs are (ll = 0, n = 0) with null ppl") {
+    val df = Seq((0L, "a b a"), (1L, ""), (2L, "   ")).toDF("id", "text")
+    val m = NgramLm.fitBigramLM(df, "text")
+    val rows = NgramLm.perplexity(df, "text", m)
+      .select("id", "lm_ll", "lm_tokens", "ppl").orderBy("id").collect()
+    assert(rows(1).getDouble(1) == 0.0 && rows(1).getInt(2) == 0 &&
+      rows(1).isNullAt(3))
+    assert(rows(2).getDouble(1) == 0.0 && rows(2).getInt(2) == 0)
+    // a non-empty doc's ppl is exp(−ll/n) (±1 ulp: Spark's codegen'd
+    // exp is StrictMath, the JVM's is Math)
+    val r0 = rows(0)
+    assert(math.abs(r0.getDouble(3) -
+      math.exp(-r0.getDouble(1) / r0.getInt(2))) < 1e-12)
+  }
+
+  test("perplexity orders text by predictability under the fitted LM") {
+    // repetitive in-domain text scores lower ppl than a one-off jumble
+    val docs = (0 until 20).map(i => (i.toLong, "the quick brown fox")) :+
+      (20L, "zxq wvu tsr qpo")
+    val df = docs.toDF("id", "text")
+    val scored = NgramLm.perplexityScores(df, "text", minCount = 2L)
+      .select("id", "ppl").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(0L) < scored(20L))
+  }
+
+  test("vocab and bigram bounds refuse BEFORE the collect, loudly") {
+    val df = Seq((0L, "a b c d e f g h")).toDF("id", "text")
+    val e1 = intercept[IllegalArgumentException](
+      NgramLm.fitBigramLM(df, "text", maxVocabEntries = 3))
+    assert(e1.getMessage.contains("maxVocabEntries"))
+    val e2 = intercept[IllegalArgumentException](
+      NgramLm.fitBigramLM(df, "text", maxBigramEntries = 3))
+    assert(e2.getMessage.contains("maxBigramEntries"))
+  }
+
+  test("degenerate inputs refuse: empty corpus, bad lambda/alpha") {
+    val empty = Seq((0L, "")).toDF("id", "text")
+    intercept[IllegalArgumentException](NgramLm.fitBigramLM(empty, "text"))
+    intercept[IllegalArgumentException](
+      NgramLm.fitBigramLM(tiny, "text", lambda = 0.0))
+    intercept[IllegalArgumentException](
+      NgramLm.fitBigramLM(tiny, "text", alpha = 0.0))
+  }
+}
