@@ -1045,7 +1045,23 @@ object Queries {
       // Jaccard ≥ 0.5 (hashed-vs-string shingles differ only by 2⁻⁶⁴
       // collisions, same convention as dedup_ngram_jaccard).
       val d = read(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5)
+      val pairs = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5, bands = 16)
+      Dedup.dropDuplicatesByPairs(d, "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    "dedup_minhash_auto" -> ((s, dir) => {
+      // The bands = 0 recall-aware AUTO route end to end: targetRecall =
+      // 1.0 with a full-corpus sample makes the one-pass estimator
+      // measure TRUE pair recall per tier, so the cheapest chosen tier
+      // catches every qualifying pair on this corpus and the
+      // (exact-verified) pair set equals the all-pairs exact-Jaccard set
+      // — the dedup_minhash oracle applies unchanged. Pins the decision
+      // machinery live: the canonical collapse, per-tier signature-slice
+      // collisions, cheapest-tier pick, and the route at the picked tier.
+      val d = read(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5,
+        targetRecall = 1.0, autoSampleSize = Int.MaxValue)
       Dedup.dropDuplicatesByPairs(d, "doc_id", pairs)
         .select("doc_id").orderBy("doc_id")
     }),
@@ -1072,7 +1088,7 @@ object Queries {
       // mapping. Same pair math as dedup_minhash, so the same
       // recursive-CTE oracle verifies pairs → components → representative.
       val d = read(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5)
+      val pairs = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5, bands = 16)
       Dedup.componentIds(d.select(col("doc_id").cast("long").as("id")), pairs)
         .select(col("id").as("doc_id"), col("rep_id"))
         .orderBy("doc_id")
@@ -2415,7 +2431,7 @@ object Queries {
       // the arbitrary min id. Same recursive-CTE component oracle, with
       // the argmax pick reproduced via QUALIFY row_number.
       val d = read(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5)
+      val pairs = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5, bands = 16)
       Dedup.dropDuplicatesByPairsKeepBest(d, "doc_id", pairs, col("n_chars"))
         .select("doc_id").orderBy("doc_id")
     }),
@@ -4447,6 +4463,29 @@ object Queries {
     // Exact-Jaccard connected components (see the dedup_minhash query
     // comment for why this equals the LSH pipeline's result on gate data).
     "dedup_minhash" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh
+        |  FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a ORDER BY doc_id""".stripMargin,
+
+    // The auto band route at targetRecall = 1.0 with a full-corpus sample
+    // picks a tier measured to catch every qualifying pair — same exact
+    // connected-components oracle as the pinned-bands gate.
+    "dedup_minhash_auto" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |s AS (

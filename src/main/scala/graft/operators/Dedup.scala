@@ -107,6 +107,20 @@ object Dedup {
     * `collapseExact = false` for the exhaustive enumeration (every
     * qualifying (id1, id2), at duplication-quadratic cost).
     *
+    * `bands = 0` (the DEFAULT) is RECALL-AWARE AUTO — the
+    * [[graft.operators.EmbedOps.neardupPairs]] `cellProbes = 0`
+    * convention for the text route: the route spends the cheap one-pass
+    * estimator ([[pickBands]] — sampled signatures answer every tier at
+    * once, bounded independent of n) and picks the cheapest band tier
+    * whose sampled recall meets `targetRecall` (default 0.95); when even
+    * the highest tier misses it, the route proceeds at that tier with a
+    * LOUD warning naming the knobs — banded LSH recall is an S-curve in
+    * (bands, rowsPerBand) and a fixed band count tuned at one threshold
+    * silently under-recalls at another. An EXPLICIT `bands > 0` pins the
+    * tier with no measurement — oracle gates pin measured-recall-1
+    * configurations this way; certify a pinned config with
+    * [[minhashRecallReport]].
+    *
     * ==BREAKING CHANGE (round 9)==
     * `collapseExact` defaults to `true`: the PAIR LIST is now a spanning
     * subset, not the exhaustive enumeration. Connected components — and
@@ -115,16 +129,45 @@ object Dedup {
     * aggregation, duplicate-edge statistics) sees fewer rows than before.
     * Such callers must pass `collapseExact = false` explicitly. The same
     * applies to [[simhashPairs]].
+    *
+    * ==BREAKING CHANGE (round 11)==
+    * `bands` defaults to 0 = auto (was 16): the default route now spends
+    * a bounded sampled-recall estimate and may pick a DIFFERENT band
+    * count than 16 — cheaper when 4–8 bands already meet the target,
+    * higher-recall when 16 would silently miss it. Callers that depended
+    * on the fixed geometry must pass `bands = 16` explicitly.
     */
   def minhashPairs(dfIn: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
-      shingleLen: Int = 3, collapseExact: Boolean = true): DataFrame = {
+      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 0,
+      shingleLen: Int = 3, collapseExact: Boolean = true,
+      targetRecall: Double = 0.95,
+      autoBandTiers: Seq[Int] = Seq(4, 8, 16, 32),
+      autoSampleSize: Int = 2048): DataFrame = {
+    def resolve(frame: DataFrame, id: String, excludeExact: Boolean): Int =
+      if (bands > 0) bands
+      else {
+        val (b, r) = pickBands(frame, textCol, id, threshold, numHashes,
+          autoBandTiers, shingleLen, autoSampleSize, targetRecall,
+          excludeExact)
+        val log = org.slf4j.LoggerFactory.getLogger(getClass)
+        if (r < targetRecall) log.warn(
+          f"minhashPairs auto route: even bands = $b (the highest auto " +
+            f"tier) measures sampled pair recall $r%.3f < target " +
+            f"$targetRecall%.2f at this geometry — proceeding at $b; " +
+            "raise numHashes (finer bands), pin a higher bands " +
+            "explicitly, or verify with minhashRecallReport")
+        else log.info(
+          f"minhashPairs auto route: bands = $b (sampled recall " +
+            f"$r%.3f ≥ target $targetRecall%.2f)")
+        b
+      }
     if (!collapseExact)
       return minhashPairsExhaustive(dfIn, textCol, idCol, threshold,
-        numHashes, bands, shingleLen)
+        numHashes, resolve(dfIn, idCol, excludeExact = true), shingleLen)
     withExactCollapse(dfIn, textCol, idCol, lit(1.0).as("jaccard"))(reps =>
       minhashPairsExhaustive(reps, textCol, "__rep_id", threshold,
-        numHashes, bands, shingleLen))
+        numHashes, resolve(reps, "__rep_id", excludeExact = false),
+        shingleLen))
   }
 
   /** Shared exact pre-collapse of the pair enumerators: one shuffle by
@@ -299,6 +342,90 @@ object Dedup {
       .select("bands", "recall")
       .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
     rep.find(_._2 >= targetRecall).getOrElse(rep.last)
+  }
+
+  /** The auto route's band-tier picker — the minhash sibling of
+    * `EmbedOps.pickCellProbes`: ONE bounded pass answers every tier.
+    * Whether a qualifying pair collides in ≥1 band depends only on the
+    * pair's OWN signatures (band keys hash fixed signature slices), so a
+    * content-hash sample's signatures, computed once, determine per pair
+    * and per tier `b` whether any of the `b` slice-bands matches —
+    * recall at every tier then falls out of one aggregate over
+    * ≤ C(sampleSize, 2) broadcast comparisons, independent of n. Cheap
+    * enough to spend by default, unlike [[minhashRecallReport]] which
+    * re-runs the full banded route per tier (use that to CERTIFY a
+    * config; this to pick one). `excludeExact` drops byte-identical
+    * pairs from the ground truth (the exhaustive path measures the raw
+    * frame, where exact duplicates — caught at ANY tier, identical
+    * signatures — would bias recall up). Returns the cheapest tier
+    * (fewest bands = fewest bucket keys) whose sampled recall meets
+    * `targetRecall`, else the highest offered tier with its
+    * (insufficient) recall.
+    */
+  private[graft] def pickBands(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int, tiers: Seq[Int], shingleLen: Int,
+      sampleSize: Int, targetRecall: Double,
+      excludeExact: Boolean): (Int, Double) = {
+    val ts = tiers.distinct.sorted
+    require(ts.nonEmpty && ts.forall(b => b > 0 && numHashes % b == 0),
+      s"pickBands: every band tier must divide numHashes=$numHashes")
+    val n = df.count()
+    val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, n))
+    // Content-hash sample membership (seed matches minhashRecallReport —
+    // the certify tool sees the same sample the decision spent).
+    val sampled =
+      if (frac >= 1.0) df
+      else df.filter(
+        pmod(xxhash64(col(textCol), lit(101L)), lit(1000000L)) <
+          math.round(frac * 1000000.0))
+    val state = graft.core.Persist.stage(
+      dedupState(sampled, textCol, idCol, numHashes, shingleLen,
+        withFp = excludeExact))
+    val aCols = Seq(col("id").as("id1"), col("sig").as("sig1"),
+      col("sh").as("sh1")) ++
+      (if (excludeExact) Seq(col("fp").as("fp1")) else Nil)
+    val bCols = Seq(col("id").as("id2"), col("sig").as("sig2"),
+      col("sh").as("sh2")) ++
+      (if (excludeExact) Seq(col("fp").as("fp2")) else Nil)
+    val a = state.select(aCols: _*)
+    val b = state.select(bCols: _*)
+    val joined0 = a.join(broadcast(b), col("id1") < col("id2"))
+    val joined = if (excludeExact) joined0.filter(col("fp1") =!= col("fp2"))
+                 else joined0
+    def bandMatch(bands: Int): Column = {
+      val r = numHashes / bands
+      (0 until bands).map(i =>
+        slice(col("sig1"), i * r + 1, r) === slice(col("sig2"), i * r + 1, r))
+        .reduce(_ || _)
+    }
+    val tierCols = ts.map(t =>
+      sum(when(bandMatch(t), 1L).otherwise(0L)).as(s"t$t"))
+    val row = joined
+      .filter(graft.functions.VectorExprs.longSetJaccard(col("sh1"), col("sh2"))
+        >= threshold)
+      .agg(count(lit(1)).as("n"), tierCols: _*).head()
+    val nExact = row.getLong(0)
+    val recalls = ts.zipWithIndex.map { case (t, i) =>
+      (t, if (nExact == 0) 1.0 else row.getLong(i + 1).toDouble / nExact)
+    }
+    recalls.find(_._2 >= targetRecall).getOrElse(recalls.last)
+  }
+
+  /** The auto band-tier decision [[minhashPairs]] makes when `bands` is
+    * left at 0, exposed standalone: (chosen bands, sampled recall at it).
+    * Same canonical exact collapse, same sample, same one-pass estimator
+    * — callers that want to inspect or record the decision without
+    * running the route.
+    */
+  def autoBands(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, targetRecall: Double = 0.95,
+      numHashes: Int = 64, bandTiers: Seq[Int] = Seq(4, 8, 16, 32),
+      shingleLen: Int = 3, sampleSize: Int = 2048): (Int, Double) = {
+    val reps = textCollapseMarked(df, textCol, idCol)
+      .filter(col("id") === col("__rep"))
+      .select(col("id"), col(textCol))
+    pickBands(reps, textCol, "id", threshold, numHashes, bandTiers,
+      shingleLen, sampleSize, targetRecall, excludeExact = false)
   }
 
   /** 64-bit SimHash of word tokens, natively: for each bit, sum the ±1

@@ -89,6 +89,43 @@ class DedupSpec extends SparkSpec {
       targetRecall = 0.0, bandTiers = Seq(4, 32))._1 == 4)
   }
 
+  test("bands = 0 auto: the one-pass estimator agrees with the full recall " +
+      "report tier-for-tier, and the auto route reproduces the pinned " +
+      "exact pair set") {
+    val rng = new scala.util.Random(7)
+    val base = (0 until 40).map(i =>
+      (i.toLong, (0 until 30).map(j => s"w${i}_$j").mkString(" ")))
+    val dups = (0 until 25).map { k =>
+      val (src, text) = base(k)
+      val words = text.split(" ")
+      words(5 + rng.nextInt(20)) = s"CHANGED$k"
+      (200L + src, words.mkString(" "))
+    }
+    val df = (base ++ dups).toDF("doc_id", "text")
+    // The cheap estimator must reach the SAME decision as the full
+    // per-tier route re-run (recommendBands → minhashRecallReport): same
+    // sample, same ground truth, and slice-equality ≡ band-key equality.
+    val pick = Dedup.autoBands(df, "text", "doc_id", threshold = 0.7,
+      targetRecall = 1.0, bandTiers = Seq(4, 32))
+    val full = Dedup.recommendBands(df, "text", "doc_id", threshold = 0.7,
+      targetRecall = 1.0, bandTiers = Seq(4, 32))
+    assert(pick == full, s"estimator $pick vs full report $full")
+    assert(pick._1 == 32 && pick._2 == 1.0, s"$pick")
+    // An under-recalling target is honest: tier 4 alone measures < 1.
+    val low = Dedup.autoBands(df, "text", "doc_id", threshold = 0.7,
+      targetRecall = 1.0, bandTiers = Seq(4))
+    assert(low._1 == 4 && low._2 < 1.0, s"$low")
+    // The auto route at the measured-exhaustive tier equals the pinned one.
+    val auto = Dedup.minhashPairs(df, "text", "doc_id", threshold = 0.7,
+        targetRecall = 1.0, autoBandTiers = Seq(4, 32),
+        autoSampleSize = Int.MaxValue)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val pinned = Dedup.minhashPairs(df, "text", "doc_id", threshold = 0.7,
+        bands = 32)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(auto == pinned && auto.size >= 25, s"auto ${auto.size} pairs")
+  }
+
   test("dropDuplicatesByPairs keeps the min-id representative") {
     val deduped = Dedup.dropDuplicatesByPairs(corpus, "doc_id",
       Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.5))
@@ -150,8 +187,10 @@ class DedupSpec extends SparkSpec {
     // collapseExact = false: this spec pins LSH candidate RECALL, which is
     // a property of the exhaustive enumeration (the default spanning pair
     // set is checked component-for-component in its own spec below).
+    // bands = 16 pinned — the gate's geometry; the bands = 0 auto default
+    // may legitimately choose a cheaper tier at its 0.95 target.
     val lsh = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5,
-        collapseExact = false)
+        bands = 16, collapseExact = false)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty, "gate corpus must contain planted near-dups")
     assert(lsh == exact, s"missed=${(exact -- lsh).size} spurious=${(lsh -- exact).size}")
