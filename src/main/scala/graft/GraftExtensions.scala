@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.IntegerType
   * `shingle_hashes(words, n)`, `simhash64(words)`,
   * `ngram_repetition(words, n)`, `deflate_ratio(text[, level])`,
   * `array_dot(a, b)`, `long_set_jaccard(a, b)`,
-  * `subword_tokenize(words, vocab[, unk])`. Shape parameters must be
+  * `subword_tokenize(words, vocab[, unk])`, `url_normalize(url)`.
+  * Shape parameters must be
   * literals — they size
   * per-row loops at plan time, exactly like the DataFrame wrappers.
   */
@@ -147,6 +148,12 @@ object GraftExtensions {
     fn("strip_accents", "_FUNC_(text) - remove combining diacritics") { args =>
       require(args.length == 1, "strip_accents(text)")
       functions.StripAccents(args.head)
+    },
+    fn("url_normalize",
+      "_FUNC_(url) - canonical URL form: fragment/default-port/tracking-" +
+        "param strip, scheme+authority lowercase, sorted query") { args =>
+      require(args.length == 1, "url_normalize(url)")
+      functions.UrlExpr.UrlNormalize(args.head)
     },
     // An AGGREGATE registers through the same builder: the analyzer wraps a
     // bare AggregateFunction in AggregateExpression during resolution, so

@@ -3142,6 +3142,34 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "url_dedup" -> ((s, dir) => {
+      // URL canonicalization + dedup — the FIRST dedup key of a crawl
+      // pipeline (before any content pass): raw URLs are synthesized
+      // deterministically from doc_id in BOTH engines, six variants per
+      // group covering scheme/host case, default :80/:443 ports,
+      // fragments, tracking params (utm_* case-insensitive, fbclid,
+      // ref), param order, bare-root paths, and a scheme-less opaque
+      // passthrough. The kernel's normal form is replayed step for step
+      // in SQL; keep = min doc_id per normalized URL.
+      val d = read(s, dir, "documents")
+      val g = (col("doc_id") % 25).cast("string")
+      val v = col("doc_id") % 6
+      val url = when(v === 0, concat(lit("http://www.Site"), g,
+          lit(".com/article/"), g, lit("?b=2&a=1")))
+        .when(v === 1, concat(lit("HTTP://WWW.SITE"), g,
+          lit(".COM:80/article/"), g, lit("?a=1&b=2#frag")))
+        .when(v === 2, concat(lit("http://www.site"), g,
+          lit(".com:80/article/"), g, lit("?utm_source=x&a=1&UTM_Medium=y&b=2")))
+        .when(v === 3, concat(lit("http://www.site"), g,
+          lit(".com/article/"), g, lit("?a=1&fbclid=zz&b=2&ref=tw")))
+        .when(v === 4, concat(lit("https://Site"), g, lit(".com:443/")))
+        .otherwise(concat(lit("site"), g, lit(".com/article/"), g))
+      d.select(col("doc_id"),
+          graft.functions.UrlExpr.urlNormalize(url).as("url_norm"))
+        .groupBy("url_norm").agg(min("doc_id").as("doc_id"))
+        .select("doc_id", "url_norm").orderBy("doc_id")
+    }),
+
     "text_line_stats" -> ((s, dir) => {
       // Line-level Gopher/C4 rules (bulleted-line, ellipsis-line, and
       // short-line fractions). The gate corpus is single-line, so the
@@ -5675,6 +5703,76 @@ object Queries {
          |  nfc_normalize(text || '$decomposedTail') AS nfc,
          |  strip_accents(text || '$decomposedTail') AS plain
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The kernel's URL normal form replayed step for step: fragment
+    // strip, scheme/authority lowercase, default-port drop, tracking
+    // param filter (utm_* prefix + the name blocklist, case-insensitive
+    // on the name), binary param sort, bare-root path drop, scheme-less
+    // passthrough — over the identical doc_id-synthesized raw URLs.
+    "url_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id, CASE doc_id % 6
+        |    WHEN 0 THEN 'http://www.Site' || CAST(doc_id % 25 AS VARCHAR)
+        |      || '.com/article/' || CAST(doc_id % 25 AS VARCHAR) || '?b=2&a=1'
+        |    WHEN 1 THEN 'HTTP://WWW.SITE' || CAST(doc_id % 25 AS VARCHAR)
+        |      || '.COM:80/article/' || CAST(doc_id % 25 AS VARCHAR) || '?a=1&b=2#frag'
+        |    WHEN 2 THEN 'http://www.site' || CAST(doc_id % 25 AS VARCHAR)
+        |      || '.com:80/article/' || CAST(doc_id % 25 AS VARCHAR)
+        |      || '?utm_source=x&a=1&UTM_Medium=y&b=2'
+        |    WHEN 3 THEN 'http://www.site' || CAST(doc_id % 25 AS VARCHAR)
+        |      || '.com/article/' || CAST(doc_id % 25 AS VARCHAR)
+        |      || '?a=1&fbclid=zz&b=2&ref=tw'
+        |    WHEN 4 THEN 'https://Site' || CAST(doc_id % 25 AS VARCHAR) || '.com:443/'
+        |    ELSE 'site' || CAST(doc_id % 25 AS VARCHAR)
+        |      || '.com/article/' || CAST(doc_id % 25 AS VARCHAR)
+        |    END AS url
+        |  FROM documents),
+        |n1 AS (SELECT doc_id, string_split(trim(url), '#')[1] AS s FROM raw),
+        |n2 AS (SELECT doc_id, s, strpos(s, '://') AS i FROM n1),
+        |n3 AS (SELECT doc_id, s,
+        |    CASE WHEN i = 0 THEN NULL ELSE lower(substr(s, 1, i - 1)) END AS scheme,
+        |    CASE WHEN i = 0 THEN NULL ELSE substr(s, i + 3) END AS rest
+        |  FROM n2),
+        |n4 AS (SELECT *,
+        |    CASE WHEN strpos(rest, '/') = 0 THEN len(rest) + 1
+        |         ELSE strpos(rest, '/') END AS ps,
+        |    CASE WHEN strpos(rest, '?') = 0 THEN len(rest) + 1
+        |         ELSE strpos(rest, '?') END AS pq
+        |  FROM n3),
+        |n5 AS (SELECT doc_id, s, scheme,
+        |    lower(substr(rest, 1, least(ps, pq) - 1)) AS auth0,
+        |    substr(rest, least(ps, pq)) AS tail
+        |  FROM n4),
+        |n6 AS (SELECT doc_id, s, scheme, tail,
+        |    CASE WHEN scheme = 'http' AND auth0 LIKE '%:80'
+        |           THEN substr(auth0, 1, len(auth0) - 3)
+        |         WHEN scheme = 'https' AND auth0 LIKE '%:443'
+        |           THEN substr(auth0, 1, len(auth0) - 4)
+        |         ELSE auth0 END AS auth
+        |  FROM n5),
+        |n7 AS (SELECT doc_id, s, scheme, auth,
+        |    CASE WHEN strpos(tail, '?') = 0 THEN tail
+        |         ELSE substr(tail, 1, strpos(tail, '?') - 1) END AS path0,
+        |    CASE WHEN strpos(tail, '?') = 0 THEN ''
+        |         ELSE substr(tail, strpos(tail, '?') + 1) END AS query
+        |  FROM n6),
+        |n8 AS (SELECT doc_id, s, scheme, auth,
+        |    CASE WHEN path0 = '/' THEN '' ELSE path0 END AS path,
+        |    coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      p -> len(p) > 0 AND NOT (
+        |        starts_with(lower(string_split(p, '=')[1]), 'utm_') OR
+        |        lower(string_split(p, '=')[1]) IN
+        |          ('fbclid','gclid','msclkid','mc_eid','ref','igshid')))), '&'),
+        |      '') AS qn
+        |  FROM n7),
+        |norm AS (SELECT doc_id,
+        |    CASE WHEN scheme IS NULL THEN s
+        |         ELSE scheme || '://' || auth || path ||
+        |           CASE WHEN qn = '' THEN '' ELSE '?' || qn END
+        |    END AS url_norm
+        |  FROM n8)
+        |SELECT min(doc_id) AS doc_id, url_norm
+        |FROM norm GROUP BY url_norm ORDER BY doc_id""".stripMargin,
 
     // Identical line construction (sentence breaks → newlines + the
     // deterministic bullet/ellipsis tail on every third doc), then the

@@ -104,6 +104,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(n.getMessage.contains("null element"), n.getMessage)
   }
 
+  test("url_normalize matches the DataFrame kernel through SQL") {
+    val viaSql = spark.sql(
+      "SELECT url_normalize('HTTP://A.COM:80/x?utm_source=f&b=2&a=1#h') AS u")
+      .head().getString(0)
+    assert(viaSql == "http://a.com/x?a=1&b=2")
+    val viaDf = Seq(Tuple1("HTTP://A.COM:80/x?utm_source=f&b=2&a=1#h"))
+      .toDF("u").select(functions.UrlExpr.urlNormalize($"u"))
+      .head().getString(0)
+    assert(viaDf == viaSql)
+  }
+
   test("shape parameters must be literals; arity is checked") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_signature(array('a'), 1 + 2, 8)").collect()
