@@ -149,6 +149,13 @@ object GraftExtensions {
       require(args.length == 1, "strip_accents(text)")
       functions.StripAccents(args.head)
     },
+    fn("blocklist_matches",
+      "_FUNC_(text, patterns) - distinct blocklist patterns present " +
+        "(case-insensitive substrings, one Aho-Corasick pass)") { args =>
+      require(args.length == 2, "blocklist_matches(text, patterns)")
+      functions.BlocklistExpr.BlocklistMatches(args.head,
+        stringArrayLit(args(1), "blocklist_matches", "patterns"))
+    },
     fn("url_normalize",
       "_FUNC_(url) - canonical URL form: fragment/default-port/tracking-" +
         "param strip, scheme+authority lowercase, sorted query") { args =>

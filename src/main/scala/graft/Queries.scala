@@ -3142,6 +3142,24 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "blocklist_filter" -> ((s, dir) => {
+      // The C4 "bad words" content filter at list scale: ONE Aho–Corasick
+      // pass per row reports the distinct blocklist terms present
+      // (case-insensitive substrings, phrases included) — per-pattern
+      // contains() scans are O(text·patterns) and a real list runs to
+      // tens of thousands. The oracle replays the membership semantics
+      // exactly: filter(patterns, p -> contains(lower(text), p)).
+      val pats = Seq("spark", "slow query", "drop table", "scan merge",
+        "customer")
+      val d = read(s, dir, "documents")
+      d.select(col("doc_id"),
+          graft.functions.TextFunctions.blocklistMatches(col("text"), pats)
+            .as("m"))
+        .select(col("doc_id"), array_join(col("m"), ",").as("matched"),
+          (size(col("m")) === 0).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     "url_dedup" -> ((s, dir) => {
       // URL canonicalization + dedup — the FIRST dedup key of a crawl
       // pipeline (before any content pass): raw URLs are synthesized
@@ -5703,6 +5721,19 @@ object Queries {
          |  nfc_normalize(text || '$decomposedTail') AS nfc,
          |  strip_accents(text || '$decomposedTail') AS plain
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Membership semantics of the Aho–Corasick kernel, replayed as the
+    // per-pattern contains() it collapses: distinct terms present, in
+    // pattern-list order (list_filter preserves it).
+    "blocklist_filter" ->
+      """SELECT doc_id,
+        |  coalesce(array_to_string(list_filter(
+        |    ['spark', 'slow query', 'drop table', 'scan merge', 'customer'],
+        |    p -> contains(lower(text), p)), ','), '') AS matched,
+        |  len(list_filter(
+        |    ['spark', 'slow query', 'drop table', 'scan merge', 'customer'],
+        |    p -> contains(lower(text), p))) = 0 AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // The kernel's URL normal form replayed step for step: fragment
     // strip, scheme/authority lowercase, default-port drop, tracking

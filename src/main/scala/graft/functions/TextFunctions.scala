@@ -239,6 +239,14 @@ object TextFunctions {
     regexp_replace(s, Ipv4Pattern, "<IP>")
   }
 
+  /** Distinct blocklist patterns present in the text (case-insensitive
+    * substring match, pattern-list order) — ONE Aho–Corasick pass per row
+    * however long the list ([[BlocklistExpr]]); the C4-style content
+    * filter is `size(blocklistMatches(c, terms)) === 0`.
+    */
+  def blocklistMatches(c: Column, patterns: Seq[String]): Column =
+    BlocklistExpr.blocklistMatches(c, patterns)
+
   /** Rolling (polynomial) content-defined fingerprints of word windows:
     * xxhash64 over sliding word n-grams; the minimum is a winnowing-style
     * document signature.

@@ -45,7 +45,7 @@ object UrlExpr {
     val s = { val h = hash.indexOf('#'); if (h < 0) hash else hash.substring(0, h) }
     val i = s.indexOf("://")
     if (i < 0) return s
-    val scheme = s.substring(0, i).toLowerCase
+    val scheme = s.substring(0, i).toLowerCase(java.util.Locale.ROOT)
     val rest = s.substring(i + 3)
     val slash = rest.indexOf('/')
     val quest = rest.indexOf('?')
@@ -55,7 +55,7 @@ object UrlExpr {
       case (p, -1) => p
       case (p, q) => math.min(p, q)
     }
-    val auth0 = rest.substring(0, j).toLowerCase
+    val auth0 = rest.substring(0, j).toLowerCase(java.util.Locale.ROOT)
     val tail = rest.substring(j)
     val auth =
       if (scheme == "http" && auth0.endsWith(":80")) auth0.dropRight(3)
@@ -67,7 +67,7 @@ object UrlExpr {
     val path = if (path0 == "/") "" else path0
     val params = query.split('&').iterator.filter(_.nonEmpty).filterNot { p =>
       val eq = p.indexOf('=')
-      val name = (if (eq < 0) p else p.substring(0, eq)).toLowerCase
+      val name = (if (eq < 0) p else p.substring(0, eq)).toLowerCase(java.util.Locale.ROOT)
       name.startsWith("utm_") || TrackingNames.contains(name)
     }.toArray
     java.util.Arrays.sort(params, java.util.Comparator.naturalOrder[String]())

@@ -192,11 +192,18 @@ object ScaleStress {
       // route hitting (or honestly missing) its 0.95 default target.
       val (autoProbes, autoRecall) = graft.operators.EmbedOps.autoCellProbes(
         emb, "emb", "vec_id", threshold = 0.45, targetRecall = 0.95)
+      // The minhash twin: what band tier the bands = 0 default would pick
+      // at this geometry, from the same bounded one-pass estimator the
+      // route spends.
+      val (autoBands, autoBandRecall) = graft.operators.Dedup.autoBands(
+        docs, "text", "doc_id", threshold = 0.8, targetRecall = 0.95)
       val rec = s"""{"metric":"approx_route_recall","sf":"$sf",""" +
         s""""cells_threshold":0.45,"cells":${tiers(cells, "cell_probes")},""" +
         s""""auto":{"target":0.95,"cell_probes":$autoProbes,""" +
         f""""recall":$autoRecall%.4f},""" +
         s""""minhash_threshold":0.8,"minhash":${tiers(mh, "bands")},""" +
+        s""""minhash_auto":{"target":0.95,"bands":$autoBands,""" +
+        f""""recall":$autoBandRecall%.4f},""" +
         f""""sec":${(System.nanoTime() - t0) / 1e9}%.1f}"""
       println(rec)
       appendHistory(rec)
