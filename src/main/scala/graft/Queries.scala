@@ -2293,6 +2293,28 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "split_leakage_safe" -> ((s, dir) => {
+      // Leakage-safe splitting: near-dup CLUSTERS are the split unit —
+      // the train/eval contamination guard (a near-duplicate of a
+      // holdout doc left in train leaks the eval; the GPT-3 report's
+      // appendix documents exactly this failure). Every doc inherits its
+      // duplicate-cluster representative's md5(salt|rep) draw, so a
+      // cluster can NEVER straddle the split; singletons split exactly
+      // like split_train_holdout. Same pair math as dedup_minhash
+      // (pinned bands = 16), same component-min rep as dedup_clusters,
+      // same hex-cut membership as split_train_holdout — the oracle
+      // composes all three.
+      val d = read(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5,
+        bands = 16)
+      val clusters = Dedup.componentIds(
+          d.select(col("doc_id").cast("long").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("rep_id"))
+      CorpusPrep.assignSplits(clusters, "rep_id",
+          Seq("train" -> 0.9, "holdout" -> 0.1), salt = "lsafe")
+        .select("doc_id", "rep_id", "split").orderBy("doc_id")
+    }),
+
     "corpus_budget_select" -> ((s, dir) => {
       // "Assemble the best 10k-token corpus": histogram-threshold
       // selection over a rounded quality score — equivalent to the flat
@@ -4820,6 +4842,34 @@ object Queries {
         |       WHEN hp < '0e666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // dedup_clusters' reachability CTE for the rep, then
+    // split_train_holdout's hex cut keyed on the REP: 0.9 → round(0.9 ·
+    // 65536) = 58982 = 0xe666.
+    "split_leakage_safe" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh
+        |  FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |cl AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep_id
+        |  FROM reach GROUP BY a)
+        |SELECT doc_id, rep_id,
+        |  CASE WHEN '0' || substring(md5('lsafe|' || CAST(rep_id AS VARCHAR)), 1, 4)
+        |         < '0e666' THEN 'train' ELSE 'holdout' END AS split
+        |FROM cl ORDER BY doc_id""".stripMargin,
 
     // The flat descending cumulative-sum selection the histogram threshold
     // is provably equivalent to: keep while the PRIOR cumulative token sum

@@ -126,6 +126,31 @@ class DedupSpec extends SparkSpec {
     assert(auto == pinned && auto.size >= 25, s"auto ${auto.size} pairs")
   }
 
+  test("leakage-safe split: a duplicate cluster never straddles the split, " +
+      "and singletons draw exactly the per-doc split") {
+    val pairs = Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.5,
+      bands = 16)
+    val clusters = Dedup.componentIds(
+        corpus.select(col("doc_id").cast("long").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("rep_id"))
+    val split = graft.operators.CorpusPrep.assignSplits(clusters, "rep_id",
+      Seq("train" -> 0.9, "holdout" -> 0.1), salt = "x")
+    // every cluster lands whole on one side
+    val perCluster = split.groupBy("rep_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .select("n").as[Long].collect()
+    assert(perCluster.forall(_ == 1L))
+    // the planted dup pairs (3,100), (7,101), (11,102) agree with their reps
+    val m = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(m(3L) == m(100L) && m(7L) == m(101L) && m(11L) == m(102L))
+    // singletons draw the same assignment a per-doc split would give them
+    val direct = graft.operators.CorpusPrep.assignSplits(
+        clusters.filter(col("doc_id") === col("rep_id")), "rep_id",
+        Seq("train" -> 0.9, "holdout" -> 0.1), salt = "x")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    direct.foreach { case (id, sp) => assert(m(id) == sp) }
+  }
+
   test("dropDuplicatesByPairs keeps the min-id representative") {
     val deduped = Dedup.dropDuplicatesByPairs(corpus, "doc_id",
       Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.5))
