@@ -3182,6 +3182,42 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "ccnet_pipeline" -> ((s, dir) => {
+      // The CCNet cleaning cascade END TO END as one composition (arXiv
+      // 1911.00359: content filter → language ID → LM perplexity cut),
+      // pinning what the single-op gates cannot: every model RETRAINS on
+      // the corpus its upstream stages left behind. Stage 1 drops docs
+      // containing a blocklist term (one automaton pass); stage 2 refits
+      // the char-ngram NB language classifier ON THE SURVIVORS and drops
+      // docs whose predicted language disagrees with their metadata label
+      // (the mislabel guard); stage 3 refits the bigram LM ON THOSE and
+      // keeps docs under a perplexity ceiling. The oracle replays all
+      // three stages from scratch over the same shrinking corpora.
+      val pats = Seq("spark", "slow query", "drop table", "scan merge",
+        "customer")
+      val d = read(s, dir, "documents")
+      val s1 = d.filter(size(graft.functions.TextFunctions.blocklistMatches(
+        col("text"), pats)) === 0)
+      val langM = graft.operators.QualityClassifier.trainLangNB(
+        s1, "text", "lang")
+      val s2 = graft.operators.QualityClassifier.scoreLangNB(s1, "text", langM)
+        .filter(col("lang_pred") === col("lang"))
+        .select(d.columns.map(col): _*)
+      val lm = graft.operators.NgramLm.fitBigramLM(s2, "text", minCount = 2L)
+      val scored = graft.core.Persist.stage(
+        graft.operators.NgramLm.perplexity(s2, "text", lm))
+      // Keep the below-mean-perplexity half — CCNet's "head" cut with a
+      // data-dependent threshold, live at every scale (a literal ceiling
+      // tuned at sf0.01 dropped EVERYTHING at sf0.1: the refit LM's ppl
+      // range shifts with corpus size). The mean is a driver scalar; the
+      // boundary is safe because no real ppl sits within float-sum drift
+      // of it.
+      val thr = scored.agg(avg(col("ppl"))).head().getDouble(0)
+      scored.filter(col("ppl") < thr)
+        .select(col("doc_id"), round(col("ppl"), 4).as("ppl"))
+        .orderBy("doc_id")
+    }),
+
     "url_dedup" -> ((s, dir) => {
       // URL canonicalization + dedup — the FIRST dedup key of a crawl
       // pipeline (before any content pass): raw URLs are synthesized
@@ -5771,6 +5807,102 @@ object Queries {
          |  nfc_normalize(text || '$decomposedTail') AS nfc,
          |  strip_accents(text || '$decomposedTail') AS plain
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // All three CCNet stages refit from scratch over the SHRINKING
+    // corpora: blocklist survivors (blk), the lang-NB refit ON blk with
+    // the agreement filter (s2), then the bigram-LM refit ON s2 with the
+    // unrounded perplexity cut — the lang_id_nb and ppl_bigram oracle
+    // bodies re-rooted at each stage's input.
+    "ccnet_pipeline" ->
+      """WITH blk AS (
+        |  SELECT * FROM documents
+        |  WHERE len(list_filter(
+        |    ['spark', 'slow query', 'drop table', 'scan merge', 'customer'],
+        |    p -> contains(lower(text), p))) = 0),
+        |t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM blk),
+        |g AS (
+        |  SELECT doc_id, lang, list_concat(
+        |      list_transform(range(1, len(s) + 1), i -> substr(s, i, 1)),
+        |      list_transform(range(1, len(s)), i -> substr(s, i, 2))) AS gr
+        |  FROM t),
+        |cnt AS (
+        |  SELECT y, gram, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT lang AS y, unnest(gr) AS gram FROM g) GROUP BY y, gram),
+        |voc AS (SELECT CAST(count(DISTINCT gram) AS DOUBLE) AS v FROM cnt),
+        |tot AS (SELECT y, CAST(sum(c) AS DOUBLE) AS t FROM cnt GROUP BY y),
+        |cls AS (
+        |  SELECT lang AS y, ln(CAST(count(*) AS DOUBLE)) -
+        |    ln((SELECT CAST(count(*) AS DOUBLE) FROM blk)) AS prior
+        |  FROM blk GROUP BY lang),
+        |m AS (
+        |  SELECT cnt.y, map(list(gram ORDER BY gram),
+        |      list(ln((c + 1) / (t + v)) ORDER BY gram)) AS mp,
+        |    min(ln(1 / (t + v))) AS oov
+        |  FROM cnt JOIN tot ON cnt.y = tot.y, voc GROUP BY cnt.y),
+        |lsc AS (
+        |  SELECT g.doc_id, g.lang, m.y AS cand,
+        |    CASE WHEN len(g.gr) = 0 THEN cls.prior
+        |      ELSE list_reduce(list_transform(g.gr, x -> coalesce(mp[x][1], oov)),
+        |        (a, b) -> a + b) + cls.prior END AS score
+        |  FROM g CROSS JOIN m JOIN cls ON m.y = cls.y),
+        |pred AS (
+        |  SELECT doc_id, lang, cand AS lp FROM lsc
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, cand) = 1),
+        |s2 AS (SELECT b.* FROM blk b
+        |  JOIN pred p ON b.doc_id = p.doc_id AND p.lp = b.lang),
+        |t2 AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM s2),
+        |uc AS (
+        |  SELECT word, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(w) AS word FROM t2) GROUP BY word),
+        |tot2 AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+        |kept AS (SELECT word, c FROM uc WHERE c >= 2),
+        |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM kept),
+        |unkc AS (SELECT (SELECT sum(c) FROM uc)
+        |    - coalesce((SELECT sum(c) FROM kept), 0) AS cu),
+        |up AS (SELECT map(list(word ORDER BY word),
+        |      list((c + 1) / (n + (v + 1)) ORDER BY word)) AS mp,
+        |    min((cu + 1) / (n + (v + 1))) AS unkp
+        |  FROM kept, tot2, vv, unkc),
+        |tm AS (
+        |  SELECT doc_id, list_transform(w, x ->
+        |    CASE WHEN mp[x][1] IS NOT NULL THEN x ELSE chr(1) END) AS mt
+        |  FROM t2, up),
+        |ps AS (SELECT doc_id, mt,
+        |    unnest(range(1, len(mt) + 1)) AS i FROM tm),
+        |prs AS (SELECT CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END AS prev,
+        |    mt[i] AS cur FROM ps),
+        |bc AS (SELECT prev || chr(3) || cur AS bg,
+        |    CAST(count(*) AS DOUBLE) AS c FROM prs GROUP BY 1),
+        |pt AS (SELECT prev, CAST(count(*) AS DOUBLE) AS ct
+        |  FROM prs GROUP BY 1),
+        |bm AS (SELECT map(list(bg ORDER BY bg), list(c ORDER BY bg)) AS bmp
+        |  FROM bc),
+        |pm AS (SELECT map(list(prev ORDER BY prev), list(ct ORDER BY prev)) AS pmp
+        |  FROM pt),
+        |psc AS (
+        |  SELECT doc_id, len(mt) AS n,
+        |    CASE WHEN len(mt) = 0 THEN 0.0 ELSE
+        |      list_reduce(list_transform(range(1, len(mt) + 1), i ->
+        |        ln(0.7 * coalesce(
+        |             bmp[(CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END)
+        |                 || chr(3) || mt[i]][1]
+        |             / pmp[CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END][1],
+        |             0.0)
+        |           + (1 - 0.7) * coalesce(mp[mt[i]][1], unkp))),
+        |        (a, b) -> a + b)
+        |    END AS ll
+        |  FROM tm, bm, pm, up)
+        |SELECT doc_id, round(exp(-ll / n), 4) AS ppl
+        |FROM psc WHERE n > 0 AND exp(-ll / n) <
+        |  (SELECT avg(exp(-ll / n)) FROM psc WHERE n > 0)
+        |ORDER BY doc_id""".stripMargin,
 
     // Membership semantics of the Aho–Corasick kernel, replayed as the
     // per-pattern contains() it collapses: distinct terms present, in

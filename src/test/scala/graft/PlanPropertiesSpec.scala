@@ -158,6 +158,31 @@ class PlanPropertiesSpec extends SparkSpec {
       s"surprisal scoring must not shuffle: ${plan.toString.take(1200)}")
   }
 
+  test("the round-11 per-row kernels score as pure scans: bigram-LM ppl, " +
+      "blocklist matching, and url_normalize add zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def assertPure(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+        s"$what must not shuffle: ${plan.toString.take(1200)}")
+    }
+    // the model rides the plan as literals — scoring is one narrow map
+    val lm = graft.operators.NgramLm.BigramLM(
+      vocab = Map("a" -> 0, "b" -> 1),
+      uniProb = Array(0.5, 0.375, 0.125),
+      bigramPml = Map((2L << 32) -> 1.0),
+      lambda = 0.7, alpha = 1.0, minCount = 1L, minBigramCount = 1L,
+      nTokens = 5L)
+    assertPure(graft.operators.NgramLm.perplexity(docs, "text", lm),
+      "bigram-LM scoring")
+    assertPure(docs.select(graft.functions.TextFunctions.blocklistMatches(
+      org.apache.spark.sql.functions.col("text"), Seq("spark", "slow query"))),
+      "blocklist matching")
+    assertPure(docs.select(graft.functions.UrlExpr.urlNormalize(
+      org.apache.spark.sql.functions.col("text"))), "url_normalize")
+  }
+
   test("decontamination exact tier broadcasts the eval grams to the corpus scan") {
     // The gram-membership join must be the explicit broadcast (eval sets are
     // small by definition); the later corpus⋈hits re-join may legitimately
