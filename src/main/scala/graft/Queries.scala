@@ -1016,6 +1016,27 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    "prune_prototypes" -> ((s, dir) => {
+      // Prototype-distance pruning (Sorscher 2022 / D4): keep, per
+      // nearest-centroid cluster, the hardest 25% by cosine to the
+      // centroid — exactly ceil(0.25·n_c) rows, (sim, id)-ordered. The
+      // centroid fit is the same deterministic sorted-sample Lloyd's as
+      // sem_cluster, so the oracle assigns over the SAME pinned literals
+      // and re-derives the per-cluster selection with a window (fine at
+      // oracle scale; the engine's histogram-threshold + prefix-sum form
+      // is the scale path and must agree row-for-row).
+      val e = read(s, dir, "embeddings")
+        .withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      val sample = e.select(EmbedOps.vecCol("emb"))
+        .collect().map(_.getSeq[Float](0).toArray)
+      val cents = graft.embed.IvfIndex.fitCentroids(sample, 8, seed = 42)
+      EmbedOps.prunePrototypes(e, "emb", "vec_id", cents, keepFraction = 0.25)
+        .select(col("vec_id"),
+          col("cluster_id").cast("long").as("cluster_id"),
+          col("prototype_sim"))
+        .orderBy("vec_id")
+    }),
+
     // ---------------- dedup suite -----------------------------------------
     "dedup_exact" -> ((s, dir) => {
       // The gate corpus holds no exact duplicates, so the adapter PLANTS
@@ -4158,6 +4179,29 @@ object Queries {
          |ORDER BY vec_id, pos""".stripMargin,
 
     "sem_cluster" -> nearestCentroidOracle(ClusterCentroidsK8, "cluster_id"),
+
+    // Same pinned centroids and nearest-cell assignment as sem_cluster;
+    // prototypicality = cosine to the ASSIGNED centroid with the engine's
+    // exact IEEE op shape (dot / (sqrt(dot aa) * sqrt(dot cc))), rounded to
+    // 4; keep rn <= ceil(0.25·n) per cluster ordered (sim asc, vec_id asc)
+    // — the windowed re-derivation of the engine's histogram-threshold +
+    // prefix-sum selection.
+    "prune_prototypes" ->
+      s"""WITH cents(cell, c) AS (VALUES $ClusterCentroidsK8),
+         |d AS (SELECT e.vec_id, cents.cell,
+         |  list_distance(CAST(e.embedding AS DOUBLE[]), cents.c) AS dist,
+         |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), cents.c)
+         |    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+         |             CAST(e.embedding AS DOUBLE[])))
+         |       * sqrt(list_dot_product(cents.c, cents.c))), 4) AS sim
+         |  FROM embeddings e CROSS JOIN cents),
+         |a AS (SELECT vec_id, cell, sim FROM d
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+         |r AS (SELECT vec_id, cell, sim,
+         |  row_number() OVER (PARTITION BY cell ORDER BY sim ASC, vec_id ASC) AS rn,
+         |  count(*) OVER (PARTITION BY cell) AS n FROM a)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cluster_id, sim AS prototype_sim
+         |FROM r WHERE rn <= ceil(0.25 * n) ORDER BY vec_id""".stripMargin,
 
     "sem_partition" -> nearestCentroidOracle(PartitionCentroidsK5, "_lotus_partition_id"),
 

@@ -944,4 +944,104 @@ object EmbedOps {
     */
   def semPartitionBy(df: DataFrame, c: String, nPartitions: Int): DataFrame =
     semClusterBy(df, c, nPartitions, clusterCol = "_lotus_partition_id")
+
+  /** Prototype-distance data pruning (Sorscher et al. 2022, arXiv
+    * 2206.14486 — the "SSL prototypes" metric; applied to LLM corpora by
+    * D4, arXiv 2308.12284): assign every vector to its nearest centroid
+    * (squared Euclidean, ties → lowest cell — the
+    * [[graft.functions.VectorExprs.nearestCentroid]] kernel, same
+    * assignment as [[semClusterBy]]), score prototypicality as cosine to
+    * the ASSIGNED centroid, and keep exactly `ceil(keepFraction · n_c)`
+    * examples per cluster — the LEAST prototypical (lowest cosine) when
+    * `keepHardest` (the published default when data is abundant: easy,
+    * prototypical examples are the redundant ones), the most prototypical
+    * when not (the scarce-data regime). Selection order is
+    * (rounded sim, id) — fully deterministic and engine-reproducible.
+    *
+    * Scale shape — the [[graft.operators.CorpusPrep.selectByTokenBudget]]
+    * convention, NOT a per-cluster window (`row_number() OVER (PARTITION
+    * BY cluster)` funnels each cluster through one task; with the small k
+    * a 100 TB corpus wants, that is the single-partition bottleneck):
+    * similarities are ROUNDED to `simDigits`, a bounded (cluster, sim)
+    * histogram — guarded BEFORE the driver collect — yields per-cluster
+    * thresholds, the sub-threshold mass is a PURE FILTER against a
+    * broadcast threshold frame, and only the boundary buckets (typically
+    * a handful of rows at fine `simDigits`) pay an ordered pass, through
+    * [[graft.operators.CorpusPrep.runningTotal]]'s range-partitioned
+    * prefix sum. Three narrow passes over one staged assignment frame;
+    * driver state is the histogram (≤ `maxBuckets`) and k selection rows.
+    */
+  def prunePrototypes(df: DataFrame, c: String, idCol: String,
+      centroids: Array[Array[Float]], keepFraction: Double,
+      keepHardest: Boolean = true, simDigits: Int = 4,
+      clusterCol: String = "cluster_id", simCol: String = "prototype_sim",
+      maxBuckets: Int = 1 << 22): DataFrame = {
+    require(centroids.nonEmpty, "prunePrototypes: no centroids")
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"prunePrototypes: keepFraction $keepFraction must be in (0, 1]")
+    require(simDigits >= 1 && simDigits <= 7,
+      s"prunePrototypes: simDigits $simDigits must be in [1, 7]")
+    val spark = df.sparkSession
+    val v = vecCol(c)
+    val centLit = array(centroids.map(ct => lit(ct.map(_.toDouble))): _*)
+    val (assigned, blocks) = graft.core.Persist.stageTracked(df
+      .withColumn(clusterCol,
+        graft.functions.VectorExprs.nearestCentroid(col(v), centroids))
+      .withColumn(simCol,
+        round(cosineSim(col(v), element_at(centLit, col(clusterCol) + 1)),
+          simDigits)))
+    try {
+      val histDf = assigned.groupBy(col(clusterCol), col(simCol))
+        .agg(count(lit(1)).as("__n"))
+      val probe = histDf.limit(maxBuckets + 1).count()
+      require(probe <= maxBuckets,
+        s"prunePrototypes: more than $maxBuckets (cluster, sim) buckets — " +
+          "lower simDigits (coarser similarity granularity) or raise " +
+          "maxBuckets deliberately (the histogram must fit the driver)")
+      val hist = histDf.collect()
+      if (hist.isEmpty) graft.core.Persist.stage(assigned.limit(0))
+      else {
+        // Per cluster: walk buckets hardest-first (sim asc when keeping
+        // hardest), accumulate to target = ceil(f·n); the crossing bucket
+        // is the boundary — kept partially, first `remaining` rows in id
+        // order. `prefix` positions each cluster's boundary rows inside
+        // ONE global (cluster, id)-ordered prefix sum so the per-cluster
+        // local rank is cumulative − prefix (driver-known offsets — no
+        // per-cluster pass).
+        val byCluster = hist.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        var prefixAcc = 0L
+        val selRows = byCluster.map { case (cell, rows) =>
+          val buckets0 = rows.map(r => (r.getDouble(1), r.getLong(2)))
+          val buckets = if (keepHardest) buckets0.sortBy(_._1)
+                        else buckets0.sortBy(-_._1)
+          val n = buckets.map(_._2).sum
+          val target = math.ceil(keepFraction * n).toLong
+          var cum = 0L
+          var i = 0
+          while (cum + buckets(i)._2 < target) { cum += buckets(i)._2; i += 1 }
+          val (thr, boundN) = buckets(i)
+          val row = (cell, thr, target - cum, prefixAcc)
+          prefixAcc += boundN
+          row
+        }
+        val selDf = spark.createDataFrame(selRows)
+          .toDF("__pp_cell", "__pp_thr", "__pp_rem", "__pp_pre")
+        val joined = assigned.join(broadcast(selDf),
+          col(clusterCol) === col("__pp_cell"), "inner")
+        val fullKeep = joined.filter(
+          if (keepHardest) col(simCol) < col("__pp_thr")
+          else col(simCol) > col("__pp_thr"))
+        val boundary = joined.filter(col(simCol) === col("__pp_thr"))
+          .withColumn("__pp_ord", struct(col(clusterCol), col(idCol)))
+        val rankedB = graft.operators.CorpusPrep.runningTotal(
+          boundary, "__pp_ord", lit(1L), "__pp_cum")
+        val keptB = rankedB
+          .filter(col("__pp_cum") - col("__pp_pre") <= col("__pp_rem"))
+          .drop("__pp_ord", "__pp_cum")
+        val helperCols = Seq("__pp_cell", "__pp_thr", "__pp_rem", "__pp_pre")
+        graft.core.Persist.stage(
+          fullKeep.drop(helperCols: _*).unionAll(keptB.drop(helperCols: _*)))
+      }
+    } finally graft.core.Persist.unstage(spark, blocks)
+  }
 }

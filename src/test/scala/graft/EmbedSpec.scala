@@ -402,4 +402,87 @@ class EmbedSpec extends SparkSpec {
       tieBreak = Seq(col("id"))).select("id").as[Long].collect().toSeq
     assert(viaVec == viaText)
   }
+
+  // --- prunePrototypes -----------------------------------------------------
+
+  private val protoCents: Array[Array[Float]] = Array(
+    Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+
+  /** 3 clusters × 12 vectors at graded angles from their centroid —
+    * distinct rounded sims, deterministic geometry.
+    */
+  private def protoCorpus = {
+    val rows = for {
+      c <- 0 until 3
+      j <- 0 until 12
+    } yield {
+      val t = 0.05f * (j + 1) + 0.013f * c
+      val base = protoCents(c).clone()
+      base(3) = t // tilt into the shared 4th axis: sim = 1/sqrt(1+t²)
+      (c * 100L + j, base)
+    }
+    rows.toDF("id", EmbedOps.vecCol("emb"))
+  }
+
+  /** Brute-force reference: nearest centroid (sq-Euclid, lowest index),
+    * per-cluster (round(sim,4), id) order, first ceil(f·n) kept.
+    */
+  private def protoReference(rows: Seq[(Long, Array[Float])], f: Double,
+      hardest: Boolean): Set[Long] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val assigned = rows.map { case (id, v) =>
+      val cell = protoCents.zipWithIndex.minBy { case (ct, i) =>
+        (ct.zip(v).map { case (x, y) => (y - x).toDouble * (y - x) }.sum, i)
+      }._2
+      val sim = BigDecimal(cos(v, protoCents(cell)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, cell, sim)
+    }
+    assigned.groupBy(_._2).flatMap { case (_, rs) =>
+      val target = math.ceil(f * rs.size).toInt
+      val sorted = if (hardest) rs.sortBy(r => (r._3, r._1))
+                   else rs.sortBy(r => (-r._3, r._1))
+      sorted.take(target).map(_._1)
+    }.toSet
+  }
+
+  test("prunePrototypes keeps exactly ceil(f·n) hardest per cluster, " +
+      "matching the windowed reference") {
+    val rows = protoCorpus.as[(Long, Array[Float])].collect().toSeq
+    val got = EmbedOps.prunePrototypes(protoCorpus, "emb", "id",
+        protoCents, keepFraction = 0.4)
+      .select("id").as[Long].collect().toSet
+    assert(got == protoReference(rows, 0.4, hardest = true))
+    assert(got.size == 3 * math.ceil(0.4 * 12).toInt)
+  }
+
+  test("prunePrototypes keepHardest=false keeps the MOST prototypical instead") {
+    val rows = protoCorpus.as[(Long, Array[Float])].collect().toSeq
+    val got = EmbedOps.prunePrototypes(protoCorpus, "emb", "id",
+        protoCents, keepFraction = 0.25, keepHardest = false)
+      .select("id").as[Long].collect().toSet
+    val ref = protoReference(rows, 0.25, hardest = false)
+    assert(got == ref)
+    // Orientation really flipped: disjoint from the hardest-25% set on
+    // this geometry (distinct sims, no overlap at f=0.25).
+    assert(got.intersect(protoReference(rows, 0.25, hardest = true)).isEmpty)
+  }
+
+  test("prunePrototypes boundary bucket: identical sims (the coarse-score " +
+      "worst case) resolve by id order at exact count") {
+    // Every vector IS its centroid → one (cluster, sim=1.0) bucket per
+    // cluster; the whole cluster is the boundary bucket and selection
+    // must fall back to id order without a per-cluster window.
+    val rows = (for { c <- 0 until 2; j <- 0 until 10 }
+      yield (c * 100L + j, protoCents(c).clone())).toDF(
+      "id", EmbedOps.vecCol("emb"))
+    val got = EmbedOps.prunePrototypes(rows, "emb", "id",
+        protoCents, keepFraction = 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(0L, 1L, 2L, 100L, 101L, 102L))
+  }
 }
