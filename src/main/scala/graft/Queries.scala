@@ -3104,6 +3104,20 @@ object Queries {
       ).orderBy("doc_id")
     }),
 
+    "text_entropy" -> ((s, dir) => {
+      // Word-distribution Shannon entropy (nats) per doc — the low-entropy
+      // spam/template signal beside the Gopher repetition ratios. One
+      // per-row kernel pass with a deterministic binary-ordered IEEE
+      // accumulation (the oracle folds the identical term list in the
+      // identical order — bit-equal by construction, not by rounding
+      // luck), plus the filter flag a cleaning pipeline would gate on.
+      read(s, dir, "documents").select(
+        col("doc_id"),
+        round(TF.wordEntropy(col("text")), 4).as("word_entropy"),
+        (round(TF.wordEntropy(col("text")), 4) < 3.0).as("low_entropy")
+      ).orderBy("doc_id")
+    }),
+
     "ann_sq8_search" -> ((s, dir) => {
       // Int8 scalar quantization through the durable IVF-SQ8 lifecycle:
       // build → save codes+scale (~4× smaller index) → load → search with
@@ -5786,6 +5800,29 @@ object Queries {
         |  round(CASE WHEN n = 0 THEN 0.0
         |        ELSE len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) * 1.0 / n END, 4) AS alpha_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // entropy = ln(n) − (Σ c·ln c)/n with the term list folded LEFT in
+    // word-binary order — the engine kernel's exact accumulation order, so
+    // the doubles agree bitwise before the round.
+    "text_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, wd, CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM (SELECT doc_id, unnest(w) AS wd FROM t)
+        |  WHERE wd <> '' GROUP BY doc_id, wd),
+        |s AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS n,
+        |    list(cnt * ln(cnt) ORDER BY wd) AS terms
+        |  FROM c GROUP BY doc_id),
+        |e AS (
+        |  SELECT doc_id,
+        |    round(ln(n) - list_reduce(terms, (a, b) -> a + b) / n, 4) AS ent
+        |  FROM s)
+        |SELECT d.doc_id, coalesce(e.ent, 0.0) AS word_entropy,
+        |  coalesce(e.ent, 0.0) < 3.0 AS low_entropy
+        |FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "ann_sq8_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3),

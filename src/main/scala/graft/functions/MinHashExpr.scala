@@ -263,6 +263,69 @@ case class NgramRepetition(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Shannon entropy (nats) of the word distribution of a token-array column
+  * — the low-entropy spam/boilerplate signal of the C4/Gopher rule family
+  * (keyword-stuffed and template pages collapse toward 0; organic prose
+  * sits near ln(distinct words)). Empty-string tokens are ignored (the
+  * `trim → split` of an empty document yields `[""]`); an empty
+  * distribution scores 0.0.
+  *
+  * Engine-reproducibility is by CONSTRUCTION, not luck: entropy =
+  * ln(n) − (Σ c·ln c)/n accumulated over distinct words in BINARY
+  * (UTF-8 byte) order — `UTF8String.compareTo` here, `list(... ORDER BY
+  * word)` + left-fold in an oracle — so both engines execute the same
+  * IEEE additions in the same order and the rounded value can never
+  * straddle a rounding boundary on summation-order drift.
+  */
+case class WordEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_entropy requires array<string>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val nTok = words.numElements()
+    val counts =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Int](nTok * 2)
+    var n = 0L
+    var i = 0
+    while (i < nTok) {
+      val w = words.getUTF8String(i)
+      if (w != null && w.numBytes() > 0) {
+        // clone(): the array accessor may hand back a view into a shared
+        // buffer; map keys must own their bytes.
+        counts.merge(w.clone(), 1, (a, b) => a + b)
+        n += 1
+      }
+      i += 1
+    }
+    if (n == 0L) 0.0
+    else {
+      val ks = new java.util.ArrayList(counts.keySet())
+      java.util.Collections.sort(ks)
+      var s = 0.0
+      val it = ks.iterator()
+      while (it.hasNext) {
+        val c = counts.get(it.next()).toDouble
+        s += c * math.log(c)
+      }
+      math.log(n.toDouble) - s / n
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Start positions whose window hash already appeared EARLIER in the same
   * array — the within-document repetition mask feeding
   * [[StripCoveredWords]]: one hash-set pass, O(starts). The HOF equivalent
@@ -420,4 +483,10 @@ object MinHashExpr {
     */
   def firstSeenDupStarts(hashes: Column): Column =
     ColumnBridge.column(FirstSeenDupStarts(ColumnBridge.expression(hashes)))
+
+  /** Column wrapper: Shannon entropy (nats) of a word-array column's token
+    * distribution — one O(length log distinct) counting pass.
+    */
+  def wordEntropy(words: Column): Column =
+    ColumnBridge.column(WordEntropy(ColumnBridge.expression(words)))
 }

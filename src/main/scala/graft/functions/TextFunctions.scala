@@ -157,6 +157,16 @@ object TextFunctions {
   def dupNgramFraction(c: Column, n: Int): Column =
     MinHashExpr.ngramRepetition(wordsOf(c), n).getField("dup_frac")
 
+  /** Shannon entropy (nats) of the document's word distribution — the
+    * low-entropy gibberish/spam signal (templated and keyword-stuffed
+    * pages collapse toward 0; a single repeated word IS 0). One
+    * O(length log distinct) pass via [[MinHashExpr.wordEntropy]], with a
+    * deterministic binary-ordered accumulation so the value is
+    * bit-identical across engines (see the kernel's Scaladoc).
+    */
+  def wordEntropy(c: Column): Column =
+    MinHashExpr.wordEntropy(wordsOf(c))
+
   /** Non-empty lines of a document (newline-split, whitespace-only lines
     * dropped) — the unit of Gopher's line-level rules below. Per-row HOFs:
     * O(doc length), no shuffle, SQL-portable.

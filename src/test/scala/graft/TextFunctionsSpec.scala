@@ -247,4 +247,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(2L)._2 == 1.0 && out(2L)._3 == 0.0)
     assert(out(3L) == ((3L, 0.0, 0.0)))
   }
+
+  test("wordEntropy: uniform = ln k, constant = 0, empty = 0, counts exact") {
+    val d = Seq(
+      (1L, "a b c d"),            // uniform over 4 → ln 4
+      (2L, "spam spam spam spam"), // single word → 0
+      (3L, ""),                    // empty → 0
+      (4L, "   "),                 // whitespace-only → 0
+      (5L, "x x y"),               // −(2/3·ln(2/3) + 1/3·ln(1/3))
+      (6L, "猫 猫 犬")             // non-ASCII words count the same
+    ).toDF("id", "text")
+    val m = d.select($"id", TF.wordEntropy($"text").as("e"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(m(1L) - math.log(4)) < 1e-12)
+    assert(m(2L) == 0.0 && m(3L) == 0.0 && m(4L) == 0.0)
+    val h3 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(m(5L) - h3) < 1e-12)
+    assert(math.abs(m(6L) - h3) < 1e-12)
+  }
+
+  test("wordEntropy is case-insensitive and capped by ln(distinct)") {
+    val d = Seq((1L, "The THE the Fox fox dog")).toDF("id", "text")
+    // lower() folds to {the×3, fox×2, dog×1}: entropy of (3,2,1)/6.
+    val e = d.select(TF.wordEntropy($"text")).as[Double].head()
+    val ref = -Seq(3.0, 2.0, 1.0).map(_ / 6).map(p => p * math.log(p)).sum
+    assert(math.abs(e - ref) < 1e-12)
+    assert(e <= math.log(3) + 1e-12)
+  }
 }
