@@ -2825,6 +2825,21 @@ object Queries {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    "corpus_mix_temperature" -> ((s, dir) => {
+      // Temperature-scaled multilingual mixing (XLM §3.1) at alpha = 0.3
+      // toward a 60% budget: the flattened shares EXCEED the smaller
+      // languages' sizes, so the clamp path is LIVE in the gate.
+      // redistribute = false pins the one-shot XLM form, which the oracle
+      // replays closed-form (weight sum as a lang-ordered left fold, the
+      // engine's exact float-op shape); the UniMax water-filling closure
+      // is spec-covered — its fixpoint loop is not SQL-expressible.
+      val d = read(s, dir, "documents")
+      val t = math.round(0.6 * d.count())
+      CorpusPrep.mixByTemperature(d, "lang", "doc_id", t, alpha = 0.3,
+          salt = "temp1", redistribute = false)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     "vocab_topk" -> ((s, dir) => {
       CorpusPrep.vocabTopK(read(s, dir, "documents"), "text", k = 50)
         .orderBy(col("n").desc, col("word"))
@@ -5322,6 +5337,24 @@ object Queries {
         |  CASE lang WHEN 'en' THEN '10000' WHEN 'de' THEN '08000'
         |    WHEN 'es' THEN '04000' ELSE '00000' END
         |ORDER BY doc_id""".stripMargin,
+
+    // One-shot temperature shares: B = round(0.6·N), w = pow(n, 0.3),
+    // sw = lang-ordered left fold, frac = min(1, (B·(w/sw))/n) — the
+    // engine's exact op shapes — then the shared hex-cut membership with
+    // the dynamic printf('%05x', round(frac·65536)) cut (= cutHexCol).
+    "corpus_mix_temperature" ->
+      """WITH g AS (SELECT CAST(lang AS VARCHAR) AS lang,
+        |    CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(round(0.6 * sum(n)) AS DOUBLE) AS b,
+        |  (SELECT list_reduce(list(pow(n, 0.3) ORDER BY lang),
+        |     (a, x) -> a + x) FROM g) AS sw FROM g),
+        |f AS (SELECT lang, least(1.0, (b * (pow(n, 0.3) / sw)) / n) AS frac
+        |  FROM g, tot)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN f ON CAST(d.lang AS VARCHAR) = f.lang
+        |WHERE '0' || substring(md5('temp1' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |  < printf('%05x', CAST(round(frac * 65536.0) AS INT))
+        |ORDER BY d.doc_id""".stripMargin,
 
     "vocab_topk" ->
       """SELECT word, CAST(count(*) AS BIGINT) AS n

@@ -71,6 +71,78 @@ object CorpusPrep {
     df.filter(hashPrefix(col(keyCol), salt) < cut)
   }
 
+  /** Per-group sampling fractions for TEMPERATURE-scaled mixing (XLM,
+    * arXiv 1901.07291 §3.1: sample groups toward q_g ∝ n_g^alpha, the
+    * low-resource upweighting every multilingual corpus recipe uses;
+    * UniMax, arXiv 2304.09151, is the `redistribute` closure): aim the
+    * total at `targetRows` with per-group expected counts t_g = T·q_g.
+    * A group whose share exceeds its size clamps at 1.0; with
+    * `redistribute` the excess budget WATER-FILLS into the remaining
+    * groups (re-normalizing q over them, at most #groups rounds — the
+    * UniMax budget closure), without it the clamped mass is simply lost
+    * (the one-shot XLM form, exactly SQL-expressible). Returns
+    * (group, n, fraction) rows, group-name-ordered; float-op shape is
+    * pinned — weights pow(n, alpha), weight sum as a group-name-ordered
+    * LEFT FOLD, fraction = (B · (w / sw)) / n — so an oracle can replay
+    * the arithmetic bit-for-bit.
+    */
+  def temperatureFractions(df: DataFrame, groupCol: String, targetRows: Long,
+      alpha: Double, redistribute: Boolean = true,
+      maxGroups: Int = 100000): Seq[(String, Long, Double)] = {
+    require(targetRows >= 0, s"temperatureFractions: targetRows $targetRows < 0")
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"temperatureFractions: alpha $alpha outside [0,1] (1 = proportional, " +
+        "0 = equal budget per group)")
+    val countsDf = df.groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+    val probe = countsDf.limit(maxGroups + 1).count()
+    require(probe <= maxGroups,
+      s"temperatureFractions: more than $maxGroups groups — the group " +
+        "histogram must fit the driver; coarsen the group column")
+    val counts = countsDf.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    var open = counts
+    var fixed = Map.empty[String, Double]
+    var budget = targetRows.toDouble
+    var rounds = 0
+    while (open.nonEmpty && rounds <= counts.size) {
+      // Left fold in group-name order — the oracle's list_reduce shape.
+      val sw = open.map { case (_, n) => math.pow(n.toDouble, alpha) }
+        .foldLeft(0.0)(_ + _)
+      val frac = open.map { case (g, n) =>
+        val f = if (sw == 0.0) 0.0
+                else (budget * (math.pow(n.toDouble, alpha) / sw)) / n
+        (g, n, f)
+      }
+      val clamped = frac.filter(_._3 >= 1.0)
+      if (clamped.isEmpty || !redistribute) {
+        fixed ++= frac.map { case (g, _, f) => g -> math.min(1.0, f) }
+        open = Nil
+      } else {
+        fixed ++= clamped.map { case (g, _, _) => g -> 1.0 }
+        budget -= clamped.map(_._2).sum.toDouble
+        open = open.filterNot { case (g, _) => fixed.contains(g) }
+      }
+      rounds += 1
+    }
+    counts.map { case (g, n) => (g, n, fixed.getOrElse(g, 0.0)) }
+  }
+
+  /** Apply [[temperatureFractions]] as a deterministic mixture: the same
+    * pure-function-of-(salt, key) hex-cut membership as
+    * [[mixByFractions]] — a pure filter, no shuffle beyond the bounded
+    * group histogram, reproducible on any cluster or engine.
+    */
+  def mixByTemperature(df: DataFrame, groupCol: String, keyCol: String,
+      targetRows: Long, alpha: Double, salt: String = "",
+      redistribute: Boolean = true, maxGroups: Int = 100000): DataFrame = {
+    val fr = temperatureFractions(df, groupCol, targetRows, alpha,
+      redistribute, maxGroups)
+    mixByFractions(df.withColumn("__mt_g", col(groupCol).cast("string")),
+        "__mt_g", fr.map { case (g, _, f) => g -> f }.toMap, keyCol, salt)
+      .drop("__mt_g")
+  }
+
   /** Per-group quota (data mixing): keep at most `quota` rows per value of
     * `groupCol`, picked in `orderCol` order — the "cap each domain/language
     * at N documents" step of corpus mixing. One shuffle on the group key;

@@ -629,4 +629,47 @@ class CorpusPrepSpec extends SparkSpec {
     Seq("graft_spec_bl", "graft_spec_br", "graft_spec_plain")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  // --- temperature mixing --------------------------------------------------
+
+  private def skewed = ((0 until 100).map(i => (i.toLong, "big")) ++
+    (100 until 110).map(i => (i.toLong, "small"))).toDF("id", "lang")
+
+  test("temperatureFractions: UniMax closure clamps the small group and " +
+      "water-fills the rest to the exact budget") {
+    // alpha = 0: equal budget per group (30/30); small clamps at its 10
+    // rows; the leftover 50 redistributes onto big → fraction 0.5.
+    val fr = CorpusPrep.temperatureFractions(skewed, "lang",
+      targetRows = 60, alpha = 0.0).map(r => r._1 -> r._3).toMap
+    assert(fr("small") == 1.0)
+    assert(math.abs(fr("big") - 0.5) < 1e-12)
+    // Expected kept mass Σ f·n equals the budget exactly after closure.
+    val mass = CorpusPrep.temperatureFractions(skewed, "lang", 60, 0.0)
+      .map { case (_, n, f) => f * n }.sum
+    assert(math.abs(mass - 60.0) < 1e-9)
+  }
+
+  test("temperatureFractions: one-shot form loses the clamped mass; " +
+      "alpha = 1 is proportional") {
+    val fr = CorpusPrep.temperatureFractions(skewed, "lang",
+      targetRows = 60, alpha = 0.0, redistribute = false)
+      .map(r => r._1 -> r._3).toMap
+    assert(fr("small") == 1.0)
+    assert(math.abs(fr("big") - 0.3) < 1e-12) // 30/100, excess NOT refilled
+    val prop = CorpusPrep.temperatureFractions(skewed, "lang",
+      targetRows = 55, alpha = 1.0).map(r => r._1 -> r._3).toMap
+    // alpha = 1 → every group keeps the same fraction T/N = 0.5.
+    assert(math.abs(prop("big") - 0.5) < 1e-12)
+    assert(math.abs(prop("small") - 0.5) < 1e-12)
+  }
+
+  test("mixByTemperature membership is a pure function of (salt, key)") {
+    val a = CorpusPrep.mixByTemperature(skewed, "lang", "id", 60, 0.3,
+      salt = "t").select("id").as[Long].collect().toSet
+    val b = CorpusPrep.mixByTemperature(skewed.repartition(7), "lang", "id",
+      60, 0.3, salt = "t").select("id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // Clamped small group survives whole under redistribution.
+    assert((100L until 110L).toSet.subsetOf(a))
+  }
 }
