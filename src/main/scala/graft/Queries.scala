@@ -2787,6 +2787,23 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "corpus_score_pctrank_group" -> ((s, dir) => {
+      // WITHIN-SOURCE percent-rank — multi-source mixing calibrates
+      // quality inside each source/language before comparing across them
+      // (a raw score is only meaningful against its own distribution).
+      // Same bounded shape as corpus_score_pctrank but the histogram,
+      // cumulative pass and join all carry the group key; the oracle is
+      // the PARTITION BY window, so per-group ties and the per-group
+      // /(n_g−1) denominator are textbook-verified.
+      CorpusPrep.scorePercentRankByGroup(
+          read(s, dir, "documents").select(
+            col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("score_pct"), 6).as("score_pct"))
+        .orderBy("doc_id")
+    }),
+
     "embed_group_centroid" -> ((s, dir) => {
       // Group centroids via the custom partial-merge aggregate
       // (VectorAvg): ONE (dim doubles + count) buffer per group per map
@@ -5276,6 +5293,12 @@ object Queries {
     "corpus_score_pctrank" ->
       """SELECT doc_id, n_chars,
         |  round(percent_rank() OVER (ORDER BY n_chars), 6) AS score_pct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_score_pctrank_group" ->
+      """SELECT doc_id, lang, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars),
+        |    6) AS score_pct
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Per-dimension means reassembled in index order, serialized as

@@ -437,6 +437,61 @@ object CorpusPrep {
     } finally counts.unpersist()
   }
 
+  /** Per-GROUP percent-rank calibration — the within-source score
+    * normalization of multi-source corpus assembly (a raw quality score is
+    * only comparable inside its source/language: mixing on the raw value
+    * over-prunes whichever source scores systematically lower, so recipes
+    * rank within the group first and mix on the percentile). Same scale
+    * shape as [[scorePercentRank]]: a bounded (group, score) histogram
+    * with a loud cap, the cumulative pass over that BOUNDED frame only
+    * (the window below partitions the histogram, not the corpus), and a
+    * broadcast join back — never a per-group corpus window. Ties share a
+    * rank: pct = strictly-smaller-within-group / (n_g − 1); a singleton
+    * group scores 0.0 (the SQL percent_rank convention).
+    */
+  def scorePercentRankByGroup(df: DataFrame, groupCol: String,
+      scoreCol: String, outCol: String = "score_pct",
+      maxScoreBuckets: Int = 1000000): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+      .persist()
+    try {
+      val nBuckets = counts.limit(maxScoreBuckets + 1).count()
+      require(nBuckets <= maxScoreBuckets,
+        s"scorePercentRankByGroup: > $maxScoreBuckets (group, score) " +
+          "buckets — quantize the score first (the cumulative pass must " +
+          "stay bounded)")
+      require(counts.filter(col(scoreCol).isNull || col(groupCol).isNull).isEmpty,
+        s"scorePercentRankByGroup: null $groupCol/$scoreCol — filter or " +
+          "impute first (a null would vanish in the equi-join while " +
+          "inflating its group's denominator)")
+      // Window over the BOUNDED histogram (≤ maxScoreBuckets rows), not
+      // the corpus; materialized so the cache can be freed eagerly.
+      val wb = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wn = Window.partitionBy(col(groupCol))
+      val ranksRows = counts
+        .withColumn("__below", coalesce(sum(col("__c")).over(wb), lit(0L)))
+        .withColumn("__ng", sum(col("__c")).over(wn))
+        .select(col(groupCol), col(scoreCol), col("__below"), col("__ng"))
+        .collect().toSeq
+      val ranks = df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.parallelize(ranksRows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          df.schema(groupCol), df.schema(scoreCol),
+          org.apache.spark.sql.types.StructField("__below",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("__ng",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      df.join(broadcast(ranks), Seq(groupCol, scoreCol))
+        .withColumn(outCol,
+          when(col("__ng") <= 1L, lit(0.0))
+            .otherwise(col("__below").cast("double") /
+              (col("__ng") - 1L).cast("double")))
+        .drop("__below", "__ng")
+    } finally counts.unpersist()
+  }
+
   /** MERGEABLE corpus profile — [[corpusProfile]]'s algebra split open so
     * profiles of snapshot generations COMBINE without rescanning the data
     * (the distributed-aggregation property, lifted to the artifact level:

@@ -506,6 +506,42 @@ class CorpusPrepSpec extends SparkSpec {
     assert(e.getMessage.contains("distinct scores"), e.getMessage)
   }
 
+  test("scorePercentRankByGroup ranks within each group independently; " +
+      "singleton groups score 0; nulls and unbounded cardinality refused") {
+    val scored = Seq(
+      ("a", "en", 10), ("b", "en", 20), ("c", "en", 20), ("d", "en", 30),
+      ("e", "fr", 5), ("f", "fr", 50),
+      ("g", "de", 99) // singleton group
+    ).toDF("id", "g", "s")
+    val pct = CorpusPrep.scorePercentRankByGroup(scored, "g", "s")
+      .select("id", "score_pct").as[(String, Double)].collect().toMap
+    // en (n=4): ties at 20 share 1/3; fr (n=2): 0 and 1; de singleton: 0.
+    assert(pct("a") == 0.0 && math.abs(pct("b") - 1.0 / 3) < 1e-12 &&
+      pct("b") == pct("c") && pct("d") == 1.0)
+    assert(pct("e") == 0.0 && pct("f") == 1.0 && pct("g") == 0.0)
+    // Layout-independent (the histogram shape must not depend on input
+    // partitioning).
+    val pct7 = CorpusPrep.scorePercentRankByGroup(scored.repartition(7),
+      "g", "s").select("id", "score_pct")
+      .as[(String, Double)].collect().toMap
+    assert(pct7 == pct)
+    // Null group or score refused loudly (a null would vanish in the
+    // equi-join while still counting toward its group's denominator).
+    val withNull = Seq(("a", "en", Some(1)), ("b", "en", None))
+      .toDF("id", "g", "s")
+    val en = intercept[IllegalArgumentException] {
+      CorpusPrep.scorePercentRankByGroup(withNull, "g", "s")
+    }
+    assert(en.getMessage.contains("null"), en.getMessage)
+    // Bounded cumulative pass: the cap counts (group, score) buckets.
+    val eb = intercept[IllegalArgumentException] {
+      CorpusPrep.scorePercentRankByGroup(
+        (1 to 50).map(i => (i, i % 5, i)).toDF("id", "g", "s"),
+        "g", "s", maxScoreBuckets = 10)
+    }
+    assert(eb.getMessage.contains("buckets"), eb.getMessage)
+  }
+
   test("VectorAvg: partial-merge mean equals the exact mean on any layout; " +
       "ragged dims and empty groups handled") {
     import graft.functions.VectorAvg.vectorAvg
