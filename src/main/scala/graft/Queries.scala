@@ -417,6 +417,28 @@ object Queries {
       Evals.retrievalMetrics(results, qrels, k = 5).orderBy("qid")
     }),
 
+    "eval_text_f1" -> ((s, dir) => {
+      // SQuAD-style generation eval: normalized exact-match + token-
+      // multiset F1 between each doc's 30-word prefix and its successor's
+      // (every 7th doc pairs with ITSELF so the em = true / f1 = 1 path is
+      // live). The metric itself is a pure per-row map — the pairing join
+      // is gate scaffolding; a real eval table arrives with (pred, ref)
+      // columns already side by side. The oracle replays the SQuAD
+      // normalization chain and the multiset overlap via unnest + least().
+      val d = read(s, dir, "documents").select(col("doc_id"), col("text"))
+      def first30(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array_join(slice(split(trim(c), "\\s+"), 1, 30), " ")
+      val pairs = d.as("a").join(d.as("b"),
+          col("a.doc_id") + when(col("a.doc_id") % 7 === 0, 0).otherwise(1)
+            === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"),
+          first30(col("a.text")).as("pred"), first30(col("b.text")).as("ref"))
+      Evals.textOverlapMetrics(pairs, "pred", "ref")
+        .select(col("doc_id"), col("n_same"), col("em"),
+          round(col("f1"), 4).as("f1"))
+        .orderBy("doc_id")
+    }),
+
     "rag_self_retrieval" -> ((s, dir) => {
       // The RAG loop closed end to end: for 3 sampled docs the query is
       // the doc's first 8 tokens and the only relevant answer is the doc
@@ -4849,6 +4871,50 @@ object Queries {
         |  round(coalesce(p.dcg / i.idcg, 0), 4) AS ndcg_5
         |FROM nrel n JOIN ideal i USING (qid) LEFT JOIN per p USING (qid)
         |ORDER BY n.qid""".stripMargin,
+
+    // SQuAD normalization chain replayed step for step (punct strip →
+    // article drop → whitespace squeeze), multiset overlap via
+    // unnest + least(count, count), f1 in the identical 2·s/(np+nr) shape.
+    "eval_text_f1" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id,
+        |    array_to_string(list_slice(
+        |      string_split_regex(trim(a.text), '\s+'), 1, 30), ' ') AS pred,
+        |    array_to_string(list_slice(
+        |      string_split_regex(trim(b.text), '\s+'), 1, 30), ' ') AS ref
+        |  FROM base a JOIN base b
+        |    ON b.doc_id = a.doc_id +
+        |      CASE WHEN a.doc_id % 7 = 0 THEN 0 ELSE 1 END),
+        |toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN pn = '' THEN [] ELSE string_split(pn, ' ') END AS p,
+        |    CASE WHEN rn = '' THEN [] ELSE string_split(rn, ' ') END AS r
+        |  FROM (
+        |    SELECT doc_id,
+        |      trim(regexp_replace(regexp_replace(regexp_replace(
+        |        lower(pred), '[!-/:-@\[-`{-~]', '', 'g'),
+        |        '\b(a|an|the)\b', ' ', 'g'), '\s+', ' ', 'g')) AS pn,
+        |      trim(regexp_replace(regexp_replace(regexp_replace(
+        |        lower(ref), '[!-/:-@\[-`{-~]', '', 'g'),
+        |        '\b(a|an|the)\b', ' ', 'g'), '\s+', ' ', 'g')) AS rn
+        |    FROM pairs)),
+        |pc AS (SELECT doc_id, t, count(*) AS c
+        |       FROM toks, unnest(p) AS u(t) GROUP BY 1, 2),
+        |rc AS (SELECT doc_id, t, count(*) AS c
+        |       FROM toks, unnest(r) AS u(t) GROUP BY 1, 2),
+        |ov AS (SELECT pc.doc_id, CAST(sum(least(pc.c, rc.c)) AS BIGINT) AS s
+        |       FROM pc JOIN rc ON pc.doc_id = rc.doc_id AND pc.t = rc.t
+        |       GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(ov.s, 0) AS BIGINT) AS n_same,
+        |  (t.p = t.r) AS em,
+        |  round(CASE WHEN len(t.p) = 0 AND len(t.r) = 0 THEN 1.0
+        |    WHEN coalesce(ov.s, 0) = 0 THEN 0.0
+        |    ELSE 2.0 * coalesce(ov.s, 0) / (len(t.p) + len(t.r)) END,
+        |    4) AS f1
+        |FROM toks t LEFT JOIN ov ON t.doc_id = ov.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // Generic postings + BM25 + ranks + metrics rebuilt in SQL; the only
     // relevant doc per query is the query's source doc (grade 1, so

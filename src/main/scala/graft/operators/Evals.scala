@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.core.{NLExpr, ReasoningStrategy, Sem}
@@ -162,5 +162,46 @@ object Evals {
           .as(s"mrr_$k"),
         round(coalesce(col("__dcg") / col("__idcg"), lit(0.0)), 4)
           .as(s"ndcg_$k"))
+  }
+
+  /** SQuAD-style answer-overlap metrics — normalized exact match and
+    * token-multiset F1 (Rajpurkar et al. 2016, arXiv 1606.05250 §6.1:
+    * lowercase → strip ASCII punctuation → drop English articles →
+    * collapse whitespace; F1 counts each token min(count_pred, count_ref)
+    * times). Pure per-row column composition: an eval sweep over a
+    * billion-row predictions table is one narrow map — no shuffle, no
+    * explode — at any scale. `f1` uses the algebraic form
+    * 2·same/(|p|+|r|) (≡ 2PR/(P+R), and the identical float-op shape the
+    * oracle replays); a both-empty pair scores em = true, f1 = 1 (the
+    * SQuAD convention for empty gold answers), a one-sided-empty pair 0.
+    * `dropArticles` is the English-specific step — disable it for
+    * non-English eval sets.
+    */
+  def textOverlapMetrics(df: DataFrame, predCol: String, refCol: String,
+      dropArticles: Boolean = true): DataFrame = {
+    def toks(c: Column): Column = {
+      val depunct = regexp_replace(lower(c), "[!-/:-@\\[-`{-~]", "")
+      val noArt =
+        if (dropArticles) regexp_replace(depunct, "\\b(a|an|the)\\b", " ")
+        else depunct
+      val squeezed = trim(regexp_replace(noArt, "\\s+", " "))
+      when(squeezed === "", array().cast("array<string>"))
+        .otherwise(split(squeezed, " "))
+    }
+    val p = toks(col(predCol))
+    val r = toks(col(refCol))
+    // Multiset intersection size: per DISTINCT pred token, the smaller of
+    // its two occurrence counts. Work is bounded by each row's own token
+    // count (≤ |p|·(|p|+|r|) comparisons on short answer strings).
+    val same = aggregate(array_distinct(p), lit(0),
+      (acc, t) => acc +
+        least(size(filter(p, x => x === t)), size(filter(r, x => x === t))))
+    df.withColumn("n_same", same.cast("long"))
+      .withColumn("em", p === r)
+      .withColumn("f1",
+        when(size(p) === 0 && size(r) === 0, lit(1.0))
+          .when(col("n_same") === 0, lit(0.0))
+          .otherwise(lit(2.0) * col("n_same").cast("double") /
+            (size(p) + size(r)).cast("double")))
   }
 }

@@ -256,4 +256,41 @@ class JudgeCotPdfSpec extends SparkSpec {
       Evals.retrievalMetrics(results, qrels, k = 0)
     }
   }
+
+  test("textOverlapMetrics: SQuAD normalization, multiset F1, empty and " +
+      "article edge cases") {
+    import graft.operators.Evals
+    val rows = Seq(
+      // Identical after normalization: case, punctuation, articles.
+      ("The Cat, sat!", "cat sat"),
+      // Partial multiset overlap: pred [b b c], ref [b c c] → same = 2,
+      // f1 = 2*2/(3+3) = 2/3.
+      ("b b c", "b c c"),
+      // Repeated-token multiset: [a a] vs [a] with articles DISABLED ...
+      ("x x", "x"),
+      // Disjoint → 0.
+      ("alpha beta", "gamma delta"),
+      // Pred empties out after normalization (articles + punct only).
+      ("the ... a!", "answer"),
+      // Both empty → em true, f1 = 1.
+      ("", "  ")
+    ).toDF("pred", "ref")
+    val m = Evals.textOverlapMetrics(rows, "pred", "ref")
+      .select("pred", "n_same", "em", "f1")
+      .as[(String, Long, Boolean, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(m("The Cat, sat!") == ((2L, true, 1.0)))
+    assert(m("b b c")._1 == 2L && !m("b b c")._2 &&
+      math.abs(m("b b c")._3 - 2.0 / 3) < 1e-12)
+    assert(m("x x") == ((1L, false, 2.0 * 1 / 3)))
+    assert(m("alpha beta") == ((0L, false, 0.0)))
+    assert(m("the ... a!") == ((0L, false, 0.0)))
+    assert(m("") == ((0L, true, 1.0)))
+    // dropArticles = false keeps "the" as a countable token.
+    val keep = Evals.textOverlapMetrics(
+        Seq(("the end", "the end")).toDF("pred", "ref"),
+        "pred", "ref", dropArticles = false)
+      .select("n_same", "em").as[(Long, Boolean)].collect().head
+    assert(keep == ((2L, true)))
+  }
 }
