@@ -3042,6 +3042,29 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "tokenize_unigram" -> ((s, dir) => {
+      // The unigram-LM trainer + Viterbi decoder on the wire (Kudo 2018 —
+      // the SentencePiece family; tokenize_bpe is the merge-based
+      // sibling): train a 40-piece model from scratch — deterministic
+      // hard-EM, every order-dependent step a total order — then
+      // VITERBI-tokenize under the learned (piece, logprob) model. The
+      // oracle enumerates every segmentation of every distinct word under
+      // the PINNED UnigramVocabV40 literal and takes the (score desc,
+      // path asc) argmax — the exact inference rule — so seed-scoring, EM
+      // counting, pruning, smoothing, or tie-break drift in the trainer,
+      // and any DP bug in the kernel, surface as hash mismatches.
+      val d = read(s, dir, "documents")
+      val vocab = graft.operators.Tokenizer.trainUnigram(d, "text", vocabSize = 40)
+      graft.operators.Tokenizer.tokenizeUnigram(d, "text", vocab, "pieces")
+        .select(col("doc_id"),
+          size(col("pieces")).as("n_tokens"),
+          concat_ws("|", col("pieces")).as("pieces_str"),
+          concat_ws(",", transform(
+            graft.operators.Tokenizer.tokenIdsUnigram(col("pieces"), vocab),
+            i => i.cast("string"))).as("token_ids_str"))
+        .orderBy("doc_id")
+    }),
+
     "chunk_docs" -> ((s, dir) => {
       // Passage chunking for retrieval/training: 128-token windows with
       // 32-token overlap; trailing starts that add no new words are
@@ -3751,9 +3774,51 @@ object Queries {
     "all", "mall", "small", "ge", "low", "merge", "slow", "ct", "ctor",
     "der", "ector", "order", "vector")
 
+  /** The unigram-LM (piece, logprob) model trainUnigram learns at
+    * vocabSize 40 on the sf documents table (deterministic hard-EM — a
+    * pure function of the word-frequency multiset, the OracleConstants
+    * convention). The tokenize_unigram oracle Viterbi-decodes under THIS
+    * literal while the gate RE-TRAINS from scratch — seed-scoring, EM
+    * counting, pruning or smoothing drift all show up as hash mismatches.
+    * Double.toString round-trips bit-exactly through DuckDB's parser, so
+    * both engines sum the identical IEEE doubles. Regenerate with
+    * OracleConstants if testdata changes.
+    */
+  private val UnigramVocabV40: Seq[(String, Double)] = Seq(
+    ("a", -2.2167953024121054), ("b", -3.823989174633823),
+    ("batc", -4.467665959719472), ("c", -4.494694632107391),
+    ("col", -4.47087109066842), ("cust", -4.47087109066842),
+    ("d", -3.397910497513344), ("e", -2.4332915214089432),
+    ("er", -3.40378315157246), ("f", -4.560366215008393),
+    ("filt", -4.471941754582261), ("g", -3.1343505233904683),
+    ("h", -3.827919555886642), ("hash", -4.457055780607456),
+    ("i", -3.4201130746648376), ("j", -12.004029898123983),
+    ("join", -4.439272885218254), ("k", -3.828482302102956),
+    ("l", -3.404151340089138), ("m", -4.521348069969332),
+    ("mall", -4.477312336771277), ("merg", -4.488140812908857),
+    ("n", -3.8172871110104643), ("o", -3.835260074448713),
+    ("omer", -4.47087109066842), ("or", -3.411172802786756),
+    ("p", -3.4238619075463577), ("q", -4.540666852603962),
+    ("r", -3.143388856350107), ("row", -4.461286352755433),
+    ("s", -3.4171240942964456), ("scan", -4.468733195679895),
+    ("slow", -4.488140812908857), ("st", -3.8478065749293586),
+    ("t", -2.7319361298723184), ("u", -3.4201130746648376),
+    ("umn", -4.47087109066842),
+    ("v", -3.8100768745602407), ("w", -3.8307364591577553),
+    ("y", -3.8335613197933096))
+
   /** A Seq[String] as a DuckDB list literal, single quotes doubled. */
   private def sqlStrList(ps: Seq[String]): String =
     ps.map(p => "'" + p.replace("'", "''") + "'").mkString("[", ", ", "]")
+
+  /** (piece, logprob) pairs as DuckDB VALUES rows — Double.toString is the
+    * shortest round-trip decimal, so the parsed literal is bit-identical.
+    */
+  private def sqlScoredRows(ps: Seq[(String, Double)]): String =
+    ps.map { case (p, lp) =>
+      "('" + p.replace("'", "''") + "', " +
+        java.lang.Double.toString(lp) + "::DOUBLE)"
+    }.mkString(", ")
 
   /** Nearest-centroid assignment (squared-Euclidean argmin, ties → lowest
     * cell — list_distance is its monotone sqrt) against pinned centroids.
@@ -5755,6 +5820,54 @@ object Queries {
         |  coalesce(array_to_string(docs.pieces, '|'), '') AS pieces_str,
         |  coalesce(array_to_string(
         |    list_transform(docs.pieces, x -> mp.m[x][1]), ','), '') AS token_ids_str
+        |FROM documents d CROSS JOIN mp
+        |LEFT JOIN docs ON d.doc_id = docs.doc_id
+        |ORDER BY d.doc_id""").stripMargin,
+
+    // Viterbi inference replayed as exhaustive segmentation enumeration
+    // under the PINNED (piece, logprob) literal: every path accumulates
+    // score LEFT TO RIGHT over bit-identical doubles (Double.toString
+    // round-trips through DuckDB's parser), so the (score DESC, path ASC)
+    // argmax — binary collation — picks exactly the kernel's DP winner,
+    // including float ties. The <unk> transition (1 char at -20.0) is a
+    // candidate at every position, as in the kernel; enumeration is
+    // bounded because gate-corpus words are short.
+    "tokenize_unigram" ->
+      (s"""WITH RECURSIVE
+        |vocab(p, lp) AS (VALUES ${sqlScoredRows(UnigramVocabV40)}),
+        |""" +
+      """t AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |        ELSE string_split(lower(trim(text)), ' ') END AS ws FROM documents),
+        |wi AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM t),
+        |w AS (SELECT doc_id, i, w FROM wi WHERE w != ''),
+        |dw AS (SELECT DISTINCT w FROM w),
+        |pos AS (SELECT w, unnest(generate_series(1, len(w))) AS pos FROM dw),
+        |cand AS (
+        |  SELECT p.w, p.pos, len(v.p) AS adv, v.lp, v.p AS piece
+        |  FROM pos p JOIN vocab v ON substr(p.w, p.pos, len(v.p)) = v.p
+        |  UNION ALL
+        |  SELECT w, pos, 1, -20.0::DOUBLE, '<unk>' FROM pos),
+        |seg AS (
+        |  SELECT w, 1 AS pos, CAST(0 AS DOUBLE) AS score, '' AS path FROM dw
+        |  UNION ALL
+        |  SELECT s.w, s.pos + c.adv, s.score + c.lp,
+        |    s.path || CASE WHEN s.pos = 1 THEN '' ELSE '|' END || c.piece
+        |  FROM seg s JOIN cand c ON s.w = c.w AND s.pos = c.pos),
+        |best AS (SELECT w, path FROM (
+        |  SELECT w, path,
+        |    row_number() OVER (PARTITION BY w ORDER BY score DESC, path ASC) AS rn
+        |  FROM seg WHERE pos = len(w) + 1) WHERE rn = 1),
+        |wp AS (SELECT w, string_split(path, '|') AS pieces FROM best),
+        |ids AS (SELECT p, CAST(row_number() OVER (ORDER BY p) AS INT) AS id
+        |        FROM vocab),
+        |mp AS (SELECT map(list(p ORDER BY p), list(id ORDER BY p)) AS m FROM ids),
+        |docs AS (SELECT w.doc_id, flatten(list(wp.pieces ORDER BY w.i)) AS pieces
+        |         FROM w JOIN wp ON w.w = wp.w GROUP BY w.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(len(docs.pieces), 0) AS INT) AS n_tokens,
+        |  coalesce(array_to_string(docs.pieces, '|'), '') AS pieces_str,
+        |  coalesce(array_to_string(
+        |    list_transform(docs.pieces, x -> coalesce(mp.m[x][1], 0)), ','), '') AS token_ids_str
         |FROM documents d CROSS JOIN mp
         |LEFT JOIN docs ON d.doc_id = docs.doc_id
         |ORDER BY d.doc_id""").stripMargin,

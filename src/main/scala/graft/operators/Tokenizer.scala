@@ -189,6 +189,190 @@ object Tokenizer {
       words, vocab.sorted, vocab.unkPiece))
   }
 
+  /** A unigram-LM vocabulary (Kudo 2018, arXiv 1804.10959): pieces WITH
+    * their log-probabilities — inference is Viterbi max-likelihood
+    * segmentation, so the probabilities are part of the model, not a
+    * training artifact. Ids follow the [[SubwordVocab]] dense-sorted
+    * convention (codepoint order, 1-based, unk → 0).
+    */
+  final case class UnigramVocab(scored: Seq[(String, Double)],
+      unkPiece: String = "<unk>", unkLogProb: Double = -20.0) {
+    require(scored.nonEmpty, "UnigramVocab: empty vocabulary")
+    val pieces: Seq[String] = scored.map(_._1)
+    require(pieces.distinct.size == pieces.size,
+      "UnigramVocab: duplicate pieces")
+    require(!pieces.contains(unkPiece),
+      s"UnigramVocab: the unk sentinel [$unkPiece] collides with a real piece")
+    require(!pieces.exists(_.contains('|')) && !unkPiece.contains('|'),
+      "UnigramVocab: pieces must not contain '|' (the Viterbi path separator)")
+    lazy val sorted: Seq[String] =
+      pieces.sortWith(graft.functions.UnigramExpr.cpLess)
+    lazy val idOf: Map[String, Int] = sorted.zipWithIndex.map {
+      case (p, i) => p -> (i + 1)
+    }.toMap
+    lazy val logProb: Map[String, Double] = scored.toMap
+    /** (piece, logprob) aligned in sorted order — the kernel/oracle shape. */
+    lazy val sortedScored: Seq[(String, Double)] = sorted.map(p => p -> logProb(p))
+  }
+
+  /** Unigram-LM tokenizer trainer — the SentencePiece algorithm (Kudo
+    * 2018, arXiv 1804.10959 §3.2) in its deterministic hard-EM form:
+    *
+    *   1. reduce the corpus to a bounded word-frequency table (ONE
+    *      distributed aggregate, the [[trainBpe]] collect-bound
+    *      convention — production tokenizers train on samples);
+    *   2. seed with every single codepoint (coverage is mandatory) plus
+    *      the top `vocabSize·seedMultiplier` multi-codepoint substrings of
+    *      length ≤ `maxPieceLen`, scored count·length (the published
+    *      suffix-array seeding heuristic), ties to the codepoint-smaller
+    *      piece;
+    *   3. alternate `emRounds` of Viterbi-EM — segment every distinct word
+    *      under the current probabilities with THE SAME segmenter
+    *      inference uses ([[graft.functions.UnigramExpr.viterbi]], so
+    *      training counts and inference segmentations cannot drift), count
+    *      pieces frequency-weighted, re-estimate `p = (c+α)/(C+α·V)`
+    *      (Laplace α keeps every kept piece reachable — the paper's soft
+    *      E-step assigns all pieces mass; hard counts need the smoothing)
+    *      — with pruning the bottom multi-codepoint pieces by (count desc,
+    *      piece asc) down to `shrink`× per round until `vocabSize` is
+    *      reached, then a final `emRounds` polish.
+    *
+    * Every order-dependent step uses a total order, so the result is a
+    * pure function of the word-frequency multiset — the property the
+    * pinned-literal oracle convention (tokenize_bpe) relies on.
+    */
+  def trainUnigram(df: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 4, seedMultiplier: Int = 4, emRounds: Int = 2,
+      shrink: Double = 0.75, alpha: Double = 0.5, unkLogProb: Double = -20.0,
+      maxWordEntries: Int = 1 << 18): UnigramVocab = {
+    require(vocabSize >= 1, s"trainUnigram: vocabSize $vocabSize must be >= 1")
+    require(maxPieceLen >= 1 && seedMultiplier >= 1 && emRounds >= 1,
+      "trainUnigram: maxPieceLen, seedMultiplier, emRounds must be >= 1")
+    require(shrink > 0 && shrink < 1, s"trainUnigram: shrink $shrink not in (0,1)")
+    require(alpha > 0, s"trainUnigram: alpha $alpha must be > 0")
+    val cpOrd: Ordering[String] = (a, b) =>
+      if (graft.functions.UnigramExpr.cpLess(a, b)) -1
+      else if (graft.functions.UnigramExpr.cpLess(b, a)) 1 else 0
+    val (agg, blocks) = graft.core.Persist.stageTracked(df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n")))
+    val probe = agg.limit(maxWordEntries + 1).count()
+    require(probe > 0, "trainUnigram: corpus has no tokens")
+    require(probe <= maxWordEntries,
+      s"trainUnigram: word table has > $maxWordEntries entries (bound) — " +
+        "fit on a sample (deterministicSample) or raise maxWordEntries")
+    val wordFreq = agg.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)(cpOrd)
+    graft.core.Persist.unstage(df.sparkSession, blocks)
+
+    def cpLen(s: String): Int = s.codePointCount(0, s.length)
+    // Candidate substring counts (occurrence-weighted by word frequency).
+    val candCount = scala.collection.mutable.HashMap[String, Long]()
+    wordFreq.foreach { case (w, nf) =>
+      val off = {
+        val b = new Array[Int](cpLen(w) + 1)
+        var o = 0; var i = 0
+        while (o < w.length) { b(i) = o; o += Character.charCount(w.codePointAt(o)); i += 1 }
+        b(i) = w.length
+        b
+      }
+      val n = off.length - 1
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        val jmax = math.min(n, i + maxPieceLen)
+        while (j <= jmax) {
+          val sub = w.substring(off(i), off(j))
+          candCount(sub) = candCount.getOrElse(sub, 0L) + nf
+          j += 1
+        }
+        i += 1
+      }
+    }
+    require(candCount.size <= (1 << 22),
+      s"trainUnigram: ${candCount.size} candidate substrings exceed the " +
+        "driver bound — shrink maxPieceLen or train on a smaller sample")
+    require(!candCount.keysIterator.contains("|"),
+      "trainUnigram: corpus contains '|' words — the Viterbi path " +
+        "separator; strip them before training")
+    val singles = candCount.keysIterator.filter(cpLen(_) == 1)
+      .toIndexedSeq.sorted(cpOrd)
+    require(vocabSize > singles.size,
+      s"trainUnigram: vocabSize $vocabSize must exceed the ${singles.size}" +
+        "-piece single-codepoint alphabet (coverage pieces are never pruned)")
+    val seedMultis = candCount.iterator.filter { case (p, _) => cpLen(p) >= 2 }
+      .toIndexedSeq
+      .sortBy { case (p, c) => (-(c * cpLen(p)), p) }(
+        Ordering.Tuple2(Ordering.Long, cpOrd))
+      .take(math.max(0, vocabSize * seedMultiplier - singles.size))
+      .map(_._1)
+    var kept: IndexedSeq[String] = (singles ++ seedMultis).sorted(cpOrd)
+
+    // Seed probabilities ∝ count·len, folded in sorted order.
+    var lp: Map[String, Double] = {
+      val scores = kept.map(p => p -> (candCount(p).toDouble * cpLen(p)))
+      val total = scores.foldLeft(0.0)(_ + _._2)
+      scores.map { case (p, s) => p -> (math.log(s) - math.log(total)) }.toMap
+    }
+    def toJava(m: Map[String, Double]): java.util.HashMap[String, java.lang.Double] = {
+      val h = new java.util.HashMap[String, java.lang.Double](m.size * 2)
+      m.foreach { case (k, v) => h.put(k, v) }
+      h
+    }
+    var lastCounts: Map[String, Long] = Map.empty
+    def emRound(): Unit = {
+      val h = toJava(lp)
+      val maxCp = math.max(1, kept.iterator.map(cpLen).max)
+      val counts = scala.collection.mutable.HashMap[String, Long]()
+      wordFreq.foreach { case (w, nf) =>
+        graft.functions.UnigramExpr.viterbi(w, h, maxCp, "<unk>", unkLogProb)
+          .foreach { p =>
+            if (p != "<unk>") counts(p) = counts.getOrElse(p, 0L) + nf
+          }
+      }
+      lastCounts = kept.iterator.map(p => p -> counts.getOrElse(p, 0L)).toMap
+      val total = kept.foldLeft(0L)((a, p) => a + lastCounts(p))
+      val denom = math.log(total + alpha * kept.size)
+      lp = kept.iterator.map(p =>
+        p -> (math.log(lastCounts(p) + alpha) - denom)).toMap
+    }
+    while (kept.size > vocabSize) {
+      (1 to emRounds).foreach(_ => emRound())
+      val target = math.max(vocabSize,
+        math.ceil(kept.size * shrink).toInt)
+      val multisKept = kept.filter(cpLen(_) >= 2)
+        .sortBy(p => (-lastCounts(p), p))(Ordering.Tuple2(Ordering.Long, cpOrd))
+        .take(math.max(0, target - singles.size))
+      kept = (singles ++ multisKept).sorted(cpOrd)
+      // Re-normalize over the survivors from the last counts.
+      val total = kept.foldLeft(0L)((a, p) => a + lastCounts(p))
+      val denom = math.log(total + alpha * kept.size)
+      lp = kept.iterator.map(p =>
+        p -> (math.log(lastCounts(p) + alpha) - denom)).toMap
+    }
+    (1 to emRounds).foreach(_ => emRound())
+    UnigramVocab(kept.map(p => p -> lp(p)), "<unk>", unkLogProb)
+  }
+
+  /** Tokenize `textCol` by Viterbi max-likelihood segmentation under a
+    * [[UnigramVocab]] — same whitespace-word convention as [[tokenize]],
+    * zero shuffle, model rides as a plan literal.
+    */
+  def tokenizeUnigram(df: DataFrame, textCol: String, vocab: UnigramVocab,
+      outCol: String = "pieces"): DataFrame = {
+    val words = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    df.withColumn(outCol, graft.functions.UnigramExpr.unigramTokenize(
+      words, vocab.sorted, vocab.sorted.map(vocab.logProb),
+      vocab.unkPiece, vocab.unkLogProb))
+  }
+
+  /** [[tokenIds]] for a [[UnigramVocab]] — same dense-sorted id space. */
+  def tokenIdsUnigram(pieces: Column, vocab: UnigramVocab): Column =
+    graft.functions.LookupExprs.idLookup(pieces, vocab.idOf, 0)
+
   /** Map a pieces array to dense token ids (sorted-vocab rank, unk → 0) —
     * one tight-loop hash lookup per piece
     * ([[graft.functions.LookupExprs.IdLookup]]; the composable

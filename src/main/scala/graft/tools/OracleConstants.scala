@@ -59,6 +59,18 @@ object OracleConstants {
       } + "\""
       println("BpeVocabM48 = Seq(" +
         bpe.pieces.map(scalaStr).mkString(", ") + ")")
+
+      // Unigram-LM vocab at vocabSize 40 over the documents table — the
+      // tokenize_unigram gate's pinned oracle model. Deterministic hard-EM
+      // (trainUnigram's every order-dependent step uses a total order), so
+      // (piece, logprob) is a pure function of the word-frequency multiset;
+      // Double.toString round-trips bit-exactly through DuckDB's literal
+      // parser.
+      val uni = graft.operators.Tokenizer.trainUnigram(docs, "text", vocabSize = 40)
+      println("UnigramVocabV40 = Seq(" +
+        uni.sortedScored.map { case (p, lp) =>
+          s"(${scalaStr(p)}, ${java.lang.Double.toString(lp)})"
+        }.mkString(", ") + ")")
     } finally spark.stop()
   }
 }

@@ -117,4 +117,95 @@ class TokenizerSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("unigram Viterbi picks the max-likelihood segmentation, not the " +
+      "greedy longest match") {
+    import graft.operators.Tokenizer.UnigramVocab
+    // Greedy from the left takes "ab"+"c" (-10 + -1); Viterbi finds
+    // "a"+"bc" (-1 + -1).
+    val v = UnigramVocab(Seq("ab" -> -10.0, "a" -> -1.0,
+      "bc" -> -1.0, "c" -> -1.0, "b" -> -9.0))
+    val df = Seq((0L, "abc")).toDF("id", "text")
+    val pieces = Tokenizer.tokenizeUnigram(df, "text", v)
+      .select("pieces").as[Seq[String]].head()
+    assert(pieces == Seq("a", "bc"), pieces)
+    val greedy = Tokenizer.tokenize(df, "text",
+      SubwordVocab(Seq("ab", "a", "bc", "c", "b")))
+      .select("pieces").as[Seq[String]].head()
+    assert(greedy == Seq("ab", "c"), greedy)
+  }
+
+  test("unigram score ties break to the codepoint-smallest '|'-joined " +
+      "path, and <unk> advances one codepoint at unkLogProb") {
+    import graft.operators.Tokenizer.UnigramVocab
+    // "aa" and "a|a" both score -2.0; 'a' (0x61) < '|' (0x7C), so the
+    // single-piece path "aa" is the smaller string and must win.
+    val v = UnigramVocab(Seq("aa" -> -2.0, "a" -> -1.0))
+    val df = Seq((0L, "aa axa")).toDF("id", "text")
+    val pieces = Tokenizer.tokenizeUnigram(df, "text", v)
+      .select("pieces").as[Seq[String]].head()
+    assert(pieces == Seq("aa", "a", "<unk>", "a"), pieces)
+    // A supplementary character is ONE <unk> advance (codepoint semantics).
+    val clef = new String(Character.toChars(0x1D11E))
+    val p2 = Tokenizer.tokenizeUnigram(
+        Seq((0L, s"a${clef}a")).toDF("id", "text"), "text", v)
+      .select("pieces").as[Seq[String]].head()
+    assert(p2 == Seq("a", "<unk>", "a"), p2)
+  }
+
+  test("trainUnigram is deterministic, keeps the whole alphabet, learns " +
+      "frequent words as whole pieces, and its tokenization covers the " +
+      "corpus with no <unk>") {
+    val df = Seq(
+      (0L, "data data data data data join join join"),
+      (1L, "sort hash data join data"),
+      (2L, "hash sort sort data")
+    ).toDF("id", "text")
+    val singles = "datjoinsrh".toSet.map((c: Char) => c.toString)
+    val v = Tokenizer.trainUnigram(df, "text", vocabSize = singles.size + 4)
+    assert(v.pieces.toSet.intersect(singles) == singles,
+      "single-codepoint coverage pieces must never be pruned")
+    // "data" (9×) is the most frequent word — with 4 multi-piece slots it
+    // must survive as a whole piece and tokenize as itself.
+    assert(v.pieces.contains("data"), v.pieces.sorted.mkString(","))
+    val v2 = Tokenizer.trainUnigram(df, "text", vocabSize = singles.size + 4)
+    assert(v2.scored == v.scored, "training must be deterministic")
+    val toks = Tokenizer.tokenizeUnigram(df, "text", v)
+      .select("pieces").as[Seq[String]].collect()
+    assert(toks.forall(ps => ps.nonEmpty && !ps.contains("<unk>")))
+    assert(toks.exists(_.contains("data")))
+    // Pieces must reassemble each document's words exactly.
+    val texts = df.select("text").as[String].collect()
+    toks.zip(texts).foreach { case (ps, t) =>
+      assert(ps.mkString == t.replaceAll("\\s+", ""))
+    }
+  }
+
+  test("trainUnigram refuses a vocabSize below the single-codepoint " +
+      "alphabet and unigram ids follow the dense-sorted convention") {
+    import graft.operators.Tokenizer.UnigramVocab
+    val df = Seq((0L, "ab ba")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Tokenizer.trainUnigram(df, "text", vocabSize = 2)
+    }
+    val v = UnigramVocab(Seq("b" -> -1.0, "ab" -> -2.0, "a" -> -1.5))
+    assert(v.sorted == Seq("a", "ab", "b"))
+    assert(v.idOf == Map("a" -> 1, "ab" -> 2, "b" -> 3))
+    val ids = Seq(Tuple1(Seq("ab", "zzz", "b")))
+      .toDF("pieces")
+      .select(Tokenizer.tokenIdsUnigram(col("pieces"), v).as("ids"))
+      .as[Seq[Int]].head()
+    assert(ids == Seq(2, 0, 3))
+  }
+
+  test("tokenizeUnigram runs as one shuffle-free projection and empty " +
+      "text yields an empty piece array") {
+    import graft.operators.Tokenizer.UnigramVocab
+    val v = UnigramVocab(Seq("a" -> -1.0))
+    val df = Seq((0L, "a"), (1L, "   ")).toDF("id", "text")
+    val out = Tokenizer.tokenizeUnigram(df, "text", v)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = out.orderBy("id").select("pieces").as[Seq[String]].collect()
+    assert(rows(0) == Seq("a") && rows(1).isEmpty)
+  }
 }
