@@ -3358,6 +3358,34 @@ object Queries {
         .select("doc_id", "url_norm").orderBy("doc_id")
     }),
 
+    "domain_cap" -> ((s, dir) => {
+      // Domain-level curation — the FineWeb/RefinedWeb stage a per-page
+      // filter cannot express (an SEO-spam domain contributes millions of
+      // near-identical pages): registrable-domain keying (PSL
+      // approximation: last 2 labels, or 3 under a co/com/... second-level
+      // suffix with a 2-letter ccTLD), per-domain stats, and a
+      // deterministic cap of 5 docs/domain (quotaPerGroup —
+      // WindowGroupLimit, not a full sort). Raw URLs are synthesized from
+      // doc_id in BOTH engines: www/blog/shop subdomains that must
+      // collapse to one registrable domain, a site.co.uk 3-label case,
+      // mixed host case, and a scheme-less entry.
+      val d = read(s, dir, "documents")
+      val g = (col("doc_id") % 10).cast("string")
+      val p = col("doc_id").cast("string")
+      val v = col("doc_id") % 4
+      val url = when(v === 0, concat(lit("http://www.Site"), g, lit(".com/p"), p))
+        .when(v === 1, concat(lit("http://blog.site"), g, lit(".com/p"), p, lit("?x=1")))
+        .when(v === 2, concat(lit("https://shop.site"), g, lit(".co.uk/p"), p))
+        .otherwise(concat(lit("site"), g, lit(".com/p"), p))
+      val withDom = d.select(col("doc_id"),
+        CorpusPrep.registrableDomain(url).as("domain"))
+      val stats = CorpusPrep.domainStats(
+        d.select(col("doc_id"), url.as("url")), "url")
+      CorpusPrep.quotaPerGroup(withDom, "domain", "doc_id", quota = 5)
+        .join(broadcast(stats), "domain")
+        .select("doc_id", "domain", "n_docs", "share").orderBy("doc_id")
+    }),
+
     "text_line_stats" -> ((s, dir) => {
       // Line-level Gopher/C4 rules (bulleted-line, ellipsis-line, and
       // short-line fractions). The gate corpus is single-line, so the
@@ -6302,6 +6330,46 @@ object Queries {
         |  FROM n8)
         |SELECT min(doc_id) AS doc_id, url_norm
         |FROM norm GROUP BY url_norm ORDER BY doc_id""".stripMargin,
+
+    // Same URL synthesis, then the registrable-domain rule replayed step
+    // for step (host up to '/', '?' or ':', lowercased; last 2 labels, or
+    // 3 under a co/com/... second-level suffix with a 2-letter ccTLD),
+    // the per-domain stats, and the row_number() cap.
+    "domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'http://www.Site' || (doc_id % 10) || '.com/p' || doc_id
+        |      WHEN 1 THEN 'http://blog.site' || (doc_id % 10) || '.com/p' || doc_id || '?x=1'
+        |      WHEN 2 THEN 'https://shop.site' || (doc_id % 10) || '.co.uk/p' || doc_id
+        |      ELSE 'site' || (doc_id % 10) || '.com/p' || doc_id END AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    lower(regexp_extract(
+        |      CASE WHEN contains(url, '://')
+        |           THEN regexp_replace(url, '^[^:]*://', '') ELSE url END,
+        |      '^([^/?:]*)', 1)) AS host
+        |  FROM u),
+        |lab AS (SELECT doc_id, host, string_split(host, '.') AS labels,
+        |    len(string_split(host, '.')) AS n FROM h),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN n <= 1 THEN host
+        |         WHEN n >= 3
+        |           AND labels[-2] IN ('co','com','net','org','ac','gov','edu')
+        |           AND len(labels[-1]) = 2
+        |           THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+        |         ELSE labels[-2] || '.' || labels[-1] END AS domain
+        |  FROM lab),
+        |s AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM d GROUP BY 1),
+        |tot AS (SELECT sum(n_docs) AS t FROM s),
+        |kept AS (SELECT doc_id, domain FROM (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        |  FROM d) WHERE rn <= 5)
+        |SELECT k.doc_id, k.domain, s.n_docs,
+        |  round(s.n_docs * 1.0 / tot.t, 6) AS share
+        |FROM kept k JOIN s USING (domain) CROSS JOIN tot
+        |ORDER BY k.doc_id""".stripMargin,
 
     // Identical line construction (sentence breaks → newlines + the
     // deterministic bullet/ellipsis tail on every third doc), then the

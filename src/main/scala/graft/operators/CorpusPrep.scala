@@ -370,6 +370,52 @@ object CorpusPrep {
     * or engine, which keeps the profile oracle-checkable (a naive
     * `avg(double)` is order-dependent in the last ulp).
     */
+  /** Registrable domain of a URL — the grouping key of domain-level
+    * corpus curation (FineWeb/RefinedWeb cap or drop whole domains:
+    * SEO-spam sites contribute millions of near-identical pages, and a
+    * per-PAGE filter never sees that). Pure column composition (regex +
+    * array ops, codegen'd, no UDF): host = authority up to the first
+    * `/`, `?` or `:`, lowercased; the registrable part is the last two
+    * labels, or the last THREE when the second-to-last label is a known
+    * second-level suffix (co/com/net/org/ac/gov/edu) under a 2-letter
+    * ccTLD — the standard public-suffix-list approximation
+    * (`site.co.uk` → `site.co.uk`, not `co.uk`). DOCUMENTED
+    * approximation: the real PSL has thousands of entries; this covers
+    * the dominant families and is deterministic/engine-reproducible,
+    * which domain KEYING needs more than exhaustive PSL fidelity.
+    * Scheme-less inputs are treated as starting at the authority.
+    */
+  def registrableDomain(url: Column): Column = {
+    val afterScheme = when(url.contains("://"),
+      regexp_replace(url, "^[^:]*://", "")).otherwise(url)
+    val host = lower(regexp_extract(afterScheme, "^([^/?:]*)", 1))
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val sld = element_at(labels, -2)
+    val tld = element_at(labels, -1)
+    when(n <= 1, host)
+      .when(n >= 3 &&
+          sld.isin("co", "com", "net", "org", "ac", "gov", "edu") &&
+          length(tld) === 2,
+        concat_ws(".", element_at(labels, -3), sld, tld))
+      .otherwise(concat_ws(".", sld, tld))
+  }
+
+  /** Per-domain corpus composition — (domain, n_docs, share), the table a
+    * domain-curation decision reads (which domains dominate; what a cap
+    * at k docs/domain would remove). One grouped aggregate + a single-row
+    * broadcast stats join for the share; domain count is bounded by the
+    * web, not the corpus, so the result frame stays small at any scale.
+    */
+  def domainStats(df: DataFrame, urlCol: String): DataFrame = {
+    val withDom = df.withColumn("domain", registrableDomain(col(urlCol)))
+    val stats = withDom.groupBy("domain").agg(count(lit(1)).as("n_docs"))
+    stats.crossJoin(broadcast(stats.agg(sum("n_docs").as("__total"))))
+      .withColumn("share",
+        round(col("n_docs").cast("double") / col("__total"), 6))
+      .drop("__total")
+  }
+
   def corpusProfile(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "corpusProfile needs at least one group column")
     val t = col(textCol)

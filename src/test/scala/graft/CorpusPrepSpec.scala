@@ -708,4 +708,40 @@ class CorpusPrepSpec extends SparkSpec {
     // Clamped small group survives whole under redistribution.
     assert((100L until 110L).toSet.subsetOf(a))
   }
+
+  test("registrableDomain: subdomain collapse, co.uk 3-label rule, case, " +
+      "ports, scheme-less and single-label edge cases") {
+    val cases = Seq(
+      "http://www.Example.COM/path?q=1" -> "example.com",
+      "https://a.b.blog.example.com/x" -> "example.com",
+      "https://shop.site.co.uk/p" -> "site.co.uk",
+      // A 2-label co.uk host IS its own registrable domain (the rule
+      // needs >= 3 labels to reach for a third).
+      "http://co.uk/" -> "co.uk",
+      // .com is not a 2-letter TLD: amazon.com.com → com.com? No — the
+      // suffix rule requires len(tld) == 2, so last two labels win.
+      "http://x.amazon.com.com/" -> "com.com",
+      "http://example.com:8080/p" -> "example.com",
+      "site3.com/article/3" -> "site3.com",
+      "http://localhost/x" -> "localhost",
+      "localhost" -> "localhost")
+    val df = cases.map(_._1).toDF("url")
+    val got = df.select(col("url"),
+        CorpusPrep.registrableDomain(col("url")).as("d"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (u, want) =>
+      assert(got(u) == want, s"$u → ${got(u)}, want $want")
+    }
+  }
+
+  test("domainStats aggregates registrable domains with corpus share") {
+    val df = Seq(
+      "http://www.a.com/1", "http://blog.a.com/2", "https://a.com/3",
+      "http://b.co.uk/1").toDF("url")
+    val rows = CorpusPrep.domainStats(df, "url")
+      .orderBy("domain")
+      .select("domain", "n_docs", "share")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(rows == Seq(("a.com", 3L, 0.75), ("b.co.uk", 1L, 0.25)))
+  }
 }
