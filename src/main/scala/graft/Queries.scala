@@ -2855,6 +2855,20 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "corpus_repeat_schedule" -> ((s, dir) => {
+      // Data-constrained scaling (Muennighoff 2023): a 60k-token budget
+      // over this ~27k-token corpus → 2 full epochs for every doc plus a
+      // deterministic hash-ordered partial epoch absorbing the remainder
+      // (the crossing doc kept) — so both the integer-epoch and the
+      // partial-prefix paths are live. The oracle replays the integer
+      // arithmetic, the md5|id order, and the exclusive-cumsum crossing.
+      val d = read(s, dir, "documents")
+        .withColumn("n_tokens", TF.tokenCount(col("text")).cast("long"))
+      CorpusPrep.repeatSchedule(d, "doc_id", "n_tokens",
+          budgetTokens = 60000L, maxEpochs = 4, salt = "rs1")
+        .select("doc_id", "n_tokens", "n_repeats").orderBy("doc_id")
+    }),
+
     "corpus_mix_weighted" -> ((s, dir) => {
       // Weighted mixture assembly: keep all English, half German, a quarter
       // Spanish, drop the rest — membership a pure function of
@@ -5510,6 +5524,34 @@ object Queries {
         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS run
         |  FROM t)
         |WHERE run < 20000 ORDER BY doc_id""".stripMargin,
+
+    // Integer epoch arithmetic (// is exact), md5|id order, and the
+    // exclusive running-total crossing — the window here runs over the
+    // tiny oracle corpus only; the engine side uses the range-partitioned
+    // prefix sum.
+    "corpus_repeat_schedule" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT sum(n_tokens) AS t FROM d),
+        |par AS (SELECT least(60000 // t, 4) AS fe,
+        |    CASE WHEN least(60000 // t, 4) >= 4 THEN 0
+        |         ELSE 60000 - least(60000 // t, 4) * t END AS rem
+        |  FROM tot),
+        |o AS (SELECT doc_id, n_tokens,
+        |    md5('rs1' || '|' || CAST(doc_id AS VARCHAR)) || '|' ||
+        |      CAST(doc_id AS VARCHAR) AS ord
+        |  FROM d),
+        |r AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING)
+        |      - n_tokens AS run
+        |  FROM o)
+        |SELECT r.doc_id, r.n_tokens,
+        |  CAST(par.fe + CASE WHEN r.run < par.rem THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_repeats
+        |FROM r CROSS JOIN par
+        |WHERE par.fe + CASE WHEN r.run < par.rem THEN 1 ELSE 0 END >= 1
+        |ORDER BY r.doc_id""".stripMargin,
 
     // 5-hex-digit thresholds so fraction 1.0 ("10000") clears every 4-digit
     // hash prefix; the '0' prefix keeps the compare fixed-width.

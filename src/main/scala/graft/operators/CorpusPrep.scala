@@ -204,6 +204,62 @@ object CorpusPrep {
       floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / maxTokens).cast("long"))
   }
 
+  /** Data-constrained repeat scheduling (Muennighoff et al. 2023, arXiv
+    * 2305.16264 — "Scaling Data-Constrained Language Models"): when the
+    * training-token budget exceeds the corpus, REPEAT data. The paper
+    * measures near-fresh value up to ~4 epochs and rapidly decaying value
+    * beyond, so full epochs cap at `maxEpochs`; the sub-epoch remainder
+    * becomes ONE partial epoch — a deterministic hash-ordered corpus
+    * prefix whose token mass just crosses the remainder (the
+    * [[quotaPerGroupTokens]] crossing convention: the crossing doc is
+    * kept). Hash order means the partial epoch is an unbiased sample, a
+    * pure function of (salt, id) — same docs on any cluster or engine —
+    * and a salt rotation redraws it.
+    *
+    * Returns (input columns, `repeatCol`) for docs with ≥ 1 repeat.
+    * Shape: one aggregate for the corpus total, and — only when a partial
+    * epoch exists — [[runningTotal]]'s range-partitioned prefix sum over
+    * the hash order (never a single-partition `ORDER BY` window). Budget
+    * beyond `maxEpochs` full epochs is NOT schedulable (the paper's
+    * decay), and the refusal is loud: a warning names the unspent tokens.
+    */
+  def repeatSchedule(df: DataFrame, idCol: String, tokenCol: String,
+      budgetTokens: Long, maxEpochs: Int = 4, salt: String = "",
+      repeatCol: String = "n_repeats"): DataFrame = {
+    require(budgetTokens >= 0, s"repeatSchedule: budget $budgetTokens < 0")
+    require(maxEpochs >= 1, s"repeatSchedule: maxEpochs $maxEpochs must be >= 1")
+    val totRow = df.agg(sum(col(tokenCol).cast("long"))).head()
+    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
+      "repeatSchedule: corpus has no tokens")
+    val total = totRow.getLong(0)
+    val fullEpochs = math.min(budgetTokens / total, maxEpochs.toLong)
+    val remaining =
+      if (fullEpochs >= maxEpochs) 0L else budgetTokens - fullEpochs * total
+    if (fullEpochs >= maxEpochs && budgetTokens > maxEpochs * total)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"repeatSchedule: budget $budgetTokens exceeds maxEpochs=$maxEpochs " +
+          s"× corpus $total tokens — ${budgetTokens - maxEpochs * total} " +
+          "tokens left unscheduled (repetition value decays past ~4 epochs; " +
+          "raise maxEpochs deliberately or add data)")
+    if (remaining == 0L)
+      df.withColumn(repeatCol, lit(fullEpochs)).filter(col(repeatCol) >= 1)
+    else {
+      // Unique deterministic order key: full md5 then the id itself (the
+      // 4-hex hashPrefix is a membership CUT, too collision-prone to
+      // ORDER by).
+      val ordered = df.withColumn("__ord", concat(
+        md5(to_binary(concat_ws("|", lit(salt), col(idCol).cast("string")),
+          lit("utf-8"))),
+        lit("|"), col(idCol).cast("string")))
+      runningTotal(ordered, "__ord", col(tokenCol), "__rt")
+        .withColumn(repeatCol, lit(fullEpochs) +
+          when(col("__rt") - col(tokenCol).cast("long") < remaining, 1L)
+            .otherwise(0L))
+        .filter(col(repeatCol) >= 1)
+        .drop("__ord", "__rt")
+    }
+  }
+
   /** Sentence-boundary passage chunking — the RAG chunker that never cuts
     * mid-sentence: split on `sep`, then pack CONSECUTIVE sentences into
     * chunks of ~`maxTokens` with the same exclusive-cumulative-sum bin id

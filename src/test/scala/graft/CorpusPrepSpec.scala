@@ -709,6 +709,38 @@ class CorpusPrepSpec extends SparkSpec {
     assert((100L until 110L).toSet.subsetOf(a))
   }
 
+  test("repeatSchedule: full epochs for all, a hash-ordered partial epoch " +
+      "crossing the remainder, and repartition-invariance") {
+    val docs = (0L until 40L).map(i => (i, 10L + (i % 3))).toDF("id", "toks")
+    val total = 40 * 10 + (0 until 40).map(_ % 3).sum // 460
+    // 2 full epochs + 150-token remainder.
+    val out = CorpusPrep.repeatSchedule(docs, "id", "toks",
+        budgetTokens = 2L * total + 150, salt = "s")
+      .select("id", "toks", "n_repeats")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.size == 40 && out.forall(r => r._3 == 2L || r._3 == 3L))
+    val partial = out.filter(_._3 == 3L)
+    val mass = partial.map(_._2).sum
+    // Crossing semantics: the partial mass reaches the remainder, and
+    // dropping ANY one partial doc (in particular the crossing one) would
+    // leave it short by less than one doc.
+    assert(mass >= 150 && mass - partial.map(_._2).max < 150)
+    val out2 = CorpusPrep.repeatSchedule(docs.repartition(7), "id", "toks",
+        budgetTokens = 2L * total + 150, salt = "s")
+      .select("id", "n_repeats").as[(Long, Long)].collect().toMap
+    assert(out.map(r => r._1 -> r._3).toMap == out2)
+    // Sub-epoch budget → only the partial prefix survives, at 1 repeat.
+    val sub = CorpusPrep.repeatSchedule(docs, "id", "toks",
+        budgetTokens = 95, salt = "s")
+      .select("n_repeats").as[Long].collect()
+    assert(sub.nonEmpty && sub.length < 40 && sub.forall(_ == 1L))
+    // Budget past maxEpochs caps (loudly) at maxEpochs, no partial epoch.
+    val capped = CorpusPrep.repeatSchedule(docs, "id", "toks",
+        budgetTokens = 10L * total, maxEpochs = 4, salt = "s")
+      .select("n_repeats").as[Long].collect()
+    assert(capped.length == 40 && capped.forall(_ == 4L))
+  }
+
   test("registrableDomain: subdomain collapse, co.uk 3-label rule, case, " +
       "ports, scheme-less and single-label edge cases") {
     val cases = Seq(
