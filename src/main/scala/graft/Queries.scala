@@ -2893,6 +2893,31 @@ object Queries {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    "tokenizer_fertility" -> ((s, dir) => {
+      // Tokenizer-eval fertility table — the first number every tokenizer
+      // report states (tokens-per-word a.k.a. fertility, and bytes-per-
+      // token a.k.a. compression), per language: a multilingual vocab that
+      // over-fragments one language starves it of effective context. Runs
+      // under the PINNED BpeVocabM48 inventory (not a retrain) so the
+      // oracle reuses the greedy-match CTE verbatim; bytes are the raw
+      // text's UTF-8 octets (whitespace included — the corpus bytes a
+      // budget pays for). One tokenize scan + one grouped aggregate.
+      val d = read(s, dir, "documents")
+      val vocab = graft.operators.Tokenizer.SubwordVocab(BpeVocabM48)
+      graft.operators.Tokenizer.tokenize(d, "text", vocab, "pieces")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("pieces")).cast("long")).as("__np"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("__nw"),
+          sum(octet_length(col("text")).cast("long")).as("__nb"))
+        .select(col("lang"), col("n_docs"),
+          round(col("__np").cast("double") / col("__nw"), 4)
+            .as("tokens_per_word"),
+          round(col("__nb").cast("double") / col("__np"), 4)
+            .as("bytes_per_token"))
+        .orderBy("lang")
+    }),
+
     "vocab_topk" -> ((s, dir) => {
       CorpusPrep.vocabTopK(read(s, dir, "documents"), "text", k = 50)
         .orderBy(col("n").desc, col("word"))
@@ -5893,6 +5918,40 @@ object Queries {
         |FROM documents d CROSS JOIN mp
         |LEFT JOIN docs ON d.doc_id = docs.doc_id
         |ORDER BY d.doc_id""").stripMargin,
+
+    // The tokenize_bpe greedy-match CTE reduced to per-word piece COUNTS,
+    // joined back to word occurrences, aggregated per language. strlen()
+    // is DuckDB's byte length — Spark's octet_length.
+    "tokenizer_fertility" ->
+      (s"""WITH RECURSIVE
+        |vocab AS (SELECT unnest(${sqlStrList(BpeVocabM48)}) AS p),
+        |""" +
+      """t AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |        ELSE string_split(lower(trim(text)), ' ') END AS ws FROM documents),
+        |wi AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |w AS (SELECT doc_id, w FROM wi WHERE w != ''),
+        |dw AS (SELECT DISTINCT w FROM w),
+        |tok AS (
+        |  SELECT w, 1 AS pos, 0 AS pi FROM dw
+        |  UNION ALL
+        |  SELECT tok.w,
+        |    tok.pos + coalesce((SELECT len(v.p) FROM vocab v
+        |      WHERE substr(tok.w, tok.pos, len(v.p)) = v.p
+        |      ORDER BY len(v.p) DESC, v.p LIMIT 1), 1),
+        |    tok.pi + 1
+        |  FROM tok WHERE tok.pos <= len(tok.w)),
+        |wp AS (SELECT w, CAST(count(*) AS BIGINT) AS k
+        |       FROM tok WHERE pi > 0 GROUP BY w),
+        |docs AS (SELECT w.doc_id, CAST(sum(wp.k) AS BIGINT) AS np
+        |         FROM w JOIN wp ON w.w = wp.w GROUP BY w.doc_id),
+        |per AS (SELECT d.lang, docs.np,
+        |    CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS nw,
+        |    CAST(strlen(d.text) AS BIGINT) AS nb
+        |  FROM documents d JOIN docs ON d.doc_id = docs.doc_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(sum(np) * 1.0 / sum(nw), 4) AS tokens_per_word,
+        |  round(sum(nb) * 1.0 / sum(np), 4) AS bytes_per_token
+        |FROM per GROUP BY lang ORDER BY lang""").stripMargin,
 
     // Viterbi inference replayed as exhaustive segmentation enumeration
     // under the PINNED (piece, logprob) literal: every path accumulates
