@@ -1137,6 +1137,19 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "dedup_soft_weights" -> ((s, dir) => {
+      // SOFT dedup (reweight, don't drop): weight = 1/cluster_size over
+      // the same exact-Jaccard pair graph as dedup_clusters, so every
+      // duplicate cluster contributes one doc-equivalent of expected
+      // training mass while no doc is lost. Oracle = the dedup_clusters
+      // reachability CTE + per-representative counts + the reciprocal.
+      Dedup.softDedupWeights(read(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.5, bands = 16)
+        .select(col("id").as("doc_id"), col("rep_id"),
+          col("cluster_size"), col("weight"))
+        .orderBy("doc_id")
+    }),
+
     "tfidf_topterms" -> ((s, dir) => {
       // Corpus keyword extraction: top-3 TF-IDF terms per doc. Each score
       // is one product of exact per-term values (no accumulation order);
@@ -4875,6 +4888,35 @@ object Queries {
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // dedup_clusters' reachability CTE, then cluster sizes and the
+    // reciprocal weight.
+    "dedup_soft_weights" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh
+        |  FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |comp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep_id
+        |         FROM reach GROUP BY a),
+        |sz AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM comp GROUP BY rep_id)
+        |SELECT c.doc_id, c.rep_id, sz.cluster_size,
+        |  round(1.0 / sz.cluster_size, 6) AS weight
+        |FROM comp c JOIN sz USING (rep_id)
+        |ORDER BY c.doc_id""".stripMargin,
 
     "tfidf_topterms" ->
       """WITH t AS (

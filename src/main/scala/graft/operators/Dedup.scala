@@ -548,6 +548,36 @@ object Dedup {
     }
   }
 
+  /** SOFT deduplication — reweight duplicates instead of dropping them
+    * (the SoftDeDup idea, arXiv 2407.06654: hard removal loses the signal
+    * that popular content IS popular; down-weighting keeps every doc but
+    * caps redundant gradient mass). This is the cluster-size variant:
+    * every doc gets `weight = 1/|its duplicate cluster|` over the same
+    * minhash pair graph the hard route uses, so each CLUSTER contributes
+    * exactly one doc-equivalent of expected training mass (Σ weights =
+    * #clusters) and the weights slot directly into a sampling or
+    * loss-scaling column. Returns (id, rep_id, cluster_size, weight).
+    *
+    * Shape: the [[minhashPairs]] + [[componentIds]] path, then cluster
+    * sizes via groupBy (map-side partial aggregation — a window
+    * `count() OVER (PARTITION BY rep)` would funnel a mega-cluster, the
+    * exact pathology dedup exists to handle, through one task) and one
+    * shuffle join back on the representative.
+    */
+  def softDedupWeights(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5, bands: Int = 16): DataFrame = {
+    val pairs = minhashPairs(df, textCol, idCol, threshold = threshold,
+      bands = bands)
+    val comp = componentIds(
+      df.select(col(idCol).cast("long").as("id")), pairs)
+    val sizes = comp.groupBy("rep_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "rep_id")
+      .withColumn("weight",
+        round(lit(1.0) / col("cluster_size").cast("double"), 6))
+      .select("id", "rep_id", "cluster_size", "weight")
+  }
+
   /** Map every node to its duplicate-cluster REPRESENTATIVE (the component
     * min id; singletons map to themselves) — the audit/enrich form of
     * dedup: join it back to tag docs with their cluster, count cluster

@@ -396,6 +396,29 @@ class DedupSpec extends SparkSpec {
     assert(run(0L) == expected, "distributed star-contraction branch")
   }
 
+  test("softDedupWeights: 1/cluster-size weights, singletons at 1.0, and " +
+      "expected mass = #clusters") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "a completely different document about spark engines"),
+      (4L, "another unrelated text on tokenizer training corpora")
+    ).toDF("doc_id", "text")
+    val w = Dedup.softDedupWeights(docs, "text", "doc_id", threshold = 0.5)
+      .select("id", "rep_id", "cluster_size", "weight")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(w.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    // 0/1/2 form one near-dup cluster (rep 0), 3 and 4 are singletons.
+    assert(w.take(3).forall(r => r._2 == 0L && r._3 == 3L &&
+      math.abs(r._4 - 0.333333) < 1e-9))
+    assert(w.drop(3).forall(r => r._2 == r._1 && r._3 == 1L && r._4 == 1.0))
+    // Σ weights = #clusters (each cluster contributes one doc-equivalent),
+    // up to the 6-digit rounding.
+    assert(math.abs(w.map(_._4).sum - 3.0) < 1e-5)
+  }
+
   test("star-contraction CC matches driver union-find on seeded random graphs") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(7)
