@@ -1137,6 +1137,17 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "ngram_novelty" -> ((s, dir) => {
+      // Per-doc novel n-gram fraction — the doc-level redundancy signal
+      // dedup does not give (a kept doc can still be assembled from text
+      // that exists elsewhere). Same 3-gram shingle definition as the
+      // dedup family; the oracle replays explode → doc-frequency → join.
+      Dedup.ngramNovelty(read(s, dir, "documents"), "text", "doc_id", n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_shared"),
+          col("novelty"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_soft_weights" -> ((s, dir) => {
       // SOFT dedup (reweight, don't drop): weight = 1/cluster_size over
       // the same exact-Jaccard pair graph as dedup_clusters, so every
@@ -4888,6 +4899,25 @@ object Queries {
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // Same 3-gram shingle construction as the dedup oracles; distinct
+    // (doc, gram) → gram doc-frequency → per-doc shared fraction.
+    "ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh
+        |  FROM t),
+        |g AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+        |dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY g)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  round(1.0 - sum(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END) * 1.0
+        |    / count(*), 6) AS novelty
+        |FROM g JOIN dfreq USING (g)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
     // dedup_clusters' reachability CTE, then cluster sizes and the
     // reciprocal weight.

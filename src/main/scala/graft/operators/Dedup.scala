@@ -548,6 +548,34 @@ object Dedup {
     }
   }
 
+  /** Per-document n-gram NOVELTY — the fraction of a doc's distinct word
+    * n-grams that appear in no other document (the "novel n-gram
+    * fraction" of memorization/redundancy studies; the doc-level
+    * complement of corpus-level dedup: a doc can survive dedup yet be
+    * assembled almost entirely from text that exists elsewhere).
+    * Returns (id, n_grams, n_shared, novelty = 1 − shared/total), with
+    * the [[shingles]] whole-doc fallback for texts of ≤ n words.
+    *
+    * Shape: distinct (doc, gram) explode → gram document-frequency via
+    * groupBy (map-side combine; the gram table is the one big shuffle,
+    * the same linear-in-corpus exchange the n-gram decontaminator pays)
+    * → join back → per-doc aggregate. No windows, no driver state.
+    */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"ngramNovelty: n $n must be >= 1")
+    val grams = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "g")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty", round(
+        lit(1.0) - col("n_shared").cast("double") / col("n_grams"), 6))
+  }
+
   /** SOFT deduplication — reweight duplicates instead of dropping them
     * (the SoftDeDup idea, arXiv 2407.06654: hard removal loses the signal
     * that popular content IS popular; down-weighting keeps every doc but

@@ -396,6 +396,26 @@ class DedupSpec extends SparkSpec {
     assert(run(0L) == expected, "distributed star-contraction branch")
   }
 
+  test("ngramNovelty: shared spans lower novelty, unique docs score 1.0, " +
+      "short docs use the whole-doc shingle") {
+    val docs = Seq(
+      // 0 and 1 share the 5-word prefix → 3 shared 3-grams each.
+      (0L, "alpha beta gamma delta epsilon zeta eta"),   // 5 grams
+      (1L, "alpha beta gamma delta epsilon theta iota"), // 5 grams
+      (2L, "totally unique words nowhere else repeated"), // 4 grams, novel
+      (3L, "tiny doc"),                                   // whole-doc shingle
+      (4L, "tiny doc")                                    // exact dup of 3
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(docs, "text", "doc_id", n = 3)
+      .select("id", "n_grams", "n_shared", "novelty")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((0L, 5L, 3L, 0.4)))
+    assert(out(1) == ((1L, 5L, 3L, 0.4)))
+    assert(out(2) == ((2L, 4L, 0L, 1.0)))
+    assert(out(3) == ((3L, 1L, 1L, 0.0)))
+    assert(out(4) == ((4L, 1L, 1L, 0.0)))
+  }
+
   test("softDedupWeights: 1/cluster-size weights, singletons at 1.0, and " +
       "expected mass = #clusters") {
     import org.apache.spark.sql.functions.col
