@@ -2879,6 +2879,21 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "sample_weighted_k" -> ((s, dir) => {
+      // Efraimidis–Spirakis weighted sampling without replacement,
+      // derandomized via md5(salt|id): token counts as weights (longer
+      // docs proportionally likelier), k = 40. The oracle rebuilds the
+      // 52-bit uniform from the same hex prefix (char-fold hex→int), the
+      // ln-space key, and the (key desc, id) top-k.
+      val d = read(s, dir, "documents")
+        .withColumn("n_tokens", TF.tokenCount(col("text")).cast("long"))
+      CorpusPrep.weightedSampleK(d, "doc_id", "n_tokens", k = 40,
+          salt = "ws1")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("sample_key"), 8).as("sample_key"))
+        .orderBy("doc_id")
+    }),
+
     "corpus_repeat_schedule" -> ((s, dir) => {
       // Data-constrained scaling (Muennighoff 2023): a 60k-token budget
       // over this ~27k-token corpus → 2 full epochs for every doc plus a
@@ -5621,6 +5636,25 @@ object Queries {
         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS run
         |  FROM t)
         |WHERE run < 20000 ORDER BY doc_id""".stripMargin,
+
+    // The 52-bit uniform rebuilt by folding the md5 hex prefix to an
+    // integer (+0.5 keeps u strictly inside (0,1)), then ln(u)/w and the
+    // (key desc, id) top-k — identical IEEE ops to the engine side.
+    "sample_weighted_k" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |kx AS (SELECT doc_id, n_tokens,
+        |    ln((list_reduce(list_transform(
+        |        string_split(substr(md5('ws1' || '|' || CAST(doc_id AS VARCHAR)), 1, 13), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) + 0.5) / 4503599627370496.0)
+        |      / n_tokens AS key
+        |  FROM d WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, round(key, 8) AS sample_key
+        |FROM kx
+        |QUALIFY row_number() OVER (ORDER BY key DESC, doc_id) <= 40
+        |ORDER BY doc_id""".stripMargin,
 
     // Integer epoch arithmetic (// is exact), md5|id order, and the
     // exclusive running-total crossing — the window here runs over the

@@ -204,6 +204,37 @@ object CorpusPrep {
       floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / maxTokens).cast("long"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement — Efraimidis &
+    * Spirakis 2006 ("Weighted random sampling with a reservoir"): keep
+    * the k rows with the largest u^(1/w), u uniform — THE one-pass
+    * distributed weighted sampler (each partition forwards its own top-k
+    * candidates; no sequential reservoir state). The randomness is
+    * derandomized the graft way: u comes from md5(salt|id) — the 52-bit
+    * hex prefix over 2^52, offset by +0.5 so u ∈ (0,1) strictly — making
+    * the sample a pure function of (salt, id, weight), reproducible on
+    * any cluster or engine, and salt-rotatable for fresh draws. Keys
+    * compare in LOG space (ln u / w, monotone in u^(1/w) for w > 0 —
+    * avoids pow()'s precision cliffs); ties break on the id.
+    *
+    * Composes with the weight-producing ops: [[graft.operators.Dedup
+    * .softDedupWeights]], DSIR importance weights, quality scores. Rows
+    * with non-positive weight are never sampled (w ≤ 0 has no defined
+    * u^(1/w) draw). Shape: one narrow map + Spark's distributed
+    * TakeOrdered — no shuffle of the corpus, driver holds k rows.
+    */
+  def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "", keyCol: String = "sample_key"): DataFrame = {
+    require(k >= 1, s"weightedSampleK: k $k must be >= 1")
+    val h = md5(to_binary(
+      concat_ws("|", lit(salt), col(idCol).cast("string")), lit("utf-8")))
+    val n = conv(substring(h, 1, 13), 16, 10).cast("long")
+    val u = (n.cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+    df.filter(col(weightCol) > 0)
+      .withColumn(keyCol, log(u) / col(weightCol).cast("double"))
+      .orderBy(col(keyCol).desc, col(idCol))
+      .limit(k)
+  }
+
   /** Data-constrained repeat scheduling (Muennighoff et al. 2023, arXiv
     * 2305.16264 — "Scaling Data-Constrained Language Models"): when the
     * training-token budget exceeds the corpus, REPEAT data. The paper

@@ -709,6 +709,34 @@ class CorpusPrepSpec extends SparkSpec {
     assert((100L until 110L).toSet.subsetOf(a))
   }
 
+  test("weightedSampleK: deterministic E-S top-k, weight monotonicity, " +
+      "non-positive weights never sampled") {
+    val docs = (0L until 200L).map(i => (i, 1.0 + (i % 5))).toDF("id", "w")
+    val a = CorpusPrep.weightedSampleK(docs, "id", "w", k = 30, salt = "s")
+      .select("id").as[Long].collect().toSet
+    assert(a.size == 30)
+    val b = CorpusPrep.weightedSampleK(docs.repartition(9), "id", "w",
+      k = 30, salt = "s").select("id").as[Long].collect().toSet
+    assert(a == b, "sample must be a pure function of (salt, id, weight)")
+    // A different salt redraws.
+    val c = CorpusPrep.weightedSampleK(docs, "id", "w", k = 30, salt = "t")
+      .select("id").as[Long].collect().toSet
+    assert(c != a)
+    // Monotonicity: blowing up one absent doc's weight pulls it in
+    // (ln u / w → 0⁻ as w → ∞ while every other key is unchanged).
+    val out = (0L until 200L).find(!a.contains(_)).get
+    val boosted = docs.withColumn("w",
+      when(col("id") === out, lit(1e12)).otherwise(col("w")))
+    val a2 = CorpusPrep.weightedSampleK(boosted, "id", "w", k = 30,
+      salt = "s").select("id").as[Long].collect().toSet
+    assert(a2.contains(out))
+    // w <= 0 rows can never be drawn, even with k > candidate count.
+    val withZero = Seq((1L, 2.0), (2L, 0.0), (3L, -1.0)).toDF("id", "w")
+    val z = CorpusPrep.weightedSampleK(withZero, "id", "w", k = 5)
+      .select("id").as[Long].collect().toSeq
+    assert(z == Seq(1L))
+  }
+
   test("repeatSchedule: full epochs for all, a hash-ordered partial epoch " +
       "crossing the remainder, and repartition-invariance") {
     val docs = (0L until 40L).map(i => (i, 10L + (i % 3))).toDF("id", "toks")
