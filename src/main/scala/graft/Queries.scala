@@ -3025,7 +3025,11 @@ object Queries {
         d, "text", "lang")
       graft.operators.QualityClassifier.scoreLangNB(d, "text", m)
         .select(col("doc_id"), col("lang"), col("lang_pred"),
-          round(col("lang_score"), 4).as("lang_score"))
+          round(col("lang_score"), 4).as("lang_score"),
+          // Confidence margin (best − runner-up posterior) — the signal a
+          // confidence-gated route thresholds; a raw difference of the
+          // same accumulators both engines already agree on.
+          round(col("lang_margin"), 4).as("lang_margin"))
         .orderBy("doc_id")
     }),
 
@@ -5805,12 +5809,19 @@ object Queries {
         |    CASE WHEN len(g.gr) = 0 THEN cls.prior
         |      ELSE list_reduce(list_transform(g.gr, x -> coalesce(mp[x][1], oov)),
         |        (a, b) -> a + b) + cls.prior END AS score
-        |  FROM g CROSS JOIN m JOIN cls ON m.y = cls.y)
-        |SELECT doc_id, lang, cand AS lang_pred, round(score, 4) AS lang_score
-        |FROM sc
-        |QUALIFY row_number() OVER (PARTITION BY doc_id
-        |  ORDER BY score DESC, cand) = 1
-        |ORDER BY doc_id""".stripMargin,
+        |  FROM g CROSS JOIN m JOIN cls ON m.y = cls.y),
+        |ranked AS (
+        |  SELECT doc_id, lang, cand, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) AS rn
+        |  FROM sc),
+        |sec AS (SELECT doc_id, score AS s2 FROM ranked WHERE rn = 2)
+        |SELECT r.doc_id, r.lang, r.cand AS lang_pred,
+        |  round(r.score, 4) AS lang_score,
+        |  round(r.score - coalesce(sec.s2, r.score), 4) AS lang_margin
+        |FROM ranked r LEFT JOIN sec USING (doc_id)
+        |WHERE r.rn = 1
+        |ORDER BY r.doc_id""".stripMargin,
 
     // From-scratch bigram-LM refit: vocab (count >= 2, hapaxes fold to
     // the chr(1) unk sentinel), BOS = chr(2), bigram keys prev·chr(3)·cur;

@@ -146,7 +146,13 @@ object LookupExprs {
     private val sortedLens = lens.distinct.sorted
     override def dataType: DataType = StructType(Seq(
       StructField("pred", StringType, nullable = false),
-      StructField("score", DoubleType, nullable = false)))
+      StructField("score", DoubleType, nullable = false),
+      // Confidence margin: best minus runner-up posterior (0.0 for a
+      // single-class model — no alternative exists). The routing signal
+      // thresholded by confidence-gated pipelines (CCNet keeps docs only
+      // when the classifier is SURE); ln-space difference of the same
+      // accumulators, so it costs nothing extra.
+      StructField("margin", DoubleType, nullable = false)))
     override def checkInputDataTypes() = child.dataType match {
       case StringType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -178,7 +184,16 @@ object LookupExprs {
         if (acc(c) > acc(best)) best = c // strict > : first max wins ties
         c += 1
       }
-      org.apache.spark.sql.catalyst.InternalRow(classU8(best), acc(best))
+      // Runner-up = max over the non-best indices (a tie-equal score in
+      // another class yields margin 0, the honest "not sure" signal).
+      var second = Double.NegativeInfinity
+      c = 0
+      while (c < k) {
+        if (c != best && acc(c) > second) second = acc(c)
+        c += 1
+      }
+      val margin = if (k == 1) 0.0 else acc(best) - second
+      org.apache.spark.sql.catalyst.InternalRow(classU8(best), acc(best), margin)
     }
     override protected def withNewChildInternal(newChild: Expression) =
       copy(child = newChild)

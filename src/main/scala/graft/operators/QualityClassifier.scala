@@ -266,7 +266,8 @@ object QualityClassifier {
     * lambda allocates a k-array per gram.)
     */
   def scoreLangNB(df: DataFrame, textCol: String, model: NaiveBayesLang,
-      predCol: String = "lang_pred", scoreCol: String = "lang_score"): DataFrame = {
+      predCol: String = "lang_pred", scoreCol: String = "lang_score",
+      marginCol: String = "lang_margin"): DataFrame = {
     val best = graft.functions.LookupExprs.langNbScore(
       normText(col(textCol)), model.ngramLens,
       model.classes,
@@ -276,6 +277,7 @@ object QualityClassifier {
     df.withColumn("__lang_best", best)
       .withColumn(predCol, col("__lang_best.pred"))
       .withColumn(scoreCol, col("__lang_best.score"))
+      .withColumn(marginCol, col("__lang_best.margin"))
       .drop("__lang_best")
   }
 

@@ -186,6 +186,21 @@ class QualityClassifierSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - math.log(3.0 / 9.0)) < 1e-12)
   }
 
+  test("lang NB margin: positive when confident, exactly 0 on a class " +
+      "tie, and never negative") {
+    val m = QualityClassifier.trainLangNB(langCorpus, "text", "lang")
+    // Empty text ties every class at its (equal) prior → margin 0.
+    val tied = QualityClassifier.scoreLangNB(
+        Seq((0L, "")).toDF("id", "text"), "text", m)
+      .select("lang_margin").as[Double].head()
+    assert(tied == 0.0, s"prior tie must give margin 0, got $tied")
+    val margins = QualityClassifier.scoreLangNB(langCorpus, "text", m)
+      .select("lang_margin").as[Double].collect()
+    assert(margins.forall(_ >= 0.0))
+    // Training docs re-scored under their own model separate cleanly.
+    assert(margins.max > 1.0, margins.mkString(","))
+  }
+
   test("tight-loop gram kernels match the composable reference exactly: " +
       "counts are the same multiset, scores the same doubles") {
     import graft.functions.LookupExprs
