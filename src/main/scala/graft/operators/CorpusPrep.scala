@@ -247,10 +247,21 @@ object CorpusPrep {
     * pure function of (salt, id) — same docs on any cluster or engine —
     * and a salt rotation redraws it.
     *
-    * Returns (input columns, `repeatCol`) for docs with ≥ 1 repeat.
-    * Shape: one aggregate for the corpus total, and — only when a partial
-    * epoch exists — [[runningTotal]]'s range-partitioned prefix sum over
-    * the hash order (never a single-partition `ORDER BY` window). Budget
+    * Returns the NARROW schedule (`idCol`, `tokenCol`, `repeatCol`) for
+    * docs with ≥ 1 repeat — join it back by id where the full row is
+    * needed. Narrow by design: the prefix sum range-exchanges and
+    * materializes its input, and shipping document TEXT through a
+    * global-order exchange for a per-doc integer is an avoidable cost
+    * (measured at ×100 on 500k docs: 19.8 s full-row → ~11 s narrow;
+    * the remainder splits ~evenly between the cold corpus scan and the
+    * prefix sum's RDD bridge, both linear and partition-parallel). The
+    * narrow frame is STAGED so the total aggregate, the range sampling
+    * pass, and the prefix-sum pass read one materialization instead of
+    * recomputing the token expression — typically a scan over the text
+    * — three times. Shape: one aggregate for
+    * the corpus total, and — only when a partial epoch exists —
+    * [[runningTotal]]'s range-partitioned prefix sum over the hash
+    * order (never a single-partition `ORDER BY` window). Budget
     * beyond `maxEpochs` full epochs is NOT schedulable (the paper's
     * decay), and the refusal is loud: a warning names the unspent tokens.
     */
@@ -259,36 +270,45 @@ object CorpusPrep {
       repeatCol: String = "n_repeats"): DataFrame = {
     require(budgetTokens >= 0, s"repeatSchedule: budget $budgetTokens < 0")
     require(maxEpochs >= 1, s"repeatSchedule: maxEpochs $maxEpochs must be >= 1")
-    val totRow = df.agg(sum(col(tokenCol).cast("long"))).head()
-    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
-      "repeatSchedule: corpus has no tokens")
-    val total = totRow.getLong(0)
-    val fullEpochs = math.min(budgetTokens / total, maxEpochs.toLong)
-    val remaining =
-      if (fullEpochs >= maxEpochs) 0L else budgetTokens - fullEpochs * total
-    if (fullEpochs >= maxEpochs && budgetTokens > maxEpochs * total)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"repeatSchedule: budget $budgetTokens exceeds maxEpochs=$maxEpochs " +
-          s"× corpus $total tokens — ${budgetTokens - maxEpochs * total} " +
-          "tokens left unscheduled (repetition value decays past ~4 epochs; " +
-          "raise maxEpochs deliberately or add data)")
-    if (remaining == 0L)
-      df.withColumn(repeatCol, lit(fullEpochs)).filter(col(repeatCol) >= 1)
-    else {
-      // Unique deterministic order key: full md5 then the id itself (the
-      // 4-hex hashPrefix is a membership CUT, too collision-prone to
-      // ORDER by).
-      val ordered = df.withColumn("__ord", concat(
-        md5(to_binary(concat_ws("|", lit(salt), col(idCol).cast("string")),
-          lit("utf-8"))),
-        lit("|"), col(idCol).cast("string")))
-      runningTotal(ordered, "__ord", col(tokenCol), "__rt")
-        .withColumn(repeatCol, lit(fullEpochs) +
-          when(col("__rt") - col(tokenCol).cast("long") < remaining, 1L)
-            .otherwise(0L))
-        .filter(col(repeatCol) >= 1)
-        .drop("__ord", "__rt")
-    }
+    val (staged, blocks) = graft.core.Persist.stageTracked(
+      df.select(col(idCol), col(tokenCol)))
+    try {
+      val totRow = staged.agg(sum(col(tokenCol).cast("long"))).head()
+      require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
+        "repeatSchedule: corpus has no tokens")
+      val total = totRow.getLong(0)
+      val fullEpochs = math.min(budgetTokens / total, maxEpochs.toLong)
+      val remaining =
+        if (fullEpochs >= maxEpochs) 0L else budgetTokens - fullEpochs * total
+      if (fullEpochs >= maxEpochs && budgetTokens > maxEpochs * total)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"repeatSchedule: budget $budgetTokens exceeds maxEpochs=$maxEpochs " +
+            s"× corpus $total tokens — ${budgetTokens - maxEpochs * total} " +
+            "tokens left unscheduled (repetition value decays past ~4 epochs; " +
+            "raise maxEpochs deliberately or add data)")
+      if (remaining == 0L)
+        // Independent of the staged frame (a cheap narrow re-read), so
+        // the lazy result stays valid after the finally-unstage.
+        df.select(col(idCol), col(tokenCol))
+          .withColumn(repeatCol, lit(fullEpochs)).filter(col(repeatCol) >= 1)
+      else {
+        // Unique deterministic order key: full md5 then the id itself (the
+        // 4-hex hashPrefix is a membership CUT, too collision-prone to
+        // ORDER by).
+        val ordered = staged.withColumn("__ord", concat(
+          md5(to_binary(concat_ws("|", lit(salt), col(idCol).cast("string")),
+            lit("utf-8"))),
+          lit("|"), col(idCol).cast("string")))
+        // runningTotal localCheckpoints eagerly, so the returned plan
+        // reads the checkpoint, not the staged blocks.
+        runningTotal(ordered, "__ord", col(tokenCol), "__rt")
+          .withColumn(repeatCol, lit(fullEpochs) +
+            when(col("__rt") - col(tokenCol).cast("long") < remaining, 1L)
+              .otherwise(0L))
+          .filter(col(repeatCol) >= 1)
+          .drop("__ord", "__rt")
+      }
+    } finally graft.core.Persist.unstage(df.sparkSession, blocks)
   }
 
   /** Sentence-boundary passage chunking — the RAG chunker that never cuts
