@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Sem
 import graft.llm.{FakeBehavior, FakeLM}
 import graft.connectors.DataConnectors
-import graft.operators.{CorpusPrep, Decontaminate, Dedup, EmbedOps, Evals, Lexical, LexIndex, Temporal}
+import graft.operators.{CorpusPrep, Decontaminate, Dedup, EmbedOps, Evals, FuzzyJoin, Lexical, LexIndex, Temporal}
 import graft.functions.{MultimodalOps, TextFunctions => TF, UnicodeExpr => UE}
 
 /** The operator inventory as driver-checkable queries.
@@ -1198,6 +1198,38 @@ object Queries {
         .select(col("id1"), col("id2"),
           round(graft.functions.VectorExprs.longSetJaccard(
             col("sh1"), col("sh2")), 3).as("jac"))
+        .orderBy("id1", "id2")
+    }),
+
+    "edit_distance_join" -> ((s, dir) => {
+      // Exact edit-distance self-join (ED-Join prefix route — never N²)
+      // over the distinct 3-word shingle strings of a corpus slice: all
+      // string pairs within levenshtein <= 2, verified by the thresholded
+      // banded DP. The oracle brute-forces the identical pair set in
+      // DuckDB with its native levenshtein.
+      val d = read(s, dir, "documents").filter(col("doc_id") < 60)
+      val words = split(trim(col("text")), "\\s+")
+      val phrases = d.select(explode(when(size(words) <= 3,
+          array(concat_ws(" ", words)))
+        .otherwise(transform(sequence(lit(1), size(words) - 2),
+          i => concat_ws(" ", slice(words, i, lit(3)))))).as("p"))
+        .distinct()
+      FuzzyJoin.editDistanceSelfJoin(
+          phrases.withColumn("id", col("p")), "id", "p", maxDist = 2)
+        .toDF("s1", "s2", "dist")
+        .orderBy("s1", "s2")
+    }),
+
+    "dedup_containment" -> ((s, dir) => {
+      // Asymmetric shingle containment C(a→b) = |A∩B|/|A| ≥ 0.4 — the
+      // quote/near-complete-copy signal Jaccard structurally misses. The
+      // probe side explodes only its (1−c)-sized md5-ordered prefix; the
+      // merge-pass overlap kernel verifies exact counts per candidate.
+      FuzzyJoin.containmentPairs(
+          read(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", shingleLen = 3, minContainment = 0.4)
+        .select(col("id1"), col("id2"),
+          round(col("containment"), 3).as("cont"))
         .orderBy("id1", "id2")
     }),
 
@@ -5191,6 +5223,40 @@ object Queries {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        |ORDER BY id1, id2""".stripMargin,
+
+    // Brute-force referee for the ED-Join prefix route: same shingle
+    // construction, DuckDB's native levenshtein, same <= 2 threshold.
+    "edit_distance_join" ->
+      """WITH t AS (
+        |  SELECT string_split(trim(text), ' ') AS w
+        |  FROM documents WHERE doc_id < 60),
+        |s AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS p
+        |  FROM t)
+        |SELECT a.p AS s1, b.p AS s2, levenshtein(a.p, b.p) AS dist
+        |FROM s a JOIN s b ON a.p < b.p AND abs(len(a.p) - len(b.p)) <= 2
+        |WHERE levenshtein(a.p, b.p) <= 2
+        |ORDER BY s1, s2""".stripMargin,
+
+    // Exact asymmetric containment over string shingles (the Spark side
+    // hashes shingles; intersection/|A| is unchanged up to 2^-64
+    // collisions, the dedup_ngram_jaccard precedent).
+    "dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w
+        |  FROM documents WHERE doc_id < 300),
+        |s AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS sh
+        |  FROM t)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 3) AS cont
+        |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) >= 0.4
         |ORDER BY id1, id2""".stripMargin,
 
     // Same linear quantization (double arithmetic in the same association

@@ -285,6 +285,76 @@ object LongSetOps {
     val uni = da + db - inter
     if (uni == 0L) 1.0 else inter.toDouble / uni
   }
+
+  /** Distinct-element intersection COUNT of two long-array sets — the same
+    * merge pass as [[compute]] without the union bookkeeping. Backs the
+    * asymmetric containment verify (|A∩B| / |A|), where Jaccard alone
+    * cannot recover the numerator without also trusting both set sizes.
+    * NULL elements follow the same rule: one distinct element per side,
+    * in the intersection iff present on both.
+    */
+  def computeOverlap(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val (xs, aNull) = extract(a)
+    val (ys, bNull) = extract(b)
+    if (!isSorted(xs)) java.util.Arrays.sort(xs)
+    if (!isSorted(ys)) java.util.Arrays.sort(ys)
+    val n = xs.length
+    val m = ys.length
+    var i = 0; var j = 0
+    var inter = 0L
+    while (i < n && j < m) {
+      val x = xs(i); val y = ys(j)
+      if (x == y) {
+        inter += 1
+        while (i < n && xs(i) == x) i += 1
+        while (j < m && ys(j) == y) j += 1
+      } else if (x < y) {
+        while (i < n && xs(i) == x) i += 1
+      } else {
+        while (j < m && ys(j) == y) j += 1
+      }
+    }
+    if (aNull && bNull) inter += 1
+    inter
+  }
+}
+
+/** Intersection size |A∩B| of two long-array sets (merge pass, codegen'd).
+  * Numerator of the containment score C(A→B) = |A∩B| / |A|.
+  */
+case class LongSetOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"long_set_overlap requires two array<bigint>, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(LongSetOps.computeOverlap(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.LongSetOps.computeOverlap($a, $b);")
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    nullSafeEval(a, b)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
 case class LongSetJaccard(left: Expression, right: Expression)
@@ -330,6 +400,11 @@ object VectorExprs {
   /** Column wrapper: merge-based Jaccard of two long-array set columns. */
   def longSetJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(LongSetJaccard(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper: distinct intersection count of two long-array sets. */
+  def longSetOverlap(a: Column, b: Column): Column =
+    ColumnBridge.column(LongSetOverlap(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column wrapper: nearest-centroid index of a float-array column. */

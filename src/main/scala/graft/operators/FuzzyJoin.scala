@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string joins that never enumerate N² pairs: exact edit-distance
+  * self-join (ED-Join) and asymmetric n-gram containment join (quote /
+  * near-complete-copy detection). Both follow the repo's candidate→verify
+  * convention: a filtered equi-join generates candidates, a codegen'd
+  * thresholded kernel verifies them exactly — the result is EXACT, only
+  * the work is pruned.
+  *
+  * Reference scope: lotus expresses fuzzy matching through LLM sem_join /
+  * sem_sim_join (embeddings); character-level and shingle-containment
+  * matching are the classical non-LLM tiers a 100 TB curation pipeline
+  * runs FIRST (URL/title canonicalization, OCR noise, boilerplate quotes)
+  * because they are orders of magnitude cheaper per pair.
+  */
+object FuzzyJoin {
+
+  /** All pairs (id1 < id2) with `levenshtein(s1, s2) <= maxDist`, without
+    * the N² cross join — ED-Join (Xiao, Wang, Lin: "Ed-Join: an efficient
+    * algorithm for similarity joins with edit distance constraints",
+    * VLDB 2008), prefix-filter variant.
+    *
+    * Route: an edit operation destroys at most `q` positional q-grams, so
+    * ed(a,b) ≤ d implies the positional q-gram multisets of a and b match
+    * (value-equal, positions within ±d) in all but ≤ q·d grams per side.
+    * Order every string's grams by a global total order (md5(gram), pos —
+    * deterministic, needs NO corpus statistics pass) and keep the first
+    * q·d+1 as its PREFIX: any qualifying pair then shares a gram HASH
+    * across the two prefixes. (Proof shape: each prefix holds ≥ 1 matched
+    * gram; if neither side's match lands in the other's prefix, the two
+    * matches' order relations force both prefix grams onto one md5 class,
+    * which the hash equi-join finds anyway. ED-Join's additional
+    * POSITIONAL pruning is deliberately NOT in the join condition — the
+    * prefix pigeonhole does not promise the shared-hash pair is
+    * position-close, so |Δpos| ≤ d there can drop true pairs; the
+    * thresholded verify prunes false candidates at O(d·len) instead.)
+    * Candidates are therefore one equi-join on the prefix gram hash
+    * (explode factor ≤ q·d+1, shuffle keys md5-uniform) filtered by
+    * length (|Δlen| ≤ d, implied by ed ≤ d), then verified with Spark's
+    * THRESHOLDED `levenshtein(l, r, d)` — the banded DP, codegen'd, which
+    * abandons a pair the moment the distance exceeds d.
+    *
+    * Strings too short to own q·d+1 grams (len < q·(d+1)) cannot rely on
+    * the pigeonhole and take a length-banded equi-join instead; a partner
+    * of such a string has len < q·(d+1)+d by the length filter, so the
+    * short route's frame is bounded by the short tail of the length
+    * distribution, never the corpus. Pairs where BOTH sides are
+    * gram-eligible are excluded from the short route, so no pair is
+    * emitted twice.
+    *
+    * At 100 TB: one explode (≤ q·d+1 rows per string, carrying the string
+    * payload for the zero-join verify), one equi-join shuffle on uniform
+    * md5 keys, one dropDuplicates on the candidate pair ids. Designed for
+    * SHORT strings (titles, URLs, lines, names — the strings edit distance
+    * is meaningful for); for documents, shingle-level containment or
+    * minhash is the right tier. NULL strings are dropped (edit distance to
+    * NULL is undefined; filter upstream to keep them).
+    */
+  def editDistanceSelfJoin(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int = 2, distCol: String = "dist"): DataFrame = {
+    require(maxDist >= 0, s"editDistanceSelfJoin: maxDist $maxDist must be >= 0")
+    require(q >= 1, s"editDistanceSelfJoin: q $q must be >= 1")
+    val prefLen = q * maxDist + 1
+    val minGramLen = q * (maxDist + 1) // len >= this  <=>  #grams >= prefLen
+    val base = df
+      .filter(col(idCol).isNotNull && col(strCol).isNotNull)
+      .select(col(idCol).as("__id"), col(strCol).as("__s"),
+        length(col(strCol)).as("__len"))
+
+    // Gram route: strings owning >= prefLen grams. Prefix = first
+    // prefLen (md5(gram), pos) structs under array_sort's struct order —
+    // md5 first, position tiebreak, fully deterministic with zero
+    // statistics passes (frequency-ascending ordering is the classical
+    // candidate-minimizing refinement; it costs a corpus aggregate and
+    // changes no answers, so this implementation trades it for a
+    // stat-free plan).
+    val eligible = base.filter(col("__len") >= minGramLen)
+    val pref = eligible
+      .withColumn("__pg", slice(array_sort(transform(
+        sequence(lit(1), col("__len") - (q - 1)),
+        i => struct(md5(col("__s").substr(i, lit(q))).as("h"), i.as("p")))),
+        1, prefLen))
+      .select(col("__id"), col("__s"), col("__len"),
+        col("__pg.h").as("__hs"))
+      .select(col("__id"), col("__s"), col("__len"),
+        explode(array_distinct(col("__hs"))).as("__h"))
+    val l = pref.toDF("id1", "s1", "len1", "h1")
+    val r = pref.toDF("id2", "s2", "len2", "h2")
+    val gramCand = l.join(r,
+        col("h1") === col("h2") &&
+          col("id1") < col("id2") &&
+          abs(col("len1") - col("len2")) <= maxDist)
+      .select("id1", "s1", "id2", "s2")
+      .dropDuplicates("id1", "id2")
+
+    // Short route: at least one side below the gram-eligibility bound.
+    // Left joins on its exact length; right explodes the d+1 candidate
+    // partner lengths <= its own, so each unordered pair matches exactly
+    // one (length, direction) key — direction is shorter-left (id-ordered
+    // on equal lengths), NOT id-ordered, so the emitted ids re-canonicalize
+    // via least/greatest; no post-join dedup needed.
+    val shortAll = base.filter(col("__len") < minGramLen + maxDist)
+    val shortL = shortAll.toDF("id1", "s1", "len1")
+    val shortR = shortAll
+      .withColumn("__k", explode(sequence(col("__len") - maxDist, col("__len"))))
+      .filter(col("__k") >= 0)
+      .toDF("id2", "s2", "len2", "k")
+    val shortCand = shortL.join(shortR,
+        col("len1") === col("k") &&
+          (col("len1") < col("len2") ||
+            (col("len1") === col("len2") && col("id1") < col("id2"))) &&
+          (col("len1") < minGramLen || col("len2") < minGramLen))
+      .select(least(col("id1"), col("id2")).as("id1"), col("s1"),
+        greatest(col("id1"), col("id2")).as("id2"), col("s2"))
+
+    gramCand.unionAll(shortCand)
+      .withColumn(distCol, levenshtein(col("s1"), col("s2"), maxDist))
+      .filter(col(distCol) >= 0) // thresholded form returns -1 past maxDist
+      .select(col("id1"), col("id2"), col(distCol))
+  }
+
+  /** Asymmetric shingle-containment self-join: ordered pairs (a, b),
+    * a ≠ b, with C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| ≥
+    * `minContainment` — "a is (mostly) contained in b". The signal Jaccard
+    * structurally misses: a paragraph quoted inside a 100× longer page has
+    * J ≈ |a|/|b| ≈ 0.01 but C(a→b) = 1.0. Standard alongside dedup in web
+    * curation (quote/boilerplate provenance, near-complete-copy with
+    * additions).
+    *
+    * Route (exact, PPJoin-style asymmetric prefix filter): C(a→b) ≥ c
+    * needs overlap ≥ ⌈c·|A|⌉, so under any global gram order a's first
+    * |A| − ⌈c·|A|⌉ + 1 grams (≈ (1−c)·|A|+1, SMALL for high c) must hit
+    * b — the contained side explodes only its prefix, while the containing
+    * side exposes all grams (asymmetry is irreducible: b must be findable
+    * by ANY of its grams). Candidates equi-join on the 64-bit gram hash,
+    * dedup to pairs, then the sorted-set arrays join back and the
+    * merge-pass [[graft.functions.LongSetOps.computeOverlap]] kernel
+    * verifies the exact count — same verify shape as the minhash route
+    * (`Dedup.minhashDedup`), reusing its hashed-shingle representation
+    * (Jaccard/containment unchanged up to 2^-64 collisions).
+    *
+    * At scale the containing side's full inverted index is the dominant
+    * exchange — linear in corpus grams, the exact shape `ngram_novelty`
+    * and the decontaminator already pay; ultra-common grams fan out
+    * candidates, which the (1−c)-sized probe prefix bounds from the
+    * probing side.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, minContainment: Double = 0.8,
+      contCol: String = "containment"): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"containmentPairs: minContainment $minContainment must be in (0, 1]")
+    val sh = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        array_sort(array_distinct(graft.functions.MinHashExpr.shingleHashes(
+          split(trim(col(textCol)), "\\s+"), shingleLen))).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    // Probe prefix: smallest md5-ordered slice that MUST intersect any
+    // containing superset — |A| − ⌈c·|A|⌉ + 1 grams. The gram hashes are
+    // already 64-bit uniform; ordering by md5 of their decimal form keeps
+    // the global-order convention identical to the ED-Join prefix (any
+    // fixed total order is correct — only candidate counts change).
+    val nGrams = size(col("__sh"))
+    val probeLen = (nGrams - ceil(nGrams * minContainment) + lit(1)).cast("int")
+    val probe = sh
+      .select(col("__id").as("id1"),
+        explode(slice(
+          array_sort(transform(col("__sh"),
+            g => struct(md5(g.cast("string")).as("h"), g.as("g")))),
+          lit(1), probeLen)).as("__pg"))
+      .select(col("id1"), col("__pg.g").as("__g"))
+    val index = sh
+      .select(col("__id").as("id2"), explode(col("__sh")).as("__g"))
+    val cand = probe.join(index,
+        probe("__g") === index("__g") && col("id1") =!= col("id2"))
+      .select("id1", "id2")
+      .dropDuplicates("id1", "id2")
+    // Verify: join the sorted set arrays back and run the merge-pass
+    // intersection kernel once per candidate pair.
+    val a = sh.toDF("id1", "sh1")
+    val b = sh.toDF("id2", "sh2")
+    cand.join(a, "id1").join(b, "id2")
+      .withColumn(contCol,
+        graft.functions.VectorExprs.longSetOverlap(col("sh1"), col("sh2"))
+          .cast("double") / size(col("sh1")))
+      .filter(col(contCol) >= minContainment)
+      .select(col("id1"), col("id2"), col(contCol))
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.FuzzyJoin
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Classic DP Levenshtein — the independent referee for the brute force. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0)
+      d(0) = j
+      for (i <- 1 to a.length) {
+        val t = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = t
+      }
+    }
+    d(a.length)
+  }
+
+  private def bruteForce(strs: Seq[(Long, String)], d: Int): Set[(Long, Long, Int)] =
+    (for {
+      (i1, s1) <- strs
+      (i2, s2) <- strs
+      if i1 < i2
+      dist = lev(s1, s2)
+      if dist <= d
+    } yield (i1, i2, dist)).toSet
+
+  private def run(strs: Seq[(Long, String)], d: Int, q: Int): Set[(Long, Long, Int)] =
+    FuzzyJoin.editDistanceSelfJoin(strs.toDF("id", "s"), "id", "s", d, q)
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("editDistanceSelfJoin equals brute force on randomized corpora " +
+      "across (d, q) tiers — small alphabet forces dense near-matches") {
+    // Alphabet 4 + lengths 0..13 make true pairs plentiful at every d,
+    // including the short-route band (len < q·(d+1)) and cross-band pairs.
+    val rng = new scala.util.Random(41)
+    val strs = (0 until 130).map { i =>
+      val n = rng.nextInt(14)
+      (i.toLong, (0 until n).map(_ => ('a' + rng.nextInt(4)).toChar).mkString)
+    }
+    for (d <- Seq(0, 1, 2, 3); q <- Seq(2, 3)) {
+      val expected = bruteForce(strs, d)
+      val got = run(strs, d, q)
+      assert(got == expected,
+        s"d=$d q=$q: missing=${(expected -- got).take(5)} " +
+          s"extra=${(got -- expected).take(5)}")
+      assert(expected.nonEmpty || d == 0, s"d=$d produced no true pairs")
+    }
+  }
+
+  test("editDistanceSelfJoin: duplicates, empties, and null hygiene") {
+    val strs = Seq((1L, ""), (2L, ""), (3L, "a"), (4L, "ab"), (5L, "abcdefgh"),
+      (6L, "abcdefgh"), (7L, "abcdefxh"))
+    val got = run(strs, 1, 2)
+    val expected = bruteForce(strs, 1)
+    assert(got == expected)
+    assert(got.contains((1L, 2L, 0))) // two empties pair at distance 0
+    assert(got.contains((5L, 6L, 0)) && got.contains((5L, 7L, 1)))
+    // NULL ids / strings are dropped, not crashed on.
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(8L, null.asInstanceOf[String]),
+        org.apache.spark.sql.Row(9L, "ab")),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("s", "string"))
+    assert(FuzzyJoin.editDistanceSelfJoin(withNull, "id", "s", 2).count() == 0)
+  }
+
+  test("editDistanceSelfJoin scale shape: no cross join in the plan") {
+    val df = (0 until 50).map(i => (i.toLong, s"string_number_$i")).toDF("id", "s")
+    val plan = FuzzyJoin.editDistanceSelfJoin(df, "id", "s", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"ED-Join must stay an equi-join candidate route:\n$plan")
+  }
+
+  private def shingles(text: String, n: Int = 3): Set[String] = {
+    val w = text.trim.split("\\s+").toSeq
+    if (w.length <= n) Set(w.mkString(" "))
+    else w.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  test("containmentPairs equals brute force and catches the asymmetric " +
+      "quote case Jaccard misses") {
+    val rng = new scala.util.Random(17)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val docs = (0 until 40).map { i =>
+      val n = 4 + rng.nextInt(20)
+      (i.toLong, (0 until n).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq(
+      // doc 100 is a verbatim quote inside the much longer doc 101.
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, ("alpha beta gamma delta epsilon " +
+        (0 until 60).map(i => s"pad$i").mkString(" "))))
+    val c = 0.6
+    val got = FuzzyJoin.containmentPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 3, c)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (i1, t1) <- docs
+      (i2, t2) <- docs
+      if i1 != i2
+      a = shingles(t1); b = shingles(t2)
+      if a.intersect(b).size.toDouble / a.size >= c
+    } yield (i1, i2)).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(got.contains((100L, 101L)), "quote containment must be found")
+    assert(!got.contains((101L, 100L)), "containment is asymmetric")
+    // Jaccard on the same pair is far below the containment score.
+    val a = shingles(docs.find(_._1 == 100L).get._2)
+    val b = shingles(docs.find(_._1 == 101L).get._2)
+    assert(a.intersect(b).size.toDouble / a.union(b).size < 0.1)
+  }
+
+  test("containmentPairs honors the probe-prefix bound at high thresholds") {
+    // c = 1.0 → probe prefix of size 1: full containment must still be
+    // exact with the minimal probe.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "x y z q r s")).toDF("doc_id", "text")
+    val got = FuzzyJoin.containmentPairs(docs, "doc_id", "text", 3, 1.0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+}
