@@ -1554,6 +1554,38 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "source_warc" -> ((s, dir) => {
+      // WARC/WET ingestion end to end and DISTRIBUTED: the corpus is
+      // materialized as real ISO-28500 archives — a plain .warc of WET
+      // conversion records and a CommonCrawl-layout .warc.gz (one gzip
+      // member per record) whose first 10 docs ALSO appear as HTTP
+      // response records — read back via binaryFile + the length-framed
+      // executor-side parser; payload text is md5-pinned per record type.
+      import graft.connectors.WarcLite
+      import graft.connectors.WarcLite.WarcRecord
+      val tmp = java.nio.file.Files.createTempDirectory("graft_verify_warc")
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 40)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val conv = docs.map { case (id, t) =>
+        WarcRecord("conversion", s"http://docs/$id", "2026-01-01T00:00:00Z",
+          "text/plain", t.getBytes("UTF-8")) }
+      val resp = docs.take(10).map { case (id, t) =>
+        WarcRecord("response", s"http://docs/$id", "2026-01-01T00:00:00Z",
+          "application/http; msgtype=response",
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=UTF-8\r\n\r\n" + t)
+            .getBytes("UTF-8")) }
+      java.nio.file.Files.write(tmp.resolve("wet0.warc"),
+        WarcLite.writeRecords(conv.take(20).toSeq))
+      java.nio.file.Files.write(tmp.resolve("seg1.warc.gz"),
+        WarcLite.writeGzipMembers((conv.drop(20) ++ resp).toSeq))
+      WarcLite.toDf(s, tmp.toString + "/*")
+        .select(regexp_extract(col("target_uri"), "(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), md5(col("text")).as("content_md5"))
+        .orderBy("doc_id", "warc_type")
+    }),
+
     "source_dir_pdf" -> ((s, dir) => {
       // The DirectoryReader pdf path end to end and DISTRIBUTED: docs are
       // materialized as REAL single-page PDFs (PdfLite.writeSimplePdf —
@@ -4087,6 +4119,16 @@ object Queries {
     "source_dir_pdf" ->
       """SELECT doc_id, 0 AS page, md5(trim(text)) AS content_md5
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    // Every doc < 40 once as a WET conversion record; the first 10 again
+    // as HTTP response records whose bodies round-trip byte-exactly.
+    "source_warc" ->
+      """SELECT doc_id, warc_type, md5(text) AS content_md5 FROM (
+        |  SELECT doc_id, 'conversion' AS warc_type, text
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id, 'response', text FROM documents WHERE doc_id < 10)
+        |ORDER BY doc_id, warc_type""".stripMargin,
 
     // Retrieval top-20 by cosine (the sem_search truth), reranked by
     // overlap(query terms)/sqrt(doc tokens) with candidate-order

@@ -1,0 +1,194 @@
+package graft.connectors
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Zero-dependency WARC/WET reader and writer (ISO 28500; the
+  * CommonCrawl container format) — the front door of a web-scale
+  * training-data pipeline. The reference ingests documents through
+  * directory/web loaders (lotus/file_extractors/directory_reader.py,
+  * lotus/web_search); crawl archives are the same surface at 100 TB, so
+  * this rides the identical distributed shape as [[DirectoryReaderLite]]:
+  * `binaryFile` rows → per-file executor-side parse, never the driver.
+  *
+  * Parsing is Content-Length-driven (the ONLY correct framing — payloads
+  * legally contain the record delimiter bytes), tolerant of LF-only
+  * headers, and transparently inflates gzip input including the
+  * per-record-member layout CommonCrawl ships (`GZIPInputStream` walks
+  * concatenated members natively). Malformed framing fails LOUDLY with
+  * the file offset — a silently resynchronizing reader would truncate
+  * payloads into plausible-looking garbage rows that poison dedup and
+  * embeddings downstream.
+  *
+  * Scale note: WARC members are only splittable at record boundaries, so
+  * the unit of parallelism is the FILE (CommonCrawl ships ~1 GB segments
+  * in the tens of thousands per crawl — ample). `binaryFile` caps at
+  * `spark.sql.files.maxPartitionBytes` per task either way; one archive
+  * segment per task is the standard layout this reader is built for.
+  */
+object WarcLite {
+
+  /** One logical WARC record for the writer side. */
+  case class WarcRecord(warcType: String, targetUri: String, date: String,
+      contentType: String, payload: Array[Byte],
+      extraHeaders: Seq[(String, String)] = Nil)
+
+  /** Serialize records as one plain WARC stream (WARC/1.0 framing). */
+  def writeRecords(records: Seq[WarcRecord]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach { r =>
+      val h = new StringBuilder()
+        .append("WARC/1.0\r\n")
+        .append(s"WARC-Type: ${r.warcType}\r\n")
+        .append(if (r.targetUri.nonEmpty) s"WARC-Target-URI: ${r.targetUri}\r\n" else "")
+        .append(if (r.date.nonEmpty) s"WARC-Date: ${r.date}\r\n" else "")
+        .append(s"Content-Type: ${r.contentType}\r\n")
+      r.extraHeaders.foreach { case (k, v) => h.append(s"$k: $v\r\n") }
+      h.append(s"Content-Length: ${r.payload.length}\r\n\r\n")
+      out.write(h.toString.getBytes(UTF_8))
+      out.write(r.payload)
+      out.write("\r\n\r\n".getBytes(UTF_8))
+    }
+    out.toByteArray
+  }
+
+  /** Serialize as per-record gzip members — the CommonCrawl .warc.gz
+    * layout (each record its own member, so a range request can inflate
+    * one record without its neighbors).
+    */
+  def writeGzipMembers(records: Seq[WarcRecord]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new GZIPOutputStream(out)
+      gz.write(writeRecords(Seq(r)))
+      gz.finish()
+    }
+    out.toByteArray
+  }
+
+  private def inflateIfGzip(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1f && (bytes(1) & 0xFF) == 0x8b) {
+      val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } else bytes
+
+  /** Parse a (possibly gzipped) WARC stream into (headers, payload) pairs.
+    * Header names are lower-cased; values keep their bytes verbatim.
+    */
+  def parse(bytes0: Array[Byte]): Seq[(Map[String, String], Array[Byte])] = {
+    val bytes = inflateIfGzip(bytes0)
+    val out = Seq.newBuilder[(Map[String, String], Array[Byte])]
+    var pos = 0
+    def headerEnd(from: Int): Int = {
+      // First blank line: \r\n\r\n or \n\n (tolerate LF-only producers).
+      var i = from
+      while (i < bytes.length) {
+        if (bytes(i) == '\n') {
+          var j = i + 1
+          if (j < bytes.length && bytes(j) == '\r') j += 1
+          if (j < bytes.length && bytes(j) == '\n') return j + 1
+        }
+        i += 1
+      }
+      -1
+    }
+    while (pos < bytes.length) {
+      while (pos < bytes.length && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
+      if (pos < bytes.length) {
+        val he = headerEnd(pos)
+        require(he > 0, s"WarcLite: unterminated header block at offset $pos")
+        val headerTxt = new String(bytes, pos, he - pos, UTF_8)
+        val lines = headerTxt.split("\n").map(_.stripSuffix("\r"))
+        require(lines.nonEmpty && lines.head.startsWith("WARC/"),
+          s"WarcLite: record at offset $pos does not start with a WARC/x.y " +
+            s"version line (got '${lines.headOption.getOrElse("")}') — refusing " +
+            "to resynchronize; truncated frames must fail, not yield garbage rows")
+        val headers = lines.tail.filter(_.contains(":")).map { l =>
+          val i = l.indexOf(':')
+          l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim
+        }.toMap
+        val len = headers.getOrElse("content-length",
+          throw new IllegalArgumentException(
+            s"WarcLite: record at offset $pos has no Content-Length — " +
+              "payloads may contain delimiter bytes, so framing MUST be " +
+              "length-driven")).toLong
+        require(he + len <= bytes.length,
+          s"WarcLite: record at offset $pos declares Content-Length $len " +
+            s"past end of stream (${bytes.length - he} bytes remain) — " +
+            "truncated archive")
+        out += ((headers, java.util.Arrays.copyOfRange(bytes, he, (he + len).toInt)))
+        pos = (he + len).toInt
+      }
+    }
+    out.result()
+  }
+
+  /** Split an HTTP message payload (a WARC `response`/`request` record
+    * body) into (head, body). Chunked transfer encodings are NOT decoded —
+    * crawl writers store the decoded body (CommonCrawl does); a reader
+    * needing wire-exact chunk handling should layer it on the raw payload.
+    */
+  def httpBody(payload: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n')
+        return java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
+      i += 1
+    }
+    payload // headerless payload: already a bare body
+  }
+
+  private val textualTypes =
+    Seq("text/", "application/json", "application/xml", "application/xhtml")
+
+  /** Read a WARC/WET path glob into one row per record:
+    * (path, record_idx, warc_type, target_uri, warc_date, content_type,
+    * content binary, text). `text` is the UTF-8 decode of the payload for
+    * textual content types — for `response` records the HTTP BODY (status
+    * line and headers stripped), for `conversion`/`resource`/`metadata`
+    * records the payload itself (the WET path) — and NULL otherwise
+    * (binary payloads must not decode as mojibake).
+    */
+  def toDf(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    graft.core.LogLevels.quietFileStreamSinkProbe
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        parse(bytes).zipWithIndex.map { case ((h, payload), i) =>
+          val wt = h.getOrElse("warc-type", "")
+          val ct = h.getOrElse("content-type", "")
+          val body =
+            if (wt == "response" || wt == "request") httpBody(payload) else payload
+          // A response record's Content-Type describes the HTTP envelope
+          // (application/http); the BODY's type lives in the HTTP headers.
+          val bodyType =
+            if (wt == "response" || wt == "request") {
+              val head = new String(payload, 0,
+                math.min(payload.length, payload.length - body.length), UTF_8)
+              head.split("\n").map(_.stripSuffix("\r"))
+                .find(_.toLowerCase.startsWith("content-type:"))
+                .map(_.substring("content-type:".length).trim)
+                .getOrElse("")
+            } else ct
+          val text =
+            if (textualTypes.exists(t => bodyType.toLowerCase.startsWith(t)))
+              new String(body, UTF_8)
+            else null
+          (path, i, wt, h.getOrElse("warc-target-uri", null),
+            h.getOrElse("warc-date", null), ct, body, text)
+        }
+      }
+      .toDF("path", "record_idx", "warc_type", "target_uri", "warc_date",
+        "content_type", "content", "text")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.connectors.WarcLite
+import graft.connectors.WarcLite.WarcRecord
+
+class WarcSpec extends SparkSpec {
+
+  private def conv(uri: String, text: String) =
+    WarcRecord("conversion", uri, "2026-01-01T00:00:00Z", "text/plain",
+      text.getBytes(UTF_8))
+
+  test("roundtrip: plain stream, gzip members, and record fields") {
+    val recs = Seq(
+      conv("http://a", "hello world"),
+      WarcRecord("response", "http://b", "2026-01-01T00:00:00Z",
+        "application/http; msgtype=response",
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n" +
+          "<html>body</html>").getBytes(UTF_8)),
+      WarcRecord("resource", "http://c", "2026-01-01T00:00:00Z",
+        "application/octet-stream", Array[Byte](0, 1, 2, 0x1f, -117)))
+    for (bytes <- Seq(WarcLite.writeRecords(recs), WarcLite.writeGzipMembers(recs))) {
+      val parsed = WarcLite.parse(bytes)
+      assert(parsed.map(_._1("warc-type")) == Seq("conversion", "response", "resource"))
+      assert(new String(parsed.head._2, UTF_8) == "hello world")
+      assert(new String(WarcLite.httpBody(parsed(1)._2), UTF_8) == "<html>body</html>")
+      assert(parsed(2)._2.toSeq == Seq[Byte](0, 1, 2, 0x1f, -117))
+    }
+  }
+
+  test("length-driven framing: payloads containing the record delimiter " +
+      "and fake version lines parse verbatim") {
+    val evil = "x\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\ny"
+    val parsed = WarcLite.parse(WarcLite.writeRecords(Seq(conv("http://e", evil))))
+    assert(parsed.size == 1)
+    assert(new String(parsed.head._2, UTF_8) == evil)
+  }
+
+  test("malformed framing fails loudly, never resynchronizes") {
+    val good = WarcLite.writeRecords(Seq(conv("http://a", "hello")))
+    // Truncate mid-payload: declared Content-Length runs past the stream.
+    val truncated = good.take(good.length - 9)
+    val e1 = intercept[IllegalArgumentException](WarcLite.parse(truncated))
+    assert(e1.getMessage.contains("Content-Length"))
+    // Garbage prefix: no version line.
+    val e2 = intercept[IllegalArgumentException](
+      WarcLite.parse("NOT-A-WARC\r\nfoo: bar\r\n\r\n".getBytes(UTF_8)))
+    assert(e2.getMessage.contains("WARC/"))
+    // Missing Content-Length header.
+    val e3 = intercept[IllegalArgumentException](WarcLite.parse(
+      "WARC/1.0\r\nWARC-Type: conversion\r\n\r\n".getBytes(UTF_8)))
+    assert(e3.getMessage.contains("Content-Length"))
+  }
+
+  test("toDf: distributed parse, text policy per record type") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warc_spec")
+    java.nio.file.Files.write(tmp.resolve("a.warc"), WarcLite.writeRecords(Seq(
+      conv("http://a", "alpha text"),
+      WarcRecord("resource", "http://bin", "2026-01-01T00:00:00Z",
+        "application/octet-stream", Array[Byte](1, 2, 3)))))
+    java.nio.file.Files.write(tmp.resolve("b.warc.gz"), WarcLite.writeGzipMembers(Seq(
+      WarcRecord("response", "http://h", "2026-01-01T00:00:00Z",
+        "application/http; msgtype=response",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nbody here".getBytes(UTF_8)))))
+    val rows = WarcLite.toDf(spark, tmp.toString + "/*")
+      .select("warc_type", "target_uri", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("conversion", "http://a", "alpha text"),
+      ("resource", "http://bin", null), // binary payload must NOT decode
+      ("response", "http://h", "body here")))
+  }
+}
