@@ -58,9 +58,23 @@ object FuzzyJoin {
     * is meaningful for); for documents, shingle-level containment or
     * minhash is the right tier. NULL strings are dropped (edit distance to
     * NULL is undefined; filter upstream to keep them).
+    *
+    * `orderByFrequency = true` replaces the md5 gram order with document
+    * frequency ascending (rarest-first prefixes — ED-Join §4.1's actual
+    * ordering) at the cost of a df aggregate plus a per-string bounded
+    * rank window. Exactness is preserved under ANY total order; taking
+    * the first q·d+1 DISTINCT grams only widens the multiset prefix's
+    * value set. On gram-dense corpora (short alphabets, heavy shared
+    * substrings) it cuts the candidate join directly — measured 2.3× at
+    * the ×30 synthetic geometry (29k phrases over a ~30-word vocab, an
+    * adversarially gram-dense corpus; `fuzzy_join_scale` in
+    * BENCH_HISTORY.jsonl). `q` is the other selectivity knob: larger
+    * grams are rarer (fewer candidates) but cost a longer prefix
+    * (q·d+1) and exclude more strings to the short route.
     */
   def editDistanceSelfJoin(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int, q: Int = 2, distCol: String = "dist"): DataFrame = {
+      maxDist: Int, q: Int = 2, distCol: String = "dist",
+      orderByFrequency: Boolean = false): DataFrame = {
     require(maxDist >= 0, s"editDistanceSelfJoin: maxDist $maxDist must be >= 0")
     require(q >= 1, s"editDistanceSelfJoin: q $q must be >= 1")
     val prefLen = q * maxDist + 1
@@ -78,15 +92,29 @@ object FuzzyJoin {
     // changes no answers, so this implementation trades it for a
     // stat-free plan).
     val eligible = base.filter(col("__len") >= minGramLen)
-    val pref = eligible
-      .withColumn("__pg", slice(array_sort(transform(
-        sequence(lit(1), col("__len") - (q - 1)),
-        i => struct(md5(col("__s").substr(i, lit(q))).as("h"), i.as("p")))),
-        1, prefLen))
-      .select(col("__id"), col("__s"), col("__len"),
-        col("__pg.h").as("__hs"))
-      .select(col("__id"), col("__s"), col("__len"),
-        explode(array_distinct(col("__hs"))).as("__h"))
+    val pref =
+      if (orderByFrequency) {
+        val gramsAll = eligible.select(col("__id"), col("__s"), col("__len"),
+          explode(array_distinct(transform(
+            sequence(lit(1), col("__len") - (q - 1)),
+            i => md5(col("__s").substr(i, lit(q)))))).as("__h"))
+        val dfreq = gramsAll.groupBy("__h").agg(count(lit(1)).as("__df"))
+        val rn = row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__id")).orderBy(col("__df"), col("__h")))
+        gramsAll.join(dfreq, "__h")
+          .withColumn("__rn", rn)
+          .filter(col("__rn") <= prefLen)
+          .select(col("__id"), col("__s"), col("__len"), col("__h"))
+      } else eligible
+        .withColumn("__pg", slice(array_sort(transform(
+          sequence(lit(1), col("__len") - (q - 1)),
+          i => struct(md5(col("__s").substr(i, lit(q))).as("h"), i.as("p")))),
+          1, prefLen))
+        .select(col("__id"), col("__s"), col("__len"),
+          col("__pg.h").as("__hs"))
+        .select(col("__id"), col("__s"), col("__len"),
+          explode(array_distinct(col("__hs"))).as("__h"))
     val l = pref.toDF("id1", "s1", "len1", "h1")
     val r = pref.toDF("id2", "s2", "len2", "h2")
     val gramCand = l.join(r,
@@ -144,13 +172,23 @@ object FuzzyJoin {
     *
     * At scale the containing side's full inverted index is the dominant
     * exchange — linear in corpus grams, the exact shape `ngram_novelty`
-    * and the decontaminator already pay; ultra-common grams fan out
-    * candidates, which the (1−c)-sized probe prefix bounds from the
-    * probing side.
+    * and the decontaminator already pay. The probe prefix's GRAM ORDER
+    * decides the candidate count: the default md5 order is statistics-free
+    * but samples grams uniformly, so on corpora dense in shared grams
+    * (boilerplate, tiny vocabularies) a probe gram can carry a huge
+    * document frequency and the candidate join goes quadratic in it.
+    * `orderByFrequency = true` spends two extra linear shuffles (gram df
+    * aggregate + per-doc rank) to probe with each document's RAREST
+    * (1−c)·|A|+1 grams instead — the PPJoin/ED-Join canonical ordering,
+    * near-minimal candidates. Both orders are total, so BOTH routes are
+    * exact; only the pruning power differs. Use frequency ordering
+    * whenever the corpus is large enough that the df aggregate is cheaper
+    * than the extra candidates (that is: almost always past toy scale).
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, minContainment: Double = 0.8,
-      contCol: String = "containment"): DataFrame = {
+      contCol: String = "containment",
+      orderByFrequency: Boolean = false): DataFrame = {
     require(minContainment > 0.0 && minContainment <= 1.0,
       s"containmentPairs: minContainment $minContainment must be in (0, 1]")
     val sh = df
@@ -166,15 +204,31 @@ object FuzzyJoin {
     // fixed total order is correct — only candidate counts change).
     val nGrams = size(col("__sh"))
     val probeLen = (nGrams - ceil(nGrams * minContainment) + lit(1)).cast("int")
-    val probe = sh
-      .select(col("__id").as("id1"),
-        explode(slice(
-          array_sort(transform(col("__sh"),
-            g => struct(md5(g.cast("string")).as("h"), g.as("g")))),
-          lit(1), probeLen)).as("__pg"))
-      .select(col("id1"), col("__pg.g").as("__g"))
     val index = sh
       .select(col("__id").as("id2"), explode(col("__sh")).as("__g"))
+    val probe =
+      if (orderByFrequency) {
+        // Rarest-first probe: rank each doc's grams by corpus document
+        // frequency (ties by gram — a total order), keep the first
+        // probeLen. The rank window partitions by doc id (≤ |A| rows per
+        // partition — never a global window).
+        val dfreq = index.groupBy("__g").agg(count(lit(1)).as("__df"))
+        val rn = row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__id")).orderBy(col("__df"), col("__g")))
+        sh.select(col("__id"), explode(col("__sh")).as("__g"),
+            probeLen.as("__pl"))
+          .join(dfreq, "__g")
+          .withColumn("__rn", rn)
+          .filter(col("__rn") <= col("__pl"))
+          .select(col("__id").as("id1"), col("__g"))
+      } else
+        sh.select(col("__id").as("id1"),
+            explode(slice(
+              array_sort(transform(col("__sh"),
+                g => struct(md5(g.cast("string")).as("h"), g.as("g")))),
+              lit(1), probeLen)).as("__pg"))
+          .select(col("id1"), col("__pg.g").as("__g"))
     val cand = probe.join(index,
         probe("__g") === index("__g") && col("id1") =!= col("id2"))
       .select("id1", "id2")

@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale record for the fuzzy-join family: ED-Join over the corpus's
+  * distinct 3-word phrases and containment over full documents, on a
+  * prebuilt blow-up. The blow-up corpus is adversarial for containment —
+  * a ~30-word vocabulary makes every shingle ultra-common — so this is
+  * exactly the geometry where the md5-ordered probe goes quadratic and
+  * `orderByFrequency` has to earn its two extra shuffles; both variants
+  * are timed so the doc claim is a measured number.
+  *
+  * Usage:
+  *   SPARK_GRAFT_SCALE_PREBUILT=/tmp/graft_scaleNNN \
+  *     sbt -batch "runMain graft.tools.FuzzyScaleBench"
+  */
+object FuzzyScaleBench {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_PREBUILT",
+      sys.error("set SPARK_GRAFT_SCALE_PREBUILT to a blow-up dir"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = ScaleStress.sfLabel(dir, dir, 0, 0.0)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // ED-Join: the corpus's distinct 3-word phrases within levenshtein 2
+    // (the edit_distance_join gate's workload, unsliced).
+    val words = split(trim(col("text")), "\\s+")
+    val phrases = d.select(explode(when(size(words) <= 3,
+        array(concat_ws(" ", words)))
+      .otherwise(transform(sequence(lit(1), size(words) - 2),
+        i => concat_ws(" ", slice(words, i, lit(3)))))).as("p"))
+      .distinct()
+    val nPhrases = phrases.count() // materializes the distinct once, warm
+    val edQ = sys.env.getOrElse("SPARK_GRAFT_FUZZY_Q", "2").toInt
+    val (edPairsFreq, edFreqSec) = time(
+      graft.operators.FuzzyJoin.editDistanceSelfJoin(
+        phrases.withColumn("id", col("p")), "id", "p", maxDist = 2, q = edQ,
+        orderByFrequency = true).count())
+    // Containment at c = 0.8 over FULL documents, both probe orders.
+    val (contPairsFreq, contFreqSec) = time(
+      graft.operators.FuzzyJoin.containmentPairs(
+        d, "doc_id", "text", 3, 0.8, orderByFrequency = true).count())
+    // The md5-order baselines are the expensive leg on this gram-dense
+    // geometry; skip with SPARK_GRAFT_FUZZY_HASH_ORDER=0 when iterating.
+    val hashBudget = sys.env.getOrElse("SPARK_GRAFT_FUZZY_HASH_ORDER", "1") == "1"
+    val (edPairsHash, edHashSec) =
+      if (hashBudget) time(graft.operators.FuzzyJoin.editDistanceSelfJoin(
+        phrases.withColumn("id", col("p")), "id", "p", maxDist = 2,
+        q = edQ).count())
+      else ((-1L, -1.0))
+    require(!hashBudget || edPairsHash == edPairsFreq,
+      s"ED gram orders must agree: $edPairsHash vs $edPairsFreq")
+    val (contPairsHash, contHashSec) =
+      if (hashBudget) time(graft.operators.FuzzyJoin.containmentPairs(
+        d, "doc_id", "text", 3, 0.8).count())
+      else ((-1L, -1.0))
+    require(!hashBudget || contPairsHash == contPairsFreq,
+      s"probe orders must agree: $contPairsHash vs $contPairsFreq")
+    val rec = s"""{"metric":"fuzzy_join_scale","sf":"$sf","ed_q":$edQ,""" +
+      s""""ed_phrases":$nPhrases,"ed_pairs":$edPairsFreq,""" +
+      s""""ed_freq_sec":$edFreqSec,"ed_hash_sec":$edHashSec,""" +
+      s""""cont_pairs":$contPairsFreq,"cont_freq_sec":$contFreqSec,""" +
+      s""""cont_hash_sec":$contHashSec}"""
+    println(rec)
+    try
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        (rec + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Exception => () }
+    spark.stop()
+  }
+}

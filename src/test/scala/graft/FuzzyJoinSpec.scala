@@ -52,6 +52,11 @@ class FuzzyJoinSpec extends SparkSpec {
           s"extra=${(got -- expected).take(5)}")
       assert(expected.nonEmpty || d == 0, s"d=$d produced no true pairs")
     }
+    // Rarest-first gram order changes candidates, never answers.
+    val gotFreq = FuzzyJoin.editDistanceSelfJoin(strs.toDF("id", "s"),
+        "id", "s", 2, 2, orderByFrequency = true)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(gotFreq == bruteForce(strs, 2))
   }
 
   test("editDistanceSelfJoin: duplicates, empties, and null hygiene") {
@@ -102,6 +107,11 @@ class FuzzyJoinSpec extends SparkSpec {
     val got = FuzzyJoin.containmentPairs(docs.toDF("doc_id", "text"),
         "doc_id", "text", 3, c)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // Frequency-ordered probes change CANDIDATES, never answers.
+    val gotFreq = FuzzyJoin.containmentPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 3, c, orderByFrequency = true)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(gotFreq == got, "rarest-first probe order must be exact")
     val expected = (for {
       (i1, t1) <- docs
       (i2, t2) <- docs
