@@ -1554,6 +1554,29 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "sink_tar_shards" -> ((s, dir) => {
+      // WebDataset export end to end: docs → 4 POSIX ustar shards (txt +
+      // json per sample, pinned headers) → distributed read-back → per-
+      // sample md5 of BOTH modalities. GNU-tar interop is spec-pinned;
+      // here the oracle pins that the bytes that came back out of the
+      // tar containers are exactly the corpus bytes.
+      import graft.connectors.TarShards
+      val tmp = java.nio.file.Files.createTempDirectory("graft_verify_tar")
+      val d = read(s, dir, "documents").filter(col("doc_id") < 50)
+        .withColumn("key", format_string("%06d", col("doc_id")))
+        .withColumn("meta", concat(lit("{\"doc_id\":"),
+          col("doc_id").cast("string"), lit(",\"lang\":\""), col("lang"),
+          lit("\"}")))
+      TarShards.writeShards(d, "key",
+        Map("txt" -> col("text"), "json" -> col("meta")),
+        tmp.toString, numShards = 4)
+      TarShards.readShards(s, tmp.toString + "/*.tar")
+        .select(col("key").cast("long").as("doc_id"),
+          md5(col("parts")("txt").cast("string")).as("txt_md5"),
+          md5(col("parts")("json").cast("string")).as("json_md5"))
+        .orderBy("doc_id")
+    }),
+
     "source_warc" -> ((s, dir) => {
       // WARC/WET ingestion end to end and DISTRIBUTED: the corpus is
       // materialized as real ISO-28500 archives — a plain .warc of WET
@@ -4118,6 +4141,12 @@ object Queries {
     // The pdf write → inflate → Tj-scan round trip is exact modulo trim.
     "source_dir_pdf" ->
       """SELECT doc_id, 0 AS page, md5(trim(text)) AS content_md5
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    // Both tar-shard modalities round-trip byte-exactly per sample.
+    "sink_tar_shards" ->
+      """SELECT doc_id, md5(text) AS txt_md5,
+        |  md5('{"doc_id":' || doc_id || ',"lang":"' || lang || '"}') AS json_md5
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
 
     // Every doc < 40 once as a WET conversion record; the first 10 again
