@@ -1554,6 +1554,37 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "stream_warc_ingest" -> ((s, dir) => withShufflePartitions(s, 8) {
+      // Continuous crawl ingestion: gzip-member WARC segments LAND in a
+      // directory across two real microbatches; the streaming twin of the
+      // batch parser (same executor-side parse — they cannot drift) emits
+      // every conversion record exactly once. Oracle: per-doc payload md5
+      // equals the corpus.
+      import graft.connectors.WarcLite
+      import graft.connectors.WarcLite.WarcRecord
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_warc")
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 40)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      def seg(part: Array[(Long, String)]) =
+        WarcLite.writeGzipMembers(part.map { case (id, t) =>
+          WarcRecord("conversion", s"http://docs/$id",
+            "2026-01-01T00:00:00Z", "text/plain", t.getBytes("UTF-8")) }.toSeq)
+      java.nio.file.Files.write(tmp.resolve("seg-000.warc.gz"), seg(docs.take(20)))
+      val sink = "stream_warc_sink"
+      s.catalog.dropTempView(sink)
+      val q = WarcLite.toStreamDf(s, tmp.toString)
+        .select(regexp_extract(col("target_uri"), "(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          md5(col("text")).as("content_md5"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      q.processAllAvailable()
+      java.nio.file.Files.write(tmp.resolve("seg-001.warc.gz"), seg(docs.drop(20)))
+      q.processAllAvailable(); q.stop()
+      s.table(sink).orderBy("doc_id")
+    }),
+
     "sink_tar_shards" -> ((s, dir) => {
       // WebDataset export end to end: docs → 4 POSIX ustar shards (txt +
       // json per sample, pinned headers) → distributed read-back → per-
@@ -3191,6 +3222,23 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "tokenize_roundtrip" -> ((s, dir) => {
+      // Losslessness of the greedy longest-match kernel: every character
+      // of every (normalized) document is covered exactly once, in order
+      // — detokenization is pure concatenation. freqVocab's char 1-grams
+      // come from this corpus, so coverage is total and no <unk> can
+      // hide a dropped span. A kernel that skipped, duplicated, or
+      // reordered a span hash-mismatches the oracle's direct
+      // whitespace-stripped normalization.
+      val d = read(s, dir, "documents")
+      val vocab = graft.operators.Tokenizer.freqVocab(
+        d, "text", topWords = 8, charNgramLens = Seq(1, 2))
+      graft.operators.Tokenizer.tokenize(d, "text", vocab, "pieces")
+        .select(col("doc_id"),
+          md5(concat_ws("", col("pieces"))).as("detok_md5"))
+        .orderBy("doc_id")
+    }),
+
     "tokenize_bpe" -> ((s, dir) => {
       // The BPE TRAINER on the wire (tokenize_subword gates freqVocab
       // only): train 48 merges from scratch on this corpus — the merge
@@ -4142,6 +4190,11 @@ object Queries {
     "source_dir_pdf" ->
       """SELECT doc_id, 0 AS page, md5(trim(text)) AS content_md5
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    // Two-microbatch streamed WARC ingest delivers every record once.
+    "stream_warc_ingest" ->
+      """SELECT doc_id, md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin,
 
     // Both tar-shard modalities round-trip byte-exactly per sample.
     "sink_tar_shards" ->
@@ -6084,6 +6137,15 @@ object Queries {
     // Replays the whole tokenizer in ANSI SQL: the vocab rule (top-8 words
     // by count desc/word asc + distinct char 1/2-grams over distinct
     // words), then greedy longest-match as a recursive CTE over DISTINCT
+    // Detokenization is concatenation: the kernel covers every character
+    // exactly once in order, so joined pieces equal the normalized text
+    // with whitespace removed — computed here DIRECTLY from the corpus,
+    // no tokenizer replay at all.
+    "tokenize_roundtrip" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', '', 'g')) AS detok_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // words (at each position the longest vocab piece prefixing the
     // remaining suffix — ORDER BY len DESC, p LIMIT 1 is a total order —
     // else '<unk>' advancing one char), reassembled per doc in word order.

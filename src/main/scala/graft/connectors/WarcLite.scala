@@ -158,9 +158,34 @@ object WarcLite {
     * (binary payloads must not decode as mojibake).
     */
   def toDf(spark: SparkSession, pathGlob: String): DataFrame = {
-    import spark.implicits._
     graft.core.LogLevels.quietFileStreamSinkProbe
-    spark.read.format("binaryFile").load(pathGlob)
+    parseRows(spark, spark.read.format("binaryFile").load(pathGlob))
+  }
+
+  /** Streaming twin of [[toDf]]: archives LANDING in a directory (a crawl
+    * delivering segments) parse as they arrive — the same executor-side
+    * record parse on Structured Streaming's file source, so the batch and
+    * stream paths cannot drift. Compose with `streamingDedup` /
+    * `BatchCommit` downstream for exactly-once continuous ingestion.
+    */
+  def toStreamDf(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.LogLevels.quietFileStreamSinkProbe
+    parseRows(spark, spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(dir))
+  }
+
+  private def parseRows(spark: SparkSession, files: DataFrame): DataFrame = {
+    import spark.implicits._
+    files
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
