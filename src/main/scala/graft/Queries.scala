@@ -1689,6 +1689,31 @@ object Queries {
             org.apache.spark.sql.types.LongType)))
     }),
 
+    "web_main_content" -> ((s, dir) => {
+      // DOM-density boilerplate removal (jusText family) at corpus scale:
+      // pages are CONSTRUCTED around each doc's text with nav / link-
+      // saturated sidebar / short / footer blocks and a script subtree,
+      // and the block classifier must give back exactly the article text
+      // — one narrow map over the corpus, zero UDFs, no collect. The
+      // oracle is the corpus itself (construction-based, no formula
+      // replay).
+      val pages = read(s, dir, "documents")
+        .filter(col("doc_id") < 40 && col("n_chars") >= 100)
+        .select(col("doc_id"), concat(
+          lit("<html><head><style>body{margin:0}</style>" +
+            "<script>var x='<p>decoy</p>';</script></head><body>" +
+            "<nav><a href='/'>home</a> <a href='/about'>about this site</a>" +
+            "</nav><div><a href='/1'>first sidebar link text</a> " +
+            "<a href='/2'>second sidebar link with longer text padding " +
+            "padding padding padding padding padding</a></div><p>"),
+          col("text"),
+          lit("</p><div>short</div><footer><a href='/tos'>terms</a>" +
+            "</footer></body></html>")).as("html"))
+      pages.select(col("doc_id"),
+          TF.mainContent(col("html")).as("text"))
+        .orderBy("doc_id")
+    }),
+
     "web_extract" -> ((s, dir) => {
       // webExtract end to end through the replay transport: pages built
       // around document text (tags, a style block, entities) must strip
@@ -4238,6 +4263,13 @@ object Queries {
         |SELECT doc_id,
         |  row_number() OVER (ORDER BY ov / sqrt(n) DESC, ri) - 1 AS rank
         |FROM sc ORDER BY ov / sqrt(n) DESC, ri LIMIT 5""".stripMargin,
+
+    // The block classifier returns exactly the article text planted in
+    // each constructed page (whitespace-collapsed, boilerplate gone).
+    "web_main_content" ->
+      """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+        |FROM documents WHERE doc_id < 40 AND n_chars >= 100
+        |ORDER BY doc_id""".stripMargin,
 
     // Strip the wrapper markup back to the collapsed document text.
     "web_extract" ->

@@ -10,6 +10,45 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** DOM-density main-content extraction (the jusText/Readability family
+    * — Pomikálek 2011 §3: classify block-level segments by length and
+    * link density; navigation, sidebars, and footers are short and
+    * link-saturated, article text is long and link-free). Pure column
+    * composition — zero UDFs, a billion-page extraction is one narrow
+    * map — and every regex is RE2-safe (lazy quantifiers, NO
+    * backreferences), so the identical formula replays in DuckDB when an
+    * oracle needs it; the gate instead pins CONSTRUCTION: pages built
+    * around corpus text must extract back to exactly that text.
+    *
+    * Pipeline: drop script/style subtrees → split into blocks at
+    * block-level tags → per block, tag-stripped text and its length
+    * with the <a>-subtree text length → keep blocks with
+    * `len ≥ minChars` and link density ≤ `maxLinkDensity` → join with
+    * '\n'. Character entities are passed through verbatim (compose with
+    * the web extractor's entity decoding when input needs it).
+    */
+  def mainContent(c: Column, minChars: Int = 80,
+      maxLinkDensity: Double = 0.5): Column = {
+    val noScript = regexp_replace(regexp_replace(c,
+      "(?is)<script.*?</script>", " "), "(?is)<style.*?</style>", " ")
+    val blocks = split(noScript,
+      "(?i)</?(?:p|div|h[1-6]|li|ul|ol|td|tr|table|section|article|header|footer|nav|aside|blockquote|br)[^>]*>")
+    def strippedText(b: Column) =
+      trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "), "\\s+", " "))
+    val scored = transform(blocks, b => {
+      val all = strippedText(b)
+      val nonLink = strippedText(
+        regexp_replace(b, "(?is)<a[^>]*>.*?</a>", " "))
+      struct(all.as("t"), length(all).as("n"),
+        (length(all) - length(nonLink)).as("lk"))
+    })
+    val kept = filter(scored, s =>
+      s.getField("n") >= minChars &&
+        s.getField("lk").cast("double") <=
+          s.getField("n").cast("double") * maxLinkDensity)
+    array_join(transform(kept, s => s.getField("t")), "\n")
+  }
+
   /** Whitespace token count. */
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0)).otherwise(size(split(trim(c), "\\s+")))

@@ -274,4 +274,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(e - ref) < 1e-12)
     assert(e <= math.log(3) + 1e-12)
   }
+
+  test("mainContent keeps long link-free blocks, drops nav/sidebar/footer " +
+      "and script/style subtrees") {
+    val body = "this is the long main article text of the page " * 3
+    val html =
+      "<html><head><style>body{margin:0}</style>" +
+      "<script>var x = '<p>fake</p>';</script></head><body>" +
+      "<nav><a href='/'>home</a> <a href='/a'>about</a></nav>" +
+      "<div><a href='/1'>one link</a> <a href='/2'>two links here</a> " +
+      "<a href='/3'>three more padding padding padding padding padding " +
+      "padding padding padding</a></div>" +
+      s"<p>  $body  </p>" +
+      "<div>short</div>" +
+      "<footer><a href='/tos'>terms</a></footer></body></html>"
+    val out = Seq(html).toDF("html")
+      .select(TF.mainContent(col("html")).as("t")).as[String].head()
+    assert(out == body.trim.replaceAll("\\s+", " "))
+    // A long block that is mostly anchors dies by link density even
+    // though it passes the length bound.
+    val linky = "<p>" + (1 to 12).map(i =>
+      s"<a href='/$i'>link text number $i</a>").mkString(" ") + "</p>"
+    val out2 = Seq(s"<html><body>$linky</body></html>").toDF("html")
+      .select(TF.mainContent(col("html")).as("t")).as[String].head()
+    assert(out2 == "")
+    // Two qualifying blocks join with a newline, in document order.
+    val two = s"<html><body><p>$body</p><div>x</div><p>$body</p></body></html>"
+    val out3 = Seq(two).toDF("html")
+      .select(TF.mainContent(col("html")).as("t")).as[String].head()
+    val b = body.trim.replaceAll("\\s+", " ")
+    assert(out3 == s"$b\n$b")
+  }
+
 }
