@@ -1215,7 +1215,8 @@ object Queries {
           i => concat_ws(" ", slice(words, i, lit(3)))))).as("p"))
         .distinct()
       FuzzyJoin.editDistanceSelfJoin(
-          phrases.withColumn("id", col("p")), "id", "p", maxDist = 2)
+          phrases.withColumn("id", col("p")), "id", "p", maxDist = 2,
+          orderByFrequency = true) // the scale-correct order; answers identical
         .toDF("s1", "s2", "dist")
         .orderBy("s1", "s2")
     }),

@@ -1,6 +1,6 @@
 package graft.connectors
 
-import java.io.{BufferedOutputStream, FileOutputStream}
+import java.io.BufferedOutputStream
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -75,13 +75,15 @@ object TarShards {
     bos.toByteArray
   }
 
-  /** Write `df` as WebDataset shards under `dir` (a LOCAL/posix path or
-    * any Hadoop-visible path via file:// semantics of the executor):
-    * `payload` maps extension → byte column (binary or string — strings
-    * are UTF-8 encoded); every sample key takes one file per extension.
-    * Samples are range-partitioned by `keyCol` into `numShards` shards
+  /** Write `df` as WebDataset shards under `dir` — any Hadoop-visible
+    * path (hdfs://, s3a://, file://…; each task opens the filesystem for
+    * the path's scheme with executor-side configuration, so per-session
+    * credential overrides must live in cluster conf): `payload` maps
+    * extension → byte column (binary or string — strings are UTF-8
+    * encoded); every sample key takes one file per extension. Samples
+    * are range-partitioned by `keyCol` into `numShards` shards
     * (`shard-%06d.tar`, task-deterministic names), sorted by key within
-    * each shard.
+    * each shard, each task STREAMING one tar straight to storage.
     */
   def writeShards(df: DataFrame, keyCol: String,
       payload: Map[String, Column], dir: String, numShards: Int): Unit = {
@@ -90,15 +92,23 @@ object TarShards {
     val exts = payload.keys.toSeq.sorted
     val cols = col(keyCol).cast("string").as("__key") +:
       exts.map(e => payload(e).cast("binary").as(s"__p_$e"))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .mkdirs(root)
     df.select(cols: _*)
       .repartitionByRange(numShards, col("__key"))
       .sortWithinPartitions("__key")
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val path = java.nio.file.Paths.get(dir, f"shard-$pid%06d.tar")
-        val out = new BufferedOutputStream(
-          new FileOutputStream(path.toFile), 1 << 20)
+        val path = new org.apache.hadoop.fs.Path(dir, f"shard-$pid%06d.tar")
+        // Unwrap ChecksumFileSystem: the local FS otherwise drops a .crc
+        // sidecar per shard (the training loader globs *.tar; sidecars are
+        // clutter and the tar IS the integrity unit here).
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration()) match {
+          case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+          case f => f
+        }
+        val out = new BufferedOutputStream(fs.create(path, true), 1 << 20)
         try {
           var any = false
           rows.foreach { r =>
@@ -109,7 +119,9 @@ object TarShards {
             }
           }
           out.write(new Array[Byte](1024))
-          if (!any) { out.close(); java.nio.file.Files.delete(path) }
+          out.close()
+          if (!any) fs.delete(path, false)
+          ()
         } finally try out.close() catch { case _: java.io.IOException => () }
       }
   }

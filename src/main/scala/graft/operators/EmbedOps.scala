@@ -861,11 +861,15 @@ object EmbedOps {
     // convention. The exact all-pairs ground truth is C(sampleSize, 2)
     // broadcast comparisons: bounded independent of n.
     val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, nReps))
-    val sampled = graft.core.Persist.stage(
+    // Spread before staging — the sample inherits the source layout (one
+    // parquet file → one partition) and the all-pairs nested loop below
+    // parallelizes over the streamed side's partitions (the pickBands
+    // note in Dedup).
+    val sampled = graft.core.Persist.stage(graft.core.Parallelism.spread(
       if (frac >= 1.0) reps
       else reps.filter(
         pmod(xxhash64(col(v), lit(seed + 101)), lit(1000000L)) <
-          math.round(frac * 1000000.0)))
+          math.round(frac * 1000000.0))))
     val nSample = sampled.count()
     val exact = graft.core.Persist.stage(
       sampled.toDF("id1", "v1")
