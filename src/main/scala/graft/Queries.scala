@@ -1555,6 +1555,24 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "sink_warc_segments" -> ((s, dir) => {
+      // The distributed WET EXPORT path: corpus → range-partitioned
+      // gzip-member segments (pinned WARC-Date + pinned gzip header:
+      // re-export is byte-identical) → distributed read-back; per-doc
+      // payload md5 must equal the corpus.
+      import graft.connectors.WarcLite
+      val tmp = java.nio.file.Files.createTempDirectory("graft_verify_wet")
+      val d = read(s, dir, "documents").filter(col("doc_id") < 50)
+        .withColumn("uri", concat(lit("http://docs/"), col("doc_id")))
+      WarcLite.writeWetSegments(d, "doc_id", "uri", "text",
+        tmp.toString, numSegments = 4, date = "2026-01-01T00:00:00Z")
+      WarcLite.toDf(s, tmp.toString + "/*.warc.gz")
+        .select(regexp_extract(col("target_uri"), "(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          md5(col("text")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     "stream_warc_ingest" -> ((s, dir) => withShufflePartitions(s, 8) {
       // Continuous crawl ingestion: gzip-member WARC segments LAND in a
       // directory across two real microbatches; the streaming twin of the
@@ -4215,6 +4233,11 @@ object Queries {
     // The pdf write → inflate → Tj-scan round trip is exact modulo trim.
     "source_dir_pdf" ->
       """SELECT doc_id, 0 AS page, md5(trim(text)) AS content_md5
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    // The exported WET segments hold exactly the corpus text, per doc.
+    "sink_warc_segments" ->
+      """SELECT doc_id, md5(text) AS content_md5
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
 
     // Two-microbatch streamed WARC ingest delivers every record once.

@@ -69,6 +69,68 @@ object WarcLite {
     out.toByteArray
   }
 
+  /** Distributed WET export: write `df` as gzip-member WARC segments
+    * under `dir` (any Hadoop-visible scheme — the TarShards convention),
+    * one `seg-%06d.warc.gz` per range partition of `keyCol`, one
+    * `conversion` record per row (`uriCol` → WARC-Target-URI, `textCol`
+    * UTF-8 → payload), members ordered by key within a segment. The
+    * WARC-Date field is CALLER-pinned: crawl metadata is data, not
+    * wall-clock state — a re-export of the same corpus is byte-identical,
+    * so segment checksums diff releases without parsing (the graft sink
+    * determinism convention).
+    *
+    * `memberPerRecord = true` (default) gzips each record as its own
+    * member — the CommonCrawl layout, range-readable per record, but a
+    * fresh deflater + dictionary reset per ~KB of text (measured 10–18 s
+    * vs 0.9 s for 150k docs at ×30, `io_container_scale`). Pass false to
+    * wrap the whole segment in ONE member when downstream always reads
+    * segments start-to-finish (the training-pipeline common case);
+    * [[parse]] inflates both layouts transparently.
+    */
+  def writeWetSegments(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      uriCol: String, textCol: String, dir: String, numSegments: Int,
+      date: String, memberPerRecord: Boolean = true): Unit = {
+    require(numSegments >= 1,
+      s"writeWetSegments: numSegments $numSegments must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .mkdirs(root)
+    import org.apache.spark.sql.functions._
+    df.select(col(keyCol).cast("string").as("__key"),
+        col(uriCol).cast("string").as("__uri"),
+        col(textCol).cast("string").as("__txt"))
+      .repartitionByRange(numSegments, col("__key"))
+      .sortWithinPartitions("__key")
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(dir, f"seg-$pid%06d.warc.gz")
+        val fs = path.getFileSystem(
+          new org.apache.hadoop.conf.Configuration()) match {
+          case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+          case f => f
+        }
+        val out = new java.io.BufferedOutputStream(fs.create(path, true), 1 << 20)
+        try {
+          var any = false
+          val whole = if (memberPerRecord) null else new GZIPOutputStream(out)
+          rows.foreach { r =>
+            val rec = writeRecords(Seq(WarcRecord("conversion", r.getString(1),
+              date, "text/plain", r.getString(2).getBytes(UTF_8))))
+            if (memberPerRecord) {
+              val gz = new GZIPOutputStream(out)
+              gz.write(rec)
+              gz.finish()
+            } else whole.write(rec)
+            any = true
+          }
+          if (whole != null) whole.finish()
+          out.close()
+          if (!any) fs.delete(path, false)
+          ()
+        } finally try out.close() catch { case _: java.io.IOException => () }
+      }
+  }
+
   private def inflateIfGzip(bytes: Array[Byte]): Array[Byte] =
     if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1f && (bytes(1) & 0xFF) == 0x8b) {
       val in = new GZIPInputStream(new ByteArrayInputStream(bytes))

@@ -53,6 +53,40 @@ class WarcSpec extends SparkSpec {
     assert(e3.getMessage.contains("Content-Length"))
   }
 
+  test("writeWetSegments: distributed export round-trips and re-exports " +
+      "byte-identically") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0 until 25).map(i => (f"$i%04d", s"http://d/$i", s"text body $i"))
+      .toDF("key", "uri", "text")
+    val tmp1 = java.nio.file.Files.createTempDirectory("graft_wet1").toString
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_wet2").toString
+    WarcLite.writeWetSegments(docs, "key", "uri", "text", tmp1, 3,
+      date = "2026-01-01T00:00:00Z")
+    WarcLite.writeWetSegments(docs, "key", "uri", "text", tmp2, 3,
+      date = "2026-01-01T00:00:00Z")
+    val segs1 = new java.io.File(tmp1).listFiles().sortBy(_.getName)
+    assert(segs1.length == 3 &&
+      segs1.forall(_.getName.matches("seg-\\d{6}\\.warc\\.gz")))
+    // Pinned date + pinned gzip header: re-export is byte-identical.
+    segs1.foreach { f =>
+      val other = java.nio.file.Paths.get(tmp2, f.getName)
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.file.Files.readAllBytes(other)), s"${f.getName} differs")
+    }
+    val back = WarcLite.toDf(spark, tmp1 + "/*.warc.gz")
+      .select("target_uri", "text").as[(String, String)].collect().toSet
+    assert(back == (0 until 25).map(i => (s"http://d/$i", s"text body $i")).toSet)
+    // Whole-segment single-member layout round-trips identically.
+    val tmp3 = java.nio.file.Files.createTempDirectory("graft_wet3").toString
+    WarcLite.writeWetSegments(docs, "key", "uri", "text", tmp3, 3,
+      date = "2026-01-01T00:00:00Z", memberPerRecord = false)
+    val back3 = WarcLite.toDf(spark, tmp3 + "/*.warc.gz")
+      .select("target_uri", "text").as[(String, String)].collect().toSet
+    assert(back3 == back)
+  }
+
   test("toDf: distributed parse, text policy per record type") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_warc_spec")
     java.nio.file.Files.write(tmp.resolve("a.warc"), WarcLite.writeRecords(Seq(
