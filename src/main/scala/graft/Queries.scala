@@ -1024,6 +1024,22 @@ object Queries {
         .orderBy("vec_id", "pos")
     }),
 
+    "ann_binary_quant" -> ((s, dir) => {
+      // The 1-bit tier below SQ8/PQ: sign-bit packing (64 dims → one
+      // long), coarse top-32 by XOR+popcount Hamming, exact cosine rerank
+      // to top-8 — both stages id-tie-broken. The oracle recomputes the
+      // identical two-stage selection from raw sign comparisons (no
+      // packing) — a packing or popcount bug shifts the candidate set
+      // and hash-mismatches.
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      EmbedOps.binarySearchVec(withVec, "emb", "vec_id", qv, k = 8, nRerank = 32)
+        .select(col("vec_id"), col("__ham").as("ham"),
+          round(col("__cos"), 3).as("score"))
+    }),
+
     "sem_cluster" -> ((s, dir) => {
       // sem_cluster_by on the stored embedding column. The centroid fit is
       // deterministic driver-side Lloyd's on the SORTED sample — a pure
@@ -5010,6 +5026,21 @@ object Queries {
         |  SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
         |  FROM documents) t
         |WHERE rank <= 8 ORDER BY rank""".stripMargin,
+
+    // Two-stage binary-tier selection replayed from raw sign comparisons.
+    "ann_binary_quant" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |h AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    len(list_filter(range(1, len(e.embedding) + 1),
+        |        i -> (e.embedding[i] > 0) != (q.qv[i] > 0))) AS ham
+        |  FROM embeddings e, q),
+        |cand AS (SELECT * FROM h ORDER BY ham, vec_id LIMIT 32)
+        |SELECT c.vec_id, c.ham,
+        |  round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score
+        |FROM cand c, q
+        |ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, c.vec_id
+        |LIMIT 8""".stripMargin,
 
     "sem_search_cos" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -1048,4 +1048,56 @@ object EmbedOps {
       }
     } finally graft.core.Persist.unstage(spark, blocks)
   }
+
+  /** 1-bit (sign) binary quantization: pack a float vector's signs into
+    * ⌈dim/64⌉ longs — the 32× memory tier below SQ8/PQ (binary codes of
+    * the Jégou hashing family; the "BQ + exact rerank" mode modern vector
+    * stores ship). Pure column composition (codegen'd): bits accumulate
+    * high-to-low through shiftleft-by-one folds — NO dynamic shifts and
+    * no `acc * 2`, which would trip ANSI overflow checks on the sign bit.
+    * Padding lanes beyond the dimension stay 0 on both sides of a
+    * Hamming comparison, so tail words never contribute distance.
+    */
+  def packSignBits(vec: Column): Column =
+    transform(sequence(lit(0),
+        floor((size(vec) + lit(63)) / lit(64)).cast("int") - 1), w =>
+      aggregate(sequence(lit(63), lit(0), lit(-1)), lit(0L), (acc, b) => {
+        val idx = w * 64 + b + 1 // element_at is 1-based
+        shiftleft(acc, 1).bitwiseOR(
+          when(idx <= size(vec) && element_at(vec, idx) > 0f, lit(1L))
+            .otherwise(lit(0L)))
+      }))
+
+  /** Hamming distance between two packed sign-bit arrays (XOR + popcount
+    * per word, codegen'd) — the coarse score of the binary tier.
+    */
+  def hammingBits(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+
+  /** Binary-quantized search: coarse top-`nRerank` by Hamming distance on
+    * packed sign bits (distributed TakeOrdered — no global sort), exact
+    * cosine rerank to top-`k`. Both stages tie-break on `idCol`, so the
+    * result is deterministic. At scale the Hamming scan reads 8 bytes per
+    * 64 dims — the candidate-generation tier when even SQ8 doesn't fit.
+    */
+  def binarySearchVec(df: DataFrame, c: String, idCol: String,
+      queryVec: Seq[Float], k: Int, nRerank: Int): DataFrame = {
+    require(k >= 1 && nRerank >= k,
+      s"binarySearchVec: need nRerank >= k >= 1, got k=$k nRerank=$nRerank")
+    val v = vecCol(c)
+    val spark = df.sparkSession
+    val qBitsRow = spark.range(1).select(
+      packSignBits(typedlit(queryVec)).as("qb")).head().getSeq[Long](0)
+    val coarse = df
+      .withColumn("__ham", hammingBits(
+        packSignBits(col(v)), typedlit(qBitsRow)))
+      .orderBy(col("__ham"), col(idCol))
+      .limit(nRerank)
+    coarse
+      .withColumn("__cos", cosineSim(col(v), typedlit(queryVec)))
+      .orderBy(col("__cos").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -485,4 +485,29 @@ class EmbedSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(got == Set(0L, 1L, 2L, 100L, 101L, 102L))
   }
+
+  test("packSignBits/hammingBits match the unpacked sign model across " +
+      "dims incl. non-multiples of 64") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(23)
+    for (dim <- Seq(1, 63, 64, 65, 128, 130)) {
+      val a = Array.fill(dim)(rng.nextFloat() - 0.5f)
+      val b = Array.fill(dim)(rng.nextFloat() - 0.5f)
+      val expected = (0 until dim).count(i => (a(i) > 0) != (b(i) > 0)).toLong
+      val got = spark.range(1).select(
+        graft.operators.EmbedOps.hammingBits(
+          graft.operators.EmbedOps.packSignBits(typedlit(a.toSeq)),
+          graft.operators.EmbedOps.packSignBits(typedlit(b.toSeq))).as("h"))
+        .head().getLong(0)
+      assert(got == expected, s"dim=$dim")
+      val words = spark.range(1).select(
+        graft.operators.EmbedOps.packSignBits(typedlit(a.toSeq)).as("w"))
+        .head().getSeq[Long](0)
+      assert(words.length == (dim + 63) / 64)
+      // Bit i of word w is exactly the sign of component w*64+i.
+      for (i <- 0 until dim)
+        assert((((words(i / 64) >>> (i % 64)) & 1L) == 1L) == (a(i) > 0))
+    }
+  }
+
 }
