@@ -3589,9 +3589,14 @@ object Queries {
         col("text"), pats)) === 0)
       val langM = graft.operators.QualityClassifier.trainLangNB(
         s1, "text", "lang")
-      val s2 = graft.operators.QualityClassifier.scoreLangNB(s1, "text", langM)
-        .filter(col("lang_pred") === col("lang"))
-        .select(d.columns.map(col): _*)
+      // s2 is consumed by BOTH the LM refit and the perplexity scoring —
+      // stage it once so each consumer doesn't replay the automaton +
+      // NB-fold lineage (s1 is consumed only inside the one train/score
+      // pair; staging it costs more than the replay saves).
+      val s2 = graft.core.Persist.stage(
+        graft.operators.QualityClassifier.scoreLangNB(s1, "text", langM)
+          .filter(col("lang_pred") === col("lang"))
+          .select(d.columns.map(col): _*))
       val lm = graft.operators.NgramLm.fitBigramLM(s2, "text", minCount = 2L)
       val scored = graft.core.Persist.stage(
         graft.operators.NgramLm.perplexity(s2, "text", lm))

@@ -583,7 +583,9 @@ object Dedup {
   def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame = {
     require(n >= 1, s"ngramNovelty: n $n must be >= 1")
-    val grams = df.select(col(idCol).as("id"),
+    // Spread the scan: a small-file corpus arrives in one partition and
+    // the shingle explode + df aggregate would run single-task.
+    val grams = parallelize(df).select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), n))).as("g"))
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
     grams.join(dfreq, "g")

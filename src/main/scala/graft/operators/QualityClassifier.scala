@@ -213,7 +213,8 @@ object QualityClassifier {
     // aggregate input is per-row DISTINCT grams (not every occurrence)
     // and the sum of counts is the identical multiset the composable
     // explode(charNgrams) form would aggregate — spec-matched.
-    val (agg, blocks) = graft.core.Persist.stageTracked(df
+    val (agg, blocks) = graft.core.Persist.stageTracked(
+      graft.core.Parallelism.spread(df)
       .select(col(labelCol).as("y"),
         explode(graft.functions.LookupExprs.charNgramCounts(
           normText(col(textCol)), ngramLens)).as(Seq("gram", "cnt")))
@@ -274,7 +275,10 @@ object QualityClassifier {
       model.logLik.map { case (g, v) => g -> v.toArray },
       model.oov.toArray,
       model.logPrior.toArray)
-    df.withColumn("__lang_best", best)
+    // Spread first: the per-row gram fold is the heavy step, and a
+    // small-file corpus otherwise scores on one task (no-op at scale —
+    // spread is size-guarded).
+    graft.core.Parallelism.spread(df).withColumn("__lang_best", best)
       .withColumn(predCol, col("__lang_best.pred"))
       .withColumn(scoreCol, col("__lang_best.score"))
       .withColumn(marginCol, col("__lang_best.margin"))
