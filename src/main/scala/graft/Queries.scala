@@ -3201,7 +3201,10 @@ object Queries {
       val d = read(s, dir, "documents")
       val m = graft.operators.QualityClassifier.trainLangNB(
         d, "text", "lang")
-      graft.operators.QualityClassifier.scoreLangNB(d, "text", m)
+      // Spread at the CALL SITE (the score fold itself is zero-shuffle,
+      // spec-pinned): a one-file corpus otherwise folds on one task.
+      graft.operators.QualityClassifier.scoreLangNB(
+          graft.core.Parallelism.spread(d), "text", m)
         .select(col("doc_id"), col("lang"), col("lang_pred"),
           round(col("lang_score"), 4).as("lang_score"),
           // Confidence margin (best − runner-up posterior) — the signal a

@@ -275,10 +275,11 @@ object QualityClassifier {
       model.logLik.map { case (g, v) => g -> v.toArray },
       model.oov.toArray,
       model.logPrior.toArray)
-    // Spread first: the per-row gram fold is the heavy step, and a
-    // small-file corpus otherwise scores on one task (no-op at scale —
-    // spread is size-guarded).
-    graft.core.Parallelism.spread(df).withColumn("__lang_best", best)
+    // Deliberately NO repartition here: the fold is a zero-shuffle
+    // per-row map (spec-pinned). A single-partition corpus should be
+    // spread by the CALLER before scoring (Parallelism.spread) — layout
+    // is the caller's decision, not a hidden side effect.
+    df.withColumn("__lang_best", best)
       .withColumn(predCol, col("__lang_best.pred"))
       .withColumn(scoreCol, col("__lang_best.score"))
       .withColumn(marginCol, col("__lang_best.margin"))
