@@ -417,6 +417,38 @@ object Queries {
       Evals.retrievalMetrics(results, qrels, k = 5).orderBy("qid")
     }),
 
+    "eval_pass_at_k" -> ((s, dir) => {
+      // The HumanEval pass@k estimator (unbiased, Chen et al. 2021) over
+      // a deterministic (problem, correct) samples table derived from
+      // events: one grouped aggregate, the C(n−c,k)/C(n,k) ratio as a
+      // left-fold product whose IEEE sequence the oracle's list_reduce
+      // replays factor for factor.
+      val e = read(s, dir, "events").filter(col("event_id") < 5000)
+      val samples = e.select((col("event_id") % 40).as("problem"),
+        (col("event_id") % 3 === 0).as("ok"))
+      Evals.passAtK(samples, "problem", "ok", Seq(1, 5, 10))
+        .select(col("problem"), col("n"), col("c"),
+          round(col("pass_at_1"), 6).as("pass_at_1"),
+          round(col("pass_at_5"), 6).as("pass_at_5"),
+          round(col("pass_at_10"), 6).as("pass_at_10"))
+        .orderBy("problem")
+    }),
+
+    "eval_self_consistency" -> ((s, dir) => {
+      // Self-consistency majority vote (Wang et al. 2022): per problem
+      // the modal answer with (count desc, answer asc) total-order
+      // tie-break plus the agreement fraction — two grouped aggregates,
+      // never a per-problem window over raw samples.
+      val e = read(s, dir, "events").filter(col("event_id") < 5000)
+      val samples = e.select((col("event_id") % 40).as("problem"),
+        col("event_type").as("answer"))
+      Evals.selfConsistency(samples, "problem", "answer")
+        .select(col("problem"), col("majority_answer"),
+          col("majority_count"), col("n_samples"),
+          round(col("agreement"), 6).as("agreement"))
+        .orderBy("problem")
+    }),
+
     "eval_text_f1" -> ((s, dir) => {
       // SQuAD-style generation eval: normalized exact-match + token-
       // multiset F1 between each doc's 30-word prefix and its successor's
@@ -5349,6 +5381,45 @@ object Queries {
     // SQuAD normalization chain replayed step for step (punct strip →
     // article drop → whitespace squeeze), multiset overlap via
     // unnest + least(count, count), f1 in the identical 2·s/(np+nr) shape.
+    // Same grouped counts; the binomial ratio as the identical
+    // left-fold product (list_reduce seeds with the first factor;
+    // Spark's aggregate seeds 1.0 — multiplication by 1.0 is IEEE-exact,
+    // so the rounding sequences agree bit for bit).
+    "eval_pass_at_k" -> {
+      def term(k: Int) =
+        s"""round(CASE WHEN c = n THEN 1.0 ELSE
+           |    1.0 - list_reduce(list_transform(range(0, $k),
+           |      i -> (CAST(n AS DOUBLE) - c - i) / (CAST(n AS DOUBLE) - i)),
+           |      (a, b) -> a * b) END, 6) AS pass_at_$k""".stripMargin
+      s"""WITH s AS (
+         |  SELECT event_id % 40 AS problem, (event_id % 3 = 0) AS ok
+         |  FROM events WHERE event_id < 5000),
+         |g AS (
+         |  SELECT problem, COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM s GROUP BY problem)
+         |SELECT problem, n, c, ${term(1)}, ${term(5)}, ${term(10)}
+         |FROM g ORDER BY problem""".stripMargin
+    },
+
+    // Modal answer under the (count desc, answer asc) total order.
+    "eval_self_consistency" ->
+      """WITH s AS (
+        |  SELECT event_id % 40 AS problem, event_type AS answer
+        |  FROM events WHERE event_id < 5000),
+        |c AS (
+        |  SELECT problem, answer, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+        |r AS (
+        |  SELECT problem, answer, cnt,
+        |    row_number() OVER (PARTITION BY problem
+        |      ORDER BY cnt DESC, answer ASC) AS rn,
+        |    CAST(SUM(cnt) OVER (PARTITION BY problem) AS BIGINT) AS n_samples
+        |  FROM c)
+        |SELECT problem, answer AS majority_answer,
+        |  cnt AS majority_count, n_samples,
+        |  round(cnt * 1.0 / n_samples, 6) AS agreement
+        |FROM r WHERE rn = 1 ORDER BY problem""".stripMargin,
+
     "eval_text_f1" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |pairs AS (

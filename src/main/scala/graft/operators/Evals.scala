@@ -204,4 +204,66 @@ object Evals {
           .otherwise(lit(2.0) * col("n_same").cast("double") /
             (size(p) + size(r)).cast("double")))
   }
+
+  /** Unbiased pass@k (Chen et al. 2021, arXiv 2107.03374 §2.1 — the
+    * HumanEval estimator): per problem with n samples of which c pass,
+    * `pass@k = 1 − C(n−c, k)/C(n, k)`, computed as the left-fold product
+    * `Π_{i<k} (n−c−i)/(n−i)` — numerically stable (every factor ≤ 1, no
+    * factorial overflow) and, starting from 1.0 (multiplication by 1.0
+    * is IEEE-exact), the identical rounding sequence an oracle's
+    * list-fold replays. One grouped aggregate over the samples table —
+    * an eval sweep over millions of (problem, sample) rows is one
+    * shuffle. Problems with n < k are REJECTED (the estimator is
+    * undefined); c = n short-circuits to 1.0 exactly.
+    */
+  def passAtK(df: DataFrame, problemCol: String, correctCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"passAtK: ks $ks must all be >= 1")
+    val n = col("n").cast("double")
+    val c = col("c").cast("double")
+    val kCols = ks.distinct.sorted.map { k =>
+      when(col("n") < k, lit(null).cast("double"))
+        .when(c === n, lit(1.0))
+        .otherwise(lit(1.0) - aggregate(sequence(lit(0), lit(k - 1)),
+          lit(1.0), (acc, i) => acc * (n - c - i) / (n - i)))
+        .as(s"pass_at_$k")
+    }
+    val grouped = df.groupBy(col(problemCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(correctCol).cast("boolean"), 1L).otherwise(0L)).as("c"))
+    val out = grouped.select(col(problemCol) +: col("n") +: col("c") +:
+      kCols: _*)
+    val bad = out.filter(ks.distinct.sorted.map(k =>
+      col(s"pass_at_$k").isNull).reduce(_ || _)).limit(1).count()
+    require(bad == 0,
+      s"passAtK: some problem has fewer samples than max k=${ks.max} — " +
+        "the estimator is undefined there; filter or lower k")
+    out
+  }
+
+  /** Self-consistency aggregation (Wang et al. 2022, arXiv 2203.11171):
+    * per problem, the majority answer across samples (ties to the
+    * lexicographically smallest answer — a total order) plus the
+    * agreement fraction. Two grouped aggregates — the per-(problem,
+    * answer) counts then a max_by per problem — never a per-problem
+    * window over raw samples.
+    */
+  def selfConsistency(df: DataFrame, problemCol: String,
+      answerCol: String): DataFrame = {
+    val counts = df.groupBy(col(problemCol), col(answerCol).as("__ans"))
+      .agg(count(lit(1)).as("__cnt"))
+    counts.groupBy(col(problemCol))
+      .agg(
+        // Tie-break encoded in the ordering key: minimize (−count,
+        // answer) — highest count wins, equal counts go to the smallest
+        // answer. A total order, so both engines pick identically.
+        min_by(col("__ans"),
+          struct((lit(0L) - col("__cnt")).as("negc"), col("__ans")))
+          .as("majority_answer"),
+        max(col("__cnt")).as("majority_count"),
+        sum(col("__cnt")).as("n_samples"))
+      .withColumn("agreement",
+        col("majority_count").cast("double") / col("n_samples").cast("double"))
+  }
 }
