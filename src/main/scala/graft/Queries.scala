@@ -417,6 +417,26 @@ object Queries {
       Evals.retrievalMetrics(results, qrels, k = 5).orderBy("qid")
     }),
 
+    "eval_bradley_terry" -> ((s, dir) => {
+      // Arena-style leaderboard fit: Bradley–Terry via Hunter's MM, 50
+      // iterations on a deterministic comparisons table (7 models, winner
+      // by hash rule). The oracle replays the ENTIRE fit independently —
+      // a recursive CTE carrying the weight vector as a list, left-fold
+      // sums in the same ascending-model order — so a wrong update rule,
+      // fold order, or iteration count hash-mismatches.
+      val e = read(s, dir, "events").filter(col("event_id") < 8000)
+      val ai = col("event_id") % 7
+      val bi = (col("event_id") % 7 + 1 + col("event_id") % 6) % 7
+      val cmp = e.select(
+        concat(lit("m_"), ai).as("ma"),
+        concat(lit("m_"), bi).as("mb"),
+        when(col("event_id") % 5 < 2, "a").otherwise("b").as("winner"))
+      Evals.bradleyTerry(cmp, "ma", "mb", "winner", iters = 50)
+        .select(col("model"), col("wins"), col("games"),
+          round(col("score"), 6).as("score"), col("rank"))
+        .orderBy("model")
+    }),
+
     "eval_pass_at_k" -> ((s, dir) => {
       // The HumanEval pass@k estimator (unbiased, Chen et al. 2021) over
       // a deterministic (problem, correct) samples table derived from
@@ -5381,6 +5401,65 @@ object Queries {
     // SQuAD normalization chain replayed step for step (punct strip →
     // article drop → whitespace squeeze), multiset overlap via
     // unnest + least(count, count), f1 in the identical 2·s/(np+nr) shape.
+    // Full independent replay of the MM fit: weight vector as a list in
+    // a recursive CTE, every float fold in ascending-model order (the
+    // operator's pinned order), integer win/game totals, simultaneous
+    // updates from the previous iterate, normalization by the
+    // index-order sum.
+    "eval_bradley_terry" ->
+      """WITH RECURSIVE
+        |raw AS (
+        |  SELECT 'm_' || CAST(event_id % 7 AS VARCHAR) AS ma,
+        |         'm_' || CAST((event_id % 7 + 1 + event_id % 6) % 7 AS VARCHAR) AS mb,
+        |         CASE WHEN event_id % 5 < 2 THEN 'a' ELSE 'b' END AS winner
+        |  FROM events WHERE event_id < 8000),
+        |dir AS (
+        |  SELECT CASE WHEN winner = 'a' THEN ma ELSE mb END AS wm,
+        |         CASE WHEN winner = 'a' THEN mb ELSE ma END AS lm FROM raw),
+        |wcnt AS (SELECT wm, lm, COUNT(*) AS c FROM dir GROUP BY 1, 2),
+        |np AS (
+        |  SELECT COALESCE(x.wm, y.lm) AS i, COALESCE(x.lm, y.wm) AS j,
+        |         CAST(COALESCE(x.c, 0) + COALESCE(y.c, 0) AS BIGINT) AS n
+        |  FROM wcnt x FULL JOIN wcnt y ON x.wm = y.lm AND x.lm = y.wm),
+        |midx AS (
+        |  SELECT i, CAST(row_number() OVER (ORDER BY i) AS INT) AS pos
+        |  FROM (SELECT DISTINCT i FROM np)),
+        |wv AS (
+        |  SELECT mi.i, mi.pos, CAST(COALESCE(SUM(w.c), 0) AS BIGINT) AS wins
+        |  FROM midx mi LEFT JOIN wcnt w ON w.wm = mi.i GROUP BY mi.i, mi.pos),
+        |opp AS (
+        |  SELECT mi.pos AS pos,
+        |         list(STRUCT_PACK(jp := mj.pos, n := np.n) ORDER BY np.j) AS os
+        |  FROM np JOIN midx mi ON np.i = mi.i JOIN midx mj ON np.j = mj.i
+        |  GROUP BY mi.pos),
+        |nm AS (SELECT COUNT(*) AS m FROM midx),
+        |oppL AS (SELECT list(os ORDER BY pos) AS oss
+        |         FROM (SELECT pos, os FROM opp)),
+        |wvL AS (SELECT list(wins ORDER BY pos) AS winsL FROM wv),
+        |st AS (
+        |  -- init MUST be DOUBLE: a bare 1.0 types the recursive union as
+        |  -- DECIMAL(2,1)[] and silently quantizes every iterate.
+        |  SELECT 0 AS k,
+        |    list_transform(range(1, m + 1), p -> CAST(1.0 AS DOUBLE)) AS w
+        |  FROM nm
+        |  UNION ALL
+        |  SELECT k + 1,
+        |    list_transform(range(1, m + 1), p ->
+        |      CAST(winsL[p] AS DOUBLE) /
+        |        list_reduce(list_transform(oss[p],
+        |          o -> o.n / (w[p] + w[o.jp])), (x, y) -> x + y))
+        |  FROM st, nm, oppL, wvL WHERE k < 50),
+        |fin AS (SELECT w FROM st WHERE k = 50),
+        |tot AS (SELECT list_reduce(w, (x, y) -> x + y) AS t FROM fin),
+        |sc AS (
+        |  SELECT wv.i AS model, wv.wins,
+        |         CAST(list_sum(list_transform(opp.os, o -> o.n)) AS BIGINT) AS games,
+        |         fin.w[wv.pos] / tot.t AS score
+        |  FROM wv JOIN opp ON wv.pos = opp.pos, fin, tot)
+        |SELECT model, wins, games, round(score, 6) AS score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, model) AS BIGINT) AS rank
+        |FROM sc ORDER BY model""".stripMargin,
+
     // Same grouped counts; the binomial ratio as the identical
     // left-fold product (list_reduce seeds with the first factor;
     // Spark's aggregate seeds 1.0 — multiplication by 1.0 is IEEE-exact,

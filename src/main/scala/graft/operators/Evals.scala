@@ -242,6 +242,85 @@ object Evals {
     out
   }
 
+  /** Bradley–Terry strength fit over pairwise comparisons — the arena
+    * analysis stage downstream of [[pairwiseJudge]] (Hunter 2004's MM
+    * algorithm, the estimator behind Chatbot-Arena-style leaderboards):
+    * `w_i ← W_i / Σ_j n_ij / (w_i + w_j)`, simultaneous updates from the
+    * previous iterate, `iters` rounds from the all-ones start, scores
+    * normalized to sum 1 at the end.
+    *
+    * Scale shape: ONE grouped aggregate over the comparisons table
+    * (billions of rows → ≤ models² count rows), then a driver-side fit
+    * bounded by `maxModels` — enforced BEFORE the collect. Every
+    * float-order choice is pinned so an engine-independent oracle can
+    * replay the fit bit for bit: opponents accumulate in ascending-model
+    * order via a plain left fold, win totals are INTEGERS, updates read
+    * only the previous iterate, and the final normalizer is the
+    * index-order sum of the weight vector.
+    *
+    * `winnerCol` must hold 'a' or 'b' (which side of the pair won);
+    * anything else is rejected loudly. Returns (model, wins, games,
+    * score, rank) with rank tie-broken on model.
+    */
+  def bradleyTerry(df: DataFrame, aCol: String, bCol: String,
+      winnerCol: String, iters: Int = 50, maxModels: Int = 1024): DataFrame = {
+    require(iters >= 1, s"bradleyTerry: iters $iters must be >= 1")
+    val badW = df.filter(!col(winnerCol).isin("a", "b")).limit(1).count()
+    require(badW == 0,
+      s"bradleyTerry: $winnerCol must be 'a' or 'b' — found other values")
+    val selfPlay = df.filter(col(aCol) === col(bCol)).limit(1).count()
+    require(selfPlay == 0,
+      s"bradleyTerry: a model compared against itself carries no signal " +
+        "and breaks the pair structure; filter self-pairs first")
+    val dir = df.select(
+      when(col(winnerCol) === "a", col(aCol)).otherwise(col(bCol)).as("wm"),
+      when(col(winnerCol) === "a", col(bCol)).otherwise(col(aCol)).as("lm"))
+    val nModels = df.select(col(aCol).as("m"))
+      .unionAll(df.select(col(bCol).as("m")))
+      .distinct().limit(maxModels + 1).count()
+    require(nModels <= maxModels,
+      s"bradleyTerry: more than $maxModels distinct models — the fit is " +
+        "models²-dense on the driver; raise maxModels deliberately")
+    val counts = dir.groupBy("wm", "lm").agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.get(0), r.get(1)), r.getLong(2))).toMap
+    val models = counts.keysIterator.flatMap(k => Seq(k._1, k._2)).toSeq
+      .distinct.sortBy(_.toString)
+    val m = models.length
+    val idx = models.zipWithIndex.toMap
+    val n = Array.ofDim[Long](m, m)
+    val wins = Array.fill(m)(0L)
+    counts.foreach { case ((wm, lm), c) =>
+      val i = idx(wm); val j = idx(lm)
+      n(i)(j) += c; n(j)(i) += c; wins(i) += c
+    }
+    var w = Array.fill(m)(1.0)
+    for (_ <- 0 until iters) {
+      val nw = new Array[Double](m)
+      var i = 0
+      while (i < m) {
+        var denom = 0.0
+        var j = 0
+        while (j < m) {
+          if (j != i && n(i)(j) > 0) denom += n(i)(j).toDouble / (w(i) + w(j))
+          j += 1
+        }
+        nw(i) = wins(i).toDouble / denom
+        i += 1
+      }
+      w = nw
+    }
+    var total = 0.0
+    w.foreach(total += _)
+    val ranked = models.indices
+      .map(i => (models(i), wins(i), n(i).sum, w(i) / total))
+      .sortBy { case (mod, _, _, sc) => (-sc, mod.toString) }
+      .zipWithIndex
+      .map { case ((mod, wi, g, sc), r) => (mod.toString, wi, g, sc, r + 1L) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    ranked.toDF("model", "wins", "games", "score", "rank")
+  }
+
   /** Self-consistency aggregation (Wang et al. 2022, arXiv 2203.11171):
     * per problem, the majority answer across samples (ties to the
     * lexicographically smallest answer — a total order) plus the

@@ -38,6 +38,43 @@ class EvalAggSpec extends SparkSpec {
     assert(e.getMessage.contains("fewer samples"))
   }
 
+  test("bradleyTerry: closed form on two models, MM fixed point on many") {
+    // A beats B 3:1 -> scores 0.75 / 0.25 exactly (the 2-model closed form).
+    val two = Seq(("A", "B", "a"), ("A", "B", "a"), ("A", "B", "a"),
+      ("A", "B", "b")).toDF("ma", "mb", "winner")
+    val g2 = Evals.bradleyTerry(two, "ma", "mb", "winner", iters = 60)
+      .select("model", "score", "rank").as[(String, Double, Long)]
+      .collect().sortBy(_._1)
+    assert(math.abs(g2(0)._2 - 0.75) < 1e-12 && g2(0)._3 == 1L)
+    assert(math.abs(g2(1)._2 - 0.25) < 1e-12 && g2(1)._3 == 2L)
+    // Many models: the fit satisfies the BT stationarity equations
+    // W_i = sum_j n_ij * w_i / (w_i + w_j) at convergence.
+    val rng = new scala.util.Random(31)
+    val ms = (0 until 6).map(i => s"m$i")
+    val rows = (0 until 2000).map { _ =>
+      val i = rng.nextInt(6); var j = rng.nextInt(6)
+      while (j == i) j = rng.nextInt(6)
+      (ms(i), ms(j), if (rng.nextDouble() < 0.5 + 0.06 * (i - j)) "a" else "b")
+    }
+    val df = rows.toDF("ma", "mb", "winner")
+    val fit = Evals.bradleyTerry(df, "ma", "mb", "winner", iters = 200)
+      .select("model", "wins", "score").as[(String, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val nij = rows.groupBy(r => Set(r._1, r._2)).view.mapValues(_.size).toMap
+    ms.foreach { mi =>
+      val (wins, si) = fit(mi)
+      val expectedWins = ms.filter(_ != mi).map { mj =>
+        nij.getOrElse(Set(mi, mj), 0) * si / (si + fit(mj)._2)
+      }.sum
+      assert(math.abs(expectedWins - wins) < 1e-6,
+        s"$mi: stationarity ${expectedWins} vs $wins")
+    }
+    // Winner values outside a/b are rejected loudly.
+    val e = intercept[IllegalArgumentException](Evals.bradleyTerry(
+      Seq(("A", "B", "tie")).toDF("ma", "mb", "winner"), "ma", "mb", "winner"))
+    assert(e.getMessage.contains("'a' or 'b'"))
+  }
+
   test("selfConsistency: majority with (count desc, answer asc) tie-break") {
     val rows = Seq(
       (1L, "b"), (1L, "b"), (1L, "a"),          // clear majority b
