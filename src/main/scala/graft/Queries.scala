@@ -417,6 +417,35 @@ object Queries {
       Evals.retrievalMetrics(results, qrels, k = 5).orderBy("qid")
     }),
 
+    "eval_roc_auc" -> ((s, dir) => {
+      // Exact Mann–Whitney AUC with ½-tie credit over the score
+      // HISTOGRAM (17 distinct scores — ties everywhere, the form's
+      // whole point): integer doubled numerator, single closing
+      // division.
+      val d = read(s, dir, "documents")
+      val scored = d.select((col("n_chars") % 17).as("score"),
+        ((col("doc_id") * 7 + col("n_chars")) % 3 === 0).as("label"))
+      Evals.rocAuc(scored, "score", "label")
+        .select(round(col("auc"), 6).as("auc"),
+          col("n_pos"), col("n_neg"), col("n_scores"))
+    }),
+
+    "eval_fleiss_kappa" -> ((s, dir) => {
+      // Fleiss' kappa over a deterministic 5-rater panel (200 items):
+      // all intermediates integer sums, three closing float ops.
+      val d = read(s, dir, "documents").filter(col("doc_id") < 200)
+      val panel = d
+        .select(col("doc_id").as("item"),
+          explode(sequence(lit(1), lit(5))).as("rater"))
+        .select(col("item"),
+          ((col("item") * 7 + col("rater") * 13) % 3).as("label"))
+      Evals.fleissKappa(panel, "item", "label")
+        .select(round(col("kappa"), 6).as("kappa"),
+          round(col("p_bar"), 6).as("p_bar"),
+          round(col("p_e"), 6).as("p_e"),
+          col("n_items"), col("n_raters"))
+    }),
+
     "eval_bradley_terry" -> ((s, dir) => {
       // Arena-style leaderboard fit: Bradley–Terry via Hunter's MM, 50
       // iterations on a deterministic comparisons table (7 models, winner
@@ -5401,6 +5430,57 @@ object Queries {
     // SQuAD normalization chain replayed step for step (punct strip →
     // article drop → whitespace squeeze), multiset overlap via
     // unnest + least(count, count), f1 in the identical 2·s/(np+nr) shape.
+    // Same histogram, same integer doubled numerator, same single
+    // division.
+    "eval_roc_auc" ->
+      """WITH s AS (
+        |  SELECT n_chars % 17 AS score,
+        |         ((doc_id * 7 + n_chars) % 3 = 0) AS label
+        |  FROM documents),
+        |h AS (
+        |  SELECT score,
+        |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n
+        |  FROM s GROUP BY score),
+        |c AS (
+        |  SELECT *, CAST(COALESCE(SUM(n) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cumneg
+        |  FROM h)
+        |SELECT
+        |  round(CAST(SUM(p * (2 * cumneg + n)) AS DOUBLE) /
+        |    (2.0 * (SELECT SUM(p) FROM h) * (SELECT SUM(n) FROM h)), 6) AS auc,
+        |  CAST((SELECT SUM(p) FROM h) AS BIGINT) AS n_pos,
+        |  CAST((SELECT SUM(n) FROM h) AS BIGINT) AS n_neg,
+        |  CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS n_scores
+        |FROM c""".stripMargin,
+
+    // Integer-sum intermediates; the identical three closing float ops.
+    "eval_fleiss_kappa" ->
+      """WITH panel AS (
+        |  SELECT doc_id AS item, (doc_id * 7 + r * 13) % 3 AS label
+        |  FROM documents, generate_series(1, 5) AS t(r)
+        |  WHERE doc_id < 200),
+        |cell AS (SELECT item, label, COUNT(*) AS c FROM panel GROUP BY 1, 2),
+        |per AS (SELECT item, SUM(c) AS n, SUM(c * c) AS sq FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS items,
+        |               CAST(SUM(sq) AS BIGINT) AS sumsq,
+        |               CAST(MAX(n) AS BIGINT) AS n FROM per),
+        |lab AS (SELECT CAST(SUM(cl * cl) AS BIGINT) AS s2
+        |        FROM (SELECT SUM(c) AS cl FROM cell GROUP BY label)),
+        |f AS (
+        |  SELECT
+        |    CAST(sumsq - items * n AS DOUBLE) /
+        |      CAST(items * n * (n - 1) AS DOUBLE) AS pbar,
+        |    CAST(s2 AS DOUBLE) /
+        |      CAST((items * n) * (items * n) AS DOUBLE) AS pe,
+        |    items, n
+        |  FROM tot, lab)
+        |SELECT round((pbar - pe) / (1.0 - pe), 6) AS kappa,
+        |  round(pbar, 6) AS p_bar, round(pe, 6) AS p_e,
+        |  items AS n_items, n AS n_raters
+        |FROM f""".stripMargin,
+
     // Full independent replay of the MM fit: weight vector as a list in
     // a recursive CTE, every float fold in ascending-model order (the
     // operator's pinned order), integer win/game totals, simultaneous

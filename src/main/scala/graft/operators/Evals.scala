@@ -242,6 +242,83 @@ object Evals {
     out
   }
 
+  /** Exact ROC-AUC of a score column against a boolean label — the
+    * Mann–Whitney form over the SCORE HISTOGRAM, with the standard ½
+    * credit for ties: AUC = Σ_g nPos_g·(cumNegBelow_g + nNeg_g/2) /
+    * (P·N). Scale shape: one groupBy collapses the corpus to its
+    * distinct scores (bounded with a loud cap — the pct-rank
+    * convention), a window ONLY over that bounded histogram, and the sum
+    * kept in INTEGERS doubled (n·(2·cumNeg + nNeg)) so the single final
+    * division is the only float op — bit-identical on any engine.
+    * Returns one row (auc, n_pos, n_neg, n_scores).
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      maxDistinctScores: Int = 1 << 20): DataFrame = {
+    val h = df.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol).cast("boolean"), 0L).otherwise(1L)).as("__n"))
+    val staged = graft.core.Persist.stage(h)
+    val nScores = staged.limit(maxDistinctScores + 1).count()
+    require(nScores <= maxDistinctScores,
+      s"rocAuc: more than $maxDistinctScores distinct scores — the rank " +
+        "window runs over the histogram; quantize the score or raise " +
+        "maxDistinctScores deliberately")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    staged
+      .withColumn("__cumNegBelow", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .agg(
+        sum(col("__p") * (lit(2L) * col("__cumNegBelow") + col("__n")))
+          .as("__num2"),
+        sum(col("__p")).as("n_pos"), sum(col("__n")).as("n_neg"))
+      .withColumn("auc",
+        col("__num2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")))
+      .withColumn("n_scores", lit(nScores))
+      .select("auc", "n_pos", "n_neg", "n_scores")
+  }
+
+  /** Fleiss' kappa (Fleiss 1971) — inter-rater agreement over an (item,
+    * rater, label) table with a CONSTANT number of raters per item
+    * (validated loudly; the statistic is undefined otherwise). Every
+    * intermediate is an INTEGER sum (Σ n_ij², per-label totals), so the
+    * three closing float ops (two divisions, one ratio) are the whole
+    * IEEE surface — engine-replayable without float-order care. One
+    * grouped aggregate per term; no window, no collect beyond the
+    * scalars.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, labelCol: String)
+      : DataFrame = {
+    val cell = df.groupBy(col(itemCol).as("__i"), col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("__c"))
+    val perItem = cell.groupBy("__i")
+      .agg(sum(col("__c")).as("__n"), sum(col("__c") * col("__c")).as("__sq"))
+    val stats = perItem.agg(
+      countDistinct(col("__n")).as("__distinctN"),
+      max(col("__n")).as("__n1"),
+      count(lit(1)).as("__items"),
+      sum(col("__sq")).as("__sumSq")).head()
+    require(stats.getLong(0) == 1L,
+      "fleissKappa: items have differing rater counts — Fleiss' kappa " +
+        "requires a constant n per item; complete or filter the panel")
+    val n = stats.getLong(1)
+    require(n >= 2, s"fleissKappa: need >= 2 raters per item, got $n")
+    val nItems = stats.getLong(2)
+    val sumSq = stats.getLong(3)
+    val labelSq = cell.groupBy("__l").agg(sum(col("__c")).as("__cl"))
+      .agg(sum(col("__cl") * col("__cl")).as("__s2")).head().getLong(0)
+    // pBar = (Σ_i Σ_j n_ij² − N·n) / (N·n·(n−1)); pe = Σ_j C_j² / (N·n)²
+    // — both ratios of exact longs (magnitudes < 2^53 by the panel
+    // bounds), then one closing ratio.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pBar = (sumSq - nItems * n).toDouble / (nItems * n * (n - 1)).toDouble
+    val pe = labelSq.toDouble / ((nItems * n) * (nItems * n)).toDouble
+    Seq((if (pe == 1.0) 1.0 else (pBar - pe) / (1.0 - pe),
+      pBar, pe, nItems, n))
+      .toDF("kappa", "p_bar", "p_e", "n_items", "n_raters")
+  }
+
   /** Bradley–Terry strength fit over pairwise comparisons — the arena
     * analysis stage downstream of [[pairwiseJudge]] (Hunter 2004's MM
     * algorithm, the estimator behind Chatbot-Arena-style leaderboards):

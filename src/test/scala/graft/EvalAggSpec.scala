@@ -38,6 +38,48 @@ class EvalAggSpec extends SparkSpec {
     assert(e.getMessage.contains("fewer samples"))
   }
 
+  test("rocAuc equals the brute-force pairwise probability with tie credit") {
+    val rng = new scala.util.Random(37)
+    val rows = (0 until 400).map(_ => (rng.nextInt(12), rng.nextBoolean()))
+    val got = Evals.rocAuc(rows.toDF("score", "label"), "score", "label")
+      .select("auc").as[Double].head()
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    assert(math.abs(got - wins / (pos.size.toDouble * neg.size)) < 1e-12)
+    // Perfectly separating score -> AUC exactly 1.
+    val sep = (0 until 50).map(i => (i, i >= 25))
+    assert(Evals.rocAuc(sep.toDF("score", "label"), "score", "label")
+      .select("auc").as[Double].head() == 1.0)
+  }
+
+  test("fleissKappa: hand formula, perfect agreement, and panel validation") {
+    // Fleiss 1971's worked structure: 3 items x 4 raters.
+    val rows = Seq(
+      (1, "x"), (1, "x"), (1, "y"), (1, "y"),
+      (2, "x"), (2, "x"), (2, "x"), (2, "x"),
+      (3, "y"), (3, "y"), (3, "y"), (3, "z"))
+    val got = Evals.fleissKappa(rows.toDF("item", "label"), "item", "label")
+      .select("kappa", "p_bar", "p_e").as[(Double, Double, Double)].head()
+    // Σn²: item1 = 2²+2² = 8, item2 = 4² = 16, item3 = 3²+1² = 10.
+    val pBar = ((4.0 + 4) + 16.0 + (9.0 + 1) - 12) / (3 * 4 * 3)
+    // Label totals: x = 6, y = 5, z = 1.
+    val pe = (36.0 + 25.0 + 1.0) / (12.0 * 12.0)
+    assert(math.abs(got._2 - pBar) < 1e-12 && math.abs(got._3 - pe) < 1e-12)
+    assert(math.abs(got._1 - (pBar - pe) / (1 - pe)) < 1e-12)
+    // All raters agree on every item -> kappa 1.
+    val perfect = (0 until 10).flatMap(i =>
+      (0 until 4).map(_ => (i, s"l${i % 3}")))
+    assert(Evals.fleissKappa(perfect.toDF("item", "label"), "item", "label")
+      .select("kappa").as[Double].head() == 1.0)
+    // Ragged panels are rejected loudly.
+    val e = intercept[IllegalArgumentException](Evals.fleissKappa(
+      Seq((1, "x"), (1, "y"), (2, "x")).toDF("item", "label"),
+      "item", "label"))
+    assert(e.getMessage.contains("constant n"))
+  }
+
   test("bradleyTerry: closed form on two models, MM fixed point on many") {
     // A beats B 3:1 -> scores 0.75 / 0.25 exactly (the 2-model closed form).
     val two = Seq(("A", "B", "a"), ("A", "B", "a"), ("A", "B", "a"),
