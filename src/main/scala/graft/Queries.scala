@@ -417,6 +417,23 @@ object Queries {
       Evals.retrievalMetrics(results, qrels, k = 5).orderBy("qid")
     }),
 
+    "eval_calibration" -> ((s, dir) => {
+      // Reliability diagram over dyadic confidences (k/128 — bin sums of
+      // such doubles are EXACT in any order) with a deterministic
+      // correctness rule correlated with confidence, so bins show real
+      // miscalibration, not noise.
+      val e = read(s, dir, "events").filter(col("event_id") < 8000)
+      val scored = e.select(
+        ((col("event_id") % 128).cast("double") / 128.0).as("conf"),
+        ((col("event_id") % 128) + (col("event_id") % 7) * 12 > 70).as("ok"))
+      Evals.calibrationReport(scored, "conf", "ok", bins = 10)
+        .select(col("bin"), col("n"), col("n_correct"),
+          round(col("acc"), 6).as("acc"),
+          round(col("avg_conf"), 6).as("avg_conf"),
+          round(col("abs_gap"), 6).as("abs_gap"))
+        .orderBy("bin")
+    }),
+
     "eval_roc_auc" -> ((s, dir) => {
       // Exact Mann–Whitney AUC with ½-tie credit over the score
       // HISTOGRAM (17 distinct scores — ties everywhere, the form's
@@ -5430,6 +5447,26 @@ object Queries {
     // SQuAD normalization chain replayed step for step (punct strip →
     // article drop → whitespace squeeze), multiset overlap via
     // unnest + least(count, count), f1 in the identical 2·s/(np+nr) shape.
+    // Dyadic confidences: SUM(conf) is exact in any order, so acc /
+    // avg_conf / gap replay bit for bit.
+    "eval_calibration" ->
+      """WITH s AS (
+        |  SELECT CAST(event_id % 128 AS DOUBLE) / 128.0 AS conf,
+        |         ((event_id % 128) + (event_id % 7) * 12 > 70) AS ok
+        |  FROM events WHERE event_id < 8000),
+        |b AS (
+        |  SELECT LEAST(CAST(FLOOR(conf * 10) AS INT), 9) AS bin, conf, ok
+        |  FROM s),
+        |g AS (
+        |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS acc,
+        |    SUM(conf) / COUNT(*) AS avgc
+        |  FROM b GROUP BY bin)
+        |SELECT bin, n, n_correct, round(acc, 6) AS acc,
+        |  round(avgc, 6) AS avg_conf, round(ABS(acc - avgc), 6) AS abs_gap
+        |FROM g ORDER BY bin""".stripMargin,
+
     // Same histogram, same integer doubled numerator, same single
     // division.
     "eval_roc_auc" ->

@@ -242,6 +242,47 @@ object Evals {
     out
   }
 
+  /** Reliability diagram — the per-bin calibration table behind ECE
+    * (Guo et al. 2017, arXiv 1706.04599 §2): equal-width confidence bins
+    * [0,1], per bin the count, accuracy, mean confidence, and |gap|.
+    * One grouped aggregate; the only non-integer aggregate is the
+    * confidence sum (exactly order-independent when confidences are
+    * dyadic rationals — logprob-derived 1/2ᵏ grids qualify; arbitrary
+    * floats are still correct, just not bit-pinned across engines).
+    * `ece(report)` folds the diagram into the scalar in ascending-bin
+    * order.
+    */
+  def calibrationReport(df: DataFrame, confCol: String, correctCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"calibrationReport: bins $bins must be >= 1")
+    val outOfRange = df
+      .filter(col(confCol) < 0.0 || col(confCol) > 1.0).limit(1).count()
+    require(outOfRange == 0,
+      s"calibrationReport: $confCol must lie in [0, 1]")
+    val bin = least(floor(col(confCol) * bins).cast("int"), lit(bins - 1))
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(correctCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(col(confCol).cast("double")).as("__sumConf"))
+      .withColumn("acc", col("n_correct").cast("double") / col("n"))
+      .withColumn("avg_conf", col("__sumConf") / col("n"))
+      .withColumn("abs_gap", abs(col("acc") - col("avg_conf")))
+      .select("bin", "n", "n_correct", "acc", "avg_conf", "abs_gap")
+  }
+
+  /** Expected calibration error from a [[calibrationReport]] frame:
+    * Σ_b (n_b/N)·|gap_b|, folded in ascending-bin order (≤ bins rows —
+    * a driver fold, deterministic).
+    */
+  def ece(report: DataFrame): Double = {
+    val rows = report.select("bin", "n", "abs_gap")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val total = rows.map(_._2).sum.toDouble
+    rows.foldLeft(0.0) { case (acc, (_, n, gap)) => acc + n / total * gap }
+  }
+
   /** Exact ROC-AUC of a score column against a boolean label — the
     * Mann–Whitney form over the SCORE HISTOGRAM, with the standard ½
     * credit for ties: AUC = Σ_g nPos_g·(cumNegBelow_g + nNeg_g/2) /

@@ -38,6 +38,33 @@ class EvalAggSpec extends SparkSpec {
     assert(e.getMessage.contains("fewer samples"))
   }
 
+  test("calibrationReport + ece match the direct formula; perfect " +
+      "calibration scores 0") {
+    val rng = new scala.util.Random(41)
+    val rows = (0 until 500).map { _ =>
+      val c = rng.nextInt(129) / 128.0
+      (c, rng.nextDouble() < c) // correctness drawn AT the confidence
+    }
+    val rep = Evals.calibrationReport(rows.toDF("conf", "ok"), "conf", "ok")
+    val got = rep.select("bin", "n", "acc", "avg_conf")
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    got.foreach { case (b, n, acc, avg) =>
+      val in = rows.filter(r => math.min((r._1 * 10).toInt, 9) == b)
+      assert(in.size == n)
+      assert(math.abs(acc - in.count(_._2).toDouble / n) < 1e-12)
+      assert(math.abs(avg - in.map(_._1).sum / n) < 1e-12)
+    }
+    assert(Evals.ece(rep) >= 0.0 && Evals.ece(rep) <= 1.0)
+    // Every sample at conf 0.75 with exactly 75% correct -> ece 0.
+    val flat = (0 until 100).map(i => (0.75, i < 75))
+    val e0 = Evals.ece(Evals.calibrationReport(flat.toDF("conf", "ok"),
+      "conf", "ok"))
+    assert(e0 == 0.0)
+    // Out-of-range confidences are rejected loudly.
+    intercept[IllegalArgumentException](Evals.calibrationReport(
+      Seq((1.5, true)).toDF("conf", "ok"), "conf", "ok").collect())
+  }
+
   test("rocAuc equals the brute-force pairwise probability with tie credit") {
     val rng = new scala.util.Random(37)
     val rows = (0 until 400).map(_ => (rng.nextInt(12), rng.nextBoolean()))
