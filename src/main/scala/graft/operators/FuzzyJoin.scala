@@ -74,7 +74,8 @@ object FuzzyJoin {
     */
   def editDistanceSelfJoin(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, q: Int = 2, distCol: String = "dist",
-      orderByFrequency: Boolean = false): DataFrame = {
+      orderByFrequency: Boolean = false,
+      maxCandidatePairs: Long = 2_000_000_000L): DataFrame = {
     require(maxDist >= 0, s"editDistanceSelfJoin: maxDist $maxDist must be >= 0")
     require(q >= 1, s"editDistanceSelfJoin: q $q must be >= 1")
     val prefLen = q * maxDist + 1
@@ -115,8 +116,23 @@ object FuzzyJoin {
           col("__pg.h").as("__hs"))
         .select(col("__id"), col("__s"), col("__len"),
           explode(array_distinct(col("__hs"))).as("__h"))
-    val l = pref.toDF("id1", "s1", "len1", "h1")
-    val r = pref.toDF("id2", "s2", "len2", "h2")
+    // Candidate budget before the join (the cells-route occupancy-guard
+    // convention): the prefix self-join emits Σ_h n_h·(n_h−1)/2 pairs.
+    // A quasi-unique string multiset over a tiny alphabet (every pair at
+    // distance ≈ d) detonates here — refuse loudly, naming the knobs.
+    val stagedPref = graft.core.Persist.stage(pref)
+    val candidateCount = stagedPref.groupBy("__h")
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n") * (col("__n") - lit(1L))), lit(0L)))
+      .head().getLong(0) / 2
+    if (candidateCount > maxCandidatePairs) throw new IllegalStateException(
+      s"editDistanceSelfJoin: prefix grams fan out to $candidateCount " +
+        s"candidate pairs (> maxCandidatePairs = $maxCandidatePairs) — " +
+        "this string set is gram-dense at maxDist = " + maxDist + "; use " +
+        "orderByFrequency = true if not already, raise q, lower maxDist, " +
+        "or raise maxCandidatePairs deliberately")
+    val l = stagedPref.toDF("id1", "s1", "len1", "h1")
+    val r = stagedPref.toDF("id2", "s2", "len2", "h2")
     val gramCand = l.join(r,
         col("h1") === col("h2") &&
           col("id1") < col("id2") &&
@@ -188,7 +204,8 @@ object FuzzyJoin {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, minContainment: Double = 0.8,
       contCol: String = "containment",
-      orderByFrequency: Boolean = false): DataFrame = {
+      orderByFrequency: Boolean = false,
+      maxCandidatePairs: Long = 2_000_000_000L): DataFrame = {
     require(minContainment > 0.0 && minContainment <= 1.0,
       s"containmentPairs: minContainment $minContainment must be in (0, 1]")
     val sh = df
@@ -206,13 +223,16 @@ object FuzzyJoin {
     val probeLen = (nGrams - ceil(nGrams * minContainment) + lit(1)).cast("int")
     val index = sh
       .select(col("__id").as("id2"), explode(col("__sh")).as("__g"))
+    // Gram document frequencies: the rarest-first ordering AND the
+    // candidate budget both read them (one linear aggregate, staged).
+    val dfreq = graft.core.Persist.stage(
+      index.groupBy("__g").agg(count(lit(1)).as("__df")))
     val probe =
       if (orderByFrequency) {
         // Rarest-first probe: rank each doc's grams by corpus document
         // frequency (ties by gram — a total order), keep the first
         // probeLen. The rank window partitions by doc id (≤ |A| rows per
         // partition — never a global window).
-        val dfreq = index.groupBy("__g").agg(count(lit(1)).as("__df"))
         val rn = row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("__id")).orderBy(col("__df"), col("__g")))
@@ -229,6 +249,23 @@ object FuzzyJoin {
                 g => struct(md5(g.cast("string")).as("h"), g.as("g")))),
               lit(1), probeLen)).as("__pg"))
           .select(col("id1"), col("__pg.g").as("__g"))
+    // Candidate budget, EXACTLY, BEFORE the join (the cells-route
+    // occupancy-guard convention): the inverted join emits Σ df(g) over
+    // probe instances. On gram-dense corpora (tiny vocabularies,
+    // boilerplate) exact containment approaches all-pairs density and
+    // this refuses loudly instead of detonating a 100 GB shuffle —
+    // route such corpora through the minhash/cells tiers, raise the
+    // containment threshold (shorter probes), or raise the budget
+    // deliberately.
+    val candidateCount = probe.join(dfreq, "__g")
+      .agg(coalesce(sum(col("__df")), lit(0L))).head().getLong(0)
+    if (candidateCount > maxCandidatePairs) throw new IllegalStateException(
+      s"containmentPairs: probe grams fan out to $candidateCount candidate " +
+        s"pairs (> maxCandidatePairs = $maxCandidatePairs). This corpus is " +
+        "gram-dense for exact containment at minContainment = " +
+        s"$minContainment — use orderByFrequency = true if not already, " +
+        "raise minContainment, route through minhash/semantic dedup, or " +
+        "raise maxCandidatePairs deliberately")
     val cand = probe.join(index,
         probe("__g") === index("__g") && col("id1") =!= col("id2"))
       .select("id1", "id2")

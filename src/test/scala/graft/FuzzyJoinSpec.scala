@@ -129,6 +129,21 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(a.intersect(b).size.toDouble / a.union(b).size < 0.1)
   }
 
+  test("candidate budgets refuse loudly before the join on both routes") {
+    val dense = (0 until 40).map(i => (i.toLong, "aaaa aaab aaba")).toDF("id", "s")
+    val e1 = intercept[IllegalStateException](
+      FuzzyJoin.editDistanceSelfJoin(dense, "id", "s", 2,
+        maxCandidatePairs = 10L).count())
+    assert(e1.getMessage.contains("maxCandidatePairs"))
+    val e2 = intercept[IllegalStateException](
+      FuzzyJoin.containmentPairs(dense, "id", "s", 3, 0.5,
+        maxCandidatePairs = 10L).count())
+    assert(e2.getMessage.contains("maxCandidatePairs"))
+    // Under an adequate budget the same corpus runs to completion.
+    assert(FuzzyJoin.containmentPairs(dense, "id", "s", 3, 0.5,
+      maxCandidatePairs = 1 << 20).count() > 0)
+  }
+
   test("containmentPairs honors the probe-prefix bound at high thresholds") {
     // c = 1.0 → probe prefix of size 1: full containment must still be
     // exact with the minimal probe.
