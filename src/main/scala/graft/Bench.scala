@@ -36,7 +36,28 @@ object Bench {
   }
 
   private[graft] final case class Outcome(
-      timings: Seq[(String, Double)], errors: Seq[(String, String)])
+      timings: Seq[(String, Double)], errors: Seq[(String, String)],
+      passTotals: Seq[Double] = Nil)
+
+  /** Cumulative JVM GC (ms) and collection count across all collectors —
+    * the in-JVM-accumulation diagnostic: if late passes pay materially
+    * more GC than early ones, the board is measuring heap/metaspace
+    * pressure, not plans.
+    */
+  private[graft] def gcStats(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val beans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    (beans.map(b => math.max(0L, b.getCollectionTime)).sum,
+      beans.map(b => math.max(0L, b.getCollectionCount)).sum)
+  }
+
+  private[graft] def metaspaceUsedMb(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .find(_.getName.contains("Metaspace"))
+      .map(_.getUsage.getUsed >> 20).getOrElse(-1L)
+  }
 
   /** Time every query over `passes` alternating passes (A B C, A B C rather
     * than AAA BBB, so a transient machine spike inflates at most one pass of
@@ -50,11 +71,14 @@ object Bench {
     val timings = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    for (_ <- 1 to passes; (name, fn) <- names) {
+    val passTotals = scala.collection.mutable.ArrayBuffer.fill(passes)(0.0)
+    for (pass <- 1 to passes; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        timings(name) = timings(name) :+ (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        timings(name) = timings(name) :+ dt
+        passTotals(pass - 1) += dt
       } catch {
         case e: Throwable =>
           if (!errors.contains(name))
@@ -78,7 +102,7 @@ object Bench {
     val results = names.map { case (name, _) =>
       name -> (if (errors.contains(name)) -1.0 else ms(median(timings(name))))
     }
-    Outcome(results, errors.toSeq)
+    Outcome(results, errors.toSeq, passTotals.toSeq.map(ms))
   }
 
   /** One-line JSON record. `value` sums only non-erroring queries (an error
@@ -86,7 +110,8 @@ object Bench {
     * consumer that reads nothing else.
     */
   private[graft] def renderJson(o: Outcome, sfDir: String, passes: Int,
-      loadBefore: Double, loadAfter: Double): String = {
+      loadBefore: Double, loadAfter: Double,
+      diag: Map[String, Long] = Map.empty): String = {
     val qs = o.timings.map { case (k, v) => graft.core.Jsons.str(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = o.errors.map { case (k, v) =>
@@ -94,7 +119,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val good = o.timings.collect { case (_, v) if v >= 0 => v }
     val total = math.round(good.sum * 1000).toDouble / 1000
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${o.errors.size},"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}"""
+    val passPart =
+      if (o.passTotals.isEmpty) ""
+      else s""","pass_totals":${o.passTotals.mkString("[", ",", "]")}"""
+    val diagPart =
+      if (diag.isEmpty) ""
+      else diag.toSeq.sortBy(_._1)
+        .map { case (k, v) => graft.core.Jsons.str(k) + ":" + v }
+        .mkString(",", ",", "")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${o.errors.size},"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter$passPart$diagPart}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -118,8 +151,14 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val (gcMs0, gcN0) = gcStats()
     val outcome = timeAll(spark, sfDir, names, passes)
-    val json = renderJson(outcome, sfDir, passes, loadBefore, loadAvg())
+    val (gcMs1, gcN1) = gcStats()
+    val diag = Map(
+      "gc_ms" -> (gcMs1 - gcMs0), "gc_count" -> (gcN1 - gcN0),
+      "metaspace_mb" -> metaspaceUsedMb(),
+      "n_queries" -> names.size.toLong)
+    val json = renderJson(outcome, sfDir, passes, loadBefore, loadAvg(), diag)
     println(json)
     // Self-contained record regardless of the caller's capture window, plus
     // an append-only history so per-round records survive the next run.

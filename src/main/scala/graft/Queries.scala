@@ -1348,6 +1348,34 @@ object Queries {
         .orderBy("id1", "id2")
     }),
 
+    "dedup_drop_contained" -> ((s, dir) => {
+      // The directional containment CLEANING action on planted quote
+      // chains: docs are regrouped in triples sharing one base text —
+      // doc%3==0 keeps the first ⌈n/3⌉ words (a), %3==1 the first
+      // ⌈2n/3⌉ (b), %3==2 the full text (c) — so a⊂b⊂c at containment
+      // 1.0. dropContained must drop a and b and keep every c (longest
+      // wins; ties — degenerate 1-word groups or cross-group exact dups
+      // — resolve to the min id). The survivor set + word counts are
+      // pinned against the oracle's all-pairs exact replay.
+      val d0 = read(s, dir, "documents").filter(col("doc_id") < 300)
+      val base = d0.filter(col("doc_id") % 3 === 2)
+        .select(floor(col("doc_id") / 3).as("__g"), col("text").as("__base"))
+      val w = split(trim(col("__base")), "\\s+")
+      val n = size(w)
+      val take = when(col("doc_id") % 3 === 0, ceil(n / 3.0))
+        .when(col("doc_id") % 3 === 1, ceil(n * 2.0 / 3))
+        .otherwise(n).cast("int")
+      val synth = d0.select(col("doc_id"), floor(col("doc_id") / 3).as("__g"))
+        .join(base, "__g")
+        .select(col("doc_id"),
+          concat_ws(" ", slice(w, lit(1), take)).as("text"))
+      FuzzyJoin.dropContained(synth, "doc_id", "text",
+          shingleLen = 3, minContainment = 0.8)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"))
+        .orderBy("doc_id")
+    }),
+
     "pipeline_compose" -> ((s, dir) => {
       // Semantic + classical composition through one plan: LLM filter →
       // native text analysis → aggregate. Mirrors the reference's
@@ -3769,6 +3797,33 @@ object Queries {
         .select("doc_id", "domain", "n_docs", "share").orderBy("doc_id")
     }),
 
+    "psl_domain" -> ((s, dir) => {
+      // Public-Suffix-List registrable domains on planted edge cases —
+      // the full PSL algorithm (exact/wildcard/exception rules,
+      // longest-match) over the pinned snapshot resource, with the
+      // DuckDB oracle's CASE expression GENERATED from the same parsed
+      // snapshot, so both engines read one rule set. Cases: default
+      // rule, .co.uk exact, .kyoto.jp prefecture, *.kobe.jp wildcard,
+      // !city.kobe.jp exception, a host that IS a public suffix
+      // (school.sch.uk, scheme-less), k12.ca.us 3-label rule behind a
+      // port, and a deep subdomain chain.
+      val d = read(s, dir, "documents")
+      val g = (col("doc_id") % 10).cast("string")
+      val p = col("doc_id").cast("string")
+      val v = col("doc_id") % 8
+      val url = when(v === 0, concat(lit("http://www.Site"), g, lit(".com/p"), p))
+        .when(v === 1, concat(lit("https://shop.site"), g, lit(".co.uk/a?x=1")))
+        .when(v === 2, concat(lit("http://blog.site"), g, lit(".kyoto.jp/p"), p))
+        .when(v === 3, concat(lit("http://x.site"), g, lit(".kobe.jp/")))
+        .when(v === 4, concat(lit("http://www.city.kobe.jp/ward"), g))
+        .when(v === 5, concat(lit("school"), g, lit(".sch.uk/home")))
+        .when(v === 6, concat(lit("https://my.school"), g, lit(".k12.ca.us:8080/x")))
+        .otherwise(concat(lit("http://deep.a.b.site"), g, lit(".com/x")))
+      d.select(col("doc_id"),
+          CorpusPrep.registrableDomain(url).as("domain"))
+        .orderBy("doc_id")
+    }),
+
     "text_line_stats" -> ((s, dir) => {
       // Line-level Gopher/C4 rules (bulleted-line, ellipsis-line, and
       // short-line fractions). The gate corpus is single-line, so the
@@ -4045,6 +4100,41 @@ object Queries {
       Dedup.exactSubstrClean(d, "text", "doc_id", minMatchWords = 25)
         .select(col("doc_id"), col("n_removed"),
           md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_exactsubstr_cs" -> ((s, dir) => {
+      // The byte-exact (caseSensitive = true) ExactSubstr mode vs the
+      // case-folding default, on spans that differ ONLY in casing: the
+      // boilerplate span is planted in every 7th doc with a per-doc
+      // UNIQUE case pattern (word i uppercased iff bit (i mod 13) of
+      // doc_id — 13 bits > max doc_id's width repeated across the
+      // 31-word span, so every 25-word window carries the full pattern
+      // and no two docs ever share an in-span window byte-exactly).
+      // Case-insensitive cleaning must strip the planted spans (they
+      // fold to identical windows); case-sensitive cleaning must let
+      // every planted span SURVIVE. Both modes' n_removed plus the
+      // byte-exact cleaned text (md5) are pinned.
+      val span = "this document is provided as is without warranty of any " +
+        "kind either express or implied including but not limited to the " +
+        "implied warranties of merchantability and fitness for a " +
+        "particular purpose"
+      val cased = concat_ws(" ",
+        transform(split(lit(span), " "), (w, i) =>
+          when(pmod(floor(col("doc_id") / pow(lit(2.0), pmod(i, lit(13)))),
+              lit(2)) === 1, upper(w)).otherwise(w)))
+      val d = read(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" "), cased))
+          .otherwise(col("text")))
+      val ci = Dedup.exactSubstrClean(d, "text", "doc_id",
+          minMatchWords = 25)
+        .select(col("doc_id"), col("n_removed").as("n_removed_ci"))
+      val cs = Dedup.exactSubstrClean(d, "text", "doc_id",
+          minMatchWords = 25, caseSensitive = true)
+        .select(col("doc_id"), col("n_removed").as("n_removed_cs"),
+          md5(col("clean_text")).as("clean_cs_md5"))
+      ci.join(cs, "doc_id")
+        .select("doc_id", "n_removed_ci", "n_removed_cs", "clean_cs_md5")
         .orderBy("doc_id")
     }),
 
@@ -5745,6 +5835,36 @@ object Queries {
         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) >= 0.4
         |ORDER BY id1, id2""".stripMargin,
 
+    // Same triple-group prefix synthesis, then the drop rule replayed on
+    // ALL exact containment pairs: drop iff some container wins under
+    // (word count desc, id asc).
+    "dedup_drop_contained" ->
+      """WITH base AS (
+        |  SELECT doc_id // 3 AS g, string_split(trim(text), ' ') AS bw
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 3 = 2),
+        |synth AS (
+        |  SELECT d.doc_id,
+        |    list_slice(b.bw, 1, CASE
+        |      WHEN d.doc_id % 3 = 0 THEN CAST(ceil(len(b.bw) / 3.0) AS INT)
+        |      WHEN d.doc_id % 3 = 1 THEN CAST(ceil(len(b.bw) * 2.0 / 3) AS INT)
+        |      ELSE len(b.bw) END) AS w
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+        |  JOIN base b ON d.doc_id // 3 = b.g),
+        |t AS (SELECT doc_id, string_split(trim(array_to_string(w, ' ')), ' ') AS w FROM synth),
+        |s AS (
+        |  SELECT doc_id, len(w) AS sc, list_distinct(
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS sh
+        |  FROM t),
+        |drops AS (
+        |  SELECT DISTINCT a.doc_id AS id1
+        |  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) >= 0.8
+        |    AND (b.sc > a.sc OR (b.sc = a.sc AND b.doc_id < a.doc_id)))
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words
+        |FROM t WHERE t.doc_id NOT IN (SELECT id1 FROM drops)
+        |ORDER BY t.doc_id""".stripMargin,
+
     // Same linear quantization (double arithmetic in the same association
     // order) and the same bit-interleave pattern, term by term.
     "zorder_value" -> {
@@ -7150,6 +7270,32 @@ object Queries {
         |FROM kept k JOIN s USING (domain) CROSS JOIN tot
         |ORDER BY k.doc_id""".stripMargin,
 
+    // Same URL synthesis; the registrable-domain CASE below is GENERATED
+    // at oracle-dump time from the same parsed PSL snapshot Spark reads
+    // (graft.functions.Psl.duckDbRegistrableSql), so the two engines
+    // cannot drift on the rule set.
+    "psl_domain" ->
+      s"""WITH u AS (SELECT doc_id,
+         |    CASE doc_id % 8
+         |      WHEN 0 THEN 'http://www.Site' || (doc_id % 10) || '.com/p' || doc_id
+         |      WHEN 1 THEN 'https://shop.site' || (doc_id % 10) || '.co.uk/a?x=1'
+         |      WHEN 2 THEN 'http://blog.site' || (doc_id % 10) || '.kyoto.jp/p' || doc_id
+         |      WHEN 3 THEN 'http://x.site' || (doc_id % 10) || '.kobe.jp/'
+         |      WHEN 4 THEN 'http://www.city.kobe.jp/ward' || (doc_id % 10)
+         |      WHEN 5 THEN 'school' || (doc_id % 10) || '.sch.uk/home'
+         |      WHEN 6 THEN 'https://my.school' || (doc_id % 10) || '.k12.ca.us:8080/x'
+         |      ELSE 'http://deep.a.b.site' || (doc_id % 10) || '.com/x' END AS url
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    lower(regexp_extract(
+         |      CASE WHEN contains(url, '://')
+         |           THEN regexp_replace(url, '^[^:]*://', '') ELSE url END,
+         |      '^([^/?:]*)', 1)) AS host
+         |  FROM u)
+         |SELECT doc_id,
+         |  ${graft.functions.Psl.duckDbRegistrableSql("host")} AS domain
+         |FROM h ORDER BY doc_id""".stripMargin,
+
     // Identical line construction (sentence breaks → newlines + the
     // deterministic bullet/ellipsis tail on every third doc), then the
     // three line fractions over non-empty lines.
@@ -7485,6 +7631,54 @@ object Queries {
         |  FROM gr, sh)
         |SELECT doc_id, CAST(len(covered) AS BIGINT) AS n_removed,
         |  md5(coalesce(array_to_string(list_filter(w, (x, i) -> NOT list_contains(covered, i)), ' '), '')) AS clean_md5
+        |FROM c ORDER BY doc_id""").stripMargin,
+
+    // Same window-coverage construction run TWICE — once on lowercased
+    // window keys (the case-folding default), once on verbatim words (the
+    // byte-exact published rule) — over the per-doc case-varied planted
+    // span (word i uppercased iff bit ((i-1) mod 13) of doc_id; DuckDB
+    // lambda indices are 1-based where Spark's are 0-based).
+    "dedup_exactsubstr_cs" ->
+      ("""WITH inj AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' ' ||
+        |    array_to_string(list_transform(string_split('""" +
+        "this document is provided as is without warranty of any kind " +
+        "either express or implied including but not limited to the " +
+        "implied warranties of merchantability and fitness for a " +
+        "particular purpose" + """', ' '),
+        |      (x, i) -> CASE WHEN CAST(floor(doc_id / (2.0 ** ((i - 1) % 13))) AS BIGINT) % 2 = 1
+        |                THEN upper(x) ELSE x END), ' ')
+        |    ELSE text END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w,
+        |    list_transform(string_split(trim(text), ' '), x -> lower(x)) AS k
+        |  FROM inj),
+        |gr AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(k) <= 25 THEN [array_to_string(k, ' ')]
+        |      ELSE list_transform(range(1, len(k) - 23), i -> array_to_string(list_slice(k, i, i + 24), ' ')) END AS grams_ci,
+        |    CASE WHEN len(w) <= 25 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 23), i -> array_to_string(list_slice(w, i, i + 24), ' ')) END AS grams_cs
+        |  FROM t),
+        |e_ci AS (SELECT doc_id, unnest(list_distinct(grams_ci)) AS gram FROM gr),
+        |shared_ci AS (SELECT gram FROM e_ci GROUP BY gram HAVING count(*) >= 2),
+        |sh_ci AS (SELECT coalesce(list(gram), CAST([] AS VARCHAR[])) AS sg FROM shared_ci),
+        |e_cs AS (SELECT doc_id, unnest(list_distinct(grams_cs)) AS gram FROM gr),
+        |shared_cs AS (SELECT gram FROM e_cs GROUP BY gram HAVING count(*) >= 2),
+        |sh_cs AS (SELECT coalesce(list(gram), CAST([] AS VARCHAR[])) AS sg FROM shared_cs),
+        |c AS (
+        |  SELECT gr.doc_id, gr.w,
+        |    list_distinct(flatten(list_transform(
+        |      list_filter(range(1, len(gr.grams_ci) + 1), i -> list_contains(sh_ci.sg, gr.grams_ci[i])),
+        |      s -> range(s, s + least(25, len(gr.w)))))) AS cov_ci,
+        |    list_distinct(flatten(list_transform(
+        |      list_filter(range(1, len(gr.grams_cs) + 1), i -> list_contains(sh_cs.sg, gr.grams_cs[i])),
+        |      s -> range(s, s + least(25, len(gr.w)))))) AS cov_cs
+        |  FROM gr, sh_ci, sh_cs)
+        |SELECT doc_id, CAST(len(cov_ci) AS BIGINT) AS n_removed_ci,
+        |  CAST(len(cov_cs) AS BIGINT) AS n_removed_cs,
+        |  md5(coalesce(array_to_string(list_filter(w, (x, i) -> NOT list_contains(cov_cs, i)), ' '), '')) AS clean_cs_md5
         |FROM c ORDER BY doc_id""").stripMargin,
 
     "pii_redact" ->

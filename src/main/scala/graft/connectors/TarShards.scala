@@ -92,9 +92,14 @@ object TarShards {
     val exts = payload.keys.toSeq.sorted
     val cols = col(keyCol).cast("string").as("__key") +:
       exts.map(e => payload(e).cast("binary").as(s"__p_$e"))
+    // Session Hadoop conf (s3a credentials, endpoints, timeouts) must
+    // reach the EXECUTOR tasks too — a fresh Configuration() there would
+    // silently drop session-level overrides and authenticate differently
+    // from the driver on object stores.
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
     val root = new org.apache.hadoop.fs.Path(dir)
-    root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      .mkdirs(root)
+    root.getFileSystem(serConf.value).mkdirs(root)
     df.select(cols: _*)
       .repartitionByRange(numShards, col("__key"))
       .sortWithinPartitions("__key")
@@ -104,15 +109,24 @@ object TarShards {
         // Unwrap ChecksumFileSystem: the local FS otherwise drops a .crc
         // sidecar per shard (the training loader globs *.tar; sidecars are
         // clutter and the tar IS the integrity unit here).
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration()) match {
+        val fs = path.getFileSystem(serConf.value) match {
           case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
           case f => f
         }
         val out = new BufferedOutputStream(fs.create(path, true), 1 << 20)
         try {
           var any = false
+          // Keys must be unique: readShards groups members by key, so a
+          // duplicate would silently collapse to one sample. Rows arrive
+          // range-partitioned AND sorted by key, so every duplicate is
+          // adjacent within this task — the check is free.
+          var prevKey: String = null
           rows.foreach { r =>
             val key = r.getString(0)
+            require(key != prevKey,
+              s"TarShards: duplicate sample key '$key' — WebDataset keys " +
+                "must be unique (readShards would silently drop one)")
+            prevKey = key
             exts.zipWithIndex.foreach { case (e, i) =>
               val bytes = r.getAs[Array[Byte]](i + 1)
               if (bytes != null) { writeEntry(out, s"$key.$e", bytes); any = true }
@@ -179,6 +193,15 @@ object TarShards {
           }
           .groupBy { case (_, key, _, _) => key }
           .map { case (key, es) =>
+            // A (key, ext) appearing twice in one shard is a corrupt or
+            // hand-built archive — .toMap would keep the LAST member and
+            // silently drop data; fail loudly instead.
+            val dup = es.groupBy(_._3).collectFirst {
+              case (ext, ms) if ms.size > 1 => ext
+            }
+            require(dup.isEmpty,
+              s"TarShards: key '$key' has duplicate member '.${dup.get}' " +
+                s"in shard $path — refusing to silently drop one")
             (path, key, es.map { case (_, _, ext, c) => ext -> c }.toMap)
           }
       }

@@ -92,9 +92,14 @@ object WarcLite {
       date: String, memberPerRecord: Boolean = true): Unit = {
     require(numSegments >= 1,
       s"writeWetSegments: numSegments $numSegments must be >= 1")
+    // Session Hadoop conf (s3a credentials, endpoints, timeouts) must
+    // reach the EXECUTOR tasks too — a fresh Configuration() there would
+    // silently drop session-level overrides and authenticate differently
+    // from the driver on object stores.
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
     val root = new org.apache.hadoop.fs.Path(dir)
-    root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      .mkdirs(root)
+    root.getFileSystem(serConf.value).mkdirs(root)
     import org.apache.spark.sql.functions._
     df.select(col(keyCol).cast("string").as("__key"),
         col(uriCol).cast("string").as("__uri"),
@@ -104,8 +109,7 @@ object WarcLite {
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val path = new org.apache.hadoop.fs.Path(dir, f"seg-$pid%06d.warc.gz")
-        val fs = path.getFileSystem(
-          new org.apache.hadoop.conf.Configuration()) match {
+        val fs = path.getFileSystem(serConf.value) match {
           case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
           case f => f
         }

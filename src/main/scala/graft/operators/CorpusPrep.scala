@@ -481,21 +481,27 @@ object CorpusPrep {
     * corpus curation (FineWeb/RefinedWeb cap or drop whole domains:
     * SEO-spam sites contribute millions of near-identical pages, and a
     * per-PAGE filter never sees that). Pure column composition (regex +
-    * array ops, codegen'd, no UDF): host = authority up to the first
-    * `/`, `?` or `:`, lowercased; the registrable part is the last two
-    * labels, or the last THREE when the second-to-last label is a known
-    * second-level suffix (co/com/net/org/ac/gov/edu) under a 2-letter
-    * ccTLD — the standard public-suffix-list approximation
-    * (`site.co.uk` → `site.co.uk`, not `co.uk`). DOCUMENTED
-    * approximation: the real PSL has thousands of entries; this covers
-    * the dominant families and is deterministic/engine-reproducible,
-    * which domain KEYING needs more than exhaustive PSL fidelity.
-    * Scheme-less inputs are treated as starting at the authority.
+    * hashed `InSet` membership, codegen'd, no UDF), keyed by the full
+    * Public Suffix List ALGORITHM over the pinned snapshot resource
+    * ([[graft.functions.Psl]] — exact/wildcard/exception rules,
+    * longest-match; `site.co.uk` → `site.co.uk`, `x.kyoto.jp` →
+    * `x.kyoto.jp`, `city.kobe.jp` exception honored). Falls back to
+    * [[registrableDomainHeuristic]] only if the snapshot resource is
+    * absent from the classpath.
     */
-  def registrableDomain(url: Column): Column = {
-    val afterScheme = when(url.contains("://"),
-      regexp_replace(url, "^[^:]*://", "")).otherwise(url)
-    val host = lower(regexp_extract(afterScheme, "^([^/?:]*)", 1))
+  def registrableDomain(url: Column): Column =
+    if (graft.functions.Psl.snapshot.isEmpty) registrableDomainHeuristic(url)
+    else graft.functions.Psl.registrableDomain(url)
+
+  /** The pre-PSL approximation, kept as the documented no-resource
+    * fallback: last two labels, or the last THREE when the second-to-last
+    * label is a known second-level suffix (co/com/net/org/ac/gov/edu)
+    * under a 2-letter ccTLD. Real ccTLD registries beyond that family
+    * (e.g. `.jp` prefectures, `.us` states) key WRONG here — prefer the
+    * PSL route whenever the snapshot ships.
+    */
+  def registrableDomainHeuristic(url: Column): Column = {
+    val host = graft.functions.Psl.hostOf(url)
     val labels = split(host, "\\.")
     val n = size(labels)
     val sld = element_at(labels, -2)

@@ -989,8 +989,11 @@ object Dedup {
     * counterpart of [[sharedWindowStats]] (C4 drops three-sentence spans
     * seen before; RefinedWeb/CCNet drop repeated paragraphs; this drops any
     * word covered by a w-word window that appears in ≥ `minDocs` docs).
-    * Matching is case-insensitive (lowercased window keys); the surviving
-    * words keep their original form and single-space joining.
+    * Matching is case-insensitive by default (lowercased window keys) —
+    * boilerplate repeats with arbitrary casing; `caseSensitive = true`
+    * hashes words verbatim for the byte-exact published ExactSubstr rule.
+    * The surviving words keep their original form and single-space
+    * joining either way.
     *
     * Output = input + `n_removed` (count of removed word positions) +
     * `cleanCol` (the stripped text). Docs of ≤ w words form one whole-doc
@@ -1006,9 +1009,10 @@ object Dedup {
     * length, not corpus size.
     */
   def stripSharedWindows(df: DataFrame, textCol: String, idCol: String,
-      window: Int = 8, minDocs: Int = 2, cleanCol: String = "clean_text"): DataFrame = {
+      window: Int = 8, minDocs: Int = 2, cleanCol: String = "clean_text",
+      caseSensitive: Boolean = false): DataFrame = {
     val words = split(trim(col(textCol)), "\\s+")
-    val keys = transform(words, w => lower(w))
+    val keys = if (caseSensitive) words else transform(words, w => lower(w))
     val hashes = graft.functions.MinHashExpr.shingleHashes(keys, window)
     val withH = df.withColumn("__w", words).withColumn("__h", hashes)
     // Narrow (id, start, windowHash) stream; hashes are positional, so a
@@ -1046,14 +1050,22 @@ object Dedup {
     * adjacent/overlapping repeated spans chain into maximal spans through
     * the shared difference-array coverage rebuild. Docs of ≤ w words form
     * one whole-doc window, so short exact duplicates strip to empty.
+    *
+    * DOCUMENTED DEVIATION from the paper's byte-exact matching: the
+    * default folds case (`caseSensitive = false`), which only ever
+    * removes MORE than the byte-exact rule — a superset of the published
+    * matches, the conservative direction for dedup. Pass
+    * `caseSensitive = true` for the paper-exact rule where spans
+    * differing only in casing must SURVIVE.
     */
   def exactSubstrClean(df: DataFrame, textCol: String, idCol: String,
       minMatchWords: Int = 50, minDocs: Int = 2,
-      cleanCol: String = "clean_text"): DataFrame = {
+      cleanCol: String = "clean_text",
+      caseSensitive: Boolean = false): DataFrame = {
     require(minMatchWords >= 2,
       s"exactSubstrClean: minMatchWords $minMatchWords must be >= 2")
     stripSharedWindows(df, textCol, idCol, window = minMatchWords,
-      minDocs = minDocs, cleanCol = cleanCol)
+      minDocs = minDocs, cleanCol = cleanCol, caseSensitive = caseSensitive)
   }
 
   /** Remove WITHIN-document repeated spans: every word covered by a w-word

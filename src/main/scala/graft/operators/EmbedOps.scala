@@ -1056,9 +1056,13 @@ object EmbedOps {
     * high-to-low through shiftleft-by-one folds — NO dynamic shifts and
     * no `acc * 2`, which would trip ANSI overflow checks on the sign bit.
     * Padding lanes beyond the dimension stay 0 on both sides of a
-    * Hamming comparison, so tail words never contribute distance.
+    * Hamming comparison, so tail words never contribute distance. An
+    * empty vector packs to an empty code (guarded explicitly: the word
+    * sequence would otherwise run 0→−1 with implied step −1 and index
+    * element_at at 0, which throws).
     */
   def packSignBits(vec: Column): Column =
+    when(size(vec) <= 0, array().cast("array<bigint>")).otherwise(
     transform(sequence(lit(0),
         floor((size(vec) + lit(63)) / lit(64)).cast("int") - 1), w =>
       aggregate(sequence(lit(63), lit(0), lit(-1)), lit(0L), (acc, b) => {
@@ -1066,7 +1070,7 @@ object EmbedOps {
         shiftleft(acc, 1).bitwiseOR(
           when(idx <= size(vec) && element_at(vec, idx) > 0f, lit(1L))
             .otherwise(lit(0L)))
-      }))
+      })))
 
   /** Hamming distance between two packed sign-bit arrays (XOR + popcount
     * per word, codegen'd) — the coarse score of the binary tier.

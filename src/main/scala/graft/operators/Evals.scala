@@ -304,6 +304,17 @@ object Evals {
       s"rocAuc: more than $maxDistinctScores distinct scores — the rank " +
         "window runs over the histogram; quantize the score or raise " +
         "maxDistinctScores deliberately")
+    // Both classes must be present: with P = 0 or N = 0 the closing
+    // division would silently emit NaN/Infinity — reject loudly instead,
+    // matching passAtK/fleissKappa/calibrationReport's convention.
+    // The check reads the already-staged histogram (bounded rows).
+    val classRow = staged
+      .agg(coalesce(sum(col("__p")), lit(0L)),
+        coalesce(sum(col("__n")), lit(0L))).head()
+    val (nPosTot, nNegTot) = (classRow.getLong(0), classRow.getLong(1))
+    require(nPosTot >= 1 && nNegTot >= 1,
+      s"rocAuc: need both classes present, got n_pos=$nPosTot " +
+        s"n_neg=$nNegTot — AUC is undefined for a single-class label")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     staged

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fuzzy string joins that never enumerate N² pairs: exact edit-distance
@@ -219,8 +219,14 @@ object FuzzyJoin {
     // already 64-bit uniform; ordering by md5 of their decimal form keeps
     // the global-order convention identical to the ED-Join prefix (any
     // fixed total order is correct — only candidate counts change).
+    // The ceil subtracts a 1e-9 guard first: c·|A| can float-round just
+    // ABOVE the exact integer (0.07·100 = 7.000000000000001), and an
+    // over-ceil would shorten the prefix by one gram — a silent recall
+    // hole at knife-edge thresholds that the double-compared verify
+    // stage (overlap/|A| >= c) would otherwise accept.
     val nGrams = size(col("__sh"))
-    val probeLen = (nGrams - ceil(nGrams * minContainment) + lit(1)).cast("int")
+    val probeLen =
+      (nGrams - ceil(nGrams * minContainment - lit(1e-9)) + lit(1)).cast("int")
     val index = sh
       .select(col("__id").as("id2"), explode(col("__sh")).as("__g"))
     // Gram document frequencies: the rarest-first ordering AND the
@@ -280,5 +286,43 @@ object FuzzyJoin {
           .cast("double") / size(col("sh1")))
       .filter(col(contCol) >= minContainment)
       .select(col("id1"), col("id2"), col(contCol))
+  }
+
+  /** The directional cleaning ACTION on top of [[containmentPairs]]:
+    * drop the CONTAINED document, keep the container — the right shape
+    * for quote pages, near-complete copies and excerpt chains, where
+    * connected-components keep-one (the symmetric near-dup policy) would
+    * collapse a quote CHAIN a⊂b⊂c to one survivor chosen blind to
+    * direction. Policy: a document is dropped iff SOME container of it
+    * wins under (`score` desc, id asc) — so strict chains drop every
+    * contained member and keep the maximal document, and MUTUAL
+    * containment (near-identical pairs, each ≥ c contained in the other)
+    * resolves to exactly one survivor via the total order. A containee
+    * that outscores all its containers survives alongside them (nothing
+    * strictly better subsumes it). Default score = word count (keep the
+    * longest; published excerpt cleaning keeps the superset document).
+    *
+    * Cost = [[containmentPairs]] (prefix-filtered, budget-guarded) plus
+    * two narrow (id, score) joins and one anti-join — no window, no
+    * connected components, no extra corpus scan.
+    */
+  def dropContained(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, minContainment: Double = 0.8,
+      score: Option[Column] = None,
+      orderByFrequency: Boolean = false,
+      maxCandidatePairs: Long = 2_000_000_000L): DataFrame = {
+    val sc = score.getOrElse(
+      size(split(trim(col(textCol)), "\\s+")).cast("long"))
+    val pairs = containmentPairs(df, idCol, textCol, shingleLen,
+      minContainment, orderByFrequency = orderByFrequency,
+      maxCandidatePairs = maxCandidatePairs)
+    val scores = df.select(col(idCol).as("__sid"), sc.as("__score"))
+    val drops = pairs
+      .join(scores.toDF("__sid1", "__s1"), col("id1") === col("__sid1"))
+      .join(scores.toDF("__sid2", "__s2"), col("id2") === col("__sid2"))
+      .filter(col("__s2") > col("__s1") ||
+        (col("__s2") === col("__s1") && col("id2") < col("id1")))
+      .select(col("id1"))
+    df.join(drops, col(idCol) === col("id1"), "left_anti")
   }
 }

@@ -358,6 +358,43 @@ class DedupSpec extends SparkSpec {
     assert(kept == 0L, s"intra-doc repeat must survive the cross-doc cleaner")
   }
 
+  test("exactSubstrClean caseSensitive: case-differing spans survive the " +
+      "byte-exact mode and strip under the case-folding default") {
+    import org.apache.spark.sql.functions._
+    def ws(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val span = ws("s", 30)
+    val docs = Seq(
+      (0L, s"${ws("p", 30)} $span ${ws("q", 30)}"),
+      (1L, s"${ws("r", 30)} ${span.toUpperCase} ${ws("u", 30)}"),
+      // byte-identical pair: stripped in BOTH modes
+      (2L, s"${ws("v", 30)} $span ${ws("w", 30)}"),
+      (3L, s"${ws("x", 30)} ${span.toUpperCase} ${ws("y", 30)}")
+    ).toDF("doc_id", "text")
+    def removed(cs: Boolean) = Dedup.exactSubstrClean(docs, "text",
+        "doc_id", minMatchWords = 25, caseSensitive = cs)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    val ci = removed(cs = false)
+    // fold-case: all four share the folded span
+    assert(ci.values.forall(_ == 30L), ci.toString)
+    val cs = removed(cs = true)
+    // byte-exact: 0↔2 share verbatim, 1↔3 share verbatim — still
+    // stripped — but the CROSS-case sharing contributed nothing extra
+    assert(cs.values.forall(_ == 30L), cs.toString)
+    // now make every span case-UNIQUE: byte-exact must keep them all
+    val uniq = Seq(
+      (0L, s"${ws("p", 30)} $span ${ws("q", 30)}"),
+      (1L, s"${ws("r", 30)} ${span.toUpperCase} ${ws("u", 30)}")
+    ).toDF("doc_id", "text")
+    val csU = Dedup.exactSubstrClean(uniq, "text", "doc_id",
+        minMatchWords = 25, caseSensitive = true)
+      .select("n_removed").as[Long].collect()
+    assert(csU.forall(_ == 0L), "case-unique spans must survive byte-exact")
+    val ciU = Dedup.exactSubstrClean(uniq, "text", "doc_id",
+        minMatchWords = 25)
+      .select("n_removed").as[Long].collect()
+    assert(ciU.forall(_ == 30L), "case-unique spans fold together by default")
+  }
+
   test("dropAgainstIndex drops exact and near dups of the indexed corpus, keeps intra-batch dups") {
     import org.apache.spark.sql.functions._
     val old = Seq(

@@ -508,6 +508,13 @@ class EmbedSpec extends SparkSpec {
       for (i <- 0 until dim)
         assert((((words(i / 64) >>> (i % 64)) & 1L) == 1L) == (a(i) > 0))
     }
+    // Empty vector packs to an empty code (the unguarded word sequence
+    // would run 0→−1 and index element_at at 0, which throws).
+    val empty = spark.range(1).select(
+      graft.operators.EmbedOps.packSignBits(
+        typedlit(Seq.empty[Float])).as("w"))
+      .head().getSeq[Long](0)
+    assert(empty.isEmpty)
   }
 
 }

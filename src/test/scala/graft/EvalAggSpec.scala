@@ -79,6 +79,11 @@ class EvalAggSpec extends SparkSpec {
     val sep = (0 until 50).map(i => (i, i >= 25))
     assert(Evals.rocAuc(sep.toDF("score", "label"), "score", "label")
       .select("auc").as[Double].head() == 1.0)
+    // Single-class labels are rejected loudly, not NaN'd silently.
+    val onePos = (0 until 10).map(i => (i, true))
+    val e = intercept[IllegalArgumentException](
+      Evals.rocAuc(onePos.toDF("score", "label"), "score", "label").count())
+    assert(e.getMessage.contains("both classes"), e.getMessage)
   }
 
   test("fleissKappa: hand formula, perfect agreement, and panel validation") {

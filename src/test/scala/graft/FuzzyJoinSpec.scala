@@ -144,6 +144,49 @@ class FuzzyJoinSpec extends SparkSpec {
       maxCandidatePairs = 1 << 20).count() > 0)
   }
 
+  test("containmentPairs knife-edge threshold: float-rounding of c·|A| " +
+      "must not under-size the probe prefix") {
+    // c = 0.07, |A| = 100 distinct 1-word shingles: 100·0.07 computes as
+    // 7.000000000000001, so an unguarded ceil() gives 8 and a probe one
+    // gram SHORT. The 7 shared grams are planted at the very TAIL of the
+    // md5 probe order — the under-sized prefix deterministically misses
+    // the pair; the guarded prefix must find it (overlap 7/100 ≥ 0.07
+    // passes the double-compared verify).
+    val words = (0 until 100).map(i => f"tok$i%03d")
+    val ordered = words.toDF("w")
+      .select(col("w"), md5(element_at(
+        graft.functions.MinHashExpr.shingleHashes(array(col("w")), 1),
+        1).cast("string")).as("h"))
+      .orderBy("h").as[(String, String)].collect().map(_._1)
+    val shared = ordered.takeRight(7)
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, (shared ++ (0 until 80).map(i => s"pad$i")).mkString(" ")))
+    val got = FuzzyJoin.containmentPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", shingleLen = 1, minContainment = 0.07)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)),
+      "knife-edge containment pair missed — probe prefix under-sized")
+  }
+
+  test("dropContained: quote chains drop every contained member; mutual " +
+      "containment keeps exactly one; outscoring containee survives") {
+    val full = (0 until 30).map(i => s"w$i").mkString(" ")
+    val twoThirds = (0 until 20).map(i => s"w$i").mkString(" ")
+    val third = (0 until 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // chain a⊂b⊂c → only c (id 3) survives
+      (1L, third), (2L, twoThirds), (3L, full),
+      // mutual containment (identical) → min id (10) survives
+      (10L, "x1 x2 x3 x4 x5 x6"), (11L, "x1 x2 x3 x4 x5 x6"),
+      // unrelated doc survives untouched
+      (20L, "z1 z2 z3 z4 z5 z6 z7 z8"))
+    val kept = FuzzyJoin.dropContained(docs.toDF("doc_id", "text"),
+        "doc_id", "text", shingleLen = 3, minContainment = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 10L, 20L), s"kept $kept")
+  }
+
   test("containmentPairs honors the probe-prefix bound at high thresholds") {
     // c = 1.0 → probe prefix of size 1: full containment must still be
     // exact with the minimal probe.

@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions.Psl
+import graft.operators.CorpusPrep
+import org.apache.spark.sql.functions._
+
+class PslSpec extends SparkSpec {
+
+  test("parser: exact, wildcard, exception rules; comments, single-label " +
+      "drop, private-section stop") {
+    val rules = Psl.parse(
+      """// comment
+        |com
+        |co.uk
+        |*.sch.uk
+        |!city.kobe.jp
+        |*.kobe.jp
+        |
+        |// ===BEGIN PRIVATE DOMAINS===
+        |ignored.example.com
+        |""".stripMargin.linesIterator)
+    assert(rules.exact == Map(2 -> Set("co.uk")))
+    assert(rules.wildBase == Map(2 -> Set("sch.uk", "kobe.jp")))
+    assert(rules.exc == Map(3 -> Set("city.kobe.jp")))
+    assert(rules.maxMatchLabels == 3)
+  }
+
+  test("snapshot resource loads and covers the documented families") {
+    val s = Psl.snapshot
+    assert(!s.isEmpty)
+    assert(s.exact(2).contains("co.uk"))
+    assert(s.exact(2).contains("kyoto.jp"))
+    assert(s.exact(3).contains("k12.ca.us"))
+    assert(s.wildBase(2).contains("sch.uk"))
+    assert(s.wildBase(1).contains("ck"))
+    assert(s.exc(3).contains("city.kobe.jp"))
+    assert(s.exc(2).contains("www.ck"))
+  }
+
+  test("registrableDomain: PSL algorithm on planted edge cases — " +
+      "wildcards, exceptions, public-suffix hosts, deep subdomains") {
+    import spark.implicits._
+    val cases = Seq(
+      // default rule
+      "http://www.Example.COM/path" -> "example.com",
+      "http://deep.a.b.site.com/x" -> "site.com",
+      // exact 2-label rules
+      "https://shop.site.co.uk/p" -> "site.co.uk",
+      "http://blog.temple.kyoto.jp/p" -> "temple.kyoto.jp",
+      "ferry.hokkaido.jp" -> "ferry.hokkaido.jp",
+      // wildcard *.kobe.jp: site.kobe.jp is itself a public suffix
+      "http://site.kobe.jp/" -> "site.kobe.jp",
+      "http://x.site.kobe.jp/" -> "x.site.kobe.jp",
+      // exception !city.kobe.jp punches through the wildcard
+      "http://city.kobe.jp/" -> "city.kobe.jp",
+      "http://www.city.kobe.jp/ward" -> "city.kobe.jp",
+      // wildcard *.sch.uk, scheme-less: school.sch.uk is itself a public
+      // suffix, so one more label makes the registrable domain
+      "school.sch.uk/home" -> "school.sch.uk",
+      "www.school.sch.uk" -> "www.school.sch.uk",
+      // 3-label exact rule behind a port
+      "https://my.school.k12.ca.us:8080/x" -> "school.k12.ca.us",
+      // wildcard TLD *.ck with the !www.ck exception
+      "http://anything.ck/" -> "anything.ck",
+      "http://shop.anything.ck/" -> "shop.anything.ck",
+      "http://www.ck/" -> "www.ck",
+      "http://sub.www.ck/" -> "www.ck",
+      // hosts AT or BELOW rule depth come back whole
+      "http://co.uk/" -> "co.uk",
+      "http://kobe.jp/" -> "kobe.jp",
+      "localhost" -> "localhost")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), CorpusPrep.registrableDomain(col("url")).as("d"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (u, want) =>
+      assert(got(u) == want, s"$u -> ${got(u)}, want $want")
+    }
+  }
+
+  test("heuristic vs PSL diff on planted URLs: the families the " +
+      "approximation keys wrong are exactly why the snapshot ships") {
+    import spark.implicits._
+    val urls = Seq(
+      // agreement: the heuristic's home turf
+      "http://www.example.com/", "https://shop.site.co.uk/p",
+      // disagreement: prefecture/state/wildcard registries
+      "http://blog.temple.kyoto.jp/p", // heuristic: kyoto.jp (wrong group)
+      "https://my.school.k12.ca.us/x", // heuristic: ca.us (wrong group)
+      "http://x.site.kobe.jp/", // heuristic: kobe.jp (wrong group)
+      "school.sch.uk/home") // heuristic: sch.uk (wrong group)
+    val rows = urls.toDF("url").select(
+        CorpusPrep.registrableDomainHeuristic(col("url")).as("h"),
+        CorpusPrep.registrableDomain(col("url")).as("p"))
+      .as[(String, String)].collect()
+    assert(rows(0) == (("example.com", "example.com")))
+    assert(rows(1) == (("site.co.uk", "site.co.uk")))
+    assert(rows(2) == (("kyoto.jp", "temple.kyoto.jp")))
+    assert(rows(3) == (("ca.us", "school.k12.ca.us")))
+    assert(rows(4) == (("kobe.jp", "x.site.kobe.jp")))
+    assert(rows(5) == (("sch.uk", "school.sch.uk")))
+  }
+
+  test("duckDbRegistrableSql embeds the same rule families it was " +
+      "generated from") {
+    val sql = Psl.duckDbRegistrableSql("host")
+    assert(sql.contains("'co.uk'"))
+    assert(sql.contains("'kyoto.jp'"))
+    assert(sql.contains("'city.kobe.jp'"))
+    assert(sql.contains("'k12.ca.us'"))
+    // wildcard bases appear via the k-1 suffix arm; exceptions first
+    assert(sql.indexOf("'city.kobe.jp'") < sql.indexOf("'co.uk'"))
+  }
+}

@@ -58,6 +58,30 @@ class TarShardsSpec extends SparkSpec {
     assert(names.nonEmpty && names.forall(_.matches("\\d{6}\\.(txt|json)")))
   }
 
+  test("duplicate sample keys fail loudly on write; duplicate members fail " +
+      "loudly on read instead of silently collapsing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tar_dup").toString
+    val df = Seq(("k1", "a"), ("k1", "b"), ("k2", "c")).toDF("key", "txt")
+    val e = intercept[org.apache.spark.SparkException] {
+      TarShards.writeShards(df, "key", Map("txt" -> col("txt")), tmp, 1)
+    }
+    assert(e.getMessage.contains("duplicate sample key") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate sample key")))
+    // A hand-built shard with a duplicated (key, ext) member must be
+    // rejected by readShards, not last-wins merged.
+    val bytes = TarShards.writeTar(Seq(
+      ("k.txt", "one".getBytes(UTF_8)), ("k.txt", "two".getBytes(UTF_8))))
+    val path = java.nio.file.Paths.get(tmp, "hand.tar")
+    java.nio.file.Files.write(path, bytes)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      TarShards.readShards(spark, path.toString).count()
+    }
+    val msgs = Iterator.iterate[Throwable](e2)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("duplicate member"), msgs)
+  }
+
   test("null payload cells skip the entry instead of writing empty files") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_tar_null").toString
     val df = Seq(("a", Some("x")), ("b", None)).toDF("key", "txt")
