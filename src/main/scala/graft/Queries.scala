@@ -2675,13 +2675,15 @@ object Queries {
       // (pinned bands = 16), same component-min rep as dedup_clusters,
       // same hex-cut membership as split_train_holdout — the oracle
       // composes all three.
+      // The shared-graph composition: ONE pair frame feeds the split (and
+      // would feed dropDuplicatesByPairs in the same pipeline), so the
+      // cluster unit and the dedup unit cannot drift — the auto-tier
+      // stability of that sharing is spec-pinned (CorpusPrepSpec); the
+      // gate pins the bands = 16 geometry for the oracle.
       val d = read(s, dir, "documents")
       val pairs = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5,
         bands = 16)
-      val clusters = Dedup.componentIds(
-          d.select(col("doc_id").cast("long").as("id")), pairs)
-        .select(col("id").as("doc_id"), col("rep_id"))
-      CorpusPrep.assignSplits(clusters, "rep_id",
+      CorpusPrep.leakageSafeSplits(d.select(col("doc_id")), "doc_id", pairs,
           Seq("train" -> 0.9, "holdout" -> 0.1), salt = "lsafe")
         .select("doc_id", "rep_id", "split").orderBy("doc_id")
     }),
@@ -3708,7 +3710,11 @@ object Queries {
       // containing a blocklist term (one automaton pass); stage 2 refits
       // the char-ngram NB language classifier ON THE SURVIVORS and drops
       // docs whose predicted language disagrees with their metadata label
-      // (the mislabel guard); stage 3 refits the bigram LM ON THOSE and
+      // (the mislabel guard) OR whose prediction is LOW-CONFIDENCE
+      // (lang_margin < 2.0 — the published cascade routes uncertain
+      // language IDs out of the clean bucket, not just disagreements;
+      // 2.0 log-points sits far above cross-engine float drift, the ppl
+      // mean-cut convention); stage 3 refits the bigram LM ON THOSE and
       // keeps docs under a perplexity ceiling. The oracle replays all
       // three stages from scratch over the same shrinking corpora.
       val pats = Seq("spark", "slow query", "drop table", "scan merge",
@@ -3724,7 +3730,8 @@ object Queries {
       // pair; staging it costs more than the replay saves).
       val s2 = graft.core.Persist.stage(
         graft.operators.QualityClassifier.scoreLangNB(s1, "text", langM)
-          .filter(col("lang_pred") === col("lang"))
+          .filter(col("lang_pred") === col("lang") &&
+            col("lang_margin") >= 2.0)
           .select(d.columns.map(col): _*))
       val lm = graft.operators.NgramLm.fitBigramLM(s2, "text", minCount = 2L)
       val scored = graft.core.Persist.stage(
@@ -7091,12 +7098,20 @@ object Queries {
         |      ELSE list_reduce(list_transform(g.gr, x -> coalesce(mp[x][1], oov)),
         |        (a, b) -> a + b) + cls.prior END AS score
         |  FROM g CROSS JOIN m JOIN cls ON m.y = cls.y),
+        |rk AS (
+        |  SELECT doc_id, lang, cand, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) AS rn
+        |  FROM lsc),
         |pred AS (
-        |  SELECT doc_id, lang, cand AS lp FROM lsc
-        |  QUALIFY row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY score DESC, cand) = 1),
+        |  SELECT r.doc_id, r.lang, r.cand AS lp,
+        |    r.score - coalesce(s.score, r.score) AS margin
+        |  FROM rk r LEFT JOIN (SELECT doc_id, score FROM rk WHERE rn = 2) s
+        |    ON r.doc_id = s.doc_id
+        |  WHERE r.rn = 1),
         |s2 AS (SELECT b.* FROM blk b
-        |  JOIN pred p ON b.doc_id = p.doc_id AND p.lp = b.lang),
+        |  JOIN pred p ON b.doc_id = p.doc_id AND p.lp = b.lang
+        |    AND p.margin >= 2.0),
         |t2 AS (
         |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
         |    ELSE string_split(lower(trim(text)), ' ') END AS w

@@ -147,10 +147,33 @@ object WarcLite {
 
   /** Parse a (possibly gzipped) WARC stream into (headers, payload) pairs.
     * Header names are lower-cased; values keep their bytes verbatim.
+    * Malformed framing fails loudly with the offset (the default
+    * contract) — see [[parseQuarantine]] for the salvage mode.
     */
-  def parse(bytes0: Array[Byte]): Seq[(Map[String, String], Array[Byte])] = {
+  def parse(bytes0: Array[Byte]): Seq[(Map[String, String], Array[Byte])] =
+    parseImpl(bytes0, quarantine = false)._1
+
+  /** [[parse]] in salvage mode for crawl-scale ingestion: one corrupt
+    * record in a 1 GB segment must not kill the task and lose the
+    * segment. A record whose framing fails (unterminated header, missing
+    * version line, absent/unparsable Content-Length, truncation, or a
+    * payload not followed by the record delimiter — the
+    * wrong-Content-Length signature) is emitted as `(offset, reason)` on
+    * the second return, and parsing resumes at the next plausible record
+    * boundary (a `WARC/` line start). Resynchronization is best-effort by
+    * construction — a payload that itself contains a `WARC/` line can
+    * yield further quarantined chunks rather than record loss — which is
+    * why the loud [[parse]] stays the default.
+    */
+  def parseQuarantine(bytes0: Array[Byte])
+      : (Seq[(Map[String, String], Array[Byte])], Seq[(Long, String)]) =
+    parseImpl(bytes0, quarantine = true)
+
+  private def parseImpl(bytes0: Array[Byte], quarantine: Boolean)
+      : (Seq[(Map[String, String], Array[Byte])], Seq[(Long, String)]) = {
     val bytes = inflateIfGzip(bytes0)
     val out = Seq.newBuilder[(Map[String, String], Array[Byte])]
+    val bad = Seq.newBuilder[(Long, String)]
     var pos = 0
     def headerEnd(from: Int): Int = {
       // First blank line: \r\n\r\n or \n\n (tolerate LF-only producers).
@@ -165,35 +188,75 @@ object WarcLite {
       }
       -1
     }
+    // Next plausible record boundary: a WARC/ version line at a line
+    // start (quarantine resync target).
+    def resync(from: Int): Int = {
+      var i = math.max(from, 0)
+      while (i + 5 <= bytes.length) {
+        if (bytes(i) == 'W' && bytes(i + 1) == 'A' && bytes(i + 2) == 'R' &&
+          bytes(i + 3) == 'C' && bytes(i + 4) == '/' &&
+          (i == 0 || bytes(i - 1) == '\n')) return i
+        i += 1
+      }
+      bytes.length
+    }
     while (pos < bytes.length) {
       while (pos < bytes.length && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
       if (pos < bytes.length) {
-        val he = headerEnd(pos)
-        require(he > 0, s"WarcLite: unterminated header block at offset $pos")
-        val headerTxt = new String(bytes, pos, he - pos, UTF_8)
-        val lines = headerTxt.split("\n").map(_.stripSuffix("\r"))
-        require(lines.nonEmpty && lines.head.startsWith("WARC/"),
-          s"WarcLite: record at offset $pos does not start with a WARC/x.y " +
-            s"version line (got '${lines.headOption.getOrElse("")}') — refusing " +
-            "to resynchronize; truncated frames must fail, not yield garbage rows")
-        val headers = lines.tail.filter(_.contains(":")).map { l =>
-          val i = l.indexOf(':')
-          l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim
-        }.toMap
-        val len = headers.getOrElse("content-length",
-          throw new IllegalArgumentException(
-            s"WarcLite: record at offset $pos has no Content-Length — " +
-              "payloads may contain delimiter bytes, so framing MUST be " +
-              "length-driven")).toLong
-        require(he + len <= bytes.length,
-          s"WarcLite: record at offset $pos declares Content-Length $len " +
-            s"past end of stream (${bytes.length - he} bytes remain) — " +
-            "truncated archive")
-        out += ((headers, java.util.Arrays.copyOfRange(bytes, he, (he + len).toInt)))
-        pos = (he + len).toInt
+        val start = pos
+        try {
+          val he = headerEnd(pos)
+          require(he > 0, s"WarcLite: unterminated header block at offset $pos")
+          val headerTxt = new String(bytes, pos, he - pos, UTF_8)
+          val lines = headerTxt.split("\n").map(_.stripSuffix("\r"))
+          require(lines.nonEmpty && lines.head.startsWith("WARC/"),
+            s"WarcLite: record at offset $pos does not start with a WARC/x.y " +
+              s"version line (got '${lines.headOption.getOrElse("")}') — refusing " +
+              "to resynchronize; truncated frames must fail, not yield garbage rows")
+          val headers = lines.tail.filter(_.contains(":")).map { l =>
+            val i = l.indexOf(':')
+            l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim
+          }.toMap
+          val lenTxt = headers.getOrElse("content-length",
+            throw new IllegalArgumentException(
+              s"WarcLite: record at offset $pos has no Content-Length — " +
+                "payloads may contain delimiter bytes, so framing MUST be " +
+                "length-driven"))
+          val len =
+            try lenTxt.toLong
+            catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"WarcLite: record at offset $pos has unparsable " +
+                  s"Content-Length '$lenTxt'")
+            }
+          require(len >= 0,
+            s"WarcLite: record at offset $pos has negative Content-Length $len")
+          require(he + len <= bytes.length,
+            s"WarcLite: record at offset $pos declares Content-Length $len " +
+              s"past end of stream (${bytes.length - he} bytes remain) — " +
+              "truncated archive")
+          // Salvage mode validates the record delimiter after the payload
+          // — the only way an UNDER-declared Content-Length surfaces at
+          // this record instead of poisoning the next one. The loud
+          // default keeps its exact historical framing behavior.
+          if (quarantine) {
+            val after = (he + len).toInt
+            require(after >= bytes.length ||
+              bytes(after) == '\r' || bytes(after) == '\n',
+              s"WarcLite: record at offset $pos payload is not followed by " +
+                "the record delimiter — Content-Length likely wrong")
+          }
+          out += ((headers, java.util.Arrays.copyOfRange(bytes, he, (he + len).toInt)))
+          pos = (he + len).toInt
+        } catch {
+          case e: IllegalArgumentException if quarantine =>
+            bad += ((start.toLong,
+              Option(e.getMessage).getOrElse(e.toString).take(300)))
+            pos = resync(start + 1)
+        }
       }
     }
-    out.result()
+    (out.result(), bad.result())
   }
 
   /** Split an HTTP message payload (a WARC `response`/`request` record
@@ -222,10 +285,20 @@ object WarcLite {
     * line and headers stripped), for `conversion`/`resource`/`metadata`
     * records the payload itself (the WET path) — and NULL otherwise
     * (binary payloads must not decode as mojibake).
+    *
+    * `onMalformed = "quarantine"` switches the per-file parse to
+    * [[parseQuarantine]] and appends two columns — `quarantine_offset`,
+    * `quarantine_reason` (null on good rows) — with one extra row per
+    * salvaged-around corrupt record (record columns null,
+    * `record_idx = -1`); filter on `quarantine_reason` to split the side
+    * output. The default "fail" keeps the loud whole-file contract and
+    * the historical 8-column schema.
     */
-  def toDf(spark: SparkSession, pathGlob: String): DataFrame = {
+  def toDf(spark: SparkSession, pathGlob: String,
+      onMalformed: String = "fail"): DataFrame = {
     graft.core.LogLevels.quietFileStreamSinkProbe
-    parseRows(spark, spark.read.format("binaryFile").load(pathGlob))
+    parseRows(spark, spark.read.format("binaryFile").load(pathGlob),
+      onMalformed)
   }
 
   /** Streaming twin of [[toDf]]: archives LANDING in a directory (a crawl
@@ -234,9 +307,11 @@ object WarcLite {
     * stream paths cannot drift. Compose with `streamingDedup` /
     * `BatchCommit` downstream for exactly-once continuous ingestion.
     */
-  def toStreamDf(spark: SparkSession, dir: String): DataFrame = {
+  def toStreamDf(spark: SparkSession, dir: String,
+      onMalformed: String = "fail"): DataFrame = {
     graft.core.LogLevels.quietFileStreamSinkProbe
-    parseRows(spark, spark.readStream.format("binaryFile")
+    parseRows(spark, onMalformed = onMalformed,
+      files = spark.readStream.format("binaryFile")
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("path",
           org.apache.spark.sql.types.StringType),
@@ -249,13 +324,19 @@ object WarcLite {
       .load(dir))
   }
 
-  private def parseRows(spark: SparkSession, files: DataFrame): DataFrame = {
+  private def parseRows(spark: SparkSession, files: DataFrame,
+      onMalformed: String = "fail"): DataFrame = {
+    require(onMalformed == "fail" || onMalformed == "quarantine",
+      s"WarcLite: onMalformed must be 'fail' or 'quarantine', got '$onMalformed'")
+    val q = onMalformed == "quarantine"
     import spark.implicits._
-    files
+    val rows = files
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        parse(bytes).zipWithIndex.map { case ((h, payload), i) =>
+        val (recs, bad) =
+          if (q) parseQuarantine(bytes) else (parse(bytes), Nil)
+        val good = recs.zipWithIndex.map { case ((h, payload), i) =>
           val wt = h.getOrElse("warc-type", "")
           val ct = h.getOrElse("content-type", "")
           val body =
@@ -276,10 +357,20 @@ object WarcLite {
               new String(body, UTF_8)
             else null
           (path, i, wt, h.getOrElse("warc-target-uri", null),
-            h.getOrElse("warc-date", null), ct, body, text)
+            h.getOrElse("warc-date", null), ct, body, text,
+            None: Option[Long], None: Option[String])
         }
+        val salvaged = bad.map { case (off, reason) =>
+          (path, -1, null.asInstanceOf[String], null.asInstanceOf[String],
+            null.asInstanceOf[String], null.asInstanceOf[String],
+            null.asInstanceOf[Array[Byte]], null.asInstanceOf[String],
+            Some(off): Option[Long], Some(reason): Option[String])
+        }
+        good ++ salvaged
       }
       .toDF("path", "record_idx", "warc_type", "target_uri", "warc_date",
-        "content_type", "content", "text")
+        "content_type", "content", "text",
+        "quarantine_offset", "quarantine_reason")
+    if (q) rows else rows.drop("quarantine_offset", "quarantine_reason")
   }
 }

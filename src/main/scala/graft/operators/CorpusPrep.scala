@@ -1049,6 +1049,31 @@ object CorpusPrep {
     df.withColumn(outCol, expr)
   }
 
+  /** Leakage-safe split assignment from a SHARED duplicate-pair graph:
+    * connected components over `pairs` pick a cluster representative
+    * (Dedup.componentIds — star contraction at scale), every member
+    * inherits the rep's [[assignSplits]] draw, so a near-dup cluster can
+    * never straddle train/holdout. Taking the PAIRS as input (rather
+    * than recomputing them) is the leakage contract at scale: the dedup
+    * stage and the split stage must read the SAME graph — with
+    * `Dedup.minhashPairs`' recall-aware auto default, two independent
+    * invocations can legitimately pick different band tiers and would
+    * cluster (and therefore split) differently. Compute the pair graph
+    * once, feed it to both `dropDuplicatesByPairs` and this.
+    *
+    * Output = `df` + `rep_id` (the cluster unit, for audit) + `outCol`.
+    */
+  def leakageSafeSplits(df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], salt: String = "",
+      outCol: String = "split"): DataFrame = {
+    val comp = graft.operators.Dedup.componentIds(
+        df.select(col(idCol).cast("long").as("id")), pairs)
+      .withColumnRenamed("id", "__ls_id")
+    df.join(comp, col(idCol).cast("long") === col("__ls_id"))
+      .transform(assignSplits(_, "rep_id", splits, salt, outCol))
+      .drop("__ls_id")
+  }
+
   /** Select the highest-`scoreCol` documents whose `tokenCol` sum fits a
     * global token budget — "assemble the best 10 B-token corpus" — WITHOUT
     * the global sort + running sum that form would naively need (a

@@ -151,6 +151,37 @@ class DedupSpec extends SparkSpec {
     direct.foreach { case (id, sp) => assert(m(id) == sp) }
   }
 
+  test("leakageSafeSplits shares one pair graph with dedup under the " +
+      "recall-aware AUTO tier: no straddle, and the kept survivor's split " +
+      "is every dropped member's split") {
+    // AUTO bands (the minhashPairs default) — the tier the estimator
+    // picks must feed BOTH dedup and split from the same pairs frame.
+    val pairs = Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.5)
+    val split = graft.operators.CorpusPrep.leakageSafeSplits(
+      corpus.select(col("doc_id")), "doc_id", pairs,
+      Seq("train" -> 0.9, "holdout" -> 0.1), salt = "x")
+    val perCluster = split.groupBy("rep_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .select("n").as[Long].collect()
+    assert(perCluster.forall(_ == 1L), "a cluster straddled the split")
+    // Compose with dedup on the SAME pairs: the survivor of each planted
+    // cluster carries the split of every member it replaced.
+    val kept = Dedup.dropDuplicatesByPairs(corpus, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    val m = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    for ((a, b) <- Seq((3L, 100L), (7L, 101L), (11L, 102L))) {
+      assert(kept.contains(a) && !kept.contains(b))
+      assert(m(a) == m(b), s"dropped $b split differs from survivor $a")
+    }
+    // Stability: the same pairs frame re-fed gives byte-identical splits
+    // (the auto decision lives in the pairs, not in the split).
+    val again = graft.operators.CorpusPrep.leakageSafeSplits(
+      corpus.select(col("doc_id")), "doc_id", pairs,
+      Seq("train" -> 0.9, "holdout" -> 0.1), salt = "x")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again == m)
+  }
+
   test("dropDuplicatesByPairs keeps the min-id representative") {
     val deduped = Dedup.dropDuplicatesByPairs(corpus, "doc_id",
       Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.5))

@@ -53,6 +53,71 @@ class WarcSpec extends SparkSpec {
     assert(e3.getMessage.contains("Content-Length"))
   }
 
+  test("quarantine mode salvages around a corrupt mid-segment record; " +
+      "the loud default still fails the whole file") {
+    val r1 = WarcLite.writeRecords(Seq(conv("http://a", "first record")))
+    val r3 = WarcLite.writeRecords(Seq(conv("http://c", "third record")))
+    // Corrupt middle record #1: unparsable Content-Length.
+    val badLen = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: http://bad1\r\nContent-Length: xyz\r\n\r\n" +
+      "payload\r\n\r\n").getBytes(UTF_8)
+    val seg1 = r1 ++ badLen ++ r3
+    intercept[IllegalArgumentException](WarcLite.parse(seg1))
+    val (recs1, bad1) = WarcLite.parseQuarantine(seg1)
+    assert(recs1.map(_._1("warc-target-uri")) == Seq("http://a", "http://c"))
+    assert(bad1.size == 1 && bad1.head._1 == r1.length.toLong &&
+      bad1.head._2.contains("unparsable Content-Length"), bad1.toString)
+    // Corrupt middle record #2: UNDER-declared Content-Length (payload is
+    // 20 bytes, header claims 5) — the delimiter check pins it to THIS
+    // record; the next well-formed record still parses.
+    val badShort = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: http://bad2\r\nContent-Length: 5\r\n\r\n" +
+      "twenty byte payload!\r\n\r\n").getBytes(UTF_8)
+    val seg2 = r1 ++ badShort ++ r3
+    val (recs2, bad2) = WarcLite.parseQuarantine(seg2)
+    assert(recs2.map(_._1("warc-target-uri")) == Seq("http://a", "http://c"))
+    assert(bad2.size == 1 && bad2.head._2.contains("delimiter"), bad2.toString)
+    // Truncated TAIL record: salvage keeps the prefix records.
+    val seg3 = (r1 ++ r3).dropRight(9)
+    val (recs3, bad3) = WarcLite.parseQuarantine(seg3)
+    assert(recs3.map(_._1("warc-target-uri")) == Seq("http://a"))
+    assert(bad3.size == 1 && bad3.head._2.contains("past end of stream"))
+    // Clean input: salvage mode is a no-op pass-through.
+    val (recsOk, badOk) = WarcLite.parseQuarantine(r1 ++ r3)
+    assert(recsOk.size == 2 && badOk.isEmpty)
+  }
+
+  test("toDf quarantine mode: side-output columns carry (file, offset, " +
+      "reason); default schema unchanged") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_q").toString
+    val r1 = WarcLite.writeRecords(Seq(conv("http://a", "first record")))
+    val r3 = WarcLite.writeRecords(Seq(conv("http://c", "third record")))
+    val badLen = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: xyz\r\n\r\npayload\r\n\r\n").getBytes(UTF_8)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "seg-000000.warc"), r1 ++ badLen ++ r3)
+    val q = WarcLite.toDf(spark, dir + "/*.warc", onMalformed = "quarantine")
+    assert(q.columns.takeRight(2).toSeq ==
+      Seq("quarantine_offset", "quarantine_reason"))
+    val goodRows = q.filter(col("quarantine_reason").isNull)
+    assert(goodRows.count() == 2)
+    val badRows = q.filter(col("quarantine_reason").isNotNull)
+      .select("record_idx", "quarantine_offset", "quarantine_reason")
+      .collect()
+    assert(badRows.length == 1 && badRows.head.getInt(0) == -1 &&
+      badRows.head.getLong(1) == r1.length.toLong &&
+      badRows.head.getString(2).contains("unparsable Content-Length"))
+    // Default mode: schema unchanged, loud failure preserved.
+    assert(WarcLite.toDf(spark, dir + "/*.warc").columns.length == 8)
+    val e = intercept[org.apache.spark.SparkException](
+      WarcLite.toDf(spark, dir + "/*.warc").count())
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("Content-Length"), msgs)
+  }
+
   test("writeWetSegments: distributed export round-trips and re-exports " +
       "byte-identically") {
     import org.apache.spark.sql.functions._
