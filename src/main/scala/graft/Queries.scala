@@ -1348,6 +1348,28 @@ object Queries {
         .orderBy("id1", "id2")
     }),
 
+    "dedup_winnow" -> ((s, dir) => {
+      // Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — MOSS):
+      // the LOCAL-similarity detector global minhash structurally
+      // misses. The 31-word boilerplate span planted in every 7th doc
+      // is far above the w+k−1 = 8 word guarantee, so every planted
+      // pair MUST share fingerprints; the md5-string window minima
+      // replay exactly in SQL, and incidental corpus matches replay
+      // identically too. Pairs with >= 2 shared fingerprints, exact
+      // shared counts pinned.
+      val span = "this document is provided as is without warranty of any " +
+        "kind either express or implied including but not limited to the " +
+        "implied warranties of merchantability and fitness for a " +
+        "particular purpose"
+      val d = read(s, dir, "documents").filter(col("doc_id") < 300)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + span)))
+            .otherwise(col("text")))
+      Dedup.winnowPairs(d, "doc_id", "text", k = 5, w = 4, minShared = 2)
+        .select(col("id1"), col("id2"), col("n_shared"))
+        .orderBy("id1", "id2")
+    }),
+
     "dedup_drop_contained" -> ((s, dir) => {
       // The directional containment CLEANING action on planted quote
       // chains: docs are regrouped in triples sharing one base text —
@@ -2702,6 +2724,24 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "corpus_quantiles_sample" -> ((s, dir) => {
+      // Deterministic-sample quantiles — the one-pass p50/p90/p99 for
+      // high-cardinality columns where the exact histogram route
+      // (corpus_score_pctrank) would blow its distinct cap. The sample
+      // is the 256 smallest md5(salt|id) rows (pure function of ids —
+      // hash-checkable where a t-digest/KLL sketch, whose merge order
+      // follows partitioning, never is); each quantile is the
+      // nearest-rank pick over the sample sorted by (value, id). The
+      // oracle replays the same draw, rank and pick.
+      val d = read(s, dir, "documents")
+      CorpusPrep.sampleQuantiles(d, "n_chars", "doc_id",
+          probs = Seq(0.1, 0.5, 0.9, 0.99), sampleK = 256, salt = "q12")
+        .select(col("prob"), col("value").cast("long").as("value"),
+          col("sample_rank").cast("long").as("sample_rank"),
+          col("sample_n"))
+        .orderBy("prob")
+    }),
+
     "corpus_release_pipeline" -> ((s, dir) => {
       // The release-cut pipeline as ONE plan over this round's operators:
       // exact dedup keeping the HIGHEST-QUALITY member per fingerprint
@@ -3728,11 +3768,18 @@ object Queries {
       // stage it once so each consumer doesn't replay the automaton +
       // NB-fold lineage (s1 is consumed only inside the one train/score
       // pair; staging it costs more than the replay saves).
+      // Stage the SCORED frame, filter after: the NB fold is a
+      // CodegenFallback kernel, and a filter referencing two of its
+      // struct fields (pred AND margin) through live lineage would
+      // re-evaluate the whole fold per field (predicate pushdown
+      // substitutes the alias into each reference; no CSE outside
+      // whole-stage codegen — measured ~2× this gate). Materializing
+      // the three scalar columns once costs a row-width, not a fold.
       val s2 = graft.core.Persist.stage(
-        graft.operators.QualityClassifier.scoreLangNB(s1, "text", langM)
-          .filter(col("lang_pred") === col("lang") &&
-            col("lang_margin") >= 2.0)
-          .select(d.columns.map(col): _*))
+        graft.operators.QualityClassifier.scoreLangNB(s1, "text", langM))
+        .filter(col("lang_pred") === col("lang") &&
+          col("lang_margin") >= 2.0)
+        .select(d.columns.map(col): _*)
       val lm = graft.operators.NgramLm.fitBigramLM(s2, "text", minCount = 2L)
       val scored = graft.core.Persist.stage(
         graft.operators.NgramLm.perplexity(s2, "text", lm))
@@ -3779,14 +3826,15 @@ object Queries {
     "domain_cap" -> ((s, dir) => {
       // Domain-level curation — the FineWeb/RefinedWeb stage a per-page
       // filter cannot express (an SEO-spam domain contributes millions of
-      // near-identical pages): registrable-domain keying (PSL
-      // approximation: last 2 labels, or 3 under a co/com/... second-level
-      // suffix with a 2-letter ccTLD), per-domain stats, and a
-      // deterministic cap of 5 docs/domain (quotaPerGroup —
-      // WindowGroupLimit, not a full sort). Raw URLs are synthesized from
-      // doc_id in BOTH engines: www/blog/shop subdomains that must
-      // collapse to one registrable domain, a site.co.uk 3-label case,
-      // mixed host case, and a scheme-less entry.
+      // near-identical pages): PSL registrable-domain keying (the full
+      // algorithm over the pinned snapshot; this gate's planted .com /
+      // .co.uk URLs key identically under the documented heuristic the
+      // oracle replays — psl_domain pins the PSL-only families),
+      // per-domain stats, and a deterministic cap of 5 docs/domain
+      // (quotaPerGroup — WindowGroupLimit, not a full sort). Raw URLs are
+      // synthesized from doc_id in BOTH engines: www/blog/shop subdomains
+      // that must collapse to one registrable domain, a site.co.uk
+      // 3-label case, mixed host case, and a scheme-less entry.
       val d = read(s, dir, "documents")
       val g = (col("doc_id") % 10).cast("string")
       val p = col("doc_id").cast("string")
@@ -5842,6 +5890,36 @@ object Queries {
         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) >= 0.4
         |ORDER BY id1, id2""".stripMargin,
 
+    // Same span injection, then the winnowing pipeline replayed: 5-word
+    // grams, md5 hashes, window-of-4 string minima, distinct, inverted
+    // self-join, shared-count >= 2.
+    "dedup_winnow" ->
+      ("""WITH inj AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' """ +
+        "this document is provided as is without warranty of any kind " +
+        "either express or implied including but not limited to the " +
+        "implied warranties of merchantability and fitness for a " +
+        "particular purpose" + """' ELSE text END AS text
+        |  FROM documents WHERE doc_id < 300),
+        |t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM inj),
+        |h AS (
+        |  SELECT doc_id, list_transform(
+        |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 3),
+        |        i -> array_to_string(list_slice(w, i, i + 4), ' ')) END,
+        |    g -> md5(g)) AS hs
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(hs) - 3, 1) + 1),
+        |    i -> list_aggregate(list_slice(hs, i, i + 3), 'min')))) AS fp
+        |  FROM h)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id1, id2""").stripMargin,
+
     // Same triple-group prefix synthesis, then the drop rule replayed on
     // ALL exact containment pairs: drop iff some container wins under
     // (word count desc, id asc).
@@ -5915,6 +5993,23 @@ object Queries {
         |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars,
         |  text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Same deterministic draw (256 smallest md5(salt|id)), same
+    // (value, id) sample ordering, same nearest-rank ⌈p·k⌉ pick.
+    "corpus_quantiles_sample" ->
+      """WITH r AS (
+        |  SELECT n_chars AS v, doc_id,
+        |    md5('q12|' || CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents
+        |  ORDER BY rk, doc_id LIMIT 256),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS k FROM r),
+        |s AS (SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rn FROM r),
+        |p AS (SELECT CAST(unnest([0.1, 0.5, 0.9, 0.99]) AS DOUBLE) AS prob)
+        |SELECT p.prob, CAST(s.v AS BIGINT) AS value,
+        |  s.rn AS sample_rank, n.k AS sample_n
+        |FROM p, n, s
+        |WHERE s.rn = GREATEST(1, CAST(ceil(p.prob * n.k) AS BIGINT))
+        |ORDER BY prob""".stripMargin,
 
     // The exact deterministic per-language reservoir: same md5 ranking
     // function, same tie-break.
@@ -7245,10 +7340,11 @@ object Queries {
         |SELECT min(doc_id) AS doc_id, url_norm
         |FROM norm GROUP BY url_norm ORDER BY doc_id""".stripMargin,
 
-    // Same URL synthesis, then the registrable-domain rule replayed step
-    // for step (host up to '/', '?' or ':', lowercased; last 2 labels, or
-    // 3 under a co/com/... second-level suffix with a 2-letter ccTLD),
-    // the per-domain stats, and the row_number() cap.
+    // Same URL synthesis; the SQL replays the heuristic last-2/3-label
+    // rule, which coincides with the full PSL algorithm on every URL
+    // this gate plants (.com and .co.uk) — the PSL-only families
+    // (wildcards, exceptions, prefectures) are pinned by psl_domain's
+    // generated oracle. Then the per-domain stats and row_number() cap.
     "domain_cap" ->
       """WITH u AS (SELECT doc_id,
         |    CASE doc_id % 4

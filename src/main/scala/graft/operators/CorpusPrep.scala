@@ -1049,6 +1049,55 @@ object CorpusPrep {
     df.withColumn(outCol, expr)
   }
 
+  /** Corpus quantiles from a DETERMINISTIC sample — the one-pass answer
+    * to "what are the p50/p90/p99 of doc length over 100 TB" when
+    * [[scorePercentRank]]'s exact histogram would blow its
+    * distinct-value cap (raw byte lengths, float scores). The sample is
+    * the `sampleK` rows with the SMALLEST `md5(salt|id)` — a pure
+    * function of (salt, id), so the same rows are drawn on any cluster,
+    * any partitioning, any engine (the [[deterministicSample]] /
+    * [[reservoirByKey]] membership convention, which is what makes the
+    * result hash-checkable where a t-digest/KLL sketch — whose merge
+    * order follows partitioning — never is). Each quantile is the
+    * nearest-rank pick: the value at 1-based rank ⌈p·k'⌉ of the sample
+    * sorted by (value, id), k' = min(sampleK, n).
+    *
+    * Scale shape: ONE distributed TakeOrdered (per-partition top-k by
+    * the hash, merged at the driver — never a global sort), then ranking
+    * windows only over the ≤ sampleK staged sample. Sampling error is
+    * the classic order-statistic bound: rank error ~ √(p(1−p)/k) w.h.p.
+    * (k = 4096 → ±~0.8 rank points at the median); callers needing exact
+    * quantiles of LOW-cardinality scores should use [[scorePercentRank]].
+    *
+    * Output: one row per prob — (prob, value, sample_rank, sample_n).
+    */
+  def sampleQuantiles(df: DataFrame, valueCol: String, idCol: String,
+      probs: Seq[Double], sampleK: Int = 4096, salt: String = ""): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"sampleQuantiles: probs must lie in (0, 1], got $probs")
+    require(sampleK >= 1 && sampleK <= (1 << 20),
+      s"sampleQuantiles: sampleK $sampleK must be in [1, 2^20] — the " +
+        "sample is ranked on one node")
+    val spark = df.sparkSession
+    val samp = graft.core.Persist.stage(df
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"), col(idCol).as("__id"))
+      .withColumn("__rk", md5(to_binary(
+        concat(lit(salt), lit("|"), col("__id").cast("string")), lit("utf-8"))))
+      .orderBy(col("__rk"), col("__id")).limit(sampleK))
+    val n = samp.count()
+    require(n > 0, "sampleQuantiles: empty input")
+    val ranked = samp.withColumn("__rn", row_number().over(
+      Window.orderBy(col("__v"), col("__id"))))
+    import spark.implicits._
+    val targets = probs.map(p =>
+      (p, math.max(1L, math.ceil(p * n).toLong))).toDF("prob", "__rn")
+    targets.join(broadcast(ranked), "__rn")
+      .select(col("prob"), col("__v").as("value"),
+        col("__rn").as("sample_rank"), lit(n).as("sample_n"))
+      .orderBy("prob")
+  }
+
   /** Leakage-safe split assignment from a SHARED duplicate-pair graph:
     * connected components over `pairs` pick a cluster representative
     * (Dedup.componentIds — star contraction at scale), every member

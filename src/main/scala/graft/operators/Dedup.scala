@@ -1157,4 +1157,68 @@ object Dedup {
           collect_list(struct(col("__pos"), col("__para")))),
         x => x("__para")), sep).as(textCol))
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every `k`-word gram, slide a
+    * window of `w` hashes, keep each window's MINIMUM — the locality
+    * guarantee minhash structurally lacks: any shared run of at least
+    * `w + k − 1` words yields at least one shared fingerprint, while
+    * per-doc fingerprint density stays ~2/(w+1) of the grams. (Global
+    * minhash samples the whole shingle SET — a 40-word plagiarized
+    * passage inside two otherwise-different documents moves Jaccard by
+    * ~nothing and is invisible to it; winnowing catches it by
+    * construction.) Hashes are md5 hex strings and minima are string
+    * minima, so the fingerprint set replays exactly in any engine — the
+    * same reason [[FuzzyJoin.containmentPairs]] orders its probe prefix
+    * by md5. Pure column composition, codegen'd; O(words × w) per doc
+    * with w a small constant. Docs shorter than `k` words fingerprint
+    * their whole text (the [[shingles]] convention).
+    *
+    * Returns `array<string>` of DISTINCT fingerprints (winnowing dedupes
+    * repeated window minima; position info is not retained — pair
+    * DETECTION wants the set, and [[exactSubstrClean]] is the positional
+    * cleaner).
+    */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    require(k >= 1, s"winnowFingerprints: k $k must be >= 1")
+    require(w >= 1, s"winnowFingerprints: w $w must be >= 1")
+    val hashes = transform(shingles(text, k), g => md5(g))
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+      i => array_min(slice(hashes, i, lit(w)))))
+  }
+
+  /** Pairs of documents sharing at least `minShared` winnowing
+    * fingerprints — local-similarity detection (quotes, plagiarized
+    * passages, shared boilerplate runs of ≥ w+k−1 words) as one
+    * inverted-index join. Scale shape follows the fuzzy-join convention:
+    * explode ONLY fingerprints (never text), aggregate fingerprint
+    * document frequencies first, and refuse LOUDLY when the exact
+    * candidate count Σ_fp df·(df−1)/2 exceeds `maxCandidatePairs` —
+    * corpus-wide boilerplate fingerprints fan out quadratically and must
+    * be surfaced, not silently ground through. Returns (id1, id2,
+    * n_shared) with id1 < id2.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2,
+      maxCandidatePairs: Long = 2_000_000_000L): DataFrame = {
+    require(minShared >= 1, s"winnowPairs: minShared $minShared must be >= 1")
+    val fps = graft.core.Persist.stage(df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(winnowFingerprints(col(textCol), k, w)).as("__fp")))
+    val budget = fps.groupBy("__fp").agg(count(lit(1)).as("__df"))
+      .agg(coalesce(sum(col("__df") * (col("__df") - 1)), lit(0L)))
+      .head().getLong(0) / 2 // df·(df−1) is even; long math stays exact
+    if (budget > maxCandidatePairs) throw new IllegalStateException(
+      s"winnowPairs: fingerprints fan out to $budget candidate pairs " +
+        s"(> maxCandidatePairs = $maxCandidatePairs) — corpus-wide " +
+        "boilerplate dominates; strip it first (stripSharedWindows), " +
+        "raise k/w, or raise maxCandidatePairs deliberately")
+    fps.toDF("id1", "fp1")
+      .join(fps.toDF("id2", "fp2"),
+        col("fp1") === col("fp2") && col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -265,6 +265,15 @@ object QualityClassifier {
     * composable aggregate/zip_with form measured 90+ s at the ×100
     * blow-up: a literal-map lookup is a linear scan and the interpreted
     * lambda allocates a k-array per gram.)
+    *
+    * CALLER HAZARD: a downstream `filter` referencing MORE THAN ONE of
+    * the output columns through live lineage re-evaluates the whole fold
+    * per referenced field — predicate pushdown substitutes the struct
+    * alias into each reference, and a CodegenFallback kernel gets no
+    * subexpression elimination (measured 2.7× on the ccnet gate).
+    * Multi-column PROJECTIONS are safe (the CollapseProject cost check
+    * keeps the struct materialized). When filtering on pred AND margin,
+    * stage/persist the scored frame first, then filter.
     */
   def scoreLangNB(df: DataFrame, textCol: String, model: NaiveBayesLang,
       predCol: String = "lang_pred", scoreCol: String = "lang_score",

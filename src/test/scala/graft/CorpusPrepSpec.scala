@@ -794,6 +794,37 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("sampleQuantiles: deterministic across partitioning, exact on " +
+      "n <= k, sane rank error on a uniform corpus, loud on bad input") {
+    val vals = (0 until 5000).map(i => (i.toLong, ((i * 7919) % 5000).toLong))
+    val df = vals.toDF("id", "v")
+    val q = CorpusPrep.sampleQuantiles(df, "v", "id",
+        probs = Seq(0.1, 0.5, 0.9), sampleK = 1024, salt = "s")
+      .select("prob", "value").as[(Double, Long)].collect().toMap
+    // same result on any partitioning — the draw is a pure id function
+    val q2 = CorpusPrep.sampleQuantiles(df.repartition(13), "v", "id",
+        probs = Seq(0.1, 0.5, 0.9), sampleK = 1024, salt = "s")
+      .select("prob", "value").as[(Double, Long)].collect().toMap
+    assert(q == q2)
+    // values are a permutation of 0..4999: true quantiles are p*5000;
+    // k = 1024 → rank error within ~5 std devs = 5*sqrt(p(1-p)/k)
+    for ((p, v) <- q) {
+      val tol = 5 * math.sqrt(p * (1 - p) / 1024) * 5000
+      assert(math.abs(v - p * 5000) <= tol, s"p=$p v=$v tol=$tol")
+    }
+    // n <= k: the sample IS the corpus — quantiles are exact nearest-rank
+    val small = (0 until 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val exact = CorpusPrep.sampleQuantiles(small, "v", "id",
+        probs = Seq(0.5, 1.0), sampleK = 1024, salt = "s")
+      .select("prob", "value", "sample_n").as[(Double, Long, Long)].collect()
+    assert(exact.toSet == Set((0.5, 49L, 100L), (1.0, 99L, 100L)))
+    intercept[IllegalArgumentException](
+      CorpusPrep.sampleQuantiles(small, "v", "id", probs = Seq(1.5)))
+    intercept[IllegalArgumentException](
+      CorpusPrep.sampleQuantiles(small, "v", "id", probs = Seq(0.5),
+        sampleK = 0))
+  }
+
   test("domainStats aggregates registrable domains with corpus share") {
     val df = Seq(
       "http://www.a.com/1", "http://blog.a.com/2", "https://a.com/3",

@@ -191,6 +191,48 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(7L) && !kept.contains(101L))
   }
 
+  test("winnowing: the w+k-1 locality guarantee holds, a local shared " +
+      "passage invisible to global minhash is caught, and the candidate " +
+      "budget refuses loudly") {
+    def ws(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    // guarantee: k=5, w=4 → any shared run of >= 8 words shares a print
+    val run8 = ws("s", 8)
+    val g = Seq(
+      (1L, s"${ws("a", 30)} $run8 ${ws("b", 30)}"),
+      (2L, s"${ws("c", 30)} $run8 ${ws("d", 30)}"))
+    val gp = Dedup.winnowPairs(g.toDF("doc_id", "text"), "doc_id", "text",
+        k = 5, w = 4, minShared = 1)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(gp == Set((1L, 2L)), s"guarantee violated: $gp")
+    // locality: a 40-word passage inside two otherwise-different 400-word
+    // docs — Jaccard ~0.05 is far below any useful minhash threshold,
+    // winnowing catches it by construction
+    val passage = ws("p", 40)
+    val local = Seq(
+      (1L, s"${ws("x", 200)} $passage ${ws("y", 200)}"),
+      (2L, s"${ws("u", 200)} $passage ${ws("v", 200)}"))
+    val wp = Dedup.winnowPairs(local.toDF("doc_id", "text"), "doc_id",
+        "text", k = 5, w = 4, minShared = 2)
+      .select("id1", "id2", "n_shared").as[(Long, Long, Long)].collect()
+    assert(wp.length == 1 && wp.head._1 == 1L && wp.head._2 == 2L &&
+      wp.head._3 >= 8, wp.mkString(","))
+    val mh = Dedup.minhashPairs(local.toDF("doc_id", "text"), "text",
+        "doc_id", threshold = 0.5, bands = 16)
+      .count()
+    assert(mh == 0L, "global minhash should NOT flag a local passage")
+    // determinism across partitioning
+    val wp2 = Dedup.winnowPairs(local.toDF("doc_id", "text").repartition(7),
+        "doc_id", "text", k = 5, w = 4, minShared = 2)
+      .select("id1", "id2", "n_shared").as[(Long, Long, Long)].collect()
+    assert(wp2.toSeq == wp.toSeq)
+    // boilerplate fan-out refuses loudly before the join
+    val dense = (0 until 60).map(i => (i.toLong, ws("z", 12)))
+    val e = intercept[IllegalStateException](
+      Dedup.winnowPairs(dense.toDF("doc_id", "text"), "doc_id", "text",
+        maxCandidatePairs = 100L).count())
+    assert(e.getMessage.contains("maxCandidatePairs"))
+  }
+
   test("simhash flags exact and near copies") {
     val pairs = Dedup.simhashPairs(corpus, "text", "doc_id", maxDist = 6)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
