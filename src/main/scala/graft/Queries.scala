@@ -1936,6 +1936,45 @@ object Queries {
           col("lang"), col("text"), lit("orc").as("fmt")))
     }),
 
+    "source_jsonl_quarantine" -> ((s, dir) => {
+      // Corrupt-record quarantine on JSONL ingestion — the WARC
+      // quarantine's sibling on the other crawl interchange format,
+      // expressed through Spark's NATIVE permissive mode (explicit
+      // schema + columnNameOfCorruptRecord): 50 good docs round-trip,
+      // three planted malformed lines (truncated object, bare garbage,
+      // wrong-type field) surface as rows carrying the raw line with
+      // typed fields null (doc_id survives where only ONE field was
+      // uncastable — permissive keeps what parses), and NOTHING is
+      // silently dropped. The oracle reconstructs the expected union
+      // from the documents table plus the planted literals.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_q").toString
+      val d = read(s, dir, "documents").filter(col("doc_id") < 50)
+        .select("doc_id", "lang", "text")
+      d.coalesce(1).write.mode("overwrite").json(s"$tmp/j")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "j", "part-corrupt.json"),
+        ("""{"doc_id": 9001, "lang": "xx", "text": """ + "\n" +
+          "not json at all\n" +
+          """{"doc_id": "NaN-ish", "lang": "yy", "text": "t"}""" + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_bad",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(s"$tmp/j")
+        .select(col("doc_id"), col("lang"),
+          col("_bad").isNotNull.as("quarantined"),
+          md5(coalesce(col("_bad"), lit(""))).as("bad_md5"))
+        .orderBy(col("doc_id").asc_nulls_last, col("bad_md5"))
+    }),
+
     // ------------- Structured Streaming surface as oracle gates ----------
     // (The FILE STREAM source requires a DIRECTORY; the test tables are
     // single parquet files, so streamDir symlinks one into a temp dir.)
@@ -2721,6 +2760,21 @@ object Queries {
         .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
       CorpusPrep.selectByTokenBudget(d, "q", "n_tok", "doc_id", budget = 10000L)
         .select("doc_id", "q", "n_tok")
+        .orderBy("doc_id")
+    }),
+
+    "corpus_shard_tokens" -> ((s, dir) => {
+      // Token-balanced export shards: every doc takes the shard its
+      // cumulative START offset falls in (runningTotal's
+      // range-partitioned prefix sum — never a corpus-wide window), so
+      // docs never split and each shard's token sum lands within one
+      // max-doc of the 5000-token budget. Exact integer running sums
+      // replay in the oracle's ordered window.
+      val d = read(s, dir, "documents")
+        .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
+      CorpusPrep.shardByTokenBudget(d, "doc_id", col("n_tok"),
+          tokensPerShard = 5000L)
+        .select(col("doc_id"), col("n_tok"), col("shard"))
         .orderBy("doc_id")
     }),
 
@@ -3876,6 +3930,28 @@ object Queries {
         .otherwise(concat(lit("http://deep.a.b.site"), g, lit(".com/x")))
       d.select(col("doc_id"),
           CorpusPrep.registrableDomain(url).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    "text_markup_strip" -> ((s, dir) => {
+      // Markdown + LaTeX normalization to prose (the arXiv/GitHub corpus
+      // stage): deterministic markup is wrapped around the corpus text in
+      // BOTH engines — fences, images, links, headings, emphasis,
+      // blockquotes, rules on the markdown side; comments, inline and
+      // display math, starred/optioned commands with kept brace args on
+      // the TeX side — and the fixed-order regex chains must strip it
+      // identically, md5-pinned.
+      val g = (col("doc_id") % 5).cast("string")
+      val md = concat(lit("# Heading "), g, lit("\n**bold"), g,
+        lit("** and *ital* [link text](http://example.com/"), g,
+        lit(") ![alt"), g, lit("](img.png)\n```\n"), col("text"),
+        lit("\n```\n> quoted line\n---\n"), col("text"))
+      val tex = concat(lit("\\section{Intro "), g, lit("}% trailing comment\n"),
+        lit("\\textbf{"), col("text"), lit("} $x^2 + y_"), g,
+        lit("$ and $$\\sum_i i$$ \\emph{end}\\\\"))
+      read(s, dir, "documents").select(col("doc_id"),
+          md5(to_binary(TF.markdownStrip(md), lit("utf-8"))).as("md_md5"),
+          md5(to_binary(TF.latexStrip(tex), lit("utf-8"))).as("tex_md5"))
         .orderBy("doc_id")
     }),
 
@@ -5994,6 +6070,17 @@ object Queries {
         |  text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // The same start-offset formula over an ordered running token sum.
+    "corpus_shard_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, n_tok,
+        |  CAST((sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |    - n_tok) // 5000 AS BIGINT) AS shard
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     // Same deterministic draw (256 smallest md5(salt|id)), same
     // (value, id) sample ordering, same nearest-rank ⌈p·k⌉ pick.
     "corpus_quantiles_sample" ->
@@ -6010,6 +6097,21 @@ object Queries {
         |FROM p, n, s
         |WHERE s.rn = GREATEST(1, CAST(ceil(p.prob * n.k) AS BIGINT))
         |ORDER BY prob""".stripMargin,
+
+    // Expected union: the 50 round-tripped docs (nothing dropped, empty
+    // bad hash) plus the three planted malformed lines — the partially
+    // corrupt one keeps its parseable lang field (permissive semantics
+    // pinned empirically).
+    "source_jsonl_quarantine" ->
+      """SELECT doc_id, lang, FALSE AS quarantined, md5('') AS bad_md5
+        |FROM documents WHERE doc_id < 50
+        |UNION ALL SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), TRUE,
+        |  md5('{"doc_id": 9001, "lang": "xx", "text": ')
+        |UNION ALL SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), TRUE,
+        |  md5('not json at all')
+        |UNION ALL SELECT CAST(NULL AS BIGINT), 'yy', TRUE,
+        |  md5('{"doc_id": "NaN-ish", "lang": "yy", "text": "t"}')
+        |ORDER BY doc_id ASC NULLS LAST, bad_md5""".stripMargin,
 
     // The exact deterministic per-language reservoir: same md5 ranking
     // function, same tie-break.
@@ -7406,6 +7508,45 @@ object Queries {
          |SELECT doc_id,
          |  ${graft.functions.Psl.duckDbRegistrableSql("host")} AS domain
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Identical markup wrapping, then the fixed-order strip chains with
+    // RE2 'g' replaces (backreference syntax is \1 here vs Spark's $1 —
+    // same semantics).
+    "text_markup_strip" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    '# Heading ' || (doc_id % 5) || chr(10) || '**bold' || (doc_id % 5)
+        |      || '** and *ital* [link text](http://example.com/' || (doc_id % 5)
+        |      || ') ![alt' || (doc_id % 5) || '](img.png)' || chr(10) || '```'
+        |      || chr(10) || text || chr(10) || '```' || chr(10)
+        |      || '> quoted line' || chr(10) || '---' || chr(10) || text AS md,
+        |    '\section{Intro ' || (doc_id % 5) || '}% trailing comment'
+        |      || chr(10) || '\textbf{' || text || '} $x^2 + y_' || (doc_id % 5)
+        |      || '$ and $$\sum_i i$$ \emph{end}\\' AS tex
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(md,
+        |      '(?m)^```[^\n]*$', '', 'g'),
+        |      '!\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+        |      '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+        |      '(?m)^#{1,6}[ \t]*', '', 'g'),
+        |      '\*\*([^*]*)\*\*', '\1', 'g'),
+        |      '\*([^*]*)\*', '\1', 'g'),
+        |      '(?m)^>[ \t]?', '', 'g'),
+        |      '(?m)^(-{3,}|={3,})[ \t]*$', '', 'g'),
+        |      '[ \t]+', ' ', 'g'))) AS md_md5,
+        |  md5(trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(tex,
+        |      '(?m)%[^\n]*', '', 'g'),
+        |      '\$\$[^$]*\$\$', ' ', 'g'),
+        |      '\$[^$]*\$', ' ', 'g'),
+        |      '\\[a-zA-Z]+\*?(\[[^\]]*\])?', '', 'g'),
+        |      '[{}]', '', 'g'),
+        |      '[ \t]+', ' ', 'g'))) AS tex_md5
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Identical line construction (sentence breaks → newlines + the
     // deterministic bullet/ellipsis tail on every third doc), then the

@@ -296,9 +296,60 @@ object TextFunctions {
   def blocklistMatches(c: Column, patterns: Seq[String]): Column =
     BlocklistExpr.blocklistMatches(c, patterns)
 
+  /** Strip Markdown syntax to plain text — the arXiv/GitHub-corpus
+    * normalization stage (RedPajama/peS2o-style pipelines reduce markup
+    * to prose before quality scoring and dedup; markup tokens otherwise
+    * pollute n-gram statistics and tokenizer vocabularies). Pure
+    * regexp_replace chain (codegen'd, RE2-compatible patterns — no
+    * backtracking), applied in a FIXED documented order: code-fence
+    * markers, images (keep alt), links (keep text), ATX headings,
+    * bold/italic markers, blockquote prefixes, horizontal rules, then
+    * whitespace normalization. Deliberately syntax-light: reference-style
+    * links, tables and setext headings pass through as text — the goal
+    * is corpus statistics hygiene, not a Markdown parser.
+    */
+  def markdownStrip(c: Column): Column = {
+    val noFence = regexp_replace(c, "(?m)^```[^\\n]*$", "")
+    val noImg = regexp_replace(noFence,
+      "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLink = regexp_replace(noImg,
+      "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noHead = regexp_replace(noLink, "(?m)^#{1,6}[ \\t]*", "")
+    val noBold = regexp_replace(noHead, "\\*\\*([^*]*)\\*\\*", "$1")
+    val noItal = regexp_replace(noBold, "\\*([^*]*)\\*", "$1")
+    val noQuote = regexp_replace(noItal, "(?m)^>[ \\t]?", "")
+    val noRule = regexp_replace(noQuote, "(?m)^(-{3,}|={3,})[ \\t]*$", "")
+    trim(regexp_replace(noRule, "[ \\t]+", " "))
+  }
+
+  /** Strip LaTeX markup to plain text — the crude published-pipeline
+    * normalization (the RedPajama arXiv pass is the same regex family):
+    * comments (`%` to end of line — escaped `\%` is NOT protected,
+    * documented approximation), display+inline math replaced whole
+    * (`$$..$$`, `$..$` — math tokens are noise to text statistics),
+    * `\command[opt]` forms removed with BRACE ARGUMENTS KEPT (the
+    * argument of \textbf/\emph/\section is prose), then stray braces
+    * dropped and whitespace normalized. NOT a TeX parser: environments'
+    * `\begin/\end` lines vanish with their commands, verbatim blocks are
+    * not protected — corpus hygiene, not rendering.
+    */
+  def latexStrip(c: Column): Column = {
+    val noComment = regexp_replace(c, "(?m)%[^\\n]*", "")
+    val noDisplay = regexp_replace(noComment,
+      "\\$\\$[^$]*\\$\\$", " ")
+    val noMath = regexp_replace(noDisplay, "\\$[^$]*\\$", " ")
+    val noCmd = regexp_replace(noMath,
+      "\\\\[a-zA-Z]+\\*?(\\[[^\\]]*\\])?", "")
+    val noBrace = regexp_replace(noCmd, "[{}]", "")
+    trim(regexp_replace(noBrace, "[ \\t]+", " "))
+  }
+
   /** Rolling (polynomial) content-defined fingerprints of word windows:
     * xxhash64 over sliding word n-grams; the minimum is a winnowing-style
-    * document signature.
+    * whole-document SCALAR signature (cheap identity key). For the actual
+    * Schleimer et al. winnowing algorithm — per-window minima with the
+    * w+k−1 locality guarantee, for local-similarity detection — see
+    * [[graft.operators.Dedup.winnowFingerprints]].
     */
   def winnowFingerprint(c: Column, window: Int = 8): Column = {
     val words = split(lower(trim(c)), "\\s+")

@@ -779,6 +779,31 @@ object CorpusPrep {
     } finally sorted.unpersist()
   }
 
+  /** Token-balanced shard assignment for training export — "cut the
+    * corpus into shards of ~`tokensPerShard` tokens each, in a
+    * deterministic order" (equal-compute data-parallel shards; a
+    * doc-COUNT split skews badly when lengths are heavy-tailed). Every
+    * doc takes the shard its cumulative START offset falls in:
+    * `shard = (runningTotal − tokens) / tokensPerShard` — so docs never
+    * split across shards and each shard's token sum lands within one
+    * max-doc-length of the budget. Cost = [[runningTotal]]'s
+    * range-partitioned prefix sum (one pass, no corpus-wide window).
+    * The prefix sums are exact longs; the one division casts through
+    * double, exact for corpora under 2^53 ≈ 9e15 tokens (9 petatokens —
+    * three orders past the 100 TB regime), so the assignment replays
+    * exactly in SQL. Output = `df` + `outCol`.
+    */
+  def shardByTokenBudget(df: DataFrame, orderCol: String, tokenCol: Column,
+      tokensPerShard: Long, outCol: String = "shard"): DataFrame = {
+    require(tokensPerShard > 0,
+      s"shardByTokenBudget: tokensPerShard $tokensPerShard must be positive")
+    runningTotal(df, orderCol, tokenCol, "__sb_cum")
+      .withColumn(outCol,
+        ((col("__sb_cum") - coalesce(tokenCol.cast("long"), lit(0L))) /
+          tokensPerShard).cast("long"))
+      .drop("__sb_cum")
+  }
+
   /** Deterministic NEGATIVE sampling for contrastive training: `k`
     * pseudo-random non-self partners per anchor, a pure function of
     * (salt, id, j) — the same pairs on any cluster, partitioning, or

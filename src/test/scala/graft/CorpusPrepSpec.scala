@@ -794,6 +794,36 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("shardByTokenBudget: docs never split, shard sums stay within one " +
+      "max-doc of the budget, assignment is partitioning-independent") {
+    val rows = (0 until 500).map(i => (i.toLong, 10L + (i * 13) % 90))
+    val df = rows.toDF("id", "toks")
+    val got = CorpusPrep.shardByTokenBudget(df, "id", col("toks"), 1000L)
+      .select("id", "toks", "shard").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    // replay the sequential definition
+    var cum = 0L
+    rows.foreach { case (id, t) =>
+      val want = cum / 1000L
+      val g = got(id.toInt)
+      assert(g._3 == want, s"id=$id got=${g._3} want=$want")
+      cum += t
+    }
+    // shards are contiguous in id order and sums within budget + max doc
+    val byShard = got.groupBy(_._3).toSeq.sortBy(_._1)
+    byShard.foreach { case (s, docs) =>
+      val sum = docs.map(_._2).sum
+      if (s < byShard.last._1) // last shard may be short
+        assert(sum >= 1000L - 99 && sum <= 1000L + 99, s"shard $s sum $sum")
+    }
+    val again = CorpusPrep.shardByTokenBudget(df.repartition(11), "id",
+        col("toks"), 1000L)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    assert(got.forall { case (id, _, s) => again(id) == s })
+    intercept[IllegalArgumentException](
+      CorpusPrep.shardByTokenBudget(df, "id", col("toks"), 0L))
+  }
+
   test("sampleQuantiles: deterministic across partitioning, exact on " +
       "n <= k, sane rank error on a uniform corpus, loud on bad input") {
     val vals = (0 until 5000).map(i => (i.toLong, ((i * 7919) % 5000).toLong))

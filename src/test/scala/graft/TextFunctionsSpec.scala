@@ -306,4 +306,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out3 == s"$b\n$b")
   }
 
+  test("markdownStrip: fences, links, images, headings, emphasis, quotes " +
+      "and rules reduce to prose; syntax-light passthrough documented") {
+    def strip(s: String): String = Seq(s).toDF("t")
+      .select(TF.markdownStrip(col("t")).as("o")).as[String].head()
+    assert(strip("## Title\nbody **bold** *it* text") ==
+      "Title\nbody bold it text")
+    assert(strip("[click here](http://x.com/a?b=1) and ![logo](i.png)") ==
+      "click here and logo")
+    // fence LINES empty out but their newlines stay (only spaces/tabs
+    // are collapsed; line structure is preserved for line-level stats)
+    assert(strip("```scala\nval x = 1\n```") == "\nval x = 1\n")
+    assert(strip("> quoted\n> lines\n---\nafter") == "quoted\nlines\n\nafter")
+    // reference-style links pass through — documented non-goal
+    assert(strip("[ref][1]") == "[ref][1]")
+  }
+
+  test("latexStrip: comments, math, commands-with-kept-args, braces") {
+    def strip(s: String): String = Seq(s).toDF("t")
+      .select(TF.latexStrip(col("t")).as("o")).as[String].head()
+    assert(strip("\\section{Intro} body % note\nnext") == "Intro body \nnext")
+    assert(strip("pre $x^2+y$ mid $$\\sum_i i$$ post") == "pre mid post")
+    assert(strip("\\textbf{kept} \\emph{words} \\cite[p.~3]{key}") ==
+      "kept words key")
+    // escaped \% is NOT protected — documented approximation
+    assert(strip("100\\% sure") == "100\\")
+  }
+
 }
