@@ -463,6 +463,19 @@ object Queries {
           col("n_items"), col("n_raters"))
     }),
 
+    "eval_kendall_tau" -> ((s, dir) => {
+      // Exact Kendall τ-b between two deterministic tied-heavy judge
+      // scores — concordant/discordant/tie counts as integer sums over
+      // the bounded (a, b) histogram self-join (the rocAuc convention);
+      // the closing (C−D)/√(..·..) is the only float surface, replayed
+      // with the same operand shapes.
+      val d = read(s, dir, "documents")
+      val a = (col("doc_id") * 7) % 10
+      val b = ((col("doc_id") * 7) % 10 + col("doc_id") % 3) % 10
+      Evals.kendallTauB(
+        d.select(a.as("score_a"), b.as("score_b")), "score_a", "score_b")
+    }),
+
     "eval_bradley_terry" -> ((s, dir) => {
       // Arena-style leaderboard fit: Bradley–Terry via Hunter's MM, 50
       // iterations on a deterministic comparisons table (7 models, winner
@@ -3849,6 +3862,45 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "ccnet_ppl_buckets" -> ((s, dir) => {
+      // CCNet's published head/middle/tail artifact (arXiv 1911.00359
+      // §4.3): per-LANGUAGE perplexity tertiles — the released corpus
+      // ships in exactly these buckets. Bigram-LM ppl (the KenLM
+      // stand-in the ppl_bigram gate pins), rounded to 2 decimals for
+      // bucket stability, then the bounded-histogram grouped
+      // percent-rank (never a corpus-wide window) and the 1/3, 2/3
+      // cuts. Low perplexity = head.
+      val d = read(s, dir, "documents")
+      val lm = graft.operators.NgramLm.fitBigramLM(d, "text", minCount = 2L)
+      val scored = graft.operators.NgramLm.perplexity(d, "text", lm)
+        .filter(col("ppl").isNotNull)
+        .withColumn("ppl_r", round(col("ppl"), 2))
+        .select("doc_id", "lang", "ppl_r")
+      CorpusPrep.scorePercentRankByGroup(scored, "lang", "ppl_r")
+        .withColumn("bucket",
+          when(col("score_pct") < 1.0 / 3, "head")
+            .when(col("score_pct") < 2.0 / 3, "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("lang"),
+          round(col("score_pct"), 6).as("ppl_pct"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    "embed_hard_negatives" -> ((s, dir) => {
+      // Hard-negative mining: per anchor, the 3 nearest embeddings with
+      // a DIFFERENT (synthetic, vec_id % 3) label — filter BEFORE the
+      // per-anchor top-k, so every anchor receives 3 true negatives.
+      // Exact broadcast tier on 30 anchors; ties break on neg_id.
+      val e = read(s, dir, "embeddings")
+        .withColumnRenamed("embedding", graft.operators.EmbedOps.vecCol("emb"))
+        .withColumn("label", col("vec_id") % 3)
+      graft.operators.EmbedOps.hardNegatives(
+          e.filter(col("vec_id") < 30), e, "emb", "vec_id", "label", k = 3)
+        .select(col("anchor_id"), col("neg_id"), col("neg_label"),
+          round(col("_score"), 3).as("score"))
+        .orderBy(col("anchor_id"), col("score").desc, col("neg_id"))
+    }),
+
     "url_dedup" -> ((s, dir) => {
       // URL canonicalization + dedup — the FIRST dedup key of a crawl
       // pipeline (before any content pass): raw URLs are synthesized
@@ -5744,6 +5796,39 @@ object Queries {
     // operator's pinned order), integer win/game totals, simultaneous
     // updates from the previous iterate, normalization by the
     // index-order sum.
+    // Same histogram, same i<j cell-pair enumeration, same integer
+    // sums, same closing float-op shapes (each denominator factor cast
+    // to double before the product).
+    "eval_kendall_tau" ->
+      """WITH s AS (
+        |  SELECT (doc_id * 7) % 10 AS a,
+        |    ((doc_id * 7) % 10 + doc_id % 3) % 10 AS b
+        |  FROM documents),
+        |h AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN (x.a < y.a AND x.b < y.b)
+        |      OR (x.a > y.a AND x.b > y.b) THEN x.n * y.n END), 0) AS BIGINT) AS c,
+        |    CAST(coalesce(sum(CASE WHEN (x.a < y.a AND x.b > y.b)
+        |      OR (x.a > y.a AND x.b < y.b) THEN x.n * y.n END), 0) AS BIGINT) AS d,
+        |    CAST(coalesce(sum(CASE WHEN x.a = y.a AND x.b <> y.b
+        |      THEN x.n * y.n END), 0) AS BIGINT) AS ta,
+        |    CAST(coalesce(sum(CASE WHEN x.b = y.b AND x.a <> y.a
+        |      THEN x.n * y.n END), 0) AS BIGINT) AS tb
+        |  FROM h x JOIN h y ON x.a < y.a OR (x.a = y.a AND x.b < y.b)),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nr,
+        |    CAST(sum(n * (n - 1)) // 2 AS BIGINT) AS joint
+        |  FROM h),
+        |np AS (SELECT nr, joint, nr * (nr - 1) // 2 AS n_pairs FROM tot)
+        |SELECT
+        |  round((c - d) * 1.0 /
+        |    sqrt(CAST(n_pairs - ta - joint AS DOUBLE)
+        |      * CAST(n_pairs - tb - joint AS DOUBLE)), 6) AS tau_b,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs, c AS concordant,
+        |  d AS discordant, ta AS tie_a, tb AS tie_b, nr AS n_rows
+        |FROM agg, np""".stripMargin,
+
     "eval_bradley_terry" ->
       """WITH RECURSIVE
         |raw AS (
@@ -6704,6 +6789,83 @@ object Queries {
     // per-position p = 0.7·c(v,w)/c(v·) + (1 − 0.7)·p_uni(w) — (1 − 0.7)
     // replays IEEE 1.0−0.7 (≠ the 0.3 literal) — summed left-to-right by
     // list_reduce, ppl = exp(−ll/n), NULL for empty docs.
+    // The ppl_bigram refit verbatim, carried per-language into the
+    // percent_rank window (rank−1 over n−1 = the strictly-smaller-count
+    // contract of the grouped histogram route) and the 1/3, 2/3 cuts.
+    "ccnet_ppl_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM documents),
+        |uc AS (
+        |  SELECT word, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(w) AS word FROM t) GROUP BY word),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+        |kept AS (SELECT word, c FROM uc WHERE c >= 2),
+        |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM kept),
+        |unkc AS (SELECT (SELECT sum(c) FROM uc)
+        |    - coalesce((SELECT sum(c) FROM kept), 0) AS cu),
+        |up AS (SELECT map(list(word ORDER BY word),
+        |      list((c + 1) / (n + (v + 1)) ORDER BY word)) AS mp,
+        |    min((cu + 1) / (n + (v + 1))) AS unkp
+        |  FROM kept, tot, vv, unkc),
+        |tm AS (
+        |  SELECT doc_id, lang, list_transform(w, x ->
+        |    CASE WHEN mp[x][1] IS NOT NULL THEN x ELSE chr(1) END) AS mt
+        |  FROM t, up),
+        |ps AS (SELECT doc_id, mt,
+        |    unnest(range(1, len(mt) + 1)) AS i FROM tm),
+        |pairs AS (SELECT CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END AS prev,
+        |    mt[i] AS cur FROM ps),
+        |bc AS (SELECT prev || chr(3) || cur AS bg,
+        |    CAST(count(*) AS DOUBLE) AS c FROM pairs GROUP BY 1),
+        |pt AS (SELECT prev, CAST(count(*) AS DOUBLE) AS ct
+        |  FROM pairs GROUP BY 1),
+        |bm AS (SELECT map(list(bg ORDER BY bg), list(c ORDER BY bg)) AS bmp
+        |  FROM bc),
+        |pm AS (SELECT map(list(prev ORDER BY prev), list(ct ORDER BY prev)) AS pmp
+        |  FROM pt),
+        |sc AS (
+        |  SELECT doc_id, lang, len(mt) AS n,
+        |    CASE WHEN len(mt) = 0 THEN 0.0 ELSE
+        |      list_reduce(list_transform(range(1, len(mt) + 1), i ->
+        |        ln(0.7 * coalesce(
+        |             bmp[(CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END)
+        |                 || chr(3) || mt[i]][1]
+        |             / pmp[CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END][1],
+        |             0.0)
+        |           + (1 - 0.7) * coalesce(mp[mt[i]][1], unkp))),
+        |        (a, b) -> a + b)
+        |    END AS ll
+        |  FROM tm, bm, pm, up),
+        |scored AS (
+        |  SELECT doc_id, lang, round(exp(-ll / n), 2) AS ppl_r
+        |  FROM sc WHERE n > 0),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY ppl_r) AS pct
+        |  FROM scored)
+        |SELECT doc_id, lang, round(pct, 6) AS ppl_pct,
+        |  CASE WHEN pct < 1.0 / 3 THEN 'head'
+        |       WHEN pct < 2.0 / 3 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    // Same label synthesis, label-mismatch filter BEFORE the per-anchor
+    // top-3, same unrounded-score ordering with neg_id tie-break.
+    "embed_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding, vec_id % 3 AS label FROM embeddings)
+        |SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+        |  b.label AS neg_label,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 3) AS score
+        |FROM (SELECT * FROM e WHERE vec_id < 30) a
+        |JOIN e b ON a.label <> b.label
+        |QUALIFY row_number() OVER (PARTITION BY a.vec_id
+        |  ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 3
+        |ORDER BY anchor_id, score DESC, neg_id""".stripMargin,
+
     "ppl_bigram" ->
       """WITH t AS (
         |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []

@@ -242,6 +242,42 @@ object EmbedOps {
       .drop("__rnk", lKey, lv, rv)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * `k` most-similar embeddings whose `labelCol` DIFFERS — the negatives
+    * that actually move a contrastive loss (random negatives are mostly
+    * trivial; the hard ones sit near the decision boundary). The label
+    * filter applies BEFORE the per-anchor top-k, so every anchor gets k
+    * true negatives rather than k neighbors minus its same-label hits.
+    * `anchors` and `corpus` are separate frames (mine a small anchor
+    * batch against the whole pool; self-mining = pass the same frame —
+    * an anchor can never draw itself, its own label matches). This is
+    * the exact tier (broadcast corpus + per-anchor WindowGroupLimit —
+    * the corpus side must fit in a broadcast); at full scale, over-fetch
+    * through the IVF route instead ([[graft.embed.IvfIndex]] batch
+    * search with nFetch ≫ k, then the same label-filter + rank) — the
+    * standard recall/cost trade the ANN tiers already gate.
+    * Deterministic: ties break on `neg_id`.
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, on: String,
+      idCol: String, labelCol: String, k: Int, scoreCol: String = "_score",
+      broadcastCorpus: Boolean = true): DataFrame = {
+    require(k >= 1, s"hardNegatives: k $k must be >= 1")
+    val v = vecCol(on)
+    val a = semIndex(anchors, on).select(col(idCol).as("anchor_id"),
+      col(labelCol).as("__al"), col(v).as("__av"))
+    val b = semIndex(corpus, on).select(col(idCol).as("neg_id"),
+      col(labelCol).as("neg_label"), col(v).as("__bv"))
+    val joined = a.crossJoin(if (broadcastCorpus) broadcast(b) else b)
+      .filter(col("__al") =!= col("neg_label"))
+      .withColumn(scoreCol, cosineSim(col("__av"), col("__bv")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col(scoreCol).desc, col("neg_id"))
+    joined.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .select(col("anchor_id"), col("neg_id"), col("neg_label"),
+        col(scoreCol))
+  }
+
   private def uuidCol(): String = "__simjoin_lid"
 
   /** Vector dimension of an attached index column, read from the data (one

@@ -486,6 +486,28 @@ class EmbedSpec extends SparkSpec {
     assert(got == Set(0L, 1L, 2L, 100L, 101L, 102L))
   }
 
+  test("hardNegatives: label filter precedes the top-k, anchors never " +
+      "draw themselves, ties break on neg_id") {
+    import org.apache.spark.sql.functions._
+    val v = graft.operators.EmbedOps.vecCol("emb")
+    // anchor 0 (label 0) sits closest to 1,2 (label 0 — must be SKIPPED)
+    // then 3 (label 1), 4 (label 2), then far 5 (label 1)
+    val rows = Seq(
+      (0L, 0, Seq(1f, 0f)), (1L, 0, Seq(0.99f, 0.1f)),
+      (2L, 0, Seq(0.98f, 0.2f)), (3L, 1, Seq(0.9f, 0.4f)),
+      (4L, 2, Seq(0.8f, 0.6f)), (5L, 1, Seq(0f, 1f)))
+    val df = rows.toDF("id", "label", v)
+    val got = graft.operators.EmbedOps.hardNegatives(
+        df.filter(col("id") === 0), df, "emb", "id", "label", k = 2)
+      .select("neg_id", "neg_label").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((3L, 1), (4L, 2)), got.toString)
+    // k larger than available negatives: returns what exists, no self
+    val all = graft.operators.EmbedOps.hardNegatives(
+        df.filter(col("id") === 0), df, "emb", "id", "label", k = 10)
+      .select("neg_id").as[Long].collect().toSet
+    assert(all == Set(3L, 4L, 5L))
+  }
+
   test("packSignBits/hammingBits match the unpacked sign model across " +
       "dims incl. non-multiples of 64") {
     import org.apache.spark.sql.functions._

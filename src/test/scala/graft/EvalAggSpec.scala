@@ -86,6 +86,42 @@ class EvalAggSpec extends SparkSpec {
     assert(e.getMessage.contains("both classes"), e.getMessage)
   }
 
+  test("kendallTauB equals the brute-force pairwise form with full tie " +
+      "handling; perfect / inverted orders hit exactly +-1") {
+    val rng = new scala.util.Random(41)
+    val rows = (0 until 300).map(_ => (rng.nextInt(7), rng.nextInt(5)))
+    val got = Evals.kendallTauB(rows.toDF("a", "b"), "a", "b")
+      .select("tau_b", "concordant", "discordant", "tie_a", "tie_b")
+      .as[(Double, Long, Long, Long, Long)].head()
+    var (c, d, ta, tb, joint) = (0L, 0L, 0L, 0L, 0L)
+    for (i <- rows.indices; j <- i + 1 until rows.length) {
+      val ((a1, b1), (a2, b2)) = (rows(i), rows(j))
+      if (a1 == a2 && b1 == b2) joint += 1
+      else if (a1 == a2) ta += 1
+      else if (b1 == b2) tb += 1
+      else if ((a1 < a2) == (b1 < b2)) c += 1
+      else d += 1
+    }
+    val n0 = rows.length.toLong * (rows.length - 1) / 2
+    val tau = (c - d).toDouble /
+      math.sqrt((n0 - ta - joint).toDouble * (n0 - tb - joint).toDouble)
+    assert((got._2, got._3, got._4, got._5) == ((c, d, ta, tb)))
+    assert(math.abs(got._1 - tau) < 1e-6, s"${got._1} vs $tau")
+    // strictly monotone pairs: tau exactly 1; reversed: exactly -1
+    val mono = (0 until 50).map(i => (i, i * 2))
+    assert(Evals.kendallTauB(mono.toDF("a", "b"), "a", "b")
+      .select("tau_b").as[Double].head() == 1.0)
+    val anti = (0 until 50).map(i => (i, -i))
+    assert(Evals.kendallTauB(anti.toDF("a", "b"), "a", "b")
+      .select("tau_b").as[Double].head() == -1.0)
+    // histogram cap refuses loudly
+    val wide = (0 until 5000).map(i => (i, i))
+    val e = intercept[IllegalArgumentException](
+      Evals.kendallTauB(wide.toDF("a", "b"), "a", "b",
+        maxDistinctPairs = 100).count())
+    assert(e.getMessage.contains("maxDistinctPairs"))
+  }
+
   test("fleissKappa: hand formula, perfect agreement, and panel validation") {
     // Fleiss 1971's worked structure: 3 items x 4 raters.
     val rows = Seq(

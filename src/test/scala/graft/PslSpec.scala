@@ -100,6 +100,45 @@ class PslSpec extends SparkSpec {
     assert(rows(5) == (("sch.uk", "school.sch.uk")))
   }
 
+  test("property: the column expression agrees with an independent " +
+      "plain-Scala PSL evaluator on 300 randomized hosts") {
+    import spark.implicits._
+    val rules = Psl.snapshot
+    def refPsl(host: String): String = {
+      val labels = host.split("\\.")
+      val n = labels.length
+      def suffix(k: Int) = labels.takeRight(k).mkString(".")
+      val excLen = rules.exc.toSeq.sortBy(-_._1).collectFirst {
+        case (k, set) if n >= k && set(suffix(k)) => k - 1
+      }
+      val psLen = excLen.getOrElse {
+        (rules.maxMatchLabels to 2 by -1).find { k =>
+          n >= k &&
+            (rules.exact.getOrElse(k, Set.empty).contains(suffix(k)) ||
+              rules.wildBase.getOrElse(k - 1, Set.empty)
+                .contains(suffix(k - 1)))
+        }.getOrElse(1)
+      }
+      if (n <= psLen) host else labels.takeRight(psLen + 1).mkString(".")
+    }
+    val rng = new scala.util.Random(7)
+    val tails = Seq("com", "co.uk", "kyoto.jp", "kobe.jp", "city.kobe.jp",
+      "sch.uk", "school.sch.uk", "k12.ca.us", "ca.us", "ck", "www.ck",
+      "org", "foo", "gov.pl", "x.gov.pl", "jp", "uk")
+    val hosts = (0 until 300).map { _ =>
+      val depth = rng.nextInt(3)
+      val pre = (0 until depth).map(_ => s"l${rng.nextInt(5)}").mkString(".")
+      val t = tails(rng.nextInt(tails.size))
+      if (pre.isEmpty) t else s"$pre.$t"
+    }.distinct
+    val got = hosts.toDF("h")
+      .select(col("h"), CorpusPrep.registrableDomain(col("h")).as("d"))
+      .as[(String, String)].collect().toMap
+    hosts.foreach { h =>
+      assert(got(h) == refPsl(h), s"$h: expr=${got(h)} ref=${refPsl(h)}")
+    }
+  }
+
   test("duckDbRegistrableSql embeds the same rule families it was " +
       "generated from") {
     val sql = Psl.duckDbRegistrableSql("host")
