@@ -3901,6 +3901,26 @@ object Queries {
         .orderBy(col("anchor_id"), col("score").desc, col("neg_id"))
     }),
 
+    "embed_hard_negatives_ivf" -> ((s, dir) => {
+      // The over-fetch ANN route for hard negatives: top-40 by cosine
+      // through the IVF index at nProbe = nCells (exhaustive probes →
+      // full-corpus candidate set → the two-stage truncation is
+      // deterministic and SQL-replayable; the self-hit crowds one
+      // fetched slot and the label filter removes it), then
+      // label-filter, then top-3. Pins the over-fetch SEMANTICS the
+      // approximate tiers inherit.
+      val e = read(s, dir, "embeddings")
+        .withColumnRenamed("embedding", graft.operators.EmbedOps.vecCol("emb"))
+        .withColumn("label", col("vec_id") % 3)
+      val (indexed, model) = graft.embed.IvfIndex.build(e, "emb", nCells = 8)
+      graft.operators.EmbedOps.hardNegativesIvf(
+          e.filter(col("vec_id") < 20), indexed, model, "emb", "vec_id",
+          "label", k = 3, nFetch = 40, nProbe = 8)
+        .select(col("anchor_id"), col("neg_id"), col("neg_label"),
+          round(col("_score"), 3).as("score"))
+        .orderBy(col("anchor_id"), col("score").desc, col("neg_id"))
+    }),
+
     "url_dedup" -> ((s, dir) => {
       // URL canonicalization + dedup — the FIRST dedup key of a crawl
       // pipeline (before any content pass): raw URLs are synthesized
@@ -6849,6 +6869,27 @@ object Queries {
         |  CASE WHEN pct < 1.0 / 3 THEN 'head'
         |       WHEN pct < 2.0 / 3 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    // Two-stage truncation replayed: per-anchor top-40 by cosine over
+    // the FULL corpus (exhaustive probes; self-hit included), then the
+    // label filter, then top-3 — both stages tie-broken on the id.
+    "embed_hard_negatives_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding, vec_id % 3 AS label FROM embeddings),
+        |st1 AS (
+        |  SELECT a.vec_id AS anchor_id, a.label AS al, b.vec_id AS neg_id,
+        |    b.label AS neg_label,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) AS s
+        |  FROM (SELECT * FROM e WHERE vec_id < 20) a CROSS JOIN e b
+        |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 40)
+        |SELECT anchor_id, neg_id, neg_label, round(s, 3) AS score
+        |FROM st1 WHERE neg_label <> al
+        |QUALIFY row_number() OVER (PARTITION BY anchor_id
+        |  ORDER BY s DESC, neg_id) <= 3
+        |ORDER BY anchor_id, s DESC, neg_id""".stripMargin,
 
     // Same label synthesis, label-mismatch filter BEFORE the per-anchor
     // top-3, same unrounded-score ordering with neg_id tie-break.

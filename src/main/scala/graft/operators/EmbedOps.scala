@@ -278,6 +278,45 @@ object EmbedOps {
         col(scoreCol))
   }
 
+  /** [[hardNegatives]] at corpus scale through a built IVF index: fetch
+    * the top-`nFetch` neighbors per anchor (cell-probed, `nProbe` of the
+    * index's cells), THEN label-filter, then keep the best `k` — the
+    * standard over-fetch pattern (fetching exactly k and filtering would
+    * under-deliver whenever same-label neighbors crowd the top).
+    * Approximate on two axes, both caller-visible: IVF probe recall
+    * (nProbe < nCells can miss cells) and over-fetch truncation (an
+    * anchor whose top-nFetch is same-label-saturated yields < k
+    * negatives — raise nFetch). With nProbe = nCells the candidate set
+    * is the full corpus and the two-stage truncation is deterministic
+    * and engine-replayable (the gate's configuration). Ties break on
+    * the index id at both stages.
+    */
+  def hardNegativesIvf(anchors: DataFrame, indexed: DataFrame,
+      model: graft.embed.IvfIndex.IvfModel, on: String, idCol: String,
+      labelCol: String, k: Int, nFetch: Int, nProbe: Int,
+      scoreCol: String = "_score"): DataFrame = {
+    require(k >= 1 && nFetch >= k,
+      s"hardNegativesIvf: need nFetch >= k >= 1, got k=$k nFetch=$nFetch")
+    val v = vecCol(on)
+    val q = semIndex(anchors, on)
+      .select(col(idCol).as("__q_id"), col(v).as("__q_vec"),
+        col(labelCol).as("__q_label"))
+    val fetched = graft.embed.IvfIndex.searchBatch(indexed, model, on,
+      q.select("__q_id", "__q_vec"), "__q_id", "__q_vec",
+      k = nFetch, nProbe = nProbe, scoreCol = scoreCol,
+      tieBreak = Seq(col(idCol)))
+    fetched
+      .join(broadcast(q.select(col("__q_id").as("__q_id2"),
+        col("__q_label"))), col("__q_id") === col("__q_id2"))
+      .filter(col(labelCol) =!= col("__q_label"))
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy(col("__q_id"))
+          .orderBy(col(scoreCol).desc, col(idCol))))
+      .filter(col("__rnk") <= k)
+      .select(col("__q_id").as("anchor_id"), col(idCol).as("neg_id"),
+        col(labelCol).as("neg_label"), col(scoreCol))
+  }
+
   private def uuidCol(): String = "__simjoin_lid"
 
   /** Vector dimension of an attached index column, read from the data (one

@@ -508,6 +508,34 @@ class EmbedSpec extends SparkSpec {
     assert(all == Set(3L, 4L, 5L))
   }
 
+  test("hardNegativesIvf: exhaustive probes + ample over-fetch equals the " +
+      "exact tier; a starved nFetch under-delivers and a raised one " +
+      "recovers — the documented truncation semantics") {
+    import org.apache.spark.sql.functions._
+    val v = graft.operators.EmbedOps.vecCol("emb")
+    val rng = new scala.util.Random(11)
+    val rows = (0L until 120L).map { i =>
+      (i, (i % 3).toInt, Seq.fill(8)(rng.nextFloat() - 0.5f))
+    }
+    val df = rows.toDF("id", "label", v)
+    val (indexed, model) = graft.embed.IvfIndex.build(df, "emb", nCells = 4)
+    val anchors = df.filter(col("id") < 5)
+    def run(nFetch: Int) = graft.operators.EmbedOps.hardNegativesIvf(
+        anchors, indexed, model, "emb", "id", "label",
+        k = 4, nFetch = nFetch, nProbe = 4)
+      .select("anchor_id", "neg_id").as[(Long, Long)].collect().toSet
+    val exact = graft.operators.EmbedOps.hardNegatives(
+        anchors, df, "emb", "id", "label", k = 4)
+      .select("anchor_id", "neg_id").as[(Long, Long)].collect().toSet
+    // ample over-fetch at exhaustive probes == the exact tier
+    assert(run(nFetch = 120) == exact)
+    // nFetch = k cannot absorb same-label crowding: some anchor
+    // under-delivers (labels are 1/3 of a random corpus — the top-4
+    // fetched almost surely contain a same-label hit or self)
+    assert(run(nFetch = 4).size < exact.size,
+      "starved over-fetch should under-deliver on this corpus")
+  }
+
   test("packSignBits/hammingBits match the unpacked sign model across " +
       "dims incl. non-multiples of 64") {
     import org.apache.spark.sql.functions._
