@@ -1335,11 +1335,7 @@ object Queries {
       // banded DP. The oracle brute-forces the identical pair set in
       // DuckDB with its native levenshtein.
       val d = read(s, dir, "documents").filter(col("doc_id") < 60)
-      val words = split(trim(col("text")), "\\s+")
-      val phrases = d.select(explode(when(size(words) <= 3,
-          array(concat_ws(" ", words)))
-        .otherwise(transform(sequence(lit(1), size(words) - 2),
-          i => concat_ws(" ", slice(words, i, lit(3)))))).as("p"))
+      val phrases = d.select(explode(Dedup.shingles(col("text"), 3)).as("p"))
         .distinct()
       FuzzyJoin.editDistanceSelfJoin(
           phrases.withColumn("id", col("p")), "id", "p", maxDist = 2,

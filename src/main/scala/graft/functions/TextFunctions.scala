@@ -172,12 +172,34 @@ object TextFunctions {
       .otherwise(lit(1.0) - size(array_distinct(words)).cast("double") / size(words))
   }
 
+  /** Sliding n-grams of an array column, joined by `sep` — via
+    * `arrays_zip` of n shifted slices, whose CHILDREN evaluate once per
+    * row. The naive form (`transform(sequence(...), i => slice(arr, i,
+    * n))`) re-evaluates `arr`'s whole expression tree PER ELEMENT —
+    * Catalyst does not hoist loop-invariant subtrees out of
+    * higher-order-function lambdas, so an inline `split(text)` there
+    * turns every O(len) gram pass O(len²) (the scoreLangNB
+    * double-evaluation hazard's higher-order sibling; measured 2.6 s →
+    * sub-second on ngram_novelty). Returns max(len − n + 1, 0) grams.
+    */
+  def slidingGrams(arr: Column, n: Int, sep: String = " "): Column = {
+    require(n >= 1, s"slidingGrams: n $n must be >= 1")
+    if (n == 1) arr
+    else {
+      val shifted = (0 until n).map(j =>
+        slice(arr, lit(j + 1), greatest(size(arr) - j, lit(0))))
+      val z = slice(arrays_zip(shifted: _*), lit(1),
+        greatest(size(arr) - (n - 1), lit(0)))
+      transform(z, s =>
+        concat_ws(sep, (0 until n).map(j => s.getField(j.toString)): _*))
+    }
+  }
+
   /** Sliding word n-grams as an array column (n ≥ 1; empty below n words). */
   def wordNgrams(c: Column, n: Int): Column = {
     val words = wordsOf(c)
     when(size(words) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+      .otherwise(slidingGrams(words, n))
   }
 
   /** Fraction of n-gram slots taken by the single most frequent n-gram
@@ -354,8 +376,7 @@ object TextFunctions {
   def winnowFingerprint(c: Column, window: Int = 8): Column = {
     val words = split(lower(trim(c)), "\\s+")
     val grams = when(size(words) <= window, array(concat_ws(" ", words)))
-      .otherwise(transform(sequence(lit(0), size(words) - window),
-        i => concat_ws(" ", slice(words, i + 1, lit(window)))))
+      .otherwise(slidingGrams(words, window))
     array_min(transform(grams, g => xxhash64(g)))
   }
 }

@@ -18,13 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of a text column, as array<string>. */
+  /** Word n-gram shingles of a text column, as array<string>. Built on
+    * [[graft.functions.TextFunctions.slidingGrams]] — the zip-of-shifts
+    * form whose children evaluate once per row (the naive per-index
+    * slice lambda re-split the text PER GRAM, O(words²)).
+    */
   def shingles(c: Column, n: Int = 3): Column = {
     val words = split(trim(c), "\\s+")
     when(size(words) <= n, array(concat_ws(" ", words)))
-      .otherwise(transform(
-        sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+      .otherwise(graft.functions.TextFunctions.slidingGrams(words, n))
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
@@ -1182,11 +1184,23 @@ object Dedup {
   def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
     require(k >= 1, s"winnowFingerprints: k $k must be >= 1")
     require(w >= 1, s"winnowFingerprints: w $w must be >= 1")
-    val hashes = transform(shingles(text, k), g => md5(g))
+    winnowFromHashes(transform(shingles(text, k), g => md5(g)), w)
+  }
+
+  /** The window-minima stage of [[winnowFingerprints]] over an ALREADY
+    * MATERIALIZED hash array column. Callers on the hot path must bind
+    * the hash array in its own projection first ([[winnowPairs]] does):
+    * an inline hash expression sits INSIDE the per-window lambda, and
+    * Catalyst does not hoist loop-invariant subtrees out of
+    * higher-order-function bodies — every window would recompute every
+    * gram's md5, turning the O(words·w) algorithm O(words²) (measured
+    * ~6× on the gate corpus; the scoreLangNB double-evaluation hazard's
+    * higher-order sibling).
+    */
+  def winnowFromHashes(hashes: Column, w: Int): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
       i => array_min(slice(hashes, i, lit(w)))))
-  }
 
   /** Pairs of documents sharing at least `minShared` winnowing
     * fingerprints — local-similarity detection (quotes, plagiarized
@@ -1203,10 +1217,16 @@ object Dedup {
       k: Int = 5, w: Int = 4, minShared: Int = 2,
       maxCandidatePairs: Long = 2_000_000_000L): DataFrame = {
     require(minShared >= 1, s"winnowPairs: minShared $minShared must be >= 1")
+    // Hash array bound in its OWN projection: referenced non-cheaply
+    // more than once downstream, so CollapseProject's cost check keeps
+    // it materialized and each gram's md5 computes exactly once (see
+    // [[winnowFromHashes]] — inlined, every window re-hashed every gram).
     val fps = graft.core.Persist.stage(df
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
-        explode(winnowFingerprints(col(textCol), k, w)).as("__fp")))
+        transform(shingles(col(textCol), k), g => md5(g)).as("__hs"))
+      .select(col("__id"),
+        explode(winnowFromHashes(col("__hs"), w)).as("__fp")))
     val budget = fps.groupBy("__fp").agg(count(lit(1)).as("__df"))
       .agg(coalesce(sum(col("__df") * (col("__df") - 1)), lit(0L)))
       .head().getLong(0) / 2 // df·(df−1) is even; long math stays exact

@@ -36,11 +36,8 @@ object FuzzyScaleBench {
     }
     // ED-Join: the corpus's distinct 3-word phrases within levenshtein 2
     // (the edit_distance_join gate's workload, unsliced).
-    val words = split(trim(col("text")), "\\s+")
-    val phrases = d.select(explode(when(size(words) <= 3,
-        array(concat_ws(" ", words)))
-      .otherwise(transform(sequence(lit(1), size(words) - 2),
-        i => concat_ws(" ", slice(words, i, lit(3)))))).as("p"))
+    val phrases = d.select(
+        explode(graft.operators.Dedup.shingles(col("text"), 3)).as("p"))
       .distinct()
     // SPARK_GRAFT_FUZZY_ED=0 skips the ED leg: the perturbed ×100 corpus
     // makes the phrase multiset quasi-unique (tens of millions of
