@@ -23,7 +23,10 @@ import org.apache.spark.sql.types.IntegerType
   * `shingle_hashes(words, n)`, `simhash64(words)`,
   * `ngram_repetition(words, n)`, `deflate_ratio(text[, level])`,
   * `array_dot(a, b)`, `long_set_jaccard(a, b)`,
-  * `subword_tokenize(words, vocab[, unk])`, `url_normalize(url)`.
+  * `subword_tokenize(words, vocab[, unk])`, `url_normalize(url)`,
+  * `registrable_domain(url)`, `markdown_strip(text)`,
+  * `latex_strip(text)`, `winnow_fingerprints(text, k, w)`,
+  * unicode normalizers, `blocklist_matches`, `vector_avg`.
   * Shape parameters must be
   * literals — they size
   * per-row loops at plan time, exactly like the DataFrame wrappers.
@@ -161,6 +164,43 @@ object GraftExtensions {
         "param strip, scheme+authority lowercase, sorted query") { args =>
       require(args.length == 1, "url_normalize(url)")
       functions.UrlExpr.UrlNormalize(args.head)
+    },
+    // Column COMPOSITIONS register the same way — the builder returns the
+    // composed expression tree (Column#expr); no UDF, plans inline it.
+    fn("registrable_domain",
+      "_FUNC_(url) - Public-Suffix-List registrable domain (pinned " +
+        "ICANN snapshot; exact/wildcard/exception rules, longest match)") {
+      args =>
+        require(args.length == 1, "registrable_domain(url)")
+        org.apache.spark.sql.graft.ColumnBridge.resolvableExpression(
+          operators.CorpusPrep.registrableDomain(
+            org.apache.spark.sql.graft.ColumnBridge.column(args.head)))
+    },
+    fn("markdown_strip",
+      "_FUNC_(text) - strip Markdown syntax to prose (fences, links, " +
+        "images, headings, emphasis, quotes, rules)") { args =>
+      require(args.length == 1, "markdown_strip(text)")
+      org.apache.spark.sql.graft.ColumnBridge.resolvableExpression(
+        functions.TextFunctions.markdownStrip(
+          org.apache.spark.sql.graft.ColumnBridge.column(args.head)))
+    },
+    fn("latex_strip",
+      "_FUNC_(text) - strip LaTeX markup to prose (comments, math, " +
+        "commands with brace args kept)") { args =>
+      require(args.length == 1, "latex_strip(text)")
+      org.apache.spark.sql.graft.ColumnBridge.resolvableExpression(
+        functions.TextFunctions.latexStrip(
+          org.apache.spark.sql.graft.ColumnBridge.column(args.head)))
+    },
+    fn("winnow_fingerprints",
+      "_FUNC_(text, k, w) - winnowing fingerprint set (MOSS): md5 window " +
+        "minima over k-word grams, window w") { args =>
+      require(args.length == 3, "winnow_fingerprints(text, k, w)")
+      org.apache.spark.sql.graft.ColumnBridge.resolvableExpression(
+        operators.Dedup.winnowFingerprints(
+          org.apache.spark.sql.graft.ColumnBridge.column(args.head),
+          intLit(args(1), "winnow_fingerprints", "k"),
+          intLit(args(2), "winnow_fingerprints", "w")))
     },
     // An AGGREGATE registers through the same builder: the analyzer wraps a
     // bare AggregateFunction in AggregateExpression during resolution, so

@@ -115,6 +115,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaDf == viaSql)
   }
 
+  test("registrable_domain / markdown_strip / latex_strip / " +
+      "winnow_fingerprints match their DataFrame forms through SQL") {
+    assert(spark.sql(
+      "SELECT registrable_domain('https://shop.site.co.uk/p') AS d")
+      .head().getString(0) == "site.co.uk")
+    assert(spark.sql(
+      "SELECT registrable_domain('http://www.city.kobe.jp/w') AS d")
+      .head().getString(0) == "city.kobe.jp")
+    assert(spark.sql(
+      "SELECT markdown_strip('# T\n**b** [x](http://u)') AS t")
+      .head().getString(0) == "T\nb x")
+    assert(spark.sql(
+      "SELECT latex_strip('\\\\textbf{kept} % c') AS t")
+      .head().getString(0) == "kept")
+    val viaSql = spark.sql(
+      "SELECT winnow_fingerprints('a b c d e f g h i j', 3, 2) AS f")
+      .head().getSeq[String](0)
+    val viaDf = Seq(Tuple1("a b c d e f g h i j")).toDF("t")
+      .select(graft.operators.Dedup.winnowFingerprints($"t", 3, 2))
+      .head().getSeq[String](0)
+    assert(viaSql == viaDf && viaSql.nonEmpty)
+  }
+
   test("shape parameters must be literals; arity is checked") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_signature(array('a'), 1 + 2, 8)").collect()
