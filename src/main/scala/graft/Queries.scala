@@ -3401,6 +3401,22 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "quality_threshold_cut" -> ((s, dir) => {
+      // Precision-targeted threshold calibration (the FineWeb-Edu step
+      // between training a quality classifier and curating 100 TB with
+      // it): labels are a deterministically NOISY version of "high
+      // quality" ((q >= 0.5) xor doc_id%7==0 — top prefixes run ~6/7
+      // precise), and the loosest score cut holding precision >= 0.8 is
+      // picked over the bounded score histogram — exact long counts,
+      // two closing divisions.
+      val d = read(s, dir, "documents")
+      val labeled = d.select(col("doc_id"),
+          round(TF.qualityScore(col("text")), 2).as("q"))
+        .withColumn("label", (col("q") >= 0.5) =!= (col("doc_id") % 7 === 0))
+      graft.operators.QualityClassifier.thresholdForPrecision(
+        labeled, "q", "label", targetPrecision = 0.8)
+    }),
+
     "quality_nb_score" -> ((s, dir) => {
       // Model-based quality filtering (the CCNet/GPT-3 classifier stage,
       // fastText-style): a multinomial Naive Bayes is TRAINED on this
@@ -6267,6 +6283,42 @@ object Queries {
     // is provably equivalent to: keep while the PRIOR cumulative token sum
     // is under budget (crossing doc kept). Quality formula mirrors
     // corpus_clean_pipeline's, re-rounded to 2 decimals.
+    // Same rounded quality score and noisy label, same score-desc
+    // cumulative counts over the histogram, same loosest-cut pick.
+    "quality_threshold_cut" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / len(text) AS praw,
+        |    len(list_filter(string_split(lower(trim(text)), ' '),
+        |      w -> w IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as')))
+        |      * 1.0 / len(string_split(lower(trim(text)), ' ')) AS sraw
+        |  FROM documents),
+        |ql AS (
+        |  SELECT doc_id,
+        |    round(round((least(len(text)*1.0/500, 1.0) + least(sraw*5, 1.0)
+        |      + greatest(0.0, 1.0 - praw*10)) / 3.0, 4), 2) AS q
+        |  FROM base),
+        |lab AS (
+        |  SELECT q, ((q >= 0.5) <> (doc_id % 7 = 0)) AS label FROM ql),
+        |h AS (
+        |  SELECT q AS s,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n
+        |  FROM lab GROUP BY 1),
+        |c AS (
+        |  SELECT s,
+        |    CAST(sum(p) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+        |    CAST(sum(n) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn
+        |  FROM h),
+        |tot AS (SELECT CAST(sum(p) AS BIGINT) AS tp FROM h),
+        |ok AS (SELECT * FROM c WHERE cp * 1.0 / (cp + cn) >= 0.8
+        |       ORDER BY s ASC LIMIT 1)
+        |SELECT s AS threshold,
+        |  round(cp * 1.0 / (cp + cn), 6) AS precision,
+        |  round(cp * 1.0 / tp, 6) AS recall,
+        |  cp + cn AS n_kept, tp AS n_pos_total
+        |FROM ok, tot""".stripMargin,
+
     "corpus_budget_select" ->
       """WITH base AS (
         |  SELECT doc_id, text,

@@ -413,4 +413,61 @@ object QualityClassifier {
     // one definition, so the byte recipe oracles replay cannot drift.
     df.filter(CorpusPrep.hashPrefix(col(idCol), salt) < CorpusPrep.cutHexCol(p))
   }
+
+  /** Precision-targeted threshold calibration — "keep everything the
+    * classifier scores ≥ τ, with τ the LOOSEST cut whose kept set still
+    * hits `targetPrecision` on a labeled calibration frame" (the
+    * FineWeb-Edu-style step between training a quality classifier and
+    * running it over 100 TB: the τ you ship IS the curation decision).
+    * Max-recall subject to the precision floor: among all observed
+    * score cuts, the smallest score whose keep-set precision ≥ target.
+    *
+    * Scale shape = the rocAuc histogram discipline: one groupBy
+    * collapses the frame to distinct scores (loud cap — calibrate on
+    * ROUNDED scores), cumulative pos/neg run over the bounded histogram
+    * only (window ordered score-desc), the precision test compares
+    * exact long counts against the target, and the single closing
+    * divisions are the whole float surface. Fails LOUDLY when no cut
+    * meets the target (shipping an unreachable precision floor
+    * silently would curate garbage). Returns one row
+    * (threshold, precision, recall, n_kept, n_pos_total).
+    */
+  def thresholdForPrecision(df: DataFrame, scoreCol: String,
+      labelCol: String, targetPrecision: Double,
+      maxDistinctScores: Int = 1 << 20): DataFrame = {
+    require(targetPrecision > 0.0 && targetPrecision <= 1.0,
+      s"thresholdForPrecision: targetPrecision $targetPrecision must be " +
+        "in (0, 1]")
+    val h = df.groupBy(col(scoreCol).as("__s")).agg(
+      sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("__p"),
+      sum(when(col(labelCol).cast("boolean"), 0L).otherwise(1L)).as("__n"))
+    val staged = graft.core.Persist.stage(h)
+    val nScores = staged.limit(maxDistinctScores + 1).count()
+    require(nScores <= maxDistinctScores,
+      s"thresholdForPrecision: more than $maxDistinctScores distinct " +
+        s"scores — round '$scoreCol' first (the cumulative window runs " +
+        "over the histogram)")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = staged
+      .withColumn("__cp", sum(col("__p")).over(w))
+      .withColumn("__cn", sum(col("__n")).over(w))
+    val ok = cum.filter(
+      col("__cp").cast("double") / (col("__cp") + col("__cn"))
+        >= targetPrecision)
+    require(!ok.isEmpty,
+      s"thresholdForPrecision: NO score cut reaches precision " +
+        s"$targetPrecision on this calibration frame (best prefix misses " +
+        "it) — lower the target or improve the classifier")
+    val totals = staged.agg(coalesce(sum(col("__p")), lit(0L)).as("__tp"))
+    ok.orderBy(col("__s").asc).limit(1)
+      .crossJoin(broadcast(totals))
+      .select(col("__s").as("threshold"),
+        round(col("__cp").cast("double") / (col("__cp") + col("__cn")), 6)
+          .as("precision"),
+        round(col("__cp").cast("double") / col("__tp"), 6).as("recall"),
+        (col("__cp") + col("__cn")).as("n_kept"),
+        col("__tp").as("n_pos_total"))
+  }
 }

@@ -269,4 +269,40 @@ class QualityClassifierSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("label"), e3.getMessage)
   }
+  test("thresholdForPrecision: loosest cut holding the floor, exact counts, " +
+      "loud when unreachable, loud on unbounded scores") {
+    // hand histogram: score 3 -> 4 pos / 0 neg; 2 -> 2 pos / 2 neg;
+    // 1 -> 0 pos / 4 neg. Prefix precisions: 1.0 (>=3), 0.75 (>=2), 0.5.
+    val rows =
+      Seq.fill(4)((3, true)) ++
+      (Seq.fill(2)((2, true)) ++ Seq.fill(2)((2, false))) ++
+      Seq.fill(4)((1, false))
+    val df = rows.toDF("score", "label")
+    def cut(t: Double) = QualityClassifier.thresholdForPrecision(
+        df, "score", "label", t)
+      .select("threshold", "precision", "recall", "n_kept", "n_pos_total")
+      .as[(Int, Double, Double, Long, Long)].head()
+    // target 0.7: the loosest qualifying cut is >=2 (precision 0.75,
+    // recall 1.0) even though >=3 also qualifies — max recall wins
+    assert(cut(0.7) == ((2, 0.75, 1.0, 8L, 6L)))
+    // target 0.9: only the >=3 prefix qualifies
+    val c9 = cut(0.9)
+    assert(c9._1 == 3 && c9._2 == 1.0 && c9._4 == 4L && c9._5 == 6L)
+    assert(math.abs(c9._3 - 0.666667) < 1e-6)
+    // unreachable target fails loudly (no pure prefix exists here:
+    // every cut keeps equal pos/neg)
+    val impure = Seq((3, true), (3, false), (1, true), (1, false))
+      .toDF("score", "label")
+    val e = intercept[IllegalArgumentException](
+      QualityClassifier.thresholdForPrecision(
+        impure, "score", "label", 0.9).count())
+    assert(e.getMessage.contains("NO score cut"), e.getMessage)
+    // unbounded score cardinality refused before the window
+    val wide = (0 until 500).map(i => (i.toDouble, i % 2 == 0)).toDF("score", "label")
+    val e2 = intercept[IllegalArgumentException](
+      QualityClassifier.thresholdForPrecision(wide, "score", "label", 0.5,
+        maxDistinctScores = 100).count())
+    assert(e2.getMessage.contains("maxDistinctScores") ||
+      e2.getMessage.contains("distinct"), e2.getMessage)
+  }
 }
