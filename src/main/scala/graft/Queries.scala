@@ -2787,6 +2787,20 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "corpus_quantiles_group" -> ((s, dir) => {
+      // Per-language length quantiles from the deterministic per-key
+      // reservoir (64 smallest md5(salt|id) per lang — the
+      // sample_reservoir_key convention), nearest-rank picks over the
+      // bounded per-group samples. The per-slice corpus-monitoring read.
+      val d = read(s, dir, "documents")
+      CorpusPrep.sampleQuantilesByGroup(d, "lang", "n_chars", "doc_id",
+          probs = Seq(0.5, 0.9), kPerGroup = 64, salt = "qg12")
+        .select(col("lang"), col("prob"),
+          col("value").cast("long").as("value"),
+          col("sample_rank"), col("sample_n"))
+        .orderBy("lang", "prob")
+    }),
+
     "corpus_quantiles_sample" -> ((s, dir) => {
       // Deterministic-sample quantiles — the one-pass p50/p90/p99 for
       // high-cardinality columns where the exact histogram route
@@ -6197,6 +6211,25 @@ object Queries {
         |  CAST((sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         |    - n_tok) // 5000 AS BIGINT) AS shard
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Same per-key md5 reservoir, same (value, id) in-group ranking,
+    // same nearest-rank pick per (lang, prob).
+    "corpus_quantiles_group" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars AS v, doc_id FROM documents
+        |  QUALIFY row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('qg12|' || CAST(doc_id AS VARCHAR)), doc_id) <= 64),
+        |s AS (
+        |  SELECT lang, v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS k
+        |  FROM r),
+        |p AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS prob)
+        |SELECT s.lang, p.prob, CAST(s.v AS BIGINT) AS value,
+        |  rn AS sample_rank, k AS sample_n
+        |FROM p, s
+        |WHERE s.rn = GREATEST(1, CAST(ceil(p.prob * s.k) AS BIGINT))
+        |ORDER BY lang, prob""".stripMargin,
 
     // Same deterministic draw (256 smallest md5(salt|id)), same
     // (value, id) sample ordering, same nearest-rank ⌈p·k⌉ pick.

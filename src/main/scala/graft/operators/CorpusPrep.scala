@@ -1123,6 +1123,41 @@ object CorpusPrep {
       .orderBy("prob")
   }
 
+  /** [[sampleQuantiles]] per GROUP — "p50/p90 doc length per language /
+    * per source", the per-slice corpus-monitoring read. The per-group
+    * sample is [[reservoirByKey]]'s k smallest md5(salt|id) rows (same
+    * membership convention — WindowGroupLimit, a hot group costs k rows
+    * per map task, never its volume); ranking and the nearest-rank pick
+    * run over the ≤k-row groups only. Output: one row per (group, prob)
+    * — (groupCol, prob, value, sample_rank, sample_n).
+    */
+  def sampleQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, idCol: String, probs: Seq[Double],
+      kPerGroup: Int = 1024, salt: String = ""): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"sampleQuantilesByGroup: probs must lie in (0, 1], got $probs")
+    require(kPerGroup >= 1 && kPerGroup <= (1 << 20),
+      s"sampleQuantilesByGroup: kPerGroup $kPerGroup out of [1, 2^20]")
+    val spark = df.sparkSession
+    val samp = graft.core.Persist.stage(reservoirByKey(
+      df.filter(col(valueCol).isNotNull)
+        .select(col(groupCol), col(valueCol).as("__v"), col(idCol).as("__id")),
+      groupCol, "__id", kPerGroup, salt))
+    val ranked = samp
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__v"), col("__id"))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col(groupCol))))
+    import spark.implicits._
+    val pr = probs.toDF("prob")
+    ranked.join(broadcast(pr),
+        greatest(lit(1L), ceil(col("prob") * col("__n"))) === col("__rn"))
+      .select(col(groupCol), col("prob"), col("__v").as("value"),
+        col("__rn").cast("long").as("sample_rank"),
+        col("__n").cast("long").as("sample_n"))
+      .orderBy(col(groupCol), col("prob"))
+  }
+
   /** Leakage-safe split assignment from a SHARED duplicate-pair graph:
     * connected components over `pairs` pick a cluster representative
     * (Dedup.componentIds — star contraction at scale), every member

@@ -855,6 +855,32 @@ class CorpusPrepSpec extends SparkSpec {
         sampleK = 0))
   }
 
+  test("sampleQuantilesByGroup: per-group nearest-rank picks, exact when " +
+      "a group fits the reservoir, partitioning-independent") {
+    val rows = (0 until 600).map { i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b", ((i * 7919) % 600).toLong)
+    }
+    val df = rows.toDF("id", "g", "v")
+    val got = CorpusPrep.sampleQuantilesByGroup(df, "g", "v", "id",
+        probs = Seq(0.5, 1.0), kPerGroup = 4096, salt = "s")
+      .select("g", "prob", "value", "sample_n")
+      .as[(String, Double, Long, Long)].collect().toSet
+    // every group fits the reservoir: quantiles are exact nearest-rank
+    for (g <- Seq("a", "b")) {
+      val vs = rows.filter(_._2 == g).map(_._3).sorted
+      assert(got.contains((g, 0.5, vs((vs.length / 2.0).ceil.toInt - 1),
+        vs.length.toLong)))
+      assert(got.contains((g, 1.0, vs.last, vs.length.toLong)))
+    }
+    val again = CorpusPrep.sampleQuantilesByGroup(df.repartition(13), "g",
+        "v", "id", probs = Seq(0.5, 1.0), kPerGroup = 4096, salt = "s")
+      .select("g", "prob", "value", "sample_n")
+      .as[(String, Double, Long, Long)].collect().toSet
+    assert(again == got)
+    intercept[IllegalArgumentException](
+      CorpusPrep.sampleQuantilesByGroup(df, "g", "v", "id", Seq(0.0)))
+  }
+
   test("domainStats aggregates registrable domains with corpus share") {
     val df = Seq(
       "http://www.a.com/1", "http://blog.a.com/2", "https://a.com/3",
