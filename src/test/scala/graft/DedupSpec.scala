@@ -233,6 +233,36 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxCandidatePairs"))
   }
 
+  test("winnowing guarantee property: over randomized corpora, a planted " +
+      "shared run of >= w+k-1 words is ALWAYS caught and a run of < k " +
+      "words NEVER produces a shared gram") {
+    val rng = new scala.util.Random(71)
+    for (trial <- 0 until 6) {
+      val k = 2 + rng.nextInt(4) // 2..5
+      val w = 1 + rng.nextInt(4) // 1..4
+      val guarantee = w + k - 1
+      // disjoint per-doc vocab except the planted run
+      def body(tag: String, n: Int) =
+        (1 to n).map(i => s"$tag$i").mkString(" ")
+      val runLen =
+        if (trial % 2 == 0) guarantee + rng.nextInt(4) // must be caught
+        else k - 1 // cannot share a k-gram
+      val run = (1 to runLen).map(i => s"shared$i").mkString(" ")
+      val docs = Seq(
+        (1L, s"${body("a", 10 + rng.nextInt(20))} $run ${body("b", 10)}"),
+        (2L, s"${body("c", 10 + rng.nextInt(20))} $run ${body("d", 10)}"))
+      val pairs = Dedup.winnowPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k = k, w = w, minShared = 1)
+        .count()
+      if (trial % 2 == 0)
+        assert(pairs == 1L,
+          s"trial $trial k=$k w=$w run=$runLen: guarantee violated")
+      else
+        assert(pairs == 0L,
+          s"trial $trial k=$k w=$w run=$runLen: sub-k run shared a gram")
+    }
+  }
+
   test("simhash flags exact and near copies") {
     val pairs = Dedup.simhashPairs(corpus, "text", "doc_id", maxDist = 6)
       .select("id1", "id2").as[(Long, Long)].collect().toSet

@@ -25,6 +25,37 @@ class PslSpec extends SparkSpec {
     assert(rules.maxMatchLabels == 3)
   }
 
+  test("parser: a full upstream-shaped file drops in — license header, " +
+      "unicode rules, punycode, private section ignored") {
+    val rules = Psl.parse(
+      """// This Source Code Form is subject to the terms of the MPL 2.0.
+        |// ===BEGIN ICANN DOMAINS===
+        |
+        |// ac : https://example
+        |ac
+        |com.ac
+        |
+        |// unicode + punycode rules pass through verbatim
+        |xn--p1ai
+        |мон
+        |com.мон
+        |
+        |*.bd
+        |!www.bd
+        |
+        |// ===BEGIN PRIVATE DOMAINS===
+        |s3.amazonaws.example
+        |*.private.example
+        |!keep.private.example
+        |""".stripMargin.linesIterator)
+    assert(rules.exact(2) == Set("com.ac", "com.мон"))
+    assert(rules.wildBase(1) == Set("bd"))
+    assert(rules.exc(2) == Set("www.bd"))
+    // nothing from the private section, and 1-label rules drop
+    assert(!rules.exact.getOrElse(2, Set()).contains("private.example"))
+    assert(rules.maxMatchLabels == 2)
+  }
+
   test("snapshot resource loads and covers the documented families") {
     val s = Psl.snapshot
     assert(!s.isEmpty)
