@@ -4053,6 +4053,51 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "gopher_quality_filter" -> ((s, dir) => {
+      // Gopher's document-level quality rules (Rae et al., arXiv
+      // 2112.11446 Table A1) as ONE keep/drop composition over the
+      // line-reshaped corpus (the text_line_stats construction, so the
+      // line rules bite): word count in [50, 100000], mean word length
+      // in [3, 10], symbol-to-word ratio <= 0.1, >= 80% alphabetic
+      // words, <= 90% bulleted lines, <= 30% ellipsis lines, and >= 2
+      // distinct hits on Gopher's 8-word stopword set. The repetition
+      // block of Table A1 is individually gated in text_repetition —
+      // this pins the published composition plus every per-rule signal.
+      val t2 = concat(
+        regexp_replace(col("text"), "\\. ", ".\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("\n- bullet item\nsnipped tail...")).otherwise(lit("")))
+      val gopherStops = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with")
+      val d = read(s, dir, "documents")
+        .select(col("doc_id"), t2.as("t2"))
+      val sig = d.select(col("doc_id"),
+        TF.tokenCount(col("t2")).cast("long").as("n_words"),
+        TF.meanWordLen(col("t2")).as("mwl"),
+        TF.symbolWordRatio(col("t2")).as("sym"),
+        TF.alphaWordFraction(col("t2")).as("alpha"),
+        TF.bulletLineFraction(col("t2")).as("bullet"),
+        TF.ellipsisLineFraction(col("t2")).as("ellip"),
+        size(array_intersect(
+          array_distinct(split(lower(trim(col("t2"))), "\\s+")),
+          typedlit(gopherStops))).cast("long").as("n_stop_hits"))
+      sig.withColumn("kept",
+          col("n_words").between(50L, 100000L) &&
+            col("mwl").between(3.0, 10.0) && col("sym") <= 0.1 &&
+            col("alpha") >= 0.8 &&
+            coalesce(col("bullet") <= 0.9, lit(true)) &&
+            coalesce(col("ellip") <= 0.3, lit(true)) &&
+            col("n_stop_hits") >= 2L)
+        .select(col("doc_id"), col("n_words"),
+          round(col("mwl"), 4).as("mean_word_len"),
+          round(col("sym"), 4).as("symbol_ratio"),
+          round(col("alpha"), 4).as("alpha_frac"),
+          round(col("bullet"), 4).as("bullet_frac"),
+          round(col("ellip"), 4).as("ellipsis_frac"),
+          col("n_stop_hits"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
     "text_line_stats" -> ((s, dir) => {
       // Line-level Gopher/C4 rules (bulleted-line, ellipsis-line, and
       // short-line fractions). The gate corpus is single-line, so the
@@ -7831,6 +7876,53 @@ object Queries {
         |      '[{}]', '', 'g'),
         |      '[ \t]+', ' ', 'g'))) AS tex_md5
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // The same line construction, then every Table-A1 signal replayed
+    // with the shapes the per-signal gates already pin, and the same
+    // null-safe keep conjunction.
+    "gopher_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '\. ', '.' || chr(10), 'g')
+        |      || CASE WHEN doc_id % 3 = 0
+        |         THEN chr(10) || '- bullet item' || chr(10) || 'snipped tail...'
+        |         ELSE '' END AS t2
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, t2,
+        |    CAST(len(string_split_regex(trim(t2), '\s+')) AS BIGINT) AS n_words,
+        |    len(regexp_replace(t2, '\s+', '', 'g')) * 1.0
+        |      / len(string_split_regex(trim(t2), '\s+')) AS mwl,
+        |    len(regexp_extract_all(t2, '#|\.\.\.')) * 1.0
+        |      / len(string_split_regex(trim(t2), '\s+')) AS sym,
+        |    len(list_filter(string_split_regex(lower(trim(t2)), '\s+'),
+        |      w -> regexp_matches(w, '[a-z]'))) * 1.0
+        |      / len(string_split_regex(lower(trim(t2)), '\s+')) AS alpha,
+        |    len(list_filter(list_distinct(string_split_regex(lower(trim(t2)), '\s+')),
+        |      w -> w IN ('the','be','to','of','and','that','have','with')))
+        |      AS n_stop_hits,
+        |    list_filter(string_split(t2, chr(10)), x -> len(trim(x)) > 0) AS ls
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, n_words, mwl, sym, alpha,
+        |    CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+        |    CASE WHEN len(ls) = 0 THEN NULL ELSE
+        |      len(list_filter(ls, x -> substring(trim(x), 1, 1) IN ('-','*','•')))
+        |        * 1.0 / len(ls) END AS bullet,
+        |    CASE WHEN len(ls) = 0 THEN NULL ELSE
+        |      len(list_filter(ls, x -> right(trim(x), 3) = '...'
+        |        OR right(trim(x), 1) = '…')) * 1.0 / len(ls) END AS ellip
+        |  FROM s)
+        |SELECT doc_id, n_words, round(mwl, 4) AS mean_word_len,
+        |  round(sym, 4) AS symbol_ratio, round(alpha, 4) AS alpha_frac,
+        |  round(bullet, 4) AS bullet_frac, round(ellip, 4) AS ellipsis_frac,
+        |  n_stop_hits,
+        |  (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |   AND sym <= 0.1 AND alpha >= 0.8
+        |   AND coalesce(bullet <= 0.9, TRUE)
+        |   AND coalesce(ellip <= 0.3, TRUE)
+        |   AND n_stop_hits >= 2) AS kept
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // Identical line construction (sentence breaks → newlines + the
     // deterministic bullet/ellipsis tail on every third doc), then the
