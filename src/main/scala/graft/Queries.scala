@@ -7015,7 +7015,7 @@ object Queries {
         |FROM st1 WHERE neg_label <> al
         |QUALIFY row_number() OVER (PARTITION BY anchor_id
         |  ORDER BY s DESC, neg_id) <= 3
-        |ORDER BY anchor_id, s DESC, neg_id""".stripMargin,
+        |ORDER BY anchor_id, score DESC, neg_id""".stripMargin,
 
     // Same label synthesis, label-mismatch filter BEFORE the per-anchor
     // top-3, same unrounded-score ordering with neg_id tie-break.
@@ -7890,14 +7890,19 @@ object Queries {
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, t2,
-        |    CAST(len(string_split_regex(trim(t2), '\s+')) AS BIGINT) AS n_words,
-        |    len(regexp_replace(t2, '\s+', '', 'g')) * 1.0
-        |      / len(string_split_regex(trim(t2), '\s+')) AS mwl,
-        |    len(regexp_extract_all(t2, '#|\.\.\.')) * 1.0
-        |      / len(string_split_regex(trim(t2), '\s+')) AS sym,
-        |    len(list_filter(string_split_regex(lower(trim(t2)), '\s+'),
-        |      w -> regexp_matches(w, '[a-z]'))) * 1.0
-        |      / len(string_split_regex(lower(trim(t2)), '\s+')) AS alpha,
+        |    CAST(CASE WHEN len(trim(t2)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(t2), '\s+')) END AS BIGINT)
+        |      AS n_words,
+        |    CASE WHEN len(trim(t2)) = 0 THEN 0.0
+        |      ELSE len(regexp_replace(t2, '\s+', '', 'g')) * 1.0
+        |        / len(string_split_regex(trim(t2), '\s+')) END AS mwl,
+        |    CASE WHEN len(trim(t2)) = 0 THEN 0.0
+        |      ELSE len(regexp_extract_all(t2, '#|\.\.\.')) * 1.0
+        |        / len(string_split_regex(trim(t2), '\s+')) END AS sym,
+        |    CASE WHEN len(trim(t2)) = 0 THEN 0.0
+        |      ELSE len(list_filter(string_split_regex(lower(trim(t2)), '\s+'),
+        |        w -> regexp_matches(w, '[a-z]'))) * 1.0
+        |        / len(string_split_regex(lower(trim(t2)), '\s+')) END AS alpha,
         |    len(list_filter(list_distinct(string_split_regex(lower(trim(t2)), '\s+')),
         |      w -> w IN ('the','be','to','of','and','that','have','with')))
         |      AS n_stop_hits,

@@ -123,6 +123,10 @@ object TarShards {
           var prevKey: String = null
           rows.foreach { r =>
             val key = r.getString(0)
+            require(key != null,
+              "TarShards: null sample key — WebDataset member names are " +
+                "'<key>.<ext>'; a null key has no name (and would collide " +
+                "with every other null)")
             require(key != prevKey,
               s"TarShards: duplicate sample key '$key' — WebDataset keys " +
                 "must be unique (readShards would silently drop one)")

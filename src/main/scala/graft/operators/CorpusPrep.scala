@@ -1175,6 +1175,14 @@ object CorpusPrep {
   def leakageSafeSplits(df: DataFrame, idCol: String, pairs: DataFrame,
       splits: Seq[(String, Double)], salt: String = "",
       outCol: String = "split"): DataFrame = {
+    // componentIds needs long ids; the join below casts to long, and a
+    // non-ANSI cast turns a non-numeric string id into null — the row
+    // would silently vanish from the output. Fail loudly instead.
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"leakageSafeSplits: id column '$idCol' is $idType — componentIds " +
+        "keys on long ids, and casting a non-integral id can silently " +
+        "null (and drop) rows; map ids to longs upstream")
     val comp = graft.operators.Dedup.componentIds(
         df.select(col(idCol).cast("long").as("id")), pairs)
       .withColumnRenamed("id", "__ls_id")

@@ -502,6 +502,16 @@ object Evals {
       s"kendallTauB: more than $maxDistinctPairs distinct (a, b) value " +
         "pairs — the cell self-join is quadratic in the histogram; " +
         "quantize the scores or raise maxDistinctPairs deliberately")
+    // A constant column (or a 0/1-row frame) makes a denominator factor
+    // (n0 − n1) or (n0 − n2) zero and τ-b silently NaN — reject loudly,
+    // the same contract as rocAuc's both-classes-present check. The
+    // distinct counts read the bounded staged histogram, not the corpus.
+    val dc = staged.agg(countDistinct(col("__a")).as("da"),
+      countDistinct(col("__b")).as("db")).head()
+    require(dc.getLong(0) >= 2 && dc.getLong(1) >= 2,
+      s"kendallTauB: '$aCol' has ${dc.getLong(0)} and '$bCol' has " +
+        s"${dc.getLong(1)} distinct value(s) — τ-b is undefined (zero " +
+        "denominator) unless BOTH score columns take at least two values")
     val x = staged.select(col("__a").as("a1"), col("__b").as("b1"),
       col("__n").as("n1"))
     val y = staged.select(col("__a").as("a2"), col("__b").as("b2"),

@@ -180,6 +180,14 @@ class DedupSpec extends SparkSpec {
       Seq("train" -> 0.9, "holdout" -> 0.1), salt = "x")
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(again == m)
+    // A string id column is rejected loudly — the long cast would null
+    // non-numeric ids and silently DROP those rows from the output.
+    val e = intercept[IllegalArgumentException](
+      graft.operators.CorpusPrep.leakageSafeSplits(
+        corpus.select(col("doc_id").cast("string").as("doc_id")),
+        "doc_id", pairs, Seq("train" -> 1.0)))
+    assert(e.getMessage.contains("integral") ||
+      e.getMessage.contains("long ids"), e.getMessage)
   }
 
   test("dropDuplicatesByPairs keeps the min-id representative") {

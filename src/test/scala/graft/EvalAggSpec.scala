@@ -120,6 +120,15 @@ class EvalAggSpec extends SparkSpec {
       Evals.kendallTauB(wide.toDF("a", "b"), "a", "b",
         maxDistinctPairs = 100).count())
     assert(e.getMessage.contains("maxDistinctPairs"))
+    // a constant column (zero denominator factor) and a 1-row frame are
+    // rejected loudly instead of returning NaN — the rocAuc convention
+    val const = (0 until 20).map(i => (3, i))
+    val e2 = intercept[IllegalArgumentException](
+      Evals.kendallTauB(const.toDF("a", "b"), "a", "b").count())
+    assert(e2.getMessage.contains("distinct value"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Evals.kendallTauB(Seq((1, 2)).toDF("a", "b"), "a", "b").count())
+    assert(e3.getMessage.contains("distinct value"), e3.getMessage)
   }
 
   test("fleissKappa: hand formula, perfect agreement, and panel validation") {

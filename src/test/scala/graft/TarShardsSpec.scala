@@ -80,6 +80,17 @@ class TarShardsSpec extends SparkSpec {
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .mkString(" | ")
     assert(msgs.contains("duplicate member"), msgs)
+    // A null key is its own loud error (member names are '<key>.<ext>'),
+    // not a misleading "duplicate sample key 'null'" or a literal
+    // "null.txt" member.
+    val nk = Seq((null: String, "a"), ("k2", "b")).toDF("key", "txt")
+    val e3 = intercept[org.apache.spark.SparkException] {
+      TarShards.writeShards(nk, "key", Map("txt" -> col("txt")), tmp + "/nk", 1)
+    }
+    val msgs3 = Iterator.iterate[Throwable](e3)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs3.contains("null sample key"), msgs3)
   }
 
   test("null payload cells skip the entry instead of writing empty files") {
