@@ -3995,10 +3995,14 @@ object Queries {
         .when(v === 1, concat(lit("http://blog.site"), g, lit(".com/p"), p, lit("?x=1")))
         .when(v === 2, concat(lit("https://shop.site"), g, lit(".co.uk/p"), p))
         .otherwise(concat(lit("site"), g, lit(".com/p"), p))
-      val withDom = d.select(col("doc_id"),
-        CorpusPrep.registrableDomain(url).as("domain"))
-      val stats = CorpusPrep.domainStats(
-        d.select(col("doc_id"), url.as("url")), "url")
+      // Key once, stage, and feed BOTH the stats and the cap from the
+      // staged frame — the PSL chain (the expensive per-row kernel here)
+      // runs a single time over the corpus.
+      val withDom = graft.core.Persist.stage(
+        CorpusPrep.withRegistrableDomain(
+            d.select(col("doc_id"), url.as("__url")), "__url", "domain")
+          .select("doc_id", "domain"))
+      val stats = CorpusPrep.domainStatsFromDomains(withDom, "domain")
       CorpusPrep.quotaPerGroup(withDom, "domain", "doc_id", quota = 5)
         .join(broadcast(stats), "domain")
         .select("doc_id", "domain", "n_docs", "share").orderBy("doc_id")
@@ -4026,8 +4030,9 @@ object Queries {
         .when(v === 5, concat(lit("school"), g, lit(".sch.uk/home")))
         .when(v === 6, concat(lit("https://my.school"), g, lit(".k12.ca.us:8080/x")))
         .otherwise(concat(lit("http://deep.a.b.site"), g, lit(".com/x")))
-      d.select(col("doc_id"),
-          CorpusPrep.registrableDomain(url).as("domain"))
+      CorpusPrep.withRegistrableDomain(
+          d.select(col("doc_id"), url.as("__url")), "__url", "domain")
+        .select("doc_id", "domain")
         .orderBy("doc_id")
     }),
 

@@ -91,19 +91,39 @@ object Psl {
     lower(regexp_extract(afterScheme, "^([^/?:]*)", 1))
   }
 
-  /** Public-suffix length (in labels) of a host under `rules` — the PSL
-    * algorithm as one when-chain: exceptions first (longest first), then
-    * exact/wildcard matches longest-first, default 1.
+  /** The PSL algorithm as ONE when-chain that yields the registrable
+    * domain directly: exceptions first (longest first), then
+    * exact/wildcard matches longest-first, implicit `*` default. Each
+    * arm's matched rule length is a compile-time literal, so every slice
+    * length is constant and the chain is evaluated EXACTLY ONCE per row
+    * — the previous two-step form (a psLen chain referenced by the
+    * closing `when` AND twice inside its `slice`) inlined the whole
+    * InSet chain three times per row (the Catalyst re-evaluation hazard
+    * documented on scoreLangNB; measured as domain_cap's r12 1.7×
+    * regression).
     */
-  private def publicSuffixLen(labels: Column, n: Column, rules: Rules): Column = {
+  private def domainChain(host: Column, labels: Column, n: Column,
+      rules: Rules): Column = {
     def suffix(k: Int): Column = array_join(slice(labels, -k, k), ".")
+    // Build the hashed InSet node DIRECTLY rather than via `isin`: the
+    // full ICANN section is ~5.9k rules, and an `In` with 5.9k literal
+    // children is a 5.9k-node tree that the analyzer type-coerces and
+    // every optimizer rule re-walks (per chain instance) before the
+    // InSet conversion finally collapses it. One InSet node carrying the
+    // set skips all of that; execution (hash probe, codegen) is what the
+    // converted form produced anyway.
     def inSet(c: Column, s: Set[String]): Column =
-      c.isin(s.toSeq.sorted: _*)
-    val excConds = rules.exc.toSeq.sortBy(-_._1).map { case (k, set) =>
-      ((n >= k) && inSet(suffix(k), set), lit(k - 1))
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.InSet(
+          org.apache.spark.sql.graft.ColumnBridge.expression(c),
+          s.map(org.apache.spark.unsafe.types.UTF8String.fromString(_): Any)))
+    val excArms = rules.exc.toSeq.sortBy(-_._1).map { case (k, set) =>
+      // Exception rule: public-suffix length k−1. Matched ⇒ n ≥ k >
+      // psLen, so the registrable domain is the matched suffix itself.
+      ((n >= k) && inSet(suffix(k), set), suffix(k))
     }
     val maxK = rules.maxMatchLabels
-    val ruleConds = (maxK to 2 by -1).flatMap { k =>
+    val ruleArms = (maxK to 2 by -1).flatMap { k =>
       val ex = rules.exact.getOrElse(k, Set.empty)
       val wb = rules.wildBase.getOrElse(k - 1, Set.empty)
       val hit: Option[Column] =
@@ -112,15 +132,25 @@ object Psl {
         else if (ex.nonEmpty) Some(inSet(suffix(k), ex))
         else if (wb.nonEmpty) Some(inSet(suffix(k - 1), wb))
         else None
-      hit.map(h => ((n >= k) && h, lit(k)))
+      // psLen = k for both forms; a host AT rule depth IS the public
+      // suffix and comes back whole, else suffix + one label.
+      hit.map(h => ((n >= k) && h,
+        when(n === k, host).otherwise(suffix(k + 1))))
     }
-    (excConds ++ ruleConds)
-      .foldRight(lit(1)) { case ((cond, len), rest) => when(cond, len).otherwise(rest) }
+    val dflt = when(n <= 1, host).otherwise(suffix(2))
+    (excArms ++ ruleArms)
+      .foldRight(dflt) { case ((cond, v), rest) => when(cond, v).otherwise(rest) }
   }
 
   /** Registrable domain of a URL under the pinned snapshot (or supplied
     * rules). A host with no more labels than its public suffix is
     * returned whole.
+    *
+    * Column form for expression contexts (the SQL function registration);
+    * inside a DataFrame pipeline prefer [[withRegistrableDomain]], which
+    * stages the host/label columns in their own projection so the regex
+    * host extraction and the split are bound once per row rather than
+    * re-derived inside every chain arm.
     */
   def registrableDomain(url: Column, rules: Rules = snapshot): Column = {
     require(!rules.isEmpty,
@@ -128,10 +158,26 @@ object Psl {
         "use CorpusPrep.registrableDomainHeuristic for the no-PSL fallback")
     val host = hostOf(url)
     val labels = split(host, "\\.")
-    val n = size(labels)
-    val psLen = publicSuffixLen(labels, n, rules)
-    when(n <= psLen, host)
-      .otherwise(array_join(slice(labels, -(psLen + lit(1)), psLen + lit(1)), "."))
+    domainChain(host, labels, size(labels), rules)
+  }
+
+  /** `df` + `outCol` = the registrable domain of `urlCol`, with the
+    * host and its label array staged in their own projections first
+    * (referenced many times across the chain arms, they must be bound
+    * columns — CollapseProject keeps multi-referenced non-trivial
+    * aliases staged, so each evaluates once per row).
+    */
+  def withRegistrableDomain(df: org.apache.spark.sql.DataFrame,
+      urlCol: String, outCol: String,
+      rules: Rules = snapshot): org.apache.spark.sql.DataFrame = {
+    require(!rules.isEmpty,
+      "Psl.withRegistrableDomain: empty rule set — snapshot resource " +
+        "missing; use CorpusPrep.registrableDomainHeuristic instead")
+    df.withColumn("__psl_host", hostOf(col(urlCol)))
+      .withColumn("__psl_labels", split(col("__psl_host"), "\\."))
+      .withColumn(outCol, domainChain(col("__psl_host"),
+        col("__psl_labels"), size(col("__psl_labels")), rules))
+      .drop("__psl_host", "__psl_labels")
   }
 
   /** The same PSL lookup as DuckDB SQL over a column expression — the
@@ -146,8 +192,11 @@ object Psl {
     def suffix(k: Int): String =
       s"array_to_string(string_split($hostExpr, '.')[-$k:], '.')"
     val n = s"len(string_split($hostExpr, '.'))"
+    // Mirrors [[domainChain]]: each arm yields the domain directly, so
+    // every rule set appears ONCE in the generated SQL (the psLen-based
+    // form embedded the ~6k-literal sets twice — ~2× the statement).
     val excArms = rules.exc.toSeq.sortBy(-_._1).map { case (k, set) =>
-      s"WHEN $n >= $k AND ${suffix(k)} IN ${sqlSet(set)} THEN ${k - 1}"
+      s"WHEN $n >= $k AND ${suffix(k)} IN ${sqlSet(set)} THEN ${suffix(k)}"
     }
     val maxK = rules.maxMatchLabels
     val ruleArms = (maxK to 2 by -1).flatMap { k =>
@@ -158,10 +207,10 @@ object Psl {
         if (wb.nonEmpty) Some(s"${suffix(k - 1)} IN ${sqlSet(wb)}") else None
       ).flatten
       if (conds.isEmpty) None
-      else Some(s"WHEN $n >= $k AND (${conds.mkString(" OR ")}) THEN $k")
+      else Some(s"WHEN $n >= $k AND (${conds.mkString(" OR ")}) " +
+        s"THEN (CASE WHEN $n = $k THEN $hostExpr ELSE ${suffix(k + 1)} END)")
     }
-    val psLen = (excArms ++ ruleArms).mkString("CASE ", " ", " ELSE 1 END")
-    s"""CASE WHEN $n <= ($psLen) THEN $hostExpr
-       |     ELSE array_to_string(string_split($hostExpr, '.')[-(($psLen) + 1):], '.') END""".stripMargin
+    (excArms ++ ruleArms).mkString("CASE ", " ",
+      s" ELSE (CASE WHEN $n <= 1 THEN $hostExpr ELSE ${suffix(2)} END) END")
   }
 }

@@ -493,6 +493,18 @@ object CorpusPrep {
     if (graft.functions.Psl.snapshot.isEmpty) registrableDomainHeuristic(url)
     else graft.functions.Psl.registrableDomain(url)
 
+  /** The staged DataFrame form of [[registrableDomain]] — host and label
+    * array bound in their own projections so the regex extraction and
+    * split evaluate once per row instead of once per chain arm. Prefer
+    * this inside pipelines; the Column form exists for expression
+    * contexts (SQL function registration, single-use selects).
+    */
+  def withRegistrableDomain(df: DataFrame, urlCol: String,
+      outCol: String = "domain"): DataFrame =
+    if (graft.functions.Psl.snapshot.isEmpty)
+      df.withColumn(outCol, registrableDomainHeuristic(col(urlCol)))
+    else graft.functions.Psl.withRegistrableDomain(df, urlCol, outCol)
+
   /** The pre-PSL approximation, kept as the documented no-resource
     * fallback: last two labels, or the last THREE when the second-to-last
     * label is a known second-level suffix (co/com/net/org/ac/gov/edu)
@@ -520,9 +532,17 @@ object CorpusPrep {
     * broadcast stats join for the share; domain count is bounded by the
     * web, not the corpus, so the result frame stays small at any scale.
     */
-  def domainStats(df: DataFrame, urlCol: String): DataFrame = {
-    val withDom = df.withColumn("domain", registrableDomain(col(urlCol)))
-    val stats = withDom.groupBy("domain").agg(count(lit(1)).as("n_docs"))
+  def domainStats(df: DataFrame, urlCol: String): DataFrame =
+    domainStatsFromDomains(withRegistrableDomain(df, urlCol, "domain"), "domain")
+
+  /** [[domainStats]] over an ALREADY-KEYED frame — the form a pipeline
+    * that also caps/filters per domain should use, so the PSL chain runs
+    * once and the keyed frame feeds both the stats and the cap (the
+    * domain_cap gate's shape).
+    */
+  def domainStatsFromDomains(withDom: DataFrame, domainCol: String): DataFrame = {
+    val stats = withDom.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
     stats.crossJoin(broadcast(stats.agg(sum("n_docs").as("__total"))))
       .withColumn("share",
         round(col("n_docs").cast("double") / col("__total"), 6))

@@ -66,6 +66,49 @@ class PslSpec extends SparkSpec {
     assert(s.wildBase(1).contains("ck"))
     assert(s.exc(3).contains("city.kobe.jp"))
     assert(s.exc(2).contains("www.ck"))
+    // The snapshot is now the FULL ICANN section (~5.9k multi-label
+    // rules), not the r12 ~480-rule subset: unicode registries parse
+    // through verbatim and the long-tail families are present.
+    assert(s.exact.values.map(_.size).sum > 5000,
+      s"expected the full ICANN section, got ${s.exact.values.map(_.size).sum}")
+    assert(s.exact(2).contains("公司.cn"), "unicode rules must survive")
+  }
+
+  test("full ICANN snapshot vs the r12 subset: families the subset " +
+      "silently keyed as last-2-labels (ac.ir, gov.it, a.bg, aland.fi) " +
+      "now key at registry depth; the subset's stale *.gov.pl is gone") {
+    import spark.implicits._
+    val in = getClass.getResourceAsStream("/graft/psl_subset_r12.dat")
+    assert(in != null, "r12 subset test resource missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val subset = try Psl.parse(src.getLines()) finally src.close()
+    // Families in the full ICANN section the subset never carried —
+    // these fell to the implicit default rule and keyed WRONG (the
+    // heuristic's exact error class, silently).
+    val cases = Seq(
+      // host,            r12-subset (wrong),  full-ICANN (right)
+      ("www.uni.ac.ir", "ac.ir", "uni.ac.ir"),
+      ("portale.comune.gov.it", "gov.it", "comune.gov.it"),
+      ("shop.firma.a.bg", "a.bg", "firma.a.bg"),
+      ("visit.mariehamn.aland.fi", "aland.fi", "mariehamn.aland.fi"))
+    val df = cases.map(_._1).toDF("h")
+      .select(col("h"),
+        Psl.registrableDomain(col("h"), subset).as("old"),
+        Psl.registrableDomain(col("h")).as("full"))
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    cases.foreach { case (h, wrong, right) =>
+      assert(df(h) == ((wrong, right)), s"$h: ${df(h)}")
+    }
+    // The subset also carried rules upstream has since RETIRED —
+    // *.gov.pl is plain gov.pl in the full ICANN section.
+    assert(subset.wildBase(2).contains("gov.pl"))
+    assert(!Psl.snapshot.wildBase.getOrElse(2, Set.empty).contains("gov.pl"))
+    val pl = Seq("a.x.gov.pl").toDF("h")
+      .select(Psl.registrableDomain(col("h"), subset).as("old"),
+        Psl.registrableDomain(col("h")).as("full"))
+      .as[(String, String)].head()
+    assert(pl == (("a.x.gov.pl", "x.gov.pl")), pl.toString)
   }
 
   test("registrableDomain: PSL algorithm on planted edge cases — " +
