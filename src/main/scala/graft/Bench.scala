@@ -92,9 +92,17 @@ object Bench {
       // late-alphabet queries measure storage-memory pressure instead of
       // their own plan (a ×30 scale run showed the 9th query 7× slower
       // in-sequence than in isolation, on identical code and data).
+      // BLOCKING: a non-blocking unpersist leaves the previous query's
+      // localCheckpoint blocks draining asynchronously while the next
+      // query is already being timed — measured as the r12
+      // dedup_minhash_auto bimodality (stable 2.1-2.6 s estimator when
+      // run alone, 2.5-11 s interleaved with a sibling gate; the
+      // estimator's ~80 MB broadcast + staged state contended with the
+      // sibling's still-resident blocks). The wait is outside the timing
+      // window, so it costs wall-clock only, never a measurement.
       try {
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
       } catch { case _: Exception => () }
     }
@@ -111,7 +119,8 @@ object Bench {
     */
   private[graft] def renderJson(o: Outcome, sfDir: String, passes: Int,
       loadBefore: Double, loadAfter: Double,
-      diag: Map[String, Long] = Map.empty): String = {
+      diag: Map[String, Long] = Map.empty,
+      diagLists: Map[String, Seq[Long]] = Map.empty): String = {
     val qs = o.timings.map { case (k, v) => graft.core.Jsons.str(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = o.errors.map { case (k, v) =>
@@ -126,7 +135,12 @@ object Bench {
       if (diag.isEmpty) ""
       else diag.toSeq.sortBy(_._1)
         .map { case (k, v) => graft.core.Jsons.str(k) + ":" + v }
-        .mkString(",", ",", "")
+        .mkString(",", ",", "") +
+        diagLists.toSeq.sortBy(_._1).filter(_._2.nonEmpty)
+          .map { case (k, vs) =>
+            graft.core.Jsons.str(k) + ":" + vs.mkString("[", ",", "]")
+          }.mkString(if (diagLists.valuesIterator.exists(_.nonEmpty)) "," else "",
+            ",", "")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${o.errors.size},"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter$passPart$diagPart}"""
   }
 
@@ -158,7 +172,15 @@ object Bench {
       "gc_ms" -> (gcMs1 - gcMs0), "gc_count" -> (gcN1 - gcN0),
       "metaspace_mb" -> metaspaceUsedMb(),
       "n_queries" -> names.size.toLong)
-    val json = renderJson(outcome, sfDir, passes, loadBefore, loadAvg(), diag)
+    // Per-invocation estimator wall-millis from the auto-band gates (in
+    // call order across passes) — the estimator/route cost split.
+    val pickBands = {
+      import scala.jdk.CollectionConverters._
+      graft.operators.Dedup.pickBandsMs.iterator().asScala
+        .map(_.longValue()).toSeq
+    }
+    val json = renderJson(outcome, sfDir, passes, loadBefore, loadAvg(), diag,
+      Map("pickbands_ms" -> pickBands))
     println(json)
     // Self-contained record regardless of the caller's capture window, plus
     // an append-only history so per-round records survive the next run.

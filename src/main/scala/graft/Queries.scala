@@ -1236,6 +1236,24 @@ object Queries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    "dedup_minhash_auto_sampled" -> ((s, dir) => {
+      // The PRODUCTION auto route: the default bounded estimator sample
+      // (2048 content-hash-selected docs — deterministic membership, so
+      // the tier choice is a pure function of the corpus) instead of the
+      // exhaustive full-corpus estimator the gate above pins. On this
+      // corpus the bounded sample still measures sub-1.0 recall at every
+      // tier below 16 bands and picks the same tier, so the same exact
+      // connected-components oracle applies — and the gate's cost is the
+      // ROUTE, not the O(sample²) estimator, which is what a cross-round
+      // bench read should track (the r12 variance lived in the
+      // deliberately-exhaustive estimator, not the route).
+      val d = read(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5,
+        targetRecall = 1.0)
+      Dedup.dropDuplicatesByPairs(d, "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // Oracled end to end: the 4×16-bit chunk bucketing has candidate
       // recall EXACTLY 1 for hamming ≤ 3 (pigeonhole), so the operator's
@@ -5595,6 +5613,30 @@ object Queries {
     // picks a tier measured to catch every qualifying pair — same exact
     // connected-components oracle as the pinned-bands gate.
     "dedup_minhash_auto" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh
+        |  FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a ORDER BY doc_id""".stripMargin,
+
+    // The bounded-sample production estimator picks the same
+    // every-qualifying-pair tier on this corpus (deterministic
+    // content-hash sample membership), so the exact CC oracle applies
+    // unchanged.
+    "dedup_minhash_auto_sampled" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |s AS (

@@ -366,7 +366,26 @@ object Dedup {
     * `targetRecall`, else the highest offered tier with its
     * (insufficient) recall.
     */
+  /** Per-JVM diagnostic trail: wall-millis of each [[pickBands]] run, in
+    * call order. Bench drains this into its JSON record so a cross-round
+    * read can split "estimator" from "banded route" cost inside the auto
+    * gates — the r12 `dedup_minhash_auto` 3.5–11 s variance question was
+    * unanswerable without the split.
+    */
+  private[graft] val pickBandsMs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
+
   private[graft] def pickBands(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int, tiers: Seq[Int], shingleLen: Int,
+      sampleSize: Int, targetRecall: Double,
+      excludeExact: Boolean): (Int, Double) = {
+    val __t0 = System.nanoTime()
+    try pickBandsImpl(df, textCol, idCol, threshold, numHashes, tiers,
+      shingleLen, sampleSize, targetRecall, excludeExact)
+    finally pickBandsMs.add((System.nanoTime() - __t0) / 1000000L)
+  }
+
+  private def pickBandsImpl(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int, tiers: Seq[Int], shingleLen: Int,
       sampleSize: Int, targetRecall: Double,
       excludeExact: Boolean): (Int, Double) = {
