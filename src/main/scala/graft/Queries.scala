@@ -3513,6 +3513,26 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "ppl_trigram" -> ((s, dir) => {
+      // One order closer to CCNet's 5-gram KenLM: the two-level
+      // Jelinek–Mercer trigram LM (λ₂ on the trigram ML term, the
+      // bigram+unigram interpolation as its backoff), fitted with ONE
+      // extra bounded aggregate over packed 21-bit-id keys and scored in
+      // one compiled pass. The oracle refits unigram, bigram, AND
+      // trigram tables from scratch in DuckDB and replays the per-token
+      // dyadic float tree verbatim (literal (1 − λ) forms, ML divisions
+      // at score time over the same integer counts), so ll and ppl
+      // hash-match at round 4.
+      val d = read(s, dir, "documents")
+      val m = graft.operators.NgramLm.fitTrigramLM(
+        d, "text", minCount = 2L)
+      graft.operators.NgramLm.perplexity(d, "text", m)
+        .select(col("doc_id"), col("lm_tokens"),
+          round(col("lm_ll"), 4).as("lm_ll"),
+          round(col("ppl"), 4).as("ppl"))
+        .orderBy("doc_id")
+    }),
+
     "dsir_weights" -> ((s, dir) => {
       // DSIR data selection (arXiv 2302.03169): importance weights of raw
       // docs under target-vs-raw unigram LMs — target = the src0-4
@@ -3916,6 +3936,28 @@ object Queries {
       // cuts. Low perplexity = head.
       val d = read(s, dir, "documents")
       val lm = graft.operators.NgramLm.fitBigramLM(d, "text", minCount = 2L)
+      val scored = graft.operators.NgramLm.perplexity(d, "text", lm)
+        .filter(col("ppl").isNotNull)
+        .withColumn("ppl_r", round(col("ppl"), 2))
+        .select("doc_id", "lang", "ppl_r")
+      CorpusPrep.scorePercentRankByGroup(scored, "lang", "ppl_r")
+        .withColumn("bucket",
+          when(col("score_pct") < 1.0 / 3, "head")
+            .when(col("score_pct") < 2.0 / 3, "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("lang"),
+          round(col("score_pct"), 6).as("ppl_pct"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    "ccnet_ppl_buckets_tri" -> ((s, dir) => {
+      // The trigram OPTION of the CCNet head/middle/tail artifact: the
+      // same tertile construction with the two-level Jelinek–Mercer
+      // trigram LM (ppl_trigram) in place of the bigram — one order
+      // closer to the published 5-gram KenLM stage, same bounded
+      // grouped percent-rank, never a corpus-wide window.
+      val d = read(s, dir, "documents")
+      val lm = graft.operators.NgramLm.fitTrigramLM(d, "text", minCount = 2L)
       val scored = graft.operators.NgramLm.perplexity(d, "text", lm)
         .filter(col("ppl").isNotNull)
         .withColumn("ppl_r", round(col("ppl"), 2))
@@ -7043,6 +7085,84 @@ object Queries {
         |       WHEN pct < 2.0 / 3 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM ranked ORDER BY doc_id""".stripMargin,
 
+    // The ppl_trigram refit feeding the same per-language tertile tail.
+    "ccnet_ppl_buckets_tri" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM documents),
+        |uc AS (
+        |  SELECT word, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(w) AS word FROM t) GROUP BY word),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+        |kept AS (SELECT word, c FROM uc WHERE c >= 2),
+        |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM kept),
+        |unkc AS (SELECT (SELECT sum(c) FROM uc)
+        |    - coalesce((SELECT sum(c) FROM kept), 0) AS cu),
+        |up AS (SELECT map(list(word ORDER BY word),
+        |      list((c + 1) / (n + (v + 1)) ORDER BY word)) AS mp,
+        |    min((cu + 1) / (n + (v + 1))) AS unkp
+        |  FROM kept, tot, vv, unkc),
+        |tm AS (
+        |  SELECT doc_id, lang, list_transform(w, x ->
+        |    CASE WHEN mp[x][1] IS NOT NULL THEN x ELSE chr(1) END) AS mt
+        |  FROM t, up),
+        |ps AS (SELECT doc_id, mt,
+        |    unnest(range(1, len(mt) + 1)) AS i FROM tm),
+        |trip AS (SELECT
+        |    CASE WHEN i <= 2 THEN chr(2) ELSE mt[i - 2] END AS u,
+        |    CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END AS v,
+        |    mt[i] AS cur FROM ps),
+        |bc AS (SELECT v || chr(3) || cur AS bg,
+        |    CAST(count(*) AS DOUBLE) AS c FROM trip GROUP BY 1),
+        |pt AS (SELECT v AS prev, CAST(count(*) AS DOUBLE) AS ct
+        |  FROM trip GROUP BY 1),
+        |tc AS (SELECT u || chr(3) || v || chr(3) || cur AS tg,
+        |    CAST(count(*) AS DOUBLE) AS c FROM trip GROUP BY 1),
+        |cx AS (SELECT u || chr(3) || v AS ctx,
+        |    CAST(count(*) AS DOUBLE) AS ct FROM trip GROUP BY 1),
+        |bm AS (SELECT map(list(bg ORDER BY bg), list(c ORDER BY bg)) AS bmp
+        |  FROM bc),
+        |pm AS (SELECT map(list(prev ORDER BY prev), list(ct ORDER BY prev)) AS pmp
+        |  FROM pt),
+        |tmm AS (SELECT map(list(tg ORDER BY tg), list(c ORDER BY tg)) AS tgp
+        |  FROM tc),
+        |cm AS (SELECT map(list(ctx ORDER BY ctx), list(ct ORDER BY ctx)) AS cxp
+        |  FROM cx),
+        |sc AS (
+        |  SELECT doc_id, lang, len(mt) AS n,
+        |    CASE WHEN len(mt) = 0 THEN 0.0 ELSE
+        |      list_reduce(list_transform(range(1, len(mt) + 1), i ->
+        |        ln(0.5 * coalesce(
+        |             tgp[(CASE WHEN i <= 2 THEN chr(2) ELSE mt[i - 2] END)
+        |                 || chr(3) ||
+        |                 (CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END)
+        |                 || chr(3) || mt[i]][1]
+        |             / cxp[(CASE WHEN i <= 2 THEN chr(2) ELSE mt[i - 2] END)
+        |                 || chr(3) ||
+        |                 (CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END)][1],
+        |             0.0)
+        |           + (1 - 0.5) * (0.7 * coalesce(
+        |               bmp[(CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END)
+        |                   || chr(3) || mt[i]][1]
+        |               / pmp[CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END][1],
+        |               0.0)
+        |             + (1 - 0.7) * coalesce(mp[mt[i]][1], unkp)))),
+        |        (a, b) -> a + b)
+        |    END AS ll
+        |  FROM tm, bm, pm, tmm, cm, up),
+        |scored AS (
+        |  SELECT doc_id, lang, round(exp(-ll / n), 2) AS ppl_r
+        |  FROM sc WHERE n > 0),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY ppl_r) AS pct
+        |  FROM scored)
+        |SELECT doc_id, lang, round(pct, 6) AS ppl_pct,
+        |  CASE WHEN pct < 1.0 / 3 THEN 'head'
+        |       WHEN pct < 2.0 / 3 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM ranked ORDER BY doc_id""".stripMargin,
+
     // Two-stage truncation replayed: per-anchor top-40 by cosine over
     // the FULL corpus (exhaustive probes; self-hit included), then the
     // label filter, then top-3 — both stages tie-broken on the id.
@@ -7126,6 +7246,80 @@ object Queries {
         |        (a, b) -> a + b)
         |    END AS ll
         |  FROM tm, bm, pm, up)
+        |SELECT doc_id, n AS lm_tokens, round(ll, 4) AS lm_ll,
+        |  CASE WHEN n > 0 THEN round(exp(-ll / n), 4) END AS ppl
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // The ppl_bigram refit one order up: trigram counts + (u, v) context
+    // totals from the BOS,BOS-prefixed stream, two-level Jelinek–Mercer
+    // term with the kernel's exact dyadic tree — 0.5·pml3 + (1 − 0.5) ·
+    // (0.7·pml2 + (1 − 0.7)·p_uni), ML divisions at score time over the
+    // same integer counts.
+    "ppl_trigram" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |    ELSE string_split(lower(trim(text)), ' ') END AS w
+        |  FROM documents),
+        |uc AS (
+        |  SELECT word, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(w) AS word FROM t) GROUP BY word),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+        |kept AS (SELECT word, c FROM uc WHERE c >= 2),
+        |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM kept),
+        |unkc AS (SELECT (SELECT sum(c) FROM uc)
+        |    - coalesce((SELECT sum(c) FROM kept), 0) AS cu),
+        |up AS (SELECT map(list(word ORDER BY word),
+        |      list((c + 1) / (n + (v + 1)) ORDER BY word)) AS mp,
+        |    min((cu + 1) / (n + (v + 1))) AS unkp
+        |  FROM kept, tot, vv, unkc),
+        |tm AS (
+        |  SELECT doc_id, list_transform(w, x ->
+        |    CASE WHEN mp[x][1] IS NOT NULL THEN x ELSE chr(1) END) AS mt
+        |  FROM t, up),
+        |ps AS (SELECT doc_id, mt,
+        |    unnest(range(1, len(mt) + 1)) AS i FROM tm),
+        |trip AS (SELECT
+        |    CASE WHEN i <= 2 THEN chr(2) ELSE mt[i - 2] END AS u,
+        |    CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END AS v,
+        |    mt[i] AS cur FROM ps),
+        |bc AS (SELECT v || chr(3) || cur AS bg,
+        |    CAST(count(*) AS DOUBLE) AS c FROM trip GROUP BY 1),
+        |pt AS (SELECT v AS prev, CAST(count(*) AS DOUBLE) AS ct
+        |  FROM trip GROUP BY 1),
+        |tc AS (SELECT u || chr(3) || v || chr(3) || cur AS tg,
+        |    CAST(count(*) AS DOUBLE) AS c FROM trip GROUP BY 1),
+        |cx AS (SELECT u || chr(3) || v AS ctx,
+        |    CAST(count(*) AS DOUBLE) AS ct FROM trip GROUP BY 1),
+        |bm AS (SELECT map(list(bg ORDER BY bg), list(c ORDER BY bg)) AS bmp
+        |  FROM bc),
+        |pm AS (SELECT map(list(prev ORDER BY prev), list(ct ORDER BY prev)) AS pmp
+        |  FROM pt),
+        |tmm AS (SELECT map(list(tg ORDER BY tg), list(c ORDER BY tg)) AS tgp
+        |  FROM tc),
+        |cm AS (SELECT map(list(ctx ORDER BY ctx), list(ct ORDER BY ctx)) AS cxp
+        |  FROM cx),
+        |sc AS (
+        |  SELECT doc_id, len(mt) AS n,
+        |    CASE WHEN len(mt) = 0 THEN 0.0 ELSE
+        |      list_reduce(list_transform(range(1, len(mt) + 1), i ->
+        |        ln(0.5 * coalesce(
+        |             tgp[(CASE WHEN i <= 2 THEN chr(2) ELSE mt[i - 2] END)
+        |                 || chr(3) ||
+        |                 (CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END)
+        |                 || chr(3) || mt[i]][1]
+        |             / cxp[(CASE WHEN i <= 2 THEN chr(2) ELSE mt[i - 2] END)
+        |                 || chr(3) ||
+        |                 (CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END)][1],
+        |             0.0)
+        |           + (1 - 0.5) * (0.7 * coalesce(
+        |               bmp[(CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END)
+        |                   || chr(3) || mt[i]][1]
+        |               / pmp[CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END][1],
+        |               0.0)
+        |             + (1 - 0.7) * coalesce(mp[mt[i]][1], unkp)))),
+        |        (a, b) -> a + b)
+        |    END AS ll
+        |  FROM tm, bm, pm, tmm, cm, up)
         |SELECT doc_id, n AS lm_tokens, round(ll, 4) AS lm_ll,
         |  CASE WHEN n > 0 THEN round(exp(-ll / n), 4) END AS ppl
         |FROM sc ORDER BY doc_id""".stripMargin,

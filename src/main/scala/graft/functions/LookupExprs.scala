@@ -328,6 +328,123 @@ object LookupExprs {
       copy(child = newChild)
   }
 
+  /** Per-row trigram-key COUNTS over the vocab-mapped token stream — the
+    * [[BigramKeyCounts]] convention one order up, for
+    * [[graft.operators.NgramLm.fitTrigramLM]]. The context starts
+    * (BOS, BOS) and slides left-to-right, so position 0 contributes
+    * (BOS, BOS, w₀), position 1 (BOS, w₀, w₁), and every position has
+    * exactly one context — context totals therefore normalize the ML
+    * term exactly. Keys pack `u·2⁴² + v·2²¹ + w` (all ids < 2²¹,
+    * enforced by the fitter), so `key >> 21` recovers the context id
+    * `u·2²¹ + v` with one shift.
+    */
+  case class TrigramKeyCounts(child: Expression, vocab: Map[String, Int],
+      unkId: Int, bosId: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      MapType(LongType, LongType, valueContainsNull = false)
+    override def checkInputDataTypes() =
+      requireStringArray(child, "trigram_key_counts")
+    @transient private lazy val h = utf8Map(vocab)
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val counts = new java.util.LinkedHashMap[java.lang.Long, Long]()
+      var u = bosId.toLong
+      var v = bosId.toLong
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        val hit = if (t == null) null else h.get(t)
+        val cur = if (hit == null) unkId.toLong else hit.asInstanceOf[Int].toLong
+        val key = java.lang.Long.valueOf((u << 42) | (v << 21) | cur)
+        val c = counts.get(key)
+        counts.put(key, if (c == null) 1L else c + 1L)
+        u = v
+        v = cur
+        i += 1
+      }
+      val k = new Array[Any](counts.size)
+      val vv = new Array[Any](counts.size)
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        k(j) = e.getKey.longValue(); vv(j) = e.getValue; j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(k), new GenericArrayData(vv))
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  /** The interpolated-TRIGRAM-LM document score in one pass — two-level
+    * Jelinek–Mercer: per token,
+    * `p = λ₂·pml₃(w|u,v) + (1−λ₂)·(λ₁·pml₂(w|v) + (1−λ₁)·p_uni(w))`,
+    * each ML term 0 when its n-gram is absent, ln p accumulated
+    * LEFT-TO-RIGHT from the (BOS, BOS) context — dyadic float ops in a
+    * fixed order a SQL oracle replays verbatim. `bigramPml` here packs
+    * `v·2²¹ + w` (NOT [[BigramLmScore]]'s 2³² packing — one id width
+    * across both tables). Returns struct(ll, n); empty array = (0.0, 0).
+    */
+  case class TrigramLmScore(child: Expression, vocab: Map[String, Int],
+      uniProb: Array[Double], bigramPml: Map[Long, Double],
+      trigramPml: Map[Long, Double], lambda1: Double, lambda2: Double,
+      bosId: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(lambda1 > 0 && lambda1 <= 1 && lambda2 > 0 && lambda2 < 1,
+      s"trigram_lm_score: lambda1 $lambda1 must be in (0, 1] and " +
+        s"lambda2 $lambda2 in (0, 1) so ln's argument stays positive")
+    override def dataType: DataType = StructType(Seq(
+      StructField("ll", DoubleType, nullable = false),
+      StructField("n", IntegerType, nullable = false)))
+    override def checkInputDataTypes() =
+      requireStringArray(child, "trigram_lm_score")
+    @transient private lazy val h = utf8Map(vocab)
+    @transient private lazy val bg = {
+      val m = new java.util.HashMap[java.lang.Long, java.lang.Double](
+        bigramPml.size * 2)
+      bigramPml.foreach { case (k, p) =>
+        m.put(java.lang.Long.valueOf(k), java.lang.Double.valueOf(p)) }
+      m
+    }
+    @transient private lazy val tg = {
+      val m = new java.util.HashMap[java.lang.Long, java.lang.Double](
+        trigramPml.size * 2)
+      trigramPml.foreach { case (k, p) =>
+        m.put(java.lang.Long.valueOf(k), java.lang.Double.valueOf(p)) }
+      m
+    }
+    private val unkId = uniProb.length - 1
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      var ll = 0.0
+      var u = bosId.toLong
+      var v = bosId.toLong
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        val hit = if (t == null) null else h.get(t)
+        val cur = if (hit == null) unkId.toLong else hit.asInstanceOf[Int].toLong
+        val b = bg.get(java.lang.Long.valueOf((v << 21) | cur))
+        val pml2 = if (b == null) 0.0 else b.doubleValue()
+        val tr = tg.get(java.lang.Long.valueOf((u << 42) | (v << 21) | cur))
+        val pml3 = if (tr == null) 0.0 else tr.doubleValue()
+        ll += math.log(lambda2 * pml3 +
+          (1.0 - lambda2) * (lambda1 * pml2 +
+            (1.0 - lambda1) * uniProb(cur.toInt)))
+        u = v
+        v = cur
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(ll, n)
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
   def sumLookup(tokens: Column, lut: Map[String, Double],
       default: Double): Column =
     ColumnBridge.column(SumLookup(ColumnBridge.expression(tokens), lut, default))
@@ -345,6 +462,18 @@ object LookupExprs {
       lambda: Double, bosId: Int): Column =
     ColumnBridge.column(BigramLmScore(ColumnBridge.expression(tokens),
       vocab, uniProb, bigramPml, lambda, bosId))
+
+  def trigramKeyCounts(tokens: Column, vocab: Map[String, Int],
+      unkId: Int, bosId: Int): Column =
+    ColumnBridge.column(TrigramKeyCounts(ColumnBridge.expression(tokens),
+      vocab, unkId, bosId))
+
+  def trigramLmScore(tokens: Column, vocab: Map[String, Int],
+      uniProb: Array[Double], bigramPml: Map[Long, Double],
+      trigramPml: Map[Long, Double], lambda1: Double, lambda2: Double,
+      bosId: Int): Column =
+    ColumnBridge.column(TrigramLmScore(ColumnBridge.expression(tokens),
+      vocab, uniProb, bigramPml, trigramPml, lambda1, lambda2, bosId))
 
   def charNgramCounts(normText: Column, lens: Seq[Int]): Column =
     ColumnBridge.column(

@@ -37,6 +37,20 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
+  /** A fitted n-gram LM that can score a token stream in one compiled
+    * pass. Both orders share the scoring entry points ([[logLik]],
+    * [[perplexity]]) — a CCNet-style pipeline picks its order by passing
+    * the model it fitted ([[fitBigramLM]] or [[fitTrigramLM]]).
+    */
+  sealed trait FittedLM {
+    def vocab: Map[String, Int]
+    def vocabSize: Int = vocab.size
+    def unkId: Int = vocab.size
+    def bosId: Int = vocab.size + 1
+    /** struct(ll, n) column over a token-array column. */
+    private[graft] def scoreColumn(tokens: Column): Column
+  }
+
   /** A fitted interpolated bigram LM. `vocab` maps token → id ∈ [0, V);
     * `uniProb` has V+1 entries (unk last); `bigramPml(prev·2³²+cur)` is
     * the exact ML continuation probability of the kept bigrams; `bosId`
@@ -50,10 +64,35 @@ object NgramLm {
       alpha: Double,
       minCount: Long,
       minBigramCount: Long,
-      nTokens: Long) {
-    def vocabSize: Int = vocab.size
-    def unkId: Int = vocab.size
-    def bosId: Int = vocab.size + 1
+      nTokens: Long) extends FittedLM {
+    private[graft] def scoreColumn(tokens: Column): Column =
+      graft.functions.LookupExprs.bigramLmScore(
+        tokens, vocab, uniProb, bigramPml, lambda, bosId)
+  }
+
+  /** A fitted two-level Jelinek–Mercer trigram LM — the same model
+    * family CCNet's 5-gram KenLM stage instantiates (arXiv 1911.00359
+    * §4.3), one order up from [[BigramLM]]: per token,
+    * `p = λ₂·pml₃(w|u,v) + (1−λ₂)·(λ₁·pml₂(w|v) + (1−λ₁)·p_uni(w))`.
+    * `bigramPml` packs `v·2²¹+w` and `trigramPml` `u·2⁴²+v·2²¹+w`
+    * (21-bit ids — the fitter enforces the vocab bound).
+    */
+  final case class TrigramLM(
+      vocab: Map[String, Int],
+      uniProb: Array[Double],
+      bigramPml: Map[Long, Double],
+      trigramPml: Map[Long, Double],
+      lambda1: Double,
+      lambda2: Double,
+      alpha: Double,
+      minCount: Long,
+      minBigramCount: Long,
+      minTrigramCount: Long,
+      nTokens: Long) extends FittedLM {
+    private[graft] def scoreColumn(tokens: Column): Column =
+      graft.functions.LookupExprs.trigramLmScore(
+        tokens, vocab, uniProb, bigramPml, trigramPml, lambda1, lambda2,
+        bosId)
   }
 
   /** The tokenization every NgramLm entry point shares (the
@@ -138,16 +177,75 @@ object NgramLm {
       minBigramCount, nTokens)
   }
 
-  /** Per-document log-likelihood + token count under the fitted LM —
-    * one tight-loop pass ([[graft.functions.LookupExprs.BigramLmScore]]),
-    * zero shuffle. An empty document is (ll = 0, n = 0).
+  /** Fit the trigram LM: the [[fitBigramLM]] passes (reused verbatim —
+    * unigram + bigram tables, bounds enforced before any collect) plus
+    * ONE more bounded aggregate for the trigram table, whose per-row
+    * extraction is the same compiled distinct-key pass one order up
+    * ([[graft.functions.LookupExprs.TrigramKeyCounts]]). Context totals
+    * come from the trigram aggregate itself (`key >> 21` — every
+    * position has exactly one (u, v) context, so the ML term is exactly
+    * normalized), and both the context and the kept-trigram tables are
+    * probed against `maxTrigramEntries` BEFORE the pull: the model rides
+    * every scoring task as a plan literal, so its size is a deliberate
+    * budget, never an accident of the corpus.
     */
-  def logLik(df: DataFrame, textCol: String, model: BigramLM,
+  def fitTrigramLM(df: DataFrame, textCol: String, alpha: Double = 1.0,
+      lambda1: Double = 0.7, lambda2: Double = 0.5, minCount: Long = 1L,
+      minBigramCount: Long = 1L, minTrigramCount: Long = 1L,
+      maxVocabEntries: Int = 1 << 18,
+      maxBigramEntries: Int = 1 << 21,
+      maxTrigramEntries: Int = 1 << 21): TrigramLM = {
+    require(lambda2 > 0 && lambda2 < 1,
+      s"fitTrigramLM: lambda2 $lambda2 must be in (0, 1) — at 1 the " +
+        "unigram floor vanishes and an unseen trigram would be ln 0")
+    require(maxVocabEntries + 2 < (1 << 21),
+      s"fitTrigramLM: maxVocabEntries $maxVocabEntries exceeds the " +
+        "21-bit id packing (u·2⁴²+v·2²¹+w)")
+    val bi = fitBigramLM(df, textCol, alpha, lambda1, minCount,
+      minBigramCount, maxVocabEntries, maxBigramEntries)
+    // Repack the bigram table from the 2³² training keys to the 21-bit
+    // width the trigram packing shares (pure driver-side rekey).
+    val bigram21 = bi.bigramPml.map { case (k, p) =>
+      (((k >>> 32) << 21) | (k & 0xFFFFFFFFL)) -> p
+    }
+    val spark = df.sparkSession
+    val (aggT, blocksT) = graft.core.Persist.stageTracked(df
+      .select(explode(graft.functions.LookupExprs.trigramKeyCounts(
+        tokensOf(col(textCol)), bi.vocab, bi.unkId, bi.bosId))
+        .as(Seq("key", "cnt")))
+      .groupBy("key").agg(sum(col("cnt")).as("n")))
+    val ctxFrame = aggT.groupBy(shiftright(col("key"), 21).as("ctx"))
+      .agg(sum(col("n")).as("t"))
+    val nCtx = ctxFrame.limit(maxTrigramEntries + 1).count()
+    require(nCtx <= maxTrigramEntries,
+      s"fitTrigramLM: > $maxTrigramEntries distinct (u, v) contexts — " +
+        "raise minCount (shrinking the vocab shrinks the context space) " +
+        "or raise maxTrigramEntries deliberately")
+    val ctxTot = ctxFrame.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val keptT = aggT.filter(col("n") >= minTrigramCount)
+    val triSize = keptT.limit(maxTrigramEntries + 1).count()
+    require(triSize <= maxTrigramEntries,
+      s"fitTrigramLM: trigram table has > $maxTrigramEntries entries " +
+        "(bound) — raise minTrigramCount to shrink it, or raise " +
+        "maxTrigramEntries deliberately")
+    val trigramPml = keptT.collect().map { r =>
+      val key = r.getLong(0)
+      key -> r.getLong(1).toDouble / ctxTot(key >> 21).toDouble
+    }.toMap
+    graft.core.Persist.unstage(spark, blocksT)
+    TrigramLM(bi.vocab, bi.uniProb, bigram21, trigramPml, lambda1, lambda2,
+      alpha, minCount, minBigramCount, minTrigramCount, bi.nTokens)
+  }
+
+  /** Per-document log-likelihood + token count under the fitted LM —
+    * one tight-loop pass ([[graft.functions.LookupExprs.BigramLmScore]] /
+    * [[graft.functions.LookupExprs.TrigramLmScore]]), zero shuffle. An
+    * empty document is (ll = 0, n = 0).
+    */
+  def logLik(df: DataFrame, textCol: String, model: FittedLM,
       llCol: String = "lm_ll", nCol: String = "lm_tokens"): DataFrame = {
-    val sc = graft.functions.LookupExprs.bigramLmScore(
-      tokensOf(col(textCol)), model.vocab, model.uniProb, model.bigramPml,
-      model.lambda, model.bosId)
-    df.withColumn("__lm", sc)
+    df.withColumn("__lm", model.scoreColumn(tokensOf(col(textCol))))
       .withColumn(llCol, col("__lm.ll"))
       .withColumn(nCol, col("__lm.n"))
       .drop("__lm")
@@ -159,7 +257,7 @@ object NgramLm {
     * discards the noise head. Compose with
     * [[CorpusPrep.scorePercentileRank]] for the percentile cut.
     */
-  def perplexity(df: DataFrame, textCol: String, model: BigramLM,
+  def perplexity(df: DataFrame, textCol: String, model: FittedLM,
       outCol: String = "ppl", llCol: String = "lm_ll",
       nCol: String = "lm_tokens"): DataFrame =
     logLik(df, textCol, model, llCol, nCol)

@@ -98,4 +98,68 @@ class NgramLmSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       NgramLm.fitBigramLM(tiny, "text", alpha = 0.0))
   }
+
+  test("fitTrigramLM recovers exact trigram/context tables and shares " +
+      "the bigram sub-model with fitBigramLM (repacked to 21-bit ids)") {
+    val m = NgramLm.fitTrigramLM(tiny, "text")
+    val bi = NgramLm.fitBigramLM(tiny, "text")
+    assert(m.vocab == bi.vocab && m.uniProb.toSeq == bi.uniProb.toSeq)
+    assert(m.bigramPml == bi.bigramPml.map { case (k, p) =>
+      (((k >>> 32) << 21) | (k & 0xFFFFFFFFL)) -> p })
+    // "a b a" + "a b": trigram stream (B,B,a)×2, (B,a,b)×2, (a,b,a)×1 —
+    // every context is deterministic, all pml3 = 1 except none.
+    val bos = m.bosId.toLong
+    def k3(u: Long, v: Long, w: Long) = (u << 42) | (v << 21) | w
+    assert(m.trigramPml == Map(
+      k3(bos, bos, 0L) -> 1.0,
+      k3(bos, 0L, 1L) -> 1.0,
+      k3(0L, 1L, 0L) -> 1.0))
+  }
+
+  test("trigram logLik folds the two-level JM tree left-to-right; an " +
+      "unseen trigram backs off to the bigram+unigram interpolation") {
+    val m = NgramLm.fitTrigramLM(tiny, "text")
+    val (l1, l2) = (m.lambda1, m.lambda2)
+    val pa = 4.0 / 8
+    val pb = 3.0 / 8
+    // doc "a b": (B,B,a) seen pml3=1, (B,a,b) seen pml3=1; bigram
+    // sub-terms (B,a)=1, (a,b)=1.
+    val ll = NgramLm.logLik(tiny, "text", m)
+      .filter(col("id") === 1L).select("lm_ll", "lm_tokens").head()
+    val exp = math.log(l2 * 1.0 + (1.0 - l2) * (l1 * 1.0 + (1.0 - l1) * pa)) +
+      math.log(l2 * 1.0 + (1.0 - l2) * (l1 * 1.0 + (1.0 - l1) * pb))
+    assert(ll.getDouble(0) == exp && ll.getInt(1) == 2)
+    // "a b a b": position 4's trigram (b,a)→b is UNSEEN but its bigram
+    // (a,b) is seen — the term is the pure pml3 = 0 backoff; positions
+    // 1–3 replay seen trigrams ((B,B,a), (B,a,b), (a,b,a), all pml3 1).
+    val probe = Seq((0L, "a b a b")).toDF("id", "text")
+    val ll2 = NgramLm.logLik(probe, "text", m).select("lm_ll").head().getDouble(0)
+    val t1 = math.log(l2 * 1.0 + (1.0 - l2) * (l1 * 1.0 + (1.0 - l1) * pa))
+    val t2 = math.log(l2 * 1.0 + (1.0 - l2) * (l1 * 1.0 + (1.0 - l1) * pb))
+    val t4 = math.log(l2 * 0.0 + (1.0 - l2) * (l1 * 1.0 + (1.0 - l1) * pb))
+    assert(ll2 == t1 + t2 + t1 + t4, s"$ll2 vs ${t1 + t2 + t1 + t4}")
+  }
+
+  test("trigram beats bigram on structurally trigram-disambiguated text " +
+      "and the bounds/degenerate guards fire") {
+    // "x a b" vs "y a c": after context 'a', the bigram LM is 50/50 but
+    // the trigram context (x,a)/(y,a) is deterministic.
+    val docs = (0 until 10).flatMap(i =>
+      Seq((i * 2L, "x a b"), (i * 2L + 1L, "y a c"))).toDF("id", "text")
+    val biPpl = NgramLm.perplexity(docs, "text",
+        NgramLm.fitBigramLM(docs, "text"))
+      .agg(avg("ppl")).head().getDouble(0)
+    val triPpl = NgramLm.perplexity(docs, "text",
+        NgramLm.fitTrigramLM(docs, "text"))
+      .agg(avg("ppl")).head().getDouble(0)
+    assert(triPpl < biPpl, s"trigram $triPpl !< bigram $biPpl")
+    val wide = Seq((0L, "a b c d e f g h")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException](
+      NgramLm.fitTrigramLM(wide, "text", maxTrigramEntries = 3))
+    assert(e.getMessage.contains("maxTrigramEntries"))
+    intercept[IllegalArgumentException](
+      NgramLm.fitTrigramLM(tiny, "text", lambda2 = 1.0))
+    intercept[IllegalArgumentException](
+      NgramLm.fitTrigramLM(tiny, "text", maxVocabEntries = 1 << 21))
+  }
 }
