@@ -1795,6 +1795,90 @@ object Queries {
       s.table(sink).orderBy("doc_id")
     }),
 
+    "stream_crawl_pipeline" -> ((s, dir) => withShufflePartitions(s, 8) {
+      // The flagship 100 TB workflow END TO END as ONE streaming query —
+      // every stage individually gated, composed here because
+      // composition is where cross-stage drift hides (the ccnet_pipeline
+      // lesson): WARC segments land across two real microbatches →
+      // DOM-density main-content extraction (the web_main_content
+      // construction: pages built around corpus text must give back
+      // exactly that text) → Gopher-style quality gate (Table-A1 rules;
+      // the stopword floor is 1 rather than the published 2 because this
+      // synthetic corpus averages 0.8 distinct hits — the published
+      // composition itself is pinned by gopher_quality_filter) →
+      // language route (pretrained char-ngram NB, the CCNet
+      // lang_margin >= 2.0 confidence cut) → per-microbatch dedup
+      // against the SAVED index (exact fingerprint + LSH near-dup,
+      // batch 2 cleans against corpus ∪ batch-1 survivors) → survivors
+      // append to the index through the exactly-once mark protocol. The
+      // oracle replays the whole cascade batch-wise from scratch; the
+      // final corpus id set must hash-match the streamed one.
+      import graft.connectors.WarcLite
+      import graft.connectors.WarcLite.WarcRecord
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_crawl")
+      val idx = s"$tmp/idx"
+      val d = read(s, dir, "documents").filter(col("doc_id") < 240)
+      Dedup.saveDedupIndex(d.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", idx)
+      val langM = graft.operators.QualityClassifier.trainLangNB(
+        read(s, dir, "documents"), "text", "lang")
+      val docs = d.select("doc_id", "text").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      def seg(part: Array[(Long, String)]) =
+        WarcLite.writeGzipMembers(part.map { case (id, t) =>
+          val html = "<html><head><style>body{margin:0}</style>" +
+            "<script>var x='<p>decoy</p>';</script></head><body>" +
+            "<nav><a href='/'>home</a> <a href='/about'>about this site</a>" +
+            "</nav><div><a href='/1'>first sidebar link text</a> " +
+            "<a href='/2'>second sidebar link with longer text padding " +
+            "padding padding padding padding padding</a></div><p>" + t +
+            "</p><div>short</div><footer><a href='/tos'>terms</a>" +
+            "</footer></body></html>"
+          WarcRecord("conversion", s"http://docs/$id",
+            "2026-01-01T00:00:00Z", "text/html", html.getBytes("UTF-8"))
+        }.toSeq)
+      val warcDir = tmp.resolve("segments")
+      java.nio.file.Files.createDirectories(warcDir)
+      java.nio.file.Files.write(warcDir.resolve("seg-000.warc.gz"),
+        seg(docs.filter(_._1 < 120)))
+      val extracted = WarcLite.toStreamDf(s, warcDir.toString)
+        .select(regexp_extract(col("target_uri"), "(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          TF.mainContent(col("text")).as("text"))
+      val gopherStops = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with")
+      val t = col("text")
+      val qualityKeep =
+        TF.tokenCount(t).cast("long").between(50L, 100000L) &&
+          TF.meanWordLen(t).between(3.0, 10.0) &&
+          TF.symbolWordRatio(t) <= 0.1 && TF.alphaWordFraction(t) >= 0.8 &&
+          coalesce(TF.bulletLineFraction(t) <= 0.9, lit(true)) &&
+          coalesce(TF.ellipsisLineFraction(t) <= 0.3, lit(true)) &&
+          size(array_intersect(array_distinct(split(lower(trim(t)), "\\s+")),
+            typedlit(gopherStops))).cast("long") >= 1L
+      val routed = graft.operators.QualityClassifier.scoreLangNB(
+          extracted.filter(qualityKeep), "text", langM)
+        .filter(col("lang_margin") >= 2.0)
+        .select("doc_id", "text")
+      val q = routed.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // Plan built per microbatch: the dedup reads the index as
+          // grown by every PRIOR batch, and the survivors' append runs
+          // the exactly-once mark protocol (an at-least-once foreachBatch
+          // replay short-circuits on the content token).
+          val survivors = Dedup.dropAgainstIndex(
+            batch, "text", "doc_id", idx, threshold = 0.5)
+          Dedup.appendToDedupIndex(survivors, "text", "doc_id", idx)
+          ()
+        }.start()
+      q.processAllAvailable()
+      java.nio.file.Files.write(warcDir.resolve("seg-001.warc.gz"),
+        seg(docs.filter(_._1 >= 120)))
+      q.processAllAvailable(); q.stop()
+      graft.core.BatchCommit.readData(s, idx, "docs")
+        .select(col("id").as("doc_id")).orderBy("doc_id")
+    }),
+
     "sink_tar_shards" -> ((s, dir) => {
       // WebDataset export end to end: docs → 4 POSIX ustar shards (txt +
       // json per sample, pinned headers) → distributed read-back → per-
@@ -4873,6 +4957,115 @@ object Queries {
     "stream_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY 1,2""".stripMargin,
+
+    // The whole crawl pipeline replayed batch-wise from scratch:
+    // main-content extraction is construction-based (pages were built
+    // around corpus text, so extraction = text when len >= the block
+    // floor, '' otherwise), then the quality conjunction, the NB margin
+    // route (model refit on the FULL corpus, the lang_id_nb replay), and
+    // the two dedup rounds (batch 2 against corpus ∪ batch-1 survivors,
+    // the dedup_incremental_grow shape). Final corpus = index ids.
+    "stream_crawl_pipeline" ->
+      """WITH u AS (SELECT doc_id, text FROM documents WHERE doc_id < 240),
+        |ex AS (SELECT doc_id,
+        |    CASE WHEN len(text) >= 80 THEN text ELSE '' END AS t FROM u),
+        |sig AS (SELECT doc_id, t,
+        |    CAST(CASE WHEN len(trim(t)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(t), '\s+')) END AS BIGINT)
+        |      AS n_words,
+        |    CASE WHEN len(trim(t)) = 0 THEN 0.0
+        |      ELSE len(regexp_replace(t, '\s+', '', 'g')) * 1.0
+        |        / len(string_split_regex(trim(t), '\s+')) END AS mwl,
+        |    CASE WHEN len(trim(t)) = 0 THEN 0.0
+        |      ELSE len(regexp_extract_all(t, '#|\.\.\.')) * 1.0
+        |        / len(string_split_regex(trim(t), '\s+')) END AS sym,
+        |    CASE WHEN len(trim(t)) = 0 THEN 0.0
+        |      ELSE len(list_filter(string_split_regex(lower(trim(t)), '\s+'),
+        |        w -> regexp_matches(w, '[a-z]'))) * 1.0
+        |        / len(string_split_regex(lower(trim(t)), '\s+')) END AS alpha,
+        |    len(list_filter(list_distinct(string_split_regex(lower(trim(t)), '\s+')),
+        |      w -> w IN ('the','be','to','of','and','that','have','with')))
+        |      AS n_stop,
+        |    list_filter(string_split(t, chr(10)), x -> len(trim(x)) > 0) AS ls
+        |  FROM ex),
+        |q AS (SELECT doc_id, t FROM sig
+        |  WHERE n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |    AND sym <= 0.1 AND alpha >= 0.8
+        |    AND coalesce(len(list_filter(ls,
+        |      x -> substring(trim(x), 1, 1) IN ('-','*','•'))) * 1.0
+        |      / nullif(len(ls), 0) <= 0.9, TRUE)
+        |    AND coalesce(len(list_filter(ls, x -> right(trim(x), 3) = '...'
+        |      OR right(trim(x), 1) = '…')) * 1.0
+        |      / nullif(len(ls), 0) <= 0.3, TRUE)
+        |    AND n_stop >= 1),
+        |nt AS (SELECT doc_id, lang,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang, list_concat(
+        |    list_transform(range(1, len(s) + 1), i -> substr(s, i, 1)),
+        |    list_transform(range(1, len(s)), i -> substr(s, i, 2))) AS gr
+        |  FROM nt),
+        |cnt AS (SELECT y, gram, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT lang AS y, unnest(gr) AS gram FROM g) GROUP BY y, gram),
+        |voc AS (SELECT CAST(count(DISTINCT gram) AS DOUBLE) AS v FROM cnt),
+        |tot AS (SELECT y, CAST(sum(c) AS DOUBLE) AS t FROM cnt GROUP BY y),
+        |cls AS (SELECT lang AS y, ln(CAST(count(*) AS DOUBLE)) -
+        |    ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)) AS prior
+        |  FROM documents GROUP BY lang),
+        |m AS (SELECT cnt.y, map(list(gram ORDER BY gram),
+        |      list(ln((c + 1) / (t + v)) ORDER BY gram)) AS mp,
+        |    min(ln(1 / (t + v))) AS oov
+        |  FROM cnt JOIN tot ON cnt.y = tot.y, voc GROUP BY cnt.y),
+        |gq AS (SELECT q.doc_id, g.gr FROM q JOIN g USING (doc_id)),
+        |sc AS (SELECT gq.doc_id, m.y AS cand,
+        |    CASE WHEN len(gq.gr) = 0 THEN cls.prior
+        |      ELSE list_reduce(list_transform(gq.gr, x -> coalesce(mp[x][1], oov)),
+        |        (a, b) -> a + b) + cls.prior END AS score
+        |  FROM gq CROSS JOIN m JOIN cls ON m.y = cls.y),
+        |ranked AS (SELECT doc_id, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM sc),
+        |routed AS (SELECT r1.doc_id FROM ranked r1
+        |  JOIN ranked r2 ON r1.doc_id = r2.doc_id AND r2.rn = 2
+        |  WHERE r1.rn = 1 AND r1.score - r2.score >= 2.0),
+        |sv AS (SELECT q.doc_id,
+        |    string_split(trim(q.t), ' ') AS w, q.t
+        |  FROM q JOIN routed USING (doc_id)),
+        |svs AS (SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh,
+        |    md5(regexp_replace(lower(trim(t)), '\s+', ' ', 'g')) AS fp
+        |  FROM sv),
+        |it AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w
+        |  FROM u WHERE doc_id % 2 = 0),
+        |idx0 AS (SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM it),
+        |b1 AS (SELECT * FROM svs WHERE doc_id < 120),
+        |b1x AS (
+        |  SELECT n.doc_id FROM b1 n WHERE n.fp IN (SELECT fp FROM idx0)
+        |  UNION
+        |  SELECT n.doc_id FROM b1 n JOIN idx0 o
+        |    ON len(list_distinct(list_intersect(n.sh, o.sh))) * 1.0 /
+        |       len(list_distinct(list_concat(n.sh, o.sh))) >= 0.5),
+        |b1s AS (SELECT * FROM b1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM b1x)),
+        |idx1 AS (SELECT doc_id, sh, fp FROM idx0
+        |  UNION ALL SELECT doc_id, sh, fp FROM b1s),
+        |b2 AS (SELECT * FROM svs WHERE doc_id >= 120),
+        |b2x AS (
+        |  SELECT n.doc_id FROM b2 n WHERE n.fp IN (SELECT fp FROM idx1)
+        |  UNION
+        |  SELECT n.doc_id FROM b2 n JOIN idx1 o
+        |    ON len(list_distinct(list_intersect(n.sh, o.sh))) * 1.0 /
+        |       len(list_distinct(list_concat(n.sh, o.sh))) >= 0.5),
+        |b2s AS (SELECT * FROM b2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM b2x))
+        |SELECT doc_id FROM it
+        |UNION ALL SELECT doc_id FROM b1s
+        |UNION ALL SELECT doc_id FROM b2s
+        |ORDER BY doc_id""".stripMargin,
 
     // The stream saw both sides in one micro-batch, so the emitted pairs
     // equal the batch interval join.
