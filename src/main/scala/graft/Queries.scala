@@ -3795,6 +3795,40 @@ object Queries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    "dedup_incremental_winnow" -> ((s, dir) => {
+      // Passage screening of a new crawl batch against the indexed
+      // corpus — the locality case global minhash structurally MISSES:
+      // every doc_id % 10 == 1 batch doc gets a 40-word passage QUOTED
+      // from its even neighbor (doc_id − 1) appended, which moves
+      // whole-set Jaccard by ~nothing, so dropAgainstIndex keeps the doc
+      // — and the winnow print set stored IN the index (winnowK = 5,
+      // shared ≥ w+k−1-word runs must collide by the SWA window-minima
+      // guarantee) flags it with its source, without re-reading any
+      // corpus text. Near-dup odds still drop in the minhash stage
+      // first; survivors carry (passage_src, passage_shared).
+      val path = java.nio.file.Files.createTempDirectory("graft_verify_incrw")
+        .toString + "/idx"
+      val d = read(s, dir, "documents")
+      Dedup.saveDedupIndex(d.filter(col("doc_id") % 2 === 0), "text",
+        "doc_id", path, winnowK = 5, winnowW = 4)
+      val evens = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("src_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 40), " ")
+            .as("quote"))
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .join(evens, col("doc_id") - 1 === col("src_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 1,
+            concat(col("text"), lit(" "), col("quote")))
+            .otherwise(col("text")).as("text"))
+      val kept = Dedup.dropAgainstIndex(batch, "text", "doc_id", path,
+        threshold = 0.5)
+      Dedup.flagPassagesAgainstIndex(kept, "text", "doc_id", path,
+          minShared = 2)
+        .select(col("doc_id"), col("passage_src"), col("passage_shared"))
+        .orderBy("doc_id")
+    }),
+
     "strip_repeated_windows" -> ((s, dir) => {
       // WITHIN-document repeated-span removal (Gopher's duplicated-content
       // cleaning): words covered by a 3-word window that already occurred
@@ -7855,6 +7889,73 @@ object Queries {
         |       len(list_distinct(list_concat(n.sh, o.sh))) >= 0.5)
         |SELECT doc_id FROM nw WHERE doc_id NOT IN (SELECT doc_id FROM excl)
         |ORDER BY doc_id""".stripMargin,
+
+    // The quote plant, the minhash keep set, and the winnow passage
+    // screen all replayed from scratch: k = 5 gram md5s, w = 4 window
+    // minima (the dedup_winnow replay), best corpus match by shared
+    // print count with the (count desc, id asc) tie-break.
+    "dedup_incremental_winnow" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |ev AS (SELECT doc_id AS src_id, text,
+        |    array_to_string((string_split(trim(text), ' '))[1:40], ' ') AS quote
+        |  FROM d WHERE doc_id % 2 = 0),
+        |od AS (SELECT o.doc_id,
+        |    CASE WHEN o.doc_id % 10 = 1 THEN o.text || ' ' || e.quote
+        |         ELSE o.text END AS text
+        |  FROM (SELECT doc_id, text FROM d WHERE doc_id % 2 = 1) o
+        |  LEFT JOIN ev e ON o.doc_id - 1 = e.src_id),
+        |nt AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM od),
+        |ns AS (SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM nt),
+        |ot AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w
+        |  FROM d WHERE doc_id % 2 = 0),
+        |os AS (SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM ot),
+        |excl AS (
+        |  SELECT n.doc_id FROM ns n WHERE n.fp IN (SELECT fp FROM os)
+        |  UNION
+        |  SELECT n.doc_id FROM ns n JOIN os o
+        |    ON len(list_distinct(list_intersect(n.sh, o.sh))) * 1.0 /
+        |       len(list_distinct(list_concat(n.sh, o.sh))) >= 0.5),
+        |kept AS (SELECT * FROM od
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM excl)),
+        |kh AS (SELECT doc_id, list_transform(
+        |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 3),
+        |        i -> array_to_string(list_slice(w, i, i + 4), ' ')) END,
+        |    g -> md5(g)) AS hs
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM kept)),
+        |kf AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(hs) - 3, 1) + 1),
+        |    i -> list_aggregate(list_slice(hs, i, i + 3), 'min')))) AS fp
+        |  FROM kh),
+        |ih AS (SELECT doc_id AS iid, list_transform(
+        |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 3),
+        |        i -> array_to_string(list_slice(w, i, i + 4), ' ')) END,
+        |    g -> md5(g)) AS hs
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM d
+        |        WHERE doc_id % 2 = 0)),
+        |idf AS (SELECT iid, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(hs) - 3, 1) + 1),
+        |    i -> list_aggregate(list_slice(hs, i, i + 3), 'min')))) AS fp
+        |  FROM ih),
+        |pairs AS (SELECT k.doc_id, i.iid, CAST(count(*) AS BIGINT) AS n
+        |  FROM kf k JOIN idf i ON k.fp = i.fp
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |best AS (SELECT doc_id, iid, n, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY n DESC, iid) AS rn FROM pairs)
+        |SELECT k.doc_id, b.iid AS passage_src,
+        |  CAST(coalesce(b.n, 0) AS BIGINT) AS passage_shared
+        |FROM kept k LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  ON k.doc_id = b.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
 
     // Hash-text window equivalence up to 2^-64 collisions (the repo-wide
     // convention); covered-position check is O(len²) list filtering — fine

@@ -828,18 +828,32 @@ object Dedup {
     * four call sites share it.
     */
   private def dedupState(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int, shingleLen: Int, withFp: Boolean = true): DataFrame = {
+      numHashes: Int, shingleLen: Int, withFp: Boolean = true,
+      winnow: Option[(Int, Int)] = None): DataFrame = {
     val words = split(trim(col(textCol)), "\\s+")
     val fp =
       if (withFp) Seq(graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
       else Nil
-    df.select((col(idCol).cast("long").as("id") +: fp) ++ Seq(
+    val base = df.select((col(idCol).cast("long").as("id") +: fp) ++ Seq(
       graft.functions.MinHashExpr.minhashSignature(words, shingleLen, numHashes).as("sig"),
       // Sorted: the merge-based LongSetJaccard verify kernel then never
       // pays its defensive per-pair sort (legacy unsorted indexes still
       // verify correctly — the kernel detects and sorts).
       sort_array(array_distinct(
-        graft.functions.MinHashExpr.shingleHashes(words, shingleLen))).as("sh")): _*)
+        graft.functions.MinHashExpr.shingleHashes(words, shingleLen))).as("sh")) ++
+      // Winnow gram hashes ride the SAME scan but in their own alias so
+      // the window-minima lambda below reads a bound array — inlined,
+      // every window would re-md5 every gram (the winnowFromHashes
+      // hazard, measured ~6×).
+      winnow.map { case (k, _) =>
+        transform(shingles(col(textCol), k), g => md5(g)).as("__whs")
+      }.toSeq: _*)
+    winnow match {
+      case None => base
+      case Some((_, w)) =>
+        base.withColumn("wfp", winnowFromHashes(col("__whs"), w))
+          .drop("__whs")
+    }
   }
 
   /** Persist a dedup index for INCREMENTAL corpus growth: per doc, the
@@ -850,15 +864,27 @@ object Dedup {
     * (16 B + numHashes×8 B + shingles×8 B)-per-doc table.
     */
   def saveDedupIndex(df: DataFrame, textCol: String, idCol: String, path: String,
-      numHashes: Int = 64, shingleLen: Int = 3): Unit = {
-    dedupState(df, textCol, idCol, numHashes, shingleLen)
+      numHashes: Int = 64, shingleLen: Int = 3,
+      winnowK: Int = 0, winnowW: Int = 4): Unit = {
+    require(winnowK >= 0 && winnowW >= 1,
+      s"saveDedupIndex: winnowK $winnowK must be >= 0 (0 = off) and " +
+        s"winnowW $winnowW >= 1")
+    val winnow = if (winnowK > 0) Some((winnowK, winnowW)) else None
+    dedupState(df, textCol, idCol, numHashes, shingleLen, winnow = winnow)
       .write.mode("overwrite").parquet(s"$path/docs")
     // The signature/shingle parameters are part of the index format: a
     // reader recomputing them with different values would silently kill
     // recall (stale signature slots, incomparable shingle sets), so they
-    // ride a sidecar and the reader derives them from it.
+    // ride a sidecar and the reader derives them from it. winnowK > 0
+    // additionally stores each doc's winnowing fingerprint set, so a new
+    // crawl batch can be screened for shared PASSAGES (quotes,
+    // plagiarized runs — the locality class global minhash structurally
+    // misses) against the corpus without re-reading its text
+    // ([[flagPassagesAgainstIndex]]).
     graft.core.MetaIo.write(df.sparkSession, s"$path/meta.json",
-      s"""{"numHashes":$numHashes,"shingleLen":$shingleLen}""")
+      s"""{"numHashes":$numHashes,"shingleLen":$shingleLen""" +
+        (if (winnowK > 0) s""","winnowK":$winnowK,"winnowW":$winnowW}"""
+         else "}"))
     // A rebuild supersedes any interrupted append — clear its dangling mark.
     graft.core.BatchCommit.clearMark(df.sparkSession, path)
   }
@@ -887,6 +913,10 @@ object Dedup {
       s"appendToDedupIndex: onExistingIds must be error|drop, got $onExistingIds")
     val spark = df.sparkSession
     val (numHashes, shingleLen, _) = indexParams(spark, path, bands = 1)
+    // Winnow params from the sidecar: an append to a winnow-carrying
+    // index MUST carry the same fingerprint column or passage screening
+    // silently loses the appended docs.
+    val winnow = indexWinnowParams(spark, path)
     if (df.isEmpty) return
     // Token over the RAW batch ids — an index-dependent filter would
     // re-token a recovery replay and defeat the crash recovery.
@@ -921,10 +951,85 @@ object Dedup {
               .select(col("id").as("__eid")),
               col(idCol).cast("long") === col("__eid"), "left_anti")
           else df
-        dedupState(batch, textCol, idCol, numHashes, shingleLen)
+        dedupState(batch, textCol, idCol, numHashes, shingleLen,
+            winnow = winnow)
           .write.mode("overwrite").parquet(staging)
       },
       updateSidecar = _ => ())
+  }
+
+  /** Winnow fingerprint parameters of a saved index, if it carries the
+    * passage-screening column (absent on pre-winnow indexes).
+    */
+  private[graft] def indexWinnowParams(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Int, Int)] = {
+    val meta = graft.core.MetaIo.parse(
+      graft.core.MetaIo.read(spark, s"$path/meta.json"))
+    val k = meta.path("winnowK").intValue()
+    if (k > 0) Some((k, meta.path("winnowW").intValue())) else None
+  }
+
+  /** Screen a new batch for shared PASSAGES against an indexed corpus —
+    * the locality class global minhash structurally misses (a 40-word
+    * quoted run inside two otherwise-different documents moves Jaccard
+    * by ~nothing): per batch doc, the best-matching corpus doc by shared
+    * winnowing fingerprints. The index must have been saved with
+    * `winnowK > 0`; the corpus text is never re-read — only the stored
+    * print sets. Scale shape follows [[winnowPairs]]: explode ONLY
+    * fingerprints, aggregate per-print document frequencies on BOTH
+    * sides first, and refuse loudly when the exact batch×index candidate
+    * count Σ_fp dfB·dfI exceeds `maxCandidatePairs` (corpus-wide
+    * boilerplate fans out quadratically and must be surfaced).
+    *
+    * Returns `df` + `passage_src` (the matching corpus id with the most
+    * shared prints; ties → smallest id; null when no doc shares ≥
+    * `minShared`) + `passage_shared` (that count, 0 when none).
+    */
+  def flagPassagesAgainstIndex(df: DataFrame, textCol: String, idCol: String,
+      path: String, minShared: Int = 2,
+      maxCandidatePairs: Long = 2_000_000_000L): DataFrame = {
+    require(minShared >= 1,
+      s"flagPassagesAgainstIndex: minShared $minShared must be >= 1")
+    val spark = df.sparkSession
+    graft.core.BatchCommit.requireClean(spark, path, "dedup index")
+    val (_, _, _) = indexParams(spark, path, bands = 1)
+    val winnow = indexWinnowParams(spark, path)
+    require(winnow.isDefined,
+      s"flagPassagesAgainstIndex: the index at $path carries no winnow " +
+        "fingerprints — rebuild it with saveDedupIndex(..., winnowK > 0)")
+    val (k, w) = winnow.get
+    val batchFps = graft.core.Persist.stage(parallelize(df)
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("__bid"),
+        transform(shingles(col(textCol), k), g => md5(g)).as("__hs"))
+      .select(col("__bid"), explode(winnowFromHashes(col("__hs"), w)).as("__fp")))
+    val idxFps = graft.core.BatchCommit.readData(spark, path, "docs")
+      .select(col("id").as("__iid"), explode(col("wfp")).as("__fp"))
+    // Exact candidate budget BEFORE the join (the fuzzy-join convention):
+    // per-print batch-df × index-df, summed. One narrow aggregate join
+    // over the two bounded df tables.
+    val budget = batchFps.groupBy("__fp").agg(count(lit(1)).as("__db"))
+      .join(idxFps.groupBy("__fp").agg(count(lit(1)).as("__di")), Seq("__fp"))
+      .agg(coalesce(sum(col("__db") * col("__di")), lit(0L)))
+      .head().getLong(0)
+    if (budget > maxCandidatePairs) throw new IllegalStateException(
+      s"flagPassagesAgainstIndex: fingerprints fan out to $budget " +
+        s"batch×index candidate pairs (> maxCandidatePairs = " +
+        s"$maxCandidatePairs) — corpus-wide boilerplate dominates; strip " +
+        "it first (stripSharedWindows), raise winnowK/winnowW, or raise " +
+        "maxCandidatePairs deliberately")
+    val best = batchFps.join(idxFps, Seq("__fp"))
+      .groupBy("__bid", "__iid").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minShared)
+      .groupBy("__bid").agg(
+        min_by(col("__iid"),
+          struct((lit(0L) - col("__n")).as("negn"), col("__iid")))
+          .as("passage_src"),
+        max(col("__n")).as("passage_shared"))
+    df.join(best, col(idCol).cast("long") === col("__bid"), "left")
+      .drop("__bid")
+      .withColumn("passage_shared", coalesce(col("passage_shared"), lit(0L)))
   }
 
   /** Drop rows of `df` that duplicate the indexed corpus, exactly

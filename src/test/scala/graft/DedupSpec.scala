@@ -17,6 +17,58 @@ class DedupSpec extends SparkSpec {
     (base ++ dups).toDF("doc_id", "text")
   }
 
+  test("flagPassagesAgainstIndex: the 40-in-400-word quote is INVISIBLE " +
+      "to minhash screening and flagged by the stored winnow prints " +
+      "with its exact source; pre-winnow indexes refuse loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_winnow_idx")
+      .toString + "/idx"
+    // Corpus: 5 long docs (400 words each). Batch: doc 100 quotes a
+    // 40-word passage from corpus doc 2 inside its own 360 fresh words;
+    // doc 101 is entirely fresh.
+    val corpusDocs = (0 until 5).map(i =>
+      (i.toLong, (0 until 400).map(j => s"c${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val passage = (150 until 190).map(j => s"c2_$j").mkString(" ")
+    val batch = Seq(
+      (100L, (0 until 180).map(j => s"n0_$j").mkString(" ") + " " + passage +
+        " " + (180 until 360).map(j => s"n0_$j").mkString(" ")),
+      (101L, (0 until 400).map(j => s"n1_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.saveDedupIndex(corpusDocs, "text", "doc_id", tmp,
+      winnowK = 5, winnowW = 4)
+    // Minhash/fp screening keeps BOTH batch docs (the quote moves
+    // whole-set Jaccard to ~40/760 — far under any useful threshold).
+    val kept = Dedup.dropAgainstIndex(batch, "text", "doc_id", tmp,
+      threshold = 0.5)
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(100L, 101L))
+    val flagged = Dedup.flagPassagesAgainstIndex(kept, "text", "doc_id", tmp)
+      .select("doc_id", "passage_src", "passage_shared")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toMap
+    assert(flagged(100L)._1.contains(2L), s"quote not attributed: $flagged")
+    // SWA guarantee: a shared run of >= w+k-1 = 8 words yields >= 1
+    // shared print; a 40-word run yields many.
+    assert(flagged(100L)._2 >= 2L)
+    assert(flagged(101L)._1.isEmpty && flagged(101L)._2 == 0L)
+    // Appends inherit the winnow column from the sidecar: after doc 101
+    // joins the index, a fresh batch quoting IT gets flagged too.
+    Dedup.appendToDedupIndex(
+      kept.filter(col("doc_id") === 101L), "text", "doc_id", tmp)
+    val quote101 = (100 until 140).map(j => s"n1_$j").mkString(" ")
+    val batch2 = Seq((200L, (0 until 300).map(j => s"m_$j").mkString(" ") +
+      " " + quote101)).toDF("doc_id", "text")
+    val f2 = Dedup.flagPassagesAgainstIndex(batch2, "text", "doc_id", tmp)
+      .select("passage_src").head()
+    assert(!f2.isNullAt(0) && f2.getLong(0) == 101L)
+    // An index saved WITHOUT winnow prints refuses passage screening.
+    val plain = java.nio.file.Files.createTempDirectory("graft_plain_idx")
+      .toString + "/idx"
+    Dedup.saveDedupIndex(corpusDocs, "text", "doc_id", plain)
+    val e = intercept[IllegalArgumentException](
+      Dedup.flagPassagesAgainstIndex(batch, "text", "doc_id", plain))
+    assert(e.getMessage.contains("winnow"), e.getMessage)
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val pairs = Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.5)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
