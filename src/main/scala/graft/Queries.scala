@@ -4125,6 +4125,28 @@ object Queries {
         .orderBy(col("anchor_id"), col("score").desc, col("neg_id"))
     }),
 
+    "embed_hard_negatives_ivf_auto" -> ((s, dir) => {
+      // The recall-aware AUTO probe tier (nProbe = 0, the minhashPairs
+      // bands-=-0 convention) live end to end: the cheapest tier whose
+      // sampled fetch recall meets targetRecall = 1.0 runs the mining.
+      // The tier choice is deterministic (lowest-id anchor sample,
+      // exact per-tier recall at the real geometry), and at full sampled
+      // recall the fetched candidates reproduce the exhaustive top-40
+      // for every anchor on this corpus — so the SAME exhaustive oracle
+      // applies. Pins the decision machinery: tier table, cheapest-pick,
+      // the route at the picked tier.
+      val e = read(s, dir, "embeddings")
+        .withColumnRenamed("embedding", graft.operators.EmbedOps.vecCol("emb"))
+        .withColumn("label", col("vec_id") % 3)
+      val (indexed, model) = graft.embed.IvfIndex.build(e, "emb", nCells = 8)
+      graft.operators.EmbedOps.hardNegativesIvf(
+          e.filter(col("vec_id") < 20), indexed, model, "emb", "vec_id",
+          "label", k = 3, nFetch = 40, targetRecall = 1.0)
+        .select(col("anchor_id"), col("neg_id"), col("neg_label"),
+          round(col("_score"), 3).as("score"))
+        .orderBy(col("anchor_id"), col("score").desc, col("neg_id"))
+    }),
+
     "url_dedup" -> ((s, dir) => {
       // URL canonicalization + dedup — the FIRST dedup key of a crawl
       // pipeline (before any content pass): raw URLs are synthesized
@@ -7394,6 +7416,27 @@ object Queries {
     // the FULL corpus (exhaustive probes; self-hit included), then the
     // label filter, then top-3 — both stages tie-broken on the id.
     "embed_hard_negatives_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding, vec_id % 3 AS label FROM embeddings),
+        |st1 AS (
+        |  SELECT a.vec_id AS anchor_id, a.label AS al, b.vec_id AS neg_id,
+        |    b.label AS neg_label,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) AS s
+        |  FROM (SELECT * FROM e WHERE vec_id < 20) a CROSS JOIN e b
+        |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 40)
+        |SELECT anchor_id, neg_id, neg_label, round(s, 3) AS score
+        |FROM st1 WHERE neg_label <> al
+        |QUALIFY row_number() OVER (PARTITION BY anchor_id
+        |  ORDER BY s DESC, neg_id) <= 3
+        |ORDER BY anchor_id, score DESC, neg_id""".stripMargin,
+
+    // The auto tier runs at sampled fetch-recall 1.0, so its candidate
+    // set reproduces the exhaustive top-40 per anchor on this corpus —
+    // the identical two-stage replay.
+    "embed_hard_negatives_ivf_auto" ->
       """WITH e AS (
         |  SELECT vec_id, embedding, vec_id % 3 AS label FROM embeddings),
         |st1 AS (

@@ -291,19 +291,78 @@ object EmbedOps {
     * and engine-replayable (the gate's configuration). Ties break on
     * the index id at both stages.
     */
+  /** The cheapest probe tier whose MEASURED fetch recall (recall@`nFetch`
+    * vs the exact top-`nFetch`, averaged over a deterministic sample of
+    * the anchors — [[graft.embed.IvfIndex.recallReport]]) meets
+    * `targetRecall` — the [[hardNegativesIvf]] auto decision standalone,
+    * the `Dedup.autoBands` / [[recommendCellProbes]] convention. Tiers
+    * default to powers of two up to nCells; the exhaustive tier is
+    * always offered (recall 1.0 by definition), and when no PARTIAL tier
+    * measures up the fall-through to it is logged loudly — the report is
+    * sampled, so a caller needing guaranteed recall must probe every
+    * cell. Returns (probes, measured recall at them).
+    */
+  def recommendProbesForFetch(indexed: DataFrame,
+      model: graft.embed.IvfIndex.IvfModel, on: String, anchors: DataFrame,
+      idCol: String, nFetch: Int, targetRecall: Double = 0.95,
+      sampleQueries: Int = 16, probeTiers: Seq[Int] = Nil): (Int, Double) = {
+    require(sampleQueries >= 1,
+      s"recommendProbesForFetch: sampleQueries $sampleQueries must be >= 1")
+    val tiers0 =
+      if (probeTiers.nonEmpty) probeTiers
+      else Iterator.iterate(1)(_ * 2).takeWhile(_ < model.nCells).toSeq
+    val tiers = (tiers0.filter(t => t >= 1 && t < model.nCells) :+
+      model.nCells).distinct.sorted
+    // Deterministic sample: the lowest-id anchors (content-independent,
+    // but the anchors ARE the query distribution — sampling them is the
+    // point; a certify rerun sees the same probes).
+    val qs = semIndex(anchors, on)
+      .select(col(idCol).cast("long").as("__id"), col(vecCol(on)).as("__v"))
+      .orderBy(col("__id")).limit(sampleQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(qs.nonEmpty, "recommendProbesForFetch: no anchors to sample")
+    val byTier = graft.embed.IvfIndex.recallReport(indexed, model, on,
+        qs.toSeq, k = nFetch, nProbes = tiers, idCol = idCol)
+      .groupBy("n_probe").agg(avg("recall").as("r"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    val picked = byTier.find(_._2 >= targetRecall).getOrElse {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"recommendProbesForFetch: no partial tier of ${tiers.mkString(",")}" +
+          s" reached targetRecall=$targetRecall on the $sampleQueries-anchor" +
+          " sample — falling through to the exhaustive tier " +
+          s"(nProbe=${model.nCells})")
+      byTier.last
+    }
+    // The decision trace rides the log (the neardup auto-tier
+    // convention) so a scale run records WHICH tier mined.
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"recommendProbesForFetch: nProbe=${picked._1} of nCells=" +
+        s"${model.nCells} (sampled recall@$nFetch=${picked._2} over " +
+        s"${qs.length} anchors, target $targetRecall)")
+    picked
+  }
+
   def hardNegativesIvf(anchors: DataFrame, indexed: DataFrame,
       model: graft.embed.IvfIndex.IvfModel, on: String, idCol: String,
-      labelCol: String, k: Int, nFetch: Int, nProbe: Int,
-      scoreCol: String = "_score"): DataFrame = {
+      labelCol: String, k: Int, nFetch: Int, nProbe: Int = 0,
+      scoreCol: String = "_score",
+      targetRecall: Double = 0.95): DataFrame = {
     require(k >= 1 && nFetch >= k,
       s"hardNegativesIvf: need nFetch >= k >= 1, got k=$k nFetch=$nFetch")
+    // nProbe = 0 → the recall-aware auto tier (the minhashPairs
+    // bands-=-0 convention): cheapest sampled-recall tier meeting
+    // targetRecall, measured at THIS nFetch over these anchors.
+    val probes =
+      if (nProbe > 0) nProbe
+      else recommendProbesForFetch(indexed, model, on, anchors, idCol,
+        nFetch, targetRecall)._1
     val v = vecCol(on)
     val q = semIndex(anchors, on)
       .select(col(idCol).as("__q_id"), col(v).as("__q_vec"),
         col(labelCol).as("__q_label"))
     val fetched = graft.embed.IvfIndex.searchBatch(indexed, model, on,
       q.select("__q_id", "__q_vec"), "__q_id", "__q_vec",
-      k = nFetch, nProbe = nProbe, scoreCol = scoreCol,
+      k = nFetch, nProbe = probes, scoreCol = scoreCol,
       tieBreak = Seq(col(idCol)))
     fetched
       .join(broadcast(q.select(col("__q_id").as("__q_id2"),

@@ -29,6 +29,34 @@ class IvfSpec extends SparkSpec {
     assert(cells.forall(c => c >= 0 && c < 8))
   }
 
+  test("recommendProbesForFetch picks a PARTIAL tier on clustered data " +
+      "and hardNegativesIvf's auto route reproduces the exhaustive " +
+      "mining with full over-fetch delivery") {
+    val labeled = vecs.withColumn("label", col("id") % 3)
+    val (indexed, model) = IvfIndex.build(labeled, "emb", nCells = 8, seed = 7)
+    val anchors = labeled.filter(col("id") < 6)
+    // Each anchor's exact top-10 lives inside its own directional
+    // cluster — one probed cell recovers it, so the cheapest tier
+    // meeting targetRecall = 1.0 must be strictly partial.
+    val (probes, recall) = EmbedOps.recommendProbesForFetch(
+      indexed, model, "emb", anchors, "id", nFetch = 10, targetRecall = 1.0)
+    assert(probes < model.nCells, s"expected a partial tier, got $probes")
+    assert(recall == 1.0, s"measured recall $recall")
+    def mine(np: Int) = EmbedOps.hardNegativesIvf(
+        anchors, indexed, model, "emb", "id", "label",
+        k = 3, nFetch = 10, nProbe = np, targetRecall = 1.0)
+      .select("anchor_id", "neg_id", "neg_label")
+      .as[(Long, Long, Long)].collect().toSet
+    val auto = mine(0) // nProbe = 0 → the recommended tier
+    assert(auto == mine(model.nCells),
+      "auto tier diverged from exhaustive mining")
+    // Over-fetch sufficiency at the recommended tier: every anchor
+    // receives its full k negatives.
+    val perAnchor = auto.groupBy(_._1).view.mapValues(_.size).toMap
+    assert((0L until 6L).forall(perAnchor.get(_).contains(3)), perAnchor)
+    auto.foreach { case (a, _, nl) => assert(nl != a % 3) }
+  }
+
   test("search with nProbe = nCells equals exact brute-force top-k") {
     val (indexed, model) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
     val qv = vecs.filter($"id" === 3).select(EmbedOps.vecCol("emb")).as[Seq[Float]].head()
