@@ -122,10 +122,16 @@ object IvfIndex {
 
   /** Recall@k per probe tier against the exact top-k — the tuning table
     * for the recall/IO trade (how many of the nCells cell-partitions must
-    * a query actually read?). Queries are a handful of driver-side probe
-    * vectors (a tuning run, not a data-scale path); each tier is one
-    * pruned search job. Returns (query_id, n_probe, recall) with recall
-    * ≡ 1.0 guaranteed at nProbe = nCells.
+    * a query actually read?). ONE distributed job answers EVERY
+    * (query, tier) cell: the exhaustive top-k is computed per query with
+    * each hit's CELL retained, and an exact-top-k member appears in the
+    * tier-t result iff its cell is among the query's first t probed
+    * cells — anything that outranks it among tier-t candidates also
+    * outranks it globally, and fewer than k such rows exist. (The
+    * previous form scheduled |queries| × |tiers| sequential pruned
+    * search jobs — ~12 s of driver-side job latency on a ×30 tuning run
+    * that this one job answers identically.) Returns
+    * (query_id, n_probe, recall), recall ≡ 1.0 at nProbe ≥ nCells.
     */
   def recallReport(indexed: DataFrame, model: IvfModel, c: String,
       queries: Seq[(Long, Seq[Float])], k: Int, nProbes: Seq[Int],
@@ -133,20 +139,32 @@ object IvfIndex {
     require(queries.nonEmpty && nProbes.nonEmpty,
       "recallReport: need at least one query and one probe tier")
     val spark = indexed.sparkSession
-    def topIds(qv: Seq[Float], np: Int): Set[Any] =
-      search(indexed, model, c, qv, k, nProbe = np,
-          tieBreak = Seq(col(idCol)))
-        .select(idCol).collect().map(_.get(0)).toSet
+    import spark.implicits._
+    val v = EmbedOps.vecCol(c)
+    require(indexed.columns.contains(v),
+      s"recallReport: frame lacks $v — tune on a raw-vector index")
+    val qdf = queries.toDF("__qid", "__qv")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid"))
+      .orderBy(col("__s").desc, col(idCol))
+    val hits = indexed
+      .select(col(idCol), col(cellCol), col(v))
+      .crossJoin(broadcast(qdf))
+      .withColumn("__s", EmbedOps.cosineSim(col(v), col("__qv")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col("__qid"), col(cellCol))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val out = for ((qid, qv) <- queries) yield {
-      val exact = topIds(qv, model.nCells)
+      // The query's probe order over the SAME ranking search() uses.
+      val rankOf = model.rankCells(qv).zipWithIndex.toMap
+      val cells = hits.getOrElse(qid, Array.empty[Int])
+      val n = math.max(1, cells.length)
       nProbes.sorted.map { np =>
-        // An exhaustive tier IS the exact set — recall 1.0 by definition,
-        // no second search job.
-        val got = if (np >= model.nCells) exact else topIds(qv, np)
-        (qid, np, got.intersect(exact).size.toDouble / math.max(1, exact.size))
+        (qid, np, cells.count(cl => rankOf(cl) < np).toDouble / n)
       }
     }
-    import spark.implicits._
     out.flatten.toDF("query_id", "n_probe", "recall")
   }
 
