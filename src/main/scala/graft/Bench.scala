@@ -131,16 +131,15 @@ object Bench {
     val passPart =
       if (o.passTotals.isEmpty) ""
       else s""","pass_totals":${o.passTotals.mkString("[", ",", "]")}"""
-    val diagPart =
-      if (diag.isEmpty) ""
-      else diag.toSeq.sortBy(_._1)
+    val diagPart = {
+      val scalars = diag.toSeq.sortBy(_._1)
         .map { case (k, v) => graft.core.Jsons.str(k) + ":" + v }
-        .mkString(",", ",", "") +
-        diagLists.toSeq.sortBy(_._1).filter(_._2.nonEmpty)
-          .map { case (k, vs) =>
-            graft.core.Jsons.str(k) + ":" + vs.mkString("[", ",", "]")
-          }.mkString(if (diagLists.valuesIterator.exists(_.nonEmpty)) "," else "",
-            ",", "")
+      val lists = diagLists.toSeq.sortBy(_._1).filter(_._2.nonEmpty)
+        .map { case (k, vs) =>
+          graft.core.Jsons.str(k) + ":" + vs.mkString("[", ",", "]") }
+      val all = scalars ++ lists
+      if (all.isEmpty) "" else all.mkString(",", ",", "")
+    }
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${o.errors.size},"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter$passPart$diagPart}"""
   }
 
@@ -173,12 +172,12 @@ object Bench {
       "metaspace_mb" -> metaspaceUsedMb(),
       "n_queries" -> names.size.toLong)
     // Per-invocation estimator wall-millis from the auto-band gates (in
-    // call order across passes) — the estimator/route cost split.
-    val pickBands = {
-      import scala.jdk.CollectionConverters._
-      graft.operators.Dedup.pickBandsMs.iterator().asScala
-        .map(_.longValue()).toSeq
-    }
+    // call order across passes) — the estimator/route cost split. DRAINED
+    // (poll, not iterate): a second render in the same JVM must report
+    // its own run's invocations, not replay this one's.
+    val pickBands = Iterator
+      .continually(graft.operators.Dedup.pickBandsMs.poll())
+      .takeWhile(_ != null).map(_.longValue()).toSeq
     val json = renderJson(outcome, sfDir, passes, loadBefore, loadAvg(), diag,
       Map("pickbands_ms" -> pickBands))
     println(json)

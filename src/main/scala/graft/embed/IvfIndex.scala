@@ -41,9 +41,20 @@ object IvfIndex {
   private def cosine(a: Array[Float], b: Array[Float]): Double = {
     require(a.length == b.length,
       s"IVF dimension mismatch: query dim ${a.length} vs centroid dim ${b.length}")
+    // Products promoted to Double BEFORE the multiply — the exact op
+    // shape of the ProbeCells kernel (searchBatch's ranking). A
+    // Float×Float product rounded to Float first can order two
+    // near-tied centroids differently, silently desynchronizing
+    // search()'s probe set (and recallReport's tier math) from the
+    // batch path's.
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i)
+      na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i)
+      i += 1
+    }
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0) 0.0 else dot / denom
   }
@@ -141,8 +152,27 @@ object IvfIndex {
     val spark = indexed.sparkSession
     import spark.implicits._
     val v = EmbedOps.vecCol(c)
-    require(indexed.columns.contains(v),
-      s"recallReport: frame lacks $v — tune on a raw-vector index")
+    if (!indexed.columns.contains(v)) {
+      // Quantized (SQ8) index: the batched raw-vector scorer can't run —
+      // keep the per-(query, tier) pruned-search form search() already
+      // supports for codes columns (a tuning run over a handful of
+      // probes; the one-job fast path needs the raw vectors).
+      require(indexed.columns.contains(Quantize.codesCol(c)),
+        s"recallReport: frame has neither $v nor ${Quantize.codesCol(c)}")
+      def topIds(qv: Seq[Float], np: Int): Set[Any] =
+        search(indexed, model, c, qv, k, nProbe = np,
+            tieBreak = Seq(col(idCol)))
+          .select(idCol).collect().map(_.get(0)).toSet
+      val out = for ((qid, qv) <- queries) yield {
+        val exact = topIds(qv, model.nCells)
+        nProbes.sorted.map { np =>
+          val got = if (np >= model.nCells) exact else topIds(qv, np)
+          (qid, np,
+            got.intersect(exact).size.toDouble / math.max(1, exact.size))
+        }
+      }
+      return out.flatten.toDF("query_id", "n_probe", "recall")
+    }
     val qdf = queries.toDF("__qid", "__qv")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__qid"))

@@ -283,15 +283,16 @@ object LookupExprs {
     * log-likelihood accumulates `ln p` LEFT-TO-RIGHT with `prev = bos`
     * at position 0 — the float-op shape a SQL oracle replays position by
     * position. Returns struct(ll = Σ ln p, n = token count); an empty
-    * array is (0.0, 0). λ ∈ (0, 1] and α > 0 keep the argument of ln
-    * strictly positive.
+    * array is (0.0, 0). λ ∈ (0, 1) and α > 0 keep the argument of ln
+    * strictly positive even for an unseen bigram.
     */
   case class BigramLmScore(child: Expression, vocab: Map[String, Int],
       uniProb: Array[Double], bigramPml: Map[Long, Double],
       lambda: Double, bosId: Int)
       extends UnaryExpression with CodegenFallback {
-    require(lambda > 0 && lambda <= 1,
-      s"bigram_lm_score: lambda $lambda must be in (0, 1]")
+    require(lambda > 0 && lambda < 1,
+      s"bigram_lm_score: lambda $lambda must be in (0, 1) — at 1 an " +
+        "unseen bigram in scored text makes ln's argument 0")
     override def dataType: DataType = StructType(Seq(
       StructField("ll", DoubleType, nullable = false),
       StructField("n", IntegerType, nullable = false)))
@@ -393,9 +394,10 @@ object LookupExprs {
       trigramPml: Map[Long, Double], lambda1: Double, lambda2: Double,
       bosId: Int)
       extends UnaryExpression with CodegenFallback {
-    require(lambda1 > 0 && lambda1 <= 1 && lambda2 > 0 && lambda2 < 1,
-      s"trigram_lm_score: lambda1 $lambda1 must be in (0, 1] and " +
-        s"lambda2 $lambda2 in (0, 1) so ln's argument stays positive")
+    require(lambda1 > 0 && lambda1 < 1 && lambda2 > 0 && lambda2 < 1,
+      s"trigram_lm_score: lambda1 $lambda1 and lambda2 $lambda2 must " +
+        "both be in (0, 1) so ln's argument stays positive even when " +
+        "both ML terms are unseen")
     override def dataType: DataType = StructType(Seq(
       StructField("ll", DoubleType, nullable = false),
       StructField("n", IntegerType, nullable = false)))

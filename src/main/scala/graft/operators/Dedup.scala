@@ -367,13 +367,16 @@ object Dedup {
     * (insufficient) recall.
     */
   /** Per-JVM diagnostic trail: wall-millis of each [[pickBands]] run, in
-    * call order. Bench drains this into its JSON record so a cross-round
-    * read can split "estimator" from "banded route" cost inside the auto
-    * gates — the r12 `dedup_minhash_auto` 3.5–11 s variance question was
-    * unanswerable without the split.
+    * call order, BOUNDED at the newest [[pickBandsMsCap]] entries (a
+    * long-lived service calling auto-band dedup forever must not grow a
+    * queue node per call). Bench DRAINS it (poll) into its JSON record so
+    * a cross-round read can split "estimator" from "banded route" cost
+    * inside the auto gates — the r12 `dedup_minhash_auto` 3.5–11 s
+    * variance question was unanswerable without the split.
     */
   private[graft] val pickBandsMs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
+  private[graft] val pickBandsMsCap = 1024
 
   private[graft] def pickBands(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int, tiers: Seq[Int], shingleLen: Int,
@@ -382,7 +385,10 @@ object Dedup {
     val __t0 = System.nanoTime()
     try pickBandsImpl(df, textCol, idCol, threshold, numHashes, tiers,
       shingleLen, sampleSize, targetRecall, excludeExact)
-    finally pickBandsMs.add((System.nanoTime() - __t0) / 1000000L)
+    finally {
+      pickBandsMs.add((System.nanoTime() - __t0) / 1000000L)
+      while (pickBandsMs.size > pickBandsMsCap) pickBandsMs.poll()
+    }
   }
 
   private def pickBandsImpl(df: DataFrame, textCol: String, idCol: String,

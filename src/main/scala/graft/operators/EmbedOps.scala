@@ -325,13 +325,17 @@ object EmbedOps {
         qs.toSeq, k = nFetch, nProbes = tiers, idCol = idCol)
       .groupBy("n_probe").agg(avg("recall").as("r"))
       .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
-    val picked = byTier.find(_._2 >= targetRecall).getOrElse {
+    // The target search runs over PARTIAL tiers only — the exhaustive
+    // tier measures 1.0 by definition and would satisfy any target
+    // silently; landing on it must be the LOUD branch, not a quiet find.
+    val (partialTiers, exhaustive) = byTier.partition(_._1 < model.nCells)
+    val picked = partialTiers.find(_._2 >= targetRecall).getOrElse {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"recommendProbesForFetch: no partial tier of ${tiers.mkString(",")}" +
           s" reached targetRecall=$targetRecall on the $sampleQueries-anchor" +
           " sample — falling through to the exhaustive tier " +
           s"(nProbe=${model.nCells})")
-      byTier.last
+      exhaustive.last
     }
     // The decision trace rides the log (the neardup auto-tier
     // convention) so a scale run records WHICH tier mined.

@@ -116,8 +116,9 @@ object NgramLm {
       maxVocabEntries: Int = 1 << 18,
       maxBigramEntries: Int = 1 << 21): BigramLM = {
     require(alpha > 0, s"fitBigramLM: alpha $alpha must be > 0")
-    require(lambda > 0 && lambda <= 1,
-      s"fitBigramLM: lambda $lambda must be in (0, 1]")
+    require(lambda > 0 && lambda < 1,
+      s"fitBigramLM: lambda $lambda must be in (0, 1) — at 1 the unigram " +
+        "floor vanishes and an UNSEEN bigram in scored text is ln 0")
     require(minCount >= 1 && minBigramCount >= 1,
       s"fitBigramLM: minCount/minBigramCount must be >= 1")
     val spark = df.sparkSession
@@ -128,17 +129,21 @@ object NgramLm {
       .select(explode(tokensOf(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n")))
-    val totRow = aggU.agg(coalesce(sum(col("n")), lit(0L))).head()
-    val nTokens = totRow.getLong(0)
-    require(nTokens > 0, "fitBigramLM: corpus has no tokens")
-    val keptU = aggU.filter(col("n") >= minCount)
-    val vocabSize = keptU.limit(maxVocabEntries + 1).count()
-    require(vocabSize <= maxVocabEntries,
-      s"fitBigramLM: vocabulary has > $maxVocabEntries entries (bound) — " +
-        "the model rides every scoring task as a plan literal; raise " +
-        "minCount to shrink it, or raise maxVocabEntries deliberately")
-    val uniCounts = keptU.collect().map(r => (r.getString(0), r.getLong(1)))
-    graft.core.Persist.unstage(spark, blocksU)
+    // unstage in finally: the bounds below THROW by design on web-scale
+    // tables, and the throwing path must not leave the staged aggregate
+    // pinned for the session's lifetime.
+    val (uniCounts, nTokens) = try {
+      val totRow = aggU.agg(coalesce(sum(col("n")), lit(0L))).head()
+      val nTok = totRow.getLong(0)
+      require(nTok > 0, "fitBigramLM: corpus has no tokens")
+      val keptU = aggU.filter(col("n") >= minCount)
+      val vocabSize = keptU.limit(maxVocabEntries + 1).count()
+      require(vocabSize <= maxVocabEntries,
+        s"fitBigramLM: vocabulary has > $maxVocabEntries entries (bound) — " +
+          "the model rides every scoring task as a plan literal; raise " +
+          "minCount to shrink it, or raise maxVocabEntries deliberately")
+      (keptU.collect().map(r => (r.getString(0), r.getLong(1))), nTok)
+    } finally graft.core.Persist.unstage(spark, blocksU)
     // Deterministic ids: token-sorted. (Ids are engine-internal — only
     // the probabilities reach an oracle.)
     val sortedU = uniCounts.sortBy(_._1)
@@ -157,22 +162,23 @@ object NgramLm {
       .select(explode(graft.functions.LookupExprs.bigramKeyCounts(
         tokensOf(col(textCol)), vocab, v, v + 1)).as(Seq("key", "cnt")))
       .groupBy("key").agg(sum(col("cnt")).as("n")))
-    // TRUE continuation totals per prev (≤ V+2 rows — collect is safe),
-    // summed over ALL bigram types before the minBigramCount filter.
-    val prevTot = aggB.groupBy(shiftright(col("key"), 32).as("prev"))
-      .agg(sum(col("n")).as("t"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val keptB = aggB.filter(col("n") >= minBigramCount)
-    val bigramSize = keptB.limit(maxBigramEntries + 1).count()
-    require(bigramSize <= maxBigramEntries,
-      s"fitBigramLM: bigram table has > $maxBigramEntries entries " +
-        "(bound) — raise minBigramCount to shrink it, or raise " +
-        "maxBigramEntries deliberately")
-    val bigramPml = keptB.collect().map { r =>
-      val key = r.getLong(0)
-      key -> r.getLong(1).toDouble / prevTot(key >> 32).toDouble
-    }.toMap
-    graft.core.Persist.unstage(spark, blocksB)
+    val bigramPml = try {
+      // TRUE continuation totals per prev (≤ V+2 rows — collect is safe),
+      // summed over ALL bigram types before the minBigramCount filter.
+      val prevTot = aggB.groupBy(shiftright(col("key"), 32).as("prev"))
+        .agg(sum(col("n")).as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val keptB = aggB.filter(col("n") >= minBigramCount)
+      val bigramSize = keptB.limit(maxBigramEntries + 1).count()
+      require(bigramSize <= maxBigramEntries,
+        s"fitBigramLM: bigram table has > $maxBigramEntries entries " +
+          "(bound) — raise minBigramCount to shrink it, or raise " +
+          "maxBigramEntries deliberately")
+      keptB.collect().map { r =>
+        val key = r.getLong(0)
+        key -> r.getLong(1).toDouble / prevTot(key >> 32).toDouble
+      }.toMap
+    } finally graft.core.Persist.unstage(spark, blocksB)
     BigramLM(vocab, uniProb, bigramPml, lambda, alpha, minCount,
       minBigramCount, nTokens)
   }
@@ -214,26 +220,30 @@ object NgramLm {
         tokensOf(col(textCol)), bi.vocab, bi.unkId, bi.bosId))
         .as(Seq("key", "cnt")))
       .groupBy("key").agg(sum(col("cnt")).as("n")))
-    val ctxFrame = aggT.groupBy(shiftright(col("key"), 21).as("ctx"))
-      .agg(sum(col("n")).as("t"))
-    val nCtx = ctxFrame.limit(maxTrigramEntries + 1).count()
-    require(nCtx <= maxTrigramEntries,
-      s"fitTrigramLM: > $maxTrigramEntries distinct (u, v) contexts — " +
-        "raise minCount (shrinking the vocab shrinks the context space) " +
-        "or raise maxTrigramEntries deliberately")
-    val ctxTot = ctxFrame.collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
-    val keptT = aggT.filter(col("n") >= minTrigramCount)
-    val triSize = keptT.limit(maxTrigramEntries + 1).count()
-    require(triSize <= maxTrigramEntries,
-      s"fitTrigramLM: trigram table has > $maxTrigramEntries entries " +
-        "(bound) — raise minTrigramCount to shrink it, or raise " +
-        "maxTrigramEntries deliberately")
-    val trigramPml = keptT.collect().map { r =>
-      val key = r.getLong(0)
-      key -> r.getLong(1).toDouble / ctxTot(key >> 21).toDouble
-    }.toMap
-    graft.core.Persist.unstage(spark, blocksT)
+    // unstage in finally: the bounds below THROW by design on web-scale
+    // tables — the designed failure path must not leave the trigram
+    // aggregate (the largest intermediate of the fit) pinned.
+    val trigramPml = try {
+      val ctxFrame = aggT.groupBy(shiftright(col("key"), 21).as("ctx"))
+        .agg(sum(col("n")).as("t"))
+      val nCtx = ctxFrame.limit(maxTrigramEntries + 1).count()
+      require(nCtx <= maxTrigramEntries,
+        s"fitTrigramLM: > $maxTrigramEntries distinct (u, v) contexts — " +
+          "raise minCount (shrinking the vocab shrinks the context space) " +
+          "or raise maxTrigramEntries deliberately")
+      val ctxTot = ctxFrame.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val keptT = aggT.filter(col("n") >= minTrigramCount)
+      val triSize = keptT.limit(maxTrigramEntries + 1).count()
+      require(triSize <= maxTrigramEntries,
+        s"fitTrigramLM: trigram table has > $maxTrigramEntries entries " +
+          "(bound) — raise minTrigramCount to shrink it, or raise " +
+          "maxTrigramEntries deliberately")
+      keptT.collect().map { r =>
+        val key = r.getLong(0)
+        key -> r.getLong(1).toDouble / ctxTot(key >> 21).toDouble
+      }.toMap
+    } finally graft.core.Persist.unstage(spark, blocksT)
     TrigramLM(bi.vocab, bi.uniProb, bigram21, trigramPml, lambda1, lambda2,
       alpha, minCount, minBigramCount, minTrigramCount, bi.nTokens)
   }

@@ -30,6 +30,17 @@ class BenchVerifySpec extends SparkSpec {
     assert(!json.contains("\"value\":-"), json)
   }
 
+  test("renderJson keeps list diagnostics when the scalar diag map is " +
+      "empty (they serialized inside its else-branch and vanished)") {
+    val o = Bench.Outcome(Seq("q" -> 1.0), Nil)
+    val json = Bench.renderJson(o, "sf", 1, 0.0, 0.0,
+      diag = Map.empty, diagLists = Map("pickbands_ms" -> Seq(120L, 95L)))
+    assert(json.contains("\"pickbands_ms\":[120,95]"), json)
+    // And the empty-everything form stays clean JSON.
+    val bare = Bench.renderJson(o, "sf", 1, 0.0, 0.0)
+    assert(!bare.contains("pickbands"), bare)
+  }
+
   test("Bench errors on a partial failure too (throws in one pass only)") {
     var calls = 0
     val flaky: (org.apache.spark.sql.SparkSession, String) =>

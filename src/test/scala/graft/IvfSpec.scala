@@ -57,6 +57,35 @@ class IvfSpec extends SparkSpec {
     auto.foreach { case (a, _, nl) => assert(nl != a % 3) }
   }
 
+  test("recommendProbesForFetch falls through LOUDLY to the exhaustive " +
+      "tier when no partial tier meets the target, and recallReport " +
+      "still tunes quantized (SQ8) indexes") {
+    val labeled = vecs.withColumn("label", col("id") % 3)
+    val (indexed, model) = IvfIndex.build(labeled, "emb", nCells = 8, seed = 7)
+    // nFetch = 120 spans EVERY cluster, so no partial tier can reach
+    // recall 1.0 — the pick must land on the exhaustive tier (and it is
+    // the warned branch, not a silent find over a trivially-1.0 row).
+    val (probes, recall) = EmbedOps.recommendProbesForFetch(
+      indexed, model, "emb", labeled.filter(col("id") < 4), "id",
+      nFetch = 120, targetRecall = 1.0)
+    assert(probes == model.nCells, s"expected exhaustive, got $probes")
+    assert(recall == 1.0)
+    // SQ8 path: a loaded codes+scale index (no raw vector column) tunes
+    // through the per-query pruned-search form instead of refusing.
+    val path = java.nio.file.Files.createTempDirectory("graft_sq8_rr")
+      .toString + "/idx"
+    IvfIndex.save(indexed, model, "emb", "id", path, sq8 = true)
+    val (loaded, lModel) = IvfIndex.load(spark, path)
+    val qv = vecs.filter($"id" === 3).select(EmbedOps.vecCol("emb"))
+      .as[Seq[Float]].head()
+    val rep = IvfIndex.recallReport(loaded, lModel, "emb",
+        Seq((3L, qv)), k = 10, nProbes = Seq(1, 8), idCol = "id")
+      .orderBy("n_probe")
+      .select("n_probe", "recall").as[(Int, Double)].collect()
+    assert(rep.last == ((8, 1.0)), rep.toSeq.toString)
+    assert(rep.head._2 >= 0.0 && rep.head._2 <= 1.0)
+  }
+
   test("search with nProbe = nCells equals exact brute-force top-k") {
     val (indexed, model) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
     val qv = vecs.filter($"id" === 3).select(EmbedOps.vecCol("emb")).as[Seq[Float]].head()

@@ -97,6 +97,12 @@ class NgramLmSpec extends SparkSpec {
       NgramLm.fitBigramLM(tiny, "text", lambda = 0.0))
     intercept[IllegalArgumentException](
       NgramLm.fitBigramLM(tiny, "text", alpha = 0.0))
+    // lambda = 1 kills the unigram floor: an UNSEEN bigram in scored
+    // text would be ln 0 = -Infinity silently — rejected at fit time.
+    intercept[IllegalArgumentException](
+      NgramLm.fitBigramLM(tiny, "text", lambda = 1.0))
+    intercept[IllegalArgumentException](
+      NgramLm.fitTrigramLM(tiny, "text", lambda1 = 1.0))
   }
 
   test("fitTrigramLM recovers exact trigram/context tables and shares " +
