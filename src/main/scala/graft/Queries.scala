@@ -4303,6 +4303,64 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "c4_quality_filter" -> ((s, dir) => {
+      // C4's published cleaning composition (arXiv 1910.10683 §2.2) as
+      // one gated operator, the Gopher-gate sibling: line retention
+      // (terminal punctuation, >= 5 words, no "javascript" mention —
+      // TF.c4LineClean) and the page rules on top (>= 3 sentences in
+      // the retained text, no "lorem ipsum", no curly bracket; the
+      // production dirty-word pass is the gated blocklist automaton —
+      // a lower-contains stand-in here keeps the oracle identical).
+      // The corpus is period-less word soup, so the adapter CONSTRUCTS
+      // sentences — 8-word chunks each terminated with '.' (a final
+      // chunk under 5 words is dropped by the word floor: that rule is
+      // live on real doc lengths) — then deterministic plants make the
+      // other rules bite: doc%5 a javascript line (line-dropped), doc%7
+      // a no-punct crumb (line-dropped), doc%9 a curly-bracket artifact
+      // (page-dropped), doc%11 a Lorem Ipsum line (page-dropped),
+      // doc%13 an unsafeword sentence that PASSES the line rules but
+      // kills the page.
+      val sent = array_join(transform(
+        sequence(lit(0),
+          ceil(size(col("__w")) / lit(8.0)).cast("int") - 1),
+        i => concat(array_join(slice(col("__w"), i * 8 + 1, lit(8)), " "),
+          lit("."))), "\n")
+      val t2 = concat(
+        sent,
+        when(col("doc_id") % 5 === 0,
+          lit("\nclick here to enable javascript support today."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\nnav crumb")).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          lit("\ntemplate artifact { unrendered block.")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nLorem Ipsum dolor sit amet placeholder text here."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\nthis sentence mentions unsafeword clearly and loudly."))
+          .otherwise(lit("")))
+      // __w and __clean each bound in their own projection: the word
+      // array is read inside the chunking lambda, and __clean is
+      // referenced three times below — inlined, either would re-evaluate
+      // per use (the documented lambda re-evaluation hazard).
+      read(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__w"))
+        .select(col("doc_id"), t2.as("t2"))
+        .withColumn("__clean", TF.c4LineClean(col("t2")))
+        .select(col("doc_id"),
+          when(length(col("__clean")) === 0, 0L)
+            .otherwise(size(split(col("__clean"), "\n")).cast("long"))
+            .as("n_lines_kept"),
+          size(regexp_extract_all(col("__clean"), lit("[.!?]"), lit(0)))
+            .cast("long").as("n_sentences"),
+          (size(regexp_extract_all(col("__clean"), lit("[.!?]"), lit(0))) >= 3 &&
+            !lower(col("t2")).contains("lorem ipsum") &&
+            !col("t2").contains("{") &&
+            !lower(col("t2")).contains("unsafeword")).as("kept"),
+          md5(to_binary(col("__clean"), lit("utf-8"))).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     "text_line_stats" -> ((s, dir) => {
       // Line-level Gopher/C4 rules (bulleted-line, ellipsis-line, and
       // short-line fractions). The gate corpus is single-line, so the
@@ -8506,6 +8564,51 @@ object Queries {
         |   AND coalesce(ellip <= 0.3, TRUE)
         |   AND n_stop_hits >= 2) AS kept
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // The identical sentence construction (8-word chunks + '.') and
+    // plants, then the line-retention rules and page rules replayed
+    // step for step; clean text md5-pinned.
+    "c4_quality_filter" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      range(0, CAST(ceil(len(w) / 8.0) AS INT)),
+        |      i -> array_to_string(w[i*8+1 : i*8+8], ' ') || '.'), chr(10))
+        |      || CASE WHEN doc_id % 5 = 0
+        |         THEN chr(10) || 'click here to enable javascript support today.'
+        |         ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10) || 'nav crumb' ELSE '' END
+        |      || CASE WHEN doc_id % 9 = 0
+        |         THEN chr(10) || 'template artifact { unrendered block.'
+        |         ELSE '' END
+        |      || CASE WHEN doc_id % 11 = 0
+        |         THEN chr(10) || 'Lorem Ipsum dolor sit amet placeholder text here.'
+        |         ELSE '' END
+        |      || CASE WHEN doc_id % 13 = 0
+        |         THEN chr(10) || 'this sentence mentions unsafeword clearly and loudly.'
+        |         ELSE '' END AS t2
+        |  FROM w),
+        |c AS (SELECT doc_id, t2,
+        |    coalesce(array_to_string(list_filter(string_split(t2, chr(10)),
+        |      x -> right(trim(x), 1) IN ('.', '!', '?', '"')
+        |        AND len(string_split_regex(trim(x), '\s+')) >= 5
+        |        AND NOT contains(lower(trim(x)), 'javascript')), chr(10)),
+        |      '') AS clean
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN len(clean) = 0 THEN 0
+        |    ELSE len(string_split(clean, chr(10))) END AS BIGINT) AS n_lines_kept,
+        |  CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT) AS n_sentences,
+        |  (len(regexp_extract_all(clean, '[.!?]')) >= 3
+        |    AND NOT contains(lower(t2), 'lorem ipsum')
+        |    AND NOT contains(t2, '{')
+        |    AND NOT contains(lower(t2), 'unsafeword')) AS kept,
+        |  md5(clean) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Identical line construction (sentence breaks → newlines + the
     // deterministic bullet/ellipsis tail on every third doc), then the

@@ -256,6 +256,27 @@ object TextFunctions {
         .cast("double") / size(ls))
   }
 
+  /** C4's line-retention rule set (arXiv 1910.10683 §2.2) as one pure
+    * column composition: keep a line iff it ends in a terminal
+    * punctuation mark (`.` `!` `?` or a closing quote), holds at least
+    * `minWords` whitespace tokens, and does not mention "javascript"
+    * (case-insensitive — C4 drops cookie/JS-warning boilerplate lines).
+    * Returns the retained lines re-joined with '\n'; the page-level C4
+    * rules (≥ 3 sentences, no "lorem ipsum", no curly bracket, no
+    * blocklist word) compose on top — the c4_quality_filter gate pins
+    * the whole published composition. Line-less or fully-dropped docs
+    * yield "".
+    */
+  def c4LineClean(c: Column, minWords: Int = 5): Column = {
+    val kept = filter(split(c, "\n"), l => {
+      val t = trim(l)
+      right(t, lit(1)).isin(".", "!", "?", "\"") &&
+        size(split(t, "\\s+")) >= minWords &&
+        !lower(t).contains("javascript")
+    })
+    array_join(kept, "\n")
+  }
+
   /** Fraction of lines with fewer than `minWords` whitespace tokens (the
     * C4 "at least 3 words per line" family: nav crumbs, footers). Null on
     * line-less docs.

@@ -140,6 +140,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("c4LineClean keeps exactly the C4-rule lines: terminal punct, " +
+      ">= 5 words, no javascript mention; empty results join to ''") {
+    val doc = Seq(
+      "this long sentence ends with a period.\n" +        // kept
+        "does this question have enough words here?\n" +  // kept (?)
+        "she said the words \"quoted ending stays\"\n" +  // kept (")
+        "no terminal punctuation on this long line\n" +   // dropped
+        "short line.\n" +                                 // dropped (<5)
+        "please enable JavaScript to view this content.\n" + // dropped (js)
+        "final exclamation line has five words!"          // kept (!)
+    ).toDF("text")
+    val got = doc.select(
+      graft.functions.TextFunctions.c4LineClean($"text").as("c"))
+      .head().getString(0)
+    assert(got == Seq(
+      "this long sentence ends with a period.",
+      "does this question have enough words here?",
+      "she said the words \"quoted ending stays\"",
+      "final exclamation line has five words!").mkString("\n"), got)
+    // All lines dropped → "", the array_join-on-empty contract the
+    // DuckDB oracle must coalesce to match.
+    val none = Seq("no punct here at all\nshort.").toDF("text")
+      .select(graft.functions.TextFunctions.c4LineClean($"text")).head()
+    assert(none.getString(0) == "")
+  }
+
   test("deflate ratio orders repetitive < prose < random, and is a pure scan") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val rng = new scala.util.Random(7)
