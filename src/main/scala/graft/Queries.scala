@@ -165,6 +165,93 @@ object Queries {
     try body finally s.conf.set(key, saved)
   }
 
+  /** The from-scratch DuckDB refit of the order-5 hashed-key JM LM
+    * (ppl_5gram / ccnet_ppl_buckets_5 oracles share it): unigram model
+    * with minCount = 2 unk folding, per-position BOS-padded 5-token
+    * windows, one count table + one context-total table per order
+    * 2..5 keyed by the gram STRINGS (the engine's 64-bit hash is
+    * internal — the counts are identical absent a collision, ≈ 10⁻⁷ at
+    * gate scale), then the per-position nested interpolation
+    * 0.3·pml₅ + (1−0.3)·(0.4·pml₄ + (1−0.4)·(0.5·pml₃ +
+    * (1−0.5)·(0.7·pml₂ + (1−0.7)·p_uni))) — the kernel's exact dyadic
+    * tree, innermost first — folded left-to-right via
+    * list_reduce(list(v ORDER BY i)). Emits CTEs up to
+    * `sc(doc_id[, lang], n, ll)`; callers append their tail.
+    */
+  private def fiveGramRefitSqlPrefix(withLang: Boolean): String = {
+    val lang = if (withLang) ", lang" else ""
+    val glang = if (withLang) ", g.lang" else ""
+    s"""WITH t AS (
+       |  SELECT doc_id$lang, CASE WHEN len(trim(text)) = 0 THEN []
+       |    ELSE string_split(lower(trim(text)), ' ') END AS w
+       |  FROM documents),
+       |uc AS (
+       |  SELECT word, CAST(count(*) AS DOUBLE) AS c
+       |  FROM (SELECT unnest(w) AS word FROM t) GROUP BY word),
+       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+       |kept AS (SELECT word, c FROM uc WHERE c >= 2),
+       |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM kept),
+       |unkc AS (SELECT (SELECT sum(c) FROM uc)
+       |    - coalesce((SELECT sum(c) FROM kept), 0) AS cu),
+       |up AS (SELECT map(list(word ORDER BY word),
+       |      list((c + 1) / (n + (v + 1)) ORDER BY word)) AS mp,
+       |    min((cu + 1) / (n + (v + 1))) AS unkp
+       |  FROM kept, tot, vv, unkc),
+       |tm AS (
+       |  SELECT doc_id$lang, list_transform(w, x ->
+       |    CASE WHEN mp[x][1] IS NOT NULL THEN x ELSE chr(1) END) AS mt
+       |  FROM t, up),
+       |ps AS (SELECT doc_id$lang, mt,
+       |    unnest(range(1, len(mt) + 1)) AS i FROM tm),
+       |g AS (SELECT doc_id$lang, i,
+       |    CASE WHEN i <= 4 THEN chr(2) ELSE mt[i - 4] END AS w4,
+       |    CASE WHEN i <= 3 THEN chr(2) ELSE mt[i - 3] END AS w3,
+       |    CASE WHEN i <= 2 THEN chr(2) ELSE mt[i - 2] END AS w2,
+       |    CASE WHEN i = 1 THEN chr(2) ELSE mt[i - 1] END AS w1,
+       |    mt[i] AS cur FROM ps),
+       |c2 AS (SELECT w1, cur, CAST(count(*) AS DOUBLE) AS c
+       |  FROM g GROUP BY 1, 2),
+       |x2 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS ct FROM g GROUP BY 1),
+       |c3 AS (SELECT w2, w1, cur, CAST(count(*) AS DOUBLE) AS c
+       |  FROM g GROUP BY 1, 2, 3),
+       |x3 AS (SELECT w2, w1, CAST(count(*) AS DOUBLE) AS ct
+       |  FROM g GROUP BY 1, 2),
+       |c4 AS (SELECT w3, w2, w1, cur, CAST(count(*) AS DOUBLE) AS c
+       |  FROM g GROUP BY 1, 2, 3, 4),
+       |x4 AS (SELECT w3, w2, w1, CAST(count(*) AS DOUBLE) AS ct
+       |  FROM g GROUP BY 1, 2, 3),
+       |c5 AS (SELECT w4, w3, w2, w1, cur, CAST(count(*) AS DOUBLE) AS c
+       |  FROM g GROUP BY 1, 2, 3, 4, 5),
+       |x5 AS (SELECT w4, w3, w2, w1, CAST(count(*) AS DOUBLE) AS ct
+       |  FROM g GROUP BY 1, 2, 3, 4),
+       |lp AS (SELECT g.doc_id$glang, g.i,
+       |    ln(0.3 * coalesce(c5.c / x5.ct, 0.0)
+       |     + (1 - 0.3) * (0.4 * coalesce(c4.c / x4.ct, 0.0)
+       |       + (1 - 0.4) * (0.5 * coalesce(c3.c / x3.ct, 0.0)
+       |         + (1 - 0.5) * (0.7 * coalesce(c2.c / x2.ct, 0.0)
+       |           + (1 - 0.7) * coalesce(mp[g.cur][1], unkp))))) AS v
+       |  FROM g CROSS JOIN up
+       |  LEFT JOIN c2 ON g.w1 = c2.w1 AND g.cur = c2.cur
+       |  LEFT JOIN x2 ON g.w1 = x2.w1
+       |  LEFT JOIN c3 ON g.w2 = c3.w2 AND g.w1 = c3.w1 AND g.cur = c3.cur
+       |  LEFT JOIN x3 ON g.w2 = x3.w2 AND g.w1 = x3.w1
+       |  LEFT JOIN c4 ON g.w3 = c4.w3 AND g.w2 = c4.w2 AND g.w1 = c4.w1
+       |    AND g.cur = c4.cur
+       |  LEFT JOIN x4 ON g.w3 = x4.w3 AND g.w2 = x4.w2 AND g.w1 = x4.w1
+       |  LEFT JOIN c5 ON g.w4 = c5.w4 AND g.w3 = c5.w3 AND g.w2 = c5.w2
+       |    AND g.w1 = c5.w1 AND g.cur = c5.cur
+       |  LEFT JOIN x5 ON g.w4 = x5.w4 AND g.w3 = x5.w3 AND g.w2 = x5.w2
+       |    AND g.w1 = x5.w1),
+       |llv AS (SELECT doc_id$lang,
+       |    list_reduce(list(v ORDER BY i), (a, b) -> a + b) AS ll,
+       |    count(*) AS n
+       |  FROM lp GROUP BY doc_id$lang),
+       |sc AS (SELECT t.doc_id${if (withLang) ", t.lang" else ""},
+       |    coalesce(llv.n, 0) AS n, coalesce(llv.ll, 0.0) AS ll
+       |  FROM t LEFT JOIN llv ON t.doc_id = llv.doc_id)
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- classical relational surface ------------------------
     "q1_agg" -> ((s, dir) => {
@@ -3617,6 +3704,28 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "ppl_5gram" -> ((s, dir) => {
+      // CCNet's published order, reached: a 5-gram Jelinek–Mercer LM
+      // over HASHED gram keys (the 21-bit packing caps packed keys at
+      // order 3; KenLM's probing tables key grams by hash the same
+      // way), fitted with one bounded distinct-key aggregate per order
+      // whose context totals come from the same aggregate, scored as
+      // one compiled per-row fold. The oracle refits all four gram
+      // tables from scratch in DuckDB keyed by the gram STRINGS — the
+      // hash is engine-internal, the counts are identical (64-bit
+      // collisions at gate scale ≈ 10⁻⁷) — and replays the nested
+      // interpolation tree with per-position join lookups folded
+      // left-to-right, so ll and ppl hash-match at round 4.
+      val d = read(s, dir, "documents")
+      val m = graft.operators.NgramLm.fitNgramLM(
+        d, "text", order = 5, minCount = 2L)
+      graft.operators.NgramLm.perplexity(d, "text", m)
+        .select(col("doc_id"), col("lm_tokens"),
+          round(col("lm_ll"), 4).as("lm_ll"),
+          round(col("ppl"), 4).as("ppl"))
+        .orderBy("doc_id")
+    }),
+
     "dsir_weights" -> ((s, dir) => {
       // DSIR data selection (arXiv 2302.03169): importance weights of raw
       // docs under target-vs-raw unigram LMs — target = the src0-4
@@ -4076,6 +4185,28 @@ object Queries {
       // grouped percent-rank, never a corpus-wide window.
       val d = read(s, dir, "documents")
       val lm = graft.operators.NgramLm.fitTrigramLM(d, "text", minCount = 2L)
+      val scored = graft.operators.NgramLm.perplexity(d, "text", lm)
+        .filter(col("ppl").isNotNull)
+        .withColumn("ppl_r", round(col("ppl"), 2))
+        .select("doc_id", "lang", "ppl_r")
+      CorpusPrep.scorePercentRankByGroup(scored, "lang", "ppl_r")
+        .withColumn("bucket",
+          when(col("score_pct") < 1.0 / 3, "head")
+            .when(col("score_pct") < 2.0 / 3, "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("lang"),
+          round(col("score_pct"), 6).as("ppl_pct"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    "ccnet_ppl_buckets_5" -> ((s, dir) => {
+      // The head/middle/tail artifact at CCNet's PUBLISHED order: the
+      // same per-language perplexity tertiles with the 5-gram
+      // hashed-key JM LM (ppl_5gram) as the KenLM stand-in — same
+      // bounded grouped percent-rank, never a corpus-wide window.
+      val d = read(s, dir, "documents")
+      val lm = graft.operators.NgramLm.fitNgramLM(
+        d, "text", order = 5, minCount = 2L)
       val scored = graft.operators.NgramLm.perplexity(d, "text", lm)
         .filter(col("ppl").isNotNull)
         .withColumn("ppl_r", round(col("ppl"), 2))
@@ -7470,6 +7601,20 @@ object Queries {
         |       WHEN pct < 2.0 / 3 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM ranked ORDER BY doc_id""".stripMargin,
 
+    // The order-5 refit feeding the same per-language tertile tail.
+    "ccnet_ppl_buckets_5" -> (fiveGramRefitSqlPrefix(withLang = true) +
+      """, scored AS (
+        |  SELECT doc_id, lang, round(exp(-ll / n), 2) AS ppl_r
+        |  FROM sc WHERE n > 0),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY ppl_r) AS pct
+        |  FROM scored)
+        |SELECT doc_id, lang, round(pct, 6) AS ppl_pct,
+        |  CASE WHEN pct < 1.0 / 3 THEN 'head'
+        |       WHEN pct < 2.0 / 3 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM ranked ORDER BY doc_id""".stripMargin),
+
     // Two-stage truncation replayed: per-anchor top-40 by cosine over
     // the FULL corpus (exhaustive probes; self-hit included), then the
     // label filter, then top-3 — both stages tie-broken on the id.
@@ -7651,6 +7796,14 @@ object Queries {
         |SELECT doc_id, n AS lm_tokens, round(ll, 4) AS lm_ll,
         |  CASE WHEN n > 0 THEN round(exp(-ll / n), 4) END AS ppl
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // The order-5 refit (string-keyed gram tables, per-position join
+    // lookups, left-to-right fold — see fiveGramRefitSqlPrefix) with the
+    // plain per-doc score tail.
+    "ppl_5gram" -> (fiveGramRefitSqlPrefix(withLang = false) +
+      """SELECT doc_id, n AS lm_tokens, round(ll, 4) AS lm_ll,
+        |  CASE WHEN n > 0 THEN round(exp(-ll / n), 4) END AS ppl
+        |FROM sc ORDER BY doc_id""".stripMargin),
 
     // Two unigram refits over the SHARED vocabulary (union support — a
     // ratio over mismatched supports is not a likelihood ratio), then the

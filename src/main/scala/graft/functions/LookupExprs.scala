@@ -447,6 +447,163 @@ object LookupExprs {
       copy(child = newChild)
   }
 
+  /** splitmix64 finalizer — the bijective avalanche step both hashed-key
+    * LM kernels share. Bijectivity means `mix64(h ^ id)` chains lose no
+    * entropy per step.
+    */
+  @inline private[functions] def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit hash of an id window (the KenLM-style hashed n-gram key —
+    * probing hash tables over gram hashes rather than materialized gram
+    * strings; kenlm.code.googlepages.com / Heafield 2011 describe the
+    * same trade): seed by the window LENGTH, then fold each id through
+    * the splitmix64 finalizer left to right. Two windows of different
+    * length never share a seed, so an order-k key and its (k−1)-prefix
+    * context key live in disjoint hash streams. Collision probability
+    * for K distinct grams is ≈ K²/2⁶⁵ — negligible at gate scale
+    * (~10⁶ grams ⇒ ~10⁻⁷); at web scale occasional collisions MERGE two
+    * grams' counts, perturbing those grams' ML terms only — exactly the
+    * accepted behavior of KenLM's hashed probing tables.
+    */
+  private[graft] def gramHash(ids: Array[Long], start: Int, len: Int): Long = {
+    var h = mix64(len.toLong)
+    var i = start
+    val end = start + len
+    while (i < end) { h = mix64(h ^ ids(i)); i += 1 }
+    h
+  }
+
+  /** Per-row hashed n-gram key counts over the vocab-mapped token
+    * stream — [[BigramKeyCounts]]/[[TrigramKeyCounts]] generalized past
+    * the 21-bit packing limit (3 × 21 = 63 bits caps packed keys at
+    * order 3; CCNet's published filter is a 5-gram KenLM). Each
+    * position's window is the BOS-padded last `order` ids ending at the
+    * current token; the row emits one entry per DISTINCT full-gram hash
+    * with its context hash (the window's (order−1)-prefix) and count —
+    * so the exploded aggregate input is per-row distinct keys, never the
+    * token stream, and context totals group the SAME aggregate by `ctx`
+    * (every position has exactly one context ⇒ the ML term normalizes
+    * exactly, the [[TrigramKeyCounts]] invariant). Returns
+    * array<struct<ctx: long, key: long, cnt: long>>.
+    */
+  case class NgramHashKeyCounts(child: Expression, vocab: Map[String, Int],
+      unkId: Int, bosId: Int, order: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(order >= 2, s"ngram_hash_key_counts: order $order must be >= 2")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("ctx", LongType, nullable = false),
+      StructField("key", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false)
+    override def checkInputDataTypes() =
+      requireStringArray(child, "ngram_hash_key_counts")
+    @transient private lazy val h = utf8Map(vocab)
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      // key hash -> (ctx hash, count); insertion-ordered for determinism.
+      val counts = new java.util.LinkedHashMap[java.lang.Long, Array[Long]]()
+      val win = new Array[Long](order)
+      java.util.Arrays.fill(win, bosId.toLong)
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        val hit = if (t == null) null else h.get(t)
+        val cur = if (hit == null) unkId.toLong else hit.asInstanceOf[Int].toLong
+        System.arraycopy(win, 1, win, 0, order - 1)
+        win(order - 1) = cur
+        val key = java.lang.Long.valueOf(gramHash(win, 0, order))
+        val e = counts.get(key)
+        if (e == null) counts.put(key, Array(gramHash(win, 0, order - 1), 1L))
+        else e(1) += 1L
+        i += 1
+      }
+      val out = new Array[Any](counts.size)
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(j) = org.apache.spark.sql.catalyst.InternalRow(
+          e.getValue()(0), e.getKey.longValue(), e.getValue()(1))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  /** The order-n Jelinek–Mercer document score in one pass —
+    * [[TrigramLmScore]] generalized: per token, starting from
+    * `p = p_uni(w)`, each order k = 2..n wraps
+    * `p = λₖ·pmlₖ + (1−λₖ)·p` (each ML term 0 when its hashed gram is
+    * absent from that order's table) — the same dyadic float tree a SQL
+    * oracle writes as the literally-nested interpolation, innermost
+    * (unigram) first. `tables(k−2)` holds order k's ML probabilities
+    * keyed by [[gramHash]] over the BOS-padded id window. Returns
+    * struct(ll, n); empty array = (0.0, 0).
+    */
+  case class NgramHashLmScore(child: Expression, vocab: Map[String, Int],
+      uniProb: Array[Double], tables: Seq[Map[Long, Double]],
+      lambdas: Seq[Double], bosId: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(tables.nonEmpty && tables.size == lambdas.size,
+      s"ngram_hash_lm_score: ${tables.size} tables vs ${lambdas.size} " +
+        "lambdas — one λ per order 2..n")
+    require(lambdas.forall(l => l > 0 && l < 1),
+      s"ngram_hash_lm_score: lambdas $lambdas must all be in (0, 1) so " +
+        "ln's argument stays positive even when every ML term is unseen")
+    private val order = tables.size + 1
+    override def dataType: DataType = StructType(Seq(
+      StructField("ll", DoubleType, nullable = false),
+      StructField("n", IntegerType, nullable = false)))
+    override def checkInputDataTypes() =
+      requireStringArray(child, "ngram_hash_lm_score")
+    @transient private lazy val h = utf8Map(vocab)
+    @transient private lazy val tgs: Array[java.util.HashMap[java.lang.Long, java.lang.Double]] =
+      tables.map { t =>
+        val m = new java.util.HashMap[java.lang.Long, java.lang.Double](t.size * 2)
+        t.foreach { case (k, p) =>
+          m.put(java.lang.Long.valueOf(k), java.lang.Double.valueOf(p)) }
+        m
+      }.toArray
+    @transient private lazy val lam = lambdas.toArray
+    private val unkId = uniProb.length - 1
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      var ll = 0.0
+      val win = new Array[Long](order)
+      java.util.Arrays.fill(win, bosId.toLong)
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        val hit = if (t == null) null else h.get(t)
+        val cur = if (hit == null) unkId.toLong else hit.asInstanceOf[Int].toLong
+        System.arraycopy(win, 1, win, 0, order - 1)
+        win(order - 1) = cur
+        var p = uniProb(cur.toInt)
+        var k = 2
+        while (k <= order) {
+          val e = tgs(k - 2).get(
+            java.lang.Long.valueOf(gramHash(win, order - k, k)))
+          val pml = if (e == null) 0.0 else e.doubleValue()
+          p = lam(k - 2) * pml + (1.0 - lam(k - 2)) * p
+          k += 1
+        }
+        ll += math.log(p)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(ll, n)
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
   def sumLookup(tokens: Column, lut: Map[String, Double],
       default: Double): Column =
     ColumnBridge.column(SumLookup(ColumnBridge.expression(tokens), lut, default))
@@ -464,6 +621,17 @@ object LookupExprs {
       lambda: Double, bosId: Int): Column =
     ColumnBridge.column(BigramLmScore(ColumnBridge.expression(tokens),
       vocab, uniProb, bigramPml, lambda, bosId))
+
+  def ngramHashKeyCounts(tokens: Column, vocab: Map[String, Int],
+      unkId: Int, bosId: Int, order: Int): Column =
+    ColumnBridge.column(NgramHashKeyCounts(ColumnBridge.expression(tokens),
+      vocab, unkId, bosId, order))
+
+  def ngramHashLmScore(tokens: Column, vocab: Map[String, Int],
+      uniProb: Array[Double], tables: Seq[Map[Long, Double]],
+      lambdas: Seq[Double], bosId: Int): Column =
+    ColumnBridge.column(NgramHashLmScore(ColumnBridge.expression(tokens),
+      vocab, uniProb, tables, lambdas, bosId))
 
   def trigramKeyCounts(tokens: Column, vocab: Map[String, Int],
       unkId: Int, bosId: Int): Column =

@@ -95,6 +95,34 @@ object NgramLm {
         bosId)
   }
 
+  /** A fitted order-n Jelinek–Mercer LM over HASHED gram keys — the
+    * packed-id ladder ([[BigramLM]], [[TrigramLM]]) capped at order 3
+    * (3 × 21 = 63 bits); this is the KenLM-style continuation past it
+    * (CCNet's published filter is a 5-gram KenLM, arXiv 1911.00359
+    * §4.3; KenLM's probing tables key grams by hash the same way,
+    * Heafield 2011). `tables(k−2)` maps
+    * [[graft.functions.LookupExprs.gramHash]] of the BOS-padded id
+    * window to order k's exact ML continuation probability; per token,
+    * starting from `p = p_uni(w)`, each order wraps
+    * `p = λₖ·pmlₖ + (1−λₖ)·p`. A 64-bit hash collision merges two
+    * grams' counts (probability ≈ K²/2⁶⁵ — ~10⁻⁷ at gate scale), the
+    * accepted trade of hashed LMs.
+    */
+  final case class NgramLM(
+      vocab: Map[String, Int],
+      uniProb: Array[Double],
+      order: Int,
+      tables: IndexedSeq[Map[Long, Double]],
+      lambdas: IndexedSeq[Double],
+      alpha: Double,
+      minCount: Long,
+      minNgramCount: Long,
+      nTokens: Long) extends FittedLM {
+    private[graft] def scoreColumn(tokens: Column): Column =
+      graft.functions.LookupExprs.ngramHashLmScore(
+        tokens, vocab, uniProb, tables, lambdas, bosId)
+  }
+
   /** The tokenization every NgramLm entry point shares (the
     * [[QualityClassifier]] convention): lower, trim, split on whitespace
     * runs; an all-whitespace text is the empty stream.
@@ -102,6 +130,48 @@ object NgramLm {
   private[graft] def tokensOf(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(c)), "\\s+"))
+
+  /** Pass 1 of every fit: unigram counts → (vocab, uniProb, nTokens).
+    * N (total tokens) sums over ALL words; the sub-`minCount` remainder
+    * is exactly the unk mass, so the unigram model normalizes over
+    * vocab ∪ {unk} with nothing lost. The `maxVocabEntries` bound is
+    * probed on the staged aggregate BEFORE the collect, and the staged
+    * blocks unstage in finally — the designed throw on a web-scale
+    * vocabulary must not leave them pinned. Ids are deterministic
+    * (token-sorted); they are engine-internal — only the probabilities
+    * reach an oracle.
+    */
+  private def fitUnigram(df: DataFrame, textCol: String, alpha: Double,
+      minCount: Long, maxVocabEntries: Int)
+      : (Map[String, Int], Array[Double], Long) = {
+    val spark = df.sparkSession
+    val (aggU, blocksU) = graft.core.Persist.stageTracked(df
+      .select(explode(tokensOf(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n")))
+    val (uniCounts, nTokens) = try {
+      val totRow = aggU.agg(coalesce(sum(col("n")), lit(0L))).head()
+      val nTok = totRow.getLong(0)
+      require(nTok > 0, "fitUnigram: corpus has no tokens")
+      val keptU = aggU.filter(col("n") >= minCount)
+      val vocabSize = keptU.limit(maxVocabEntries + 1).count()
+      require(vocabSize <= maxVocabEntries,
+        s"fitUnigram: vocabulary has > $maxVocabEntries entries (bound) — " +
+          "the model rides every scoring task as a plan literal; raise " +
+          "minCount to shrink it, or raise maxVocabEntries deliberately")
+      (keptU.collect().map(r => (r.getString(0), r.getLong(1))), nTok)
+    } finally graft.core.Persist.unstage(spark, blocksU)
+    val sortedU = uniCounts.sortBy(_._1)
+    val vocab = sortedU.iterator.map(_._1).zipWithIndex.toMap
+    val v = vocab.size
+    val unkCount = nTokens - uniCounts.iterator.map(_._2).sum
+    val denom = nTokens.toDouble + alpha * (v + 1.0)
+    val uniProb = new Array[Double](v + 1)
+    sortedU.iterator.zipWithIndex.foreach { case ((_, c), i) =>
+      uniProb(i) = (c.toDouble + alpha) / denom }
+    uniProb(v) = (unkCount.toDouble + alpha) / denom
+    (vocab, uniProb, nTokens)
+  }
 
   /** Fit the LM. Two aggregate jobs over the corpus; driver state is the
     * bounded vocab + kept-bigram table only. Bounds: `maxVocabEntries`
@@ -122,39 +192,9 @@ object NgramLm {
     require(minCount >= 1 && minBigramCount >= 1,
       s"fitBigramLM: minCount/minBigramCount must be >= 1")
     val spark = df.sparkSession
-    // Pass 1: unigram counts. N (total tokens) sums over ALL words; the
-    // sub-minCount remainder is exactly the unk mass, so the unigram
-    // model normalizes over vocab ∪ {unk} with nothing lost.
-    val (aggU, blocksU) = graft.core.Persist.stageTracked(df
-      .select(explode(tokensOf(col(textCol))).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("n")))
-    // unstage in finally: the bounds below THROW by design on web-scale
-    // tables, and the throwing path must not leave the staged aggregate
-    // pinned for the session's lifetime.
-    val (uniCounts, nTokens) = try {
-      val totRow = aggU.agg(coalesce(sum(col("n")), lit(0L))).head()
-      val nTok = totRow.getLong(0)
-      require(nTok > 0, "fitBigramLM: corpus has no tokens")
-      val keptU = aggU.filter(col("n") >= minCount)
-      val vocabSize = keptU.limit(maxVocabEntries + 1).count()
-      require(vocabSize <= maxVocabEntries,
-        s"fitBigramLM: vocabulary has > $maxVocabEntries entries (bound) — " +
-          "the model rides every scoring task as a plan literal; raise " +
-          "minCount to shrink it, or raise maxVocabEntries deliberately")
-      (keptU.collect().map(r => (r.getString(0), r.getLong(1))), nTok)
-    } finally graft.core.Persist.unstage(spark, blocksU)
-    // Deterministic ids: token-sorted. (Ids are engine-internal — only
-    // the probabilities reach an oracle.)
-    val sortedU = uniCounts.sortBy(_._1)
-    val vocab = sortedU.iterator.map(_._1).zipWithIndex.toMap
+    val (vocab, uniProb, nTokens) =
+      fitUnigram(df, textCol, alpha, minCount, maxVocabEntries)
     val v = vocab.size
-    val unkCount = nTokens - uniCounts.iterator.map(_._2).sum
-    val denom = nTokens.toDouble + alpha * (v + 1.0)
-    val uniProb = new Array[Double](v + 1)
-    sortedU.iterator.zipWithIndex.foreach { case ((_, c), i) =>
-      uniProb(i) = (c.toDouble + alpha) / denom }
-    uniProb(v) = (unkCount.toDouble + alpha) / denom
     // Pass 2: bigram counts over the vocab-mapped, BOS-prefixed stream —
     // ids assigned BEFORE the exchange, so unk folding is exact and the
     // key space is bounded by the vocab, not the raw token space.
@@ -246,6 +286,78 @@ object NgramLm {
     } finally graft.core.Persist.unstage(spark, blocksT)
     TrigramLM(bi.vocab, bi.uniProb, bigram21, trigramPml, lambda1, lambda2,
       alpha, minCount, minBigramCount, minTrigramCount, bi.nTokens)
+  }
+
+  /** Fit the order-n hashed-key LM: the shared unigram pass, then ONE
+    * bounded aggregate per order k = 2..n over per-row DISTINCT
+    * (ctx, key) hash pairs
+    * ([[graft.functions.LookupExprs.NgramHashKeyCounts]]) — context
+    * totals group the SAME aggregate by `ctx` (every position has
+    * exactly one context, so each ML term normalizes exactly, the
+    * [[fitTrigramLM]] invariant carried to arbitrary order). Both the
+    * context and the kept-gram tables of every order are probed against
+    * `maxNgramEntries` BEFORE any collect, and each staged aggregate
+    * unstages in finally — the designed throw on a web-scale gram table
+    * must not leave pinned blocks. `lambdas(k−2)` weights order k's ML
+    * term; defaults follow the heavier-trust-in-lower-orders shape
+    * (0.7, 0.5, 0.4, 0.3, …) truncated to order−1 entries.
+    */
+  def fitNgramLM(df: DataFrame, textCol: String, order: Int,
+      alpha: Double = 1.0, lambdas: Seq[Double] = Nil,
+      minCount: Long = 1L, minNgramCount: Long = 1L,
+      maxVocabEntries: Int = 1 << 18,
+      maxNgramEntries: Int = 1 << 21): NgramLM = {
+    require(order >= 2 && order <= 8,
+      s"fitNgramLM: order $order out of [2, 8] — above 8 the per-token " +
+        "hash work dominates scoring; fit separate models instead")
+    val lams: IndexedSeq[Double] =
+      (if (lambdas.nonEmpty) lambdas
+       else (Seq(0.7, 0.5, 0.4, 0.3) ++ Seq.fill(order)(0.3)).take(order - 1))
+        .toIndexedSeq
+    require(lams.size == order - 1,
+      s"fitNgramLM: ${lams.size} lambdas for order $order — need one " +
+        "per order 2..n")
+    require(lams.forall(l => l > 0 && l < 1),
+      s"fitNgramLM: lambdas $lams must all be in (0, 1) — at 1 the " +
+        "unigram floor vanishes and an unseen gram in scored text is ln 0")
+    require(alpha > 0, s"fitNgramLM: alpha $alpha must be > 0")
+    require(minCount >= 1 && minNgramCount >= 1,
+      "fitNgramLM: minCount/minNgramCount must be >= 1")
+    val spark = df.sparkSession
+    val (vocab, uniProb, nTokens) =
+      fitUnigram(df, textCol, alpha, minCount, maxVocabEntries)
+    val unkId = vocab.size
+    val bosId = vocab.size + 1
+    val tables = (2 to order).map { k =>
+      val (aggK, blocksK) = graft.core.Persist.stageTracked(df
+        .select(explode(graft.functions.LookupExprs.ngramHashKeyCounts(
+          tokensOf(col(textCol)), vocab, unkId, bosId, k)).as("e"))
+        .select(col("e.ctx").as("ctx"), col("e.key").as("key"),
+          col("e.cnt").as("cnt"))
+        .groupBy("ctx", "key").agg(sum(col("cnt")).as("n")))
+      try {
+        val ctxFrame = aggK.groupBy("ctx").agg(sum(col("n")).as("t"))
+        val nCtx = ctxFrame.limit(maxNgramEntries + 1).count()
+        require(nCtx <= maxNgramEntries,
+          s"fitNgramLM: order $k has > $maxNgramEntries distinct " +
+            "contexts (bound) — raise minCount (shrinking the vocab " +
+            "shrinks the context space) or raise maxNgramEntries " +
+            "deliberately")
+        val ctxTot = ctxFrame.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val keptK = aggK.filter(col("n") >= minNgramCount)
+        val kSize = keptK.limit(maxNgramEntries + 1).count()
+        require(kSize <= maxNgramEntries,
+          s"fitNgramLM: order-$k gram table has > $maxNgramEntries " +
+            "entries (bound) — raise minNgramCount to shrink it, or " +
+            "raise maxNgramEntries deliberately")
+        keptK.collect().map { r =>
+          r.getLong(1) -> r.getLong(2).toDouble / ctxTot(r.getLong(0)).toDouble
+        }.toMap
+      } finally graft.core.Persist.unstage(spark, blocksK)
+    }
+    NgramLM(vocab, uniProb, order, tables, lams, alpha, minCount,
+      minNgramCount, nTokens)
   }
 
   /** Per-document log-likelihood + token count under the fitted LM —

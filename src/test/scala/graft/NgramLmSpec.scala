@@ -168,4 +168,48 @@ class NgramLmSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       NgramLm.fitTrigramLM(tiny, "text", maxVocabEntries = 1 << 21))
   }
+
+  test("hashed order-2/3 NgramLM scores are BITWISE equal to the packed " +
+      "BigramLM/TrigramLM — same integer-count divisions, same dyadic tree") {
+    val docs = (0 until 8).flatMap(i =>
+      Seq((i * 3L, "x a b c a"), (i * 3L + 1L, "y a c b"),
+        (i * 3L + 2L, "b c x y a a"))).toDF("id", "text")
+    def scores(m: NgramLm.FittedLM): Seq[(Long, Double)] =
+      NgramLm.logLik(docs, "text", m).select("id", "lm_ll")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    assert(scores(NgramLm.fitNgramLM(docs, "text", order = 2,
+        lambdas = Seq(0.7), minCount = 2L)) ==
+      scores(NgramLm.fitBigramLM(docs, "text", minCount = 2L)))
+    assert(scores(NgramLm.fitNgramLM(docs, "text", order = 3,
+        lambdas = Seq(0.7, 0.5), minCount = 2L)) ==
+      scores(NgramLm.fitTrigramLM(docs, "text", minCount = 2L)))
+  }
+
+  test("order-5 NgramLM: exact ML tables on a hand corpus, monotone ppl " +
+      "gain on 5-gram-disambiguated text, bounds refuse loudly") {
+    // Two templates that agree on every 4-gram interior but differ at
+    // range 5: "p q r s A" vs "z q r s B" — only the 5-gram context
+    // (p|z, q, r, s) disambiguates the final token.
+    val docs = (0 until 10).flatMap(i =>
+      Seq((i * 2L, "p q r s a"), (i * 2L + 1L, "z q r s b"))).toDF("id", "text")
+    val m5 = NgramLm.fitNgramLM(docs, "text", order = 5)
+    assert(m5.tables.size == 4 && m5.lambdas == IndexedSeq(0.7, 0.5, 0.4, 0.3))
+    // Every 5-gram context is deterministic (→ ML 1.0) EXCEPT the
+    // all-BOS start, which both templates share: (B,B,B,B) → p|z at
+    // 10/20 each — exactly two 0.5 entries.
+    assert(m5.tables(3).values.count(_ == 1.0) == m5.tables(3).size - 2 &&
+      m5.tables(3).values.count(_ == 0.5) == 2)
+    val ppl = (o: Int) => NgramLm.perplexity(docs, "text",
+        NgramLm.fitNgramLM(docs, "text", order = o))
+      .agg(avg("ppl")).head().getDouble(0)
+    val p4 = ppl(4); val p5 = ppl(5)
+    assert(p5 < p4, s"5-gram $p5 !< 4-gram $p4 on 5-gram-keyed text")
+    val e = intercept[IllegalArgumentException](
+      NgramLm.fitNgramLM(docs, "text", order = 5, maxNgramEntries = 3))
+    assert(e.getMessage.contains("maxNgramEntries"))
+    intercept[IllegalArgumentException](
+      NgramLm.fitNgramLM(docs, "text", order = 5, lambdas = Seq(0.5)))
+    intercept[IllegalArgumentException](
+      NgramLm.fitNgramLM(docs, "text", order = 9))
+  }
 }
