@@ -175,9 +175,7 @@ object Bench {
     // call order across passes) — the estimator/route cost split. DRAINED
     // (poll, not iterate): a second render in the same JVM must report
     // its own run's invocations, not replay this one's.
-    val pickBands = Iterator
-      .continually(graft.operators.Dedup.pickBandsMs.poll())
-      .takeWhile(_ != null).map(_.longValue()).toSeq
+    val pickBands = graft.operators.Dedup.drainPickBandsMs()
     val json = renderJson(outcome, sfDir, passes, loadBefore, loadAvg(), diag,
       Map("pickbands_ms" -> pickBands))
     println(json)

@@ -377,6 +377,26 @@ object Dedup {
   private[graft] val pickBandsMs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
   private[graft] val pickBandsMsCap = 1024
+  // Element count tracked beside the queue: ConcurrentLinkedQueue.size()
+  // is an O(n) traversal and would run per call forever once the queue
+  // fills; the counter makes cap eviction O(1) and atomic-per-slot (add
+  // then conditionally evict keeps the count ≤ cap + #concurrent-callers,
+  // good enough for a diagnostic ring).
+  private val pickBandsMsCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drain the timing ring (Bench's JSON split of estimator vs route
+    * cost). Centralized so the counter stays in step with the queue.
+    */
+  private[graft] def drainPickBandsMs(): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var v = pickBandsMs.poll()
+    while (v != null) {
+      pickBandsMsCount.decrementAndGet()
+      out += v.longValue()
+      v = pickBandsMs.poll()
+    }
+    out.toSeq
+  }
 
   private[graft] def pickBands(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int, tiers: Seq[Int], shingleLen: Int,
@@ -387,7 +407,9 @@ object Dedup {
       shingleLen, sampleSize, targetRecall, excludeExact)
     finally {
       pickBandsMs.add((System.nanoTime() - __t0) / 1000000L)
-      while (pickBandsMs.size > pickBandsMsCap) pickBandsMs.poll()
+      if (pickBandsMsCount.incrementAndGet() > pickBandsMsCap &&
+          pickBandsMs.poll() != null)
+        pickBandsMsCount.decrementAndGet()
     }
   }
 
@@ -1005,7 +1027,7 @@ object Dedup {
       s"flagPassagesAgainstIndex: the index at $path carries no winnow " +
         "fingerprints — rebuild it with saveDedupIndex(..., winnowK > 0)")
     val (k, w) = winnow.get
-    val batchFps = graft.core.Persist.stage(parallelize(df)
+    val (batchFps, blocksB) = graft.core.Persist.stageTracked(parallelize(df)
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("__bid"),
         transform(shingles(col(textCol), k), g => md5(g)).as("__hs"))
@@ -1014,17 +1036,26 @@ object Dedup {
       .select(col("id").as("__iid"), explode(col("wfp")).as("__fp"))
     // Exact candidate budget BEFORE the join (the fuzzy-join convention):
     // per-print batch-df × index-df, summed. One narrow aggregate join
-    // over the two bounded df tables.
-    val budget = batchFps.groupBy("__fp").agg(count(lit(1)).as("__db"))
-      .join(idxFps.groupBy("__fp").agg(count(lit(1)).as("__di")), Seq("__fp"))
-      .agg(coalesce(sum(col("__db") * col("__di")), lit(0L)))
-      .head().getLong(0)
-    if (budget > maxCandidatePairs) throw new IllegalStateException(
-      s"flagPassagesAgainstIndex: fingerprints fan out to $budget " +
-        s"batch×index candidate pairs (> maxCandidatePairs = " +
-        s"$maxCandidatePairs) — corpus-wide boilerplate dominates; strip " +
-        "it first (stripSharedWindows), raise winnowK/winnowW, or raise " +
-        "maxCandidatePairs deliberately")
+    // over the two bounded df tables. Unstage on the THROW path only —
+    // the budget guard throws by design, and a long-lived service hitting
+    // it repeatedly must not accumulate pinned blocks; on success the
+    // returned plan still reads batchFps, so its blocks stay staged.
+    try {
+      val budget = batchFps.groupBy("__fp").agg(count(lit(1)).as("__db"))
+        .join(idxFps.groupBy("__fp").agg(count(lit(1)).as("__di")), Seq("__fp"))
+        .agg(coalesce(sum(col("__db") * col("__di")), lit(0L)))
+        .head().getLong(0)
+      if (budget > maxCandidatePairs) throw new IllegalStateException(
+        s"flagPassagesAgainstIndex: fingerprints fan out to $budget " +
+          s"batch×index candidate pairs (> maxCandidatePairs = " +
+          s"$maxCandidatePairs) — corpus-wide boilerplate dominates; strip " +
+          "it first (stripSharedWindows), raise winnowK/winnowW, or raise " +
+          "maxCandidatePairs deliberately")
+    } catch {
+      case t: Throwable =>
+        graft.core.Persist.unstage(spark, blocksB)
+        throw t
+    }
     val best = batchFps.join(idxFps, Seq("__fp"))
       .groupBy("__bid", "__iid").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minShared)

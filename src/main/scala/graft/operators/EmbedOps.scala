@@ -315,10 +315,24 @@ object EmbedOps {
       model.nCells).distinct.sorted
     // Deterministic sample: the lowest-id anchors (content-independent,
     // but the anchors ARE the query distribution — sampling them is the
-    // point; a certify rerun sees the same probes).
-    val qs = semIndex(anchors, on)
-      .select(col(idCol).cast("long").as("__id"), col(vecCol(on)).as("__v"))
-      .orderBy(col("__id")).limit(sampleQueries).collect()
+    // point; a certify rerun sees the same probes). Sample FIRST, embed
+    // after: the id cut is a narrow TakeOrdered over (id, text) — with an
+    // API embedder at real anchor scale, embedding before the cut would
+    // pay the full anchor-embedding cost for a 16-row sample. Anchors
+    // arriving with the vector column already attached (the
+    // hardNegativesIvf auto path threads its embedded frame through)
+    // skip embedding entirely.
+    val sampled =
+      if (anchors.columns.contains(vecCol(on)))
+        anchors.select(col(idCol).cast("long").as("__id"),
+            col(vecCol(on)).as("__v"))
+          .orderBy(col("__id")).limit(sampleQueries)
+      else
+        semIndex(
+          anchors.select(col(idCol).cast("long").as("__id"), col(on))
+            .orderBy(col("__id")).limit(sampleQueries), on)
+          .select(col("__id"), col(vecCol(on)).as("__v"))
+    val qs = sampled.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
     require(qs.nonEmpty, "recommendProbesForFetch: no anchors to sample")
     val byTier = graft.embed.IvfIndex.recallReport(indexed, model, on,
@@ -338,8 +352,9 @@ object EmbedOps {
       exhaustive.last
     }
     // The decision trace rides the log (the neardup auto-tier
-    // convention) so a scale run records WHICH tier mined.
-    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+    // convention) so a scale run records WHICH tier mined — at INFO;
+    // WARN is reserved for the exhaustive fall-through above.
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"recommendProbesForFetch: nProbe=${picked._1} of nCells=" +
         s"${model.nCells} (sampled recall@$nFetch=${picked._2} over " +
         s"${qs.length} anchors, target $targetRecall)")
@@ -353,15 +368,28 @@ object EmbedOps {
       targetRecall: Double = 0.95): DataFrame = {
     require(k >= 1 && nFetch >= k,
       s"hardNegativesIvf: need nFetch >= k >= 1, got k=$k nFetch=$nFetch")
+    require(nProbe >= 0,
+      s"hardNegativesIvf: nProbe $nProbe must be >= 0 — 0 is the ONLY " +
+        "auto sentinel; a negative value is an error, not a tuning request")
+    val v = vecCol(on)
+    // Embed the anchors ONCE, before the auto decision — the recommend
+    // pass sees the vector column attached and samples without
+    // re-embedding. On the auto path the frame has TWO consumers (the
+    // recall sample and the mining itself), so it is staged: a lazy
+    // plan would re-run the embedder per consumer — with an API
+    // embedder at real anchor scale that is the 2× cost the staging
+    // buys back.
+    val embedded =
+      if (nProbe == 0) graft.core.Persist.stage(semIndex(anchors, on))
+      else semIndex(anchors, on)
     // nProbe = 0 → the recall-aware auto tier (the minhashPairs
     // bands-=-0 convention): cheapest sampled-recall tier meeting
     // targetRecall, measured at THIS nFetch over these anchors.
     val probes =
       if (nProbe > 0) nProbe
-      else recommendProbesForFetch(indexed, model, on, anchors, idCol,
+      else recommendProbesForFetch(indexed, model, on, embedded, idCol,
         nFetch, targetRecall)._1
-    val v = vecCol(on)
-    val q = semIndex(anchors, on)
+    val q = embedded
       .select(col(idCol).as("__q_id"), col(v).as("__q_vec"),
         col(labelCol).as("__q_label"))
     val fetched = graft.embed.IvfIndex.searchBatch(indexed, model, on,

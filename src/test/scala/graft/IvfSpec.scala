@@ -7,6 +7,10 @@ import graft.operators.EmbedOps
 class IvfSpec extends SparkSpec {
   import spark.implicits._
 
+  // Tallies how many texts reach the embedder — local[*] tasks share the
+  // JVM, so the companion counter observes executor-side calls.
+  private def countingEmbedder(dim: Int) = CountingEmbedder(dim)
+
   // 120 synthetic vectors in 8 well-separated directional clusters: cluster g
   // points mostly along axis g with small deterministic jitter.
   private def vecs = {
@@ -364,5 +368,48 @@ class IvfSpec extends SparkSpec {
     val a1 = i1.select("id", IvfIndex.cellCol).as[(Long, Int)].collect().sortBy(_._1)
     val a2 = i2.select("id", IvfIndex.cellCol).as[(Long, Int)].collect().sortBy(_._1)
     assert(a1.sameElements(a2))
+  }
+
+  test("recommendProbesForFetch embeds ONLY the sampled anchors (sample " +
+      "first, embed after) and the hardNegativesIvf auto path embeds " +
+      "each anchor exactly once") {
+    val (indexed, model) = IvfIndex.build(
+      vecs.withColumn("label", col("id") % 3), "emb", nCells = 8, seed = 7)
+    // Text anchors — the embedder must run to vectorize them.
+    val anchors = (0 until 50).map(i => (i.toLong, s"anchor text $i", i % 3))
+      .toDF("id", "emb", "label")
+    graft.core.Sem.withEmbedder(countingEmbedder(16)) {
+      CountingEmbedder.embedded.set(0L)
+      EmbedOps.recommendProbesForFetch(
+        indexed, model, "emb", anchors, "id", nFetch = 5, targetRecall = 0.5)
+      val sampledOnly = CountingEmbedder.embedded.get()
+      assert(sampledOnly == 16L,
+        s"recommend embedded $sampledOnly anchors — must embed only the " +
+          "16-row sample, never the full frame")
+      CountingEmbedder.embedded.set(0L)
+      EmbedOps.hardNegativesIvf(anchors, indexed, model, "emb", "id",
+        "label", k = 2, nFetch = 5, nProbe = 0, targetRecall = 0.5).count()
+      val once = CountingEmbedder.embedded.get()
+      assert(once == 50L,
+        s"auto mining embedded $once texts for 50 anchors — the staged " +
+          "frame must feed both the recall sample and the mining")
+    }
+    intercept[IllegalArgumentException](
+      EmbedOps.hardNegativesIvf(anchors, indexed, model, "emb", "id",
+        "label", k = 2, nFetch = 5, nProbe = -1))
+  }
+}
+
+/** [[graft.embed.HashingEmbedder]] plus a JVM-global tally of embedded
+  * texts — the observable for sample-then-embed plan assertions.
+  */
+object CountingEmbedder {
+  val embedded = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+final case class CountingEmbedder(dim: Int) extends graft.embed.Embedder {
+  private val inner = graft.embed.HashingEmbedder(dim)
+  override def embed(texts: Seq[String]): Seq[Array[Float]] = {
+    CountingEmbedder.embedded.addAndGet(texts.size.toLong)
+    inner.embed(texts)
   }
 }
