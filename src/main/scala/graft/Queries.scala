@@ -3030,6 +3030,153 @@ object Queries {
         .orderBy("lang", "split")
     }),
 
+    "corpus_fineweb_recipe" -> ((s, dir) => {
+      // The FULL published batch release recipe composed as ONE plan —
+      // the FineWeb/RefinedWeb shape (arXiv 2406.17557 / 2306.01116)
+      // run end to end where the per-stage gates pin each operator
+      // alone: url dedup → PSL registrable-domain cap → Gopher/C4
+      // quality → CCNet lang-NB route → minhash dedup (recall-aware
+      // auto bands) → ExactSubstr strip → n-gram decontamination vs an
+      // eval set → leakage-safe splits on the SAME pair graph the dedup
+      // used → token-balanced shards. Composition is where cross-stage
+      // drift hides: the lang NB and every threshold recompute on
+      // exactly what upstream left behind, and the oracle replays all
+      // nine stages from scratch over the same shrinking corpora.
+      // Plants (both engines): the 31-word warranty span on doc%7
+      // (makes ExactSubstr live and pushes some docs over the Gopher
+      // word floor — a deliberate cross-stage interaction), a curly
+      // brace on doc%9 and a lorem-ipsum line on doc%11 (the C4 page
+      // rules), URL variants where doc%20 ∈ {0,1} pairs collide after
+      // normalization (url dedup) while every row exercises the
+      // normalizer (case/port/fragment/utm/param-order decorations by
+      // doc%4), and doc%19 == 1 docs take their lower neighbor's text
+      // (+ a tail marker) and lang — near-dup pairs that survive the
+      // funnel TOGETHER so the minhash stage provably bites.
+      val span = "this document is provided as is without warranty of any " +
+        "kind either express or implied including but not limited to the " +
+        "implied warranties of merchantability and fitness for a " +
+        "particular purpose"
+      val d0raw = read(s, dir, "documents")
+      val shifted = d0raw.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("__ntext"), col("lang").as("__nlang"))
+      val d0 = d0raw.join(shifted, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 19 === 1 && col("__ntext").isNotNull,
+            col("__nlang")).otherwise(col("lang")).as("lang"),
+          when(col("doc_id") % 19 === 1 && col("__ntext").isNotNull,
+            concat(col("__ntext"), lit(" near dup tail marker")))
+            .otherwise(col("text")).as("text"))
+      val base = d0.select(col("doc_id"), col("lang"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" " + span)).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit(" template { artifact"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" lorem ipsum dolor placeholder"))
+            .otherwise(lit(""))).as("t2"),
+        when(col("doc_id") % 20 === 1, col("doc_id") - 1)
+          .otherwise(col("doc_id")).as("__pid"))
+      // Stage 1: synthesized crawl URLs (skewed domains — freq(dom = k)
+      // ∝ 2k+1 — so the cap below bites the heavy tail like a real SEO
+      // domain), urlNormalize, keep the min doc per normal form.
+      val dom = floor(sqrt((col("__pid") % 100).cast("double"))).cast("long")
+      val host = concat(
+        element_at(typedlit(Seq("www.", "blog.", "shop.", "")),
+          ((col("__pid") / 20).cast("long") % 4).cast("int") + 1),
+        lit("site"), dom.cast("string"),
+        when(dom % 3 === 2, lit(".co.uk")).otherwise(lit(".com")))
+      val path = concat(lit("/p"), col("__pid").cast("string"))
+      val v = col("doc_id") % 4
+      val url = when(v === 0,
+          concat(lit("http://"), host, path, lit("?b=2&a=1")))
+        .when(v === 1, concat(lit("HTTP://"), upper(host), lit(":80"),
+          path, lit("?a=1&b=2#frag")))
+        .when(v === 2, concat(lit("http://"), host, lit(":80"), path,
+          lit("?utm_source=x&a=1&b=2")))
+        .otherwise(concat(lit("http://"), host, path,
+          lit("?a=1&fbclid=zz&b=2")))
+      val withUrl = base.withColumn("__url", url)
+      val keep1 = withUrl
+        .select(graft.functions.UrlExpr.urlNormalize(col("__url"))
+          .as("__norm"), col("doc_id"))
+        .groupBy("__norm").agg(min("doc_id").as("doc_id"))
+      val s1 = withUrl.join(keep1.select("doc_id"), Seq("doc_id"))
+      // Stage 2: registrable-domain cap at the even-share quota
+      // ceil(n/|domains|) — data-dependent, so the stage stays
+      // proportionally live at every scale (a literal cap tuned at
+      // sf0.01 would either starve or no-op elsewhere). The PSL chain
+      // runs once over the staged frame; the two counts are driver
+      // scalars the oracle recomputes.
+      val withDom = graft.core.Persist.stage(
+        CorpusPrep.withRegistrableDomain(s1, "__url", "domain"))
+      val n1 = withDom.count()
+      val nDom = withDom.select("domain").distinct().count()
+      val quota = math.ceil(n1.toDouble / nDom.toDouble).toInt
+      val s2 = CorpusPrep.quotaPerGroup(withDom, "domain", "doc_id", quota)
+      // Stage 3: Gopher page rules (the Table-A1 subset live on this
+      // corpus — word count, mean word length, symbol ratio, alpha
+      // fraction; the line rules and stopword rule are pinned by
+      // gopher_quality_filter on its reshaped adapter) + C4's page
+      // rules (lorem ipsum, curly bracket — planted above). Signals
+      // staged once, filtered after (the ccnet_pipeline discipline:
+      // a filter on live kernel lineage re-evaluates per predicate).
+      val sig = graft.core.Persist.stage(s2.select(col("doc_id"),
+        col("lang"), col("t2"), col("domain"),
+        TF.tokenCount(col("t2")).cast("long").as("__nw"),
+        TF.meanWordLen(col("t2")).as("__mwl"),
+        TF.symbolWordRatio(col("t2")).as("__sym"),
+        TF.alphaWordFraction(col("t2")).as("__alpha")))
+      val s3 = sig.filter(col("__nw").between(50L, 100000L) &&
+          col("__mwl").between(3.0, 10.0) && col("__sym") <= 0.1 &&
+          col("__alpha") >= 0.8 &&
+          !lower(col("t2")).contains("lorem ipsum") &&
+          !col("t2").contains("{"))
+        .select("doc_id", "lang", "t2", "domain")
+      // Stage 4: the CCNet lang route — NB REFIT on the stage-3
+      // survivors, keep agreeing high-margin docs (ccnet_pipeline's
+      // stage 2, retrained on this pipeline's corpus).
+      val langM = graft.operators.QualityClassifier.trainLangNB(
+        s3, "t2", "lang")
+      val s4 = graft.core.Persist.stage(
+          graft.operators.QualityClassifier.scoreLangNB(s3, "t2", langM))
+        .filter(col("lang_pred") === col("lang") &&
+          col("lang_margin") >= 1.0)
+        .select("doc_id", "lang", "t2", "domain")
+      // Stage 5: minhash dedup through the PRODUCTION auto-band route
+      // (bounded estimator, targetRecall = 1.0). The pair frame is
+      // staged because the leakage-safe split REUSES it — the
+      // shared-graph contract: dedup unit ≡ split unit.
+      val pairs = graft.core.Persist.stage(Dedup.minhashPairs(
+        s4, "t2", "doc_id", threshold = 0.5, targetRecall = 1.0))
+      val s5 = Dedup.dropDuplicatesByPairs(s4, "doc_id", pairs)
+      // Stage 6: ExactSubstr strip (Lee et al. 2022) of cross-doc
+      // ≥25-word spans — the planted warranty span, still shared among
+      // the stage-5 SURVIVORS, must come out of each of them.
+      val s6 = Dedup.exactSubstrClean(s5, "t2", "doc_id",
+        minMatchWords = 25)
+      // Stage 7: n-gram decontamination of the CLEANED text against
+      // the eval set (every 20th RAW doc): a doc whose span was just
+      // stripped no longer flags on the span an eval doc carries — a
+      // cross-stage interaction only the composition pins.
+      val evalSet = base.filter(col("doc_id") % 20 === 0)
+        .select("doc_id", "t2")
+      val s7 = Decontaminate.flagContaminated(s6, "doc_id", "clean_text",
+          evalSet, "t2", n = 5)
+        .filter(!col("contaminated"))
+      // Stages 8–9: leakage-safe split on the SAME pair graph, then
+      // token-balanced shards over the release in id order.
+      val splits = CorpusPrep.leakageSafeSplits(s7.select("doc_id"),
+        "doc_id", pairs, Seq("train" -> 0.9, "holdout" -> 0.1),
+        salt = "fineweb")
+      val withTok = s7.join(splits.select("doc_id", "split"), Seq("doc_id"))
+        .withColumn("n_tok", TF.tokenCount(col("clean_text")).cast("long"))
+      CorpusPrep.shardByTokenBudget(withTok, "doc_id", col("n_tok"),
+          tokensPerShard = 500L)
+        .select(col("doc_id"), col("domain"), col("lang"), col("split"),
+          col("shard"), col("n_tok"),
+          md5(to_binary(col("clean_text"), lit("utf-8"))).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     "corpus_diff_snapshots" -> ((s, dir) => {
       // Snapshot diff by content fingerprint: old drops every 10th id and
       // mutates every 7th's text; new drops every 9th. The full-outer
@@ -6967,6 +7114,182 @@ object Queries {
     // %10 ids exist only in new (added), %9 only in old (removed), %7 had
     // old text mutated (changed); ids hitting both %10 and %9 are in
     // neither snapshot.
+    // All nine stages replayed from scratch over the same shrinking
+    // corpora: identical plants + URL synthesis, the PREDICTED url
+    // normal form and registrable domain (arithmetic consequences of
+    // the synthesis — the normalizer and PSL chain themselves are
+    // pinned step-for-step by url_dedup / psl_domain), the even-share
+    // domain quota recomputed, the Gopher/C4 signal shapes from
+    // gopher_quality_filter, the ccnet_pipeline NB refit on stage-3
+    // survivors, the dedup_minhash exact-Jaccard reachability CTE over
+    // stage-4 survivors, the dedup_exactsubstr window coverage over
+    // stage-5 survivors, the decontaminate_ngram string grams over the
+    // CLEANED text, the split_leakage_safe hex cut (rep = self for
+    // every survivor: dedup kept each component's min), and the
+    // corpus_shard_tokens running sum.
+    "corpus_fineweb_recipe" ->
+      ("""WITH RECURSIVE d1 AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.doc_id % 19 = 1 AND b.text IS NOT NULL
+        |      THEN b.lang ELSE a.lang END AS lang,
+        |    CASE WHEN a.doc_id % 19 = 1 AND b.text IS NOT NULL
+        |      THEN b.text || ' near dup tail marker' ELSE a.text END AS text
+        |  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1),
+        |base AS (
+        |  SELECT doc_id, lang,
+        |    text || CASE WHEN doc_id % 7 = 0 THEN ' """ + // span follows
+        "this document is provided as is without warranty of any kind " +
+        "either express or implied including but not limited to the " +
+        "implied warranties of merchantability and fitness for a " +
+        "particular purpose" + """' ELSE '' END
+        |      || CASE WHEN doc_id % 9 = 0 THEN ' template { artifact' ELSE '' END
+        |      || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum dolor placeholder' ELSE '' END AS t2,
+        |    CASE WHEN doc_id % 20 = 1 THEN doc_id - 1 ELSE doc_id END AS pid
+        |  FROM d1),
+        |u AS (SELECT doc_id, lang, t2,
+        |    'http://' ||
+        |    (CASE CAST(floor(pid / 20.0) AS BIGINT) % 4 WHEN 0 THEN 'www.'
+        |      WHEN 1 THEN 'blog.' WHEN 2 THEN 'shop.' ELSE '' END) ||
+        |    'site' || CAST(CAST(floor(sqrt(pid % 100)) AS BIGINT) AS VARCHAR) ||
+        |    (CASE WHEN CAST(floor(sqrt(pid % 100)) AS BIGINT) % 3 = 2
+        |      THEN '.co.uk' ELSE '.com' END) ||
+        |    '/p' || CAST(pid AS VARCHAR) || '?a=1&b=2' AS url_norm,
+        |    'site' || CAST(CAST(floor(sqrt(pid % 100)) AS BIGINT) AS VARCHAR) ||
+        |    (CASE WHEN CAST(floor(sqrt(pid % 100)) AS BIGINT) % 3 = 2
+        |      THEN '.co.uk' ELSE '.com' END) AS domain
+        |  FROM base),
+        |s1 AS (SELECT u.* FROM u
+        |  JOIN (SELECT url_norm, min(doc_id) AS kid FROM u GROUP BY 1) m
+        |  ON u.doc_id = m.kid),
+        |q2 AS (SELECT CAST(ceil(count(*) * 1.0 / count(DISTINCT domain)) AS BIGINT)
+        |    AS quota FROM s1),
+        |s2 AS (SELECT doc_id, lang, t2, domain FROM (
+        |    SELECT s1.*, row_number() OVER (PARTITION BY domain
+        |      ORDER BY doc_id) AS rn FROM s1), q2
+        |  WHERE rn <= quota),
+        |sig AS (SELECT doc_id, lang, t2, domain,
+        |    CAST(CASE WHEN len(trim(t2)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(t2), '\s+')) END AS BIGINT) AS n_words,
+        |    CASE WHEN len(trim(t2)) = 0 THEN 0.0
+        |      ELSE len(regexp_replace(t2, '\s+', '', 'g')) * 1.0
+        |        / len(string_split_regex(trim(t2), '\s+')) END AS mwl,
+        |    CASE WHEN len(trim(t2)) = 0 THEN 0.0
+        |      ELSE len(regexp_extract_all(t2, '#|\.\.\.')) * 1.0
+        |        / len(string_split_regex(trim(t2), '\s+')) END AS sym,
+        |    CASE WHEN len(trim(t2)) = 0 THEN 0.0
+        |      ELSE len(list_filter(string_split_regex(lower(trim(t2)), '\s+'),
+        |        w -> regexp_matches(w, '[a-z]'))) * 1.0
+        |        / len(string_split_regex(lower(trim(t2)), '\s+')) END AS alpha
+        |  FROM s2),
+        |s3 AS (SELECT doc_id, lang, t2, domain FROM sig
+        |  WHERE n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |    AND sym <= 0.1 AND alpha >= 0.8
+        |    AND NOT contains(lower(t2), 'lorem ipsum')
+        |    AND NOT contains(t2, '{')),
+        |t4 AS (SELECT doc_id, lang,
+        |    regexp_replace(lower(trim(t2)), '\s+', ' ', 'g') AS sx FROM s3),
+        |g4 AS (SELECT doc_id, lang, list_concat(
+        |    list_transform(range(1, len(sx) + 1), i -> substr(sx, i, 1)),
+        |    list_transform(range(1, len(sx)), i -> substr(sx, i, 2))) AS gr
+        |  FROM t4),
+        |cnt AS (SELECT y, gram, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT lang AS y, unnest(gr) AS gram FROM g4) GROUP BY y, gram),
+        |voc AS (SELECT CAST(count(DISTINCT gram) AS DOUBLE) AS v FROM cnt),
+        |tot4 AS (SELECT y, CAST(sum(c) AS DOUBLE) AS t FROM cnt GROUP BY y),
+        |cls AS (SELECT lang AS y, ln(CAST(count(*) AS DOUBLE)) -
+        |    ln((SELECT CAST(count(*) AS DOUBLE) FROM s3)) AS prior
+        |  FROM s3 GROUP BY lang),
+        |m4 AS (SELECT cnt.y, map(list(gram ORDER BY gram),
+        |      list(ln((c + 1) / (t + v)) ORDER BY gram)) AS mp,
+        |    min(ln(1 / (t + v))) AS oov
+        |  FROM cnt JOIN tot4 ON cnt.y = tot4.y, voc GROUP BY cnt.y),
+        |lsc AS (SELECT g4.doc_id, g4.lang, m4.y AS cand,
+        |    CASE WHEN len(g4.gr) = 0 THEN cls.prior
+        |      ELSE list_reduce(list_transform(g4.gr, x -> coalesce(mp[x][1], oov)),
+        |        (a, b) -> a + b) + cls.prior END AS score
+        |  FROM g4 CROSS JOIN m4 JOIN cls ON m4.y = cls.y),
+        |rk AS (SELECT doc_id, lang, cand, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) AS rn FROM lsc),
+        |pred AS (SELECT r.doc_id, r.lang, r.cand AS lp,
+        |    r.score - coalesce(s.score, r.score) AS margin
+        |  FROM rk r LEFT JOIN (SELECT doc_id, score FROM rk WHERE rn = 2) s
+        |    ON r.doc_id = s.doc_id
+        |  WHERE r.rn = 1),
+        |s4 AS (SELECT s3.* FROM s3 JOIN pred p ON s3.doc_id = p.doc_id
+        |  AND p.lp = s3.lang AND p.margin >= 1.0),
+        |tw AS (SELECT doc_id, string_split(trim(t2), ' ') AS w FROM s4),
+        |sh5 AS (SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1),
+        |      i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh
+        |  FROM tw),
+        |prs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh5 a JOIN sh5 b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM prs
+        |  UNION ALL SELECT id2, id1 FROM prs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM s4
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |s5 AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a),
+        |t6 AS (SELECT s4.doc_id, s4.lang, s4.domain,
+        |    string_split(trim(s4.t2), ' ') AS w,
+        |    list_transform(string_split(trim(s4.t2), ' '), x -> lower(x)) AS k
+        |  FROM s5 JOIN s4 USING (doc_id)),
+        |gr6 AS (SELECT doc_id, lang, domain, w, k,
+        |    CASE WHEN len(k) <= 25 THEN [array_to_string(k, ' ')]
+        |      ELSE list_transform(range(1, len(k) - 23),
+        |        i -> array_to_string(list_slice(k, i, i + 24), ' ')) END AS grams
+        |  FROM t6),
+        |e6 AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM gr6),
+        |shared6 AS (SELECT gram FROM e6 GROUP BY gram HAVING count(*) >= 2),
+        |shl AS (SELECT coalesce(list(gram), CAST([] AS VARCHAR[])) AS sg
+        |  FROM shared6),
+        |c6 AS (SELECT gr6.doc_id, gr6.lang, gr6.domain, gr6.w,
+        |    list_distinct(flatten(list_transform(
+        |      list_filter(range(1, len(gr6.grams) + 1),
+        |        i -> list_contains(shl.sg, gr6.grams[i])),
+        |      st -> range(st, st + least(25, len(gr6.k)))))) AS covered
+        |  FROM gr6, shl),
+        |s6 AS (SELECT doc_id, lang, domain,
+        |    coalesce(array_to_string(list_filter(w,
+        |      (x, i) -> NOT list_contains(covered, i)), ' '), '') AS clean
+        |  FROM c6),
+        |t7 AS (SELECT doc_id, lang, domain, clean,
+        |    list_distinct(CASE
+        |      WHEN len(string_split(lower(trim(clean)), ' ')) <= 5
+        |        THEN [array_to_string(string_split(lower(trim(clean)), ' '), ' ')]
+        |      ELSE list_transform(
+        |        range(1, len(string_split(lower(trim(clean)), ' ')) - 3),
+        |        i -> array_to_string(list_slice(
+        |          string_split(lower(trim(clean)), ' '), i, i + 4), ' '))
+        |      END) AS sh
+        |  FROM s6),
+        |ev AS (SELECT list_distinct(flatten(list(sh))) AS egrams FROM (
+        |  SELECT list_distinct(CASE WHEN len(w) <= 5
+        |      THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w) - 3),
+        |      i -> array_to_string(list_slice(w, i, i + 4), ' ')) END) AS sh
+        |  FROM (SELECT string_split(lower(trim(t2)), ' ') AS w
+        |        FROM base WHERE doc_id % 20 = 0))),
+        |s7 AS (SELECT t7.doc_id, t7.lang, t7.domain, t7.clean
+        |  FROM t7, ev WHERE len(list_intersect(t7.sh, ev.egrams)) = 0),
+        |s8 AS (SELECT s7.*,
+        |    CASE WHEN '0' || substring(md5('fineweb|' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |      < '0e666' THEN 'train' ELSE 'holdout' END AS split,
+        |    CAST(CASE WHEN len(trim(clean)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(clean), '\s+')) END AS BIGINT)
+        |      AS n_tok
+        |  FROM s7)
+        |SELECT doc_id, domain, lang, split,
+        |  CAST((sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |    - n_tok) // 500 AS BIGINT) AS shard,
+        |  n_tok, md5(clean) AS clean_md5
+        |FROM s8 ORDER BY doc_id""").stripMargin,
+
     // The same per-doc change classification the bucket-local join
     // computes; the plan contract (no Exchange) is asserted Spark-side.
     "corpus_bucketed_join" ->
