@@ -1966,6 +1966,76 @@ object Queries {
         .select(col("id").as("doc_id")).orderBy("doc_id")
     }),
 
+    "stream_crawl_winnow" -> ((s, dir) => withShufflePartitions(s, 8) {
+      // The quoted-passage stage INSIDE the streaming crawl loop — the
+      // locality case whole-doc LSH provably misses (a 40-word quote
+      // moves whole-set Jaccard by ~nothing, so dropAgainstIndex keeps
+      // the quoting doc): the index is saved WITH winnow prints; each
+      // microbatch LSH-dedups against the index as grown so far, then
+      // screens survivors' passages against the SAME index
+      // (flagPassagesAgainstIndex) and drops flagged quoters; clean
+      // survivors append — prints included, from the sidecar params —
+      // through the exactly-once mark protocol. Batch 1 plants quotes
+      // from the INDEXED corpus (odd doc%10==1 quotes its even
+      // neighbor); batch 2 plants the CROSS-BATCH case — doc%10==3
+      // quotes its doc_id−120 sibling, a batch-1 survivor whose prints
+      // exist in the index ONLY because batch 1 appended them. The
+      // oracle replays both batches from scratch (LSH exclusion, then
+      // the winnow print algebra vs the growing index); the final index
+      // id set hash-matches.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_winnow")
+      val idx = s"$tmp/idx"
+      val d = read(s, dir, "documents").filter(col("doc_id") < 240)
+      Dedup.saveDedupIndex(d.filter(col("doc_id") % 2 === 0), "text",
+        "doc_id", idx, winnowK = 5, winnowW = 4)
+      val evens = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("src_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 40), " ")
+            .as("quote"))
+      val odds40 = d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("osrc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 40), " ")
+            .as("oquote"))
+      val planted = d.filter(col("doc_id") % 2 === 1)
+        .join(evens, col("doc_id") - 1 === col("src_id"), "left")
+        .join(odds40, col("doc_id") - 120 === col("osrc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 1,
+            concat(col("text"), lit(" "), col("quote")))
+            .when(col("doc_id") % 10 === 3 && col("doc_id") >= 120 &&
+              col("oquote").isNotNull,
+              concat(col("text"), lit(" "), col("oquote")))
+            .otherwise(col("text")).as("text"))
+      val inDir = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      def writeBatch(name: String, lines: Array[String]): Unit =
+        java.nio.file.Files.write(inDir.resolve(name),
+          lines.mkString("\n").getBytes("UTF-8"))
+      val stream = s.readStream.schema("doc_id LONG, text STRING")
+        .json(inDir.toString)
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val lsh = Dedup.dropAgainstIndex(batch, "text", "doc_id", idx,
+            threshold = 0.5)
+          val clean = Dedup.flagPassagesAgainstIndex(lsh, "text", "doc_id",
+              idx, minShared = 2)
+            .filter(col("passage_src").isNull)
+            .select("doc_id", "text")
+          Dedup.appendToDedupIndex(clean, "text", "doc_id", idx)
+          ()
+        }.start()
+      writeBatch("b1.json",
+        planted.filter(col("doc_id") < 120).orderBy("doc_id").collect()
+          .map(r => s"""{"doc_id":${r.getLong(0)},"text":"${jsonEsc(r.getString(1))}"}"""))
+      q.processAllAvailable()
+      writeBatch("b2.json",
+        planted.filter(col("doc_id") >= 120).orderBy("doc_id").collect()
+          .map(r => s"""{"doc_id":${r.getLong(0)},"text":"${jsonEsc(r.getString(1))}"}"""))
+      q.processAllAvailable(); q.stop()
+      graft.core.BatchCommit.readData(s, idx, "docs")
+        .select(col("id").as("doc_id")).orderBy("doc_id")
+    }),
+
     "sink_tar_shards" -> ((s, dir) => {
       // WebDataset export end to end: docs → 4 POSIX ustar shards (txt +
       // json per sample, pinned headers) → distributed read-back → per-
@@ -5455,6 +5525,96 @@ object Queries {
         |b2s AS (SELECT * FROM b2
         |  WHERE doc_id NOT IN (SELECT doc_id FROM b2x))
         |SELECT doc_id FROM it
+        |UNION ALL SELECT doc_id FROM b1s
+        |UNION ALL SELECT doc_id FROM b2s
+        |ORDER BY doc_id""".stripMargin,
+
+    // Both microbatches replayed from scratch: identical quote plants,
+    // per-batch LSH exclusion (fingerprint + exact Jaccard ≥ 0.5) vs the
+    // index as grown so far, then the winnow print algebra (5-word gram
+    // md5s, window-4 minima, distinct prints, ≥ 2 shared with ANY index
+    // doc ⇒ dropped) vs the SAME growing index — batch-2 quoters of
+    // batch-1 survivors flag only because batch 1's appended prints are
+    // in the comparison set.
+    "stream_crawl_winnow" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 240),
+        |ev AS (SELECT doc_id AS src_id,
+        |    array_to_string((string_split(trim(text), ' '))[1:40], ' ') AS quote
+        |  FROM d WHERE doc_id % 2 = 0),
+        |oq AS (SELECT doc_id AS osrc_id,
+        |    array_to_string((string_split(trim(text), ' '))[1:40], ' ') AS oquote
+        |  FROM d WHERE doc_id % 2 = 1),
+        |od AS (SELECT o.doc_id,
+        |    CASE WHEN o.doc_id % 10 = 1 THEN o.text || ' ' || e.quote
+        |         WHEN o.doc_id % 10 = 3 AND o.doc_id >= 120
+        |           AND q2.oquote IS NOT NULL THEN o.text || ' ' || q2.oquote
+        |         ELSE o.text END AS text
+        |  FROM (SELECT doc_id, text FROM d WHERE doc_id % 2 = 1) o
+        |  LEFT JOIN ev e ON o.doc_id - 1 = e.src_id
+        |  LEFT JOIN oq q2 ON o.doc_id - 120 = q2.osrc_id),
+        |ns AS (SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1),
+        |      i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(hs) - 3, 1) + 1),
+        |      i -> list_aggregate(list_slice(hs, i, i + 3), 'min'))) AS wfp
+        |  FROM (SELECT doc_id, text, w, list_transform(
+        |      CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+        |        ELSE list_transform(range(1, len(w) - 3),
+        |          i -> array_to_string(list_slice(w, i, i + 4), ' ')) END,
+        |      g -> md5(g)) AS hs
+        |    FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w
+        |          FROM od))),
+        |idx0 AS (SELECT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-1),
+        |      i -> array_to_string(list_slice(w, i, i+2), ' ')) END AS sh,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(hs) - 3, 1) + 1),
+        |      i -> list_aggregate(list_slice(hs, i, i + 3), 'min'))) AS wfp
+        |  FROM (SELECT doc_id, text, w, list_transform(
+        |      CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+        |        ELSE list_transform(range(1, len(w) - 3),
+        |          i -> array_to_string(list_slice(w, i, i + 4), ' ')) END,
+        |      g -> md5(g)) AS hs
+        |    FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w
+        |          FROM d WHERE doc_id % 2 = 0))),
+        |b1 AS (SELECT * FROM ns WHERE doc_id < 120),
+        |b1x AS (
+        |  SELECT n.doc_id FROM b1 n WHERE n.fp IN (SELECT fp FROM idx0)
+        |  UNION
+        |  SELECT n.doc_id FROM b1 n JOIN idx0 o
+        |    ON len(list_distinct(list_intersect(n.sh, o.sh))) * 1.0 /
+        |       len(list_distinct(list_concat(n.sh, o.sh))) >= 0.5
+        |  UNION
+        |  SELECT t.doc_id FROM (
+        |    SELECT n.doc_id, o.doc_id AS iid, CAST(count(*) AS BIGINT) AS c
+        |    FROM (SELECT doc_id, unnest(wfp) AS p FROM b1) n
+        |    JOIN (SELECT doc_id, unnest(wfp) AS p FROM idx0) o USING (p)
+        |    GROUP BY 1, 2 HAVING count(*) >= 2) t),
+        |b1s AS (SELECT * FROM b1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM b1x)),
+        |idx1 AS (SELECT doc_id, sh, fp, wfp FROM idx0
+        |  UNION ALL SELECT doc_id, sh, fp, wfp FROM b1s),
+        |b2 AS (SELECT * FROM ns WHERE doc_id >= 120),
+        |b2x AS (
+        |  SELECT n.doc_id FROM b2 n WHERE n.fp IN (SELECT fp FROM idx1)
+        |  UNION
+        |  SELECT n.doc_id FROM b2 n JOIN idx1 o
+        |    ON len(list_distinct(list_intersect(n.sh, o.sh))) * 1.0 /
+        |       len(list_distinct(list_concat(n.sh, o.sh))) >= 0.5
+        |  UNION
+        |  SELECT t.doc_id FROM (
+        |    SELECT n.doc_id, o.doc_id AS iid, CAST(count(*) AS BIGINT) AS c
+        |    FROM (SELECT doc_id, unnest(wfp) AS p FROM b2) n
+        |    JOIN (SELECT doc_id, unnest(wfp) AS p FROM idx1) o USING (p)
+        |    GROUP BY 1, 2 HAVING count(*) >= 2) t),
+        |b2s AS (SELECT * FROM b2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM b2x))
+        |SELECT doc_id FROM d WHERE doc_id % 2 = 0
         |UNION ALL SELECT doc_id FROM b1s
         |UNION ALL SELECT doc_id FROM b2s
         |ORDER BY doc_id""".stripMargin,
