@@ -1177,6 +1177,34 @@ object Queries {
       }
     }),
 
+    "ann_ivf_vs_auto" -> ((s, dir) => {
+      // The settings-level AUTO probe tier: IvfVS(nProbe = 0) measures
+      // the cheapest sampled-recall tier at index() time
+      // (recommendProbesForFetch over 16 self-queries) and PERSISTS the
+      // decision beside the cells — settings/SQL users inherit the same
+      // measured-recall default the operator callers get, and every
+      // later search reads the saved decision, not a config knob.
+      // targetRecall = 1.0 on this unclustered corpus makes every
+      // partial tier fail the sample, so the decision provably lands on
+      // the exhaustive tier (the LOUD fall-through branch): search ≡
+      // exact cosine top-k and the persisted-decision lifecycle is
+      // oracle-checkable. The partial pick on clustered geometry (and
+      // the stale-decision delete on re-index) is pinned by IvfVsSpec.
+      val base = java.nio.file.Files.createTempDirectory("graft_verify_ivfvsa").toString
+      val e = read(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 4).select("embedding")
+        .head().getSeq[Float](0)
+      val withVec = e.withColumnRenamed("embedding", EmbedOps.vecCol("emb"))
+      Sem.withSettings(Sem.settings.copy(vs =
+          Some(graft.embed.IvfVS(base, nCells = 8, nProbe = 0,
+            targetRecall = 1.0)))) {
+        EmbedOps.semIndexSave(withVec, "emb", "vec_id", "emb_idx")
+        EmbedOps.semSearchStoreVec(s, "emb_idx", qv.toIndexedSeq, 12)
+          .orderBy(col("score").desc, col("id"))
+          .select(col("id").as("vec_id"), round(col("score"), 3).as("score"))
+      }
+    }),
+
     "ann_pq_vs" -> ((s, dir) => {
       // The PQ codec through the settings-level store: Settings.vs =
       // IvfVS(pq = true) routes semIndexSave/semSearchStore onto the
@@ -5914,6 +5942,17 @@ object Queries {
     "pipeline_agent_entry" -> AgenticReduceOracle,
 
     "ann_ivf_vs" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 4)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score
+        |FROM embeddings e, q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 12""".stripMargin,
+
+    // The auto decision lands on the exhaustive tier by construction
+    // (targetRecall = 1.0, unclustered corpus), so the persisted-probe
+    // search equals exact cosine top-k — the ann_ivf_vs oracle.
+    "ann_ivf_vs_auto" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 4)
         |SELECT e.vec_id,
         |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS score

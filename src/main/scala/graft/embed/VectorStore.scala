@@ -60,16 +60,70 @@ final case class ParquetVS(basePath: String) extends VectorStore {
 final case class IvfVS(basePath: String, nCells: Int = 256, nProbe: Int = 8,
     sq8: Boolean = false, pq: Boolean = false, pqM: Int = 8, pqKsub: Int = 16,
     pqAdc: Boolean = true, seed: Long = 42,
-    pqFitSampleFraction: Double = -1.0) extends VectorStore {
+    pqFitSampleFraction: Double = -1.0,
+    targetRecall: Double = 0.95, autoSampleQueries: Int = 16,
+    autoRecallK: Int = 10) extends VectorStore {
   require(!(sq8 && pq), "IvfVS: sq8 and pq are alternative codecs — pick one")
+  // nProbe = 0 is the ONLY auto sentinel (the hardNegativesIvf
+  // convention): the recall-aware tier is measured at index() time and
+  // persisted beside the index, so settings/SQL users get the same
+  // measured-recall default the operator callers get. Negative stays a
+  // loud error, never a tuning request.
+  require(nProbe >= 0,
+    s"IvfVS: nProbe $nProbe must be >= 0 — 0 selects the recall-aware " +
+      "auto tier measured at index() time")
 
   private def path(c: String) = s"$basePath/$c"
   private val field = "vs"
+  private def autoProbePath(c: String) = s"${path(c)}/autoprobe.json"
+
+  /** Measure and persist the auto probe tier: the cheapest partial tier
+    * whose sampled fetch recall@`autoRecallK` (self-queries — the
+    * lowest-id indexed vectors stand in for the query distribution)
+    * meets `targetRecall`, with the loud exhaustive fall-through
+    * ([[graft.operators.EmbedOps.recommendProbesForFetch]]). Runs on the
+    * RAW vectors before any codec — the tier decision is a property of
+    * the cell geometry, which quantization does not move.
+    */
+  private def tuneAndSaveAutoProbe(indexed: DataFrame,
+      model: IvfIndex.IvfModel, collection: String): Unit = {
+    val (probes, recall) = graft.operators.EmbedOps.recommendProbesForFetch(
+      indexed, model, field, anchors = indexed, idCol = "id",
+      nFetch = autoRecallK, targetRecall = targetRecall,
+      sampleQueries = autoSampleQueries)
+    graft.core.MetaIo.write(indexed.sparkSession, autoProbePath(collection),
+      s"""{"nProbe":$probes,"recall":$recall,"targetRecall":$targetRecall,""" +
+        s""""k":$autoRecallK,"sampleQueries":$autoSampleQueries}""")
+  }
+
+  /** The probe tier a search actually uses: the configured one, or the
+    * persisted auto decision. A missing sidecar under nProbe = 0 fails
+    * loudly — it means the index was built by a fixed-probe config (or a
+    * pre-auto version) and carries no measured decision to trust.
+    */
+  private def effectiveProbes(spark: SparkSession, collection: String): Int =
+    if (nProbe > 0) nProbe
+    else {
+      require(graft.core.MetaIo.exists(spark, autoProbePath(collection)),
+        s"IvfVS: nProbe = 0 (auto) but ${autoProbePath(collection)} is " +
+          "missing — re-index this collection with an nProbe = 0 config " +
+          "so the recall-aware tier is measured and persisted")
+      graft.core.MetaIo.parse(graft.core.MetaIo.read(spark,
+        autoProbePath(collection))).path("nProbe").intValue()
+    }
 
   override def index(df: DataFrame, idCol: String, vecCol: String, collection: String): Unit = {
     val framed = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as(graft.operators.EmbedOps.vecCol(field)))
     val (indexed, model) = IvfIndex.build(framed, field, nCells, seed)
+    // Any prior build's auto decision is stale the moment a re-index
+    // starts: delete it FIRST (a failed fit then leaves nProbe = 0
+    // searches failing loudly — conservative), and write the NEW
+    // decision only after the cells land below — a sidecar written
+    // before a failed codec write would describe cells that never
+    // landed while the old ones remain (the mis-route hazard the codec
+    // sidecar ordering below guards against).
+    graft.core.MetaIo.delete(indexed.sparkSession, autoProbePath(collection))
     // Re-indexing under a different codec must remove the other codec's
     // routing sidecar BEFORE the new cells are written: a crash (or a
     // concurrent reader) mid-write then sees a missing-sidecar state that
@@ -88,6 +142,11 @@ final case class IvfVS(basePath: String, nCells: Int = 256, nProbe: Int = 8,
       graft.core.MetaIo.delete(indexed.sparkSession, s"${path(collection)}/pq.json")
       IvfIndex.save(indexed, model, field, "id", path(collection), sq8)
     }
+    // The cells are durable now — measure and persist the auto tier
+    // (from the RAW vectors; the tier is a cell-geometry property the
+    // codec does not move). A throw here leaves the index valid and
+    // nProbe = 0 searches failing loudly, never silently stale.
+    if (nProbe == 0) tuneAndSaveAutoProbe(indexed, model, collection)
     indexed.unpersist()
   }
 
@@ -111,15 +170,16 @@ final case class IvfVS(basePath: String, nCells: Int = 256, nProbe: Int = 8,
 
   override def search(spark: SparkSession, collection: String, queryVec: Seq[Float],
       k: Int): DataFrame = {
+    val probes = effectiveProbes(spark, collection)
     if (isPq(spark, collection)) {
       val (cells, pqModel, ivf) = ProductQuantizer.load(spark, path(collection))
       return ProductQuantizer.search(cells, field, pqModel, queryVec, k,
-          ivf = ivf, nProbe = nProbe, adc = pqAdc, scoreCol = "score",
+          ivf = ivf, nProbe = probes, adc = pqAdc, scoreCol = "score",
           tieBreak = Seq(col("id")))
         .select("id", "score")
     }
     val (cells, model) = IvfIndex.load(spark, path(collection))
-    IvfIndex.search(cells, model, field, queryVec, k, nProbe,
+    IvfIndex.search(cells, model, field, queryVec, k, probes,
         scoreCol = "score", tieBreak = Seq(col("id")))
       .select("id", "score")
   }

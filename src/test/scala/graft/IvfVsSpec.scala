@@ -134,4 +134,45 @@ class IvfVsSpec extends SparkSpec {
       assert(v == orig)
     }
   }
+
+  test("nProbe = 0 measures a PARTIAL auto tier on clustered geometry, " +
+      "persists it beside the cells, and searches read the decision") {
+    val base = java.nio.file.Files.createTempDirectory("ivfvs_auto").toString
+    val auto = IvfVS(base, nCells = 8, nProbe = 0, seed = 7,
+      targetRecall = 1.0, autoRecallK = 10)
+    Sem.withSettings(Sem.settings.copy(vs = Some(auto))) {
+      EmbedOps.semIndexSave(vecs, "emb", "id", "coll")
+      // Each cluster lives in its own cell → a partial tier measures
+      // recall 1.0 on the 16-query sample and must be the pick.
+      val meta = graft.core.MetaIo.parse(graft.core.MetaIo.read(
+        spark, s"$base/coll/autoprobe.json"))
+      val picked = meta.path("nProbe").intValue()
+      assert(picked >= 1 && picked < 8, s"expected a partial tier, got $picked")
+      assert(meta.path("recall").doubleValue() == 1.0)
+      // The auto search must reproduce the exhaustive result (recall was
+      // measured 1.0 at the picked tier on this geometry).
+      val qv = vecs.filter($"id" === 3).select(EmbedOps.vecCol("emb"))
+        .as[Seq[Float]].head()
+      val got = EmbedOps.semSearchStoreVec(spark, "coll", qv, 10)
+        .select("id").as[Long].collect().toSeq
+      val exact = EmbedOps.semSearchVec(vecs, "emb", qv, 10,
+        tieBreak = Seq(col("id"))).select("id").as[Long].collect().toSeq
+      assert(got == exact)
+    }
+    // A fixed-probe re-index DELETES the stale decision, and a
+    // subsequent nProbe = 0 config refuses loudly instead of trusting it.
+    val fixed = IvfVS(base, nCells = 8, nProbe = 8, seed = 7)
+    Sem.withSettings(Sem.settings.copy(vs = Some(fixed))) {
+      EmbedOps.semIndexSave(vecs, "emb", "id", "coll")
+      assert(!graft.core.MetaIo.exists(spark, s"$base/coll/autoprobe.json"))
+    }
+    Sem.withSettings(Sem.settings.copy(vs = Some(auto))) {
+      val qv = vecs.filter($"id" === 3).select(EmbedOps.vecCol("emb"))
+        .as[Seq[Float]].head()
+      val e = intercept[IllegalArgumentException](
+        EmbedOps.semSearchStoreVec(spark, "coll", qv, 10).collect())
+      assert(e.getMessage.contains("autoprobe"))
+    }
+    intercept[IllegalArgumentException](IvfVS(base, nProbe = -1))
+  }
 }
