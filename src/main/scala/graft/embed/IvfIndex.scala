@@ -473,6 +473,27 @@ object IvfIndex {
     * `__ivf_cell=<k>/` directories plus the centroid table — the durable form
     * whose probe reads prune at the file level.
     */
+  /** Sampled mean squared assignment distance — the quantizer-fit
+    * statistic [[describe]] compares against. Content-hash sampling
+    * (the [[build]] convention: membership is a pure function of the
+    * vector, so the statistic is partitioning-independent), bounded at
+    * `sampleTarget` expected rows.
+    */
+  private def sampledMeanSqDist(df: DataFrame, v: String,
+      centroids: Array[Array[Float]], sampleTarget: Int = 4096,
+      seed: Long = 42): Double = {
+    val n = df.count()
+    if (n == 0) return 0.0
+    val frac = math.min(1.0, sampleTarget.toDouble / n)
+    val sampled =
+      if (frac >= 1.0) df
+      else df.filter(pmod(xxhash64(col(v), lit(seed)), lit(1000000L)) <
+        math.round(frac * 1000000.0))
+    val r = sampled.agg(avg(
+      graft.functions.VectorExprs.nearestCentroidDist(col(v), centroids))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
   def save(indexed: DataFrame, model: IvfModel, c: String, idCol: String, path: String,
       sq8: Boolean = false): Unit = {
     // Cluster rows by cell before the partitioned write: otherwise every
@@ -481,10 +502,16 @@ object IvfIndex {
     codecPayload(indexed, c, idCol, sq8)
       .repartition(col(cellCol))
       .write.mode("overwrite").partitionBy(cellCol).parquet(s"$path/cells")
+    // The fit-time assignment-distance reference rides the sidecar so
+    // [[describe]] can report how far APPENDED data has drifted off the
+    // trained centroids (FAISS's add-after-train contract says re-fit
+    // when the distribution moves — this makes "moved" measurable).
+    val fitDist = sampledMeanSqDist(indexed, EmbedOps.vecCol(c), model.centroids)
     // The centroid table is driver-side metadata (nCells × dim floats):
     // one small JSON sidecar, not a Spark write job.
     graft.core.MetaIo.write(indexed.sparkSession, s"$path/centroids.json",
-      "{\"centroids\":" + graft.core.MetaIo.floatMatrixJson(model.centroids) + "}")
+      "{\"centroids\":" + graft.core.MetaIo.floatMatrixJson(model.centroids) +
+        s""","fitMeanSqDist":$fitDist}""")
     // A rebuild supersedes any interrupted append — clear its dangling mark.
     graft.core.BatchCommit.clearMark(indexed.sparkSession, path)
   }
@@ -704,9 +731,28 @@ object IvfIndex {
     * how many ids are tombstoned awaiting compaction. One pruned-free
     * metadata read + one narrow aggregate.
     */
+  /** Drift ratio above which [[describe]] recommends re-training the
+    * coarse quantizer: the CURRENT sampled mean squared assignment
+    * distance grew ≥ 1.5× over the fit-time reference. Appends that
+    * match the trained distribution hold the ratio near 1; data that
+    * drifted off the centroids sits measurably farther from its
+    * assigned cell, degrading probe recall long before occupancy skew
+    * shows it. 1.5 is a conservative default — at that point a partial
+    * probe is reading cells whose geometry no longer reflects the data.
+    */
+  val RetrainDriftRatio = 1.5
+
+  /** `fitMeanSqDist` / `curMeanSqDist` are the quantizer-staleness
+    * signals (−1 when the index predates the drift sidecar field);
+    * `driftRatio` = cur/fit and `retrainRecommended` = ratio ≥
+    * [[RetrainDriftRatio]] (never recommended when the reference is
+    * unavailable — unknown is not stale).
+    */
   final case class IndexInfo(nCells: Int, dim: Int, rows: Long,
       minCellRows: Long, maxCellRows: Long, emptyCells: Int,
-      tombstoned: Long)
+      tombstoned: Long, fitMeanSqDist: Double = -1.0,
+      curMeanSqDist: Double = -1.0, driftRatio: Double = -1.0,
+      retrainRecommended: Boolean = false)
 
   def describe(spark: SparkSession, path: String): IndexInfo = {
     val (cells, model) = load(spark, path)
@@ -720,10 +766,41 @@ object IvfIndex {
     // minCellRows to 0 and are counted out loud.
     val nonEmpty = if (occ.isNullAt(3)) 0 else occ.getLong(3).toInt
     val empty = model.nCells - nonEmpty
+    // Quantizer staleness: fit-time reference from the sidecar (absent
+    // on pre-drift indexes), current value re-sampled over the cells as
+    // they stand — appends included, tombstones excluded. SQ8 layouts
+    // measure on the dequantized vectors (the same representation
+    // search scores).
+    val fitDist =
+      if (!graft.core.MetaIo.exists(spark, s"$path/centroids.json")) -1.0
+      else {
+        val meta = graft.core.MetaIo.parse(
+          graft.core.MetaIo.read(spark, s"$path/centroids.json"))
+        if (meta.has("fitMeanSqDist")) meta.path("fitMeanSqDist").doubleValue()
+        else -1.0
+      }
+    val rawCol = cells.columns.find(_.startsWith("__vec_"))
+    val scaleColName = cells.columns.find(_.startsWith("__sq8_scale_"))
+    val codesColName = cells.columns
+      .find(cn => cn.startsWith("__sq8_") && !cn.startsWith("__sq8_scale_"))
+    val curDist = rawCol match {
+      case Some(v) => sampledMeanSqDist(cells, v, model.centroids)
+      case None => (codesColName, scaleColName) match {
+        case (Some(codes), Some(scale)) =>
+          val dq = cells.withColumn("__dq_vec",
+            Quantize.sq8Dequant(col(codes), col(scale)))
+          sampledMeanSqDist(dq, "__dq_vec", model.centroids)
+        case _ => -1.0
+      }
+    }
+    val ratio =
+      if (fitDist > 0 && curDist >= 0) curDist / fitDist else -1.0
     IndexInfo(model.nCells, model.dim,
       if (occ.isNullAt(0)) 0L else occ.getLong(0),
       if (empty > 0 || occ.isNullAt(1)) 0L else occ.getLong(1),
-      if (occ.isNullAt(2)) 0L else occ.getLong(2), empty, tomb)
+      if (occ.isNullAt(2)) 0L else occ.getLong(2), empty, tomb,
+      fitDist, curDist, ratio,
+      retrainRecommended = ratio >= RetrainDriftRatio)
   }
 
   /** Text-query convenience: embed with the session embedder, then [[search]]. */

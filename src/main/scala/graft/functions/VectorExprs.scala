@@ -141,6 +141,52 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/** Squared L2 distance to the nearest centroid — [[NearestCentroid]]'s
+  * loop returning `bestDist` instead of the argmin index. Feeds the
+  * sampled mean-assignment-distance drift statistic.
+  */
+case class NearestCentroidDist(child: Expression, centroids: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid_dist requires array<float>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    var bestDist = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      if (d != cent.length) throw new IllegalArgumentException(
+        s"nearest_centroid_dist dimension mismatch: vector dim $d vs " +
+          s"centroid dim ${cent.length}")
+      var dist = 0.0
+      var i = 0
+      while (i < d) {
+        val diff = v.getFloat(i).toDouble - cent(i)
+        dist += diff * diff
+        i += 1
+      }
+      if (dist < bestDist) bestDist = dist
+      c += 1
+    }
+    bestDist
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Top-`nProbe` IVF cells by cosine similarity to the row's vector (ties →
   * lowest cell id) — the batch-retrieval probe kernel. One expression per
   * QUERY row lets a whole query table compute its probe sets inside the
@@ -410,6 +456,15 @@ object VectorExprs {
   /** Column wrapper: nearest-centroid index of a float-array column. */
   def nearestCentroid(v: Column, centroids: Array[Array[Float]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), centroids))
+
+  /** Column wrapper: squared distance to the NEAREST centroid — the
+    * assignment-quality signal behind the quantizer-staleness report
+    * ([[graft.embed.IvfIndex.describe]]): appended data that drifted off
+    * the trained centroids sits measurably farther from its assigned
+    * cell than the fit-time corpus did.
+    */
+  def nearestCentroidDist(v: Column, centroids: Array[Array[Float]]): Column =
+    ColumnBridge.column(NearestCentroidDist(ColumnBridge.expression(v), centroids))
 
   def probeCells(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
     ColumnBridge.column(ProbeCells(ColumnBridge.expression(v), centroids, nProbe))

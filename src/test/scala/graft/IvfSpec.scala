@@ -370,6 +370,35 @@ class IvfSpec extends SparkSpec {
     assert(a1.sameElements(a2))
   }
 
+  test("describe reports quantizer staleness: a same-distribution append " +
+      "holds the drift ratio near 1, a drifted append trips the retrain " +
+      "recommendation") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift_spec").toString
+    val (idx, m) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
+    IvfIndex.save(idx, m, "emb", "id", s"$tmp/idx")
+    idx.unpersist()
+    val base = IvfIndex.describe(spark, s"$tmp/idx")
+    assert(base.fitMeanSqDist > 0 && base.curMeanSqDist > 0)
+    assert(math.abs(base.driftRatio - 1.0) < 0.2, base.toString)
+    assert(!base.retrainRecommended)
+    // Same distribution, new ids: the ratio must stay under the
+    // recommendation threshold.
+    val sameDist = vecs.withColumn("id", col("id") + 1000)
+    IvfIndex.append(sameDist, "emb", "id", s"$tmp/idx")
+    val same = IvfIndex.describe(spark, s"$tmp/idx")
+    assert(!same.retrainRecommended, same.toString)
+    // Drifted appends: vectors far off every trained centroid (constant
+    // 3.0 in every coordinate — no cluster direction) must push the
+    // sampled mean assignment distance well past 1.5× the fit reference.
+    val drifted = vecs.withColumn("id", col("id") + 2000)
+      .withColumn(EmbedOps.vecCol("emb"),
+        expr(s"transform(${EmbedOps.vecCol("emb")}, x -> CAST(3.0 AS FLOAT))"))
+    IvfIndex.append(drifted, "emb", "id", s"$tmp/idx")
+    val after = IvfIndex.describe(spark, s"$tmp/idx")
+    assert(after.driftRatio >= IvfIndex.RetrainDriftRatio, after.toString)
+    assert(after.retrainRecommended, after.toString)
+  }
+
   test("recommendProbesForFetch embeds ONLY the sampled anchors (sample " +
       "first, embed after) and the hardNegativesIvf auto path embeds " +
       "each anchor exactly once") {
