@@ -140,7 +140,13 @@ object Bench {
       val all = scalars ++ lists
       if (all.isEmpty) "" else all.mkString(",", ",", "")
     }
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${o.errors.size},"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter$passPart$diagPart}"""
+    // A capture that STARTED on a busy machine is a different workload
+    // than a quiet one (r13's driver capture at loadavg 4.19 read
+    // 1.2–3× over the quiet canonical on identical code): the record
+    // says so itself, so any consumer — including one that reads only
+    // this line — can discount it without cross-referencing history.
+    val contended = if (loadBefore > 1.0) ""","contended":true""" else ""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${o.errors.size},"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter$contended$passPart$diagPart}"""
   }
 
   def main(args: Array[String]): Unit = {
