@@ -3964,7 +3964,13 @@ object Queries {
       val d = read(s, dir, "documents")
       val m = graft.operators.NgramLm.fitNgramLM(
         d, "text", order = 5, minCount = 2L)
-      graft.operators.NgramLm.perplexity(d, "text", m)
+      // Stage the scored frame BEFORE the multi-column projection: the
+      // score is a struct-returning CodegenFallback kernel, and through
+      // collapsed projections every field reference re-runs the whole
+      // order-5 fold (4 hashed-table lookups per token) — the
+      // ccnet_pipeline discipline, measured 2-3× on this gate.
+      graft.core.Persist.stage(
+          graft.operators.NgramLm.perplexity(d, "text", m))
         .select(col("doc_id"), col("lm_tokens"),
           round(col("lm_ll"), 4).as("lm_ll"),
           round(col("ppl"), 4).as("ppl"))
@@ -4408,7 +4414,11 @@ object Queries {
       // cuts. Low perplexity = head.
       val d = read(s, dir, "documents")
       val lm = graft.operators.NgramLm.fitBigramLM(d, "text", minCount = 2L)
-      val scored = graft.operators.NgramLm.perplexity(d, "text", lm)
+      // Staged before filter/round/rank — through collapsed projections
+      // every struct-field reference re-runs the scoring fold (the
+      // ccnet_pipeline discipline; measured 15x on the order-5 sibling).
+      val scored = graft.core.Persist.stage(
+          graft.operators.NgramLm.perplexity(d, "text", lm))
         .filter(col("ppl").isNotNull)
         .withColumn("ppl_r", round(col("ppl"), 2))
         .select("doc_id", "lang", "ppl_r")
@@ -4430,7 +4440,11 @@ object Queries {
       // grouped percent-rank, never a corpus-wide window.
       val d = read(s, dir, "documents")
       val lm = graft.operators.NgramLm.fitTrigramLM(d, "text", minCount = 2L)
-      val scored = graft.operators.NgramLm.perplexity(d, "text", lm)
+      // Staged before filter/round/rank — through collapsed projections
+      // every struct-field reference re-runs the scoring fold (the
+      // ccnet_pipeline discipline; measured 15x on the order-5 sibling).
+      val scored = graft.core.Persist.stage(
+          graft.operators.NgramLm.perplexity(d, "text", lm))
         .filter(col("ppl").isNotNull)
         .withColumn("ppl_r", round(col("ppl"), 2))
         .select("doc_id", "lang", "ppl_r")
@@ -4452,7 +4466,12 @@ object Queries {
       val d = read(s, dir, "documents")
       val lm = graft.operators.NgramLm.fitNgramLM(
         d, "text", order = 5, minCount = 2L)
-      val scored = graft.operators.NgramLm.perplexity(d, "text", lm)
+      // Stage BEFORE filter/round/rank: unstaged, the filter + the
+      // percent-rank's two consumers re-run the order-5 fold per struct
+      // field reference — measured 15× this gate at sf0.1 (87 s → the
+      // single-fold cost), the ccnet_pipeline discipline.
+      val scored = graft.core.Persist.stage(
+          graft.operators.NgramLm.perplexity(d, "text", lm))
         .filter(col("ppl").isNotNull)
         .withColumn("ppl_r", round(col("ppl"), 2))
         .select("doc_id", "lang", "ppl_r")
