@@ -145,7 +145,14 @@ object Bench {
     // 1.2–3× over the quiet canonical on identical code): the record
     // says so itself, so any consumer — including one that reads only
     // this line — can discount it without cross-referencing history.
-    val contended = if (loadBefore > 1.0) ""","contended":true""" else ""
+    // The threshold normalizes by core count (an absolute cut would
+    // mislabel both a quiet 64-core runner at loadavg 1.5 and a busy
+    // 2-core box at 0.9), floored at 1.0 — on small boxes a fraction of
+    // one core is still one runnable process, the unit of interference.
+    val cores = Runtime.getRuntime.availableProcessors()
+    val contended =
+      if (loadBefore > math.max(1.0, 0.04 * cores)) ""","contended":true"""
+      else ""
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${o.errors.size},"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter$contended$passPart$diagPart}"""
   }
 

@@ -506,7 +506,19 @@ object IvfIndex {
     // [[describe]] can report how far APPENDED data has drifted off the
     // trained centroids (FAISS's add-after-train contract says re-fit
     // when the distribution moves — this makes "moved" measurable).
-    val fitDist = sampledMeanSqDist(indexed, EmbedOps.vecCol(c), model.centroids)
+    // For SQ8 the reference is computed on the DEQUANTIZED vectors —
+    // the representation describe() re-samples — so the ratio measures
+    // drift, never the codec's reconstruction error (raw-vs-dequantized
+    // would inflate every fresh SQ8 index toward the retrain threshold).
+    val fitDist =
+      if (sq8) {
+        val v = EmbedOps.vecCol(c)
+        val scale = Quantize.sq8Scale(col(v))
+        val dq = indexed.withColumn("__dq_fit",
+          Quantize.sq8Dequant(Quantize.sq8Codes(col(v), scale), scale)
+            .cast("array<float>"))
+        sampledMeanSqDist(dq, "__dq_fit", model.centroids)
+      } else sampledMeanSqDist(indexed, EmbedOps.vecCol(c), model.centroids)
     // The centroid table is driver-side metadata (nCells × dim floats):
     // one small JSON sidecar, not a Spark write job.
     graft.core.MetaIo.write(indexed.sparkSession, s"$path/centroids.json",
@@ -615,6 +627,18 @@ object IvfIndex {
     * saved before the JSON format.
     */
   def load(spark: SparkSession, path: String): (DataFrame, IvfModel) = {
+    val (cells, model, _) = loadWithMeta(spark, path)
+    (cells, model)
+  }
+
+  /** [[load]] + the parsed centroids sidecar (None when the index uses
+    * the parquet-centroid fallback layout) — so [[describe]] reads and
+    * parses the sidecar ONCE instead of re-fetching it for the drift
+    * reference (two extra metadata round-trips per call on object
+    * storage).
+    */
+  private def loadWithMeta(spark: SparkSession, path: String)
+      : (DataFrame, IvfModel, Option[com.fasterxml.jackson.databind.JsonNode]) = {
     // A dangling append mark means the cells may hold a partial batch.
     graft.core.BatchCommit.requireClean(spark, path, "IvfIndex")
     val cells0 = graft.core.BatchCommit.readData(spark, path, "cells")
@@ -623,16 +647,17 @@ object IvfIndex {
     // broadcasts while small.
     val cells = graft.core.BatchCommit.subtractTombstones(spark, path, cells0)
     val metaPath = s"$path/centroids.json"
-    val centroids =
+    val (centroids, meta) =
       if (graft.core.MetaIo.exists(spark, metaPath)) {
-        graft.core.MetaIo.floatMatrix(
-          graft.core.MetaIo.parse(graft.core.MetaIo.read(spark, metaPath)).path("centroids"))
+        val node = graft.core.MetaIo.parse(
+          graft.core.MetaIo.read(spark, metaPath))
+        (graft.core.MetaIo.floatMatrix(node.path("centroids")), Some(node))
       } else {
-        spark.read.parquet(s"$path/centroids")
+        (spark.read.parquet(s"$path/centroids")
           .select("cell", "centroid").orderBy("cell").collect()
-          .map(_.getAs[Seq[Float]]("centroid").toArray)
+          .map(_.getAs[Seq[Float]]("centroid").toArray), None)
       }
-    (cells, IvfModel(centroids))
+    (cells, IvfModel(centroids), meta)
   }
 
   /** Top-k search over an indexed frame: probe the `nProbe` cells nearest the
@@ -755,7 +780,7 @@ object IvfIndex {
       retrainRecommended: Boolean = false)
 
   def describe(spark: SparkSession, path: String): IndexInfo = {
-    val (cells, model) = load(spark, path)
+    val (cells, model, meta) = loadWithMeta(spark, path)
     val occ = cells.groupBy(col(cellCol)).agg(count(lit(1)).as("n"))
       .agg(sum("n"), min("n"), max("n"), count(lit(1))).head()
     val tomb = graft.core.BatchCommit.readTombstones(spark, path)
@@ -771,14 +796,11 @@ object IvfIndex {
     // they stand — appends included, tombstones excluded. SQ8 layouts
     // measure on the dequantized vectors (the same representation
     // search scores).
-    val fitDist =
-      if (!graft.core.MetaIo.exists(spark, s"$path/centroids.json")) -1.0
-      else {
-        val meta = graft.core.MetaIo.parse(
-          graft.core.MetaIo.read(spark, s"$path/centroids.json"))
-        if (meta.has("fitMeanSqDist")) meta.path("fitMeanSqDist").doubleValue()
-        else -1.0
-      }
+    val fitDist = meta match {
+      case Some(m) if m.has("fitMeanSqDist") =>
+        m.path("fitMeanSqDist").doubleValue()
+      case _ => -1.0
+    }
     val rawCol = cells.columns.find(_.startsWith("__vec_"))
     val scaleColName = cells.columns.find(_.startsWith("__sq8_scale_"))
     val codesColName = cells.columns
@@ -788,7 +810,7 @@ object IvfIndex {
       case None => (codesColName, scaleColName) match {
         case (Some(codes), Some(scale)) =>
           val dq = cells.withColumn("__dq_vec",
-            Quantize.sq8Dequant(col(codes), col(scale)))
+            Quantize.sq8Dequant(col(codes), col(scale)).cast("array<float>"))
           sampledMeanSqDist(dq, "__dq_vec", model.centroids)
         case _ => -1.0
       }

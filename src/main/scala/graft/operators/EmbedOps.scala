@@ -372,23 +372,31 @@ object EmbedOps {
       s"hardNegativesIvf: nProbe $nProbe must be >= 0 — 0 is the ONLY " +
         "auto sentinel; a negative value is an error, not a tuning request")
     val v = vecCol(on)
-    // Embed the anchors ONCE, before the auto decision — the recommend
-    // pass sees the vector column attached and samples without
-    // re-embedding. On the auto path the frame has TWO consumers (the
-    // recall sample and the mining itself), so it is staged: a lazy
-    // plan would re-run the embedder per consumer — with an API
-    // embedder at real anchor scale that is the 2× cost the staging
-    // buys back.
-    val embedded =
-      if (nProbe == 0) graft.core.Persist.stage(semIndex(anchors, on))
-      else semIndex(anchors, on)
+    // Embed the anchors ONCE: the frame always has at least two
+    // consumers (searchBatch's query side and the broadcast label
+    // join; the auto path adds the recall sample), and a lazy plan
+    // would re-run the embedder per consumer — with an API embedder at
+    // real anchor scale that is the 2–3× cost the staging buys back.
+    // On success the blocks stay staged (the returned plan reads
+    // them — the house convention); a throw inside the auto decision
+    // must not leave them pinned (the flagPassagesAgainstIndex
+    // discipline).
+    val spark = anchors.sparkSession
+    val (embedded, embBlocks) =
+      graft.core.Persist.stageTracked(semIndex(anchors, on))
     // nProbe = 0 → the recall-aware auto tier (the minhashPairs
     // bands-=-0 convention): cheapest sampled-recall tier meeting
     // targetRecall, measured at THIS nFetch over these anchors.
     val probes =
-      if (nProbe > 0) nProbe
-      else recommendProbesForFetch(indexed, model, on, embedded, idCol,
-        nFetch, targetRecall)._1
+      try {
+        if (nProbe > 0) nProbe
+        else recommendProbesForFetch(indexed, model, on, embedded, idCol,
+          nFetch, targetRecall)._1
+      } catch {
+        case t: Throwable =>
+          graft.core.Persist.unstage(spark, embBlocks)
+          throw t
+      }
     val q = embedded
       .select(col(idCol).as("__q_id"), col(v).as("__q_vec"),
         col(labelCol).as("__q_label"))

@@ -397,6 +397,15 @@ class IvfSpec extends SparkSpec {
     val after = IvfIndex.describe(spark, s"$tmp/idx")
     assert(after.driftRatio >= IvfIndex.RetrainDriftRatio, after.toString)
     assert(after.retrainRecommended, after.toString)
+    // SQ8: fit reference and current value share the DEQUANTIZED
+    // representation, so a fresh SQ8 index reads ratio ≈ 1 — never the
+    // codec's reconstruction error masquerading as drift.
+    val (idx8, m8) = IvfIndex.build(vecs, "emb", nCells = 8, seed = 7)
+    IvfIndex.save(idx8, m8, "emb", "id", s"$tmp/idx8", sq8 = true)
+    idx8.unpersist()
+    val sq8Info = IvfIndex.describe(spark, s"$tmp/idx8")
+    assert(math.abs(sq8Info.driftRatio - 1.0) < 0.2 &&
+      !sq8Info.retrainRecommended, sq8Info.toString)
   }
 
   test("recommendProbesForFetch embeds ONLY the sampled anchors (sample " +
