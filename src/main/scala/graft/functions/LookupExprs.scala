@@ -478,24 +478,29 @@ object LookupExprs {
     h
   }
 
-  /** Per-row hashed n-gram key counts over the vocab-mapped token
-    * stream — [[BigramKeyCounts]]/[[TrigramKeyCounts]] generalized past
-    * the 21-bit packing limit (3 × 21 = 63 bits caps packed keys at
-    * order 3; CCNet's published filter is a 5-gram KenLM). Each
-    * position's window is the BOS-padded last `order` ids ending at the
-    * current token; the row emits one entry per DISTINCT full-gram hash
-    * with its context hash (the window's (order−1)-prefix) and count —
-    * so the exploded aggregate input is per-row distinct keys, never the
-    * token stream, and context totals group the SAME aggregate by `ctx`
-    * (every position has exactly one context ⇒ the ML term normalizes
-    * exactly, the [[TrigramKeyCounts]] invariant). Returns
-    * array<struct<ctx: long, key: long, cnt: long>>.
+  /** Per-row hashed n-gram key counts for ALL orders 2..`order` over the
+    * vocab-mapped token stream — [[BigramKeyCounts]]/[[TrigramKeyCounts]]
+    * generalized past the 21-bit packing limit (3 × 21 = 63 bits caps
+    * packed keys at order 3; CCNet's published filter is a 5-gram KenLM).
+    * Each position's window is the BOS-padded last `order` ids ending at
+    * the current token; for every k in 2..order the row emits one entry
+    * per DISTINCT (k, full-gram hash) with its context hash (the
+    * window's (k−1)-suffix-before-cur) and count. Emitting every order
+    * from ONE pass means the fitter tokenizes and scans the corpus once
+    * and shuffles once, not once per order — at 100 TB that deletes
+    * order−2 full corpus scans from the fit. The exploded aggregate
+    * input is per-row distinct keys, never the token stream, and
+    * context totals group the SAME aggregate by (ord, ctx) (every
+    * position has exactly one context per order ⇒ each ML term
+    * normalizes exactly, the [[TrigramKeyCounts]] invariant). Returns
+    * array<struct<ord: int, ctx: long, key: long, cnt: long>>.
     */
   case class NgramHashKeyCounts(child: Expression, vocab: Map[String, Int],
       unkId: Int, bosId: Int, order: Int)
       extends UnaryExpression with CodegenFallback {
     require(order >= 2, s"ngram_hash_key_counts: order $order must be >= 2")
     override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("ord", IntegerType, nullable = false),
       StructField("ctx", LongType, nullable = false),
       StructField("key", LongType, nullable = false),
       StructField("cnt", LongType, nullable = false))), containsNull = false)
@@ -505,8 +510,11 @@ object LookupExprs {
     override protected def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[ArrayData]
       val n = toks.numElements()
-      // key hash -> (ctx hash, count); insertion-ordered for determinism.
-      val counts = new java.util.LinkedHashMap[java.lang.Long, Array[Long]]()
+      // (order, key hash) -> (ctx hash, count); insertion-ordered for
+      // determinism. gramHash seeds by window LENGTH, so same-k keys
+      // can only collide within their own order anyway — the order in
+      // the map key is belt-and-braces plus the output field.
+      val counts = new java.util.LinkedHashMap[(Int, Long), Array[Long]]()
       val win = new Array[Long](order)
       java.util.Arrays.fill(win, bosId.toLong)
       var i = 0
@@ -516,10 +524,15 @@ object LookupExprs {
         val cur = if (hit == null) unkId.toLong else hit.asInstanceOf[Int].toLong
         System.arraycopy(win, 1, win, 0, order - 1)
         win(order - 1) = cur
-        val key = java.lang.Long.valueOf(gramHash(win, 0, order))
-        val e = counts.get(key)
-        if (e == null) counts.put(key, Array(gramHash(win, 0, order - 1), 1L))
-        else e(1) += 1L
+        var k = 2
+        while (k <= order) {
+          val key = (k, gramHash(win, order - k, k))
+          val e = counts.get(key)
+          if (e == null)
+            counts.put(key, Array(gramHash(win, order - k, k - 1), 1L))
+          else e(1) += 1L
+          k += 1
+        }
         i += 1
       }
       val out = new Array[Any](counts.size)
@@ -528,7 +541,7 @@ object LookupExprs {
       while (it.hasNext) {
         val e = it.next()
         out(j) = org.apache.spark.sql.catalyst.InternalRow(
-          e.getValue()(0), e.getKey.longValue(), e.getValue()(1))
+          e.getKey._1, e.getValue()(0), e.getKey._2, e.getValue()(1))
         j += 1
       }
       new GenericArrayData(out)

@@ -289,14 +289,16 @@ object NgramLm {
   }
 
   /** Fit the order-n hashed-key LM: the shared unigram pass, then ONE
-    * bounded aggregate per order k = 2..n over per-row DISTINCT
-    * (ctx, key) hash pairs
-    * ([[graft.functions.LookupExprs.NgramHashKeyCounts]]) — context
-    * totals group the SAME aggregate by `ctx` (every position has
-    * exactly one context, so each ML term normalizes exactly, the
+    * bounded aggregate for ALL orders k = 2..n over per-row DISTINCT
+    * (ord, ctx, key) hash triples
+    * ([[graft.functions.LookupExprs.NgramHashKeyCounts]] emits every
+    * order from one window slide, so the corpus is tokenized, scanned
+    * and shuffled once, not once per order) — context totals group the
+    * SAME aggregate by (ord, ctx) (every position has exactly one
+    * context per order, so each ML term normalizes exactly, the
     * [[fitTrigramLM]] invariant carried to arbitrary order). Both the
     * context and the kept-gram tables of every order are probed against
-    * `maxNgramEntries` BEFORE any collect, and each staged aggregate
+    * `maxNgramEntries` BEFORE any collect, and the staged aggregate
     * unstages in finally — the designed throw on a web-scale gram table
     * must not leave pinned blocks. `lambdas(k−2)` weights order k's ML
     * term; defaults follow the heavier-trust-in-lower-orders shape
@@ -328,14 +330,20 @@ object NgramLm {
       fitUnigram(df, textCol, alpha, minCount, maxVocabEntries)
     val unkId = vocab.size
     val bosId = vocab.size + 1
-    val tables = (2 to order).map { k =>
-      val (aggK, blocksK) = graft.core.Persist.stageTracked(df
-        .select(explode(graft.functions.LookupExprs.ngramHashKeyCounts(
-          tokensOf(col(textCol)), vocab, unkId, bosId, k)).as("e"))
-        .select(col("e.ctx").as("ctx"), col("e.key").as("key"),
-          col("e.cnt").as("cnt"))
-        .groupBy("ctx", "key").agg(sum(col("cnt")).as("n")))
-      try {
+    // ONE corpus pass and ONE shuffle for every order 2..n: the kernel
+    // emits all orders' distinct (ord, ctx, key) counts per row, so the
+    // corpus is tokenized and scanned once, not once per order — at
+    // 100 TB that deletes order−2 full scans from the fit. The bounds
+    // and collects below read the (small) staged aggregate per order.
+    val (aggAll, blocksAll) = graft.core.Persist.stageTracked(df
+      .select(explode(graft.functions.LookupExprs.ngramHashKeyCounts(
+        tokensOf(col(textCol)), vocab, unkId, bosId, order)).as("e"))
+      .select(col("e.ord").as("ord"), col("e.ctx").as("ctx"),
+        col("e.key").as("key"), col("e.cnt").as("cnt"))
+      .groupBy("ord", "ctx", "key").agg(sum(col("cnt")).as("n")))
+    val tables = try {
+      (2 to order).map { k =>
+        val aggK = aggAll.filter(col("ord") === k)
         val ctxFrame = aggK.groupBy("ctx").agg(sum(col("n")).as("t"))
         val nCtx = ctxFrame.limit(maxNgramEntries + 1).count()
         require(nCtx <= maxNgramEntries,
@@ -352,10 +360,10 @@ object NgramLm {
             "entries (bound) — raise minNgramCount to shrink it, or " +
             "raise maxNgramEntries deliberately")
         keptK.collect().map { r =>
-          r.getLong(1) -> r.getLong(2).toDouble / ctxTot(r.getLong(0)).toDouble
+          r.getLong(2) -> r.getLong(3).toDouble / ctxTot(r.getLong(1)).toDouble
         }.toMap
-      } finally graft.core.Persist.unstage(spark, blocksK)
-    }
+      }
+    } finally graft.core.Persist.unstage(spark, blocksAll)
     NgramLM(vocab, uniProb, order, tables, lams, alpha, minCount,
       minNgramCount, nTokens)
   }
