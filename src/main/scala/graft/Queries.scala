@@ -3206,8 +3206,10 @@ object Queries {
       // scalars the oracle recomputes.
       val withDom = graft.core.Persist.stage(
         CorpusPrep.withRegistrableDomain(s1, "__url", "domain"))
-      val n1 = withDom.count()
-      val nDom = withDom.select("domain").distinct().count()
+      // Both driver scalars in ONE aggregate job over the staged frame
+      // (was a count job plus a distinct().count() job).
+      val cRow = withDom.agg(count(lit(1)), count_distinct(col("domain"))).head()
+      val (n1, nDom) = (cRow.getLong(0), cRow.getLong(1))
       val quota = math.ceil(n1.toDouble / nDom.toDouble).toInt
       val s2 = CorpusPrep.quotaPerGroup(withDom, "domain", "doc_id", quota)
       // Stage 3: Gopher page rules (the Table-A1 subset live on this

@@ -481,8 +481,11 @@ object IvfIndex {
     */
   private def sampledMeanSqDist(df: DataFrame, v: String,
       centroids: Array[Array[Float]], sampleTarget: Int = 4096,
-      seed: Long = 42): Double = {
-    val n = df.count()
+      seed: Long = 42, knownRows: Long = -1L): Double = {
+    // `knownRows` spares the exact count job when the caller already
+    // aggregated it (describe()'s occupancy pass) or can read it from
+    // parquet metadata (save() right after the cells write).
+    val n = if (knownRows >= 0) knownRows else df.count()
     if (n == 0) return 0.0
     val frac = math.min(1.0, sampleTarget.toDouble / n)
     val sampled =
@@ -492,6 +495,32 @@ object IvfIndex {
     val r = sampled.agg(avg(
       graft.functions.VectorExprs.nearestCentroidDist(col(v), centroids))).head()
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Sampled mean squared assignment distance over a CELLS frame, sniffing
+    * the codec from the columns (raw vectors, or SQ8 codes dequantized to
+    * the representation search scores); −1 when neither layout is present
+    * (PQ collections measure drift via their own reconstruction). Shared by
+    * [[save]] (fit-time reference over the just-written cells) and
+    * [[describe]] (current value) so the two sides of the drift ratio can
+    * never sample different representations.
+    */
+  private def cellsMeanSqDist(cells: DataFrame,
+      centroids: Array[Array[Float]], knownRows: Long = -1L): Double = {
+    val rawCol = cells.columns.find(_.startsWith("__vec_"))
+    val scaleColName = cells.columns.find(_.startsWith("__sq8_scale_"))
+    val codesColName = cells.columns
+      .find(cn => cn.startsWith("__sq8_") && !cn.startsWith("__sq8_scale_"))
+    rawCol match {
+      case Some(v) => sampledMeanSqDist(cells, v, centroids, knownRows = knownRows)
+      case None => (codesColName, scaleColName) match {
+        case (Some(codes), Some(scale)) =>
+          val dq = cells.withColumn("__dq_vec",
+            Quantize.sq8Dequant(col(codes), col(scale)).cast("array<float>"))
+          sampledMeanSqDist(dq, "__dq_vec", centroids, knownRows = knownRows)
+        case _ => -1.0
+      }
+    }
   }
 
   def save(indexed: DataFrame, model: IvfModel, c: String, idCol: String, path: String,
@@ -506,19 +535,20 @@ object IvfIndex {
     // [[describe]] can report how far APPENDED data has drifted off the
     // trained centroids (FAISS's add-after-train contract says re-fit
     // when the distribution moves — this makes "moved" measurable).
-    // For SQ8 the reference is computed on the DEQUANTIZED vectors —
-    // the representation describe() re-samples — so the ratio measures
-    // drift, never the codec's reconstruction error (raw-vs-dequantized
-    // would inflate every fresh SQ8 index toward the retrain threshold).
-    val fitDist =
-      if (sq8) {
-        val v = EmbedOps.vecCol(c)
-        val scale = Quantize.sq8Scale(col(v))
-        val dq = indexed.withColumn("__dq_fit",
-          Quantize.sq8Dequant(Quantize.sq8Codes(col(v), scale), scale)
-            .cast("array<float>"))
-        sampledMeanSqDist(dq, "__dq_fit", model.centroids)
-      } else sampledMeanSqDist(indexed, EmbedOps.vecCol(c), model.centroids)
+    // Measured on the JUST-WRITTEN cells — exactly the representation
+    // describe() re-samples (SQ8: dequantized from the stored codes, so
+    // the ratio measures drift, never the codec's reconstruction error)
+    // — so the reference costs one parquet-metadata row count plus one
+    // sampled aggregate over the compact codec payload, instead of two
+    // extra jobs re-running the quantize chain over the upstream plan
+    // (the r14 ann_sq8_search regression, +0.75 s at sf0.1).
+    // Explicit schema (the payload's own): an empty index writes no part
+    // files, and schema inference over the bare directory would throw.
+    val written = indexed.sparkSession.read
+      .schema(codecPayload(indexed, c, idCol, sq8).schema)
+      .parquet(s"$path/cells")
+    val fitDist = cellsMeanSqDist(written, model.centroids,
+      knownRows = written.count())
     // The centroid table is driver-side metadata (nCells × dim floats):
     // one small JSON sidecar, not a Spark write job.
     graft.core.MetaIo.write(indexed.sparkSession, s"$path/centroids.json",
@@ -801,20 +831,10 @@ object IvfIndex {
         m.path("fitMeanSqDist").doubleValue()
       case _ => -1.0
     }
-    val rawCol = cells.columns.find(_.startsWith("__vec_"))
-    val scaleColName = cells.columns.find(_.startsWith("__sq8_scale_"))
-    val codesColName = cells.columns
-      .find(cn => cn.startsWith("__sq8_") && !cn.startsWith("__sq8_scale_"))
-    val curDist = rawCol match {
-      case Some(v) => sampledMeanSqDist(cells, v, model.centroids)
-      case None => (codesColName, scaleColName) match {
-        case (Some(codes), Some(scale)) =>
-          val dq = cells.withColumn("__dq_vec",
-            Quantize.sq8Dequant(col(codes), col(scale)).cast("array<float>"))
-          sampledMeanSqDist(dq, "__dq_vec", model.centroids)
-        case _ => -1.0
-      }
-    }
+    // The occupancy aggregate already counted the live rows — reuse it
+    // instead of a second full count job inside the sampler.
+    val liveRows = if (occ.isNullAt(0)) 0L else occ.getLong(0)
+    val curDist = cellsMeanSqDist(cells, model.centroids, knownRows = liveRows)
     val ratio =
       if (fitDist > 0 && curDist >= 0) curDist / fitDist else -1.0
     IndexInfo(model.nCells, model.dim,

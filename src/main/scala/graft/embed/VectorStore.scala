@@ -57,6 +57,19 @@ final case class ParquetVS(basePath: String) extends VectorStore {
   * kernel — or the bit-reproducible reconstruction cosine when
   * `pqAdc = false` (the two agree to 1e-9; see PqSpec).
   */
+object IvfVS {
+  /** Parsed auto probe decisions keyed by the sidecar's PATH — JVM-global,
+    * not per-instance: the sidecar is immutable between index() calls, so
+    * re-reading + re-parsing it on EVERY nProbe = 0 search paid two
+    * metadata round trips per query (the loadWithMeta lesson), but a
+    * DIFFERENT IvfVS instance can re-index the same path, so a
+    * per-instance cache would serve a decision whose file another
+    * instance just deleted — index() invalidates here for everyone.
+    */
+  private[embed] val autoProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+}
+
 final case class IvfVS(basePath: String, nCells: Int = 256, nProbe: Int = 8,
     sq8: Boolean = false, pq: Boolean = false, pqM: Int = 8, pqKsub: Int = 16,
     pqAdc: Boolean = true, seed: Long = 42,
@@ -104,12 +117,19 @@ final case class IvfVS(basePath: String, nCells: Int = 256, nProbe: Int = 8,
   private def effectiveProbes(spark: SparkSession, collection: String): Int =
     if (nProbe > 0) nProbe
     else {
-      require(graft.core.MetaIo.exists(spark, autoProbePath(collection)),
-        s"IvfVS: nProbe = 0 (auto) but ${autoProbePath(collection)} is " +
-          "missing — re-index this collection with an nProbe = 0 config " +
-          "so the recall-aware tier is measured and persisted")
-      graft.core.MetaIo.parse(graft.core.MetaIo.read(spark,
-        autoProbePath(collection))).path("nProbe").intValue()
+      val key = autoProbePath(collection)
+      val cached = IvfVS.autoProbeCache.get(key)
+      if (cached != null) cached.intValue()
+      else {
+        require(graft.core.MetaIo.exists(spark, key),
+          s"IvfVS: nProbe = 0 (auto) but $key is " +
+            "missing — re-index this collection with an nProbe = 0 config " +
+            "so the recall-aware tier is measured and persisted")
+        val p = graft.core.MetaIo.parse(graft.core.MetaIo.read(spark, key))
+          .path("nProbe").intValue()
+        IvfVS.autoProbeCache.put(key, p)
+        p
+      }
     }
 
   override def index(df: DataFrame, idCol: String, vecCol: String, collection: String): Unit = {
@@ -124,6 +144,7 @@ final case class IvfVS(basePath: String, nCells: Int = 256, nProbe: Int = 8,
     // landed while the old ones remain (the mis-route hazard the codec
     // sidecar ordering below guards against).
     graft.core.MetaIo.delete(indexed.sparkSession, autoProbePath(collection))
+    IvfVS.autoProbeCache.remove(autoProbePath(collection))
     // Re-indexing under a different codec must remove the other codec's
     // routing sidecar BEFORE the new cells are written: a crash (or a
     // concurrent reader) mid-write then sees a missing-sidecar state that

@@ -32,6 +32,81 @@ object LookupExprs {
     h
   }
 
+  /** Minimal open-addressing long → double table for the LM scoring
+    * kernels' per-token probes. `java.util.HashMap[jl.Long, jl.Double]`
+    * pays a `Long.valueOf` ALLOCATION per probe (one per token per order
+    * — the dominant allocation of a perplexity pass once the fold itself
+    * is a compiled loop); this probes with zero allocation. Linear
+    * probing over a power-of-two array, slots marked live in a parallel
+    * occupancy array so key 0 needs no sentinel. Serializable (primitive
+    * arrays), so a prebuilt table can ride a broadcast instead of being
+    * rebuilt per task.
+    */
+  private[functions] final class LongDoubleHash(entries: Iterator[(Long, Double)],
+      sizeHint: Int) extends Serializable {
+    private val cap = {
+      var c = 8
+      while (c < sizeHint * 2) c <<= 1
+      c
+    }
+    private val mask = cap - 1
+    private val keys = new Array[Long](cap)
+    private val vals = new Array[Double](cap)
+    private val live = new Array[Boolean](cap)
+    entries.foreach { case (k, v) =>
+      // mix64: packed-id keys (prev·2³²+cur) are far from uniform — raw
+      // low bits would cluster linear probes into long runs.
+      var i = mix64(k).toInt & mask
+      while (live(i) && keys(i) != k) i = (i + 1) & mask
+      keys(i) = k; vals(i) = v; live(i) = true
+    }
+    def getOrElse(k: Long, dflt: Double): Double = {
+      var i = mix64(k).toInt & mask
+      while (live(i)) {
+        if (keys(i) == k) return vals(i)
+        i = (i + 1) & mask
+      }
+      dflt
+    }
+  }
+
+  private[functions] object LongDoubleHash {
+    def apply(m: Map[Long, Double]): LongDoubleHash =
+      new LongDoubleHash(m.iterator, m.size)
+  }
+
+  /** Broadcast-shared scoring model for the LM kernels
+    * ([[BigramLmScore]] / [[TrigramLmScore]] / [[NgramHashLmScore]]): the
+    * fitted vocab (pre-hashed UTF8 keys), unigram probabilities, and one
+    * primitive probe table per order, built ONCE on the driver and
+    * reached through a broadcast handle. As plan literals the tables
+    * rode the task binary (16 MB at sf0.1 for the order-5 model) and
+    * were deserialized — and their probe structures rebuilt — per TASK;
+    * through the broadcast they are deserialized once per executor and,
+    * in local mode, simply shared by reference. This is also the
+    * closure-size ceiling fix the order-n kernel needed: the bound is
+    * now executor memory once, not (order−1)·maxNgramEntries boxed
+    * entries serialized into every task.
+    */
+  private[graft] final class LmScoreBundle(
+      vocabMap: Map[String, Int], val uniProb: Array[Double],
+      tableMaps: Seq[Map[Long, Double]]) extends Serializable {
+    val vocab: java.util.HashMap[UTF8String, Integer] = {
+      val h = new java.util.HashMap[UTF8String, Integer](vocabMap.size * 2)
+      vocabMap.foreach { case (k, v) =>
+        h.put(UTF8String.fromString(k), Integer.valueOf(v)) }
+      h
+    }
+    val tables: Array[LongDoubleHash] = tableMaps.map(LongDoubleHash(_)).toArray
+    val unkId: Int = uniProb.length - 1
+  }
+
+  private def broadcastBundle(vocab: Map[String, Int], uniProb: Array[Double],
+      tables: Seq[Map[Long, Double]])
+      : org.apache.spark.broadcast.Broadcast[LmScoreBundle] =
+    org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast(new LmScoreBundle(vocab, uniProb, tables))
+
   private def requireStringArray(e: Expression, fn: String) =
     e.dataType match {
       case ArrayType(StringType, _) =>
@@ -286,8 +361,8 @@ object LookupExprs {
     * array is (0.0, 0). λ ∈ (0, 1) and α > 0 keep the argument of ln
     * strictly positive even for an unseen bigram.
     */
-  case class BigramLmScore(child: Expression, vocab: Map[String, Int],
-      uniProb: Array[Double], bigramPml: Map[Long, Double],
+  case class BigramLmScore(child: Expression,
+      bundle: org.apache.spark.broadcast.Broadcast[LmScoreBundle],
       lambda: Double, bosId: Int)
       extends UnaryExpression with CodegenFallback {
     require(lambda > 0 && lambda < 1,
@@ -298,27 +373,22 @@ object LookupExprs {
       StructField("n", IntegerType, nullable = false)))
     override def checkInputDataTypes() =
       requireStringArray(child, "bigram_lm_score")
-    @transient private lazy val h = utf8Map(vocab)
-    @transient private lazy val bg = {
-      val m = new java.util.HashMap[java.lang.Long, java.lang.Double](
-        bigramPml.size * 2)
-      bigramPml.foreach { case (k, v) =>
-        m.put(java.lang.Long.valueOf(k), java.lang.Double.valueOf(v)) }
-      m
-    }
-    private val unkId = uniProb.length - 1
+    @transient private lazy val b = bundle.value
     override protected def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[ArrayData]
       val n = toks.numElements()
+      val h = b.vocab
+      val bg = b.tables(0)
+      val uniProb = b.uniProb
+      val unkId = b.unkId
       var ll = 0.0
       var prev = bosId
       var i = 0
       while (i < n) {
         val t = toks.getUTF8String(i)
         val v = if (t == null) null else h.get(t)
-        val cur = if (v == null) unkId else v.asInstanceOf[Int]
-        val b = bg.get(java.lang.Long.valueOf((prev.toLong << 32) | cur.toLong))
-        val pml = if (b == null) 0.0 else b.doubleValue()
+        val cur = if (v == null) unkId else v.intValue()
+        val pml = bg.getOrElse((prev.toLong << 32) | cur.toLong, 0.0)
         ll += math.log(lambda * pml + (1.0 - lambda) * uniProb(cur))
         prev = cur
         i += 1
@@ -389,10 +459,9 @@ object LookupExprs {
     * `v·2²¹ + w` (NOT [[BigramLmScore]]'s 2³² packing — one id width
     * across both tables). Returns struct(ll, n); empty array = (0.0, 0).
     */
-  case class TrigramLmScore(child: Expression, vocab: Map[String, Int],
-      uniProb: Array[Double], bigramPml: Map[Long, Double],
-      trigramPml: Map[Long, Double], lambda1: Double, lambda2: Double,
-      bosId: Int)
+  case class TrigramLmScore(child: Expression,
+      bundle: org.apache.spark.broadcast.Broadcast[LmScoreBundle],
+      lambda1: Double, lambda2: Double, bosId: Int)
       extends UnaryExpression with CodegenFallback {
     require(lambda1 > 0 && lambda1 < 1 && lambda2 > 0 && lambda2 < 1,
       s"trigram_lm_score: lambda1 $lambda1 and lambda2 $lambda2 must " +
@@ -403,25 +472,15 @@ object LookupExprs {
       StructField("n", IntegerType, nullable = false)))
     override def checkInputDataTypes() =
       requireStringArray(child, "trigram_lm_score")
-    @transient private lazy val h = utf8Map(vocab)
-    @transient private lazy val bg = {
-      val m = new java.util.HashMap[java.lang.Long, java.lang.Double](
-        bigramPml.size * 2)
-      bigramPml.foreach { case (k, p) =>
-        m.put(java.lang.Long.valueOf(k), java.lang.Double.valueOf(p)) }
-      m
-    }
-    @transient private lazy val tg = {
-      val m = new java.util.HashMap[java.lang.Long, java.lang.Double](
-        trigramPml.size * 2)
-      trigramPml.foreach { case (k, p) =>
-        m.put(java.lang.Long.valueOf(k), java.lang.Double.valueOf(p)) }
-      m
-    }
-    private val unkId = uniProb.length - 1
+    @transient private lazy val b = bundle.value
     override protected def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[ArrayData]
       val n = toks.numElements()
+      val h = b.vocab
+      val bg = b.tables(0)
+      val tg = b.tables(1)
+      val uniProb = b.uniProb
+      val unkId = b.unkId
       var ll = 0.0
       var u = bosId.toLong
       var v = bosId.toLong
@@ -429,11 +488,9 @@ object LookupExprs {
       while (i < n) {
         val t = toks.getUTF8String(i)
         val hit = if (t == null) null else h.get(t)
-        val cur = if (hit == null) unkId.toLong else hit.asInstanceOf[Int].toLong
-        val b = bg.get(java.lang.Long.valueOf((v << 21) | cur))
-        val pml2 = if (b == null) 0.0 else b.doubleValue()
-        val tr = tg.get(java.lang.Long.valueOf((u << 42) | (v << 21) | cur))
-        val pml3 = if (tr == null) 0.0 else tr.doubleValue()
+        val cur = if (hit == null) unkId.toLong else hit.longValue()
+        val pml2 = bg.getOrElse((v << 21) | cur, 0.0)
+        val pml3 = tg.getOrElse((u << 42) | (v << 21) | cur, 0.0)
         ll += math.log(lambda2 * pml3 +
           (1.0 - lambda2) * (lambda1 * pml2 +
             (1.0 - lambda1) * uniProb(cur.toInt)))
@@ -510,11 +567,49 @@ object LookupExprs {
     override protected def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[ArrayData]
       val n = toks.numElements()
-      // (order, key hash) -> (ctx hash, count); insertion-ordered for
-      // determinism. gramHash seeds by window LENGTH, so same-k keys
-      // can only collide within their own order anyway — the order in
-      // the map key is belt-and-braces plus the output field.
-      val counts = new java.util.LinkedHashMap[(Int, Long), Array[Long]]()
+      // Open-addressing scratch keyed by (ord, gram hash), insertion order
+      // tracked in `slots` for deterministic output. The boxed
+      // `LinkedHashMap[(Int, Long), Array[Long]]` paid a Tuple2 + boxed-Long
+      // allocation per token per order in the fit's single corpus pass;
+      // this probes primitive arrays with zero allocation per position.
+      // gramHash seeds by window LENGTH, so same-hash keys can only
+      // collide within their own order anyway — the ord equality check is
+      // belt-and-braces plus the output field. cnt == 0 marks an empty
+      // slot (a present gram always counts ≥ 1), so key 0 needs no
+      // sentinel. Starts small and quadruples at 50% load: a repetitive
+      // document (few distinct grams) never allocates its worst case.
+      val maxEntries = n * (order - 1) + 1
+      var cap = 16
+      val target = math.min(maxEntries, 4096)
+      while (cap < target * 2) cap <<= 1
+      var mask = cap - 1
+      var keyArr = new Array[Long](cap)
+      var ordArr = new Array[Int](cap)
+      var ctxArr = new Array[Long](cap)
+      var cntArr = new Array[Long](cap)
+      val slots = new Array[Int](maxEntries)
+      var sz = 0
+      def grow(): Unit = {
+        val ncap = cap << 2
+        val nmask = ncap - 1
+        val nkey = new Array[Long](ncap)
+        val nord = new Array[Int](ncap)
+        val nctx = new Array[Long](ncap)
+        val ncnt = new Array[Long](ncap)
+        var j = 0
+        while (j < sz) {
+          val s = slots(j)
+          val key = keyArr(s)
+          var p = (key ^ (key >>> 32)).toInt & nmask
+          while (ncnt(p) != 0L) p = (p + 1) & nmask // entries are distinct
+          nkey(p) = key; nord(p) = ordArr(s); nctx(p) = ctxArr(s)
+          ncnt(p) = cntArr(s)
+          slots(j) = p
+          j += 1
+        }
+        cap = ncap; mask = nmask
+        keyArr = nkey; ordArr = nord; ctxArr = nctx; cntArr = ncnt
+      }
       val win = new Array[Long](order)
       java.util.Arrays.fill(win, bosId.toLong)
       var i = 0
@@ -526,22 +621,32 @@ object LookupExprs {
         win(order - 1) = cur
         var k = 2
         while (k <= order) {
-          val key = (k, gramHash(win, order - k, k))
-          val e = counts.get(key)
-          if (e == null)
-            counts.put(key, Array(gramHash(win, order - k, k - 1), 1L))
-          else e(1) += 1L
+          val key = gramHash(win, order - k, k)
+          var s = (key ^ (key >>> 32)).toInt & mask
+          while (cntArr(s) != 0L && !(keyArr(s) == key && ordArr(s) == k))
+            s = (s + 1) & mask
+          if (cntArr(s) != 0L) cntArr(s) += 1L
+          else {
+            if ((sz + 1) * 2 > cap) {
+              grow()
+              s = (key ^ (key >>> 32)).toInt & mask
+              while (cntArr(s) != 0L) s = (s + 1) & mask
+            }
+            keyArr(s) = key; ordArr(s) = k
+            ctxArr(s) = gramHash(win, order - k, k - 1)
+            cntArr(s) = 1L
+            slots(sz) = s; sz += 1
+          }
           k += 1
         }
         i += 1
       }
-      val out = new Array[Any](counts.size)
-      val it = counts.entrySet().iterator()
+      val out = new Array[Any](sz)
       var j = 0
-      while (it.hasNext) {
-        val e = it.next()
+      while (j < sz) {
+        val s = slots(j)
         out(j) = org.apache.spark.sql.catalyst.InternalRow(
-          e.getKey._1, e.getValue()(0), e.getKey._2, e.getValue()(1))
+          ordArr(s), ctxArr(s), keyArr(s), cntArr(s))
         j += 1
       }
       new GenericArrayData(out)
@@ -560,35 +665,30 @@ object LookupExprs {
     * keyed by [[gramHash]] over the BOS-padded id window. Returns
     * struct(ll, n); empty array = (0.0, 0).
     */
-  case class NgramHashLmScore(child: Expression, vocab: Map[String, Int],
-      uniProb: Array[Double], tables: Seq[Map[Long, Double]],
+  case class NgramHashLmScore(child: Expression,
+      bundle: org.apache.spark.broadcast.Broadcast[LmScoreBundle],
       lambdas: Seq[Double], bosId: Int)
       extends UnaryExpression with CodegenFallback {
-    require(tables.nonEmpty && tables.size == lambdas.size,
-      s"ngram_hash_lm_score: ${tables.size} tables vs ${lambdas.size} " +
-        "lambdas — one λ per order 2..n")
+    require(lambdas.nonEmpty,
+      "ngram_hash_lm_score: need one λ per order 2..n")
     require(lambdas.forall(l => l > 0 && l < 1),
       s"ngram_hash_lm_score: lambdas $lambdas must all be in (0, 1) so " +
         "ln's argument stays positive even when every ML term is unseen")
-    private val order = tables.size + 1
+    private val order = lambdas.size + 1
     override def dataType: DataType = StructType(Seq(
       StructField("ll", DoubleType, nullable = false),
       StructField("n", IntegerType, nullable = false)))
     override def checkInputDataTypes() =
       requireStringArray(child, "ngram_hash_lm_score")
-    @transient private lazy val h = utf8Map(vocab)
-    @transient private lazy val tgs: Array[java.util.HashMap[java.lang.Long, java.lang.Double]] =
-      tables.map { t =>
-        val m = new java.util.HashMap[java.lang.Long, java.lang.Double](t.size * 2)
-        t.foreach { case (k, p) =>
-          m.put(java.lang.Long.valueOf(k), java.lang.Double.valueOf(p)) }
-        m
-      }.toArray
+    @transient private lazy val b = bundle.value
     @transient private lazy val lam = lambdas.toArray
-    private val unkId = uniProb.length - 1
     override protected def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[ArrayData]
       val n = toks.numElements()
+      val h = b.vocab
+      val tgs = b.tables
+      val uniProb = b.uniProb
+      val unkId = b.unkId
       var ll = 0.0
       val win = new Array[Long](order)
       java.util.Arrays.fill(win, bosId.toLong)
@@ -596,15 +696,13 @@ object LookupExprs {
       while (i < n) {
         val t = toks.getUTF8String(i)
         val hit = if (t == null) null else h.get(t)
-        val cur = if (hit == null) unkId.toLong else hit.asInstanceOf[Int].toLong
+        val cur = if (hit == null) unkId.toLong else hit.longValue()
         System.arraycopy(win, 1, win, 0, order - 1)
         win(order - 1) = cur
         var p = uniProb(cur.toInt)
         var k = 2
         while (k <= order) {
-          val e = tgs(k - 2).get(
-            java.lang.Long.valueOf(gramHash(win, order - k, k)))
-          val pml = if (e == null) 0.0 else e.doubleValue()
+          val pml = tgs(k - 2).getOrElse(gramHash(win, order - k, k), 0.0)
           p = lam(k - 2) * pml + (1.0 - lam(k - 2)) * p
           k += 1
         }
@@ -633,7 +731,7 @@ object LookupExprs {
       uniProb: Array[Double], bigramPml: Map[Long, Double],
       lambda: Double, bosId: Int): Column =
     ColumnBridge.column(BigramLmScore(ColumnBridge.expression(tokens),
-      vocab, uniProb, bigramPml, lambda, bosId))
+      broadcastBundle(vocab, uniProb, Seq(bigramPml)), lambda, bosId))
 
   def ngramHashKeyCounts(tokens: Column, vocab: Map[String, Int],
       unkId: Int, bosId: Int, order: Int): Column =
@@ -642,9 +740,13 @@ object LookupExprs {
 
   def ngramHashLmScore(tokens: Column, vocab: Map[String, Int],
       uniProb: Array[Double], tables: Seq[Map[Long, Double]],
-      lambdas: Seq[Double], bosId: Int): Column =
+      lambdas: Seq[Double], bosId: Int): Column = {
+    require(tables.nonEmpty && tables.size == lambdas.size,
+      s"ngram_hash_lm_score: ${tables.size} tables vs ${lambdas.size} " +
+        "lambdas — one λ per order 2..n")
     ColumnBridge.column(NgramHashLmScore(ColumnBridge.expression(tokens),
-      vocab, uniProb, tables, lambdas, bosId))
+      broadcastBundle(vocab, uniProb, tables), lambdas, bosId))
+  }
 
   def trigramKeyCounts(tokens: Column, vocab: Map[String, Int],
       unkId: Int, bosId: Int): Column =
@@ -656,7 +758,8 @@ object LookupExprs {
       trigramPml: Map[Long, Double], lambda1: Double, lambda2: Double,
       bosId: Int): Column =
     ColumnBridge.column(TrigramLmScore(ColumnBridge.expression(tokens),
-      vocab, uniProb, bigramPml, trigramPml, lambda1, lambda2, bosId))
+      broadcastBundle(vocab, uniProb, Seq(bigramPml, trigramPml)),
+      lambda1, lambda2, bosId))
 
   def charNgramCounts(normText: Column, lens: Seq[Int]): Column =
     ColumnBridge.column(

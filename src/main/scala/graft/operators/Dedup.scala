@@ -434,14 +434,17 @@ object Dedup {
     // parallelizes over the STREAMED side's partitions — unspread, the
     // whole estimator ran on a single task (measured 28 s at the
     // full-corpus sf0.1 sample; ~2 s spread across 32).
+    // The set size is pre-projected per ROW (one size() per sampled doc)
+    // so the O(sample²) nested-loop prune below compares two staged ints
+    // instead of re-reading both array headers per PAIR.
     val state = graft.core.Persist.stage(graft.core.Parallelism.spread(
       dedupState(sampled, textCol, idCol, numHashes, shingleLen,
-        withFp = excludeExact)))
+        withFp = excludeExact).withColumn("__nsh", size(col("sh")))))
     val aCols = Seq(col("id").as("id1"), col("sig").as("sig1"),
-      col("sh").as("sh1")) ++
+      col("sh").as("sh1"), col("__nsh").as("nsh1")) ++
       (if (excludeExact) Seq(col("fp").as("fp1")) else Nil)
     val bCols = Seq(col("id").as("id2"), col("sig").as("sig2"),
-      col("sh").as("sh2")) ++
+      col("sh").as("sh2"), col("__nsh").as("nsh2")) ++
       (if (excludeExact) Seq(col("fp").as("fp2")) else Nil)
     val a = state.select(aCols: _*)
     val b = state.select(bCols: _*)
@@ -453,8 +456,8 @@ object Dedup {
     // full-corpus sf0.1 estimator gate).
     val joined0 = a.join(broadcast(b),
       col("id1") < col("id2") &&
-        size(col("sh1")).cast("double") >= lit(threshold) * size(col("sh2")) &&
-        size(col("sh2")).cast("double") >= lit(threshold) * size(col("sh1")))
+        col("nsh1").cast("double") >= lit(threshold) * col("nsh2") &&
+        col("nsh2").cast("double") >= lit(threshold) * col("nsh1"))
     val joined = if (excludeExact) joined0.filter(col("fp1") =!= col("fp2"))
                  else joined0
     def bandMatch(bands: Int): Column = {

@@ -384,36 +384,41 @@ object EmbedOps {
     val spark = anchors.sparkSession
     val (embedded, embBlocks) =
       graft.core.Persist.stageTracked(semIndex(anchors, on))
-    // nProbe = 0 → the recall-aware auto tier (the minhashPairs
-    // bands-=-0 convention): cheapest sampled-recall tier meeting
-    // targetRecall, measured at THIS nFetch over these anchors.
-    val probes =
-      try {
+    // The guard covers EVERYTHING up to the point the returned plan
+    // references the staged frame (the flagPassagesAgainstIndex
+    // discipline): a throw from the auto decision, searchBatch's
+    // preflight requires, or any later plan construction must not leave
+    // the anchor-embedding blocks pinned with no reader.
+    try {
+      // nProbe = 0 → the recall-aware auto tier (the minhashPairs
+      // bands-=-0 convention): cheapest sampled-recall tier meeting
+      // targetRecall, measured at THIS nFetch over these anchors.
+      val probes =
         if (nProbe > 0) nProbe
         else recommendProbesForFetch(indexed, model, on, embedded, idCol,
           nFetch, targetRecall)._1
-      } catch {
-        case t: Throwable =>
-          graft.core.Persist.unstage(spark, embBlocks)
-          throw t
-      }
-    val q = embedded
-      .select(col(idCol).as("__q_id"), col(v).as("__q_vec"),
-        col(labelCol).as("__q_label"))
-    val fetched = graft.embed.IvfIndex.searchBatch(indexed, model, on,
-      q.select("__q_id", "__q_vec"), "__q_id", "__q_vec",
-      k = nFetch, nProbe = probes, scoreCol = scoreCol,
-      tieBreak = Seq(col(idCol)))
-    fetched
-      .join(broadcast(q.select(col("__q_id").as("__q_id2"),
-        col("__q_label"))), col("__q_id") === col("__q_id2"))
-      .filter(col(labelCol) =!= col("__q_label"))
-      .withColumn("__rnk", row_number().over(
-        Window.partitionBy(col("__q_id"))
-          .orderBy(col(scoreCol).desc, col(idCol))))
-      .filter(col("__rnk") <= k)
-      .select(col("__q_id").as("anchor_id"), col(idCol).as("neg_id"),
-        col(labelCol).as("neg_label"), col(scoreCol))
+      val q = embedded
+        .select(col(idCol).as("__q_id"), col(v).as("__q_vec"),
+          col(labelCol).as("__q_label"))
+      val fetched = graft.embed.IvfIndex.searchBatch(indexed, model, on,
+        q.select("__q_id", "__q_vec"), "__q_id", "__q_vec",
+        k = nFetch, nProbe = probes, scoreCol = scoreCol,
+        tieBreak = Seq(col(idCol)))
+      fetched
+        .join(broadcast(q.select(col("__q_id").as("__q_id2"),
+          col("__q_label"))), col("__q_id") === col("__q_id2"))
+        .filter(col(labelCol) =!= col("__q_label"))
+        .withColumn("__rnk", row_number().over(
+          Window.partitionBy(col("__q_id"))
+            .orderBy(col(scoreCol).desc, col(idCol))))
+        .filter(col("__rnk") <= k)
+        .select(col("__q_id").as("anchor_id"), col(idCol).as("neg_id"),
+          col(labelCol).as("neg_label"), col(scoreCol))
+    } catch {
+      case t: Throwable =>
+        graft.core.Persist.unstage(spark, embBlocks)
+        throw t
+    }
   }
 
   private def uuidCol(): String = "__simjoin_lid"

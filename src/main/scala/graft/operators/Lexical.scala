@@ -171,12 +171,22 @@ object LexIndex {
     */
   def postings(df: DataFrame, textCol: String, idCol: String,
       nBuckets: Int = 64): DataFrame =
+    postingsFromPerDoc(perDocFrame(df, textCol, idCol), nBuckets)
+
+  /** `(id, dl, __toks)` per document — tokenize once: size and explode both
+    * read the projected array; a second split() of every document doubles
+    * the build's scan cost.
+    */
+  private def perDocFrame(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
     graft.core.Parallelism.spread(df)
       .select(col(idCol).as("id"), Lexical.tokens(col(textCol)).as("__toks"))
-      // Tokenize once: size and explode both read the projected array — a
-      // second split() of every document doubles the build's scan cost.
       .select(col("id"), size(col("__toks")).cast("double").as("dl"),
-        explode(col("__toks")).as("term"))
+        col("__toks"))
+
+  private def postingsFromPerDoc(perDoc: DataFrame, nBuckets: Int): DataFrame =
+    perDoc
+      .select(col("id"), col("dl"), explode(col("__toks")).as("term"))
       .groupBy(col("term"), col("id"), col("dl"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn(bucketCol, bucketOf(col("term"), nBuckets))
@@ -237,14 +247,48 @@ object LexIndex {
 
   /** Write the index: bucket-partitioned postings (doc length denormalized
     * in), stats JSON (`{"n":…,"sumdl":…,"nBuckets":…}` — driver-side, tiny).
+    *
+    * The corpus stats (n, Σdl, empty docs) are observed INSIDE the postings
+    * write via `Dataset.observe` on the per-document frame (above the
+    * explode, so each document counts once): one corpus scan builds the
+    * index AND its sidecar, where a separate [[docStats]] job re-tokenized
+    * every document a second time — at 100 TB that second scan was half the
+    * save's cost. Observed metrics are exact for successful queries
+    * (SPARK-29345); if the write path ever fails to surface them, the
+    * [[docStats]] scan runs as the fallback, so the sidecar can never be
+    * silently wrong.
     */
   def save(df: DataFrame, textCol: String, idCol: String, path: String,
       nBuckets: Int = 64): Unit = {
-    postings(df, textCol, idCol, nBuckets)
+    val obs = org.apache.spark.sql.Observation("lex_save_stats")
+    val perDoc = perDocFrame(df, textCol, idCol)
+      .observe(obs,
+        count(lit(1)).cast("double").as("n"),
+        coalesce(sum(col("dl")), lit(0.0)).as("sumdl"),
+        coalesce(sum(when(col("dl") === 0, 1).otherwise(0)).cast("double"),
+          lit(0.0)).as("nEmpty"))
+    postingsFromPerDoc(perDoc, nBuckets)
       .repartition(col(bucketCol))
       .write.mode("overwrite").partitionBy(bucketCol)
       .parquet(path + "/postings")
-    val (n, sumdl, nEmpty) = docStats(df, textCol, idCol)
+    // obs.get blocks until the write's QueryExecution event delivers the
+    // metrics — guard with a timeout so a Spark version that stopped
+    // surfacing observed metrics for V1 writes degrades to the fallback
+    // scan instead of hanging the save.
+    val observed: Map[String, Any] = try {
+      val fut = scala.concurrent.Future(obs.get)(
+        scala.concurrent.ExecutionContext.global)
+      scala.concurrent.Await.result(fut,
+        scala.concurrent.duration.Duration(10, "s"))
+    } catch {
+      case _: java.util.concurrent.TimeoutException => Map.empty
+    }
+    val (n, sumdl, nEmpty) =
+      if (observed.nonEmpty)
+        (observed("n").asInstanceOf[Double],
+          observed("sumdl").asInstanceOf[Double],
+          observed("nEmpty").asInstanceOf[Double])
+      else docStats(df, textCol, idCol)
     writeStats(path, n, sumdl, nBuckets, nEmpty)
     // A rebuild supersedes any interrupted append — clear its dangling mark.
     graft.core.BatchCommit.clearMark(df.sparkSession, path)

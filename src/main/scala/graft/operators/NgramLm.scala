@@ -150,16 +150,21 @@ object NgramLm {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n")))
     val (uniCounts, nTokens) = try {
-      val totRow = aggU.agg(coalesce(sum(col("n")), lit(0L))).head()
+      // ONE aggregate probes the bound AND totals the tokens (the old
+      // shape spent a separate limit().count() job whose GlobalLimit
+      // serialized the probe onto one partition); the collect below then
+      // pulls a vocabulary the probe has already proven bounded.
+      val totRow = aggU.agg(coalesce(sum(col("n")), lit(0L)),
+        sum(when(col("n") >= minCount, 1L).otherwise(0L))).head()
       val nTok = totRow.getLong(0)
       require(nTok > 0, "fitUnigram: corpus has no tokens")
-      val keptU = aggU.filter(col("n") >= minCount)
-      val vocabSize = keptU.limit(maxVocabEntries + 1).count()
+      val vocabSize = if (totRow.isNullAt(1)) 0L else totRow.getLong(1)
       require(vocabSize <= maxVocabEntries,
         s"fitUnigram: vocabulary has > $maxVocabEntries entries (bound) — " +
           "the model rides every scoring task as a plan literal; raise " +
           "minCount to shrink it, or raise maxVocabEntries deliberately")
-      (keptU.collect().map(r => (r.getString(0), r.getLong(1))), nTok)
+      (aggU.filter(col("n") >= minCount).collect()
+        .map(r => (r.getString(0), r.getLong(1))), nTok)
     } finally graft.core.Persist.unstage(spark, blocksU)
     val sortedU = uniCounts.sortBy(_._1)
     val vocab = sortedU.iterator.map(_._1).zipWithIndex.toMap
@@ -208,8 +213,10 @@ object NgramLm {
       val prevTot = aggB.groupBy(shiftright(col("key"), 32).as("prev"))
         .agg(sum(col("n")).as("t"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // Bound probe as a parallel scalar aggregate — the limit().count()
+      // probe's GlobalLimit funneled every kept row through one partition.
       val keptB = aggB.filter(col("n") >= minBigramCount)
-      val bigramSize = keptB.limit(maxBigramEntries + 1).count()
+      val bigramSize = keptB.agg(count(lit(1))).head().getLong(0)
       require(bigramSize <= maxBigramEntries,
         s"fitBigramLM: bigram table has > $maxBigramEntries entries " +
           "(bound) — raise minBigramCount to shrink it, or raise " +
@@ -264,9 +271,13 @@ object NgramLm {
     // tables — the designed failure path must not leave the trigram
     // aggregate (the largest intermediate of the fit) pinned.
     val trigramPml = try {
+      // Bound probes as parallel aggregates BEFORE each pull (the
+      // limit().count() probe's GlobalLimit funneled every row through
+      // one partition; a plain count aggregates in parallel and the
+      // designed web-scale throw still happens at aggregate cost).
       val ctxFrame = aggT.groupBy(shiftright(col("key"), 21).as("ctx"))
         .agg(sum(col("n")).as("t"))
-      val nCtx = ctxFrame.limit(maxTrigramEntries + 1).count()
+      val nCtx = ctxFrame.agg(count(lit(1))).head().getLong(0)
       require(nCtx <= maxTrigramEntries,
         s"fitTrigramLM: > $maxTrigramEntries distinct (u, v) contexts — " +
           "raise minCount (shrinking the vocab shrinks the context space) " +
@@ -274,7 +285,7 @@ object NgramLm {
       val ctxTot = ctxFrame.collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       val keptT = aggT.filter(col("n") >= minTrigramCount)
-      val triSize = keptT.limit(maxTrigramEntries + 1).count()
+      val triSize = keptT.agg(count(lit(1))).head().getLong(0)
       require(triSize <= maxTrigramEntries,
         s"fitTrigramLM: trigram table has > $maxTrigramEntries entries " +
           "(bound) — raise minTrigramCount to shrink it, or raise " +
@@ -342,27 +353,40 @@ object NgramLm {
         col("e.key").as("key"), col("e.cnt").as("cnt"))
       .groupBy("ord", "ctx", "key").agg(sum(col("cnt")).as("n")))
     val tables = try {
-      (2 to order).map { k =>
-        val aggK = aggAll.filter(col("ord") === k)
-        val ctxFrame = aggK.groupBy("ctx").agg(sum(col("n")).as("t"))
-        val nCtx = ctxFrame.limit(maxNgramEntries + 1).count()
-        require(nCtx <= maxNgramEntries,
-          s"fitNgramLM: order $k has > $maxNgramEntries distinct " +
-            "contexts (bound) — raise minCount (shrinking the vocab " +
-            "shrinks the context space) or raise maxNgramEntries " +
+      // ALL orders' bound probes and pulls in FOUR jobs total, not four
+      // per order: one per-order count probe + one collect for the
+      // context totals, the same pair for the kept grams. The probes
+      // still run BEFORE each collect (a web-scale table must fail at
+      // aggregate cost, never OOM the driver), and each per-order bound
+      // is checked exactly as the per-order loop checked it — only the
+      // driver round-trips per order (4 jobs × (order − 1) at order 5 on
+      // a 16-job ladder) are gone.
+      val ctxFrame = aggAll.groupBy("ord", "ctx").agg(sum(col("n")).as("t"))
+      ctxFrame.groupBy("ord").agg(count(lit(1)).as("c")).collect().foreach { r =>
+        require(r.getLong(1) <= maxNgramEntries,
+          s"fitNgramLM: order ${r.getInt(0)} has > $maxNgramEntries " +
+            "distinct contexts (bound) — raise minCount (shrinking the " +
+            "vocab shrinks the context space) or raise maxNgramEntries " +
             "deliberately")
-        val ctxTot = ctxFrame.collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toMap
-        val keptK = aggK.filter(col("n") >= minNgramCount)
-        val kSize = keptK.limit(maxNgramEntries + 1).count()
-        require(kSize <= maxNgramEntries,
-          s"fitNgramLM: order-$k gram table has > $maxNgramEntries " +
-            "entries (bound) — raise minNgramCount to shrink it, or " +
-            "raise maxNgramEntries deliberately")
-        keptK.collect().map { r =>
-          r.getLong(2) -> r.getLong(3).toDouble / ctxTot(r.getLong(1)).toDouble
-        }.toMap
       }
+      val ctxTotByOrd =
+        Array.fill(order + 1)(new scala.collection.mutable.LongMap[Long]())
+      ctxFrame.collect().foreach(r =>
+        ctxTotByOrd(r.getInt(0)).update(r.getLong(1), r.getLong(2)))
+      val keptAll = aggAll.filter(col("n") >= minNgramCount)
+      keptAll.groupBy("ord").agg(count(lit(1)).as("c")).collect().foreach { r =>
+        require(r.getLong(1) <= maxNgramEntries,
+          s"fitNgramLM: order-${r.getInt(0)} gram table has > " +
+            s"$maxNgramEntries entries (bound) — raise minNgramCount to " +
+            "shrink it, or raise maxNgramEntries deliberately")
+      }
+      val builders = Array.fill(order + 1)(Map.newBuilder[Long, Double])
+      keptAll.collect().foreach { r =>
+        val k = r.getInt(0)
+        builders(k) += (r.getLong(2) ->
+          r.getLong(3).toDouble / ctxTotByOrd(k)(r.getLong(1)).toDouble)
+      }
+      (2 to order).map(k => builders(k).result())
     } finally graft.core.Persist.unstage(spark, blocksAll)
     NgramLM(vocab, uniProb, order, tables, lams, alpha, minCount,
       minNgramCount, nTokens)
