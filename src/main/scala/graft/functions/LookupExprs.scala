@@ -661,9 +661,10 @@ object LookupExprs {
     * `p = λₖ·pmlₖ + (1−λₖ)·p` (each ML term 0 when its hashed gram is
     * absent from that order's table) — the same dyadic float tree a SQL
     * oracle writes as the literally-nested interpolation, innermost
-    * (unigram) first. `tables(k−2)` holds order k's ML probabilities
-    * keyed by [[gramHash]] over the BOS-padded id window. Returns
-    * struct(ll, n); empty array = (0.0, 0).
+    * (unigram) first. The fitted model (vocab, unigram array, one
+    * [[gramHash]]-keyed table per order 2..n) rides a [[LmScoreBundle]]
+    * broadcast — `bundle.value.tables(k−2)` holds order k's ML
+    * probabilities. Returns struct(ll, n); empty array = (0.0, 0).
     */
   case class NgramHashLmScore(child: Expression,
       bundle: org.apache.spark.broadcast.Broadcast[LmScoreBundle],
