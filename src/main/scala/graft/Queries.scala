@@ -87,6 +87,26 @@ object Queries {
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
+  /** Gate-internal set-equality cross-check in ONE job: ±1 tags unioned,
+    * grouped on every column (SQL grouping equality — the same float
+    * normalization `except` uses), any nonzero tag sum = a row on one side
+    * only. The `a.except(b).isEmpty && b.except(a).isEmpty` form it
+    * replaces ran TWO jobs and evaluated each side's plan twice — for
+    * lifecycle gates whose sides are index searches, that re-ran every
+    * search. Both sides here have unique rows (top-k by unique id /
+    * aggregates by unique key), where set and multiset equality coincide.
+    */
+  private def requireSameRows(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, msg: String): Unit = {
+    val cols = a.columns.map(col).toSeq
+    val diff = a.withColumn("__side", lit(1L))
+      .unionByName(b.withColumn("__side", lit(-1L)))
+      .groupBy(cols: _*)
+      .agg(sum(col("__side")).as("__d"))
+      .filter(col("__d") =!= 0L)
+    require(diff.isEmpty, msg)
+  }
+
   // Escapes for the replay payload builders: the parsers unescape, so the
   // round-trip stays exact and the gates stay corpus-independent (the
   // pinned fixtures contain none of these characters, but a gate must not
@@ -1029,8 +1049,7 @@ object Queries {
       require(!graft.core.MetaIo.exists(s, s"$tmp/compacted/tombstones"),
         "compacted index must start tombstone-free")
       val fromCompacted = topk(s"$tmp/compacted")
-      require(fromTombstoned.except(fromCompacted).isEmpty &&
-        fromCompacted.except(fromTombstoned).isEmpty,
+      requireSameRows(fromTombstoned, fromCompacted,
         "compacted search diverged from tombstoned search")
       fromTombstoned
     }),
@@ -2940,7 +2959,7 @@ object Queries {
         e, Seq("event_type"), "user_id", alias = "n_users")
       val naive = e.groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_users"))
-      require(safe.except(naive).isEmpty && naive.except(safe).isEmpty,
+      requireSameRows(safe, naive,
         "skewSafeDistinctCount diverged from countDistinct")
       safe.orderBy("event_type")
     }),
@@ -3643,13 +3662,18 @@ object Queries {
       val full = CorpusPrep.finalizeProfile(
         CorpusPrep.mergeableProfile(d, "text", Seq("lang")))
       val addCols = Seq("lang", "n_docs", "total_tokens", "avg_quality", "avg_chars")
-      require(merged.select(addCols.map(col): _*)
-          .except(full.select(addCols.map(col): _*)).isEmpty,
+      // ONE evaluation per profile serves BOTH cross-checks (additive
+      // equality + sketch drift): the per-lang result is tiny, so a single
+      // collect per side replaces the except job plus two further collects
+      // that each re-ran the full profile aggregation.
+      val allCols = (addCols :+ "n_unique_docs_est").map(col)
+      val mRows = merged.select(allCols: _*).collect()
+      val fRows = full.select(allCols: _*).collect()
+      require(mRows.map(_.toSeq.take(5)).toSet == fRows.map(_.toSeq.take(5)).toSet,
         "merged profile diverged from the full-scan profile")
-      val est = merged.select(col("lang"), col("n_unique_docs_est")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      full.select(col("lang"), col("n_unique_docs_est")).collect().foreach { r =>
-        val (m, f) = (est(r.getString(0)), r.getLong(1))
+      val est = mRows.map(r => r.getString(0) -> r.getLong(5)).toMap
+      fRows.foreach { r =>
+        val (m, f) = (est(r.getString(0)), r.getLong(5))
         require(math.abs(m - f) <= 0.02 * math.max(f.toDouble, 1.0),
           s"sketch union drifted: lang ${r.getString(0)} merged $m vs full $f")
       }
@@ -4827,7 +4851,7 @@ object Queries {
         s"$tmp/rebuild")
       val comp = run(s"$tmp/compacted")
       val reb = run(s"$tmp/rebuild")
-      require(comp.except(reb).isEmpty && reb.except(comp).isEmpty,
+      requireSameRows(comp, reb,
         "compacted index diverged from a clean rebuild on the survivors")
       tombstoned.orderBy(col("score").desc, col("doc_id"))
     }),

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,8 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * transient HashMap keyed by UTF8String (no per-token toString), with
   * IDENTICAL left-to-right IEEE addition order — the DuckDB oracles that
   * replay `list_reduce(list_transform(...)) + prior` stay hash-matched.
-  * CodegenFallback: only the expression boundary is interpreted, the loop
-  * body is compiled JVM code (the SubwordTokenize convention).
+  * The fit-side kernels stay CodegenFallback (one pass per fit — the
+  * boundary cost never repeats); the three LM SCORERS implement doGenCode
+  * so the hot scoring projection calls the compiled kernel from generated
+  * code with no interpreted-expression boundary at all.
   */
 object LookupExprs {
 
@@ -364,7 +366,7 @@ object LookupExprs {
   case class BigramLmScore(child: Expression,
       bundle: org.apache.spark.broadcast.Broadcast[LmScoreBundle],
       lambda: Double, bosId: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(lambda > 0 && lambda < 1,
       s"bigram_lm_score: lambda $lambda must be in (0, 1) — at 1 an " +
         "unseen bigram in scored text makes ln's argument 0")
@@ -374,8 +376,14 @@ object LookupExprs {
     override def checkInputDataTypes() =
       requireStringArray(child, "bigram_lm_score")
     @transient private lazy val b = bundle.value
-    override protected def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[ArrayData]
+    // Generated code calls the compiled kernel directly on the child's
+    // ArrayData — no interpreted-expression boundary, no InternalRow
+    // round-trip per row (the former CodegenFallback shape).
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bigramLmScore", this, classOf[BigramLmScore].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.score($c);")
+    }
+    def score(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
       val n = toks.numElements()
       val h = b.vocab
       val bg = b.tables(0)
@@ -395,6 +403,8 @@ object LookupExprs {
       }
       org.apache.spark.sql.catalyst.InternalRow(ll, n)
     }
+    override protected def nullSafeEval(input: Any): Any =
+      score(input.asInstanceOf[ArrayData])
     override protected def withNewChildInternal(newChild: Expression) =
       copy(child = newChild)
   }
@@ -462,7 +472,7 @@ object LookupExprs {
   case class TrigramLmScore(child: Expression,
       bundle: org.apache.spark.broadcast.Broadcast[LmScoreBundle],
       lambda1: Double, lambda2: Double, bosId: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(lambda1 > 0 && lambda1 < 1 && lambda2 > 0 && lambda2 < 1,
       s"trigram_lm_score: lambda1 $lambda1 and lambda2 $lambda2 must " +
         "both be in (0, 1) so ln's argument stays positive even when " +
@@ -473,8 +483,11 @@ object LookupExprs {
     override def checkInputDataTypes() =
       requireStringArray(child, "trigram_lm_score")
     @transient private lazy val b = bundle.value
-    override protected def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[ArrayData]
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("trigramLmScore", this, classOf[TrigramLmScore].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.score($c);")
+    }
+    def score(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
       val n = toks.numElements()
       val h = b.vocab
       val bg = b.tables(0)
@@ -500,6 +513,8 @@ object LookupExprs {
       }
       org.apache.spark.sql.catalyst.InternalRow(ll, n)
     }
+    override protected def nullSafeEval(input: Any): Any =
+      score(input.asInstanceOf[ArrayData])
     override protected def withNewChildInternal(newChild: Expression) =
       copy(child = newChild)
   }
@@ -669,7 +684,7 @@ object LookupExprs {
   case class NgramHashLmScore(child: Expression,
       bundle: org.apache.spark.broadcast.Broadcast[LmScoreBundle],
       lambdas: Seq[Double], bosId: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(lambdas.nonEmpty,
       "ngram_hash_lm_score: need one λ per order 2..n")
     require(lambdas.forall(l => l > 0 && l < 1),
@@ -683,8 +698,11 @@ object LookupExprs {
       requireStringArray(child, "ngram_hash_lm_score")
     @transient private lazy val b = bundle.value
     @transient private lazy val lam = lambdas.toArray
-    override protected def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[ArrayData]
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ngramHashLmScore", this, classOf[NgramHashLmScore].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.score($c);")
+    }
+    def score(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
       val n = toks.numElements()
       val h = b.vocab
       val tgs = b.tables
@@ -712,6 +730,8 @@ object LookupExprs {
       }
       org.apache.spark.sql.catalyst.InternalRow(ll, n)
     }
+    override protected def nullSafeEval(input: Any): Any =
+      score(input.asInstanceOf[ArrayData])
     override protected def withNewChildInternal(newChild: Expression) =
       copy(child = newChild)
   }
