@@ -82,8 +82,22 @@ private[graft] object ScriptedPipelineCompleter extends graft.agentic.Completer 
 
 object Queries {
 
-  private def read(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Parquet schemas of the (immutable) input tables, inferred once per
+    * path per JVM: without an explicit schema every `spark.read.parquet`
+    * re-reads a footer on the driver, and the bench pays that per query
+    * per pass — pure fixed overhead on the ~170-query tail (guide §6:
+    * explicit schemas on hot reads). This memoizes METADATA of read-only
+    * inputs, never results; the data path is scanned by every query
+    * exactly as before.
+    */
+  private val inputSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def read(s: SparkSession, dir: String, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val sch = inputSchemas.computeIfAbsent(p, _ => s.read.parquet(p).schema)
+    s.read.schema(sch).parquet(p)
+  }
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 

@@ -948,10 +948,28 @@ object Dedup {
     // index MUST carry the same fingerprint column or passage screening
     // silently loses the appended docs.
     val winnow = indexWinnowParams(spark, path)
-    if (df.isEmpty) return
-    // Token over the RAW batch ids — an index-dependent filter would
-    // re-token a recovery replay and defeat the crash recovery.
-    val token = graft.core.BatchCommit.batchToken(df, idCol)
+    // ONE job computes the batch's emptiness, content token AND (error
+    // mode) the id-overlap preflight — the former isEmpty + batchToken +
+    // semi-join ladder was three driver jobs per microbatch. The token is
+    // still over the RAW batch ids (an index-dependent filter would
+    // re-token a recovery replay): the left join against the DISTINCT
+    // index ids emits exactly one row per batch row (≤ 1 match each), so
+    // count and XOR-hash equal batchToken(df)'s on every replay.
+    val pre = {
+      val hashed = df.select(col(idCol).cast("long").as("__bid"),
+        xxhash64(col(idCol).cast("string")).as("__h"))
+      val joined =
+        if (onExistingIds == "error")
+          hashed.join(graft.core.BatchCommit.readData(spark, path, "docs")
+            .select(col("id").as("__iid")).distinct(),
+            col("__bid") === col("__iid"), "left")
+        else hashed.withColumn("__iid", lit(null).cast("long"))
+      joined.agg(count(lit(1)), expr("bit_xor(__h)"),
+        count(col("__iid"))).head()
+    }
+    if (pre.getLong(0) == 0L) return
+    val token = graft.core.BatchCommit.tokenOf(pre.getLong(0),
+      if (pre.isNullAt(1)) 0L else pre.getLong(1))
     val mark = graft.core.BatchCommit.readMark(spark, path)
     // An exact replay of a COMMITTED batch must short-circuit before the
     // preflight: its ids are in the index precisely because it committed.
@@ -961,12 +979,7 @@ object Dedup {
       // Preflight BEFORE the begin mark so a misuse fails without mutating
       // anything. Skipped when resuming an interrupted append: the index
       // may legitimately hold a partial prefix of this very batch then.
-      val overlap = df.select(col(idCol).cast("long").as("__bid"))
-        .join(graft.core.BatchCommit.readData(spark, path, "docs")
-          .select(col("id").as("__bid")),
-          Seq("__bid"), "left_semi")
-        .limit(1).count()
-      require(overlap == 0L,
+      require(pre.getLong(2) == 0L,
         s"appendToDedupIndex: batch contains ids already in the index at " +
           s"$path — append only dropAgainstIndex survivors with new ids, or " +
           "pass onExistingIds=\"drop\" to anti-join them away")

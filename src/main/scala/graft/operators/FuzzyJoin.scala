@@ -26,22 +26,25 @@ object FuzzyJoin {
     * Route: an edit operation destroys at most `q` positional q-grams, so
     * ed(a,b) ≤ d implies the positional q-gram multisets of a and b match
     * (value-equal, positions within ±d) in all but ≤ q·d grams per side.
-    * Order every string's grams by a global total order (md5(gram), pos —
-    * deterministic, needs NO corpus statistics pass) and keep the first
-    * q·d+1 as its PREFIX: any qualifying pair then shares a gram HASH
-    * across the two prefixes. (Proof shape: each prefix holds ≥ 1 matched
-    * gram; if neither side's match lands in the other's prefix, the two
-    * matches' order relations force both prefix grams onto one md5 class,
-    * which the hash equi-join finds anyway. ED-Join's additional
+    * Order every string's grams by a global total order (xxhash64(gram),
+    * pos — deterministic, needs NO corpus statistics pass) and keep the
+    * first q·d+1 as its PREFIX: any qualifying pair then shares a gram
+    * HASH across the two prefixes. (Proof shape: each prefix holds ≥ 1
+    * matched gram; if neither side's match lands in the other's prefix,
+    * the two matches' order relations force both prefix grams onto one
+    * hash class, which the hash equi-join finds anyway. ED-Join's additional
     * POSITIONAL pruning is deliberately NOT in the join condition — the
     * prefix pigeonhole does not promise the shared-hash pair is
     * position-close, so |Δpos| ≤ d there can drop true pairs; the
     * thresholded verify prunes false candidates at O(d·len) instead.)
     * Candidates are therefore one equi-join on the prefix gram hash
-    * (explode factor ≤ q·d+1, shuffle keys md5-uniform) filtered by
+    * (explode factor ≤ q·d+1, shuffle keys hash-uniform) filtered by
     * length (|Δlen| ≤ d, implied by ed ≤ d), then verified with Spark's
     * THRESHOLDED `levenshtein(l, r, d)` — the banded DP, codegen'd, which
-    * abandons a pair the moment the distance exceeds d.
+    * abandons a pair the moment the distance exceeds d. The hash choice
+    * (64-bit xxhash64, one long per gram) never affects the RESULT —
+    * collisions only merge gram classes, which widens the candidate set
+    * the exact verify then prunes.
     *
     * Strings too short to own q·d+1 grams (len < q·(d+1)) cannot rely on
     * the pigeonhole and take a length-banded equi-join instead; a partner
@@ -53,13 +56,13 @@ object FuzzyJoin {
     *
     * At 100 TB: one explode (≤ q·d+1 rows per string, carrying the string
     * payload for the zero-join verify), one equi-join shuffle on uniform
-    * md5 keys, one dropDuplicates on the candidate pair ids. Designed for
+    * hash keys, one dropDuplicates on the candidate pair ids. Designed for
     * SHORT strings (titles, URLs, lines, names — the strings edit distance
     * is meaningful for); for documents, shingle-level containment or
     * minhash is the right tier. NULL strings are dropped (edit distance to
     * NULL is undefined; filter upstream to keep them).
     *
-    * `orderByFrequency = true` replaces the md5 gram order with document
+    * `orderByFrequency = true` replaces the hash gram order with document
     * frequency ascending (rarest-first prefixes — ED-Join §4.1's actual
     * ordering) at the cost of a df aggregate plus a per-string bounded
     * rank window. Exactness is preserved under ANY total order; taking
@@ -86,8 +89,8 @@ object FuzzyJoin {
         length(col(strCol)).as("__len"))
 
     // Gram route: strings owning >= prefLen grams. Prefix = first
-    // prefLen (md5(gram), pos) structs under array_sort's struct order —
-    // md5 first, position tiebreak, fully deterministic with zero
+    // prefLen (xxhash64(gram), pos) structs under array_sort's struct order —
+    // hash first, position tiebreak, fully deterministic with zero
     // statistics passes (frequency-ascending ordering is the classical
     // candidate-minimizing refinement; it costs a corpus aggregate and
     // changes no answers, so this implementation trades it for a
@@ -95,22 +98,34 @@ object FuzzyJoin {
     val eligible = base.filter(col("__len") >= minGramLen)
     val pref =
       if (orderByFrequency) {
-        val gramsAll = eligible.select(col("__id"), col("__s"), col("__len"),
+        // Frequency ordering over NARROW (id, gram-hash) rows only — the
+        // payload attaches once per PREFIX row at the end. The previous
+        // shape carried (__s, __len) through the df join and a rank window
+        // over every gram row (payload shuffled twice per gram), and the
+        // window sorted whole partitions — profiled as one single-task
+        // 1.7 s job at sf0.1 after AQE coalesced the small shuffle. The
+        // per-string prefix is a BOUNDED top-k, so a per-group sorted
+        // slice over collect_list (each group ≤ the string's gram count)
+        // replaces the partition-wide sort; ascending (df, hash) struct
+        // order is exactly the window's orderBy, and any total order
+        // keeps the join exact (see docstring).
+        val stagedE = graft.core.Persist.stage(eligible)
+        val gramH = stagedE.select(col("__id"),
           explode(array_distinct(transform(
             sequence(lit(1), col("__len") - (q - 1)),
-            i => md5(col("__s").substr(i, lit(q)))))).as("__h"))
-        val dfreq = gramsAll.groupBy("__h").agg(count(lit(1)).as("__df"))
-        val rn = row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("__id")).orderBy(col("__df"), col("__h")))
-        gramsAll.join(dfreq, "__h")
-          .withColumn("__rn", rn)
-          .filter(col("__rn") <= prefLen)
+            i => xxhash64(col("__s").substr(i, lit(q)))))).as("__h"))
+        val dfreq = gramH.groupBy("__h").agg(count(lit(1)).as("__df"))
+        gramH.join(dfreq, "__h")
+          .groupBy("__id").agg(slice(array_sort(
+            collect_list(struct(col("__df"), col("__h")))), 1, prefLen)
+            .as("__pg"))
+          .select(col("__id"), explode(col("__pg.__h")).as("__h"))
+          .join(stagedE, "__id")
           .select(col("__id"), col("__s"), col("__len"), col("__h"))
       } else eligible
         .withColumn("__pg", slice(array_sort(transform(
           sequence(lit(1), col("__len") - (q - 1)),
-          i => struct(md5(col("__s").substr(i, lit(q))).as("h"), i.as("p")))),
+          i => struct(xxhash64(col("__s").substr(i, lit(q))).as("h"), i.as("p")))),
           1, prefLen))
         .select(col("__id"), col("__s"), col("__len"),
           col("__pg.h").as("__hs"))

@@ -323,19 +323,20 @@ object LexIndex {
       .schema.fieldNames.toSet
     require(existing.contains("dl"),
       s"LexIndex.append: $path uses the legacy postings layout (no dl column) — rebuild with save()")
-    if (df.isEmpty) return
-    // A tombstoned id's postings would be swallowed by search's anti-join.
-    graft.core.BatchCommit.requireNotTombstoned(
-      df.select(col(idCol).as("id")), "id", path, "LexIndex.append")
     val (_, _, nBuckets, _) = readStats(path)
-    // One narrow aggregate computes the batch's stats delta AND its content
-    // token (count + order-independent XOR id hash, so every replay of this
-    // batch re-derives the same token).
+    // One narrow aggregate computes the batch's EMPTINESS, stats delta AND
+    // content token (count + order-independent XOR id hash, so every
+    // replay of this batch re-derives the same token) — the separate
+    // isEmpty probe job is folded into it.
     val r = docLengths(df, textCol, idCol)
       .select(col("dl"), xxhash64(col("id").cast("string")).as("__h"))
       .agg(count(lit(1)).cast("double"), sum(col("dl")).cast("double"),
         expr("bit_xor(__h)"),
         sum(when(col("dl") === 0, 1).otherwise(0)).cast("double")).head()
+    if (r.getDouble(0) == 0.0) return
+    // A tombstoned id's postings would be swallowed by search's anti-join.
+    graft.core.BatchCommit.requireNotTombstoned(
+      df.select(col(idCol).as("id")), "id", path, "LexIndex.append")
     val (dn, dsum) = (r.getDouble(0), r.getDouble(1))
     val dnEmpty = if (r.isNullAt(3)) 0.0 else r.getDouble(3)
     val token = graft.core.BatchCommit.tokenOf(dn.toLong, r.getLong(2))

@@ -210,13 +210,18 @@ object NgramLm {
     val bigramPml = try {
       // TRUE continuation totals per prev (≤ V+2 rows — collect is safe),
       // summed over ALL bigram types before the minBigramCount filter.
-      val prevTot = aggB.groupBy(shiftright(col("key"), 32).as("prev"))
-        .agg(sum(col("n")).as("t"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-      // Bound probe as a parallel scalar aggregate — the limit().count()
-      // probe's GlobalLimit funneled every kept row through one partition.
+      // The kept-table bound rides the SAME aggregate as a per-prev kept
+      // count summed on the driver (≤ V+2 additions) — one job where a
+      // separate count probe ran a second pass over the staged aggregate;
+      // the bound is still proven BEFORE the kept collect below.
+      val prevRows = aggB.groupBy(shiftright(col("key"), 32).as("prev"))
+        .agg(sum(col("n")).as("t"),
+          sum(when(col("n") >= minBigramCount, 1L).otherwise(0L)).as("k"))
+        .collect()
+      val prevTot = prevRows.iterator.map(r => (r.getLong(0), r.getLong(1))).toMap
       val keptB = aggB.filter(col("n") >= minBigramCount)
-      val bigramSize = keptB.agg(count(lit(1))).head().getLong(0)
+      val bigramSize = prevRows.iterator
+        .map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
       require(bigramSize <= maxBigramEntries,
         s"fitBigramLM: bigram table has > $maxBigramEntries entries " +
           "(bound) — raise minBigramCount to shrink it, or raise " +
@@ -277,7 +282,13 @@ object NgramLm {
       // designed web-scale throw still happens at aggregate cost).
       val ctxFrame = aggT.groupBy(shiftright(col("key"), 21).as("ctx"))
         .agg(sum(col("n")).as("t"))
-      val nCtx = ctxFrame.agg(count(lit(1))).head().getLong(0)
+      // ONE aggregate probes BOTH bounds (distinct contexts + kept grams)
+      // before either collect — two separate probe jobs over the same
+      // staged aggregate folded into one.
+      val probe = aggT.agg(
+        count_distinct(shiftright(col("key"), 21)),
+        sum(when(col("n") >= minTrigramCount, 1L).otherwise(0L))).head()
+      val nCtx = probe.getLong(0)
       require(nCtx <= maxTrigramEntries,
         s"fitTrigramLM: > $maxTrigramEntries distinct (u, v) contexts — " +
           "raise minCount (shrinking the vocab shrinks the context space) " +
@@ -285,7 +296,7 @@ object NgramLm {
       val ctxTot = ctxFrame.collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       val keptT = aggT.filter(col("n") >= minTrigramCount)
-      val triSize = keptT.agg(count(lit(1))).head().getLong(0)
+      val triSize = if (probe.isNullAt(1)) 0L else probe.getLong(1)
       require(triSize <= maxTrigramEntries,
         s"fitTrigramLM: trigram table has > $maxTrigramEntries entries " +
           "(bound) — raise minTrigramCount to shrink it, or raise " +
@@ -353,33 +364,36 @@ object NgramLm {
         col("e.key").as("key"), col("e.cnt").as("cnt"))
       .groupBy("ord", "ctx", "key").agg(sum(col("cnt")).as("n")))
     val tables = try {
-      // ALL orders' bound probes and pulls in FOUR jobs total, not four
-      // per order: one per-order count probe + one collect for the
-      // context totals, the same pair for the kept grams. The probes
-      // still run BEFORE each collect (a web-scale table must fail at
-      // aggregate cost, never OOM the driver), and each per-order bound
-      // is checked exactly as the per-order loop checked it — only the
-      // driver round-trips per order (4 jobs × (order − 1) at order 5 on
-      // a 16-job ladder) are gone.
+      // ALL orders' bound probes and pulls in THREE jobs total, not four
+      // per order: ONE per-order aggregate probes both bounds, then one
+      // collect for the context totals and one for the kept grams. The
+      // probes still run BEFORE each collect (a web-scale table must fail
+      // at aggregate cost, never OOM the driver), and each per-order
+      // bound is checked exactly as the per-order loop checked it — only
+      // the driver round-trips per order (4 jobs × (order − 1) at order 5
+      // on a 16-job ladder) are gone.
       val ctxFrame = aggAll.groupBy("ord", "ctx").agg(sum(col("n")).as("t"))
-      ctxFrame.groupBy("ord").agg(count(lit(1)).as("c")).collect().foreach { r =>
+      // ONE per-order aggregate probes BOTH bounds (distinct contexts and
+      // kept grams) before either collect — the former two probe jobs over
+      // the same staged aggregate folded into one.
+      aggAll.groupBy("ord").agg(count_distinct(col("ctx")).as("c"),
+          sum(when(col("n") >= minNgramCount, 1L).otherwise(0L)).as("k"))
+        .collect().foreach { r =>
         require(r.getLong(1) <= maxNgramEntries,
           s"fitNgramLM: order ${r.getInt(0)} has > $maxNgramEntries " +
             "distinct contexts (bound) — raise minCount (shrinking the " +
             "vocab shrinks the context space) or raise maxNgramEntries " +
             "deliberately")
+        require((if (r.isNullAt(2)) 0L else r.getLong(2)) <= maxNgramEntries,
+          s"fitNgramLM: order-${r.getInt(0)} gram table has > " +
+            s"$maxNgramEntries entries (bound) — raise minNgramCount to " +
+            "shrink it, or raise maxNgramEntries deliberately")
       }
       val ctxTotByOrd =
         Array.fill(order + 1)(new scala.collection.mutable.LongMap[Long]())
       ctxFrame.collect().foreach(r =>
         ctxTotByOrd(r.getInt(0)).update(r.getLong(1), r.getLong(2)))
       val keptAll = aggAll.filter(col("n") >= minNgramCount)
-      keptAll.groupBy("ord").agg(count(lit(1)).as("c")).collect().foreach { r =>
-        require(r.getLong(1) <= maxNgramEntries,
-          s"fitNgramLM: order-${r.getInt(0)} gram table has > " +
-            s"$maxNgramEntries entries (bound) — raise minNgramCount to " +
-            "shrink it, or raise maxNgramEntries deliberately")
-      }
       val builders = Array.fill(order + 1)(Map.newBuilder[Long, Double])
       keptAll.collect().foreach { r =>
         val k = r.getInt(0)
