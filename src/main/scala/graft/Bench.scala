@@ -211,8 +211,9 @@ object Bench {
     // (poll, not iterate): a second render in the same JVM must report
     // its own run's invocations, not replay this one's.
     val pickBands = graft.operators.Dedup.drainPickBandsMs()
+    val pickProbes = graft.operators.EmbedOps.drainPickProbesMs()
     val json = renderJson(outcome, sfDir, passes, loadBefore, loadAvg(), diag,
-      Map("pickbands_ms" -> pickBands))
+      Map("pickbands_ms" -> pickBands, "pickprobes_ms" -> pickProbes))
     println(json)
     // The LAST stdout line is the compact summary (no per-query map): a
     // consumer whose capture window is smaller than the ~9 KB full line

@@ -901,7 +901,12 @@ object Dedup {
       s"saveDedupIndex: winnowK $winnowK must be >= 0 (0 = off) and " +
         s"winnowW $winnowW >= 1")
     val winnow = if (winnowK > 0) Some((winnowK, winnowW)) else None
-    dedupState(df, textCol, idCol, numHashes, shingleLen, winnow = winnow)
+    // Spread BEFORE the state pass: a compactly-written corpus arrives in
+    // one scan partition and the signature/winnow kernels (the save's
+    // whole cost) would run on ONE task — profiled 1.5–3.4 s single-task
+    // jobs in every index-building gate at sf0.1.
+    dedupState(parallelize(df), textCol, idCol, numHashes, shingleLen,
+        winnow = winnow)
       .write.mode("overwrite").parquet(s"$path/docs")
     // The signature/shingle parameters are part of the index format: a
     // reader recomputing them with different values would silently kill
@@ -995,7 +1000,7 @@ object Dedup {
               .select(col("id").as("__eid")),
               col(idCol).cast("long") === col("__eid"), "left_anti")
           else df
-        dedupState(batch, textCol, idCol, numHashes, shingleLen,
+        dedupState(parallelize(batch), textCol, idCol, numHashes, shingleLen,
             winnow = winnow)
           .write.mode("overwrite").parquet(staging)
       },

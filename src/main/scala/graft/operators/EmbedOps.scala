@@ -759,8 +759,11 @@ object EmbedOps {
       // exchange; the vectors re-join once for the exact-cosine verify —
       // never ×bands through the bucket join.
       val d = if (dim > 0) dim else vecDimOf(indexed, v)
-      val base = graft.core.Persist.stage(
-        indexed.select(col(idCol).cast(LongType).as("id"), col(v).as("vec")))
+      // Spread before staging: a compactly-written embedding table arrives
+      // in one scan partition and the band-key/verify kernels would run
+      // single-task (the saveDedupIndex profile, vector side).
+      val base = graft.core.Persist.stage(graft.core.Parallelism.spread(
+        indexed.select(col(idCol).cast(LongType).as("id"), col(v).as("vec"))))
       val keyed = base.select(col("id"),
         explode(lshBandKeys(col("vec"), d, nBits, bands)).as("bk"))
       val a = keyed.toDF("id1", "bk1")
@@ -836,10 +839,16 @@ object EmbedOps {
     */
   private def vecCollapseMarked(indexed: DataFrame, v: String,
       idCol: String): DataFrame =
-    graft.core.Persist.stage(
+    // Spread AFTER the window, BEFORE staging (the pickBands lesson, vector
+    // side): AQE coalesces the small fingerprint-window shuffle to 1–2
+    // partitions, and every downstream CPU-heavy pass over the staged frame
+    // (ProbeCells assignment — n·k·dim flops — and the estimator's
+    // nested loop) would run on that many tasks. fitCentroids SORTS its
+    // collected points, so the collect-order change is result-invisible.
+    graft.core.Persist.stage(graft.core.Parallelism.spread(
       indexed.select(col(idCol).cast(LongType).as("id"), col(v).as("vec"))
         .withColumn("__fp", xxhash64(col("vec")))
-        .withColumn("__rep", min(col("id")).over(Window.partitionBy("__fp"))))
+        .withColumn("__rep", min(col("id")).over(Window.partitionBy("__fp")))))
 
   /** Everything the cells route needs BEFORE a probe tier is chosen: the
     * exact-dup star edges, the staged distinct (id, vec) representative
@@ -912,7 +921,42 @@ object EmbedOps {
     * Returns the cheapest tier whose sampled recall meets `targetRecall`,
     * else the highest offered tier with its (insufficient) recall.
     */
+  /** Per-JVM diagnostic trail of [[pickCellProbes]] wall-millis, in call
+    * order, bounded at the newest [[pickProbesMsCap]] entries — the cells
+    * route's sibling of `Dedup.pickBandsMs`, so a bench record can split
+    * "estimator" from "route" cost inside the auto gates.
+    */
+  private[graft] val pickProbesMs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
+  private[graft] val pickProbesMsCap = 1024
+  private val pickProbesMsCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def drainPickProbesMs(): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var v = pickProbesMs.poll()
+    while (v != null) {
+      pickProbesMsCount.decrementAndGet()
+      out += v.longValue()
+      v = pickProbesMs.poll()
+    }
+    out.toSeq
+  }
+
   private def pickCellProbes(base: DataFrame, centroids: Array[Array[Float]],
+      nDistinct: Long, threshold: Double, targetRecall: Double,
+      tiers: Seq[Int], sampleSize: Int, seed: Long): (Int, Double) = {
+    val __t0 = System.nanoTime()
+    try pickCellProbesImpl(base, centroids, nDistinct, threshold,
+      targetRecall, tiers, sampleSize, seed)
+    finally {
+      pickProbesMs.add((System.nanoTime() - __t0) / 1000000L)
+      if (pickProbesMsCount.incrementAndGet() > pickProbesMsCap &&
+          pickProbesMs.poll() != null)
+        pickProbesMsCount.decrementAndGet()
+    }
+  }
+
+  private def pickCellProbesImpl(base: DataFrame, centroids: Array[Array[Float]],
       nDistinct: Long, threshold: Double, targetRecall: Double,
       tiers: Seq[Int], sampleSize: Int, seed: Long): (Int, Double) = {
     val ts = tiers.distinct.sorted
@@ -920,13 +964,17 @@ object EmbedOps {
     val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, nDistinct))
     // Content-hash sample membership (seed offset matches
     // neardupRecallReport so the two tools see the same sample).
-    val sampled = graft.core.Persist.stage(
+    // Spread BEFORE staging (the pickBands convention): the sample inherits
+    // the staged base's (possibly coalesced) layout, and both the ProbeCells
+    // projection and the O(sample²) nested loop below parallelize over the
+    // streamed side's partitions — unspread they ran on one task.
+    val sampled = graft.core.Persist.stage(graft.core.Parallelism.spread(
       (if (frac >= 1.0) base
        else base.filter(
          pmod(xxhash64(col("vec"), lit(seed + 101)), lit(1000000L)) <
            math.round(frac * 1000000.0)))
         .select(col("id"), col("vec"), graft.functions.VectorExprs.probeCells(
-          col("vec"), centroids, maxTier).as("pc")))
+          col("vec"), centroids, maxTier).as("pc"))))
     val a = sampled.select(col("id").as("id1"), col("vec").as("v1"),
       col("pc").as("pc1"))
     val b = sampled.select(col("id").as("id2"), col("vec").as("v2"),

@@ -288,7 +288,17 @@ object LexIndex {
         (observed("n").asInstanceOf[Double],
           observed("sumdl").asInstanceOf[Double],
           observed("nEmpty").asInstanceOf[Double])
-      else docStats(df, textCol, idCol)
+      else {
+        // LOUD: the fallback re-tokenizes the whole corpus — at scale that
+        // doubles the save. A deployment where metric delivery is
+        // persistently slow must see this in its logs, not infer it from
+        // save times.
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"LexIndex.save($path): observed write metrics did not arrive " +
+            "within 10 s — falling back to a second full corpus scan for " +
+            "the stats sidecar (the save just paid tokenize twice)")
+        docStats(df, textCol, idCol)
+      }
     writeStats(path, n, sumdl, nBuckets, nEmpty)
     // A rebuild supersedes any interrupted append — clear its dangling mark.
     graft.core.BatchCommit.clearMark(df.sparkSession, path)
